@@ -1,0 +1,239 @@
+"""Semantic graph: model registry + join-path discovery.
+
+Re-expression of the reference's ``core/semantic_graph.py:91`` (registry,
+adjacency list at ``:310``, BFS shortest path with ambiguity detection at
+``:439-561``, path cache at ``:111``).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass
+
+from sidemantic_spark.core.model import Metric, Model, Relationship
+
+
+class SemanticGraphError(Exception):
+    pass
+
+
+class AmbiguousJoinPathError(SemanticGraphError):
+    pass
+
+
+class NoJoinPathError(SemanticGraphError):
+    pass
+
+
+@dataclass(frozen=True)
+class JoinHop:
+    """One directed join step ``from_model -> to_model``.
+
+    ``rel_type`` is normalized to the direction of travel: traversing a
+    ``one_to_many`` edge forward keeps one_to_many; traversing a
+    ``many_to_one`` edge backwards becomes one_to_many, etc.
+    ``fk_side``/``pk_side`` give the equi-join columns on each side
+    (parallel lists, possibly composite).
+    """
+
+    from_model: str
+    to_model: str
+    rel_type: str
+    fk_side: tuple[str, ...]  # columns on from_model
+    pk_side: tuple[str, ...]  # columns on to_model
+    custom_sql: str | None = None
+
+    def duplicates_left(self) -> bool:
+        """Joining ``to_model`` multiplies rows already in the tree."""
+        return self.rel_type in ("one_to_many", "many_to_many", "cross")
+
+    def duplicates_right(self) -> bool:
+        """Rows of ``to_model`` appear multiple times in the join."""
+        return self.rel_type in ("many_to_one", "many_to_many", "cross")
+
+
+_REVERSE = {
+    "many_to_one": "one_to_many",
+    "one_to_many": "many_to_one",
+    "one_to_one": "one_to_one",
+    "many_to_many": "many_to_many",
+    "cross": "cross",
+}
+
+
+class SemanticGraph:
+    """Registry of models + graph-level metrics, with BFS join paths."""
+
+    def __init__(self) -> None:
+        self.models: dict[str, Model] = {}
+        self.metrics: dict[str, Metric] = {}  # graph-level metrics
+        self._adjacency: dict[str, list[JoinHop]] | None = None
+        self._path_cache: dict[tuple[str, str, frozenset[str]], list[JoinHop]] = {}
+        self.generation = 0  # bumped on mutation; keys compile caches
+
+    def add_model(self, model: Model) -> None:
+        if model.name in self.models:
+            raise SemanticGraphError(f"duplicate model {model.name!r}")
+        self.models[model.name] = model
+        self._invalidate()
+
+    def add_metric(self, metric: Metric) -> None:
+        self.metrics[metric.name] = metric
+        self._invalidate()
+
+    def get_model(self, name: str) -> Model:
+        try:
+            return self.models[name]
+        except KeyError:
+            raise SemanticGraphError(f"unknown model {name!r}") from None
+
+    def _invalidate(self) -> None:
+        self._adjacency = None
+        self._path_cache.clear()
+        self.generation += 1
+
+    # -- adjacency ---------------------------------------------------
+
+    def adjacency(self) -> dict[str, list[JoinHop]]:
+        """Bidirectional adjacency; many_to_many via ``through`` expands
+        to two hops through the junction model (reference
+        ``core/semantic_graph.py:364-410``)."""
+        if self._adjacency is not None:
+            return self._adjacency
+        adj: dict[str, list[JoinHop]] = {name: [] for name in self.models}
+        for model in self.models.values():
+            for rel in model.relationships:
+                if rel.name not in self.models:
+                    continue
+                if rel.type == "many_to_many" and rel.through:
+                    self._add_junction_hops(adj, model, rel)
+                    continue
+                target = self.models[rel.name]
+                fk = tuple(rel.fk_list() or model.pk_list())
+                pk = tuple(rel.pk_list(target.pk_list()))
+                fwd = JoinHop(model.name, rel.name, rel.type, fk, pk, rel.sql)
+                rev = JoinHop(
+                    rel.name,
+                    model.name,
+                    _REVERSE[rel.type],
+                    pk,
+                    fk,
+                    _reverse_custom_sql(rel.sql),
+                )
+                adj[model.name].append(fwd)
+                adj[rel.name].append(rev)
+        for hops in adj.values():
+            hops.sort(key=lambda h: (h.to_model, h.rel_type))
+        self._adjacency = adj
+        return adj
+
+    def _add_junction_hops(self, adj: dict, model: Model, rel: Relationship) -> None:
+        junction = self.models.get(rel.through)
+        target = self.models.get(rel.name)
+        if junction is None or target is None:
+            return
+        from_key = rel.through_from_key or f"{model.name}_id"
+        to_key = rel.through_to_key or f"{rel.name}_id"
+        mpk = tuple(model.pk_list())
+        tpk = tuple(target.pk_list())
+        adj[model.name].append(
+            JoinHop(model.name, junction.name, "one_to_many", mpk, (from_key,))
+        )
+        adj[junction.name].append(
+            JoinHop(junction.name, model.name, "many_to_one", (from_key,), mpk)
+        )
+        adj[junction.name].append(
+            JoinHop(junction.name, target.name, "many_to_one", (to_key,), tpk)
+        )
+        adj[target.name].append(
+            JoinHop(target.name, junction.name, "one_to_many", tpk, (to_key,))
+        )
+
+    # -- path discovery ----------------------------------------------
+
+    def find_path(
+        self, start: str, end: str, prefer_models: frozenset[str] = frozenset()
+    ) -> list[JoinHop]:
+        """BFS shortest hop path ``start -> end``.
+
+        Requires a unique shortest path; among equal-length candidates,
+        paths whose intermediate models stay inside ``prefer_models``
+        win; remaining ties raise AmbiguousJoinPathError with a
+        deterministic, sorted message (reference
+        ``core/semantic_graph.py:439-561``).
+        """
+        if start == end:
+            return []
+        key = (start, end, prefer_models)
+        cached = self._path_cache.get(key)
+        if cached is not None:
+            return cached
+        adj = self.adjacency()
+        if start not in adj or end not in adj:
+            raise SemanticGraphError(f"unknown model in path {start!r}->{end!r}")
+
+        # BFS collecting all shortest paths
+        best_len: int | None = None
+        found: list[list[JoinHop]] = []
+        queue: deque[tuple[str, list[JoinHop]]] = deque([(start, [])])
+        while queue:
+            node, path = queue.popleft()
+            if best_len is not None and len(path) >= best_len:
+                continue
+            for hop in adj[node]:
+                if any(h.from_model == hop.to_model or h.to_model == hop.to_model for h in path):
+                    continue
+                if hop.to_model == start:
+                    continue
+                new_path = path + [hop]
+                if hop.to_model == end:
+                    if best_len is None or len(new_path) < best_len:
+                        best_len = len(new_path)
+                        found = [new_path]
+                    elif len(new_path) == best_len:
+                        found.append(new_path)
+                else:
+                    queue.append((hop.to_model, new_path))
+        if not found:
+            raise NoJoinPathError(f"no join path from {start!r} to {end!r}")
+        if len(found) > 1:
+            inside = [
+                p
+                for p in found
+                if all(h.to_model in prefer_models or h.to_model == end for h in p)
+            ]
+            if len(inside) == 1:
+                found = inside
+            else:
+                routes = sorted(" -> ".join([start] + [h.to_model for h in p]) for p in found)
+                raise AmbiguousJoinPathError(
+                    f"ambiguous join path from {start!r} to {end!r}: " + "; ".join(routes)
+                )
+        self._path_cache[key] = found[0]
+        return found[0]
+
+    def join_tree(self, base: str, targets: list[str]) -> list[JoinHop]:
+        """Ordered unique hops joining every target to ``base``; each
+        model joined at most once (reference
+        ``sql/generator.py:2922-2969``)."""
+        prefer = frozenset([base, *targets])
+        hops: list[JoinHop] = []
+        joined = {base}
+        for target in targets:
+            if target in joined:
+                continue
+            for hop in self.find_path(base, target, prefer):
+                if hop.to_model not in joined:
+                    hops.append(hop)
+                    joined.add(hop.to_model)
+        return hops
+
+
+def _reverse_custom_sql(sql: str | None) -> str | None:
+    if sql is None:
+        return None
+    return (
+        sql.replace("{from}", "\0")
+        .replace("{to}", "{from}")
+        .replace("\0", "{to}")
+    )

@@ -1,0 +1,107 @@
+"""SparkSemanticLayer — registry + compile + execute on a SparkSession.
+
+Re-expression of the reference's ``core/semantic_layer.py`` with Spark
+as both dialect target and executor: ``compile()`` returns Spark SQL
+text, ``query()`` executes it via ``spark.sql`` and returns a DataFrame
+(the reference returns warehouse cursors/Arrow — on Spark the DataFrame
+*is* the deferred result, and ``df.toArrow()`` covers interchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sidemantic_spark.core.graph import SemanticGraph
+from sidemantic_spark.core.model import Metric, Model
+from sidemantic_spark.sql.generator import QuerySpec, SqlGenerator
+
+
+class SparkSemanticLayer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        default_limit: int | None = None,
+        max_limit: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.graph = SemanticGraph()
+        self.generator = SqlGenerator(self.graph)
+        self.default_limit = default_limit
+        self.max_limit = max_limit
+        self._registered_sources: set[str] = set()
+
+    # -- registry ----------------------------------------------------
+
+    def add_model(self, model: Model) -> Model:
+        self.graph.add_model(model)
+        return model
+
+    def add_metric(self, metric: Metric) -> Metric:
+        self.graph.add_metric(metric)
+        return metric
+
+    # -- sources -----------------------------------------------------
+
+    def register_sources(self) -> None:
+        """Register file-backed models (``source_uri``) as temp views.
+
+        At cluster scale the view is a plain parquet scan, so Catalyst
+        predicate pushdown / partition pruning applies untouched.
+        """
+        for model in self.graph.models.values():
+            if model.source_uri and model.name not in self._registered_sources:
+                reader = self.spark.read.format(model.source_format)
+                df = reader.load(model.source_uri)
+                df.createOrReplaceTempView(model.table or model.name)
+                self._registered_sources.add(model.name)
+
+    # -- compile / execute -------------------------------------------
+
+    def compile(
+        self,
+        metrics: list[str] | None = None,
+        dimensions: list[str] | None = None,
+        filters: list[str] | None = None,
+        order_by: list[str] | None = None,
+        limit: int | None = None,
+        offset: int | None = None,
+        ungrouped: bool = False,
+        with_totals: bool = False,
+        segments: list[str] | None = None,
+        parameters: dict | None = None,
+    ) -> str:
+        if limit is None:
+            limit = self.default_limit
+        if self.max_limit is not None:
+            limit = min(limit, self.max_limit) if limit is not None else self.max_limit
+        spec = QuerySpec(
+            metrics=list(metrics or []),
+            dimensions=list(dimensions or []),
+            filters=list(filters or []),
+            order_by=list(order_by or []),
+            limit=limit,
+            offset=offset,
+            ungrouped=ungrouped,
+            with_totals=with_totals,
+            segments=list(segments or []),
+            parameters=dict(parameters or {}),
+        )
+        return self.generator.generate(spec)
+
+    def query(self, **kwargs) -> DataFrame:
+        self.register_sources()
+        return self.spark.sql(self.compile(**kwargs))
+
+    def explain(self, **kwargs) -> str:
+        """Compiled Spark SQL plus Catalyst's formatted physical plan."""
+        self.register_sources()
+        sql = self.compile(**kwargs)
+        df = self.spark.sql(sql)
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        return f"{sql}\n\n{plan}"
+
+    def create_view(self, name: str, **kwargs) -> None:
+        """CREATE VIEW sink (ref sql/generator.py:817-858)."""
+        self.query(**kwargs).createOrReplaceTempView(name)

@@ -1,0 +1,280 @@
+"""Semantic-model abstractions.
+
+Field sets mirror the reference's pydantic models (sidemantic
+``core/model.py:16``, ``core/dimension.py:8``, ``core/metric.py:10``,
+``core/relationship.py:8``, ``core/segment.py:6`` — see SURVEY.md §1.1)
+but are re-expressed as plain dataclasses; all SQL fragments are Spark
+SQL.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+SIMPLE_AGGS = {
+    "sum",
+    "count",
+    "count_distinct",
+    "approx_count_distinct",
+    "avg",
+    "min",
+    "max",
+    "median",
+    "stddev",
+    "stddev_pop",
+    "variance",
+    "variance_pop",
+}
+
+# aggs whose naive evaluation over a fanned-out join double counts
+FANOUT_UNSAFE_AGGS = {"sum", "count", "avg"}
+# aggs that are naturally idempotent under row duplication
+FANOUT_SAFE_AGGS = {"min", "max", "count_distinct", "approx_count_distinct"}
+# aggs with no distinct-based decomposition (reference raises; so do we)
+FANOUT_IMPOSSIBLE_AGGS = {"median", "stddev", "stddev_pop", "variance", "variance_pop"}
+
+COMPLEX_METRIC_TYPES = {
+    "ratio",
+    "derived",
+    "cumulative",
+    "time_comparison",
+    "conversion",
+    "retention",
+    "cohort",
+}
+
+TIME_GRAINS = ("second", "minute", "hour", "day", "week", "month", "quarter", "year")
+
+_AGG_RE = re.compile(
+    r"^\s*(sum|count|count_distinct|approx_count_distinct|avg|min|max|median|"
+    r"stddev|stddev_pop|variance|variance_pop)\s*\(\s*(.*?)\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COUNT_DISTINCT_RE = re.compile(r"^\s*count\s*\(\s*distinct\s+(.*?)\s*\)\s*$", re.IGNORECASE | re.DOTALL)
+
+
+@dataclass
+class Dimension:
+    """A typed attribute of a model.
+
+    ``type`` in {categorical, time, boolean, numeric}; ``sql`` is a Spark
+    SQL expression over the model's columns (defaults to the dimension
+    name); time dimensions support ``granularity`` plus per-query
+    ``__grain`` suffixes.
+    """
+
+    name: str
+    type: str = "categorical"
+    sql: str | None = None
+    granularity: str | None = None  # default grain for time dims
+    label: str | None = None
+    description: str | None = None
+    parent: str | None = None  # hierarchy parent dimension name
+    window: str | None = None  # window-function dimension (raw OVER sql)
+    public: bool = True
+
+    @property
+    def expr(self) -> str:
+        return self.sql or self.name
+
+
+@dataclass
+class Metric:
+    """Unified measure/metric (reference ``core/metric.py:10``).
+
+    Simple aggregations carry ``agg`` + ``sql`` (the aggregated
+    expression).  Complex types (``ratio, derived, cumulative,
+    time_comparison, conversion, retention, cohort``) carry their own
+    parameter fields and compile to multi-stage plans.
+    """
+
+    name: str
+    agg: str | None = None  # one of SIMPLE_AGGS
+    sql: str | None = None  # expression to aggregate (or full formula)
+    type: str | None = None  # complex type, else None for simple agg
+    description: str | None = None
+    label: str | None = None
+    filters: list[str] = field(default_factory=list)  # per-metric filters
+    fill_nulls_with: str | int | float | None = None
+    public: bool = True
+
+    # ratio
+    numerator: str | None = None
+    denominator: str | None = None
+
+    # derived
+    expr: str | None = None  # formula over other metric names
+
+    # cumulative
+    window: str | None = None  # e.g. "7 days" rolling window
+    grain_to_date: str | None = None  # e.g. "month" | "year" (MTD/YTD)
+    base_metric: str | None = None  # metric being accumulated / compared
+
+    # time_comparison
+    comparison_type: str | None = None  # yoy|qoq|mom|wow|dod|prior_period
+    calculation: str = "percent_change"  # difference|percent_change|ratio
+
+    # conversion / retention / cohort
+    entity: str | None = None  # entity column/dimension name
+    base_event: str | None = None  # filter SQL for the base step
+    conversion_event: str | None = None  # filter SQL for the converting step
+    conversion_window: str | None = None  # e.g. "7 days"
+    retention_granularity: str = "month"
+    retention_periods: int = 12
+    cohort_aggregation: str | None = None  # outer re-aggregation for cohort
+    having: str | None = None  # inner HAVING for cohort metrics
+
+    # semi-additive
+    non_additive_dimension: str | None = None  # time dim that must not sum
+    non_additive_window: str = "max"  # take value at max (last) or min (first)
+    non_additive_window_groupings: list[str] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        # Auto-extraction: sql="SUM(amount)" -> agg="sum", sql="amount"
+        # (reference core/metric.py:101-226, via sqlglot; regex suffices
+        # for the single-agg-call shape; formula SQL is left intact).
+        if self.agg is None and self.type is None and self.sql:
+            m = _COUNT_DISTINCT_RE.match(self.sql)
+            if m:
+                self.agg = "count_distinct"
+                self.sql = m.group(1)
+                return
+            m = _AGG_RE.match(self.sql)
+            if m and _is_single_call(self.sql):
+                self.agg = m.group(1).lower()
+                inner = m.group(2)
+                self.sql = None if inner in ("*", "") else inner
+
+    @property
+    def is_simple(self) -> bool:
+        return self.type is None and self.agg is not None
+
+    def agg_sql(self, value_sql: str) -> str:
+        """Render this metric's aggregate call over ``value_sql``."""
+        agg = self.agg or "sum"
+        if agg == "count" and (self.sql is None and not self.filters):
+            return "COUNT(*)"
+        if agg == "count":
+            return f"COUNT({value_sql})"
+        if agg == "count_distinct":
+            return f"COUNT(DISTINCT {value_sql})"
+        if agg == "approx_count_distinct":
+            return f"APPROX_COUNT_DISTINCT({value_sql})"
+        if agg == "stddev":
+            return f"STDDEV_SAMP({value_sql})"
+        if agg == "variance":
+            return f"VAR_SAMP({value_sql})"
+        if agg == "variance_pop":
+            return f"VAR_POP({value_sql})"
+        return f"{agg.upper()}({value_sql})"
+
+
+def _is_single_call(sql: str) -> bool:
+    """True when the whole expression is one function call (not e.g.
+    ``SUM(a)/SUM(b)``), so agg auto-extraction is safe."""
+    depth = 0
+    seen_close = False
+    for ch in sql.strip():
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                seen_close = True
+        elif seen_close and not ch.isspace():
+            return False
+    return seen_close
+
+
+@dataclass
+class Relationship:
+    """Graph edge (reference ``core/relationship.py:8``).
+
+    ``name`` is the target model; ``type`` in {many_to_one, one_to_one,
+    one_to_many, many_to_many, cross}. Keys may be composite (lists).
+    ``sql`` is a custom join condition with ``{from}``/``{to}``
+    placeholders; ``through`` names a junction model for many_to_many.
+    """
+
+    name: str
+    type: str = "many_to_one"
+    foreign_key: str | list[str] | None = None
+    primary_key: str | list[str] | None = None
+    sql: str | None = None
+    through: str | None = None
+    through_from_key: str | None = None
+    through_to_key: str | None = None
+    join_type: str | None = None  # explicit override: left|inner|full
+
+    def fk_list(self) -> list[str]:
+        fk = self.foreign_key
+        if fk is None:
+            return []
+        return list(fk) if isinstance(fk, (list, tuple)) else [fk]
+
+    def pk_list(self, target_pk: list[str]) -> list[str]:
+        pk = self.primary_key
+        if pk is None:
+            return target_pk
+        return list(pk) if isinstance(pk, (list, tuple)) else [pk]
+
+
+@dataclass
+class Segment:
+    """Named reusable filter; ``{model}`` resolves to the model alias."""
+
+    name: str
+    sql: str
+    description: str | None = None
+
+
+@dataclass
+class Model:
+    """A dataset bound to a physical table / derived SQL / file source.
+
+    Binding precedence: ``table`` (Spark catalog / temp view) > ``sql``
+    (derived subquery) > ``source_uri`` (file read registered as a view).
+    """
+
+    name: str
+    table: str | None = None
+    sql: str | None = None
+    source_uri: str | None = None
+    source_format: str = "parquet"
+    primary_key: str | list[str] = "id"
+    dimensions: list[Dimension] = field(default_factory=list)
+    metrics: list[Metric] = field(default_factory=list)
+    relationships: list[Relationship] = field(default_factory=list)
+    segments: list[Segment] = field(default_factory=list)
+    default_time_dimension: str | None = None
+    default_grain: str | None = None
+    description: str | None = None
+    row_filters: list[str] = field(default_factory=list)  # security policy
+
+    def __post_init__(self) -> None:
+        self._dims = {d.name: d for d in self.dimensions}
+        self._metrics = {m.name: m for m in self.metrics}
+        self._segments = {s.name: s for s in self.segments}
+
+    def pk_list(self) -> list[str]:
+        pk = self.primary_key
+        return list(pk) if isinstance(pk, (list, tuple)) else [pk]
+
+    def dimension(self, name: str) -> Dimension | None:
+        return self._dims.get(name)
+
+    def metric(self, name: str) -> Metric | None:
+        return self._metrics.get(name)
+
+    def segment(self, name: str) -> Segment | None:
+        return self._segments.get(name)
+
+    def add_metric(self, metric: Metric) -> None:
+        self.metrics.append(metric)
+        self._metrics[metric.name] = metric
+
+    def add_dimension(self, dim: Dimension) -> None:
+        self.dimensions.append(dim)
+        self._dims[dim.name] = dim

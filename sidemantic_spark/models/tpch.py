@@ -1,0 +1,307 @@
+"""Semantic models over the driver's TPC-H-ish testdata tables.
+
+These play the role of the reference's test fixtures
+(``tests/native-fixtures/*/models``, FIXTURES.md mapping): a star schema
+``lineitem >- orders >- customer >- nation >- region`` plus
+``supplier`` and the ``events`` stream table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from sidemantic_spark.core.layer import SparkSemanticLayer
+from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata parquet as a temp view named after the
+    table. Plain parquet scans, so filter/column pushdown stays free.
+
+    The driver's parquet uses TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read nanos as LONG (legacy conf) and cast back to
+    timestamps in the view — a JVM-side, codegen'd cast on top of the
+    scan, so pushdown on other columns is preserved.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        schema = pq.read_schema(path)
+        nanos_cols = [
+            f.name for f in schema if str(f.type).startswith("timestamp[ns")
+        ]
+        df = spark.read.parquet(path)
+        for c in nanos_cols:
+            df = df.withColumn(
+                c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+            )
+        df.createOrReplaceTempView(t)
+
+
+def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemanticLayer:
+    if sf_dir is not None:
+        register_tables(spark, sf_dir)
+    layer = SparkSemanticLayer(spark)
+
+    layer.add_model(
+        Model(
+            name="orders",
+            table="orders",
+            primary_key="o_orderkey",
+            dimensions=[
+                Dimension(name="status", sql="o_orderstatus"),
+                Dimension(name="priority", sql="o_orderpriority"),
+                Dimension(name="order_date", sql="o_orderdate", type="time"),
+                Dimension(name="custkey", sql="o_custkey", type="numeric"),
+            ],
+            metrics=[
+                Metric(name="revenue", agg="sum", sql="o_totalprice"),
+                Metric(name="order_count", agg="count"),
+                Metric(name="customer_count", agg="count_distinct", sql="o_custkey"),
+                Metric(name="avg_order_value", agg="avg", sql="o_totalprice"),
+                Metric(name="max_order_value", agg="max", sql="o_totalprice"),
+                Metric(name="min_order_value", agg="min", sql="o_totalprice"),
+                Metric(
+                    name="open_revenue",
+                    agg="sum",
+                    sql="o_totalprice",
+                    filters=["orders.status = 'O'"],
+                ),
+                Metric(
+                    name="aov_ratio",
+                    type="ratio",
+                    numerator="revenue",
+                    denominator="order_count",
+                ),
+                Metric(
+                    name="open_share",
+                    type="derived",
+                    expr="open_revenue / revenue",
+                ),
+                Metric(
+                    name="cumulative_revenue",
+                    type="cumulative",
+                    base_metric="revenue",
+                ),
+                Metric(
+                    name="revenue_3m",
+                    type="cumulative",
+                    base_metric="revenue",
+                    window="90 days",
+                ),
+                Metric(
+                    name="revenue_ytd",
+                    type="cumulative",
+                    base_metric="revenue",
+                    grain_to_date="year",
+                ),
+                Metric(
+                    name="revenue_mom",
+                    type="time_comparison",
+                    base_metric="revenue",
+                    comparison_type="mom",
+                    calculation="percent_change",
+                ),
+                Metric(
+                    name="revenue_yoy_diff",
+                    type="time_comparison",
+                    base_metric="revenue",
+                    comparison_type="yoy",
+                    calculation="difference",
+                ),
+            ],
+            relationships=[
+                Relationship(
+                    name="customer", type="many_to_one", foreign_key="o_custkey"
+                ),
+                Relationship(
+                    name="lineitem", type="one_to_many", foreign_key="o_orderkey",
+                    primary_key="l_orderkey",
+                ),
+            ],
+            default_time_dimension="order_date",
+            default_grain="day",
+        )
+    )
+
+    layer.add_model(
+        Model(
+            name="customer",
+            table="customer",
+            primary_key="c_custkey",
+            dimensions=[
+                Dimension(name="name", sql="c_name"),
+                Dimension(name="mktsegment", sql="c_mktsegment"),
+                Dimension(name="acctbal", sql="c_acctbal", type="numeric"),
+            ],
+            metrics=[
+                Metric(name="customer_count", agg="count"),
+                Metric(name="total_acctbal", agg="sum", sql="c_acctbal"),
+                Metric(name="avg_acctbal", agg="avg", sql="c_acctbal"),
+            ],
+            relationships=[
+                Relationship(name="nation", type="many_to_one", foreign_key="c_nationkey"),
+            ],
+        )
+    )
+
+    layer.add_model(
+        Model(
+            name="nation",
+            table="nation",
+            primary_key="n_nationkey",
+            dimensions=[Dimension(name="name", sql="n_name")],
+            metrics=[Metric(name="nation_count", agg="count")],
+            relationships=[
+                Relationship(name="region", type="many_to_one", foreign_key="n_regionkey"),
+            ],
+        )
+    )
+
+    layer.add_model(
+        Model(
+            name="region",
+            table="region",
+            primary_key="r_regionkey",
+            dimensions=[Dimension(name="name", sql="r_name")],
+        )
+    )
+
+    layer.add_model(
+        Model(
+            name="supplier",
+            table="supplier",
+            primary_key="s_suppkey",
+            dimensions=[Dimension(name="name", sql="s_name")],
+            metrics=[
+                Metric(name="supplier_count", agg="count"),
+                Metric(name="total_s_acctbal", agg="sum", sql="s_acctbal"),
+            ],
+            relationships=[
+                Relationship(name="nation", type="many_to_one", foreign_key="s_nationkey"),
+            ],
+        )
+    )
+
+    layer.add_model(
+        Model(
+            name="part",
+            table="part",
+            primary_key="p_partkey",
+            dimensions=[
+                Dimension(name="brand", sql="p_brand"),
+                Dimension(name="type", sql="p_type"),
+                Dimension(name="size", sql="p_size", type="numeric"),
+            ],
+            metrics=[
+                Metric(name="part_count", agg="count"),
+                Metric(name="avg_retailprice", agg="avg", sql="p_retailprice"),
+            ],
+        )
+    )
+
+    layer.add_model(
+        Model(
+            name="lineitem",
+            table="lineitem",
+            primary_key=["l_orderkey", "l_linenumber"],
+            dimensions=[
+                Dimension(name="returnflag", sql="l_returnflag"),
+                Dimension(name="linestatus", sql="l_linestatus"),
+                Dimension(name="ship_date", sql="l_shipdate", type="time"),
+            ],
+            metrics=[
+                Metric(name="qty", agg="sum", sql="l_quantity"),
+                Metric(name="line_count", agg="count"),
+                Metric(
+                    name="gross_revenue", agg="sum", sql="l_extendedprice"
+                ),
+                Metric(
+                    name="disc_revenue",
+                    agg="sum",
+                    sql="l_extendedprice * (1 - l_discount)",
+                ),
+                Metric(name="avg_qty", agg="avg", sql="l_quantity"),
+                Metric(
+                    name="last_qty_per_part",
+                    agg="sum",
+                    sql="l_quantity",
+                    non_additive_dimension="ship_date",
+                    non_additive_window="max",
+                    non_additive_window_groupings=["partkey"],
+                ),
+            ],
+            relationships=[
+                Relationship(name="orders", type="many_to_one", foreign_key="l_orderkey"),
+                Relationship(name="part", type="many_to_one", foreign_key="l_partkey"),
+                Relationship(name="supplier", type="many_to_one", foreign_key="l_suppkey"),
+            ],
+        )
+    )
+    # extra dim used by semi-additive groupings
+    layer.graph.get_model("lineitem").add_dimension(
+        Dimension(name="partkey", sql="l_partkey", type="numeric")
+    )
+
+    layer.add_model(
+        Model(
+            name="events",
+            table="events",
+            primary_key="event_id",
+            dimensions=[
+                Dimension(name="event_type"),
+                Dimension(name="ts", type="time"),
+                Dimension(name="user_id", type="numeric"),
+            ],
+            metrics=[
+                Metric(name="event_count", agg="count"),
+                Metric(name="total_value", agg="sum", sql="value"),
+                Metric(name="active_users", agg="count_distinct", sql="user_id"),
+                Metric(
+                    name="signup_to_purchase",
+                    type="conversion",
+                    entity="user_id",
+                    base_event="events.event_type = 'signup'",
+                    conversion_event="events.event_type = 'purchase'",
+                    conversion_window="7 days",
+                ),
+                Metric(
+                    name="weekly_retention",
+                    type="retention",
+                    entity="user_id",
+                    base_event="events.event_type = 'signup'",
+                    retention_granularity="week",
+                    retention_periods=5,
+                ),
+                Metric(
+                    name="avg_user_spend",
+                    type="cohort",
+                    entity="user_id",
+                    agg="sum",
+                    sql="value",
+                    cohort_aggregation="avg",
+                    having="value > 0",
+                ),
+            ],
+            default_time_dimension="ts",
+            default_grain="day",
+        )
+    )
+
+    return layer

@@ -1,0 +1,1355 @@
+"""Semantic query -> Spark SQL compiler.
+
+Re-expression of the reference's SQL generator (sidemantic
+``sql/generator.py:961`` ``SQLGenerator.generate``) targeting Spark SQL
+only.  The plan shapes follow SURVEY.md §2:
+
+- per-model CTE projection with filter pushdown
+  (ref ``sql/generator.py:1987-2458``, ``:1640-1750``)
+- multi-hop equi-joins from the relationship graph
+  (ref ``sql/generator.py:2922-2969``)
+- fan-out-safe aggregation via the entity-grain DISTINCT plan — the
+  Spark-idiomatic alternative to symmetric aggregates
+  (ref ``core/symmetric_aggregate.py:20``, ``sql/generator.py:3056``)
+- multi-fact split: one aggregated subquery per metric model joined on
+  the dimension grain (ref ``sql/generator.py:2586-2921``)
+- window-metric pipeline: inner grouped query -> outer window stage
+  (ref ``sql/generator.py:5701-6482``)
+- conversion / retention / cohort plans
+  (ref ``sql/generator.py:5210-5700``, ``:4998-5209``, ``:4694-4997``)
+- semi-additive snapshot rewrite via nested window marker
+  (ref ``sql/generator.py:147-274``, ``:3391-3629``)
+
+Catalyst handles what the reference re-implements as SQL-shape rewrites
+(predicate pushdown into scans, column pruning, constant folding), so
+those exist here only to keep generated SQL readable and to route
+pre-aggregations.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from sidemantic_spark.core.graph import JoinHop, SemanticGraph, SemanticGraphError
+from sidemantic_spark.core.model import (
+    FANOUT_IMPOSSIBLE_AGGS,
+    FANOUT_UNSAFE_AGGS,
+    Metric,
+    Model,
+)
+from sidemantic_spark.sql import fragments
+from sidemantic_spark.sql.fragments import (
+    find_refs,
+    interval_sql,
+    replace_refs,
+    split_conjuncts,
+)
+
+
+class QueryCompileError(Exception):
+    pass
+
+
+@dataclass
+class QuerySpec:
+    metrics: list[str] = field(default_factory=list)
+    dimensions: list[str] = field(default_factory=list)
+    filters: list[str] = field(default_factory=list)
+    order_by: list[str] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
+    ungrouped: bool = False
+    with_totals: bool = False
+    segments: list[str] = field(default_factory=list)
+    parameters: dict = field(default_factory=dict)
+
+
+_AS_RE = re.compile(r"^(.*?)\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$")
+_DESC_RE = re.compile(r"^(.*?)\s+(asc|desc)\s*$", re.IGNORECASE)
+
+
+@dataclass
+class RDim:
+    model: str
+    name: str  # dimension name
+    grain: str | None
+    out: str  # output column alias
+    expr: str  # raw SQL over model columns (grain applied)
+
+
+@dataclass
+class RMetric:
+    model: str
+    metric: Metric
+    out: str
+
+
+@dataclass
+class Resolved:
+    spec: QuerySpec
+    dims: list[RDim]
+    metrics: list[RMetric]
+    base: str
+    models: list[str]  # join order: base first
+    hops: list[JoinHop]
+    pushdown: dict[str, list[str]]  # model -> conjuncts (raw-rewritten)
+    outer_filters: list[str]  # conjuncts referencing >1 model / grains
+    having: list[str]  # conjuncts referencing metrics
+    # per-model extra raw columns needed by outer/metric filters
+    extra_cols: dict[str, set[str]]
+    component_metrics: dict[str, list[tuple[str, Metric]]]  # model -> metrics needing raw cols
+
+
+class SqlGenerator:
+    def __init__(self, graph: SemanticGraph) -> None:
+        self.graph = graph
+        self._cache: dict = {}
+
+    # ------------------------------------------------------------------
+    # public entry
+    # ------------------------------------------------------------------
+    def generate(self, spec: QuerySpec) -> str:
+        key = self._cache_key(spec)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        sql = self._generate(spec)
+        self._cache[key] = sql
+        return sql
+
+    def _cache_key(self, spec: QuerySpec):
+        return (
+            self.graph.generation,
+            tuple(spec.metrics),
+            tuple(spec.dimensions),
+            tuple(spec.filters),
+            tuple(spec.order_by),
+            spec.limit,
+            spec.offset,
+            spec.ungrouped,
+            spec.with_totals,
+            tuple(spec.segments),
+            tuple(sorted(spec.parameters.items())),
+        )
+
+    def _generate(self, spec: QuerySpec) -> str:
+        spec = self._apply_parameters_and_segments(spec)
+        r = self._resolve(spec)
+
+        special = [rm for rm in r.metrics if rm.metric.type in ("conversion", "retention", "cohort")]
+        if special:
+            if len(r.metrics) != 1:
+                raise QueryCompileError(
+                    f"{special[0].metric.type} metrics compile standalone; got {len(r.metrics)} metrics"
+                )
+            rm = special[0]
+            if rm.metric.type == "conversion":
+                return self._conversion_sql(r, rm)
+            if rm.metric.type == "retention":
+                return self._retention_sql(r, rm)
+            return self._cohort_sql(r, rm)
+
+        if any(rm.metric.non_additive_dimension for rm in r.metrics):
+            return self._semi_additive_sql(r)
+
+        window_metrics = [
+            rm for rm in r.metrics if rm.metric.type in ("cumulative", "time_comparison")
+        ]
+        if window_metrics:
+            return self._window_sql(r, window_metrics)
+
+        metric_models = sorted({rm.model for rm in r.metrics})
+        if len(metric_models) > 1:
+            return self._multifact_sql(r, metric_models)
+
+        return self._grouped_sql(r)
+
+    # ------------------------------------------------------------------
+    # pre-passes: parameters, segments, relative dates
+    # ------------------------------------------------------------------
+    def _apply_parameters_and_segments(self, spec: QuerySpec) -> QuerySpec:
+        filters = list(spec.filters)
+        if spec.parameters:
+            out = []
+            for f in filters:
+                for k, v in spec.parameters.items():
+                    lit = f"'{v}'" if isinstance(v, str) else str(v)
+                    f = f.replace("{{ " + k + " }}", lit).replace("{{" + k + "}}", lit)
+                out.append(f)
+            filters = out
+        for seg_ref in spec.segments:
+            if "." not in seg_ref:
+                raise QueryCompileError(f"segment ref must be model.segment: {seg_ref!r}")
+            model_name, seg_name = seg_ref.split(".", 1)
+            model = self.graph.get_model(model_name)
+            seg = model.segment(seg_name)
+            if seg is None:
+                raise QueryCompileError(f"unknown segment {seg_ref!r}")
+            filters.append(seg.sql.replace("{model}", model_name))
+        if filters != list(spec.filters) or spec.segments:
+            spec = QuerySpec(
+                metrics=spec.metrics,
+                dimensions=spec.dimensions,
+                filters=filters,
+                order_by=spec.order_by,
+                limit=spec.limit,
+                offset=spec.offset,
+                ungrouped=spec.ungrouped,
+                with_totals=spec.with_totals,
+                segments=[],
+                parameters={},
+            )
+        return spec
+
+    # ------------------------------------------------------------------
+    # resolution
+    # ------------------------------------------------------------------
+    def _resolve(self, spec: QuerySpec) -> Resolved:
+        known = set(self.graph.models)
+        dims: list[RDim] = []
+        used_outs: set[str] = set()
+
+        for ref in spec.dimensions:
+            ref, alias = _split_alias(ref)
+            model_name, dim_name, grain = self._parse_ref(ref)
+            model = self.graph.get_model(model_name)
+            dim = model.dimension(dim_name)
+            if dim is None:
+                raise QueryCompileError(f"unknown dimension {ref!r}")
+            grain = grain or (dim.granularity if dim.type == "time" else None)
+            expr = dim.expr
+            if grain:
+                expr = _date_trunc(grain, expr)
+            out = alias or (f"{dim_name}__{grain}" if grain else dim_name)
+            if out in used_outs:
+                out = f"{model_name}_{out}"
+            used_outs.add(out)
+            dims.append(RDim(model_name, dim_name, grain, out, expr))
+
+        metrics: list[RMetric] = []
+        for ref in spec.metrics:
+            ref, alias = _split_alias(ref)
+            model_name, metric = self._lookup_metric(ref)
+            out = alias or metric.name
+            if out in used_outs:
+                out = f"{model_name}_{out}"
+            used_outs.add(out)
+            metrics.append(RMetric(model_name, metric, out))
+
+        # models involved
+        model_names: list[str] = []
+        for rm in metrics:
+            if rm.model not in model_names:
+                model_names.append(rm.model)
+        for rd in dims:
+            if rd.model not in model_names:
+                model_names.append(rd.model)
+        filter_models: list[str] = []
+        for f in spec.filters:
+            for m, _f, _g in find_refs(f, known):
+                if m not in model_names and m not in filter_models:
+                    filter_models.append(m)
+        all_models = model_names + filter_models
+        if not all_models:
+            raise QueryCompileError("query references no models")
+        base = all_models[0]
+        hops = self.graph.join_tree(base, all_models[1:])
+        join_order = [base] + [h.to_model for h in hops]
+
+        # filter classification (ref sql/generator.py:1640-1750, :2971)
+        pushdown: dict[str, list[str]] = {m: [] for m in join_order}
+        outer: list[str] = []
+        having: list[str] = []
+        extra_cols: dict[str, set[str]] = {m: set() for m in join_order}
+
+        metric_names = self._metric_name_index(join_order)
+        for f in spec.filters:
+            for conj in split_conjuncts(f):
+                conj = self._rewrite_relative_dates(conj)
+                refs = find_refs(conj, known)
+                ref_models = {m for m, _, _ in refs}
+                is_metric_filter = any(
+                    (m, fld) in metric_names for m, fld, _ in refs
+                )
+                if is_metric_filter:
+                    having.append(conj)
+                    continue
+                if len(ref_models) == 1:
+                    target = next(iter(ref_models))
+                    pushdown[target].append(
+                        replace_refs(conj, known, lambda mo, fl, gr: self._raw_expr(mo, fl, gr))
+                    )
+                else:
+                    outer.append(conj)
+                    for m, fld, _g in refs:
+                        extra_cols[m].add(fld)
+
+        # per-metric filters reference columns too
+        component: dict[str, list[tuple[str, Metric]]] = {m: [] for m in join_order}
+        for rm in metrics:
+            for comp_out, comp in self._expand_components(rm):
+                component[rm.model].append((comp_out, comp))
+                for flt in comp.filters:
+                    for m, fld, _g in find_refs(flt, known):
+                        extra_cols[m].add(fld)
+
+        return Resolved(
+            spec=spec,
+            dims=dims,
+            metrics=metrics,
+            base=base,
+            models=join_order,
+            hops=hops,
+            pushdown=pushdown,
+            outer_filters=outer,
+            having=having,
+            extra_cols=extra_cols,
+            component_metrics=component,
+        )
+
+    def _parse_ref(self, ref: str) -> tuple[str, str, str | None]:
+        m = fragments.REF_RE.fullmatch(ref.strip())
+        if not m:
+            raise QueryCompileError(f"cannot parse reference {ref!r} (want model.field[__grain])")
+        return m.group(1), m.group(2), m.group(3)
+
+    def _lookup_metric(self, ref: str) -> tuple[str, Metric]:
+        ref = ref.strip()
+        if "." in ref:
+            model_name, metric_name = ref.split(".", 1)
+            model = self.graph.get_model(model_name)
+            metric = model.metric(metric_name)
+            if metric is None:
+                raise QueryCompileError(f"unknown metric {ref!r}")
+            return model_name, metric
+        # graph-level metric or search across models
+        if ref in self.graph.metrics:
+            metric = self.graph.metrics[ref]
+            owners = [
+                name for name, mdl in self.graph.models.items() if mdl.metric(ref) is not None
+            ]
+            if owners:
+                return owners[0], metric
+            raise QueryCompileError(f"graph metric {ref!r} has no owning model")
+        owners = [
+            (name, mdl.metric(ref)) for name, mdl in self.graph.models.items() if mdl.metric(ref)
+        ]
+        if len(owners) == 1:
+            return owners[0][0], owners[0][1]
+        if len(owners) > 1:
+            raise QueryCompileError(f"ambiguous metric {ref!r}: " + ", ".join(sorted(n for n, _ in owners)))
+        raise QueryCompileError(f"unknown metric {ref!r}")
+
+    def _metric_name_index(self, models: list[str]) -> set[tuple[str, str]]:
+        out = set()
+        for name in models:
+            for m in self.graph.get_model(name).metrics:
+                out.add((name, m.name))
+        return out
+
+    def _raw_expr(self, model_name: str, fld: str, grain: str | None) -> str:
+        """Underlying SQL for model.field[__grain] in the model's own
+        CTE scope (raw table columns)."""
+        model = self.graph.get_model(model_name)
+        dim = model.dimension(fld)
+        if dim is not None:
+            expr = dim.expr
+            if grain:
+                expr = _date_trunc(grain, expr)
+            elif dim.type == "time" and dim.granularity:
+                pass  # no implicit grain in filters
+            return f"({expr})" if _needs_parens(expr) else expr
+        # fall back to raw column name
+        return fld
+
+    def _expand_components(self, rm: RMetric) -> list[tuple[str, Metric]]:
+        """All simple metrics whose raw columns must be projected for
+        ``rm`` (itself, ratio legs, derived children, window bases)."""
+        out: list[tuple[str, Metric]] = []
+        seen: set[str] = set()
+
+        def walk(metric: Metric, depth: int = 0) -> None:
+            if depth > 10:
+                raise QueryCompileError(f"metric dependency cycle at {metric.name!r}")
+            if metric.name in seen:
+                return
+            seen.add(metric.name)
+            if metric.is_simple:
+                out.append((metric.name, metric))
+                return
+            if metric.type == "ratio":
+                for leg in (metric.numerator, metric.denominator):
+                    if leg is None:
+                        raise QueryCompileError(f"ratio metric {metric.name!r} missing a leg")
+                    _, child = self._lookup_metric(_qualify(leg, rm.model))
+                    walk(child, depth + 1)
+                return
+            if metric.type == "derived":
+                if not metric.expr:
+                    raise QueryCompileError(f"derived metric {metric.name!r} missing expr")
+                for name in _identifiers(metric.expr):
+                    try:
+                        _, child = self._lookup_metric(_qualify(name, rm.model))
+                    except QueryCompileError:
+                        continue
+                    walk(child, depth + 1)
+                return
+            if metric.type in ("cumulative", "time_comparison"):
+                base = metric.base_metric
+                if base:
+                    _, child = self._lookup_metric(_qualify(base, rm.model))
+                    walk(child, depth + 1)
+                elif metric.agg:
+                    shadow = Metric(name=metric.name, agg=metric.agg, sql=metric.sql, filters=metric.filters)
+                    out.append((shadow.name, shadow))
+                else:
+                    raise QueryCompileError(
+                        f"{metric.type} metric {metric.name!r} needs base_metric or agg"
+                    )
+                return
+            # conversion/retention/cohort need no raw measure columns here
+
+        walk(rm.metric)
+        return out
+
+    # ------------------------------------------------------------------
+    # relative dates (ref core/relative_date.py:14-55)
+    # ------------------------------------------------------------------
+    _REL_RE = re.compile(
+        r"'(last|next)\s+(\d+)\s+(day|week|month|quarter|year)s?'", re.IGNORECASE
+    )
+    _REL_THIS_RE = re.compile(r"'(this|last)\s+(day|week|month|quarter|year)'", re.IGNORECASE)
+
+    def _rewrite_relative_dates(self, conj: str) -> str:
+        m = self._REL_RE.search(conj)
+        if m:
+            direction, n, unit = m.group(1).lower(), int(m.group(2)), m.group(3).lower()
+            lhs = conj[: m.start()].rstrip()
+            op_m = re.search(r"(>=|<=|=|!=|>|<)\s*$", lhs)
+            col = lhs[: op_m.start()].strip() if op_m else lhs
+            if direction == "last":
+                return (
+                    f"{col} >= CURRENT_DATE - INTERVAL '{n}' {unit.upper()}"
+                    f" AND {col} < CURRENT_DATE + INTERVAL '1' DAY"
+                )
+            return (
+                f"{col} >= CURRENT_DATE AND {col} < CURRENT_DATE + INTERVAL '{n}' {unit.upper()}"
+            )
+        m = self._REL_THIS_RE.search(conj)
+        if m:
+            which, unit = m.group(1).lower(), m.group(2).lower()
+            lhs = conj[: m.start()].rstrip()
+            op_m = re.search(r"(>=|<=|=|!=|>|<)\s*$", lhs)
+            col = lhs[: op_m.start()].strip() if op_m else lhs
+            anchor = "CURRENT_DATE" if which == "this" else f"CURRENT_DATE - INTERVAL '1' {unit.upper()}"
+            start = _date_trunc(unit, anchor)
+            return f"{col} >= {start} AND {col} < {start} + INTERVAL '1' {unit.upper()}"
+        return conj
+
+    # ------------------------------------------------------------------
+    # CTE construction (ref sql/generator.py:1987-2458)
+    # ------------------------------------------------------------------
+    def _model_cte(
+        self,
+        r: Resolved,
+        model_name: str,
+        include_pk: bool = False,
+        extra_time: list[tuple[str, str]] | None = None,
+    ) -> tuple[str, str]:
+        """Returns (cte_name, cte_sql)."""
+        model = self.graph.get_model(model_name)
+        cols: dict[str, str] = {}  # alias -> expr
+        for rd in r.dims:
+            if rd.model == model_name:
+                cols[rd.out] = rd.expr
+        for fld in sorted(r.extra_cols.get(model_name, ())):
+            if fld not in cols:
+                dim = model.dimension(fld)
+                cols[fld] = dim.expr if dim else fld
+        for hop in r.hops:
+            if hop.from_model == model_name:
+                for c in hop.fk_side:
+                    cols.setdefault(c, c)
+            if hop.to_model == model_name:
+                for c in hop.pk_side:
+                    cols.setdefault(c, c)
+        if include_pk:
+            for i, c in enumerate(model.pk_list()):
+                cols[f"__pk{i}"] = c
+        for comp_out, comp in r.component_metrics.get(model_name, []):
+            if comp.sql:
+                cols[f"{comp_out}_raw"] = comp.sql
+            elif comp.agg not in (None, "count"):
+                raise QueryCompileError(f"metric {comp.name!r} has no sql expression")
+        if extra_time:
+            for alias, expr in extra_time:
+                cols.setdefault(alias, expr)
+        if not cols:
+            cols["__one"] = "1"
+
+        select = ",\n        ".join(
+            expr if expr == alias else f"{expr} AS {alias}" for alias, expr in cols.items()
+        )
+        where = list(r.pushdown.get(model_name, []))
+        where += [rf for rf in model.row_filters]
+        source = model.table or (f"({model.sql})" if model.sql else None)
+        if source is None:
+            raise QueryCompileError(f"model {model_name!r} has no table/sql binding")
+        sql = f"SELECT\n        {select}\n    FROM {source}"
+        if where:
+            sql += "\n    WHERE " + "\n      AND ".join(f"({w})" for w in where)
+        return f"{model_name}_cte", sql
+
+    def _join_clause(self, r: Resolved) -> str:
+        """FROM base_cte [JOIN ...] (ref sql/generator.py:2922-2969)."""
+        parts = [f"{r.base}_cte"]
+        for hop in r.hops:
+            join_type = "LEFT"
+            if r.pushdown.get(hop.to_model):
+                join_type = "INNER"  # filtered model -> INNER (ref :2549)
+            if hop.rel_type == "cross":
+                parts.append(f"CROSS JOIN {hop.to_model}_cte")
+                continue
+            if hop.custom_sql:
+                cond = hop.custom_sql.replace("{from}", f"{hop.from_model}_cte").replace(
+                    "{to}", f"{hop.to_model}_cte"
+                )
+            else:
+                conds = [
+                    f"{hop.from_model}_cte.{a} = {hop.to_model}_cte.{b}"
+                    for a, b in zip(hop.fk_side, hop.pk_side)
+                ]
+                cond = " AND ".join(conds)
+            parts.append(f"{join_type} JOIN {hop.to_model}_cte ON {cond}")
+        return "\n    ".join(parts)
+
+    # ------------------------------------------------------------------
+    # metric select expressions
+    # ------------------------------------------------------------------
+    def _metric_sql(self, rm: RMetric, value_of, depth: int = 0) -> str:
+        """Aggregate select expression for a metric.
+
+        ``value_of(out_name, metric)`` returns the SQL that references
+        the metric's raw value column in the current scope.
+        """
+        metric = rm.metric
+        if depth > 10:
+            raise QueryCompileError(f"metric recursion too deep at {metric.name!r}")
+        if metric.is_simple or (metric.type in ("cumulative", "time_comparison") and metric.agg):
+            sql = self._simple_agg_sql(rm.model, metric, metric.name, value_of)
+        elif metric.type == "ratio":
+            num_model, num = self._lookup_metric(_qualify(metric.numerator, rm.model))
+            den_model, den = self._lookup_metric(_qualify(metric.denominator, rm.model))
+            num_sql = self._metric_sql(RMetric(num_model, num, num.name), value_of, depth + 1)
+            den_sql = self._metric_sql(RMetric(den_model, den, den.name), value_of, depth + 1)
+            sql = f"({num_sql}) / NULLIF(({den_sql}), 0)"
+        elif metric.type == "derived":
+            sql = metric.expr
+            for name in _identifiers(metric.expr):
+                try:
+                    child_model, child = self._lookup_metric(_qualify(name, rm.model))
+                except QueryCompileError:
+                    continue
+                child_sql = self._metric_sql(RMetric(child_model, child, child.name), value_of, depth + 1)
+                sql = re.sub(rf"\b{re.escape(name)}\b", f"({child_sql})", sql)
+        elif metric.type in ("cumulative", "time_comparison"):
+            base_model, base = self._lookup_metric(_qualify(metric.base_metric, rm.model))
+            return self._metric_sql(RMetric(base_model, base, base.name), value_of, depth + 1)
+        else:
+            raise QueryCompileError(f"metric {metric.name!r}: unsupported in this plan")
+        if metric.fill_nulls_with is not None:
+            sql = f"COALESCE({sql}, {metric.fill_nulls_with})"
+        return sql
+
+    def _simple_agg_sql(self, model_name: str, metric: Metric, out: str, value_of) -> str:
+        value = value_of(out, metric)
+        if metric.filters:
+            cond = " AND ".join(
+                f"({self._rewrite_outer_filter(f)})" for f in metric.filters
+            )
+            if metric.agg == "count" and metric.sql is None:
+                return f"COUNT(CASE WHEN {cond} THEN 1 END)"
+            value = f"CASE WHEN {cond} THEN {value} END"
+            return metric.agg_sql(value)
+        if metric.agg == "count" and metric.sql is None:
+            return "COUNT(*)" if value is None else f"COUNT({value})"
+        return metric.agg_sql(value)
+
+    def _rewrite_outer_filter(self, f: str) -> str:
+        """model.field -> model_cte.field for filters evaluated over the
+        joined scope."""
+        known = set(self.graph.models)
+        return replace_refs(
+            f,
+            known,
+            lambda m, fld, g: (
+                _date_trunc(g, f"{m}_cte.{fld}") if g else f"{m}_cte.{fld}"
+            ),
+        )
+
+    def _rewrite_dedup_filter(self, f: str, r: Resolved) -> str:
+        """model.field -> bare projected column for the dedup scope."""
+        known = set(self.graph.models)
+        return replace_refs(f, known, lambda m, fld, g: (_date_trunc(g, fld) if g else fld))
+
+    # ------------------------------------------------------------------
+    # grouped plan (incl. fan-out dedup)
+    # ------------------------------------------------------------------
+    def _grouped_sql(self, r: Resolved) -> str:
+        fanout = any(h.duplicates_left() for h in r.hops)
+        unsafe = [
+            rm
+            for rm in r.metrics
+            for _, comp in [(None, c) for _o, c in self._expand_components(rm)]
+            if comp.agg in FANOUT_UNSAFE_AGGS
+        ]
+        impossible = [
+            rm
+            for rm in r.metrics
+            for _o, comp in self._expand_components(rm)
+            if comp.agg in FANOUT_IMPOSSIBLE_AGGS
+        ]
+        if fanout and impossible:
+            raise QueryCompileError(
+                f"metric {impossible[0].metric.name!r} ({impossible[0].metric.agg}) cannot be "
+                "decomposed under a fan-out join (reference raises too: core/symmetric_aggregate.py)"
+            )
+        if fanout and unsafe and r.metrics:
+            return self._dedup_grouped_sql(r)
+        return self._plain_grouped_sql(r)
+
+    def _plain_grouped_sql(self, r: Resolved) -> str:
+        ctes = [self._model_cte(r, m) for m in r.models]
+        dim_outs = [rd.out for rd in r.dims]
+
+        def value_of(out: str, metric: Metric):
+            if metric.agg == "count" and metric.sql is None:
+                return None
+            for model_name, comps in r.component_metrics.items():
+                for comp_out, comp in comps:
+                    if comp_out == out or comp.name == metric.name:
+                        return f"{model_name}_cte.{comp_out}_raw"
+            raise QueryCompileError(f"no raw column for metric {metric.name!r}")
+
+        def count_scope(metric: Metric):
+            # COUNT(*) over the joined scope is only correct without joins;
+            # count becomes COUNT of base pk otherwise
+            return None
+
+        select_parts = [f"{r.base}_cte.{o} AS {o}" if False else o for o in []]
+        select_parts = []
+        for rd in r.dims:
+            select_parts.append(f"{rd.model}_cte.{rd.out} AS {rd.out}")
+        for rm in r.metrics:
+            select_parts.append(f"{self._metric_sql(rm, value_of)} AS {rm.out}")
+        if not select_parts:
+            raise QueryCompileError("empty select list")
+        if r.spec.with_totals and dim_outs:
+            select_parts.append(
+                f"CAST(GROUPING({r.dims[0].model}_cte.{dim_outs[0]}) AS BOOLEAN) AS _is_total"
+            )
+
+        sql = "SELECT\n    " + ",\n    ".join(select_parts)
+        sql += "\nFROM " + self._join_clause(r)
+        where = [self._rewrite_outer_filter(f) for f in r.outer_filters]
+        if where:
+            sql += "\nWHERE " + "\n  AND ".join(f"({w})" for w in where)
+        if dim_outs and not r.spec.ungrouped:
+            group_cols = [f"{rd.model}_cte.{rd.out}" for rd in r.dims]
+            if r.spec.with_totals:
+                sql += "\nGROUP BY GROUPING SETS ((" + ", ".join(group_cols) + "), ())"
+            else:
+                sql += "\nGROUP BY " + ", ".join(group_cols)
+        if r.having:
+            having = [
+                self._rewrite_having(h, r, value_of) for h in r.having
+            ]
+            sql += "\nHAVING " + "\n  AND ".join(f"({h})" for h in having)
+        sql += self._order_limit(r)
+        return self._assemble(r, ctes, sql, plan="grouped")
+
+    def _dedup_grouped_sql(self, r: Resolved) -> str:
+        """Entity-grain fan-out-safe plan: join -> DISTINCT over
+        (base pk, dims, raw values) -> aggregate.  Spark-idiomatic
+        replacement for symmetric aggregates (ref
+        core/symmetric_aggregate.py:20, sql/generator.py:3056)."""
+        if r.spec.ungrouped:
+            raise QueryCompileError("ungrouped queries cannot be fan-out corrected")
+        ctes = [
+            self._model_cte(r, m, include_pk=(m == r.base)) for m in r.models
+        ]
+        base_model = self.graph.get_model(r.base)
+        pk_cols = [f"__pk{i}" for i in range(len(base_model.pk_list()))]
+
+        proj = [f"{r.base}_cte.{c} AS {c}" for c in pk_cols]
+        for rd in r.dims:
+            proj.append(f"{rd.model}_cte.{rd.out} AS {rd.out}")
+        raw_cols = []
+        for comp_out, comp in r.component_metrics.get(r.base, []):
+            if comp.sql:
+                proj.append(f"{r.base}_cte.{comp_out}_raw AS {comp_out}_raw")
+                raw_cols.append(f"{comp_out}_raw")
+        filter_cols = set()
+        for rm in r.metrics:
+            for _o, comp in self._expand_components(rm):
+                for flt in comp.filters:
+                    for m, fld, _g in find_refs(flt, set(self.graph.models)):
+                        if m == r.base:
+                            proj.append(f"{r.base}_cte.{fld} AS {fld}")
+                            filter_cols.add(fld)
+                        else:
+                            raise QueryCompileError(
+                                "metric filters on non-base models are not supported "
+                                "under fan-out dedup"
+                            )
+
+        joined = "SELECT\n        " + ",\n        ".join(dict.fromkeys(proj))
+        joined += "\n    FROM " + self._join_clause(r)
+        where = [self._rewrite_outer_filter(f) for f in r.outer_filters]
+        if where:
+            joined += "\n    WHERE " + "\n      AND ".join(f"({w})" for w in where)
+
+        dedup = "SELECT DISTINCT * FROM __joined"
+
+        def value_of(out: str, metric: Metric):
+            if metric.agg == "count" and metric.sql is None:
+                return None
+            for model_name, comps in r.component_metrics.items():
+                for comp_out, comp in comps:
+                    if comp_out == out or comp.name == metric.name:
+                        return f"{comp_out}_raw"
+            raise QueryCompileError(f"no raw column for metric {metric.name!r}")
+
+        dim_outs = [rd.out for rd in r.dims]
+        select_parts = list(dim_outs)
+        for rm in r.metrics:
+            expr = self._metric_sql_dedup(rm, value_of, r)
+            select_parts.append(f"{expr} AS {rm.out}")
+        final = "SELECT\n    " + ",\n    ".join(select_parts)
+        final += "\nFROM __dedup"
+        if dim_outs:
+            if r.spec.with_totals:
+                final += "\nGROUP BY GROUPING SETS ((" + ", ".join(dim_outs) + "), ())"
+            else:
+                final += "\nGROUP BY " + ", ".join(dim_outs)
+        if r.having:
+            having = [self._rewrite_having(h, r, value_of, dedup_scope=True) for h in r.having]
+            final += "\nHAVING " + "\n  AND ".join(f"({h})" for h in having)
+        final += self._order_limit(r)
+        extra = [("__joined", joined), ("__dedup", dedup)]
+        return self._assemble(r, ctes, final, plan="grouped-dedup", extra_ctes=extra)
+
+    def _metric_sql_dedup(self, rm: RMetric, value_of, r: Resolved, depth: int = 0) -> str:
+        metric = rm.metric
+        if metric.is_simple:
+            value = value_of(metric.name, metric)
+            if metric.filters:
+                cond = " AND ".join(f"({self._rewrite_dedup_filter(f, r)})" for f in metric.filters)
+                if metric.agg == "count" and metric.sql is None:
+                    return f"COUNT(CASE WHEN {cond} THEN 1 END)"
+                return metric.agg_sql(f"CASE WHEN {cond} THEN {value} END")
+            if metric.agg == "count" and metric.sql is None:
+                return "COUNT(*)"
+            sql = metric.agg_sql(value)
+            if metric.fill_nulls_with is not None:
+                sql = f"COALESCE({sql}, {metric.fill_nulls_with})"
+            return sql
+        if metric.type == "ratio":
+            num_model, num = self._lookup_metric(_qualify(metric.numerator, rm.model))
+            den_model, den = self._lookup_metric(_qualify(metric.denominator, rm.model))
+            num_sql = self._metric_sql_dedup(RMetric(num_model, num, num.name), value_of, r, depth + 1)
+            den_sql = self._metric_sql_dedup(RMetric(den_model, den, den.name), value_of, r, depth + 1)
+            return f"({num_sql}) / NULLIF(({den_sql}), 0)"
+        if metric.type == "derived":
+            sql = metric.expr
+            for name in _identifiers(metric.expr):
+                try:
+                    child_model, child = self._lookup_metric(_qualify(name, rm.model))
+                except QueryCompileError:
+                    continue
+                child_sql = self._metric_sql_dedup(
+                    RMetric(child_model, child, child.name), value_of, r, depth + 1
+                )
+                sql = re.sub(rf"\b{re.escape(name)}\b", f"({child_sql})", sql)
+            return sql
+        raise QueryCompileError(f"metric {metric.name!r}: unsupported under fan-out dedup")
+
+    def _rewrite_having(self, h: str, r: Resolved, value_of, dedup_scope: bool = False) -> str:
+        """Replace model.metric references with full aggregate exprs."""
+        known = set(self.graph.models)
+
+        def sub(m: str, fld: str, g: str | None) -> str:
+            model = self.graph.get_model(m)
+            metric = model.metric(fld)
+            if metric is not None:
+                rm = RMetric(m, metric, fld)
+                if dedup_scope:
+                    return f"({self._metric_sql_dedup(rm, value_of, r)})"
+                return f"({self._metric_sql(rm, value_of)})"
+            if dedup_scope:
+                return _date_trunc(g, fld) if g else fld
+            return _date_trunc(g, f"{m}_cte.{fld}") if g else f"{m}_cte.{fld}"
+
+        return replace_refs(h, known, sub)
+
+    # ------------------------------------------------------------------
+    # multi-fact split (ref sql/generator.py:2586-2921)
+    # ------------------------------------------------------------------
+    def _multifact_sql(self, r: Resolved, metric_models: list[str]) -> str:
+        dim_refs = [
+            (f"{rd.model}.{rd.name}" + (f"__{rd.grain}" if rd.grain else "")) + f" AS {rd.out}"
+            for rd in r.dims
+        ]
+        known = set(self.graph.models)
+        fact_sqls: list[tuple[str, str]] = []
+        for fm in metric_models:
+            fact_metrics = [
+                (f"{rm.model}.{rm.metric.name} AS {rm.out}")
+                for rm in r.metrics
+                if rm.model == fm
+            ]
+            fact_filters = [
+                f
+                for f in r.spec.filters
+                if all(
+                    m in self._reachable_from(fm) for m, _f, _g in find_refs(f, known)
+                )
+            ]
+            sub = QuerySpec(
+                metrics=fact_metrics,
+                dimensions=dim_refs,
+                filters=fact_filters,
+            )
+            fact_sqls.append((f"__fact_{fm}", self._generate(sub)))
+
+        dim_outs = [rd.out for rd in r.dims]
+        first = fact_sqls[0][0]
+        select = []
+        for o in dim_outs:
+            if len(fact_sqls) > 1:
+                select.append(f"COALESCE({', '.join(f'{n}.{o}' for n, _ in fact_sqls)}) AS {o}")
+            else:
+                select.append(f"{first}.{o} AS {o}")
+        for rm in r.metrics:
+            select.append(f"__fact_{rm.model}.{rm.out} AS {rm.out}")
+        sql = "SELECT\n    " + ",\n    ".join(select)
+        sql += f"\nFROM {first}"
+        for name, _ in fact_sqls[1:]:
+            if dim_outs:
+                cond = " AND ".join(
+                    f"{first}.{o} <=> {name}.{o}" for o in dim_outs
+                )
+                sql += f"\nFULL OUTER JOIN {name} ON {cond}"
+            else:
+                sql += f"\nCROSS JOIN {name}"
+        if r.having:
+            havings = []
+            for h in r.having:
+                havings.append(
+                    replace_refs(
+                        h,
+                        known,
+                        lambda m, fld, g: next(
+                            (rm.out for rm in r.metrics if rm.model == m and rm.metric.name == fld),
+                            f"{m}.{fld}",
+                        ),
+                    )
+                )
+            sql = f"SELECT * FROM (\n{sql}\n)\nWHERE " + " AND ".join(f"({h})" for h in havings)
+        sql += self._order_limit(r)
+        ctes = [(n, s) for n, s in fact_sqls]
+        header = self._instrumentation(r, "multifact")
+        with_clause = ",\n".join(f"{n} AS (\n{s}\n)" for n, s in ctes)
+        return f"{header}\nWITH {with_clause}\n{sql}"
+
+    def _reachable_from(self, model_name: str) -> set[str]:
+        adj = self.graph.adjacency()
+        seen = {model_name}
+        stack = [model_name]
+        while stack:
+            node = stack.pop()
+            for hop in adj.get(node, []):
+                if hop.to_model not in seen:
+                    seen.add(hop.to_model)
+                    stack.append(hop.to_model)
+        return seen
+
+    # ------------------------------------------------------------------
+    # window-metric pipeline (ref sql/generator.py:5701-6482)
+    # ------------------------------------------------------------------
+    def _window_sql(self, r: Resolved, window_metrics: list[RMetric]) -> str:
+        time_dims = [rd for rd in r.dims if rd.grain or self._is_time_dim(rd)]
+        if not time_dims:
+            raise QueryCompileError("window metrics require a time dimension in the query")
+        time_dim = time_dims[-1]  # finest listed time dim
+        other_outs = [rd.out for rd in r.dims if rd.out != time_dim.out]
+
+        # inner spec: every window metric replaced by its base simple agg
+        inner_metric_refs: list[str] = []
+        seen_inner: set[str] = set()
+        inner_name_of: dict[str, str] = {}
+        for rm in r.metrics:
+            if rm.metric.type in ("cumulative", "time_comparison"):
+                base_ref = _qualify(
+                    rm.metric.base_metric, rm.model
+                ) if rm.metric.base_metric else None
+                if base_ref is None:
+                    raise QueryCompileError(
+                        f"{rm.metric.type} metric {rm.metric.name!r} needs base_metric"
+                    )
+                base_out = base_ref.split(".", 1)[1]
+                inner_name_of[rm.out] = base_out
+                if base_ref not in seen_inner:
+                    seen_inner.add(base_ref)
+                    inner_metric_refs.append(f"{base_ref} AS {base_out}")
+            else:
+                inner_name_of[rm.out] = rm.out
+                ref = f"{rm.model}.{rm.metric.name} AS {rm.out}"
+                if ref not in seen_inner:
+                    seen_inner.add(ref)
+                    inner_metric_refs.append(ref)
+
+        inner_dim_refs = [
+            f"{rd.model}.{rd.name}" + (f"__{rd.grain}" if rd.grain else "") + f" AS {rd.out}"
+            for rd in r.dims
+        ]
+        inner_spec = QuerySpec(
+            metrics=inner_metric_refs,
+            dimensions=inner_dim_refs,
+            filters=list(r.spec.filters),
+        )
+        inner_sql = self._generate(inner_spec)
+
+        part = ", ".join(other_outs)
+        part_clause = f"PARTITION BY {part} " if part else ""
+        t = time_dim.out
+
+        # comparison offsets -> extra self-joins on shifted time
+        offsets: dict[str, str] = {}
+        for rm in r.metrics:
+            if rm.metric.type == "time_comparison":
+                offsets[rm.out] = _comparison_interval(rm.metric, time_dim.grain)
+
+        select = [f"i.{rd.out} AS {rd.out}" for rd in r.dims]
+        for rm in r.metrics:
+            m = rm.metric
+            base_col = f"i.{inner_name_of[rm.out]}"
+            if m.type == "cumulative":
+                if m.window:
+                    frame = (
+                        f"RANGE BETWEEN {interval_sql(m.window)} PRECEDING AND CURRENT ROW"
+                    )
+                elif m.grain_to_date:
+                    part2 = ", ".join(
+                        ([part] if part else []) + [_date_trunc(m.grain_to_date, f"i.{t}")]
+                    )
+                    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                    select.append(
+                        f"SUM({base_col}) OVER (PARTITION BY {part2} ORDER BY i.{t} {frame}) AS {rm.out}"
+                    )
+                    continue
+                else:
+                    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                select.append(
+                    f"SUM({base_col}) OVER ({part_clause}ORDER BY i.{t} {frame}) AS {rm.out}"
+                )
+            elif m.type == "time_comparison":
+                alias = f"p_{rm.out}"
+                prior = f"{alias}.{inner_name_of[rm.out]}"
+                calc = m.calculation
+                if calc == "difference":
+                    expr = f"{base_col} - {prior}"
+                elif calc == "ratio":
+                    expr = f"{base_col} / NULLIF({prior}, 0)"
+                elif calc == "prior":
+                    expr = prior
+                else:  # percent_change
+                    expr = f"({base_col} - {prior}) / NULLIF({prior}, 0)"
+                select.append(f"{expr} AS {rm.out}")
+            else:
+                select.append(f"{base_col} AS {rm.out}")
+
+        sql = "SELECT\n    " + ",\n    ".join(select) + "\nFROM __inner i"
+        for out, off in offsets.items():
+            alias = f"p_{out}"
+            conds = [f"{alias}.{t} = i.{t} - {off}"]
+            conds += [f"{alias}.{o} <=> i.{o}" for o in other_outs]
+            sql += f"\nLEFT JOIN __inner {alias} ON " + " AND ".join(conds)
+        if r.having:
+            raise QueryCompileError("HAVING on window metrics not yet supported")
+        sql += self._order_limit(r)
+        header = self._instrumentation(r, "window")
+        return f"{header}\nWITH __inner AS (\n{inner_sql}\n)\n{sql}"
+
+    def _is_time_dim(self, rd: RDim) -> bool:
+        dim = self.graph.get_model(rd.model).dimension(rd.name)
+        return dim is not None and dim.type == "time"
+
+    # ------------------------------------------------------------------
+    # conversion funnel (2-step) (ref sql/generator.py:5210-5419)
+    # ------------------------------------------------------------------
+    def _conversion_sql(self, r: Resolved, rm: RMetric) -> str:
+        m = rm.metric
+        model = self.graph.get_model(rm.model)
+        if not (m.entity and m.base_event and m.conversion_event):
+            raise QueryCompileError(
+                f"conversion metric {m.name!r} needs entity/base_event/conversion_event"
+            )
+        tdim_name = m.non_additive_dimension or model.default_time_dimension
+        if tdim_name is None:
+            raise QueryCompileError(f"model {rm.model!r} needs default_time_dimension")
+        tdim = model.dimension(tdim_name)
+        ts = tdim.expr if tdim else tdim_name
+        entity_dim = model.dimension(m.entity)
+        entity = entity_dim.expr if entity_dim else m.entity
+        window = interval_sql(m.conversion_window) if m.conversion_window else None
+
+        cte_name, cte_sql = self._model_cte(
+            r, rm.model, extra_time=[("__ts", ts), ("__entity", entity)]
+        )
+        dims_sel = ", ".join(f"b.{rd.out} AS {rd.out}" for rd in r.dims)
+        dims_group = ", ".join(f"b.{rd.out}" for rd in r.dims)
+        base_where = self._rewrite_event_filter(m.base_event, rm.model)
+        conv_where = self._rewrite_event_filter(m.conversion_event, rm.model)
+
+        window_cond = f" AND c.__ts <= b.__ts + {window}" if window else ""
+        dim_cols = (", " + ", ".join(rd.out for rd in r.dims)) if r.dims else ""
+        sel_dims = (dims_sel + ",\n    ") if r.dims else ""
+        group = f"\nGROUP BY {dims_group}" if r.dims else ""
+
+        sql = f"""{self._instrumentation(r, 'conversion')}
+WITH {cte_name} AS (
+    {cte_sql}
+),
+__base AS (
+    SELECT __entity, __ts{dim_cols} FROM {cte_name} WHERE {base_where}
+),
+__conv AS (
+    SELECT __entity, __ts FROM {cte_name} WHERE {conv_where}
+),
+__flags AS (
+    SELECT
+        b.__entity{(', ' + ', '.join('b.' + rd.out for rd in r.dims)) if r.dims else ''},
+        MAX(CASE WHEN c.__entity IS NOT NULL THEN 1 ELSE 0 END) AS __converted
+    FROM __base b
+    LEFT JOIN __conv c
+      ON c.__entity = b.__entity AND c.__ts >= b.__ts{window_cond}
+    GROUP BY b.__entity{(', ' + ', '.join('b.' + rd.out for rd in r.dims)) if r.dims else ''}
+)
+SELECT
+    {(', '.join(rd.out for rd in r.dims) + ',') if r.dims else ''}
+    COUNT(*) AS {rm.out}_base,
+    SUM(__converted) AS {rm.out}_converted,
+    SUM(__converted) / COUNT(*) AS {rm.out}
+FROM __flags"""
+        if r.dims:
+            sql += "\nGROUP BY " + ", ".join(rd.out for rd in r.dims)
+        sql += self._order_limit(r)
+        return sql
+
+    def _rewrite_event_filter(self, f: str, model_name: str) -> str:
+        known = set(self.graph.models)
+        out = replace_refs(f, known, lambda m, fld, g: (_date_trunc(g, fld) if g else fld))
+        return out
+
+    # ------------------------------------------------------------------
+    # retention (ref sql/generator.py:4998-5209)
+    # ------------------------------------------------------------------
+    def _retention_sql(self, r: Resolved, rm: RMetric) -> str:
+        m = rm.metric
+        model = self.graph.get_model(rm.model)
+        tdim_name = model.default_time_dimension
+        if not (m.entity and m.base_event and tdim_name):
+            raise QueryCompileError(
+                f"retention metric {m.name!r} needs entity/base_event and model default_time_dimension"
+            )
+        tdim = model.dimension(tdim_name)
+        ts = tdim.expr if tdim else tdim_name
+        entity_dim = model.dimension(m.entity)
+        entity = entity_dim.expr if entity_dim else m.entity
+        grain = m.retention_granularity
+        cte_name, cte_sql = self._model_cte(
+            r, rm.model, extra_time=[("__ts", ts), ("__entity", entity)]
+        )
+        cohort_where = self._rewrite_event_filter(m.base_event, rm.model)
+        period_expr = _period_diff(grain, "c.__cohort", "a.__period")
+
+        sql = f"""{self._instrumentation(r, 'retention')}
+WITH {cte_name} AS (
+    {cte_sql}
+),
+__cohorts AS (
+    SELECT __entity, {_date_trunc(grain, 'MIN(__ts)')} AS __cohort
+    FROM {cte_name} WHERE {cohort_where}
+    GROUP BY __entity
+),
+__activity AS (
+    SELECT DISTINCT __entity, {_date_trunc(grain, '__ts')} AS __period
+    FROM {cte_name}
+),
+__sizes AS (
+    SELECT __cohort, COUNT(*) AS __cohort_size FROM __cohorts GROUP BY __cohort
+),
+__ret AS (
+    SELECT c.__cohort, {period_expr} AS period_number, a.__entity
+    FROM __cohorts c
+    JOIN __activity a ON a.__entity = c.__entity
+    WHERE a.__period >= c.__cohort AND {period_expr} < {m.retention_periods}
+)
+SELECT
+    r.__cohort AS cohort,
+    r.period_number AS period_number,
+    COUNT(DISTINCT r.__entity) AS active_entities,
+    s.__cohort_size AS cohort_size,
+    COUNT(DISTINCT r.__entity) / s.__cohort_size AS {rm.out}
+FROM __ret r
+JOIN __sizes s ON s.__cohort = r.__cohort
+GROUP BY r.__cohort, r.period_number, s.__cohort_size"""
+        sql += self._order_limit(r)
+        return sql
+
+    # ------------------------------------------------------------------
+    # cohort metric (ref sql/generator.py:4694-4997)
+    # ------------------------------------------------------------------
+    def _cohort_sql(self, r: Resolved, rm: RMetric) -> str:
+        m = rm.metric
+        model = self.graph.get_model(rm.model)
+        if not (m.entity and m.sql and m.agg and m.cohort_aggregation):
+            raise QueryCompileError(
+                f"cohort metric {m.name!r} needs entity, sql, agg (inner) and cohort_aggregation (outer)"
+            )
+        entity_dim = model.dimension(m.entity)
+        entity = entity_dim.expr if entity_dim else m.entity
+        cte_name, cte_sql = self._model_cte(
+            r, rm.model, extra_time=[("__entity", entity), ("__val", m.sql)]
+        )
+        dim_cols = [rd.out for rd in r.dims]
+        inner_group = ["__entity"] + dim_cols
+        inner = Metric(name="inner", agg=m.agg, sql="__val")
+        inner_agg = inner.agg_sql("__val")
+        having = ""
+        if m.having:
+            having = "\n    HAVING " + self._rewrite_cohort_having(m.having, inner_agg)
+        outer = Metric(name="outer", agg=m.cohort_aggregation, sql="__entity_value")
+        outer_agg = outer.agg_sql("__entity_value")
+        sel = (", ".join(dim_cols) + ",\n    ") if dim_cols else ""
+        sql = f"""{self._instrumentation(r, 'cohort')}
+WITH {cte_name} AS (
+    {cte_sql}
+),
+__per_entity AS (
+    SELECT {', '.join(inner_group)}, {inner_agg} AS __entity_value
+    FROM {cte_name}
+    GROUP BY {', '.join(inner_group)}{having}
+)
+SELECT
+    {sel}{outer_agg} AS {rm.out}
+FROM __per_entity"""
+        if dim_cols:
+            sql += "\nGROUP BY " + ", ".join(dim_cols)
+        sql += self._order_limit(r)
+        return sql
+
+    def _rewrite_cohort_having(self, having: str, inner_agg: str) -> str:
+        # bare "value" token refers to the inner aggregation
+        return re.sub(r"\bvalue\b", inner_agg, having)
+
+    # ------------------------------------------------------------------
+    # semi-additive (ref sql/generator.py:147-274, :3391-3629)
+    # ------------------------------------------------------------------
+    def _semi_additive_sql(self, r: Resolved) -> str:
+        sa = [rm for rm in r.metrics if rm.metric.non_additive_dimension]
+        if any(h.duplicates_left() for h in r.hops):
+            raise QueryCompileError(
+                "semi-additive metrics cannot be combined with fan-out joins "
+                "(reference refuses too: sql/generator.py:219-247)"
+            )
+        rm = sa[0]
+        m = rm.metric
+        model = self.graph.get_model(rm.model)
+        nad = model.dimension(m.non_additive_dimension)
+        nad_expr = nad.expr if nad else m.non_additive_dimension
+        groupings = list(m.non_additive_window_groupings)
+        extra = [("__nad", nad_expr)]
+        for i, g in enumerate(groupings):
+            gd = model.dimension(g)
+            extra.append((f"__grp{i}", gd.expr if gd else g))
+        ctes = []
+        for name in r.models:
+            if name == rm.model:
+                ctes.append(self._model_cte(r, name, extra_time=extra))
+            else:
+                ctes.append(self._model_cte(r, name))
+
+        dim_outs = [rd.out for rd in r.dims]
+        part_cols = [f"__grp{i}" for i in range(len(groupings))] + dim_outs
+        part = ", ".join(part_cols) if part_cols else "1"
+        fn = "MAX" if m.non_additive_window == "max" else "MIN"
+
+        proj = [f"{rd.model}_cte.{rd.out} AS {rd.out}" for rd in r.dims]
+        proj += [f"{rm.model}_cte.__nad AS __nad"]
+        proj += [f"{rm.model}_cte.__grp{i} AS __grp{i}" for i in range(len(groupings))]
+        for comp_out, comp in r.component_metrics.get(rm.model, []):
+            if comp.sql:
+                proj.append(f"{rm.model}_cte.{comp_out}_raw AS {comp_out}_raw")
+        joined = "SELECT\n        " + ",\n        ".join(dict.fromkeys(proj))
+        joined += "\n    FROM " + self._join_clause(r)
+        where = [self._rewrite_outer_filter(f) for f in r.outer_filters]
+        if where:
+            joined += "\n    WHERE " + "\n      AND ".join(f"({w})" for w in where)
+
+        marked = (
+            f"SELECT *, {fn}(__nad) OVER (PARTITION BY {part}) AS __marker FROM __joined"
+        )
+
+        def value_of(out: str, metric: Metric):
+            return f"{out}_raw"
+
+        select_parts = list(dim_outs)
+        for rmx in r.metrics:
+            mm = rmx.metric
+            value = f"{mm.name}_raw" if mm.sql else None
+            agg_sql = mm.agg_sql(value) if value else "COUNT(*)"
+            select_parts.append(f"{agg_sql} AS {rmx.out}")
+        final = "SELECT\n    " + ",\n    ".join(select_parts)
+        final += "\nFROM __marked\nWHERE __nad = __marker"
+        if dim_outs:
+            final += "\nGROUP BY " + ", ".join(dim_outs)
+        final += self._order_limit(r)
+        extra_ctes = [("__joined", joined), ("__marked", marked)]
+        return self._assemble(r, ctes, final, plan="semi-additive", extra_ctes=extra_ctes)
+
+    # ------------------------------------------------------------------
+    # shared tail + assembly
+    # ------------------------------------------------------------------
+    def _order_limit(self, r: Resolved) -> str:
+        sql = ""
+        if r.spec.order_by:
+            parts = []
+            for ob in r.spec.order_by:
+                direction = ""
+                m = _DESC_RE.match(ob.strip())
+                body = ob.strip()
+                if m:
+                    body, direction = m.group(1).strip(), " " + m.group(2).upper()
+                out = self._order_target(body, r)
+                parts.append(out + direction)
+            sql += "\nORDER BY " + ", ".join(parts)
+        if r.spec.limit is not None:
+            sql += f"\nLIMIT {int(r.spec.limit)}"
+        if r.spec.offset is not None:
+            sql += f"\nOFFSET {int(r.spec.offset)}"
+        return sql
+
+    def _order_target(self, body: str, r: Resolved) -> str:
+        for rd in r.dims:
+            if body == rd.out or body == f"{rd.model}.{rd.name}" or (
+                rd.grain and body == f"{rd.model}.{rd.name}__{rd.grain}"
+            ):
+                return rd.out
+        for rm in r.metrics:
+            if body == rm.out or body == f"{rm.model}.{rm.metric.name}":
+                return rm.out
+        return body
+
+    def _instrumentation(self, r: Resolved, plan: str) -> str:
+        models = ",".join(r.models)
+        return f"-- sidemantic_spark models={models} plan={plan}"
+
+    def _assemble(
+        self,
+        r: Resolved,
+        ctes: list[tuple[str, str]],
+        main: str,
+        plan: str,
+        extra_ctes: list[tuple[str, str]] | None = None,
+    ) -> str:
+        header = self._instrumentation(r, plan)
+        all_ctes = list(ctes) + list(extra_ctes or [])
+        with_clause = ",\n".join(f"{name} AS (\n    {sql}\n)" for name, sql in all_ctes)
+        return f"{header}\nWITH {with_clause}\n{main}"
+
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+
+def _date_trunc(grain: str, expr: str) -> str:
+    return f"DATE_TRUNC('{grain}', {expr})"
+
+
+def _needs_parens(expr: str) -> bool:
+    return bool(re.search(r"[\s+\-*/]", expr))
+
+
+def _split_alias(ref: str) -> tuple[str, str | None]:
+    m = _AS_RE.match(ref.strip())
+    if m:
+        return m.group(1).strip(), m.group(2)
+    return ref.strip(), None
+
+
+def _qualify(name: str | None, default_model: str) -> str:
+    if name is None:
+        raise QueryCompileError("missing metric reference")
+    return name if "." in name else f"{default_model}.{name}"
+
+
+_IDENT_RE = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?\b")
+_SQL_KEYWORDS = {
+    "case", "when", "then", "else", "end", "and", "or", "not", "null", "nullif",
+    "coalesce", "cast", "as", "double", "bigint", "int", "float", "decimal",
+    "true", "false", "abs", "round", "greatest", "least",
+}
+
+
+def _identifiers(expr: str) -> list[str]:
+    out = []
+    for m in _IDENT_RE.finditer(expr):
+        tok = m.group(0)
+        if tok.lower() in _SQL_KEYWORDS:
+            continue
+        out.append(tok)
+    return list(dict.fromkeys(out))
+
+
+def _comparison_interval(metric: Metric, grain: str | None) -> str:
+    ct = (metric.comparison_type or "prior_period").lower()
+    mapping = {
+        "yoy": "INTERVAL '1' YEAR",
+        "qoq": "INTERVAL '3' MONTH",
+        "mom": "INTERVAL '1' MONTH",
+        "wow": "INTERVAL '7' DAY",
+        "dod": "INTERVAL '1' DAY",
+    }
+    if ct in mapping:
+        return mapping[ct]
+    if ct == "prior_period":
+        g = grain or "day"
+        per_grain = {
+            "day": "INTERVAL '1' DAY",
+            "week": "INTERVAL '7' DAY",
+            "month": "INTERVAL '1' MONTH",
+            "quarter": "INTERVAL '3' MONTH",
+            "year": "INTERVAL '1' YEAR",
+        }
+        if g not in per_grain:
+            raise QueryCompileError(f"prior_period unsupported for grain {g!r}")
+        return per_grain[g]
+    raise QueryCompileError(f"unknown comparison_type {ct!r}")
+
+
+def _period_diff(grain: str, start: str, end: str) -> str:
+    """Whole periods between two already-truncated timestamps; emitted in
+    arithmetic portable enough that we can mirror it in the DuckDB
+    oracle."""
+    if grain == "day":
+        return f"DATEDIFF(DAY, {start}, {end})"
+    if grain == "week":
+        return f"CAST(FLOOR(DATEDIFF(DAY, {start}, {end}) / 7) AS INT)"
+    if grain == "month":
+        return f"(YEAR({end}) - YEAR({start})) * 12 + (MONTH({end}) - MONTH({start}))"
+    if grain == "year":
+        return f"YEAR({end}) - YEAR({start})"
+    raise QueryCompileError(f"retention granularity {grain!r} unsupported")

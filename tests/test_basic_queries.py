@@ -1,0 +1,227 @@
+"""Core grouped-query compiler vs DuckDB oracle.
+
+Mirrors the reference's unit-test pattern (tiny deterministic tables ->
+compile -> execute -> assert rows, e.g. sidemantic
+``tests/queries/test_basic.py``) with the driver's sf0.001 parquet as
+seed and DuckDB as the oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sidemantic_spark.models.tpch import build_layer
+from tests.conftest import assert_df_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def layer(spark, sf_dir):
+    return build_layer(spark, sf_dir)
+
+
+def test_basic_grouped(layer, duck):
+    df = layer.query(metrics=["orders.revenue", "orders.order_count"], dimensions=["orders.status"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status, SUM(o_totalprice) AS revenue, COUNT(*) AS order_count
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_time_grain(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT DATE_TRUNC('month', o_orderdate) AS order_month, SUM(o_totalprice) AS revenue
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_filter_pushdown(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.priority"],
+        filters=["orders.status = 'F'", "orders.order_date__year >= TIMESTAMP '1996-01-01'"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderpriority AS priority, SUM(o_totalprice) AS revenue
+        FROM orders
+        WHERE o_orderstatus = 'F' AND DATE_TRUNC('year', o_orderdate) >= TIMESTAMP '1996-01-01'
+        GROUP BY 1
+        """,
+    )
+    sql = layer.compile(
+        metrics=["orders.revenue"],
+        dimensions=["orders.priority"],
+        filters=["orders.status = 'F'"],
+    )
+    # filter must be pushed inside the model CTE, not the outer query
+    assert "WHERE (o_orderstatus = 'F')" in sql
+
+
+def test_metric_level_filter(layer, duck):
+    df = layer.query(
+        metrics=["orders.open_revenue", "orders.revenue"],
+        dimensions=["orders.priority"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderpriority AS priority,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS open_revenue,
+               SUM(o_totalprice) AS revenue
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_ratio_metric(layer, duck):
+    df = layer.query(metrics=["orders.aov_ratio"], dimensions=["orders.status"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               SUM(o_totalprice) / NULLIF(COUNT(*), 0) AS aov_ratio
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_derived_metric(layer, duck):
+    df = layer.query(metrics=["orders.open_share"], dimensions=["orders.status"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) / SUM(o_totalprice) AS open_share
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_having(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.priority"],
+        filters=["orders.revenue > 1000000"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderpriority AS priority, SUM(o_totalprice) AS revenue
+        FROM orders GROUP BY 1 HAVING SUM(o_totalprice) > 1000000
+        """,
+    )
+
+
+def test_order_limit(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.priority"],
+        order_by=["revenue desc", "priority"],
+        limit=3,
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderpriority AS priority, SUM(o_totalprice) AS revenue
+        FROM orders GROUP BY 1 ORDER BY revenue DESC, priority LIMIT 3
+        """,
+    )
+
+
+def test_ungrouped(layer, duck):
+    df = layer.query(
+        dimensions=["orders.status", "orders.priority"],
+        filters=["orders.status = 'P'"],
+        ungrouped=True,
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority
+        FROM orders WHERE o_orderstatus = 'P'
+        """,
+    )
+
+
+def test_with_totals(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.status"],
+        with_totals=True,
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status, SUM(o_totalprice) AS revenue,
+               CAST(GROUPING(o_orderstatus) AS BOOLEAN) AS _is_total
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())
+        """,
+    )
+
+
+def test_segment_and_parameters(layer, duck):
+    # add a segment on the fly
+    from sidemantic_spark.core.model import Segment
+
+    orders = layer.graph.get_model("orders")
+    if orders.segment("open_orders") is None:
+        orders.segments.append(Segment(name="open_orders", sql="{model}.status = 'O'"))
+        orders._segments["open_orders"] = orders.segments[-1]
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.priority"],
+        segments=["orders.open_orders"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderpriority AS priority, SUM(o_totalprice) AS revenue
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+        """,
+    )
+
+
+def test_count_distinct_and_minmax(layer, duck):
+    df = layer.query(
+        metrics=[
+            "orders.customer_count",
+            "orders.max_order_value",
+            "orders.min_order_value",
+            "orders.avg_order_value",
+        ],
+        dimensions=["orders.status"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               COUNT(DISTINCT o_custkey) AS customer_count,
+               MAX(o_totalprice) AS max_order_value,
+               MIN(o_totalprice) AS min_order_value,
+               AVG(o_totalprice) AS avg_order_value
+        FROM orders GROUP BY 1
+        """,
+    )
