@@ -122,8 +122,10 @@ class SemanticGraph:
                 )
                 adj[model.name].append(fwd)
                 adj[rel.name].append(rev)
-        for hops in adj.values():
-            hops.sort(key=lambda h: (h.to_model, h.rel_type))
+        # reciprocal declarations on both models produce identical hops;
+        # collapse them so they don't read as ambiguous paths
+        for name, hops in adj.items():
+            adj[name] = sorted(set(hops), key=lambda h: (h.to_model, h.rel_type))
         self._adjacency = adj
         return adj
 

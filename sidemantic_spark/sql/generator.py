@@ -1005,6 +1005,9 @@ class SqlGenerator:
         entity = entity_dim.expr if entity_dim else m.entity
         window = interval_sql(m.conversion_window) if m.conversion_window else None
 
+        for f in (m.base_event, m.conversion_event):
+            for mo, fld, _g in find_refs(f, set(self.graph.models)):
+                r.extra_cols.setdefault(mo, set()).add(fld)
         cte_name, cte_sql = self._model_cte(
             r, rm.model, extra_time=[("__ts", ts), ("__entity", entity)]
         )
@@ -1069,6 +1072,8 @@ FROM __flags"""
         entity_dim = model.dimension(m.entity)
         entity = entity_dim.expr if entity_dim else m.entity
         grain = m.retention_granularity
+        for mo, fld, _g in find_refs(m.base_event, set(self.graph.models)):
+            r.extra_cols.setdefault(mo, set()).add(fld)
         cte_name, cte_sql = self._model_cte(
             r, rm.model, extra_time=[("__ts", ts), ("__entity", entity)]
         )

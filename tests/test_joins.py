@@ -1,0 +1,191 @@
+"""Join graph correctness: multi-hop, fan-out safety, multi-fact split.
+
+Mirrors sidemantic ``tests/joins/`` + ``tests/metrics/test_symmetric_aggs.py``
+semantics on the TPC-H star (lineitem >- orders >- customer >- nation >-
+region).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sidemantic_spark.models.tpch import build_layer
+from tests.conftest import assert_df_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def layer(spark, sf_dir):
+    return build_layer(spark, sf_dir)
+
+
+def test_many_to_one_join(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["customer.mktsegment"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT c.c_mktsegment AS mktsegment, SUM(o.o_totalprice) AS revenue
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        """,
+    )
+
+
+def test_multi_hop_join(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["nation.name AS nation_name"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT n.n_name AS nation_name, SUM(o.o_totalprice) AS revenue, COUNT(*) AS order_count
+        FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+        """,
+    )
+
+
+def test_three_hop_join_with_filter(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["region.name AS region_name"],
+        filters=["region.name != 'EUROPE'"],
+    )
+    # filtered joined model -> INNER join (ref sql/generator.py:2549)
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT r.r_name AS region_name, SUM(o.o_totalprice) AS revenue
+        FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name != 'EUROPE'
+        GROUP BY 1
+        """,
+    )
+
+
+def test_fanout_dedup_sum(layer, duck):
+    """orders.revenue grouped by a lineitem dim: the one_to_many join
+    fans orders out; SUM must count each order once per group."""
+    df = layer.query(
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["lineitem.returnflag"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH joined AS (
+            SELECT DISTINCT l.l_returnflag AS returnflag, o.o_orderkey, o.o_totalprice
+            FROM orders o
+            LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT returnflag, SUM(o_totalprice) AS revenue, COUNT(*) AS order_count
+        FROM joined GROUP BY 1
+        """,
+    )
+    sql = layer.compile(
+        metrics=["orders.revenue"], dimensions=["lineitem.returnflag"]
+    )
+    assert "DISTINCT" in sql  # fan-out dedup plan engaged
+
+
+def test_fanout_safe_aggs_passthrough(layer, duck):
+    """min/max/count_distinct need no dedup under fan-out."""
+    df = layer.query(
+        metrics=["orders.max_order_value", "orders.customer_count"],
+        dimensions=["lineitem.returnflag"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT l.l_returnflag AS returnflag,
+               MAX(o.o_totalprice) AS max_order_value,
+               COUNT(DISTINCT o.o_custkey) AS customer_count
+        FROM orders o
+        LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+        """,
+    )
+
+
+def test_fanout_stddev_refused(layer):
+    from sidemantic_spark.core.model import Metric
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    orders = layer.graph.get_model("orders")
+    if orders.metric("rev_stddev") is None:
+        orders.add_metric(Metric(name="rev_stddev", agg="stddev", sql="o_totalprice"))
+        layer.graph._invalidate()
+    with pytest.raises(QueryCompileError, match="cannot be decomposed"):
+        layer.compile(metrics=["orders.rev_stddev"], dimensions=["lineitem.returnflag"])
+
+
+def test_multifact_split(layer, duck):
+    """Metrics from two models at different grains must not cross-fan:
+    one aggregated subquery per fact, joined on the dims (ref
+    sql/generator.py:2586-2921; FIXTURES.md §7)."""
+    df = layer.query(
+        metrics=["orders.revenue", "customer.total_acctbal"],
+        dimensions=["nation.name AS nation_name"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH f_orders AS (
+            SELECT n.n_name AS nation_name, SUM(o.o_totalprice) AS revenue
+            FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        ),
+        f_cust AS (
+            SELECT n.n_name AS nation_name, SUM(c.c_acctbal) AS total_acctbal
+            FROM customer c
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        )
+        SELECT COALESCE(a.nation_name, b.nation_name) AS nation_name,
+               a.revenue AS revenue, b.total_acctbal AS total_acctbal
+        FROM f_orders a FULL OUTER JOIN f_cust b ON a.nation_name IS NOT DISTINCT FROM b.nation_name
+        """,
+    )
+
+
+def test_lineitem_to_part_join(layer, duck):
+    df = layer.query(
+        metrics=["lineitem.disc_revenue"],
+        dimensions=["part.brand"],
+        filters=["lineitem.returnflag = 'R'"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT p.p_brand AS brand, SUM(l.l_extendedprice * (1 - l.l_discount)) AS disc_revenue
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1
+        """,
+    )
+
+
+def test_dims_only_distinct(layer, duck):
+    df = layer.query(dimensions=["orders.status", "orders.priority"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        "SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS priority FROM orders",
+    )

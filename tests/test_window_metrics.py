@@ -1,0 +1,251 @@
+"""Window-metric pipeline: cumulative / rolling / grain-to-date /
+time-comparison, plus conversion, retention, cohort, semi-additive.
+
+Mirrors sidemantic ``tests/metrics/test_cumulative.py``,
+``test_retention.py``, ``test_cohort.py``, ``test_non_additive_guard.py``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sidemantic_spark.models.tpch import build_layer
+from tests.conftest import assert_df_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def layer(spark, sf_dir):
+    return build_layer(spark, sf_dir)
+
+
+def test_running_total(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue", "orders.cumulative_revenue"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH inner_q AS (
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   SUM(o_totalprice) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT order_month, revenue,
+               SUM(revenue) OVER (ORDER BY order_month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_revenue
+        FROM inner_q
+        """,
+    )
+
+
+def test_running_total_partitioned(layer, duck):
+    df = layer.query(
+        metrics=["orders.cumulative_revenue"],
+        dimensions=["orders.status", "orders.order_date__month AS order_month"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH inner_q AS (
+            SELECT o_orderstatus AS status,
+                   CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   SUM(o_totalprice) AS revenue
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT status, order_month,
+               SUM(revenue) OVER (PARTITION BY status ORDER BY order_month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_revenue
+        FROM inner_q
+        """,
+    )
+
+
+def test_rolling_window(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue_3m"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH inner_q AS (
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   SUM(o_totalprice) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT order_month,
+               SUM(revenue) OVER (ORDER BY order_month
+                   RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS revenue_3m
+        FROM inner_q
+        """,
+    )
+
+
+def test_grain_to_date(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue_ytd"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH inner_q AS (
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   SUM(o_totalprice) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT order_month,
+               SUM(revenue) OVER (PARTITION BY DATE_TRUNC('year', order_month)
+                   ORDER BY order_month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_ytd
+        FROM inner_q
+        """,
+    )
+
+
+def test_mom_percent_change(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue", "orders.revenue_mom"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH inner_q AS (
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   SUM(o_totalprice) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT i.order_month, i.revenue,
+               (i.revenue - p.revenue) / NULLIF(p.revenue, 0) AS revenue_mom
+        FROM inner_q i
+        LEFT JOIN inner_q p ON p.order_month = i.order_month - INTERVAL 1 MONTH
+        """,
+    )
+
+
+def test_yoy_difference(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue_yoy_diff"],
+        dimensions=["orders.order_date__year AS order_year"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH inner_q AS (
+            SELECT CAST(DATE_TRUNC('year', o_orderdate) AS TIMESTAMP) AS order_year,
+                   SUM(o_totalprice) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT i.order_year, i.revenue - p.revenue AS revenue_yoy_diff
+        FROM inner_q i
+        LEFT JOIN inner_q p ON p.order_year = i.order_year - INTERVAL 1 YEAR
+        """,
+    )
+
+
+def test_conversion_funnel(layer, duck):
+    df = layer.query(metrics=["events.signup_to_purchase"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH base AS (
+            SELECT user_id AS entity, ts FROM events WHERE event_type = 'signup'
+        ),
+        conv AS (
+            SELECT user_id AS entity, ts FROM events WHERE event_type = 'purchase'
+        ),
+        flags AS (
+            SELECT b.entity,
+                   MAX(CASE WHEN c.entity IS NOT NULL THEN 1 ELSE 0 END) AS converted
+            FROM base b
+            LEFT JOIN conv c ON c.entity = b.entity
+                 AND c.ts >= b.ts AND c.ts <= b.ts + INTERVAL 7 DAY
+            GROUP BY b.entity
+        )
+        SELECT COUNT(*) AS signup_to_purchase_base,
+               SUM(converted) AS signup_to_purchase_converted,
+               SUM(converted) / COUNT(*) AS signup_to_purchase
+        FROM flags
+        """,
+    )
+
+
+def test_retention(layer, duck):
+    df = layer.query(metrics=["events.weekly_retention"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH cohorts AS (
+            SELECT user_id AS entity, CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cohort
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ),
+        activity AS (
+            SELECT DISTINCT user_id AS entity, CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS period
+            FROM events
+        ),
+        sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1),
+        ret AS (
+            SELECT c.cohort,
+                   CAST(FLOOR(DATEDIFF('day', c.cohort, a.period) / 7) AS INT) AS period_number,
+                   a.entity
+            FROM cohorts c JOIN activity a ON a.entity = c.entity
+            WHERE a.period >= c.cohort
+              AND CAST(FLOOR(DATEDIFF('day', c.cohort, a.period) / 7) AS INT) < 5
+        )
+        SELECT r.cohort AS cohort, r.period_number AS period_number,
+               COUNT(DISTINCT r.entity) AS active_entities,
+               s.cohort_size AS cohort_size,
+               COUNT(DISTINCT r.entity) / CAST(s.cohort_size AS DOUBLE) AS weekly_retention
+        FROM ret r JOIN sizes s ON s.cohort = r.cohort
+        GROUP BY 1, 2, s.cohort_size
+        """,
+    )
+
+
+def test_cohort_metric(layer, duck):
+    df = layer.query(metrics=["events.avg_user_spend"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH per_entity AS (
+            SELECT user_id, SUM(value) AS v
+            FROM events GROUP BY 1 HAVING SUM(value) > 0
+        )
+        SELECT AVG(v) AS avg_user_spend FROM per_entity
+        """,
+    )
+
+
+def test_semi_additive_last_snapshot(layer, duck):
+    df = layer.query(
+        metrics=["lineitem.last_qty_per_part"],
+        dimensions=["lineitem.ship_date__month AS ship_month"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH marked AS (
+            SELECT CAST(DATE_TRUNC('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+                   l_partkey, l_quantity, l_shipdate,
+                   MAX(l_shipdate) OVER (
+                       PARTITION BY l_partkey, DATE_TRUNC('month', l_shipdate)
+                   ) AS marker
+            FROM lineitem
+        )
+        SELECT ship_month, SUM(l_quantity) AS last_qty_per_part
+        FROM marked WHERE l_shipdate = marker
+        GROUP BY 1
+        """,
+    )
