@@ -162,6 +162,11 @@ class Metric:
             return f"COUNT(DISTINCT {value_sql})"
         if agg == "approx_count_distinct":
             return f"APPROX_COUNT_DISTINCT({value_sql})"
+        if agg == "avg":
+            # emitted as exact-sum / count so Spark and external oracles
+            # (DuckDB) produce bit-identical doubles when the input is an
+            # exact type; semantically identical to AVG (NULLs excluded)
+            return f"CAST(SUM({value_sql}) AS DOUBLE) / COUNT({value_sql})"
         if agg == "stddev":
             return f"STDDEV_SAMP({value_sql})"
         if agg == "variance":

@@ -71,7 +71,7 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                 Dimension(name="custkey", sql="o_custkey", type="numeric"),
             ],
             metrics=[
-                Metric(name="revenue", agg="sum", sql="o_totalprice"),
+                Metric(name="revenue", agg="sum", sql="CAST(o_totalprice AS DECIMAL(18,2))"),
                 Metric(name="order_count", agg="count"),
                 Metric(name="customer_count", agg="count_distinct", sql="o_custkey"),
                 Metric(name="avg_order_value", agg="avg", sql="o_totalprice"),
@@ -80,7 +80,7 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                 Metric(
                     name="open_revenue",
                     agg="sum",
-                    sql="o_totalprice",
+                    sql="CAST(o_totalprice AS DECIMAL(18,2))",
                     filters=["orders.status = 'O'"],
                 ),
                 Metric(
@@ -92,7 +92,7 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                 Metric(
                     name="open_share",
                     type="derived",
-                    expr="open_revenue / revenue",
+                    expr="CAST(open_revenue AS DOUBLE) / CAST(revenue AS DOUBLE)",
                 ),
                 Metric(
                     name="cumulative_revenue",
@@ -152,7 +152,7 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
             ],
             metrics=[
                 Metric(name="customer_count", agg="count"),
-                Metric(name="total_acctbal", agg="sum", sql="c_acctbal"),
+                Metric(name="total_acctbal", agg="sum", sql="CAST(c_acctbal AS DECIMAL(18,2))"),
                 Metric(name="avg_acctbal", agg="avg", sql="c_acctbal"),
             ],
             relationships=[
@@ -191,7 +191,7 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
             dimensions=[Dimension(name="name", sql="s_name")],
             metrics=[
                 Metric(name="supplier_count", agg="count"),
-                Metric(name="total_s_acctbal", agg="sum", sql="s_acctbal"),
+                Metric(name="total_s_acctbal", agg="sum", sql="CAST(s_acctbal AS DECIMAL(18,2))"),
             ],
             relationships=[
                 Relationship(name="nation", type="many_to_one", foreign_key="s_nationkey"),
@@ -230,12 +230,13 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                 Metric(name="qty", agg="sum", sql="l_quantity"),
                 Metric(name="line_count", agg="count"),
                 Metric(
-                    name="gross_revenue", agg="sum", sql="l_extendedprice"
+                    name="gross_revenue", agg="sum",
+                    sql="CAST(l_extendedprice AS DECIMAL(18,2))",
                 ),
                 Metric(
                     name="disc_revenue",
                     agg="sum",
-                    sql="l_extendedprice * (1 - l_discount)",
+                    sql="CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))",
                 ),
                 Metric(name="avg_qty", agg="avg", sql="l_quantity"),
                 Metric(
@@ -271,7 +272,7 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
             ],
             metrics=[
                 Metric(name="event_count", agg="count"),
-                Metric(name="total_value", agg="sum", sql="value"),
+                Metric(name="total_value", agg="sum", sql="CAST(value AS DECIMAL(18,6))"),
                 Metric(name="active_users", agg="count_distinct", sql="user_id"),
                 Metric(
                     name="signup_to_purchase",

@@ -543,7 +543,7 @@ class SqlGenerator:
             den_model, den = self._lookup_metric(_qualify(metric.denominator, rm.model))
             num_sql = self._metric_sql(RMetric(num_model, num, num.name), value_of, depth + 1)
             den_sql = self._metric_sql(RMetric(den_model, den, den.name), value_of, depth + 1)
-            sql = f"({num_sql}) / NULLIF(({den_sql}), 0)"
+            sql = f"CAST(({num_sql}) AS DOUBLE) / NULLIF(CAST(({den_sql}) AS DOUBLE), 0)"
         elif metric.type == "derived":
             sql = metric.expr
             for name in _identifiers(metric.expr):
@@ -760,7 +760,7 @@ class SqlGenerator:
             den_model, den = self._lookup_metric(_qualify(metric.denominator, rm.model))
             num_sql = self._metric_sql_dedup(RMetric(num_model, num, num.name), value_of, r, depth + 1)
             den_sql = self._metric_sql_dedup(RMetric(den_model, den, den.name), value_of, r, depth + 1)
-            return f"({num_sql}) / NULLIF(({den_sql}), 0)"
+            return f"CAST(({num_sql}) AS DOUBLE) / NULLIF(CAST(({den_sql}) AS DOUBLE), 0)"
         if metric.type == "derived":
             sql = metric.expr
             for name in _identifiers(metric.expr):
@@ -961,11 +961,14 @@ class SqlGenerator:
                 if calc == "difference":
                     expr = f"{base_col} - {prior}"
                 elif calc == "ratio":
-                    expr = f"{base_col} / NULLIF({prior}, 0)"
+                    expr = f"CAST({base_col} AS DOUBLE) / NULLIF(CAST({prior} AS DOUBLE), 0)"
                 elif calc == "prior":
                     expr = prior
                 else:  # percent_change
-                    expr = f"({base_col} - {prior}) / NULLIF({prior}, 0)"
+                    expr = (
+                        f"CAST({base_col} - {prior} AS DOUBLE)"
+                        f" / NULLIF(CAST({prior} AS DOUBLE), 0)"
+                    )
                 select.append(f"{expr} AS {rm.out}")
             else:
                 select.append(f"{base_col} AS {rm.out}")
@@ -1044,7 +1047,7 @@ SELECT
     {(', '.join(rd.out for rd in r.dims) + ',') if r.dims else ''}
     COUNT(*) AS {rm.out}_base,
     SUM(__converted) AS {rm.out}_converted,
-    SUM(__converted) / COUNT(*) AS {rm.out}
+    CAST(SUM(__converted) AS DOUBLE) / COUNT(*) AS {rm.out}
 FROM __flags"""
         if r.dims:
             sql += "\nGROUP BY " + ", ".join(rd.out for rd in r.dims)
@@ -1107,7 +1110,7 @@ SELECT
     r.period_number AS period_number,
     COUNT(DISTINCT r.__entity) AS active_entities,
     s.__cohort_size AS cohort_size,
-    COUNT(DISTINCT r.__entity) / s.__cohort_size AS {rm.out}
+    CAST(COUNT(DISTINCT r.__entity) AS DOUBLE) / s.__cohort_size AS {rm.out}
 FROM __ret r
 JOIN __sizes s ON s.__cohort = r.__cohort
 GROUP BY r.__cohort, r.period_number, s.__cohort_size"""
