@@ -1,0 +1,308 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design notes for 100 TB scale:
+
+- Exact dedup is a hash-groupBy: one shuffle on a 128-bit content
+  fingerprint (uniformly distributed, so no skew), map-side combine.
+- MinHash signatures are computed entirely JVM-side with built-in array
+  functions (shingle -> xxhash64 -> affine permutations -> array_min),
+  i.e. one codegen'd map stage, no Python. LSH banding explodes to
+  ``bands`` rows per doc and shuffles on (band, band_hash) — the
+  standard near-dup join; band buckets are uniformly distributed by the
+  hash, so skew only appears for *actually identical* band signatures,
+  which is the signal itself.
+- Candidate pairs are verified with exact Jaccard over the shingle
+  sets (array_intersect/array_union), again JVM-side.
+- SimHash is a per-row aggregate over token hashes (F.aggregate), one
+  map stage; near-dup banding splits the 64-bit signature into 4
+  16-bit chunks (Hamming distance <= 3 guarantee by pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: affine permutation products of two 31-bit
+# values stay < 2^62, inside bigint range (Spark 4 runs ANSI mode, so a
+# long overflow is an error, not a wrap).
+_P = (1 << 31) - 1
+
+
+def _shingles(text: Column, k: int = 5) -> Column:
+    """Character k-shingles of the normalized text."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    n = F.length(norm)
+    return F.when(n < k, F.array(norm)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: norm.substr(i, F.lit(k)),
+            )
+        )
+    )
+
+
+def _shingle_hashes(text: Column, k: int = 5) -> Column:
+    """Distinct non-negative 61-bit hashes of the char k-shingles."""
+    return F.array_distinct(
+        F.transform(
+            _shingles(text, k),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
+        )
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, k: int = 5) -> Column:
+    """MinHash signature as array<bigint> of length ``num_hashes``.
+
+    sig_i = min over shingles of (a_i * h + b_i mod p); the (a_i, b_i)
+    are fixed pseudo-random constants so signatures are deterministic
+    across runs and executors.
+    """
+    hashes = _shingle_hashes(text, k)
+
+    def perm_fn(ai: int, bi: int):
+        def apply(h):
+            return F.pmod(F.pmod(F.lit(ai) * h, F.lit(_P)) + F.lit(bi), F.lit(_P))
+
+        return apply
+
+    perms = []
+    a, b = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+    for _i in range(num_hashes):
+        # LCG-style deterministic constant schedule
+        a = (a * 6364136223846793005 + 1442695040888963407) % _P
+        b = (b * 6364136223846793005 + 1442695040888963407) % _P
+        perms.append(F.array_min(F.transform(hashes, perm_fn(a | 1, b))))
+    return F.array(*perms)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per identical (normalized) content.
+
+    One shuffle on the md5 fingerprint; survivors computed with a
+    min-over-window which Catalyst executes as partial + final
+    aggregate (no row explosion).
+    """
+    from sidemantic_spark.operators.text import fingerprint
+
+    fp = fingerprint(F.col(text_col)).alias("__fp")
+    keyed = df.select("*", fp)
+    keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(F.broadcast(keep) if _small(keep) else keep, id_col, "left_semi")
+
+
+def _small(df: DataFrame) -> bool:
+    # broadcast only when the plan is provably tiny; default to shuffle
+    # join and let AQE convert to broadcast at runtime
+    return False
+
+
+def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(n_docs, n_unique, n_dup_docs) over normalized content."""
+    from sidemantic_spark.operators.text import fingerprint
+
+    keyed = df.select(fingerprint(F.col(text_col)).alias("__fp"))
+    return keyed.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("__fp").alias("n_unique"),
+        (F.count("*") - F.countDistinct("__fp")).alias("n_dup_docs"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding, verified with
+    exact shingle-set Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, deduplicated across
+    bands. Rows per doc after explode = ``bands``; the join key
+    (band_idx, band_hash) is uniform under hashing, so the heavy
+    self-join only materializes true bucket collisions.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    with_sig = df.select(
+        F.col(id_col).alias("__id"),
+        _shingle_hashes(F.col(text_col), k).alias("__sh"),
+        sig.alias("__sig"),
+    )
+    banded = with_sig.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("__id", "__sh", "bk.band", "bk.bhash")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    )
+    return (
+        cand.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens (bigint; may be negative
+    since the top bit lands in the sign)."""
+    tokens = F.split(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), " ")
+    token_hashes = F.transform(F.array_distinct(tokens), lambda t: F.xxhash64(t))
+    # per-bit vote: +1 when bit set, -1 otherwise, summed over tokens
+    # (bit positions unrolled in Python: shift amounts must be literals)
+    votes = F.aggregate(
+        token_hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)
+                    .cast("long")
+                    for i in range(bits)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # assemble signature: set bit i where vote_i > 0 (top bit is the
+    # long sign bit, hence the negative literal for i = bits-1)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_val = -(1 << 63) if i == 63 else (1 << i)
+        sig = sig + F.when(F.element_at(votes, i + 1) > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs whose SimHash Hamming distance <= ``max_hamming``.
+
+    Banding on 4 16-bit chunks: any pair within Hamming distance 3 must
+    agree exactly on at least one chunk (pigeonhole), so the candidate
+    join is equi-join-able and shuffle-partitioned by chunk value.
+    """
+    sig = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sig"))
+    chunks = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("__sig"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cval"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("__id", "__sig", "c.chunk", "c.cval")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = _popcount(F.col("a.__sig").bitwiseXOR(F.col("b.__sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _popcount(c: Column) -> Column:
+    return F.bit_count(c)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word n-gram Jaccard similarity for pairs sharing at least
+    one n-gram (inverted-index join — shuffle on n-gram hash).
+
+    For corpora where common n-grams explode the index, raise ``n`` or
+    pre-filter with :func:`minhash_lsh_pairs`; this operator is the
+    exact verifier of the dedup family.
+    """
+    tokens = F.split(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tokens) - n + 1, F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws("", F.slice(tokens, i, n))),
+        )
+    )
+    docs = df.select(F.col(id_col).alias("__id"), grams.alias("__grams"))
+    inv = docs.select("__id", F.explode("__grams").alias("g"))
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    da = docs.select(F.col("__id").alias("id_a"), F.col("__grams").alias("ga"))
+    db = docs.select(F.col("__id").alias("id_b"), F.col("__grams").alias("gb"))
+    jac = (
+        F.size(F.array_intersect("ga", "gb")).cast("double")
+        / F.size(F.array_union("ga", "gb")).cast("double")
+    )
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

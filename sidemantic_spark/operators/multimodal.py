@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a metadata
+struct; decode/feature-extraction runs as Arrow-batched
+``mapInPandas`` stages so the heavy per-item work is vectorized and
+embarrassingly parallel (each batch is independent; no shuffle).
+
+The actual codec calls are STUBBED (the container has no image/audio
+libraries): ``decode_images`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder produces
+stable feature vectors so the Spark-side plumbing (schema, batching,
+partitioning) is fully testable. Swap ``_fake_decode`` with a real
+PIL/torchvision call in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("codec", StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), True),
+        StructField("feature_dim", LongType(), True),
+        StructField("decode_ok", StringType(), True),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter used in tests: wraps a text table into the media schema
+    (payload = utf8 bytes) so the decode pipeline has real input."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit("fake").alias("codec"),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a real decoder: rolling-hash the bytes
+    into ``dim`` stable floats in [0, 1)."""
+    if payload is None:
+        return [0.0] * dim
+    acc = [0] * dim
+    h = 1469598103934665603
+    for i, byte in enumerate(payload):
+        h = ((h ^ byte) * 1099511628211) % (1 << 64)
+        acc[i % dim] = (acc[i % dim] + h) % (1 << 32)
+    return [a / float(1 << 32) for a in acc]
+
+
+def decode_features(
+    df: DataFrame,
+    dim: int = 16,
+    fake: bool = True,
+    batch_hint: int | None = None,
+) -> DataFrame:
+    """Arrow-batched decode/feature-extract over the media table.
+
+    ``fake=False`` is the production path and raises until a real codec
+    is wired in; ``fake=True`` runs the deterministic stand-in with the
+    identical batching/schema so plans and tests are faithful.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image/audio decode requires codec libraries not present in "
+            "this environment; run with fake=True for the plumbing path"
+        )
+
+    def decode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                _fake_decode(p, dim) if p is not None else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "feature_dim": [dim if f is not None else 0 for f in feats],
+                    "decode_ok": ["ok" if f is not None else "null_payload" for f in feats],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: expands each video row into frame
+    timestamps (JVM-side sequence; the decode of each frame would be a
+    mapInPandas stage like :func:`decode_features`)."""
+    return df.where(F.col("media_type") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.coalesce(F.col("duration_ms"), F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

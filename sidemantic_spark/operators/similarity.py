@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: one codegen'd map
+  stage (zip_with dot product against a literal query vector) + a
+  TakeOrderedAndProject. At 100 TB this is a full scan but with zero
+  shuffle (Spark's global top-k is per-partition top-k + driver merge).
+- :func:`lsh_bucket_topk` — random-hyperplane LSH variant: vectors are
+  bucketed by sign-pattern once (a narrow derived table you would
+  persist/bucket at scale); queries only scan matching buckets, turning
+  top-k into a partition-pruned scan.
+- :func:`ivf_topk` — IVF-style: coarse centroids (deterministic sample),
+  vectors assigned to nearest centroid; the query probes ``nprobe``
+  nearest centroid cells.
+- :func:`embedding_near_dup_pairs` — pairwise near-duplicate detection
+  across the corpus via LSH buckets.
+
+All math uses built-in higher-order functions (JVM, no Python UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector."""
+    q = _lit_vec(query_vec)
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(emb, q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id for random-hyperplane LSH."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(_dot(vec, _lit_vec(p)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + (bit.cast("long") * F.lit(1 << i))
+    return bucket
+
+
+def _det_planes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG; no numpy RNG state
+    so the bucketing is stable across runs/executors)."""
+    planes = []
+    state = seed
+    for _ in range(nbits):
+        p = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            p.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(p)
+    return planes
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nbits: int = 8,
+) -> DataFrame:
+    """Approximate top-k scanning only the query's LSH bucket.
+
+    At scale you materialize the bucketed table partitioned by
+    ``bucket`` so a query reads one partition; here the bucket filter
+    prunes at the scan.
+    """
+    dim = len(query_vec)
+    planes = _det_planes(dim, nbits)
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucketed = df.select(
+        F.col(id_col),
+        emb.alias("__emb"),
+        hyperplane_bucket(emb, planes).alias("__bucket"),
+    )
+    qbucket = 0
+    for i, p in enumerate(planes):
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, p))
+        if dot >= 0:
+            qbucket += 1 << i
+    q = _lit_vec(query_vec)
+    return (
+        bucketed.where(F.col("__bucket") == qbucket)
+        .select(F.col(id_col), F.round(cosine(F.col("__emb"), q), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids (first ``n_cells``
+    vectors by id — a stand-in for k-means at this round), assignment by
+    max cosine, probe the ``nprobe`` cells nearest to the query.
+
+    The assignment join broadcasts the tiny centroid table; the probe is
+    a partition-prunable filter on the cell id.
+    """
+    centroids = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    ]
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def cell_of(vec_expr: Column) -> Column:
+        # linear-size argmax: sims as one array, position of the max.
+        # (A chained WHEN doubles the expression tree per centroid and
+        # blows up codegen.)
+        sims = F.array(*[cosine(vec_expr, _lit_vec(cvec)) for _cid, cvec in centroids])
+        idx = F.array_position(sims, F.array_max(sims))
+        ids = F.array(*[F.lit(cid) for cid, _cvec in centroids])
+        return F.element_at(ids, idx.cast("int"))
+
+    assigned = df.select(F.col(id_col), emb.alias("__emb"), cell_of(emb).alias("__cell"))
+    sims = sorted(
+        (
+            (
+                sum(a * b for a, b in zip(query_vec, cvec))
+                / (
+                    (sum(a * a for a in query_vec) ** 0.5)
+                    * (sum(b * b for b in cvec) ** 0.5)
+                ),
+                cid,
+            )
+            for cid, cvec in centroids
+        ),
+        reverse=True,
+    )
+    probe_cells = [cid for _, cid in sims[:nprobe]]
+    q = _lit_vec(query_vec)
+    return (
+        assigned.where(F.col("__cell").isin(probe_cells))
+        .select(F.col(id_col), F.round(cosine(F.col("__emb"), q), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nbits: int = 8,
+    min_cosine: float = 0.95,
+    dim: int = 64,
+) -> DataFrame:
+    """Corpus-wide near-duplicate pairs by cosine, candidate-generated
+    through hyperplane-LSH buckets (pairs in different buckets with
+    cosine >= threshold can be missed — that is the ANN tradeoff; add
+    multi-probe/bands to tighten recall)."""
+    planes = _det_planes(dim, nbits)
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucketed = df.select(
+        F.col(id_col).alias("__id"),
+        emb.alias("__emb"),
+        hyperplane_bucket(emb, planes).alias("__bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    sim = F.round(cosine(F.col("a.__emb"), F.col("b.__emb")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= min_cosine)
+    )

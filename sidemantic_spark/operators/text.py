@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame transformations built on JVM-side
+built-in functions (no Python UDFs in the hot path), so they stay
+inside whole-stage codegen and scale linearly with partitions: at
+100 TB these are embarrassingly parallel map stages with zero shuffle.
+
+Beyond the reference's surface (sidemantic has no row-level text ops);
+part of the north-star LLM-data-pipeline operator set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists. Heuristic language ID by
+# stopword hits — intentionally simple (LIKE-matchable) so the exact
+# semantics can be mirrored in ANSI SQL oracles.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "la", "los", "es"],
+    "fr": ["le", "les", "des", "est"],
+    "de": ["der", "die", "und", "ist"],
+    "zh": ["的", "是", "了", "在"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish pre-tokenization proxy)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def char_classes(text: Column) -> dict[str, Column]:
+    """Character-class counts used by quality scoring."""
+    n = F.length(text)
+    return {
+        "n_chars": n,
+        "n_alpha": n - F.length(F.regexp_replace(text, r"[A-Za-z]", "")),
+        "n_digit": n - F.length(F.regexp_replace(text, r"[0-9]", "")),
+        "n_punct": n - F.length(F.regexp_replace(text, r"[.,;:!?]", "")),
+        "n_space": n - F.length(F.regexp_replace(text, r" ", "")),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation
+    and digit density, reasonable word length. Deterministic arithmetic
+    only (portable to an ANSI-SQL oracle)."""
+    c = char_classes(text)
+    n = c["n_chars"]
+    nz = F.when(n == 0, F.lit(1)).otherwise(n).cast("double")
+    len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.least(
+        c["n_punct"].cast("double") * 10.0 / nz, F.lit(1.0)
+    )
+    digit_penalty = F.least(c["n_digit"].cast("double") * 5.0 / nz, F.lit(1.0))
+    alpha_ratio = c["n_alpha"].cast("double") / nz
+    return F.round(
+        (len_score * 0.4 + alpha_ratio * 0.4 + (1.0 - punct_penalty) * 0.1 + (1.0 - digit_penalty) * 0.1),
+        6,
+    )
+
+
+def language_id(text: Column) -> Column:
+    """n-gram/stopword-heuristic language ID.
+
+    Counts marker-word hits per language over the padded lowercase text
+    and returns the argmax (ties broken by language code order,
+    deterministically)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        hits = None
+        for w in words:
+            h = F.when(padded.contains(f" {w} "), 1).otherwise(0)
+            hits = h if hits is None else hits + h
+        scores.append((lang, hits))
+    # argmax with deterministic tie-break: iterate langs in order and
+    # keep the first with the max score
+    best_score = scores[0][1]
+    for _, s in scores[1:]:
+        best_score = F.greatest(best_score, s)
+    result = F.lit("und")
+    for lang, s in reversed(scores):
+        result = F.when(s == best_score, F.lit(lang)).otherwise(result)
+    return F.when(best_score == 0, F.lit("und")).otherwise(result)
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized lowercase
+    text. md5 is identical across engines, so exact-dup detection on
+    the fingerprint is portable."""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per document with the full text-analysis feature set."""
+    t = F.col(text_col)
+    c = char_classes(t)
+    return df.select(
+        "*",
+        token_count(t).alias("token_count"),
+        c["n_chars"].alias("char_count"),
+        quality_score(t).alias("quality_score"),
+        language_id(t).alias("detected_lang"),
+        fingerprint(t).alias("fingerprint"),
+    )

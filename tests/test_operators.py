@@ -1,0 +1,199 @@
+"""Data-pipeline operators: dedup, similarity, text analysis, multimodal.
+
+Oracles: DuckDB SQL where the op is ANSI-expressible (exact dedup,
+token counts, fingerprints, cosine top-k); structural/self-consistency
+checks otherwise (MinHash/SimHash candidate generation, where the hash
+functions are Spark-specific).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sidemantic_spark.models.tpch import register_tables
+from sidemantic_spark.operators import dedup, multimodal, similarity, text
+from tests.conftest import assert_df_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    return spark.table("documents")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    return spark.table("embeddings")
+
+
+def test_exact_dup_stats(docs, duck):
+    df = dedup.exact_dup_stats(docs)
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH fp AS (
+            SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+            FROM documents
+        )
+        SELECT COUNT(*) AS n_docs, COUNT(DISTINCT f) AS n_unique,
+               COUNT(*) - COUNT(DISTINCT f) AS n_dup_docs
+        FROM fp
+        """,
+    )
+
+
+def test_exact_dedup_keep_first(docs, duck):
+    df = dedup.exact_dedup(docs).select("doc_id", "lang")
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH keyed AS (
+            SELECT doc_id, lang,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+            FROM documents
+        ),
+        keep AS (SELECT MIN(doc_id) AS doc_id FROM keyed GROUP BY f)
+        SELECT k.doc_id, k.lang FROM keyed k JOIN keep USING (doc_id)
+        """,
+    )
+
+
+def test_minhash_jaccard_approximates_exact(spark):
+    """MinHash signature agreement ~ true Jaccard on synthetic pairs."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog!"),  # near-dup
+        (3, "completely different content about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(df, jaccard_threshold=0.3).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert (1, 2) in found and found[(1, 2)] > 0.5
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_minhash_on_documents(docs):
+    pairs = dedup.minhash_lsh_pairs(docs.limit(200), jaccard_threshold=0.2)
+    rows = pairs.collect()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0.2 <= r.jaccard <= 1.0
+
+
+def test_simhash_near_dups(spark):
+    # simhash needs enough tokens for stable bit votes; one changed
+    # word out of 60 ~ hamming 3, unrelated text ~ hamming 32
+    base = " ".join(f"word{i}" for i in range(60))
+    rows = [
+        (1, base),
+        (2, base.replace("word30", "changed")),
+        (3, " ".join(f"other{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.simhash_near_dups(df, max_hamming=8).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in ids
+    assert (1, 3) not in ids
+
+
+def test_ngram_jaccard_pairs(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),
+        (3, "z y x w v u t s"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) not in found
+
+
+def test_token_count_and_fingerprint(docs, duck):
+    df = docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+        """,
+    )
+
+
+def test_language_id_deterministic(docs):
+    out = docs.select("doc_id", text.language_id(F.col("text")).alias("detected"))
+    langs = {r.detected for r in out.collect()}
+    assert langs <= {"en", "es", "fr", "de", "zh", "und"}
+
+
+def test_quality_score_range(docs):
+    out = docs.select(text.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+
+
+def test_cosine_topk_vs_duckdb(embs, duck):
+    qvec = [float(x) for x in embs.orderBy("vec_id").first()["embedding"]]
+    df = similarity.cosine_topk(embs, qvec, k=10)
+    qlit = "[" + ", ".join(f"{v!r}" for v in qvec) + "]"
+    assert_df_matches_oracle(
+        df,
+        duck,
+        f"""
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]), CAST({qlit} AS DOUBLE[])), 6) AS cosine_sim
+        FROM embeddings
+        ORDER BY cosine_sim DESC, vec_id ASC
+        LIMIT 10
+        """,
+    )
+
+
+def test_lsh_and_ivf_topk_contain_self(embs):
+    first = embs.orderBy("vec_id").first()
+    qvec = [float(x) for x in first["embedding"]]
+    for fn in (similarity.lsh_bucket_topk, similarity.ivf_topk):
+        got = fn(embs, qvec, k=5).collect()
+        assert got, f"{fn.__name__} returned nothing"
+        assert got[0]["vec_id"] == first["vec_id"]  # exact self-match first
+        assert abs(got[0]["cosine_sim"] - 1.0) < 1e-5
+
+
+def test_embedding_near_dup_pairs_shape(embs):
+    pairs = similarity.embedding_near_dup_pairs(embs.limit(200), min_cosine=0.5)
+    for r in pairs.collect():
+        assert r.id_a < r.id_b
+        assert r.cosine_sim >= 0.5
+
+
+def test_multimodal_decode_plumbing(docs):
+    media = multimodal.documents_as_media(docs.limit(50))
+    feats = multimodal.decode_features(media, dim=8, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.decode_ok == "ok"
+        assert r.feature_dim == 8
+        assert len(r.feature) == 8
+    # determinism: same payload -> same features
+    again = {r.media_id: r.feature for r in multimodal.decode_features(media, dim=8).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.feature
+
+
+def test_multimodal_real_decode_stubbed(docs):
+    media = multimodal.documents_as_media(docs.limit(1))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_features(media, fake=False)
