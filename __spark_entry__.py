@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H Q1-shaped pricing
+summary through the semantic layer) on sf0.001.  ``queries()`` exposes
+one callable per implemented operator from SURVEY.md §2 plus the
+LLM-data-pipeline operators; ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible entry.
+
+Numeric determinism: monetary sums go through DECIMAL casts (exact,
+identical across engines); divisions happen in double space on both
+sides; DATE_TRUNC results are CAST to TIMESTAMP in the oracles because
+DuckDB returns DATE for day-and-coarser grains.
 """
 
 from __future__ import annotations
@@ -14,25 +19,678 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _layer(spark: SparkSession, sf_dir: str):
+    from sidemantic_spark.models.tpch import build_layer
+
+    return build_layer(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pricing summary by returnflag/linestatus (TPC-H Q1
+    shape) compiled by the semantic layer."""
+    layer = _layer(spark, "/root/testdata/sf0.001")
+    return layer.query(
+        metrics=[
+            "lineitem.qty",
+            "lineitem.gross_revenue",
+            "lineitem.disc_revenue",
+            "lineitem.avg_qty",
+            "lineitem.line_count",
+        ],
+        dimensions=["lineitem.returnflag", "lineitem.linestatus"],
+        filters=["lineitem.ship_date <= TIMESTAMP '1998-09-02'"],
+        order_by=["returnflag", "linestatus"],
+    )
+
+
+# ----------------------------------------------------------------------
+# semantic-layer queries
+# ----------------------------------------------------------------------
+
+def _q(metrics=None, dimensions=None, **kw):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _layer(spark, sf_dir).query(
+            metrics=metrics or [], dimensions=dimensions or [], **kw
+        )
+
+    return run
+
+
+def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _layer(spark, sf_dir).query(
+        metrics=[
+            "lineitem.qty",
+            "lineitem.gross_revenue",
+            "lineitem.disc_revenue",
+            "lineitem.avg_qty",
+            "lineitem.line_count",
+        ],
+        dimensions=["lineitem.returnflag", "lineitem.linestatus"],
+        filters=["lineitem.ship_date <= TIMESTAMP '1998-09-02'"],
+        order_by=["returnflag", "linestatus"],
+    )
+
+
+# ----------------------------------------------------------------------
+# data-pipeline queries
+# ----------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sidemantic_spark.models.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sidemantic_spark.models.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.table("embeddings")
+
+
+# fixed deterministic query vector for similarity search (unit-ish
+# alternating pattern, 64 dims — independent of the data)
+_QUERY_VEC = [(1.0 if i % 2 == 0 else -0.5) + i * 0.01 for i in range(64)]
+_QUERY_VEC_SQL = "[" + ", ".join(repr(v) for v in _QUERY_VEC) + "]"
+
+
+def _dedup_stats(spark, sf_dir):
+    from sidemantic_spark.operators.dedup import exact_dup_stats
+
+    return exact_dup_stats(_docs(spark, sf_dir))
+
+
+def _dedup_keep_first(spark, sf_dir):
+    from sidemantic_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select("doc_id", "lang", "source")
+
+
+def _minhash_pairs(spark, sf_dir):
+    from sidemantic_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.4)
+
+
+def _simhash_pairs(spark, sf_dir):
+    from sidemantic_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _ngram_pairs(spark, sf_dir):
+    from sidemantic_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, threshold=0.6)
+
+
+def _text_profile(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators import text
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        text.token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        text.fingerprint(t).alias("fp"),
+    )
+
+
+def _lang_id(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators import text
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", text.language_id(F.col("text")).alias("detected_lang")
+    )
+
+
+def _quality(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators import text
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", text.quality_score(F.col("text")).alias("quality_score")
+    )
+
+
+def _cosine_topk(spark, sf_dir):
+    from sidemantic_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_embs(spark, sf_dir), _QUERY_VEC, k=20)
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    from sidemantic_spark.operators.similarity import lsh_bucket_topk
+
+    return lsh_bucket_topk(_embs(spark, sf_dir), _QUERY_VEC, k=20)
+
+
+def _ann_ivf_topk(spark, sf_dir):
+    from sidemantic_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_embs(spark, sf_dir), _QUERY_VEC, k=20)
+
+
+def _emb_near_dups(spark, sf_dir):
+    from sidemantic_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_embs(spark, sf_dir), min_cosine=0.9)
+
+
+def _multimodal_decode(spark, sf_dir):
+    from sidemantic_spark.operators.multimodal import decode_features, documents_as_media
+
+    return decode_features(documents_as_media(_docs(spark, sf_dir)), dim=16, fake=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # §2.2/2.4 projection/filter/aggregation
+        "basic_agg": _q(
+            metrics=["orders.revenue", "orders.order_count"],
+            dimensions=["orders.status"],
+        ),
+        "time_grain_month": _q(
+            metrics=["orders.revenue"],
+            dimensions=["orders.order_date__month AS order_month"],
+        ),
+        "filter_pushdown": _q(
+            metrics=["orders.revenue"],
+            dimensions=["orders.priority"],
+            filters=[
+                "orders.status = 'F'",
+                "orders.order_date__year >= TIMESTAMP '1996-01-01'",
+            ],
+        ),
+        "metric_filter": _q(
+            metrics=["orders.open_revenue", "orders.revenue"],
+            dimensions=["orders.priority"],
+        ),
+        "ratio_metric": _q(
+            metrics=["orders.aov_ratio"], dimensions=["orders.status"]
+        ),
+        "derived_metric": _q(
+            metrics=["orders.open_share"], dimensions=["orders.status"]
+        ),
+        "having_filter": _q(
+            metrics=["orders.revenue"],
+            dimensions=["orders.priority"],
+            filters=["orders.revenue > 10000000"],
+        ),
+        "order_limit": _q(
+            metrics=["orders.revenue"],
+            dimensions=["orders.priority"],
+            order_by=["revenue desc", "priority"],
+            limit=3,
+        ),
+        "ungrouped": _q(
+            dimensions=["orders.status", "orders.priority"],
+            filters=["orders.status = 'P'"],
+            ungrouped=True,
+        ),
+        "with_totals": _q(
+            metrics=["orders.revenue"],
+            dimensions=["orders.status"],
+            with_totals=True,
+        ),
+        "count_distinct_minmax": _q(
+            metrics=[
+                "orders.customer_count",
+                "orders.max_order_value",
+                "orders.min_order_value",
+                "orders.avg_order_value",
+            ],
+            dimensions=["orders.status"],
+        ),
+        "dims_only_distinct": _q(dimensions=["orders.status", "orders.priority"]),
+        # §2.3 joins
+        "join_m2o": _q(
+            metrics=["orders.revenue"], dimensions=["customer.mktsegment"]
+        ),
+        "join_multi_hop": _q(
+            metrics=["orders.revenue", "orders.order_count"],
+            dimensions=["nation.name AS nation_name"],
+        ),
+        "join_filtered_inner": _q(
+            metrics=["orders.revenue"],
+            dimensions=["region.name AS region_name"],
+            filters=["region.name != 'EUROPE'"],
+        ),
+        "fanout_dedup": _q(
+            metrics=["orders.revenue", "orders.order_count"],
+            dimensions=["lineitem.returnflag"],
+        ),
+        "fanout_safe_aggs": _q(
+            metrics=["orders.max_order_value", "orders.customer_count"],
+            dimensions=["lineitem.returnflag"],
+        ),
+        "multifact_split": _q(
+            metrics=["orders.revenue", "customer.total_acctbal"],
+            dimensions=["nation.name AS nation_name"],
+        ),
+        "join_part_brand": _q(
+            metrics=["lineitem.disc_revenue"],
+            dimensions=["part.brand"],
+            filters=["lineitem.returnflag = 'R'"],
+        ),
+        # §2.5 window metrics
+        "running_total": _q(
+            metrics=["orders.revenue", "orders.cumulative_revenue"],
+            dimensions=["orders.order_date__month AS order_month"],
+        ),
+        "rolling_window_90d": _q(
+            metrics=["orders.revenue_3m"],
+            dimensions=["orders.order_date__month AS order_month"],
+        ),
+        "ytd": _q(
+            metrics=["orders.revenue_ytd"],
+            dimensions=["orders.order_date__month AS order_month"],
+        ),
+        "mom_pct_change": _q(
+            metrics=["orders.revenue", "orders.revenue_mom"],
+            dimensions=["orders.order_date__month AS order_month"],
+        ),
+        "yoy_difference": _q(
+            metrics=["orders.revenue_yoy_diff"],
+            dimensions=["orders.order_date__year AS order_year"],
+        ),
+        "conversion_funnel": _q(metrics=["events.signup_to_purchase"]),
+        "retention_weekly": _q(metrics=["events.weekly_retention"]),
+        "cohort_avg_spend": _q(metrics=["events.avg_user_spend"]),
+        "semi_additive_last": _q(
+            metrics=["lineitem.last_qty_per_part"],
+            dimensions=["lineitem.ship_date__month AS ship_month"],
+        ),
+        "tpch_q1_pricing_summary": _tpch_q1,
+        # LLM-data-pipeline operators
+        "dedup_exact_stats": _dedup_stats,
+        "dedup_exact_keep_first": _dedup_keep_first,
+        "dedup_minhash_lsh": _minhash_pairs,
+        "dedup_simhash": _simhash_pairs,
+        "dedup_ngram_jaccard": _ngram_pairs,
+        "text_profile": _text_profile,
+        "text_language_id": _lang_id,
+        "text_quality_score": _quality,
+        "sim_cosine_topk": _cosine_topk,
+        "sim_ann_lsh_topk": _ann_lsh_topk,
+        "sim_ann_ivf_topk": _ann_ivf_topk,
+        "sim_embedding_near_dups": _emb_near_dups,
+        "multimodal_decode_features": _multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fp = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+    return {
+        "basic_agg": """
+            SELECT o_orderstatus AS status,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   COUNT(*) AS order_count
+            FROM orders GROUP BY 1
+        """,
+        "time_grain_month": """
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "filter_pushdown": """
+            SELECT o_orderpriority AS priority,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders
+            WHERE o_orderstatus = 'F'
+              AND DATE_TRUNC('year', o_orderdate) >= TIMESTAMP '1996-01-01'
+            GROUP BY 1
+        """,
+        "metric_filter": """
+            SELECT o_orderpriority AS priority,
+                   SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS open_revenue,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "ratio_metric": """
+            SELECT o_orderstatus AS status,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / NULLIF(CAST(COUNT(*) AS DOUBLE), 0) AS aov_ratio
+            FROM orders GROUP BY 1
+        """,
+        "derived_metric": """
+            SELECT o_orderstatus AS status,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_share
+            FROM orders GROUP BY 1
+        """,
+        "having_filter": """
+            SELECT o_orderpriority AS priority,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+            HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 10000000
+        """,
+        "order_limit": """
+            SELECT o_orderpriority AS priority,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+            ORDER BY revenue DESC, priority LIMIT 3
+        """,
+        "ungrouped": """
+            SELECT o_orderstatus AS status, o_orderpriority AS priority
+            FROM orders WHERE o_orderstatus = 'P'
+        """,
+        "with_totals": """
+            SELECT o_orderstatus AS status,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   CAST(GROUPING(o_orderstatus) AS BOOLEAN) AS _is_total
+            FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())
+        """,
+        "count_distinct_minmax": """
+            SELECT o_orderstatus AS status,
+                   COUNT(DISTINCT o_custkey) AS customer_count,
+                   MAX(o_totalprice) AS max_order_value,
+                   MIN(o_totalprice) AS min_order_value,
+                   CAST(SUM(o_totalprice) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value
+            FROM orders GROUP BY 1
+        """,
+        "dims_only_distinct": """
+            SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS priority FROM orders
+        """,
+        "join_m2o": """
+            SELECT c.c_mktsegment AS mktsegment,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "join_multi_hop": """
+            SELECT n.n_name AS nation_name,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   COUNT(*) AS order_count
+            FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        """,
+        "join_filtered_inner": """
+            SELECT r.r_name AS region_name,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name != 'EUROPE'
+            GROUP BY 1
+        """,
+        "fanout_dedup": """
+            WITH joined AS (
+                SELECT DISTINCT l.l_returnflag AS returnflag, o.o_orderkey,
+                       CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+                FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            )
+            SELECT returnflag, SUM(price) AS revenue, COUNT(*) AS order_count
+            FROM joined GROUP BY 1
+        """,
+        "fanout_safe_aggs": """
+            SELECT l.l_returnflag AS returnflag,
+                   MAX(o.o_totalprice) AS max_order_value,
+                   COUNT(DISTINCT o.o_custkey) AS customer_count
+            FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1
+        """,
+        "multifact_split": """
+            WITH f_orders AS (
+                SELECT n.n_name AS nation_name,
+                       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders o
+                LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+                GROUP BY 1
+            ),
+            f_cust AS (
+                SELECT n.n_name AS nation_name,
+                       SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+                FROM customer c
+                LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+                GROUP BY 1
+            )
+            SELECT COALESCE(a.nation_name, b.nation_name) AS nation_name,
+                   a.revenue AS revenue, b.total_acctbal AS total_acctbal
+            FROM f_orders a
+            FULL OUTER JOIN f_cust b ON a.nation_name IS NOT DISTINCT FROM b.nation_name
+        """,
+        "join_part_brand": """
+            SELECT p.p_brand AS brand,
+                   SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS disc_revenue
+            FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY 1
+        """,
+        "running_total": """
+            WITH inner_q AS (
+                SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT order_month, revenue,
+                   SUM(revenue) OVER (ORDER BY order_month
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_revenue
+            FROM inner_q
+        """,
+        "rolling_window_90d": """
+            WITH inner_q AS (
+                SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT order_month,
+                   SUM(revenue) OVER (ORDER BY order_month
+                       RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS revenue_3m
+            FROM inner_q
+        """,
+        "ytd": """
+            WITH inner_q AS (
+                SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT order_month,
+                   SUM(revenue) OVER (PARTITION BY DATE_TRUNC('year', order_month)
+                       ORDER BY order_month
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_ytd
+            FROM inner_q
+        """,
+        "mom_pct_change": """
+            WITH inner_q AS (
+                SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT i.order_month, i.revenue,
+                   CAST(i.revenue - p.revenue AS DOUBLE)
+                     / NULLIF(CAST(p.revenue AS DOUBLE), 0) AS revenue_mom
+            FROM inner_q i
+            LEFT JOIN inner_q p ON p.order_month = i.order_month - INTERVAL 1 MONTH
+        """,
+        "yoy_difference": """
+            WITH inner_q AS (
+                SELECT CAST(DATE_TRUNC('year', o_orderdate) AS TIMESTAMP) AS order_year,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT i.order_year, i.revenue - p.revenue AS revenue_yoy_diff
+            FROM inner_q i
+            LEFT JOIN inner_q p ON p.order_year = i.order_year - INTERVAL 1 YEAR
+        """,
+        "conversion_funnel": """
+            WITH base AS (
+                SELECT user_id AS entity, ts FROM events WHERE event_type = 'signup'
+            ),
+            conv AS (
+                SELECT user_id AS entity, ts FROM events WHERE event_type = 'purchase'
+            ),
+            flags AS (
+                SELECT b.entity,
+                       MAX(CASE WHEN c.entity IS NOT NULL THEN 1 ELSE 0 END) AS converted
+                FROM base b
+                LEFT JOIN conv c ON c.entity = b.entity
+                     AND c.ts >= b.ts AND c.ts <= b.ts + INTERVAL 7 DAY
+                GROUP BY b.entity
+            )
+            SELECT COUNT(*) AS signup_to_purchase_base,
+                   SUM(converted) AS signup_to_purchase_converted,
+                   CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS signup_to_purchase
+            FROM flags
+        """,
+        "retention_weekly": """
+            WITH cohorts AS (
+                SELECT user_id AS entity,
+                       CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cohort
+                FROM events WHERE event_type = 'signup' GROUP BY 1
+            ),
+            activity AS (
+                SELECT DISTINCT user_id AS entity,
+                       CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS period
+                FROM events
+            ),
+            sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1),
+            ret AS (
+                SELECT c.cohort,
+                       CAST(FLOOR(DATEDIFF('day', c.cohort, a.period) / 7) AS INT) AS period_number,
+                       a.entity
+                FROM cohorts c JOIN activity a ON a.entity = c.entity
+                WHERE a.period >= c.cohort
+                  AND CAST(FLOOR(DATEDIFF('day', c.cohort, a.period) / 7) AS INT) < 5
+            )
+            SELECT r.cohort AS cohort, r.period_number AS period_number,
+                   COUNT(DISTINCT r.entity) AS active_entities,
+                   s.cohort_size AS cohort_size,
+                   CAST(COUNT(DISTINCT r.entity) AS DOUBLE) / s.cohort_size AS weekly_retention
+            FROM ret r JOIN sizes s ON s.cohort = r.cohort
+            GROUP BY 1, 2, s.cohort_size
+        """,
+        "cohort_avg_spend": """
+            WITH per_entity AS (
+                SELECT user_id AS entity,
+                       SUM(CAST(value AS DECIMAL(18,6))) AS v
+                FROM events GROUP BY 1
+                HAVING SUM(CAST(value AS DECIMAL(18,6))) > 0
+            )
+            SELECT CAST(SUM(v) AS DOUBLE) / COUNT(v) AS avg_user_spend FROM per_entity
+        """,
+        "semi_additive_last": """
+            WITH marked AS (
+                SELECT CAST(DATE_TRUNC('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+                       l_quantity, l_shipdate,
+                       MAX(l_shipdate) OVER (
+                           PARTITION BY l_partkey, DATE_TRUNC('month', l_shipdate)
+                       ) AS marker
+                FROM lineitem
+            )
+            SELECT ship_month, SUM(l_quantity) AS last_qty_per_part
+            FROM marked WHERE l_shipdate = marker
+            GROUP BY 1
+        """,
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+                   SUM(l_quantity) AS qty,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross_revenue,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS disc_revenue,
+                   CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+                   COUNT(*) AS line_count
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "dedup_exact_stats": f"""
+            WITH fp AS (SELECT {fp} AS f FROM documents)
+            SELECT COUNT(*) AS n_docs, COUNT(DISTINCT f) AS n_unique,
+                   COUNT(*) - COUNT(DISTINCT f) AS n_dup_docs
+            FROM fp
+        """,
+        "dedup_exact_keep_first": f"""
+            WITH keyed AS (
+                SELECT doc_id, lang, source, {fp} AS f FROM documents
+            ),
+            keep AS (SELECT MIN(doc_id) AS doc_id FROM keyed GROUP BY f)
+            SELECT k.doc_id, k.lang, k.source FROM keyed k JOIN keep USING (doc_id)
+        """,
+        "text_profile": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   length(text) AS n_chars,
+                   {fp} AS fp
+            FROM documents
+        """,
+        "sim_cosine_topk": f"""
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST({_QUERY_VEC_SQL} AS DOUBLE[])), 6) AS cosine_sim
+            FROM embeddings
+            ORDER BY cosine_sim DESC, vec_id ASC
+            LIMIT 20
+        """,
+        "text_language_id": """
+            WITH s AS (
+                SELECT doc_id,
+                    (CASE WHEN ' ' || lower(text) || ' ' LIKE '% der %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% die %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% und %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% ist %' THEN 1 ELSE 0 END) AS s_de,
+                    (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% is %' THEN 1 ELSE 0 END) AS s_en,
+                    (CASE WHEN ' ' || lower(text) || ' ' LIKE '% el %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% la %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% los %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% es %' THEN 1 ELSE 0 END) AS s_es,
+                    (CASE WHEN ' ' || lower(text) || ' ' LIKE '% le %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% les %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% des %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% est %' THEN 1 ELSE 0 END) AS s_fr,
+                    (CASE WHEN ' ' || lower(text) || ' ' LIKE '% 的 %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% 是 %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% 了 %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% 在 %' THEN 1 ELSE 0 END) AS s_zh
+                FROM documents
+            ),
+            m AS (SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s)
+            SELECT doc_id,
+                   CASE WHEN best = 0 THEN 'und'
+                        WHEN s_de = best THEN 'de'
+                        WHEN s_en = best THEN 'en'
+                        WHEN s_es = best THEN 'es'
+                        WHEN s_fr = best THEN 'fr'
+                        ELSE 'zh' END AS detected_lang
+            FROM m
+        """,
+        "text_quality_score": """
+            WITH c AS (
+                SELECT doc_id,
+                       length(text) AS n,
+                       length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+                       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+                FROM documents
+            )
+            SELECT doc_id,
+                   ROUND(
+                       LEAST(CAST(n AS DOUBLE) / 500.0, 1.0) * 0.4
+                     + (CAST(n_alpha AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) * 0.4
+                     + (1.0 - LEAST(CAST(n_punct AS DOUBLE) * 10.0 / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE), 1.0)) * 0.1
+                     + (1.0 - LEAST(CAST(n_digit AS DOUBLE) * 5.0 / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE), 1.0)) * 0.1,
+                   6) AS quality_score
+            FROM c
+        """,
+        # no-oracle entries (engine-specific hash functions / plumbing
+        # -> driver records rows-only checks): dedup_minhash_lsh,
+        # dedup_simhash, dedup_ngram_jaccard, sim_ann_lsh_topk,
+        # sim_ann_ivf_topk, sim_embedding_near_dups,
+        # multimodal_decode_features
+    }

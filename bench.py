@@ -1,0 +1,122 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Also reports compile latency (the reference's headline perf number is
+a <40 ms compile budget — tests/optimizations/test_compile_benchmark.py
+in /root/reference) under "compile_ms".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "basic_agg",
+    "time_grain_month",
+    "join_multi_hop",
+    "join_filtered_inner",
+    "fanout_dedup",
+    "multifact_split",
+    "running_total",
+    "mom_pct_change",
+    "retention_weekly",
+    "conversion_funnel",
+    "semi_additive_last",
+    "dedup_exact_stats",
+    "text_profile",
+    "sim_cosine_topk",
+    "dedup_minhash_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sidemantic-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(os.path.dirname(os.path.abspath(__file__)), "__spark_entry__.py")
+    )
+    entry_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry_mod)
+    queries = entry_mod.queries()
+
+    # warm the session + view registration outside the timed region
+    from sidemantic_spark.models.tpch import build_layer, register_tables
+
+    register_tables(spark, sf_dir)
+    spark.table("lineitem").count()
+
+    # compile latency (driver-side, warmed): median of 50
+    layer = build_layer(spark)
+    compile_times = []
+    for _ in range(50):
+        layer.generator._cache.clear()
+        t0 = time.perf_counter()
+        layer.compile(
+            metrics=["orders.revenue", "orders.order_count"],
+            dimensions=["customer.mktsegment", "orders.order_date__month"],
+            filters=["orders.status = 'O'"],
+            order_by=["revenue desc"],
+            limit=100,
+        )
+        compile_times.append((time.perf_counter() - t0) * 1000)
+    compile_times.sort()
+    compile_ms = compile_times[len(compile_times) // 2]
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf),
+                "compile_ms": round(compile_ms, 3),
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

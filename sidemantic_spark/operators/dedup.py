@@ -29,6 +29,17 @@ from pyspark.sql import functions as F
 _P = (1 << 31) - 1
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the source read
+    produced too few partitions (tiny files): the signature/banding map
+    stages are CPU-bound, so a cheap early shuffle of the raw rows buys
+    full-core utilization. No-op when the scan is already wide."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def _shingles(text: Column, k: int = 5) -> Column:
     """Character k-shingles of the normalized text."""
     norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
@@ -60,8 +71,10 @@ def minhash_signature(text: Column, num_hashes: int = 64, k: int = 5) -> Column:
     are fixed pseudo-random constants so signatures are deterministic
     across runs and executors.
     """
-    hashes = _shingle_hashes(text, k)
+    return minhash_signature_from_hashes(_shingle_hashes(text, k), num_hashes)
 
+
+def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 64) -> Column:
     def perm_fn(ai: int, bi: int):
         def apply(h):
             return F.pmod(F.pmod(F.lit(ai) * h, F.lit(_P)) + F.lit(bi), F.lit(_P))
@@ -129,15 +142,20 @@ def minhash_lsh_pairs(
     self-join only materializes true bucket collisions.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    df = _spread(df)
     with_sig = df.select(
         F.col(id_col).alias("__id"),
         _shingle_hashes(F.col(text_col), k).alias("__sh"),
-        sig.alias("__sig"),
-    )
-    banded = with_sig.select(
+    ).select(
         "__id",
         "__sh",
+        minhash_signature_from_hashes(F.col("__sh"), num_hashes).alias("__sig"),
+    )
+    # band keys carry ONLY (id, band, bhash): the wide shingle arrays
+    # must not ride through the banding shuffle — at corpus scale they
+    # dominate the shuffle volume by orders of magnitude
+    banded = with_sig.select(
+        "__id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -149,7 +167,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select("__id", "__sh", "bk.band", "bk.bhash")
+    ).select("__id", "bk.band", "bk.bhash")
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -160,20 +178,21 @@ def minhash_lsh_pairs(
             & (F.col("a.bhash") == F.col("b.bhash"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sh").alias("sh_a"),
-            F.col("b.__sh").alias("sh_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # re-attach shingle sets only for surviving candidates (candidate
+    # set << corpus, so AQE turns these into broadcast joins)
+    sh_a = with_sig.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = with_sig.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b")).cast("double")
     )
     return (
-        cand.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= jaccard_threshold)
     )
 
@@ -224,7 +243,7 @@ def simhash_near_dups(
     agree exactly on at least one chunk (pigeonhole), so the candidate
     join is equi-join-able and shuffle-partitioned by chunk value.
     """
-    sig = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sig"))
+    sig = _spread(df).select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sig"))
     chunks = sig.select(
         "__id",
         "__sig",
@@ -279,6 +298,7 @@ def ngram_jaccard_pairs(
     pre-filter with :func:`minhash_lsh_pairs`; this operator is the
     exact verifier of the dedup family.
     """
+    df = _spread(df)
     tokens = F.split(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " ")
     grams = F.array_distinct(
         F.transform(

@@ -1,0 +1,50 @@
+"""Driver-contract validation: every queries() entry runs, and every
+oracle_sql() entry matches the Spark result (mimics the driver's t2
+check at the test scale factor)."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__spark_entry__"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+entry_mod = _load_entry()
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
+
+
+def test_every_oracle_has_query():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_contract(name, spark, duck):
+    df = QUERIES[name](spark, SF_DIR)
+    oracle = ORACLES.get(name)
+    if oracle is None:
+        # rows-only check for non-SQL-expressible ops
+        rows = df.collect()
+        assert rows is not None
+        assert df.columns
+    else:
+        assert_df_matches_oracle(df, duck, oracle)
