@@ -88,9 +88,28 @@ class SparkSemanticLayer:
         )
         return self.generator.generate(spec)
 
+    @property
+    def preaggs(self):
+        from sidemantic_spark.preagg.manager import PreAggManager
+
+        if not hasattr(self, "_preagg_manager"):
+            self._preagg_manager = PreAggManager(self)
+        return self._preagg_manager
+
     def query(self, **kwargs) -> DataFrame:
         self.register_sources()
-        return self.spark.sql(self.compile(**kwargs))
+        sql = self.compile(**kwargs)
+        try:
+            return self.spark.sql(sql)
+        except Exception as exc:  # missing rollup table -> raw fallback
+            if "used_preagg=" in sql and "TABLE_OR_VIEW_NOT_FOUND" in str(exc):
+                old = self.generator.use_preaggs
+                self.generator.use_preaggs = False
+                try:
+                    return self.spark.sql(self.compile(**kwargs))
+                finally:
+                    self.generator.use_preaggs = old
+            raise
 
     def explain(self, **kwargs) -> str:
         """Compiled Spark SQL plus Catalyst's formatted physical plan."""

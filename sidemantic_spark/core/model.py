@@ -257,6 +257,7 @@ class Model:
     default_grain: str | None = None
     description: str | None = None
     row_filters: list[str] = field(default_factory=list)  # security policy
+    pre_aggregations: list = field(default_factory=list)  # [PreAggregation]
 
     def __post_init__(self) -> None:
         self._dims = {d.name: d for d in self.dimensions}

@@ -1,0 +1,159 @@
+"""Pre-aggregation spec + matcher (aggregate awareness).
+
+Re-expression of the reference's rollup routing
+(``core/pre_aggregation.py:35`` spec, ``core/preagg_matcher.py:25-300``
+matcher): a query can be served from a materialized rollup when
+
+- every queried dimension is in the rollup's dimension set (time dims:
+  the query grain must be equal-or-coarser than the rollup granularity
+  — day rolls up to month),
+- every metric is derivable from stored partials: sum -> SUM(sum_raw),
+  count -> SUM(count_raw), min/max -> MIN/MAX over the partials,
+  avg -> SUM(sum_raw)/SUM(count_raw) recomposition,
+  count_distinct ONLY at exact grain (non-derivable across grains —
+  the reference's exact-grain guard at ``core/preagg_matcher.py:138``),
+- every filter references covered dimensions only.
+
+Among multiple matches the most specific rollup (fewest extra
+dimensions, coarsest sufficient granularity) wins — scanning less data
+is the whole point at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from sidemantic_spark.core.model import Metric, Model
+
+GRAIN_ORDER = ["second", "minute", "hour", "day", "week", "month", "quarter", "year"]
+# week cannot be derived from month etc.; derivable pairs are those on
+# the same rollup chain
+_DERIVABLE = {
+    "second": {"second", "minute", "hour", "day", "month", "quarter", "year", "week"},
+    "minute": {"minute", "hour", "day", "month", "quarter", "year", "week"},
+    "hour": {"hour", "day", "month", "quarter", "year", "week"},
+    "day": {"day", "week", "month", "quarter", "year"},
+    "week": {"week"},
+    "month": {"month", "quarter", "year"},
+    "quarter": {"quarter", "year"},
+    "year": {"year"},
+}
+
+
+@dataclass
+class PreAggregation:
+    """Materialized rollup spec attached to a model."""
+
+    name: str
+    measures: list[str]  # metric names on the owning model
+    dimensions: list[str] = field(default_factory=list)
+    time_dimension: str | None = None
+    granularity: str = "day"
+    partition_granularity: str | None = None  # partition column grain
+    type: str = "rollup"  # rollup | original_sql | lambda
+    lambda_boundary_grain: str | None = None  # lambda: fresh-data split
+
+    def physical_name(self, model_name: str) -> str:
+        return f"{model_name}_preagg_{self.name}"
+
+
+@dataclass
+class PreAggMatch:
+    preagg: PreAggregation
+    model: str
+    # query-dim name -> (rollup column, grain to re-truncate to or None)
+    dim_map: dict
+    specificity: int
+
+
+def grain_derivable(rollup_grain: str, query_grain: str) -> bool:
+    return query_grain in _DERIVABLE.get(rollup_grain, set())
+
+
+def match_preagg(
+    model: Model,
+    metric_names: list[str],
+    dims: list[tuple[str, str | None]],  # (dim name, grain or None)
+    filter_dims: list[str],
+) -> PreAggMatch | None:
+    """Best matching rollup for a single-model query, or None."""
+    candidates: list[PreAggMatch] = []
+    for pa in getattr(model, "pre_aggregations", []) or []:
+        m = _try_match(model, pa, metric_names, dims, filter_dims)
+        if m is not None:
+            candidates.append(m)
+    if not candidates:
+        return None
+    candidates.sort(key=lambda c: (c.specificity, c.preagg.name))
+    return candidates[0]
+
+
+def _try_match(
+    model: Model,
+    pa: PreAggregation,
+    metric_names: list[str],
+    dims: list[tuple[str, str | None]],
+    filter_dims: list[str],
+) -> PreAggMatch | None:
+    if pa.type not in ("rollup", "lambda"):
+        return None
+    exact_grain = True
+    dim_map: dict = {}
+    for name, grain in dims:
+        dim = model.dimension(name)
+        if dim is None:
+            return None
+        if dim.type == "time" or grain is not None:
+            if pa.time_dimension != name:
+                return None
+            qgrain = grain or pa.granularity
+            if not grain_derivable(pa.granularity, qgrain):
+                return None
+            if qgrain != pa.granularity:
+                exact_grain = False
+                dim_map[name] = (f"{name}__{pa.granularity}", qgrain)
+            else:
+                dim_map[name] = (f"{name}__{pa.granularity}", None)
+        else:
+            if name not in pa.dimensions:
+                return None
+            dim_map[name] = (name, None)
+
+    # unfiltered rollup dims that the query doesn't group by are fine —
+    # re-aggregation collapses them; but query filters must hit stored
+    # dims
+    for fname in filter_dims:
+        fdim = model.dimension(fname)
+        if fdim is not None and fdim.type == "time":
+            if pa.time_dimension != fname:
+                return None
+            continue
+        if fname not in pa.dimensions and fname != pa.time_dimension:
+            return None
+
+    grouped_all = len(dim_map) == len(pa.dimensions) + (1 if pa.time_dimension else 0)
+    for mname in metric_names:
+        metric = model.metric(mname)
+        if metric is None or mname not in pa.measures:
+            return None
+        if not _derivable(metric, exact_grain and grouped_all):
+            return None
+
+    extra_dims = len(pa.dimensions) - sum(
+        1 for name, _ in dims if model.dimension(name) and model.dimension(name).type != "time"
+    )
+    specificity = max(extra_dims, 0) * 10 + (0 if exact_grain else 1)
+    return PreAggMatch(preagg=pa, model=model.name, dim_map=dim_map, specificity=specificity)
+
+
+def _derivable(metric: Metric, exact_grain: bool) -> bool:
+    if not metric.is_simple:
+        # ratio/derived over stored components are resolved by the
+        # router recursively; reject here, the router expands first
+        return False
+    if metric.agg in ("sum", "count", "min", "max", "avg"):
+        return True
+    if metric.agg in ("count_distinct", "approx_count_distinct"):
+        # exact-grain only (ref core/preagg_matcher.py:138-143,258-263)
+        return exact_grain
+    return False  # median/stddev/variance: never derivable from partials

@@ -105,6 +105,8 @@ class SqlGenerator:
     def __init__(self, graph: SemanticGraph) -> None:
         self.graph = graph
         self._cache: dict = {}
+        self.use_preaggs = True
+        self.preagg_strict = False
 
     # ------------------------------------------------------------------
     # public entry
@@ -121,6 +123,8 @@ class SqlGenerator:
     def _cache_key(self, spec: QuerySpec):
         return (
             self.graph.generation,
+            self.use_preaggs,
+            self.preagg_strict,
             tuple(spec.metrics),
             tuple(spec.dimensions),
             tuple(spec.filters),
@@ -162,6 +166,17 @@ class SqlGenerator:
         metric_models = sorted({rm.model for rm in r.metrics})
         if len(metric_models) > 1:
             return self._multifact_sql(r, metric_models)
+
+        if self.use_preaggs:
+            from sidemantic_spark.preagg.router import try_route
+
+            routed = try_route(self, r)
+            if routed is not None:
+                return routed
+            if self.preagg_strict:
+                raise QueryCompileError(
+                    "preagg_strict: no pre-aggregation can serve this query"
+                )
 
         return self._grouped_sql(r)
 

@@ -1,0 +1,236 @@
+"""Pre-aggregation materialization + routing vs raw-table oracle.
+
+Mirrors sidemantic ``tests/optimizations/test_pre_aggregations.py`` /
+``tests/native-fixtures/preaggregation_routing``: build a rollup, check
+queries route to it, and check routed results equal the raw answer.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from sidemantic_spark.models.tpch import build_layer
+from sidemantic_spark.preagg.matcher import PreAggregation
+from sidemantic_spark.sql.generator import QueryCompileError
+from tests.conftest import assert_df_matches_oracle
+
+PREAGG_PATH = "/tmp/sidemantic_spark_test_preaggs"
+
+
+@pytest.fixture(scope="module")
+def layer(spark, sf_dir):
+    shutil.rmtree(PREAGG_PATH, ignore_errors=True)
+    layer = build_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [
+        PreAggregation(
+            name="daily",
+            measures=["revenue", "order_count", "avg_order_value", "customer_count"],
+            dimensions=["status", "priority"],
+            time_dimension="order_date",
+            granularity="day",
+            partition_granularity="year",
+        )
+    ]
+    layer.preaggs.base_path = PREAGG_PATH
+    built = layer.preaggs.materialize("orders")
+    assert built == ["orders_preagg_daily"]
+    return layer
+
+
+def test_routes_to_rollup(layer):
+    sql = layer.compile(
+        metrics=["orders.revenue"],
+        dimensions=["orders.status"],
+    )
+    assert "used_preagg=orders_preagg_daily" in sql
+    assert "FROM orders_preagg_daily" in sql
+
+
+def test_rollup_results_match_raw_sum_count(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["orders.status"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+               COUNT(*) AS order_count
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_rollup_month_from_day(layer, duck):
+    sql = layer.compile(
+        metrics=["orders.revenue"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    assert "used_preagg" in sql
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_rollup_avg_recomposition(layer, duck):
+    sql = layer.compile(
+        metrics=["orders.avg_order_value"], dimensions=["orders.priority"]
+    )
+    assert "used_preagg" in sql and "__sum) AS DOUBLE) / SUM(" in sql.replace("avg_order_value", "")
+    df = layer.query(metrics=["orders.avg_order_value"], dimensions=["orders.priority"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderpriority AS priority,
+               CAST(SUM(o_totalprice) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_rollup_with_filter(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.priority"],
+        filters=["orders.status = 'F'"],
+    )
+    sql = layer.compile(
+        metrics=["orders.revenue"],
+        dimensions=["orders.priority"],
+        filters=["orders.status = 'F'"],
+    )
+    assert "used_preagg" in sql
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderpriority AS priority, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        """,
+    )
+
+
+def test_count_distinct_exact_grain_only(layer):
+    # grouped by all rollup dims at rollup grain -> servable
+    sql = layer.compile(
+        metrics=["orders.customer_count"],
+        dimensions=["orders.status", "orders.priority", "orders.order_date__day AS d"],
+    )
+    assert "used_preagg" in sql
+    # coarser grain -> NOT servable from partials; falls back to raw
+    sql2 = layer.compile(
+        metrics=["orders.customer_count"],
+        dimensions=["orders.status"],
+    )
+    assert "used_preagg" not in sql2
+    assert "FROM orders" in sql2
+
+
+def test_count_distinct_exact_grain_values(layer, duck):
+    df = layer.query(
+        metrics=["orders.customer_count"],
+        dimensions=["orders.status", "orders.priority", "orders.order_date__day AS d"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(DATE_TRUNC('day', o_orderdate) AS TIMESTAMP) AS d,
+               COUNT(DISTINCT o_custkey) AS customer_count
+        FROM orders GROUP BY 1, 2, 3
+        """,
+    )
+
+
+def test_uncovered_dimension_falls_back(layer):
+    sql = layer.compile(
+        metrics=["orders.revenue"],
+        dimensions=["customer.mktsegment"],
+    )
+    assert "used_preagg" not in sql  # join -> raw plan
+
+
+def test_strict_mode(layer):
+    layer.generator.preagg_strict = True
+    try:
+        with pytest.raises(QueryCompileError, match="preagg_strict"):
+            layer.compile(metrics=["orders.max_order_value"], dimensions=["orders.status"])
+    finally:
+        layer.generator.preagg_strict = False
+
+
+def test_ratio_metric_from_rollup(layer, duck):
+    sql = layer.compile(metrics=["orders.aov_ratio"], dimensions=["orders.status"])
+    assert "used_preagg" in sql
+    df = layer.query(metrics=["orders.aov_ratio"], dimensions=["orders.status"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / NULLIF(CAST(COUNT(*) AS DOUBLE), 0) AS aov_ratio
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_incremental_refresh(layer, spark, duck):
+    # restrict refresh to partitions >= 1998: rebuild must leave results
+    # identical (same source data)
+    layer.preaggs.refresh_incremental(
+        "orders", "daily", "TIMESTAMP '1998-01-01'"
+    )
+    df = layer.query(metrics=["orders.revenue"], dimensions=["orders.status"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_missing_table_fallback(spark, sf_dir, duck):
+    fresh = build_layer(spark, sf_dir)
+    orders = fresh.graph.get_model("orders")
+    orders.pre_aggregations = [
+        PreAggregation(
+            name="ghost",
+            measures=["revenue"],
+            dimensions=["status"],
+            time_dimension="order_date",
+            granularity="day",
+        )
+    ]
+    # never materialized -> compile routes to rollup, execution falls
+    # back to the raw plan (ref core/semantic_layer.py:798-843)
+    sql = fresh.compile(metrics=["orders.revenue"], dimensions=["orders.status"])
+    assert "used_preagg=orders_preagg_ghost" in sql
+    df = fresh.query(metrics=["orders.revenue"], dimensions=["orders.status"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1
+        """,
+    )
