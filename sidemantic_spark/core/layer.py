@@ -57,6 +57,26 @@ class SparkSemanticLayer:
 
     # -- compile / execute -------------------------------------------
 
+    def sql(self, semantic_sql: str) -> DataFrame:
+        """Execute semantic SQL text (models as tables, metrics/dims as
+        columns) — the reference's ``layer.sql`` surface."""
+        self.register_sources()
+        return self.spark.sql(self.rewrite(semantic_sql))
+
+    def rewrite(self, semantic_sql: str) -> str:
+        from sidemantic_spark.sql.rewriter import SemanticSqlRewriter
+
+        if not hasattr(self, "_rewriter"):
+            self._rewriter = SemanticSqlRewriter(self)
+        return self._rewriter.rewrite(semantic_sql)
+
+    def explain_sql(self, semantic_sql: str) -> dict:
+        from sidemantic_spark.sql.rewriter import SemanticSqlRewriter
+
+        if not hasattr(self, "_rewriter"):
+            self._rewriter = SemanticSqlRewriter(self)
+        return self._rewriter.explain(semantic_sql)
+
     def compile(
         self,
         metrics: list[str] | None = None,
@@ -69,6 +89,7 @@ class SparkSemanticLayer:
         with_totals: bool = False,
         segments: list[str] | None = None,
         parameters: dict | None = None,
+        table_calcs: list | None = None,
     ) -> str:
         if limit is None:
             limit = self.default_limit
@@ -86,7 +107,12 @@ class SparkSemanticLayer:
             segments=list(segments or []),
             parameters=dict(parameters or {}),
         )
-        return self.generator.generate(spec)
+        sql = self.generator.generate(spec)
+        if table_calcs:
+            from sidemantic_spark.sql.table_calcs import apply_table_calcs
+
+            sql = apply_table_calcs(sql, table_calcs)
+        return sql
 
     @property
     def preaggs(self):

@@ -1,0 +1,260 @@
+"""Semantic SQL rewriter + table calculations vs DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from sidemantic_spark.models.tpch import build_layer
+from sidemantic_spark.sql.generator import QueryCompileError
+from sidemantic_spark.sql.table_calcs import TableCalculation
+from tests.conftest import assert_df_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def layer(spark, sf_dir):
+    return build_layer(spark, sf_dir)
+
+
+def test_simple_semantic_sql(layer, duck):
+    df = layer.sql("SELECT orders.status, orders.revenue FROM orders")
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_semantic_sql_bare_columns_where_order_limit(layer, duck):
+    df = layer.sql(
+        "SELECT status, revenue AS rev FROM orders "
+        "WHERE priority = '1-URGENT' ORDER BY rev DESC LIMIT 2"
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1 ORDER BY rev DESC LIMIT 2
+        """,
+    )
+
+
+def test_semantic_sql_cross_model_refs(layer, duck):
+    df = layer.sql(
+        "SELECT nation.name AS nation_name, orders.revenue FROM orders"
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT n.n_name AS nation_name, SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+        """,
+    )
+
+
+def test_semantic_sql_grain_suffix(layer, duck):
+    df = layer.sql(
+        "SELECT orders.order_date__month AS order_month, orders.revenue FROM orders"
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_semantic_sql_having_metric_filter(layer, duck):
+    df = layer.sql(
+        "SELECT priority, revenue FROM orders HAVING revenue > 10000000"
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderpriority AS priority, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1 HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 10000000
+        """,
+    )
+
+
+def test_semantic_sql_union(layer, duck):
+    df = layer.sql(
+        "SELECT status, revenue FROM orders WHERE status = 'O' "
+        "UNION ALL "
+        "SELECT status, revenue FROM orders WHERE status = 'F'"
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+        UNION ALL
+        SELECT o_orderstatus AS status, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        """,
+    )
+
+
+def test_semantic_sql_ungrouped_dims(layer, duck):
+    df = layer.sql("SELECT status, priority FROM orders WHERE status = 'P'")
+    assert_df_matches_oracle(
+        df,
+        duck,
+        "SELECT o_orderstatus AS status, o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'P'",
+    )
+
+
+def test_semantic_sql_distinct_dims(layer, duck):
+    df = layer.sql("SELECT DISTINCT status, priority FROM orders")
+    assert_df_matches_oracle(
+        df,
+        duck,
+        "SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS priority FROM orders",
+    )
+
+
+def test_semantic_sql_rejects_expressions(layer):
+    with pytest.raises(QueryCompileError, match="unsupported select item"):
+        layer.sql("SELECT revenue * 2 FROM orders")
+
+
+def test_explain_sql(layer):
+    info = layer.explain_sql("SELECT orders.status, orders.revenue FROM orders")
+    assert info["plan"] == "grouped"
+    assert info["models"] == ["orders"]
+    assert not info["used_preagg"]
+
+
+# -- table calculations -------------------------------------------------
+
+def test_percent_of_total(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.status"],
+        table_calcs=[
+            TableCalculation(name="pct_of_total", type="percent_of_total", field="revenue")
+        ],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH q AS (
+            SELECT o_orderstatus AS status, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT status, revenue,
+               CAST(revenue AS DOUBLE) / NULLIF(CAST(SUM(revenue) OVER () AS DOUBLE), 0) AS pct_of_total
+        FROM q
+        """,
+    )
+
+
+def test_rank_and_row_number(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.priority"],
+        table_calcs=[
+            TableCalculation(name="rev_rank", type="rank", order_by=["revenue DESC"]),
+            TableCalculation(name="rn", type="row_number", order_by=["revenue DESC"]),
+        ],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH q AS (
+            SELECT o_orderpriority AS priority, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT priority, revenue,
+               RANK() OVER (ORDER BY revenue DESC) AS rev_rank,
+               ROW_NUMBER() OVER (ORDER BY revenue DESC) AS rn
+        FROM q
+        """,
+    )
+
+
+def test_running_total_and_moving_average(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.order_date__month AS order_month"],
+        table_calcs=[
+            TableCalculation(
+                name="cum", type="running_total", field="revenue", order_by=["order_month"]
+            ),
+            TableCalculation(
+                name="ma3",
+                type="moving_average",
+                field="revenue",
+                order_by=["order_month"],
+                window_size=3,
+            ),
+        ],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH q AS (
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT order_month, revenue,
+               SUM(revenue) OVER (ORDER BY order_month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               CAST(SUM(revenue) OVER (ORDER BY order_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / COUNT(revenue) OVER (ORDER BY order_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3
+        FROM q
+        """,
+    )
+
+
+def test_formula_and_percent_of_previous(layer, duck):
+    df = layer.query(
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["orders.order_date__year AS order_year"],
+        table_calcs=[
+            TableCalculation(
+                name="rev_per_order",
+                type="formula",
+                formula="CAST(revenue AS DOUBLE) / order_count",
+            ),
+            TableCalculation(
+                name="pct_prev",
+                type="percent_of_previous",
+                field="revenue",
+                order_by=["order_year"],
+            ),
+        ],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH q AS (
+            SELECT CAST(DATE_TRUNC('year', o_orderdate) AS TIMESTAMP) AS order_year,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   COUNT(*) AS order_count
+            FROM orders GROUP BY 1
+        )
+        SELECT order_year, revenue, order_count,
+               CAST(revenue AS DOUBLE) / order_count AS rev_per_order,
+               CAST(revenue AS DOUBLE) / NULLIF(CAST(LAG(revenue) OVER (ORDER BY order_year) AS DOUBLE), 0) AS pct_prev
+        FROM q
+        """,
+    )
