@@ -428,16 +428,17 @@ def oracle_sql() -> dict[str, str]:
             WITH joined AS (
                 SELECT DISTINCT l.l_returnflag AS returnflag, o.o_orderkey,
                        CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
-                FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
             )
-            SELECT returnflag, SUM(price) AS revenue, COUNT(*) AS order_count
+            SELECT returnflag, SUM(price) AS revenue,
+                   COUNT(CASE WHEN o_orderkey IS NOT NULL THEN 1 END) AS order_count
             FROM joined GROUP BY 1
         """,
         "fanout_safe_aggs": """
             SELECT l.l_returnflag AS returnflag,
                    MAX(o.o_totalprice) AS max_order_value,
                    COUNT(DISTINCT o.o_custkey) AS customer_count
-            FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
             GROUP BY 1
         """,
         "multifact_split": """
@@ -510,7 +511,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT i.order_month, i.revenue,
                    CAST(i.revenue - p.revenue AS DOUBLE)
-                     / NULLIF(CAST(p.revenue AS DOUBLE), 0) AS revenue_mom
+                     / NULLIF(CAST(p.revenue AS DOUBLE), 0) * 100 AS revenue_mom
             FROM inner_q i
             LEFT JOIN inner_q p ON p.order_month = i.order_month - INTERVAL 1 MONTH
         """,
@@ -547,28 +548,28 @@ def oracle_sql() -> dict[str, str]:
         "retention_weekly": """
             WITH cohorts AS (
                 SELECT user_id AS entity,
-                       CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cohort
+                       CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_date
                 FROM events WHERE event_type = 'signup' GROUP BY 1
             ),
             activity AS (
                 SELECT DISTINCT user_id AS entity,
-                       CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS period
+                       CAST(DATE_TRUNC('week', ts) AS DATE) AS period
                 FROM events
             ),
-            sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1),
+            sizes AS (SELECT cohort_date, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1),
             ret AS (
-                SELECT c.cohort,
-                       CAST(FLOOR(DATEDIFF('day', c.cohort, a.period) / 7) AS INT) AS period_number,
+                SELECT c.cohort_date,
+                       CAST(FLOOR(DATEDIFF('day', c.cohort_date, a.period) / 7) AS INT) AS weeks_since,
                        a.entity
                 FROM cohorts c JOIN activity a ON a.entity = c.entity
-                WHERE a.period >= c.cohort
-                  AND CAST(FLOOR(DATEDIFF('day', c.cohort, a.period) / 7) AS INT) < 5
+                WHERE a.period >= c.cohort_date
+                  AND CAST(FLOOR(DATEDIFF('day', c.cohort_date, a.period) / 7) AS INT) <= 5
             )
-            SELECT r.cohort AS cohort, r.period_number AS period_number,
-                   COUNT(DISTINCT r.entity) AS active_entities,
+            SELECT r.cohort_date AS cohort_date, r.weeks_since AS weeks_since,
+                   COUNT(DISTINCT r.entity) AS active_users,
                    s.cohort_size AS cohort_size,
-                   CAST(COUNT(DISTINCT r.entity) AS DOUBLE) / s.cohort_size AS weekly_retention
-            FROM ret r JOIN sizes s ON s.cohort = r.cohort
+                   ROUND(COUNT(DISTINCT r.entity) * 100.0 / s.cohort_size, 1) AS weekly_retention
+            FROM ret r JOIN sizes s ON s.cohort_date = r.cohort_date
             GROUP BY 1, 2, s.cohort_size
         """,
         "cohort_avg_spend": """

@@ -67,9 +67,14 @@ class SemanticGraph:
     def __init__(self) -> None:
         self.models: dict[str, Model] = {}
         self.metrics: dict[str, Metric] = {}  # graph-level metrics
+        self.parameters: dict[str, object] = {}  # name -> Parameter
         self._adjacency: dict[str, list[JoinHop]] | None = None
         self._path_cache: dict[tuple[str, str, frozenset[str]], list[JoinHop]] = {}
         self.generation = 0  # bumped on mutation; keys compile caches
+
+    def add_parameter(self, param) -> None:
+        self.parameters[param.name] = param
+        self._invalidate()
 
     def add_model(self, model: Model) -> None:
         if model.name in self.models:
@@ -109,8 +114,16 @@ class SemanticGraph:
                     self._add_junction_hops(adj, model, rel)
                     continue
                 target = self.models[rel.name]
-                fk = tuple(rel.fk_list() or model.pk_list())
-                pk = tuple(rel.pk_list(target.pk_list()))
+                # key convention (reference core/semantic_graph.py:415-427,
+                # core/relationship.py:27-31): many_to_one carries the FK
+                # locally and joins the target's PK; one_to_many/one_to_one
+                # join the local PK to the FK on the related model
+                if rel.type in ("one_to_many", "one_to_one"):
+                    fk = tuple(rel.pk_list(model.pk_list()))  # local key
+                    pk = tuple(rel.fk_list() or target.pk_list())  # related FK
+                else:
+                    fk = tuple(rel.fk_list() or model.pk_list())
+                    pk = tuple(rel.pk_list(target.pk_list()))
                 fwd = JoinHop(model.name, rel.name, rel.type, fk, pk, rel.sql)
                 rev = JoinHop(
                     rel.name,
@@ -134,21 +147,27 @@ class SemanticGraph:
         target = self.models.get(rel.name)
         if junction is None or target is None:
             return
-        from_key = rel.through_from_key or f"{model.name}_id"
-        to_key = rel.through_to_key or f"{rel.name}_id"
+
+        def keys(v, default: str) -> tuple[str, ...]:
+            if v is None:
+                return (default,)
+            return tuple(v) if isinstance(v, (list, tuple)) else (v,)
+
+        from_key = keys(rel.through_from_key, f"{model.name}_id")
+        to_key = keys(rel.through_to_key, f"{rel.name}_id")
         mpk = tuple(model.pk_list())
         tpk = tuple(target.pk_list())
         adj[model.name].append(
-            JoinHop(model.name, junction.name, "one_to_many", mpk, (from_key,))
+            JoinHop(model.name, junction.name, "one_to_many", mpk, from_key)
         )
         adj[junction.name].append(
-            JoinHop(junction.name, model.name, "many_to_one", (from_key,), mpk)
+            JoinHop(junction.name, model.name, "many_to_one", from_key, mpk)
         )
         adj[junction.name].append(
-            JoinHop(junction.name, target.name, "many_to_one", (to_key,), tpk)
+            JoinHop(junction.name, target.name, "many_to_one", to_key, tpk)
         )
         adj[target.name].append(
-            JoinHop(target.name, junction.name, "one_to_many", tpk, (to_key,))
+            JoinHop(target.name, junction.name, "one_to_many", tpk, to_key)
         )
 
     # -- path discovery ----------------------------------------------

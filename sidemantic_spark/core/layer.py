@@ -32,9 +32,38 @@ class SparkSemanticLayer:
 
     # -- registry ----------------------------------------------------
 
+    def __enter__(self) -> "SparkSemanticLayer":
+        from sidemantic_spark.core import registry
+
+        registry.push(self)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        from sidemantic_spark.core import registry
+
+        registry.pop(self)
+
     def add_model(self, model: Model) -> Model:
+        if self.graph.models.get(model.name) is model:
+            return model  # already auto-registered via context manager
         self.graph.add_model(model)
         return model
+
+    def load(self, path: str) -> "SparkSemanticLayer":
+        """Load semantic models from a YAML / semantic-SQL file or a
+        directory of them (the reference's ``SemanticLayer(...)`` +
+        adapter load path)."""
+        from sidemantic_spark.authoring import load_path
+
+        load_path(self, path)
+        return self
+
+    def validate(self) -> dict:
+        """Graph-level validation: {'valid': bool, 'errors': [...]}."""
+        from sidemantic_spark.authoring.yaml_io import validate_graph
+
+        errors = validate_graph(self.graph)
+        return {"valid": not errors, "errors": errors}
 
     def add_metric(self, metric: Metric) -> Metric:
         self.graph.add_metric(metric)
@@ -93,6 +122,14 @@ class SparkSemanticLayer:
     ) -> str:
         if limit is None:
             limit = self.default_limit
+        # graph-level parameter defaults, overridden per query
+        defaults = {
+            p.name: p.default_value
+            for p in self.graph.parameters.values()
+            if p.default_value is not None
+        }
+        if defaults:
+            parameters = {**defaults, **(parameters or {})}
         if self.max_limit is not None:
             limit = min(limit, self.max_limit) if limit is not None else self.max_limit
         spec = QuerySpec(

@@ -74,6 +74,7 @@ class Dimension:
     parent: str | None = None  # hierarchy parent dimension name
     window: str | None = None  # window-function dimension (raw OVER sql)
     public: bool = True
+    supported_granularities: list[str] = field(default_factory=list)
 
     @property
     def expr(self) -> str:
@@ -121,10 +122,12 @@ class Metric:
     base_event: str | None = None  # filter SQL for the base step
     conversion_event: str | None = None  # filter SQL for the converting step
     conversion_window: str | None = None  # e.g. "7 days"
+    activity_event: str | None = None  # retention: activity filter SQL
     retention_granularity: str = "month"
     retention_periods: int = 12
     cohort_aggregation: str | None = None  # outer re-aggregation for cohort
     having: str | None = None  # inner HAVING for cohort metrics
+    entity_dimensions: list[str] = field(default_factory=list)  # cohort group dims
 
     # semi-additive
     non_additive_dimension: str | None = None  # time dim that must not sum
@@ -209,8 +212,8 @@ class Relationship:
     primary_key: str | list[str] | None = None
     sql: str | None = None
     through: str | None = None
-    through_from_key: str | None = None
-    through_to_key: str | None = None
+    through_from_key: str | list[str] | None = None  # junction FK -> this model
+    through_to_key: str | list[str] | None = None  # junction FK -> related model
     join_type: str | None = None  # explicit override: left|inner|full
 
     def fk_list(self) -> list[str]:
@@ -232,6 +235,18 @@ class Segment:
 
     name: str
     sql: str
+    description: str | None = None
+
+
+@dataclass
+class Parameter:
+    """Typed query parameter interpolated into filters via ``{{ name }}``
+    (reference ``core/parameter.py``). ``default_value`` applies when the
+    query passes no override."""
+
+    name: str
+    type: str = "string"  # string | number | date
+    default_value: object = None
     description: str | None = None
 
 
@@ -263,6 +278,9 @@ class Model:
         self._dims = {d.name: d for d in self.dimensions}
         self._metrics = {m.name: m for m in self.metrics}
         self._segments = {s.name: s for s in self.segments}
+        from sidemantic_spark.core import registry
+
+        registry.notify_model(self)
 
     def pk_list(self) -> list[str]:
         pk = self.primary_key

@@ -131,12 +131,13 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                     name="customer", type="many_to_one", foreign_key="o_custkey"
                 ),
                 Relationship(
-                    name="lineitem", type="one_to_many", foreign_key="o_orderkey",
-                    primary_key="l_orderkey",
+                    # one_to_many: FK lives on the many side (reference
+                    # core/relationship.py:27-31)
+                    name="lineitem", type="one_to_many", foreign_key="l_orderkey",
+                    primary_key="o_orderkey",
                 ),
             ],
-            default_time_dimension="order_date",
-            default_grain="day",
+            # no default_time_dimension (see events note)
         )
     )
 
@@ -300,8 +301,9 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                     having="value > 0",
                 ),
             ],
-            default_time_dimension="ts",
-            default_grain="day",
+            # no default_time_dimension: it would auto-include ts__day in
+            # every grouped events query (reference generator.py:720-760);
+            # conversion/retention fall back to the sole time dimension
         )
     )
 

@@ -139,6 +139,7 @@ class SqlGenerator:
 
     def _generate(self, spec: QuerySpec) -> str:
         spec = self._apply_parameters_and_segments(spec)
+        spec = self._apply_default_time_dims(spec)
         r = self._resolve(spec)
 
         special = [rm for rm in r.metrics if rm.metric.type in ("conversion", "retention", "cohort")]
@@ -217,6 +218,53 @@ class SqlGenerator:
             )
         return spec
 
+    def _apply_default_time_dims(self, spec: QuerySpec) -> QuerySpec:
+        """Auto-include each metric model's ``default_time_dimension`` at
+        ``default_grain`` when the query selects no time dimension from
+        that model (reference ``sql/generator.py:720-760,1016``)."""
+        models_with_time: set[str] = set()
+        for ref in spec.dimensions:
+            ref, _alias = _split_alias(ref)
+            try:
+                model_name, dim_name, _g = self._parse_ref(ref)
+            except QueryCompileError:
+                continue
+            model = self.graph.models.get(model_name)
+            d = model.dimension(dim_name.split("__", 1)[0]) if model else None
+            if d is not None and d.type == "time":
+                models_with_time.add(model_name)
+        added: list[str] = []
+        seen: set[str] = set()
+        for mref in spec.metrics:
+            mref, _alias = _split_alias(mref)
+            try:
+                model_name, _metric = self._lookup_metric(mref)
+            except QueryCompileError:
+                continue
+            if model_name in seen or model_name in models_with_time:
+                continue
+            seen.add(model_name)
+            model = self.graph.get_model(model_name)
+            if not model.default_time_dimension:
+                continue
+            d = model.dimension(model.default_time_dimension)
+            grain = model.default_grain or (d.granularity if d else None) or "day"
+            added.append(f"{model_name}.{model.default_time_dimension}__{grain}")
+        if not added:
+            return spec
+        return QuerySpec(
+            metrics=spec.metrics,
+            dimensions=list(spec.dimensions) + added,
+            filters=spec.filters,
+            order_by=spec.order_by,
+            limit=spec.limit,
+            offset=spec.offset,
+            ungrouped=spec.ungrouped,
+            with_totals=spec.with_totals,
+            segments=spec.segments,
+            parameters=spec.parameters,
+        )
+
     # ------------------------------------------------------------------
     # resolution
     # ------------------------------------------------------------------
@@ -246,20 +294,23 @@ class SqlGenerator:
         for ref in spec.metrics:
             ref, alias = _split_alias(ref)
             model_name, metric = self._lookup_metric(ref)
-            out = alias or metric.name
+            # dotted graph-metric names alias to their last segment
+            out = alias or metric.name.rsplit(".", 1)[-1]
             if out in used_outs:
                 out = f"{model_name}_{out}"
             used_outs.add(out)
             metrics.append(RMetric(model_name, metric, out))
 
-        # models involved
+        # models involved — dimensions first: they define the grain and
+        # the base model (reference sql/generator.py:1568-1578), so a
+        # joined fact can LEFT-join onto the full dimension domain
         model_names: list[str] = []
-        for rm in metrics:
-            if rm.model not in model_names:
-                model_names.append(rm.model)
         for rd in dims:
             if rd.model not in model_names:
                 model_names.append(rd.model)
+        for rm in metrics:
+            if rm.model not in model_names:
+                model_names.append(rm.model)
         filter_models: list[str] = []
         for f in spec.filters:
             for m, _f, _g in find_refs(f, known):
@@ -331,6 +382,14 @@ class SqlGenerator:
 
     def _lookup_metric(self, ref: str) -> tuple[str, Metric]:
         ref = ref.strip()
+        # graph-level metrics may carry dotted namespace names
+        # (e.g. "finance.revenue_per_order") that shadow no model
+        if ref in self.graph.metrics:
+            metric = self.graph.metrics[ref]
+            owner = self._graph_metric_owner(ref, metric)
+            if owner:
+                return owner, metric
+            raise QueryCompileError(f"graph metric {ref!r} has no resolvable owning model")
         if "." in ref:
             model_name, metric_name = ref.split(".", 1)
             model = self.graph.get_model(model_name)
@@ -338,15 +397,6 @@ class SqlGenerator:
             if metric is None:
                 raise QueryCompileError(f"unknown metric {ref!r}")
             return model_name, metric
-        # graph-level metric or search across models
-        if ref in self.graph.metrics:
-            metric = self.graph.metrics[ref]
-            owners = [
-                name for name, mdl in self.graph.models.items() if mdl.metric(ref) is not None
-            ]
-            if owners:
-                return owners[0], metric
-            raise QueryCompileError(f"graph metric {ref!r} has no owning model")
         owners = [
             (name, mdl.metric(ref)) for name, mdl in self.graph.models.items() if mdl.metric(ref)
         ]
@@ -355,6 +405,29 @@ class SqlGenerator:
         if len(owners) > 1:
             raise QueryCompileError(f"ambiguous metric {ref!r}: " + ", ".join(sorted(n for n, _ in owners)))
         raise QueryCompileError(f"unknown metric {ref!r}")
+
+    def _graph_metric_owner(self, ref: str, metric: Metric) -> str | None:
+        """Owning model for a graph-level metric: a model carrying a
+        same-named metric, else the model of the first child reference
+        (ratio numerator / derived identifier)."""
+        for name, mdl in self.graph.models.items():
+            if mdl.metric(ref) is not None:
+                return name
+        candidates: list[str] = []
+        if metric.type == "ratio":
+            candidates = [c for c in (metric.numerator, metric.denominator) if c]
+        elif metric.type == "derived" and metric.expr:
+            candidates = _identifiers(metric.expr)
+        for cand in candidates:
+            if "." in cand:
+                model_name = cand.split(".", 1)[0]
+                if model_name in self.graph.models:
+                    return model_name
+            else:
+                for name, mdl in self.graph.models.items():
+                    if mdl.metric(cand) is not None:
+                        return name
+        return None
 
     def _metric_name_index(self, models: list[str]) -> set[tuple[str, str]]:
         out = set()
@@ -611,35 +684,86 @@ class SqlGenerator:
     # ------------------------------------------------------------------
     # grouped plan (incl. fan-out dedup)
     # ------------------------------------------------------------------
+    def _dup_map(self, r: Resolved) -> dict[str, bool]:
+        """Per-model row-duplication in the joined relation.
+
+        Walking the join tree from the base: a ``many_to_one`` hop
+        repeats the *target* rows; a ``one_to_many`` hop puts the target
+        at finer grain and fans out every model already joined;
+        ``many_to_many``/``cross`` duplicate both sides (reference
+        fan-out detection ``sql/generator.py:2500-2548`` generalized to
+        a dimension-first base)."""
+        dup: dict[str, bool] = {r.base: False}
+        for h in r.hops:
+            t = h.rel_type
+            if t == "many_to_one":
+                dup[h.to_model] = True
+            elif t == "one_to_one":
+                dup[h.to_model] = dup.get(h.from_model, False)
+            elif t == "one_to_many":
+                dup[h.to_model] = dup.get(h.from_model, False)
+                for k in list(dup):
+                    if k != h.to_model:
+                        dup[k] = True
+            else:  # many_to_many (direct sql), cross
+                for k in list(dup):
+                    dup[k] = True
+                dup[h.to_model] = True
+        return dup
+
     def _grouped_sql(self, r: Resolved) -> str:
-        fanout = any(h.duplicates_left() for h in r.hops)
+        dup = self._dup_map(r)
         unsafe = [
             rm
             for rm in r.metrics
-            for _, comp in [(None, c) for _o, c in self._expand_components(rm)]
+            if dup.get(rm.model, False)
+            for _o, comp in self._expand_components(rm)
             if comp.agg in FANOUT_UNSAFE_AGGS
         ]
         impossible = [
             rm
             for rm in r.metrics
+            if dup.get(rm.model, False)
             for _o, comp in self._expand_components(rm)
             if comp.agg in FANOUT_IMPOSSIBLE_AGGS
         ]
-        if fanout and impossible:
+        if impossible:
             raise QueryCompileError(
                 f"metric {impossible[0].metric.name!r} ({impossible[0].metric.agg}) cannot be "
                 "decomposed under a fan-out join (reference raises too: core/symmetric_aggregate.py)"
             )
-        if fanout and unsafe and r.metrics:
+        if unsafe and r.metrics:
             return self._dedup_grouped_sql(r)
         return self._plain_grouped_sql(r)
 
     def _plain_grouped_sql(self, r: Resolved) -> str:
-        ctes = [self._model_cte(r, m) for m in r.models]
+        # COUNT(*) on a LEFT-joined model would count the outer-join miss
+        # row; count metrics on non-base models count their pk instead,
+        # which needs the pk projected into that model's CTE
+        count_models = {
+            rm.model
+            for rm in r.metrics
+            for _o, comp in self._expand_components(rm)
+            if comp.agg == "count" and comp.sql is None and rm.model != r.base
+        }
+        ctes = [
+            self._model_cte(r, m, include_pk=(m in count_models)) for m in r.models
+        ]
         dim_outs = [rd.out for rd in r.dims]
 
         def value_of(out: str, metric: Metric):
             if metric.agg == "count" and metric.sql is None:
+                owner = next(
+                    (
+                        model_name
+                        for model_name, comps in r.component_metrics.items()
+                        for comp_out, comp in comps
+                        if comp_out == out or comp.name == metric.name
+                    ),
+                    r.base,
+                )
+                if owner in count_models:
+                    return f"{owner}_cte.__pk0"
                 return None
             for model_name, comps in r.component_metrics.items():
                 for comp_out, comp in comps:
@@ -647,12 +771,6 @@ class SqlGenerator:
                         return f"{model_name}_cte.{comp_out}_raw"
             raise QueryCompileError(f"no raw column for metric {metric.name!r}")
 
-        def count_scope(metric: Metric):
-            # COUNT(*) over the joined scope is only correct without joins;
-            # count becomes COUNT of base pk otherwise
-            return None
-
-        select_parts = [f"{r.base}_cte.{o} AS {o}" if False else o for o in []]
         select_parts = []
         for rd in r.dims:
             select_parts.append(f"{rd.model}_cte.{rd.out} AS {rd.out}")
@@ -686,36 +804,40 @@ class SqlGenerator:
 
     def _dedup_grouped_sql(self, r: Resolved) -> str:
         """Entity-grain fan-out-safe plan: join -> DISTINCT over
-        (base pk, dims, raw values) -> aggregate.  Spark-idiomatic
-        replacement for symmetric aggregates (ref
-        core/symmetric_aggregate.py:20, sql/generator.py:3056)."""
+        (metric-model pk, dims, raw values) -> aggregate.
+        Spark-idiomatic replacement for symmetric aggregates (ref
+        core/symmetric_aggregate.py:20, sql/generator.py:3056): the
+        DISTINCT collapses the duplicates the join introduced, keyed by
+        the pk of the model that owns the measures (which may be the
+        base *or* a joined fact under the dimension-first base rule)."""
         if r.spec.ungrouped:
             raise QueryCompileError("ungrouped queries cannot be fan-out corrected")
+        fact = r.metrics[0].model  # single metric model (multifact split ran)
         ctes = [
-            self._model_cte(r, m, include_pk=(m == r.base)) for m in r.models
+            self._model_cte(r, m, include_pk=(m == fact)) for m in r.models
         ]
-        base_model = self.graph.get_model(r.base)
-        pk_cols = [f"__pk{i}" for i in range(len(base_model.pk_list()))]
+        fact_model = self.graph.get_model(fact)
+        pk_cols = [f"__pk{i}" for i in range(len(fact_model.pk_list()))]
 
-        proj = [f"{r.base}_cte.{c} AS {c}" for c in pk_cols]
+        proj = [f"{fact}_cte.{c} AS {c}" for c in pk_cols]
         for rd in r.dims:
             proj.append(f"{rd.model}_cte.{rd.out} AS {rd.out}")
         raw_cols = []
-        for comp_out, comp in r.component_metrics.get(r.base, []):
+        for comp_out, comp in r.component_metrics.get(fact, []):
             if comp.sql:
-                proj.append(f"{r.base}_cte.{comp_out}_raw AS {comp_out}_raw")
+                proj.append(f"{fact}_cte.{comp_out}_raw AS {comp_out}_raw")
                 raw_cols.append(f"{comp_out}_raw")
         filter_cols = set()
         for rm in r.metrics:
             for _o, comp in self._expand_components(rm):
                 for flt in comp.filters:
                     for m, fld, _g in find_refs(flt, set(self.graph.models)):
-                        if m == r.base:
-                            proj.append(f"{r.base}_cte.{fld} AS {fld}")
+                        if m == fact:
+                            proj.append(f"{fact}_cte.{fld} AS {fld}")
                             filter_cols.add(fld)
                         else:
                             raise QueryCompileError(
-                                "metric filters on non-base models are not supported "
+                                "metric filters on non-fact models are not supported "
                                 "under fan-out dedup"
                             )
 
@@ -727,9 +849,13 @@ class SqlGenerator:
 
         dedup = "SELECT DISTINCT * FROM __joined"
 
+        # count-without-sql counts fact rows; outer-join misses leave the
+        # fact pk NULL and must count as zero
+        count_pk = f"CASE WHEN {pk_cols[0]} IS NOT NULL THEN 1 END"
+
         def value_of(out: str, metric: Metric):
             if metric.agg == "count" and metric.sql is None:
-                return None
+                return count_pk
             for model_name, comps in r.component_metrics.items():
                 for comp_out, comp in comps:
                     if comp_out == out or comp.name == metric.name:
@@ -765,7 +891,7 @@ class SqlGenerator:
                     return f"COUNT(CASE WHEN {cond} THEN 1 END)"
                 return metric.agg_sql(f"CASE WHEN {cond} THEN {value} END")
             if metric.agg == "count" and metric.sql is None:
-                return "COUNT(*)"
+                return f"COUNT({value})"
             sql = metric.agg_sql(value)
             if metric.fill_nulls_with is not None:
                 sql = f"COALESCE({sql}, {metric.fill_nulls_with})"
@@ -979,10 +1105,11 @@ class SqlGenerator:
                     expr = f"CAST({base_col} AS DOUBLE) / NULLIF(CAST({prior} AS DOUBLE), 0)"
                 elif calc == "prior":
                     expr = prior
-                else:  # percent_change
+                else:  # percent_change: in percent, reference ×100
+                    # (sql/generator.py:6428)
                     expr = (
                         f"CAST({base_col} - {prior} AS DOUBLE)"
-                        f" / NULLIF(CAST({prior} AS DOUBLE), 0)"
+                        f" / NULLIF(CAST({prior} AS DOUBLE), 0) * 100"
                     )
                 select.append(f"{expr} AS {rm.out}")
             else:
@@ -1014,9 +1141,13 @@ class SqlGenerator:
             raise QueryCompileError(
                 f"conversion metric {m.name!r} needs entity/base_event/conversion_event"
             )
-        tdim_name = m.non_additive_dimension or model.default_time_dimension
+        tdim_name = (
+            m.non_additive_dimension
+            or model.default_time_dimension
+            or self._sole_time_dim(model)
+        )
         if tdim_name is None:
-            raise QueryCompileError(f"model {rm.model!r} needs default_time_dimension")
+            raise QueryCompileError(f"model {rm.model!r} needs a time dimension")
         tdim = model.dimension(tdim_name)
         ts = tdim.expr if tdim else tdim_name
         entity_dim = model.dimension(m.entity)
@@ -1024,8 +1155,7 @@ class SqlGenerator:
         window = interval_sql(m.conversion_window) if m.conversion_window else None
 
         for f in (m.base_event, m.conversion_event):
-            for mo, fld, _g in find_refs(f, set(self.graph.models)):
-                r.extra_cols.setdefault(mo, set()).add(fld)
+            self._event_filter_cols(f, rm.model, r)
         cte_name, cte_sql = self._model_cte(
             r, rm.model, extra_time=[("__ts", ts), ("__entity", entity)]
         )
@@ -1074,63 +1204,90 @@ FROM __flags"""
         out = replace_refs(f, known, lambda m, fld, g: (_date_trunc(g, fld) if g else fld))
         return out
 
+    def _event_filter_cols(self, filt: str, model_name: str, r: Resolved) -> None:
+        """Project every column an event filter touches into the model
+        CTE — both ``model.field`` refs and bare dimension names."""
+        model = self.graph.get_model(model_name)
+        for mo, fld, _g in find_refs(filt, set(self.graph.models)):
+            r.extra_cols.setdefault(mo, set()).add(fld)
+        for ident in _identifiers(filt):
+            if model.dimension(ident) is not None:
+                r.extra_cols.setdefault(model_name, set()).add(ident)
+
     # ------------------------------------------------------------------
     # retention (ref sql/generator.py:4998-5209)
     # ------------------------------------------------------------------
     def _retention_sql(self, r: Resolved, rm: RMetric) -> str:
+        """Retention plan with the reference's output contract
+        (``sql/generator.py:4998-5209``): columns ``cohort_date``,
+        ``{grain}s_since``, ``active_users``, ``cohort_size``,
+        ``retention_pct`` (percentage rounded to 1 decimal); activity
+        rows optionally filtered by ``activity_event``; period bound is
+        inclusive (``<= periods``)."""
         m = rm.metric
         model = self.graph.get_model(rm.model)
-        tdim_name = model.default_time_dimension
+        tdim_name = model.default_time_dimension or self._sole_time_dim(model)
         if not (m.entity and m.base_event and tdim_name):
             raise QueryCompileError(
-                f"retention metric {m.name!r} needs entity/base_event and model default_time_dimension"
+                f"retention metric {m.name!r} needs entity/base_event and a time dimension"
             )
         tdim = model.dimension(tdim_name)
         ts = tdim.expr if tdim else tdim_name
         entity_dim = model.dimension(m.entity)
         entity = entity_dim.expr if entity_dim else m.entity
         grain = m.retention_granularity
-        for mo, fld, _g in find_refs(m.base_event, set(self.graph.models)):
-            r.extra_cols.setdefault(mo, set()).add(fld)
+        periods_label = f"{grain}s_since"
+        for filt in (m.base_event, m.activity_event):
+            if filt:
+                self._event_filter_cols(filt, rm.model, r)
         cte_name, cte_sql = self._model_cte(
             r, rm.model, extra_time=[("__ts", ts), ("__entity", entity)]
         )
         cohort_where = self._rewrite_event_filter(m.base_event, rm.model)
-        period_expr = _period_diff(grain, "c.__cohort", "a.__period")
+        activity_where = (
+            self._rewrite_event_filter(m.activity_event, rm.model)
+            if m.activity_event
+            else "TRUE"
+        )
+        period_expr = _period_diff(grain, "c.cohort_date", "a.__period")
 
         sql = f"""{self._instrumentation(r, 'retention')}
 WITH {cte_name} AS (
     {cte_sql}
 ),
 __cohorts AS (
-    SELECT __entity, {_date_trunc(grain, 'MIN(__ts)')} AS __cohort
+    SELECT __entity, CAST({_date_trunc(grain, 'MIN(__ts)')} AS DATE) AS cohort_date
     FROM {cte_name} WHERE {cohort_where}
     GROUP BY __entity
 ),
 __activity AS (
-    SELECT DISTINCT __entity, {_date_trunc(grain, '__ts')} AS __period
-    FROM {cte_name}
+    SELECT DISTINCT __entity, CAST({_date_trunc(grain, '__ts')} AS DATE) AS __period
+    FROM {cte_name} WHERE {activity_where}
 ),
 __sizes AS (
-    SELECT __cohort, COUNT(*) AS __cohort_size FROM __cohorts GROUP BY __cohort
+    SELECT cohort_date, COUNT(*) AS cohort_size FROM __cohorts GROUP BY cohort_date
 ),
 __ret AS (
-    SELECT c.__cohort, {period_expr} AS period_number, a.__entity
+    SELECT c.cohort_date, {period_expr} AS {periods_label}, a.__entity
     FROM __cohorts c
     JOIN __activity a ON a.__entity = c.__entity
-    WHERE a.__period >= c.__cohort AND {period_expr} < {m.retention_periods}
+    WHERE a.__period >= c.cohort_date AND {period_expr} <= {m.retention_periods}
 )
 SELECT
-    r.__cohort AS cohort,
-    r.period_number AS period_number,
-    COUNT(DISTINCT r.__entity) AS active_entities,
-    s.__cohort_size AS cohort_size,
-    CAST(COUNT(DISTINCT r.__entity) AS DOUBLE) / s.__cohort_size AS {rm.out}
+    r.cohort_date AS cohort_date,
+    r.{periods_label} AS {periods_label},
+    COUNT(DISTINCT r.__entity) AS active_users,
+    s.cohort_size AS cohort_size,
+    ROUND(COUNT(DISTINCT r.__entity) * 100.0 / s.cohort_size, 1) AS {rm.out}
 FROM __ret r
-JOIN __sizes s ON s.__cohort = r.__cohort
-GROUP BY r.__cohort, r.period_number, s.__cohort_size"""
+JOIN __sizes s ON s.cohort_date = r.cohort_date
+GROUP BY r.cohort_date, r.{periods_label}, s.cohort_size"""
         sql += self._order_limit(r)
         return sql
+
+    def _sole_time_dim(self, model) -> str | None:
+        time_dims = [d.name for d in model.dimensions if d.type == "time"]
+        return time_dims[0] if len(time_dims) == 1 else None
 
     # ------------------------------------------------------------------
     # cohort metric (ref sql/generator.py:4694-4997)
@@ -1144,10 +1301,21 @@ GROUP BY r.__cohort, r.period_number, s.__cohort_size"""
             )
         entity_dim = model.dimension(m.entity)
         entity = entity_dim.expr if entity_dim else m.entity
-        cte_name, cte_sql = self._model_cte(
-            r, rm.model, extra_time=[("__entity", entity), ("__val", m.sql)]
-        )
-        dim_cols = [rd.out for rd in r.dims]
+        # the inner value may name a dimension whose sql differs
+        val_dim = model.dimension(m.sql) if m.sql else None
+        val_expr = val_dim.expr if val_dim else m.sql
+        extra = [("__entity", entity), ("__val", val_expr)]
+        # metric-declared grouping dims (ref core/metric.py:342-348
+        # entity_dimensions) join the query's own dimensions
+        ed_cols = []
+        for dname in m.entity_dimensions:
+            if any(rd.out == dname for rd in r.dims):
+                continue
+            d = model.dimension(dname)
+            extra.append((dname, d.expr if d else dname))
+            ed_cols.append(dname)
+        cte_name, cte_sql = self._model_cte(r, rm.model, extra_time=extra)
+        dim_cols = [rd.out for rd in r.dims] + ed_cols
         inner_group = ["__entity"] + dim_cols
         inner = Metric(name="inner", agg=m.agg, sql="__val")
         inner_agg = inner.agg_sql("__val")

@@ -55,16 +55,18 @@ class TableCalculation:
             raise TableCalcError(f"table calc {self.name!r} needs field")
         f = self.field
         if t in ("percent_of_total", "percent_of_column_total"):
+            # percentages, not fractions (ref table_calc_processor.py:184)
             scope = part if t == "percent_of_total" else ""
             return (
-                f"CAST({f} AS DOUBLE) / NULLIF(CAST(SUM({f}) {over(scope)} AS DOUBLE), 0)"
+                f"CAST({f} AS DOUBLE) * 100 / NULLIF(CAST(SUM({f}) {over(scope)} AS DOUBLE), 0)"
                 f" AS {self.name}"
             )
         if t == "percent_of_previous":
             if not order:
                 raise TableCalcError(f"{self.name!r}: percent_of_previous needs order_by")
             return (
-                f"CAST({f} AS DOUBLE) / NULLIF(CAST(LAG({f}) {over(part, order)} AS DOUBLE), 0)"
+                f"(CAST({f} AS DOUBLE) - LAG({f}) {over(part, order)})"
+                f" * 100 / NULLIF(CAST(LAG({f}) {over(part, order)} AS DOUBLE), 0)"
                 f" AS {self.name}"
             )
         if t == "running_total":

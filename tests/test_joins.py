@@ -75,8 +75,9 @@ def test_three_hop_join_with_filter(layer, duck):
 
 
 def test_fanout_dedup_sum(layer, duck):
-    """orders.revenue grouped by a lineitem dim: the one_to_many join
-    fans orders out; SUM must count each order once per group."""
+    """orders.revenue grouped by a lineitem dim: lineitem is the base
+    (dims define the grain) and each order repeats per lineitem; SUM
+    must count each order once per group."""
     df = layer.query(
         metrics=["orders.revenue", "orders.order_count"],
         dimensions=["lineitem.returnflag"],
@@ -87,10 +88,11 @@ def test_fanout_dedup_sum(layer, duck):
         """
         WITH joined AS (
             SELECT DISTINCT l.l_returnflag AS returnflag, o.o_orderkey, o.o_totalprice
-            FROM orders o
-            LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            FROM lineitem l
+            LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
         )
-        SELECT returnflag, SUM(o_totalprice) AS revenue, COUNT(*) AS order_count
+        SELECT returnflag, SUM(o_totalprice) AS revenue,
+               COUNT(CASE WHEN o_orderkey IS NOT NULL THEN 1 END) AS order_count
         FROM joined GROUP BY 1
         """,
     )
@@ -113,8 +115,8 @@ def test_fanout_safe_aggs_passthrough(layer, duck):
         SELECT l.l_returnflag AS returnflag,
                MAX(o.o_totalprice) AS max_order_value,
                COUNT(DISTINCT o.o_custkey) AS customer_count
-        FROM orders o
-        LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        FROM lineitem l
+        LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY 1
         """,
     )

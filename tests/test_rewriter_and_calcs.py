@@ -157,7 +157,7 @@ def test_percent_of_total(layer, duck):
             FROM orders GROUP BY 1
         )
         SELECT status, revenue,
-               CAST(revenue AS DOUBLE) / NULLIF(CAST(SUM(revenue) OVER () AS DOUBLE), 0) AS pct_of_total
+               CAST(revenue AS DOUBLE) * 100 / NULLIF(CAST(SUM(revenue) OVER () AS DOUBLE), 0) AS pct_of_total
         FROM q
         """,
     )
@@ -254,7 +254,8 @@ def test_formula_and_percent_of_previous(layer, duck):
         )
         SELECT order_year, revenue, order_count,
                CAST(revenue AS DOUBLE) / order_count AS rev_per_order,
-               CAST(revenue AS DOUBLE) / NULLIF(CAST(LAG(revenue) OVER (ORDER BY order_year) AS DOUBLE), 0) AS pct_prev
+               (CAST(revenue AS DOUBLE) - LAG(revenue) OVER (ORDER BY order_year))
+                 * 100 / NULLIF(CAST(LAG(revenue) OVER (ORDER BY order_year) AS DOUBLE), 0) AS pct_prev
         FROM q
         """,
     )

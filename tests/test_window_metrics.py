@@ -123,7 +123,7 @@ def test_mom_percent_change(layer, duck):
             FROM orders GROUP BY 1
         )
         SELECT i.order_month, i.revenue,
-               (i.revenue - p.revenue) / NULLIF(p.revenue, 0) AS revenue_mom
+               (i.revenue - p.revenue) / NULLIF(p.revenue, 0) * 100 AS revenue_mom
         FROM inner_q i
         LEFT JOIN inner_q p ON p.order_month = i.order_month - INTERVAL 1 MONTH
         """,
@@ -186,27 +186,27 @@ def test_retention(layer, duck):
         duck,
         """
         WITH cohorts AS (
-            SELECT user_id AS entity, CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cohort
+            SELECT user_id AS entity, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_date
             FROM events WHERE event_type = 'signup' GROUP BY 1
         ),
         activity AS (
-            SELECT DISTINCT user_id AS entity, CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS period
+            SELECT DISTINCT user_id AS entity, CAST(DATE_TRUNC('week', ts) AS DATE) AS period
             FROM events
         ),
-        sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1),
+        sizes AS (SELECT cohort_date, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1),
         ret AS (
-            SELECT c.cohort,
-                   CAST(FLOOR(DATEDIFF('day', c.cohort, a.period) / 7) AS INT) AS period_number,
+            SELECT c.cohort_date,
+                   CAST(FLOOR(DATEDIFF('day', c.cohort_date, a.period) / 7) AS INT) AS weeks_since,
                    a.entity
             FROM cohorts c JOIN activity a ON a.entity = c.entity
-            WHERE a.period >= c.cohort
-              AND CAST(FLOOR(DATEDIFF('day', c.cohort, a.period) / 7) AS INT) < 5
+            WHERE a.period >= c.cohort_date
+              AND CAST(FLOOR(DATEDIFF('day', c.cohort_date, a.period) / 7) AS INT) <= 5
         )
-        SELECT r.cohort AS cohort, r.period_number AS period_number,
-               COUNT(DISTINCT r.entity) AS active_entities,
+        SELECT r.cohort_date AS cohort_date, r.weeks_since AS weeks_since,
+               COUNT(DISTINCT r.entity) AS active_users,
                s.cohort_size AS cohort_size,
-               COUNT(DISTINCT r.entity) / CAST(s.cohort_size AS DOUBLE) AS weekly_retention
-        FROM ret r JOIN sizes s ON s.cohort = r.cohort
+               ROUND(COUNT(DISTINCT r.entity) * 100.0 / s.cohort_size, 1) AS weekly_retention
+        FROM ret r JOIN sizes s ON s.cohort_date = r.cohort_date
         GROUP BY 1, 2, s.cohort_size
         """,
     )
