@@ -49,7 +49,17 @@ _MODEL_KEYS = {
     "dimensions", "metrics", "measures", "relationships", "segments",
     "default_time_dimension", "default_grain", "description", "label",
     "sql_metrics", "sql_segments", "sql_dimensions", "pre_aggregations",
-    "extends", "auto_dimensions", "row_filters", "version",
+    "extends", "auto_dimensions", "row_filters", "security", "version",
+}
+_SECURITY_KEYS = {"access", "row_filters"}
+_EXPLORE_KEYS = {
+    "name", "model", "label", "description", "allowed_dimensions",
+    "allowed_metrics", "default_dimensions", "default_metrics", "filters",
+    "default_filters", "default_order_by", "default_limit", "max_limit",
+}
+_SAVED_QUERY_KEYS = {
+    "name", "explore", "label", "description", "dimensions", "metrics",
+    "filters", "segments", "order_by", "limit", "parameters",
 }
 _DIM_KEYS = {
     "name", "type", "sql", "expr", "granularity", "supported_granularities",
@@ -123,7 +133,12 @@ def load_yaml(layer, text: str, *, source: str = "<yaml>") -> None:
         model_datas = [dict(data)]
         model_datas[0].pop("version", None)
     else:
-        _check_keys(data, {"version", "models", "metrics", "parameters"}, source, errors)
+        _check_keys(
+            data,
+            {"version", "models", "metrics", "parameters", "explores", "saved_queries"},
+            source,
+            errors,
+        )
         model_datas = data.get("models") or []
 
     models: list[Model] = []
@@ -155,6 +170,31 @@ def load_yaml(layer, text: str, *, source: str = "<yaml>") -> None:
             description=pdata.get("description"),
         ))
 
+    explores = []
+    for edata in data.get("explores") or []:
+        _check_keys(edata, _EXPLORE_KEYS, f"explore {edata.get('name', '?')!r}", errors)
+        if not edata.get("name") or not edata.get("model"):
+            errors.append("explore needs name and model")
+            continue
+        from sidemantic_spark.core.consumption import ContractError, Explore
+
+        try:
+            explores.append(Explore(**{k: v for k, v in edata.items() if k in _EXPLORE_KEYS}))
+        except (ContractError, TypeError) as exc:
+            errors.append(str(exc))
+
+    saved_queries = []
+    for sdata in data.get("saved_queries") or []:
+        _check_keys(sdata, _SAVED_QUERY_KEYS, f"saved_query {sdata.get('name', '?')!r}", errors)
+        if not sdata.get("name"):
+            errors.append("saved_query needs name")
+            continue
+        from sidemantic_spark.core.consumption import SavedQuery
+
+        saved_queries.append(
+            SavedQuery(**{k: v for k, v in sdata.items() if k in _SAVED_QUERY_KEYS})
+        )
+
     if errors:
         raise AuthoringError(errors)
 
@@ -173,6 +213,10 @@ def load_yaml(layer, text: str, *, source: str = "<yaml>") -> None:
         layer.graph.add_metric(gm)
     for p in params:
         layer.graph.add_parameter(p)
+    for e in explores:
+        layer.graph.add_explore(e)
+    for sq in saved_queries:
+        layer.graph.add_saved_query(sq)
 
 
 def _resolve_model_extends(md: dict, by_name: dict, errors: list) -> dict:
@@ -303,6 +347,17 @@ def _build_model(md: dict, errors: list) -> Model | None:
             lambda_boundary_grain=pdata.get("lambda_boundary_grain"),
         ))
 
+    security = None
+    sdata = md.get("security")
+    if sdata is not None:
+        _check_keys(sdata, _SECURITY_KEYS, f"{ctx} security", errors)
+        from sidemantic_spark.core.security import SecurityPolicy
+
+        security = SecurityPolicy(
+            access=sdata.get("access", True),
+            row_filters=_listify(sdata.get("row_filters")),
+        )
+
     model = Model(
         name=name,
         table=md.get("table"),
@@ -318,6 +373,7 @@ def _build_model(md: dict, errors: list) -> Model | None:
         default_grain=md.get("default_grain"),
         description=md.get("description"),
         row_filters=_listify(md.get("row_filters")),
+        security=security,
         pre_aggregations=preaggs,
     )
 

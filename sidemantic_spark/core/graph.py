@@ -68,12 +68,22 @@ class SemanticGraph:
         self.models: dict[str, Model] = {}
         self.metrics: dict[str, Metric] = {}  # graph-level metrics
         self.parameters: dict[str, object] = {}  # name -> Parameter
+        self.explores: dict[str, object] = {}  # name -> Explore
+        self.saved_queries: dict[str, object] = {}  # name -> SavedQuery
         self._adjacency: dict[str, list[JoinHop]] | None = None
         self._path_cache: dict[tuple[str, str, frozenset[str]], list[JoinHop]] = {}
         self.generation = 0  # bumped on mutation; keys compile caches
 
     def add_parameter(self, param) -> None:
         self.parameters[param.name] = param
+        self._invalidate()
+
+    def add_explore(self, explore) -> None:
+        self.explores[explore.name] = explore
+        self._invalidate()
+
+    def add_saved_query(self, sq) -> None:
+        self.saved_queries[sq.name] = sq
         self._invalidate()
 
     def add_model(self, model: Model) -> None:

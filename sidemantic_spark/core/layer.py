@@ -28,7 +28,9 @@ class SparkSemanticLayer:
         self.generator = SqlGenerator(self.graph)
         self.default_limit = default_limit
         self.max_limit = max_limit
+        self.enforce_visibility = True
         self._registered_sources: set[str] = set()
+        self._result_cache: dict[str, DataFrame] = {}
 
     # -- registry ----------------------------------------------------
 
@@ -106,6 +108,38 @@ class SparkSemanticLayer:
             self._rewriter = SemanticSqlRewriter(self)
         return self._rewriter.explain(semantic_sql)
 
+    def add_explore(self, explore):
+        self.graph.add_explore(explore)
+        return explore
+
+    def add_saved_query(self, sq):
+        self.graph.add_saved_query(sq)
+        return sq
+
+    def _resolve_contracts(self, kwargs: dict) -> dict:
+        """Expand saved_query / explore kwargs into a concrete query
+        (reference ``core/semantic_layer.py:923,1140``)."""
+        from sidemantic_spark.core.consumption import ContractError
+
+        kwargs = dict(kwargs)
+        sq_name = kwargs.pop("saved_query", None)
+        if sq_name is not None:
+            sq = self.graph.saved_queries.get(sq_name)
+            if sq is None:
+                raise ContractError(f"unknown saved query {sq_name!r}")
+            merged = sq.as_kwargs()
+            merged.update({k: v for k, v in kwargs.items() if v not in (None, [], {})})
+            kwargs = merged
+            if sq.explore and "explore" not in kwargs:
+                kwargs["explore"] = sq.explore
+        explore_name = kwargs.pop("explore", None)
+        if explore_name is not None:
+            explore = self.graph.explores.get(explore_name)
+            if explore is None:
+                raise ContractError(f"unknown explore {explore_name!r}")
+            kwargs = explore.resolve(kwargs)
+        return kwargs
+
     def compile(
         self,
         metrics: list[str] | None = None,
@@ -119,7 +153,29 @@ class SparkSemanticLayer:
         segments: list[str] | None = None,
         parameters: dict | None = None,
         table_calcs: list | None = None,
+        user: dict | None = None,
+        explore: str | None = None,
+        saved_query: str | None = None,
     ) -> str:
+        if explore is not None or saved_query is not None:
+            kwargs = self._resolve_contracts({
+                "metrics": metrics, "dimensions": dimensions, "filters": filters,
+                "order_by": order_by, "limit": limit, "offset": offset,
+                "ungrouped": ungrouped, "with_totals": with_totals,
+                "segments": segments, "parameters": parameters,
+                "table_calcs": table_calcs, "user": user,
+                "explore": explore, "saved_query": saved_query,
+            })
+            return self.compile(**kwargs)
+        if self.enforce_visibility:
+            from sidemantic_spark.core.security import enforce_field_visibility
+
+            enforce_field_visibility(self.graph, {
+                "metrics": metrics or [],
+                "dimensions": dimensions or [],
+                "filters": filters or [],
+                "order_by": order_by or [],
+            })
         if limit is None:
             limit = self.default_limit
         # graph-level parameter defaults, overridden per query
@@ -143,6 +199,7 @@ class SparkSemanticLayer:
             with_totals=with_totals,
             segments=list(segments or []),
             parameters=dict(parameters or {}),
+            user=user,
         )
         sql = self.generator.generate(spec)
         if table_calcs:
@@ -159,20 +216,46 @@ class SparkSemanticLayer:
             self._preagg_manager = PreAggManager(self)
         return self._preagg_manager
 
-    def query(self, **kwargs) -> DataFrame:
+    def query(self, use_cache: bool = False, **kwargs) -> DataFrame:
         self.register_sources()
         sql = self.compile(**kwargs)
+        if use_cache:
+            key = self._cache_key(sql, kwargs.get("user"))
+            hit = self._result_cache.get(key)
+            if hit is not None:
+                return hit
         try:
-            return self.spark.sql(sql)
+            df = self.spark.sql(sql)
         except Exception as exc:  # missing rollup table -> raw fallback
             if "used_preagg=" in sql and "TABLE_OR_VIEW_NOT_FOUND" in str(exc):
                 old = self.generator.use_preaggs
                 self.generator.use_preaggs = False
                 try:
-                    return self.spark.sql(self.compile(**kwargs))
+                    df = self.spark.sql(self.compile(**kwargs))
                 finally:
                     self.generator.use_preaggs = old
-            raise
+            else:
+                raise
+        if use_cache:
+            # content-keyed result cache (ref core/result_cache.py:22-50);
+            # Spark-side: persist the DataFrame, dedup by compiled plan
+            df = df.persist()
+            self._result_cache[key] = df
+        return df
+
+    def _cache_key(self, sql: str, user: dict | None) -> str:
+        import hashlib
+
+        payload = f"{self.graph.generation}|{sorted((user or {}).items())}|{sql}"
+        return hashlib.sha256(payload.encode()).hexdigest()
+
+    def clear_result_cache(self) -> None:
+        for df in self._result_cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._result_cache.clear()
 
     def explain(self, **kwargs) -> str:
         """Compiled Spark SQL plus Catalyst's formatted physical plan."""

@@ -271,7 +271,8 @@ class Model:
     default_time_dimension: str | None = None
     default_grain: str | None = None
     description: str | None = None
-    row_filters: list[str] = field(default_factory=list)  # security policy
+    row_filters: list[str] = field(default_factory=list)  # static row filters
+    security: object | None = None  # SecurityPolicy (access + user row filters)
     pre_aggregations: list = field(default_factory=list)  # [PreAggregation]
 
     def __post_init__(self) -> None:

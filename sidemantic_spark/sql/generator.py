@@ -63,6 +63,7 @@ class QuerySpec:
     with_totals: bool = False
     segments: list[str] = field(default_factory=list)
     parameters: dict = field(default_factory=dict)
+    user: dict | None = None  # security namespace for access/row filters
 
 
 _AS_RE = re.compile(r"^(.*?)\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$")
@@ -135,6 +136,7 @@ class SqlGenerator:
             spec.with_totals,
             tuple(spec.segments),
             tuple(sorted(spec.parameters.items())),
+            tuple(sorted((spec.user or {}).items())),
         )
 
     def _generate(self, spec: QuerySpec) -> str:
@@ -215,6 +217,7 @@ class SqlGenerator:
                 with_totals=spec.with_totals,
                 segments=[],
                 parameters={},
+                user=spec.user,
             )
         return spec
 
@@ -263,6 +266,7 @@ class SqlGenerator:
             with_totals=spec.with_totals,
             segments=spec.segments,
             parameters=spec.parameters,
+            user=spec.user,
         )
 
     # ------------------------------------------------------------------
@@ -319,6 +323,10 @@ class SqlGenerator:
         all_models = model_names + filter_models
         if not all_models:
             raise QueryCompileError("query references no models")
+        for name in all_models:
+            policy = getattr(self.graph.get_model(name), "security", None)
+            if policy is not None:
+                policy.check_access(name, spec.user)
         base = all_models[0]
         hops = self.graph.join_tree(base, all_models[1:])
         join_order = [base] + [h.to_model for h in hops]
@@ -581,6 +589,11 @@ class SqlGenerator:
         )
         where = list(r.pushdown.get(model_name, []))
         where += [rf for rf in model.row_filters]
+        policy = getattr(model, "security", None)
+        if policy is not None:
+            # row-level security lands in the CTE WHERE -> Catalyst pushes
+            # it into the scan (ref sql/generator.py:879-960)
+            where += policy.rendered_row_filters(model_name, r.spec.user)
         source = model.table or (f"({model.sql})" if model.sql else None)
         if source is None:
             raise QueryCompileError(f"model {model_name!r} has no table/sql binding")

@@ -1,0 +1,188 @@
+"""Security policies, field visibility, Explore/SavedQuery contracts,
+result cache.
+
+Reference surfaces: ``core/security.py`` (access gate + row-level
+filters + visibility), ``core/consumption.py:100,168`` (Explore /
+SavedQuery), ``core/result_cache.py`` (content-keyed result cache).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sidemantic_spark.core.consumption import ContractError, Explore, SavedQuery
+from sidemantic_spark.core.layer import SparkSemanticLayer
+from sidemantic_spark.core.model import Dimension, Metric, Model
+from sidemantic_spark.core.security import SecurityError, SecurityPolicy
+from tests.conftest import assert_df_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def layer(spark, sf_dir):
+    from sidemantic_spark.models.tpch import build_layer
+
+    return build_layer(spark, sf_dir)
+
+
+@pytest.fixture()
+def gov_layer(spark, sf_dir):
+    from sidemantic_spark.models.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="orders",
+        table="orders",
+        primary_key="o_orderkey",
+        dimensions=[
+            Dimension(name="status", sql="o_orderstatus"),
+            Dimension(name="priority", sql="o_orderpriority"),
+            Dimension(name="internal_code", sql="o_clerk", public=False),
+        ],
+        metrics=[
+            Metric(name="revenue", agg="sum", sql="CAST(o_totalprice AS DECIMAL(18,2))"),
+            Metric(name="order_count", agg="count"),
+            Metric(name="secret_margin", agg="sum", sql="o_totalprice", public=False),
+        ],
+        security=SecurityPolicy(
+            access="{{ user.role in ('admin', 'analyst') }}",
+            row_filters=["o_orderstatus = '{{ user.allowed_status }}'"],
+        ),
+    ))
+    return layer
+
+
+def test_row_level_security_scopes_rows(gov_layer, duck):
+    df = gov_layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.status"],
+        user={"role": "analyst", "allowed_status": "F"},
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        """,
+    )
+
+
+def test_access_gate_denies(gov_layer):
+    with pytest.raises(SecurityError, match="denied"):
+        gov_layer.compile(metrics=["orders.revenue"], user={"role": "intern",
+                                                           "allowed_status": "F"})
+
+
+def test_missing_user_attribute_raises(gov_layer):
+    # StrictUndefined: missing attributes must not render an empty
+    # (unscoped) filter
+    with pytest.raises(SecurityError, match="template error"):
+        gov_layer.compile(metrics=["orders.revenue"], user={"role": "admin"})
+
+
+def test_visibility_enforced_everywhere(gov_layer):
+    user = {"role": "admin", "allowed_status": "F"}
+    with pytest.raises(SecurityError, match="not public"):
+        gov_layer.compile(metrics=["orders.secret_margin"], user=user)
+    with pytest.raises(SecurityError, match="not public"):
+        gov_layer.compile(metrics=["orders.revenue"],
+                          dimensions=["orders.internal_code"], user=user)
+    with pytest.raises(SecurityError, match="not public"):
+        gov_layer.compile(metrics=["orders.revenue"],
+                          filters=["orders.internal_code = 'x'"], user=user)
+
+
+def test_explore_contract(layer, duck):
+    layer.graph.explores.pop("orders_explore", None)
+    layer.add_explore(Explore(
+        name="orders_explore",
+        model="orders",
+        allowed_metrics=["revenue", "order_count"],
+        allowed_dimensions=["status", "priority"],
+        default_metrics=["revenue"],
+        default_dimensions=["status"],
+        filters=["orders.status != 'P'"],
+        max_limit=100,
+    ))
+    df = layer.query(explore="orders_explore")
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders WHERE o_orderstatus != 'P' GROUP BY 1
+        """,
+    )
+    with pytest.raises(ContractError, match="not allowed"):
+        layer.compile(explore="orders_explore", metrics=["orders.avg_order_value"])
+
+
+def test_saved_query(layer, duck):
+    layer.graph.saved_queries.pop("monthly_revenue", None)
+    layer.add_saved_query(SavedQuery(
+        name="monthly_revenue",
+        metrics=["orders.revenue"],
+        dimensions=["orders.order_date__month AS order_month"],
+        order_by=["order_month"],
+    ))
+    df = layer.query(saved_query="monthly_revenue")
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_result_cache_hits(layer):
+    layer.clear_result_cache()
+    df1 = layer.query(metrics=["orders.revenue"], dimensions=["orders.status"],
+                      use_cache=True)
+    df2 = layer.query(metrics=["orders.revenue"], dimensions=["orders.status"],
+                      use_cache=True)
+    assert df1 is df2  # same persisted DataFrame returned
+    layer.graph._invalidate()  # graph change invalidates the key
+    df3 = layer.query(metrics=["orders.revenue"], dimensions=["orders.status"],
+                      use_cache=True)
+    assert df3 is not df1
+    layer.clear_result_cache()
+
+
+def test_yaml_security_and_contracts(spark):
+    from sidemantic_spark.authoring import load_yaml
+
+    layer = SparkSemanticLayer(spark)
+    load_yaml(layer, """
+version: 1
+models:
+  - name: t
+    table: t
+    primary_key: id
+    security:
+      access: "{{ user.ok }}"
+      row_filters:
+        - "tenant = {{ user.tenant_id }}"
+    dimensions:
+      - name: tenant
+        type: numeric
+    metrics:
+      - name: n
+        agg: count
+explores:
+  - name: t_explore
+    model: t
+    allowed_metrics: [n]
+saved_queries:
+  - name: t_count
+    metrics: [t.n]
+    explore: t_explore
+""")
+    assert layer.graph.models["t"].security.row_filters
+    assert "t_explore" in layer.graph.explores
+    assert "t_count" in layer.graph.saved_queries
+    sql = layer.compile(metrics=["t.n"], user={"ok": True, "tenant_id": 7})
+    assert "tenant = 7" in sql
