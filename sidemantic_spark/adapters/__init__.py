@@ -1,0 +1,41 @@
+"""Import adapters: external semantic-model formats -> our graph.
+
+Re-expression of the reference's adapter surface (``adapters/base.py:9``
+defines parse/export/validate over 15+ formats). We implement the
+highest-traffic importers — Cube, MetricFlow (dbt semantic layer),
+Rill, Superset — translating each into our Model/Metric/Relationship
+objects; everything downstream (compile, execute, preaggs, governance)
+is format-agnostic.
+
+Each adapter is lossy-but-faithful: constructs without a Spark-side
+equivalent (display formatting, dashboards, caching hints) are dropped,
+semantic constructs (measures, dimensions, joins, segments, rollups,
+semi-additive windows) are mapped 1:1.
+"""
+
+from sidemantic_spark.adapters.cube import CubeAdapter
+from sidemantic_spark.adapters.metricflow import MetricFlowAdapter
+from sidemantic_spark.adapters.rill import RillAdapter
+from sidemantic_spark.adapters.superset import SupersetAdapter
+
+ADAPTERS = {
+    "cube": CubeAdapter,
+    "metricflow": MetricFlowAdapter,
+    "rill": RillAdapter,
+    "superset": SupersetAdapter,
+}
+
+
+def import_file(layer, path: str, format: str) -> None:
+    """Parse ``path`` in the named format into ``layer``."""
+    try:
+        adapter_cls = ADAPTERS[format]
+    except KeyError:
+        raise ValueError(
+            f"unknown adapter {format!r} (available: {sorted(ADAPTERS)})"
+        ) from None
+    adapter_cls().parse_file(layer, path)
+
+
+__all__ = ["ADAPTERS", "import_file", "CubeAdapter", "MetricFlowAdapter",
+           "RillAdapter", "SupersetAdapter"]

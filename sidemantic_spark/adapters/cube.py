@@ -1,0 +1,203 @@
+"""Cube (cube.dev) importer.
+
+Maps the Cube YAML data-model (reference ``adapters/cube.py``; public
+schema docs cube.dev/docs/product/data-modeling) onto our graph:
+
+- cube -> Model (``sql_table`` -> table, ``sql`` -> derived SQL)
+- dimensions -> Dimension (type time/string/number/boolean mapped to
+  our 4 semantic types; ``primary_key: true`` collected into the model
+  pk, composite supported)
+- measures -> Metric (type = agg, ``number`` with sql -> derived
+  expression; per-measure ``filters``)
+- joins -> Relationship (cube relationship names ``one_to_many`` /
+  ``many_to_one`` / ``one_to_one`` plus legacy ``belongsTo`` /
+  ``hasMany`` / ``hasOne``; join sql kept as custom condition with
+  ``{from}``/``{to}`` placeholders)
+- segments -> Segment; pre_aggregations (rollup) -> PreAggregation
+
+Views and dashboards are skipped; ``{CUBE}`` placeholders resolve to
+CTE-scoped bare columns.
+"""
+
+from __future__ import annotations
+
+import re
+
+from sidemantic_spark.adapters.base import (
+    AGG_TYPES,
+    AdapterError,
+    BaseAdapter,
+    strip_cube_placeholders,
+)
+from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship, Segment
+from sidemantic_spark.preagg.matcher import PreAggregation
+
+_REL_MAP = {
+    "one_to_many": "one_to_many",
+    "many_to_one": "many_to_one",
+    "one_to_one": "one_to_one",
+    "many_to_many": "many_to_many",
+    "hasMany": "one_to_many",
+    "has_many": "one_to_many",
+    "belongsTo": "many_to_one",
+    "belongs_to": "many_to_one",
+    "hasOne": "one_to_one",
+    "has_one": "one_to_one",
+}
+
+_DIM_TYPES = {
+    "time": "time",
+    "string": "categorical",
+    "number": "numeric",
+    "boolean": "boolean",
+    "geo": "categorical",
+}
+
+
+class CubeAdapter(BaseAdapter):
+    def parse(self, layer, data: dict) -> None:
+        for cube in data.get("cubes") or []:
+            model = self._parse_cube(cube)
+            layer.add_model(model)
+
+    def _parse_cube(self, cube: dict) -> Model:
+        name = cube.get("name")
+        if not name:
+            raise AdapterError("cube missing name")
+
+        pk: list[str] = []
+        dims: list[Dimension] = []
+        for d in cube.get("dimensions") or []:
+            sql = strip_cube_placeholders(d.get("sql"), name)
+            dim = Dimension(
+                name=d["name"],
+                type=_DIM_TYPES.get(d.get("type", "string"), "categorical"),
+                sql=None if sql == d["name"] else sql,
+                description=d.get("description"),
+                label=d.get("title"),
+                public=d.get("public", not d.get("shown") is False),
+            )
+            dims.append(dim)
+            if d.get("primary_key") or d.get("primaryKey"):
+                pk.append(d["name"] if dim.sql is None else dim.sql)
+
+        metrics: list[Metric] = []
+        for m in cube.get("measures") or []:
+            mtype = m.get("type", "count")
+            sql = strip_cube_placeholders(m.get("sql"), name)
+            # metric filters evaluate in the joined scope -> qualify
+            # {CUBE} refs with the model name
+            filters = [
+                _qualify_scope(f["sql"], name)
+                for f in (m.get("filters") or [])
+                if f.get("sql")
+            ]
+            if mtype in AGG_TYPES:
+                metrics.append(Metric(
+                    name=m["name"],
+                    agg=AGG_TYPES[mtype],
+                    sql=sql,
+                    filters=filters,
+                    description=m.get("description"),
+                    label=m.get("title"),
+                ))
+            elif mtype == "number":
+                # formula over other measures / raw SQL
+                metrics.append(Metric(
+                    name=m["name"],
+                    type="derived",
+                    expr=sql,
+                    filters=filters,
+                    description=m.get("description"),
+                ))
+            else:  # unsupported measure types parse as opaque derived
+                metrics.append(Metric(name=m["name"], type="derived", expr=sql))
+
+        rels: list[Relationship] = []
+        for j in cube.get("joins") or []:
+            rel_type = _REL_MAP.get(j.get("relationship", "many_to_one"))
+            if rel_type is None:
+                raise AdapterError(f"cube {name}: unknown relationship {j.get('relationship')!r}")
+            sql = j.get("sql")
+            fk = pk_col = None
+            custom = None
+            if sql:
+                cond = self._join_condition(sql, name, j["name"])
+                fk, pk_col, custom = cond
+            rels.append(Relationship(
+                name=j["name"], type=rel_type,
+                foreign_key=fk, primary_key=pk_col, sql=custom,
+            ))
+
+        segments = [
+            Segment(
+                name=s["name"],
+                # keep the {model} placeholder: the generator resolves it
+                # when the segment is applied (ref core/segment.py:28-36)
+                sql=(s.get("sql") or "TRUE").replace("{CUBE}", "{model}").replace(
+                    f"{{{name}}}", "{model}"
+                ),
+                description=s.get("description"),
+            )
+            for s in cube.get("segments") or []
+        ]
+
+        preaggs = []
+        for pa in cube.get("pre_aggregations") or []:
+            if pa.get("type", "rollup") != "rollup":
+                continue
+            preaggs.append(PreAggregation(
+                name=pa["name"],
+                measures=[_leaf(x) for x in pa.get("measures") or []],
+                dimensions=[_leaf(x) for x in pa.get("dimensions") or []],
+                time_dimension=_leaf(pa.get("time_dimension")) if pa.get("time_dimension") else None,
+                granularity=pa.get("granularity", "day"),
+                partition_granularity=pa.get("partition_granularity"),
+            ))
+
+        return Model(
+            name=name,
+            table=cube.get("sql_table") or cube.get("sqlTable"),
+            sql=cube.get("sql"),
+            primary_key=(pk[0] if len(pk) == 1 else pk) if pk else "id",
+            dimensions=dims,
+            metrics=metrics,
+            relationships=rels,
+            segments=segments,
+            pre_aggregations=preaggs,
+            description=cube.get("description"),
+        )
+
+    def _join_condition(self, sql: str, this: str, other: str):
+        """``{CUBE}.a = {other}.b`` -> (fk=a, pk=b, None); anything more
+        complex keeps the whole condition as custom join SQL with
+        {from}/{to} placeholders."""
+        simple = re.fullmatch(
+            r"\s*\{CUBE\}\.(\w+)\s*=\s*\{" + re.escape(other) + r"\}\.(\w+)\s*",
+            sql,
+        ) or re.fullmatch(
+            r"\s*\{" + re.escape(this) + r"\}\.(\w+)\s*=\s*\{" + re.escape(other) + r"\}\.(\w+)\s*",
+            sql,
+        )
+        if simple:
+            return simple.group(1), simple.group(2), None
+        custom = sql.replace("{CUBE}", "{from}").replace(f"{{{this}}}", "{from}")
+        custom = custom.replace(f"{{{other}}}", "{to}")
+        custom = re.sub(r"\{CUBE\.(\w+)\}", r"{from}.\1", custom)
+        custom = re.sub(r"\{" + re.escape(other) + r"\.(\w+)\}", r"{to}.\1", custom)
+        return None, None, custom
+
+
+def _leaf(ref: str) -> str:
+    """``CUBE.total_revenue`` / ``orders.status`` -> last segment."""
+    return ref.rsplit(".", 1)[-1]
+
+
+def _qualify_scope(sql: str, cube_name: str) -> str:
+    """``{CUBE}.col`` -> ``cube.col`` for joined-scope filter SQL."""
+    out = sql.replace("{CUBE}.", f"{cube_name}.").replace(
+        f"{{{cube_name}}}.", f"{cube_name}."
+    )
+    out = re.sub(r"\{CUBE\.(\w+)\}", rf"{cube_name}.\1", out)
+    out = re.sub(r"\{(\w+)\.(\w+)\}", r"\1.\2", out)
+    return out
