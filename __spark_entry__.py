@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dimensions=["orders.order_date__year AS order_year"],
         ),
         "conversion_funnel": _q(metrics=["events.signup_to_purchase"]),
+        "conversion_funnel_3step": _q(metrics=["events.signup_funnel"]),
         "retention_weekly": _q(metrics=["events.weekly_retention"]),
         "cohort_avg_spend": _q(metrics=["events.avg_user_spend"]),
         "semi_additive_last": _q(
@@ -544,6 +545,30 @@ def oracle_sql() -> dict[str, str]:
                    SUM(converted) AS signup_to_purchase_converted,
                    CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS signup_to_purchase
             FROM flags
+        """,
+        "conversion_funnel_3step": """
+            WITH s1 AS (
+                SELECT user_id AS e, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ),
+            s2 AS (
+                SELECT ev.user_id AS e, MIN(ev.ts) AS t2
+                FROM events ev JOIN s1 ON ev.user_id = s1.e AND ev.ts >= s1.t1
+                WHERE ev.event_type = 'view' GROUP BY 1
+            ),
+            s3 AS (
+                SELECT ev.user_id AS e, MIN(ev.ts) AS t3
+                FROM events ev JOIN s2 ON ev.user_id = s2.e AND ev.ts >= s2.t2
+                WHERE ev.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT COUNT(DISTINCT s1.e) AS total_entities,
+                   COUNT(DISTINCT s1.e) AS step_1_count,
+                   COUNT(DISTINCT s2.e) AS step_2_count,
+                   COUNT(DISTINCT s3.e) AS step_3_count,
+                   COUNT(DISTINCT s3.e) AS signup_funnel
+            FROM s1
+            LEFT JOIN s2 ON s1.e = s2.e
+            LEFT JOIN s3 ON s2.e = s3.e
         """,
         "retention_weekly": """
             WITH cohorts AS (

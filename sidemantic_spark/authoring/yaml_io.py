@@ -72,7 +72,7 @@ _METRIC_KEYS = {
     "numerator", "denominator",
     "window", "grain_to_date", "base_metric",
     "comparison_type", "calculation",
-    "entity", "base_event", "conversion_event", "conversion_window",
+    "entity", "base_event", "conversion_event", "conversion_window", "steps",
     "cohort_event", "activity_event", "periods", "retention_granularity",
     "inner_metrics", "entity_dimensions", "having",
     "non_additive_dimension", "non_additive_window",
@@ -446,6 +446,7 @@ def _build_metric(mdata: dict, *, ctx: str, errors: list) -> Metric | None:
         base_event=base_event,
         conversion_event=mdata.get("conversion_event"),
         conversion_window=mdata.get("conversion_window"),
+        steps=_listify(mdata.get("steps")),
         activity_event=mdata.get("activity_event"),
         retention_granularity=mdata.get("retention_granularity", "month"),
         retention_periods=mdata.get("periods", 12),
@@ -478,16 +479,23 @@ def _post_process_model(model: Model, errors: list) -> None:
             m.base_metric = m.base_metric or m.sql
             m.sql = None
         if m.type in ("conversion", "retention"):
+            def resolve_bare(v: str) -> str | None:
+                if not _is_bare_event_name(v):
+                    return v
+                if event_type_dim is None:
+                    errors.append(
+                        f"model {model.name!r} metric {m.name!r}: bare event "
+                        f"{v!r} needs an event-type dimension"
+                    )
+                    return v
+                return f"{event_type_dim} = '{v}'"
+
             for attr in ("base_event", "conversion_event", "activity_event"):
                 v = getattr(m, attr)
-                if v and _is_bare_event_name(v):
-                    if event_type_dim is None:
-                        errors.append(
-                            f"model {model.name!r} metric {m.name!r}: bare event "
-                            f"{v!r} needs an event-type dimension"
-                        )
-                    else:
-                        setattr(m, attr, f"{event_type_dim} = '{v}'")
+                if v:
+                    setattr(m, attr, resolve_bare(v))
+            if m.steps:
+                m.steps = [resolve_bare(s) for s in m.steps]
 
 
 def _is_bare_event_name(v: str) -> bool:

@@ -31,6 +31,7 @@ class SparkSemanticLayer:
         self.enforce_visibility = True
         self._registered_sources: set[str] = set()
         self._result_cache: dict[str, DataFrame] = {}
+        self.query_log: list[str] = []  # instrumentation headers, recommender input
 
     # -- registry ----------------------------------------------------
 
@@ -206,6 +207,10 @@ class SparkSemanticLayer:
             from sidemantic_spark.sql.table_calcs import apply_table_calcs
 
             sql = apply_table_calcs(sql, table_calcs)
+        # bounded query log feeding the preagg recommender
+        self.query_log.append(sql.split("\n", 1)[0])
+        if len(self.query_log) > 10000:
+            del self.query_log[:5000]
         return sql
 
     @property

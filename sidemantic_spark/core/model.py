@@ -122,6 +122,7 @@ class Metric:
     base_event: str | None = None  # filter SQL for the base step
     conversion_event: str | None = None  # filter SQL for the converting step
     conversion_window: str | None = None  # e.g. "7 days"
+    steps: list[str] = field(default_factory=list)  # N-step funnel filters
     activity_event: str | None = None  # retention: activity filter SQL
     retention_granularity: str = "month"
     retention_periods: int = 12

@@ -284,6 +284,16 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                     conversion_window="7 days",
                 ),
                 Metric(
+                    name="signup_funnel",
+                    type="conversion",
+                    entity="user_id",
+                    steps=[
+                        "events.event_type = 'signup'",
+                        "events.event_type = 'view'",
+                        "events.event_type = 'purchase'",
+                    ],
+                ),
+                Metric(
                     name="weekly_retention",
                     type="retention",
                     entity="user_id",

@@ -91,6 +91,15 @@ class PreAggManager:
     def path_for(self, model: Model, pa: PreAggregation) -> str:
         return os.path.join(self.base_path, pa.physical_name(model.name))
 
+    def recommend(self, min_query_count: int = 10, top_n: int | None = None):
+        """Rollup recommendations from the layer's query log (reference
+        ``core/preagg_recommender.py``, CLI ``preagg recommend``)."""
+        from sidemantic_spark.preagg.recommender import PreAggregationRecommender
+
+        rec = PreAggregationRecommender(self.layer.graph, min_query_count=min_query_count)
+        rec.parse_query_log(self.layer.query_log)
+        return rec.get_recommendations(top_n=top_n)
+
     def materialize(self, model_name: str, preagg_name: str | None = None) -> list[str]:
         """Build (or rebuild) rollup tables; returns physical names."""
         model = self.layer.graph.get_model(model_name)

@@ -1150,9 +1150,12 @@ class SqlGenerator:
     def _conversion_sql(self, r: Resolved, rm: RMetric) -> str:
         m = rm.metric
         model = self.graph.get_model(rm.model)
+        if m.steps:
+            return self._multistep_conversion_sql(r, rm)
         if not (m.entity and m.base_event and m.conversion_event):
             raise QueryCompileError(
-                f"conversion metric {m.name!r} needs entity/base_event/conversion_event"
+                f"conversion metric {m.name!r} needs entity/base_event/conversion_event "
+                "(or an N-step 'steps' list)"
             )
         tdim_name = (
             m.non_additive_dimension
@@ -1209,6 +1212,91 @@ SELECT
 FROM __flags"""
         if r.dims:
             sql += "\nGROUP BY " + ", ".join(rd.out for rd in r.dims)
+        sql += self._order_limit(r)
+        return sql
+
+    def _multistep_conversion_sql(self, r: Resolved, rm: RMetric) -> str:
+        """N-step funnel (ref ``sql/generator.py:5420-5700``): a
+        sequential CTE chain — step_i joins step_{i-1} per entity and
+        only counts events at/after the prior step's earliest timestamp,
+        enforcing chronological order. Output: dims, ``total_entities``,
+        ``step_i_count`` per step, and the last step count under the
+        metric's name."""
+        m = rm.metric
+        model = self.graph.get_model(rm.model)
+        if len(m.steps) < 2:
+            raise QueryCompileError(f"conversion metric {m.name!r}: steps needs >= 2 entries")
+        if not m.entity:
+            raise QueryCompileError(f"conversion metric {m.name!r} needs entity")
+        tdim_name = (
+            m.non_additive_dimension
+            or model.default_time_dimension
+            or self._sole_time_dim(model)
+        )
+        if tdim_name is None:
+            raise QueryCompileError(
+                f"model {rm.model!r} needs a time dimension for chronological step order"
+            )
+        tdim = model.dimension(tdim_name)
+        ts = tdim.expr if tdim else tdim_name
+        entity_dim = model.dimension(m.entity)
+        entity = entity_dim.expr if entity_dim else m.entity
+        for step in m.steps:
+            self._event_filter_cols(step, rm.model, r)
+        cte_name, cte_sql = self._model_cte(
+            r, rm.model, extra_time=[("__ts", ts), ("__entity", entity)]
+        )
+        dim_outs = [rd.out for rd in r.dims]
+        n = len(m.steps)
+
+        ctes = [f"{cte_name} AS (\n    {cte_sql}\n)"]
+        for i, step in enumerate(m.steps, 1):
+            where = self._rewrite_event_filter(step, rm.model)
+            if i == 1:
+                sel = ["__entity", "MIN(__ts) AS step_1_ts"] + dim_outs
+                grp = ["__entity"] + dim_outs
+                ctes.append(
+                    f"__step_1 AS (\n    SELECT {', '.join(sel)}\n"
+                    f"    FROM {cte_name} WHERE {where}\n"
+                    f"    GROUP BY {', '.join(grp)}\n)"
+                )
+            else:
+                prev = f"__step_{i - 1}"
+                sel = [f"s.__entity", f"MIN(s.__ts) AS step_{i}_ts"] + [
+                    f"{prev}.{o}" for o in dim_outs
+                ]
+                grp = ["s.__entity"] + [f"{prev}.{o}" for o in dim_outs]
+                ctes.append(
+                    f"__step_{i} AS (\n    SELECT {', '.join(sel)}\n"
+                    f"    FROM {cte_name} s\n"
+                    f"    JOIN {prev} ON s.__entity = {prev}.__entity"
+                    f" AND s.__ts >= {prev}.step_{i - 1}_ts\n"
+                    f"    WHERE {where}\n"
+                    f"    GROUP BY {', '.join(grp)}\n)"
+                )
+
+        sel = [f"__step_1.{o} AS {o}" for o in dim_outs]
+        sel.append("COUNT(DISTINCT __step_1.__entity) AS total_entities")
+        for i in range(1, n + 1):
+            sel.append(f"COUNT(DISTINCT __step_{i}.__entity) AS step_{i}_count")
+        sel.append(f"COUNT(DISTINCT __step_{n}.__entity) AS {rm.out}")
+        joins = []
+        for i in range(2, n + 1):
+            on = f"__step_{i - 1}.__entity = __step_{i}.__entity"
+            for o in dim_outs:
+                on += f" AND __step_{i - 1}.{o} IS NOT DISTINCT FROM __step_{i}.{o}"
+            joins.append(f"LEFT JOIN __step_{i} ON {on}")
+        ctes_sql = ",\n".join(ctes)
+        sel_sql = ",\n    ".join(sel)
+        joins_sql = "\n".join(joins)
+        sql = f"""{self._instrumentation(r, 'conversion-funnel')}
+WITH {ctes_sql}
+SELECT
+    {sel_sql}
+FROM __step_1
+{joins_sql}"""
+        if dim_outs:
+            sql += "\nGROUP BY " + ", ".join(f"__step_1.{o}" for o in dim_outs)
         sql += self._order_limit(r)
         return sql
 
@@ -1458,8 +1546,21 @@ FROM __per_entity"""
         return body
 
     def _instrumentation(self, r: Resolved, plan: str) -> str:
+        """Leading comment describing the compiled query; drives preagg
+        routing detection and the recommender's query-log analysis
+        (ref ``sql/generator.py:7218``, ``core/preagg_recommender.py:121``)."""
         models = ",".join(r.models)
-        return f"-- sidemantic_spark models={models} plan={plan}"
+        metrics = ",".join(f"{rm.model}.{rm.metric.name}" for rm in r.metrics)
+        dims = ",".join(f"{rd.model}.{rd.name}" for rd in r.dims)
+        grains = ",".join(sorted({rd.grain for rd in r.dims if rd.grain}))
+        out = f"-- sidemantic_spark models={models} plan={plan}"
+        if metrics:
+            out += f" metrics={metrics}"
+        if dims:
+            out += f" dimensions={dims}"
+        if grains:
+            out += f" granularities={grains}"
+        return out
 
     def _assemble(
         self,

@@ -249,3 +249,66 @@ def test_semi_additive_last_snapshot(layer, duck):
         GROUP BY 1
         """,
     )
+
+
+def test_multistep_funnel(layer, duck):
+    """N-step funnel: sequential CTE chain enforcing chronological
+    order (reference sql/generator.py:5420-5700)."""
+    df = layer.query(metrics=["events.signup_funnel"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH s1 AS (
+            SELECT user_id AS e, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT ev.user_id AS e, MIN(ev.ts) AS t2
+            FROM events ev JOIN s1 ON ev.user_id = s1.e AND ev.ts >= s1.t1
+            WHERE ev.event_type = 'view' GROUP BY 1
+        ),
+        s3 AS (
+            SELECT ev.user_id AS e, MIN(ev.ts) AS t3
+            FROM events ev JOIN s2 ON ev.user_id = s2.e AND ev.ts >= s2.t2
+            WHERE ev.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT COUNT(DISTINCT s1.e) AS total_entities,
+               COUNT(DISTINCT s1.e) AS step_1_count,
+               COUNT(DISTINCT s2.e) AS step_2_count,
+               COUNT(DISTINCT s3.e) AS step_3_count,
+               COUNT(DISTINCT s3.e) AS signup_funnel
+        FROM s1
+        LEFT JOIN s2 ON s1.e = s2.e
+        LEFT JOIN s3 ON s2.e = s3.e
+        """,
+    )
+
+
+def test_preagg_recommender(layer):
+    layer.query_log.clear()
+    for _ in range(12):
+        layer.compile(metrics=["orders.revenue"], dimensions=["orders.status"])
+    for _ in range(3):
+        layer.compile(metrics=["orders.revenue"],
+                      dimensions=["orders.order_date__month"])
+    recs = layer.preaggs.recommend(min_query_count=10)
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec.query_count >= 12
+    assert rec.preagg.measures == ["revenue"]
+    assert rec.preagg.dimensions == ["status"]
+    # applying attaches it to the model and routing can now serve it
+    layer.preaggs.recommend(min_query_count=1)  # smoke: low threshold sees both
+    from sidemantic_spark.preagg.recommender import PreAggregationRecommender
+
+    r = PreAggregationRecommender(layer.graph, min_query_count=10)
+    r.parse_query_log(layer.query_log)
+    applied = r.apply(r.get_recommendations()[0])
+    model = layer.graph.get_model("orders")
+    try:
+        assert any(p.name == applied.name for p in model.pre_aggregations)
+    finally:
+        model.pre_aggregations = [p for p in model.pre_aggregations
+                                  if p.name != applied.name]
+        layer.graph._invalidate()
