@@ -1,0 +1,287 @@
+"""Streaming semantic layer: event-stream models over Structured
+Streaming.
+
+The reference has NO streaming surface (SURVEY.md §2.9) — its closest
+concepts are incremental pre-aggregation refresh and lambda rollups
+(``core/pre_aggregation.py:16-24``, ``sql/generator.py:7104-7135``).
+This module is the Spark-native extension the north star asks for: the
+same semantic models (dimensions + metrics), executed continuously.
+
+Design:
+
+- a ``StreamingModelBinding`` attaches a streaming source (file /
+  kafka / rate / an existing streaming DataFrame) to a registered
+  semantic model;
+- ``stream_query`` compiles metrics/dimensions into a windowed
+  streaming aggregation: ``readStream -> withWatermark -> groupBy(
+  window | session_window, dims) -> agg`` — tumbling by default,
+  sliding with ``slide=``, session windows with ``session_gap=``;
+- simple metrics compile via the same ``Metric.agg_sql`` SQL used in
+  batch, applied with ``F.expr`` — one metric definition, two runtimes;
+- ``stream_rollup`` maintains a pre-aggregation continuously:
+  ``foreachBatch`` + dynamic partition overwrite into the same
+  partitioned layout the batch ``PreAggManager`` writes, so the
+  aggregate-aware router serves from a stream-maintained rollup
+  transparently (the reference's "lambda" architecture without the
+  manual union);
+- ``sessionize`` exposes per-entity session assembly with
+  ``session_window`` (no Python state; JVM-side incremental session
+  store).
+
+Scale notes: watermarks bound the state store; the shuffle is on
+(window, dims) exactly like the batch rollup's groupBy, so the same
+skew/salting guidance applies. Late rows beyond the watermark are
+dropped by Spark (documented contract), matching the rollup's
+incremental-refresh window semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from sidemantic_spark.core.model import Model
+
+
+class StreamingError(Exception):
+    pass
+
+
+@dataclass
+class StreamingModelBinding:
+    """Streaming source binding for a semantic model.
+
+    ``source_format``/``source_options`` feed ``spark.readStream`` when
+    no explicit ``stream`` DataFrame is given; ``time_column`` is the
+    event-time column watermarks apply to.
+    """
+
+    model: str
+    time_column: str
+    source_format: str | None = None  # parquet | json | csv | kafka | rate
+    source_path: str | None = None
+    source_options: dict = field(default_factory=dict)
+    schema: object | None = None  # StructType | DDL string (file sources)
+    stream: DataFrame | None = None  # pre-built streaming DataFrame
+
+
+class StreamingSemanticLayer:
+    """Streaming face of a :class:`SparkSemanticLayer`.
+
+    Shares the batch layer's semantic graph; adds per-model stream
+    bindings and windowed compilation.
+    """
+
+    def __init__(self, layer) -> None:
+        self.layer = layer
+        self.bindings: dict[str, StreamingModelBinding] = {}
+
+    def bind(self, binding: StreamingModelBinding) -> StreamingModelBinding:
+        self.layer.graph.get_model(binding.model)  # must exist
+        self.bindings[binding.model] = binding
+        return binding
+
+    # -- source -------------------------------------------------------
+
+    def _source(self, binding: StreamingModelBinding) -> DataFrame:
+        if binding.stream is not None:
+            return binding.stream
+        if not binding.source_format:
+            raise StreamingError(
+                f"model {binding.model!r}: binding needs stream= or source_format="
+            )
+        reader = self.layer.spark.readStream.format(binding.source_format)
+        if binding.schema is not None:
+            reader = reader.schema(binding.schema)
+        for k, v in binding.source_options.items():
+            reader = reader.option(k, v)
+        if binding.source_path:
+            return reader.load(binding.source_path)
+        return reader.load()
+
+    # -- compile ------------------------------------------------------
+
+    def stream_query(
+        self,
+        model_name: str,
+        metrics: list[str],
+        dimensions: list[str] | None = None,
+        window: str = "1 hour",
+        slide: str | None = None,
+        session_gap: str | None = None,
+        watermark: str = "10 minutes",
+        filters: list[str] | None = None,
+    ) -> DataFrame:
+        """Windowed streaming aggregation over a bound model.
+
+        Returns a streaming DataFrame with columns ``window_start``,
+        ``window_end``, the dimensions, and one column per metric —
+        the streaming shape of ``layer.query(metrics, dims +
+        [time__grain])``.
+        """
+        binding = self.bindings.get(model_name)
+        if binding is None:
+            raise StreamingError(f"model {model_name!r} has no stream binding")
+        model = self.layer.graph.get_model(model_name)
+        df = self._source(binding).withWatermark(binding.time_column, watermark)
+
+        for f in filters or []:
+            df = df.where(F.expr(self._strip_model(f, model_name)))
+
+        if session_gap is not None:
+            win = F.session_window(F.col(binding.time_column), session_gap)
+        elif slide is not None:
+            win = F.window(F.col(binding.time_column), window, slide)
+        else:
+            win = F.window(F.col(binding.time_column), window)
+
+        group_cols = [win.alias("__w")]
+        out_dims = []
+        for ref in dimensions or []:
+            dname = ref.split(".", 1)[-1]
+            dim = model.dimension(dname)
+            if dim is None:
+                raise StreamingError(f"unknown dimension {ref!r}")
+            group_cols.append(F.expr(dim.expr).alias(dname))
+            out_dims.append(dname)
+
+        aggs = []
+        for ref in metrics:
+            mname = ref.split(".", 1)[-1]
+            metric = model.metric(mname)
+            if metric is None:
+                raise StreamingError(f"unknown metric {ref!r}")
+            if not metric.is_simple:
+                raise StreamingError(
+                    f"metric {ref!r}: only simple aggregations stream incrementally; "
+                    "complex types (cumulative/comparison/...) are batch plans over "
+                    "the streamed rollup"
+                )
+            expr_sql = metric.agg_sql(metric.sql or "1")
+            if metric.filters:
+                cond = " AND ".join(
+                    f"({self._strip_model(c, model_name)})" for c in metric.filters
+                )
+                inner = metric.sql or "1"
+                expr_sql = metric.agg_sql(f"CASE WHEN {cond} THEN {inner} END")
+            aggs.append(F.expr(expr_sql).alias(mname))
+
+        out = df.groupBy(*group_cols).agg(*aggs)
+        return out.select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            *[F.col(d) for d in out_dims],
+            *[F.col(ref.split(".", 1)[-1]) for ref in metrics],
+        )
+
+    def _strip_model(self, sql: str, model_name: str) -> str:
+        return sql.replace(f"{model_name}.", "").replace("{model}.", "")
+
+    # -- sinks --------------------------------------------------------
+
+    def to_memory_sink(self, df: DataFrame, name: str, await_done: bool = True):
+        """Test/debug sink: run the stream to completion of available
+        data into an in-memory table (``availableNow`` trigger)."""
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete" if not df.isStreaming else "complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if await_done:
+            q.awaitTermination()
+        return q
+
+    def stream_rollup(
+        self,
+        model_name: str,
+        preagg_name: str,
+        checkpoint_dir: str,
+        watermark: str = "10 minutes",
+        base_path: str | None = None,
+    ):
+        """Continuously maintain a pre-aggregation from the model's
+        stream: every micro-batch re-aggregates its windows and
+        dynamic-partition-overwrites the affected partitions of the
+        same parquet layout the batch ``PreAggManager`` writes — the
+        router then serves queries from a stream-fresh rollup.
+        """
+        from sidemantic_spark.preagg.manager import PreAggManager
+
+        binding = self.bindings.get(model_name)
+        if binding is None:
+            raise StreamingError(f"model {model_name!r} has no stream binding")
+        model = self.layer.graph.get_model(model_name)
+        pa = next((p for p in model.pre_aggregations if p.name == preagg_name), None)
+        if pa is None:
+            raise StreamingError(f"unknown pre-aggregation {preagg_name!r}")
+        mgr = PreAggManager(self.layer, **({"base_path": base_path} if base_path else {}))
+        path = mgr.path_for(model, pa)
+        rollup_sql = mgr.rollup_sql(model, pa)
+
+        src = self._source(binding).withWatermark(binding.time_column, watermark)
+
+        def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+            # re-aggregate THE BATCH at rollup grain, then overwrite only
+            # the partitions it touches (idempotent on replay). The temp
+            # view lives on the micro-batch's session clone, so the SQL
+            # must run there too.
+            view = f"__stream_batch_{model_name}_{preagg_name}"
+            batch_df.createOrReplaceTempView(view)
+            agg = batch_df.sparkSession.sql(
+                rollup_sql.replace(model.table or model_name, view, 1)
+            )
+            writer = agg.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            )
+            if pa.partition_granularity:
+                writer = writer.partitionBy("__part")
+            writer.parquet(path)
+            mgr.register_one(model, pa)
+
+        return (
+            src.writeStream.foreachBatch(_refresh)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def sessionize(
+        self,
+        model_name: str,
+        entity: str,
+        gap: str = "30 minutes",
+        watermark: str = "10 minutes",
+        metrics: list[str] | None = None,
+    ) -> DataFrame:
+        """Per-entity session assembly with ``session_window`` —
+        incremental JVM-side session state, no Python UDFs."""
+        binding = self.bindings.get(model_name)
+        if binding is None:
+            raise StreamingError(f"model {model_name!r} has no stream binding")
+        model = self.layer.graph.get_model(model_name)
+        entity_dim = model.dimension(entity)
+        entity_expr = entity_dim.expr if entity_dim else entity
+        df = self._source(binding).withWatermark(binding.time_column, watermark)
+        aggs = [F.count("*").alias("events_in_session")]
+        for ref in metrics or []:
+            mname = ref.split(".", 1)[-1]
+            metric = model.metric(mname)
+            if metric is not None and metric.is_simple:
+                aggs.append(F.expr(metric.agg_sql(metric.sql or "1")).alias(mname))
+        return (
+            df.groupBy(
+                F.session_window(F.col(binding.time_column), gap).alias("__s"),
+                F.expr(entity_expr).alias(entity),
+            )
+            .agg(*aggs)
+            .select(
+                F.col("__s.start").alias("session_start"),
+                F.col("__s.end").alias("session_end"),
+                entity,
+                "events_in_session",
+                *[c for c in (m.split(".", 1)[-1] for m in metrics or [])],
+            )
+        )

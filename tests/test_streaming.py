@@ -1,0 +1,147 @@
+"""Structured Streaming extension tests.
+
+File-source streams over a temp directory with ``availableNow``
+triggers so every test runs to completion deterministically; results
+compare against equivalent batch aggregations over the same files.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sidemantic_spark.core.layer import SparkSemanticLayer
+from sidemantic_spark.core.model import Dimension, Metric, Model
+from sidemantic_spark.streaming import StreamingModelBinding, StreamingSemanticLayer
+
+SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+
+
+@pytest.fixture()
+def stream_setup(spark, tmp_path):
+    src_dir = str(tmp_path / "events_stream")
+    # CAST the value column: a bare 1.0 literal is DECIMAL(2,1), whose
+    # parquet encoding the DOUBLE read schema would misread 10x
+    spark.sql("""
+        SELECT event_id, ts, user_id, event_type, CAST(value AS DOUBLE) AS value
+        FROM VALUES
+            (1L, TIMESTAMP '2026-01-01 10:00:00', 1L, 'view', 1.0),
+            (2L, TIMESTAMP '2026-01-01 10:10:00', 1L, 'purchase', 20.0),
+            (3L, TIMESTAMP '2026-01-01 10:20:00', 2L, 'view', 1.0),
+            (4L, TIMESTAMP '2026-01-01 11:05:00', 1L, 'view', 2.0),
+            (5L, TIMESTAMP '2026-01-01 11:15:00', 2L, 'purchase', 30.0),
+            (6L, TIMESTAMP '2026-01-01 13:00:00', 2L, 'view', 1.0)
+            AS t(event_id, ts, user_id, event_type, value)
+    """).write.mode("overwrite").parquet(src_dir)
+
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="sevents",
+        table="sevents",
+        primary_key="event_id",
+        dimensions=[
+            Dimension(name="event_type"),
+            Dimension(name="ts", type="time"),
+            Dimension(name="user_id", type="numeric"),
+        ],
+        metrics=[
+            Metric(name="event_count", agg="count"),
+            Metric(name="total_value", agg="sum", sql="value"),
+            Metric(name="purchase_value", agg="sum", sql="value",
+                   filters=["sevents.event_type = 'purchase'"]),
+        ],
+    ))
+    slayer = StreamingSemanticLayer(layer)
+    slayer.bind(StreamingModelBinding(
+        model="sevents",
+        time_column="ts",
+        source_format="parquet",
+        source_path=src_dir,
+        schema=SCHEMA,
+    ))
+    return slayer
+
+
+def _run_to_memory(spark, df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+
+def test_tumbling_window_aggregation(spark, stream_setup):
+    df = stream_setup.stream_query(
+        "sevents",
+        metrics=["sevents.event_count", "sevents.total_value"],
+        dimensions=["sevents.event_type"],
+        window="1 hour",
+        watermark="0 seconds",
+    )
+    assert df.isStreaming
+    rows = _run_to_memory(spark, df, "tumbling_out")
+    by_key = {(str(r[0]), r[2]): (r[3], r[4]) for r in rows}
+    assert by_key[("2026-01-01 10:00:00", "view")] == (2, 2.0)
+    assert by_key[("2026-01-01 10:00:00", "purchase")] == (1, 20.0)
+    assert by_key[("2026-01-01 11:00:00", "purchase")] == (1, 30.0)
+    assert by_key[("2026-01-01 13:00:00", "view")] == (1, 1.0)
+
+
+def test_metric_filters_stream(spark, stream_setup):
+    df = stream_setup.stream_query(
+        "sevents",
+        metrics=["sevents.purchase_value"],
+        window="1 day",
+        watermark="0 seconds",
+    )
+    rows = _run_to_memory(spark, df, "filtered_out")
+    assert {(str(r[0]), r[2]) for r in rows} == {("2026-01-01 00:00:00", 50.0)}
+
+
+def test_session_windows(spark, stream_setup):
+    df = stream_setup.sessionize(
+        "sevents", entity="user_id", gap="30 minutes", watermark="0 seconds",
+        metrics=["sevents.total_value"],
+    )
+    rows = _run_to_memory(spark, df, "sessions_out")
+    # user 1: 10:00+10:10 one session, 11:05 another; user 2: 10:20,
+    # 11:15 (>30m apart -> separate), 13:00 separate
+    per_user = {}
+    for _start, _end, user, n, total in rows:
+        per_user.setdefault(user, []).append((n, total))
+    assert sorted(per_user[1]) == [(1, 2.0), (2, 21.0)]
+    assert sorted(per_user[2]) == [(1, 1.0), (1, 1.0), (1, 30.0)]
+
+
+def test_stream_rollup_feeds_router(spark, stream_setup, tmp_path):
+    """foreachBatch-maintained rollup lands in the batch layout and the
+    aggregate-aware router serves from it."""
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    layer = stream_setup.layer
+    model = layer.graph.get_model("sevents")
+    model.pre_aggregations.append(PreAggregation(
+        name="hourly",
+        measures=["event_count", "total_value"],
+        dimensions=["event_type"],
+        time_dimension="ts",
+        granularity="hour",
+    ))
+    layer.graph._invalidate()
+    try:
+        q = stream_setup.stream_rollup(
+            "sevents", "hourly",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            watermark="0 seconds",
+            base_path=str(tmp_path / "rollups"),
+        )
+        q.awaitTermination()
+        sql = layer.compile(metrics=["sevents.event_count"],
+                            dimensions=["sevents.event_type"])
+        assert "used_preagg=sevents_preagg_hourly" in sql
+        rows = {(r["event_type"], r["event_count"])
+                for r in layer.query(metrics=["sevents.event_count"],
+                                     dimensions=["sevents.event_type"]).collect()}
+        assert rows == {("view", 4), ("purchase", 2)}
+    finally:
+        model.pre_aggregations = [p for p in model.pre_aggregations
+                                  if p.name != "hourly"]
+        layer.graph._invalidate()
