@@ -155,6 +155,7 @@ class SparkSemanticLayer:
         parameters: dict | None = None,
         table_calcs: list | None = None,
         user: dict | None = None,
+        timezone: str | None = None,
         explore: str | None = None,
         saved_query: str | None = None,
     ) -> str:
@@ -164,7 +165,7 @@ class SparkSemanticLayer:
                 "order_by": order_by, "limit": limit, "offset": offset,
                 "ungrouped": ungrouped, "with_totals": with_totals,
                 "segments": segments, "parameters": parameters,
-                "table_calcs": table_calcs, "user": user,
+                "table_calcs": table_calcs, "user": user, "timezone": timezone,
                 "explore": explore, "saved_query": saved_query,
             })
             return self.compile(**kwargs)
@@ -201,6 +202,7 @@ class SparkSemanticLayer:
             segments=list(segments or []),
             parameters=dict(parameters or {}),
             user=user,
+            timezone=timezone,
         )
         sql = self.generator.generate(spec)
         if table_calcs:

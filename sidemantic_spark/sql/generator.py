@@ -64,6 +64,7 @@ class QuerySpec:
     segments: list[str] = field(default_factory=list)
     parameters: dict = field(default_factory=dict)
     user: dict | None = None  # security namespace for access/row filters
+    timezone: str | None = None  # localize time dims before truncation
 
 
 _AS_RE = re.compile(r"^(.*?)\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$")
@@ -137,6 +138,7 @@ class SqlGenerator:
             tuple(spec.segments),
             tuple(sorted(spec.parameters.items())),
             tuple(sorted((spec.user or {}).items())),
+            spec.timezone,
         )
 
     def _generate(self, spec: QuerySpec) -> str:
@@ -218,6 +220,7 @@ class SqlGenerator:
                 segments=[],
                 parameters={},
                 user=spec.user,
+                timezone=spec.timezone,
             )
         return spec
 
@@ -267,6 +270,7 @@ class SqlGenerator:
             segments=spec.segments,
             parameters=spec.parameters,
             user=spec.user,
+            timezone=spec.timezone,
         )
 
     # ------------------------------------------------------------------
@@ -285,8 +289,13 @@ class SqlGenerator:
             if dim is None:
                 raise QueryCompileError(f"unknown dimension {ref!r}")
             grain = grain or (dim.granularity if dim.type == "time" else None)
-            expr = dim.expr
+            # window-function dimensions project their raw OVER sql in
+            # the model CTE (ref core/dimension.py:47-50); time dims may
+            # localize before truncation (ref sql/generator.py:378)
+            expr = dim.window if dim.window else dim.expr
             if grain:
+                if spec.timezone and dim.type == "time":
+                    expr = f"FROM_UTC_TIMESTAMP({expr}, '{spec.timezone}')"
                 expr = _date_trunc(grain, expr)
             out = alias or (f"{dim_name}__{grain}" if grain else dim_name)
             if out in used_outs:
@@ -348,6 +357,19 @@ class SqlGenerator:
                 )
                 if is_metric_filter:
                     having.append(conj)
+                    continue
+                # filters on window-function dimensions evaluate after
+                # the CTE's SELECT, never in its WHERE (ref :1301-1304)
+                on_window_dim = any(
+                    (d := self.graph.models.get(m)) is not None
+                    and (wd := d.dimension(fld)) is not None
+                    and wd.window
+                    for m, fld, _g in refs
+                )
+                if on_window_dim:
+                    outer.append(conj)
+                    for m, fld, _g in refs:
+                        extra_cols[m].add(fld)
                     continue
                 if len(ref_models) == 1:
                     target = next(iter(ref_models))
@@ -562,7 +584,10 @@ class SqlGenerator:
         for fld in sorted(r.extra_cols.get(model_name, ())):
             if fld not in cols:
                 dim = model.dimension(fld)
-                cols[fld] = dim.expr if dim else fld
+                if dim is not None and dim.window:
+                    cols[fld] = dim.window
+                else:
+                    cols[fld] = dim.expr if dim else fld
         for hop in r.hops:
             if hop.from_model == model_name:
                 for c in hop.fk_side:

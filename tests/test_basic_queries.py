@@ -225,3 +225,55 @@ def test_count_distinct_and_minmax(layer, duck):
         FROM orders GROUP BY 1
         """,
     )
+
+
+def test_timezone_bucketing(layer, duck):
+    """Time dims localize before truncation (ref sql/generator.py:378)."""
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.order_date__month AS order_month"],
+        timezone="America/New_York",
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS TIMESTAMP)
+                    AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York') AS TIMESTAMP)
+                 AS order_month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_window_dimension(layer, duck):
+    """Dimension.window projects a raw OVER expression in the model CTE
+    (ref core/dimension.py:47-50); filters on it stay outer."""
+    from sidemantic_spark.core.model import Dimension
+
+    events = layer.graph.get_model("events")
+    if events.dimension("next_event") is None:
+        events.add_dimension(Dimension(
+            name="next_event",
+            window="LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)",
+        ))
+        layer.graph._invalidate()
+    df = layer.query(
+        metrics=["events.event_count"],
+        dimensions=["events.next_event"],
+        filters=["events.next_event IS NOT NULL"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH w AS (
+            SELECT LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS next_event
+            FROM events
+        )
+        SELECT next_event, COUNT(*) AS event_count
+        FROM w WHERE next_event IS NOT NULL GROUP BY 1
+        """,
+    )
