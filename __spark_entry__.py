@@ -71,6 +71,38 @@ def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_sql_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _layer(spark, sf_dir).sql(
+        "SELECT orders.status, CAST(orders.revenue AS DOUBLE) / 1000 AS rev_k "
+        "FROM orders ORDER BY rev_k DESC LIMIT 2"
+    )
+
+
+def _semantic_sql_cte_island(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _layer(spark, sf_dir).sql(
+        """
+        WITH rev AS (SELECT orders.status, orders.revenue FROM orders),
+        cnt AS (SELECT orders.status, orders.order_count FROM orders)
+        SELECT r.status AS status, r.revenue AS revenue, c.order_count AS order_count
+        FROM rev r JOIN cnt c ON r.status = c.status
+        """
+    )
+
+
+def _table_calc_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sidemantic_spark.sql.table_calcs import TableCalculation
+
+    return _layer(spark, sf_dir).query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.status"],
+        table_calcs=[
+            TableCalculation(
+                name="pct_of_total", type="percent_of_total", field="revenue"
+            )
+        ],
+    )
+
+
 # ----------------------------------------------------------------------
 # data-pipeline queries
 # ----------------------------------------------------------------------
@@ -250,6 +282,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dimensions=["orders.status"],
         ),
         "dims_only_distinct": _q(dimensions=["orders.status", "orders.priority"]),
+        "segment_filter": _q(
+            metrics=["orders.revenue"],
+            dimensions=["orders.status"],
+            segments=["orders.urgent"],
+        ),
+        "fill_nulls_zero": _q(
+            metrics=["orders.pending_revenue"],
+            dimensions=["orders.priority"],
+        ),
+        "timezone_month": _q(
+            metrics=["orders.revenue"],
+            dimensions=["orders.order_date__month AS order_month"],
+            timezone="America/New_York",
+        ),
+        "relative_date_filter": _q(
+            metrics=["orders.revenue"],
+            dimensions=["orders.status"],
+            filters=["orders.order_date >= 'last 40 years'"],
+        ),
+        "window_dimension": _q(
+            metrics=["events.event_count"],
+            dimensions=["events.next_event"],
+            filters=["events.next_event IS NOT NULL"],
+        ),
+        "semantic_sql_expression": _semantic_sql_expression,
+        "semantic_sql_cte_island": _semantic_sql_cte_island,
+        "table_calc_pct_of_total": _table_calc_pct_of_total,
         # §2.3 joins
         "join_m2o": _q(
             metrics=["orders.revenue"], dimensions=["customer.mktsegment"]
@@ -399,6 +458,63 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dims_only_distinct": """
             SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS priority FROM orders
+        """,
+        "segment_filter": """
+            SELECT o_orderstatus AS status,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+        """,
+        "fill_nulls_zero": """
+            SELECT o_orderpriority AS priority,
+                   COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS pending_revenue
+            FROM orders GROUP BY 1
+        """,
+        "timezone_month": """
+            SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS TIMESTAMP)
+                        AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York') AS TIMESTAMP)
+                     AS order_month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "relative_date_filter": """
+            SELECT o_orderstatus AS status,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders
+            WHERE o_orderdate >= CURRENT_DATE - INTERVAL 40 YEAR
+              AND o_orderdate < CURRENT_DATE + INTERVAL 1 DAY
+            GROUP BY 1
+        """,
+        "window_dimension": """
+            WITH w AS (
+                SELECT LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         AS next_event
+                FROM events
+            )
+            SELECT next_event, COUNT(*) AS event_count
+            FROM w WHERE next_event IS NOT NULL GROUP BY 1
+        """,
+        "semantic_sql_expression": """
+            SELECT o_orderstatus AS status,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 1000 AS rev_k
+            FROM orders GROUP BY 1 ORDER BY rev_k DESC LIMIT 2
+        """,
+        "semantic_sql_cte_island": """
+            SELECT o_orderstatus AS status,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   COUNT(*) AS order_count
+            FROM orders GROUP BY 1
+        """,
+        "table_calc_pct_of_total": """
+            WITH q AS (
+                SELECT o_orderstatus AS status,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT status, revenue,
+                   CAST(revenue AS DOUBLE) * 100
+                     / NULLIF(CAST(SUM(revenue) OVER () AS DOUBLE), 0) AS pct_of_total
+            FROM q
         """,
         "join_m2o": """
             SELECT c.c_mktsegment AS mktsegment,

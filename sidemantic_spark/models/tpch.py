@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from sidemantic_spark.core.layer import SparkSemanticLayer
-from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
+from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship, Segment
 
 TABLES = (
     "region",
@@ -84,6 +84,13 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                     filters=["orders.status = 'O'"],
                 ),
                 Metric(
+                    name="pending_revenue",
+                    agg="sum",
+                    sql="CAST(o_totalprice AS DECIMAL(18,2))",
+                    filters=["orders.status = 'P'"],
+                    fill_nulls_with=0,
+                ),
+                Metric(
                     name="aov_ratio",
                     type="ratio",
                     numerator="revenue",
@@ -125,6 +132,9 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                     comparison_type="yoy",
                     calculation="difference",
                 ),
+            ],
+            segments=[
+                Segment(name="urgent", sql="{model}.priority = '1-URGENT'"),
             ],
             relationships=[
                 Relationship(
@@ -270,6 +280,10 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                 Dimension(name="event_type"),
                 Dimension(name="ts", type="time"),
                 Dimension(name="user_id", type="numeric"),
+                Dimension(
+                    name="next_event",
+                    window="LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)",
+                ),
             ],
             metrics=[
                 Metric(name="event_count", agg="count"),

@@ -132,6 +132,11 @@ class SemanticSqlRewriter:
     # -- internals ----------------------------------------------------
 
     def _rewrite_node(self, sql: str) -> str:
+        # CTE islands: rewrite each WITH body that is a semantic query,
+        # leave plain-SQL bodies and the outer statement intact
+        # (ref sql/query_rewriter.py:4913-4973, :5299-5461)
+        if re.match(r"^\s*WITH\b", sql, re.IGNORECASE):
+            return self._rewrite_with(sql)
         # top-level set operations: rewrite each branch independently
         # (ref sql/query_rewriter.py:4974-4983, :5330-5392)
         for op in _SET_OPS:
@@ -140,7 +145,106 @@ class SemanticSqlRewriter:
                 branches = [self._rewrite_node(p.strip()) for p in parts]
                 joined = f"\n{op}\n".join(f"({b})" for b in branches)
                 return joined
+        # FROM-subquery island: SELECT ... FROM (<semantic select>) alias
+        sub = self._rewrite_from_subquery(sql)
+        if sub is not None:
+            return sub
         return self._rewrite_select(sql)
+
+    def _is_semantic(self, sql: str) -> bool:
+        """Does this SELECT's FROM name a registered model?"""
+        m = re.match(r"^\s*SELECT\b", sql, re.IGNORECASE)
+        if not m:
+            return False
+        parts = _top_level_split(sql, "FROM")
+        if len(parts) < 2:
+            return False
+        tail = parts[1].strip()
+        m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)", tail)
+        return bool(m) and m.group(1) in self.layer.graph.models
+
+    def _rewrite_with(self, sql: str) -> str:
+        body = re.sub(r"^\s*WITH\b", "", sql, count=1, flags=re.IGNORECASE)
+        # scan `name AS ( ... )` items sequentially: a top-level comma
+        # continues the CTE list, anything else starts the outer SELECT
+        ctes: list[tuple[str, str]] = []
+        pos = 0
+        while True:
+            m = re.match(
+                r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", body[pos:], re.IGNORECASE
+            )
+            if not m:
+                raise QueryCompileError(
+                    f"unsupported CTE item: {body[pos:pos + 60]!r}"
+                )
+            start = pos + m.end() - 1
+            depth = 0
+            in_q = False
+            end = None
+            for j in range(start, len(body)):
+                ch = body[j]
+                if ch == "'":
+                    in_q = not in_q
+                elif not in_q:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0:
+                            end = j
+                            break
+            if end is None:
+                raise QueryCompileError("unbalanced parens in WITH clause")
+            ctes.append((m.group(1), body[start + 1 : end].strip()))
+            after = end + 1
+            nxt = re.match(r"\s*,", body[after:])
+            if nxt:
+                pos = after + nxt.end()
+                continue
+            outer = body[after:].strip()
+            break
+        if not outer:
+            raise QueryCompileError("WITH clause has no outer SELECT")
+        rendered = []
+        for name, cte_body in ctes:
+            if self._is_semantic(cte_body):
+                cte_body = self._rewrite_node(cte_body)
+            rendered.append(f"{name} AS (\n{cte_body}\n)")
+        if self._is_semantic(outer):
+            outer = self._rewrite_node(outer)
+        return "WITH " + ",\n".join(rendered) + "\n" + outer
+
+    def _rewrite_from_subquery(self, sql: str) -> str | None:
+        """SELECT ... FROM (<semantic select>) alias ... — rewrite the
+        island, keep the wrapper verbatim (Catalyst optimizes the
+        wrapper; ref keeps wrapper micro-opts we delegate, SURVEY §4)."""
+        parts = _top_level_split(sql, "FROM")
+        if len(parts) < 2:
+            return None
+        tail = parts[1].lstrip()
+        if not tail.startswith("("):
+            return None
+        depth = 0
+        in_q = False
+        end = None
+        for j, ch in enumerate(tail):
+            if ch == "'":
+                in_q = not in_q
+            elif not in_q:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = j
+                        break
+        if end is None:
+            return None
+        inner = tail[1:end].strip()
+        if not self._is_semantic(inner):
+            return None
+        compiled = self._rewrite_node(inner)
+        return f"{parts[0]}FROM (\n{compiled}\n){tail[end + 1:]}"
 
     def _rewrite_select(self, sql: str) -> str:
         m = re.match(r"^\s*SELECT\s+(?:DISTINCT\s+)?(.*)$", sql, re.IGNORECASE | re.DOTALL)
@@ -175,16 +279,19 @@ class SemanticSqlRewriter:
 
         metrics: list[str] = []
         dimensions: list[str] = []
-        for item in _split_items(select_list):
+        items = _split_items(select_list)
+        classified: list[tuple[str, str, str | None]] = []
+        has_expression = False
+        for item in items:
             ref, alias = _split_item_alias(item)
             target = self._classify_ref(ref, base_model)
             if target is None:
-                raise QueryCompileError(
-                    f"unsupported select item {item!r}: semantic SQL items must "
-                    "be model.metric or model.dimension[__grain] references "
-                    "(use the structured query() API for expressions)"
-                )
-            kind, full = target
+                has_expression = True
+                break
+            classified.append((*target, alias))
+        if has_expression:
+            return self._rewrite_expression_select(items, clause_vals, base_model)
+        for kind, full, alias in classified:
             rendered = f"{full} AS {alias}" if alias else full
             (metrics if kind == "metric" else dimensions).append(rendered)
 
@@ -213,6 +320,92 @@ class SemanticSqlRewriter:
             ungrouped=not metrics and _wants_ungrouped(sql),
         )
         return self.layer.generator.generate(spec)
+
+    def _rewrite_expression_select(
+        self, items: list[str], clause_vals: dict[str, str], base_model: str
+    ) -> str:
+        """Ad-hoc expressions over metrics/dims (ref
+        ``sql/query_rewriter.py:5708-5897`` ``_rewrite_expression_query``):
+        compile an inner semantic query projecting every referenced
+        field, then evaluate the expressions in a wrapper SELECT.
+        Catalyst collapses the wrapper projection, so no further
+        micro-optimization is needed (SURVEY §4)."""
+        graph = self.layer.graph
+        inner_metrics: list[str] = []
+        inner_dims: list[str] = []
+        seen: set[str] = set()
+
+        def note(kind: str, full: str) -> str:
+            # output column name the generator produces for a bare ref
+            _, field = full.split(".", 1)
+            if full not in seen:
+                seen.add(full)
+                (inner_metrics if kind == "metric" else inner_dims).append(full)
+            return field
+
+        token_re = re.compile(
+            r"(?<![\w.'])([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?"
+            r"(?:__([a-z]+))?(?![\w.])"
+        )
+
+        def sub_refs(text: str) -> str:
+            out = []
+            for seg in re.split(r"('(?:[^']|'')*')", text):
+                if seg.startswith("'"):
+                    out.append(seg)
+                    continue
+
+                def repl(m: re.Match) -> str:
+                    tok = m.group(0)
+                    target = self._classify_ref(tok, base_model)
+                    if target is None:
+                        return tok
+                    return note(*target)
+
+                out.append(token_re.sub(repl, seg))
+            return "".join(out)
+
+        outer_items = []
+        for i, item in enumerate(items):
+            ref, alias = _split_item_alias(item)
+            target = self._classify_ref(ref, base_model)
+            if target is not None:
+                name = note(*target)
+                outer_items.append(f"{name} AS {alias}" if alias else name)
+                continue
+            rewritten = sub_refs(ref)
+            if rewritten == ref:
+                raise QueryCompileError(
+                    f"unsupported select item {item!r}: references no known "
+                    "metric or dimension"
+                )
+            outer_items.append(f"{rewritten} AS {alias or f'expr_{i}'}")
+
+        filters = []
+        if "WHERE" in clause_vals:
+            filters.append(self._qualify_bare(clause_vals["WHERE"], base_model))
+        having = (
+            sub_refs(clause_vals["HAVING"]) if "HAVING" in clause_vals else None
+        )
+        order_raw = (
+            _split_items(clause_vals["ORDER BY"]) if "ORDER BY" in clause_vals else []
+        )
+        order = [sub_refs(o) for o in order_raw]
+
+        spec = QuerySpec(metrics=inner_metrics, dimensions=inner_dims, filters=filters)
+        inner_sql = self.layer.generator.generate(spec)
+        out = f"SELECT {', '.join(outer_items)}\nFROM (\n{inner_sql}\n) _expr"
+        if having:
+            # the HAVING may reference expression aliases, so filter a
+            # wrapper above the projection (Catalyst collapses it)
+            out = f"SELECT * FROM (\n{out}\n) _h\nWHERE {having}"
+        if order:
+            out += f"\nORDER BY {', '.join(order)}"
+        if "LIMIT" in clause_vals:
+            out += f"\nLIMIT {int(clause_vals['LIMIT'])}"
+        if "OFFSET" in clause_vals:
+            out += f"\nOFFSET {int(clause_vals['OFFSET'])}"
+        return out
 
     def _classify_ref(self, ref: str, base_model: str) -> tuple[str, str] | None:
         ref = ref.strip()

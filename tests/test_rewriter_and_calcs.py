@@ -126,9 +126,90 @@ def test_semantic_sql_distinct_dims(layer, duck):
     )
 
 
-def test_semantic_sql_rejects_expressions(layer):
-    with pytest.raises(QueryCompileError, match="unsupported select item"):
-        layer.sql("SELECT revenue * 2 FROM orders")
+def test_semantic_sql_rejects_unknown_refs(layer):
+    with pytest.raises(QueryCompileError, match="references no known"):
+        layer.sql("SELECT no_such_col * 2 FROM orders")
+
+
+def test_expression_over_metrics(layer, duck):
+    """Ad-hoc expressions over metrics compile to a wrapper select
+    (ref sql/query_rewriter.py:5708-5897 _rewrite_expression_query)."""
+    df = layer.sql(
+        "SELECT orders.status, orders.revenue / 1000 AS rev_k FROM orders "
+        "ORDER BY rev_k DESC LIMIT 2"
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 1000 AS rev_k
+        FROM orders GROUP BY 1 ORDER BY rev_k DESC LIMIT 2
+        """,
+    )
+
+
+def test_expression_having_on_alias(layer, duck):
+    df = layer.sql(
+        "SELECT orders.priority, orders.revenue / orders.order_count AS aov "
+        "FROM orders HAVING aov > 250000 ORDER BY aov DESC"
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT * FROM (
+            SELECT o_orderpriority AS priority,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) / COUNT(*) AS aov
+            FROM orders GROUP BY 1
+        ) WHERE aov > 250000 ORDER BY aov DESC
+        """,
+    )
+
+
+def test_cte_island(layer, duck):
+    """WITH bodies that are semantic queries rewrite independently
+    (ref sql/query_rewriter.py:4913-4973 CTE islands)."""
+    df = layer.sql(
+        """
+        WITH rev AS (SELECT orders.status, orders.revenue FROM orders),
+        cnt AS (SELECT orders.status, orders.order_count FROM orders)
+        SELECT r.status, r.revenue, c.order_count
+        FROM rev r JOIN cnt c ON r.status = c.status
+        """
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+               COUNT(*) AS order_count
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_from_subquery_island(layer, duck):
+    """Plain-SQL wrapper over a semantic subquery (ref
+    sql/query_rewriter.py:5299-5461 subquery islands)."""
+    df = layer.sql(
+        """
+        SELECT MAX(revenue) AS max_rev
+        FROM (SELECT orders.status, orders.revenue FROM orders) t
+        """
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT MAX(revenue) AS max_rev FROM (
+            SELECT o_orderstatus AS status,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+        ) t
+        """,
+    )
 
 
 def test_explain_sql(layer):
