@@ -306,6 +306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dimensions=["events.next_event"],
             filters=["events.next_event IS NOT NULL"],
         ),
+        "complete_sql_measure": _q(
+            metrics=["orders.open_rate", "orders.revenue"],
+            dimensions=["orders.status"],
+        ),
         "semantic_sql_expression": _semantic_sql_expression,
         "semantic_sql_cte_island": _semantic_sql_cte_island,
         "table_calc_pct_of_total": _table_calc_pct_of_total,
@@ -493,6 +497,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT next_event, COUNT(*) AS event_count
             FROM w WHERE next_event IS NOT NULL GROUP BY 1
+        """,
+        "complete_sql_measure": """
+            SELECT o_orderstatus AS status,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END) AS DOUBLE)
+                     / NULLIF(CAST(SUM(o_totalprice) AS DOUBLE), 0) AS open_rate,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
         """,
         "semantic_sql_expression": """
             SELECT o_orderstatus AS status,

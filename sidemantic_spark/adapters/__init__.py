@@ -14,13 +14,19 @@ semi-additive windows) are mapped 1:1.
 """
 
 from sidemantic_spark.adapters.cube import CubeAdapter
+from sidemantic_spark.adapters.hex import HexAdapter
+from sidemantic_spark.adapters.lookml import LookMLAdapter
 from sidemantic_spark.adapters.metricflow import MetricFlowAdapter
+from sidemantic_spark.adapters.omni import OmniAdapter
 from sidemantic_spark.adapters.rill import RillAdapter
 from sidemantic_spark.adapters.superset import SupersetAdapter
 
 ADAPTERS = {
     "cube": CubeAdapter,
+    "hex": HexAdapter,
+    "lookml": LookMLAdapter,
     "metricflow": MetricFlowAdapter,
+    "omni": OmniAdapter,
     "rill": RillAdapter,
     "superset": SupersetAdapter,
 }
@@ -37,5 +43,6 @@ def import_file(layer, path: str, format: str) -> None:
     adapter_cls().parse_file(layer, path)
 
 
-__all__ = ["ADAPTERS", "import_file", "CubeAdapter", "MetricFlowAdapter",
+__all__ = ["ADAPTERS", "import_file", "CubeAdapter", "HexAdapter",
+           "LookMLAdapter", "MetricFlowAdapter", "OmniAdapter",
            "RillAdapter", "SupersetAdapter"]

@@ -1,0 +1,189 @@
+"""Hex semantic-model importer.
+
+Maps Hex's typed semantic YAML (reference ``adapters/hex.py``; public
+docs learn.hex.tech/docs/explore-data/semantic-models) onto our graph:
+
+- ``type: model`` doc (or untyped doc with dimensions/measures) ->
+  Model (``base_sql_table`` -> table, ``base_sql_query`` -> derived SQL)
+- ``dimensions`` -> Dimension (number/string/boolean/date/datetime/
+  timestamp[_tz] mapped to our 4 types; ``expr_sql``/``expr_calc`` ->
+  dimension SQL; ``unique: true`` on the conventional ``id`` dim ->
+  primary key; ``visibility: internal`` -> non-public)
+- ``measures`` -> Metric (``func``+``of`` -> simple agg; ``func_sql``
+  -> opaque complete-SQL measure; ``count_if`` -> filtered count;
+  ``filters`` naming boolean dimensions -> per-metric filters)
+- ``relations`` -> Relationship (``join_sql`` of the shape
+  ``fk = ${other}.pk``; anything richer kept as custom join SQL)
+- ``type: view`` docs are consumption contracts (curated metric/dim
+  lists over a model) -> Explore
+"""
+
+from __future__ import annotations
+
+import re
+
+from sidemantic_spark.adapters.base import AdapterError, BaseAdapter
+from sidemantic_spark.core.consumption import Explore
+from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
+
+_DIM_TYPES = {
+    "number": "numeric",
+    "string": "categorical",
+    "boolean": "boolean",
+    "date": "time",
+    "datetime": "time",
+    "timestamp": "time",
+    "timestamp_tz": "time",
+    "timestamp_ntz": "time",
+}
+
+_FUNCS = {
+    "count": "count",
+    "sum": "sum",
+    "avg": "avg",
+    "min": "min",
+    "max": "max",
+    "count_distinct": "count_distinct",
+    "median": "median",
+    "stddev": "stddev",
+    "stddev_pop": "stddev_pop",
+    "variance": "variance",
+    "variance_pop": "variance_pop",
+}
+
+
+class HexAdapter(BaseAdapter):
+    def parse(self, layer, data: dict) -> None:
+        if not isinstance(data, dict):
+            return
+        dtype = data.get("type")
+        if dtype == "view":
+            self._parse_view(layer, data)
+            return
+        if dtype not in (None, "model"):
+            return
+        if not (data.get("dimensions") or data.get("measures")):
+            return
+        layer.add_model(self._parse_model(data))
+
+    def _parse_model(self, data: dict) -> Model:
+        name = data.get("id") or data.get("name")
+        if not name:
+            raise AdapterError("hex model missing id")
+
+        pk: list[str] = []
+        dims: list[Dimension] = []
+        for d in data.get("dimensions") or []:
+            did = d.get("id")
+            if not did:
+                continue
+            sql = d.get("expr_sql") or d.get("expr_calc")
+            dims.append(
+                Dimension(
+                    name=did,
+                    type=_DIM_TYPES.get(d.get("type", "string"), "categorical"),
+                    sql=sql,
+                    description=d.get("description"),
+                    label=d.get("name"),
+                    public=d.get("visibility") != "internal",
+                )
+            )
+            if d.get("unique"):
+                pk.append(sql or did)
+
+        metrics: list[Metric] = []
+        for m in data.get("measures") or []:
+            mid = m.get("id")
+            if not mid:
+                continue
+            filters = [
+                f"{name}.{f}" for f in (m.get("filters") or []) if isinstance(f, str)
+            ]
+            func = m.get("func")
+            if m.get("func_sql"):
+                metrics.append(
+                    Metric(
+                        name=mid,
+                        sql=m["func_sql"],
+                        sql_is_complete=True,
+                        description=m.get("description"),
+                        public=m.get("visibility") != "internal",
+                    )
+                )
+            elif func == "count_if":
+                cond = m.get("of")
+                metrics.append(
+                    Metric(
+                        name=mid,
+                        agg="count",
+                        filters=filters + ([f"{name}.{cond}"] if cond else []),
+                        description=m.get("description"),
+                    )
+                )
+            elif func in _FUNCS:
+                metrics.append(
+                    Metric(
+                        name=mid,
+                        agg=_FUNCS[func],
+                        sql=m.get("of"),
+                        filters=filters,
+                        description=m.get("description"),
+                        public=m.get("visibility") != "internal",
+                    )
+                )
+            # unknown funcs are skipped rather than mis-aggregated
+
+        rels: list[Relationship] = []
+        for rl in data.get("relations") or []:
+            rid = rl.get("id")
+            rtype = rl.get("type", "many_to_one")
+            join_sql = rl.get("join_sql") or ""
+            m = re.fullmatch(
+                r"\s*(\w+)\s*=\s*\$\{" + re.escape(rid or "") + r"\}\.(\w+)\s*",
+                join_sql,
+            )
+            if m:
+                rels.append(
+                    Relationship(
+                        name=rid,
+                        type=rtype,
+                        foreign_key=m.group(1),
+                        primary_key=m.group(2),
+                    )
+                )
+            elif join_sql:
+                custom = join_sql
+                custom = re.sub(r"\$\{" + re.escape(rid or "") + r"\}", "{to}", custom)
+                custom = re.sub(r"(?<![\w.{])(\w+)(\s*=)", r"{from}.\1\2", custom, count=1)
+                rels.append(Relationship(name=rid, type=rtype, sql=custom))
+
+        derived_sql = data.get("base_sql_query")
+        return Model(
+            name=name,
+            table=data.get("base_sql_table"),
+            sql=derived_sql.strip() if isinstance(derived_sql, str) else None,
+            primary_key=(pk[0] if len(pk) == 1 else pk) if pk else "id",
+            dimensions=dims,
+            metrics=metrics,
+            relationships=rels,
+            description=data.get("description"),
+        )
+
+    def _parse_view(self, layer, data: dict) -> None:
+        base = data.get("base") or data.get("model")
+        if not base:
+            return
+        dims: list[str] = []
+        mets: list[str] = []
+        for c in data.get("contents") or []:
+            dims += [f"{base}.{d}" for d in c.get("dimensions") or []]
+            mets += [f"{base}.{m}" for m in c.get("measures") or []]
+        name = data.get("id") or data.get("name") or f"{base}_view"
+        layer.graph.explores[name] = Explore(
+            name=name,
+            model=base,
+            label=data.get("name"),
+            description=data.get("description"),
+            allowed_dimensions=dims or None,
+            allowed_metrics=mets or None,
+        )

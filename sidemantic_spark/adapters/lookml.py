@@ -1,0 +1,511 @@
+"""LookML importer.
+
+Maps Looker's LookML model format (reference ``adapters/lookml.py``;
+public docs cloud.google.com/looker/docs/reference) onto our graph:
+
+- ``view`` -> Model (``sql_table_name`` -> table, ``derived_table.sql``
+  -> derived SQL)
+- ``dimension`` -> Dimension (string/number/yesno/tier/date mapped onto
+  our 4 semantic types; ``primary_key: yes`` collected, composite ok)
+- ``dimension_group`` (type: time) -> time Dimension named after the
+  group (grain suffixes replace Looker's generated ``_date``/``_month``
+  timeframe fields)
+- ``measure`` -> Metric (count/sum/average/min/max/count_distinct/
+  median; ``number`` -> derived formula over sibling measures;
+  ``filters: [field: "value"]`` -> per-metric filters)
+- ``filter`` blocks (view-scoped, with sql) -> Segment
+- ``explore``/``join`` -> Relationship on the left side of ``sql_on``
+  (``many_to_one``/``one_to_many``/``one_to_one``; other shapes keep
+  the condition as custom join SQL)
+
+The reference parses with the ``lkml`` package; that library is not
+available here, so ``_parse_lkml`` is a small self-contained block
+parser for the subset above (``key: value``, ``key: name { ... }``,
+``sql*`` fields terminated by ``;;``, bracket lists, ``#`` comments).
+``${TABLE}.col`` resolves to the bare column, ``${field}`` inlines the
+referenced dimension (or names a sibling measure in derived formulas),
+``${view.field}`` becomes a cross-model reference.
+"""
+
+from __future__ import annotations
+
+import re
+
+from sidemantic_spark.adapters.base import AdapterError, BaseAdapter
+from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship, Segment
+
+_PLURAL = {
+    "view": "views",
+    "explore": "explores",
+    "join": "joins",
+    "dimension": "dimensions",
+    "dimension_group": "dimension_groups",
+    "measure": "measures",
+    "filter": "filters_blocks",
+    "parameter": "parameters",
+    "set": "sets",
+    "column": "columns",
+    "derived_column": "derived_columns",
+    "aggregate_table": "aggregate_tables",
+}
+
+_DIM_TYPES = {
+    "string": "categorical",
+    "number": "numeric",
+    "yesno": "boolean",
+    "tier": "numeric",
+    "zipcode": "categorical",
+    "location": "categorical",
+    "date": "time",
+    "date_time": "time",
+    "time": "time",
+    "duration": "numeric",
+    "distance": "numeric",
+    "unquoted": "categorical",
+    "int": "numeric",
+}
+
+_MEASURE_AGGS = {
+    "count": "count",
+    "sum": "sum",
+    "average": "avg",
+    "avg": "avg",
+    "min": "min",
+    "max": "max",
+    "count_distinct": "count_distinct",
+    "median": "median",
+    "sum_distinct": "sum",  # fan-out safety is our generator's job
+    "average_distinct": "avg",
+}
+
+
+class _Scanner:
+    def __init__(self, text: str) -> None:
+        self.text = text
+        self.i = 0
+        self.n = len(text)
+
+    def skip_ws(self) -> None:
+        while self.i < self.n:
+            ch = self.text[self.i]
+            if ch in " \t\r\n":
+                self.i += 1
+            elif ch == "#":
+                nl = self.text.find("\n", self.i)
+                self.i = self.n if nl < 0 else nl + 1
+            else:
+                return
+
+    def peek(self) -> str:
+        return self.text[self.i] if self.i < self.n else ""
+
+    def read_ident(self) -> str:
+        m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", self.text[self.i :])
+        if not m:
+            raise AdapterError(
+                f"lookml: expected identifier at {self.text[self.i:self.i + 40]!r}"
+            )
+        self.i += m.end()
+        return m.group(0)
+
+    def read_until_dsemi(self) -> str:
+        end = self.text.find(";;", self.i)
+        if end < 0:
+            raise AdapterError("lookml: unterminated sql field (missing ;;)")
+        out = self.text[self.i : end]
+        self.i = end + 2
+        return out.strip()
+
+    def read_value(self) -> str:
+        ch = self.peek()
+        if ch == '"':
+            m = re.match(r'"((?:[^"\\]|\\.)*)"', self.text[self.i :])
+            if not m:
+                raise AdapterError("lookml: unterminated string")
+            self.i += m.end()
+            return m.group(1)
+        m = re.match(r"[^\s{}\[\]#]+", self.text[self.i :])
+        if not m:
+            raise AdapterError(
+                f"lookml: expected value at {self.text[self.i:self.i + 40]!r}"
+            )
+        self.i += m.end()
+        return m.group(0)
+
+    def read_list(self) -> list[str]:
+        assert self.peek() == "["
+        depth = 0
+        in_q = False
+        start = self.i
+        while self.i < self.n:
+            ch = self.text[self.i]
+            if ch == '"':
+                in_q = not in_q
+            elif not in_q:
+                if ch == "[":
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        inner = self.text[start + 1 : self.i]
+                        self.i += 1
+                        return [
+                            s.strip().strip('"')
+                            for s in _split_list_items(inner)
+                            if s.strip()
+                        ]
+            self.i += 1
+        raise AdapterError("lookml: unterminated list")
+
+
+def _split_list_items(inner: str) -> list[str]:
+    items, buf, in_q = [], [], False
+    for ch in inner:
+        if ch == '"':
+            in_q = not in_q
+            buf.append(ch)
+        elif ch == "," and not in_q:
+            items.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    items.append("".join(buf))
+    return items
+
+
+def _parse_block(sc: _Scanner) -> dict:
+    """Parse `{ key: ... }*` until the matching close brace or EOF."""
+    out: dict = {}
+    while True:
+        sc.skip_ws()
+        if sc.i >= sc.n:
+            return out
+        if sc.peek() == "}":
+            sc.i += 1
+            return out
+        key = sc.read_ident()
+        sc.skip_ws()
+        if sc.peek() != ":":
+            raise AdapterError(f"lookml: expected ':' after {key!r}")
+        sc.i += 1
+        sc.skip_ws()
+        if (
+            key.startswith("sql")
+            or key.endswith("_sql")
+            or key.startswith("expression")
+            or key == "html"
+        ):
+            out[key] = sc.read_until_dsemi()
+            continue
+        if sc.peek() == "[":
+            out[key] = sc.read_list()
+            continue
+        if sc.peek() == "{":
+            # anonymous block (derived_table: { ... })
+            sc.i += 1
+            out[key] = _parse_block(sc)
+            continue
+        name = sc.read_value()
+        sc.skip_ws()
+        # `key: name { ... }` is unambiguously a named block (the
+        # allowlist only names the plurals we collect)
+        if sc.peek() == "{":
+            sc.i += 1
+            block = _parse_block(sc)
+            block["name"] = name
+            plural = _PLURAL.get(key)
+            if plural:
+                out.setdefault(plural, []).append(block)
+            else:
+                out.setdefault(key, block)
+            continue
+        out[key] = name
+
+
+def parse_lkml(text: str) -> dict:
+    """LookML text -> {'views': [...], 'explores': [...], ...}."""
+    return _parse_block(_Scanner(text))
+
+
+class LookMLAdapter(BaseAdapter):
+    def parse_file(self, layer, path: str) -> None:
+        with open(path) as fh:
+            self.parse_text(layer, fh.read())
+
+    def parse(self, layer, data: dict) -> None:
+        self._load(layer, data)
+
+    def parse_text(self, layer, text: str) -> None:
+        self._load(layer, parse_lkml(text))
+
+    # -- internals ----------------------------------------------------
+
+    def _load(self, layer, doc: dict) -> None:
+        raw_views = {v["name"]: v for v in doc.get("views", [])}
+        for name, raw in raw_views.items():
+            raw_views[name] = self._apply_extends(raw, raw_views)
+        for raw in raw_views.values():
+            if raw.get("extension") == "required":
+                continue  # abstract base view, not a queryable model
+            layer.add_model(self._view_to_model(raw))
+        for explore in doc.get("explores", []):
+            self._apply_explore(layer, explore)
+
+    def _apply_extends(self, raw: dict, views: dict, depth: int = 0) -> dict:
+        parents = raw.get("extends") or []
+        if isinstance(parents, str):
+            parents = [parents]
+        if not parents or depth > 8:
+            return raw
+        merged: dict = {}
+        for pname in parents:
+            parent = views.get(pname.strip("*"))
+            if parent is None:
+                continue
+            parent = self._apply_extends(parent, views, depth + 1)
+            for k, v in parent.items():
+                if k in ("name", "extends", "extension"):
+                    continue
+                if isinstance(v, list):
+                    merged.setdefault(k, [])
+                    merged[k] = merged[k] + [x for x in v if x not in merged[k]]
+                else:
+                    merged.setdefault(k, v)
+        for k, v in raw.items():
+            if isinstance(v, list) and isinstance(merged.get(k), list):
+                names = {
+                    x.get("name") for x in v if isinstance(x, dict)
+                }
+                merged[k] = [
+                    x
+                    for x in merged[k]
+                    if not (isinstance(x, dict) and x.get("name") in names)
+                ] + v
+            else:
+                merged[k] = v
+        return merged
+
+    def _view_to_model(self, raw: dict) -> Model:
+        name = raw["name"]
+        dim_sql: dict[str, str] = {}
+        measure_names = {
+            m.get("name") for m in raw.get("measures", []) if m.get("name")
+        }
+
+        def resolve(sql: str | None, *, in_measure: bool = False) -> str | None:
+            """``${TABLE}.c`` -> c; ``${f}`` -> inlined dim SQL or
+            sibling-measure name; ``${v.f}`` -> v.f."""
+            if sql is None:
+                return None
+            out = sql.replace("${TABLE}.", "")
+            out = re.sub(r"\$\{(\w+)\.(\w+)\}", r"\1.\2", out)
+
+            def repl(m: re.Match) -> str:
+                f = m.group(1)
+                if in_measure and f in measure_names:
+                    return f
+                inner = dim_sql.get(f)
+                if inner is None:
+                    return f
+                return f"({inner})" if re.search(r"[^\w.]", inner) else inner
+
+            for _ in range(6):  # nested dimension refs
+                new = re.sub(r"\$\{(\w+)\}", repl, out)
+                if new == out:
+                    break
+                out = new
+            return out.strip()
+
+        pk: list[str] = []
+        dims: list[Dimension] = []
+        for d in raw.get("dimensions", []):
+            dtype = d.get("type", "string")
+            sql = resolve(d.get("sql")) or d["name"]
+            dim_sql[d["name"]] = sql
+            if dtype == "tier":
+                # tier buckets a numeric into ranges; keep the raw value
+                # (bucket labels are presentation-layer)
+                dtype = "number"
+            dims.append(
+                Dimension(
+                    name=d["name"],
+                    type=_DIM_TYPES.get(dtype, "categorical"),
+                    sql=None if sql == d["name"] else sql,
+                    description=_str(d.get("description")),
+                    label=_str(d.get("label")),
+                    public=d.get("hidden") != "yes",
+                )
+            )
+            if d.get("primary_key") == "yes":
+                pk.append(sql)
+        for g in raw.get("dimension_groups", []):
+            if g.get("type") == "duration":
+                continue  # duration groups generate arithmetic fields
+            sql = resolve(g.get("sql")) or g["name"]
+            dim_sql[g["name"]] = sql
+            dims.append(
+                Dimension(
+                    name=g["name"],
+                    type="time",
+                    sql=None if sql == g["name"] else sql,
+                    description=_str(g.get("description")),
+                    public=g.get("hidden") != "yes",
+                )
+            )
+
+        metrics: list[Metric] = []
+        for m in raw.get("measures", []):
+            mtype = m.get("type", "count")
+            sql = resolve(m.get("sql"), in_measure=True)
+            filters = self._measure_filters(m, name, dim_sql)
+            if mtype in _MEASURE_AGGS:
+                metrics.append(
+                    Metric(
+                        name=m["name"],
+                        agg=_MEASURE_AGGS[mtype],
+                        sql=sql,
+                        filters=filters,
+                        description=_str(m.get("description")),
+                        label=_str(m.get("label")),
+                    )
+                )
+            elif mtype in ("number", "yesno"):
+                if not sql:
+                    continue
+                metrics.append(
+                    Metric(
+                        name=m["name"],
+                        type="derived",
+                        expr=sql,
+                        description=_str(m.get("description")),
+                    )
+                )
+            elif mtype in ("percentile", "percent_of_total", "running_total"):
+                # presentation-layer measure types: keep the underlying
+                # aggregate; percent/running shapes are table calcs here
+                if sql:
+                    metrics.append(
+                        Metric(name=m["name"], agg="sum", sql=sql, filters=filters)
+                    )
+            # list/date measures etc. carry no aggregation: skip
+
+        segments = []
+        for f in raw.get("filters_blocks", []):
+            fsql = f.get("sql")
+            if not fsql:
+                continue  # filter-parameter without SQL (templated filters)
+            fsql = fsql.replace("${TABLE}.", "{model}.")
+            fsql = re.sub(r"\$\{(\w+)\}", r"{model}.\1", fsql)
+            segments.append(
+                Segment(
+                    name=f["name"], sql=fsql, description=_str(f.get("description"))
+                )
+            )
+
+        derived = raw.get("derived_table") or {}
+        return Model(
+            name=name,
+            table=raw.get("sql_table_name"),
+            sql=derived.get("sql"),
+            primary_key=(pk[0] if len(pk) == 1 else pk) if pk else "id",
+            dimensions=dims,
+            metrics=metrics,
+            segments=segments,
+            description=_str(raw.get("description")),
+        )
+
+    def _measure_filters(
+        self, m: dict, view: str, dim_sql: dict[str, str]
+    ) -> list[str]:
+        """``filters: [status: "delivered", amount: ">500"]`` ->
+        qualified filter SQL (Looker filter-expression subset)."""
+        out = []
+        raw = m.get("filters")
+        if isinstance(raw, dict):  # legacy `filters: { field: f value: v }`
+            f, v = raw.get("field"), raw.get("value")
+            raw = [f"{f}: \"{v}\""] if f and v else []
+        for item in raw or []:
+            fm = re.match(r"\s*([\w.]+)\s*:\s*\"?(.*?)\"?\s*$", item)
+            if not fm:
+                continue
+            field, val = fm.group(1), fm.group(2)
+            ref = field if "." in field else f"{view}.{field}"
+            op_m = re.match(r"(>=|<=|!=|<>|>|<)\s*(.+)$", val)
+            if op_m:
+                op = "!=" if op_m.group(1) == "<>" else op_m.group(1)
+                out.append(f"{ref} {op} {op_m.group(2)}")
+            elif re.fullmatch(r"\d+\s+(day|week|month|quarter|year)s?", val):
+                out.append(f"{ref} >= 'last {val}'")
+            elif val.upper() in ("NULL",):
+                out.append(f"{ref} IS NULL")
+            elif val.startswith("-"):
+                out.append(f"{ref} != '{val[1:]}'")
+            else:
+                out.append(f"{ref} = '{val}'")
+        return out
+
+    def _apply_explore(self, layer, explore: dict) -> None:
+        base = explore.get("from") or explore.get("view_name") or explore["name"]
+        if base not in layer.graph.models:
+            return
+        for j in explore.get("joins", []):
+            jname = j.get("from") or j["name"]
+            if jname not in layer.graph.models:
+                continue
+            rel_type = j.get("relationship", "many_to_one")
+            sql_on = j.get("sql_on")
+            if not sql_on:
+                continue
+            cond = re.fullmatch(
+                r"\s*\$\{(\w+)\.(\w+)\}\s*=\s*\$\{(\w+)\.(\w+)\}\s*", sql_on
+            )
+            if cond:
+                av, ac, bv, bc = cond.groups()
+                # orient so `left` is the non-joined side of the ON
+                if av == jname and bv != jname:
+                    av, ac, bv, bc = bv, bc, av, ac
+                if bv != jname or av not in layer.graph.models:
+                    continue
+                left = layer.graph.get_model(av)
+                if any(r.name == jname for r in left.relationships):
+                    continue
+                if rel_type == "many_to_one":
+                    rel = Relationship(
+                        name=jname, type="many_to_one", foreign_key=ac, primary_key=bc
+                    )
+                elif rel_type == "one_to_many":
+                    rel = Relationship(
+                        name=jname, type="one_to_many", foreign_key=bc, primary_key=ac
+                    )
+                elif rel_type == "one_to_one":
+                    rel = Relationship(
+                        name=jname, type="one_to_one", foreign_key=ac, primary_key=bc
+                    )
+                else:  # many_to_many without junction: custom equi-join
+                    rel = Relationship(
+                        name=jname,
+                        type="many_to_one",
+                        sql="{from}." + ac + " = {to}." + bc,
+                    )
+                left.relationships.append(rel)
+                layer.graph._invalidate()
+            else:
+                # complex ON: custom join SQL on the explore base
+                left = layer.graph.get_model(base)
+                if any(r.name == jname for r in left.relationships):
+                    continue
+                custom = re.sub(r"\$\{" + re.escape(base) + r"\.(\w+)\}", r"{from}.\1", sql_on)
+                custom = re.sub(r"\$\{" + re.escape(jname) + r"\.(\w+)\}", r"{to}.\1", custom)
+                custom = re.sub(r"\$\{(\w+)\.(\w+)\}", r"\1.\2", custom)
+                left.relationships.append(
+                    Relationship(
+                        name=jname,
+                        type=j.get("relationship", "many_to_one"),
+                        sql=custom,
+                    )
+                )
+                layer.graph._invalidate()
+
+
+def _str(v) -> str | None:
+    return v if isinstance(v, str) else None

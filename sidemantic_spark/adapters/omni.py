@@ -1,0 +1,189 @@
+"""Omni importer.
+
+Maps Omni's view/model YAML (reference ``adapters/omni.py``; public
+docs docs.omni.co/docs/modeling) onto our graph:
+
+- view file -> Model (``table_name`` (+``schema``) -> table;
+  ``dimensions``/``measures`` are *mappings* field-name -> props)
+- dimension props: ``sql`` (``${TABLE}.col``), ``type`` (string/
+  number/timestamp/date/boolean), ``primary_key: true``
+- measure props: ``aggregate_type`` (count/sum/average/...), ``sql``
+  (``${view.field}`` resolves to the view's dimension), ``filters``
+  (``{field: {is: value}}`` -> per-metric filter SQL)
+- ``relationships`` (model.yaml or relationships.yaml, a list) ->
+  Relationship on the ``join_from_view`` model, keys parsed from
+  ``on_sql ${a.x} = ${b.y}``
+
+Views without an explicit ``name`` are named ``{schema}__{filestem}``
+(Omni's cross-file reference convention). Topics/snapshots/dbt blocks
+are consumption/lineage metadata and are skipped.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import yaml
+
+from sidemantic_spark.adapters.base import BaseAdapter
+from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
+
+_DIM_TYPES = {
+    "string": "categorical",
+    "number": "numeric",
+    "boolean": "boolean",
+    "yesno": "boolean",
+    "timestamp": "time",
+    "date": "time",
+    "datetime": "time",
+}
+
+_AGGS = {
+    "count": "count",
+    "sum": "sum",
+    "average": "avg",
+    "avg": "avg",
+    "min": "min",
+    "max": "max",
+    "count_distinct": "count_distinct",
+    "median": "median",
+}
+
+
+class OmniAdapter(BaseAdapter):
+    def parse_file(self, layer, path: str) -> None:
+        with open(path) as fh:
+            docs = [d for d in yaml.safe_load_all(fh.read()) if d is not None]
+        stem = os.path.basename(path)
+        for suffix in (".view.yaml", ".view.yml", ".yaml", ".yml"):
+            if stem.endswith(suffix):
+                stem = stem[: -len(suffix)]
+                break
+        for doc in docs:
+            self.parse(layer, doc, filestem=stem)
+
+    def parse(self, layer, data, filestem: str | None = None) -> None:
+        if isinstance(data, list):  # relationships.yaml
+            self._parse_relationships(layer, data)
+            return
+        if not isinstance(data, dict):
+            return
+        if data.get("relationships"):
+            self._parse_relationships(layer, data["relationships"])
+        if isinstance(data.get("dimensions"), dict) or isinstance(
+            data.get("measures"), dict
+        ):
+            layer.add_model(self._parse_view(data, filestem))
+
+    def _parse_view(self, data: dict, filestem: str | None) -> Model:
+        schema = data.get("schema")
+        name = data.get("name") or (
+            f"{schema}__{filestem}" if schema and filestem else filestem or "view"
+        )
+        table = data.get("table_name") or name
+
+        def resolve(sql: str | None) -> str | None:
+            if sql is None:
+                return None
+            out = sql.replace("${TABLE}.", "")
+            # same-view refs become bare columns; cross-view stay dotted
+            out = re.sub(
+                r"\$\{" + re.escape(name) + r"\.(\w+)\}", r"\1", out
+            )
+            out = re.sub(r"\$\{(\w+)\.(\w+)\}", r"\1.\2", out)
+            return out.strip()
+
+        pk: list[str] = []
+        dims: list[Dimension] = []
+        for dname, props in (data.get("dimensions") or {}).items():
+            props = props or {}
+            sql = resolve(props.get("sql"))
+            dims.append(
+                Dimension(
+                    name=dname,
+                    type=_DIM_TYPES.get(props.get("type", "string"), "categorical"),
+                    sql=None if sql in (None, dname) else sql,
+                    description=props.get("description"),
+                    label=props.get("label"),
+                    public=props.get("hidden") is not True,
+                )
+            )
+            if props.get("primary_key") is True:
+                pk.append(sql or dname)
+
+        metrics: list[Metric] = []
+        for mname, props in (data.get("measures") or {}).items():
+            props = props or {}
+            agg = _AGGS.get(props.get("aggregate_type", "count"))
+            if agg is None:
+                continue
+            filters = []
+            for ffield, fprops in (props.get("filters") or {}).items():
+                if not isinstance(fprops, dict):
+                    continue
+                if "is" in fprops:
+                    v = fprops["is"]
+                    lit = v if isinstance(v, (int, float)) else f"'{v}'"
+                    filters.append(f"{name}.{ffield} = {lit}")
+                elif "is_not" in fprops:
+                    v = fprops["is_not"]
+                    lit = v if isinstance(v, (int, float)) else f"'{v}'"
+                    filters.append(f"{name}.{ffield} != {lit}")
+            metrics.append(
+                Metric(
+                    name=mname,
+                    agg=agg,
+                    sql=resolve(props.get("sql")),
+                    filters=filters,
+                    description=props.get("description"),
+                    label=props.get("label"),
+                )
+            )
+
+        return Model(
+            name=name,
+            table=f"{schema}.{table}" if schema else table,
+            primary_key=(pk[0] if len(pk) == 1 else pk) if pk else "id",
+            dimensions=dims,
+            metrics=metrics,
+            description=(data.get("description") or "").strip() or None,
+        )
+
+    def _parse_relationships(self, layer, rels: list) -> None:
+        for rl in rels or []:
+            if not isinstance(rl, dict):
+                continue
+            src = rl.get("join_from_view")
+            dst = rl.get("join_to_view")
+            on_sql = rl.get("on_sql") or ""
+            if not (src and dst) or src not in layer.graph.models:
+                continue
+            if dst not in layer.graph.models:
+                continue
+            left = layer.graph.get_model(src)
+            if any(r.name == dst for r in left.relationships):
+                continue
+            m = re.fullmatch(
+                r"\s*\$\{(\w+)\.(\w+)\}\s*=\s*\$\{(\w+)\.(\w+)\}\s*",
+                " ".join(on_sql.split()),
+            )
+            rtype = rl.get("relationship_type", "many_to_one")
+            if m:
+                av, ac, bv, bc = m.groups()
+                if av == dst:  # orient: left side of ON is the from-view
+                    av, ac, bv, bc = bv, bc, av, ac
+                if rtype == "one_to_many":
+                    rel = Relationship(
+                        name=dst, type="one_to_many", foreign_key=bc, primary_key=ac
+                    )
+                else:
+                    rel = Relationship(
+                        name=dst, type=rtype, foreign_key=ac, primary_key=bc
+                    )
+            else:
+                custom = re.sub(r"\$\{" + re.escape(src) + r"\.(\w+)\}", r"{from}.\1", on_sql)
+                custom = re.sub(r"\$\{" + re.escape(dst) + r"\.(\w+)\}", r"{to}.\1", custom)
+                rel = Relationship(name=dst, type=rtype, sql=" ".join(custom.split()))
+            left.relationships.append(rel)
+            layer.graph._invalidate()

@@ -100,6 +100,11 @@ class Metric:
     filters: list[str] = field(default_factory=list)  # per-metric filters
     fill_nulls_with: str | int | float | None = None
     public: bool = True
+    # opaque complete-SQL measure: ``sql`` is a full aggregate
+    # expression over the model's raw columns, emitted verbatim into
+    # the aggregate scope (reference core/metric.py:58-66); unsafe
+    # under fan-out joins (guard sql/generator.py:3721-3742)
+    sql_is_complete: bool = False
 
     # ratio
     numerator: str | None = None

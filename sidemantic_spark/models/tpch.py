@@ -97,6 +97,16 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                     denominator="order_count",
                 ),
                 Metric(
+                    # opaque complete-SQL measure (ref core/metric.py:58-66)
+                    name="open_rate",
+                    sql=(
+                        "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice "
+                        "ELSE 0 END) AS DOUBLE) / NULLIF(CAST(SUM(o_totalprice) "
+                        "AS DOUBLE), 0)"
+                    ),
+                    sql_is_complete=True,
+                ),
+                Metric(
                     name="open_share",
                     type="derived",
                     expr="CAST(open_revenue AS DOUBLE) / CAST(revenue AS DOUBLE)",

@@ -386,6 +386,12 @@ class SqlGenerator:
         for rm in metrics:
             for comp_out, comp in self._expand_components(rm):
                 component[rm.model].append((comp_out, comp))
+                if comp.sql_is_complete:
+                    # opaque SQL references raw columns directly: project
+                    # each into the model CTE
+                    for ident in _complete_sql_columns(comp.sql):
+                        extra_cols[rm.model].add(ident)
+                    continue
                 for flt in comp.filters:
                     for m, fld, _g in find_refs(flt, known):
                         extra_cols[m].add(fld)
@@ -493,6 +499,11 @@ class SqlGenerator:
             if metric.name in seen:
                 return
             seen.add(metric.name)
+            if metric.sql_is_complete:
+                # raw columns come from _complete_sql_columns, not a
+                # projected _raw value
+                out.append((metric.name, metric))
+                return
             if metric.is_simple:
                 out.append((metric.name, metric))
                 return
@@ -599,6 +610,8 @@ class SqlGenerator:
             for i, c in enumerate(model.pk_list()):
                 cols[f"__pk{i}"] = c
         for comp_out, comp in r.component_metrics.get(model_name, []):
+            if comp.sql_is_complete:
+                continue  # its columns arrive via extra_cols
             if comp.sql:
                 cols[f"{comp_out}_raw"] = comp.sql
             elif comp.agg not in (None, "count"):
@@ -662,6 +675,11 @@ class SqlGenerator:
         metric = rm.metric
         if depth > 10:
             raise QueryCompileError(f"metric recursion too deep at {metric.name!r}")
+        if metric.sql_is_complete:
+            sql = _qualify_complete_sql(metric.sql, f"{rm.model}_cte")
+            if metric.fill_nulls_with is not None:
+                sql = f"COALESCE({sql}, {metric.fill_nulls_with})"
+            return sql
         if metric.is_simple or (metric.type in ("cumulative", "time_comparison") and metric.agg):
             sql = self._simple_agg_sql(rm.model, metric, metric.name, value_of)
         elif metric.type == "ratio":
@@ -763,7 +781,9 @@ class SqlGenerator:
             for rm in r.metrics
             if dup.get(rm.model, False)
             for _o, comp in self._expand_components(rm)
-            if comp.agg in FANOUT_IMPOSSIBLE_AGGS
+            # opaque complete SQL cannot be made fan-out-safe either
+            # (reference guard sql/generator.py:3721-3742)
+            if comp.agg in FANOUT_IMPOSSIBLE_AGGS or comp.sql_is_complete
         ]
         if impossible:
             raise QueryCompileError(
@@ -850,6 +870,14 @@ class SqlGenerator:
         base *or* a joined fact under the dimension-first base rule)."""
         if r.spec.ungrouped:
             raise QueryCompileError("ungrouped queries cannot be fan-out corrected")
+        for rm in r.metrics:
+            for _o, comp in self._expand_components(rm):
+                if comp.sql_is_complete:
+                    raise QueryCompileError(
+                        f"opaque complete-SQL metric {comp.name!r} cannot be "
+                        "combined with fan-out-corrected metrics (reference "
+                        "guard sql/generator.py:3721-3742)"
+                    )
         fact = r.metrics[0].model  # single metric model (multifact split ran)
         ctes = [
             self._model_cte(r, m, include_pk=(m == fact)) for m in r.models
@@ -1632,6 +1660,52 @@ _SQL_KEYWORDS = {
     "coalesce", "cast", "as", "double", "bigint", "int", "float", "decimal",
     "true", "false", "abs", "round", "greatest", "least",
 }
+
+
+# column references inside opaque complete-SQL measures: bare
+# identifiers that are not function calls, keywords, or dotted refs
+_COMPLETE_COL_RE = re.compile(
+    r"(?<![\w.'])([A-Za-z_][A-Za-z0-9_]*)(?![\w.(])(?!\s*\()"
+)
+_COMPLETE_SQL_KEYWORDS = _SQL_KEYWORDS | {
+    "sum", "count", "avg", "min", "max", "if", "iff", "like", "ilike", "in",
+    "is", "distinct", "between", "interval", "day", "week", "month",
+    "quarter", "year", "filter", "where", "over", "partition", "by",
+    "order", "asc", "desc", "varchar", "string", "date", "timestamp",
+    "boolean", "integer", "numeric", "real", "smallint", "tinyint", "char",
+    "escape", "exists", "all", "any", "some", "current_date",
+    "current_timestamp",
+}
+
+
+def _complete_sql_columns(sql: str) -> list[str]:
+    out = []
+    for seg in re.split(r"('(?:[^']|'')*')", sql or ""):
+        if seg.startswith("'"):
+            continue
+        for m in _COMPLETE_COL_RE.finditer(seg):
+            tok = m.group(1)
+            if tok.lower() not in _COMPLETE_SQL_KEYWORDS:
+                out.append(tok)
+    return list(dict.fromkeys(out))
+
+
+def _qualify_complete_sql(sql: str, scope: str) -> str:
+    """Prefix every bare column reference with ``scope.`` so the opaque
+    SQL evaluates against the model's CTE in the joined select."""
+    cols = set(_complete_sql_columns(sql))
+    out_parts = []
+    for seg in re.split(r"('(?:[^']|'')*')", sql or ""):
+        if seg.startswith("'"):
+            out_parts.append(seg)
+            continue
+        out_parts.append(
+            _COMPLETE_COL_RE.sub(
+                lambda m: f"{scope}.{m.group(1)}" if m.group(1) in cols else m.group(1),
+                seg,
+            )
+        )
+    return "".join(out_parts)
 
 
 def _identifiers(expr: str) -> list[str]:

@@ -28,7 +28,10 @@ SKIP_FILES = {
     "cube": {
         "custom_calendar.yml",  # calendar cubes: custom grain SQL per-dim
     },
+    "hex": {},
+    "lookml": {},
     "metricflow": {},
+    "omni": {},
     "rill": {},
     "superset": {},
 }
@@ -38,15 +41,19 @@ def _fixture_files(fmt: str) -> list[str]:
     d = os.path.join(FIXROOT, fmt)
     if not os.path.isdir(d):
         return []
-    return sorted(
-        os.path.join(d, f)
-        for f in os.listdir(d)
-        if f.endswith((".yml", ".yaml")) and f not in SKIP_FILES.get(fmt, set())
-    )
+    exts = (".lkml",) if fmt == "lookml" else (".yml", ".yaml")
+    out = []
+    for root, _dirs, files in os.walk(d):
+        for f in sorted(files):
+            if f.endswith(exts) and f not in SKIP_FILES.get(fmt, set()):
+                out.append(os.path.join(root, f))
+    return sorted(out)
 
 
 @pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
-@pytest.mark.parametrize("fmt", ["cube", "metricflow", "rill", "superset"])
+@pytest.mark.parametrize(
+    "fmt", ["cube", "hex", "lookml", "metricflow", "omni", "rill", "superset"]
+)
 def test_adapter_corpus_sweep(fmt, spark):
     from sidemantic_spark.adapters import ADAPTERS
 
@@ -275,3 +282,281 @@ metrics:
     sql = layer2.compile(metrics=["adapter_orders.total_amount"])
     assert "DATE_TRUNC" in sql
     con.close()
+
+
+def test_lookml_end_to_end(spark):
+    """Views + explore joins + filtered measures + derived measure +
+    segment, through the full compile/execute path."""
+    from sidemantic_spark.adapters import LookMLAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_text(layer, """
+view: lk_orders {
+  sql_table_name: adapter_orders ;;
+
+  dimension: order_id {
+    type: number
+    primary_key: yes
+    sql: ${TABLE}.order_id ;;
+  }
+  dimension: status {
+    type: string
+    sql: ${TABLE}.status ;;
+  }
+  dimension: margin_amt {
+    type: number
+    sql: ${TABLE}.amount - ${TABLE}.cost ;;
+  }
+  dimension_group: created {
+    type: time
+    timeframes: [date, month, year]
+    sql: ${TABLE}.created_at ;;
+  }
+
+  measure: order_count {
+    type: count
+  }
+  measure: total_amount {
+    type: sum
+    sql: ${TABLE}.amount ;;
+  }
+  measure: paid_amount {
+    type: sum
+    sql: ${TABLE}.amount ;;
+    filters: [status: "paid"]
+  }
+  measure: total_margin {
+    type: sum
+    sql: ${margin_amt} ;;
+  }
+  measure: margin_pct {
+    type: number
+    sql: 100.0 * ${total_margin} / NULLIF(${total_amount}, 0) ;;
+  }
+
+  filter: paid_only {
+    sql: ${TABLE}.status = 'paid' ;;
+  }
+}
+""")
+    model = layer.graph.models["lk_orders"]
+    assert model.table == "adapter_orders"
+    assert model.primary_key == "order_id"
+    assert model.dimension("created").type == "time"
+    # ${margin_amt} inlined to its dimension SQL
+    assert "amount - " in model.metric("total_margin").sql
+    assert model.metric("paid_amount").filters == ["lk_orders.status = 'paid'"]
+    assert model.segment("paid_only").sql == "{model}.status = 'paid'"
+
+    rows = {
+        (r["status"], r["order_count"], r["total_amount"], r["paid_amount"])
+        for r in layer.query(
+            metrics=["lk_orders.order_count", "lk_orders.total_amount",
+                     "lk_orders.paid_amount"],
+            dimensions=["lk_orders.status"],
+        ).collect()
+    }
+    assert rows == {("paid", 2, 250, 250), ("refunded", 1, 50, None)}
+
+    # derived measure over sibling measures
+    r = layer.query(metrics=["lk_orders.margin_pct"]).collect()[0]
+    assert abs(float(r["margin_pct"]) - (100.0 * 265 / 300)) < 1e-9
+
+    # segment via filter: block
+    r = layer.query(
+        metrics=["lk_orders.total_amount"], segments=["lk_orders.paid_only"]
+    ).collect()[0]
+    assert r["total_amount"] == 250
+
+    # time grain through dimension_group
+    rows = {
+        (str(r["created_month"])[:7], r["order_count"])
+        for r in layer.query(
+            metrics=["lk_orders.order_count"],
+            dimensions=["lk_orders.created__month AS created_month"],
+        ).collect()
+    }
+    assert rows == {("2026-01", 1), ("2026-02", 2)}
+    con.close()
+
+
+def test_lookml_explore_joins(spark):
+    from sidemantic_spark.adapters import LookMLAdapter
+
+    layer = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_text(layer, """
+view: lk_li {
+  sql_table_name: t_line_items ;;
+  dimension: id { type: number primary_key: yes sql: ${TABLE}.id ;; }
+  dimension: product_id { type: number sql: ${TABLE}.product_id ;; }
+  measure: qty { type: sum sql: ${TABLE}.qty ;; }
+}
+view: lk_products {
+  sql_table_name: t_products ;;
+  dimension: id { type: number primary_key: yes sql: ${TABLE}.id ;; }
+  dimension: category { type: string sql: ${TABLE}.category ;; }
+}
+explore: lk_li {
+  join: lk_products {
+    sql_on: ${lk_li.product_id} = ${lk_products.id} ;;
+    relationship: many_to_one
+    type: left_outer
+  }
+}
+""")
+    li = layer.graph.models["lk_li"]
+    assert li.relationships[0].name == "lk_products"
+    assert li.relationships[0].foreign_key == "product_id"
+    assert li.relationships[0].primary_key == "id"
+    sql = layer.compile(metrics=["lk_li.qty"], dimensions=["lk_products.category"])
+    assert "JOIN" in sql
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
+def test_lookml_reference_ecommerce_fixture(spark):
+    """Parse the reference's ecommerce corpus (views + explores in
+    separate files, as Looker projects ship) and check the graph."""
+    from sidemantic_spark.adapters import LookMLAdapter
+
+    layer = SparkSemanticLayer(spark)
+    a = LookMLAdapter()
+    a.parse_file(layer, os.path.join(FIXROOT, "lookml", "ecommerce.lkml"))
+    a.parse_file(layer, os.path.join(FIXROOT, "lookml", "ecommerce_explores.lkml"))
+    orders = layer.graph.models["orders"]
+    assert orders.table == "ecommerce.orders"
+    assert {r.name for r in orders.relationships} >= {"customers", "order_items"}
+    assert orders.metric("delivered_revenue").filters == ["orders.status = 'delivered'"]
+    assert orders.metric("avg_discount_percentage").type == "derived"
+    # high_value_orders: numeric looker filter `>500`
+    assert orders.metric("high_value_orders").filters == ["orders.amount > 500"]
+    assert orders.segment("delivered") is not None
+    oi = layer.graph.models["order_items"]
+    assert any(r.name == "products" and r.type == "many_to_one" for r in oi.relationships)
+
+
+def test_hex_end_to_end(spark):
+    """Hex model with func measures, boolean-dimension filters, and an
+    opaque ``func_sql`` complete-SQL measure, executed end-to-end."""
+    import yaml
+
+    from sidemantic_spark.adapters import HexAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    HexAdapter().parse(layer, yaml.safe_load("""
+id: hx_orders
+type: model
+base_sql_table: adapter_orders
+dimensions:
+  - id: order_id
+    type: number
+    unique: true
+  - id: status
+    type: string
+  - id: is_paid
+    type: boolean
+    expr_sql: status = 'paid'
+  - id: created_at
+    type: timestamp
+measures:
+  - id: order_count
+    func: count
+  - id: revenue
+    func: sum
+    of: amount
+  - id: paid_revenue
+    func: sum
+    of: amount
+    filters:
+      - is_paid
+  - id: paid_orders
+    func: count_if
+    of: is_paid
+  - id: paid_share
+    func_sql: CAST(SUM(CASE WHEN status = 'paid' THEN amount ELSE 0 END) AS DOUBLE) / NULLIF(SUM(amount), 0)
+"""))
+    m = layer.graph.models["hx_orders"]
+    assert m.table == "adapter_orders"
+    assert m.primary_key == "order_id"
+    assert m.metric("paid_share").sql_is_complete
+
+    r = layer.query(
+        metrics=["hx_orders.order_count", "hx_orders.revenue",
+                 "hx_orders.paid_revenue", "hx_orders.paid_orders",
+                 "hx_orders.paid_share"],
+    ).collect()[0]
+    assert (r["order_count"], r["revenue"], r["paid_revenue"], r["paid_orders"]) == (3, 300, 250, 2)
+    assert abs(float(r["paid_share"]) - 250 / 300) < 1e-9
+    con.close()
+
+
+def test_omni_end_to_end(spark):
+    import yaml
+
+    from sidemantic_spark.adapters import OmniAdapter
+
+    layer = SparkSemanticLayer(spark)
+    a = OmniAdapter()
+    a.parse(layer, yaml.safe_load("""
+name: om_orders
+table_name: t_orders
+dimensions:
+  id:
+    type: number
+    primary_key: true
+  customer_id:
+    type: number
+  status:
+    type: string
+    sql: ${TABLE}.status
+measures:
+  order_count:
+    aggregate_type: count
+  completed_revenue:
+    aggregate_type: sum
+    sql: ${om_orders.amount}
+    filters:
+      status:
+        is: completed
+"""))
+    a.parse(layer, yaml.safe_load("""
+name: om_customers
+table_name: t_customers
+dimensions:
+  id:
+    type: number
+    primary_key: true
+  country:
+    type: string
+"""))
+    a.parse(layer, yaml.safe_load("""
+relationships:
+  - join_from_view: om_orders
+    join_to_view: om_customers
+    join_type: always_left
+    on_sql: ${om_orders.customer_id} = ${om_customers.id}
+    relationship_type: many_to_one
+"""))
+    o = layer.graph.models["om_orders"]
+    assert o.relationships[0].foreign_key == "customer_id"
+    assert o.metric("completed_revenue").filters == ["om_orders.status = 'completed'"]
+    sql = layer.compile(metrics=["om_orders.order_count"],
+                        dimensions=["om_customers.country"])
+    assert "JOIN" in sql
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
+def test_omni_estore_project(spark):
+    """Whole-project parse: view files then relationships.yaml."""
+    import glob as _glob
+
+    from sidemantic_spark.adapters import OmniAdapter
+
+    layer = SparkSemanticLayer(spark)
+    a = OmniAdapter()
+    for p in sorted(_glob.glob(os.path.join(FIXROOT, "omni/estore/views/*.yaml"))):
+        a.parse_file(layer, p)
+    a.parse_file(layer, os.path.join(FIXROOT, "omni/estore/relationships.yaml"))
+    fct = layer.graph.models["omni_dbt_marts__fct_events"]
+    assert any(r.name == "omni_dbt_marts__dim_products" for r in fct.relationships)

@@ -277,3 +277,37 @@ def test_window_dimension(layer, duck):
         FROM w WHERE next_event IS NOT NULL GROUP BY 1
         """,
     )
+
+
+def test_complete_sql_measure(layer, duck):
+    """Opaque complete-SQL measures emit verbatim into the aggregate
+    scope (ref core/metric.py:58-66, sql/generator.py:4477-4496)."""
+    df = layer.query(
+        metrics=["orders.open_rate", "orders.revenue"],
+        dimensions=["orders.priority"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderpriority AS priority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END) AS DOUBLE)
+                 / NULLIF(CAST(SUM(o_totalprice) AS DOUBLE), 0) AS open_rate,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_complete_sql_measure_fanout_guard(layer):
+    """Complete SQL under a fan-out join must refuse
+    (ref sql/generator.py:3721-3742)."""
+    import pytest as _pytest
+
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    with _pytest.raises(QueryCompileError):
+        layer.compile(
+            metrics=["orders.open_rate"],
+            dimensions=["lineitem.returnflag"],
+        )
