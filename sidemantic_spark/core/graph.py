@@ -107,6 +107,21 @@ class SemanticGraph:
         self._path_cache.clear()
         self.generation += 1
 
+    def resolve_inheritance(self) -> None:
+        """Flatten ``extends`` chains on Python-registered models and
+        graph-level metrics (reference ``loaders.py:1205-1306``). No-op
+        when nothing extends."""
+        if any(m.extends for m in self.models.values()):
+            from .inheritance import resolve_model_inheritance
+
+            self.models = resolve_model_inheritance(self.models)
+            self._invalidate()
+        if any(m.extends for m in self.metrics.values()):
+            from .inheritance import resolve_metric_inheritance
+
+            self.metrics = resolve_metric_inheritance(self.metrics)
+            self._invalidate()
+
     # -- adjacency ---------------------------------------------------
 
     def adjacency(self) -> dict[str, list[JoinHop]]:

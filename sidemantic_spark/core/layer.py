@@ -80,6 +80,7 @@ class SparkSemanticLayer:
         At cluster scale the view is a plain parquet scan, so Catalyst
         predicate pushdown / partition pruning applies untouched.
         """
+        self.graph.resolve_inheritance()
         for model in self.graph.models.values():
             if model.source_uri and model.name not in self._registered_sources:
                 reader = self.spark.read.format(model.source_format)
@@ -169,6 +170,7 @@ class SparkSemanticLayer:
                 "explore": explore, "saved_query": saved_query,
             })
             return self.compile(**kwargs)
+        self.graph.resolve_inheritance()
         if self.enforce_visibility:
             from sidemantic_spark.core.security import enforce_field_visibility
 

@@ -100,6 +100,7 @@ class Metric:
     filters: list[str] = field(default_factory=list)  # per-metric filters
     fill_nulls_with: str | int | float | None = None
     public: bool = True
+    extends: str | None = None  # inherit from another metric (core/inheritance.py:96)
     # opaque complete-SQL measure: ``sql`` is a full aggregate
     # expression over the model's raw columns, emitted verbatim into
     # the aggregate scope (reference core/metric.py:58-66); unsafe
@@ -280,6 +281,7 @@ class Model:
     row_filters: list[str] = field(default_factory=list)  # static row filters
     security: object | None = None  # SecurityPolicy (access + user row filters)
     pre_aggregations: list = field(default_factory=list)  # [PreAggregation]
+    extends: str | None = None  # inherit from another model (core/inheritance.py:11)
 
     def __post_init__(self) -> None:
         self._dims = {d.name: d for d in self.dimensions}

@@ -189,15 +189,28 @@ class SqlGenerator:
     # pre-passes: parameters, segments, relative dates
     # ------------------------------------------------------------------
     def _apply_parameters_and_segments(self, spec: QuerySpec) -> QuerySpec:
+        from sidemantic_spark.core.template import is_sql_template, render_sql_template
+
         filters = list(spec.filters)
-        if spec.parameters:
+        # parameter context = graph-level defaults overridden by the query
+        context: dict[str, object] = {
+            name: getattr(p, "default_value", None) for name, p in self.graph.parameters.items()
+        }
+        context.update(spec.parameters or {})
+        if context:
             out = []
             for f in filters:
-                for k, v in spec.parameters.items():
-                    lit = f"'{v}'" if isinstance(v, str) else str(v)
-                    f = f.replace("{{ " + k + " }}", lit).replace("{{" + k + "}}", lit)
+                if is_sql_template(f) and any(m in f for m in ("{%", "{#")):
+                    # full Jinja template (reference core/parameter.py:156-178)
+                    f = render_sql_template(f, context)
+                else:
+                    for k, v in context.items():
+                        if v is None:
+                            continue
+                        lit = f"'{v}'" if isinstance(v, str) else str(v)
+                        f = f.replace("{{ " + k + " }}", lit).replace("{{" + k + "}}", lit)
                 out.append(f)
-            filters = out
+            filters = [f for f in out if f.strip()]
         for seg_ref in spec.segments:
             if "." not in seg_ref:
                 raise QueryCompileError(f"segment ref must be model.segment: {seg_ref!r}")
@@ -633,6 +646,8 @@ class SqlGenerator:
             # it into the scan (ref sql/generator.py:879-960)
             where += policy.rendered_row_filters(model_name, r.spec.user)
         source = model.table or (f"({model.sql})" if model.sql else None)
+        if source is None and model.source_uri:
+            source = model.name  # registered as a temp view by layer.register_sources
         if source is None:
             raise QueryCompileError(f"model {model_name!r} has no table/sql binding")
         sql = f"SELECT\n        {select}\n    FROM {source}"
