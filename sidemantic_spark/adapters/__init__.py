@@ -16,19 +16,25 @@ semi-additive windows) are mapped 1:1.
 from sidemantic_spark.adapters.cube import CubeAdapter
 from sidemantic_spark.adapters.hex import HexAdapter
 from sidemantic_spark.adapters.lookml import LookMLAdapter
+from sidemantic_spark.adapters.malloy import MalloyAdapter
 from sidemantic_spark.adapters.metricflow import MetricFlowAdapter
 from sidemantic_spark.adapters.omni import OmniAdapter
 from sidemantic_spark.adapters.rill import RillAdapter
 from sidemantic_spark.adapters.superset import SupersetAdapter
+from sidemantic_spark.adapters.tableau import TableauAdapter
+from sidemantic_spark.adapters.tmdl import TmdlAdapter
 
 ADAPTERS = {
     "cube": CubeAdapter,
     "hex": HexAdapter,
     "lookml": LookMLAdapter,
+    "malloy": MalloyAdapter,
     "metricflow": MetricFlowAdapter,
     "omni": OmniAdapter,
     "rill": RillAdapter,
     "superset": SupersetAdapter,
+    "tableau": TableauAdapter,
+    "tmdl": TmdlAdapter,
 }
 
 
@@ -44,5 +50,6 @@ def import_file(layer, path: str, format: str) -> None:
 
 
 __all__ = ["ADAPTERS", "import_file", "CubeAdapter", "HexAdapter",
-           "LookMLAdapter", "MetricFlowAdapter", "OmniAdapter",
-           "RillAdapter", "SupersetAdapter"]
+           "LookMLAdapter", "MalloyAdapter", "MetricFlowAdapter",
+           "OmniAdapter", "RillAdapter", "SupersetAdapter",
+           "TableauAdapter", "TmdlAdapter"]

@@ -41,7 +41,11 @@ def _fixture_files(fmt: str) -> list[str]:
     d = os.path.join(FIXROOT, fmt)
     if not os.path.isdir(d):
         return []
-    exts = (".lkml",) if fmt == "lookml" else (".yml", ".yaml")
+    exts = {
+        "lookml": (".lkml",),
+        "tableau": (".tds", ".twb"),
+        "malloy": (".malloy",),
+    }.get(fmt, (".yml", ".yaml"))
     out = []
     for root, _dirs, files in os.walk(d):
         for f in sorted(files):
@@ -52,7 +56,8 @@ def _fixture_files(fmt: str) -> list[str]:
 
 @pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
 @pytest.mark.parametrize(
-    "fmt", ["cube", "hex", "lookml", "metricflow", "omni", "rill", "superset"]
+    "fmt", ["cube", "hex", "lookml", "malloy", "metricflow", "omni", "rill",
+            "superset", "tableau"]
 )
 def test_adapter_corpus_sweep(fmt, spark):
     from sidemantic_spark.adapters import ADAPTERS
@@ -560,3 +565,173 @@ def test_omni_estore_project(spark):
     a.parse_file(layer, os.path.join(FIXROOT, "omni/estore/relationships.yaml"))
     fct = layer.graph.models["omni_dbt_marts__fct_events"]
     assert any(r.name == "omni_dbt_marts__dim_products" for r in fct.relationships)
+
+
+def test_tableau_end_to_end(spark, tmp_path):
+    """Tableau .tds: columns by role, aggregations, calculated field,
+    executed end-to-end on a seeded table."""
+    from sidemantic_spark.adapters import TableauAdapter
+
+    con = _seed_orders(spark)
+    tds = tmp_path / "orders.tds"
+    tds.write_text("""<?xml version='1.0' encoding='utf-8' ?>
+<datasource formatted-name='t_orders' version='18.1'>
+  <connection class='postgres' dbname='analytics' server='localhost'>
+    <relation type='table' name='adapter_orders' table='[adapter_orders]' />
+  </connection>
+  <column caption='Order ID' datatype='integer' name='[order_id]' role='dimension' type='ordinal' />
+  <column caption='Status' datatype='string' name='[status]' role='dimension' type='nominal' />
+  <column caption='Created At' datatype='datetime' name='[created_at]' role='dimension' type='quantitative' />
+  <column caption='Revenue' datatype='real' name='[revenue]' role='measure' type='quantitative' aggregation='sum'>
+    <calculation class='tableau' formula='[amount]' />
+  </column>
+  <column caption='Margin' datatype='real' name='[margin]' role='measure' type='quantitative' aggregation='sum'>
+    <calculation class='tableau' formula='[amount] - [cost]' />
+  </column>
+  <column datatype='integer' name='[order_count]' role='measure' type='quantitative' aggregation='count' />
+</datasource>
+""")
+    layer = SparkSemanticLayer(spark)
+    TableauAdapter().parse_file(layer, str(tds))
+    m = layer.graph.models["t_orders"]
+    assert m.table == "adapter_orders"
+    assert m.dimension("status").type == "categorical"
+    assert m.dimension("created_at").type == "time"
+    r = layer.query(
+        metrics=["t_orders.revenue", "t_orders.margin", "t_orders.order_count"],
+        dimensions=["t_orders.status"],
+        order_by=["status"],
+    ).collect()
+    assert [(x["status"], x["revenue"], x["margin"], x["order_count"]) for x in r] == [
+        ("paid", 250, 220, 2), ("refunded", 50, 45, 1)
+    ]
+    con.close()
+
+
+def test_tableau_multi_join_reference_fixture(spark):
+    from sidemantic_spark.adapters import TableauAdapter
+
+    layer = SparkSemanticLayer(spark)
+    TableauAdapter().parse_file(layer, os.path.join(FIXROOT, "tableau/multi_join.tds"))
+    orders = layer.graph.models["orders"]
+    assert any(r.name == "customers" and r.foreign_key == "customer_id" and r.primary_key == "id"
+               for r in orders.relationships)
+
+
+def test_malloy_end_to_end(spark):
+    """Malloy source with dimensions, filtered measure, count_distinct,
+    and a join, executed end-to-end."""
+    from sidemantic_spark.adapters import MalloyAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    MalloyAdapter().parse_text(layer, """
+source: m_orders is duckdb.table('adapter_orders') extend {
+  primary_key: order_id
+
+  dimension:
+    status is status
+    order_day is DATE_TRUNC('day', created_at)
+
+  measure:
+    order_count is count()
+    revenue is sum(amount)
+    paid_revenue is sum(amount) { where: status = 'paid' }
+    statuses is count(distinct status)
+}
+""")
+    m = layer.graph.models["m_orders"]
+    assert m.primary_key == "order_id"
+    assert m.metric("paid_revenue").filters == ["m_orders.status = 'paid'"]
+    assert m.metric("statuses").agg == "count_distinct"
+    r = layer.query(
+        metrics=["m_orders.order_count", "m_orders.revenue",
+                 "m_orders.paid_revenue", "m_orders.statuses"],
+    ).collect()[0]
+    assert (r["order_count"], r["revenue"], r["paid_revenue"], r["statuses"]) == (3, 300, 250, 2)
+    con.close()
+
+
+def test_malloy_reference_ecommerce_fixture(spark):
+    from sidemantic_spark.adapters import MalloyAdapter
+
+    layer = SparkSemanticLayer(spark)
+    MalloyAdapter().parse_file(layer, os.path.join(FIXROOT, "malloy/ecommerce.malloy"))
+    orders = layer.graph.models["orders"]
+    assert orders.primary_key == "order_id"
+    assert orders.metric("revenue").agg == "sum"
+    assert orders.metric("completed_orders").filters == ["orders.status = 'completed'"]
+    assert any(r.name == "customers" and r.type == "many_to_one" and r.foreign_key == "customer_id"
+               for r in orders.relationships)
+    assert any(r.name == "order_items" and r.type == "one_to_many"
+               for r in orders.relationships)
+    assert layer.graph.models["customers"].metric("unique_customers").agg == "count_distinct"
+
+
+def test_tmdl_end_to_end(spark, tmp_path):
+    """TMDL definition dir: tables + relationships + DAX measures,
+    executed end-to-end."""
+    from sidemantic_spark.adapters import TmdlAdapter
+
+    con = _seed_orders(spark)
+    d = tmp_path / "definition"
+    (d / "tables").mkdir(parents=True)
+    (d / "tables" / "Orders.tmdl").write_text("""table adapter_orders
+    column 'Order ID'
+        dataType: int64
+        isKey
+        sourceColumn: order_id
+    column Status
+        dataType: string
+        sourceColumn: status
+    column Amount
+        dataType: decimal
+        sourceColumn: amount
+    measure 'Total Revenue' = SUM(adapter_orders[Amount])
+    measure 'Order Count' = COUNTROWS(adapter_orders)
+""")
+    (d / "relationships.tmdl").write_text("""relationship 'Orders-Whatever'
+    fromColumn: adapter_orders[Status]
+    toColumn: missing_table[Status]
+    fromCardinality: many
+    toCardinality: one
+""")
+    layer = SparkSemanticLayer(spark)
+    TmdlAdapter().parse_file(layer, str(tmp_path))
+    m = layer.graph.models["adapter_orders"]
+    assert m.primary_key == "order_id"
+    assert m.metric("total_revenue").agg == "sum"
+    r = layer.query(
+        metrics=["adapter_orders.total_revenue", "adapter_orders.order_count"],
+        dimensions=["adapter_orders.status"],
+        order_by=["status"],
+    ).collect()
+    assert [(x["status"], x["total_revenue"], x["order_count"]) for x in r] == [
+        ("paid", 250, 2), ("refunded", 50, 1)
+    ]
+    con.close()
+
+
+def test_tmdl_reference_fixture(spark):
+    from sidemantic_spark.adapters import TmdlAdapter
+
+    layer = SparkSemanticLayer(spark)
+    TmdlAdapter().parse_file(layer, os.path.join(FIXROOT, "tmdl"))
+    sales = layer.graph.models["sales"]
+    assert sales.metric("total_sales").agg == "sum"
+    assert sales.metric("total_sales").sql == "amount"
+    # complex DAX imported as opaque hidden metric
+    ly = sales.metric("sales_ly")
+    assert ly is not None and not ly.public
+    assert any(r.name == "products" and r.type == "many_to_one" for r in sales.relationships)
+    # external corpus smoke
+    ext = os.path.join(FIXROOT, "external_powerbi")
+    if os.path.isdir(ext):
+        total = 0
+        for sub in sorted(os.listdir(ext)):
+            p = os.path.join(ext, sub)
+            if os.path.isdir(os.path.join(p, "definition")):
+                lyr2 = SparkSemanticLayer(spark)
+                TmdlAdapter().parse_file(lyr2, p)
+                total += len(lyr2.graph.models)
+        assert total >= 10
