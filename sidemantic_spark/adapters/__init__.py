@@ -13,7 +13,10 @@ semantic constructs (measures, dimensions, joins, segments, rollups,
 semi-additive windows) are mapped 1:1.
 """
 
+from sidemantic_spark.adapters.atscale import AtScaleAdapter
 from sidemantic_spark.adapters.cube import CubeAdapter
+from sidemantic_spark.adapters.gooddata import GoodDataAdapter
+from sidemantic_spark.adapters.holistics import HolisticsAdapter
 from sidemantic_spark.adapters.hex import HexAdapter
 from sidemantic_spark.adapters.lookml import LookMLAdapter
 from sidemantic_spark.adapters.malloy import MalloyAdapter
@@ -22,10 +25,14 @@ from sidemantic_spark.adapters.omni import OmniAdapter
 from sidemantic_spark.adapters.rill import RillAdapter
 from sidemantic_spark.adapters.superset import SupersetAdapter
 from sidemantic_spark.adapters.tableau import TableauAdapter
+from sidemantic_spark.adapters.thoughtspot import ThoughtSpotAdapter
 from sidemantic_spark.adapters.tmdl import TmdlAdapter
 
 ADAPTERS = {
+    "atscale": AtScaleAdapter,
     "cube": CubeAdapter,
+    "gooddata": GoodDataAdapter,
+    "holistics": HolisticsAdapter,
     "hex": HexAdapter,
     "lookml": LookMLAdapter,
     "malloy": MalloyAdapter,
@@ -34,6 +41,7 @@ ADAPTERS = {
     "rill": RillAdapter,
     "superset": SupersetAdapter,
     "tableau": TableauAdapter,
+    "thoughtspot": ThoughtSpotAdapter,
     "tmdl": TmdlAdapter,
 }
 
@@ -49,7 +57,8 @@ def import_file(layer, path: str, format: str) -> None:
     adapter_cls().parse_file(layer, path)
 
 
-__all__ = ["ADAPTERS", "import_file", "CubeAdapter", "HexAdapter",
+__all__ = ["ADAPTERS", "import_file", "AtScaleAdapter", "CubeAdapter",
+           "GoodDataAdapter", "HexAdapter", "HolisticsAdapter",
            "LookMLAdapter", "MalloyAdapter", "MetricFlowAdapter",
            "OmniAdapter", "RillAdapter", "SupersetAdapter",
-           "TableauAdapter", "TmdlAdapter"]
+           "TableauAdapter", "ThoughtSpotAdapter", "TmdlAdapter"]

@@ -1,0 +1,207 @@
+"""AtScale SML (Semantic Modeling Language) importer.
+
+Re-expression of the reference's AtScale adapter
+(``adapters/atscale_sml.py``): SML is a multi-file YAML catalog where
+each file carries an ``object_type`` — ``dataset`` (physical table +
+columns), ``dimension`` (hierarchies/levels, possibly level-embedded
+metrics), ``metric`` (calculation_method over a dataset column), and
+``model`` (relationships binding fact datasets to dimension levels,
+plus ``aggregates`` which map to our pre-aggregation specs).
+``parse_file`` accepts a directory (whole catalog) or a single file.
+"""
+
+from __future__ import annotations
+
+import os
+
+import yaml
+
+from sidemantic_spark.adapters.base import BaseAdapter
+from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
+
+_CALC_MAP = {
+    "sum": "sum",
+    "count": "count",
+    "count distinct": "count_distinct",
+    "count-distinct": "count_distinct",
+    "count_distinct": "count_distinct",
+    "count nonnull": "count",
+    "average": "avg",
+    "avg": "avg",
+    "min": "min",
+    "minimum": "min",
+    "max": "max",
+    "maximum": "max",
+    "median": "median",
+    "stddev": "stddev",
+    "stddev_samp": "stddev",
+    "stddev_pop": "stddev_pop",
+    "var_samp": "variance",
+    "var_pop": "variance_pop",
+    "percentile": "median",
+}
+
+_DTYPE_MAP = {
+    "int": "numeric", "bigint": "numeric", "integer": "numeric",
+    "float": "numeric", "double": "numeric",
+    "date": "time", "datetime": "time", "timestamp": "time",
+    "boolean": "boolean", "bool": "boolean",
+}
+
+
+class AtScaleAdapter(BaseAdapter):
+    def parse_file(self, layer, path: str) -> None:
+        docs: list[dict] = []
+        if os.path.isdir(path):
+            for f in sorted(os.listdir(path)):
+                if f.endswith((".yml", ".yaml")):
+                    with open(os.path.join(path, f)) as fh:
+                        docs.extend(d for d in yaml.safe_load_all(fh) if d)
+        else:
+            with open(path) as fh:
+                docs.extend(d for d in yaml.safe_load_all(fh) if d)
+        self.parse_docs(layer, docs)
+
+    def parse(self, layer, data: dict) -> None:
+        self.parse_docs(layer, [data])
+
+    def parse_docs(self, layer, docs: list[dict]) -> None:
+        datasets = {d["unique_name"]: d for d in docs if d.get("object_type") == "dataset"}
+        dimensions = {d["unique_name"]: d for d in docs if d.get("object_type") == "dimension"}
+        metrics = [d for d in docs if d.get("object_type") in ("metric", "metric_calc")]
+        models = [d for d in docs if d.get("object_type") == "model"]
+
+        # dimension unique_name -> (dataset, level columns) via hierarchies
+        dim_datasets: dict[str, str] = {}
+        dim_levels: dict[str, list[str]] = {}
+        level_metrics: dict[str, list[dict]] = {}
+        for dname, dim in dimensions.items():
+            levels: list[str] = []
+            for h in dim.get("hierarchies") or []:
+                for lvl in h.get("levels") or []:
+                    lname = lvl.get("unique_name")
+                    if lname:
+                        levels.append(lname)
+                    for lm in lvl.get("metrics") or []:
+                        ds = lm.get("dataset")
+                        if ds:
+                            dim_datasets.setdefault(dname, ds)
+                            level_metrics.setdefault(ds, []).append(lm)
+            # level_attributes may also name the dataset
+            for la in dim.get("level_attributes") or []:
+                ds = la.get("dataset")
+                if ds:
+                    dim_datasets.setdefault(dname, ds)
+            dim_levels[dname] = levels
+
+        # build one Model per dataset
+        for ds_name, ds in datasets.items():
+            dims = []
+            for col in ds.get("columns") or []:
+                cname = col.get("name")
+                if not cname:
+                    continue
+                dt = str(col.get("data_type") or "string").lower().split("(")[0]
+                dims.append(Dimension(name=cname, type=_DTYPE_MAP.get(dt, "categorical")))
+            mets = []
+            for lm in level_metrics.get(ds_name, []):
+                agg = _CALC_MAP.get(str(lm.get("calculation_method", "")).lower())
+                if agg and lm.get("unique_name"):
+                    mets.append(Metric(
+                        name=lm["unique_name"], agg=agg,
+                        sql=lm.get("column") if agg != "count" else lm.get("column"),
+                        label=lm.get("label"),
+                    ))
+            pk = "id"
+            for col in ds.get("columns") or []:
+                n = col.get("name", "")
+                if n in ("id", f"{ds_name}_id") or n == f"{ds_name.replace('dim_', '').replace('fact_', '')}_id":
+                    pk = n
+                    break
+            try:
+                layer.add_model(Model(
+                    name=ds_name, table=ds.get("table") or ds_name,
+                    primary_key=pk, dimensions=dims, metrics=mets,
+                    description=ds.get("label"),
+                ))
+            except Exception:
+                pass
+
+        # metrics attach to their dataset's model
+        for met in metrics:
+            ds_name = met.get("dataset")
+            if not ds_name or ds_name not in layer.graph.models:
+                continue
+            model = layer.graph.models[ds_name]
+            if met.get("object_type") == "metric_calc":
+                model.add_metric(Metric(
+                    name=met["unique_name"], type="derived",
+                    expr=met.get("expression"), label=met.get("label"),
+                ))
+                continue
+            agg = _CALC_MAP.get(str(met.get("calculation_method", "")).lower())
+            if not agg:
+                continue
+            model.add_metric(Metric(
+                name=met["unique_name"], agg=agg,
+                sql=met.get("column") if not (agg == "count" and not met.get("column")) else None,
+                label=met.get("label"),
+            ))
+
+        # model files: relationships fact-dataset -> dimension's dataset
+        for mdl in models:
+            for rel in mdl.get("relationships") or []:
+                frm = rel.get("from") or {}
+                to = rel.get("to") or {}
+                fact_ds = frm.get("dataset")
+                join_cols = frm.get("join_columns") or []
+                target_dim = to.get("dimension")
+                level = to.get("level")
+                if not fact_ds or not join_cols or fact_ds not in layer.graph.models:
+                    continue
+                target_ds = dim_datasets.get(target_dim)
+                if target_ds is None:
+                    # dimension with no dataset binding (e.g. a pure date
+                    # dimension): skip the edge, keep the fact columns
+                    continue
+                if target_ds not in layer.graph.models or target_ds == fact_ds:
+                    continue  # degenerate dimension on the fact itself
+                fact = layer.graph.models[fact_ds]
+                fk_val = join_cols if len(join_cols) > 1 else join_cols[0]
+                if any(r.name == target_ds and r.foreign_key == fk_val
+                       for r in fact.relationships):
+                    continue
+                fact.relationships.append(Relationship(
+                    name=target_ds, type="many_to_one",
+                    foreign_key=fk_val,
+                    primary_key=level,
+                ))
+                layer.graph._invalidate()
+            # aggregates -> pre-aggregation specs
+            for agg_def in mdl.get("aggregates") or []:
+                target = None
+                agg_metric_names = [
+                    mn.get("unique_name") if isinstance(mn, dict) else mn
+                    for mn in (agg_def.get("metrics") or [])
+                ]
+                agg_metric_names = [mn for mn in agg_metric_names if mn]
+                for met_name in agg_metric_names:
+                    for ds_name, m in layer.graph.models.items():
+                        if m.metric(met_name) is not None:
+                            target = ds_name
+                            break
+                    if target:
+                        break
+                if not target:
+                    continue
+                try:
+                    from sidemantic_spark.preagg.matcher import PreAggregation
+
+                    layer.graph.models[target].pre_aggregations.append(PreAggregation(
+                        name=agg_def.get("unique_name", "rollup"),
+                        measures=agg_metric_names,
+                        dimensions=[a.get("name") for a in agg_def.get("attributes") or []
+                                    if isinstance(a, dict) and a.get("name")],
+                    ))
+                except Exception:
+                    pass

@@ -45,6 +45,9 @@ def _fixture_files(fmt: str) -> list[str]:
         "lookml": (".lkml",),
         "tableau": (".tds", ".twb"),
         "malloy": (".malloy",),
+        "holistics": (".aml",),
+        "gooddata": (".json",),
+        "thoughtspot": (".tml",),
     }.get(fmt, (".yml", ".yaml"))
     out = []
     for root, _dirs, files in os.walk(d):
@@ -56,8 +59,8 @@ def _fixture_files(fmt: str) -> list[str]:
 
 @pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
 @pytest.mark.parametrize(
-    "fmt", ["cube", "hex", "lookml", "malloy", "metricflow", "omni", "rill",
-            "superset", "tableau"]
+    "fmt", ["cube", "gooddata", "hex", "holistics", "lookml", "malloy",
+            "metricflow", "omni", "rill", "superset", "tableau", "thoughtspot"]
 )
 def test_adapter_corpus_sweep(fmt, spark):
     from sidemantic_spark.adapters import ADAPTERS
@@ -735,3 +738,197 @@ def test_tmdl_reference_fixture(spark):
                 TmdlAdapter().parse_file(lyr2, p)
                 total += len(lyr2.graph.models)
         assert total >= 10
+
+
+def test_holistics_end_to_end(spark):
+    """Holistics AML model + relationships, executed end-to-end."""
+    from sidemantic_spark.adapters import HolisticsAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    HolisticsAdapter().parse_text(layer, """
+Model h_orders {
+  type: 'table'
+  table_name: 'adapter_orders'
+
+  dimension order_id {
+    type: 'number'
+    primary_key: true
+  }
+
+  dimension status {
+    type: 'text'
+  }
+
+  measure order_count {
+    type: 'number'
+    definition: @sql {{ order_id }};;
+    aggregation_type: 'count'
+  }
+
+  measure revenue {
+    type: 'number'
+    definition: @sql {{ amount }};;
+    aggregation_type: 'sum'
+  }
+
+  measure aov {
+    type: 'number'
+    definition: @sql {{ revenue }} / NULLIF({{ order_count }}, 0);;
+    aggregation_type: 'custom'
+  }
+}
+""")
+    m = layer.graph.models["h_orders"]
+    assert m.table == "adapter_orders"
+    assert m.primary_key == "order_id"
+    assert m.metric("revenue").agg == "sum"
+    assert m.metric("aov").type == "derived"
+    r = layer.query(
+        metrics=["h_orders.revenue", "h_orders.order_count", "h_orders.aov"],
+        dimensions=["h_orders.status"], order_by=["status"],
+    ).collect()
+    assert [(x["status"], x["revenue"], x["order_count"], float(x["aov"])) for x in r] == [
+        ("paid", 250, 2, 125.0), ("refunded", 50, 1, 50.0)
+    ]
+    con.close()
+
+
+def test_holistics_reference_fixtures(spark):
+    import glob as _g
+
+    from sidemantic_spark.adapters import HolisticsAdapter
+
+    layer = SparkSemanticLayer(spark)
+    a = HolisticsAdapter()
+    for f in sorted(_g.glob(os.path.join(FIXROOT, "holistics/*.aml"))):
+        a.parse_file(layer, f)
+    orders = layer.graph.models["orders"]
+    assert orders.metric("revenue").agg == "sum"
+    assert orders.metric("amount_stdev").agg == "stddev"
+    assert any(r.name == "users" and r.foreign_key == "user_id" for r in orders.relationships)
+
+
+def test_gooddata_ldm_and_analytics(spark):
+    from sidemantic_spark.adapters import GoodDataAdapter
+
+    layer = SparkSemanticLayer(spark)
+    GoodDataAdapter().parse_file(layer, os.path.join(FIXROOT, "gooddata/ecommerce_demo_ldm.json"))
+    assert len(layer.graph.models) >= 5
+    # facts become sum metrics on the owning dataset
+    assert any(m.metrics for m in layer.graph.models.values())
+    GoodDataAdapter().parse_file(layer, os.path.join(FIXROOT, "gooddata/ecommerce_demo_analytics.json"))
+    assert layer.graph.metrics, "MAQL arithmetic metrics should import as derived"
+
+
+def test_gooddata_end_to_end(spark):
+    from sidemantic_spark.adapters import GoodDataAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    GoodDataAdapter().parse(layer, {
+        "ldm": {"datasets": [{
+            "id": "g_orders",
+            "grain": [{"id": "order_id", "type": "attribute"}],
+            "attributes": [
+                {"id": "order_id", "sourceColumn": "order_id", "sourceColumnDataType": "INT"},
+                {"id": "status", "sourceColumn": "status", "sourceColumnDataType": "STRING"},
+            ],
+            "facts": [{"id": "amount", "sourceColumn": "amount", "sourceColumnDataType": "NUMERIC"}],
+            "dataSourceTableId": {"path": ["SCHEMA", "adapter_orders"]},
+        }]},
+    })
+    m = layer.graph.models["g_orders"]
+    assert m.table == "adapter_orders" and m.primary_key == "order_id"
+    r = layer.query(metrics=["g_orders.amount"], dimensions=["g_orders.status"],
+                    order_by=["status"]).collect()
+    assert [(x["status"], x["amount"]) for x in r] == [("paid", 250), ("refunded", 50)]
+    con.close()
+
+
+def test_atscale_catalog(spark):
+    from sidemantic_spark.adapters import AtScaleAdapter
+
+    layer = SparkSemanticLayer(spark)
+    AtScaleAdapter().parse_file(layer, os.path.join(FIXROOT, "atscale_sml"))
+    fact = layer.graph.models["fact_sales"]
+    assert fact.metric("total_sales").agg == "sum"
+    assert fact.metric("total_sales").sql == "amount"
+    assert fact.metric("sales_median").agg == "median"
+    assert any(r.name == "dim_customers" and r.foreign_key == "customer_id"
+               for r in fact.relationships)
+    assert fact.pre_aggregations and fact.pre_aggregations[0].measures == ["total_sales", "order_count"]
+    # dimension-level metric lands on its dataset
+    assert layer.graph.models["dim_customers"].metric("customer_count").agg == "count_distinct"
+
+
+def test_thoughtspot_end_to_end(spark, tmp_path):
+    from sidemantic_spark.adapters import ThoughtSpotAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    t = tmp_path / "orders.table.tml"
+    t.write_text("""
+table:
+  name: ts_orders
+  db_table: adapter_orders
+  columns:
+    - name: order_id
+      db_column_name: order_id
+      data_type: INT64
+      properties:
+        column_type: ATTRIBUTE
+        is_primary_key: true
+    - name: status
+      db_column_name: status
+      data_type: VARCHAR
+      properties:
+        column_type: ATTRIBUTE
+    - name: order_month
+      db_column_name: created_at
+      data_type: TIMESTAMP
+      properties:
+        column_type: ATTRIBUTE
+        default_date_bucket: MONTHLY
+    - name: revenue
+      db_column_name: amount
+      data_type: DOUBLE
+      properties:
+        column_type: MEASURE
+        aggregation: SUM
+    - name: order_count
+      db_column_name: order_id
+      data_type: INT64
+      properties:
+        column_type: MEASURE
+        aggregation: COUNT
+""")
+    ThoughtSpotAdapter().parse_file(layer, str(t))
+    m = layer.graph.models["ts_orders"]
+    assert m.primary_key == "order_id"
+    assert m.dimension("order_month").type == "time"
+    assert m.dimension("order_month").granularity == "month"
+    r = layer.query(metrics=["ts_orders.revenue", "ts_orders.order_count"],
+                    dimensions=["ts_orders.status"], order_by=["status"]).collect()
+    assert [(x["status"], x["revenue"], x["order_count"]) for x in r] == [
+        ("paid", 250, 2), ("refunded", 50, 1)
+    ]
+    con.close()
+
+
+def test_thoughtspot_worksheet_joins(spark):
+    import glob as _g
+
+    from sidemantic_spark.adapters import ThoughtSpotAdapter
+
+    layer = SparkSemanticLayer(spark)
+    a = ThoughtSpotAdapter()
+    for f in sorted(_g.glob(os.path.join(FIXROOT, "thoughtspot/*.tml"))):
+        a.parse_file(layer, f)
+    sales = layer.graph.models["sales"]
+    assert any(r.name == "customers" and r.foreign_key == "customer_id" for r in sales.relationships)
+    # composite-key inner join imported with both columns
+    reg = [r for r in sales.relationships if r.name == "regions"]
+    assert reg and reg[0].foreign_key == ["region_id", "country_code"]
+    assert reg[0].join_type == "inner"
+    assert sales.metric("gross_revenue").agg == "sum"
