@@ -14,35 +14,45 @@ semi-additive windows) are mapped 1:1.
 """
 
 from sidemantic_spark.adapters.atscale import AtScaleAdapter
+from sidemantic_spark.adapters.bsl import BslAdapter
 from sidemantic_spark.adapters.cube import CubeAdapter
 from sidemantic_spark.adapters.gooddata import GoodDataAdapter
+from sidemantic_spark.adapters.graphene import GrapheneAdapter
 from sidemantic_spark.adapters.holistics import HolisticsAdapter
 from sidemantic_spark.adapters.hex import HexAdapter
 from sidemantic_spark.adapters.lookml import LookMLAdapter
 from sidemantic_spark.adapters.malloy import MalloyAdapter
 from sidemantic_spark.adapters.metricflow import MetricFlowAdapter
 from sidemantic_spark.adapters.omni import OmniAdapter
+from sidemantic_spark.adapters.osi import OsiAdapter
 from sidemantic_spark.adapters.rill import RillAdapter
+from sidemantic_spark.adapters.snowflake import SnowflakeAdapter
 from sidemantic_spark.adapters.superset import SupersetAdapter
 from sidemantic_spark.adapters.tableau import TableauAdapter
 from sidemantic_spark.adapters.thoughtspot import ThoughtSpotAdapter
 from sidemantic_spark.adapters.tmdl import TmdlAdapter
+from sidemantic_spark.adapters.yardstick import YardstickAdapter
 
 ADAPTERS = {
     "atscale": AtScaleAdapter,
+    "bsl": BslAdapter,
     "cube": CubeAdapter,
     "gooddata": GoodDataAdapter,
+    "graphene": GrapheneAdapter,
     "holistics": HolisticsAdapter,
     "hex": HexAdapter,
     "lookml": LookMLAdapter,
     "malloy": MalloyAdapter,
     "metricflow": MetricFlowAdapter,
     "omni": OmniAdapter,
+    "osi": OsiAdapter,
     "rill": RillAdapter,
+    "snowflake": SnowflakeAdapter,
     "superset": SupersetAdapter,
     "tableau": TableauAdapter,
     "thoughtspot": ThoughtSpotAdapter,
     "tmdl": TmdlAdapter,
+    "yardstick": YardstickAdapter,
 }
 
 
@@ -57,8 +67,10 @@ def import_file(layer, path: str, format: str) -> None:
     adapter_cls().parse_file(layer, path)
 
 
-__all__ = ["ADAPTERS", "import_file", "AtScaleAdapter", "CubeAdapter",
-           "GoodDataAdapter", "HexAdapter", "HolisticsAdapter",
-           "LookMLAdapter", "MalloyAdapter", "MetricFlowAdapter",
-           "OmniAdapter", "RillAdapter", "SupersetAdapter",
-           "TableauAdapter", "ThoughtSpotAdapter", "TmdlAdapter"]
+__all__ = ["ADAPTERS", "import_file", "AtScaleAdapter", "BslAdapter",
+           "CubeAdapter", "GoodDataAdapter", "GrapheneAdapter",
+           "HexAdapter", "HolisticsAdapter", "LookMLAdapter",
+           "MalloyAdapter", "MetricFlowAdapter", "OmniAdapter",
+           "OsiAdapter", "RillAdapter", "SnowflakeAdapter",
+           "SupersetAdapter", "TableauAdapter", "ThoughtSpotAdapter",
+           "TmdlAdapter", "YardstickAdapter"]

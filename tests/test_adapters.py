@@ -48,6 +48,7 @@ def _fixture_files(fmt: str) -> list[str]:
         "holistics": (".aml",),
         "gooddata": (".json",),
         "thoughtspot": (".tml",),
+        "osi": (".yaml", ".yml", ".json"),
     }.get(fmt, (".yml", ".yaml"))
     out = []
     for root, _dirs, files in os.walk(d):
@@ -59,8 +60,9 @@ def _fixture_files(fmt: str) -> list[str]:
 
 @pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
 @pytest.mark.parametrize(
-    "fmt", ["cube", "gooddata", "hex", "holistics", "lookml", "malloy",
-            "metricflow", "omni", "rill", "superset", "tableau", "thoughtspot"]
+    "fmt", ["bsl", "cube", "gooddata", "hex", "holistics", "lookml", "malloy",
+            "metricflow", "omni", "osi", "rill", "snowflake", "superset",
+            "tableau", "thoughtspot"]
 )
 def test_adapter_corpus_sweep(fmt, spark):
     from sidemantic_spark.adapters import ADAPTERS
@@ -932,3 +934,219 @@ def test_thoughtspot_worksheet_joins(spark):
     assert reg and reg[0].foreign_key == ["region_id", "country_code"]
     assert reg[0].join_type == "inner"
     assert sales.metric("gross_revenue").agg == "sum"
+
+
+def test_snowflake_cortex_end_to_end(spark):
+    import yaml
+
+    from sidemantic_spark.adapters import SnowflakeAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    SnowflakeAdapter().parse(layer, yaml.safe_load("""
+name: Orders
+tables:
+  - name: sf_orders
+    base_table:
+      table: adapter_orders
+    primary_key:
+      columns: [order_id]
+    time_dimensions:
+      - name: created_at
+        expr: created_at
+        data_type: timestamp
+    dimensions:
+      - name: status
+        expr: status
+        data_type: text
+    measures:
+      - name: revenue
+        expr: amount
+        default_aggregation: sum
+      - name: avg_amount
+        expr: amount
+        default_aggregation: avg
+    filters:
+      - name: paid_only
+        expr: "{model}.status = 'paid'"
+"""))
+    m = layer.graph.models["sf_orders"]
+    assert m.primary_key == "order_id"
+    assert m.dimension("created_at").type == "time"
+    assert m.segment("paid_only") is not None
+    r = layer.query(metrics=["sf_orders.revenue", "sf_orders.avg_amount"],
+                    dimensions=["sf_orders.status"], order_by=["status"]).collect()
+    assert [(x["status"], x["revenue"], x["avg_amount"]) for x in r] == [
+        ("paid", 250, 125.0), ("refunded", 50, 50.0)
+    ]
+    con.close()
+
+
+def test_snowflake_reference_relationships(spark):
+    from sidemantic_spark.adapters import SnowflakeAdapter
+
+    layer = SparkSemanticLayer(spark)
+    SnowflakeAdapter().parse_file(layer, os.path.join(FIXROOT, "snowflake/revenue_timeseries.yaml"))
+    dr = layer.graph.models["daily_revenue"]
+    assert dr.primary_key == ["date", "product_id", "region_id"]
+    assert any(r.name == "product" and r.foreign_key == "product_id" for r in dr.relationships)
+    assert dr.metric("daily_revenue").agg == "sum"
+
+
+def test_osi_end_to_end(spark):
+    import yaml
+
+    from sidemantic_spark.adapters import OsiAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    OsiAdapter().parse(layer, yaml.safe_load("""
+semantic_model:
+  - name: analytics
+    datasets:
+      - name: o_orders
+        source: adapter_orders
+        primary_key: [order_id]
+        fields:
+          - name: order_id
+            expression:
+              dialects:
+                - dialect: ANSI_SQL
+                  expression: order_id
+          - name: status
+          - name: created_at
+            dimension:
+              is_time: true
+    metrics:
+      - name: revenue
+        expression:
+          dialects:
+            - dialect: ANSI_SQL
+              expression: SUM(o_orders.amount)
+      - name: order_count
+        expression:
+          dialects:
+            - dialect: ANSI_SQL
+              expression: COUNT(o_orders.order_id)
+"""))
+    m = layer.graph.models["o_orders"]
+    assert m.table == "adapter_orders"
+    assert m.metric("revenue").agg == "sum"
+    r = layer.query(metrics=["o_orders.revenue", "o_orders.order_count"],
+                    dimensions=["o_orders.status"], order_by=["status"]).collect()
+    assert [(x["status"], x["revenue"], x["order_count"]) for x in r] == [
+        ("paid", 250, 2), ("refunded", 50, 1)
+    ]
+    con.close()
+
+
+def test_osi_reference_relationships(spark):
+    from sidemantic_spark.adapters import OsiAdapter
+
+    layer = SparkSemanticLayer(spark)
+    OsiAdapter().parse_file(layer, os.path.join(FIXROOT, "osi/ecommerce.yaml"))
+    orders = layer.graph.models["orders"]
+    assert any(r.name == "customers" for r in orders.relationships)
+    assert orders.metric("total_revenue") is not None
+
+
+def test_bsl_end_to_end(spark):
+    import yaml
+
+    from sidemantic_spark.adapters import BslAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    BslAdapter().parse(layer, yaml.safe_load("""
+b_orders:
+  table: adapter_orders
+  dimensions:
+    order_id:
+      expr: _.order_id
+      is_entity: true
+    status: _.status
+    created_at:
+      expr: _.created_at
+      is_time_dimension: true
+      smallest_time_grain: "TIME_GRAIN_DAY"
+  measures:
+    count:
+      expr: _.count()
+    revenue:
+      expr: _.amount.sum()
+    avg_order_value:
+      expr: _.amount.mean()
+    revenue_per_order:
+      expr: revenue / count
+"""))
+    m = layer.graph.models["b_orders"]
+    assert m.primary_key == "order_id"
+    assert m.dimension("created_at").type == "time"
+    assert m.metric("revenue").agg == "sum"
+    assert m.metric("avg_order_value").agg == "avg"
+    assert m.metric("revenue_per_order").type == "derived"
+    r = layer.query(metrics=["b_orders.revenue", "b_orders.count", "b_orders.revenue_per_order"],
+                    dimensions=["b_orders.status"], order_by=["status"]).collect()
+    assert [(x["status"], x["revenue"], x["count"], float(x["revenue_per_order"])) for x in r] == [
+        ("paid", 250, 2, 125.0), ("refunded", 50, 1, 50.0)
+    ]
+    con.close()
+
+
+def test_graphene_end_to_end(spark):
+    from sidemantic_spark.adapters import GrapheneAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    GrapheneAdapter().parse_text(layer, """
+table g_orders from adapter_orders (
+  order_id INT64
+  status STRING
+  created_at TIMESTAMP #timeGrain=day
+  amount FLOAT64
+  cost FLOAT64
+
+  is_paid: status = 'paid'
+  revenue: sum(amount)
+  cogs: sum(cost)
+  profit: revenue - cogs
+)
+""")
+    m = layer.graph.models["g_orders"]
+    assert m.primary_key == "order_id"
+    assert m.dimension("is_paid").type == "boolean"
+    assert m.dimension("created_at").granularity == "day"
+    assert m.metric("profit").type == "derived"
+    r = layer.query(metrics=["g_orders.revenue", "g_orders.profit"],
+                    dimensions=["g_orders.status"], order_by=["status"]).collect()
+    assert [(x["status"], x["revenue"], x["profit"]) for x in r] == [
+        ("paid", 250, 220), ("refunded", 50, 45)
+    ]
+    con.close()
+
+
+def test_yardstick_end_to_end(spark):
+    from sidemantic_spark.adapters import YardstickAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(layer, """
+CREATE VIEW y_orders AS
+SELECT
+    status,
+    SUM(amount) AS MEASURE revenue,
+    COUNT(*) AS MEASURE order_count,
+    revenue / order_count AS MEASURE aov
+FROM adapter_orders;
+""")
+    m = layer.graph.models["y_orders"]
+    assert m.table == "adapter_orders"
+    assert m.primary_key == "status"
+    assert m.metric("revenue").agg == "sum" and m.metric("revenue").sql == "amount"
+    assert m.metric("aov").type == "derived"
+    r = layer.query(metrics=["y_orders.revenue", "y_orders.order_count", "y_orders.aov"],
+                    dimensions=["y_orders.status"], order_by=["status"]).collect()
+    assert [(x["status"], x["revenue"], x["order_count"], float(x["aov"])) for x in r] == [
+        ("paid", 250, 2, 125.0), ("refunded", 50, 1, 50.0)
+    ]
+    con.close()
