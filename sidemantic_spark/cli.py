@@ -1,0 +1,340 @@
+"""Command-line interface.
+
+Re-expression of the reference CLI surface (``sidemantic/cli.py:285``:
+query, rewrite, convert, test, validate, init, info, preagg
+recommend/apply) on argparse. Spark runs locally
+(``local[$SPARK_GRAFT_CPUS]``, default all cores); model files load
+via the authoring loaders (YAML / SQL DDL) or any import adapter with
+``--format``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _build_spark(app: str = "sidemantic-spark"):
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _load_layer(args, spark=None):
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    layer = SparkSemanticLayer(spark)
+    path = args.models
+    fmt = getattr(args, "format", None) or "native"
+    if fmt == "native":
+        from sidemantic_spark.authoring import load_path
+
+        load_path(layer, path)
+    else:
+        from sidemantic_spark.adapters import import_file
+
+        import_file(layer, path, fmt)
+    for spec in getattr(args, "register", None) or []:
+        name, _, uri = spec.partition("=")
+        if not uri:
+            raise SystemExit(f"--register expects name=path, got {spec!r}")
+        model = layer.graph.models.get(name)
+        if model is not None:
+            model.source_uri = uri
+            model.table = model.table or name
+        elif spark is not None:
+            spark.read.parquet(uri).createOrReplaceTempView(name)
+    return layer
+
+
+def _print_rows(df, fmt: str) -> None:
+    if fmt == "json":
+        for row in df.collect():
+            print(json.dumps(row.asDict(), default=str))
+    elif fmt == "csv":
+        import csv
+
+        w = csv.writer(sys.stdout)
+        w.writerow(df.columns)
+        for row in df.collect():
+            w.writerow([row[c] for c in df.columns])
+    else:
+        df.show(n=1000, truncate=False)
+
+
+def cmd_query(args) -> int:
+    spark = _build_spark()
+    layer = _load_layer(args, spark)
+    df = layer.query(
+        metrics=args.metrics or [],
+        dimensions=args.dimensions or [],
+        filters=args.filters or [],
+        order_by=args.order_by or [],
+        limit=args.limit,
+    )
+    _print_rows(df, args.output)
+    return 0
+
+
+def cmd_sql(args) -> int:
+    spark = _build_spark()
+    layer = _load_layer(args, spark)
+    df = layer.sql(args.sql)
+    _print_rows(df, args.output)
+    return 0
+
+
+def cmd_rewrite(args) -> int:
+    layer = _load_layer(args)
+    print(layer.rewrite(args.sql))
+    return 0
+
+
+def cmd_compile(args) -> int:
+    layer = _load_layer(args)
+    print(layer.compile(
+        metrics=args.metrics or [],
+        dimensions=args.dimensions or [],
+        filters=args.filters or [],
+        order_by=args.order_by or [],
+        limit=args.limit,
+    ))
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from sidemantic_spark.authoring import export_yaml
+
+    layer = _load_layer(args)
+    text = export_yaml(layer.graph)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(text)
+        print(f"wrote {args.out}")
+    else:
+        print(text)
+    return 0
+
+
+def cmd_validate(args) -> int:
+    layer = _load_layer(args)
+    result = layer.validate()
+    if result["valid"]:
+        print(f"OK: {len(layer.graph.models)} models valid")
+        return 0
+    for err in result["errors"]:
+        print(f"ERROR: {err}")
+    return 1
+
+
+def cmd_info(args) -> int:
+    layer = _load_layer(args)
+    for name, model in sorted(layer.graph.models.items()):
+        binding = model.table or model.source_uri or "(derived sql)"
+        print(f"model {name}  [{binding}]  pk={model.primary_key}")
+        for d in model.dimensions:
+            extra = f" grain={d.granularity}" if d.granularity else ""
+            print(f"  dim    {d.name} ({d.type}){extra}")
+        for m in model.metrics:
+            kind = m.type or m.agg or "expr"
+            print(f"  metric {m.name} ({kind})")
+        for r in model.relationships:
+            print(f"  rel    -> {r.name} ({r.type})")
+    for name, m in sorted(layer.graph.metrics.items()):
+        print(f"graph metric {name} ({m.type or m.agg})")
+    return 0
+
+
+def cmd_test(args) -> int:
+    from sidemantic_spark.testing import run_golden_tests
+
+    spark = _build_spark()
+    layer = _load_layer(args, spark)
+    results = run_golden_tests(layer, args.cases)
+    failed = [r for r in results if not r.passed]
+    for r in results:
+        status = "PASS" if r.passed else "FAIL"
+        detail = "; ".join(r.failures) if r.failures else ""
+        print(f"{status} {r.name}" + (f": {detail}" if detail else ""))
+    print(f"{len(results) - len(failed)}/{len(results)} passed")
+    return 1 if failed else 0
+
+
+def cmd_preagg_recommend(args) -> int:
+    from sidemantic_spark.preagg.recommender import PreAggregationRecommender
+
+    layer = _load_layer(args)
+    rec = PreAggregationRecommender(layer.graph, min_query_count=args.min_queries)
+    with open(args.query_log) as fh:
+        rec.parse_query_log([ln.strip() for ln in fh if ln.strip()])
+    recs = rec.get_recommendations(top_n=args.top)
+    if not recs:
+        print("no recommendations")
+        return 0
+    for r in recs:
+        print(f"{r.model}: measures={r.measures} dimensions={r.dimensions} "
+              f"granularity={r.granularity} score={r.benefit_score:.1f}")
+        if args.apply:
+            pa = rec.apply(r)
+            print(f"  applied as {pa.name}")
+    return 0
+
+
+def cmd_preagg_apply(args) -> int:
+    spark = _build_spark()
+    layer = _load_layer(args, spark)
+    mgr = layer.preaggs()
+    written = mgr.materialize(args.model, args.name)
+    for p in written:
+        print(f"materialized {p}")
+    return 0
+
+
+def cmd_init(args) -> int:
+    """Introspect data files -> generate model YAML (reference
+    ``bootstrap.py``, ``init --from data/*.csv``)."""
+    import yaml as _yaml
+
+    spark = _build_spark()
+    models = []
+    for path in args.data:
+        name = os.path.splitext(os.path.basename(path))[0]
+        fmt = "csv" if path.endswith(".csv") else ("json" if path.endswith(".json") else "parquet")
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        df = reader.load(path)
+        dims = []
+        pk = None
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if t in ("date", "timestamp", "timestamp_ntz"):
+                dtype = "time"
+            elif t in ("boolean",):
+                dtype = "boolean"
+            elif t.startswith(("int", "bigint", "double", "float", "decimal", "long", "smallint")):
+                dtype = "numeric"
+            else:
+                dtype = "categorical"
+            dims.append({"name": f.name, "type": dtype})
+            if pk is None and (f.name == "id" or f.name.endswith("_id") or f.name.endswith("key")):
+                pk = f.name
+        models.append({
+            "name": name,
+            "source_uri": os.path.abspath(path),
+            "source_format": fmt,
+            "primary_key": pk or dims[0]["name"],
+            "dimensions": dims,
+            "metrics": [{"name": "count", "agg": "count"}],
+        })
+    text = _yaml.safe_dump({"models": models}, sort_keys=False)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(text)
+        print(f"wrote {args.out}")
+    else:
+        print(text)
+    return 0
+
+
+def _add_models_arg(p, required: bool = True):
+    p.add_argument("-f", "--models", required=required, help="model definitions path (file or dir)")
+    p.add_argument("--format", default="native",
+                   help="input format: native or any import adapter name")
+    p.add_argument("--register", action="append",
+                   help="bind data: model_name=/path/to/data.parquet (repeatable)")
+
+
+def _add_query_args(p):
+    p.add_argument("-m", "--metrics", action="append", default=None)
+    p.add_argument("-d", "--dimensions", action="append", default=None)
+    p.add_argument("-w", "--filters", action="append", default=None)
+    p.add_argument("--order-by", action="append", default=None)
+    p.add_argument("--limit", type=int, default=None)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="sidemantic-spark",
+                                     description="PySpark-native semantic layer")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("query", help="run a structured semantic query")
+    _add_models_arg(p)
+    _add_query_args(p)
+    p.add_argument("-o", "--output", choices=["table", "json", "csv"], default="table")
+    p.set_defaults(func=cmd_query)
+
+    p = sub.add_parser("sql", help="run semantic SQL")
+    _add_models_arg(p)
+    p.add_argument("sql")
+    p.add_argument("-o", "--output", choices=["table", "json", "csv"], default="table")
+    p.set_defaults(func=cmd_sql)
+
+    p = sub.add_parser("rewrite", help="print rewritten SQL without executing")
+    _add_models_arg(p)
+    p.add_argument("sql")
+    p.set_defaults(func=cmd_rewrite)
+
+    p = sub.add_parser("compile", help="print compiled SQL for a structured query")
+    _add_models_arg(p)
+    _add_query_args(p)
+    p.set_defaults(func=cmd_compile)
+
+    p = sub.add_parser("convert", help="import any format, export native YAML")
+    _add_models_arg(p)
+    p.add_argument("--out", default=None)
+    p.set_defaults(func=cmd_convert)
+
+    p = sub.add_parser("validate", help="validate model definitions")
+    _add_models_arg(p)
+    p.set_defaults(func=cmd_validate)
+
+    p = sub.add_parser("info", help="describe the semantic graph")
+    _add_models_arg(p)
+    p.set_defaults(func=cmd_info)
+
+    p = sub.add_parser("test", help="run golden YAML testcases")
+    _add_models_arg(p)
+    p.add_argument("cases", help="testcase YAML path")
+    p.set_defaults(func=cmd_test)
+
+    p = sub.add_parser("init", help="introspect data files and generate model YAML")
+    p.add_argument("data", nargs="+", help="parquet/csv/json files")
+    p.add_argument("--out", default=None)
+    p.set_defaults(func=cmd_init)
+
+    pa = sub.add_parser("preagg", help="pre-aggregation management")
+    pasub = pa.add_subparsers(dest="preagg_command", required=True)
+
+    p = pasub.add_parser("recommend", help="recommend rollups from a query log")
+    _add_models_arg(p)
+    p.add_argument("query_log", help="file with one compiled query per line")
+    p.add_argument("--min-queries", type=int, default=10)
+    p.add_argument("--top", type=int, default=None)
+    p.add_argument("--apply", action="store_true")
+    p.set_defaults(func=cmd_preagg_recommend)
+
+    p = pasub.add_parser("apply", help="materialize rollups for a model")
+    _add_models_arg(p)
+    p.add_argument("model")
+    p.add_argument("--name", default=None)
+    p.set_defaults(func=cmd_preagg_apply)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())
