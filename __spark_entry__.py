@@ -103,6 +103,56 @@ def _table_calc_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _table_calc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sidemantic_spark.sql.table_calcs import TableCalculation
+
+    return _layer(spark, sf_dir).query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.priority"],
+        table_calcs=[
+            TableCalculation(
+                name="revenue_rank", type="rank", order_by=["revenue DESC"]
+            )
+        ],
+    )
+
+
+def _table_calc_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sidemantic_spark.sql.table_calcs import TableCalculation
+
+    return _layer(spark, sf_dir).query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.order_date__month AS order_month"],
+        table_calcs=[
+            TableCalculation(
+                name="revenue_3mo_avg", type="moving_average",
+                field="revenue", order_by=["order_month"], window_size=3,
+            )
+        ],
+    )
+
+
+def _stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ROUND(…, 2) on both sides: stddev/variance accumulate float error
+    # in engine-specific order, so last-ulp digits differ legitimately
+    return _layer(spark, sf_dir).sql(
+        "SELECT orders.status, "
+        "ROUND(orders.price_stddev, 2) AS price_stddev, "
+        "ROUND(orders.price_variance / 1000, 2) AS price_variance_k, "
+        "ROUND(orders.price_stddev_pop, 2) AS price_stddev_pop, "
+        "ROUND(orders.price_median, 2) AS price_median "
+        "FROM orders"
+    )
+
+
+def _semantic_sql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _layer(spark, sf_dir).sql(
+        "SELECT orders.status, orders.revenue FROM orders WHERE orders.status = 'O' "
+        "UNION ALL "
+        "SELECT orders.status, orders.revenue FROM orders WHERE orders.status = 'F'"
+    )
+
+
 # ----------------------------------------------------------------------
 # data-pipeline queries
 # ----------------------------------------------------------------------
@@ -310,9 +360,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             metrics=["orders.open_rate", "orders.revenue"],
             dimensions=["orders.status"],
         ),
+        "stats_aggs": _stats_aggs,
+        "jinja_param_filter": _q(
+            metrics=["orders.order_count", "orders.revenue"],
+            dimensions=["orders.status"],
+            filters=["{% if only_open %}orders.status = 'O'{% endif %}"],
+            parameters={"only_open": True},
+        ),
         "semantic_sql_expression": _semantic_sql_expression,
         "semantic_sql_cte_island": _semantic_sql_cte_island,
+        "semantic_sql_union": _semantic_sql_union,
         "table_calc_pct_of_total": _table_calc_pct_of_total,
+        "table_calc_rank": _table_calc_rank,
+        "table_calc_moving_avg": _table_calc_moving_avg,
         # §2.3 joins
         "join_m2o": _q(
             metrics=["orders.revenue"], dimensions=["customer.mktsegment"]
@@ -526,6 +586,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(revenue AS DOUBLE) * 100
                      / NULLIF(CAST(SUM(revenue) OVER () AS DOUBLE), 0) AS pct_of_total
             FROM q
+        """,
+        "table_calc_rank": """
+            WITH q AS (
+                SELECT o_orderpriority AS priority,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT priority, revenue,
+                   RANK() OVER (ORDER BY revenue DESC) AS revenue_rank
+            FROM q
+        """,
+        "table_calc_moving_avg": """
+            WITH q AS (
+                SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT order_month, revenue,
+                   AVG(CAST(revenue AS DOUBLE)) OVER (
+                       ORDER BY order_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS revenue_3mo_avg
+            FROM q
+        """,
+        "semantic_sql_union": """
+            SELECT o_orderstatus AS status,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+            UNION ALL
+            SELECT o_orderstatus AS status,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        """,
+        "stats_aggs": """
+            SELECT o_orderstatus AS status,
+                   ROUND(STDDEV_SAMP(o_totalprice), 2) AS price_stddev,
+                   ROUND(VAR_SAMP(o_totalprice) / 1000, 2) AS price_variance_k,
+                   ROUND(STDDEV_POP(o_totalprice), 2) AS price_stddev_pop,
+                   ROUND(MEDIAN(o_totalprice), 2) AS price_median
+            FROM orders GROUP BY 1
+        """,
+        "jinja_param_filter": """
+            SELECT o_orderstatus AS status,
+                   COUNT(*) AS order_count,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
         """,
         "join_m2o": """
             SELECT c.c_mktsegment AS mktsegment,

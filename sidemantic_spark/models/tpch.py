@@ -96,6 +96,11 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                     numerator="revenue",
                     denominator="order_count",
                 ),
+                # statistical aggs (ref core/metric.py:36-52 agg list)
+                Metric(name="price_stddev", agg="stddev", sql="o_totalprice"),
+                Metric(name="price_variance", agg="variance", sql="o_totalprice"),
+                Metric(name="price_stddev_pop", agg="stddev_pop", sql="o_totalprice"),
+                Metric(name="price_median", agg="median", sql="o_totalprice"),
                 Metric(
                     # opaque complete-SQL measure (ref core/metric.py:58-66)
                     name="open_rate",
