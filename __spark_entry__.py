@@ -153,6 +153,13 @@ def _semantic_sql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _yardstick_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _layer(spark, sf_dir).sql(
+        "SEMANTIC SELECT orders.status, AGGREGATE(orders.revenue) AS revenue "
+        "FROM orders"
+    )
+
+
 # ----------------------------------------------------------------------
 # data-pipeline queries
 # ----------------------------------------------------------------------
@@ -370,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_sql_expression": _semantic_sql_expression,
         "semantic_sql_cte_island": _semantic_sql_cte_island,
         "semantic_sql_union": _semantic_sql_union,
+        "yardstick_aggregate": _yardstick_aggregate,
         "table_calc_pct_of_total": _table_calc_pct_of_total,
         "table_calc_rank": _table_calc_rank,
         "table_calc_moving_avg": _table_calc_moving_avg,
@@ -617,6 +625,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus AS status,
                    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
             FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        """,
+        "yardstick_aggregate": """
+            SELECT o_orderstatus AS status,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
         """,
         "stats_aggs": """
             SELECT o_orderstatus AS status,

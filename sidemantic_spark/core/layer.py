@@ -87,6 +87,50 @@ class SparkSemanticLayer:
                 df = reader.load(model.source_uri)
                 df.createOrReplaceTempView(model.table or model.name)
                 self._registered_sources.add(model.name)
+            if model.auto_dimensions:
+                self._introspect_dimensions(model)
+
+    def _introspect_dimensions(self, model) -> None:
+        """Auto-discover dimensions from the Spark schema (reference
+        ``core/semantic_layer.py:492`` _introspect_dimensions, type map
+        ``:563`` _map_db_type). Existing dimensions and PK columns are
+        left untouched; each other column becomes a dimension with its
+        Spark DataType folded onto the 4 semantic types."""
+        from sidemantic_spark.core.model import Dimension
+
+        try:
+            if model.table or model.source_uri:
+                schema = self.spark.table(model.table or model.name).schema
+            elif model.sql:
+                schema = self.spark.sql(
+                    f"SELECT * FROM ({model.sql}) AS _introspect LIMIT 0"
+                ).schema
+            else:
+                return
+        except Exception:
+            return
+        existing = {d.name for d in model.dimensions}
+        pk = set(model.pk_list())
+        for f in schema.fields:
+            if f.name in existing or f.name in pk:
+                continue
+            t = f.dataType.simpleString()
+            if t in ("date",):
+                dtype, grain = "time", "day"
+            elif t.startswith("timestamp"):
+                dtype, grain = "time", "second"
+            elif t == "boolean":
+                dtype, grain = "boolean", None
+            elif t.startswith(("tinyint", "smallint", "int", "bigint", "long",
+                               "float", "double", "decimal")):
+                dtype, grain = "numeric", None
+            elif t.startswith(("array", "map", "struct", "binary")):
+                continue  # complex/opaque columns are not dimensions
+            else:
+                dtype, grain = "categorical", None
+            model.add_dimension(Dimension(name=f.name, type=dtype, granularity=grain))
+        model.auto_dimensions = False  # introspect once
+        self.graph._invalidate()
 
     # -- compile / execute -------------------------------------------
 

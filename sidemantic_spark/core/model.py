@@ -282,6 +282,7 @@ class Model:
     security: object | None = None  # SecurityPolicy (access + user row filters)
     pre_aggregations: list = field(default_factory=list)  # [PreAggregation]
     extends: str | None = None  # inherit from another model (core/inheritance.py:11)
+    auto_dimensions: bool = False  # introspect schema -> dims (ref core/model.py:61)
 
     def __post_init__(self) -> None:
         self._dims = {d.name: d for d in self.dimensions}

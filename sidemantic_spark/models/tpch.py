@@ -74,6 +74,7 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                 Metric(name="revenue", agg="sum", sql="CAST(o_totalprice AS DECIMAL(18,2))"),
                 Metric(name="order_count", agg="count"),
                 Metric(name="customer_count", agg="count_distinct", sql="o_custkey"),
+                Metric(name="approx_customers", agg="approx_count_distinct", sql="o_custkey"),
                 Metric(name="avg_order_value", agg="avg", sql="o_totalprice"),
                 Metric(name="max_order_value", agg="max", sql="o_totalprice"),
                 Metric(name="min_order_value", agg="min", sql="o_totalprice"),

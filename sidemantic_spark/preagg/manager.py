@@ -69,8 +69,17 @@ class PreAggManager:
                 cols.append(f"MIN({expr}) AS {mname}__min")
             elif agg == "max":
                 cols.append(f"MAX({expr}) AS {mname}__max")
-            elif agg in ("count_distinct", "approx_count_distinct"):
+            elif agg == "count_distinct":
                 cols.append(f"COUNT(DISTINCT {expr}) AS {mname}__cd")
+            elif agg == "approx_count_distinct":
+                # exact value for exact-grain passthrough PLUS a
+                # mergeable HLL sketch (Spark hll_sketch_agg) so the
+                # metric re-aggregates at ANY coarser grain — the
+                # reference can't do this (exact-grain guard
+                # core/preagg_matcher.py:138); sketches are the
+                # Spark-first improvement SURVEY.md §7 suggests
+                cols.append(f"COUNT(DISTINCT {expr}) AS {mname}__cd")
+                cols.append(f"hll_sketch_agg({expr}) AS {mname}__hll")
             else:
                 raise ValueError(
                     f"measure {mname!r} ({agg}) has no partial-aggregate decomposition"

@@ -153,7 +153,11 @@ def _derivable(metric: Metric, exact_grain: bool) -> bool:
         return False
     if metric.agg in ("sum", "count", "min", "max", "avg"):
         return True
-    if metric.agg in ("count_distinct", "approx_count_distinct"):
+    if metric.agg == "count_distinct":
         # exact-grain only (ref core/preagg_matcher.py:138-143,258-263)
         return exact_grain
+    if metric.agg == "approx_count_distinct":
+        # stored HLL sketches merge across grains (hll_union_agg);
+        # exact grain still passes the stored exact count through
+        return True
     return False  # median/stddev/variance: never derivable from partials

@@ -67,10 +67,15 @@ def _reagg(metric: Metric, exact_single_row: bool) -> str:
         return f"MIN({m}__min)"
     if metric.agg == "max":
         return f"MAX({m}__max)"
-    if metric.agg in ("count_distinct", "approx_count_distinct"):
-        # matcher only admits these at exact grain: one rollup row per
+    if metric.agg == "count_distinct":
+        # matcher only admits this at exact grain: one rollup row per
         # output group, so the stored value passes through
         return f"MAX({m}__cd)"
+    if metric.agg == "approx_count_distinct":
+        if exact_single_row:
+            return f"MAX({m}__cd)"  # exact value available at exact grain
+        # coarser grain: merge the stored HLL sketches
+        return f"hll_sketch_estimate(hll_union_agg({m}__hll))"
     raise ValueError(f"metric {m!r} not derivable from rollup partials")
 
 

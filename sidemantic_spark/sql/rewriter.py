@@ -92,6 +92,20 @@ def _split_items(text: str) -> list[str]:
     return items
 
 
+_AGGREGATE_REF_RE = re.compile(r"\bAGGREGATE\s*\(\s*(\"[^\"]+\"|[\w.]+)\s*\)", re.I)
+
+
+def _yardstick_normalize(sql: str) -> str:
+    """Yardstick flavor (reference ``sql/query_rewriter.py:3007-3043``):
+    ``SEMANTIC SELECT ...`` prefix and ``AGGREGATE(measure)`` refs.
+    ``AGGREGATE(x)`` unwraps to the bare measure ref — the semantic
+    planner supplies the aggregation from the metric definition."""
+    sql = re.sub(r"^\s*SEMANTIC\s+", "", sql, flags=re.I)
+    return _AGGREGATE_REF_RE.sub(
+        lambda m: m.group(1).strip('"').replace(" ", "_"), sql
+    )
+
+
 class SemanticSqlRewriter:
     def __init__(self, layer) -> None:
         self.layer = layer
@@ -105,7 +119,7 @@ class SemanticSqlRewriter:
         hit = self._cache.get(key)
         if hit is not None:
             return hit
-        out = self._rewrite_node(_strip(sql))
+        out = self._rewrite_node(_yardstick_normalize(_strip(sql)))
         self._cache[key] = out
         return out
 

@@ -27,7 +27,7 @@ def layer(spark, sf_dir):
     orders.pre_aggregations = [
         PreAggregation(
             name="daily",
-            measures=["revenue", "order_count", "avg_order_value", "customer_count"],
+            measures=["revenue", "order_count", "avg_order_value", "customer_count", "approx_customers"],
             dimensions=["status", "priority"],
             time_dimension="order_date",
             granularity="day",
@@ -234,3 +234,38 @@ def test_missing_table_fallback(spark, sf_dir, duck):
         FROM orders GROUP BY 1
         """,
     )
+
+
+def test_approx_count_distinct_hll_any_grain(layer, duck):
+    """approx_count_distinct serves from the rollup at ANY grain via
+    stored HLL sketches (hll_union_agg + hll_sketch_estimate) — the
+    Spark-first improvement over the reference's exact-grain-only guard
+    (core/preagg_matcher.py:138)."""
+    sql = layer.compile(
+        metrics=["orders.approx_customers"],
+        dimensions=["orders.status"],
+    )
+    assert "used_preagg" in sql
+    assert "hll_union_agg" in sql and "hll_sketch_estimate" in sql
+    got = {
+        r["status"]: r["approx_customers"]
+        for r in layer.query(
+            metrics=["orders.approx_customers"], dimensions=["orders.status"]
+        ).collect()
+    }
+    exact = dict(duck.execute(
+        "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) FROM orders GROUP BY 1"
+    ).fetchall())
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05  # HLL default accuracy ~1.6%
+
+
+def test_approx_count_distinct_exact_grain_passthrough(layer):
+    sql = layer.compile(
+        metrics=["orders.approx_customers"],
+        dimensions=["orders.status", "orders.priority", "orders.order_date__day AS d"],
+    )
+    assert "used_preagg" in sql
+    # exact grain: stored exact count passes through, no sketch math
+    assert "hll_union_agg" not in sql

@@ -340,3 +340,24 @@ def test_formula_and_percent_of_previous(layer, duck):
         FROM q
         """,
     )
+
+
+def test_yardstick_aggregate_flavor(layer, duck):
+    """Yardstick SEMANTIC prefix + AGGREGATE(measure) refs
+    (ref sql/query_rewriter.py:3007-3043)."""
+    from tests.conftest import assert_df_matches_oracle
+
+    df = layer.sql(
+        "SEMANTIC SELECT orders.status, AGGREGATE(orders.revenue) AS revenue, "
+        "AGGREGATE(orders.order_count) AS order_count FROM orders"
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+               COUNT(*) AS order_count
+        FROM orders GROUP BY 1
+        """,
+    )

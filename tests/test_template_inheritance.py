@@ -157,3 +157,29 @@ def test_extends_model_queries_through_layer(spark, sf_dir):
     assert "SUM" in sql.upper() and "COUNT" in sql.upper()
     rows = lyr.query(metrics=["orders2.order_count"], dimensions=["orders2.status"]).collect()
     assert len(rows) == 3
+
+
+def test_auto_dimensions_introspection(spark, sf_dir):
+    """auto_dimensions=True discovers schema columns as typed dims
+    (ref core/semantic_layer.py:492 _introspect_dimensions)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Metric, Model
+
+    lyr = SparkSemanticLayer(spark)
+    lyr.add_model(Model(
+        name="auto_orders",
+        source_uri=f"{sf_dir}/orders.parquet",
+        primary_key="o_orderkey",
+        auto_dimensions=True,
+        metrics=[Metric(name="order_count", agg="count")],
+    ))
+    lyr.register_sources()
+    m = lyr.graph.models["auto_orders"]
+    dims = {d.name: d for d in m.dimensions}
+    assert "o_orderstatus" in dims and dims["o_orderstatus"].type == "categorical"
+    assert "o_totalprice" in dims and dims["o_totalprice"].type == "numeric"
+    assert dims["o_orderdate"].type == "time"
+    assert "o_orderkey" not in dims  # PK excluded
+    rows = lyr.query(metrics=["auto_orders.order_count"],
+                     dimensions=["auto_orders.o_orderstatus"]).collect()
+    assert len(rows) == 3
