@@ -202,6 +202,27 @@ def cmd_preagg_apply(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from sidemantic_spark.server import SemanticHttpServer
+
+    spark = _build_spark("sidemantic-spark-serve")
+    layer = _load_layer(args, spark)
+    layer.register_sources()
+    srv = SemanticHttpServer(layer, host=args.host, port=args.port, token=args.token)
+    srv.start()
+    print(f"serving on http://{args.host}:{srv.port} "
+          f"(endpoints: /health /models /query /sql /compile /query.arrow)")
+    try:
+        import signal
+
+        signal.pause()
+    except (KeyboardInterrupt, AttributeError):
+        pass
+    finally:
+        srv.stop()
+    return 0
+
+
 def cmd_init(args) -> int:
     """Introspect data files -> generate model YAML (reference
     ``bootstrap.py``, ``init --from data/*.csv``)."""
@@ -309,6 +330,13 @@ def main(argv: list[str] | None = None) -> int:
     _add_models_arg(p)
     p.add_argument("cases", help="testcase YAML path")
     p.set_defaults(func=cmd_test)
+
+    p = sub.add_parser("serve", help="run the HTTP/Arrow API server")
+    _add_models_arg(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8088)
+    p.add_argument("--token", default=None, help="bearer token (default: no auth)")
+    p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("init", help="introspect data files and generate model YAML")
     p.add_argument("data", nargs="+", help="parquet/csv/json files")

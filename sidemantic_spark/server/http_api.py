@@ -1,0 +1,195 @@
+"""HTTP / Arrow API server.
+
+Re-expression of the reference's FastAPI surface
+(``sidemantic/api_server.py:165-209``: StructuredQueryRequest ``:91``,
+SQLRequest ``:117``, bearer auth, body-size middleware ``:125``) on the
+stdlib ``http.server`` — no external dependencies. Endpoints:
+
+- ``GET  /health``            -> {"status": "ok"}
+- ``GET  /models``            -> graph summary
+- ``POST /query``             -> structured semantic query, JSON rows
+- ``POST /sql``               -> semantic SQL, JSON rows
+- ``POST /query.arrow``       -> structured query, Arrow IPC stream
+- ``POST /compile``           -> compiled SQL text without executing
+
+Requests execute on the layer's SparkSession; the driver compiles, the
+cluster executes — the server adds no new distribution boundary
+(SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+MAX_BODY_BYTES = 10 * 1024 * 1024  # reference body-size middleware (api_server.py:125)
+
+
+class SemanticHttpServer:
+    def __init__(self, layer, host: str = "127.0.0.1", port: int = 0,
+                 token: str | None = None) -> None:
+        self.layer = layer
+        self.token = token
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "SemanticHttpServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    # -- request handlers --------------------------------------------
+
+    def handle_models(self) -> dict:
+        out = {}
+        for name, model in self.layer.graph.models.items():
+            out[name] = {
+                "table": model.table,
+                "primary_key": model.primary_key,
+                "dimensions": [
+                    {"name": d.name, "type": d.type, "granularity": d.granularity}
+                    for d in model.dimensions if d.public
+                ],
+                "metrics": [
+                    {"name": m.name, "agg": m.agg, "type": m.type}
+                    for m in model.metrics if m.public
+                ],
+                "relationships": [
+                    {"name": r.name, "type": r.type} for r in model.relationships
+                ],
+            }
+        return {"models": out, "graph_metrics": sorted(self.layer.graph.metrics)}
+
+    def handle_query(self, body: dict):
+        return self.layer.query(
+            metrics=body.get("metrics") or [],
+            dimensions=body.get("dimensions") or [],
+            filters=body.get("filters") or [],
+            order_by=body.get("order_by") or [],
+            limit=body.get("limit"),
+            ungrouped=bool(body.get("ungrouped")),
+            parameters=body.get("parameters") or {},
+            user=body.get("user"),
+        )
+
+    def handle_compile(self, body: dict) -> str:
+        return self.layer.compile(
+            metrics=body.get("metrics") or [],
+            dimensions=body.get("dimensions") or [],
+            filters=body.get("filters") or [],
+            order_by=body.get("order_by") or [],
+            limit=body.get("limit"),
+            parameters=body.get("parameters") or {},
+            user=body.get("user"),
+        )
+
+
+def _df_to_rows(df) -> list[dict]:
+    return [
+        {k: _json_val(v) for k, v in row.asDict().items()} for row in df.collect()
+    ]
+
+
+def _json_val(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _df_to_arrow_bytes(df) -> bytes:
+    import io
+
+    import pyarrow as pa
+
+    table = df.toArrow()
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, table.schema) as writer:
+        writer.write_table(table)
+    return sink.getvalue()
+
+
+def _make_handler(server: SemanticHttpServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silence default stderr logging
+            pass
+
+        def _deny(self, code: int, msg: str) -> None:
+            payload = json.dumps({"error": msg}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _ok(self, payload: bytes, ctype: str = "application/json") -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _authed(self) -> bool:
+            if server.token is None:
+                return True
+            auth = self.headers.get("Authorization", "")
+            return auth == f"Bearer {server.token}"
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            if not self._authed():
+                return self._deny(401, "unauthorized")
+            if self.path == "/health":
+                return self._ok(b'{"status": "ok"}')
+            if self.path == "/models":
+                return self._ok(json.dumps(server.handle_models()).encode())
+            return self._deny(404, "not found")
+
+        def do_POST(self):  # noqa: N802
+            if not self._authed():
+                return self._deny(401, "unauthorized")
+            length = int(self.headers.get("Content-Length", 0))
+            if length > MAX_BODY_BYTES:
+                return self._deny(413, "body too large")
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                return self._deny(400, "invalid JSON body")
+            try:
+                if self.path == "/query":
+                    df = server.handle_query(body)
+                    return self._ok(json.dumps({"rows": _df_to_rows(df)}).encode())
+                if self.path == "/query.arrow":
+                    df = server.handle_query(body)
+                    return self._ok(
+                        _df_to_arrow_bytes(df),
+                        ctype="application/vnd.apache.arrow.stream",
+                    )
+                if self.path == "/sql":
+                    df = server.layer.sql(body.get("sql") or "")
+                    return self._ok(json.dumps({"rows": _df_to_rows(df)}).encode())
+                if self.path == "/compile":
+                    sql = server.handle_compile(body)
+                    return self._ok(json.dumps({"sql": sql}).encode())
+            except Exception as exc:
+                return self._deny(400, f"{type(exc).__name__}: {exc}")
+            return self._deny(404, "not found")
+
+    return Handler
