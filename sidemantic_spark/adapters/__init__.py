@@ -56,6 +56,25 @@ ADAPTERS = {
 }
 
 
+def export_graph(graph, format: str) -> str:
+    """Serialize the graph in the named format (YAML text)."""
+    import yaml as _yaml
+
+    if format in ("native", "sidemantic"):
+        from sidemantic_spark.authoring import export_yaml
+
+        return export_yaml(graph)
+    if format == "cube":
+        from sidemantic_spark.adapters.cube import export_cube
+
+        return _yaml.safe_dump(export_cube(graph), sort_keys=False)
+    if format == "metricflow":
+        from sidemantic_spark.adapters.metricflow import export_metricflow
+
+        return _yaml.safe_dump(export_metricflow(graph), sort_keys=False)
+    raise ValueError(f"no exporter for format {format!r} (native, cube, metricflow)")
+
+
 def import_file(layer, path: str, format: str) -> None:
     """Parse ``path`` in the named format into ``layer``."""
     try:

@@ -201,3 +201,98 @@ def _qualify_scope(sql: str, cube_name: str) -> str:
     out = re.sub(r"\{CUBE\.(\w+)\}", rf"{cube_name}.\1", out)
     out = re.sub(r"\{(\w+)\.(\w+)\}", r"\1.\2", out)
     return out
+
+
+# ----------------------------------------------------------------------
+# export (reference adapters/base.py:9 parse/export contract)
+# ----------------------------------------------------------------------
+
+_DIM_TYPES_OUT = {"categorical": "string", "numeric": "number",
+                  "boolean": "boolean", "time": "time"}
+_AGG_OUT = {"count_distinct": "count_distinct",
+            "approx_count_distinct": "count_distinct_approx"}
+
+
+def export_cube(graph) -> dict:
+    """Graph -> Cube YAML document (dict). Lossy-but-faithful inverse
+    of :meth:`CubeAdapter.parse`."""
+    cubes = []
+    for model in graph.models.values():
+        cube: dict = {"name": model.name}
+        if model.sql:
+            cube["sql"] = model.sql
+        else:
+            cube["sql_table"] = model.table or model.name
+        dims = []
+        pk = set(model.pk_list())
+        for d in model.dimensions:
+            dim = {"name": d.name, "sql": d.sql or d.name,
+                   "type": _DIM_TYPES_OUT.get(d.type, "string")}
+            if d.name in pk:
+                dim["primary_key"] = True
+            if d.description:
+                dim["description"] = d.description
+            dims.append(dim)
+        for col in pk - {d.name for d in model.dimensions}:
+            dims.append({"name": col, "sql": col, "type": "number",
+                         "primary_key": True})
+        if dims:
+            cube["dimensions"] = dims
+        measures = []
+        for m in model.metrics:
+            if m.type == "ratio":
+                measures.append({"name": m.name, "type": "number",
+                                 "sql": f"{m.numerator} / NULLIF({m.denominator}, 0)"})
+                continue
+            if m.type == "derived":
+                measures.append({"name": m.name, "type": "number", "sql": m.expr})
+                continue
+            if not m.is_simple:
+                continue  # window-metric types have no cube equivalent
+            out = {"name": m.name, "type": _AGG_OUT.get(m.agg, m.agg)}
+            if m.sql:
+                out["sql"] = m.sql
+            if m.filters:
+                out["filters"] = [{"sql": f} for f in m.filters]
+            if m.description:
+                out["description"] = m.description
+            measures.append(out)
+        if measures:
+            cube["measures"] = measures
+        joins = []
+        for r in model.relationships:
+            if r.type == "cross" or r.through:
+                continue
+            join = {"name": r.name, "relationship": r.type}
+            if r.sql:
+                join["sql"] = r.sql.replace("{from}", "{CUBE}").replace(
+                    "{to}", "{" + r.name + "}")
+            elif r.foreign_key:
+                fks = r.fk_list()
+                target = graph.models.get(r.name)
+                pks = r.pk_list(target.pk_list() if target else ["id"])
+                join["sql"] = " AND ".join(
+                    f"{{CUBE}}.{fk} = {{{r.name}}}.{pk}" for fk, pk in zip(fks, pks)
+                )
+            joins.append(join)
+        if joins:
+            cube["joins"] = joins
+        if model.segments:
+            cube["segments"] = [
+                {"name": s.name, "sql": s.sql.replace("{model}", "{CUBE}")}
+                for s in model.segments
+            ]
+        if model.pre_aggregations:
+            cube["pre_aggregations"] = [
+                {
+                    "name": pa.name,
+                    "type": "rollup",
+                    "measures": list(pa.measures),
+                    "dimensions": list(pa.dimensions),
+                    **({"time_dimension": pa.time_dimension,
+                        "granularity": pa.granularity} if pa.time_dimension else {}),
+                }
+                for pa in model.pre_aggregations
+            ]
+        cubes.append(cube)
+    return {"cubes": cubes}

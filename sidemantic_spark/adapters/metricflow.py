@@ -176,3 +176,74 @@ def _strip_dunder(ref: str) -> str:
         base = m.group(1).split("__", 1)[-1]
         return f"{base}__{m.group(2)}" if m.group(2) else base
     return ref
+
+
+# ----------------------------------------------------------------------
+# export (reference adapters/base.py:9 parse/export contract)
+# ----------------------------------------------------------------------
+
+def export_metricflow(graph) -> dict:
+    """Graph -> dbt/MetricFlow semantic-model YAML document (dict)."""
+    semantic_models = []
+    metrics_out = []
+    for model in graph.models.values():
+        entities = []
+        pk = model.pk_list()
+        entities.append({
+            "name": model.name,
+            "type": "primary",
+            "expr": pk[0] if len(pk) == 1 else " || ".join(pk),
+        })
+        for r in model.relationships:
+            if r.type == "many_to_one" and r.foreign_key:
+                fks = r.fk_list()
+                entities.append({"name": r.name, "type": "foreign",
+                                 "expr": fks[0] if len(fks) == 1 else " || ".join(fks)})
+        dims = []
+        for d in model.dimensions:
+            out = {"name": d.name, "type": "time" if d.type == "time" else "categorical"}
+            if d.sql and d.sql != d.name:
+                out["expr"] = d.sql
+            if d.type == "time":
+                out["type_params"] = {"time_granularity": d.granularity or "day"}
+            dims.append(out)
+        measures = []
+        for m in model.metrics:
+            if m.type == "ratio":
+                metrics_out.append({
+                    "name": m.name, "type": "ratio",
+                    "type_params": {"numerator": m.numerator, "denominator": m.denominator},
+                })
+                continue
+            if m.type == "derived":
+                metrics_out.append({
+                    "name": m.name, "type": "derived",
+                    "type_params": {"expr": m.expr},
+                })
+                continue
+            if not m.is_simple:
+                continue
+            out = {"name": m.name, "agg": m.agg or "sum"}
+            if m.sql:
+                out["expr"] = m.sql
+            measures.append(out)
+        sm = {"name": model.name,
+              "model": f"ref('{model.table or model.name}')",
+              "entities": entities}
+        if dims:
+            sm["dimensions"] = dims
+        if measures:
+            sm["measures"] = measures
+        semantic_models.append(sm)
+    doc: dict = {"semantic_models": semantic_models}
+    for name, m in graph.metrics.items():
+        if m.type == "ratio":
+            metrics_out.append({"name": name, "type": "ratio",
+                                "type_params": {"numerator": m.numerator,
+                                                "denominator": m.denominator}})
+        elif m.type == "derived":
+            metrics_out.append({"name": name, "type": "derived",
+                                "type_params": {"expr": m.expr}})
+    if metrics_out:
+        doc["metrics"] = metrics_out
+    return doc

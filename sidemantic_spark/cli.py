@@ -115,10 +115,10 @@ def cmd_compile(args) -> int:
 
 
 def cmd_convert(args) -> int:
-    from sidemantic_spark.authoring import export_yaml
+    from sidemantic_spark.adapters import export_graph
 
     layer = _load_layer(args)
-    text = export_yaml(layer.graph)
+    text = export_graph(layer.graph, args.to)
     if args.out:
         with open(args.out, "w") as fh:
             fh.write(text)
@@ -313,8 +313,10 @@ def main(argv: list[str] | None = None) -> int:
     _add_query_args(p)
     p.set_defaults(func=cmd_compile)
 
-    p = sub.add_parser("convert", help="import any format, export native YAML")
+    p = sub.add_parser("convert", help="convert between semantic-model formats")
     _add_models_arg(p)
+    p.add_argument("--to", default="native",
+                   help="output format: native, cube, metricflow")
     p.add_argument("--out", default=None)
     p.set_defaults(func=cmd_convert)
 

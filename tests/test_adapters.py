@@ -1150,3 +1150,44 @@ FROM adapter_orders;
         ("paid", 250, 2, 125.0), ("refunded", 50, 1, 50.0)
     ]
     con.close()
+
+
+def test_cube_export_roundtrip(spark):
+    """Graph -> Cube YAML -> graph keeps models/metrics/joins/segments
+    (reference export contract adapters/base.py:9)."""
+    import yaml
+
+    from sidemantic_spark.adapters import CubeAdapter
+    from sidemantic_spark.adapters.cube import export_cube
+    from sidemantic_spark.models.tpch import build_layer
+
+    layer = build_layer(spark, None)
+    doc = export_cube(layer.graph)
+    layer2 = SparkSemanticLayer(spark)
+    CubeAdapter().parse(layer2, yaml.safe_load(yaml.safe_dump(doc)))
+
+    assert set(layer2.graph.models) == set(layer.graph.models)
+    o1, o2 = layer.graph.models["orders"], layer2.graph.models["orders"]
+    assert o2.metric("revenue").agg == "sum"
+    assert o2.metric("aov_ratio") is not None  # ratio exported as formula
+    assert {r.name for r in o2.relationships} >= {r.name for r in o1.relationships
+                                                  if r.type != "cross" and not r.through}
+    assert {d.name for d in o2.dimensions} >= {d.name for d in o1.dimensions}
+
+
+def test_metricflow_export_roundtrip(spark):
+    import yaml
+
+    from sidemantic_spark.adapters import MetricFlowAdapter
+    from sidemantic_spark.adapters.metricflow import export_metricflow
+    from sidemantic_spark.models.tpch import build_layer
+
+    layer = build_layer(spark, None)
+    doc = export_metricflow(layer.graph)
+    assert any(sm["name"] == "orders" for sm in doc["semantic_models"])
+    layer2 = SparkSemanticLayer(spark)
+    MetricFlowAdapter().parse(layer2, yaml.safe_load(yaml.safe_dump(doc)))
+    o2 = layer2.graph.models["orders"]
+    assert o2.metric("revenue").agg == "sum"
+    assert any(r.name == "customer" and r.type == "many_to_one"
+               for r in o2.relationships)
