@@ -285,3 +285,94 @@ class StreamingSemanticLayer:
                 *[c for c in (m.split(".", 1)[-1] for m in metrics or [])],
             )
         )
+
+    def stream_dedup(
+        self,
+        model_name: str,
+        keys: list[str] | None = None,
+        watermark: str = "10 minutes",
+        within_watermark: bool = True,
+    ) -> DataFrame:
+        """Streaming exact dedup for ingestion pipelines.
+
+        ``dropDuplicatesWithinWatermark`` keeps state only for the
+        watermark horizon — the state store stays bounded no matter how
+        long the stream runs, which is the only shape that survives a
+        100 TB/day ingest. ``within_watermark=False`` falls back to
+        global ``dropDuplicates`` (unbounded state; exact forever).
+        """
+        binding = self.bindings.get(model_name)
+        if binding is None:
+            raise StreamingError(f"model {model_name!r} has no stream binding")
+        model = self.layer.graph.get_model(model_name)
+        keys = keys or model.pk_list()
+        df = self._source(binding).withWatermark(binding.time_column, watermark)
+        if within_watermark:
+            return df.dropDuplicatesWithinWatermark(keys)
+        return df.dropDuplicates(keys)
+
+    def stream_stateful_metrics(
+        self,
+        model_name: str,
+        entity: str,
+        value_col: str,
+        watermark: str = "10 minutes",
+        timeout_ms: int | None = None,
+    ) -> DataFrame:
+        """Custom stateful per-entity running aggregates via
+        ``applyInPandasWithState`` (Arrow-batched Python state handler:
+        the escape hatch for semantics ``groupBy().agg()`` can't
+        express). Emits one row per entity per micro-batch with the
+        running count / sum / max seen so far; with ``timeout_ms``
+        set, state times out after that much processing-time
+        inactivity, bounding the store.
+        """
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        binding = self.bindings.get(model_name)
+        if binding is None:
+            raise StreamingError(f"model {model_name!r} has no stream binding")
+        df = self._source(binding).withWatermark(binding.time_column, watermark)
+        out_schema = (
+            f"{entity} LONG, running_count LONG, running_sum DOUBLE, running_max DOUBLE"
+        )
+        state_schema = "count LONG, sum DOUBLE, max DOUBLE"
+
+        def update(key, pdfs, state: GroupState):
+            if state.hasTimedOut:
+                state.remove()
+                return
+            count, total, mx = (
+                state.get if state.exists else (0, 0.0, float("-inf"))
+            )
+            for pdf in pdfs:
+                vals = pdf[value_col].astype("float64")
+                count += int(vals.notna().sum())
+                total += float(vals.fillna(0.0).sum())
+                if len(vals):
+                    mx = max(mx, float(vals.max()))
+            state.update((count, total, mx))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+            yield pd.DataFrame({
+                entity: [key[0]],
+                "running_count": [count],
+                "running_sum": [total],
+                "running_max": [mx],
+            })
+
+        return (
+            df.groupBy(F.col(entity))
+            .applyInPandasWithState(
+                update,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=(
+                    GroupStateTimeout.ProcessingTimeTimeout
+                    if timeout_ms is not None
+                    else GroupStateTimeout.NoTimeout
+                ),
+            )
+        )

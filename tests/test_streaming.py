@@ -145,3 +145,61 @@ def test_stream_rollup_feeds_router(spark, stream_setup, tmp_path):
         model.pre_aggregations = [p for p in model.pre_aggregations
                                   if p.name != "hourly"]
         layer.graph._invalidate()
+
+
+def _run_to_memory_mode(spark, df, name, mode):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_stream_dedup(spark, tmp_path):
+    """Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark):
+    duplicate event_ids across files come out exactly once."""
+    src_dir = str(tmp_path / "dedup_stream")
+    spark.sql("""
+        SELECT event_id, ts, user_id, event_type, CAST(value AS DOUBLE) AS value
+        FROM VALUES
+            (1L, TIMESTAMP '2026-01-01 10:00:00', 1L, 'view', 1.0),
+            (2L, TIMESTAMP '2026-01-01 10:10:00', 1L, 'purchase', 20.0),
+            (3L, TIMESTAMP '2026-01-01 10:20:00', 2L, 'view', 1.0)
+            AS t(event_id, ts, user_id, event_type, value)
+    """).write.mode("overwrite").parquet(src_dir)
+    spark.sql("""
+        SELECT event_id, ts, user_id, event_type, CAST(value AS DOUBLE) AS value
+        FROM VALUES
+            (1L, TIMESTAMP '2026-01-01 10:00:00', 1L, 'view', 1.0),
+            (3L, TIMESTAMP '2026-01-01 10:20:00', 2L, 'view', 1.0),
+            (4L, TIMESTAMP '2026-01-01 10:30:00', 3L, 'view', 5.0)
+            AS t(event_id, ts, user_id, event_type, value)
+    """).write.mode("append").parquet(src_dir)
+
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(name="dstream", table="dstream", primary_key="event_id",
+                          dimensions=[Dimension(name="ts", type="time")]))
+    slayer = StreamingSemanticLayer(layer)
+    slayer.bind(StreamingModelBinding(
+        model="dstream", time_column="ts", source_format="parquet",
+        source_path=src_dir, schema=SCHEMA,
+    ))
+    deduped = slayer.stream_dedup("dstream", keys=["event_id"], watermark="24 hours")
+    rows = _run_to_memory_mode(spark, deduped, "dedup_sink", "append")
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3, 4]
+
+
+def test_stream_stateful_metrics(spark, stream_setup):
+    """applyInPandasWithState running per-entity aggregates."""
+    out = stream_setup.stream_stateful_metrics(
+        "sevents", entity="user_id", value_col="value", watermark="0 seconds"
+    )
+    rows = _run_to_memory_mode(spark, out, "state_sink", "update")
+    by_user = {}
+    for r in rows:  # update mode may emit several rows per key; last wins
+        by_user[r["user_id"]] = r
+    assert by_user[1]["running_count"] == 3
+    assert abs(by_user[1]["running_sum"] - 23.0) < 1e-9
+    assert abs(by_user[1]["running_max"] - 20.0) < 1e-9
+    assert by_user[2]["running_count"] == 3
+    assert abs(by_user[2]["running_sum"] - 32.0) < 1e-9
