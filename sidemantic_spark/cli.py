@@ -223,6 +223,16 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_mcp(args) -> int:
+    from sidemantic_spark.server import McpServer
+
+    spark = _build_spark("sidemantic-spark-mcp")
+    layer = _load_layer(args, spark)
+    layer.register_sources()
+    McpServer(layer).serve_stdio()
+    return 0
+
+
 def cmd_init(args) -> int:
     """Introspect data files -> generate model YAML (reference
     ``bootstrap.py``, ``init --from data/*.csv``)."""
@@ -339,6 +349,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--port", type=int, default=8088)
     p.add_argument("--token", default=None, help="bearer token (default: no auth)")
     p.set_defaults(func=cmd_serve)
+
+    p = sub.add_parser("mcp", help="run the MCP stdio server")
+    _add_models_arg(p)
+    p.set_defaults(func=cmd_mcp)
 
     p = sub.add_parser("init", help="introspect data files and generate model YAML")
     p.add_argument("data", nargs="+", help="parquet/csv/json files")

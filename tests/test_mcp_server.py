@@ -1,0 +1,85 @@
+"""MCP stdio server tests (reference ``sidemantic/mcp_server.py``)."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from sidemantic_spark.models.tpch import build_layer
+from sidemantic_spark.server import McpServer
+
+
+@pytest.fixture(scope="module")
+def mcp(spark, sf_dir):
+    return McpServer(build_layer(spark, sf_dir))
+
+
+def _call(mcp, method, params=None, msg_id=1):
+    return mcp.handle({"jsonrpc": "2.0", "id": msg_id, "method": method,
+                       "params": params or {}})
+
+
+def _tool(mcp, name, args=None):
+    resp = _call(mcp, "tools/call", {"name": name, "arguments": args or {}})
+    assert "error" not in resp
+    content = resp["result"]["content"][0]["text"]
+    return json.loads(content), resp["result"].get("isError", False)
+
+
+def test_initialize_and_list_tools(mcp):
+    resp = _call(mcp, "initialize")
+    assert resp["result"]["serverInfo"]["name"] == "sidemantic-spark"
+    assert _call(mcp, "notifications/initialized") is None
+    tools = _call(mcp, "tools/list")["result"]["tools"]
+    assert {t["name"] for t in tools} == {
+        "list_models", "get_model", "compile_query", "run_query", "run_sql"
+    }
+
+
+def test_list_and_get_model(mcp):
+    models, _ = _tool(mcp, "list_models")
+    assert "orders" in models["models"]
+    detail, _ = _tool(mcp, "get_model", {"name": "orders"})
+    assert detail["primary_key"] == "o_orderkey"
+    assert any(m["name"] == "revenue" for m in detail["metrics"])
+
+
+def test_compile_and_run_query(mcp):
+    compiled, _ = _tool(mcp, "compile_query", {
+        "metrics": ["orders.revenue"], "dimensions": ["orders.status"],
+    })
+    assert "GROUP BY" in compiled["sql"]
+    rows, _ = _tool(mcp, "run_query", {
+        "metrics": ["orders.order_count"], "dimensions": ["orders.status"],
+        "order_by": ["status"],
+    })
+    assert [r["status"] for r in rows["rows"]] == ["F", "O", "P"]
+
+
+def test_run_sql_and_errors(mcp):
+    rows, _ = _tool(mcp, "run_sql", {
+        "sql": "SELECT orders.status, orders.order_count FROM orders",
+    })
+    assert len(rows["rows"]) == 3
+    resp = _call(mcp, "tools/call", {"name": "run_query",
+                                     "arguments": {"metrics": ["orders.nope"]}})
+    assert resp["result"]["isError"]
+    resp = _call(mcp, "tools/call", {"name": "bogus", "arguments": {}})
+    assert resp["error"]["code"] == -32602
+    resp = _call(mcp, "no/such_method")
+    assert resp["error"]["code"] == -32601
+
+
+def test_stdio_loop(mcp):
+    stdin = io.StringIO(
+        json.dumps({"jsonrpc": "2.0", "id": 1, "method": "initialize"}) + "\n"
+        + json.dumps({"jsonrpc": "2.0", "method": "notifications/initialized"}) + "\n"
+        + json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/list"}) + "\n"
+    )
+    stdout = io.StringIO()
+    mcp.serve_stdio(stdin=stdin, stdout=stdout)
+    lines = [json.loads(ln) for ln in stdout.getvalue().strip().splitlines()]
+    assert len(lines) == 2  # notification produced no response
+    assert lines[0]["id"] == 1 and lines[1]["id"] == 2
