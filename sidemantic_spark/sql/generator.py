@@ -109,6 +109,10 @@ class SqlGenerator:
         self._cache: dict = {}
         self.use_preaggs = True
         self.preagg_strict = False
+        # fan-out strategy: False = entity-grain DISTINCT plan (default,
+        # Spark-idiomatic); True = symmetric aggregates (reference
+        # core/symmetric_aggregate.py:20, spark hash branch :91-96)
+        self.use_symmetric_aggregates = False
 
     # ------------------------------------------------------------------
     # public entry
@@ -127,6 +131,7 @@ class SqlGenerator:
             self.graph.generation,
             self.use_preaggs,
             self.preagg_strict,
+            self.use_symmetric_aggregates,
             tuple(spec.metrics),
             tuple(spec.dimensions),
             tuple(spec.filters),
@@ -806,6 +811,8 @@ class SqlGenerator:
                 "decomposed under a fan-out join (reference raises too: core/symmetric_aggregate.py)"
             )
         if unsafe and r.metrics:
+            if self.use_symmetric_aggregates:
+                return self._symmetric_grouped_sql(r)
             return self._dedup_grouped_sql(r)
         return self._plain_grouped_sql(r)
 
@@ -961,6 +968,159 @@ class SqlGenerator:
         final += self._order_limit(r)
         extra = [("__joined", joined), ("__dedup", dedup)]
         return self._assemble(r, ctes, final, plan="grouped-dedup", extra_ctes=extra)
+
+    # shift must exceed the largest |measure value|; hash space 10^14
+    # keeps key*shift inside DECIMAL(38,6) with collision odds ~n^2/10^14
+    _SYM_HASH_MOD = 100_000_000_000_000  # 10^14
+    _SYM_SHIFT = 10_000_000_000  # 10^10
+
+    def _symmetric_grouped_sql(self, r: Resolved) -> str:
+        """Symmetric-aggregate fan-out correction (reference
+        ``core/symmetric_aggregate.py:20-162``, spark hash branch
+        ``:91-96``): ``SUM(DISTINCT hash(pk)*S + v) - SUM(DISTINCT
+        hash(pk)*S)`` recovers the per-entity sum without a dedup
+        stage. The reference's spark branch multiplies a raw xxhash64
+        by 1e12 inside BIGINT (overflow risk, SURVEY.md §7 phase 2);
+        here the key is bounded with pmod and lifted to DECIMAL(38,6)
+        so ANSI mode cannot overflow. AVG uses the NULL-aware distinct
+        pk denominator; COUNT becomes COUNT(DISTINCT pk);
+        min/max/count_distinct are fan-out-safe as-is."""
+        if r.spec.ungrouped:
+            raise QueryCompileError("ungrouped queries cannot be fan-out corrected")
+        for rm in r.metrics:
+            for _o, comp in self._expand_components(rm):
+                if comp.sql_is_complete:
+                    raise QueryCompileError(
+                        f"opaque complete-SQL metric {comp.name!r} cannot be "
+                        "combined with fan-out-corrected metrics (reference "
+                        "guard sql/generator.py:3721-3742)"
+                    )
+        fact = r.metrics[0].model
+        ctes = [
+            self._model_cte(r, m, include_pk=(m == fact)) for m in r.models
+        ]
+        fact_model = self.graph.get_model(fact)
+        pk_cols = [f"__pk{i}" for i in range(len(fact_model.pk_list()))]
+        pk_concat = (
+            f"{fact}_cte.{pk_cols[0]}"
+            if len(pk_cols) == 1
+            else "CONCAT_WS('||', " + ", ".join(f"CAST({fact}_cte.{c} AS STRING)" for c in pk_cols) + ")"
+        )
+
+        proj = [f"{pk_concat} AS __pkc"]
+        proj.append(
+            "CAST(pmod(xxhash64(CAST(" + pk_concat + " AS STRING)), "
+            f"{self._SYM_HASH_MOD}) AS DECIMAL(38,6)) * {self._SYM_SHIFT} AS __symkey"
+        )
+        for rd in r.dims:
+            proj.append(f"{rd.model}_cte.{rd.out} AS {rd.out}")
+        for comp_out, comp in r.component_metrics.get(fact, []):
+            if comp.sql:
+                proj.append(f"{fact}_cte.{comp_out}_raw AS {comp_out}_raw")
+        for rm in r.metrics:
+            for _o, comp in self._expand_components(rm):
+                for flt in comp.filters:
+                    for m, fld, _g in find_refs(flt, set(self.graph.models)):
+                        if m == fact:
+                            proj.append(f"{fact}_cte.{fld} AS {fld}")
+                        else:
+                            raise QueryCompileError(
+                                "metric filters on non-fact models are not supported "
+                                "under symmetric aggregation"
+                            )
+
+        joined = "SELECT\n        " + ",\n        ".join(dict.fromkeys(proj))
+        joined += "\n    FROM " + self._join_clause(r)
+        where = [self._rewrite_outer_filter(f) for f in r.outer_filters]
+        if where:
+            joined += "\n    WHERE " + "\n      AND ".join(f"({w})" for w in where)
+
+        def sym_value(out: str, metric: Metric) -> str | None:
+            for model_name, comps in r.component_metrics.items():
+                for comp_out, comp in comps:
+                    if comp_out == out or comp.name == metric.name:
+                        return f"{comp_out}_raw" if comp.sql else None
+            return None
+
+        def sym_agg(metric: Metric, depth: int = 0) -> str:
+            if metric.is_simple:
+                value = sym_value(metric.name, metric)
+                if metric.filters:
+                    cond = " AND ".join(
+                        f"({self._rewrite_dedup_filter(f, r)})" for f in metric.filters
+                    )
+                    value = f"CASE WHEN {cond} THEN {value} END" if value else None
+                    if metric.agg == "count" and value is None:
+                        return f"COUNT(DISTINCT CASE WHEN {cond} THEN __pkc END)"
+                if metric.agg == "sum":
+                    v = f"COALESCE(CAST({value} AS DECIMAL(38,6)), 0)"
+                    sql = f"SUM(DISTINCT __symkey + {v}) - SUM(DISTINCT __symkey)"
+                elif metric.agg == "avg":
+                    num = sym_agg(Metric(name=metric.name, agg="sum", sql=metric.sql,
+                                         filters=metric.filters), depth + 1)
+                    den = f"COUNT(DISTINCT CASE WHEN {value} IS NOT NULL THEN __pkc END)"
+                    sql = f"CAST(({num}) AS DOUBLE) / NULLIF({den}, 0)"
+                elif metric.agg == "count":
+                    if value is None:
+                        sql = "COUNT(DISTINCT __pkc)"
+                    else:
+                        sql = f"COUNT(DISTINCT CASE WHEN {value} IS NOT NULL THEN __pkc END)"
+                elif metric.agg in ("min", "max", "count_distinct",
+                                    "approx_count_distinct"):
+                    sql = metric.agg_sql(value)
+                else:
+                    raise QueryCompileError(
+                        f"metric {metric.name!r} ({metric.agg}) has no symmetric form"
+                    )
+                if metric.fill_nulls_with is not None:
+                    sql = f"COALESCE({sql}, {metric.fill_nulls_with})"
+                return sql
+            if metric.type == "ratio":
+                _m1, num = self._lookup_metric(_qualify(metric.numerator, fact))
+                _m2, den = self._lookup_metric(_qualify(metric.denominator, fact))
+                return (f"CAST(({sym_agg(num, depth + 1)}) AS DOUBLE) / "
+                        f"NULLIF(CAST(({sym_agg(den, depth + 1)}) AS DOUBLE), 0)")
+            if metric.type == "derived":
+                sql = metric.expr
+                for name in _identifiers(metric.expr):
+                    try:
+                        _m, child = self._lookup_metric(_qualify(name, fact))
+                    except QueryCompileError:
+                        continue
+                    sql = re.sub(rf"\b{re.escape(name)}\b",
+                                 f"({sym_agg(child, depth + 1)})", sql)
+                return sql
+            raise QueryCompileError(
+                f"metric {metric.name!r}: unsupported under symmetric aggregation"
+            )
+
+        dim_outs = [rd.out for rd in r.dims]
+        select_parts = list(dim_outs)
+        for rm in r.metrics:
+            select_parts.append(f"{sym_agg(rm.metric)} AS {rm.out}")
+        final = "SELECT\n    " + ",\n    ".join(select_parts)
+        final += "\nFROM __joined"
+        if dim_outs:
+            if r.spec.with_totals:
+                final += "\nGROUP BY GROUPING SETS ((" + ", ".join(dim_outs) + "), ())"
+            else:
+                final += "\nGROUP BY " + ", ".join(dim_outs)
+        if r.having:
+            def value_of(out, metric):
+                return sym_value(out, metric)
+            having = []
+            for h in r.having:
+                def sub(m, fld, g):
+                    model = self.graph.get_model(m)
+                    metric = model.metric(fld)
+                    if metric is not None:
+                        return f"({sym_agg(metric)})"
+                    return fld
+                having.append(replace_refs(h, set(self.graph.models), sub))
+            final += "\nHAVING " + "\n  AND ".join(f"({h})" for h in having)
+        final += self._order_limit(r)
+        extra = [("__joined", joined)]
+        return self._assemble(r, ctes, final, plan="grouped-symmetric", extra_ctes=extra)
 
     def _metric_sql_dedup(self, rm: RMetric, value_of, r: Resolved, depth: int = 0) -> str:
         metric = rm.metric

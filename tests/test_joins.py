@@ -191,3 +191,46 @@ def test_dims_only_distinct(layer, duck):
         duck,
         "SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS priority FROM orders",
     )
+
+
+def test_symmetric_aggregates_match_dedup_plan(layer, duck):
+    """use_symmetric_aggregates=True: SUM(DISTINCT hash(pk)*S + v) -
+    SUM(DISTINCT hash(pk)*S) recovers the fan-out-safe sum/count/avg
+    (ref core/symmetric_aggregate.py:20-162; DECIMAL(38,6)-lifted keys
+    instead of the reference's overflow-prone bigint spark branch)."""
+    gen = layer.generator
+    gen.use_symmetric_aggregates = True
+    try:
+        sql = layer.compile(
+            metrics=["orders.revenue", "orders.order_count", "orders.avg_order_value"],
+            dimensions=["orders.status"],
+            filters=["lineitem.ship_date IS NOT NULL"],
+        )
+        assert "plan=grouped-symmetric" in sql
+        assert "SUM(DISTINCT __symkey" in sql
+        rows = {
+            r["status"]: (float(r["revenue"]), r["order_count"], float(r["avg_order_value"]))
+            for r in layer.query(
+                metrics=["orders.revenue", "orders.order_count", "orders.avg_order_value"],
+                dimensions=["orders.status"],
+                filters=["lineitem.ship_date IS NOT NULL"],
+            ).collect()
+        }
+    finally:
+        gen.use_symmetric_aggregates = False
+    expected = {
+        s: (float(rev), cnt, float(avg))
+        for s, rev, cnt, avg in duck.execute("""
+            SELECT o_orderstatus,
+                   SUM(o_totalprice), COUNT(*), AVG(o_totalprice)
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_shipdate IS NOT NULL)
+            GROUP BY 1
+        """).fetchall()
+    }
+    assert set(rows) == set(expected)
+    for s in rows:
+        got, exp = rows[s], expected[s]
+        assert abs(got[0] - exp[0]) < 1e-3, (s, got, exp)
+        assert got[1] == exp[1]
+        assert abs(got[2] - exp[2]) < 1e-3
