@@ -282,12 +282,18 @@ class SemanticSqlRewriter:
                 cur = parts[0]
         from_clause = cur.strip()
 
-        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", from_clause):
+        if re.search(r"\bJOIN\b", from_clause, re.I):
+            # explicit JOINs are accepted but must match declared
+            # relationship keys (ref sql/query_rewriter.py:5568-5707);
+            # compilation still goes through the relationship graph
+            base_model = self._validate_explicit_joins(from_clause)
+        elif not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", from_clause):
             raise QueryCompileError(
                 f"semantic FROM must name a single model (joins come from the "
                 f"relationship graph): {from_clause!r}"
             )
-        base_model = from_clause
+        else:
+            base_model = from_clause
         graph = self.layer.graph
         model = graph.get_model(base_model)
 
@@ -420,6 +426,79 @@ class SemanticSqlRewriter:
         if "OFFSET" in clause_vals:
             out += f"\nOFFSET {int(clause_vals['OFFSET'])}"
         return out
+
+    def _validate_explicit_joins(self, from_clause: str) -> str:
+        """``model [LEFT|INNER] JOIN other ON a.x = b.y [...]`` — every ON
+        pair must match a declared relationship's fk/pk (reference
+        explicit-join validation ``sql/query_rewriter.py:5568-5707``).
+        Returns the base model name; the generator rebuilds the joins
+        from the graph, so validation is the only job here."""
+        graph = self.layer.graph
+        parts = re.split(r"\b(?:LEFT\s+(?:OUTER\s+)?|INNER\s+|FULL\s+(?:OUTER\s+)?)?JOIN\b",
+                         from_clause, flags=re.I)
+        base_model = parts[0].strip()
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", base_model):
+            raise QueryCompileError(f"invalid join base: {base_model!r}")
+        graph.get_model(base_model)
+        seen = {base_model}
+        for seg in parts[1:]:
+            m = re.match(r"^\s*([A-Za-z_]\w*)\s+ON\s+(.+)$", seg.strip(), re.I | re.S)
+            if not m:
+                raise QueryCompileError(f"unparseable JOIN segment: {seg.strip()[:80]!r}")
+            target, cond = m.group(1), m.group(2).strip()
+            graph.get_model(target)
+            pairs = []
+            for conj in re.split(r"\bAND\b", cond, flags=re.I):
+                em = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", conj.strip())
+                if not em:
+                    raise QueryCompileError(
+                        f"explicit JOIN condition must be model.col = model.col: {conj.strip()!r}")
+                pairs.append((em.group(1), em.group(2), em.group(3), em.group(4)))
+            if not self._join_matches_graph(seen, target, pairs):
+                raise QueryCompileError(
+                    f"explicit JOIN to {target!r} does not match any declared "
+                    f"relationship keys: {cond!r}")
+            seen.add(target)
+        return base_model
+
+    def _join_matches_graph(self, seen: set, target: str, pairs: list) -> bool:
+        graph = self.layer.graph
+        for src in seen:
+            src_model = graph.get_model(src)
+            tgt_model = graph.get_model(target)
+            for rel, owner in (
+                [(r, src) for r in src_model.relationships if r.name == target]
+                + [(r, target) for r in tgt_model.relationships if r.name == src]
+            ):
+                fks = rel.fk_list()
+                if not fks:
+                    continue
+                pks = rel.pk_list(graph.get_model(rel.name).pk_list())
+                # the fk lives on the declaring model, the pk on rel.name;
+                # user SQL may write either the physical column or a
+                # dimension whose expression is that column
+                def names_for(model_name: str, physical: str) -> set:
+                    mdl = graph.get_model(model_name)
+                    out = {physical}
+                    out.update(d.name for d in mdl.dimensions if d.expr == physical)
+                    return out
+
+                def pair_ok(declared, got_pair) -> bool:
+                    (m1, c1), (m2, c2) = declared
+                    gd = dict(got_pair)
+                    return (
+                        set(gd) == {m1, m2}
+                        and gd[m1] in names_for(m1, c1)
+                        and gd[m2] in names_for(m2, c2)
+                    )
+
+                want = [((owner, fk), (rel.name, pk)) for fk, pk in zip(fks, pks)]
+                got = [((a, b), (c, d)) for a, b, c, d in pairs]
+                if len(want) == len(got) and all(
+                    any(pair_ok(w, g) for g in got) for w in want
+                ):
+                    return True
+        return False
 
     def _classify_ref(self, ref: str, base_model: str) -> tuple[str, str] | None:
         ref = ref.strip()

@@ -361,3 +361,46 @@ def test_yardstick_aggregate_flavor(layer, duck):
         FROM orders GROUP BY 1
         """,
     )
+
+
+def test_explicit_join_validation(layer, duck):
+    """User-written JOINs must match declared relationship keys
+    (ref sql/query_rewriter.py:5568-5707); valid joins compile through
+    the relationship graph, invalid keys are rejected."""
+    from tests.conftest import assert_df_matches_oracle
+
+    df = layer.sql(
+        "SELECT customer.mktsegment, orders.revenue "
+        "FROM orders JOIN customer ON orders.custkey = customer.c_custkey"
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT c.c_mktsegment AS mktsegment,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        """,
+    )
+
+
+def test_explicit_join_wrong_keys_rejected(layer):
+    import pytest
+
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    with pytest.raises(QueryCompileError, match="does not match any declared"):
+        layer.rewrite(
+            "SELECT customer.mktsegment, orders.revenue "
+            "FROM orders JOIN customer ON orders.orderkey = customer.custkey"
+        )
+
+
+def test_explicit_join_unknown_model_rejected(layer):
+    import pytest
+
+    with pytest.raises(Exception):
+        layer.rewrite(
+            "SELECT orders.revenue FROM orders JOIN nonexistent ON orders.x = nonexistent.y"
+        )
