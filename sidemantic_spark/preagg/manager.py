@@ -32,68 +32,11 @@ class PreAggManager:
 
     # -- SQL builders -------------------------------------------------
 
-    def rollup_sql(self, model: Model, pa: PreAggregation) -> str:
+    def rollup_sql(self, model: Model, pa: PreAggregation, extra_where: str | None = None) -> str:
         """Materialization SELECT over the base model table."""
-        cols: list[str] = []
-        group: list[str] = []
-        for dname in pa.dimensions:
-            dim = model.dimension(dname)
-            expr = dim.expr if dim else dname
-            cols.append(f"{expr} AS {dname}")
-            group.append(expr)
-        if pa.time_dimension:
-            tdim = model.dimension(pa.time_dimension)
-            texpr = tdim.expr if tdim else pa.time_dimension
-            tcol = f"DATE_TRUNC('{pa.granularity}', {texpr})"
-            cols.append(f"{tcol} AS {pa.time_dimension}__{pa.granularity}")
-            group.append(tcol)
-            if pa.partition_granularity:
-                pcol = f"DATE_TRUNC('{pa.partition_granularity}', {texpr})"
-                cols.append(f"CAST({pcol} AS DATE) AS __part")
-                group.append(f"CAST({pcol} AS DATE)")
-        for mname in pa.measures:
-            metric = model.metric(mname)
-            if metric is None or not metric.is_simple:
-                raise ValueError(f"pre-aggregation measure {mname!r} must be a simple metric")
-            expr = metric.sql or "1"
-            agg = metric.agg
-            if agg in ("sum", "avg"):
-                cols.append(f"SUM({expr}) AS {mname}__sum")
-                cols.append(f"COUNT({expr}) AS {mname}__count")
-            elif agg == "count":
-                if metric.sql:
-                    cols.append(f"COUNT({expr}) AS {mname}__count")
-                else:
-                    cols.append(f"COUNT(*) AS {mname}__count")
-            elif agg == "min":
-                cols.append(f"MIN({expr}) AS {mname}__min")
-            elif agg == "max":
-                cols.append(f"MAX({expr}) AS {mname}__max")
-            elif agg == "count_distinct":
-                cols.append(f"COUNT(DISTINCT {expr}) AS {mname}__cd")
-            elif agg == "approx_count_distinct":
-                # exact value for exact-grain passthrough PLUS a
-                # mergeable HLL sketch (Spark hll_sketch_agg) so the
-                # metric re-aggregates at ANY coarser grain — the
-                # reference can't do this (exact-grain guard
-                # core/preagg_matcher.py:138); sketches are the
-                # Spark-first improvement SURVEY.md §7 suggests
-                cols.append(f"COUNT(DISTINCT {expr}) AS {mname}__cd")
-                cols.append(f"hll_sketch_agg({expr}) AS {mname}__hll")
-            else:
-                raise ValueError(
-                    f"measure {mname!r} ({agg}) has no partial-aggregate decomposition"
-                )
-        cols.append("COUNT(*) AS __row_count")
-        source = model.table or (f"({model.sql})" if model.sql else None)
-        if source is None:
-            raise ValueError(f"model {model.name!r} has no table binding")
-        sql = "SELECT\n    " + ",\n    ".join(cols) + f"\nFROM {source}"
-        where = list(model.row_filters)
-        if where:
-            sql += "\nWHERE " + " AND ".join(f"({w})" for w in where)
-        sql += "\nGROUP BY " + ", ".join(group)
-        return sql
+        return rollup_select_sql(model, pa, extra_where)
+
+
 
     # -- materialize / register / refresh -----------------------------
 
@@ -162,3 +105,70 @@ class PreAggManager:
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
         self.register_one(model, pa)
+
+
+def rollup_select_sql(model: Model, pa: PreAggregation, extra_where: str | None = None) -> str:
+    """Module-level rollup SELECT builder (also used by the router's
+    lambda union-with-fresh branch, which has no manager instance)."""
+    cols: list[str] = []
+    group: list[str] = []
+    for dname in pa.dimensions:
+        dim = model.dimension(dname)
+        expr = dim.expr if dim else dname
+        cols.append(f"{expr} AS {dname}")
+        group.append(expr)
+    if pa.time_dimension:
+        tdim = model.dimension(pa.time_dimension)
+        texpr = tdim.expr if tdim else pa.time_dimension
+        tcol = f"DATE_TRUNC('{pa.granularity}', {texpr})"
+        cols.append(f"{tcol} AS {pa.time_dimension}__{pa.granularity}")
+        group.append(tcol)
+        if pa.partition_granularity:
+            pcol = f"DATE_TRUNC('{pa.partition_granularity}', {texpr})"
+            cols.append(f"CAST({pcol} AS DATE) AS __part")
+            group.append(f"CAST({pcol} AS DATE)")
+    for mname in pa.measures:
+        metric = model.metric(mname)
+        if metric is None or not metric.is_simple:
+            raise ValueError(f"pre-aggregation measure {mname!r} must be a simple metric")
+        expr = metric.sql or "1"
+        agg = metric.agg
+        if agg in ("sum", "avg"):
+            cols.append(f"SUM({expr}) AS {mname}__sum")
+            cols.append(f"COUNT({expr}) AS {mname}__count")
+        elif agg == "count":
+            if metric.sql:
+                cols.append(f"COUNT({expr}) AS {mname}__count")
+            else:
+                cols.append(f"COUNT(*) AS {mname}__count")
+        elif agg == "min":
+            cols.append(f"MIN({expr}) AS {mname}__min")
+        elif agg == "max":
+            cols.append(f"MAX({expr}) AS {mname}__max")
+        elif agg == "count_distinct":
+            cols.append(f"COUNT(DISTINCT {expr}) AS {mname}__cd")
+        elif agg == "approx_count_distinct":
+            # exact value for exact-grain passthrough PLUS a
+            # mergeable HLL sketch (Spark hll_sketch_agg) so the
+            # metric re-aggregates at ANY coarser grain — the
+            # reference can't do this (exact-grain guard
+            # core/preagg_matcher.py:138); sketches are the
+            # Spark-first improvement SURVEY.md §7 suggests
+            cols.append(f"COUNT(DISTINCT {expr}) AS {mname}__cd")
+            cols.append(f"hll_sketch_agg({expr}) AS {mname}__hll")
+        else:
+            raise ValueError(
+                f"measure {mname!r} ({agg}) has no partial-aggregate decomposition"
+            )
+    cols.append("COUNT(*) AS __row_count")
+    source = model.table or (f"({model.sql})" if model.sql else None)
+    if source is None:
+        raise ValueError(f"model {model.name!r} has no table binding")
+    sql = "SELECT\n    " + ",\n    ".join(cols) + f"\nFROM {source}"
+    where = list(model.row_filters)
+    if extra_where:
+        where.append(extra_where)
+    if where:
+        sql += "\nWHERE " + " AND ".join(f"({w})" for w in where)
+    sql += "\nGROUP BY " + ", ".join(group)
+    return sql

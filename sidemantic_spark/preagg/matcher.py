@@ -52,6 +52,7 @@ class PreAggregation:
     partition_granularity: str | None = None  # partition column grain
     type: str = "rollup"  # rollup | original_sql | lambda
     lambda_boundary_grain: str | None = None  # lambda: fresh-data split
+    lambda_boundary_sql: str | None = None  # override boundary expr (default: trunc(now))
 
     def physical_name(self, model_name: str) -> str:
         return f"{model_name}_preagg_{self.name}"

@@ -112,6 +112,24 @@ def _build_sql(gen, r, match: PreAggMatch) -> str:
     model = gen.graph.get_model(r.base)
     pa = match.preagg
     physical = pa.physical_name(model.name)
+    physical_name = physical
+    if pa.type == "lambda" and pa.time_dimension:
+        # lambda rollup: serve history from the materialized table and
+        # everything at-or-after the boundary bucket fresh from the base
+        # table, unioned at the rollup grain (reference
+        # sql/generator.py:7104-7135 union-with-fresh)
+        from sidemantic_spark.preagg.manager import rollup_select_sql
+
+        tdim = model.dimension(pa.time_dimension)
+        texpr = tdim.expr if tdim else pa.time_dimension
+        grain = pa.lambda_boundary_grain or pa.granularity
+        boundary = pa.lambda_boundary_sql or f"DATE_TRUNC('{grain}', CURRENT_TIMESTAMP)"
+        tcol = f"{pa.time_dimension}__{pa.granularity}"
+        fresh = rollup_select_sql(model, pa, extra_where=f"{texpr} >= {boundary}")
+        physical = (
+            f"(SELECT * FROM {pa.physical_name(model.name)} WHERE {tcol} < {boundary}\n"
+            f" UNION ALL\n{fresh})"
+        )
     exact = all(regrain is None for _col, regrain in match.dim_map.values()) and (
         len(match.dim_map) == len(pa.dimensions) + (1 if pa.time_dimension else 0)
     )
@@ -165,6 +183,7 @@ def _build_sql(gen, r, match: PreAggMatch) -> str:
         sql += "\nHAVING " + "\n  AND ".join(f"({h})" for h in having)
     sql += gen._order_limit(r)
     header = (
-        f"-- sidemantic_spark models={r.base} plan=preagg used_preagg={physical}"
+        f"-- sidemantic_spark models={r.base} plan=preagg used_preagg={physical_name}"
+        + (" lambda=true" if pa.type == "lambda" else "")
     )
     return f"{header}\n{sql}"

@@ -269,3 +269,53 @@ def test_approx_count_distinct_exact_grain_passthrough(layer):
     assert "used_preagg" in sql
     # exact grain: stored exact count passes through, no sketch math
     assert "hll_union_agg" not in sql
+
+
+def test_lambda_rollup_union_with_fresh(spark, sf_dir, duck):
+    """Lambda rollup: stale materialization + fresh base rows union at
+    the boundary (ref sql/generator.py:7104-7135). The rollup is built
+    MISSING everything from 1997 on; the query must still match the
+    full table because >= boundary is computed fresh."""
+    import shutil
+
+    path = "/tmp/sidemantic_spark_preaggs_lambda_test"
+    shutil.rmtree(path, ignore_errors=True)
+    layer = build_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    boundary = "TIMESTAMP '1997-01-01'"
+    orders.pre_aggregations = [
+        PreAggregation(
+            name="lam",
+            type="lambda",
+            measures=["revenue", "order_count"],
+            dimensions=["status"],
+            time_dimension="order_date",
+            granularity="day",
+            lambda_boundary_sql=boundary,
+        )
+    ]
+    layer.preaggs.base_path = path
+    # simulate staleness: materialize with a row filter excluding 1997+
+    orders.row_filters.append("o_orderdate < TIMESTAMP '1997-01-01'")
+    try:
+        layer.preaggs.materialize("orders")
+    finally:
+        orders.row_filters.remove("o_orderdate < TIMESTAMP '1997-01-01'")
+    layer.graph._invalidate()
+
+    sql = layer.compile(metrics=["orders.revenue", "orders.order_count"],
+                        dimensions=["orders.status"])
+    assert "lambda=true" in sql and "UNION ALL" in sql
+    df = layer.query(metrics=["orders.revenue", "orders.order_count"],
+                     dimensions=["orders.status"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+               COUNT(*) AS order_count
+        FROM orders GROUP BY 1
+        """,
+    )
+    shutil.rmtree(path, ignore_errors=True)
