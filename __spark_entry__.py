@@ -145,6 +145,28 @@ def _stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_sql_qualify_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-status top-2 revenue years via QUALIFY (compiled to a window
+    # stage + subquery filter — Spark has no QUALIFY); RANK + total
+    # ordering keeps the result deterministic across engines
+    return _layer(spark, sf_dir).sql(
+        "SELECT orders.status, orders.order_date__year, orders.revenue FROM orders "
+        "QUALIFY RANK() OVER (PARTITION BY status ORDER BY revenue DESC) <= 2"
+    )
+
+
+def _semantic_sql_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # outer month rollup over an inner day-grain island is pushed into
+    # the semantic plan (recompiled at month grain) so it can ride a
+    # coarser pre-aggregation
+    return _layer(spark, sf_dir).sql(
+        "SELECT DATE_TRUNC('month', order_date__day) AS order_month, "
+        "SUM(revenue) AS revenue "
+        "FROM (SELECT orders.order_date__day, orders.revenue FROM orders) "
+        "GROUP BY 1"
+    )
+
+
 def _semantic_sql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _layer(spark, sf_dir).sql(
         "SELECT orders.status, orders.revenue FROM orders WHERE orders.status = 'O' "
@@ -377,6 +399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_sql_expression": _semantic_sql_expression,
         "semantic_sql_cte_island": _semantic_sql_cte_island,
         "semantic_sql_union": _semantic_sql_union,
+        "semantic_sql_qualify_topn": _semantic_sql_qualify_topn,
+        "semantic_sql_time_rollup": _semantic_sql_time_rollup,
         "yardstick_aggregate": _yardstick_aggregate,
         "table_calc_pct_of_total": _table_calc_pct_of_total,
         "table_calc_rank": _table_calc_rank,
@@ -625,6 +649,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus AS status,
                    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
             FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        """,
+        "semantic_sql_qualify_topn": """
+            SELECT o_orderstatus AS status,
+                   CAST(DATE_TRUNC('year', o_orderdate) AS TIMESTAMP) AS order_date__year,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1, 2
+            QUALIFY RANK() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC
+            ) <= 2
+        """,
+        "semantic_sql_time_rollup": """
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
         """,
         "yardstick_aggregate": """
             SELECT o_orderstatus AS status,

@@ -404,3 +404,158 @@ def test_explicit_join_unknown_model_rejected(layer):
         layer.rewrite(
             "SELECT orders.revenue FROM orders JOIN nonexistent ON orders.x = nonexistent.y"
         )
+
+
+# -- wrapper-shape optimization rules (ref sql/query_rewriter.py:638-2428) --
+
+
+def test_distinct_dims_rule(layer, duck):
+    sql = "SELECT DISTINCT status FROM (SELECT orders.status, orders.revenue FROM orders)"
+    ex = layer.explain_sql(sql)
+    assert ex["applied_rules"] == ["distinct_dims"]
+    # the unused revenue aggregation must be gone from the plan
+    assert "SUM" not in ex["compiled_sql"].upper()
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        "SELECT DISTINCT o_orderstatus AS status FROM orders",
+    )
+
+
+def test_time_rollup_rule_matches_direct_month_query(layer, duck):
+    sql = (
+        "SELECT DATE_TRUNC('month', order_date__day) AS order_date__month, "
+        "SUM(revenue) AS revenue "
+        "FROM (SELECT orders.order_date__day, orders.revenue FROM orders) GROUP BY 1"
+    )
+    ex = layer.explain_sql(sql)
+    assert ex["applied_rules"] == ["time_rollup"]
+    direct = layer.compile(
+        metrics=["orders.revenue"], dimensions=["orders.order_date__month"]
+    )
+    assert ex["compiled_sql"] == direct
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_date__month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_time_rollup_rejects_non_derivable_grain(layer):
+    # month -> week is not derivable; the wrapper stays a plain island
+    sql = (
+        "SELECT DATE_TRUNC('week', order_date__month) AS w, SUM(revenue) AS revenue "
+        "FROM (SELECT orders.order_date__month, orders.revenue FROM orders) GROUP BY 1"
+    )
+    ex = layer.explain_sql(sql)
+    assert "time_rollup" not in ex["applied_rules"]
+
+
+def test_wrapper_pushdown_rule(layer, duck):
+    sql = (
+        "SELECT * FROM (SELECT orders.status, orders.revenue FROM orders) "
+        "WHERE revenue > 1000 ORDER BY revenue DESC LIMIT 3"
+    )
+    ex = layer.explain_sql(sql)
+    assert ex["applied_rules"] == ["wrapper_pushdown"]
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT o_orderstatus AS status, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1 HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 1000
+        ORDER BY revenue DESC LIMIT 3
+        """,
+    )
+
+
+def test_wrapper_pushdown_drops_unprojected_metric(layer):
+    sql = (
+        "SELECT status, revenue FROM "
+        "(SELECT orders.status, orders.revenue, orders.order_count FROM orders) "
+        "LIMIT 5"
+    )
+    ex = layer.explain_sql(sql)
+    assert ex["applied_rules"] == ["wrapper_pushdown"]
+    assert "order_count" not in ex["compiled_sql"]
+
+
+def test_rownum_topn_limit_rule(layer, duck):
+    sql = (
+        "SELECT status, revenue FROM (SELECT orders.status, orders.revenue, "
+        "ROW_NUMBER() OVER (ORDER BY revenue DESC) AS rn FROM orders) WHERE rn <= 2"
+    )
+    ex = layer.explain_sql(sql)
+    assert ex["applied_rules"] == ["rownum_topn_limit"]
+    assert "ROW_NUMBER" not in ex["compiled_sql"].upper()
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT o_orderstatus AS status, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1 ORDER BY revenue DESC LIMIT 2
+        """,
+    )
+
+
+def test_rownum_topn_window_rule(layer, duck):
+    sql = (
+        "SELECT * FROM (SELECT orders.status, orders.order_date__year, orders.revenue, "
+        "RANK() OVER (PARTITION BY status ORDER BY revenue DESC) AS rn FROM orders) "
+        "WHERE rn <= 1"
+    )
+    ex = layer.explain_sql(sql)
+    assert ex["applied_rules"] == ["rownum_topn_window"]
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               CAST(DATE_TRUNC('year', o_orderdate) AS TIMESTAMP) AS order_date__year,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1, 2
+        QUALIFY RANK() OVER (PARTITION BY status ORDER BY revenue DESC) <= 1
+        """,
+    )
+
+
+def test_qualify_topn_limit(layer, duck):
+    sql = (
+        "SELECT orders.status, orders.revenue FROM orders "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY revenue DESC) <= 2"
+    )
+    ex = layer.explain_sql(sql)
+    assert ex["applied_rules"] == ["qualify_topn_limit"]
+    assert "ROW_NUMBER" not in ex["compiled_sql"].upper()
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT o_orderstatus AS status, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1 ORDER BY revenue DESC LIMIT 2
+        """,
+    )
+
+
+def test_qualify_topn_window(layer, duck):
+    sql = (
+        "SELECT orders.status, orders.order_date__year, orders.revenue FROM orders "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY status ORDER BY revenue DESC) <= 2"
+    )
+    ex = layer.explain_sql(sql)
+    assert ex["applied_rules"] == ["qualify_topn_window"]
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               CAST(DATE_TRUNC('year', o_orderdate) AS TIMESTAMP) AS order_date__year,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1, 2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC) <= 2
+        """,
+    )
