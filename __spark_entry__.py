@@ -826,7 +826,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY b.entity
             )
             SELECT COUNT(*) AS signup_to_purchase_base,
-                   SUM(converted) AS signup_to_purchase_converted,
+                   CAST(SUM(converted) AS BIGINT) AS signup_to_purchase_converted,
                    CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS signup_to_purchase
             FROM flags
         """,

@@ -88,7 +88,8 @@ _SEG_KEYS = {"name", "sql", "description", "label", "public"}
 _PARAM_KEYS = {"name", "type", "default_value", "description", "label"}
 _PREAGG_KEYS = {
     "name", "type", "measures", "dimensions", "time_dimension", "granularity",
-    "partition_granularity", "lambda_boundary_grain", "refresh_key", "indexes",
+    "partition_granularity", "lambda_boundary_grain", "lambda_boundary_sql",
+    "refresh_key", "indexes",
 }
 
 _GRAINS = {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
@@ -344,7 +345,9 @@ def _build_model(md: dict, errors: list) -> Model | None:
             granularity=pdata.get("granularity", "day"),
             partition_granularity=pdata.get("partition_granularity"),
             type=pdata.get("type", "rollup"),
+            sql=pdata.get("sql"),
             lambda_boundary_grain=pdata.get("lambda_boundary_grain"),
+            lambda_boundary_sql=pdata.get("lambda_boundary_sql"),
         ))
 
     security = None
@@ -681,8 +684,8 @@ def _preagg_to_yaml(p) -> dict:
     out = {"name": p.name, "type": p.type, "measures": list(p.measures)}
     if p.dimensions:
         out["dimensions"] = list(p.dimensions)
-    for k in ("time_dimension", "granularity", "partition_granularity",
-              "lambda_boundary_grain"):
+    for k in ("sql", "time_dimension", "granularity", "partition_granularity",
+              "lambda_boundary_grain", "lambda_boundary_sql"):
         v = getattr(p, k)
         if v is not None:
             out[k] = v

@@ -279,8 +279,10 @@ class SparkSemanticLayer:
                 return hit
         try:
             df = self.spark.sql(sql)
-        except Exception as exc:  # missing rollup table -> raw fallback
-            if "used_preagg=" in sql and "TABLE_OR_VIEW_NOT_FOUND" in str(exc):
+        except Exception as exc:  # missing rollup/staged table -> raw fallback
+            if "TABLE_OR_VIEW_NOT_FOUND" in str(exc) and (
+                "used_preagg=" in sql or "_preagg_" in str(exc)
+            ):
                 old = self.generator.use_preaggs
                 self.generator.use_preaggs = False
                 try:

@@ -110,6 +110,31 @@ class PreAggManager:
 def rollup_select_sql(model: Model, pa: PreAggregation, extra_where: str | None = None) -> str:
     """Module-level rollup SELECT builder (also used by the router's
     lambda union-with-fresh branch, which has no manager instance)."""
+    if pa.type == "original_sql":
+        # stage the base query verbatim — no grouping, no partials
+        # (ref core/pre_aggregation.py:162-166); a derived model's
+        # expensive SQL then materializes once instead of re-running
+        # inside every query
+        if pa.sql:
+            return pa.sql
+        source = model.table or (f"({model.sql})" if model.sql else None)
+        if source is None:
+            raise ValueError(f"model {model.name!r} has no table binding")
+        select = "*"
+        if pa.partition_granularity and pa.time_dimension:
+            tdim = model.dimension(pa.time_dimension)
+            texpr = tdim.expr if tdim else pa.time_dimension
+            select = (
+                f"*,\n    CAST(DATE_TRUNC('{pa.partition_granularity}', {texpr}) AS DATE)"
+                " AS __part"
+            )
+        sql = f"SELECT {select} FROM {source}"
+        where = list(model.row_filters)
+        if extra_where:
+            where.append(extra_where)
+        if where:
+            sql += "\nWHERE " + " AND ".join(f"({w})" for w in where)
+        return sql
     cols: list[str] = []
     group: list[str] = []
     for dname in pa.dimensions:

@@ -45,12 +45,18 @@ class PreAggregation:
     """Materialized rollup spec attached to a model."""
 
     name: str
-    measures: list[str]  # metric names on the owning model
+    measures: list[str] = field(default_factory=list)  # metric names on the owning model
     dimensions: list[str] = field(default_factory=list)
     time_dimension: str | None = None
     granularity: str = "day"
     partition_granularity: str | None = None  # partition column grain
-    type: str = "rollup"  # rollup | original_sql | lambda
+    # rollup_join: a rollup whose ``dimensions`` include raw join-key
+    # columns, servable for queries grouping by a joined model's dims
+    # (ref sql/generator.py:6613-6844 join-key route);
+    # original_sql: stage the model's base query verbatim as a table —
+    # never routed for metric queries (ref core/preagg_matcher.py:114)
+    type: str = "rollup"  # rollup | rollup_join | original_sql | lambda
+    sql: str | None = None  # original_sql: override the staged base query
     lambda_boundary_grain: str | None = None  # lambda: fresh-data split
     lambda_boundary_sql: str | None = None  # override boundary expr (default: trunc(now))
 
@@ -76,11 +82,12 @@ def match_preagg(
     metric_names: list[str],
     dims: list[tuple[str, str | None]],  # (dim name, grain or None)
     filter_dims: list[str],
+    raw_columns: list[str] | None = None,  # join keys the rollup must store
 ) -> PreAggMatch | None:
     """Best matching rollup for a single-model query, or None."""
     candidates: list[PreAggMatch] = []
     for pa in getattr(model, "pre_aggregations", []) or []:
-        m = _try_match(model, pa, metric_names, dims, filter_dims)
+        m = _try_match(model, pa, metric_names, dims, filter_dims, raw_columns or [])
         if m is not None:
             candidates.append(m)
     if not candidates:
@@ -95,9 +102,14 @@ def _try_match(
     metric_names: list[str],
     dims: list[tuple[str, str | None]],
     filter_dims: list[str],
+    raw_columns: list[str],
 ) -> PreAggMatch | None:
-    if pa.type not in ("rollup", "lambda"):
+    if pa.type not in ("rollup", "rollup_join", "lambda"):
         return None
+    # join keys must be stored verbatim in the rollup's dimension set
+    for col in raw_columns:
+        if col not in pa.dimensions:
+            return None
     exact_grain = True
     dim_map: dict = {}
     for name, grain in dims:
@@ -140,7 +152,7 @@ def _try_match(
         if not _derivable(metric, exact_grain and grouped_all):
             return None
 
-    extra_dims = len(pa.dimensions) - sum(
+    extra_dims = len(pa.dimensions) - len(raw_columns) - sum(
         1 for name, _ in dims if model.dimension(name) and model.dimension(name).type != "time"
     )
     specificity = max(extra_dims, 0) * 10 + (0 if exact_grain else 1)

@@ -20,25 +20,17 @@ from sidemantic_spark.sql.fragments import find_refs, replace_refs, split_conjun
 
 def try_route(gen, r) -> str | None:
     """Serve the resolved query from a rollup if one matches."""
-    if r.hops or r.spec.ungrouped or r.spec.with_totals:
+    if r.spec.ungrouped or r.spec.with_totals:
         return None
+    if r.hops:
+        return _try_join_route(gen, r)
     model = gen.graph.get_model(r.base)
     if not getattr(model, "pre_aggregations", None):
         return None
 
-    # expand ratio/derived metrics into their simple components; any
-    # metric-level filter disqualifies (partials are pre-filter)
-    comp_names: list[str] = []
-    for rm in r.metrics:
-        if rm.metric.type in ("cumulative", "time_comparison", "conversion", "retention", "cohort"):
-            return None
-        if rm.metric.non_additive_dimension:
-            return None
-        for _out, comp in gen._expand_components(rm):
-            if comp.filters:
-                return None
-            if comp.name not in comp_names:
-                comp_names.append(comp.name)
+    comp_names = _component_names(gen, r)
+    if comp_names is None:
+        return None
 
     dims = [(rd.name, rd.grain) for rd in r.dims]
     filter_dims: list[str] = []
@@ -53,6 +45,209 @@ def try_route(gen, r) -> str | None:
     if match is None:
         return None
     return _build_sql(gen, r, match)
+
+
+def _component_names(gen, r) -> list[str] | None:
+    """Expand ratio/derived metrics into their simple components; any
+    metric-level filter or windowed/special metric disqualifies routing
+    (partials are pre-filter)."""
+    comp_names: list[str] = []
+    for rm in r.metrics:
+        if rm.metric.type in ("cumulative", "time_comparison", "conversion", "retention", "cohort"):
+            return None
+        if rm.metric.non_additive_dimension:
+            return None
+        for _out, comp in gen._expand_components(rm):
+            if comp.filters:
+                return None
+            if comp.name not in comp_names:
+                comp_names.append(comp.name)
+    return comp_names
+
+
+def _try_join_route(gen, r) -> str | None:
+    """Join-key rollup route (ref ``sql/generator.py:6613-6844``): a
+    query whose metrics live on one model and whose extra dimensions
+    come from ONE other model reachable via a single many_to_one hop can
+    be served by a rollup that stores the join-key columns — scan the
+    rollup, join the (small) dimension table on fk=pk, re-aggregate at
+    the requested grain.
+
+    At 100 TB this is the canonical star-schema shape: the rollup is
+    orders of magnitude smaller than the fact table and the dimension
+    side stays broadcast-sized, so the routed plan replaces a full fact
+    shuffle with a broadcast hash join over the rollup."""
+    metric_models = {rm.model for rm in r.metrics}
+    if len(metric_models) != 1:
+        return None
+    fact_name = next(iter(metric_models))
+    fact = gen.graph.get_model(fact_name)
+    if not getattr(fact, "pre_aggregations", None):
+        return None
+    remote_models = {rd.model for rd in r.dims} - {fact_name}
+    if len(remote_models) != 1 or len(r.hops) != 1:
+        return None
+    remote_name = next(iter(remote_models))
+    remote = gen.graph.get_model(remote_name)
+    rel = next(
+        (
+            rel
+            for rel in fact.relationships
+            if rel.name == remote_name and rel.type == "many_to_one"
+        ),
+        None,
+    )
+    if rel is None:
+        return None
+    fks = rel.fk_list()
+    pks = rel.pk_list(remote.pk_list())
+    if not fks or len(fks) != len(pks):
+        return None
+
+    comp_names = _component_names(gen, r)
+    if comp_names is None:
+        return None
+
+    local_dims = [(rd.name, rd.grain) for rd in r.dims if rd.model == fact_name]
+    known = set(gen.graph.models)
+    local_filter_dims: list[str] = []
+    local_filters: list[str] = []
+    remote_filters: list[str] = []
+    metric_filters: list[str] = []
+    for f in r.spec.filters:
+        for conj in split_conjuncts(f):
+            refs = find_refs(conj, known)
+            ref_models = {m for m, _f, _g in refs}
+            if any(fact.metric(fld) is not None for m, fld, _g in refs if m == fact_name):
+                metric_filters.append(conj)
+            elif ref_models <= {fact_name}:
+                local_filters.append(conj)
+                local_filter_dims.extend(fld for _m, fld, _g in refs)
+            elif ref_models <= {remote_name}:
+                remote_filters.append(conj)
+            else:
+                return None  # mixed-model conjunct
+
+    match = match_preagg(fact, comp_names, local_dims, local_filter_dims, raw_columns=fks)
+    if match is None or match.preagg.type == "lambda":
+        return None
+    return _build_join_sql(
+        gen, r, match, fact, remote, fks, pks,
+        local_filters, remote_filters, metric_filters,
+    )
+
+
+def _build_join_sql(
+    gen, r, match, fact, remote, fks, pks,
+    local_filters, remote_filters, metric_filters,
+) -> str:
+    pa = match.preagg
+    physical = pa.physical_name(fact.name)
+    remote_cte = f"{remote.name}_cte"
+    rollup_cte = f"{fact.name}_rollup"
+
+    def rollup_col(m: str, fld: str, grain: str | None) -> str:
+        col, _ = match.dim_map.get(fld, (None, None))
+        if col is None:
+            dim = fact.dimension(fld)
+            if dim is not None and dim.type == "time" and pa.time_dimension == fld:
+                col = f"{fld}__{pa.granularity}"
+            else:
+                col = fld
+        return f"DATE_TRUNC('{grain}', {col})" if grain else col
+
+    known = set(gen.graph.models)
+
+    # remote CTE: project remote dim exprs + pk columns, apply remote
+    # filters and row-level security on the raw scan (pre-join)
+    remote_sel: dict[str, str] = {}
+    for rd in r.dims:
+        if rd.model == remote.name:
+            remote_sel[rd.out] = rd.expr
+    pk_aliases = [f"__pk_{i}" for i in range(len(pks))]
+    for alias, pk in zip(pk_aliases, pks):
+        remote_sel[alias] = pk
+    remote_source = remote.table or (f"({remote.sql})" if remote.sql else remote.name)
+    remote_where = [
+        replace_refs(
+            conj,
+            known,
+            lambda m, fld, g: (
+                f"DATE_TRUNC('{g}', {remote.dimension(fld).expr})"
+                if g
+                else remote.dimension(fld).expr
+            )
+            if remote.dimension(fld) is not None
+            else fld,
+        )
+        for conj in remote_filters
+    ]
+    remote_where += list(remote.row_filters)
+    policy = getattr(remote, "security", None)
+    if policy is not None:
+        policy.check_access(remote.name, r.spec.user)
+        remote_where += policy.rendered_row_filters(remote.name, r.spec.user)
+    remote_sql = "SELECT " + ", ".join(
+        expr if expr == alias else f"{expr} AS {alias}"
+        for alias, expr in remote_sel.items()
+    ) + f" FROM {remote_source}"
+    if remote_where:
+        remote_sql += " WHERE " + " AND ".join(f"({w})" for w in remote_where)
+
+    rollup_where = [
+        replace_refs(c, known, rollup_col) for c in local_filters
+    ]
+    rollup_sql = f"SELECT * FROM {physical}"
+    if rollup_where:
+        rollup_sql += " WHERE " + " AND ".join(f"({w})" for w in rollup_where)
+
+    select: list[str] = []
+    group: list[str] = []
+    for rd in r.dims:
+        if rd.model == remote.name:
+            expr = f"{remote_cte}.{rd.out}"
+        else:
+            col, regrain = match.dim_map[rd.name]
+            expr = f"DATE_TRUNC('{regrain}', {col})" if regrain else col
+        select.append(f"{expr} AS {rd.out}" if expr != rd.out else expr)
+        group.append(expr)
+    # join-grain is finer than the output grain (many fks per remote
+    # dim value), so count_distinct-style exact passthrough never
+    # applies here: exact=False
+    for rm in r.metrics:
+        select.append(f"{_metric_reagg_sql(gen, fact.name, rm.metric, False)} AS {rm.out}")
+
+    having = [
+        replace_refs(
+            conj,
+            known,
+            lambda m, fld, g: f"({_metric_reagg_sql(gen, fact.name, fact.metric(fld), False)})"
+            if fact.metric(fld)
+            else rollup_col(m, fld, g),
+        )
+        for conj in metric_filters
+    ]
+
+    on = " AND ".join(
+        f"{rollup_cte}.{fk} = {remote_cte}.{alias}"
+        for fk, alias in zip(fks, pk_aliases)
+    )
+    sql = (
+        f"WITH {remote_cte} AS (\n    {remote_sql}\n),\n"
+        f"{rollup_cte} AS (\n    {rollup_sql}\n)\n"
+        "SELECT\n    " + ",\n    ".join(select) + "\n"
+        f"FROM {remote_cte}\nLEFT JOIN {rollup_cte} ON {on}"
+    )
+    if group:
+        sql += "\nGROUP BY " + ", ".join(group)
+    if having:
+        sql += "\nHAVING " + "\n  AND ".join(f"({h})" for h in having)
+    sql += gen._order_limit(r)
+    header = (
+        f"-- sidemantic_spark models={','.join(r.models)} plan=preagg_join "
+        f"used_preagg={physical}"
+    )
+    return f"{header}\n{sql}"
 
 
 def _reagg(metric: Metric, exact_single_row: bool) -> str:

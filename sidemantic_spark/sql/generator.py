@@ -653,6 +653,15 @@ class SqlGenerator:
         source = model.table or (f"({model.sql})" if model.sql else None)
         if source is None and model.source_uri:
             source = model.name  # registered as a temp view by layer.register_sources
+        if self.use_preaggs:
+            # an original_sql pre-aggregation stages the model's base
+            # query as a physical table (ref core/pre_aggregation.py:162);
+            # scan it instead of re-running the derived SQL — the layer's
+            # missing-table fallback recompiles raw if it isn't built yet
+            for pa in getattr(model, "pre_aggregations", []) or []:
+                if pa.type == "original_sql":
+                    source = pa.physical_name(model.name)
+                    break
         if source is None:
             raise QueryCompileError(f"model {model_name!r} has no table/sql binding")
         sql = f"SELECT\n        {select}\n    FROM {source}"

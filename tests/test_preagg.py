@@ -319,3 +319,188 @@ def test_lambda_rollup_union_with_fresh(spark, sf_dir, duck):
         """,
     )
     shutil.rmtree(path, ignore_errors=True)
+
+
+# -- join-key rollup route (ref sql/generator.py:6613-6844) ----------------
+
+
+@pytest.fixture(scope="module")
+def join_layer(spark, sf_dir):
+    path = "/tmp/sidemantic_spark_preaggs_joinroute"
+    shutil.rmtree(path, ignore_errors=True)
+    layer = build_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [
+        PreAggregation(
+            name="bykey",
+            type="rollup_join",
+            measures=["revenue", "order_count", "avg_order_value"],
+            dimensions=["status", "o_custkey"],
+            time_dimension="order_date",
+            granularity="day",
+        )
+    ]
+    layer.preaggs.base_path = path
+    layer.preaggs.materialize("orders")
+    yield layer
+    shutil.rmtree(path, ignore_errors=True)
+
+
+JOIN_ORACLE = """
+    SELECT c_mktsegment AS mktsegment,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+           COUNT(*) AS order_count
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY 1
+"""
+
+
+def test_join_key_route_compiles_to_rollup_join(join_layer):
+    sql = join_layer.compile(
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["customer.mktsegment"],
+    )
+    assert "plan=preagg_join" in sql
+    assert "orders_preagg_bykey" in sql
+    # the base orders table must not be scanned
+    assert "FROM orders\n" not in sql and "FROM orders " not in sql
+
+
+def test_join_key_route_matches_oracle(join_layer, duck):
+    df = join_layer.query(
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["customer.mktsegment"],
+    )
+    assert_df_matches_oracle(df, duck, JOIN_ORACLE)
+
+
+def test_join_key_route_remote_and_local_filters(join_layer, duck):
+    df = join_layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["customer.mktsegment"],
+        filters=["customer.mktsegment IN ('BUILDING', 'MACHINERY')",
+                 "orders.status = 'O'"],
+    )
+    sql = join_layer.compile(
+        metrics=["orders.revenue"],
+        dimensions=["customer.mktsegment"],
+        filters=["customer.mktsegment IN ('BUILDING', 'MACHINERY')",
+                 "orders.status = 'O'"],
+    )
+    assert "plan=preagg_join" in sql
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT c_mktsegment AS mktsegment,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM customer LEFT JOIN orders
+          ON o_custkey = c_custkey AND o_orderstatus = 'O'
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY 1
+        """,
+    )
+
+
+def test_join_key_route_avg_and_time_grain(join_layer, duck):
+    df = join_layer.query(
+        metrics=["orders.avg_order_value"],
+        dimensions=["customer.mktsegment", "orders.order_date__year"],
+    )
+    sql = join_layer.compile(
+        metrics=["orders.avg_order_value"],
+        dimensions=["customer.mktsegment", "orders.order_date__year"],
+    )
+    assert "plan=preagg_join" in sql
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT c_mktsegment AS mktsegment,
+               CAST(DATE_TRUNC('year', o_orderdate) AS TIMESTAMP) AS order_date__year,
+               CAST(SUM(o_totalprice) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY 1, 2
+        """,
+    )
+
+
+def test_join_key_route_requires_stored_join_key(spark, sf_dir):
+    layer = build_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [
+        PreAggregation(
+            name="nokey", measures=["revenue"], dimensions=["status"],
+            time_dimension="order_date", granularity="day",
+        )
+    ]
+    sql = layer.compile(
+        metrics=["orders.revenue"], dimensions=["customer.mktsegment"]
+    )
+    assert "plan=preagg" not in sql.splitlines()[0]
+
+
+# -- original_sql staged base tables (ref core/pre_aggregation.py:162) -----
+
+
+def test_original_sql_stages_base_query(spark, sf_dir, duck):
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    path = "/tmp/sidemantic_spark_preaggs_origsql"
+    shutil.rmtree(path, ignore_errors=True)
+    layer = build_layer(spark, sf_dir)
+    layer.add_model(Model(
+        name="big_orders",
+        sql="SELECT * FROM orders WHERE o_totalprice > 100000",
+        primary_key="o_orderkey",
+        dimensions=[Dimension(name="status", sql="o_orderstatus")],
+        metrics=[Metric(name="revenue", agg="sum",
+                        sql="CAST(o_totalprice AS DECIMAL(18,2))")],
+        pre_aggregations=[PreAggregation(name="base", type="original_sql")],
+    ))
+    layer.preaggs.base_path = path
+    built = layer.preaggs.materialize("big_orders")
+    assert built == ["big_orders_preagg_base"]
+
+    sql = layer.compile(metrics=["big_orders.revenue"],
+                        dimensions=["big_orders.status"])
+    # the derived SQL is replaced by the staged table scan
+    assert "big_orders_preagg_base" in sql
+    assert "o_totalprice > 100000" not in sql
+    assert_df_matches_oracle(
+        layer.query(metrics=["big_orders.revenue"],
+                    dimensions=["big_orders.status"]),
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders WHERE o_totalprice > 100000 GROUP BY 1
+        """,
+    )
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_original_sql_missing_table_falls_back_raw(spark, sf_dir, duck):
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    layer = build_layer(spark, sf_dir)
+    layer.add_model(Model(
+        name="big_orders2",
+        sql="SELECT * FROM orders WHERE o_totalprice > 100000",
+        primary_key="o_orderkey",
+        dimensions=[Dimension(name="status", sql="o_orderstatus")],
+        metrics=[Metric(name="revenue", agg="sum",
+                        sql="CAST(o_totalprice AS DECIMAL(18,2))")],
+        pre_aggregations=[PreAggregation(name="base", type="original_sql")],
+    ))
+    # never materialized: execution must fall back to the raw derived SQL
+    assert_df_matches_oracle(
+        layer.query(metrics=["big_orders2.revenue"],
+                    dimensions=["big_orders2.status"]),
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders WHERE o_totalprice > 100000 GROUP BY 1
+        """,
+    )
