@@ -223,6 +223,40 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_pgserve(args) -> int:
+    import json as _json
+
+    from sidemantic_spark.server import PgWireServer
+
+    spark = _build_spark("sidemantic-spark-pgserve")
+    layer = _load_layer(args, spark)
+    layer.register_sources()
+    password = None
+    if args.password_file:
+        with open(args.password_file) as fh:
+            password = fh.read().strip()
+    user_attrs_map = None
+    if args.user_attrs_file:
+        with open(args.user_attrs_file) as fh:
+            user_attrs_map = _json.load(fh)
+    srv = PgWireServer(
+        layer, host=args.host, port=args.port,
+        username=args.username, password=password,
+        user_attrs_map=user_attrs_map,
+    ).start()
+    print(f"pg wire server on {args.host}:{srv.port} "
+          f"(psql -h {args.host} -p {srv.port} -d sidemantic)")
+    try:
+        import signal
+
+        signal.pause()
+    except (KeyboardInterrupt, AttributeError):
+        pass
+    finally:
+        srv.stop()
+    return 0
+
+
 def cmd_mcp(args) -> int:
     from sidemantic_spark.server import McpServer
 
@@ -349,6 +383,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--port", type=int, default=8088)
     p.add_argument("--token", default=None, help="bearer token (default: no auth)")
     p.set_defaults(func=cmd_serve)
+
+    p = sub.add_parser("pgserve", help="run the PostgreSQL wire-protocol server")
+    _add_models_arg(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=5433)
+    p.add_argument("--username", default=None)
+    p.add_argument("--password-file", default=None)
+    p.add_argument("--user-attrs-file", default=None,
+                   help="JSON map of username -> security user attributes")
+    p.set_defaults(func=cmd_pgserve)
 
     p = sub.add_parser("mcp", help="run the MCP stdio server")
     _add_models_arg(p)
