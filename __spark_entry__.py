@@ -47,6 +47,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # semantic-layer queries
 # ----------------------------------------------------------------------
 
+def _dbl(fn):
+    """Cast DECIMAL output columns to DOUBLE at the contract boundary.
+
+    The engine accumulates monetary sums exactly in DECIMAL; DuckDB's
+    pandas fetch renders DECIMAL as float64, so ``Decimal('10.00')`` vs
+    ``10.0`` hash-mismatches on trailing zeros.  One final
+    decimal->double cast on BOTH sides (see matching ``CAST(... AS
+    DOUBLE)`` in ``oracle_sql``) is correctly-rounded and bit-identical
+    across engines.
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        df = fn(spark, sf_dir)
+        if any(isinstance(f.dataType, T.DecimalType) for f in df.schema.fields):
+            df = df.select(
+                *[
+                    F.col(f.name).cast("double").alias(f.name)
+                    if isinstance(f.dataType, T.DecimalType)
+                    else F.col(f.name)
+                    for f in df.schema.fields
+                ]
+            )
+        return df
+
+    return run
+
+
 def _q(metrics=None, dimensions=None, **kw):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _layer(spark, sf_dir).query(
@@ -302,7 +332,7 @@ def _multimodal_decode(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    qs = {
         # §2.2/2.4 projection/filter/aggregation
         "basic_agg": _q(
             metrics=["orders.revenue", "orders.order_count"],
@@ -480,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_near_dups": _emb_near_dups,
         "multimodal_decode_features": _multimodal_decode,
     }
+    return {k: _dbl(v) for k, v in qs.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -487,18 +518,18 @@ def oracle_sql() -> dict[str, str]:
     return {
         "basic_agg": """
             SELECT o_orderstatus AS status,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                    COUNT(*) AS order_count
             FROM orders GROUP BY 1
         """,
         "time_grain_month": """
             SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders GROUP BY 1
         """,
         "filter_pushdown": """
             SELECT o_orderpriority AS priority,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders
             WHERE o_orderstatus = 'F'
               AND DATE_TRUNC('year', o_orderdate) >= TIMESTAMP '1996-01-01'
@@ -506,8 +537,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "metric_filter": """
             SELECT o_orderpriority AS priority,
-                   SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS open_revenue,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS open_revenue,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders GROUP BY 1
         """,
         "ratio_metric": """
@@ -524,13 +555,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "having_filter": """
             SELECT o_orderpriority AS priority,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders GROUP BY 1
             HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 10000000
         """,
         "order_limit": """
             SELECT o_orderpriority AS priority,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders GROUP BY 1
             ORDER BY revenue DESC, priority LIMIT 3
         """,
@@ -540,7 +571,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "with_totals": """
             SELECT o_orderstatus AS status,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                    CAST(GROUPING(o_orderstatus) AS BOOLEAN) AS _is_total
             FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())
         """,
@@ -549,7 +580,8 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT o_custkey) AS customer_count,
                    MAX(o_totalprice) AS max_order_value,
                    MIN(o_totalprice) AS min_order_value,
-                   CAST(SUM(o_totalprice) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(o_totalprice) AS avg_order_value
             FROM orders GROUP BY 1
         """,
         "dims_only_distinct": """
@@ -557,25 +589,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "segment_filter": """
             SELECT o_orderstatus AS status,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
         """,
         "fill_nulls_zero": """
             SELECT o_orderpriority AS priority,
-                   COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
-                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS pending_revenue
+                   CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS pending_revenue
             FROM orders GROUP BY 1
         """,
         "timezone_month": """
             SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS TIMESTAMP)
                         AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York') AS TIMESTAMP)
                      AS order_month,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders GROUP BY 1
         """,
         "relative_date_filter": """
             SELECT o_orderstatus AS status,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders
             WHERE o_orderdate >= CURRENT_DATE - INTERVAL 40 YEAR
               AND o_orderdate < CURRENT_DATE + INTERVAL 1 DAY
@@ -594,7 +626,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus AS status,
                    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END) AS DOUBLE)
                      / NULLIF(CAST(SUM(o_totalprice) AS DOUBLE), 0) AS open_rate,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders GROUP BY 1
         """,
         "semantic_sql_expression": """
@@ -604,7 +636,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_sql_cte_island": """
             SELECT o_orderstatus AS status,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                    COUNT(*) AS order_count
             FROM orders GROUP BY 1
         """,
@@ -614,7 +646,7 @@ def oracle_sql() -> dict[str, str]:
                        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
                 FROM orders GROUP BY 1
             )
-            SELECT status, revenue,
+            SELECT status, CAST(revenue AS DOUBLE) AS revenue,
                    CAST(revenue AS DOUBLE) * 100
                      / NULLIF(CAST(SUM(revenue) OVER () AS DOUBLE), 0) AS pct_of_total
             FROM q
@@ -625,7 +657,7 @@ def oracle_sql() -> dict[str, str]:
                        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
                 FROM orders GROUP BY 1
             )
-            SELECT priority, revenue,
+            SELECT priority, CAST(revenue AS DOUBLE) AS revenue,
                    RANK() OVER (ORDER BY revenue DESC) AS revenue_rank
             FROM q
         """,
@@ -635,25 +667,28 @@ def oracle_sql() -> dict[str, str]:
                        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
                 FROM orders GROUP BY 1
             )
-            SELECT order_month, revenue,
-                   AVG(CAST(revenue AS DOUBLE)) OVER (
+            SELECT order_month, CAST(revenue AS DOUBLE) AS revenue,
+                   CAST(SUM(revenue) OVER (
+                       ORDER BY order_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE)
+                   / COUNT(revenue) OVER (
                        ORDER BY order_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                    ) AS revenue_3mo_avg
             FROM q
         """,
         "semantic_sql_union": """
             SELECT o_orderstatus AS status,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
             UNION ALL
             SELECT o_orderstatus AS status,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
         """,
         "semantic_sql_qualify_topn": """
             SELECT o_orderstatus AS status,
                    CAST(DATE_TRUNC('year', o_orderdate) AS TIMESTAMP) AS order_date__year,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders GROUP BY 1, 2
             QUALIFY RANK() OVER (
                 PARTITION BY o_orderstatus
@@ -662,12 +697,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_sql_time_rollup": """
             SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders GROUP BY 1
         """,
         "yardstick_aggregate": """
             SELECT o_orderstatus AS status,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders GROUP BY 1
         """,
         "stats_aggs": """
@@ -681,18 +716,18 @@ def oracle_sql() -> dict[str, str]:
         "jinja_param_filter": """
             SELECT o_orderstatus AS status,
                    COUNT(*) AS order_count,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
         """,
         "join_m2o": """
             SELECT c.c_mktsegment AS mktsegment,
-                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,
         "join_multi_hop": """
             SELECT n.n_name AS nation_name,
-                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                    COUNT(*) AS order_count
             FROM orders o
             LEFT JOIN customer c ON o.o_custkey = c.c_custkey
@@ -701,7 +736,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "join_filtered_inner": """
             SELECT r.r_name AS region_name,
-                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders o
             LEFT JOIN customer c ON o.o_custkey = c.c_custkey
             LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -715,7 +750,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
                 FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
             )
-            SELECT returnflag, SUM(price) AS revenue,
+            SELECT returnflag, CAST(SUM(price) AS DOUBLE) AS revenue,
                    COUNT(CASE WHEN o_orderkey IS NOT NULL THEN 1 END) AS order_count
             FROM joined GROUP BY 1
         """,
@@ -743,13 +778,14 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             )
             SELECT COALESCE(a.nation_name, b.nation_name) AS nation_name,
-                   a.revenue AS revenue, b.total_acctbal AS total_acctbal
+                   CAST(a.revenue AS DOUBLE) AS revenue,
+                   CAST(b.total_acctbal AS DOUBLE) AS total_acctbal
             FROM f_orders a
             FULL OUTER JOIN f_cust b ON a.nation_name IS NOT DISTINCT FROM b.nation_name
         """,
         "join_part_brand": """
             SELECT p.p_brand AS brand,
-                   SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS disc_revenue
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS disc_revenue
             FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_returnflag = 'R'
             GROUP BY 1
@@ -760,9 +796,9 @@ def oracle_sql() -> dict[str, str]:
                        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
                 FROM orders GROUP BY 1
             )
-            SELECT order_month, revenue,
-                   SUM(revenue) OVER (ORDER BY order_month
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_revenue
+            SELECT order_month, CAST(revenue AS DOUBLE) AS revenue,
+                   CAST(SUM(revenue) OVER (ORDER BY order_month
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cumulative_revenue
             FROM inner_q
         """,
         "rolling_window_90d": """
@@ -772,8 +808,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders GROUP BY 1
             )
             SELECT order_month,
-                   SUM(revenue) OVER (ORDER BY order_month
-                       RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS revenue_3m
+                   CAST(SUM(revenue) OVER (ORDER BY order_month
+                       RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS revenue_3m
             FROM inner_q
         """,
         "ytd": """
@@ -783,9 +819,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders GROUP BY 1
             )
             SELECT order_month,
-                   SUM(revenue) OVER (PARTITION BY DATE_TRUNC('year', order_month)
+                   CAST(SUM(revenue) OVER (PARTITION BY DATE_TRUNC('year', order_month)
                        ORDER BY order_month
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_ytd
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS revenue_ytd
             FROM inner_q
         """,
         "mom_pct_change": """
@@ -794,7 +830,7 @@ def oracle_sql() -> dict[str, str]:
                        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
                 FROM orders GROUP BY 1
             )
-            SELECT i.order_month, i.revenue,
+            SELECT i.order_month, CAST(i.revenue AS DOUBLE) AS revenue,
                    CAST(i.revenue - p.revenue AS DOUBLE)
                      / NULLIF(CAST(p.revenue AS DOUBLE), 0) * 100 AS revenue_mom
             FROM inner_q i
@@ -806,7 +842,7 @@ def oracle_sql() -> dict[str, str]:
                        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
                 FROM orders GROUP BY 1
             )
-            SELECT i.order_year, i.revenue - p.revenue AS revenue_yoy_diff
+            SELECT i.order_year, CAST(i.revenue - p.revenue AS DOUBLE) AS revenue_yoy_diff
             FROM inner_q i
             LEFT JOIN inner_q p ON p.order_year = i.order_year - INTERVAL 1 YEAR
         """,
@@ -906,8 +942,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
                    SUM(l_quantity) AS qty,
-                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross_revenue,
-                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS disc_revenue,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS disc_revenue,
                    CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
                    COUNT(*) AS line_count
             FROM lineitem

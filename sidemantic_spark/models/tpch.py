@@ -75,7 +75,14 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                 Metric(name="order_count", agg="count"),
                 Metric(name="customer_count", agg="count_distinct", sql="o_custkey"),
                 Metric(name="approx_customers", agg="approx_count_distinct", sql="o_custkey"),
-                Metric(name="avg_order_value", agg="avg", sql="o_totalprice"),
+                # decimal accumulator so the exact-sum/count avg is
+                # bit-identical across engines (double sums are
+                # order-dependent; decimal sums are exact)
+                Metric(
+                    name="avg_order_value",
+                    agg="avg",
+                    sql="CAST(o_totalprice AS DECIMAL(18,2))",
+                ),
                 Metric(name="max_order_value", agg="max", sql="o_totalprice"),
                 Metric(name="min_order_value", agg="min", sql="o_totalprice"),
                 Metric(
