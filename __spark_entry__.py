@@ -19,10 +19,27 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _layer(spark: SparkSession, sf_dir: str):
-    from sidemantic_spark.models.tpch import build_layer
+_LAYER_CACHE: dict[tuple[int, str], object] = {}
+_ACTIVE_SF: dict[int, str] = {}
 
-    return build_layer(spark, sf_dir)
+
+def _layer(spark: SparkSession, sf_dir: str):
+    """Build (or reuse) the semantic layer for this session+scale.
+
+    Memoized: building re-registers 10 parquet views (a pyarrow footer
+    read each), which would otherwise repeat per query in bench runs.
+    Temp views are session-global, so when the same session switches
+    sf_dir the views are re-registered even on a layer-cache hit.
+    """
+    from sidemantic_spark.models.tpch import build_layer, register_tables
+
+    if _ACTIVE_SF.get(id(spark)) != sf_dir:
+        register_tables(spark, sf_dir)
+        _ACTIVE_SF[id(spark)] = sf_dir
+    key = (id(spark), sf_dir)
+    if key not in _LAYER_CACHE:
+        _LAYER_CACHE[key] = build_layer(spark, None)
+    return _LAYER_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -216,17 +233,22 @@ def _yardstick_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # data-pipeline queries
 # ----------------------------------------------------------------------
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ensure_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register the testdata views once per (session, sf_dir) switch."""
     from sidemantic_spark.models.tpch import register_tables
 
-    register_tables(spark, sf_dir)
+    if _ACTIVE_SF.get(id(spark)) != sf_dir:
+        register_tables(spark, sf_dir)
+        _ACTIVE_SF[id(spark)] = sf_dir
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_tables(spark, sf_dir)
     return spark.table("documents")
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sidemantic_spark.models.tpch import register_tables
-
-    register_tables(spark, sf_dir)
+    _ensure_tables(spark, sf_dir)
     return spark.table("embeddings")
 
 

@@ -242,23 +242,16 @@ def minhash_lsh_pairs(
         "__id",
         _shingle_hashes_of_norm(F.col("__norm"), k).alias("__sh"),
     )
+    # no persist anywhere: the signature frame is consumed exactly once
+    # (banding) and the shingle frame feeds the two verify sides, whose
+    # recompute (~1.7s at sf0.1) is cheaper than a columnar cache build
+    # of nested arrays (~7s) — and at corpus scale caching either would
+    # blow the storage budget. Keeping the whole operator one lazy DAG
+    # also lets Catalyst/AQE plan it end-to-end in a single job.
     with_sig = shingled.select(
         "__id",
         _minhash_sig_udf(num_hashes)(F.col("__sh")).alias("__sig"),
     )
-    # the signature frame feeds three plan branches (banding, both
-    # sides of the signature pre-filter); persist AND materialize
-    # eagerly — a lazy persist lets the branches race and recompute
-    # partitions concurrently before the cache fills. Persist ONLY
-    # (id, sig): columnar-caching the wide nested shingle arrays costs
-    # more than recomputing them (measured 7s cache-build vs 1.7s
-    # recompute at sf0.1) and at corpus scale would blow the storage
-    # budget; the exact-verify branches recompute shingles instead.
-    # MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing.
-    from pyspark.storagelevel import StorageLevel
-
-    with_sig = with_sig.persist(StorageLevel.MEMORY_AND_DISK)
-    with_sig.count()
     # band keys carry ONLY (id, band, bhash): the wide shingle arrays
     # must not ride through the banding shuffle — at corpus scale they
     # dominate the shuffle volume by orders of magnitude
@@ -305,47 +298,40 @@ def minhash_lsh_pairs(
         )
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # pair rows are tiny (16B) but each costs an exact-Jaccard over
+        # two shingle sets downstream — AQE coalesces the shuffle by
+        # BYTE size and would run the CPU-bound verify on 1-2 cores
+        # (measured 27s of a 37s run). An explicit repartition is
+        # exempt from AQE coalescing and pins verify at full
+        # parallelism; the extra shuffle moves only the id pairs.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
     )
-    # two-phase verify. Banding over a near-dup-heavy corpus produces
-    # far more candidates than true pairs (exact-dup cliques collide in
-    # every band), so first estimate jaccard from signature agreement —
-    # 8B*num_hashes per doc instead of the full shingle arrays — and
-    # only exact-verify candidates within a safety margin of the
-    # threshold. At 100 TB this cuts the verify shuffle by the
-    # candidate:survivor ratio (measured 344k -> ~1k at sf0.1).
-    sig_a = with_sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"))
-    sig_b = with_sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
+    # verify: exact Jaccard over the shingle sets, long-format. Each
+    # pair explodes to (pair, side-id) rows, joins the shingle frame
+    # ONCE on id, and a groupBy(pair) reassembles the two sets. This
+    # scans/computes shingles exactly once (two separate per-side joins
+    # re-evaluate the shingle subtree — HOF lambda exprIds defeat
+    # exchange reuse — and would need a broadcast assumption that can't
+    # hold for a corpus-sized build side). No signature-estimate
+    # pre-filter: the estimate (num_hashes interpreted comparisons per
+    # pair) costs about as much as the native array_intersect it would
+    # guard, and its separate join stage measured +30s of per-plan
+    # codegen/JIT overhead while pruning <1% on template-heavy corpora.
+    long = cand.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
     )
-    # one-sided error margin: the estimator's stddev is
-    # sqrt(j(1-j)/num_hashes) <= 0.5/sqrt(num_hashes); 4 sigma keeps the
-    # false-negative rate negligible while still pruning the bulk
-    margin = 2.0 / (num_hashes ** 0.5)
-    pre = (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .where(est >= jaccard_threshold - margin)
-        .select("id_a", "id_b")
+    joined = long.join(shingled, "__id")
+    both = joined.groupBy("id_a", "id_b").agg(
+        F.max(F.when(F.col("__id") == F.col("id_a"), F.col("__sh"))).alias("sh_a"),
+        F.max(F.when(F.col("__id") == F.col("id_b"), F.col("__sh"))).alias("sh_b"),
     )
-
-    sh_a = shingled.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    sh_b = shingled.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b")).cast("double")
     )
-    return (
-        pre.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= jaccard_threshold)
-    )
+    return both.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= jaccard_threshold)
 
 
 def simhash(text: Column, bits: int = 64) -> Column:
