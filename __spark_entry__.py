@@ -344,7 +344,10 @@ def _ann_ivf_topk(spark, sf_dir):
 def _emb_near_dups(spark, sf_dir):
     from sidemantic_spark.operators.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_embs(spark, sf_dir), min_cosine=0.9)
+    # threshold calibrated to the synthetic corpus (max pairwise cosine
+    # ~0.51 at sf0.01 / ~0.60 at sf0.1 — no planted near-dups), so the
+    # operator demonstrably returns pairs
+    return embedding_near_dup_pairs(_embs(spark, sf_dir), min_cosine=0.4)
 
 
 def _multimodal_decode(spark, sf_dir):
@@ -533,6 +536,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_features": _multimodal_decode,
     }
     return {k: _dbl(v) for k, v in qs.items()}
+
+
+# exact word-5-gram Jaccard: the Spark operator only emits pairs
+# sharing >=1 gram, but for threshold > 0 that is implied by the
+# Jaccard filter, so the oracle can be all-pairs + filter. Grams are
+# joined with the same empty separator; Spark compares xxhash64-ed
+# grams, the oracle compares the gram strings — identical equivalence
+# classes barring 64-bit collisions.
+_NGRAM_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 4, 1) + 1),
+                   i -> array_to_string(w[i:i+4], '')
+               )) AS gs
+        FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+             / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+             / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) >= 0.6
+"""
+
+
+def _near_dup_oracle() -> str:
+    """Banded hyperplane-LSH near-dup oracle: replicates the Spark
+    operator's deterministic planes as literal arrays, per-band sign
+    buckets, OR-of-bands candidate condition, exact cosine verify.
+    Cross-engine cosine at 6dp verified bit-equal on all pairs."""
+    from sidemantic_spark.operators.similarity import _det_planes
+
+    bands, bits, dim = 4, 4, 64
+    planes = _det_planes(dim, bands * bits)
+    band_sqls = []
+    for j in range(bands):
+        terms = []
+        for i in range(bits):
+            lit = "[" + ", ".join(repr(v) for v in planes[j * bits + i]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, CAST({lit} AS DOUBLE[])) >= 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        band_sqls.append("(" + " + ".join(terms) + ")")
+    bsel = ", ".join(f"{b} AS b{j}" for j, b in enumerate(band_sqls))
+    bmatch = " OR ".join(f"a.b{j} = b.b{j}" for j in range(bands))
+    return f"""
+        WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bk AS (SELECT vec_id, v, {bsel} FROM d)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+        FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({bmatch})
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1056,9 +1119,10 @@ def oracle_sql() -> dict[str, str]:
                    6) AS quality_score
             FROM c
         """,
+        "dedup_ngram_jaccard": _NGRAM_ORACLE,
+        "sim_embedding_near_dups": _near_dup_oracle(),
         # no-oracle entries (engine-specific hash functions / plumbing
         # -> driver records rows-only checks): dedup_minhash_lsh,
-        # dedup_simhash, dedup_ngram_jaccard, sim_ann_lsh_topk,
-        # sim_ann_ivf_topk, sim_embedding_near_dups,
+        # dedup_simhash, sim_ann_lsh_topk, sim_ann_ivf_topk,
         # multimodal_decode_features
     }

@@ -214,6 +214,54 @@ def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pairs_from_bucket_keys(
+    banded: DataFrame, bucket_cap: int = 256
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from LSH bucket keys.
+
+    Input: (__id, band, bhash) — one row per document per band. Pairs
+    are generated by bucket-grouping: ONE shuffle on (band, bhash) and
+    in-task pair expansion, vs. the textbook self-join's two shuffles +
+    join. Buckets are capped: a bucket of B docs expands to B^2/2
+    pairs, so one degenerate clique (boilerplate corpus, empty strings)
+    would dominate the stage; capped members still pair with the
+    bucket's id-sorted prefix, so cliques stay connected for a
+    downstream union-find even though not every pair is emitted.
+
+    Shared by MinHash (Jaccard) and hyperplane (cosine) LSH.
+    """
+    buckets = banded.groupBy("band", "bhash").agg(
+        F.slice(F.array_sort(F.collect_list("__id")), 1, bucket_cap).alias("__ids")
+    )
+    return (
+        buckets.where(F.size("__ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("__ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("__ids"), i + 2, bucket_cap),
+                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        # pair rows are tiny (16B) but each costs an exact verify
+        # (Jaccard / cosine) downstream — AQE coalesces the shuffle by
+        # BYTE size and would run the CPU-bound verify on 1-2 cores
+        # (measured 27s of a 37s run). An explicit repartition is
+        # exempt from AQE coalescing and pins verify at full
+        # parallelism; the extra shuffle moves only the id pairs.
+        .repartition(
+            banded.sparkSession.sparkContext.defaultParallelism, "id_a"
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -270,42 +318,7 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("__id", "bk.band", "bk.bhash")
 
-    # candidate pairs by bucket-grouping: ONE shuffle on (band, bhash)
-    # and in-task pair expansion, vs. the textbook self-join's two
-    # shuffles + join. Buckets are capped: a bucket of B docs expands to
-    # B^2/2 pairs, so one degenerate clique (boilerplate corpus, empty
-    # strings) would dominate the stage; capped members still pair with
-    # the bucket's id-sorted prefix, so cliques stay connected for a
-    # downstream union-find even though not every pair is emitted.
-    bucket_cap = 256
-    buckets = banded.groupBy("band", "bhash").agg(
-        F.slice(F.array_sort(F.collect_list("__id")), 1, bucket_cap).alias("__ids")
-    )
-    cand = (
-        buckets.where(F.size("__ids") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("__ids"),
-                        lambda a, i: F.transform(
-                            F.slice(F.col("__ids"), i + 2, bucket_cap),
-                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
-        # pair rows are tiny (16B) but each costs an exact-Jaccard over
-        # two shingle sets downstream — AQE coalesces the shuffle by
-        # BYTE size and would run the CPU-bound verify on 1-2 cores
-        # (measured 27s of a 37s run). An explicit repartition is
-        # exempt from AQE coalescing and pins verify at full
-        # parallelism; the extra shuffle moves only the id pairs.
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
-    )
+    cand = pairs_from_bucket_keys(banded)
     # verify: exact Jaccard over the shingle sets, long-format. Each
     # pair explodes to (pair, side-id) rows, joins the shingle frame
     # ONCE on id, and a groupBy(pair) reassembles the two sets. This
@@ -368,6 +381,34 @@ def simhash(text: Column, bits: int = 64) -> Column:
     return sig
 
 
+def _simhash_sig_udf():
+    """Arrow-vectorized SimHash: array<long> token hashes -> bigint
+    signature. Same bit-vote arithmetic as :func:`simhash` (parity
+    tested); the pure-Column form unrolls 64 WHENs per token into an
+    expression tree big enough to OOM a 1 GiB driver during planning
+    when it appears in two plan branches — the UDF keeps the plan a
+    single opaque node."""
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("bigint")
+    def sig(th: pd.Series) -> pd.Series:
+        out = np.zeros(len(th), dtype=np.int64)
+        one = np.uint64(1)
+        for idx, arr in enumerate(th):
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if h.size == 0:
+                continue
+            bits = ((h[:, None] >> shifts[None, :]) & one).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig_u = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out[idx] = sig_u.astype(np.uint64).view(np.int64)
+        return pd.Series(out)
+
+    return sig
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -380,40 +421,46 @@ def simhash_near_dups(
     agree exactly on at least one chunk (pigeonhole), so the candidate
     join is equi-join-able and shuffle-partitioned by chunk value.
     """
-    sig = _spread(df).select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sig"))
-    chunks = sig.select(
+    token_hashes = F.transform(
+        F.array_distinct(F.split(F.col("__norm"), " ")), lambda t: F.xxhash64(t)
+    )
+    sig = (
+        _spread(df)
+        .select(F.col(id_col).alias("__id"), _norm(F.col(text_col)).alias("__norm"))
+        .select("__id", token_hashes.alias("__th"))
+        .select("__id", _simhash_sig_udf()(F.col("__th")).alias("__sig"))
+    )
+    banded = sig.select(
         "__id",
-        "__sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("chunk"),
+                        F.lit(i).alias("band"),
                         F.shiftright(F.col("__sig"), i * 16)
                         .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cval"),
+                        .alias("bhash"),
                     )
                     for i in range(4)
                 ]
             )
         ).alias("c"),
-    ).select("__id", "__sig", "c.chunk", "c.cval")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    ham = _popcount(F.col("a.__sig").bitwiseXOR(F.col("b.__sig")))
+    ).select("__id", "c.band", "c.bhash")
+    cand = pairs_from_bucket_keys(banded)
+    # long-format verify on the 8-byte signature (see minhash_lsh_pairs)
+    long = cand.select("id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id"))
+    both = (
+        long.join(sig, "__id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("__id") == F.col("id_a"), F.col("__sig"))).alias("sig_a"),
+            F.max(F.when(F.col("__id") == F.col("id_b"), F.col("__sig"))).alias("sig_b"),
+        )
+    )
+    ham = _popcount(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cval") == F.col("b.cval"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            ham.alias("hamming"),
-        )
+        both.select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -436,30 +483,41 @@ def ngram_jaccard_pairs(
     exact verifier of the dedup family.
     """
     df = _spread(df)
-    tokens = F.split(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " ")
+    # tokens from a pre-materialized normalized column (HOF lambdas are
+    # interpreted with no CSE — see _shingles)
+    normed = df.select(F.col(id_col).alias("__id"), _norm(F.col(text_col)).alias("__norm"))
+    toks = normed.select("__id", F.split(F.col("__norm"), " ").alias("__toks"))
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(tokens) - n + 1, F.lit(1))),
-            lambda i: F.xxhash64(F.concat_ws("", F.slice(tokens, i, n))),
+            F.sequence(F.lit(1), F.greatest(F.size(F.col("__toks")) - n + 1, F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws("", F.slice(F.col("__toks"), i, n))),
         )
     )
-    docs = df.select(F.col(id_col).alias("__id"), grams.alias("__grams"))
-    inv = docs.select("__id", F.explode("__grams").alias("g"))
-    a, b = inv.alias("a"), inv.alias("b")
-    cand = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.__id") < F.col("b.__id")))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    docs = toks.select("__id", grams.alias("__grams"))
+    # inverted index as bucket keys: every gram is a bucket; candidate
+    # generation (grouping, capping, pair expansion, dedup, AQE-proof
+    # repartition) shared with the LSH family. Posting lists of
+    # stop-gram-like n-grams are capped the same way degenerate LSH
+    # buckets are (cap high enough that sf-scale corpora stay exact).
+    banded = docs.select(
+        "__id", F.lit(0).alias("band"), F.explode("__grams").alias("bhash")
     )
-    da = docs.select(F.col("__id").alias("id_a"), F.col("__grams").alias("ga"))
-    db = docs.select(F.col("__id").alias("id_b"), F.col("__grams").alias("gb"))
+    cand = pairs_from_bucket_keys(banded, bucket_cap=1024)
+    # long-format verify (one scan of the gram sets — see
+    # minhash_lsh_pairs)
+    long = cand.select("id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id"))
+    both = (
+        long.join(docs, "__id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("__id") == F.col("id_a"), F.col("__grams"))).alias("ga"),
+            F.max(F.when(F.col("__id") == F.col("id_b"), F.col("__grams"))).alias("gb"),
+        )
+    )
     jac = (
         F.size(F.array_intersect("ga", "gb")).cast("double")
         / F.size(F.array_union("ga", "gb")).cast("double")
     )
-    return (
-        cand.join(da, "id_a")
-        .join(db, "id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return both.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)

@@ -181,33 +181,73 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    nbits: int = 8,
+    bands: int = 4,
+    bits_per_band: int = 4,
     min_cosine: float = 0.95,
     dim: int = 64,
 ) -> DataFrame:
-    """Corpus-wide near-duplicate pairs by cosine, candidate-generated
-    through hyperplane-LSH buckets (pairs in different buckets with
-    cosine >= threshold can be missed — that is the ANN tradeoff; add
-    multi-probe/bands to tighten recall)."""
-    planes = _det_planes(dim, nbits)
+    """Corpus-wide near-duplicate pairs by cosine: banded
+    random-hyperplane LSH candidates, exact-cosine verified.
+
+    OR-amplification across ``bands`` bands of ``bits_per_band`` sign
+    bits each: a pair is a candidate when it agrees on ALL bits of ANY
+    band. For angle theta, the candidate probability is
+    1 - (1 - p^r)^b with p = 1 - theta/pi, r = bits_per_band,
+    b = bands — the same S-curve as MinHash banding. A single
+    monolithic bucket (the nbits=8 form this replaces) has recall
+    p^8, which at cosine 0.4 is ~2%; 4x4 banding lifts it to ~50%.
+    Candidate generation shares :func:`pairs_from_bucket_keys` with
+    MinHash — one shuffle on (band, bucket), capped in-bucket pair
+    expansion, verify at full parallelism.
+    """
+    from sidemantic_spark.operators.dedup import pairs_from_bucket_keys
+
+    planes = _det_planes(dim, bands * bits_per_band)
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucketed = df.select(
         F.col(id_col).alias("__id"),
         emb.alias("__emb"),
-        hyperplane_bucket(emb, planes).alias("__bucket"),
+        *[
+            hyperplane_bucket(
+                emb, planes[j * bits_per_band : (j + 1) * bits_per_band]
+            ).alias(f"__b{j}")
+            for j in range(bands)
+        ],
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    sim = F.round(cosine(F.col("a.__emb"), F.col("b.__emb")), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.__bucket") == F.col("b.__bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
+    banded = bucketed.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"), F.col(f"__b{j}").alias("bhash")
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "bk.band", "bk.bhash")
+    cand = pairs_from_bucket_keys(banded)
+
+    # long-format verify (one scan of the embedding column, no
+    # broadcast assumption — see minhash_lsh_pairs)
+    vecs = df.select(F.col(id_col).alias("__id"), emb.alias("__emb"))
+    long = cand.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
+    )
+    both = (
+        long.join(vecs, "__id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("__id") == F.col("id_a"), F.col("__emb"))).alias("va"),
+            F.max(F.when(F.col("__id") == F.col("id_b"), F.col("__emb"))).alias("vb"),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            sim.alias("cosine_sim"),
+    )
+    return (
+        both.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= min_cosine)
     )
