@@ -490,6 +490,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dimensions=["part.brand"],
             filters=["lineitem.returnflag = 'R'"],
         ),
+        # §2.3 many_to_many through junction: orders <-> part via
+        # lineitem; fan-out neutralized by PK dedup before counting
+        "join_m2m_through": _q(
+            metrics=["part.part_count"],
+            dimensions=["orders.priority"],
+        ),
+        # §2.3 cross join relationship
+        "join_cross": _q(
+            metrics=["supplier.supplier_count"],
+            dimensions=["part.brand AS brand"],
+        ),
         # §2.5 window metrics
         "running_total": _q(
             metrics=["orders.revenue", "orders.cumulative_revenue"],
@@ -505,6 +516,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "mom_pct_change": _q(
             metrics=["orders.revenue", "orders.revenue_mom"],
+            dimensions=["orders.order_date__month AS order_month"],
+        ),
+        # §2.5 time_comparison wow + ratio with offset_window
+        "wow_pct_change": _q(
+            metrics=["events.event_wow"],
+            dimensions=["events.ts__week AS event_week"],
+        ),
+        "ratio_offset_share": _q(
+            metrics=["orders.revenue_vs_prior_month"],
             dimensions=["orders.order_date__month AS order_month"],
         ),
         "yoy_difference": _q(
@@ -875,6 +895,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.l_returnflag = 'R'
             GROUP BY 1
         """,
+        "join_m2m_through": """
+            SELECT o.o_orderpriority AS priority,
+                   COUNT(DISTINCT p.p_partkey) AS part_count
+            FROM orders o
+            LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        """,
+        "join_cross": """
+            SELECT p.p_brand AS brand,
+                   COUNT(DISTINCT s.s_suppkey) AS supplier_count
+            FROM part p CROSS JOIN supplier s
+            GROUP BY 1
+        """,
         "running_total": """
             WITH inner_q AS (
                 SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
@@ -930,6 +964,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT i.order_year, CAST(i.revenue - p.revenue AS DOUBLE) AS revenue_yoy_diff
             FROM inner_q i
             LEFT JOIN inner_q p ON p.order_year = i.order_year - INTERVAL 1 YEAR
+        """,
+        "wow_pct_change": """
+            WITH inner_q AS (
+                SELECT CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS event_week,
+                       COUNT(*) AS event_count
+                FROM events GROUP BY 1
+            )
+            SELECT i.event_week,
+                   CAST(i.event_count - p.event_count AS DOUBLE)
+                     / NULLIF(CAST(p.event_count AS DOUBLE), 0) * 100 AS event_wow
+            FROM inner_q i
+            LEFT JOIN inner_q p ON p.event_week = i.event_week - INTERVAL 7 DAY
+        """,
+        "ratio_offset_share": """
+            WITH inner_q AS (
+                SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT i.order_month,
+                   CAST(i.revenue AS DOUBLE)
+                     / NULLIF(CAST(p.revenue AS DOUBLE), 0) AS revenue_vs_prior_month
+            FROM inner_q i
+            LEFT JOIN inner_q p ON p.order_month = i.order_month - INTERVAL 1 MONTH
         """,
         "conversion_funnel": """
             WITH base AS (

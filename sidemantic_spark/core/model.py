@@ -110,6 +110,9 @@ class Metric:
     # ratio
     numerator: str | None = None
     denominator: str | None = None
+    # share-of-prior-period: denominator evaluated at t - offset_window
+    # (reference sql/generator.py:6331-6394 "ratio with offset_window")
+    offset_window: str | None = None
 
     # derived
     expr: str | None = None  # formula over other metric names

@@ -155,6 +155,16 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                     comparison_type="yoy",
                     calculation="difference",
                 ),
+                Metric(
+                    # share-of-prior-period: this month's revenue over
+                    # last month's (ratio with offset_window, reference
+                    # sql/generator.py:6331-6394)
+                    name="revenue_vs_prior_month",
+                    type="ratio",
+                    numerator="revenue",
+                    denominator="revenue",
+                    offset_window="1 month",
+                ),
             ],
             segments=[
                 Segment(name="urgent", sql="{model}.priority = '1-URGENT'"),
@@ -168,6 +178,16 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                     # core/relationship.py:27-31)
                     name="lineitem", type="one_to_many", foreign_key="l_orderkey",
                     primary_key="o_orderkey",
+                ),
+                Relationship(
+                    # many_to_many via junction (reference
+                    # core/semantic_graph.py:364-410): orders <-> part
+                    # through lineitem
+                    name="part",
+                    type="many_to_many",
+                    through="lineitem",
+                    through_from_key="l_orderkey",
+                    through_to_key="l_partkey",
                 ),
             ],
             # no default_time_dimension (see events note)
@@ -229,6 +249,12 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
             ],
             relationships=[
                 Relationship(name="nation", type="many_to_one", foreign_key="s_nationkey"),
+                # cross join (reference core/semantic_graph.py:359-362):
+                # every supplier offers every part. Placed on this leaf
+                # pair because a cross edge shortens BFS paths; here the
+                # only affected pairs gain a UNIQUE shortest path (it in
+                # fact resolves the latent nation<->part two-way tie).
+                Relationship(name="part", type="cross"),
             ],
         )
     )
@@ -312,6 +338,13 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                 Metric(name="event_count", agg="count"),
                 Metric(name="total_value", agg="sum", sql="CAST(value AS DECIMAL(18,6))"),
                 Metric(name="active_users", agg="count_distinct", sql="user_id"),
+                Metric(
+                    name="event_wow",
+                    type="time_comparison",
+                    base_metric="event_count",
+                    comparison_type="wow",
+                    calculation="percent_change",
+                ),
                 Metric(
                     name="signup_to_purchase",
                     type="conversion",

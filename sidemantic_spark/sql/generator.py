@@ -168,7 +168,10 @@ class SqlGenerator:
             return self._semi_additive_sql(r)
 
         window_metrics = [
-            rm for rm in r.metrics if rm.metric.type in ("cumulative", "time_comparison")
+            rm
+            for rm in r.metrics
+            if rm.metric.type in ("cumulative", "time_comparison")
+            or (rm.metric.type == "ratio" and rm.metric.offset_window)
         ]
         if window_metrics:
             return self._window_sql(r, window_metrics)
@@ -1280,8 +1283,27 @@ class SqlGenerator:
         inner_metric_refs: list[str] = []
         seen_inner: set[str] = set()
         inner_name_of: dict[str, str] = {}
+        ratio_legs: dict[str, tuple[str, str]] = {}
         for rm in r.metrics:
-            if rm.metric.type in ("cumulative", "time_comparison"):
+            if rm.metric.type == "ratio" and rm.metric.offset_window:
+                # both legs become inner simple metrics; the outer stage
+                # divides the current numerator by the denominator from
+                # the offset-shifted self-join row
+                legs = []
+                for leg in (rm.metric.numerator, rm.metric.denominator):
+                    if leg is None:
+                        raise QueryCompileError(
+                            f"ratio metric {rm.metric.name!r} missing a leg"
+                        )
+                    ref = _qualify(leg, rm.model)
+                    out_name = ref.split(".", 1)[1]
+                    legs.append(out_name)
+                    if ref not in seen_inner:
+                        seen_inner.add(ref)
+                        inner_metric_refs.append(f"{ref} AS {out_name}")
+                ratio_legs[rm.out] = (legs[0], legs[1])
+                inner_name_of[rm.out] = legs[0]
+            elif rm.metric.type in ("cumulative", "time_comparison"):
                 base_ref = _qualify(
                     rm.metric.base_metric, rm.model
                 ) if rm.metric.base_metric else None
@@ -1321,6 +1343,8 @@ class SqlGenerator:
         for rm in r.metrics:
             if rm.metric.type == "time_comparison":
                 offsets[rm.out] = _comparison_interval(rm.metric, time_dim.grain)
+            elif rm.metric.type == "ratio" and rm.metric.offset_window:
+                offsets[rm.out] = interval_sql(rm.metric.offset_window)
 
         select = [f"i.{rd.out} AS {rd.out}" for rd in r.dims]
         for rm in r.metrics:
@@ -1344,6 +1368,13 @@ class SqlGenerator:
                     frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
                 select.append(
                     f"SUM({base_col}) OVER ({part_clause}ORDER BY i.{t} {frame}) AS {rm.out}"
+                )
+            elif m.type == "ratio" and m.offset_window:
+                num_out, den_out = ratio_legs[rm.out]
+                alias = f"p_{rm.out}"
+                select.append(
+                    f"CAST(i.{num_out} AS DOUBLE)"
+                    f" / NULLIF(CAST({alias}.{den_out} AS DOUBLE), 0) AS {rm.out}"
                 )
             elif m.type == "time_comparison":
                 alias = f"p_{rm.out}"

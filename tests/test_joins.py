@@ -234,3 +234,47 @@ def test_symmetric_aggregates_match_dedup_plan(layer, duck):
         assert abs(got[0] - exp[0]) < 1e-3, (s, got, exp)
         assert got[1] == exp[1]
         assert abs(got[2] - exp[2]) < 1e-3
+
+
+def test_m2m_through_junction(layer, duck):
+    """many_to_many through a junction model: orders <-> part via
+    lineitem (reference core/semantic_graph.py:364-410). Fan-out is
+    neutralized by PK dedup, so the count is distinct parts."""
+    sql = layer.compile(
+        metrics=["part.part_count"], dimensions=["orders.priority"]
+    )
+    assert "lineitem" in sql.lower()
+    df = layer.query(metrics=["part.part_count"], dimensions=["orders.priority"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o.o_orderpriority AS priority,
+               COUNT(DISTINCT p.p_partkey) AS part_count
+        FROM orders o
+        LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+        """,
+    )
+
+
+def test_cross_join_relationship(layer, duck):
+    """cross relationship (reference core/semantic_graph.py:359-362)."""
+    sql = layer.compile(
+        metrics=["supplier.supplier_count"], dimensions=["part.brand AS brand"]
+    )
+    assert "CROSS JOIN" in sql
+    df = layer.query(
+        metrics=["supplier.supplier_count"], dimensions=["part.brand AS brand"]
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT p.p_brand AS brand,
+               COUNT(DISTINCT s.s_suppkey) AS supplier_count
+        FROM part p CROSS JOIN supplier s
+        GROUP BY 1
+        """,
+    )

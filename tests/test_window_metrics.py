@@ -312,3 +312,58 @@ def test_preagg_recommender(layer):
         model.pre_aggregations = [p for p in model.pre_aggregations
                                   if p.name != applied.name]
         layer.graph._invalidate()
+
+
+def test_wow_pct_change(layer, duck):
+    """time_comparison wow over events at week grain (reference
+    comparison types sql/generator.py:6217-6482)."""
+    df = layer.query(
+        metrics=["events.event_wow"],
+        dimensions=["events.ts__week AS event_week"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH inner_q AS (
+            SELECT CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS event_week,
+                   COUNT(*) AS event_count
+            FROM events GROUP BY 1
+        )
+        SELECT i.event_week,
+               CAST(i.event_count - p.event_count AS DOUBLE)
+                 / NULLIF(CAST(p.event_count AS DOUBLE), 0) * 100 AS event_wow
+        FROM inner_q i
+        LEFT JOIN inner_q p ON p.event_week = i.event_week - INTERVAL 7 DAY
+        """,
+    )
+
+
+def test_ratio_offset_window(layer, duck):
+    """ratio with offset_window: denominator from the prior period
+    (reference sql/generator.py:6331-6394)."""
+    sql = layer.compile(
+        metrics=["orders.revenue_vs_prior_month"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    assert "plan=window" in sql and "INTERVAL '1' MONTH" in sql
+    df = layer.query(
+        metrics=["orders.revenue_vs_prior_month"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH inner_q AS (
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT i.order_month,
+               CAST(i.revenue AS DOUBLE)
+                 / NULLIF(CAST(p.revenue AS DOUBLE), 0) AS revenue_vs_prior_month
+        FROM inner_q i
+        LEFT JOIN inner_q p ON p.order_month = i.order_month - INTERVAL 1 MONTH
+        """,
+    )
