@@ -356,6 +356,93 @@ def _multimodal_decode(spark, sf_dir):
     return decode_features(documents_as_media(_docs(spark, sf_dir)), dim=16, fake=True)
 
 
+def _events_stream(spark, sf_dir):
+    """events.parquet as a streaming DataFrame, with the same
+    conditional nanos->timestamp cast register_tables applies to the
+    batch view (no-op when the file stores micros)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    nanos_cols = [
+        f.name
+        for f in pq.read_schema(path)
+        if str(f.type).startswith("timestamp[ns")
+    ]
+    # the file stream source wants a directory: stream the sf dir with a
+    # glob filter for this one file
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in nanos_cols:
+        stream = stream.withColumn(
+            c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+        )
+    # watermarks require TIMESTAMP (LTZ); the file stores NTZ micros.
+    # The cast reinterprets in session time (UTC), keeping wall-clock
+    # values identical to the batch view and the DuckDB oracle.
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _stream_layer(spark, sf_dir):
+    from sidemantic_spark.streaming.stream_layer import (
+        StreamingModelBinding,
+        StreamingSemanticLayer,
+    )
+
+    sl = StreamingSemanticLayer(_layer(spark, sf_dir))
+    sl.bind(
+        StreamingModelBinding(
+            model="events", time_column="ts", stream=_events_stream(spark, sf_dir)
+        )
+    )
+    return sl
+
+
+def _streaming_window_agg(spark, sf_dir):
+    """Tumbling 1-day windowed aggregation over the events stream,
+    availableNow to completion — the final state is batch-equivalent,
+    so the DuckDB oracle is the plain GROUP BY day. Watermark is set
+    beyond the data horizon so no late rows are dropped mid-replay."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    sl = _stream_layer(spark, sf_dir)
+    out = sl.stream_query(
+        "events",
+        metrics=["events.event_count", "events.total_value"],
+        dimensions=["events.event_type"],
+        window="1 day",
+        watermark="36500 days",
+    )
+    name = "stream_win_" + uuid.uuid4().hex[:8]
+    sl.to_memory_sink(out, name)
+    return spark.table(name).select(
+        "window_start",
+        "event_type",
+        "event_count",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+def _streaming_sessionize(spark, sf_dir):
+    """Per-user session assembly via session_window (30 min gap),
+    availableNow to completion. Sessions are gap-closure over complete
+    data, so a LAG/flag-sum islands query is an exact DuckDB oracle."""
+    import uuid
+
+    sl = _stream_layer(spark, sf_dir)
+    out = sl.sessionize("events", entity="user_id", gap="30 minutes",
+                        watermark="36500 days")
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    sl.to_memory_sink(out, name)
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         # §2.2/2.4 projection/filter/aggregation
@@ -554,6 +641,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_topk": _ann_ivf_topk,
         "sim_embedding_near_dups": _emb_near_dups,
         "multimodal_decode_features": _multimodal_decode,
+        # §2.9 Structured Streaming extension (reference has none):
+        # availableNow replay == batch semantics, so both are
+        # oracle-checkable
+        "streaming_window_agg": _streaming_window_agg,
+        "streaming_sessionize": _streaming_sessionize,
     }
     return {k: _dbl(v) for k, v in qs.items()}
 
@@ -1179,6 +1271,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _NGRAM_ORACLE,
         "sim_embedding_near_dups": _near_dup_oracle(),
+        "streaming_window_agg": """
+            SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS window_start,
+                   event_type,
+                   COUNT(*) AS event_count,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "streaming_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                    >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ),
+            sessions AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM flagged
+            )
+            SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+                   CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+                   user_id,
+                   COUNT(*) AS events_in_session
+            FROM sessions
+            GROUP BY user_id, sid
+        """,
         # no-oracle entries (engine-specific hash functions / plumbing
         # -> driver records rows-only checks): dedup_minhash_lsh,
         # dedup_simhash, sim_ann_lsh_topk, sim_ann_ivf_topk,
