@@ -356,6 +356,46 @@ def _multimodal_decode(spark, sf_dir):
     return decode_features(documents_as_media(_docs(spark, sf_dir)), dim=16, fake=True)
 
 
+def _preagg_route(spark, sf_dir):
+    """Aggregate-aware routing: materialize a daily rollup of orders,
+    then serve a coarser-grain query FROM the rollup (reference
+    core/pre_aggregation.py / preagg_management.py). Uses a dedicated
+    layer instance so the rollup attachment never changes other contract
+    entries' plans."""
+    import os
+
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    _ensure_tables(spark, sf_dir)
+    layer = build_layer(spark, None)
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [
+        PreAggregation(
+            name="contract_daily",
+            measures=["revenue", "order_count"],
+            dimensions=["status", "priority"],
+            time_dimension="order_date",
+            granularity="day",
+        )
+    ]
+    layer.preaggs.base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".preagg_cache",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    layer.preaggs.materialize("orders")
+    sql = layer.compile(
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["orders.status"],
+    )
+    assert "used_preagg=orders_preagg_contract_daily" in sql, sql[:200]
+    return layer.query(
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["orders.status"],
+    )
+
+
 def _events_stream(spark, sf_dir):
     """events.parquet as a streaming DataFrame, with the same
     conditional nanos->timestamp cast register_tables applies to the
@@ -641,6 +681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_topk": _ann_ivf_topk,
         "sim_embedding_near_dups": _emb_near_dups,
         "multimodal_decode_features": _multimodal_decode,
+        # §2.1 pre-aggregation materialization sink + aggregate-aware
+        # routing
+        "preagg_rollup_route": _preagg_route,
         # §2.9 Structured Streaming extension (reference has none):
         # availableNow replay == batch semantics, so both are
         # oracle-checkable
@@ -1271,6 +1314,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _NGRAM_ORACLE,
         "sim_embedding_near_dups": _near_dup_oracle(),
+        "preagg_rollup_route": """
+            SELECT o_orderstatus AS status,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS order_count
+            FROM orders GROUP BY 1
+        """,
         "streaming_window_agg": """
             SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS window_start,
                    event_type,
