@@ -74,7 +74,13 @@ def main() -> None:
     spark.table("lineitem").count()
     # one untimed pass through the full layer->DataFrame path: JIT,
     # codegen compilation, Arrow + Python-worker spin-up all happen
-    # here so the timed loop measures steady-state latency
+    # here so the timed loop measures steady-state latency. The minhash
+    # warmup runs the full pipeline at sf0.001 (50 docs): identical
+    # generated-code shapes, negligible data — so the timed sf run
+    # measures the operator, not Janino+JIT (~18 s of one-time cost on
+    # a cold session, which a long-lived cluster pays once ever).
+    queries["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001").count()
+    register_tables(spark, sf_dir)
     queries["basic_agg"](spark, sf_dir).count()
     queries["text_profile"](spark, sf_dir).count()
 
