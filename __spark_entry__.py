@@ -356,6 +356,55 @@ def _multimodal_decode(spark, sf_dir):
     return decode_features(documents_as_media(_docs(spark, sf_dir)), dim=16, fake=True)
 
 
+def _row_level_security(spark, sf_dir):
+    """Row-level security: per-request Jinja row filter ANDed into the
+    owning model's CTE pre-join (reference sql/generator.py:879-960,
+    core/security.py). Dedicated layer so the policy never gates other
+    contract entries."""
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.core.security import SecurityPolicy
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    _ensure_tables(spark, sf_dir)
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="orders",
+        table="orders",
+        primary_key="o_orderkey",
+        dimensions=[Dimension(name="priority", sql="o_orderpriority")],
+        metrics=[
+            Metric(name="revenue", agg="sum", sql="CAST(o_totalprice AS DECIMAL(18,2))"),
+        ],
+        security=SecurityPolicy(
+            access="{{ user.role in ('admin', 'analyst') }}",
+            row_filters=["o_orderstatus = '{{ user.allowed_status }}'"],
+        ),
+    ))
+    return layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.priority"],
+        user={"role": "analyst", "allowed_status": "F"},
+    )
+
+
+def _text_fingerprint(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators.text import fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def _semantic_sql_intersect(spark, sf_dir):
+    return _layer(spark, sf_dir).sql(
+        "SELECT orders.priority FROM orders WHERE orders.status = 'O' "
+        "INTERSECT "
+        "SELECT orders.priority FROM orders WHERE orders.status = 'F'"
+    )
+
+
 def _preagg_route(spark, sf_dir):
     """Aggregate-aware routing: materialize a daily rollup of orders,
     then serve a coarser-grain query FROM the rollup (reference
@@ -681,6 +730,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_topk": _ann_ivf_topk,
         "sim_embedding_near_dups": _emb_near_dups,
         "multimodal_decode_features": _multimodal_decode,
+        # §2.6 pagination
+        "limit_offset_page": _q(
+            metrics=["orders.revenue"],
+            dimensions=["orders.priority"],
+            order_by=["revenue desc", "priority"],
+            limit=2,
+            offset=1,
+        ),
+        # §2.2 row-level security
+        "row_level_security": _row_level_security,
+        # §2.7 set operations in semantic SQL
+        "semantic_sql_intersect": _semantic_sql_intersect,
+        # text fingerprinting (md5 of normalized content)
+        "text_fingerprint": _text_fingerprint,
         # §2.1 pre-aggregation materialization sink + aggregate-aware
         # routing
         "preagg_rollup_route": _preagg_route,
@@ -1319,6 +1382,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                    COUNT(*) AS order_count
             FROM orders GROUP BY 1
+        """,
+        "limit_offset_page": """
+            SELECT o_orderpriority AS priority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+            ORDER BY revenue DESC, priority
+            LIMIT 2 OFFSET 1
+        """,
+        "row_level_security": """
+            SELECT o_orderpriority AS priority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        """,
+        "semantic_sql_intersect": """
+            SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
         """,
         "streaming_window_agg": """
             SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS window_start,
