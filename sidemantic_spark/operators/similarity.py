@@ -92,12 +92,19 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     nbits: int = 8,
+    probes: int = 16,
 ) -> DataFrame:
-    """Approximate top-k scanning only the query's LSH bucket.
+    """Approximate top-k scanning only the query's multi-probe LSH
+    buckets.
 
-    At scale you materialize the bucketed table partitioned by
-    ``bucket`` so a query reads one partition; here the bucket filter
-    prunes at the scan.
+    Query-directed multi-probe (Lv et al., VLDB'07 idea): the probe
+    sequence flips sign bits in order of how close the query's
+    hyperplane dot product is to zero — the buckets most likely to
+    hold near neighbors — until ``probes`` buckets are listed. The
+    bucket filter is an IN-list, so at scale (bucketed/partitioned
+    table) a query reads ``probes`` partitions instead of one, trading
+    a bounded extra scan for much higher recall. probes=1 is the
+    classic single-bucket probe.
     """
     dim = len(query_vec)
     planes = _det_planes(dim, nbits)
@@ -107,14 +114,24 @@ def lsh_bucket_topk(
         emb.alias("__emb"),
         hyperplane_bucket(emb, planes).alias("__bucket"),
     )
-    qbucket = 0
-    for i, p in enumerate(planes):
-        dot = sum(float(a) * float(b) for a, b in zip(query_vec, p))
-        if dot >= 0:
-            qbucket += 1 << i
+    dots = [
+        sum(float(a) * float(b) for a, b in zip(query_vec, p)) for p in planes
+    ]
+    qbucket = sum(1 << i for i, d in enumerate(dots) if d >= 0)
+    # flip-sets ordered by total |margin| of the flipped bits: singles
+    # and pairs of the lowest-margin bits cover any reasonable probe
+    # budget (probes <= 1 + nbits + nbits*(nbits-1)/2)
+    order = sorted(range(nbits), key=lambda i: abs(dots[i]))
+    flip_sets: list[int] = [0]
+    flip_sets += [1 << i for i in order]
+    for a in range(nbits):
+        for b in range(a + 1, nbits):
+            flip_sets.append((1 << order[a]) | (1 << order[b]))
+    flip_sets.sort(key=lambda m: sum(abs(dots[i]) for i in range(nbits) if m & (1 << i)))
+    probe_buckets = [qbucket ^ m for m in flip_sets[: max(probes, 1)]]
     q = _lit_vec(query_vec)
     return (
-        bucketed.where(F.col("__bucket") == qbucket)
+        bucketed.where(F.col("__bucket").isin(probe_buckets))
         .select(F.col(id_col), F.round(cosine(F.col("__emb"), q), 6).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
