@@ -138,6 +138,54 @@ def lsh_bucket_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic spherical k-means for IVF coarse quantization.
+
+    Init: first ``n_cells`` vectors by id. Each Lloyd iteration is two
+    Spark jobs: (1) assign every vector to its max-cosine centroid — the
+    centroids ride into the plan as literals (argmax over an array, no
+    join), (2) new centroids = per-cell per-position mean via posexplode
+    + groupBy(cell, pos) — a shuffle of n_cells*dim tiny rows. Only the
+    n_cells x dim centroid matrix is ever collected to the driver, which
+    is how k-means|| behaves on a cluster too.
+    """
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    centroids = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    ]
+    for _ in range(iters):
+        sims = F.array(*[cosine(emb, _lit_vec(cvec)) for _cid, cvec in centroids])
+        idx = F.array_position(sims, F.array_max(sims))
+        assigned = df.select(
+            idx.cast("int").alias("__cell"), emb.alias("__emb")
+        )
+        means = (
+            assigned.select("__cell", F.posexplode("__emb").alias("__pos", "__val"))
+            .groupBy("__cell", "__pos")
+            .agg(F.avg("__val").alias("__mean"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["__cell"]), {})[int(r["__pos"])] = float(r["__mean"])
+        new = []
+        for ci, (cid, old) in enumerate(centroids, start=1):
+            vals = by_cell.get(ci)
+            if vals:
+                new.append((cid, [vals[p] for p in sorted(vals)]))
+            else:  # empty cell keeps its previous centroid
+                new.append((cid, old))
+        centroids = new
+    return centroids
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -146,18 +194,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     n_cells: int = 16,
     nprobe: int = 4,
+    train_iters: int = 2,
 ) -> DataFrame:
-    """IVF-style ANN: deterministic coarse centroids (first ``n_cells``
-    vectors by id — a stand-in for k-means at this round), assignment by
-    max cosine, probe the ``nprobe`` cells nearest to the query.
+    """IVF ANN: coarse centroids from :func:`kmeans_centroids`,
+    assignment by max cosine, probe the ``nprobe`` cells nearest to the
+    query.
 
-    The assignment join broadcasts the tiny centroid table; the probe is
-    a partition-prunable filter on the cell id.
+    The centroid table rides the plan as literals (no join); the probe
+    is a partition-prunable filter on the cell id. At scale the
+    assignment is materialized once (bucketed by cell) and queries only
+    read the probed cells.
     """
-    centroids = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
-    ]
+    centroids = kmeans_centroids(
+        df, n_cells=n_cells, iters=train_iters, vec_col=vec_col, id_col=id_col
+    )
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     def cell_of(vec_expr: Column) -> Column:
