@@ -397,6 +397,52 @@ def _text_fingerprint(spark, sf_dir):
     )
 
 
+def _token_bpe(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators.text import bpe_token_count, token_count
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(t).alias("ws_tokens"),
+        bpe_token_count(t).alias("bpe_tokens"),
+    )
+
+
+def _pipeline_clean_corpus(spark, sf_dir):
+    """Composed training-data pipeline: language filter + quality gate +
+    exact dedup (keep lowest id per content fingerprint) + corpus
+    stats. One aggregate row; every stage is the same operator exposed
+    individually elsewhere in the contract."""
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators import text
+
+    t = F.col("text")
+    prof = _docs(spark, sf_dir).select(
+        "doc_id",
+        text.language_id(t).alias("lang"),
+        text.quality_score(t).alias("q"),
+        text.token_count(t).alias("toks"),
+        text.bpe_token_count(t).alias("btoks"),
+        text.fingerprint(t).alias("fp"),
+    )
+    clean = prof.where((F.col("lang") == "en") & (F.col("q") >= 0.5))
+    keep = clean.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = clean.join(keep, ["fp", "doc_id"], "left_semi")
+    return kept.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("total_ws_tokens"),
+        F.sum("btoks").alias("total_bpe_tokens"),
+        # quality summed in DECIMAL: exact accumulation, so the final
+        # double division is bit-identical across engines
+        (
+            F.sum(F.col("q").cast("decimal(10,6)")).cast("double") / F.count("*")
+        ).alias("avg_quality"),
+    )
+
+
 def _semantic_sql_intersect(spark, sf_dir):
     return _layer(spark, sf_dir).sql(
         "SELECT orders.priority FROM orders WHERE orders.status = 'O' "
@@ -744,6 +790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_sql_intersect": _semantic_sql_intersect,
         # text fingerprinting (md5 of normalized content)
         "text_fingerprint": _text_fingerprint,
+        # BPE-ish tokenization + composed clean-corpus pipeline
+        "text_token_bpe": _token_bpe,
+        "pipeline_clean_corpus": _pipeline_clean_corpus,
         # §2.1 pre-aggregation materialization sink + aggregate-aware
         # routing
         "preagg_rollup_route": _preagg_route,
@@ -754,6 +803,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": _streaming_sessionize,
     }
     return {k: _dbl(v) for k, v in qs.items()}
+
+
+# shared DuckDB fragments for the text-pipeline oracles
+# note: doubled leading quote — the apostrophe inside a DuckDB '...'
+# string literal
+_BPE_PAT_SQL = r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+_LANG_SCORE_SQL = """
+    (CASE WHEN ' ' || lower(text) || ' ' LIKE '% der %' THEN 1 ELSE 0 END
+   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% die %' THEN 1 ELSE 0 END
+   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% und %' THEN 1 ELSE 0 END
+   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% ist %' THEN 1 ELSE 0 END) AS s_de,
+    (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% is %' THEN 1 ELSE 0 END) AS s_en,
+    (CASE WHEN ' ' || lower(text) || ' ' LIKE '% el %' THEN 1 ELSE 0 END
+   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% la %' THEN 1 ELSE 0 END
+   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% los %' THEN 1 ELSE 0 END
+   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% es %' THEN 1 ELSE 0 END) AS s_es,
+    (CASE WHEN ' ' || lower(text) || ' ' LIKE '% le %' THEN 1 ELSE 0 END
+   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% les %' THEN 1 ELSE 0 END
+   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% des %' THEN 1 ELSE 0 END
+   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% est %' THEN 1 ELSE 0 END) AS s_fr,
+    (CASE WHEN ' ' || lower(text) || ' ' LIKE '% 的 %' THEN 1 ELSE 0 END
+   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% 是 %' THEN 1 ELSE 0 END
+   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% 了 %' THEN 1 ELSE 0 END
+   + CASE WHEN ' ' || lower(text) || ' ' LIKE '% 在 %' THEN 1 ELSE 0 END) AS s_zh
+"""
+
+_QUALITY_SQL = """
+    ROUND(
+        LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+      + (CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+          / CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE)) * 0.4
+      + (1.0 - LEAST(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+          * 10.0 / CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE), 1.0)) * 0.1
+      + (1.0 - LEAST(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+          * 5.0 / CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE), 1.0)) * 0.1,
+    6)
+"""
 
 
 # exact word-5-gram Jaccard: the Spark operator only emits pairs
@@ -1404,6 +1494,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents
+        """,
+        "text_token_bpe": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+                   len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS bpe_tokens
+            FROM documents
+        """,
+        "pipeline_clean_corpus": f"""
+            WITH s AS (
+                SELECT doc_id, text, {_LANG_SCORE_SQL}
+                FROM documents
+            ),
+            m AS (SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s),
+            l AS (
+                SELECT doc_id, text,
+                       CASE WHEN best = 0 THEN 'und'
+                            WHEN s_de = best THEN 'de'
+                            WHEN s_en = best THEN 'en'
+                            WHEN s_es = best THEN 'es'
+                            WHEN s_fr = best THEN 'fr'
+                            ELSE 'zh' END AS lang
+                FROM m
+            ),
+            tk AS (
+                SELECT doc_id, lang,
+                       {_QUALITY_SQL} AS q,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+                       len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS btoks,
+                       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+                FROM l
+            ),
+            clean AS (SELECT * FROM tk WHERE lang = 'en' AND q >= 0.5),
+            keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM clean GROUP BY fp),
+            kept AS (
+                SELECT c.* FROM clean c
+                JOIN keep k ON c.fp = k.fp AND c.doc_id = k.doc_id
+            )
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(toks) AS BIGINT) AS total_ws_tokens,
+                   CAST(SUM(btoks) AS BIGINT) AS total_bpe_tokens,
+                   CAST(SUM(CAST(q AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+            FROM kept
         """,
         "streaming_window_agg": """
             SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS window_start,

@@ -34,6 +34,21 @@ def token_count(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer split pattern, restricted to constructs both
+# Java regex (Spark) and RE2 (DuckDB oracle) support — no lookahead, so
+# trailing-space runs merge into the following token's optional leading
+# space. Verified token-count parity on the full corpus.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    regex (contractions, letter runs, digit runs, punctuation runs).
+    A closer LLM-token proxy than whitespace counting — e.g.
+    "don't stop!" is 2 whitespace tokens but 4 BPE-ish tokens."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+
+
 def char_classes(text: Column) -> dict[str, Column]:
     """Character-class counts used by quality scoring."""
     n = F.length(text)
