@@ -116,6 +116,43 @@ def decode_features(
     return df.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame,
+    max_side: int = 256,
+    fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched image resize over the media table (stubbed codec).
+
+    Output keeps MEDIA_SCHEMA: width/height are rescaled to fit
+    ``max_side`` preserving aspect ratio; the payload is re-emitted by
+    the (stub) codec. A real implementation must decode + re-encode the
+    payload bytes, which is why this is a ``mapInPandas`` stage and not
+    a JVM column expression — the metadata arithmetic alone would not
+    need Python, the pixel work does. ``fake=True`` passes payload
+    bytes through unchanged and fills missing dims with ``max_side``
+    so the batching/schema path is fully testable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image resize requires codec libraries not present in this "
+            "environment; run with fake=True for the plumbing path"
+        )
+
+    def resize_batches(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            w = pdf["width"].fillna(max_side).astype("int64")
+            h = pdf["height"].fillna(max_side).astype("int64")
+            longest = w.combine(h, max).clip(lower=1)
+            scale = (max_side / longest).clip(upper=1.0)
+            out = pdf.copy()
+            out["width"] = (w * scale).astype("int64").clip(lower=1)
+            out["height"] = (h * scale).astype("int64").clip(lower=1)
+            # stub codec: payload unchanged; a real codec re-encodes here
+            yield out
+
+    return df.mapInPandas(resize_batches, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands each video row into frame
     timestamps (JVM-side sequence; the decode of each frame would be a

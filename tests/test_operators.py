@@ -197,3 +197,28 @@ def test_multimodal_real_decode_stubbed(docs):
     media = multimodal.documents_as_media(docs.limit(1))
     with pytest.raises(NotImplementedError):
         multimodal.decode_features(media, fake=False)
+
+
+def test_multimodal_resize_plumbing(docs):
+    media = multimodal.documents_as_media(docs.limit(30))
+    # give half the rows real dims so the aspect math is exercised
+    from pyspark.sql import functions as F
+
+    media = media.withColumn(
+        "width", F.when(F.col("media_id") % 2 == 0, F.lit(1024)).otherwise(F.lit(None))
+    ).withColumn(
+        "height", F.when(F.col("media_id") % 2 == 0, F.lit(512)).otherwise(F.lit(None))
+    )
+    out = multimodal.resize_images(media, max_side=256, fake=True).collect()
+    assert len(out) == 30
+    for r in out:
+        assert 1 <= r.width <= 256 and 1 <= r.height <= 256
+        if r.media_id % 2 == 0:
+            # 1024x512 -> 256x128 (aspect preserved)
+            assert (r.width, r.height) == (256, 128)
+        assert r.payload is not None  # stub passes payload through
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, fake=False)
