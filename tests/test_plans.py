@@ -1,0 +1,139 @@
+"""Physical-plan assertions: the properties SCALING.md claims must be
+visible in `.explain` — predicate pushdown to the parquet scan, column
+pruning in ReadSchema, broadcast joins for small dimensions, whole-stage
+codegen coverage, and no shuffle where none is needed.
+
+These guard against regressions that correctness tests cannot see: a
+query can return the right rows while silently scanning every column or
+shuffling a broadcastable dimension table.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sidemantic_spark.models.tpch import build_layer
+
+
+@pytest.fixture(scope="module")
+def layer(spark, sf_dir):
+    return build_layer(spark, sf_dir)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_reaches_parquet_scan(layer):
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.priority"],
+        filters=["orders.status = 'F'"],
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    # the literal filter must be pushed into the scan, not applied post-read
+    assert "EqualTo(o_orderstatus,F)" in plan.replace(" ", "")
+
+
+def test_column_pruning_in_read_schema(layer):
+    df = layer.query(metrics=["orders.revenue"], dimensions=["orders.status"])
+    plan = _plan(df)
+    # orders has 9 columns; the scan must read only status + totalprice
+    scan = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "o_orderstatus" in scan and "o_totalprice" in scan
+    assert "o_comment" not in scan and "o_clerk" not in scan and "o_custkey" not in scan
+
+
+def test_small_dimension_joins_broadcast(layer):
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["region.name AS region_name"],
+    )
+    plan = _plan(df)
+    # region/nation/customer sides are small: no sort-merge join should
+    # survive planning (AQE or static broadcast threshold converts them)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_whole_stage_codegen_covers_agg(layer):
+    df = layer.query(metrics=["orders.revenue"], dimensions=["orders.status"])
+    # under AQE codegen annotations appear in the final plan (after
+    # execution); formatted explain marks codegen'd operators with '*'
+    df.collect()
+    f = _formatted(df)
+    assert "codegen id" in f
+    assert "* HashAggregate" in f and "* Project" in f
+
+
+def test_grouped_agg_is_partial_then_final(layer):
+    """Map-side combine: the aggregate must appear as partial+final
+    HashAggregate pairs, not a single post-shuffle aggregate."""
+    df = layer.query(metrics=["orders.revenue"], dimensions=["orders.status"])
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in plan
+
+
+def test_ungrouped_query_has_no_shuffle(layer):
+    """Drill-to-detail is a pure projection+filter: any Exchange in the
+    plan means something regressed."""
+    df = layer.query(
+        dimensions=["orders.status", "orders.priority"],
+        filters=["orders.status = 'P'"],
+        ungrouped=True,
+    )
+    assert "Exchange" not in _plan(df)
+
+
+def test_preagg_route_scans_rollup_not_base(spark, sf_dir, tmp_path):
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    layer = build_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [
+        PreAggregation(
+            name="plans_daily",
+            measures=["revenue", "order_count"],
+            dimensions=["status"],
+            time_dimension="order_date",
+            granularity="day",
+        )
+    ]
+    layer.preaggs.base_path = str(tmp_path)
+    layer.preaggs.materialize("orders")
+    sql = layer.compile(metrics=["orders.revenue"], dimensions=["orders.status"])
+    assert "used_preagg=orders_preagg_plans_daily" in sql
+    df = layer.query(metrics=["orders.revenue"], dimensions=["orders.status"])
+    plan = _optimized(df)
+    # the scan must read the rollup's partial-aggregate column, not the
+    # base table's raw measure
+    assert "revenue__sum" in plan
+    assert "o_totalprice" not in plan
+
+
+def test_semantic_sql_topn_limits_rows_early(layer):
+    """QUALIFY top-N compiles to a window + filter; the limit semantics
+    stay in the plan (no full materialization of the unfiltered rank)."""
+    df = layer.sql(
+        "SELECT orders.status, orders.order_date__year, orders.revenue FROM orders "
+        "QUALIFY RANK() OVER (PARTITION BY status ORDER BY revenue DESC) <= 2"
+    )
+    plan = _plan(df)
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "rank" in plan.lower()
