@@ -740,6 +740,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             metrics=["orders.revenue", "orders.revenue_mom"],
             dimensions=["orders.order_date__month AS order_month"],
         ),
+        # §2.5 raw window_expression passthrough
+        "window_expr_peak": _q(
+            metrics=["orders.revenue", "orders.revenue_peak_to_date"],
+            dimensions=["orders.order_date__month AS order_month"],
+        ),
+        # §2.1 derived-table scan + §2.3 composite-key one_to_one join
+        "join_composite_derived": _q(
+            metrics=["lineitem_x.qty2_total"],
+            dimensions=["lineitem.returnflag"],
+        ),
         # §2.5 time_comparison wow + ratio with offset_window
         "wow_pct_change": _q(
             metrics=["events.event_wow"],
@@ -1252,6 +1262,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT i.order_year, CAST(i.revenue - p.revenue AS DOUBLE) AS revenue_yoy_diff
             FROM inner_q i
             LEFT JOIN inner_q p ON p.order_year = i.order_year - INTERVAL 1 YEAR
+        """,
+        "window_expr_peak": """
+            WITH inner_q AS (
+                SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT order_month, CAST(revenue AS DOUBLE) AS revenue,
+                   CAST(MAX(revenue) OVER (ORDER BY order_month
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     AS revenue_peak_to_date
+            FROM inner_q
+        """,
+        "join_composite_derived": """
+            SELECT l.l_returnflag AS returnflag,
+                   SUM(x.qty2) AS qty2_total
+            FROM lineitem l
+            LEFT JOIN (SELECT l_orderkey, l_linenumber, l_quantity * 2 AS qty2
+                       FROM lineitem) x
+              ON l.l_orderkey = x.l_orderkey AND l.l_linenumber = x.l_linenumber
+            GROUP BY 1
         """,
         "wow_pct_change": """
             WITH inner_q AS (

@@ -121,6 +121,11 @@ class Metric:
     window: str | None = None  # e.g. "7 days" rolling window
     grain_to_date: str | None = None  # e.g. "month" | "year" (MTD/YTD)
     base_metric: str | None = None  # metric being accumulated / compared
+    # raw passthrough (reference core/metric.py:299-308): full windowed
+    # SQL with {value}/{time}/{partition} placeholders, or just a frame
+    # clause overriding the default cumulative frame
+    window_expression: str | None = None
+    window_frame: str | None = None
 
     # time_comparison
     comparison_type: str | None = None  # yoy|qoq|mom|wow|dod|prior_period

@@ -165,6 +165,17 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                     denominator="revenue",
                     offset_window="1 month",
                 ),
+                Metric(
+                    # raw window_expression passthrough (reference
+                    # core/metric.py:299-308): best month seen to date
+                    name="revenue_peak_to_date",
+                    type="cumulative",
+                    base_metric="revenue",
+                    window_expression=(
+                        "MAX({value}) OVER ({partition}ORDER BY {time} "
+                        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                    ),
+                ),
             ],
             segments=[
                 Segment(name="urgent", sql="{model}.priority = '1-URGENT'"),
@@ -319,6 +330,30 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
     layer.graph.get_model("lineitem").add_dimension(
         Dimension(name="partkey", sql="l_partkey", type="numeric")
     )
+
+    layer.add_model(
+        Model(
+            # derived-table scan (reference sql/generator.py:302
+            # _model_source_as): the model binds to inline SQL, not a
+            # table; joined one_to_one on the composite lineitem PK
+            name="lineitem_x",
+            sql=(
+                "SELECT l_orderkey, l_linenumber, "
+                "l_quantity * 2 AS qty2 FROM lineitem"
+            ),
+            primary_key=["l_orderkey", "l_linenumber"],
+            metrics=[Metric(name="qty2_total", agg="sum", sql="qty2")],
+        )
+    )
+    layer.graph.get_model("lineitem").relationships.append(
+        Relationship(
+            name="lineitem_x",
+            type="one_to_one",
+            foreign_key=["l_orderkey", "l_linenumber"],
+            primary_key=["l_orderkey", "l_linenumber"],
+        )
+    )
+    layer.graph._invalidate()
 
     layer.add_model(
         Model(

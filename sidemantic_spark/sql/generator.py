@@ -1351,6 +1351,17 @@ class SqlGenerator:
             m = rm.metric
             base_col = f"i.{inner_name_of[rm.out]}"
             if m.type == "cumulative":
+                if m.window_expression:
+                    # raw passthrough (reference sql/generator.py:6139-6147):
+                    # the author supplies the complete windowed SQL;
+                    # {value}/{time}/{partition} resolve to the inner
+                    # base-metric column, the time column, and the
+                    # PARTITION BY clause for the query's other dims
+                    expr = m.window_expression.format(
+                        value=base_col, time=f"i.{t}", partition=part_clause
+                    )
+                    select.append(f"{expr} AS {rm.out}")
+                    continue
                 if m.window:
                     frame = (
                         f"RANGE BETWEEN {interval_sql(m.window)} PRECEDING AND CURRENT ROW"
@@ -1359,13 +1370,15 @@ class SqlGenerator:
                     part2 = ", ".join(
                         ([part] if part else []) + [_date_trunc(m.grain_to_date, f"i.{t}")]
                     )
-                    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                    frame = m.window_frame or "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
                     select.append(
                         f"SUM({base_col}) OVER (PARTITION BY {part2} ORDER BY i.{t} {frame}) AS {rm.out}"
                     )
                     continue
                 else:
                     frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                if m.window_frame:
+                    frame = m.window_frame
                 select.append(
                     f"SUM({base_col}) OVER ({part_clause}ORDER BY i.{t} {frame}) AS {rm.out}"
                 )

@@ -278,3 +278,29 @@ def test_cross_join_relationship(layer, duck):
         GROUP BY 1
         """,
     )
+
+
+def test_composite_key_join_to_derived_table(layer, duck):
+    """Composite-key one_to_one join to a derived-table model
+    (reference sql/generator.py:2952-2962 composite keys, :302 derived
+    scan)."""
+    sql = layer.compile(
+        metrics=["lineitem_x.qty2_total"], dimensions=["lineitem.returnflag"]
+    )
+    assert "l_linenumber = lineitem_x_cte.l_linenumber" in sql.replace("lineitem_cte.", "")
+    assert "FROM (SELECT" in sql  # derived table inlined, not a catalog table
+    df = layer.query(
+        metrics=["lineitem_x.qty2_total"], dimensions=["lineitem.returnflag"]
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT l.l_returnflag AS returnflag, SUM(x.qty2) AS qty2_total
+        FROM lineitem l
+        LEFT JOIN (SELECT l_orderkey, l_linenumber, l_quantity * 2 AS qty2
+                   FROM lineitem) x
+          ON l.l_orderkey = x.l_orderkey AND l.l_linenumber = x.l_linenumber
+        GROUP BY 1
+        """,
+    )

@@ -367,3 +367,32 @@ def test_ratio_offset_window(layer, duck):
         LEFT JOIN inner_q p ON p.order_month = i.order_month - INTERVAL 1 MONTH
         """,
     )
+
+
+def test_window_expression_passthrough(layer, duck):
+    """Raw window_expression passthrough (reference core/metric.py:299-308,
+    sql/generator.py:6139-6147)."""
+    sql = layer.compile(
+        metrics=["orders.revenue_peak_to_date"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    assert "MAX(" in sql and "UNBOUNDED PRECEDING" in sql
+    df = layer.query(
+        metrics=["orders.revenue_peak_to_date"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH inner_q AS (
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT order_month,
+               MAX(revenue) OVER (ORDER BY order_month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_peak_to_date
+        FROM inner_q
+        """,
+    )
