@@ -443,6 +443,47 @@ def _pipeline_clean_corpus(spark, sf_dir):
     )
 
 
+def _source_scan_uri(spark, sf_dir):
+    """Remote/file source scan (reference core/model.py:30 source_uri):
+    the model binds to a parquet URI, registered as a plain scan view so
+    Catalyst pushdown applies untouched."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="orders_uri",
+        table="orders_uri_scan",
+        source_uri=f"file://{sf_dir.rstrip('/')}/orders.parquet",
+        source_format="parquet",
+        primary_key="o_orderkey",
+        dimensions=[Dimension(name="status", sql="o_orderstatus")],
+        metrics=[
+            Metric(name="revenue", agg="sum", sql="CAST(o_totalprice AS DECIMAL(18,2))"),
+        ],
+    ))
+    return layer.query(
+        metrics=["orders_uri.revenue"], dimensions=["orders_uri.status"]
+    )
+
+
+def _saved_query_run(spark, sf_dir):
+    """Saved query (reference core/consumption): a named, stored query
+    definition expanded at compile time."""
+    from sidemantic_spark.core.consumption import SavedQuery
+
+    layer = _layer(spark, sf_dir)
+    if "contract_top_priorities" not in layer.graph.saved_queries:
+        layer.add_saved_query(SavedQuery(
+            name="contract_top_priorities",
+            metrics=["orders.revenue"],
+            dimensions=["orders.priority"],
+            order_by=["revenue desc", "priority"],
+            limit=3,
+        ))
+    return layer.query(saved_query="contract_top_priorities")
+
+
 def _semantic_sql_intersect(spark, sf_dir):
     return _layer(spark, sf_dir).sql(
         "SELECT orders.priority FROM orders WHERE orders.status = 'O' "
@@ -798,6 +839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_level_security": _row_level_security,
         # §2.7 set operations in semantic SQL
         "semantic_sql_intersect": _semantic_sql_intersect,
+        # §2.1 file/remote source scan + §3 saved queries
+        "source_scan_uri": _source_scan_uri,
+        "saved_query_run": _saved_query_run,
         # text fingerprinting (md5 of normalized content)
         "text_fingerprint": _text_fingerprint,
         # BPE-ish tokenization + composed clean-corpus pipeline
@@ -1520,6 +1564,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'O'
             INTERSECT
             SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "source_scan_uri": """
+            SELECT o_orderstatus AS status,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "saved_query_run": """
+            SELECT o_orderpriority AS priority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+            ORDER BY revenue DESC, priority LIMIT 3
         """,
         "text_fingerprint": """
             SELECT doc_id,
