@@ -492,6 +492,14 @@ def _semantic_sql_intersect(spark, sf_dir):
     )
 
 
+def _semantic_sql_except(spark, sf_dir):
+    return _layer(spark, sf_dir).sql(
+        "SELECT orders.priority FROM orders "
+        "EXCEPT "
+        "SELECT orders.priority FROM orders WHERE orders.status = 'F'"
+    )
+
+
 def _preagg_route(spark, sf_dir):
     """Aggregate-aware routing: materialize a daily rollup of orders,
     then serve a coarser-grain query FROM the rollup (reference
@@ -839,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_level_security": _row_level_security,
         # §2.7 set operations in semantic SQL
         "semantic_sql_intersect": _semantic_sql_intersect,
+        "semantic_sql_except": _semantic_sql_except,
         # §2.1 file/remote source scan + §3 saved queries
         "source_scan_uri": _source_scan_uri,
         "saved_query_run": _saved_query_run,
@@ -1563,6 +1572,11 @@ def oracle_sql() -> dict[str, str]:
         "semantic_sql_intersect": """
             SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'O'
             INTERSECT
+            SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "semantic_sql_except": """
+            SELECT o_orderpriority AS priority FROM orders
+            EXCEPT
             SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
         """,
         "source_scan_uri": """
