@@ -148,12 +148,16 @@ class SemanticSqlRewriter:
         self._cache: dict = {}
         self._applied_rules: list[str] = []
         self._rejected_rules: list[str] = []
+        # benchmark/debug escape hatch: False keeps wrapper queries on
+        # the naive island-only rewrite (wrapper executed verbatim), the
+        # baseline the reference's planner benchmark compares against
+        self.wrapper_rules_enabled = True
 
     # -- public -------------------------------------------------------
 
     def rewrite(self, sql: str) -> str:
         """Semantic SQL text -> executable Spark SQL."""
-        key = (self.layer.graph.generation, sql)
+        key = (self.layer.graph.generation, self.wrapper_rules_enabled, sql)
         hit = self._cache.get(key)
         if hit is not None:
             out, self._applied_rules, self._rejected_rules = hit
@@ -206,9 +210,10 @@ class SemanticSqlRewriter:
         # wrapper-shaped queries over a semantic island: apply the
         # semantic optimization rules (the ones that change which plan /
         # rollup is used — ref sql/query_rewriter.py:638-2428, SURVEY §4)
-        opt = self._try_wrapper_rules(sql)
-        if opt is not None:
-            return opt
+        if self.wrapper_rules_enabled:
+            opt = self._try_wrapper_rules(sql)
+            if opt is not None:
+                return opt
         # FROM-subquery island: SELECT ... FROM (<semantic select>) alias
         sub = self._rewrite_from_subquery(sql)
         if sub is not None:
@@ -539,10 +544,22 @@ class SemanticSqlRewriter:
         spec = QuerySpec(metrics=metrics, dimensions=dims, filters=filters)
         compiled = self.layer.generator.generate(spec)
         outs = ", ".join(o for o, _k, _r, _a in inner.entries)
-        part_clause = f"PARTITION BY {partition.strip()} " if partition else ""
+
+        # window spec references must use the compiled plan's OUTPUT
+        # column names, not the semantic model-qualified refs
+        ref_to_out = {ref: o for o, _k, ref, _a in inner.entries}
+
+        def to_out(text: str) -> str:
+            for ref, o in sorted(ref_to_out.items(), key=lambda kv: -len(kv[0])):
+                text = re.sub(rf"(?<![\w.]){re.escape(ref)}(?![\w.])", o, text)
+            return text
+
+        part_clause = (
+            f"PARTITION BY {to_out(partition.strip())} " if partition else ""
+        )
         out_sql = (
             f"SELECT {outs} FROM (\n"
-            f"SELECT _t.*, {fn}() OVER ({part_clause}ORDER BY {order.strip()}) AS __rn\n"
+            f"SELECT _t.*, {fn}() OVER ({part_clause}ORDER BY {to_out(order.strip())}) AS __rn\n"
             f"FROM (\n{compiled}\n) _t\n"
             f") _w WHERE __rn <= {k}"
         )
@@ -1100,7 +1117,10 @@ class SemanticSqlRewriter:
 
 
 def _split_item_alias(item: str) -> tuple[str, str | None]:
-    m = re.match(r"^(.*?)\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", item.strip())
+    # re.S: select items may span lines (e.g. a multi-column OVER())
+    m = re.match(
+        r"^(.*?)\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", item.strip(), re.S
+    )
     if m:
         return m.group(1).strip(), m.group(2)
     return item.strip(), None
