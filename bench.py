@@ -113,6 +113,63 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # semantic-plan rewrite speedups vs naive wrapper SQL (the
+    # reference's planner benchmark, floors 1.2x / 1.05x — see
+    # scripts/benchmark_rewriter.py for the full case set and the
+    # Catalyst-subsumes-micro-rules finding)
+    rewrite_speedups: dict[str, float] = {}
+    try:
+        import statistics
+
+        layer.rewrite("SELECT orders.revenue FROM orders")
+        rw = layer._rewriter
+
+        def med(sql: str, n: int = 3) -> float:
+            times = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                spark.sql(sql).collect()
+                times.append(time.perf_counter() - t0)
+            return statistics.median(times)
+
+        rollup_sql = """
+            SELECT DATE_TRUNC('month', order_date__day) AS m, SUM(revenue) AS revenue
+            FROM (SELECT orders.order_date__day, orders.revenue FROM orders) t
+            GROUP BY 1
+        """
+        rw.wrapper_rules_enabled = True
+        opt = rw.rewrite(rollup_sql)
+        rw.wrapper_rules_enabled = False
+        naive = rw.rewrite(rollup_sql)
+        rw.wrapper_rules_enabled = True
+        med(opt, 1), med(naive, 1)
+        rewrite_speedups["time_rollup"] = round(med(naive) / med(opt), 3)
+
+        from sidemantic_spark.preagg.matcher import PreAggregation
+        import tempfile
+
+        orders_model = layer.graph.get_model("orders")
+        orders_model.pre_aggregations = [
+            PreAggregation(
+                name="bench_daily",
+                measures=["revenue", "order_count"],
+                dimensions=["status", "priority"],
+                time_dimension="order_date",
+                granularity="day",
+            )
+        ]
+        layer.preaggs.base_path = tempfile.mkdtemp(prefix="bench_preagg_")
+        layer.preaggs.materialize("orders")
+        kw = dict(metrics=["orders.revenue"], dimensions=["orders.status"])
+        opt = layer.compile(**kw)
+        layer.generator.use_preaggs = False
+        naive = layer.compile(**kw)
+        layer.generator.use_preaggs = True
+        med(opt, 1), med(naive, 1)
+        rewrite_speedups["preagg_route"] = round(med(naive) / med(opt), 3)
+    except Exception as exc:  # never fail the bench over the extra metric
+        print(f"# rewrite_speedups failed: {exc}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -123,6 +180,7 @@ def main() -> None:
                 "sf": float(sf),
                 "compile_ms": round(compile_ms, 3),
                 "cpus": int(cpus),
+                "rewrite_speedups": rewrite_speedups,
             }
         )
     )
