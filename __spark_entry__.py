@@ -1080,8 +1080,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "complete_sql_measure": """
             SELECT o_orderstatus AS status,
-                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END) AS DOUBLE)
-                     / NULLIF(CAST(SUM(o_totalprice) AS DOUBLE), 0) AS open_rate,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
+                     / NULLIF(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0)
+                     AS open_rate,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders GROUP BY 1
         """,

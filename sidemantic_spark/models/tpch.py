@@ -110,11 +110,15 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                 Metric(name="price_stddev_pop", agg="stddev_pop", sql="o_totalprice"),
                 Metric(name="price_median", agg="median", sql="o_totalprice"),
                 Metric(
-                    # opaque complete-SQL measure (ref core/metric.py:58-66)
+                    # opaque complete-SQL measure (ref core/metric.py:58-66).
+                    # DECIMAL accumulators: double sums are
+                    # partitioning-order-dependent, so the ratio would
+                    # differ in final ULPs across engines/core counts
                     name="open_rate",
                     sql=(
-                        "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice "
-                        "ELSE 0 END) AS DOUBLE) / NULLIF(CAST(SUM(o_totalprice) "
+                        "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN "
+                        "CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)"
+                        " / NULLIF(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
                         "AS DOUBLE), 0)"
                     ),
                     sql_is_complete=True,
