@@ -13,7 +13,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import duckdb
 
-spark = SparkSession.builder.master("local[8]").getOrCreate()
+spark = SparkSession.builder.master(__import__("os").environ.get("SC_MASTER","local[8]")).getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
 mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
