@@ -387,6 +387,20 @@ def _row_level_security(spark, sf_dir):
     )
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Connected-components duplicate clusters over the exact n-gram
+    Jaccard pair graph (threshold 0.6): cluster_id = min doc_id in the
+    component. The edge set is SQL-expressible, so the whole pipeline —
+    pairs AND clustering — is oracle-checked (recursive CTE)."""
+    from sidemantic_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, threshold=0.6)
+    return connected_components(pairs)
+
+
 def _text_fingerprint(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -851,6 +865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.1 file/remote source scan + §3 saved queries
         "source_scan_uri": _source_scan_uri,
         "saved_query_run": _saved_query_run,
+        # connected-components dedup clustering over the ngram pair graph
+        "dedup_clusters": _dedup_clusters,
         # text fingerprinting (md5 of normalized content)
         "text_fingerprint": _text_fingerprint,
         # BPE-ish tokenization + composed clean-corpus pipeline
@@ -1552,6 +1568,24 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "dedup_ngram_jaccard": _NGRAM_ORACLE,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            cc(node, label) AS (
+                SELECT node, node AS label FROM nodes
+                UNION
+                SELECT e.dst AS node, cc.label
+                FROM cc JOIN edges e ON cc.node = e.src
+                WHERE cc.label < e.dst
+            )
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM cc GROUP BY node
+        """,
         "sim_embedding_near_dups": _near_dup_oracle(),
         "preagg_rollup_route": """
             SELECT o_orderstatus AS status,

@@ -347,6 +347,71 @@ def minhash_lsh_pairs(
     ).where(F.col("jaccard") >= jaccard_threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: connected components by
+    iterative min-label propagation.
+
+    Returns (doc_id, cluster_id) for every id appearing in a pair, with
+    cluster_id = the smallest id in the component — the canonical
+    "keep the lowest id, drop the rest" dedup decision. Each iteration
+    is one join + one groupBy (shuffles keyed by id, map-side
+    combinable) and converges in O(component diameter) rounds — for
+    LSH-derived near-dup graphs the diameter is tiny even when the
+    pair generator caps cliques, because capped members still chain
+    through the bucket prefix. This is the DataFrame form of the
+    standard MapReduce label-propagation CC (cf. Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"); at 100 TB the
+    per-round shuffle is (ids + labels) only, never the documents.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # each node adopts the min of its own and its neighbors' labels
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # persist + count: materializes this round (truncating the
+        # growing lineage for execution) and doubles as the
+        # convergence check
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.expr("n.label <> o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """64-bit SimHash over whitespace tokens (bigint; may be negative
     since the top bit lands in the sign)."""

@@ -222,3 +222,17 @@ def test_multimodal_resize_plumbing(docs):
 
     with pytest.raises(NotImplementedError):
         multimodal.resize_images(media, fake=False)
+
+
+def test_connected_components_clusters(spark):
+    rows = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (5, 99)]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {
+        r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+        5: 5, 99: 5,
+    }
