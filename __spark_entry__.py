@@ -641,6 +641,20 @@ def _streaming_sessionize(spark, sf_dir):
     return spark.table(name)
 
 
+def _yardstick_at_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yardstick AT (...) context modifiers (reference
+    sql/query_rewriter.py:3630-3760 parse, :4742-4904 apply): ALL
+    drops context dims (grand total), SET pins a dimension, WHERE adds
+    filters. Each modified context compiles to an aggregated subquery
+    joined back on the surviving dims."""
+    return _layer(spark, sf_dir).sql(
+        "SEMANTIC SELECT orders.status, AGGREGATE(orders.revenue) AS revenue, "
+        "AGGREGATE(orders.revenue) AT (ALL) AS total_revenue, "
+        "AGGREGATE(orders.revenue) AT (SET status = 'O') AS open_revenue "
+        "FROM orders"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         # §2.2/2.4 projection/filter/aggregation
@@ -742,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_sql_qualify_topn": _semantic_sql_qualify_topn,
         "semantic_sql_time_rollup": _semantic_sql_time_rollup,
         "yardstick_aggregate": _yardstick_aggregate,
+        "yardstick_at_modifiers": _yardstick_at_modifiers,
         "table_calc_pct_of_total": _table_calc_pct_of_total,
         "table_calc_rank": _table_calc_rank,
         "table_calc_moving_avg": _table_calc_moving_avg,
@@ -1177,6 +1192,16 @@ def oracle_sql() -> dict[str, str]:
         "yardstick_aggregate": """
             SELECT o_orderstatus AS status,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "yardstick_at_modifiers": """
+            SELECT o_orderstatus AS status,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   CAST(SUM(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) OVER () AS DOUBLE)
+                     AS total_revenue,
+                   CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         FROM orders WHERE o_orderstatus = 'O') AS DOUBLE)
+                     AS open_revenue
             FROM orders GROUP BY 1
         """,
         "stats_aggs": """

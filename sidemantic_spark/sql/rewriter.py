@@ -101,11 +101,67 @@ def _yardstick_normalize(sql: str) -> str:
     """Yardstick flavor (reference ``sql/query_rewriter.py:3007-3043``):
     ``SEMANTIC SELECT ...`` prefix and ``AGGREGATE(measure)`` refs.
     ``AGGREGATE(x)`` unwraps to the bare measure ref — the semantic
-    planner supplies the aggregation from the metric definition."""
+    planner supplies the aggregation from the metric definition.
+    ``AGGREGATE(x) AT (...)`` is left intact for the AT-modifier path
+    (the AGGREGATE form carries a different visibility default than a
+    bare ``measure AT (...)`` — ref ``:3717-3760``)."""
     sql = re.sub(r"^\s*SEMANTIC\s+", "", sql, flags=re.I)
-    return _AGGREGATE_REF_RE.sub(
-        lambda m: m.group(1).strip('"').replace(" ", "_"), sql
-    )
+
+    def sub(m: re.Match) -> str:
+        if re.match(r"\s*AT\s*\(", sql[m.end():], re.I):
+            return m.group(0)
+        return m.group(1).strip('"').replace(" ", "_")
+
+    return _AGGREGATE_REF_RE.sub(sub, sql)
+
+
+_AT_HEAD_RE = re.compile(
+    r"^(?:(AGGREGATE)\s*\(\s*([A-Za-z_][\w.]*)\s*\)|([A-Za-z_][\w.]*))"
+    r"\s*(AT\s*\(.*)$",
+    re.I | re.S,
+)
+
+
+def _parse_at_item(item: str):
+    """Parse a select item of the Yardstick context-modifier form
+    ``AGGREGATE(measure) AT (mod) [AT (mod)]...`` or
+    ``measure AT (mod)...`` (ref ``sql/query_rewriter.py:3630-3760``).
+    Returns ``(measure_ref, is_aggregate_form, [modifier, ...], alias)``
+    or None if the item is not an AT call."""
+    expr, alias = _split_item_alias(item)
+    m = _AT_HEAD_RE.match(expr.strip())
+    if not m:
+        return None
+    is_agg = bool(m.group(1))
+    ref = m.group(2) or m.group(3)
+    rest = m.group(4)
+    mods: list[str] = []
+    i = 0
+    while True:
+        mm = re.match(r"\s*AT\s*\(", rest[i:], re.I)
+        if not mm:
+            break
+        j = i + mm.end()
+        depth, k, in_str = 1, j, False
+        while k < len(rest) and depth:
+            c = rest[k]
+            if in_str:
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        if depth:
+            raise QueryCompileError(f"unclosed AT (...) modifier: {item!r}")
+        mods.append(rest[j : k - 1].strip())
+        i = k
+    if rest[i:].strip() or not mods:
+        return None
+    return ref, is_agg, mods, alias
 
 
 _AGG_ITEM_RE = re.compile(r"^(SUM|MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\)$", re.I)
@@ -790,6 +846,8 @@ class SemanticSqlRewriter:
         metrics: list[str] = []
         dimensions: list[str] = []
         items = _split_items(select_list)
+        if any(_parse_at_item(it) is not None for it in items):
+            return self._rewrite_at_select(items, clause_vals, base_model)
         classified: list[tuple[str, str, str | None]] = []
         has_expression = False
         for item in items:
@@ -894,6 +952,195 @@ class SemanticSqlRewriter:
         if offset is not None:
             sql += f"\nOFFSET {int(offset)}"
         self._applied_rules.append("qualify_topn_window")
+        return sql
+
+    def _rewrite_at_select(
+        self, items: list[str], clause_vals: dict[str, str], base_model: str
+    ) -> str:
+        """Yardstick ``AT (...)`` context modifiers (ref
+        ``sql/query_rewriter.py:4742-4904`` ``_apply_yardstick_modifiers``):
+        each AT call evaluates its measure in a *modified* dimension
+        context — ``ALL`` drops dimensions (grand/partial totals),
+        ``SET dim = v`` / ``SET dim IN (...)`` pins a dimension,
+        ``WHERE pred`` adds filters, ``VISIBLE`` opts into the query's
+        own WHERE. On Spark each modified context compiles to its own
+        aggregated subquery at the reduced grain, joined back to the
+        main grouped query on the surviving dimensions — aggregated
+        frames are tiny, so Catalyst broadcast-joins them; no
+        correlated-subquery execution is needed."""
+
+        def dim_base(full: str) -> str:
+            return re.sub(r"__[a-z]+$", "", full)
+
+        at_calls: list[tuple] = []
+        main_items: list[str] = []
+        for item in items:
+            parsed = _parse_at_item(item)
+            if parsed is not None:
+                at_calls.append(parsed)
+            else:
+                main_items.append(item)
+
+        classified: list[tuple[str, str, str | None]] = []
+        metrics: list[str] = []
+        dims_rendered: list[str] = []
+        for item in main_items:
+            ref, alias = _split_item_alias(item)
+            target = self._classify_ref(ref, base_model)
+            if target is None:
+                raise QueryCompileError(
+                    f"AT-modifier queries support plain metric/dimension "
+                    f"select items alongside the AT calls, got: {item!r}"
+                )
+            kind, full = target
+            classified.append((kind, full, alias))
+            rendered = f"{full} AS {alias}" if alias else full
+            (metrics if kind == "metric" else dims_rendered).append(rendered)
+
+        where = (
+            self._qualify_bare(clause_vals["WHERE"], base_model)
+            if "WHERE" in clause_vals
+            else None
+        )
+        main_spec = QuerySpec(
+            metrics=metrics,
+            dimensions=dims_rendered,
+            filters=[where] if where else [],
+        )
+        main_sql = self.layer.generator.generate(main_spec)
+        dim_entries = [
+            (full, alias) for kind, full, alias in classified if kind == "dim"
+        ]
+
+        ctes = [f"__main AS (\n{main_sql}\n)"]
+        sel_extra: list[str] = []
+        joins: list[str] = []
+        for idx, (ref, is_agg, mods, alias) in enumerate(at_calls):
+            target = self._classify_ref(ref, base_model)
+            if target is None or target[0] != "metric":
+                raise QueryCompileError(
+                    f"AT modifiers require a measure reference, got {ref!r}"
+                )
+            full_metric = target[1]
+
+            # flatten compound modifiers: `AT (ALL a, WHERE x)` splits on
+            # top-level commas; bare continuations extend a previous ALL
+            # target list (`AT (ALL a, b)`)
+            flat: list[str] = []
+            for mod in mods:
+                prev_kw = None
+                for part in _split_items(mod):
+                    head = part.split(None, 1)
+                    kw = head[0].upper() if head else ""
+                    if kw in ("ALL", "WHERE", "SET", "VISIBLE"):
+                        flat.append(part)
+                        prev_kw = kw
+                    elif prev_kw == "ALL":
+                        flat[-1] += ", " + part
+                    else:
+                        raise QueryCompileError(
+                            f"unsupported AT modifier: {part!r}"
+                        )
+
+            active = list(dim_entries)
+            preds: list[str] = []
+            include_visible = bool(is_agg)
+            has_set = any(m.split(None, 1)[0].upper() == "SET" for m in flat)
+            if has_set:
+                include_visible = False
+            # a single WHERE modifier evaluates non-correlated (ref
+            # query_rewriter.py:4774-4777,4825-4827): dims are cleared
+            if len(flat) == 1 and flat[0].split(None, 1)[0].upper() == "WHERE":
+                active = []
+            for mod in flat:
+                head = mod.split(None, 1)
+                kw = head[0].upper()
+                rest = head[1].strip() if len(head) > 1 else ""
+                if kw == "ALL" and not rest:
+                    active, preds, include_visible = [], [], False
+                elif kw == "ALL":
+                    for t in _split_items(rest):
+                        tgt = self._classify_ref(t.strip(), base_model)
+                        if tgt is None or tgt[0] != "dim":
+                            raise QueryCompileError(
+                                f"ALL target must be a dimension: {t!r}"
+                            )
+                        tb = dim_base(tgt[1])
+                        active = [
+                            e for e in active if dim_base(e[0]) != tb
+                        ]
+                elif kw == "WHERE":
+                    preds.append(self._qualify_bare(rest, base_model))
+                elif kw == "SET":
+                    pm = re.match(
+                        r"^([A-Za-z_][\w.]*(?:__[a-z]+)?)\s*(=|IN\b)\s*(.+)$",
+                        rest,
+                        re.I | re.S,
+                    )
+                    if not pm:
+                        raise QueryCompileError(
+                            f"unsupported SET modifier: {mod!r} "
+                            f"(expected `SET dim = value` or `SET dim IN (...)`)"
+                        )
+                    dref, op, val = pm.group(1), pm.group(2).upper(), pm.group(3)
+                    tgt = self._classify_ref(dref, base_model)
+                    if tgt is None or tgt[0] != "dim":
+                        raise QueryCompileError(
+                            f"SET target must be a dimension: {dref!r}"
+                        )
+                    tb = dim_base(tgt[1])
+                    active = [e for e in active if dim_base(e[0]) != tb]
+                    preds.append(f"{tgt[1]} {op} {val.strip()}")
+                elif kw == "VISIBLE":
+                    if not has_set:
+                        include_visible = True
+
+            sub_filters = list(preds)
+            if include_visible and where:
+                sub_filters.insert(0, where)
+            sub_dims = [f"{f} AS {a}" if a else f for f, a in active]
+            sub_sql = self.layer.generator.generate(
+                QuerySpec(
+                    metrics=[full_metric],
+                    dimensions=sub_dims,
+                    filters=sub_filters,
+                )
+            )
+            mout = _out_name("metric", full_metric, None)
+            sub_outs = [a or f.split(".", 1)[1] for f, a in active]
+            a_alias = f"__at{idx}"
+            sel_cols = ", ".join(sub_outs + [f"{mout} AS __val{idx}"])
+            ctes.append(f"{a_alias} AS (\nSELECT {sel_cols} FROM (\n{sub_sql}\n)\n)")
+            if sub_outs:
+                cond = " AND ".join(
+                    f"__main.{c} <=> {a_alias}.{c}" for c in sub_outs
+                )
+                joins.append(f"LEFT JOIN {a_alias} ON {cond}")
+            else:
+                joins.append(f"CROSS JOIN {a_alias}")
+            sel_extra.append(
+                f"{a_alias}.__val{idx} AS "
+                + (alias or f"{mout}_at_{idx}")
+            )
+
+        main_outs = [
+            f"__main.{_out_name(k, f, a)}" for k, f, a in classified
+        ]
+        sql = (
+            "WITH "
+            + ",\n".join(ctes)
+            + "\nSELECT "
+            + ", ".join(main_outs + sel_extra)
+            + "\nFROM __main\n"
+            + "\n".join(joins)
+        )
+        if "ORDER BY" in clause_vals:
+            sql += "\nORDER BY " + clause_vals["ORDER BY"]
+        if "LIMIT" in clause_vals:
+            sql += f"\nLIMIT {int(clause_vals['LIMIT'])}"
+        if "OFFSET" in clause_vals:
+            sql += f"\nOFFSET {int(clause_vals['OFFSET'])}"
+        self._applied_rules.append("yardstick_at_modifiers")
         return sql
 
     def _rewrite_expression_select(

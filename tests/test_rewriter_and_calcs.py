@@ -559,3 +559,136 @@ def test_qualify_topn_window(layer, duck):
         QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC) <= 2
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# Yardstick AT (...) context modifiers (ref query_rewriter.py:3630-3760
+# parse, :4742-4904 apply)
+# ---------------------------------------------------------------------------
+
+def test_at_all_grand_total(layer, duck):
+    sql = (
+        "SEMANTIC SELECT orders.status, AGGREGATE(orders.revenue) AS revenue, "
+        "AGGREGATE(orders.revenue) AT (ALL) AS total_revenue FROM orders"
+    )
+    ex = layer.explain_sql(sql)
+    assert "yardstick_at_modifiers" in ex["applied_rules"]
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+               SUM(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) OVER () AS total_revenue
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_at_all_partial(layer, duck):
+    # two dims; ALL removes one -> subtotal joined back on the survivor
+    sql = (
+        "SEMANTIC SELECT orders.status, orders.priority, "
+        "AGGREGATE(orders.revenue) AS revenue, "
+        "AGGREGATE(orders.revenue) AT (ALL priority) AS status_total FROM orders"
+    )
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+               SUM(SUM(CAST(o_totalprice AS DECIMAL(18,2))))
+                   OVER (PARTITION BY o_orderstatus) AS status_total
+        FROM orders GROUP BY 1, 2
+        """,
+    )
+
+
+def test_at_set_pins_dimension(layer, duck):
+    sql = (
+        "SEMANTIC SELECT orders.status, "
+        "AGGREGATE(orders.revenue) AT (SET status = 'O') AS open_revenue "
+        "FROM orders"
+    )
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FROM orders WHERE o_orderstatus = 'O') AS open_revenue
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_at_set_in_list(layer, duck):
+    sql = (
+        "SEMANTIC SELECT orders.priority, "
+        "AGGREGATE(orders.revenue) AS revenue, "
+        "AGGREGATE(orders.revenue) AT (SET status IN ('O', 'F')) AS of_revenue "
+        "FROM orders"
+    )
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT o_orderpriority AS priority,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+               (SELECT SUM(CAST(t.o_totalprice AS DECIMAL(18,2))) FROM orders t
+                WHERE t.o_orderstatus IN ('O', 'F')
+                  AND t.o_orderpriority = orders.o_orderpriority) AS of_revenue
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_at_single_where_noncorrelated(layer, duck):
+    # a lone WHERE modifier evaluates in a non-correlated context:
+    # same value on every row (ref query_rewriter.py:4774-4777)
+    sql = (
+        "SEMANTIC SELECT orders.status, "
+        "AGGREGATE(orders.revenue) AT (WHERE priority = '1-URGENT') AS urgent_rev "
+        "FROM orders"
+    )
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FROM orders WHERE o_orderpriority = '1-URGENT') AS urgent_rev
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_at_visible_includes_query_where(layer, duck):
+    # bare-measure AT defaults to ignoring the query WHERE; VISIBLE
+    # opts in (ref include_visible_default + VISIBLE modifier)
+    sql = (
+        "SEMANTIC SELECT orders.status, "
+        "orders.revenue AT (ALL, VISIBLE) AS filtered_total, "
+        "orders.revenue AT (ALL) AS unfiltered_total "
+        "FROM orders WHERE orders.priority = '1-URGENT'"
+    )
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FROM orders WHERE o_orderpriority = '1-URGENT') AS filtered_total,
+               (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FROM orders) AS unfiltered_total
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+        """,
+    )
+
+
+def test_at_requires_measure(layer):
+    with pytest.raises(QueryCompileError):
+        layer.sql(
+            "SELECT orders.status, orders.priority AT (ALL) FROM orders"
+        )
