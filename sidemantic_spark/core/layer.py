@@ -84,7 +84,13 @@ class SparkSemanticLayer:
         for model in self.graph.models.values():
             if model.source_uri and model.name not in self._registered_sources:
                 reader = self.spark.read.format(model.source_format)
-                df = reader.load(model.source_uri)
+                if model.source_options:
+                    reader = reader.options(**model.source_options)
+                # jdbc sources carry the table in options, not a path
+                if model.source_format == "jdbc":
+                    df = reader.option("url", model.source_uri).load()
+                else:
+                    df = reader.load(model.source_uri)
                 df.createOrReplaceTempView(model.table or model.name)
                 self._registered_sources.add(model.name)
             if model.auto_dimensions:

@@ -278,6 +278,11 @@ class Model:
     sql: str | None = None
     source_uri: str | None = None
     source_format: str = "parquet"
+    # reader options passed to spark.read.format(...).options(...):
+    # csv header/inferSchema, jdbc url/dbtable/driver, etc. — this is
+    # how the reference's external-DB adapters (db/__init__.py, 9
+    # engines) map onto Spark: any DataSource V2 format is a source
+    source_options: dict = field(default_factory=dict)
     primary_key: str | list[str] = "id"
     dimensions: list[Dimension] = field(default_factory=list)
     metrics: list[Metric] = field(default_factory=list)

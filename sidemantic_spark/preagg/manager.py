@@ -64,18 +64,40 @@ class PreAggManager:
             writer = df.write.mode("overwrite")
             if pa.partition_granularity and pa.time_dimension:
                 writer = writer.partitionBy("__part")
-            writer.parquet(path)
-            self.register_one(model, pa)
+            if pa.bucket_by and pa.buckets:
+                # bucketed layout: joins/aggregations keyed on bucket_by
+                # read pre-shuffled, pre-sorted data — no Exchange, no
+                # Sort at query time. Requires a catalog table (bucket
+                # metadata lives in the catalog, not the files).
+                name = pa.physical_name(model.name)
+                spark = self.layer.spark
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                (
+                    writer.format("parquet")
+                    .option("path", path)
+                    .bucketBy(pa.buckets, *pa.bucket_by)
+                    .sortBy(*pa.bucket_by)
+                    .saveAsTable(name)
+                )
+            else:
+                writer.parquet(path)
+                self.register_one(model, pa)
             built.append(pa.physical_name(model.name))
         return built
 
     def register_one(self, model: Model, pa: PreAggregation) -> bool:
+        name = pa.physical_name(model.name)
+        if pa.bucket_by and pa.buckets:
+            # bucketed rollups live in the session catalog; a temp view
+            # over the raw files would shadow the table and lose the
+            # bucket metadata
+            return self.layer.spark.catalog.tableExists(name)
         path = self.path_for(model, pa)
         try:
             df = self.layer.spark.read.parquet(path)
         except Exception:
             return False
-        df.createOrReplaceTempView(pa.physical_name(model.name))
+        df.createOrReplaceTempView(name)
         return True
 
     def register_all(self) -> None:

@@ -59,6 +59,13 @@ class PreAggregation:
     sql: str | None = None  # original_sql: override the staged base query
     lambda_boundary_grain: str | None = None  # lambda: fresh-data split
     lambda_boundary_sql: str | None = None  # override boundary expr (default: trunc(now))
+    # Spark-native extension (no reference analog — their sink is a
+    # plain CREATE TABLE AS): hash-bucket the rollup on join/group keys
+    # so rollup-rollup joins and re-aggregations on those keys are
+    # exchange-free at any scale (indexes in the reference,
+    # core/pre_aggregation.py:27, map to this on Spark)
+    bucket_by: list[str] = field(default_factory=list)
+    buckets: int = 0
 
     def physical_name(self, model_name: str) -> str:
         return f"{model_name}_preagg_{self.name}"

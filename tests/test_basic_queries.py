@@ -311,3 +311,40 @@ def test_complete_sql_measure_fanout_guard(layer):
             metrics=["orders.open_rate"],
             dimensions=["lineitem.returnflag"],
         )
+
+
+def test_csv_source_with_reader_options(spark, tmp_path):
+    """source_uri + source_format=csv + source_options (header/schema
+    inference) — the reference reads remote/file sources via DuckDB
+    (core/model.py:30); on Spark any DataSource format works through
+    one reader path (jdbc carries its table in options the same way)."""
+    import csv as _csv
+
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    p = tmp_path / "sales.csv"
+    with open(p, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["sale_id", "cat", "amount"])
+        for i in range(20):
+            w.writerow([i, "ab"[i % 2], i * 10])
+
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="sales",
+        table="csv_sales_src",
+        source_uri=f"file://{p}",
+        source_format="csv",
+        source_options={"header": "true", "inferSchema": "true"},
+        primary_key="sale_id",
+        dimensions=[Dimension(name="cat")],
+        metrics=[Metric(name="total", agg="sum", sql="amount")],
+    ))
+    rows = {
+        (r["cat"], r["total"])
+        for r in layer.query(
+            metrics=["sales.total"], dimensions=["sales.cat"]
+        ).collect()
+    }
+    assert rows == {("a", 900), ("b", 1000)}

@@ -504,3 +504,88 @@ def test_original_sql_missing_table_falls_back_raw(spark, sf_dir, duck):
         FROM orders WHERE o_totalprice > 100000 GROUP BY 1
         """,
     )
+
+
+def test_bucketed_rollup_join_exchange_free(spark, sf_dir, tmp_path):
+    """Bucketed rollups (Spark-native extension of the reference's
+    preagg `indexes`, core/pre_aggregation.py:27): two rollups bucketed
+    on the same join key join with NO Exchange and NO Sort — the
+    co-location survives at any scale because it is baked into the
+    table layout, not negotiated per query."""
+    layer = build_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    customer = layer.graph.get_model("customer")
+    orders.pre_aggregations = [
+        PreAggregation(
+            name="by_cust",
+            measures=["revenue"],
+            dimensions=["custkey"],
+            bucket_by=["custkey"],
+            buckets=4,
+        )
+    ]
+    customer.pre_aggregations = [
+        PreAggregation(
+            name="bal",
+            measures=["total_acctbal"],
+            dimensions=["c_custkey"],
+            bucket_by=["c_custkey"],
+            buckets=4,
+        )
+    ]
+    layer.preaggs.base_path = str(tmp_path / "bucketed")
+    assert layer.preaggs.materialize("orders") == ["orders_preagg_by_cust"]
+    assert layer.preaggs.materialize("customer") == ["customer_preagg_bal"]
+
+    a = spark.table("orders_preagg_by_cust")
+    b = spark.table("customer_preagg_bal")
+    joined = a.join(b, a.custkey == b.c_custkey)
+    # at test scale Catalyst would just broadcast; disable it to prove
+    # the co-located (bucketed) sort-merge path is exchange- AND
+    # sort-free — that is the plan a 100 TB rollup-rollup join takes
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # and the data actually matches the unbucketed computation
+    n = joined.count()
+    expected = (
+        spark.table("orders")
+        .join(spark.table("customer"), spark.table("orders").o_custkey == spark.table("customer").c_custkey)
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert n == expected
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """salted_join spreads hot keys over `salt` tasks; results must be
+    identical to the plain equi-join (inner and left)."""
+    from sidemantic_spark.operators.skew import hot_keys, salted_join
+
+    orders = spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    customer = spark.table("customer").select("c_custkey", "c_mktsegment")
+    dim = customer.withColumnRenamed("c_custkey", "o_custkey")
+
+    plain = orders.join(dim, "o_custkey").groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(orders, dim, "o_custkey", salt=8, fact_identity="o_orderkey")
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    left_plain = orders.join(dim, "o_custkey", "left").count()
+    left_salted = salted_join(
+        orders, dim, "o_custkey", salt=8, how="left", fact_identity="o_orderkey"
+    ).count()
+    assert left_plain == left_salted
+
+    hk = hot_keys(spark.table("lineitem"), "l_orderkey", min_count=5)
+    assert hk.columns == ["l_orderkey", "__cnt"]
+    assert hk.where("__cnt <= 5").count() == 0
