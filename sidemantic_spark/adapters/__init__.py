@@ -72,7 +72,13 @@ def export_graph(graph, format: str) -> str:
         from sidemantic_spark.adapters.metricflow import export_metricflow
 
         return _yaml.safe_dump(export_metricflow(graph), sort_keys=False)
-    raise ValueError(f"no exporter for format {format!r} (native, cube, metricflow)")
+    if format == "lookml":
+        from sidemantic_spark.adapters.lookml import export_lookml
+
+        return export_lookml(graph)
+    raise ValueError(
+        f"no exporter for format {format!r} (native, cube, metricflow, lookml)"
+    )
 
 
 def import_file(layer, path: str, format: str) -> None:

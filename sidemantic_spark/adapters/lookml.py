@@ -509,3 +509,141 @@ class LookMLAdapter(BaseAdapter):
 
 def _str(v) -> str | None:
     return v if isinstance(v, str) else None
+
+
+# ---------------------------------------------------------------------------
+# export (reference adapters/lookml.py export path: every adapter is
+# parse/export/validate per adapters/base.py:9)
+# ---------------------------------------------------------------------------
+
+_DIM_TYPE_OUT = {"categorical": "string", "numeric": "number", "boolean": "yesno"}
+_AGG_OUT = {
+    "count": "count",
+    "sum": "sum",
+    "avg": "average",
+    "min": "min",
+    "max": "max",
+    "count_distinct": "count_distinct",
+    "approx_count_distinct": "count_distinct",
+    "median": "median",
+}
+
+_EQ_FILTER_RE = re.compile(r"^\s*(?:[\w]+\.)?(\w+)\s*=\s*'([^']*)'\s*$")
+
+
+def _lk_sql(expr: str) -> str:
+    """Simple column -> ``${TABLE}.col``; expressions stay verbatim
+    (the importer's resolve() strips ``${TABLE}.`` back off)."""
+    return f"${{TABLE}}.{expr}" if re.fullmatch(r"\w+", expr) else expr
+
+
+def export_lookml(graph) -> str:
+    """Serialize the graph as LookML views + explores.
+
+    Lossless for the subset both directions support: tables/derived
+    tables, the 4 dimension types (time -> dimension_group), simple
+    aggregate measures (+ equality metric filters), derived measures
+    (type: number), ratio measures (exported as a safe-divide number
+    formula), segments (filter blocks), and fk/pk relationships
+    (explore joins). Window/funnel/retention/cohort metric types have
+    no LookML equivalent and are skipped with a comment."""
+    out: list[str] = []
+    for model in graph.models.values():
+        out.append(f"view: {model.name} {{")
+        if model.table:
+            out.append(f"  sql_table_name: {model.table} ;;")
+        elif model.sql:
+            out.append("  derived_table: {")
+            out.append(f"    sql: {model.sql} ;;")
+            out.append("  }")
+        pks = model.primary_key if isinstance(model.primary_key, list) else [model.primary_key]
+        for d in model.dimensions:
+            expr = d.sql or d.name
+            if d.type == "time":
+                out.append(f"  dimension_group: {d.name} {{")
+                out.append("    type: time")
+            else:
+                out.append(f"  dimension: {d.name} {{")
+                out.append(f"    type: {_DIM_TYPE_OUT.get(d.type, 'string')}")
+            out.append(f"    sql: {_lk_sql(expr)} ;;")
+            if expr in pks or d.name in pks:
+                out.append("    primary_key: yes")
+            if d.description:
+                out.append(f'    description: "{d.description}"')
+            if not d.public:
+                out.append("    hidden: yes")
+            out.append("  }")
+        for m in model.metrics:
+            if m.is_simple and m.agg in _AGG_OUT:
+                out.append(f"  measure: {m.name} {{")
+                out.append(f"    type: {_AGG_OUT[m.agg]}")
+                if m.sql:
+                    out.append(f"    sql: {_lk_sql(m.sql)} ;;")
+                eq_filters = []
+                for f in m.filters:
+                    fm = _EQ_FILTER_RE.match(f)
+                    if fm:
+                        eq_filters.append(f'{fm.group(1)}: "{fm.group(2)}"')
+                if eq_filters and len(eq_filters) == len(m.filters):
+                    out.append("    filters: [" + ", ".join(eq_filters) + "]")
+                if m.description:
+                    out.append(f'    description: "{m.description}"')
+                out.append("  }")
+            elif m.type == "derived" and m.expr:
+                out.append(f"  measure: {m.name} {{")
+                out.append("    type: number")
+                out.append(f"    sql: {m.expr} ;;")
+                out.append("  }")
+            elif m.type == "ratio" and m.numerator and m.denominator:
+                num = m.numerator.rsplit(".", 1)[-1]
+                den = m.denominator.rsplit(".", 1)[-1]
+                out.append(f"  measure: {m.name} {{")
+                out.append("    type: number")
+                out.append(f"    sql: {num} / NULLIF({den}, 0) ;;")
+                out.append("  }")
+            else:
+                out.append(f"  # measure {m.name}: {m.type or m.agg} has no LookML equivalent")
+        for s in model.segments:
+            fsql = s.sql.replace("{model}.", "${TABLE}.")
+            out.append(f"  filter: {s.name} {{")
+            out.append(f"    sql: {fsql} ;;")
+            out.append("  }")
+        out.append("}")
+        out.append("")
+
+    for model in graph.models.values():
+        rels = [
+            r
+            for r in model.relationships
+            if r.type in ("many_to_one", "one_to_one", "one_to_many") or r.sql
+        ]
+        if not rels:
+            continue
+        out.append(f"explore: {model.name} {{")
+        for r in rels:
+            out.append(f"  join: {r.name} {{")
+            rel_type = r.type if r.type in ("many_to_one", "one_to_one", "one_to_many") else "many_to_one"
+            out.append(f"    relationship: {rel_type}")
+            if r.sql:
+                cond = re.sub(r"\{from\}\.(\w+)", rf"${{{model.name}.\1}}", r.sql)
+                cond = re.sub(r"\{to\}\.(\w+)", rf"${{{r.name}.\1}}", cond)
+                out.append(f"    sql_on: {cond} ;;")
+            else:
+                fks = r.foreign_key if isinstance(r.foreign_key, list) else [r.foreign_key]
+                pks_r = r.primary_key if isinstance(r.primary_key, list) else [r.primary_key]
+                pks_r = [p or "id" for p in pks_r]
+                if r.type == "one_to_many":
+                    conds = [
+                        f"${{{model.name}.{p}}} = ${{{r.name}.{f}}}"
+                        for f, p in zip(fks, pks_r)
+                    ]
+                else:
+                    conds = [
+                        f"${{{model.name}.{f}}} = ${{{r.name}.{p}}}"
+                        for f, p in zip(fks, pks_r)
+                    ]
+                out.append(f"    sql_on: {' AND '.join(conds)} ;;")
+            out.append("  }")
+        out.append("}")
+        out.append("")
+    return "\n".join(out)

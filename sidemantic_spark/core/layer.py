@@ -72,6 +72,28 @@ class SparkSemanticLayer:
         self.graph.add_metric(metric)
         return metric
 
+    def validate_query(
+        self, metrics: list[str] | None = None, dimensions: list[str] | None = None
+    ) -> list[str]:
+        """Pre-execution query validation: returns a list of errors
+        (empty if valid) instead of raising — reference
+        ``validation.py:805`` ``validate_query``. Unknown references
+        include close-match suggestions."""
+        from sidemantic_spark.sql.generator import QueryCompileError, QuerySpec
+
+        errors: list[str] = []
+        for m in metrics or []:
+            try:
+                self.generator._resolve(QuerySpec(metrics=[m]))
+            except QueryCompileError as e:
+                errors.append(str(e))
+        for d in dimensions or []:
+            try:
+                self.generator._resolve(QuerySpec(dimensions=[d]))
+            except QueryCompileError as e:
+                errors.append(str(e))
+        return errors
+
     # -- sources -----------------------------------------------------
 
     def register_sources(self) -> None:

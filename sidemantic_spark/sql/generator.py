@@ -51,6 +51,21 @@ class QueryCompileError(Exception):
     pass
 
 
+def _did_you_mean(name: str, candidates: list[str]) -> str:
+    """Suggestion suffix for unknown-reference errors (reference
+    surfaces close matches in validation errors; difflib here)."""
+    import difflib
+
+    short = name.rsplit(".", 1)[-1]
+    close = difflib.get_close_matches(
+        short, [c.rsplit(".", 1)[-1] for c in candidates], n=3, cutoff=0.6
+    )
+    matches = [c for c in candidates if c.rsplit(".", 1)[-1] in close]
+    if not matches:
+        return ""
+    return ". Did you mean: " + ", ".join(sorted(set(matches))[:3]) + "?"
+
+
 @dataclass
 class QuerySpec:
     metrics: list[str] = field(default_factory=list)
@@ -308,7 +323,10 @@ class SqlGenerator:
             model = self.graph.get_model(model_name)
             dim = model.dimension(dim_name)
             if dim is None:
-                raise QueryCompileError(f"unknown dimension {ref!r}")
+                raise QueryCompileError(
+                    f"unknown dimension {ref!r}"
+                    + _did_you_mean(dim_name, [d.name for d in model.dimensions])
+                )
             grain = grain or (dim.granularity if dim.type == "time" else None)
             # window-function dimensions project their raw OVER sql in
             # the model CTE (ref core/dimension.py:47-50); time dims may
@@ -452,7 +470,10 @@ class SqlGenerator:
             model = self.graph.get_model(model_name)
             metric = model.metric(metric_name)
             if metric is None:
-                raise QueryCompileError(f"unknown metric {ref!r}")
+                raise QueryCompileError(
+                    f"unknown metric {ref!r}"
+                    + _did_you_mean(metric_name, [m.name for m in model.metrics])
+                )
             return model_name, metric
         owners = [
             (name, mdl.metric(ref)) for name, mdl in self.graph.models.items() if mdl.metric(ref)
@@ -461,7 +482,14 @@ class SqlGenerator:
             return owners[0][0], owners[0][1]
         if len(owners) > 1:
             raise QueryCompileError(f"ambiguous metric {ref!r}: " + ", ".join(sorted(n for n, _ in owners)))
-        raise QueryCompileError(f"unknown metric {ref!r}")
+        all_metrics = [
+            f"{name}.{m.name}"
+            for name, mdl in self.graph.models.items()
+            for m in mdl.metrics
+        ]
+        raise QueryCompileError(
+            f"unknown metric {ref!r}" + _did_you_mean(ref, all_metrics)
+        )
 
     def _graph_metric_owner(self, ref: str, metric: Metric) -> str | None:
         """Owning model for a graph-level metric: a model carrying a

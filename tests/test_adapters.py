@@ -1191,3 +1191,45 @@ def test_metricflow_export_roundtrip(spark):
     assert o2.metric("revenue").agg == "sum"
     assert any(r.name == "customer" and r.type == "many_to_one"
                for r in o2.relationships)
+
+
+def test_lookml_export_roundtrip(spark):
+    """Graph -> LookML text -> graph keeps views/dimensions/measures/
+    filters/joins for the shared subset (reference adapters are
+    bidirectional per adapters/base.py:9)."""
+    from sidemantic_spark.adapters import LookMLAdapter
+    from sidemantic_spark.adapters.lookml import export_lookml
+    from sidemantic_spark.models.tpch import build_layer
+
+    layer = build_layer(spark, None)
+    text = export_lookml(layer.graph)
+    assert "view: orders {" in text
+    assert "sql_table_name: orders ;;" in text
+
+    layer2 = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_text(layer2, text)
+
+    assert set(layer2.graph.models) == set(layer.graph.models)
+    o1 = layer.graph.models["orders"]
+    o2 = layer2.graph.models["orders"]
+    assert {d.name for d in o2.dimensions} == {d.name for d in o1.dimensions}
+    r2 = o2.metric("revenue")
+    assert r2.agg == "sum" and r2.sql == o1.metric("revenue").sql
+    # time dims survive as dimension_groups
+    assert o2.dimension("order_date").type == "time"
+    # segments -> filter blocks -> segments
+    assert {s.name for s in o2.segments} == {s.name for s in o1.segments}
+    # metric-level equality filters survive the filters: [] syntax
+    open_rev = o2.metric("open_revenue")
+    assert open_rev is not None and open_rev.filters
+    # explore joins -> relationships (fk/pk orientation preserved)
+    rels2 = {r.name: r for r in o2.relationships}
+    assert rels2["customer"].type == "many_to_one"
+    assert rels2["customer"].foreign_key == "o_custkey"
+    # a compiled query on the re-imported graph still runs
+    from tests.conftest import SF_DIR
+    from sidemantic_spark.models.tpch import register_tables
+
+    register_tables(spark, SF_DIR)
+    df = layer2.query(metrics=["orders.revenue"], dimensions=["orders.status"])
+    assert df.count() == 3

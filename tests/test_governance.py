@@ -186,3 +186,17 @@ saved_queries:
     assert "t_count" in layer.graph.saved_queries
     sql = layer.compile(metrics=["t.n"], user={"ok": True, "tenant_id": 7})
     assert "tenant = 7" in sql
+
+
+def test_validate_query_collects_errors_with_suggestions(layer):
+    """Pre-execution validation (ref validation.py:805 validate_query):
+    errors collected, not raised; unknown refs get close-match
+    suggestions."""
+    errs = layer.validate_query(
+        metrics=["orders.revenu", "orders.revenue"],
+        dimensions=["orders.statos"],
+    )
+    assert len(errs) == 2
+    assert any("revenu" in e and "revenue" in e for e in errs)
+    assert any("statos" in e and "status" in e for e in errs)
+    assert layer.validate_query(metrics=["orders.revenue"]) == []
