@@ -341,6 +341,17 @@ def _ann_ivf_topk(spark, sf_dir):
     return ivf_topk(_embs(spark, sf_dir), _QUERY_VEC, k=20)
 
 
+def _cosine_topk_batch(spark, sf_dir):
+    """Batch exact k-NN: the whole query block (8 vectors) against the
+    corpus in one pass — per-partition numpy matmul over Arrow batches,
+    only (q_id, id, sim) candidates shuffle."""
+    from sidemantic_spark.operators.similarity import cosine_topk_join
+
+    embs = _embs(spark, sf_dir)
+    q = embs.where("vec_id < 8").selectExpr("vec_id AS q_id", "embedding")
+    return cosine_topk_join(embs, q, k=10)
+
+
 def _emb_near_dups(spark, sf_dir):
     from sidemantic_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -641,6 +652,29 @@ def _streaming_sessionize(spark, sf_dir):
     return spark.table(name)
 
 
+def _fanout_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric-aggregate fan-out correction (reference
+    core/symmetric_aggregate.py:20-162, spark branch :91-96):
+    SUM(DISTINCT key*S + v) - SUM(DISTINCT key*S) with DECIMAL-lifted
+    keys (the reference's raw-bigint spark variant can overflow).
+    Alternative strategy to the entity-grain dedup plan, same result."""
+    layer = _layer(spark, sf_dir)
+    gen = layer.generator
+    gen.use_symmetric_aggregates = True
+    try:
+        sql = layer.compile(
+            metrics=["orders.revenue", "orders.order_count"],
+            dimensions=["lineitem.returnflag"],
+        )
+        assert "plan=grouped-symmetric" in sql, sql[:200]
+        return layer.query(
+            metrics=["orders.revenue", "orders.order_count"],
+            dimensions=["lineitem.returnflag"],
+        )
+    finally:
+        gen.use_symmetric_aggregates = False
+
+
 def _yardstick_at_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Yardstick AT (...) context modifiers (reference
     sql/query_rewriter.py:3630-3760 parse, :4742-4904 apply): ALL
@@ -777,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             metrics=["orders.revenue", "orders.order_count"],
             dimensions=["lineitem.returnflag"],
         ),
+        "fanout_symmetric_aggs": _fanout_symmetric,
         "fanout_safe_aggs": _q(
             metrics=["orders.max_order_value", "orders.customer_count"],
             dimensions=["lineitem.returnflag"],
@@ -860,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _lang_id,
         "text_quality_score": _quality,
         "sim_cosine_topk": _cosine_topk,
+        "sim_cosine_topk_batch": _cosine_topk_batch,
         "sim_ann_lsh_topk": _ann_lsh_topk,
         "sim_ann_ivf_topk": _ann_ivf_topk,
         "sim_embedding_near_dups": _emb_near_dups,
@@ -1253,6 +1289,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN o_orderkey IS NOT NULL THEN 1 END) AS order_count
             FROM joined GROUP BY 1
         """,
+        "fanout_symmetric_aggs": """
+            WITH joined AS (
+                SELECT DISTINCT l.l_returnflag AS returnflag, o.o_orderkey,
+                       CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+                FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+            )
+            SELECT returnflag, CAST(SUM(price) AS DOUBLE) AS revenue,
+                   COUNT(CASE WHEN o_orderkey IS NOT NULL THEN 1 END) AS order_count
+            FROM joined GROUP BY 1
+        """,
         "fanout_safe_aggs": """
             SELECT l.l_returnflag AS returnflag,
                    MAX(o.o_totalprice) AS max_order_value,
@@ -1538,6 +1584,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine_sim DESC, vec_id ASC
             LIMIT 20
+        """,
+        "sim_cosine_topk_batch": """
+            WITH q AS (
+                SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 8
+            ),
+            s AS (
+                SELECT q.q_id, c.vec_id,
+                       ROUND(list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]), q.qv), 6) AS cosine_sim
+                FROM q CROSS JOIN embeddings c
+            )
+            SELECT q_id, vec_id, cosine_sim FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id
+                ) AS rn FROM s
+            ) WHERE rn <= 10
         """,
         "text_language_id": """
             WITH s AS (

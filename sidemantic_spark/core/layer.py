@@ -340,6 +340,89 @@ class SparkSemanticLayer:
                 pass
         self._result_cache.clear()
 
+    def explain_plan(self, **kwargs) -> dict:
+        """Structured explain IR (reference ``core/query_plan.py:43``
+        QueryPlan / ``sql/planner.py:23``): resolved models and join
+        path, fan-out analysis, pre-aggregation candidates with
+        per-candidate accept/reject reasons, and the compiled SQL."""
+        from sidemantic_spark.preagg.router import explain_route
+        from sidemantic_spark.sql.generator import QuerySpec
+
+        if kwargs.get("explore") is not None or kwargs.get("saved_query") is not None:
+            kwargs = self._resolve_contracts({
+                "explore": kwargs.get("explore"),
+                "saved_query": kwargs.get("saved_query"),
+                **{k: v for k, v in kwargs.items() if k not in ("explore", "saved_query")},
+            })
+        self.graph.resolve_inheritance()
+        spec = QuerySpec(
+            metrics=list(kwargs.get("metrics") or []),
+            dimensions=list(kwargs.get("dimensions") or []),
+            filters=list(kwargs.get("filters") or []),
+            order_by=list(kwargs.get("order_by") or []),
+            limit=kwargs.get("limit"),
+            offset=kwargs.get("offset"),
+            ungrouped=bool(kwargs.get("ungrouped")),
+            with_totals=bool(kwargs.get("with_totals")),
+            segments=list(kwargs.get("segments") or []),
+            parameters=dict(kwargs.get("parameters") or {}),
+            user=kwargs.get("user"),
+            timezone=kwargs.get("timezone"),
+        )
+        r = self.generator._resolve(spec)
+        # fan-out: any hop that duplicates rows of a model carrying
+        # metrics (ref sql/generator.py:2500-2548 _has_fanout_joins)
+        metric_models = {rm.model for rm in r.metrics}
+        joined = {r.base}
+        fanned: set[str] = set()
+        for h in r.hops:
+            if h.duplicates_left():
+                fanned |= joined
+            if h.duplicates_right():
+                fanned.add(h.to_model)
+            joined.add(h.to_model)
+        fanout_models = sorted(fanned & metric_models)
+        fanout_hops = [
+            h for h in r.hops if h.duplicates_left() or h.duplicates_right()
+        ] if fanout_models else []
+        sql = self.compile(**kwargs)
+        used = None
+        for line in sql.split("\n", 2)[:2]:
+            for tok in line.split():
+                if tok.startswith("used_preagg="):
+                    used = tok.split("=", 1)[1]
+        return {
+            "base_model": r.base,
+            "models": list(r.models),
+            "metrics": [rm.out for rm in r.metrics],
+            "dimensions": [rd.out for rd in r.dims],
+            "join_path": [
+                {
+                    "from": h.from_model,
+                    "to": h.to_model,
+                    "type": h.rel_type,
+                    "on": list(zip(h.fk_side, h.pk_side)) if not h.custom_sql else h.custom_sql,
+                }
+                for h in r.hops
+            ],
+            "fanout": {
+                "detected": bool(fanout_hops),
+                "hops": [f"{h.from_model}->{h.to_model}" for h in fanout_hops],
+                "strategy": (
+                    ("symmetric_aggregates" if self.generator.use_symmetric_aggregates
+                     else "entity_grain_dedup") if fanout_hops else None
+                ),
+            },
+            "filters": {
+                "pushdown": {k: list(v) for k, v in r.pushdown.items()},
+                "outer": list(r.outer_filters),
+                "having": list(r.having),
+            },
+            "preagg": explain_route(self.generator, r),
+            "used_preagg": used,
+            "compiled_sql": sql,
+        }
+
     def explain(self, **kwargs) -> str:
         """Compiled Spark SQL plus Catalyst's formatted physical plan."""
         self.register_sources()

@@ -318,3 +318,85 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine_sim") >= min_cosine)
     )
+
+
+def cosine_topk_join(
+    df: DataFrame,
+    queries: "DataFrame | list[tuple[int, list[float]]]",
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Batch exact k-NN: top-k corpus neighbors for EVERY query vector.
+
+    The training-pipeline shape (query a whole eval/dedup block against
+    the corpus, not one vector): the query block is the small side and
+    ships to executors in the task closure; each corpus partition
+    computes one (batch x queries) float64 matmul in numpy via
+    ``mapInPandas`` (Arrow batches), keeps the per-partition top-k per
+    query, and only (q_id, id, sim) candidate rows — partitions x
+    queries x k of them, never the vectors — ride the single shuffle
+    into the global re-top-k window. At 100 TB the corpus scan is
+    embarrassingly parallel and the shuffle stays tiny.
+
+    Ties break by ascending corpus id; similarities are rounded to 6dp
+    *before* ranking so rankings are reproducible across engines.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    if isinstance(queries, DataFrame):
+        rows = [(r[0], list(r[1])) for r in queries.collect()]
+    else:
+        rows = [(int(i), list(v)) for i, v in queries]
+    if not rows:
+        raise ValueError("cosine_topk_join needs at least one query vector")
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    Qn = (Q / qn).T  # d x nq
+
+    schema = f"{q_id_col} long, {id_col} long, cosine_sim double"
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            cn[cn == 0.0] = 1.0
+            sims = (C / cn) @ Qn  # batch x nq
+            kk = min(k, len(ids))
+            out_q, out_i, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                if len(ids) > kk:
+                    sel = np.argpartition(-col, kk - 1)[:kk]
+                else:
+                    sel = np.arange(len(ids))
+                out_q.append(np.full(len(sel), q_ids[j]))
+                out_i.append(ids[sel])
+                out_s.append(col[sel])
+            yield pd.DataFrame({
+                q_id_col: np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "cosine_sim": np.concatenate(out_s),
+            })
+
+    cand = (
+        df.select(id_col, vec_col)
+        .mapInPandas(scan, schema)
+        .withColumn("cosine_sim", F.round("cosine_sim", 6))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -103,6 +103,30 @@ def match_preagg(
     return candidates[0]
 
 
+def explain_candidates(
+    model: Model,
+    metric_names: list[str],
+    dims: list[tuple[str, str | None]],
+    filter_dims: list[str],
+    raw_columns: list[str] | None = None,
+) -> list[dict]:
+    """Per-candidate accept/reject report for explain output (reference
+    ``core/query_plan.py:43`` QueryPlan preagg candidates+checks)."""
+    out: list[dict] = []
+    for pa in getattr(model, "pre_aggregations", []) or []:
+        reasons: list[str] = []
+        m = _try_match(
+            model, pa, metric_names, dims, filter_dims, raw_columns or [], reasons
+        )
+        out.append({
+            "name": pa.physical_name(model.name),
+            "ok": m is not None,
+            "reasons": reasons,
+            "specificity": m.specificity if m else None,
+        })
+    return out
+
+
 def _try_match(
     model: Model,
     pa: PreAggregation,
@@ -110,24 +134,37 @@ def _try_match(
     dims: list[tuple[str, str | None]],
     filter_dims: list[str],
     raw_columns: list[str],
+    reasons: list[str] | None = None,
 ) -> PreAggMatch | None:
+    def why(msg: str) -> None:
+        if reasons is not None:
+            reasons.append(msg)
+
     if pa.type not in ("rollup", "rollup_join", "lambda"):
+        why(f"type {pa.type!r} is never routed for metric queries")
         return None
     # join keys must be stored verbatim in the rollup's dimension set
     for col in raw_columns:
         if col not in pa.dimensions:
+            why(f"join key {col!r} not stored in rollup dimensions")
             return None
     exact_grain = True
     dim_map: dict = {}
     for name, grain in dims:
         dim = model.dimension(name)
         if dim is None:
+            why(f"unknown dimension {name!r}")
             return None
         if dim.type == "time" or grain is not None:
             if pa.time_dimension != name:
+                why(f"time dimension {name!r} is not the rollup's time dimension")
                 return None
             qgrain = grain or pa.granularity
             if not grain_derivable(pa.granularity, qgrain):
+                why(
+                    f"grain {qgrain!r} not derivable from stored grain "
+                    f"{pa.granularity!r}"
+                )
                 return None
             if qgrain != pa.granularity:
                 exact_grain = False
@@ -136,6 +173,7 @@ def _try_match(
                 dim_map[name] = (f"{name}__{pa.granularity}", None)
         else:
             if name not in pa.dimensions:
+                why(f"dimension {name!r} not stored in rollup")
                 return None
             dim_map[name] = (name, None)
 
@@ -146,17 +184,24 @@ def _try_match(
         fdim = model.dimension(fname)
         if fdim is not None and fdim.type == "time":
             if pa.time_dimension != fname:
+                why(f"time filter on {fname!r} not coverable by rollup")
                 return None
             continue
         if fname not in pa.dimensions and fname != pa.time_dimension:
+            why(f"filter column {fname!r} not stored in rollup")
             return None
 
     grouped_all = len(dim_map) == len(pa.dimensions) + (1 if pa.time_dimension else 0)
     for mname in metric_names:
         metric = model.metric(mname)
         if metric is None or mname not in pa.measures:
+            why(f"measure {mname!r} not stored in rollup")
             return None
         if not _derivable(metric, exact_grain and grouped_all):
+            why(
+                f"measure {mname!r} ({metric.agg}) not derivable at the "
+                f"queried grain (exact-grain-only guard)"
+            )
             return None
 
     extra_dims = len(pa.dimensions) - len(raw_columns) - sum(

@@ -382,3 +382,52 @@ def _build_sql(gen, r, match: PreAggMatch) -> str:
         + (" lambda=true" if pa.type == "lambda" else "")
     )
     return f"{header}\n{sql}"
+
+
+def explain_route(gen, r) -> dict:
+    """Routing report for explain output: eligibility gates + the
+    per-candidate accept/reject reasons (reference QueryPlan preagg
+    candidates+checks, core/query_plan.py:43)."""
+    from sidemantic_spark.preagg.matcher import explain_candidates
+
+    if r.spec.ungrouped or r.spec.with_totals:
+        return {"eligible": False, "reason": "ungrouped/with_totals queries never route", "candidates": []}
+    if r.hops:
+        used = _try_join_route(gen, r) is not None
+        return {
+            "eligible": True,
+            "reason": "multi-model query: join-key rollup route",
+            "used": used,
+            "candidates": [],
+        }
+    model = gen.graph.get_model(r.base)
+    if not getattr(model, "pre_aggregations", None):
+        return {"eligible": False, "reason": "model declares no pre-aggregations", "candidates": []}
+    comp_names = _component_names(gen, r)
+    if comp_names is None:
+        return {
+            "eligible": False,
+            "reason": "non-routable metric (windowed/filtered/semi-additive component)",
+            "candidates": [],
+        }
+    dims = [(rd.name, rd.grain) for rd in r.dims]
+    filter_dims: list[str] = []
+    known = set(gen.graph.models)
+    for f in r.spec.filters:
+        for m, fld, _g in find_refs(f, known):
+            if m == r.base and model.metric(fld) is None:
+                filter_dims.append(fld)
+            elif m != r.base:
+                return {
+                    "eligible": False,
+                    "reason": f"filter references joined model {m!r}",
+                    "candidates": [],
+                }
+    cands = explain_candidates(model, comp_names, dims, filter_dims)
+    chosen = None
+    ok = sorted(
+        (c for c in cands if c["ok"]), key=lambda c: (c["specificity"], c["name"])
+    )
+    if ok:
+        chosen = ok[0]["name"]
+    return {"eligible": True, "candidates": cands, "used": chosen}

@@ -236,3 +236,48 @@ def test_connected_components_clusters(spark):
         20: 20, 21: 20, 22: 20,
         5: 5, 99: 5,
     }
+
+
+def test_cosine_topk_join_batch_vs_duckdb(embs, duck):
+    """Batch k-NN join: 4 query vectors at once, per-query top-5
+    verified against a DuckDB cross-join + rank oracle."""
+    q = embs.where("vec_id < 4").selectExpr("vec_id AS q_id", "embedding")
+    df = similarity.cosine_topk_join(embs, q, k=5)
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH q AS (
+            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 4
+        ),
+        s AS (
+            SELECT q.q_id, c.vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(c.embedding AS DOUBLE[]), q.qv), 6) AS cosine_sim
+            FROM q CROSS JOIN embeddings c
+        )
+        SELECT q_id, vec_id, cosine_sim FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id
+            ) AS rn FROM s
+        ) WHERE rn <= 5
+        """,
+    )
+
+
+def test_cosine_topk_join_matches_single_query(embs):
+    """The batch join for one query equals brute-force cosine_topk."""
+    row = embs.orderBy("vec_id").first()
+    qvec = [float(x) for x in row["embedding"]]
+    single = {
+        (r.vec_id, r.cosine_sim)
+        for r in similarity.cosine_topk(embs, qvec, k=8).collect()
+    }
+    batch = {
+        (r.vec_id, r.cosine_sim)
+        for r in similarity.cosine_topk_join(
+            embs, [(int(row["vec_id"]), qvec)], k=8
+        ).collect()
+    }
+    assert single == batch

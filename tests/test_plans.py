@@ -137,3 +137,73 @@ def test_semantic_sql_topn_limits_rows_early(layer):
     plan = _plan(df)
     assert "RunningWindowFunction" in plan or "Window" in plan
     assert "rank" in plan.lower()
+
+
+def test_explain_plan_reports_preagg_candidates(spark, sf_dir, tmp_path):
+    """Structured explain IR (ref core/query_plan.py:43): candidates
+    carry accept/reject reasons; the chosen rollup matches the
+    instrumentation comment."""
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    layer = build_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [
+        PreAggregation(
+            name="daily",
+            measures=["revenue", "order_count", "customer_count"],
+            dimensions=["status"],
+            time_dimension="order_date",
+            granularity="day",
+        ),
+        PreAggregation(
+            name="monthly",
+            measures=["revenue"],
+            dimensions=["status"],
+            time_dimension="order_date",
+            granularity="month",
+        ),
+    ]
+    layer.preaggs.base_path = str(tmp_path / "p")
+    layer.preaggs.materialize("orders")
+
+    ex = layer.explain_plan(
+        metrics=["orders.revenue"],
+        dimensions=["orders.status", "orders.order_date__month"],
+    )
+    assert ex["base_model"] == "orders"
+    assert ex["preagg"]["eligible"]
+    by_name = {c["name"]: c for c in ex["preagg"]["candidates"]}
+    assert by_name["orders_preagg_daily"]["ok"]
+    assert by_name["orders_preagg_monthly"]["ok"]
+    # monthly is more specific for a month-grain query and must win
+    assert ex["preagg"]["used"] == "orders_preagg_monthly"
+    assert ex["used_preagg"] == "orders_preagg_monthly"
+
+    # count_distinct at a coarser grain: daily must be REJECTED with the
+    # exact-grain reason, monthly doesn't store the measure
+    ex2 = layer.explain_plan(
+        metrics=["orders.customer_count"],
+        dimensions=["orders.order_date__month"],
+    )
+    by_name2 = {c["name"]: c for c in ex2["preagg"]["candidates"]}
+    assert not by_name2["orders_preagg_daily"]["ok"]
+    assert any("exact-grain" in r for r in by_name2["orders_preagg_daily"]["reasons"])
+    assert not by_name2["orders_preagg_monthly"]["ok"]
+    assert ex2["used_preagg"] is None
+
+
+def test_explain_plan_fanout_and_join_path(layer):
+    ex = layer.explain_plan(
+        metrics=["orders.revenue"],
+        dimensions=["lineitem.returnflag"],
+        filters=["orders.status = 'F'"],
+    )
+    assert ex["fanout"]["detected"]
+    assert ex["fanout"]["strategy"] == "entity_grain_dedup"
+    # the generator roots the join at the many side (lineitem) so the
+    # orders metrics fan out across the many_to_one hop
+    assert ex["join_path"][0]["from"] == "lineitem"
+    assert ex["join_path"][0]["to"] == "orders"
+    assert ex["join_path"][0]["type"] == "many_to_one"
+    assert ex["filters"]["pushdown"].get("orders")
