@@ -367,6 +367,49 @@ def _multimodal_decode(spark, sf_dir):
     return decode_features(documents_as_media(_docs(spark, sf_dir)), dim=16, fake=True)
 
 
+def _multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: JVM-side sequence+explode expands each
+    video row into frame timestamps — deterministic metadata math, so
+    fully oracle-checkable (the per-frame DECODE would be the stubbed
+    mapInPandas stage)."""
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators.multimodal import frame_sample_plan
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("video"))
+        .otherwise(F.lit("image"))
+        .alias("media_type"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        (F.col("n_chars") * 7 % 5000).cast("long").alias("duration_ms"),
+        F.lit("fake").alias("codec"),
+    )
+    return frame_sample_plan(media, every_ms=700)
+
+
+def _multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize metadata path (payload stubbed): the
+    width/height arithmetic runs in the same Arrow batches a real codec
+    would use, and is deterministic — oracle-checked."""
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators.multimodal import resize_images
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.lit(None).cast("binary").alias("payload"),
+        (F.col("n_chars") % 1000 + 64).cast("long").alias("width"),
+        (F.col("n_chars") % 700 + 48).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit("fake").alias("codec"),
+    )
+    return resize_images(media, max_side=256).select("media_id", "width", "height")
+
+
 def _row_level_security(spark, sf_dir):
     """Row-level security: per-request Jinja row filter ANDed into the
     owning model's CTE pre-join (reference sql/generator.py:879-960,
@@ -638,6 +681,25 @@ def _streaming_window_agg(spark, sf_dir):
     )
 
 
+def _streaming_ingest_dedup(spark, sf_dir):
+    """Watermark-bounded streaming ingestion dedup
+    (dropDuplicates[WithinWatermark]); replayed availableNow with exact
+    (global) dedup on the key columns, the retained key set equals the
+    batch DISTINCT — the DuckDB oracle."""
+    import uuid
+
+    sl = _stream_layer(spark, sf_dir)
+    out = sl.stream_dedup(
+        "events",
+        keys=["user_id", "event_type"],
+        watermark="36500 days",
+        within_watermark=False,
+    ).select("user_id", "event_type")
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    sl.to_memory_sink(out, name, output_mode="append")
+    return spark.table(name)
+
+
 def _streaming_sessionize(spark, sf_dir):
     """Per-user session assembly via session_window (30 min gap),
     availableNow to completion. Sessions are gap-closure over complete
@@ -900,6 +962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_topk": _ann_ivf_topk,
         "sim_embedding_near_dups": _emb_near_dups,
         "multimodal_decode_features": _multimodal_decode,
+        "multimodal_frame_sample": _multimodal_frame_sample,
+        "multimodal_resize_meta": _multimodal_resize,
         # §2.6 pagination
         "limit_offset_page": _q(
             metrics=["orders.revenue"],
@@ -931,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checkable
         "streaming_window_agg": _streaming_window_agg,
         "streaming_sessionize": _streaming_sessionize,
+        "streaming_ingest_dedup": _streaming_ingest_dedup,
     }
     return {k: _dbl(v) for k, v in qs.items()}
 
@@ -1602,6 +1667,31 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rn FROM s
             ) WHERE rn <= 10
         """,
+        "multimodal_frame_sample": """
+            SELECT doc_id AS media_id,
+                   CAST(unnest(generate_series(
+                       0, CAST(n_chars * 7 % 5000 AS BIGINT), 700)) AS BIGINT)
+                     AS frame_ts_ms
+            FROM documents
+            WHERE doc_id % 3 = 0
+        """,
+        "multimodal_resize_meta": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       n_chars % 1000 + 64 AS w,
+                       n_chars % 700 + 48 AS h
+                FROM documents
+            ),
+            s AS (
+                SELECT media_id, w, h,
+                       LEAST(256.0 / GREATEST(w, h), 1.0) AS sc
+                FROM m
+            )
+            SELECT media_id,
+                   GREATEST(CAST(FLOOR(w * sc) AS BIGINT), 1) AS width,
+                   GREATEST(CAST(FLOOR(h * sc) AS BIGINT), 1) AS height
+            FROM s
+        """,
         "text_language_id": """
             WITH s AS (
                 SELECT doc_id,
@@ -1792,6 +1882,9 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS events_in_session
             FROM sessions
             GROUP BY user_id, sid
+        """,
+        "streaming_ingest_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         # no-oracle entries (engine-specific hash functions / plumbing
         # -> driver records rows-only checks): dedup_minhash_lsh,

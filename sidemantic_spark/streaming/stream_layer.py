@@ -180,13 +180,21 @@ class StreamingSemanticLayer:
 
     # -- sinks --------------------------------------------------------
 
-    def to_memory_sink(self, df: DataFrame, name: str, await_done: bool = True):
+    def to_memory_sink(
+        self,
+        df: DataFrame,
+        name: str,
+        await_done: bool = True,
+        output_mode: str = "complete",
+    ):
         """Test/debug sink: run the stream to completion of available
-        data into an in-memory table (``availableNow`` trigger)."""
+        data into an in-memory table (``availableNow`` trigger).
+        ``output_mode="append"`` for non-aggregating streams (dedup,
+        row transforms); ``"complete"`` for windowed aggregations."""
         q = (
             df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete" if not df.isStreaming else "complete")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
