@@ -57,27 +57,72 @@ ADAPTERS = {
 
 
 def export_graph(graph, format: str) -> str:
-    """Serialize the graph in the named format (YAML text)."""
+    """Serialize the graph in the named format.
+
+    Text formats (lookml, malloy, tmdl, holistics) return native text;
+    dict/doc formats return YAML (multi-doc where the format is
+    file-per-object); gooddata returns JSON. Every exporter is the
+    lossy-but-faithful inverse of its importer — ``parse(export(g))``
+    reconstructs the representable subset of ``g`` (roundtrip-tested in
+    tests/test_adapters.py).
+    """
+    import json as _json
+
     import yaml as _yaml
 
     if format in ("native", "sidemantic"):
         from sidemantic_spark.authoring import export_yaml
 
         return export_yaml(graph)
-    if format == "cube":
-        from sidemantic_spark.adapters.cube import export_cube
-
-        return _yaml.safe_dump(export_cube(graph), sort_keys=False)
-    if format == "metricflow":
-        from sidemantic_spark.adapters.metricflow import export_metricflow
-
-        return _yaml.safe_dump(export_metricflow(graph), sort_keys=False)
     if format == "lookml":
         from sidemantic_spark.adapters.lookml import export_lookml
 
         return export_lookml(graph)
+    if format == "malloy":
+        from sidemantic_spark.adapters.malloy import export_malloy
+
+        return export_malloy(graph)
+    if format == "tmdl":
+        from sidemantic_spark.adapters.tmdl import export_tmdl
+
+        return export_tmdl(graph)
+    if format == "holistics":
+        from sidemantic_spark.adapters.holistics import export_holistics
+
+        return export_holistics(graph)
+    if format == "gooddata":
+        from sidemantic_spark.adapters.gooddata import export_gooddata
+
+        return _json.dumps(export_gooddata(graph), indent=2)
+
+    single_doc = {
+        "cube": ("sidemantic_spark.adapters.cube", "export_cube"),
+        "metricflow": ("sidemantic_spark.adapters.metricflow", "export_metricflow"),
+        "snowflake": ("sidemantic_spark.adapters.snowflake", "export_snowflake"),
+        "bsl": ("sidemantic_spark.adapters.bsl", "export_bsl"),
+        "osi": ("sidemantic_spark.adapters.osi", "export_osi"),
+    }
+    multi_doc = {
+        "rill": ("sidemantic_spark.adapters.rill", "export_rill"),
+        "superset": ("sidemantic_spark.adapters.superset", "export_superset"),
+        "hex": ("sidemantic_spark.adapters.hex", "export_hex"),
+        "omni": ("sidemantic_spark.adapters.omni", "export_omni"),
+        "atscale": ("sidemantic_spark.adapters.atscale", "export_atscale"),
+        "thoughtspot": ("sidemantic_spark.adapters.thoughtspot", "export_thoughtspot"),
+    }
+    import importlib
+
+    if format in single_doc:
+        mod, fn = single_doc[format]
+        doc = getattr(importlib.import_module(mod), fn)(graph)
+        return _yaml.safe_dump(doc, sort_keys=False)
+    if format in multi_doc:
+        mod, fn = multi_doc[format]
+        docs = getattr(importlib.import_module(mod), fn)(graph)
+        return _yaml.safe_dump_all(docs, sort_keys=False)
     raise ValueError(
-        f"no exporter for format {format!r} (native, cube, metricflow, lookml)"
+        f"no exporter for format {format!r} (native, "
+        f"{', '.join(sorted(single_doc | multi_doc | {'lookml': 0, 'malloy': 0, 'tmdl': 0, 'holistics': 0, 'gooddata': 0}))})"
     )
 
 

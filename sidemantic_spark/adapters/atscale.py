@@ -205,3 +205,97 @@ class AtScaleAdapter(BaseAdapter):
                     ))
                 except Exception:
                     pass
+
+
+# ----------------------------------------------------------------------
+# export (reference adapters/atscale_sml.py export contract)
+# ----------------------------------------------------------------------
+
+_CALC_OUT = {
+    "sum": "sum", "count": "count", "count_distinct": "count distinct",
+    "avg": "average", "min": "min", "max": "max", "median": "median",
+    "stddev": "stddev", "stddev_pop": "stddev_pop",
+    "variance": "var_samp", "variance_pop": "var_pop",
+}
+_DTYPE_OUT = {"numeric": "double", "time": "datetime",
+              "boolean": "boolean", "categorical": "string"}
+
+
+def export_atscale(graph) -> list[dict]:
+    """Graph -> AtScale SML catalog docs: one ``dataset`` per model
+    (columns from dimensions), ``metric``/``metric_calc`` docs, per-edge
+    ``dimension`` docs binding the target dataset, and one ``model`` doc
+    carrying the relationships."""
+    from sidemantic_spark.adapters.base import m2o_edges
+
+    docs: list[dict] = []
+    for model in graph.models.values():
+        cols = []
+        seen = set()
+        for d in model.dimensions:
+            cname = d.sql if (d.sql and __import__("re").fullmatch(r"\w+", d.sql)) else d.name
+            if cname in seen:
+                continue
+            seen.add(cname)
+            cols.append({"name": cname, "data_type": _DTYPE_OUT.get(d.type, "string")})
+        for c in model.pk_list():
+            if c not in seen and __import__("re").fullmatch(r"\w+", c):
+                seen.add(c)
+                cols.append({"name": c, "data_type": "bigint"})
+        docs.append({
+            "object_type": "dataset",
+            "unique_name": model.name,
+            "table": model.table or model.name,
+            "columns": cols,
+            **({"label": model.description} if model.description else {}),
+        })
+        for m in model.metrics:
+            if m.is_simple and m.agg in _CALC_OUT:
+                docs.append({
+                    "object_type": "metric",
+                    "unique_name": m.name,
+                    "dataset": model.name,
+                    "calculation_method": _CALC_OUT[m.agg],
+                    **({"column": m.sql} if m.sql else {}),
+                    **({"label": m.label} if m.label else {}),
+                })
+            elif m.type == "derived" and m.expr:
+                docs.append({
+                    "object_type": "metric_calc",
+                    "unique_name": m.name,
+                    "dataset": model.name,
+                    "expression": m.expr,
+                    **({"label": m.label} if m.label else {}),
+                })
+    relationships = []
+    for owner, tgt, fks, pks, _rtype, _jt in m2o_edges(graph):
+        dim_name = f"Dim_{tgt}"
+        if not any(d.get("object_type") == "dimension" and d.get("unique_name") == dim_name
+                   for d in docs):
+            docs.append({
+                "object_type": "dimension",
+                "unique_name": dim_name,
+                "hierarchies": [{"unique_name": f"{tgt}_h",
+                                 "levels": [{"unique_name": pks[0]}]}],
+                "level_attributes": [{"dataset": tgt}],
+            })
+        relationships.append({
+            "from": {"dataset": owner, "join_columns": fks},
+            "to": {"dimension": dim_name, "level": pks[0]},
+        })
+    # pre-aggregation specs ride on the model doc as aggregates
+    aggregates = []
+    for model in graph.models.values():
+        for pa in model.pre_aggregations:
+            aggregates.append({
+                "unique_name": pa.name,
+                "metrics": list(pa.measures),
+                "attributes": [{"name": d} for d in pa.dimensions],
+            })
+    docs.append({
+        "object_type": "model",
+        "unique_name": "model",
+        "relationships": relationships,
+        **({"aggregates": aggregates} if aggregates else {}),
+    })
+    return docs

@@ -64,3 +64,108 @@ AGG_TYPES = {
     "median": "median",
     "stddev": "stddev",
 }
+
+
+# ----------------------------------------------------------------------
+# shared export helpers (reference adapters/base.py:9 export contract)
+# ----------------------------------------------------------------------
+
+_AGG_FN = {
+    "sum": "SUM", "avg": "AVG", "min": "MIN", "max": "MAX",
+    "median": "MEDIAN", "stddev": "STDDEV", "stddev_pop": "STDDEV_POP",
+    "variance": "VARIANCE", "variance_pop": "VAR_POP",
+}
+
+
+def simple_agg_sql(metric) -> str | None:
+    """Render a simple-agg metric as a plain SQL aggregate call
+    (``SUM(x)`` / ``COUNT(*)`` / ``COUNT(DISTINCT x)``), the lingua
+    franca of expression-based formats (Rill, Superset, BSL, OSI).
+    Returns None for non-simple metrics."""
+    if not metric.is_simple:
+        return None
+    if metric.agg == "count":
+        return f"COUNT({metric.sql})" if metric.sql else "COUNT(*)"
+    if metric.agg == "count_distinct":
+        return f"COUNT(DISTINCT {metric.sql or '*'})"
+    if metric.agg == "approx_count_distinct":
+        return f"APPROX_COUNT_DISTINCT({metric.sql or '*'})"
+    fn = _AGG_FN.get(metric.agg)
+    return f"{fn}({metric.sql or '*'})" if fn else None
+
+
+def m2o_edges(graph):
+    """Canonical equi-join edges for export: yields
+    ``(owner_name, target_name, fk_cols_on_owner, pk_cols_on_target,
+    rel_type, join_type)``.
+
+    Formats that declare joins as "fk on the owning table = pk on the
+    joined table" (Hex, Omni, Snowflake, ThoughtSpot, TMDL, Holistics,
+    OSI, ...) cannot express our graph's one_to_many orientation, where
+    ``foreign_key`` names the *child* column — so one_to_many edges are
+    re-emitted as the equivalent many_to_one on the child model (the
+    graph adds the reverse edge on import, preserving connectivity and
+    join keys exactly). Cross joins, junction (through) edges, and
+    custom-SQL conditions are skipped — callers with a native construct
+    for those handle them separately.
+    """
+    seen = set()
+    out = []
+    for model in graph.models.values():
+        for rel in model.relationships:
+            if rel.type == "cross" or rel.through or rel.sql:
+                continue
+            target = graph.models.get(rel.name)
+            tpk = target.pk_list() if target else ["id"]
+            if rel.type == "one_to_many":
+                owner, tgt = rel.name, model.name
+                fks = rel.fk_list() or tpk
+                pks = rel.pk_list(model.pk_list())
+                rtype = "many_to_one"
+            else:
+                owner, tgt = model.name, rel.name
+                if rel.type in ("one_to_one",):
+                    fks = rel.pk_list(model.pk_list())
+                    pks = rel.fk_list() or tpk
+                else:
+                    fks = rel.fk_list() or model.pk_list()
+                    pks = rel.pk_list(tpk)
+                rtype = rel.type
+            if not fks or len(fks) != len(pks):
+                continue
+            key = (owner, tgt, tuple(fks))
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append((owner, tgt, list(fks), list(pks), rtype,
+                        getattr(rel, "join_type", None)))
+    return out
+
+
+_SQL_KEYWORD_TOKENS = {
+    "and", "or", "not", "in", "is", "null", "true", "false", "like",
+    "between", "case", "when", "then", "else", "end", "as", "distinct",
+    "interval", "day", "month", "year", "decimal", "double", "bigint",
+    "int", "integer", "string", "varchar", "boolean", "date", "timestamp",
+}
+
+
+def qualify_columns(sql: str, model_name: str) -> str:
+    """Prefix bare column identifiers with ``model_name.`` — inverse of
+    the per-adapter "strip owner qualification" import step. Function
+    calls, dotted refs, quoted literals, keywords and type names are
+    left alone."""
+
+    def repl(m: re.Match) -> str:
+        tok = m.group(0)
+        if tok[0] in "'\"" or tok.endswith("("):
+            return tok
+        prev = sql[m.start() - 1] if m.start() else ""
+        if prev == "." or tok.lower() in _SQL_KEYWORD_TOKENS:
+            return tok
+        nxt = sql[m.end():m.end() + 1]
+        if nxt == ".":
+            return tok  # already a qualifier itself
+        return f"{model_name}.{tok}"
+
+    return re.sub(r"'[^']*'|\"[^\"]*\"|[A-Za-z_]\w*\s*\(|[A-Za-z_]\w*", repl, sql)

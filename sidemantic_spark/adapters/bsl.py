@@ -117,3 +117,80 @@ class BslAdapter(BaseAdapter):
             dimensions=dims, metrics=mets, relationships=rels,
             description=spec.get("description"),
         )
+
+
+# ----------------------------------------------------------------------
+# export (reference adapters/bsl.py export contract)
+# ----------------------------------------------------------------------
+
+_AGG_METHOD_OUT = {
+    "sum": "sum", "avg": "mean", "min": "min", "max": "max",
+    "count_distinct": "nunique", "median": "median",
+    "stddev": "std", "variance": "var",
+}
+
+
+def export_bsl(graph) -> dict:
+    """Graph -> BSL YAML (dict keyed by model name) with ibis-deferred
+    expressions. Bare-column aggs render as ``_.col.method()``; richer
+    expressions fall back to plain SQL strings which re-import through
+    aggregate auto-extraction."""
+    import re as _re
+
+    from sidemantic_spark.adapters.base import simple_agg_sql
+
+    out: dict = {}
+    for model in graph.models.values():
+        spec: dict = {"table": model.table or model.name}
+        dims: dict = {}
+        pk = model.pk_list()
+        for d in model.dimensions:
+            dspec: dict = {}
+            if d.sql and d.sql != d.name:
+                dspec["expr"] = (
+                    f"_.{d.sql}" if _re.fullmatch(r"\w+", d.sql) else d.sql
+                )
+            if d.name in pk or (d.sql in pk if d.sql else False):
+                dspec["is_entity"] = True
+            if d.type == "time":
+                dspec["is_time_dimension"] = True
+                if d.granularity:
+                    dspec["smallest_time_grain"] = f"TIME_GRAIN_{d.granularity.upper()}"
+            if d.description:
+                dspec["description"] = d.description
+            dims[d.name] = dspec or {"expr": f"_.{d.name}"}
+        if dims:
+            spec["dimensions"] = dims
+        measures: dict = {}
+        for m in model.metrics:
+            if m.is_simple:
+                if m.agg == "count" and not m.sql:
+                    expr = "_.count()"
+                elif m.sql and _re.fullmatch(r"\w+", m.sql) and m.agg in _AGG_METHOD_OUT:
+                    expr = f"_.{m.sql}.{_AGG_METHOD_OUT[m.agg]}()"
+                else:
+                    expr = simple_agg_sql(m)
+            elif m.type == "derived":
+                expr = m.expr
+            else:
+                expr = None
+            if not expr:
+                continue
+            mspec: dict = {"expr": expr}
+            if m.description:
+                mspec["description"] = m.description
+            measures[m.name] = mspec
+        if measures:
+            spec["measures"] = measures
+        joins: dict = {}
+        for r in model.relationships:
+            if r.type == "cross" or r.through or r.sql or not r.foreign_key:
+                continue
+            joins[r.name] = {"model": r.name, "type": r.type,
+                             "with": r.foreign_key}
+        if joins:
+            spec["joins"] = joins
+        if model.description:
+            spec["description"] = model.description
+        out[model.name] = spec
+    return out

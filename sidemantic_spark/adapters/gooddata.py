@@ -221,3 +221,108 @@ def _legacy_col(obj: dict) -> str | None:
     if isinstance(cols, str):
         return cols
     return None
+
+
+# ----------------------------------------------------------------------
+# export (reference adapters/gooddata.py export contract)
+# ----------------------------------------------------------------------
+
+def export_gooddata(graph) -> dict:
+    """Graph -> GoodData declarative bundle: cloud LDM datasets
+    (attributes/facts/references/grain) + analytics metrics for derived
+    formulas (MAQL arithmetic over ``{metric/...}`` refs). Sum metrics
+    ride as facts; other agg types have no LDM slot and are emitted as
+    ``SELECT AGG({fact/...})`` MAQL metrics."""
+    from sidemantic_spark.adapters.base import m2o_edges
+
+    edges: dict[str, list] = {}
+    for owner, tgt, fks, pks, rtype, _jt in m2o_edges(graph):
+        if rtype == "many_to_one" and len(fks) == 1:
+            edges.setdefault(owner, []).append((tgt, fks[0]))
+
+    maql_agg = {"count_distinct": "COUNT", "avg": "AVG", "min": "MIN",
+                "max": "MAX", "median": "MEDIAN", "sum": "SUM"}
+    datasets = []
+    analytics_metrics = []
+    for model in graph.models.values():
+        ds: dict = {"id": model.name}
+        if model.description:
+            ds["title"] = model.description
+        attributes = []
+        for d in model.dimensions:
+            if d.name.endswith("__raw") and not d.public:
+                continue  # re-synthesized from facts below
+            attr = {"id": d.name}
+            src = d.sql or d.name
+            if src != d.name:
+                attr["sourceColumn"] = src
+            attr["sourceColumnDataType"] = {
+                "time": "DATE", "numeric": "NUMERIC", "boolean": "STRING",
+            }.get(d.type, "STRING")
+            if d.label:
+                attr["title"] = d.label
+            attributes.append({"attribute": attr})
+        facts = []
+        attr_ids = {a["attribute"]["id"] for a in attributes}
+        for m in model.metrics:
+            if m.is_simple and m.agg == "sum" and m.sql:
+                fact = {"id": m.name, "sourceColumn": m.sql}
+                if m.label:
+                    fact["title"] = m.label
+                facts.append({"fact": fact})
+            elif m.is_simple and m.agg in maql_agg and m.sql:
+                # the MAQL ref resolves by *field id*, so the aggregated
+                # column must exist as an attribute on the dataset
+                import re as _re
+
+                if _re.fullmatch(r"\w+", m.sql) and m.sql not in attr_ids:
+                    attributes.append({"attribute": {
+                        "id": m.sql, "sourceColumnDataType": "NUMERIC",
+                    }})
+                    attr_ids.add(m.sql)
+                elif not _re.fullmatch(r"\w+", m.sql):
+                    continue  # expression measures have no MAQL fact ref
+                analytics_metrics.append({
+                    "id": m.name,
+                    "content": {
+                        "title": m.label or m.name,
+                        "maql": f"SELECT {maql_agg[m.agg]}({{fact/{m.sql}}})",
+                    },
+                })
+            elif m.type == "derived" and m.expr:
+                import re as _re
+
+                body = _re.sub(r"\b([a-zA-Z_]\w*)\b",
+                               lambda mm: f"{{metric/{mm.group(1)}}}"
+                               if graph_metric_exists(graph, mm.group(1))
+                               else mm.group(1), m.expr)
+                analytics_metrics.append({
+                    "id": m.name,
+                    "content": {"title": m.label or m.name,
+                                "maql": f"SELECT {body}"},
+                })
+        if attributes:
+            ds["attributes"] = attributes
+        if facts:
+            ds["facts"] = facts
+        pk = model.pk_list()
+        if pk and pk != ["id"]:
+            ds["grain"] = [{"id": pk[0]}]
+        if model.table and model.table != model.name:
+            ds["dataSourceTableId"] = {"path": [model.table]}
+        refs = []
+        for tgt, fk in edges.get(model.name, []):
+            refs.append({"identifier": {"id": tgt}, "sourceColumns": [fk]})
+        if refs:
+            ds["references"] = refs
+        datasets.append({"dataset": ds})
+    out: dict = {"ldm": {"datasets": datasets}}
+    if analytics_metrics:
+        out["analytics"] = {"metrics": analytics_metrics}
+    return out
+
+
+def graph_metric_exists(graph, name: str) -> bool:
+    if name in getattr(graph, "metrics", {}):
+        return True
+    return any(m.metric(name) is not None for m in graph.models.values())

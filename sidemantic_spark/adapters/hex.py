@@ -187,3 +187,122 @@ class HexAdapter(BaseAdapter):
             allowed_dimensions=dims or None,
             allowed_metrics=mets or None,
         )
+
+
+# ----------------------------------------------------------------------
+# export (reference adapters/hex.py export contract)
+# ----------------------------------------------------------------------
+
+_DIM_TYPES_OUT = {"numeric": "number", "categorical": "string",
+                  "boolean": "boolean", "time": "timestamp"}
+_FUNCS_OUT = {v: k for k, v in _FUNCS.items()}
+
+
+def export_hex(graph) -> list[dict]:
+    """Graph -> Hex semantic-model docs (one ``type: model`` per model,
+    one ``type: view`` per explore). Measures keep func/of; complete-SQL
+    measures round-trip through ``func_sql``."""
+    from collections import defaultdict
+
+    from sidemantic_spark.adapters.base import m2o_edges
+
+    edges_by_owner: dict[str, list] = defaultdict(list)
+    for owner, tgt, fks, pks, rtype, _jt in m2o_edges(graph):
+        edges_by_owner[owner].append((tgt, fks, pks, rtype))
+    docs = []
+    for model in graph.models.values():
+        doc: dict = {"type": "model", "id": model.name}
+        if model.sql:
+            doc["base_sql_query"] = model.sql
+        else:
+            doc["base_sql_table"] = model.table or model.name
+        pk = set(model.pk_list())
+        dims = []
+        dim_names = set()
+        for d in model.dimensions:
+            out: dict = {"id": d.name,
+                         "type": _DIM_TYPES_OUT.get(d.type, "string")}
+            if d.sql and d.sql != d.name:
+                out["expr_sql"] = d.sql
+            if d.name in pk or (d.sql in pk if d.sql else False):
+                out["unique"] = True
+            if d.label:
+                out["name"] = d.label
+            if d.description:
+                out["description"] = d.description
+            if not d.public:
+                out["visibility"] = "internal"
+            dims.append(out)
+            dim_names.add(d.name)
+        # pk columns that aren't declared dimensions still need a unique
+        # field so the import recovers the primary key
+        for col in sorted(pk - dim_names - {c for d in model.dimensions if d.sql for c in [d.sql]}):
+            dims.append({"id": col, "type": "number", "unique": True,
+                         "visibility": "internal"})
+        if dims:
+            doc["dimensions"] = dims
+        measures = []
+        for m in model.metrics:
+            out = {"id": m.name}
+            if m.description:
+                out["description"] = m.description
+            if not m.public:
+                out["visibility"] = "internal"
+            if m.sql_is_complete and m.sql:
+                out["func_sql"] = m.sql
+            elif m.is_simple and m.agg in _FUNCS_OUT:
+                out["func"] = _FUNCS_OUT[m.agg]
+                if m.sql:
+                    out["of"] = m.sql
+            else:
+                continue
+            # only bare own-dimension refs fit hex's filter list syntax
+            prefix = f"{model.name}."
+            flt = [f[len(prefix):] for f in m.filters
+                   if f.startswith(prefix) and f[len(prefix):] in dim_names]
+            if len(flt) == len(m.filters) and flt:
+                out["filters"] = flt
+            elif m.filters:
+                continue  # SQL filters would be silently dropped: skip
+            measures.append(out)
+        if measures:
+            doc["measures"] = measures
+        relations = []
+        for r in model.relationships:
+            if r.sql and not r.through and r.type != "cross":
+                relations.append({
+                    "id": r.name, "type": r.type,
+                    "join_sql": r.sql.replace("{from}.", "").replace(
+                        "{to}", "${" + r.name + "}"),
+                })
+        for tgt, fks, pks, rtype in edges_by_owner.get(model.name, []):
+            if len(fks) != 1:
+                continue  # hex join_sql regex is single-column
+            relations.append({
+                "id": tgt, "type": rtype,
+                "join_sql": f"{fks[0]} = ${{{tgt}}}.{pks[0]}",
+            })
+        if relations:
+            doc["relations"] = relations
+        if model.description:
+            doc["description"] = model.description
+        docs.append(doc)
+    for explore in graph.explores.values():
+        doc = {"type": "view", "id": explore.name, "base": explore.model}
+        contents: dict = {}
+        if explore.allowed_dimensions:
+            contents["dimensions"] = [
+                x.split(".", 1)[-1] for x in explore.allowed_dimensions
+            ]
+        if explore.allowed_metrics:
+            contents["measures"] = [
+                x.split(".", 1)[-1] for x in explore.allowed_metrics
+            ]
+        if contents:
+            doc["contents"] = [contents]
+        if explore.label:
+            doc["name"] = explore.label
+        if explore.description:
+            doc["description"] = explore.description
+        docs.append(doc)
+    return docs

@@ -170,3 +170,78 @@ class HolisticsAdapter(BaseAdapter):
             foreign_key=from_col, primary_key=to_col,
         ))
         layer.graph._invalidate()
+
+
+# ----------------------------------------------------------------------
+# export (reference adapters/holistics.py export contract)
+# ----------------------------------------------------------------------
+
+_TYPE_OUT = {"numeric": "number", "categorical": "text",
+             "boolean": "truefalse", "time": "datetime"}
+_AGG_OUT = {"sum": "sum", "count": "count", "count_distinct": "count_distinct",
+            "avg": "avg", "min": "min", "max": "max", "median": "median",
+            "stddev": "stddev", "variance": "var"}
+
+
+def _defn(sql: str) -> str:
+    """Render a dimension/measure SQL body: bare columns use the
+    ``{{ #SOURCE.col }}`` ref syntax, expressions pass through raw."""
+    if re.fullmatch(r"\w+", sql):
+        return f"@sql {{{{ #SOURCE.{sql} }}}};;"
+    return f"@sql {sql};;"
+
+
+def export_holistics(graph) -> str:
+    """Graph -> Holistics AML text (Model blocks + Relationship
+    declarations)."""
+    from sidemantic_spark.adapters.base import m2o_edges
+
+    blocks: list[str] = []
+    for model in graph.models.values():
+        lines = [f"Model {model.name} {{"]
+        lines.append(f"  table_name: '{model.table or model.name}'")
+        pk = set(model.pk_list())
+        covered = set()
+        for d in model.dimensions:
+            lines.append(f"  dimension {d.name} {{")
+            lines.append(f"    type: '{_TYPE_OUT.get(d.type, 'text')}'")
+            if d.name in pk or (d.sql in pk if d.sql else False):
+                lines.append("    primary_key: true")
+            if d.label:
+                lines.append(f"    label: '{d.label}'")
+            if d.sql and d.sql != d.name:
+                lines.append(f"    definition: {_defn(d.sql)}")
+                covered.add(d.sql)
+            lines.append("  }")
+            covered.add(d.name)
+        for c in sorted(pk - covered):
+            if not re.fullmatch(r"\w+", c):
+                continue
+            lines.append(f"  dimension {c} {{")
+            lines.append("    type: 'number'")
+            lines.append("    primary_key: true")
+            lines.append("  }")
+        for m in model.metrics:
+            if m.is_simple and m.agg in _AGG_OUT:
+                lines.append(f"  measure {m.name} {{")
+                lines.append(f"    aggregation_type: '{_AGG_OUT[m.agg]}'")
+                if m.sql:
+                    lines.append(f"    definition: {_defn(m.sql)}")
+                lines.append("  }")
+            elif m.type == "derived" and m.expr:
+                lines.append(f"  measure {m.name} {{")
+                lines.append(f"    definition: @sql {m.expr};;")
+                lines.append("  }")
+        lines.append("}")
+        blocks.append("\n".join(lines))
+    for owner, tgt, fks, pks, rtype, _jt in m2o_edges(graph):
+        if len(fks) != 1:
+            continue
+        blocks.append(
+            f"Relationship {owner}_{tgt} {{\n"
+            f"  type: '{rtype}'\n"
+            f"  from: r({owner}.{fks[0]})\n"
+            f"  to: r({tgt}.{pks[0]})\n"
+            f"}}"
+        )
+    return "\n\n".join(blocks) + "\n"

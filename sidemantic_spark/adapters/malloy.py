@@ -237,3 +237,85 @@ class MalloyAdapter(BaseAdapter):
                 rels.append(Relationship(name=target, type=rtype, sql=cond_sql))
         elif kind == "join_cross" and re.match(r"^\w+$", line.strip()):
             rels.append(Relationship(name=line.strip(), type="cross"))
+
+
+# ----------------------------------------------------------------------
+# export (reference adapters/malloy.py export contract)
+# ----------------------------------------------------------------------
+
+def export_malloy(graph, connection: str = "spark") -> str:
+    """Graph -> Malloy source text. Time dimensions are emitted as
+    ``col::timestamp`` casts so the import re-derives the time type;
+    simple aggs render as ``sum(expr)`` etc.; one metric filter rides
+    the ``{ where: ... }`` suffix."""
+    out: list[str] = []
+    for model in graph.models.values():
+        if model.sql:
+            binding = f'{connection}.sql("""{model.sql}""")'
+        else:
+            binding = f"{connection}.table('{model.table or model.name}')"
+        lines = [f"source: {model.name} is {binding} extend {{"]
+        pk = model.pk_list()
+        if len(pk) == 1 and pk != ["id"]:
+            lines.append(f"  primary_key: {pk[0]}")
+        dims = [d for d in model.dimensions if not d.window]
+        if dims:
+            lines.append("  dimension:")
+            for d in dims:
+                expr = d.sql or d.name
+                if d.type == "time" and re.fullmatch(r"\w+", expr):
+                    expr = f"{expr}::timestamp"
+                if expr == d.name:
+                    # malloy needs `x is <expr>`; a self-ref is fine
+                    expr = d.name
+                lines.append(f"    {d.name} is {expr}")
+        mets = []
+        for m in model.metrics:
+            if m.is_simple and m.agg in ("sum", "avg", "min", "max",
+                                         "stddev", "median", "count",
+                                         "count_distinct"):
+                if m.agg == "count" and not m.sql:
+                    body = "count()"
+                elif m.agg == "count_distinct":
+                    body = f"count(distinct {m.sql or '*'})"
+                else:
+                    body = f"{m.agg}({m.sql or ''})"
+                if m.filters:
+                    body += " { where: " + " and ".join(m.filters) + " }"
+                mets.append(f"    {m.name} is {body}")
+            elif m.type == "derived" and m.expr:
+                mets.append(f"    {m.name} is {m.expr}")
+            elif m.type == "ratio" and m.numerator and m.denominator:
+                mets.append(
+                    f"    {m.name} is {m.numerator} / nullif({m.denominator}, 0)"
+                )
+        if mets:
+            lines.append("  measure:")
+            lines.extend(mets)
+        for r in model.relationships:
+            if r.through:
+                continue
+            if r.type == "cross":
+                lines.append(f"  join_cross: {r.name}")
+                continue
+            target = graph.models.get(r.name)
+            tpk = target.pk_list() if target else ["id"]
+            if r.type == "one_to_many":
+                fks = r.fk_list() or tpk
+                lpk = r.pk_list(model.pk_list())
+                if len(fks) == 1:
+                    lines.append(
+                        f"  join_many: {r.name} on {r.name}.{fks[0]} = {lpk[0]}"
+                    )
+            elif r.type in ("many_to_one", "one_to_one"):
+                fks = r.fk_list()
+                pks = r.pk_list(tpk)
+                if len(fks) == 1 and pks == tpk:
+                    lines.append(f"  join_one: {r.name} with {fks[0]}")
+                elif len(fks) == 1:
+                    lines.append(
+                        f"  join_one: {r.name} on {r.name}.{pks[0]} = {fks[0]}"
+                    )
+        lines.append("}")
+        out.append("\n".join(lines))
+    return "\n\n".join(out) + "\n"

@@ -187,3 +187,110 @@ class OmniAdapter(BaseAdapter):
                 rel = Relationship(name=dst, type=rtype, sql=" ".join(custom.split()))
             left.relationships.append(rel)
             layer.graph._invalidate()
+
+
+# ----------------------------------------------------------------------
+# export (reference adapters/omni.py export contract)
+# ----------------------------------------------------------------------
+
+_DIM_TYPES_OUT = {"categorical": "string", "numeric": "number",
+                  "boolean": "boolean", "time": "timestamp"}
+_AGGS_OUT = {"count": "count", "sum": "sum", "avg": "average",
+             "min": "min", "max": "max", "count_distinct": "count_distinct",
+             "median": "median"}
+
+_EQ_FILTER_RE = re.compile(
+    r"^(\w+)\.(\w+)\s*(=|!=)\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))$"
+)
+
+
+def export_omni(graph) -> list:
+    """Graph -> Omni docs: one view dict per model plus a relationships
+    list (the shape ``OmniAdapter.parse`` accepts). Measure filters of
+    the ``model.field = literal`` shape map to Omni filter props."""
+    docs: list = []
+    rels: list = []
+    for model in graph.models.values():
+        doc: dict = {"name": model.name}
+        table = model.table or model.name
+        if "." in table:
+            schema, phys = table.rsplit(".", 1)
+            doc["schema"] = schema
+            doc["table_name"] = phys
+        else:
+            doc["table_name"] = table
+        pk = set(model.pk_list())
+        dims: dict = {}
+        covered = set()
+        for d in model.dimensions:
+            props: dict = {"type": _DIM_TYPES_OUT.get(d.type, "string")}
+            if d.sql and d.sql != d.name:
+                props["sql"] = (
+                    "${TABLE}." + d.sql if re.fullmatch(r"\w+", d.sql) else d.sql
+                )
+                covered.add(d.sql)
+            if d.name in pk or (d.sql in pk if d.sql else False):
+                props["primary_key"] = True
+            if d.label:
+                props["label"] = d.label
+            if d.description:
+                props["description"] = d.description
+            if not d.public:
+                props["hidden"] = True
+            dims[d.name] = props
+            covered.add(d.name)
+        for col in sorted(pk - covered):
+            dims[col] = {"type": "number", "primary_key": True, "hidden": True}
+        if dims:
+            doc["dimensions"] = dims
+        measures: dict = {}
+        for m in model.metrics:
+            agg = _AGGS_OUT.get(m.agg) if m.is_simple else None
+            if agg is None:
+                continue
+            props = {"aggregate_type": agg}
+            if m.sql:
+                props["sql"] = (
+                    "${TABLE}." + m.sql if re.fullmatch(r"\w+", m.sql) else m.sql
+                )
+            filters: dict = {}
+            ok = True
+            for f in m.filters:
+                fm = _EQ_FILTER_RE.match(f.strip())
+                if not fm or fm.group(1) != model.name:
+                    ok = False
+                    break
+                val = fm.group(4) if fm.group(4) is not None else (
+                    float(fm.group(5)) if "." in fm.group(5) else int(fm.group(5))
+                )
+                filters[fm.group(2)] = (
+                    {"is": val} if fm.group(3) == "=" else {"is_not": val}
+                )
+            if not ok:
+                continue  # unrepresentable filter: skip the measure
+            if filters:
+                props["filters"] = filters
+            if m.label:
+                props["label"] = m.label
+            if m.description:
+                props["description"] = m.description
+            measures[m.name] = props
+        if measures:
+            doc["measures"] = measures
+        if model.description:
+            doc["description"] = model.description
+        docs.append(doc)
+    from sidemantic_spark.adapters.base import m2o_edges
+
+    for owner, tgt, fks, pks, rtype, _jt in m2o_edges(graph):
+        if len(fks) != 1:
+            continue  # omni on_sql regex is single-column
+        rels.append({
+            "join_from_view": owner,
+            "join_to_view": tgt,
+            "on_sql": f"${{{owner}.{fks[0]}}} = ${{{tgt}.{pks[0]}}}",
+            "relationship_type": rtype,
+        })
+    if rels:
+        docs.append(rels)
+    return docs

@@ -135,3 +135,69 @@ class OsiAdapter(BaseAdapter):
         local = re.sub(rf"\b{owner}\.(\w+)\b", r"\1", expr)
         model.add_metric(Metric(name=name, sql=local, description=met.get("description")))
         layer.graph._invalidate()
+
+
+# ----------------------------------------------------------------------
+# export (reference adapters/osi.py export contract)
+# ----------------------------------------------------------------------
+
+def export_osi(graph) -> dict:
+    """Graph -> OSI semantic_model (dict): datasets with per-dialect
+    field expressions, relationships, and ANSI_SQL metrics whose column
+    refs are dataset-qualified (the import strips the qualification)."""
+    from sidemantic_spark.adapters.base import qualify_columns, simple_agg_sql
+
+    datasets = []
+    relationships = []
+    metrics = []
+    for model in graph.models.values():
+        ds: dict = {"name": model.name, "source": model.table or model.name}
+        pk = model.pk_list()
+        if pk != ["id"]:
+            ds["primary_key"] = pk if len(pk) > 1 else pk[0]
+        fields = []
+        for d in model.dimensions:
+            f: dict = {"name": d.name}
+            if d.sql and d.sql != d.name:
+                f["expression"] = {"dialects": [
+                    {"dialect": "ANSI_SQL", "expression": d.sql}
+                ]}
+            if d.type == "time":
+                f["dimension"] = {"is_time": True}
+            if d.description:
+                f["description"] = d.description
+            fields.append(f)
+        if fields:
+            ds["fields"] = fields
+        if model.description:
+            ds["description"] = model.description
+        datasets.append(ds)
+        for m in model.metrics:
+            agg_sql = simple_agg_sql(m)
+            if agg_sql is None:
+                continue
+            # COUNT(*) carries no qualified ref, so the import could not
+            # resolve the owning dataset — count the (non-null) pk instead
+            if agg_sql == "COUNT(*)" and pk:
+                agg_sql = f"COUNT({pk[0]})"
+            metrics.append({
+                "name": m.name,
+                "expression": {"dialects": [
+                    {"dialect": "ANSI_SQL",
+                     "expression": qualify_columns(agg_sql, model.name)}
+                ]},
+                **({"description": m.description} if m.description else {}),
+            })
+    from sidemantic_spark.adapters.base import m2o_edges
+
+    for owner, tgt, fks, pks, rtype, _jt in m2o_edges(graph):
+        relationships.append({
+            "from": owner, "to": tgt, "type": rtype,
+            "from_columns": fks, "to_columns": pks,
+        })
+    sm: dict = {"datasets": datasets}
+    if relationships:
+        sm["relationships"] = relationships
+    if metrics:
+        sm["metrics"] = metrics
+    return {"semantic_model": [sm]}

@@ -79,3 +79,66 @@ def _grain(g: str | None) -> str | None:
     g = g.lower().strip()
     return g if g in ("second", "minute", "hour", "day", "week", "month",
                       "quarter", "year") else None
+
+
+# ----------------------------------------------------------------------
+# export (reference adapters/rill.py export contract)
+# ----------------------------------------------------------------------
+
+def export_rill(graph) -> list[dict]:
+    """Graph -> one Rill metrics_view doc per model. Lossy-but-faithful
+    inverse of :meth:`RillAdapter.parse`: simple aggs render as SQL
+    expressions (auto-extraction re-derives the agg on import), derived
+    metrics keep their formula; window-metric types are dropped."""
+    from sidemantic_spark.adapters.base import simple_agg_sql
+
+    docs = []
+    for model in graph.models.values():
+        time_dims = [d for d in model.dimensions if d.type == "time"]
+        timeseries = model.default_time_dimension or (
+            time_dims[0].name if time_dims else None
+        )
+        doc: dict = {"type": "metrics_view", "name": model.name,
+                     "model": model.table or model.name}
+        if model.primary_key != "id":
+            doc["primary_key"] = model.primary_key
+        if timeseries:
+            doc["timeseries"] = timeseries
+            ts = next((d for d in time_dims if d.name == timeseries), None)
+            if ts is not None and ts.granularity:
+                doc["smallest_time_grain"] = ts.granularity
+        dims = []
+        for d in model.dimensions:
+            if d.name == timeseries:
+                continue
+            out = {"name": d.name}
+            if d.sql and d.sql != d.name:
+                out["expression"] = d.sql
+            else:
+                out["column"] = d.name
+            if d.label:
+                out["display_name"] = d.label
+            if d.description:
+                out["description"] = d.description
+            dims.append(out)
+        if dims:
+            doc["dimensions"] = dims
+        measures = []
+        for m in model.metrics:
+            expr = simple_agg_sql(m) if m.is_simple else (
+                m.expr if m.type == "derived" else None
+            )
+            if expr is None:
+                continue
+            out = {"name": m.name, "expression": expr}
+            if m.label:
+                out["display_name"] = m.label
+            if m.description:
+                out["description"] = m.description
+            measures.append(out)
+        if measures:
+            doc["measures"] = measures
+        if model.description:
+            doc["description"] = model.description
+        docs.append(doc)
+    return docs

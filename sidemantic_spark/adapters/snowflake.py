@@ -113,3 +113,84 @@ class SnowflakeAdapter(BaseAdapter):
             dimensions=dims, metrics=mets, segments=segs,
             description=tbl.get("description"),
         )
+
+
+# ----------------------------------------------------------------------
+# export (reference adapters/snowflake.py export contract)
+# ----------------------------------------------------------------------
+
+def export_snowflake(graph) -> dict:
+    """Graph -> Cortex Analyst semantic-model YAML (dict): tables with
+    dimensions/time_dimensions/measures + top-level relationships."""
+    tables = []
+    rels_out = []
+    for model in graph.models.values():
+        tbl: dict = {"name": model.name}
+        table = model.table or model.name
+        if "." in table:
+            schema, phys = table.rsplit(".", 1)
+            tbl["base_table"] = {"schema": schema, "table": phys}
+        else:
+            tbl["base_table"] = {"table": table}
+        pk = model.pk_list()
+        if pk != ["id"]:
+            tbl["primary_key"] = {"columns": pk}
+        dims, tdims = [], []
+        for d in model.dimensions:
+            out = {"name": d.name}
+            if d.sql and d.sql != d.name:
+                out["expr"] = d.sql
+            if d.description:
+                out["description"] = d.description
+            if d.type == "time":
+                tdims.append(out)
+            else:
+                out["data_type"] = {"numeric": "number",
+                                    "boolean": "boolean"}.get(d.type, "text")
+                dims.append(out)
+        if dims:
+            tbl["dimensions"] = dims
+        if tdims:
+            tbl["time_dimensions"] = tdims
+        measures = []
+        for m in model.metrics:
+            if not m.is_simple or m.agg not in (
+                "sum", "count", "avg", "min", "max", "count_distinct",
+                "approx_count_distinct", "median", "stddev",
+            ):
+                continue
+            measures.append({
+                "name": m.name,
+                "expr": m.sql or m.name,
+                "default_aggregation": m.agg,
+                **({"description": m.description} if m.description else {}),
+            })
+        if measures:
+            tbl["measures"] = measures
+        if model.segments:
+            tbl["filters"] = [
+                {"name": s.name, "expr": s.sql,
+                 **({"description": s.description} if s.description else {})}
+                for s in model.segments
+            ]
+        if model.description:
+            tbl["description"] = model.description
+        tables.append(tbl)
+    from sidemantic_spark.adapters.base import m2o_edges
+
+    for owner, tgt, fks, pks, rtype, jt in m2o_edges(graph):
+        rels_out.append({
+            "name": f"{owner}_to_{tgt}",
+            "left_table": owner,
+            "right_table": tgt,
+            "relationship_columns": [
+                {"left_column": fk, "right_column": pkc}
+                for fk, pkc in zip(fks, pks)
+            ],
+            "relationship_type": rtype,
+            **({"join_type": jt} if jt else {}),
+        })
+    out: dict = {"name": "semantic_model", "tables": tables}
+    if rels_out:
+        out["relationships"] = rels_out
+    return out

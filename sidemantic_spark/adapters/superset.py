@@ -72,3 +72,65 @@ class SupersetAdapter(BaseAdapter):
             default_time_dimension=main_dttm if main_dttm else None,
             description=data.get("description"),
         ))
+
+
+# ----------------------------------------------------------------------
+# export (reference adapters/superset.py export contract)
+# ----------------------------------------------------------------------
+
+_TYPE_OUT = {"numeric": "DOUBLE", "boolean": "BOOLEAN",
+             "time": "TIMESTAMP", "categorical": "TEXT"}
+
+
+def export_superset(graph) -> list[dict]:
+    """Graph -> one Superset dataset-export doc per model. The dataset
+    name doubles as the table binding (Superset identifies datasets by
+    table_name), so models whose name differs from their table keep the
+    model name and re-import bound to it."""
+    from sidemantic_spark.adapters.base import simple_agg_sql
+
+    docs = []
+    for model in graph.models.values():
+        doc: dict = {"table_name": model.name}
+        if model.sql:
+            doc["sql"] = model.sql
+        time_dims = [d for d in model.dimensions if d.type == "time"]
+        main_dttm = model.default_time_dimension or (
+            time_dims[0].name if time_dims else None
+        )
+        if main_dttm:
+            doc["main_dttm_col"] = main_dttm
+        cols = []
+        for d in model.dimensions:
+            out = {"column_name": d.name,
+                   "type": _TYPE_OUT.get(d.type, "TEXT")}
+            if d.type == "time":
+                out["is_dttm"] = True
+            if d.sql and d.sql != d.name:
+                out["expression"] = d.sql
+            if d.label:
+                out["verbose_name"] = d.label
+            if d.description:
+                out["description"] = d.description
+            cols.append(out)
+        if cols:
+            doc["columns"] = cols
+        mets = []
+        for m in model.metrics:
+            expr = simple_agg_sql(m) if m.is_simple else (
+                m.expr if m.type == "derived" else None
+            )
+            if expr is None:
+                continue
+            out = {"metric_name": m.name, "expression": expr}
+            if m.label:
+                out["verbose_name"] = m.label
+            if m.description:
+                out["description"] = m.description
+            mets.append(out)
+        if mets:
+            doc["metrics"] = mets
+        if model.description:
+            doc["description"] = model.description
+        docs.append(doc)
+    return docs

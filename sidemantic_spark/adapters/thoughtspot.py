@@ -157,3 +157,121 @@ class ThoughtSpotAdapter(BaseAdapter):
             data = yaml.safe_load(fh)
         if isinstance(data, dict):
             self.parse(layer, data)
+
+
+# ----------------------------------------------------------------------
+# export (reference adapters/thoughtspot.py export contract)
+# ----------------------------------------------------------------------
+
+_AGG_OUT = {v: k for k, v in _AGG_MAP.items()}
+_BUCKET_OUT = {v: k for k, v in _BUCKET_GRAIN.items()}
+_DTYPE_OUT = {"numeric": "DOUBLE", "time": "DATETIME",
+              "boolean": "BOOL", "categorical": "VARCHAR"}
+
+
+def export_thoughtspot(graph) -> list[dict]:
+    """Graph -> TML docs: one ``table`` per model (ATTRIBUTE columns
+    from dimensions, MEASURE columns from simple aggs) plus one
+    ``worksheet`` carrying the join graph and derived-metric formulas."""
+    from sidemantic_spark.adapters.base import m2o_edges
+
+    docs = []
+    for model in graph.models.values():
+        cols = []
+        pk = set(model.pk_list())
+        covered = set()
+        for d in model.dimensions:
+            props: dict = {"column_type": "ATTRIBUTE"}
+            if d.type == "time" and d.granularity:
+                props["default_date_bucket"] = _BUCKET_OUT.get(
+                    d.granularity, "DAILY")
+            col: dict = {"name": d.name,
+                         "data_type": _DTYPE_OUT.get(d.type, "VARCHAR"),
+                         "properties": props}
+            if d.sql and d.sql != d.name:
+                col["db_column_name"] = d.sql
+                covered.add(d.sql)
+            if d.name in pk or (d.sql in pk if d.sql else False):
+                props["is_primary_key"] = True
+            if d.label:
+                col["custom_name"] = d.label
+            if d.description:
+                col["description"] = d.description
+            cols.append(col)
+            covered.add(d.name)
+        for c in sorted(pk - covered):
+            cols.append({"name": c, "data_type": "INT64",
+                         "properties": {"column_type": "ATTRIBUTE",
+                                        "is_primary_key": True}})
+        for m in model.metrics:
+            if not m.is_simple or m.agg not in _AGG_OUT:
+                continue
+            import re as _re
+
+            msql = m.sql
+            if msql:
+                # TML measures bind to physical columns; unwrap simple
+                # CAST(col AS type) decimal-exactness wrappers
+                cm = _re.fullmatch(
+                    r"CAST\s*\(\s*(\w+)\s+AS\s+[\w(), ]+\)", msql, _re.I
+                )
+                if cm:
+                    msql = cm.group(1)
+                elif not _re.fullmatch(r"\w+", msql):
+                    continue
+            col = {"name": m.name,
+                   "data_type": "DOUBLE",
+                   "properties": {"column_type": "MEASURE",
+                                  "aggregation": _AGG_OUT[m.agg]}}
+            if msql and msql != m.name:
+                col["db_column_name"] = msql
+            if m.label:
+                col["custom_name"] = m.label
+            if m.description:
+                col["description"] = m.description
+            cols.append(col)
+        tbl: dict = {"name": model.name, "columns": cols}
+        if model.table and model.table != model.name:
+            if "." in model.table:
+                schema, phys = model.table.rsplit(".", 1)
+                tbl["schema"] = schema
+                tbl["db_table"] = phys
+            else:
+                tbl["db_table"] = model.table
+        if model.description:
+            tbl["description"] = model.description
+        docs.append({"table": tbl})
+    joins = []
+    formulas = []
+    for owner, tgt, fks, pks, rtype, jt in m2o_edges(graph):
+        cond = " AND ".join(
+            f"[{owner}::{fk}] = [{tgt}::{pkc}]" for fk, pkc in zip(fks, pks)
+        )
+        joins.append({
+            "name": f"{owner}_{tgt}",
+            "source": owner,
+            "destination": tgt,
+            "on": cond,
+            **({"is_one_to_one": True} if rtype == "one_to_one" else {}),
+            **({"type": jt.upper()} if jt else {}),
+        })
+    for model in graph.models.values():
+        for m in model.metrics:
+            if m.type == "derived" and m.expr:
+                import re as _re
+
+                body = _re.sub(
+                    r"\b([a-zA-Z_]\w*)\b",
+                    lambda mm: f"[{model.name}::{mm.group(1)}]"
+                    if model.metric(mm.group(1)) is not None else mm.group(1),
+                    m.expr,
+                )
+                if "::" in body:
+                    formulas.append({"name": m.name, "expr": body})
+    if joins or formulas:
+        docs.append({"worksheet": {
+            "name": "exported",
+            **({"joins": joins} if joins else {}),
+            **({"formulas": formulas} if formulas else {}),
+        }})
+    return docs

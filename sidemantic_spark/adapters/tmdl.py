@@ -217,3 +217,67 @@ class TmdlAdapter(BaseAdapter):
                 name=to_table, type=rtype, foreign_key=from_col, primary_key=to_col,
             ))
             layer.graph._invalidate()
+
+
+# ----------------------------------------------------------------------
+# export (reference adapters/tmdl.py export contract)
+# ----------------------------------------------------------------------
+
+_TYPE_OUT = {"time": "dateTime", "numeric": "double",
+             "boolean": "boolean", "categorical": "string"}
+_DAX_OUT = {"sum": "SUM", "avg": "AVERAGE", "min": "MIN", "max": "MAX",
+            "count_distinct": "DISTINCTCOUNT", "median": "MEDIAN"}
+
+
+def export_tmdl(graph) -> str:
+    """Graph -> TMDL text (tables + relationships). Simple bare-column
+    aggs render as single-call DAX; expression measures have no DAX
+    single-call form and are skipped."""
+    blocks: list[str] = []
+    for model in graph.models.values():
+        lines = [f"table {model.name}"]
+        pk = set(model.pk_list())
+        covered = set()
+        for d in model.dimensions:
+            lines.append(f"\tcolumn {d.name}")
+            lines.append(f"\t\tdataType: {_TYPE_OUT.get(d.type, 'string')}")
+            if d.sql and d.sql != d.name:
+                lines.append(f"\t\tsourceColumn: {d.sql}")
+                covered.add(d.sql)
+            if d.name in pk or (d.sql in pk if d.sql else False):
+                lines.append("\t\tisKey")
+            covered.add(d.name)
+        for c in sorted(pk - covered):
+            if not re.match(r"^\w+$", c):
+                continue
+            lines.append(f"\tcolumn {c}")
+            lines.append("\t\tdataType: int64")
+            lines.append("\t\tisKey")
+        for m in model.metrics:
+            if not m.is_simple:
+                continue
+            if m.agg == "count" and not m.sql:
+                dax = f"COUNTROWS({model.name})"
+            elif m.agg in _DAX_OUT and m.sql and re.fullmatch(r"\w+", m.sql):
+                dax = f"{_DAX_OUT[m.agg]}('{model.name}'[{m.sql}])"
+            else:
+                continue
+            lines.append(f"\tmeasure {m.name} = {dax}")
+        blocks.append("\n".join(lines))
+    from sidemantic_spark.adapters.base import m2o_edges
+
+    rel_lines: list[str] = []
+    for owner, tgt, fks, pks, rtype, _jt in m2o_edges(graph):
+        if len(fks) != 1:
+            continue
+        rel_lines.append(f"relationship {owner}_{tgt}")
+        rel_lines.append(f"\tfromColumn: {owner}[{fks[0]}]")
+        rel_lines.append(f"\ttoColumn: {tgt}[{pks[0]}]")
+        rel_lines.append(
+            "\tfromCardinality: one" if rtype == "one_to_one"
+            else "\tfromCardinality: many"
+        )
+        rel_lines.append("\ttoCardinality: one")
+    if rel_lines:
+        blocks.append("\n".join(rel_lines))
+    return "\n\n".join(blocks) + "\n"

@@ -195,10 +195,33 @@ def cmd_preagg_recommend(args) -> int:
 def cmd_preagg_apply(args) -> int:
     spark = _build_spark()
     layer = _load_layer(args, spark)
-    mgr = layer.preaggs()
-    written = mgr.materialize(args.model, args.name)
+    layer.register_sources()
+    written = layer.preaggs.materialize(args.model, args.name)
     for p in written:
         print(f"materialized {p}")
+    return 0
+
+
+def cmd_preagg_refresh(args) -> int:
+    """Incremental refresh: rebuild only partitions >= --since (dynamic
+    partition overwrite; reference core/preagg_management.py refresh
+    orchestration with update_window partitions)."""
+    spark = _build_spark()
+    layer = _load_layer(args, spark)
+    layer.register_sources()
+    model = layer.graph.get_model(args.model)
+    names = [args.name] if args.name else [
+        pa.name for pa in model.pre_aggregations
+    ]
+    for name in names:
+        if args.since:
+            layer.preaggs.refresh_incremental(
+                args.model, name, f"TIMESTAMP '{args.since}'"
+            )
+            print(f"refreshed {args.model}.{name} since {args.since}")
+        else:
+            layer.preaggs.materialize(args.model, name)
+            print(f"rebuilt {args.model}.{name}")
     return 0
 
 
@@ -419,6 +442,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("model")
     p.add_argument("--name", default=None)
     p.set_defaults(func=cmd_preagg_apply)
+
+    p = pasub.add_parser(
+        "refresh", help="refresh rollups (incremental with --since)"
+    )
+    _add_models_arg(p)
+    p.add_argument("model")
+    p.add_argument("--name", default=None)
+    p.add_argument("--since", default=None,
+                   help="rebuild partitions >= this timestamp (e.g. 2026-01-01)")
+    p.set_defaults(func=cmd_preagg_refresh)
 
     args = parser.parse_args(argv)
     return args.func(args)

@@ -26,7 +26,11 @@ from sidemantic_spark.preagg.matcher import PreAggregation
 
 
 class PreAggManager:
-    def __init__(self, layer, base_path: str = "/tmp/sidemantic_spark_preaggs") -> None:
+    def __init__(self, layer, base_path: str | None = None) -> None:
+        if base_path is None:
+            base_path = os.environ.get(
+                "SIDEMANTIC_SPARK_PREAGG_PATH", "/tmp/sidemantic_spark_preaggs"
+            )
         self.layer = layer
         self.base_path = base_path
 
@@ -209,6 +213,10 @@ def rollup_select_sql(model: Model, pa: PreAggregation, extra_where: str | None 
             )
     cols.append("COUNT(*) AS __row_count")
     source = model.table or (f"({model.sql})" if model.sql else None)
+    if source is None and model.source_uri:
+        # file-backed models are registered as temp views under their
+        # own name (layer.register_sources)
+        source = model.name
     if source is None:
         raise ValueError(f"model {model.name!r} has no table binding")
     sql = "SELECT\n    " + ",\n    ".join(cols) + f"\nFROM {source}"

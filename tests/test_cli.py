@@ -138,3 +138,52 @@ tests:
     out = capsys.readouterr().out
     assert rc == 0
     assert "2/2 passed" in out
+
+
+def test_cli_preagg_apply_and_refresh(tmp_path, sf_dir, capsys, monkeypatch):
+    """`preagg apply` materializes the rollup; `preagg refresh --since`
+    rebuilds only the partitions at/after the boundary (dynamic
+    partition overwrite)."""
+    path = tmp_path / "models.yml"
+    path.write_text(f"""
+models:
+  - name: orders
+    source_uri: {sf_dir}/orders.parquet
+    primary_key: o_orderkey
+    dimensions:
+      - name: status
+        sql: o_orderstatus
+      - name: order_date
+        sql: o_orderdate
+        type: time
+    metrics:
+      - name: revenue
+        agg: sum
+        sql: o_totalprice
+    pre_aggregations:
+      - name: daily
+        measures: [revenue]
+        dimensions: [status]
+        time_dimension: order_date
+        granularity: day
+        partition_granularity: month
+""")
+    monkeypatch.setenv("SIDEMANTIC_SPARK_PREAGG_PATH", str(tmp_path / "preaggs"))
+    rc = cli.main(["preagg", "apply", "-f", str(path), "orders"])
+    assert rc == 0
+    assert "materialized" in capsys.readouterr().out
+    rc = cli.main(["preagg", "refresh", "-f", str(path), "orders",
+                   "--name", "daily", "--since", "1997-01-01"])
+    assert rc == 0
+    assert "refreshed orders.daily" in capsys.readouterr().out
+
+
+def test_cli_convert_all_export_formats(models_yml, tmp_path, capsys):
+    for fmt in ["cube", "rill", "superset", "hex", "omni", "snowflake",
+                "bsl", "osi", "atscale", "thoughtspot", "malloy", "tmdl",
+                "holistics", "gooddata"]:
+        out = tmp_path / f"out.{fmt}"
+        rc = cli.main(["convert", "-f", models_yml, "--to", fmt,
+                       "--out", str(out)])
+        assert rc == 0, fmt
+        assert "orders" in out.read_text(), fmt
