@@ -511,6 +511,72 @@ def _pipeline_clean_corpus(spark, sf_dir):
     )
 
 
+def _explore_query(spark, sf_dir):
+    """Explore consumption contract (reference core/consumption.py,
+    resolved at compile core/semantic_layer.py:923): curated metric/dim
+    allowlist + mandatory filter + default order/limit applied to the
+    user's partial query."""
+    from sidemantic_spark.core.consumption import Explore
+
+    layer = _layer(spark, sf_dir)
+    if "orders_by_priority" not in layer.graph.explores:
+        layer.add_explore(Explore(
+            name="orders_by_priority",
+            model="orders",
+            allowed_dimensions=["orders.priority", "orders.status"],
+            allowed_metrics=["orders.revenue", "orders.order_count"],
+            filters=["orders.status != 'P'"],
+            default_order_by=["priority"],
+        ))
+    return layer.query(
+        explore="orders_by_priority",
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["orders.priority"],
+    )
+
+
+def _pipeline_sequence_pack(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing (distributed prefix
+    sum: per-shard window + broadcast base offsets — no global
+    single-partition stage). Token weight is the chars/4 heuristic so
+    the op stays a pure function of the documents table."""
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators.pipeline import sequence_pack
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("greatest(n_chars div 4, 1)").alias("n_tokens"),
+    )
+    return sequence_pack(d, capacity=2048, n_shards=64)
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25}
+
+
+def _pipeline_sample_stratified(spark, sf_dir):
+    """Deterministic stratified downsampling keyed on md5(doc_id):
+    reproducible across runs/engines/cluster sizes, no RNG state."""
+    from sidemantic_spark.operators.pipeline import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        rates=_SAMPLE_RATES, default_rate=0.1,
+    )
+
+
+def _pipeline_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (id >= 50) sharing any
+    word 8-gram with the eval slice (id < 50). Inverted-index join on
+    the gram hash; only (id, hash) pairs shuffle."""
+    from sidemantic_spark.operators.pipeline import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.where("doc_id >= 50"), docs.where("doc_id < 50"), n=8
+    )
+
+
 def _source_scan_uri(spark, sf_dir):
     """Remote/file source scan (reference core/model.py:30 source_uri):
     the model binds to a parquet URI, registered as a plain scan view so
@@ -980,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.1 file/remote source scan + §3 saved queries
         "source_scan_uri": _source_scan_uri,
         "saved_query_run": _saved_query_run,
+        "explore_query": _explore_query,
         # connected-components dedup clustering over the ngram pair graph
         "dedup_clusters": _dedup_clusters,
         # text fingerprinting (md5 of normalized content)
@@ -987,6 +1054,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE-ish tokenization + composed clean-corpus pipeline
         "text_token_bpe": _token_bpe,
         "pipeline_clean_corpus": _pipeline_clean_corpus,
+        # training-pipeline ops: packing, sampling, decontamination
+        "pipeline_sequence_pack": _pipeline_sequence_pack,
+        "pipeline_sample_stratified": _pipeline_sample_stratified,
+        "pipeline_decontaminate": _pipeline_decontaminate,
         # §2.1 pre-aggregation materialization sink + aggregate-aware
         # routing
         "preagg_rollup_route": _preagg_route,
@@ -1102,6 +1173,8 @@ def _near_dup_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sidemantic_spark.operators.pipeline import sample_thresholds_sql
+
     fp = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
     return {
         "basic_agg": """
@@ -1852,6 +1925,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(btoks) AS BIGINT) AS total_bpe_tokens,
                    CAST(SUM(CAST(q AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS avg_quality
             FROM kept
+        """,
+        "explore_query": """
+            SELECT o_orderpriority AS priority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderstatus != 'P'
+            GROUP BY 1
+        """,
+        # two-level distributed prefix sum == one global cumsum ordered
+        # by (shard, id); integer division on both sides
+        "pipeline_sequence_pack": """
+            WITH t AS (
+                SELECT doc_id, GREATEST(n_chars // 4, 1) AS n_tokens,
+                       doc_id % 64 AS shard
+                FROM documents
+            ),
+            o AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY shard, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS start_offset
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(start_offset // 2048 AS BIGINT) AS pack_id,
+                   start_offset,
+                   n_tokens,
+                   (start_offset // 2048) != ((start_offset + n_tokens - 1) // 2048)
+                       AS straddles
+            FROM o
+        """,
+        "pipeline_sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < {sample_thresholds_sql(_SAMPLE_RATES, default_rate=0.1)}
+        """,
+        # grams compared as strings (Spark compares xxhash64 of the same
+        # strings — identical equivalence classes barring collisions,
+        # same argument as the ngram-jaccard oracle)
+        "pipeline_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(w) - 7, 1) + 1),
+                           i -> array_to_string(w[i:i+7], ' ')
+                       )) AS gs
+                FROM toks
+            ),
+            eg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id < 50),
+            tg AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id >= 50)
+            SELECT tg.doc_id, COUNT(DISTINCT tg.g) AS shared_grams
+            FROM tg JOIN eg ON tg.g = eg.g
+            GROUP BY 1
         """,
         "streaming_window_agg": """
             SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS window_start,

@@ -1,0 +1,179 @@
+"""Training-data pipeline operators: sequence packing, stratified
+sampling, benchmark decontamination.
+
+These extend the reference's surface (which has no data-processing
+operators — it is a semantic-layer compiler) with the corpus-prep
+stages a large-scale LLM training pipeline runs over 100 TB of text,
+each designed Spark-first:
+
+- ``sequence_pack``: GPT-style concat-and-chunk packing — documents are
+  laid out in a deterministic global order and split into fixed
+  ``capacity``-token windows. The global token offset is a distributed
+  prefix sum: per-shard partial sums (one tiny aggregate), shard base
+  offsets via a window over the (tiny) shard totals, then one
+  broadcast-joined map stage. No global single-partition window ever
+  sees the full corpus — the only ORDER BY over all rows lives in the
+  per-shard window, partitioned by shard.
+- ``stratified_sample``: deterministic per-stratum rate sampling keyed
+  on md5(id) — reproducible across runs, engines, and cluster sizes
+  (no RNG state), one filter stage, no shuffle.
+- ``decontaminate``: flags training documents sharing any word n-gram
+  with an eval/benchmark corpus — inverted-index semi-join on the gram
+  hash, shuffling only (gram_hash, id) pairs, never the documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(text: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def sequence_pack(
+    df: DataFrame,
+    capacity: int = 2048,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 256,
+) -> DataFrame:
+    """Assign every document a pack id under concat-and-chunk packing.
+
+    Documents are ordered by (shard, id) with ``shard = id mod
+    n_shards`` and conceptually concatenated; the token stream is cut
+    into consecutive ``capacity``-token sequences. Returns
+    ``(id, pack_id, start_offset, n_tokens, straddles)`` where
+    ``pack_id = start_offset div capacity`` and ``straddles`` marks
+    documents crossing a pack boundary (a real packer would either
+    split these across sequences or re-slot them; the assignment is the
+    distributed part).
+
+    Scale: the prefix sum is two-level — a per-shard cumulative window
+    (each shard's rows sort locally) plus a base-offset table of
+    ``n_shards`` rows joined back (broadcast). Equivalent to one global
+    ``SUM() OVER (ORDER BY shard, id)`` but with no single-partition
+    stage over the corpus.
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).alias("__shard")
+    base = df.select(F.col(id_col), F.col(token_col).cast("long").alias("__t"), shard)
+    # per-shard running total (exclusive): rows sort only within a shard
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn("__local_off", F.coalesce(F.sum("__t").over(w), F.lit(0)))
+    # shard base offsets: n_shards rows, window over a tiny frame
+    totals = base.groupBy("__shard").agg(F.sum("__t").alias("__tot"))
+    wsh = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.withColumn("__base", F.coalesce(F.sum("__tot").over(wsh), F.lit(0))).select(
+        "__shard", "__base"
+    )
+    packed = local.join(F.broadcast(bases), "__shard").withColumn(
+        "__start", F.col("__base") + F.col("__local_off")
+    )
+    # integer division (`div`) keeps offsets exact at any corpus size —
+    # double division would round above 2^53 tokens
+    return packed.select(
+        F.col(id_col),
+        F.expr(f"__start div {capacity}").alias("pack_id"),
+        F.col("__start").alias("start_offset"),
+        F.col("__t").alias("n_tokens"),
+        F.expr(
+            f"(__start div {capacity}) != ((__start + __t - 1) div {capacity})"
+        ).alias("straddles"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified downsampling: keep a row iff the first
+    8 hex chars of ``md5(id)`` fall below the stratum's rate threshold.
+
+    md5 is uniform on the id space, so the kept fraction converges to
+    the rate per stratum; the decision depends only on the id — stable
+    under re-runs, repartitioning, and incremental arrivals (a document
+    never flips in or out when the corpus grows). Engine-portable (md5
+    is bit-identical everywhere), unlike RNG-based ``df.sample``.
+    """
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    thresholds = [
+        (stratum, format(int(rate * 0xFFFFFFFF), "08x"))
+        for stratum, rate in rates.items()
+    ]
+    thr = F.lit(format(int(default_rate * 0xFFFFFFFF), "08x"))
+    for stratum, hex_thr in thresholds:
+        thr = F.when(F.col(strata_col) == stratum, F.lit(hex_thr)).otherwise(thr)
+    return df.where(key < thr)
+
+
+def sample_thresholds_sql(
+    rates: dict[str, float], strata_col: str = "lang", default_rate: float = 0.0
+) -> str:
+    """The CASE expression mirroring :func:`stratified_sample`'s
+    threshold choice — shared with SQL oracles so both engines compare
+    the identical hex literals."""
+    branches = "".join(
+        f"WHEN {strata_col} = '{s}' THEN '{format(int(r * 0xFFFFFFFF), '08x')}' "
+        for s, r in rates.items()
+    )
+    return f"CASE {branches}ELSE '{format(int(default_rate * 0xFFFFFFFF), '08x')}' END"
+
+
+def _word_gram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gram_hash) long-format word n-grams of the normalized text.
+    Documents shorter than ``n`` words contribute their whole text as
+    one gram (mirrors the dedup family's degenerate-input rule)."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(_norm(F.col(text_col)), " ").alias("__toks"),
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("__toks") - n + 1, F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i, n))),
+        )
+    )
+    return toks.select("__id", F.explode(grams).alias("__gram"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: ``(doc_id, shared_grams)`` for every
+    training document sharing at least one word ``n``-gram with the
+    eval corpus.
+
+    Plan shape: both sides explode to (id, gram_hash); the eval side
+    reduces to DISTINCT gram hashes (eval sets are small — benchmark
+    suites, not corpora — so this side broadcasts or AQE converts it);
+    one join keyed on the 8-byte hash counts shared grams per training
+    doc. The documents themselves never shuffle, only (id, hash) pairs.
+    Filtering the clean set is then a cheap ``left_anti`` join against
+    this frame.
+    """
+    train_grams = _word_gram_hashes(train, text_col, id_col, n)
+    eval_grams = (
+        _word_gram_hashes(eval_df, text_col, id_col, n)
+        .select("__gram")
+        .distinct()
+    )
+    return (
+        train_grams.join(eval_grams, "__gram")
+        .groupBy("__id")
+        .agg(F.countDistinct("__gram").alias("shared_grams"))
+        .select(F.col("__id").alias(id_col), "shared_grams")
+    )

@@ -281,3 +281,77 @@ def test_cosine_topk_join_matches_single_query(embs):
         ).collect()
     }
     assert single == batch
+
+
+# ----------------------------------------------------------------------
+# training-pipeline operators: packing / sampling / decontamination
+# ----------------------------------------------------------------------
+
+def test_sequence_pack_invariants(spark):
+    """Pack assignment equals the single-window global cumsum, offsets
+    are a permutation-free exact prefix sum, and every non-straddling
+    doc fits inside its pack."""
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators.pipeline import sequence_pack
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 900 + 1) for i in range(500)], "doc_id long, n_tokens long"
+    )
+    out = sequence_pack(df, capacity=1000, n_shards=8).orderBy("doc_id").collect()
+    # exact prefix sum in (shard, id) order
+    rows = sorted(out, key=lambda r: (r.doc_id % 8, r.doc_id))
+    run = 0
+    for r in rows:
+        assert r.start_offset == run, r
+        assert r.pack_id == run // 1000
+        expected_straddle = (run // 1000) != ((run + r.n_tokens - 1) // 1000)
+        assert r.straddles == expected_straddle
+        run += r.n_tokens
+    # total token conservation
+    assert run == sum(r.n_tokens for r in out)
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from sidemantic_spark.operators.pipeline import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(3000)], "doc_id long, lang string"
+    )
+    kept = stratified_sample(df, {"en": 0.5, "de": 0.1}, default_rate=0.0)
+    counts = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    n_en = 2000
+    n_de = 1000
+    assert abs(counts.get("en", 0) / n_en - 0.5) < 0.08
+    assert abs(counts.get("de", 0) / n_de - 0.1) < 0.05
+    # deterministic: second run keeps the identical id set
+    ids1 = {r.doc_id for r in kept.collect()}
+    ids2 = {r.doc_id for r in stratified_sample(
+        df, {"en": 0.5, "de": 0.1}, default_rate=0.0).collect()}
+    assert ids1 == ids2
+    # membership is stable under corpus growth (pure function of id)
+    bigger = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(6000)], "doc_id long, lang string"
+    )
+    ids3 = {r.doc_id for r in stratified_sample(
+        bigger, {"en": 0.5, "de": 0.1}, default_rate=0.0).collect()}
+    assert ids1 == {i for i in ids3 if i < 3000}
+
+
+def test_decontaminate_flags_overlap(spark):
+    from sidemantic_spark.operators.pipeline import decontaminate
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [(100, f"prefix words here {shared} and a long suffix tail"),
+         (101, "completely different content with no overlap at all in any window"),
+         (102, shared)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, f"intro {shared} outro closing words")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.shared_grams for r in decontaminate(train, ev, n=8).collect()}
+    assert 100 in got and 102 in got and 101 not in got
+    assert got[102] >= 1
