@@ -128,6 +128,31 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Structured query plan: join path, fan-out strategy, filter
+    pushdown split, preagg candidates with accept/reject reasons
+    (reference `explain` CLI; our layer.explain_plan)."""
+    import json as _json
+
+    layer = _load_layer(args)
+    plan = layer.explain_plan(
+        metrics=args.metrics or [], dimensions=args.dimensions or [],
+        filters=args.filters or [],
+    )
+    print(_json.dumps(plan, indent=2, default=str))
+    return 0
+
+
+def cmd_explain_sql(args) -> int:
+    """Rewrite explanation for semantic SQL: chosen plan + applied and
+    rejected rewrite rules (reference `explain-sql`; layer.explain_sql)."""
+    import json as _json
+
+    layer = _load_layer(args)
+    print(_json.dumps(layer.explain_sql(args.sql), indent=2, default=str))
+    return 0
+
+
 def cmd_validate(args) -> int:
     layer = _load_layer(args)
     result = layer.validate()
@@ -223,6 +248,77 @@ def cmd_preagg_refresh(args) -> int:
             layer.preaggs.materialize(args.model, name)
             print(f"rebuilt {args.model}.{name}")
     return 0
+
+
+def _read_queries(path: str) -> list[str]:
+    """One query per ``.sql`` file in a directory, or ``;``-split
+    statements from a single file."""
+    import os
+
+    sqls: list[str] = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".sql"):
+                with open(os.path.join(path, f)) as fh:
+                    sqls.append(fh.read())
+    else:
+        with open(path) as fh:
+            sqls = [s for s in fh.read().split(";") if s.strip()]
+    return sqls
+
+
+def cmd_migrate_check(args) -> int:
+    """Coverage report: which corpus queries the layer can already
+    answer, and what is missing (reference core/migrator.py:195)."""
+    import json as _json
+
+    from sidemantic_spark.core.migrator import Migrator
+
+    layer = _load_layer(args)
+    report = Migrator(layer).check(_read_queries(args.queries))
+    if args.output == "json":
+        print(_json.dumps({
+            k: v for k, v in report.items() if k != "analyses"
+        } | {"queries": [
+            {"can_rewrite": a.can_rewrite, "rewritten": a.rewritten,
+             "reasons": a.reasons} for a in report["analyses"]
+        ]}, indent=2))
+        return 0
+    print(f"{report['rewritable']}/{report['total']} queries rewritable "
+          f"({report['coverage']:.0%} coverage)")
+    for a in report["analyses"]:
+        status = "OK  " if a.can_rewrite else "MISS"
+        first = " ".join(a.sql.split())[:60]
+        print(f"  [{status}] {first}")
+        if a.can_rewrite and args.verbose:
+            print(f"         -> {a.rewritten}")
+        for r in a.reasons:
+            print(f"         ! {r}")
+    if report["missing_tables"]:
+        print("missing models:", ", ".join(
+            f"{t} ({n} queries)" for t, n in report["missing_tables"].items()))
+    return 0
+
+
+def cmd_migrate_generate(args) -> int:
+    """Generate model YAML for uncovered tables from the query corpus."""
+    from sidemantic_spark.core.migrator import Migrator
+
+    layer = _load_layer(args) if args.models else _load_layer_empty()
+    text = Migrator(layer).generate_yaml(_read_queries(args.queries))
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(text)
+        print(f"wrote {args.out}")
+    else:
+        print(text)
+    return 0
+
+
+def _load_layer_empty():
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    return SparkSemanticLayer(None)
 
 
 def cmd_serve(args) -> int:
@@ -425,6 +521,32 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("data", nargs="+", help="parquet/csv/json files")
     p.add_argument("--out", default=None)
     p.set_defaults(func=cmd_init)
+
+    p = sub.add_parser("explain", help="structured plan for a semantic query")
+    _add_models_arg(p)
+    _add_query_args(p)
+    p.set_defaults(func=cmd_explain)
+
+    p = sub.add_parser("explain-sql", help="rewrite explanation for semantic SQL")
+    _add_models_arg(p)
+    p.add_argument("sql")
+    p.set_defaults(func=cmd_explain_sql)
+
+    mg = sub.add_parser("migrate", help="SQL-corpus migration analysis")
+    mgsub = mg.add_subparsers(dest="migrate_command", required=True)
+
+    p = mgsub.add_parser("check", help="coverage report over a query corpus")
+    _add_models_arg(p)
+    p.add_argument("queries", help=".sql directory or ;-separated file")
+    p.add_argument("-o", "--output", default="text", choices=["text", "json"])
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.set_defaults(func=cmd_migrate_check)
+
+    p = mgsub.add_parser("generate", help="generate models for uncovered tables")
+    _add_models_arg(p, required=False)
+    p.add_argument("queries", help=".sql directory or ;-separated file")
+    p.add_argument("--out", default=None)
+    p.set_defaults(func=cmd_migrate_generate)
 
     pa = sub.add_parser("preagg", help="pre-aggregation management")
     pasub = pa.add_subparsers(dest="preagg_command", required=True)
