@@ -179,6 +179,36 @@ def _table_calc_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _table_calc_pct_of_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sidemantic_spark.sql.table_calcs import TableCalculation
+
+    return _layer(spark, sf_dir).query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.order_date__month AS order_month"],
+        table_calcs=[
+            TableCalculation(
+                name="pct_of_prev", type="percent_of_previous",
+                field="revenue", order_by=["order_month"],
+            )
+        ],
+    )
+
+
+def _table_calc_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sidemantic_spark.sql.table_calcs import TableCalculation
+
+    return _layer(spark, sf_dir).query(
+        metrics=["orders.revenue", "orders.open_revenue"],
+        dimensions=["orders.status"],
+        table_calcs=[
+            TableCalculation(
+                name="closed_revenue", type="formula",
+                formula="revenue - COALESCE(open_revenue, 0)",
+            )
+        ],
+    )
+
+
 def _stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ROUND(…, 2) on both sides: stddev/variance accumulate float error
     # in engine-specific order, so last-ulp digits differ legitimately
@@ -922,6 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_calc_pct_of_total": _table_calc_pct_of_total,
         "table_calc_rank": _table_calc_rank,
         "table_calc_moving_avg": _table_calc_moving_avg,
+        "table_calc_pct_of_previous": _table_calc_pct_of_previous,
+        "table_calc_formula": _table_calc_formula,
         # §2.3 joins
         "join_m2o": _q(
             metrics=["orders.revenue"], dimensions=["customer.mktsegment"]
@@ -1003,6 +1035,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yoy_difference": _q(
             metrics=["orders.revenue_yoy_diff"],
             dimensions=["orders.order_date__year AS order_year"],
+        ),
+        # §2.5 qoq with calculation=ratio at quarter grain
+        "qoq_ratio": _q(
+            metrics=["orders.revenue_qoq_ratio"],
+            dimensions=["orders.order_date__quarter AS order_quarter"],
         ),
         "conversion_funnel": _q(metrics=["events.signup_to_purchase"]),
         "conversion_funnel_3step": _q(metrics=["events.signup_funnel"]),
@@ -1338,6 +1375,43 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY order_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                    ) AS revenue_3mo_avg
             FROM q
+        """,
+        "table_calc_pct_of_previous": """
+            WITH q AS (
+                SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT order_month, CAST(revenue AS DOUBLE) AS revenue,
+                   (CAST(revenue AS DOUBLE) - LAG(revenue) OVER (ORDER BY order_month))
+                   * 100 / NULLIF(CAST(LAG(revenue) OVER (ORDER BY order_month) AS DOUBLE), 0)
+                       AS pct_of_prev
+            FROM q
+        """,
+        "table_calc_formula": """
+            WITH q AS (
+                SELECT o_orderstatus AS status,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                       SUM(CASE WHEN o_orderstatus = 'O'
+                                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS open_revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT status, CAST(revenue AS DOUBLE) AS revenue,
+                   CAST(open_revenue AS DOUBLE) AS open_revenue,
+                   CAST(revenue - COALESCE(open_revenue, 0) AS DOUBLE) AS closed_revenue
+            FROM q
+        """,
+        "qoq_ratio": """
+            WITH inner_q AS (
+                SELECT CAST(DATE_TRUNC('quarter', o_orderdate) AS TIMESTAMP) AS order_quarter,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT i.order_quarter,
+                   CAST(i.revenue AS DOUBLE) / NULLIF(CAST(p.revenue AS DOUBLE), 0)
+                       AS revenue_qoq_ratio
+            FROM inner_q i
+            LEFT JOIN inner_q p ON p.order_quarter = i.order_quarter - INTERVAL 3 MONTH
         """,
         "semantic_sql_union": """
             SELECT o_orderstatus AS status,

@@ -153,6 +153,13 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                     calculation="percent_change",
                 ),
                 Metric(
+                    name="revenue_qoq_ratio",
+                    type="time_comparison",
+                    base_metric="revenue",
+                    comparison_type="qoq",
+                    calculation="ratio",
+                ),
+                Metric(
                     name="revenue_yoy_diff",
                     type="time_comparison",
                     base_metric="revenue",

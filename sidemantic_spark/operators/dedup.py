@@ -249,16 +249,20 @@ def pairs_from_bucket_keys(
             ).alias("p")
         )
         .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
-        # pair rows are tiny (16B) but each costs an exact verify
-        # (Jaccard / cosine) downstream — AQE coalesces the shuffle by
-        # BYTE size and would run the CPU-bound verify on 1-2 cores
-        # (measured 27s of a 37s run). An explicit repartition is
-        # exempt from AQE coalescing and pins verify at full
-        # parallelism; the extra shuffle moves only the id pairs.
+        # ONE shuffle does both dedup and verify-parallelism pinning:
+        # repartition hash-distributes on the dedup keys, so the
+        # following dropDuplicates reuses that partitioning (no second
+        # Exchange — verified in the plan). The explicit repartition
+        # matters because pair rows are tiny (16B) but each costs an
+        # exact verify (Jaccard / cosine) downstream — AQE coalesces
+        # shuffles by BYTE size and would run the CPU-bound verify on
+        # 1-2 cores (measured 27s of a 37s run); explicit repartitions
+        # are exempt from AQE coalescing.
         .repartition(
-            banded.sparkSession.sparkContext.defaultParallelism, "id_a"
+            banded.sparkSession.sparkContext.defaultParallelism,
+            "id_a", "id_b",
         )
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

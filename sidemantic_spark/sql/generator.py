@@ -1800,12 +1800,57 @@ FROM __per_entity"""
         if where:
             joined += "\n    WHERE " + "\n      AND ".join(f"({w})" for w in where)
 
+        # Two physical strategies, same semantics (rows at the per-group
+        # marker timestamp):
+        #
+        # (a) aggregation pipeline (preferred when every metric's agg
+        #     decomposes): partial-aggregate per (groupings, dims, ts)
+        #     — map-side combinable, the shuffle carries one row per
+        #     timestamp bucket — then {MAX,MIN}_BY picks the marker
+        #     bucket per group (no ties: ts is a group key), then
+        #     re-aggregate over groups. Sort-free: at fact scale this
+        #     avoids the window plan's full-row sort-within-partitions.
+        # (b) window-marker plan (reference shape, sql/generator.py
+        #     :3391-3629): MAX(ts) OVER (PARTITION BY ...) + equality
+        #     filter — handles any agg (count_distinct, avg, median)
+        #     since the original rows survive to the final aggregate.
+        decomposable = {"sum", "count", "min", "max"}
+        if all(
+            rmx.metric.agg in decomposable and not rmx.metric.sql_is_complete
+            for rmx in r.metrics
+        ):
+            by_fn = "MAX_BY" if m.non_additive_window == "max" else "MIN_BY"
+            ts_parts = list(part_cols) + ["__nad"]
+            ts_sel = list(ts_parts)
+            last_sel = list(part_cols)
+            final_parts = list(dim_outs)
+            for rmx in r.metrics:
+                mm = rmx.metric
+                value = f"{mm.name}_raw" if mm.sql else None
+                partial = mm.agg_sql(value) if value else "COUNT(*)"
+                ts_sel.append(f"{partial} AS {rmx.out}__ts")
+                last_sel.append(f"{by_fn}({rmx.out}__ts, __nad) AS {rmx.out}__last")
+                outer = "SUM" if mm.agg in ("sum", "count") else mm.agg.upper()
+                final_parts.append(f"{outer}({rmx.out}__last) AS {rmx.out}")
+            ts_cte = (
+                "SELECT\n        " + ",\n        ".join(ts_sel)
+                + "\n    FROM __joined\n    GROUP BY " + ", ".join(ts_parts)
+            )
+            last_cte = "SELECT\n        " + ",\n        ".join(last_sel) + "\n    FROM __ts"
+            if part_cols:
+                last_cte += "\n    GROUP BY " + ", ".join(part_cols)
+            final = "SELECT\n    " + ",\n    ".join(final_parts) + "\nFROM __last"
+            if dim_outs:
+                final += "\nGROUP BY " + ", ".join(dim_outs)
+            final += self._order_limit(r)
+            extra_ctes = [("__joined", joined), ("__ts", ts_cte), ("__last", last_cte)]
+            return self._assemble(
+                r, ctes, final, plan="semi-additive-agg", extra_ctes=extra_ctes
+            )
+
         marked = (
             f"SELECT *, {fn}(__nad) OVER (PARTITION BY {part}) AS __marker FROM __joined"
         )
-
-        def value_of(out: str, metric: Metric):
-            return f"{out}_raw"
 
         select_parts = list(dim_outs)
         for rmx in r.metrics:

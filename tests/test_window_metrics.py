@@ -251,6 +251,49 @@ def test_semi_additive_last_snapshot(layer, duck):
     )
 
 
+def test_semi_additive_strategies_agree(layer, duck):
+    """The sort-free aggregation-pipeline plan (partial agg per
+    timestamp -> MAX_BY marker pick -> re-agg) is chosen for
+    decomposable aggs and returns the same rows as the reference-shaped
+    window-marker plan; non-decomposable aggs fall back to the window
+    plan."""
+    kw = dict(
+        metrics=["lineitem.last_qty_per_part"],
+        dimensions=["lineitem.ship_date__month AS ship_month"],
+    )
+    sql = layer.compile(**kw)
+    assert "plan=semi-additive-agg" in sql
+    assert "MAX_BY" in sql and "OVER" not in sql
+
+    agg_rows = {
+        (r[0], round(r[1], 6)) for r in layer.query(**kw).collect()
+    }
+    # window fallback: a count_distinct metric is not decomposable
+    from sidemantic_spark.core.model import Metric
+
+    li = layer.graph.get_model("lineitem")
+    if li.metric("last_cd_probe") is None:
+        li.add_metric(Metric(
+            name="last_cd_probe", agg="count_distinct", sql="l_partkey",
+            non_additive_dimension="ship_date",
+            non_additive_window_groupings=["partkey"],
+        ))
+    sql_fb = layer.compile(
+        metrics=["lineitem.last_qty_per_part", "lineitem.last_cd_probe"],
+        dimensions=["lineitem.ship_date__month AS ship_month"],
+    )
+    assert "plan=semi-additive\n" in sql_fb or "plan=semi-additive " in sql_fb
+    assert "OVER (PARTITION BY" in sql_fb
+    win_rows = {
+        (r[0], round(r[1], 6))
+        for r in layer.query(
+            metrics=["lineitem.last_qty_per_part", "lineitem.last_cd_probe"],
+            dimensions=["lineitem.ship_date__month AS ship_month"],
+        ).select("ship_month", "last_qty_per_part").collect()
+    }
+    assert agg_rows == win_rows
+
+
 def test_multistep_funnel(layer, duck):
     """N-step funnel: sequential CTE chain enforcing chronological
     order (reference sql/generator.py:5420-5700)."""
