@@ -207,3 +207,18 @@ def test_explain_plan_fanout_and_join_path(layer):
     assert ex["join_path"][0]["to"] == "orders"
     assert ex["join_path"][0]["type"] == "many_to_one"
     assert ex["filters"]["pushdown"].get("orders")
+
+
+def test_semi_additive_agg_plan_is_sort_free(layer):
+    """The decomposable-agg semi-additive strategy must contain no Sort
+    operator (the window-marker plan's dominant cost at fact scale) and
+    keep map-side partial aggregation on the first shuffle."""
+    df = layer.query(
+        metrics=["lineitem.last_qty_per_part"],
+        dimensions=["lineitem.ship_date__month AS ship_month"],
+    )
+    plan = _plan(df)
+    assert "Sort" not in plan, plan
+    assert "partial_" in plan or "HashAggregate" in plan
+    # window plan would show a Window node
+    assert "Window" not in plan
