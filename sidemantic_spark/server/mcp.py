@@ -11,6 +11,7 @@ Tools:
 - ``compile_query`` — structured query -> Spark SQL text
 - ``run_query``     — structured query -> rows (limit-capped)
 - ``run_sql``       — semantic SQL -> rows (limit-capped)
+- ``create_chart``  — structured query -> Vega-Lite v5 spec
 """
 
 from __future__ import annotations
@@ -71,6 +72,27 @@ TOOLS = [
             "type": "object",
             "properties": {"sql": {"type": "string"}},
             "required": ["sql"],
+        },
+    },
+    {
+        "name": "create_chart",
+        "description": (
+            "Run a semantic query and return a Vega-Lite v5 chart spec. "
+            "chart_type auto: time dim -> line, categorical -> bar, "
+            "multiple metrics fold into a colored series"
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "metrics": {"type": "array", "items": {"type": "string"}},
+                "dimensions": {"type": "array", "items": {"type": "string"}},
+                "filters": {"type": "array", "items": {"type": "string"}},
+                "chart_type": {
+                    "type": "string",
+                    "enum": ["auto", "bar", "line", "area", "scatter", "point"],
+                },
+                "title": {"type": "string"},
+            },
         },
     },
 ]
@@ -140,6 +162,22 @@ class McpServer:
 
         df = self.layer.sql(args["sql"]).limit(MAX_ROWS)
         return {"rows": _df_to_rows(df)}
+
+    def tool_create_chart(self, args: dict):
+        """Query + Vega-Lite spec (reference mcp_server.py:486 chart
+        tool; spec-only — see charts.py for the no-PNG rationale)."""
+        from sidemantic_spark.charts import chart_for_query
+
+        spec = chart_for_query(
+            self.layer,
+            metrics=args.get("metrics"),
+            dimensions=args.get("dimensions"),
+            filters=args.get("filters"),
+            chart_type=args.get("chart_type", "auto"),
+            title=args.get("title"),
+            limit=MAX_ROWS,
+        )
+        return {"vega_lite": spec}
 
     # -- JSON-RPC loop ------------------------------------------------
 

@@ -83,3 +83,24 @@ def test_stdio_loop(mcp):
     lines = [json.loads(ln) for ln in stdout.getvalue().strip().splitlines()]
     assert len(lines) == 2  # notification produced no response
     assert lines[0]["id"] == 1 and lines[1]["id"] == 2
+
+
+def test_mcp_create_chart_tool(mcp):
+    """Chart tool (reference mcp_server.py:486): returns a Vega-Lite v5
+    spec with data inlined and auto-selected mark."""
+    import json
+
+    resp = mcp.handle({
+        "jsonrpc": "2.0", "id": 9, "method": "tools/call",
+        "params": {"name": "create_chart", "arguments": {
+            "metrics": ["orders.revenue"],
+            "dimensions": ["orders.status"],
+        }},
+    })
+    payload = json.loads(resp["result"]["content"][0]["text"])
+    spec = payload["vega_lite"]
+    assert spec["$schema"].endswith("vega-lite/v5.json")
+    assert spec["mark"]["type"] == "bar"  # categorical x -> bar
+    assert len(spec["data"]["values"]) == 3
+    assert spec["encoding"]["x"]["field"] == "status"
+    assert spec["encoding"]["y"]["field"] == "revenue"

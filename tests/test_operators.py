@@ -355,3 +355,42 @@ def test_decontaminate_flags_overlap(spark):
     got = {r.doc_id: r.shared_grams for r in decontaminate(train, ev, n=8).collect()}
     assert 100 in got and 102 in got and 101 not in got
     assert got[102] >= 1
+
+
+# ----------------------------------------------------------------------
+# chart spec generation (reference charts.py create_chart)
+# ----------------------------------------------------------------------
+
+def test_chart_auto_selection_and_fold():
+    import datetime
+
+    from sidemantic_spark.charts import ChartError, create_chart
+
+    # time x -> line with points
+    rows = [{"month": datetime.date(2026, i, 1), "revenue": float(i)} for i in range(1, 6)]
+    spec = create_chart(rows)
+    assert spec["mark"]["type"] == "line" and spec["mark"]["point"]
+    assert spec["encoding"]["x"]["type"] == "temporal"
+
+    # categorical x -> bar
+    rows = [{"status": s, "revenue": 1.0} for s in "OFP"]
+    assert create_chart(rows)["mark"]["type"] == "bar"
+
+    # multi-metric folds into a colored series with xOffset grouping
+    rows = [{"status": s, "revenue": 1.0, "order_count": 2} for s in "OFP"]
+    spec = create_chart(rows)
+    assert spec["transform"][0]["fold"] == ["revenue", "order_count"]
+    assert spec["encoding"]["color"]["field"] == "series"
+    assert spec["encoding"]["xOffset"]["field"] == "series"
+
+    # no quantitative column -> explicit error
+    import pytest as _pytest
+
+    with _pytest.raises(ChartError):
+        create_chart([{"a": "x", "b": "y"}])
+
+    # PNG path is an honest stub
+    from sidemantic_spark.charts import chart_to_png
+
+    with _pytest.raises(NotImplementedError):
+        chart_to_png(spec)
