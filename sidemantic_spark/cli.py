@@ -376,6 +376,15 @@ def cmd_pgserve(args) -> int:
     return 0
 
 
+def cmd_lsp(args) -> int:
+    """Language server over stdio (reference lsp/server.py): diagnostics,
+    completions, hover, document symbols for model YAML files."""
+    from sidemantic_spark.server.lsp import LspServer
+
+    LspServer().serve_stdio()
+    return 0
+
+
 def cmd_mcp(args) -> int:
     from sidemantic_spark.server import McpServer
 
@@ -516,6 +525,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("mcp", help="run the MCP stdio server")
     _add_models_arg(p)
     p.set_defaults(func=cmd_mcp)
+
+    p = sub.add_parser("lsp", help="run the language server (stdio)")
+    p.set_defaults(func=cmd_lsp)
 
     p = sub.add_parser("init", help="introspect data files and generate model YAML")
     p.add_argument("data", nargs="+", help="parquet/csv/json files")
