@@ -34,6 +34,8 @@ HEADLINE = [
     "text_profile",
     "sim_cosine_topk",
     "dedup_minhash_lsh",
+    "pipeline_sequence_pack",
+    "pipeline_decontaminate",
 ]
 
 

@@ -376,6 +376,54 @@ def cmd_pgserve(args) -> int:
     return 0
 
 
+def cmd_generate_types(args) -> int:
+    """TypeScript typed-client schema (reference codegen.py
+    generate_client_schema_ts)."""
+    from sidemantic_spark.codegen import generate_client_schema_ts
+
+    layer = _load_layer(args)
+    text = generate_client_schema_ts(layer)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(text)
+        print(f"wrote {args.out}")
+    else:
+        print(text)
+    return 0
+
+
+def cmd_generate_sql(args) -> int:
+    """sqlx-style typed semantic SQL: scan TS sources for semantic-SQL
+    literals, validate, and emit typed query signatures."""
+    import glob as _glob
+    import os
+
+    from sidemantic_spark.codegen import generate_sql_types_ts
+
+    spark = _build_spark("sidemantic-spark-gen")
+    layer = _load_layer(args, spark)
+    layer.register_sources()
+    sources: dict[str, str] = {}
+    for pattern in args.sources:
+        paths = (
+            [os.path.join(r, f) for r, _d, fs in os.walk(pattern) for f in fs
+             if f.endswith((".ts", ".tsx")) and not f.endswith(".d.ts")]
+            if os.path.isdir(pattern)
+            else _glob.glob(pattern)
+        )
+        for pth in sorted(paths):
+            with open(pth) as fh:
+                sources[pth] = fh.read()
+    text = generate_sql_types_ts(layer, sources)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(text)
+        print(f"wrote {args.out}")
+    else:
+        print(text)
+    return 0
+
+
 def cmd_lsp(args) -> int:
     """Language server over stdio (reference lsp/server.py): diagnostics,
     completions, hover, document symbols for model YAML files."""
@@ -528,6 +576,20 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("lsp", help="run the language server (stdio)")
     p.set_defaults(func=cmd_lsp)
+
+    gen = sub.add_parser("generate", help="TypeScript codegen")
+    gensub = gen.add_subparsers(dest="generate_command", required=True)
+
+    p = gensub.add_parser("types", help="typed-client schema module")
+    _add_models_arg(p)
+    p.add_argument("--out", default=None)
+    p.set_defaults(func=cmd_generate_types)
+
+    p = gensub.add_parser("sql", help="typed semantic-SQL signatures from TS sources")
+    _add_models_arg(p)
+    p.add_argument("sources", nargs="+", help="TS files/dirs/globs")
+    p.add_argument("--out", default=None)
+    p.set_defaults(func=cmd_generate_sql)
 
     p = sub.add_parser("init", help="introspect data files and generate model YAML")
     p.add_argument("data", nargs="+", help="parquet/csv/json files")

@@ -272,3 +272,31 @@ def test_cli_explain_commands(models_yml, capsys):
     assert rc == 0
     exp = json.loads(out)
     assert "sql" in exp or "applied_rules" in exp or "plan" in exp
+
+
+def test_generate_types_and_sql(models_yml, tmp_path, capsys):
+    """TypeScript codegen (reference codegen.py): schema module +
+    sqlx-style typed query signatures from TS sources."""
+    rc = cli.main(["generate", "types", "-f", models_yml,
+                   "--out", str(tmp_path / "schema.ts")])
+    assert rc == 0
+    capsys.readouterr()
+    ts = (tmp_path / "schema.ts").read_text()
+    assert "export const schema =" in ts and "as const;" in ts
+    assert '"revenue"' in ts and '"order_date"' in ts
+    assert '"grains"' in ts  # time dimension exposes selectable grains
+    assert "SCHEMA_YAML" in ts
+
+    src = tmp_path / "app.ts"
+    src.write_text(
+        'const q = `SELECT orders.status, orders.revenue FROM orders`;\n'
+        'const bad = `SELECT orders.nope FROM orders`;\n'
+    )
+    rc = cli.main(["generate", "sql", "-f", models_yml, str(src),
+                   "--out", str(tmp_path / "queries.ts")])
+    assert rc == 0
+    capsys.readouterr()
+    out = (tmp_path / "queries.ts").read_text()
+    assert "GeneratedQueries" in out
+    assert "status: string; revenue: number" in out
+    assert "nope" in out and out.index("// ") > out.index("}")  # invalid -> comment

@@ -222,3 +222,49 @@ def test_semi_additive_agg_plan_is_sort_free(layer):
     assert "partial_" in plan or "HashAggregate" in plan
     # window plan would show a Window node
     assert "Window" not in plan
+
+
+def test_preagg_partition_pruning(spark, sf_dir, tmp_path):
+    """A time-filtered query routed to a partition_granularity rollup
+    must prune partitions at the scan (PartitionFilters on __part) —
+    the property that makes time-bounded queries O(window), not
+    O(history), at 100 TB."""
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    layer = build_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [
+        PreAggregation(
+            name="pp_daily",
+            measures=["revenue"],
+            dimensions=["status"],
+            time_dimension="order_date",
+            granularity="day",
+            partition_granularity="month",
+        )
+    ]
+    layer.preaggs.base_path = str(tmp_path)
+    layer.preaggs.materialize("orders")
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.status"],
+        filters=["orders.order_date >= TIMESTAMP '1997-06-01'"],
+    )
+    plan = _plan(df)
+    assert "used_preagg" in layer.compile(
+        metrics=["orders.revenue"],
+        dimensions=["orders.status"],
+        filters=["orders.order_date >= TIMESTAMP '1997-06-01'"],
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    assert "__part" in pf[0]
+    # and values still match the unrouted query
+    layer.generator.use_preaggs = False
+    base = {(r[0], round(float(r[1]), 2)) for r in layer.query(
+        metrics=["orders.revenue"], dimensions=["orders.status"],
+        filters=["orders.order_date >= TIMESTAMP '1997-06-01'"],
+    ).collect()}
+    layer.generator.use_preaggs = True
+    routed = {(r[0], round(float(r[1]), 2)) for r in df.collect()}
+    assert routed == base
