@@ -125,6 +125,12 @@ def cmd_convert(args) -> int:
         print(f"wrote {args.out}")
     else:
         print(text)
+    if getattr(args, "fidelity", False):
+        from sidemantic_spark.adapters.fidelity import roundtrip_fidelity
+
+        rep = roundtrip_fidelity(layer.graph, args.to)
+        for line in rep.summary_lines():
+            print(line)
     return 0
 
 
@@ -536,8 +542,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("convert", help="convert between semantic-model formats")
     _add_models_arg(p)
     p.add_argument("--to", default="native",
-                   help="output format: native, cube, metricflow")
+                   help="output format: native or any of the 17 exporters")
     p.add_argument("--out", default=None)
+    p.add_argument("--fidelity", action="store_true",
+                   help="report constructs the target format drops/approximates")
     p.set_defaults(func=cmd_convert)
 
     p = sub.add_parser("validate", help="validate model definitions")

@@ -1528,3 +1528,47 @@ def test_export_graph_all_formats_nonempty(spark):
                 "holistics"]:
         text = export_graph(layer.graph, fmt)
         assert isinstance(text, str) and "orders" in text, fmt
+
+
+def test_fidelity_report_all_formats(spark):
+    """Roundtrip fidelity diffing (reference fidelity.py): full-fidelity
+    formats report no losses for the representable core; formats without
+    window metrics or relationships report them as dropped rather than
+    silently losing them."""
+    from sidemantic_spark.adapters.fidelity import roundtrip_fidelity
+    from sidemantic_spark.models.tpch import build_layer
+
+    layer = build_layer(spark, None)
+    # native YAML must be lossless
+    rep = roundtrip_fidelity(layer.graph, "native", spark)
+    assert not rep.has_losses, rep.summary_lines()
+
+    # rill has no join surface: relationship drops must be reported
+    rep = roundtrip_fidelity(layer.graph, "rill", spark)
+    assert any(n.construct == "relationship" for n in rep.notes)
+    # window-metric types don't exist in rill: reported dropped
+    assert any(n.name == "orders.revenue_mom" for n in rep.notes)
+    d = rep.to_dict()
+    assert d["format"] == "rill" and d["counts"]["dropped"] >= 2
+
+    # cube keeps equi-joins and segments; its losses are the window
+    # metrics plus the junction/cross edges its export skips — the
+    # report must name exactly those, not the plain m2o edges
+    rep = roundtrip_fidelity(layer.graph, "cube", spark)
+    rel_drops = {n.name for n in rep.notes if n.construct == "relationship"}
+    assert "orders -> customer" not in rel_drops
+    assert "customer -> nation" not in rel_drops
+    assert rel_drops <= {"orders -> part", "supplier -> part",
+                         "lineitem -> lineitem_x"}
+    assert not any(n.construct == "segment" for n in rep.notes)
+    assert any(n.construct == "metric" for n in rep.notes)
+
+    # every exporter's report builds without error
+    for fmt in ["metricflow", "lookml", "superset", "hex", "omni",
+                "snowflake", "bsl", "osi", "gooddata", "atscale",
+                "thoughtspot", "malloy", "tmdl", "holistics"]:
+        rep = roundtrip_fidelity(layer.graph, fmt, spark)
+        assert rep.format == fmt
+        # no format may silently drop a whole model from the tpch graph
+        assert not any(n.construct == "model" for n in rep.notes), (
+            fmt, rep.summary_lines()[:5])

@@ -300,3 +300,10 @@ def test_generate_types_and_sql(models_yml, tmp_path, capsys):
     assert "GeneratedQueries" in out
     assert "status: string; revenue: number" in out
     assert "nope" in out and out.index("// ") > out.index("}")  # invalid -> comment
+
+
+def test_cli_convert_fidelity_flag(models_yml, capsys):
+    rc = cli.main(["convert", "-f", models_yml, "--to", "rill", "--fidelity"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "rill:" in out  # summary line from the fidelity report
