@@ -11,6 +11,9 @@ stdlib ``http.server`` — no external dependencies. Endpoints:
 - ``POST /sql``               -> semantic SQL, JSON rows
 - ``POST /query.arrow``       -> structured query, Arrow IPC stream
 - ``POST /compile``           -> compiled SQL text without executing
+- ``POST /chart``             -> structured query, Vega-Lite v5 spec
+- ``GET  /``                  -> self-contained web UI (model browser +
+  query builder + chart, reference api_server web UI)
 
 Requests execute on the layer's SparkSession; the driver compiles, the
 cluster executes — the server adds no new distribution boundary
@@ -160,6 +163,8 @@ def _make_handler(server: SemanticHttpServer):
                 return self._ok(b'{"status": "ok"}')
             if self.path == "/models":
                 return self._ok(json.dumps(server.handle_models()).encode())
+            if self.path in ("/", "/index.html"):
+                return self._ok(DASHBOARD_HTML.encode(), ctype="text/html")
             return self._deny(404, "not found")
 
         def do_POST(self):  # noqa: N802
@@ -188,8 +193,103 @@ def _make_handler(server: SemanticHttpServer):
                 if self.path == "/compile":
                     sql = server.handle_compile(body)
                     return self._ok(json.dumps({"sql": sql}).encode())
+                if self.path == "/chart":
+                    from sidemantic_spark.charts import chart_for_query
+
+                    spec = chart_for_query(
+                        server.layer,
+                        metrics=body.get("metrics"),
+                        dimensions=body.get("dimensions"),
+                        filters=body.get("filters"),
+                        chart_type=body.get("chart_type", "auto"),
+                        limit=min(int(body.get("limit") or 5000), 5000),
+                    )
+                    return self._ok(json.dumps({"vega_lite": spec}).encode())
             except Exception as exc:
                 return self._deny(400, f"{type(exc).__name__}: {exc}")
             return self._deny(404, "not found")
 
     return Handler
+
+
+# Self-contained single-page UI (reference api_server.py web UI): model
+# browser, click-to-build query, results table + chart. Vega-Embed loads
+# from CDN when the browser is online; the table works offline.
+DASHBOARD_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>sidemantic-spark</title>
+<style>
+body{font:14px/1.45 system-ui,sans-serif;margin:0;display:flex;height:100vh}
+#side{width:280px;overflow:auto;border-right:1px solid #ddd;padding:12px}
+#main{flex:1;padding:16px;overflow:auto}
+h1{font-size:16px;margin:0 0 12px}h2{font-size:13px;margin:14px 0 4px;color:#555}
+.field{cursor:pointer;padding:1px 6px;border-radius:4px}
+.field:hover{background:#eef}.field.sel{background:#2E5EAA;color:#fff}
+.dim::before{content:"◆ ";color:#4C9A2A}.met::before{content:"Σ ";color:#E8702A}
+#picked{color:#333;background:#f6f6f6;padding:8px;border-radius:6px;min-height:20px}
+button{margin:10px 6px 10px 0;padding:6px 14px;border:1px solid #2E5EAA;
+background:#2E5EAA;color:#fff;border-radius:6px;cursor:pointer}
+table{border-collapse:collapse;margin-top:10px}
+td,th{border:1px solid #ddd;padding:3px 9px;text-align:left}
+pre{background:#f6f6f6;padding:8px;border-radius:6px;white-space:pre-wrap}
+</style></head><body>
+<div id=side><h1>sidemantic-spark</h1><div id=models>loading…</div></div>
+<div id=main>
+  <div id=picked>click dimensions and metrics to build a query</div>
+  <button onclick=run()>Run</button>
+  <button onclick=showSql()>Compile</button>
+  <div id=chart></div><div id=out></div>
+</div>
+<script>
+let sel = [];
+const S = (name) => {
+  const i = sel.indexOf(name);
+  i >= 0 ? sel.splice(i, 1) : sel.push(name);
+  document.querySelectorAll('.field').forEach(e =>
+    e.classList.toggle('sel', sel.includes(e.dataset.f)));
+  document.getElementById('picked').textContent = sel.join(', ') || '–';
+};
+fetch('/models').then(r => r.json()).then(d => {
+  let h = '';
+  for (const [m, spec] of Object.entries(d.models)) {
+    h += `<h2>${m}</h2>`;
+    for (const x of spec.dimensions) h +=
+      `<div class="field dim" data-f="${m}.${x.name}" onclick="S('${m}.${x.name}')">${x.name}</div>`;
+    for (const x of spec.metrics) h +=
+      `<div class="field met" data-f="${m}.${x.name}" onclick="S('${m}.${x.name}')">${x.name}</div>`;
+  }
+  document.getElementById('models').innerHTML = h;
+  window._dims = new Set();
+  for (const [m, spec] of Object.entries(d.models))
+    for (const x of spec.dimensions) window._dims.add(`${m}.${x.name}`);
+});
+const split = () => ({
+  metrics: sel.filter(f => !window._dims.has(f)),
+  dimensions: sel.filter(f => window._dims.has(f)),
+});
+async function run() {
+  const body = split();
+  const rows = (await (await fetch('/query', {method: 'POST',
+    body: JSON.stringify(body)})).json()).rows;
+  if (!rows) return;
+  const cols = rows.length ? Object.keys(rows[0]) : [];
+  document.getElementById('out').innerHTML = '<table><tr>' +
+    cols.map(c => `<th>${c}</th>`).join('') + '</tr>' +
+    rows.map(r => '<tr>' + cols.map(c => `<td>${r[c]}</td>`).join('') +
+    '</tr>').join('') + '</table>';
+  try {
+    const spec = (await (await fetch('/chart', {method: 'POST',
+      body: JSON.stringify(body)})).json()).vega_lite;
+    if (spec && window.vegaEmbed) vegaEmbed('#chart', spec);
+  } catch (e) {}
+}
+async function showSql() {
+  const r = await (await fetch('/compile', {method: 'POST',
+    body: JSON.stringify(split())})).json();
+  document.getElementById('out').innerHTML = `<pre>${r.sql || r.error}</pre>`;
+}
+</script>
+<script defer src="https://cdn.jsdelivr.net/npm/vega@5"></script>
+<script defer src="https://cdn.jsdelivr.net/npm/vega-lite@5"></script>
+<script defer src="https://cdn.jsdelivr.net/npm/vega-embed@6"></script>
+</body></html>
+"""

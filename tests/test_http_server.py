@@ -91,3 +91,15 @@ def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _req(server, "/nope", {})
     assert exc.value.code == 404
+
+
+def test_dashboard_and_chart_endpoint(server):
+    """Web UI (reference api_server web UI) + /chart Vega-Lite endpoint."""
+    text = _req(server, "/", raw=True).decode()
+    assert "sidemantic-spark" in text and "vegaEmbed" in text
+
+    spec = _req(server, "/chart", body={
+        "metrics": ["orders.revenue"], "dimensions": ["orders.status"],
+    })["vega_lite"]
+    assert spec["mark"]["type"] == "bar"
+    assert len(spec["data"]["values"]) == 3

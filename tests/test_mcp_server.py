@@ -34,7 +34,8 @@ def test_initialize_and_list_tools(mcp):
     assert _call(mcp, "notifications/initialized") is None
     tools = _call(mcp, "tools/list")["result"]["tools"]
     assert {t["name"] for t in tools} == {
-        "list_models", "get_model", "compile_query", "run_query", "run_sql"
+        "list_models", "get_model", "compile_query", "run_query",
+        "run_sql", "create_chart",
     }
 
 
