@@ -430,6 +430,86 @@ def cmd_generate_sql(args) -> int:
     return 0
 
 
+def cmd_demo(args) -> int:
+    """Write a self-contained demo project (sample parquet + model YAML
+    + example commands) — reference `demo`/quickstart surface."""
+    import os
+
+    spark = _build_spark("sidemantic-spark-demo")
+    out = args.out or "sidemantic_demo"
+    os.makedirs(out, exist_ok=True)
+    data_path = os.path.join(out, "orders.parquet")
+    spark.sql("""
+        SELECT id AS order_id,
+               element_at(array('new','paid','refunded'), int(id % 3) + 1) AS status,
+               CAST(10 + (id * 7) % 490 AS DOUBLE) AS amount,
+               timestampadd(DAY, int(id % 365), TIMESTAMP '2025-01-01') AS created_at,
+               int(id % 25) AS customer_id
+        FROM range(1000)
+    """).coalesce(1).write.mode("overwrite").parquet(data_path)
+    models = os.path.join(out, "models.yml")
+    with open(models, "w") as fh:
+        fh.write(f"""models:
+  - name: orders
+    source_uri: {os.path.abspath(data_path)}
+    primary_key: order_id
+    dimensions:
+      - name: status
+      - name: created_at
+        type: time
+    metrics:
+      - name: order_count
+        agg: count
+      - name: revenue
+        agg: sum
+        sql: amount
+      - name: aov
+        type: ratio
+        numerator: revenue
+        denominator: order_count
+""")
+    print(f"demo project written to {out}/")
+    print(f"  python -m sidemantic_spark query -f {models} "
+          f"-m orders.revenue -d orders.status")
+    print(f"  python -m sidemantic_spark sql -f {models} "
+          f"\"SELECT orders.status, orders.revenue FROM orders\"")
+    print(f"  python -m sidemantic_spark serve -f {models}")
+    return 0
+
+
+def cmd_workbench(args) -> int:
+    """Interactive semantic-SQL REPL (reference workbench surface,
+    plain-terminal form): each line compiles through the rewriter and
+    prints rows; `\\models` lists the graph, `\\compile <sql>` shows
+    generated SQL without executing."""
+    spark = _build_spark("sidemantic-spark-workbench")
+    layer = _load_layer(args, spark)
+    layer.register_sources()
+    print("sidemantic-spark workbench — semantic SQL; \\models, \\compile <sql>, \\q")
+    while True:
+        try:
+            line = input("sql> ").strip()
+        except EOFError:
+            break
+        if not line:
+            continue
+        if line in ("\\q", "exit", "quit"):
+            break
+        try:
+            if line == "\\models":
+                for name, model in layer.graph.models.items():
+                    mets = ", ".join(m.name for m in model.metrics[:8])
+                    print(f"  {name}: {mets}")
+                continue
+            if line.startswith("\\compile "):
+                print(layer.rewrite(line[len("\\compile "):]))
+                continue
+            _print_rows(layer.sql(line).limit(50), "table")
+        except Exception as exc:
+            print(f"error: {type(exc).__name__}: {exc}")
+    return 0
+
+
 def cmd_lsp(args) -> int:
     """Language server over stdio (reference lsp/server.py): diagnostics,
     completions, hover, document symbols for model YAML files."""
@@ -584,6 +664,14 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("lsp", help="run the language server (stdio)")
     p.set_defaults(func=cmd_lsp)
+
+    p = sub.add_parser("demo", help="write a runnable demo project")
+    p.add_argument("--out", default=None)
+    p.set_defaults(func=cmd_demo)
+
+    p = sub.add_parser("workbench", help="interactive semantic-SQL REPL")
+    _add_models_arg(p)
+    p.set_defaults(func=cmd_workbench)
 
     gen = sub.add_parser("generate", help="TypeScript codegen")
     gensub = gen.add_subparsers(dest="generate_command", required=True)

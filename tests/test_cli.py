@@ -307,3 +307,34 @@ def test_cli_convert_fidelity_flag(models_yml, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "rill:" in out  # summary line from the fidelity report
+
+
+def test_cli_demo_and_workbench(tmp_path, capsys, monkeypatch):
+    """demo writes a runnable project; workbench REPL answers semantic
+    SQL over it (stdin-driven)."""
+    out = tmp_path / "demo"
+    rc = cli.main(["demo", "--out", str(out)])
+    assert rc == 0
+    assert "demo project written" in capsys.readouterr().out
+    assert (out / "models.yml").exists()
+
+    # the generated project actually queries
+    rc = cli.main(["query", "-f", str(out / "models.yml"),
+                   "-m", "orders.revenue", "-d", "orders.status", "-o", "json"])
+    assert rc == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 3
+
+    inputs = iter([
+        "\\models",
+        "SELECT orders.status, orders.order_count FROM orders",
+        "\\compile SELECT orders.revenue FROM orders",
+        "\\q",
+    ])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(inputs))
+    rc = cli.main(["workbench", "-f", str(out / "models.yml")])
+    out_text = capsys.readouterr().out
+    assert rc == 0
+    assert "orders:" in out_text          # \models listing
+    assert "paid" in out_text             # query rows
+    assert "SUM(" in out_text             # \compile output
