@@ -101,6 +101,9 @@ class Metric:
     fill_nulls_with: str | int | float | None = None
     public: bool = True
     extends: str | None = None  # inherit from another metric (core/inheritance.py:96)
+    # drill-to-detail defaults: dimensions a consumer should break this
+    # metric down by (reference core/metric.py drill_fields)
+    drill_fields: list[str] = field(default_factory=list)
     # opaque complete-SQL measure: ``sql`` is a full aggregate
     # expression over the model's raw columns, emitted verbatim into
     # the aggregate scope (reference core/metric.py:58-66); unsafe
@@ -317,6 +320,33 @@ class Model:
 
     def segment(self, name: str) -> Segment | None:
         return self._segments.get(name)
+
+    # -- dimension hierarchies (reference core/model.py:132-196) ------
+
+    def get_hierarchy_path(self, dimension_name: str) -> list[str]:
+        """Root-to-dimension chain following ``Dimension.parent``
+        (e.g. ``['country', 'state', 'city']``). Cycles terminate."""
+        dim = self.dimension(dimension_name)
+        if dim is None:
+            return []
+        path = [dimension_name]
+        seen = {dimension_name}
+        while dim is not None and dim.parent and dim.parent not in seen:
+            path.insert(0, dim.parent)
+            seen.add(dim.parent)
+            dim = self.dimension(dim.parent)
+        return path
+
+    def get_drill_down(self, dimension_name: str) -> str | None:
+        """The child dimension whose ``parent`` is this one."""
+        for dim in self.dimensions:
+            if dim.parent == dimension_name:
+                return dim.name
+        return None
+
+    def get_drill_up(self, dimension_name: str) -> str | None:
+        dim = self.dimension(dimension_name)
+        return dim.parent if dim else None
 
     def add_metric(self, metric: Metric) -> None:
         self.metrics.append(metric)

@@ -121,12 +121,16 @@ class McpServer:
             "description": model.description,
             "dimensions": [
                 {"name": d.name, "type": d.type, "sql": d.sql,
-                 "granularity": d.granularity}
+                 "granularity": d.granularity,
+                 **({"parent": d.parent,
+                     "hierarchy_path": model.get_hierarchy_path(d.name)}
+                    if d.parent else {})}
                 for d in model.dimensions if d.public
             ],
             "metrics": [
                 {"name": m.name, "agg": m.agg, "type": m.type, "sql": m.sql,
-                 "description": m.description}
+                 "description": m.description,
+                 **({"drill_fields": m.drill_fields} if m.drill_fields else {})}
                 for m in model.metrics if m.public
             ],
             "relationships": [

@@ -200,3 +200,35 @@ def test_validate_query_collects_errors_with_suggestions(layer):
     assert any("revenu" in e and "revenue" in e for e in errs)
     assert any("statos" in e and "status" in e for e in errs)
     assert layer.validate_query(metrics=["orders.revenue"]) == []
+
+
+def test_dimension_hierarchies_and_drill():
+    """Hierarchy helpers (reference core/model.py:132-196) + metric
+    drill_fields metadata."""
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    m = Model(
+        name="geo", table="geo", primary_key="id",
+        dimensions=[
+            Dimension(name="country"),
+            Dimension(name="state", parent="country"),
+            Dimension(name="city", parent="state"),
+        ],
+        metrics=[Metric(name="pop", agg="sum", sql="population",
+                        drill_fields=["state", "city"])],
+    )
+    assert m.get_hierarchy_path("city") == ["country", "state", "city"]
+    assert m.get_hierarchy_path("country") == ["country"]
+    assert m.get_drill_down("country") == "state"
+    assert m.get_drill_down("city") is None
+    assert m.get_drill_up("city") == "state"
+    assert m.get_drill_up("country") is None
+    assert m.metric("pop").drill_fields == ["state", "city"]
+
+    # cycles terminate rather than hanging
+    bad = Model(
+        name="x", table="x", primary_key="id",
+        dimensions=[Dimension(name="a", parent="b"),
+                    Dimension(name="b", parent="a")],
+    )
+    assert bad.get_hierarchy_path("a") == ["b", "a"]
