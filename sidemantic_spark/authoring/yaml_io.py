@@ -50,7 +50,10 @@ _MODEL_KEYS = {
     "default_time_dimension", "default_grain", "description", "label",
     "sql_metrics", "sql_segments", "sql_dimensions", "pre_aggregations",
     "extends", "auto_dimensions", "row_filters", "security", "version",
+    "owner", "domain", "tier", "deprecation", "freshness",
 }
+_FRESHNESS_KEYS = {"watermark", "sql", "ttl_seconds"}
+_DEPRECATION_KEYS = {"message", "deprecated_at", "sunset_at", "replaced_by"}
 _SECURITY_KEYS = {"access", "row_filters"}
 _EXPLORE_KEYS = {
     "name", "model", "label", "description", "allowed_dimensions",
@@ -77,6 +80,7 @@ _METRIC_KEYS = {
     "inner_metrics", "entity_dimensions", "having",
     "non_additive_dimension", "non_additive_window",
     "non_additive_window_groupings", "extends",
+    "owner", "deprecation", "drill_fields",
 }
 _REL_KEYS = {
     "name", "type", "foreign_key", "primary_key", "foreign_key_columns",
@@ -361,6 +365,29 @@ def _build_model(md: dict, errors: list) -> Model | None:
             row_filters=_listify(sdata.get("row_filters")),
         )
 
+    deprecation = freshness = None
+    if md.get("deprecation") is not None:
+        ddata = md["deprecation"]
+        if isinstance(ddata, str):
+            ddata = {"message": ddata}
+        _check_keys(ddata, _DEPRECATION_KEYS, f"{ctx} deprecation", errors)
+        from sidemantic_spark.core.governance import Deprecation
+
+        deprecation = Deprecation(**{
+            k: v for k, v in ddata.items() if k in _DEPRECATION_KEYS
+        })
+    if md.get("freshness") is not None:
+        fdata = md["freshness"]
+        _check_keys(fdata, _FRESHNESS_KEYS, f"{ctx} freshness", errors)
+        from sidemantic_spark.core.governance import Freshness, GovernanceError
+
+        try:
+            freshness = Freshness(**{
+                k: v for k, v in fdata.items() if k in _FRESHNESS_KEYS
+            })
+        except GovernanceError as exc:
+            errors.append(f"{ctx} freshness: {exc}")
+
     model = Model(
         name=name,
         table=md.get("table"),
@@ -378,6 +405,11 @@ def _build_model(md: dict, errors: list) -> Model | None:
         row_filters=_listify(md.get("row_filters")),
         security=security,
         pre_aggregations=preaggs,
+        owner=md.get("owner"),
+        domain=md.get("domain"),
+        tier=md.get("tier"),
+        deprecation=deprecation,
+        freshness=freshness,
     )
 
     # embedded semantic-SQL blocks (ref embedded_sql_blocks fixture)
@@ -459,7 +491,18 @@ def _build_metric(mdata: dict, *, ctx: str, errors: list) -> Metric | None:
         non_additive_dimension=mdata.get("non_additive_dimension"),
         non_additive_window=mdata.get("non_additive_window", "max"),
         non_additive_window_groupings=_listify(mdata.get("non_additive_window_groupings")),
+        drill_fields=_listify(mdata.get("drill_fields")),
+        owner=mdata.get("owner"),
     )
+    if mdata.get("deprecation") is not None:
+        ddata = mdata["deprecation"]
+        if isinstance(ddata, str):
+            ddata = {"message": ddata}
+        from sidemantic_spark.core.governance import Deprecation
+
+        m.deprecation = Deprecation(**{
+            k: v for k, v in ddata.items() if k in _DEPRECATION_KEYS
+        })
     return m
 
 
@@ -595,10 +638,17 @@ def export_yaml(graph) -> str:
     for model in graph.models.values():
         md: dict = {"name": model.name}
         for k in ("table", "sql", "source_uri", "description",
-                  "default_time_dimension", "default_grain"):
+                  "default_time_dimension", "default_grain",
+                  "owner", "domain", "tier"):
             v = getattr(model, k)
             if v is not None:
                 md[k] = v
+        if model.deprecation is not None:
+            md["deprecation"] = {k: v for k, v in vars(model.deprecation).items()
+                                 if v is not None}
+        if model.freshness is not None:
+            md["freshness"] = {k: v for k, v in vars(model.freshness).items()
+                               if v is not None}
         md["primary_key"] = model.primary_key
         if model.dimensions:
             md["dimensions"] = [_dim_to_yaml(d) for d in model.dimensions]
@@ -648,10 +698,15 @@ def _metric_to_yaml(m: Metric) -> dict:
               "grain_to_date", "base_metric", "comparison_type", "entity",
               "base_event", "conversion_event", "conversion_window",
               "activity_event", "having", "non_additive_dimension",
-              "fill_nulls_with", "description", "label"):
+              "fill_nulls_with", "description", "label", "owner"):
         v = getattr(m, k)
         if v is not None:
             out[k] = v
+    if m.drill_fields:
+        out["drill_fields"] = list(m.drill_fields)
+    if m.deprecation is not None:
+        out["deprecation"] = {k: v for k, v in vars(m.deprecation).items()
+                              if v is not None}
     if m.type == "cohort":
         out["agg"] = m.cohort_aggregation or "count"
         out["inner_metrics"] = [{"name": "value", "agg": m.agg, "sql": m.sql}]

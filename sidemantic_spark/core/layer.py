@@ -243,6 +243,7 @@ class SparkSemanticLayer:
             })
             return self.compile(**kwargs)
         self.graph.resolve_inheritance()
+        self._warn_deprecations(metrics or [], dimensions or [])
         if self.enforce_visibility:
             from sidemantic_spark.core.security import enforce_field_visibility
 
@@ -325,6 +326,75 @@ class SparkSemanticLayer:
             df = df.persist()
             self._result_cache[key] = df
         return df
+
+    def _warn_deprecations(self, metrics: list[str], dimensions: list[str]) -> None:
+        """Non-fatal DeprecationWarning for every referenced deprecated
+        model/metric (reference core/governance.py lifecycle fields)."""
+        import warnings as _warnings
+
+        seen_models: set[str] = set()
+        for ref in list(metrics) + list(dimensions):
+            name = ref.split(" AS ")[0].strip()
+            if "." not in name:
+                continue
+            mname, field_name = name.split(".", 1)
+            field_name = field_name.split("__")[0]
+            model = self.graph.models.get(mname)
+            if model is None:
+                continue
+            if model.deprecation is not None and mname not in seen_models:
+                seen_models.add(mname)
+                _warnings.warn(model.deprecation.notice(f"model {mname!r}"),
+                               DeprecationWarning, stacklevel=3)
+            metric = model.metric(field_name)
+            if metric is not None and metric.deprecation is not None:
+                _warnings.warn(
+                    metric.deprecation.notice(f"metric {mname}.{field_name!r}"),
+                    DeprecationWarning, stacklevel=3)
+
+    def check_freshness(self, model_name: str | None = None) -> dict:
+        """Evaluate freshness policies (reference core/freshness.py):
+        for each model with a policy, run the marker query — MAX of the
+        watermark expression (pushes to parquet footer stats at scale)
+        or the advanced scalar SQL — and report age vs ttl_seconds."""
+        import datetime
+
+        self.register_sources()
+        names = [model_name] if model_name else [
+            n for n, m in self.graph.models.items() if m.freshness is not None
+        ]
+        out: dict = {}
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        for name in names:
+            model = self.graph.get_model(name)
+            fr = model.freshness
+            if fr is None:
+                out[name] = {"policy": None}
+                continue
+            if fr.sql:
+                marker_sql = fr.sql
+            else:
+                dim = model.dimension(fr.watermark)
+                expr = dim.expr if dim else fr.watermark
+                source = model.table or (f"({model.sql})" if model.sql else name)
+                marker_sql = f"SELECT MAX({expr}) FROM {source}"
+            value = self.spark.sql(marker_sql).collect()[0][0]
+            age = None
+            if isinstance(value, datetime.datetime):
+                age = (now - value.replace(tzinfo=None)).total_seconds()
+            elif isinstance(value, datetime.date):
+                age = (now - datetime.datetime(value.year, value.month, value.day)).total_seconds()
+            fresh = None
+            if fr.ttl_seconds is not None and age is not None:
+                fresh = age <= fr.ttl_seconds
+            out[name] = {
+                "policy": {"watermark": fr.watermark, "sql": fr.sql,
+                           "ttl_seconds": fr.ttl_seconds},
+                "marker": value.isoformat() if hasattr(value, "isoformat") else value,
+                "age_seconds": age,
+                "fresh": fresh,
+            }
+        return out
 
     def _cache_key(self, sql: str, user: dict | None) -> str:
         import hashlib

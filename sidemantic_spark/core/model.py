@@ -104,6 +104,9 @@ class Metric:
     # drill-to-detail defaults: dimensions a consumer should break this
     # metric down by (reference core/metric.py drill_fields)
     drill_fields: list[str] = field(default_factory=list)
+    # governance/lifecycle (reference core/governance.py)
+    owner: str | None = None
+    deprecation: object | None = None  # Deprecation
     # opaque complete-SQL measure: ``sql`` is a full aggregate
     # expression over the model's raw columns, emitted verbatim into
     # the aggregate scope (reference core/metric.py:58-66); unsafe
@@ -298,6 +301,13 @@ class Model:
     security: object | None = None  # SecurityPolicy (access + user row filters)
     pre_aggregations: list = field(default_factory=list)  # [PreAggregation]
     extends: str | None = None  # inherit from another model (core/inheritance.py:11)
+    # governance (reference core/governance.py, core/freshness.py):
+    # trust/lifecycle metadata — descriptive, not access control
+    owner: str | None = None
+    domain: str | None = None
+    tier: str | None = None  # e.g. gold | silver | bronze
+    deprecation: object | None = None  # Deprecation
+    freshness: object | None = None  # Freshness
     auto_dimensions: bool = False  # introspect schema -> dims (ref core/model.py:61)
 
     def __post_init__(self) -> None:

@@ -232,3 +232,127 @@ def test_dimension_hierarchies_and_drill():
                     Dimension(name="b", parent="a")],
     )
     assert bad.get_hierarchy_path("a") == ["b", "a"]
+
+
+def test_freshness_policy_check(spark, sf_dir):
+    """Freshness policies (reference core/freshness.py): marker query
+    is MAX(watermark) on the model source; age vs ttl decides fresh."""
+    from sidemantic_spark.core.governance import Freshness, GovernanceError
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.models.tpch import register_tables
+
+    import pytest as _pytest
+
+    register_tables(spark, sf_dir)
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="orders_fr", table="orders", primary_key="o_orderkey",
+        dimensions=[Dimension(name="order_date", sql="o_orderdate", type="time")],
+        metrics=[Metric(name="n", agg="count")],
+        freshness=Freshness(watermark="order_date", ttl_seconds=3600),
+    ))
+    rep = layer.check_freshness()
+    r = rep["orders_fr"]
+    assert r["policy"]["ttl_seconds"] == 3600
+    assert r["marker"] < "2026-01-01"  # historical testdata
+    assert r["age_seconds"] > 3600 and r["fresh"] is False
+
+    # advanced SQL marker, no ttl -> fresh is None (report-only)
+    layer.graph.get_model("orders_fr").freshness = Freshness(
+        sql="SELECT MAX(o_orderdate) FROM orders")
+    r2 = layer.check_freshness("orders_fr")["orders_fr"]
+    assert r2["fresh"] is None and r2["marker"] == r["marker"]
+
+    # invalid policies rejected at construction
+    with _pytest.raises(GovernanceError):
+        Freshness()
+    with _pytest.raises(GovernanceError):
+        Freshness(watermark="a", sql="SELECT 1")
+    with _pytest.raises(GovernanceError):
+        Freshness(watermark="a", ttl_seconds=0)
+
+
+def test_deprecation_warnings_on_query(spark, sf_dir):
+    import warnings
+
+    from sidemantic_spark.core.governance import Deprecation
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.models.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="legacy_orders", table="orders", primary_key="o_orderkey",
+        dimensions=[Dimension(name="status", sql="o_orderstatus")],
+        metrics=[
+            Metric(name="revenue", agg="sum", sql="o_totalprice",
+                   deprecation=Deprecation(
+                       message="use net_revenue",
+                       replaced_by="orders.net_revenue")),
+            Metric(name="order_count", agg="count"),
+        ],
+    ))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        layer.compile(metrics=["legacy_orders.revenue"],
+                      dimensions=["legacy_orders.status"])
+    notes = [str(w.message) for w in caught
+             if issubclass(w.category, DeprecationWarning)]
+    assert any("use net_revenue" in n and "orders.net_revenue" in n
+               for n in notes)
+
+    # non-deprecated references stay silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        layer.compile(metrics=["legacy_orders.order_count"])
+    assert not [w for w in caught if issubclass(w.category, DeprecationWarning)]
+
+
+def test_governance_yaml_roundtrip():
+    from sidemantic_spark.authoring.yaml_io import export_yaml, load_yaml
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    layer = SparkSemanticLayer(None)
+    load_yaml(layer, """
+models:
+  - name: orders
+    table: orders
+    primary_key: id
+    owner: data-platform
+    domain: sales
+    tier: gold
+    freshness:
+      watermark: created_at
+      ttl_seconds: 86400
+    deprecation:
+      message: moving to orders_v2
+      replaced_by: orders_v2
+    dimensions:
+      - name: created_at
+        type: time
+    metrics:
+      - name: revenue
+        agg: sum
+        sql: amount
+        owner: finance
+        drill_fields: [created_at]
+        deprecation: use net_revenue
+""")
+    m = layer.graph.models["orders"]
+    assert m.owner == "data-platform" and m.tier == "gold"
+    assert m.freshness.ttl_seconds == 86400
+    assert m.deprecation.replaced_by == "orders_v2"
+    rev = m.metric("revenue")
+    assert rev.owner == "finance"
+    assert rev.deprecation.message == "use net_revenue"
+    assert rev.drill_fields == ["created_at"]
+
+    text = export_yaml(layer.graph)
+    layer2 = SparkSemanticLayer(None)
+    load_yaml(layer2, text)
+    m2 = layer2.graph.models["orders"]
+    assert m2.owner == "data-platform"
+    assert m2.freshness.watermark == "created_at"
+    assert m2.metric("revenue").deprecation.message == "use net_revenue"
