@@ -164,9 +164,13 @@ class SparkSemanticLayer:
 
     def sql(self, semantic_sql: str) -> DataFrame:
         """Execute semantic SQL text (models as tables, metrics/dims as
-        columns) — the reference's ``layer.sql`` surface."""
+        columns) — the reference's ``layer.sql`` surface. When security
+        controls are active the transport gate refuses source reads the
+        compiler cannot secure (ref core/transport_security.py)."""
+        from sidemantic_spark.core.transport_security import rewrite_transport_sql
+
         self.register_sources()
-        return self.spark.sql(self.rewrite(semantic_sql))
+        return self.spark.sql(rewrite_transport_sql(self, semantic_sql))
 
     def rewrite(self, semantic_sql: str) -> str:
         from sidemantic_spark.sql.rewriter import SemanticSqlRewriter

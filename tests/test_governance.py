@@ -356,3 +356,65 @@ models:
     assert m2.owner == "data-platform"
     assert m2.freshness.watermark == "created_at"
     assert m2.metric("revenue").deprecation.message == "use net_revenue"
+
+
+def test_transport_security_fail_closed(spark, sf_dir):
+    """Transport gate (reference core/transport_security.py): with
+    security controls active, SQL reading a non-semantic source is
+    refused before execution; semantic SQL and projection-only queries
+    stay available. Without controls, passthrough is unrestricted."""
+    import pytest as _pytest
+
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.core.security import SecurityPolicy
+    from sidemantic_spark.core.transport_security import (
+        TransportSecurityError,
+        controls_are_active,
+        unrecognized_sources,
+    )
+    from sidemantic_spark.models.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="sec_orders", table="orders", primary_key="o_orderkey",
+        dimensions=[Dimension(name="status", sql="o_orderstatus")],
+        metrics=[Metric(name="revenue", agg="sum", sql="o_totalprice")],
+        security=SecurityPolicy(access=True,
+                                row_filters=["o_orderstatus = 'F'"]),
+    ))
+    assert controls_are_active(layer)
+
+    # semantic SQL still works (policies applied by the compiler)
+    assert layer.sql(
+        "SELECT sec_orders.status, sec_orders.revenue FROM sec_orders"
+    ).count() == 1
+
+    # raw source read refused — it would bypass the row filter
+    with _pytest.raises(TransportSecurityError, match="orders"):
+        layer.sql("SELECT * FROM orders")
+    # ... also inside derived tables / CTEs naming raw sources
+    with _pytest.raises(TransportSecurityError):
+        layer.sql("SELECT x.c FROM (SELECT o_orderstatus AS c FROM orders) x")
+    # unparseable-to-the-lexer constructs fail closed
+    assert unrecognized_sources(
+        "SELECT * FROM some_udtf(1)", layer) == ["<unparseable SQL>"]
+    # CTEs over semantic models are fine
+    assert layer.sql(
+        "WITH r AS (SELECT sec_orders.revenue FROM sec_orders) SELECT * FROM r"
+    ).count() == 1
+
+    # no controls -> the security gate stays out of the way (the
+    # rewriter may still reject unknown models, but that is a compile
+    # error, not a security refusal)
+    open_layer = SparkSemanticLayer(spark)
+    open_layer.add_model(Model(
+        name="open_orders", table="orders", primary_key="o_orderkey",
+        dimensions=[Dimension(name="status", sql="o_orderstatus")],
+        metrics=[Metric(name="revenue", agg="sum", sql="o_totalprice")],
+    ))
+    assert not controls_are_active(open_layer)
+    with _pytest.raises(Exception) as exc:
+        open_layer.sql("SELECT COUNT(*) AS n FROM orders")
+    assert not isinstance(exc.value, TransportSecurityError)
