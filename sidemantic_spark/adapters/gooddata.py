@@ -270,23 +270,31 @@ def export_gooddata(graph) -> dict:
                 if m.label:
                     fact["title"] = m.label
                 facts.append({"fact": fact})
-            elif m.is_simple and m.agg in maql_agg and m.sql:
-                # the MAQL ref resolves by *field id*, so the aggregated
-                # column must exist as an attribute on the dataset
+            elif m.is_simple and (
+                (m.agg in maql_agg and m.sql)
+                # plain row count: MAQL has no COUNT(*) — count the grain
+                # attribute (COUNT reimports as count_distinct(pk), equal
+                # for a unique key; fidelity reports the approximation)
+                or (m.agg == "count" and not m.sql)
+            ):
                 import re as _re
 
-                if _re.fullmatch(r"\w+", m.sql) and m.sql not in attr_ids:
-                    attributes.append({"attribute": {
-                        "id": m.sql, "sourceColumnDataType": "NUMERIC",
-                    }})
-                    attr_ids.add(m.sql)
-                elif not _re.fullmatch(r"\w+", m.sql):
+                ref = m.sql if m.sql else (
+                    model.pk_list()[0] if model.pk_list() else None
+                )
+                if ref is None or not _re.fullmatch(r"\w+", ref):
                     continue  # expression measures have no MAQL fact ref
+                if ref not in attr_ids:
+                    attributes.append({"attribute": {
+                        "id": ref, "sourceColumnDataType": "NUMERIC",
+                    }})
+                    attr_ids.add(ref)
+                fn = maql_agg.get(m.agg, "COUNT")
                 analytics_metrics.append({
                     "id": m.name,
                     "content": {
                         "title": m.label or m.name,
-                        "maql": f"SELECT {maql_agg[m.agg]}({{fact/{m.sql}}})",
+                        "maql": f"SELECT {fn}({{fact/{ref}}})",
                     },
                 })
             elif m.type == "derived" and m.expr:
