@@ -541,6 +541,22 @@ def _pipeline_clean_corpus(spark, sf_dir):
     )
 
 
+def _create_view_sink(spark, sf_dir):
+    """CREATE VIEW sink (reference sql/generator.py:817-858
+    generate_view): a compiled semantic query registered as a view,
+    then consumed by plain SQL over the view."""
+    layer = _layer(spark, sf_dir)
+    layer.create_view(
+        "contract_rev_by_priority",
+        metrics=["orders.revenue"],
+        dimensions=["orders.priority"],
+    )
+    return spark.sql(
+        "SELECT priority, CAST(revenue AS DOUBLE) AS revenue "
+        "FROM contract_rev_by_priority WHERE revenue > 0"
+    )
+
+
 def _explore_query(spark, sf_dir):
     """Explore consumption contract (reference core/consumption.py,
     resolved at compile core/semantic_layer.py:923): curated metric/dim
@@ -1084,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_scan_uri": _source_scan_uri,
         "saved_query_run": _saved_query_run,
         "explore_query": _explore_query,
+        "create_view_sink": _create_view_sink,
         # connected-components dedup clustering over the ngram pair graph
         "dedup_clusters": _dedup_clusters,
         # text fingerprinting (md5 of normalized content)
@@ -1999,6 +2016,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(btoks) AS BIGINT) AS total_bpe_tokens,
                    CAST(SUM(CAST(q AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS avg_quality
             FROM kept
+        """,
+        "create_view_sink": """
+            WITH v AS (
+                SELECT o_orderpriority AS priority,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT priority, revenue FROM v WHERE revenue > 0
         """,
         "explore_query": """
             SELECT o_orderpriority AS priority,
