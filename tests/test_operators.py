@@ -394,3 +394,32 @@ def test_chart_auto_selection_and_fold():
 
     with _pytest.raises(NotImplementedError):
         chart_to_png(spec)
+
+
+def test_ann_recall_vs_bruteforce(embs):
+    """Quantified recall@10 for the ANN variants over real query
+    vectors (corpus members): multi-probe LSH and IVF must recover a
+    meaningful fraction of the exact top-k — the documented
+    speed/recall tradeoff, pinned so a refactor cannot silently
+    degrade it to near-zero."""
+    qrows = embs.orderBy("vec_id").limit(5).collect()
+    recalls = {"lsh4": [], "lsh32": [], "ivf": []}
+    for row in qrows:
+        qvec = [float(x) for x in row["embedding"]]
+        exact = {r.vec_id for r in similarity.cosine_topk(embs, qvec, k=10).collect()}
+        got4 = {r.vec_id for r in similarity.lsh_bucket_topk(
+            embs, qvec, k=10, probes=4).collect()}
+        got32 = {r.vec_id for r in similarity.lsh_bucket_topk(
+            embs, qvec, k=10, probes=32).collect()}
+        got_ivf = {r.vec_id for r in similarity.ivf_topk(embs, qvec, k=10).collect()}
+        recalls["lsh4"].append(len(exact & got4) / len(exact))
+        recalls["lsh32"].append(len(exact & got32) / len(exact))
+        recalls["ivf"].append(len(exact & got_ivf) / len(exact))
+    mean = {k: sum(v) / len(v) for k, v in recalls.items()}
+    # floors are deliberately conservative: bucket-bounded recall on a
+    # uniform synthetic corpus (no clustered neighbors) is the hard
+    # case for ANN (measured: probes=4 ~0.18, 16 ~0.28, 32 ~0.36)
+    assert mean["lsh32"] >= 0.28, recalls["lsh32"]
+    assert mean["ivf"] >= 0.5, recalls["ivf"]
+    # more probes must buy recall — the multi-probe order is doing work
+    assert mean["lsh32"] > mean["lsh4"], mean
