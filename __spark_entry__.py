@@ -826,6 +826,56 @@ def _streaming_sessionize(spark, sf_dir):
     return spark.table(name)
 
 
+def _streaming_rollup_route(spark, sf_dir):
+    """Stream-maintained rollup served by the aggregate-aware router
+    (lambda architecture without the manual union): foreachBatch
+    dynamic-partition-overwrites the SAME parquet layout the batch
+    PreAggManager writes, then a normal routed query reads it.
+    availableNow replay == batch aggregation, so the plain GROUP BY is
+    an exact oracle."""
+    import tempfile
+
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.preagg.matcher import PreAggregation
+    from sidemantic_spark.streaming.stream_layer import (
+        StreamingModelBinding,
+        StreamingSemanticLayer,
+    )
+
+    _ensure_tables(spark, sf_dir)
+    layer = build_layer(spark, None)  # dedicated layer: rollup stays local
+    events = layer.graph.get_model("events")
+    events.pre_aggregations = [PreAggregation(
+        name="contract_stream_daily",
+        measures=["event_count", "total_value"],
+        dimensions=["event_type"],
+        time_dimension="ts",
+        granularity="day",
+    )]
+    layer.graph._invalidate()
+    sl = StreamingSemanticLayer(layer)
+    sl.bind(StreamingModelBinding(
+        model="events", time_column="ts", stream=_events_stream(spark, sf_dir)
+    ))
+    tmp = tempfile.mkdtemp(prefix="stream_rollup_route_")
+    q = sl.stream_rollup(
+        "events", "contract_stream_daily",
+        checkpoint_dir=f"{tmp}/ckpt",
+        watermark="36500 days",
+        base_path=f"{tmp}/rollups",
+    )
+    q.awaitTermination()
+    sql = layer.compile(
+        metrics=["events.event_count", "events.total_value"],
+        dimensions=["events.event_type"],
+    )
+    assert "used_preagg=events_preagg_contract_stream_daily" in sql, sql[:200]
+    return layer.query(
+        metrics=["events.event_count", "events.total_value"],
+        dimensions=["events.event_type"],
+    )
+
+
 def _fanout_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric-aggregate fan-out correction (reference
     core/symmetric_aggregate.py:20-162, spark branch :91-96):
@@ -1121,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_agg": _streaming_window_agg,
         "streaming_sessionize": _streaming_sessionize,
         "streaming_ingest_dedup": _streaming_ingest_dedup,
+        "streaming_rollup_route": _streaming_rollup_route,
     }
     return {k: _dbl(v) for k, v in qs.items()}
 
@@ -2117,6 +2168,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_ingest_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_rollup_route": """
+            SELECT event_type,
+                   COUNT(*) AS event_count,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY 1
         """,
         # no-oracle entries (engine-specific hash functions / plumbing
         # -> driver records rows-only checks): dedup_minhash_lsh,
