@@ -606,15 +606,18 @@ def validate_graph(graph) -> list[str]:
 # ---------------------------------------------------------------------
 
 def load_path(layer, path: str) -> None:
-    """Load one file or every ``*.yml``/``*.yaml``/``*.sql`` under a
-    directory (mixed directories are the reference's
-    ``mixed_yaml_sql_directory`` fixture)."""
+    """Load one file or every ``*.yml``/``*.yaml``/``*.sql``/``*.py``
+    under a directory (mixed directories are the reference's
+    ``mixed_yaml_sql_directory`` fixture; ``.py`` files are Python
+    semantic definition files executed inside ``with layer:`` so
+    constructed Models auto-register — reference ``loaders.py`` +
+    ``core/registry.py:62``)."""
     from sidemantic_spark.authoring.sql_defs import load_sql_definitions
 
     if os.path.isdir(path):
         entries = sorted(os.listdir(path))
         files = [os.path.join(path, e) for e in entries
-                 if e.endswith((".yml", ".yaml", ".sql"))]
+                 if e.endswith((".yml", ".yaml", ".sql", ".py"))]
         if not files:
             raise AuthoringError(f"no model files under {path!r}")
     else:
@@ -624,8 +627,35 @@ def load_path(layer, path: str) -> None:
             text = fh.read()
         if f.endswith(".sql"):
             load_sql_definitions(layer, text, source=f)
+        elif f.endswith(".py"):
+            load_python_definitions(layer, text, source=f)
         else:
             load_yaml(layer, text, source=f)
+
+
+def load_python_definitions(layer, source_text: str, *, source: str = "<py>") -> None:
+    """Execute a Python semantic definition file: Models constructed in
+    the file body register on ``layer`` via the authoring registry.
+    The namespace is pre-seeded with the model classes so definition
+    files need no imports."""
+    from sidemantic_spark.core.governance import Deprecation, Freshness
+    from sidemantic_spark.core.model import (
+        Dimension,
+        Metric,
+        Model,
+        Relationship,
+        Segment,
+    )
+
+    ns = {
+        "Model": Model, "Dimension": Dimension, "Metric": Metric,
+        "Relationship": Relationship, "Segment": Segment,
+        "Freshness": Freshness, "Deprecation": Deprecation,
+        "layer": layer,
+    }
+    code = compile(source_text, source, "exec")
+    with layer:
+        exec(code, ns)  # noqa: S102 — authoring files are user code by design
 
 
 # ---------------------------------------------------------------------

@@ -174,13 +174,28 @@ def cmd_info(args) -> int:
     layer = _load_layer(args)
     for name, model in sorted(layer.graph.models.items()):
         binding = model.table or model.source_uri or "(derived sql)"
-        print(f"model {name}  [{binding}]  pk={model.primary_key}")
+        gov = "".join(
+            f"  {k}={v}" for k, v in (
+                ("owner", model.owner), ("domain", model.domain),
+                ("tier", model.tier),
+            ) if v
+        )
+        print(f"model {name}  [{binding}]  pk={model.primary_key}{gov}")
+        if model.deprecation is not None:
+            print(f"  DEPRECATED: {model.deprecation.notice(name)}")
+        if model.freshness is not None:
+            fr = model.freshness
+            print(f"  freshness: {fr.watermark or fr.sql}"
+                  + (f" ttl={fr.ttl_seconds}s" if fr.ttl_seconds else ""))
         for d in model.dimensions:
             extra = f" grain={d.granularity}" if d.granularity else ""
+            if d.parent:
+                extra += f" parent={d.parent}"
             print(f"  dim    {d.name} ({d.type}){extra}")
         for m in model.metrics:
             kind = m.type or m.agg or "expr"
-            print(f"  metric {m.name} ({kind})")
+            dep = "  DEPRECATED" if m.deprecation is not None else ""
+            print(f"  metric {m.name} ({kind}){dep}")
         for r in model.relationships:
             print(f"  rel    -> {r.name} ({r.type})")
     for name, m in sorted(layer.graph.metrics.items()):

@@ -338,3 +338,42 @@ def test_cli_demo_and_workbench(tmp_path, capsys, monkeypatch):
     assert "orders:" in out_text          # \models listing
     assert "paid" in out_text             # query rows
     assert "SUM(" in out_text             # \compile output
+
+
+def test_python_definition_files(tmp_path, sf_dir, capsys):
+    """Python semantic definition files (reference loaders.py +
+    core/registry.py:62): Models constructed in a .py file auto-register
+    via the authoring registry; mixed directories load alongside YAML."""
+    d = tmp_path / "models"
+    d.mkdir()
+    (d / "orders.py").write_text(f"""
+Model(
+    name="orders",
+    source_uri="{sf_dir}/orders.parquet",
+    primary_key="o_orderkey",
+    dimensions=[Dimension(name="status", sql="o_orderstatus")],
+    metrics=[Metric(name="revenue", agg="sum", sql="o_totalprice"),
+             Metric(name="order_count", agg="count")],
+)
+""")
+    (d / "extra.yml").write_text("""
+models:
+  - name: orders_extra
+    table: orders
+    primary_key: o_orderkey
+    metrics:
+      - name: n
+        agg: count
+""")
+    rc = cli.main(["query", "-f", str(d), "-m", "orders.revenue",
+                   "-d", "orders.status", "-o", "json"])
+    assert rc == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 3
+
+    from sidemantic_spark.authoring.yaml_io import load_path
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    layer = SparkSemanticLayer(None)
+    load_path(layer, str(d))
+    assert set(layer.graph.models) == {"orders", "orders_extra"}
