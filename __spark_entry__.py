@@ -94,6 +94,60 @@ def _dbl(fn):
     return run
 
 
+def _canon(fn):
+    """Contract-boundary canonicalization (round-2 hardening).
+
+    Two cross-engine representation gaps remain after the DECIMAL-sum
+    design even when every value is bit-identical:
+
+    - Spark session-TZ timestamps surface in Arrow as
+      ``timestamp[us, tz=UTC]`` while DuckDB's are zone-naive
+      ``timestamp[us]`` — cast LTZ outputs to TIMESTAMP_NTZ (an
+      identity on the stored instant under a UTC session).
+    - Row order of an un-ORDERed aggregate is engine- and
+      parallelism-dependent.  Impose a total order over every output
+      column (NULLS FIRST, matching DuckDB's ``ORDER BY ALL NULLS
+      FIRST`` wrapper in :func:`oracle_sql`) so both engines return
+      rows in the identical sequence regardless of how the harness
+      hashes them.  Outputs at the contract boundary are small
+      (<= a few thousand rows), so the extra global sort is
+      negligible next to the aggregation shuffles that precede it.
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        df = fn(spark, sf_dir)
+        if any(isinstance(f.dataType, T.TimestampType) for f in df.schema.fields):
+            df = df.select(
+                *[
+                    F.col(f.name).cast("timestamp_ntz").alias(f.name)
+                    if isinstance(f.dataType, T.TimestampType)
+                    else F.col(f.name)
+                    for f in df.schema.fields
+                ]
+            )
+        sortable = [
+            f.name
+            for f in df.schema.fields
+            if not isinstance(f.dataType, T.MapType)
+        ]
+        if sortable:
+            df = df.orderBy(*[F.col(c).asc_nulls_first() for c in sortable])
+        return df
+
+    return run
+
+
+def _oracle_canon(sql: str) -> str:
+    """DuckDB-side mirror of :func:`_canon`'s total order."""
+    return (
+        "SELECT * FROM (" + sql.rstrip().rstrip(";") + "\n) __canon "
+        "ORDER BY ALL NULLS FIRST"
+    )
+
+
 def _q(metrics=None, dimensions=None, **kw):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _layer(spark, sf_dir).query(
@@ -1173,7 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest_dedup": _streaming_ingest_dedup,
         "streaming_rollup_route": _streaming_rollup_route,
     }
-    return {k: _dbl(v) for k, v in qs.items()}
+    return {k: _canon(_dbl(v)) for k, v in qs.items()}
 
 
 # shared DuckDB fragments for the text-pipeline oracles
@@ -1281,7 +1335,7 @@ def oracle_sql() -> dict[str, str]:
     from sidemantic_spark.operators.pipeline import sample_thresholds_sql
 
     fp = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
-    return {
+    oracles = {
         "basic_agg": """
             SELECT o_orderstatus AS status,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -2181,3 +2235,4 @@ def oracle_sql() -> dict[str, str]:
         # dedup_simhash, sim_ann_lsh_topk, sim_ann_ivf_topk,
         # multimodal_decode_features
     }
+    return {k: _oracle_canon(v) for k, v in oracles.items()}

@@ -422,7 +422,7 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                     type="cohort",
                     entity="user_id",
                     agg="sum",
-                    sql="value",
+                    sql="CAST(value AS DECIMAL(18,6))",
                     cohort_aggregation="avg",
                     having="value > 0",
                 ),

@@ -1732,8 +1732,19 @@ GROUP BY r.cohort_date, r.{periods_label}, s.cohort_size"""
         having = ""
         if m.having:
             having = "\n    HAVING " + self._rewrite_cohort_having(m.having, inner_agg)
-        outer = Metric(name="outer", agg=m.cohort_aggregation, sql="__entity_value")
-        outer_agg = outer.agg_sql("__entity_value")
+        if m.cohort_aggregation == "avg":
+            # written as exact-SUM / COUNT (not AVG) so engines that
+            # accumulate AVG in running double space can't drift a ULP:
+            # with a DECIMAL-typed entity value the SUM is exact and the
+            # single double division is correctly rounded everywhere
+            outer_agg = (
+                "CAST(SUM(__entity_value) AS DOUBLE) / COUNT(__entity_value)"
+            )
+        else:
+            outer = Metric(
+                name="outer", agg=m.cohort_aggregation, sql="__entity_value"
+            )
+            outer_agg = outer.agg_sql("__entity_value")
         sel = (", ".join(dim_cols) + ",\n    ") if dim_cols else ""
         sql = f"""{self._instrumentation(r, 'cohort')}
 WITH {cte_name} AS (
