@@ -549,6 +549,62 @@ def _text_fingerprint(spark, sf_dir):
     )
 
 
+def _text_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4s / phone runs -> typed tokens).
+    The synthetic corpus carries no PII, so deterministic contact lines
+    derived from doc_id are appended on BOTH sides before scrubbing —
+    the redaction itself is then a real multi-pattern pass."""
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators.text import pii_counts, pii_scrub
+
+    d = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org from 10.0.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" call +1 555-000-"),
+        (F.col("doc_id") % 10000).cast("string"),
+    )
+    counts = pii_counts(injected)
+    return d.select(
+        "doc_id",
+        pii_scrub(injected).alias("clean_text"),
+        counts["n_email"].alias("n_email"),
+        counts["n_ip"].alias("n_ip"),
+    )
+
+
+def _text_repetition(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators.text import repetition_score
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", repetition_score(F.col("text")).alias("rep_score")
+    )
+
+
+def _data_profile_numeric(spark, sf_dir):
+    from sidemantic_spark.operators.text import profile_numeric
+
+    return profile_numeric(_docs(spark, sf_dir), "n_chars", by=["lang"])
+
+
+# target domain mix for the contract entry: first 10 sources get 1.5x
+# the share of the last 10 (6% vs 4%), so acceptance rates split into
+# a binding (keep-everything) tier and a downsampled tier
+_MIX_TARGET = {f"src{i}": (0.06 if i < 10 else 0.04) for i in range(20)}
+
+
+def _pipeline_domain_mix(spark, sf_dir):
+    from sidemantic_spark.operators.pipeline import domain_mix_plan
+
+    return domain_mix_plan(_docs(spark, sf_dir), _MIX_TARGET)
+
+
 def _token_bpe(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1179,6 +1235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _text_profile,
         "text_language_id": _lang_id,
         "text_quality_score": _quality,
+        "text_pii_scrub": _text_pii_scrub,
+        "text_repetition": _text_repetition,
+        "data_profile_numeric": _data_profile_numeric,
+        "pipeline_domain_mix": _pipeline_domain_mix,
         "sim_cosine_topk": _cosine_topk,
         "sim_cosine_topk_batch": _cosine_topk_batch,
         "sim_ann_lsh_topk": _ann_lsh_topk,
@@ -1331,10 +1391,21 @@ def _near_dup_oracle() -> str:
     """
 
 
+def _mix_case_sql() -> str:
+    """CASE expression giving each source its _MIX_TARGET share (shared
+    with the DuckDB oracle so both engines read identical literals)."""
+    branches = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(_MIX_TARGET.items())
+    )
+    return f"CASE source {branches} ELSE NULL END"
+
+
 def oracle_sql() -> dict[str, str]:
     from sidemantic_spark.operators.pipeline import sample_thresholds_sql
+    from sidemantic_spark.operators.text import PII_PATTERNS
 
     fp = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+    _PII_EMAIL, _PII_IP, _PII_PHONE = (p for p, _ in PII_PATTERNS)
     oracles = {
         "basic_agg": """
             SELECT o_orderstatus AS status,
@@ -1995,6 +2066,76 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_fr = best THEN 'fr'
                         ELSE 'zh' END AS detected_lang
             FROM m
+        """,
+        "text_pii_scrub": f"""
+            WITH inj AS (
+                SELECT doc_id,
+                       text || ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@example.org from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                            || ' call +1 555-000-' || CAST(doc_id % 10000 AS VARCHAR) AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                           '{_PII_IP}', '<IP>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+                   len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+                   len(regexp_extract_all(t, '{_PII_IP}')) AS n_ip
+            FROM inj
+        """,
+        "text_repetition": r"""
+            WITH w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, len(words) - 2 AS cnt,
+                       list_transform(
+                           generate_series(1, GREATEST(len(words) - 2, 1)),
+                           i -> array_to_string(words[i:i+2], ' ')
+                       ) AS grams
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN cnt < 1 THEN 0.0
+                        ELSE ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                       / CAST(len(grams) AS DOUBLE), 6)
+                   END AS rep_score
+            FROM g
+        """,
+        "data_profile_numeric": """
+            SELECT lang,
+                   COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(n_chars) AS n_null,
+                   CAST(MIN(n_chars) AS DOUBLE) AS min_v,
+                   CAST(MAX(n_chars) AS DOUBLE) AS max_v,
+                   ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+                         / COUNT(n_chars), 6) AS mean_v,
+                   ROUND(SQRT(
+                       (CAST(SUM(CAST(n_chars AS DECIMAL(28,6))
+                                 * CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+                        - CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+                          * CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+                          / COUNT(n_chars))
+                       / COUNT(n_chars)), 6) AS stddev_pop_v,
+                   quantile_cont(n_chars, 0.5) AS median_v,
+                   quantile_cont(n_chars, 0.9) AS p90_v
+            FROM documents GROUP BY 1
+        """,
+        "pipeline_domain_mix": f"""
+            WITH per AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       CAST({_mix_case_sql()} AS DOUBLE) AS target_share
+                FROM documents GROUP BY 1
+            ),
+            sc AS (SELECT MIN(n_docs / target_share) AS s FROM per)
+            SELECT source, n_docs, target_share,
+                   ROUND(LEAST(1.0, target_share * s / n_docs), 6) AS accept_rate,
+                   ROUND(target_share * s, 2) AS expected_out
+            FROM per, sc
+            WHERE target_share IS NOT NULL
         """,
         "text_quality_score": """
             WITH c AS (

@@ -116,6 +116,59 @@ def stratified_sample(
     return df.where(key < thr)
 
 
+def domain_mix_plan(
+    df: DataFrame,
+    target: dict[str, float],
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source acceptance rates that reshape the corpus to a target
+    domain mix without upsampling.
+
+    For target share ``t_s`` and observed count ``n_s``, the largest
+    achievable output size keeping every source at-or-below its data is
+    ``scale = min_s(n_s / t_s)``; each source then keeps
+    ``rate_s = t_s * scale / n_s`` of its rows (the binding source keeps
+    everything).  Returns one row per source: ``(source, n_docs,
+    target_share, accept_rate, expected_out)``.
+
+    One groupBy shuffle at source cardinality plus a broadcast of the
+    single-row scale — the corpus itself never moves.  Feed the rates to
+    :func:`stratified_sample` (md5-keyed) for the deterministic
+    row-level keep/drop pass.  All arithmetic is plain double division
+    on exact counts, so the plan is engine-portable for oracle checks.
+    """
+    tgt = F.lit(None).cast("double")
+    for s, share in sorted(target.items()):
+        tgt = F.when(F.col("source") == s, F.lit(float(share))).otherwise(tgt)
+    per = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("target_share", tgt)
+        .where(F.col("target_share").isNotNull())
+    )
+    scale = per.groupBy().agg(
+        F.min(F.col("n_docs") / F.col("target_share")).alias("__scale")
+    )
+    return (
+        per.crossJoin(F.broadcast(scale))
+        .select(
+            "source",
+            "n_docs",
+            "target_share",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("target_share") * F.col("__scale") / F.col("n_docs"),
+                ),
+                6,
+            ).alias("accept_rate"),
+            F.round(F.col("target_share") * F.col("__scale"), 2).alias(
+                "expected_out"
+            ),
+        )
+    )
+
+
 def sample_thresholds_sql(
     rates: dict[str, float], strata_col: str = "lang", default_rate: float = 0.0
 ) -> str:

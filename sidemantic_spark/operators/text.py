@@ -113,6 +113,92 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+# PII patterns shared by Java regex (Spark) and RE2 (DuckDB oracle):
+# no lookaround/backrefs, \b supported by both. Order matters: emails
+# carry digits and dots, so they are redacted before IPs and phones.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\-\s()]{6,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails, IPv4s and phone-shaped digit runs with typed
+    placeholder tokens.  Pure ``regexp_replace`` chain — JVM-side,
+    whole-stage codegen, zero shuffle; at corpus scale this is a free
+    rider on whatever scan already touches the text column."""
+    out = text
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-document match counts for each PII class (audit metric)."""
+    return {
+        "n_email": F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[0][0]), F.lit(0))),
+        "n_ip": F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[1][0]), F.lit(0))),
+    }
+
+
+def repetition_score(text: Column, n: int = 3) -> Column:
+    """Within-document repetition: fraction of duplicate word n-grams
+    (Gopher-style repetition filter signal).  0.0 = all n-grams unique,
+    higher = more internally repetitive; documents shorter than n words
+    score 0.0.
+
+    Built from array higher-order functions over the split word array —
+    no Python, no shuffle.  HOF lambdas evaluate interpreted (no
+    codegen), so the per-row cost is the n-gram materialization itself;
+    the words array is built once in its own projection rather than
+    re-split inside the lambda."""
+    words = F.split(F.trim(text), r"\s+")
+    cnt = F.size(words) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    frac_dup = F.lit(1.0) - (
+        F.size(F.array_distinct(grams)).cast("double")
+        / F.size(grams).cast("double")
+    )
+    return F.when(cnt < 1, F.lit(0.0)).otherwise(F.round(frac_dup, 6))
+
+
+def profile_numeric(
+    df: DataFrame, value_col: str, by: list[str] | None = None
+) -> DataFrame:
+    """Data-QA numeric profile per group: count, nulls, min/max, exact
+    mean, population stddev and interpolated median/p90.
+
+    One shuffle (the groupBy); every statistic is a partial-aggregable
+    built-in, so map-side combine keeps the shuffle at group
+    cardinality.  Mean and stddev route integer inputs through exact
+    DECIMAL sums (sum and sum-of-squares), so results are bit-identical
+    across engines and partitionings — the same determinism rule the
+    monetary metrics follow."""
+    v = F.col(value_col)
+    dec = v.cast("decimal(28,6)")
+    n = F.count(v)
+    s = F.sum(dec)
+    ss = F.sum(dec * dec)
+    mean = (s.cast("double") / n)
+    # population variance from exact sums: (ss - s^2/n) / n
+    var = (ss.cast("double") - s.cast("double") * s.cast("double") / n) / n
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - n).alias("n_null"),
+        F.min(v).cast("double").alias("min_v"),
+        F.max(v).cast("double").alias("max_v"),
+        F.round(mean, 6).alias("mean_v"),
+        F.round(F.sqrt(var), 6).alias("stddev_pop_v"),
+        F.percentile(v, F.lit(0.5)).alias("median_v"),
+        F.percentile(v, F.lit(0.9)).alias("p90_v"),
+    ]
+    return (df.groupBy(*by) if by else df.groupBy()).agg(*aggs)
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per document with the full text-analysis feature set."""
     t = F.col(text_col)

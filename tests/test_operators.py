@@ -423,3 +423,88 @@ def test_ann_recall_vs_bruteforce(embs):
     assert mean["ivf"] >= 0.5, recalls["ivf"]
     # more probes must buy recall — the multi-probe order is doing work
     assert mean["lsh32"] > mean["lsh4"], mean
+
+
+def test_pii_scrub_redacts_all_classes(spark):
+    from sidemantic_spark.operators.text import pii_counts, pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+spam@ex-ample.co.uk thanks"),
+            (2, "server 192.168.001.1 and 10.0.0.7 are up"),
+            (3, "call +1 555-123-4567 or (0)30 1234 567 now"),
+            (4, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in df.select(
+        "id",
+        pii_scrub(F.col("text")).alias("clean"),
+        pii_counts(F.col("text"))["n_email"].alias("n_email"),
+        pii_counts(F.col("text"))["n_ip"].alias("n_ip"),
+    ).collect()}
+    assert rows[1].clean == "mail me at <EMAIL> thanks"
+    assert rows[1].n_email == 1
+    assert rows[2].clean == "server <IP> and <IP> are up"
+    assert rows[2].n_ip == 2
+    assert "<PHONE>" in rows[3].clean and "555" not in rows[3].clean
+    assert rows[4].clean == "nothing sensitive here"
+
+
+def test_repetition_score_known_values(spark):
+    from sidemantic_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 7 grams: abc bca cab ×2 +abc -> 3 distinct
+            (2, "one two three four"),  # 2 grams, both unique
+            (3, "x y"),                 # shorter than n -> 0.0
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.s for r in df.select(
+        "id", repetition_score(F.col("text")).alias("s")).collect()}
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[1] == round(1.0 - 3.0 / 7.0, 6)
+
+
+def test_profile_numeric_vs_duckdb(docs, duck):
+    df = text.profile_numeric(docs, "n_chars", by=["lang"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT lang, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(n_chars) AS n_null,
+               CAST(MIN(n_chars) AS DOUBLE) AS min_v,
+               CAST(MAX(n_chars) AS DOUBLE) AS max_v,
+               ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(n_chars), 6) AS mean_v,
+               ROUND(SQRT((CAST(SUM(CAST(n_chars AS DECIMAL(28,6)) * CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+                           - CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+                             * CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(n_chars))
+                          / COUNT(n_chars)), 6) AS stddev_pop_v,
+               quantile_cont(n_chars, 0.5) AS median_v,
+               quantile_cont(n_chars, 0.9) AS p90_v
+        FROM documents GROUP BY 1
+        """,
+    )
+
+
+def test_domain_mix_plan_math(spark):
+    from sidemantic_spark.operators.pipeline import domain_mix_plan
+
+    # 100 docs of a, 50 of b; target 50/50 -> b binds (scale=100),
+    # a keeps 50% and b keeps 100%
+    df = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b") for i in range(150)],
+        "doc_id long, source string",
+    )
+    plan = {r.source: r for r in domain_mix_plan(
+        df, {"a": 0.5, "b": 0.5}).collect()}
+    assert plan["a"].accept_rate == 0.5
+    assert plan["b"].accept_rate == 1.0
+    assert plan["a"].expected_out == 50.0
+    assert plan["b"].expected_out == 50.0
+    # sources absent from the target are dropped from the plan
+    assert set(plan) == {"a", "b"}
