@@ -1167,6 +1167,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             metrics=["part.part_count"],
             dimensions=["orders.priority"],
         ),
+        # §2.3 relationship FK queryable as a dimension with NO join and
+        # no explicit declaration (ref tests/test_foreign_key_dimensions.py)
+        "fk_dimension_no_join": _q(
+            metrics=["orders.revenue", "orders.order_count"],
+            dimensions=["orders.o_custkey"],
+        ),
         # §2.3 cross join relationship
         "join_cross": _q(
             metrics=["supplier.supplier_count"],
@@ -1747,6 +1753,12 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             LEFT JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY 1
+        """,
+        "fk_dimension_no_join": """
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS order_count
+            FROM orders GROUP BY 1
         """,
         "join_cross": """
             SELECT p.p_brand AS brand,

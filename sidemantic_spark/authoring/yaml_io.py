@@ -50,7 +50,7 @@ _MODEL_KEYS = {
     "default_time_dimension", "default_grain", "description", "label",
     "sql_metrics", "sql_segments", "sql_dimensions", "pre_aggregations",
     "extends", "auto_dimensions", "row_filters", "security", "version",
-    "owner", "domain", "tier", "deprecation", "freshness",
+    "owner", "domain", "tier", "deprecation", "freshness", "meta",
 }
 _FRESHNESS_KEYS = {"watermark", "sql", "ttl_seconds"}
 _DEPRECATION_KEYS = {"message", "deprecated_at", "sunset_at", "replaced_by"}
@@ -67,7 +67,7 @@ _SAVED_QUERY_KEYS = {
 _DIM_KEYS = {
     "name", "type", "sql", "expr", "granularity", "supported_granularities",
     "label", "description", "parent", "window", "public", "hidden", "format",
-    "synonyms",
+    "value_format_name", "synonyms", "meta",
 }
 _METRIC_KEYS = {
     "name", "agg", "sql", "expr", "measure", "type", "description", "label",
@@ -81,6 +81,7 @@ _METRIC_KEYS = {
     "non_additive_dimension", "non_additive_window",
     "non_additive_window_groupings", "extends",
     "owner", "deprecation", "drill_fields",
+    "value_format_name", "synonyms", "meta",
 }
 _REL_KEYS = {
     "name", "type", "foreign_key", "primary_key", "foreign_key_columns",
@@ -285,6 +286,10 @@ def _build_model(md: dict, errors: list) -> Model | None:
             window=ddata.get("window"),
             public=ddata.get("public", not ddata.get("hidden", False)),
             supported_granularities=_listify(ddata.get("supported_granularities")),
+            format=ddata.get("format"),
+            value_format_name=ddata.get("value_format_name"),
+            synonyms=_listify(ddata.get("synonyms")),
+            meta=ddata.get("meta"),
         ))
 
     metrics: list[Metric] = []
@@ -410,6 +415,8 @@ def _build_model(md: dict, errors: list) -> Model | None:
         tier=md.get("tier"),
         deprecation=deprecation,
         freshness=freshness,
+        label=md.get("label"),
+        meta=md.get("meta"),
     )
 
     # embedded semantic-SQL blocks (ref embedded_sql_blocks fixture)
@@ -493,6 +500,10 @@ def _build_metric(mdata: dict, *, ctx: str, errors: list) -> Metric | None:
         non_additive_window_groupings=_listify(mdata.get("non_additive_window_groupings")),
         drill_fields=_listify(mdata.get("drill_fields")),
         owner=mdata.get("owner"),
+        format=mdata.get("format"),
+        value_format_name=mdata.get("value_format_name"),
+        synonyms=_listify(mdata.get("synonyms")),
+        meta=mdata.get("meta"),
     )
     if mdata.get("deprecation") is not None:
         ddata = mdata["deprecation"]
@@ -667,9 +678,9 @@ def export_yaml(graph) -> str:
     out: dict = {"version": SUPPORTED_VERSION, "models": []}
     for model in graph.models.values():
         md: dict = {"name": model.name}
-        for k in ("table", "sql", "source_uri", "description",
+        for k in ("table", "sql", "source_uri", "description", "label",
                   "default_time_dimension", "default_grain",
-                  "owner", "domain", "tier"):
+                  "owner", "domain", "tier", "meta"):
             v = getattr(model, k)
             if v is not None:
                 md[k] = v
@@ -707,12 +718,15 @@ def export_yaml(graph) -> str:
 
 def _dim_to_yaml(d: Dimension) -> dict:
     out = {"name": d.name, "type": d.type}
-    for k in ("sql", "granularity", "label", "description", "parent", "window"):
+    for k in ("sql", "granularity", "label", "description", "parent", "window",
+              "format", "value_format_name", "meta"):
         v = getattr(d, k)
         if v is not None:
             out[k] = v
     if d.supported_granularities:
         out["supported_granularities"] = list(d.supported_granularities)
+    if d.synonyms:
+        out["synonyms"] = list(d.synonyms)
     if not d.public:
         out["public"] = False
     return out
@@ -728,7 +742,8 @@ def _metric_to_yaml(m: Metric) -> dict:
               "grain_to_date", "base_metric", "comparison_type", "entity",
               "base_event", "conversion_event", "conversion_window",
               "activity_event", "having", "non_additive_dimension",
-              "fill_nulls_with", "description", "label", "owner"):
+              "fill_nulls_with", "description", "label", "owner",
+              "format", "value_format_name", "meta"):
         v = getattr(m, k)
         if v is not None:
             out[k] = v
@@ -747,6 +762,8 @@ def _metric_to_yaml(m: Metric) -> dict:
         out["retention_granularity"] = m.retention_granularity
     if m.filters:
         out["filters"] = list(m.filters)
+    if m.synonyms:
+        out["synonyms"] = list(m.synonyms)
     if not m.public:
         out["public"] = False
     return out

@@ -75,10 +75,38 @@ class Dimension:
     window: str | None = None  # window-function dimension (raw OVER sql)
     public: bool = True
     supported_granularities: list[str] = field(default_factory=list)
+    # display/extension metadata (reference core/dimension.py:16-44):
+    # carried through adapters and surfaces, no effect on compilation
+    format: str | None = None  # e.g. "0.00%"
+    value_format_name: str | None = None  # e.g. "percent"
+    synonyms: list[str] = field(default_factory=list)
+    meta: dict | None = None
 
     @property
     def expr(self) -> str:
         return self.sql or self.name
+
+
+# ``expr=`` constructor alias for ``sql=`` (reference core/dimension.py:
+# 60-75, tests/test_expr_sql_alias.py). The read-side ``.expr`` property
+# above makes a plain dataclass field impossible, so wrap the generated
+# __init__ instead.
+_dimension_init = Dimension.__init__
+
+
+def _dimension_init_with_expr_alias(self, *args, expr=None, **kwargs):
+    if expr is not None:
+        sql = kwargs.get("sql")
+        if sql is not None and sql != expr:
+            raise ValueError(
+                f"Cannot specify both sql={sql!r} and expr={expr!r} "
+                "with different values"
+            )
+        kwargs["sql"] = expr
+    _dimension_init(self, *args, **kwargs)
+
+
+Dimension.__init__ = _dimension_init_with_expr_alias
 
 
 @dataclass
@@ -155,7 +183,29 @@ class Metric:
     non_additive_window: str = "max"  # take value at max (last) or min (first)
     non_additive_window_groupings: list[str] = field(default_factory=list)
 
+    # display/extension metadata (reference core/metric.py:360-391):
+    # carried through adapters and surfaces, no effect on compilation
+    format: str | None = None  # e.g. "$#,##0.00"
+    value_format_name: str | None = None  # e.g. "usd"
+    synonyms: list[str] = field(default_factory=list)
+    meta: dict | None = None
+
     def __post_init__(self) -> None:
+        # ``expr`` is an accepted alias for ``sql`` on simple metrics
+        # (reference core/metric.py:70-96, tests/test_expr_sql_alias.py);
+        # derived metrics keep ``expr`` as the formula field
+        if self.expr is not None and self.type is None:
+            if self.sql is not None and self.sql != self.expr:
+                raise ValueError(
+                    f"Cannot specify both sql={self.sql!r} and "
+                    f"expr={self.expr!r} with different values"
+                )
+            if self.sql is None:
+                self.sql = self.expr
+        # ...and the reverse spelling for derived formulas: the
+        # reference authors them as sql=, our internal field is expr
+        if self.type == "derived" and self.expr is None and self.sql:
+            self.expr = self.sql
         # Auto-extraction: sql="SUM(amount)" -> agg="sum", sql="amount"
         # (reference core/metric.py:101-226, via sqlglot; regex suffices
         # for the single-agg-call shape; formula SQL is left intact).
@@ -309,6 +359,8 @@ class Model:
     deprecation: object | None = None  # Deprecation
     freshness: object | None = None  # Freshness
     auto_dimensions: bool = False  # introspect schema -> dims (ref core/model.py:61)
+    label: str | None = None
+    meta: dict | None = None  # arbitrary extension metadata (ref core/model.py:67)
 
     def __post_init__(self) -> None:
         self._dims = {d.name: d for d in self.dimensions}
@@ -323,7 +375,18 @@ class Model:
         return list(pk) if isinstance(pk, (list, tuple)) else [pk]
 
     def dimension(self, name: str) -> Dimension | None:
-        return self._dims.get(name)
+        dim = self._dims.get(name)
+        if dim is not None:
+            return dim
+        # reference parity (tests/test_foreign_key_dimensions.py):
+        # relationship foreign keys and the primary key are queryable as
+        # categorical dimensions without an explicit declaration — a
+        # group-by on the raw key column, no join required
+        join_keys = {k for r in self.relationships for k in r.fk_list()}
+        join_keys.update(self.pk_list())
+        if name in join_keys:
+            return Dimension(name=name, type="categorical", sql=name)
+        return None
 
     def metric(self, name: str) -> Metric | None:
         return self._metrics.get(name)

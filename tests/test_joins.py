@@ -304,3 +304,23 @@ def test_composite_key_join_to_derived_table(layer, duck):
         GROUP BY 1
         """,
     )
+
+
+def test_foreign_key_queryable_as_dimension(layer, duck):
+    """Reference tests/test_foreign_key_dimensions.py: a relationship's
+    FK column groups without a join and without a declared dimension."""
+    sql = layer.compile(
+        metrics=["orders.revenue"], dimensions=["orders.o_custkey"]
+    )
+    assert "JOIN" not in sql.upper().replace("-- ", ""), sql
+    df = layer.query(
+        metrics=["orders.revenue"], dimensions=["orders.o_custkey"]
+    )
+    got = {r.o_custkey: float(r.revenue) for r in df.collect()}
+    want = dict(
+        duck.execute(
+            "SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            " FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want

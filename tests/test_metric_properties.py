@@ -58,3 +58,56 @@ def test_nested_call_is_single():
 def test_plain_column_not_extracted():
     m = Metric(name="m", agg="sum", sql="amount")
     assert m.agg == "sum" and m.sql == "amount"
+
+
+def test_expr_is_alias_for_sql():
+    """Reference tests/test_expr_sql_alias.py: expr= and sql= are
+    interchangeable on simple metrics and dimensions; conflicting
+    values raise."""
+    import pytest
+
+    from sidemantic_spark.core.model import Dimension
+
+    assert Metric(name="r", agg="sum", expr="amount").sql == "amount"
+    assert Metric(name="r", agg="sum", sql="amount", expr="amount").sql == "amount"
+    with pytest.raises(ValueError, match="different values"):
+        Metric(name="r", agg="sum", sql="a", expr="b")
+    # auto-extraction still applies through the alias
+    m = Metric(name="r", expr="SUM(amount)")
+    assert m.agg == "sum" and m.sql == "amount"
+    d = Dimension(name="x", expr="colx")
+    assert d.sql == "colx" and d.expr == "colx"
+    with pytest.raises(ValueError, match="different values"):
+        Dimension(name="x", sql="a", expr="b")
+    # derived formulas accept the reference's sql= spelling
+    md = Metric(name="share", type="derived", sql="a / b")
+    assert md.expr == "a / b"
+
+
+def test_display_metadata_fields_roundtrip_yaml():
+    """format / value_format_name / synonyms / meta carry through the
+    native YAML surface (reference tests/test_metadata_fields.py)."""
+    from sidemantic_spark.authoring.yaml_io import export_yaml, load_yaml
+    from sidemantic_spark.core.graph import SemanticGraph
+    from sidemantic_spark.core.model import Dimension
+
+    m = Metric(
+        name="revenue", agg="sum", sql="amount",
+        format="$#,##0.00", value_format_name="usd",
+        synonyms=["sales"], meta={"certified": True},
+    )
+    d = Dimension(
+        name="rate", type="numeric", format="0.00%",
+        value_format_name="percent", synonyms=["pct"], meta={"pii": False},
+    )
+    assert m.format == "$#,##0.00" and d.value_format_name == "percent"
+
+    from sidemantic_spark.core.model import Model
+
+    graph = SemanticGraph()
+    graph.add_model(Model(
+        name="orders", table="t", primary_key="id",
+        dimensions=[d], metrics=[m], label="Orders", meta={"code": 7},
+    ))
+    text = export_yaml(graph)
+    assert "value_format_name" in text and "synonyms" in text
