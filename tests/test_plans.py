@@ -268,3 +268,61 @@ def test_preagg_partition_pruning(spark, sf_dir, tmp_path):
     layer.generator.use_preaggs = True
     routed = {(r[0], round(float(r[1]), 2)) for r in df.collect()}
     assert routed == base
+
+
+def test_text_ops_are_single_stage_no_shuffle(spark, sf_dir):
+    """PII scrub and repetition score are pure map work: no Exchange in
+    the plan, and PII scrub stays inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.models.tpch import register_tables
+    from sidemantic_spark.operators.text import pii_scrub, repetition_score
+
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    scrub_plan = _plan(docs.select(pii_scrub(F.col("text")).alias("t")))
+    assert "Exchange" not in scrub_plan
+    # "*(n)" node prefix = inside a WholeStageCodegen span
+    assert scrub_plan.lstrip().startswith("*("), scrub_plan.splitlines()[0]
+    rep_plan = _plan(
+        docs.select(repetition_score(F.col("text")).alias("s"))
+    )
+    assert "Exchange" not in rep_plan
+
+
+def test_profile_numeric_partial_aggregation(spark, sf_dir):
+    """The numeric profile shuffles once at group cardinality with
+    map-side partial aggregation before the exchange."""
+    from sidemantic_spark.models.tpch import register_tables
+    from sidemantic_spark.operators.text import profile_numeric
+
+    register_tables(spark, sf_dir)
+    plan = _plan(profile_numeric(spark.table("documents"), "n_chars", by=["lang"]))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # partial_* aggregate functions must appear before the exchange
+    assert "partial" in plan
+
+
+def test_domain_mix_scale_is_broadcast(spark, sf_dir):
+    """The single-row scale factor joins back via broadcast — the
+    per-source frame never shuffles for the join."""
+    from sidemantic_spark.models.tpch import register_tables
+    from sidemantic_spark.operators.pipeline import domain_mix_plan
+
+    register_tables(spark, sf_dir)
+    target = {f"src{i}": 0.05 for i in range(20)}
+    plan = _plan(domain_mix_plan(spark.table("documents"), target))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fk_dimension_query_has_no_join(layer):
+    """FK-as-dimension groups on the raw key column without touching
+    the customer table."""
+    df = layer.query(
+        metrics=["orders.revenue"], dimensions=["orders.o_custkey"]
+    )
+    plan = _plan(df)
+    assert "Join" not in plan
+    scan = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "customer" not in scan
