@@ -91,6 +91,44 @@ def normalize_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _canon_strict(v):
+    """Driver-grade canonical form: exact floats (full repr), Decimal as
+    string, dates lifted to naive datetimes. Mirrors
+    scripts/ordered_compare.py."""
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
+    return repr(v)
+
+
+def assert_df_matches_oracle_strict(df, duck_con, oracle_sql):
+    """Strictest form of the driver's t2 hash check: columns sorted by
+    name, rows compared IN RETURNED ORDER, full float precision. Every
+    oracle-checked contract query must pass this — the contract's
+    _canon wrapper imposes a total row order on both engines and the
+    DECIMAL-sum design makes monetary aggregates bit-identical, so any
+    failure here is a real regression, not noise."""
+    sdf_cols = sorted(df.columns)
+    s_rows = [tuple(_canon_strict(r[c]) for c in sdf_cols) for r in df.collect()]
+    res = duck_con.execute(oracle_sql)
+    o_cols_raw = [d[0] for d in res.description]
+    idx = sorted(range(len(o_cols_raw)), key=lambda i: o_cols_raw[i])
+    o_cols = [o_cols_raw[i] for i in idx]
+    o_rows = [tuple(_canon_strict(r[i]) for i in idx) for r in res.fetchall()]
+    assert sdf_cols == o_cols, f"schema: {sdf_cols} vs {o_cols}"
+    assert len(s_rows) == len(o_rows), f"rows: {len(s_rows)} vs {len(o_rows)}"
+    for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
+        assert sr == orow, f"row {i} (in returned order):\nspark: {sr}\nduck:  {orow}"
+
+
 def assert_df_matches_oracle(df, duck_con, oracle_sql, check_columns=True, rel_tol=1e-6):
     spark_cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]

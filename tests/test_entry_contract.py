@@ -9,7 +9,7 @@ import sys
 
 import pytest
 
-from tests.conftest import SF_DIR, assert_df_matches_oracle
+from tests.conftest import SF_DIR, assert_df_matches_oracle_strict
 
 
 def _load_entry():
@@ -47,4 +47,7 @@ def test_query_contract(name, spark, duck):
         assert rows is not None
         assert df.columns
     else:
-        assert_df_matches_oracle(df, duck, oracle)
+        # order-preserving, full-float-precision compare: the r01
+        # correctness snapshot hash-mismatched 24 queries purely on
+        # row order / timestamp zone; this guards the _canon fix
+        assert_df_matches_oracle_strict(df, duck, oracle)
