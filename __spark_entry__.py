@@ -539,6 +539,55 @@ def _dedup_clusters(spark, sf_dir):
     return connected_components(pairs)
 
 
+def _text_gopher_flags(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 A1.1): per-doc
+    measurements, one boolean per rule, final keep conjunction — all
+    built-in expressions, zero shuffle. The stopword list is tuned to
+    the synthetic corpus vocabulary so both rule outcomes occur;
+    defaults are the paper's."""
+    from sidemantic_spark.operators.text import gopher_quality_flags
+
+    from pyspark.sql import functions as F
+
+    out = gopher_quality_flags(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        stopwords=["the", "a", "and", "of"],
+    ).drop("text")
+    return out.select(
+        *[
+            F.col(c).cast("bigint").alias(c)
+            if c in ("word_count", "stopword_hits")
+            else F.col(c)
+            for c in out.columns
+        ]
+    )
+
+
+def _pipeline_span_dedup(spark, sf_dir):
+    """C4-style duplicate-span removal (Raffel et al. 2020 §2.2):
+    fixed-width word spans, global first-occurrence-wins dedup in one
+    row_number window keyed on the span digest, per-doc reassembly.
+    Every document survives (possibly empty), so cardinality is
+    stable."""
+    from sidemantic_spark.operators.pipeline import span_dedup
+
+    return span_dedup(
+        _docs(spark, sf_dir).select("doc_id", "text"), span_words=10
+    )
+
+
+def _sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table:
+    banded-LSH cosine near-dup graph (threshold 0.4, same S-curve
+    analysis as sim_embedding_near_dups) -> connected components ->
+    keep the min-id representative per semantic cluster. The full
+    pipeline (candidates, verify, clustering, representative) is
+    SQL-expressible, so it is oracle-checked end to end."""
+    from sidemantic_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_embs(spark, sf_dir), min_cosine=0.4)
+
+
 def _text_fingerprint(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1273,6 +1322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "create_view_sink": _create_view_sink,
         # connected-components dedup clustering over the ngram pair graph
         "dedup_clusters": _dedup_clusters,
+        "text_gopher_flags": _text_gopher_flags,
+        "pipeline_span_dedup": _pipeline_span_dedup,
+        "sim_semantic_dedup": _sim_semantic_dedup,
         # text fingerprinting (md5 of normalized content)
         "text_fingerprint": _text_fingerprint,
         # BPE-ish tokenization + composed clean-corpus pipeline
@@ -2187,6 +2239,97 @@ def oracle_sql() -> dict[str, str]:
             FROM cc GROUP BY node
         """,
         "sim_embedding_near_dups": _near_dup_oracle(),
+        "text_gopher_flags": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END AS word_count,
+                       length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_word_chars,
+                       length(text) - length(replace(text, '#', '')) AS n_hash,
+                       len(regexp_extract_all(text, '\.\.\.')) AS n_ellipsis,
+                       len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+                       len(string_split(text, chr(10))) AS n_lines,
+                       len(list_filter(string_split(text, chr(10)),
+                                       l -> regexp_matches(ltrim(l), '^[-*•]'))) AS n_bullet,
+                       len(list_filter(string_split(text, chr(10)),
+                                       l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS n_ell_lines,
+                       (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+                      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% a %' THEN 1 ELSE 0 END
+                      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+                      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END) AS stopword_hits
+                FROM documents
+            ), m AS (
+                SELECT doc_id, word_count, stopword_hits,
+                       ROUND(CAST(n_word_chars AS DOUBLE) / GREATEST(word_count, 1), 6) AS mean_word_len,
+                       ROUND(CAST(n_hash + n_ellipsis AS DOUBLE) / GREATEST(word_count, 1), 6) AS symbol_ratio,
+                       ROUND(CAST(n_alpha_words AS DOUBLE) / GREATEST(word_count, 1), 6) AS alpha_word_frac,
+                       ROUND(CAST(n_bullet AS DOUBLE) / GREATEST(n_lines, 1), 6) AS bullet_line_frac,
+                       ROUND(CAST(n_ell_lines AS DOUBLE) / GREATEST(n_lines, 1), 6) AS ellipsis_line_frac
+                FROM w
+            )
+            SELECT doc_id, word_count, mean_word_len, symbol_ratio, alpha_word_frac,
+                   bullet_line_frac, ellipsis_line_frac,
+                   CAST(stopword_hits AS BIGINT) AS stopword_hits,
+                   word_count >= 50 AND word_count <= 100000 AS rule_word_count,
+                   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS rule_mean_word_len,
+                   symbol_ratio <= 0.1 AS rule_symbol_ratio,
+                   bullet_line_frac <= 0.10 AS rule_bullet_lines,
+                   ellipsis_line_frac <= 0.30 AS rule_ellipsis_lines,
+                   alpha_word_frac >= 0.80 AS rule_alpha_words,
+                   stopword_hits >= 2 AS rule_stopwords,
+                   (word_count >= 50 AND word_count <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_ratio <= 0.1
+                    AND bullet_line_frac <= 0.10
+                    AND ellipsis_line_frac <= 0.30
+                    AND alpha_word_frac >= 0.80
+                    AND stopword_hits >= 2) AS keep
+            FROM m
+        """,
+        "pipeline_span_dedup": r"""
+            WITH base AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+                FROM documents
+            ), spans AS (
+                SELECT doc_id, CAST(t.i AS INT) AS span_idx,
+                       array_to_string(words[(t.i*10+1):(t.i*10+10)], ' ') AS span
+                FROM base,
+                     (SELECT unnest(range(0, GREATEST(CAST(ceil(len(words)/10.0) AS BIGINT), 1)))) AS t(i)
+            ), ranked AS (
+                SELECT doc_id, span_idx, span,
+                       row_number() OVER (PARTITION BY md5(span)
+                                          ORDER BY doc_id, span_idx) AS rn
+                FROM spans
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                                       ORDER BY span_idx), '') AS text_clean,
+                   COUNT(*) AS n_spans,
+                   COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept
+            FROM ranked GROUP BY doc_id
+        """,
+        "sim_semantic_dedup": f"""
+            WITH RECURSIVE pairs AS ({_near_dup_oracle()}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            cc(node, label) AS (
+                SELECT node, node AS label FROM nodes
+                UNION
+                SELECT e.dst AS node, cc.label
+                FROM cc JOIN edges e ON cc.node = e.src
+                WHERE cc.label < e.dst
+            ),
+            clusters AS (SELECT node, MIN(label) AS cluster_id FROM cc GROUP BY node)
+            SELECT v.vec_id,
+                   COALESCE(c.cluster_id, v.vec_id) AS cluster_id,
+                   COALESCE(c.cluster_id, v.vec_id) = v.vec_id AS keep
+            FROM embeddings v LEFT JOIN clusters c ON v.vec_id = c.node
+        """,
         "preagg_rollup_route": """
             SELECT o_orderstatus AS status,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -199,6 +199,76 @@ def _word_gram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> Data
     return toks.select("__id", F.explode(grams).alias("__gram"))
 
 
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> DataFrame:
+    """C4-style duplicate-span removal: split every document into
+    fixed-width word spans, drop every span that already occurred
+    anywhere in the corpus (first occurrence by (doc_id, span index)
+    wins), and reassemble the surviving spans per document.
+
+    This is the corpus-level "discard repeated three-sentence spans"
+    rule of C4 (Raffel et al. 2020, §2.2) with a fixed word-window
+    splitter — the reference corpus has no sentence boundaries, and the
+    distributed shape is identical for any splitter.
+
+    Plan shape (2 shuffles, text rides each exactly once):
+      1. spans are built in-task from the split word array (array HOFs,
+         no Python) and posexploded;
+      2. global first-occurrence ranking is ONE sort-shuffle:
+         ``row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id,
+         span_idx)`` — partitioning on the 32-char digest, not the
+         span text, keeps hash distribution uniform even for skewed
+         boilerplate spans;
+      3. reassembly is one groupBy(doc_id) collecting the kept spans in
+         span order.
+    Every document survives (possibly with empty text), so the output
+    cardinality equals the input's — the op composes with downstream
+    filters instead of silently dropping rows.
+
+    Returns (id_col, text_clean, n_spans, n_kept).
+    """
+    from pyspark.sql import Window
+
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n_spans = F.greatest(
+        F.ceil(F.size(words) / F.lit(float(span_words))).cast("int"), F.lit(1)
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * span_words + 1, span_words)
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(spans).alias("span_idx", "span")
+    )
+    first_wins = Window.partitionBy(F.md5("span")).orderBy(
+        F.col(id_col), F.col("span_idx")
+    )
+    ranked = exploded.withColumn("rn", F.row_number().over(first_wins))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("span_idx"), F.col("span"))
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["span"]
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -320,6 +320,61 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.95,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): build
+    the cosine near-duplicate pair graph over the embedding column,
+    collapse it into connected components, and keep the smallest-id
+    representative of each semantic cluster.
+
+    Composition of two scale-proven pieces: banded hyperplane-LSH
+    candidates with exact-cosine verify (:func:`embedding_near_dup_pairs`
+    — only (id, band, bucket) rows shuffle, pair expansion is
+    bucket-capped) and min-label-propagation connected components
+    (``operators.dedup.connected_components`` — per-round shuffles carry
+    (id, label) only).  SemDeDup's k-means partitioning plays the same
+    candidate-bounding role as the LSH bands here; banding needs no
+    trained centroids and its recall/threshold curve is analytic
+    (1 - (1 - p^r)^b), which also makes the whole pipeline — candidates,
+    verify, clustering, representative choice — expressible as a SQL
+    oracle for cross-engine verification.
+
+    Returns one row per input vector: (id_col, cluster_id, keep) with
+    cluster_id = min id of the vector's semantic cluster (its own id
+    when it has no near-duplicates) and keep = (id == cluster_id).
+    """
+    from sidemantic_spark.operators.dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        bands=bands,
+        bits_per_band=bits_per_band,
+        min_cosine=min_cosine,
+        dim=dim,
+    )
+    comps = connected_components(pairs).withColumnRenamed("doc_id", "__node")
+    return (
+        df.select(F.col(id_col))
+        .join(comps, F.col(id_col) == F.col("__node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+            (F.coalesce(F.col("cluster_id"), F.col(id_col)) == F.col(id_col)).alias(
+                "keep"
+            ),
+        )
+    )
+
+
 def cosine_topk_join(
     df: DataFrame,
     queries: "DataFrame | list[tuple[int, list[float]]]",

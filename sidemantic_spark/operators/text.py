@@ -166,6 +166,106 @@ def repetition_score(text: Column, n: int = 3) -> Column:
     return F.when(cnt < 1, F.lit(0.0)).otherwise(F.round(frac_dup, 6))
 
 
+# Gopher's rule-7 stopword list (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", appendix A1.1): a document must contain at least
+# two of these to pass.
+GOPHER_STOPWORDS: list[str] = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.10,
+    max_ellipsis_frac: float = 0.30,
+    min_alpha_word_frac: float = 0.80,
+    stopwords: list[str] | None = None,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, A1.1) as
+    one projection: per-document measurements, one boolean per rule and
+    a final ``keep`` conjunction.
+
+    Measurements are built-in column expressions over the split word /
+    line arrays — ratios are exact int/int double divisions, so results
+    are bit-identical across engines and partitionings.  The two array
+    predicates (words containing a letter, bullet/ellipsis lines) use
+    ``filter`` higher-order functions: interpreted, but O(words) with no
+    regex re-evaluation — the dominant cost stays the split itself.  At
+    100 TB this is an embarrassingly parallel map stage with zero
+    shuffle, a free rider on whatever scan already reads the text.
+
+    Rules (each also surfaced as a column so downstream can re-weight):
+    word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; '#'/'...' symbol-to-word
+    ratio <= max_symbol_ratio; <= max_bullet_frac of lines start with a
+    bullet; <= max_ellipsis_frac of lines end with '...'; >=
+    min_alpha_word_frac of words contain a letter; >= min_stopword_hits
+    distinct stopwords present."""
+    sw = GOPHER_STOPWORDS if stopwords is None else stopwords
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    words = F.split(trimmed, r"\s+")
+    wc = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(words))
+    wc_nz = F.greatest(wc, F.lit(1)).cast("double")
+    # mean word length = non-whitespace chars / words (exact division)
+    n_word_chars = F.length(F.regexp_replace(trimmed, r"\s+", ""))
+    mean_word_len = F.round(n_word_chars.cast("double") / wc_nz, 6)
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), F.lit(0)))
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / wc_nz, 6)
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_word_frac = F.round(n_alpha_words.cast("double") / wc_nz, 6)
+    lines = F.split(t, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))).cast("double")
+        / n_lines,
+        6,
+    )
+    ellipsis_line_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"\.\.\.$"))).cast("double")
+        / n_lines,
+        6,
+    )
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    hits: Column = F.lit(0)
+    for w in sw:
+        hits = hits + F.when(padded.contains(f" {w} "), 1).otherwise(0)
+
+    flags = df.select(
+        "*",
+        wc.alias("word_count"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        hits.alias("stopword_hits"),
+    )
+    rules = {
+        "rule_word_count": (F.col("word_count") >= min_words)
+        & (F.col("word_count") <= max_words),
+        "rule_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "rule_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "rule_bullet_lines": F.col("bullet_line_frac") <= max_bullet_frac,
+        "rule_ellipsis_lines": F.col("ellipsis_line_frac") <= max_ellipsis_frac,
+        "rule_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "rule_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
+    keep = F.lit(True)
+    for expr in rules.values():
+        keep = keep & expr
+    return flags.select(
+        "*", *[expr.alias(name) for name, expr in rules.items()], keep.alias("keep")
+    )
+
+
 def profile_numeric(
     df: DataFrame, value_col: str, by: list[str] | None = None
 ) -> DataFrame:

@@ -508,3 +508,104 @@ def test_domain_mix_plan_math(spark):
     assert plan["b"].expected_out == 50.0
     # sources absent from the target are dropped from the plan
     assert set(plan) == {"a", "b"}
+
+
+def test_gopher_flags_known_values(spark):
+    rows = [
+        # passes every rule (55 the/and-laden words, clean prose shape)
+        (1, " ".join(["the quick brown fox and the lazy dog of note"] * 6)[:-1]),
+        # too short + no stopwords -> fails word_count and stopwords
+        (2, "tiny doc"),
+        # symbol-heavy: hashes push symbol_ratio over 0.1
+        (3, "# " * 60 + "the and of words " * 10),
+        # bullet lines dominate
+        (4, "\n".join(["- item one of the list and more"] * 5)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.gopher_quality_flags(df).collect()}
+    assert out[1].keep
+    assert not out[2].rule_word_count and not out[2].rule_stopwords
+    assert not out[3].rule_symbol_ratio and not out[3].keep
+    assert out[4].bullet_line_frac == 1.0 and not out[4].rule_bullet_lines
+    # every rule column is surfaced
+    assert all(hasattr(out[1], f"rule_{r}") for r in (
+        "word_count", "mean_word_len", "symbol_ratio", "bullet_lines",
+        "ellipsis_lines", "alpha_words", "stopwords"))
+
+
+def test_gopher_flags_vs_duckdb(docs, duck):
+    df = text.gopher_quality_flags(
+        docs.select("doc_id", "text"), stopwords=["the", "a", "and", "of"]
+    ).select("doc_id", "word_count", "mean_word_len", "alpha_word_frac", "keep")
+    assert_df_matches_oracle(
+        df,
+        duck,
+        r"""
+        WITH w AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS word_count,
+                   length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_word_chars,
+                   length(text) - length(replace(text, '#', '')) AS n_hash,
+                   len(regexp_extract_all(text, '\.\.\.')) AS n_ellipsis,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+                   (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+                  + CASE WHEN ' ' || lower(text) || ' ' LIKE '% a %' THEN 1 ELSE 0 END
+                  + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+                  + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END) AS sw
+            FROM documents
+        )
+        SELECT doc_id, CAST(word_count AS INT) AS word_count,
+               ROUND(CAST(n_word_chars AS DOUBLE) / GREATEST(word_count, 1), 6) AS mean_word_len,
+               ROUND(CAST(n_alpha_words AS DOUBLE) / GREATEST(word_count, 1), 6) AS alpha_word_frac,
+               (word_count BETWEEN 50 AND 100000
+                AND CAST(n_word_chars AS DOUBLE) / GREATEST(word_count, 1) BETWEEN 3.0 AND 10.0
+                AND ROUND(CAST(n_hash + n_ellipsis AS DOUBLE) / GREATEST(word_count, 1), 6) <= 0.1
+                AND ROUND(CAST(n_alpha_words AS DOUBLE) / GREATEST(word_count, 1), 6) >= 0.8
+                AND sw >= 2) AS keep
+        FROM w
+        """,
+    )
+
+
+def test_span_dedup_removes_cross_doc_spans(spark):
+    from sidemantic_spark.operators.pipeline import span_dedup
+
+    a = "w%d " * 10 % tuple(range(10))  # one exact 10-word span
+    rows = [
+        (1, (a + "tail one two three").strip()),  # owns the span first
+        (2, (a + "other suffix words here").strip()),  # duplicate span -> dropped
+        (3, "completely different words only five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_dedup(df, span_words=10).collect()}
+    assert out[1].n_spans == 2 and out[1].n_kept == 2
+    assert out[2].n_spans == 2 and out[2].n_kept == 1
+    assert out[2].text_clean == "other suffix words here"
+    assert out[3].n_kept == 1 and out[3].text_clean == rows[2][1]
+    # identical docs: first doc id keeps everything, the clone empties
+    clones = spark.createDataFrame(
+        [(10, a.strip()), (11, a.strip())], "doc_id long, text string"
+    )
+    cout = {r.doc_id: r for r in span_dedup(clones, span_words=10).collect()}
+    assert cout[10].n_kept == 1 and cout[11].n_kept == 0
+    assert cout[11].text_clean == ""
+
+
+def test_semantic_dedup_clusters_and_keeps(spark):
+    from sidemantic_spark.operators.similarity import semantic_dedup
+
+    base = [1.0] + [0.0] * 63
+    tilt = [1.0, 0.05] + [0.0] * 62
+    ortho = [0.0, 1.0] + [0.0] * 62
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, tilt), (4, ortho)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup(df, min_cosine=0.95).collect()}
+    assert len(out) == 4  # every vector gets a verdict
+    assert out[1].cluster_id == 1 and out[1].keep
+    assert out[2].cluster_id == 1 and not out[2].keep
+    assert out[3].cluster_id == 1 and not out[3].keep  # near-parallel joins via 1
+    assert out[4].cluster_id == 4 and out[4].keep  # orthogonal singleton
