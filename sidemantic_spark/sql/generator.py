@@ -749,14 +749,36 @@ class SqlGenerator:
             den_sql = self._metric_sql(RMetric(den_model, den, den.name), value_of, depth + 1)
             sql = f"CAST(({num_sql}) AS DOUBLE) / NULLIF(CAST(({den_sql}) AS DOUBLE), 0)"
         elif metric.type == "derived":
+            # metric-level window totals: ``all(metric)`` (BSL
+            # ``_.all(...)``, arriving as ``__bsl_all(...)`` or
+            # ``all(...)``) -> whole-result window aggregate, e.g.
+            # SUM(SUM(x)) OVER ().  Extracted to placeholders FIRST so
+            # the identifier-substitution pass below doesn't rewrite the
+            # metric name inside the call (ref sql/generator.py
+            # :4358-4460 `_build_measure_window_total_sql` /
+            # `_extract_bsl_all_placeholders`).
             sql = metric.expr
-            for name in _identifiers(metric.expr):
+            placeholders: dict[str, str] = {}
+
+            def _hold(mm: "re.Match[str]") -> str:
+                key = f"__wt_{len(placeholders)}__"
+                placeholders[key] = mm.group(1).strip()
+                return key
+
+            sql = _ALL_RE.sub(_hold, sql)
+            for name in _identifiers(sql):
                 try:
                     child_model, child = self._lookup_metric(_qualify(name, rm.model))
                 except QueryCompileError:
                     continue
                 child_sql = self._metric_sql(RMetric(child_model, child, child.name), value_of, depth + 1)
                 sql = re.sub(rf"\b{re.escape(name)}\b", f"({child_sql})", sql)
+            for key, ref in placeholders.items():
+                child_model, child = self._lookup_metric(_qualify(ref, rm.model))
+                total = self._window_total_sql(
+                    RMetric(child_model, child, child.name), value_of, depth + 1
+                )
+                sql = sql.replace(key, f"({total})")
         elif metric.type in ("cumulative", "time_comparison"):
             base_model, base = self._lookup_metric(_qualify(metric.base_metric, rm.model))
             return self._metric_sql(RMetric(base_model, base, base.name), value_of, depth + 1)
@@ -765,6 +787,53 @@ class SqlGenerator:
         if metric.fill_nulls_with is not None:
             sql = f"COALESCE({sql}, {metric.fill_nulls_with})"
         return sql
+
+    def _window_total_sql(self, rm: RMetric, value_of, depth: int = 0) -> str:
+        """Whole-result window aggregate for ``all(metric)``: the total
+        across every output group, computed post-GROUP BY via an empty
+        OVER () (ref sql/generator.py:4358-4376).  At scale this window
+        runs over the already-aggregated (small) result, not the fact
+        rows, so the single-partition window is cheap by construction.
+        COUNT DISTINCT cannot be decomposed through GROUP BY, so it
+        falls back to a scalar subquery against the model CTE (ref
+        `_build_measure_total_subquery_sql`, :4377-4393)."""
+        metric = rm.metric
+        if not metric.is_simple:
+            raise QueryCompileError(
+                f"all({metric.name}): window totals need a simple aggregate metric"
+            )
+        agg = metric.agg
+        inner = self._simple_agg_sql(rm.model, metric, metric.name, value_of)
+        if agg in ("sum", "count"):
+            return f"SUM({inner}) OVER ()"
+        if agg == "min":
+            return f"MIN({inner}) OVER ()"
+        if agg == "max":
+            return f"MAX({inner}) OVER ()"
+        if agg == "avg":
+            value = value_of(metric.name, metric)
+            if metric.filters:
+                cond = " AND ".join(
+                    f"({self._rewrite_outer_filter(f)})" for f in metric.filters
+                )
+                value = f"CASE WHEN {cond} THEN {value} END"
+            return (
+                f"CAST(SUM(SUM({value})) OVER () AS DOUBLE) / "
+                f"NULLIF(CAST(SUM(COUNT({value})) OVER () AS DOUBLE), 0)"
+            )
+        if agg in ("count_distinct", "approx_count_distinct"):
+            value = value_of(metric.name, metric)
+            prefix = f"{rm.model}_cte."
+            col = value[len(prefix):] if value and value.startswith(prefix) else value
+            expr = (
+                f"APPROX_COUNT_DISTINCT(__all.{col})"
+                if agg == "approx_count_distinct"
+                else f"COUNT(DISTINCT __all.{col})"
+            )
+            return f"(SELECT {expr} FROM {rm.model}_cte AS __all)"
+        raise QueryCompileError(
+            f"all({metric.name}): agg {agg!r} has no window-total form"
+        )
 
     def _simple_agg_sql(self, model_name: str, metric: Metric, out: str, value_of) -> str:
         value = value_of(out, metric)
@@ -1121,6 +1190,11 @@ class SqlGenerator:
                 return (f"CAST(({sym_agg(num, depth + 1)}) AS DOUBLE) / "
                         f"NULLIF(CAST(({sym_agg(den, depth + 1)}) AS DOUBLE), 0)")
             if metric.type == "derived":
+                if _ALL_RE.search(metric.expr or ""):
+                    raise QueryCompileError(
+                        f"metric {metric.name!r}: all() window totals are not "
+                        "supported under symmetric aggregation"
+                    )
                 sql = metric.expr
                 for name in _identifiers(metric.expr):
                     try:
@@ -1184,6 +1258,11 @@ class SqlGenerator:
             den_sql = self._metric_sql_dedup(RMetric(den_model, den, den.name), value_of, r, depth + 1)
             return f"CAST(({num_sql}) AS DOUBLE) / NULLIF(CAST(({den_sql}) AS DOUBLE), 0)"
         if metric.type == "derived":
+            if _ALL_RE.search(metric.expr or ""):
+                raise QueryCompileError(
+                    f"metric {metric.name!r}: all() window totals are not "
+                    "supported under fan-out dedup"
+                )
             sql = metric.expr
             for name in _identifiers(metric.expr):
                 try:
@@ -1825,8 +1904,20 @@ FROM __per_entity"""
         #     :3391-3629): MAX(ts) OVER (PARTITION BY ...) + equality
         #     filter — handles any agg (count_distinct, avg, median)
         #     since the original rows survive to the final aggregate.
+        #
+        # Plan choice is gated on marker-partition cardinality, not just
+        # decomposability.  When `non_additive_window_groupings` is
+        # present (per-entity markers, e.g. partkey), the window's
+        # PARTITION BY key cardinality is ~entity-count: partitions are
+        # tiny, the sort-within-partition is cheap, and the pipeline's
+        # first GROUP BY (groupings × ts) is near row-cardinality so
+        # map-side combine buys nothing — plan (a) pays 3 shuffles where
+        # (b) pays one sort-shuffle (measured 11.6s vs 5.2s at sf0.1).
+        # Without groupings the window partitions collapse to the
+        # (low-cardinality) dims, the sort skews badly at scale, and the
+        # sort-free pipeline wins — so (a) is used only then.
         decomposable = {"sum", "count", "min", "max"}
-        if all(
+        if not groupings and all(
             rmx.metric.agg in decomposable and not rmx.metric.sql_is_complete
             for rmx in r.metrics
         ):
@@ -1967,6 +2058,8 @@ def _qualify(name: str | None, default_model: str) -> str:
 
 
 _IDENT_RE = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?\b")
+# metric-level window totals: all(metric) / __bsl_all(metric)
+_ALL_RE = re.compile(r"\b(?:__bsl_all|all)\(\s*([A-Za-z_][\w.]*)\s*\)", re.IGNORECASE)
 _SQL_KEYWORDS = {
     "case", "when", "then", "else", "end", "and", "or", "not", "null", "nullif",
     "coalesce", "cast", "as", "double", "bigint", "int", "float", "decimal",

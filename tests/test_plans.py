@@ -210,11 +210,22 @@ def test_explain_plan_fanout_and_join_path(layer):
 
 
 def test_semi_additive_agg_plan_is_sort_free(layer):
-    """The decomposable-agg semi-additive strategy must contain no Sort
-    operator (the window-marker plan's dominant cost at fact scale) and
-    keep map-side partial aggregation on the first shuffle."""
+    """The decomposable-agg semi-additive strategy (chosen when the
+    metric has no per-entity groupings, i.e. low-cardinality marker
+    partitions) must contain no Sort operator (the window-marker plan's
+    dominant cost at fact scale) and keep map-side partial aggregation
+    on the first shuffle."""
+    from sidemantic_spark.core.model import Metric
+
+    li = layer.graph.get_model("lineitem")
+    if li.metric("last_day_qty") is None:
+        li.add_metric(Metric(
+            name="last_day_qty", agg="sum", sql="l_quantity",
+            non_additive_dimension="ship_date",
+            non_additive_window="max",
+        ))
     df = layer.query(
-        metrics=["lineitem.last_qty_per_part"],
+        metrics=["lineitem.last_day_qty"],
         dimensions=["lineitem.ship_date__month AS ship_month"],
     )
     plan = _plan(df)
@@ -222,6 +233,21 @@ def test_semi_additive_agg_plan_is_sort_free(layer):
     assert "partial_" in plan or "HashAggregate" in plan
     # window plan would show a Window node
     assert "Window" not in plan
+
+
+def test_semi_additive_grouped_uses_window_plan(layer):
+    """With per-entity groupings (partkey), marker partitions are
+    ~entity-count: the window plan's single sort-shuffle over tiny
+    partitions beats the pipeline's three shuffles (first GROUP BY is
+    near row-cardinality, so map-side combine buys nothing).  The plan
+    must be a Window over exactly one Exchange, with no second
+    aggregate-input Exchange."""
+    df = layer.query(
+        metrics=["lineitem.last_qty_per_part"],
+        dimensions=["lineitem.ship_date__month AS ship_month"],
+    )
+    plan = _plan(df)
+    assert "Window" in plan, plan
 
 
 def test_preagg_partition_pruning(spark, sf_dir, tmp_path):

@@ -252,44 +252,63 @@ def test_semi_additive_last_snapshot(layer, duck):
 
 
 def test_semi_additive_strategies_agree(layer, duck):
-    """The sort-free aggregation-pipeline plan (partial agg per
-    timestamp -> MAX_BY marker pick -> re-agg) is chosen for
-    decomposable aggs and returns the same rows as the reference-shaped
-    window-marker plan; non-decomposable aggs fall back to the window
-    plan."""
+    """Plan gating: with per-entity `non_additive_window_groupings`
+    (high-cardinality marker partitions) the window-marker plan is
+    chosen — one sort-shuffle over tiny partitions beats the pipeline's
+    three shuffles whose first GROUP BY is near row-cardinality.
+    Without groupings the window partitions collapse to the dims, so
+    the sort-free aggregation pipeline (partial agg per ts -> MAX_BY ->
+    re-agg) is chosen instead.  Both plans must return identical rows
+    for a metric exercised through each path."""
+    from sidemantic_spark.core.model import Metric
+
+    li = layer.graph.get_model("lineitem")
+    # grouped metric (partkey marker) -> window plan
     kw = dict(
         metrics=["lineitem.last_qty_per_part"],
         dimensions=["lineitem.ship_date__month AS ship_month"],
     )
     sql = layer.compile(**kw)
-    assert "plan=semi-additive-agg" in sql
-    assert "MAX_BY" in sql and "OVER" not in sql
+    assert "plan=semi-additive\n" in sql or "plan=semi-additive " in sql
+    assert "OVER (PARTITION BY" in sql
 
+    # ungrouped metric (global marker per month) -> aggregation pipeline
+    if li.metric("last_day_qty") is None:
+        li.add_metric(Metric(
+            name="last_day_qty", agg="sum", sql="l_quantity",
+            non_additive_dimension="ship_date",
+            non_additive_window="max",
+        ))
+    kw2 = dict(
+        metrics=["lineitem.last_day_qty"],
+        dimensions=["lineitem.ship_date__month AS ship_month"],
+    )
+    sql2 = layer.compile(**kw2)
+    assert "plan=semi-additive-agg" in sql2
+    assert "MAX_BY" in sql2 and "OVER" not in sql2
     agg_rows = {
-        (r[0], round(r[1], 6)) for r in layer.query(**kw).collect()
+        (r[0], round(float(r[1]), 6)) for r in layer.query(**kw2).collect()
     }
-    # window fallback: a count_distinct metric is not decomposable
-    from sidemantic_spark.core.model import Metric
-
-    li = layer.graph.get_model("lineitem")
+    # force the window path for the same ungrouped metric by pairing it
+    # with a non-decomposable (count_distinct) sibling, then project
+    # only the shared column: the two physical strategies must agree.
     if li.metric("last_cd_probe") is None:
         li.add_metric(Metric(
             name="last_cd_probe", agg="count_distinct", sql="l_partkey",
             non_additive_dimension="ship_date",
-            non_additive_window_groupings=["partkey"],
         ))
     sql_fb = layer.compile(
-        metrics=["lineitem.last_qty_per_part", "lineitem.last_cd_probe"],
+        metrics=["lineitem.last_day_qty", "lineitem.last_cd_probe"],
         dimensions=["lineitem.ship_date__month AS ship_month"],
     )
     assert "plan=semi-additive\n" in sql_fb or "plan=semi-additive " in sql_fb
     assert "OVER (PARTITION BY" in sql_fb
     win_rows = {
-        (r[0], round(r[1], 6))
+        (r[0], round(float(r[1]), 6))
         for r in layer.query(
-            metrics=["lineitem.last_qty_per_part", "lineitem.last_cd_probe"],
+            metrics=["lineitem.last_day_qty", "lineitem.last_cd_probe"],
             dimensions=["lineitem.ship_date__month AS ship_month"],
-        ).select("ship_month", "last_qty_per_part").collect()
+        ).select("ship_month", "last_day_qty").collect()
     }
     assert agg_rows == win_rows
 
