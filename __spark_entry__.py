@@ -2246,18 +2246,18 @@ def oracle_sql() -> dict[str, str]:
                             ELSE len(string_split_regex(trim(text), '\s+')) END AS word_count,
                        length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_word_chars,
                        length(text) - length(replace(text, '#', '')) AS n_hash,
-                       len(regexp_extract_all(text, '\.\.\.')) AS n_ellipsis,
+                       len(regexp_extract_all(text, '\.\.\.|…')) AS n_ellipsis,
                        len(list_filter(string_split_regex(trim(text), '\s+'),
                                        x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
                        len(string_split(text, chr(10))) AS n_lines,
                        len(list_filter(string_split(text, chr(10)),
                                        l -> regexp_matches(ltrim(l), '^[-*•]'))) AS n_bullet,
                        len(list_filter(string_split(text, chr(10)),
-                                       l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS n_ell_lines,
-                       (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
-                      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% a %' THEN 1 ELSE 0 END
-                      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
-                      + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END) AS stopword_hits
+                                       l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS n_ell_lines,
+                       len(list_distinct(list_intersect(
+                           list_transform(string_split_regex(trim(text), '\s+'),
+                                          x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                           ['the', 'a', 'and', 'of']))) AS stopword_hits
                 FROM documents
             ), m AS (
                 SELECT doc_id, word_count, stopword_hits,

@@ -376,11 +376,14 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # scanned once per round — keep it materialized across iterations
+    edges = edges.persist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    changed = -1
     for _ in range(max_iter):
         # each node adopts the min of its own and its neighbors' labels
         neighbor_min = (
@@ -397,20 +400,35 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        # persist + count: materializes this round (truncating the
-        # growing lineage for execution) and doubles as the
-        # convergence check
-        new_labels = new_labels.persist()
+        # localCheckpoint + count: materializes this round AND truncates
+        # the logical plan.  persist() alone is not enough — `labels`
+        # appears twice per round (neighbor_min + the join), so the
+        # un-truncated plan doubles every iteration and a component of
+        # diameter ~8 already OOMs the driver at PLANNING time.  The
+        # count doubles as the convergence check.  (On a multi-node
+        # cluster prefer sc.setCheckpointDir + .checkpoint() for
+        # executor-loss resilience; localCheckpoint is the local-mode
+        # equivalent.)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.expr("n.label <> o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
+    if changed != 0:
+        # silently returning non-minimal labels would yield multiple
+        # "representatives" per true cluster downstream (semantic_dedup
+        # keep flags) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); the component diameter "
+            "exceeds max_iter — pass a larger max_iter"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -328,6 +328,7 @@ def semantic_dedup(
     bands: int = 4,
     bits_per_band: int = 4,
     dim: int = 64,
+    max_iter: int = 20,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): build
     the cosine near-duplicate pair graph over the embedding column,
@@ -361,7 +362,9 @@ def semantic_dedup(
         min_cosine=min_cosine,
         dim=dim,
     )
-    comps = connected_components(pairs).withColumnRenamed("doc_id", "__node")
+    comps = connected_components(pairs, max_iter=max_iter).withColumnRenamed(
+        "doc_id", "__node"
+    )
     return (
         df.select(F.col(id_col))
         .join(comps, F.col(id_col) == F.col("__node"), "left")

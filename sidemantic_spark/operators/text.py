@@ -216,7 +216,9 @@ def gopher_quality_flags(
     n_word_chars = F.length(F.regexp_replace(trimmed, r"\s+", ""))
     mean_word_len = F.round(n_word_chars.cast("double") / wc_nz, 6)
     n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
-    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), F.lit(0)))
+    # ASCII '...' or the Unicode ellipsis '…' — Gopher's symbol rule
+    # counts both forms
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\.|…"), F.lit(0)))
     symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / wc_nz, 6)
     n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     alpha_word_frac = F.round(n_alpha_words.cast("double") / wc_nz, 6)
@@ -228,14 +230,23 @@ def gopher_quality_flags(
         6,
     )
     ellipsis_line_frac = F.round(
-        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"\.\.\.$"))).cast("double")
+        F.size(
+            F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+        ).cast("double")
         / n_lines,
         6,
     )
-    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
-    hits: Column = F.lit(0)
-    for w in sw:
-        hits = hits + F.when(padded.contains(f" {w} "), 1).otherwise(0)
+    # distinct-stopword hits against the split word array (lowercased,
+    # non-letters stripped) so 'of.', 'The' and 'the\n' all count —
+    # a substring match over space-padded text misses punctuation- and
+    # newline-adjacent stopwords.  Still a zero-shuffle projection;
+    # array_intersect dedups, matching the "distinct stopwords" rule.
+    clean_words = F.transform(
+        words, lambda w: F.regexp_replace(F.lower(w), r"[^a-z]", "")
+    )
+    hits: Column = F.size(
+        F.array_intersect(clean_words, F.array(*[F.lit(x) for x in sw]))
+    )
 
     flags = df.select(
         "*",

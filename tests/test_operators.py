@@ -238,6 +238,24 @@ def test_connected_components_clusters(spark):
     }
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain whose diameter exceeds max_iter must fail loudly — a
+    silent partial result would surface multiple keep=true
+    representatives per true cluster downstream."""
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(8)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)
+    # and a sufficient max_iter converges to the single min label
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, max_iter=10).collect()
+    }
+    assert set(got.values()) == {0}
+
+
 def test_cosine_topk_join_batch_vs_duckdb(embs, duck):
     """Batch k-NN join: 4 query vectors at once, per-query top-5
     verified against a DuckDB cross-join + rank oracle."""
@@ -533,6 +551,23 @@ def test_gopher_flags_known_values(spark):
         "ellipsis_lines", "alpha_words", "stopwords"))
 
 
+def test_gopher_punct_stopwords_and_unicode_ellipsis(spark):
+    """Word-based stopword matching: 'of.', 'The' and 'the\\n' count
+    (substring match over padded text missed them); the Unicode
+    ellipsis '…' counts toward symbol_ratio and line-end ellipsis."""
+    rows = [
+        (1, "speaking of. the\nend"),          # punctuation/newline-adjacent
+        (2, "plain words none here"),
+        (3, "one two …\nthree four …"),        # unicode ellipsis lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.gopher_quality_flags(df).collect()}
+    assert out[1].stopword_hits == 2           # 'of' + 'the' (distinct)
+    assert out[2].stopword_hits == 0
+    assert out[3].symbol_ratio == round(2 / 6, 6)
+    assert out[3].ellipsis_line_frac == 1.0
+
+
 def test_gopher_flags_vs_duckdb(docs, duck):
     df = text.gopher_quality_flags(
         docs.select("doc_id", "text"), stopwords=["the", "a", "and", "of"]
@@ -547,13 +582,13 @@ def test_gopher_flags_vs_duckdb(docs, duck):
                         ELSE len(string_split_regex(trim(text), '\s+')) END AS word_count,
                    length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_word_chars,
                    length(text) - length(replace(text, '#', '')) AS n_hash,
-                   len(regexp_extract_all(text, '\.\.\.')) AS n_ellipsis,
+                   len(regexp_extract_all(text, '\.\.\.|…')) AS n_ellipsis,
                    len(list_filter(string_split_regex(trim(text), '\s+'),
                                    x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
-                   (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
-                  + CASE WHEN ' ' || lower(text) || ' ' LIKE '% a %' THEN 1 ELSE 0 END
-                  + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
-                  + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END) AS sw
+                   len(list_distinct(list_intersect(
+                       list_transform(string_split_regex(trim(text), '\s+'),
+                                      x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                       ['the', 'a', 'and', 'of']))) AS sw
             FROM documents
         )
         SELECT doc_id, CAST(word_count AS INT) AS word_count,
