@@ -1101,6 +1101,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_metric": _q(
             metrics=["orders.open_share"], dimensions=["orders.status"]
         ),
+        # §2.4 metric-level window total (BSL ALL): percent-of-total as
+        # a metric — all(revenue) -> SUM(SUM(x)) OVER ()
+        "metric_percent_of_total": _q(
+            metrics=["orders.revenue", "orders.revenue_share"],
+            dimensions=["orders.status"],
+        ),
         "having_filter": _q(
             metrics=["orders.revenue"],
             dimensions=["orders.priority"],
@@ -1500,6 +1506,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus AS status,
                    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
                      / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_share
+            FROM orders GROUP BY 1
+        """,
+        "metric_percent_of_total": """
+            SELECT o_orderstatus AS status,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / CAST(SUM(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) OVER () AS DOUBLE) AS revenue_share
             FROM orders GROUP BY 1
         """,
         "having_filter": """

@@ -128,6 +128,15 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                     type="derived",
                     expr="CAST(open_revenue AS DOUBLE) / CAST(revenue AS DOUBLE)",
                 ),
+                # metric-level window total (BSL `_.all(...)`, ref
+                # sql/generator.py:4358-4460): percent-of-total as a
+                # METRIC, not a table calc — all(revenue) compiles to
+                # SUM(SUM(x)) OVER () across the whole result
+                Metric(
+                    name="revenue_share",
+                    type="derived",
+                    expr="CAST(revenue AS DOUBLE) / CAST(all(revenue) AS DOUBLE)",
+                ),
                 Metric(
                     name="cumulative_revenue",
                     type="cumulative",

@@ -1093,6 +1093,49 @@ b_orders:
     con.close()
 
 
+def test_bsl_all_window_total(spark):
+    """BSL `_.all(_.measure)` imports as an all(measure) derived metric
+    and compiles to a whole-result window total (ref bsl_expr.py:470,
+    sql/generator.py:4358-4460)."""
+    import yaml
+
+    from sidemantic_spark.adapters import BslAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    BslAdapter().parse(layer, yaml.safe_load("""
+b_orders:
+  table: adapter_orders
+  dimensions:
+    order_id:
+      expr: _.order_id
+      is_entity: true
+    status: _.status
+  measures:
+    revenue:
+      expr: _.amount.sum()
+    revenue_share:
+      expr: _.revenue / _.all(_.revenue)
+"""))
+    m = layer.graph.models["b_orders"]
+    share = m.metric("revenue_share")
+    assert share.type == "derived"
+    assert "all(revenue)" in share.expr.replace(" ", "").replace("all(", "all(")
+    sql = layer.compile(
+        metrics=["b_orders.revenue_share"], dimensions=["b_orders.status"]
+    )
+    assert "OVER ()" in sql
+    r = layer.query(
+        metrics=["b_orders.revenue_share"],
+        dimensions=["b_orders.status"],
+        order_by=["status"],
+    ).collect()
+    assert [(x["status"], round(float(x["revenue_share"]), 6)) for x in r] == [
+        ("paid", round(250 / 300, 6)), ("refunded", round(50 / 300, 6))
+    ]
+    con.close()
+
+
 def test_graphene_end_to_end(spark):
     from sidemantic_spark.adapters import GrapheneAdapter
 

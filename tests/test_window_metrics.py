@@ -313,6 +313,61 @@ def test_semi_additive_strategies_agree(layer, duck):
     assert agg_rows == win_rows
 
 
+def test_metric_percent_of_total(layer, duck):
+    """Metric-level window total (BSL `_.all(...)`, ref
+    sql/generator.py:4358-4460): all(revenue) in a derived metric
+    compiles to SUM(SUM(x)) OVER () across the whole result."""
+    df = layer.query(
+        metrics=["orders.revenue", "orders.revenue_share"],
+        dimensions=["orders.status"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(SUM(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) OVER () AS DOUBLE) AS revenue_share
+        FROM orders GROUP BY 1
+        """,
+    )
+    # shares across all groups must total 1
+    total = sum(r["revenue_share"] for r in df.collect())
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_metric_window_total_count_distinct(layer, duck):
+    """count_distinct has no decomposable window-total form; all()
+    falls back to a scalar subquery over the model CTE (ref
+    `_build_measure_total_subquery_sql`)."""
+    from sidemantic_spark.core.model import Metric
+
+    orders = layer.graph.get_model("orders")
+    if orders.metric("cust_share") is None:
+        orders.add_metric(Metric(
+            name="cust_share",
+            type="derived",
+            expr=(
+                "CAST(customer_count AS DOUBLE) / "
+                "CAST(all(customer_count) AS DOUBLE)"
+            ),
+        ))
+    df = layer.query(
+        metrics=["orders.cust_share"], dimensions=["orders.status"]
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(DISTINCT o_custkey) AS DOUBLE)
+                 / CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS DOUBLE) AS cust_share
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
 def test_multistep_funnel(layer, duck):
     """N-step funnel: sequential CTE chain enforcing chronological
     order (reference sql/generator.py:5420-5700)."""
