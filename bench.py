@@ -81,7 +81,24 @@ def main() -> None:
     # generated-code shapes, negligible data — so the timed sf run
     # measures the operator, not Janino+JIT (~18 s of one-time cost on
     # a cold session, which a long-lived cluster pays once ever).
-    queries["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001").count()
+    # The 50 docs are replicated x40 and spread over every core first:
+    # at true sf0.001 scale AQE coalesces to 1-2 partitions, so the
+    # multi-partition stage variants never codegen/JIT and only 1-2
+    # Python UDF workers spawn — the first timed sf0.1 repeat then
+    # paid ~15 s of one-time warmup that belongs here.
+    from pyspark.sql import functions as _F
+
+    _w = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    _w = (
+        _w.withColumn("__rep", _F.explode(_F.sequence(_F.lit(1), _F.lit(40))))
+        .withColumn("doc_id", _F.col("doc_id") * 100 + _F.col("__rep"))
+        .drop("__rep")
+        .repartition(int(cpus))
+    )
+    from sidemantic_spark.operators.dedup import minhash_lsh_pairs as _ml
+
+    _ml(_w, jaccard_threshold=0.5, broadcast_verify=True).count()
+    _ml(_w.limit(1500), jaccard_threshold=0.5, broadcast_verify=False).count()
     register_tables(spark, sf_dir)
     queries["basic_agg"](spark, sf_dir).count()
     queries["text_profile"](spark, sf_dir).count()
@@ -136,13 +153,18 @@ def main() -> None:
         layer.rewrite("SELECT orders.revenue FROM orders")
         rw = layer._rewriter
 
-        def med(sql: str, n: int = 3) -> float:
+        def med(sql: str, n: int = 7) -> float:
+            # min, not median: both sides of each ratio run in well
+            # under 0.2s at sf0.1, where scheduler jitter swamps a
+            # 3-sample median (observed 0.9x-1.6x on identical code);
+            # the min is the same noise-robust estimator the query
+            # bench uses
             times = []
             for _ in range(n):
                 t0 = time.perf_counter()
                 spark.sql(sql).collect()
                 times.append(time.perf_counter() - t0)
-            return statistics.median(times)
+            return min(times)
 
         rollup_sql = """
             SELECT DATE_TRUNC('month', order_date__day) AS m, SUM(revenue) AS revenue

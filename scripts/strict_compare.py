@@ -8,7 +8,7 @@ and a final "DONE bad=N of M".
 
 Usage: python scripts/strict_compare.py
 """
-import importlib.util, datetime, decimal, sys
+import importlib.util, datetime, decimal, sys, time
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import duckdb
@@ -33,9 +33,15 @@ def canon(v):
 
 qs, oracles = mod.queries(), mod.oracle_sql()
 bad = 0
+slow = []   # (sec, name) — entries that would strain a driver sample budget
+t_all = time.perf_counter()
 for name, fn in qs.items():
+    t_q = time.perf_counter()
     if name not in oracles:
-        print(f"{name}: NO_ORACLE (rows={fn(spark,SF).count()})", flush=True); continue
+        print(f"{name}: NO_ORACLE (rows={fn(spark,SF).count()})", flush=True)
+        el = time.perf_counter() - t_q
+        if el > 5: slow.append((el, name))
+        continue
     try:
         sdf = fn(spark, SF)
         scols = sorted(sdf.columns)
@@ -53,4 +59,8 @@ for name, fn in qs.items():
             print(f"{name}: VALUES rows={len(srows)}/{len(orows)} first_diff={diffs}", flush=True)
     except Exception as e:
         bad+=1; print(f"{name}: ERROR {type(e).__name__}: {str(e)[:200]}", flush=True)
-print(f"DONE bad={bad} of {len(qs)}", flush=True)
+    el = time.perf_counter() - t_q
+    if el > 5: slow.append((el, name))
+for el, name in sorted(slow, reverse=True):
+    print(f"SLOW {el:.1f}s {name}", flush=True)
+print(f"DONE bad={bad} of {len(qs)} in {time.perf_counter()-t_all:.0f}s", flush=True)

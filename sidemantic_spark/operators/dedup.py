@@ -274,6 +274,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 5,
     jaccard_threshold: float = 0.5,
+    broadcast_verify: bool | None = None,
+    broadcast_doc_cap: int = 100_000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact shingle-set Jaccard.
@@ -282,6 +284,14 @@ def minhash_lsh_pairs(
     bands. Rows per doc after explode = ``bands``; the join key
     (band_idx, band_hash) is uniform under hashing, so the heavy
     self-join only materializes true bucket collisions.
+
+    ``broadcast_verify`` picks the verify strategy (None = auto by a
+    cheap doc count against ``broadcast_doc_cap``): when the shingle
+    frame fits a broadcast (~100k docs x ~200 shingles x 8B = ~160 MB),
+    two broadcast joins make the whole verify map-only — zero array
+    bytes ride a shuffle.  Above the cap, the long-format path (explode
+    pair sides, ONE id-join, groupBy reassembly) keeps the plan
+    corpus-scale-safe: no broadcast assumption, shingles computed once.
     """
     rows_per_band = num_hashes // bands
     df = _spread(df)
@@ -323,17 +333,43 @@ def minhash_lsh_pairs(
     ).select("__id", "bk.band", "bk.bhash")
 
     cand = pairs_from_bucket_keys(banded)
+    if broadcast_verify is None:
+        # auto: one cheap count of the input (id+text scan, no shingle
+        # work) decides the strategy — the operator-level analogue of
+        # AQE's size-based join planning
+        broadcast_verify = df.count() <= broadcast_doc_cap
+    jac_of = lambda a, b: (
+        F.size(F.array_intersect(a, b)).cast("double")
+        / F.size(F.array_union(a, b)).cast("double")
+    )
+    if broadcast_verify:
+        # map-only verify: both shingle sides broadcast, no array bytes
+        # on any shuffle. The shingle subtree is evaluated twice, but
+        # both evaluations are broadcast builds (driver-side, once),
+        # not per-pair work.
+        side_a = shingled.select(
+            F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")
+        )
+        side_b = shingled.select(
+            F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")
+        )
+        both = cand.join(F.broadcast(side_a), "id_a").join(
+            F.broadcast(side_b), "id_b"
+        )
+        return both.select(
+            "id_a", "id_b", F.round(jac_of(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
+        ).where(F.col("jaccard") >= jaccard_threshold)
     # verify: exact Jaccard over the shingle sets, long-format. Each
     # pair explodes to (pair, side-id) rows, joins the shingle frame
     # ONCE on id, and a groupBy(pair) reassembles the two sets. This
     # scans/computes shingles exactly once (two separate per-side joins
     # re-evaluate the shingle subtree — HOF lambda exprIds defeat
-    # exchange reuse — and would need a broadcast assumption that can't
-    # hold for a corpus-sized build side). No signature-estimate
-    # pre-filter: the estimate (num_hashes interpreted comparisons per
-    # pair) costs about as much as the native array_intersect it would
-    # guard, and its separate join stage measured +30s of per-plan
-    # codegen/JIT overhead while pruning <1% on template-heavy corpora.
+    # exchange reuse — and a corpus-sized build side cannot broadcast).
+    # No signature-estimate pre-filter: the estimate (num_hashes
+    # interpreted comparisons per pair) costs about as much as the
+    # native array_intersect it would guard, and its separate join
+    # stage measured +30s of per-plan codegen/JIT overhead while
+    # pruning <1% on template-heavy corpora.
     long = cand.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
     )
@@ -342,12 +378,8 @@ def minhash_lsh_pairs(
         F.max(F.when(F.col("__id") == F.col("id_a"), F.col("__sh"))).alias("sh_a"),
         F.max(F.when(F.col("__id") == F.col("id_b"), F.col("__sh"))).alias("sh_b"),
     )
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    )
     return both.select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+        "id_a", "id_b", F.round(jac_of(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
     ).where(F.col("jaccard") >= jaccard_threshold)
 
 

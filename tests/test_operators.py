@@ -84,6 +84,26 @@ def test_minhash_on_documents(docs):
         assert 0.2 <= r.jaccard <= 1.0
 
 
+def test_minhash_verify_strategies_agree(docs):
+    """The map-only broadcast verify (small corpora) and the
+    long-format shuffle verify (corpus scale) must emit identical
+    (pair, jaccard) sets."""
+    d = docs.limit(300)
+    bc = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            d, jaccard_threshold=0.2, broadcast_verify=True
+        ).collect()
+    }
+    lf = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            d, jaccard_threshold=0.2, broadcast_verify=False
+        ).collect()
+    }
+    assert bc == lf and len(bc) > 0
+
+
 def test_simhash_near_dups(spark):
     # simhash needs enough tokens for stable bit votes; one changed
     # word out of 60 ~ hamming 3, unrelated text ~ hamming 32
