@@ -69,6 +69,31 @@ class CubeAdapter(BaseAdapter):
         dims: list[Dimension] = []
         for d in cube.get("dimensions") or []:
             sql = strip_cube_placeholders(d.get("sql"), name)
+            # calendar cubes (ref adapters/cube.py:726-731, 805-815):
+            # custom granularity NAMES become supported_granularities;
+            # their sql/interval/origin definitions and dimension-level
+            # time_shift have no first-class equivalent and are
+            # preserved in meta so the import is lossy-but-visible,
+            # not silent
+            custom_grans = d.get("granularities")
+            supported = None
+            meta = d.get("meta")
+            if isinstance(custom_grans, list):
+                supported = [
+                    g.get("name")
+                    for g in custom_grans
+                    if isinstance(g, dict) and g.get("name")
+                ] or None
+                if any(
+                    isinstance(g, dict)
+                    and ("sql" in g or "interval" in g or "origin" in g)
+                    for g in custom_grans
+                ):
+                    meta = dict(meta) if isinstance(meta, dict) else {}
+                    meta["custom_granularities"] = custom_grans
+            if d.get("time_shift") is not None:
+                meta = dict(meta) if isinstance(meta, dict) else {}
+                meta["time_shift"] = d.get("time_shift")
             dim = Dimension(
                 name=d["name"],
                 type=_DIM_TYPES.get(d.get("type", "string"), "categorical"),
@@ -76,6 +101,8 @@ class CubeAdapter(BaseAdapter):
                 description=d.get("description"),
                 label=d.get("title"),
                 public=d.get("public", not d.get("shown") is False),
+                supported_granularities=supported or [],
+                meta=meta,
             )
             dims.append(dim)
             if d.get("primary_key") or d.get("primaryKey"):
@@ -154,6 +181,20 @@ class CubeAdapter(BaseAdapter):
                 granularity=pa.get("granularity", "day"),
                 partition_granularity=pa.get("partition_granularity"),
             ))
+
+        # explicit hierarchies -> parent chains (ref adapters/cube.py
+        # :333-348 _apply_hierarchies): levels [a, b, c] sets b.parent=a,
+        # c.parent=b unless the dimension already declares a parent
+        by_name = {dim.name: dim for dim in dims}
+        for h in cube.get("hierarchies") or []:
+            levels = h.get("levels") or []
+            for i in range(1, len(levels)):
+                child, parent = levels[i], levels[i - 1]
+                if "." in child or "." in parent:
+                    continue
+                cd = by_name.get(child)
+                if cd is not None and not cd.parent:
+                    cd.parent = parent
 
         return Model(
             name=name,

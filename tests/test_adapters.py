@@ -25,9 +25,7 @@ FIXROOT = "/root/reference/tests/fixtures"
 # files exercising format corners we deliberately don't map (semantic
 # content is absent or the construct has no Spark-side equivalent)
 SKIP_FILES = {
-    "cube": {
-        "custom_calendar.yml",  # calendar cubes: custom grain SQL per-dim
-    },
+    "cube": {},
     "hex": {},
     "lookml": {},
     "metricflow": {},
@@ -1134,6 +1132,36 @@ b_orders:
         ("paid", round(250 / 300, 6)), ("refunded", round(50 / 300, 6))
     ]
     con.close()
+
+
+def test_cube_calendar_cube(spark):
+    """Calendar cubes (ref fixtures/cube/custom_calendar.yml, ref
+    adapters/cube.py:726-815): custom granularity names survive as
+    supported_granularities, their sql/interval/origin definitions and
+    dimension-level time_shift are preserved in meta, and explicit
+    hierarchies become parent chains."""
+    import yaml
+
+    from sidemantic_spark.adapters import CubeAdapter
+
+    layer = SparkSemanticLayer(spark)
+    with open(
+        "/root/reference/tests/fixtures/cube/custom_calendar.yml"
+    ) as fh:
+        CubeAdapter().parse(layer, yaml.safe_load(fh))
+    m = layer.graph.models["custom_calendar"]
+    assert m.primary_key == "date_val"
+    rd = m.dimension("retail_date")
+    assert rd.type == "time"
+    assert rd.supported_granularities == [
+        "year", "quarter", "month", "week", "fortnight"
+    ]
+    assert rd.meta and "custom_granularities" in rd.meta
+    assert len(rd.meta["time_shift"]) == 4
+    # hierarchy levels -> parent chain
+    assert m.dimension("fiscal_quarter_year").parent == "fiscal_year"
+    assert m.dimension("fiscal_month_number").parent == "fiscal_quarter_year"
+    assert m.dimension("retail_month_long_name").parent == "retail_year"
 
 
 def test_graphene_end_to_end(spark):
