@@ -414,9 +414,15 @@ def _cosine_topk(spark, sf_dir):
 
 
 def _ann_lsh_topk(spark, sf_dir):
+    """Multi-table multi-probe hyperplane LSH: 8 independently seeded
+    6-bit tables x 8 probes measures recall@20 ~ 0.88 vs the
+    brute-force oracle at sf0.01 (regression-tested floor 0.8 in
+    tests/test_operators.py)."""
     from sidemantic_spark.operators.similarity import lsh_bucket_topk
 
-    return lsh_bucket_topk(_embs(spark, sf_dir), _QUERY_VEC, k=20)
+    return lsh_bucket_topk(
+        _embs(spark, sf_dir), _QUERY_VEC, k=20, nbits=6, probes=8, tables=8
+    )
 
 
 def _ann_ivf_topk(spark, sf_dir):

@@ -338,49 +338,69 @@ def minhash_lsh_pairs(
         # work) decides the strategy — the operator-level analogue of
         # AQE's size-based join planning
         broadcast_verify = df.count() <= broadcast_doc_cap
-    jac_of = lambda a, b: (
-        F.size(F.array_intersect(a, b)).cast("double")
-        / F.size(F.array_union(a, b)).cast("double")
+    return _exact_jaccard_verify(
+        cand, shingled, "__sh", jaccard_threshold, broadcast_verify
     )
-    if broadcast_verify:
-        # map-only verify: both shingle sides broadcast, no array bytes
-        # on any shuffle. The shingle subtree is evaluated twice, but
-        # both evaluations are broadcast builds (driver-side, once),
-        # not per-pair work.
-        side_a = shingled.select(
-            F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")
+
+
+def _exact_jaccard_verify(
+    cand: DataFrame,
+    feats: DataFrame,
+    set_col: str,
+    threshold: float,
+    broadcast_verify: bool,
+) -> DataFrame:
+    """Exact set-Jaccard verification of candidate pairs against a
+    (__id, set_col) feature frame; two physical strategies:
+
+    - broadcast (small corpora): both feature sides broadcast, the
+      whole verify is map-only — zero array bytes on any shuffle. The
+      feature subtree is evaluated twice, but both evaluations are
+      broadcast builds (driver-side, once), not per-pair work.
+    - long-format (corpus scale): each pair explodes to (pair, side-id)
+      rows, joins the feature frame ONCE on id, and a groupBy(pair)
+      reassembles the two sets. This scans/computes the features
+      exactly once (two separate per-side shuffle joins would
+      re-evaluate the feature subtree — HOF lambda exprIds defeat
+      exchange reuse — and a corpus-sized build side cannot broadcast).
+      No signature-estimate pre-filter: the estimate costs about as
+      much as the native array_intersect it would guard, and its
+      separate join stage measured +30s of per-plan codegen/JIT
+      overhead while pruning <1% on template-heavy corpora.
+    """
+    def jac_of(a, b):
+        return (
+            F.size(F.array_intersect(a, b)).cast("double")
+            / F.size(F.array_union(a, b)).cast("double")
         )
-        side_b = shingled.select(
-            F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")
+
+    if broadcast_verify:
+        side_a = feats.select(
+            F.col("__id").alias("id_a"), F.col(set_col).alias("__set_a")
+        )
+        side_b = feats.select(
+            F.col("__id").alias("id_b"), F.col(set_col).alias("__set_b")
         )
         both = cand.join(F.broadcast(side_a), "id_a").join(
             F.broadcast(side_b), "id_b"
         )
-        return both.select(
-            "id_a", "id_b", F.round(jac_of(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
-        ).where(F.col("jaccard") >= jaccard_threshold)
-    # verify: exact Jaccard over the shingle sets, long-format. Each
-    # pair explodes to (pair, side-id) rows, joins the shingle frame
-    # ONCE on id, and a groupBy(pair) reassembles the two sets. This
-    # scans/computes shingles exactly once (two separate per-side joins
-    # re-evaluate the shingle subtree — HOF lambda exprIds defeat
-    # exchange reuse — and a corpus-sized build side cannot broadcast).
-    # No signature-estimate pre-filter: the estimate (num_hashes
-    # interpreted comparisons per pair) costs about as much as the
-    # native array_intersect it would guard, and its separate join
-    # stage measured +30s of per-plan codegen/JIT overhead while
-    # pruning <1% on template-heavy corpora.
-    long = cand.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
-    )
-    joined = long.join(shingled, "__id")
-    both = joined.groupBy("id_a", "id_b").agg(
-        F.max(F.when(F.col("__id") == F.col("id_a"), F.col("__sh"))).alias("sh_a"),
-        F.max(F.when(F.col("__id") == F.col("id_b"), F.col("__sh"))).alias("sh_b"),
-    )
+    else:
+        long = cand.select(
+            "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
+        )
+        both = long.join(feats, "__id").groupBy("id_a", "id_b").agg(
+            F.max(
+                F.when(F.col("__id") == F.col("id_a"), F.col(set_col))
+            ).alias("__set_a"),
+            F.max(
+                F.when(F.col("__id") == F.col("id_b"), F.col(set_col))
+            ).alias("__set_b"),
+        )
     return both.select(
-        "id_a", "id_b", F.round(jac_of(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
-    ).where(F.col("jaccard") >= jaccard_threshold)
+        "id_a",
+        "id_b",
+        F.round(jac_of(F.col("__set_a"), F.col("__set_b")), 6).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def connected_components(
@@ -410,11 +430,48 @@ def connected_components(
     ).distinct()
     # scanned once per round — keep it materialized across iterations
     edges = edges.persist()
+    # iteration shuffle width: localCheckpoint materializes the
+    # NON-adaptive plan, so AQE never coalesces the per-round
+    # join/groupBy exchanges — under a default 200-partition session
+    # every round schedules 200-task stages of near-empty (id, label)
+    # rows and the loop is pure scheduler overhead.  Pin the width to
+    # cluster parallelism for the loop's duration and restore after
+    # (conf is session-scoped; concurrent queries in the same session
+    # during the loop would see the narrower width).
+    sess = pairs.sparkSession
+    width_key = "spark.sql.shuffle.partitions"
+    old_width = sess.conf.get(width_key, None)
+    sess.conf.set(width_key, str(sess.sparkContext.defaultParallelism))
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    try:
+        changed, labels = _cc_loop(edges, labels_init=labels, max_iter=max_iter)
+    finally:
+        if old_width is None:
+            sess.conf.unset(width_key)
+        else:
+            sess.conf.set(width_key, old_width)
+    edges.unpersist()
+    if changed != 0:
+        # silently returning non-minimal labels would yield multiple
+        # "representatives" per true cluster downstream (semantic_dedup
+        # keep flags) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); the component diameter "
+            "exceeds max_iter — pass a larger max_iter"
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _cc_loop(edges, labels_init, max_iter: int) -> tuple:
+    """Min-label propagation rounds; returns (changed, labels)."""
+    labels = labels_init
     changed = -1
     for _ in range(max_iter):
         # each node adopts the min of its own and its neighbors' labels
@@ -451,19 +508,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
-    if changed != 0:
-        # silently returning non-minimal labels would yield multiple
-        # "representatives" per true cluster downstream (semantic_dedup
-        # keep flags) — fail loudly instead
-        raise RuntimeError(
-            f"connected_components did not converge within max_iter={max_iter} "
-            f"rounds ({changed} labels still changing); the component diameter "
-            "exceeds max_iter — pass a larger max_iter"
-        )
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    return changed, labels
 
 
 def simhash(text: Column, bits: int = 64) -> Column:
@@ -622,21 +667,7 @@ def ngram_jaccard_pairs(
         "__id", F.lit(0).alias("band"), F.explode("__grams").alias("bhash")
     )
     cand = pairs_from_bucket_keys(banded, bucket_cap=1024)
-    # long-format verify (one scan of the gram sets — see
-    # minhash_lsh_pairs)
-    long = cand.select("id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id"))
-    both = (
-        long.join(docs, "__id")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.max(F.when(F.col("__id") == F.col("id_a"), F.col("__grams"))).alias("ga"),
-            F.max(F.when(F.col("__id") == F.col("id_b"), F.col("__grams"))).alias("gb"),
-        )
+    # size-gated exact verify shared with minhash_lsh_pairs
+    return _exact_jaccard_verify(
+        cand, docs, "__grams", threshold, broadcast_verify=df.count() <= 100_000
     )
-    jac = (
-        F.size(F.array_intersect("ga", "gb")).cast("double")
-        / F.size(F.array_union("ga", "gb")).cast("double")
-    )
-    return both.select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
-    ).where(F.col("jaccard") >= threshold)

@@ -5,17 +5,22 @@ struct; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` stages so the heavy per-item work is vectorized and
 embarrassingly parallel (each batch is independent; no shuffle).
 
-The actual codec calls are STUBBED (the container has no image/audio
-libraries): ``decode_images`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder produces
-stable feature vectors so the Spark-side plumbing (schema, batching,
-partitioning) is fully testable. Swap ``_fake_decode`` with a real
-PIL/torchvision call in production.
+The codec layer is runtime-gated: when Pillow is importable the
+``fake=False`` paths run a real image decode (channel-mean block
+features) and a real resize (LANCZOS thumbnail + PNG re-encode); when
+it is absent they raise NotImplementedError and ``fake=True`` runs a
+deterministic stand-in with the identical batching/schema so the
+Spark-side plumbing (schema, batching, partitioning) stays fully
+testable either way.
 """
 
 from __future__ import annotations
 
+import importlib.util
+
 from collections.abc import Iterator
+
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -78,6 +83,32 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     return [a / float(1 << 32) for a in acc]
 
 
+def _pil_decode(payload: bytes, dim: int) -> list[float] | None:
+    """Real image features via Pillow: grayscale the image, split it
+    into ``dim`` horizontal bands, mean intensity per band in [0, 1).
+    Returns None when the bytes don't decode as an image."""
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            g = img.convert("L")
+            w, h = g.size
+            px = list(g.getdata())
+    except Exception:
+        return None
+    if not px:
+        return [0.0] * dim
+    bands: list[list[int]] = [[] for _ in range(dim)]
+    for row in range(h):
+        bands[row * dim // max(h, 1)].extend(px[row * w:(row + 1) * w])
+    return [
+        (sum(b) / len(b)) / 256.0 if b else 0.0
+        for b in bands
+    ]
+
+
 def decode_features(
     df: DataFrame,
     dim: int = 16,
@@ -86,13 +117,15 @@ def decode_features(
 ) -> DataFrame:
     """Arrow-batched decode/feature-extract over the media table.
 
-    ``fake=False`` is the production path and raises until a real codec
-    is wired in; ``fake=True`` runs the deterministic stand-in with the
-    identical batching/schema so plans and tests are faithful.
+    ``fake=False`` is the production path: requires Pillow at runtime
+    (per-executor import inside the UDF) and decodes payload bytes into
+    band-mean features; undecodable payloads yield decode_ok='error'.
+    ``fake=True`` runs the deterministic stand-in with the identical
+    batching/schema so plans and tests are faithful without codecs.
     """
-    if not fake:
+    if not fake and not _HAS_PIL:
         raise NotImplementedError(
-            "real image/audio decode requires codec libraries not present in "
+            "real image decode requires Pillow, which is not importable in "
             "this environment; run with fake=True for the plumbing path"
         )
 
@@ -100,16 +133,30 @@ def decode_features(
         import pandas as pd
 
         for pdf in batches:
-            feats = [
-                _fake_decode(p, dim) if p is not None else None
-                for p in pdf["payload"]
-            ]
+            if fake:
+                feats = [
+                    _fake_decode(p, dim) if p is not None else None
+                    for p in pdf["payload"]
+                ]
+                status = [
+                    "ok" if f is not None else "null_payload" for f in feats
+                ]
+            else:
+                feats, status = [], []
+                for p in pdf["payload"]:
+                    if p is None:
+                        feats.append(None)
+                        status.append("null_payload")
+                        continue
+                    f = _pil_decode(p, dim)
+                    feats.append(f)
+                    status.append("ok" if f is not None else "error")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "feature": feats,
                     "feature_dim": [dim if f is not None else 0 for f in feats],
-                    "decode_ok": ["ok" if f is not None else "null_payload" for f in feats],
+                    "decode_ok": status,
                 }
             )
 
@@ -130,24 +177,65 @@ def resize_images(
     a JVM column expression — the metadata arithmetic alone would not
     need Python, the pixel work does. ``fake=True`` passes payload
     bytes through unchanged and fills missing dims with ``max_side``
-    so the batching/schema path is fully testable.
+    so the batching/schema path is fully testable.  ``fake=False``
+    requires Pillow: LANCZOS thumbnail + PNG re-encode per payload,
+    with real decoded dimensions written back.
     """
-    if not fake:
+    if not fake and not _HAS_PIL:
         raise NotImplementedError(
-            "real image resize requires codec libraries not present in this "
-            "environment; run with fake=True for the plumbing path"
+            "real image resize requires Pillow, which is not importable in "
+            "this environment; run with fake=True for the plumbing path"
         )
 
     def resize_batches(batches: Iterator) -> Iterator:
         for pdf in batches:
-            w = pdf["width"].fillna(max_side).astype("int64")
-            h = pdf["height"].fillna(max_side).astype("int64")
-            longest = w.combine(h, max).clip(lower=1)
-            scale = (max_side / longest).clip(upper=1.0)
+            if fake:
+                w = pdf["width"].fillna(max_side).astype("int64")
+                h = pdf["height"].fillna(max_side).astype("int64")
+                longest = w.combine(h, max).clip(lower=1)
+                scale = (max_side / longest).clip(upper=1.0)
+                out = pdf.copy()
+                out["width"] = (w * scale).astype("int64").clip(lower=1)
+                out["height"] = (h * scale).astype("int64").clip(lower=1)
+                # stub codec: payload unchanged; a real codec re-encodes
+                yield out
+                continue
+            import io
+
+            from PIL import Image
+
             out = pdf.copy()
-            out["width"] = (w * scale).astype("int64").clip(lower=1)
-            out["height"] = (h * scale).astype("int64").clip(lower=1)
-            # stub codec: payload unchanged; a real codec re-encodes here
+            new_payloads, new_w, new_h, new_codec = [], [], [], []
+            for p, cw, ch, cc in zip(
+                pdf["payload"], pdf["width"], pdf["height"], pdf["codec"]
+            ):
+                if p is None:
+                    new_payloads.append(None)
+                    new_w.append(cw)
+                    new_h.append(ch)
+                    new_codec.append(cc)
+                    continue
+                try:
+                    with Image.open(io.BytesIO(p)) as img:
+                        img.thumbnail(
+                            (max_side, max_side), Image.Resampling.LANCZOS
+                        )
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        new_payloads.append(buf.getvalue())
+                        new_w.append(img.size[0])
+                        new_h.append(img.size[1])
+                        new_codec.append("png")
+                except Exception:
+                    # undecodable payload: pass through untouched
+                    new_payloads.append(p)
+                    new_w.append(cw)
+                    new_h.append(ch)
+                    new_codec.append(cc)
+            out["payload"] = new_payloads
+            out["width"] = new_w
+            out["height"] = new_h
+            out["codec"] = new_codec
             yield out
 
     return df.mapInPandas(resize_batches, schema=MEDIA_SCHEMA)

@@ -85,6 +85,29 @@ def _det_planes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _probe_buckets(
+    query_vec: list[float], planes: list[list[float]], probes: int
+) -> list[int]:
+    """Query-directed multi-probe sequence (Lv et al., VLDB'07 idea):
+    flip sign bits in order of how close the query's hyperplane dot
+    product is to zero — the buckets most likely to hold near
+    neighbors.  Covers flips up to pairs: probes <= 1 + nbits +
+    nbits*(nbits-1)/2."""
+    nbits = len(planes)
+    dots = [
+        sum(float(a) * float(b) for a, b in zip(query_vec, p)) for p in planes
+    ]
+    qbucket = sum(1 << i for i, d in enumerate(dots) if d >= 0)
+    order = sorted(range(nbits), key=lambda i: abs(dots[i]))
+    flip_sets: list[int] = [0]
+    flip_sets += [1 << i for i in order]
+    for a in range(nbits):
+        for b in range(a + 1, nbits):
+            flip_sets.append((1 << order[a]) | (1 << order[b]))
+    flip_sets.sort(key=lambda m: sum(abs(dots[i]) for i in range(nbits) if m & (1 << i)))
+    return [qbucket ^ m for m in flip_sets[: max(probes, 1)]]
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -93,45 +116,41 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     nbits: int = 8,
     probes: int = 16,
+    tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k scanning only the query's multi-probe LSH
-    buckets.
+    """Approximate top-k scanning only the query's LSH buckets.
 
-    Query-directed multi-probe (Lv et al., VLDB'07 idea): the probe
-    sequence flips sign bits in order of how close the query's
-    hyperplane dot product is to zero — the buckets most likely to
-    hold near neighbors — until ``probes`` buckets are listed. The
-    bucket filter is an IN-list, so at scale (bucketed/partitioned
-    table) a query reads ``probes`` partitions instead of one, trading
-    a bounded extra scan for much higher recall. probes=1 is the
-    classic single-bucket probe.
+    Two recall levers, composable:
+
+    - multi-probe within a table (``probes``): probe the flip-set
+      buckets nearest the query (see :func:`_probe_buckets`) — more
+      recall for zero extra index space.
+    - multiple independent tables (``tables``): independently seeded
+      hyperplane sets; a true neighbor missed by one table's bucketing
+      is caught by another with prob 1-(1-p)^L.  This is the standard
+      recall lever when multi-probe plateaus (flips beyond pairs chase
+      exponentially many buckets for linearly more recall).
+
+    The bucket filter is an IN-list per table (OR across tables), so at
+    scale — index rows replicated per table and partitioned by
+    (table, bucket), exactly the near-dup banding layout — a query
+    reads ``tables x probes`` bucket partitions instead of the corpus.
+    probes=1, tables=1 is the classic single-bucket probe.
     """
     dim = len(query_vec)
-    planes = _det_planes(dim, nbits)
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bucketed = df.select(
-        F.col(id_col),
-        emb.alias("__emb"),
-        hyperplane_bucket(emb, planes).alias("__bucket"),
-    )
-    dots = [
-        sum(float(a) * float(b) for a, b in zip(query_vec, p)) for p in planes
-    ]
-    qbucket = sum(1 << i for i, d in enumerate(dots) if d >= 0)
-    # flip-sets ordered by total |margin| of the flipped bits: singles
-    # and pairs of the lowest-margin bits cover any reasonable probe
-    # budget (probes <= 1 + nbits + nbits*(nbits-1)/2)
-    order = sorted(range(nbits), key=lambda i: abs(dots[i]))
-    flip_sets: list[int] = [0]
-    flip_sets += [1 << i for i in order]
-    for a in range(nbits):
-        for b in range(a + 1, nbits):
-            flip_sets.append((1 << order[a]) | (1 << order[b]))
-    flip_sets.sort(key=lambda m: sum(abs(dots[i]) for i in range(nbits) if m & (1 << i)))
-    probe_buckets = [qbucket ^ m for m in flip_sets[: max(probes, 1)]]
+    cond = None
+    sel = [F.col(id_col), emb.alias("__emb")]
+    bucketed = df.select(*sel)
+    for t in range(max(tables, 1)):
+        planes = _det_planes(dim, nbits, seed=42 + 7919 * t)
+        c = hyperplane_bucket(F.col("__emb"), planes).isin(
+            _probe_buckets(query_vec, planes, probes)
+        )
+        cond = c if cond is None else (cond | c)
     q = _lit_vec(query_vec)
     return (
-        bucketed.where(F.col("__bucket").isin(probe_buckets))
+        bucketed.where(cond)
         .select(F.col(id_col), F.round(cosine(F.col("__emb"), q), 6).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
@@ -169,7 +188,15 @@ def kmeans_centroids(
         means = (
             assigned.select("__cell", F.posexplode("__emb").alias("__pos", "__val"))
             .groupBy("__cell", "__pos")
-            .agg(F.avg("__val").alias("__mean"))
+            # decimal accumulator: a double avg is partition-order-
+            # dependent, which wiggles centroids run-to-run and flips
+            # boundary assignments — recall would jitter across
+            # sessions/core counts
+            .agg(
+                F.avg(F.col("__val").cast("decimal(28,12)"))
+                .cast("double")
+                .alias("__mean")
+            )
             .collect()
         )
         by_cell: dict[int, dict[int, float]] = {}

@@ -214,9 +214,35 @@ def test_multimodal_decode_plumbing(docs):
 
 
 def test_multimodal_real_decode_stubbed(docs):
+    if multimodal._HAS_PIL:
+        pytest.skip("Pillow present: fake=False runs the real codec path")
     media = multimodal.documents_as_media(docs.limit(1))
     with pytest.raises(NotImplementedError):
         multimodal.decode_features(media, fake=False)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, fake=False)
+
+
+@pytest.mark.skipif(not multimodal._HAS_PIL, reason="Pillow not installed")
+def test_multimodal_real_codec_path(spark):
+    """Real codec path (runs only where Pillow exists): a generated PNG
+    decodes to band-mean features and resizes with aspect preserved."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (64, 32), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", png, 64, 32, None, "png")], schema=multimodal.MEDIA_SCHEMA
+    )
+    feats = multimodal.decode_features(media, dim=4, fake=False).collect()
+    assert feats[0].decode_ok == "ok" and len(feats[0].feature) == 4
+    assert all(abs(v - 0.5) < 0.01 for v in feats[0].feature)
+    out = multimodal.resize_images(media, max_side=16, fake=False).collect()
+    assert (out[0].width, out[0].height) == (16, 8)
+    assert out[0].codec == "png" and out[0].payload != png
 
 
 def test_multimodal_resize_plumbing(docs):
@@ -646,6 +672,42 @@ def test_span_dedup_removes_cross_doc_spans(spark):
     cout = {r.doc_id: r for r in span_dedup(clones, span_words=10).collect()}
     assert cout[10].n_kept == 1 and cout[11].n_kept == 0
     assert cout[11].text_clean == ""
+
+
+def test_ann_recall_floors(spark):
+    """Approximation quality is regression-tested, not just shape:
+    recall@20 vs the brute-force cosine oracle over 5 corpus queries at
+    sf0.01 (500 vectors — the conftest default sf0.001 has only 50,
+    fewer than the k=20 window x 16 cells).  All inputs are
+    deterministic (seeded planes, decimal-exact centroid means), so the
+    floors are stable, not flaky."""
+    import os as _os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not _os.path.exists(path):
+        pytest.skip("sf0.01 testdata unavailable")
+    embs = spark.read.parquet(path)
+    queries = embs.where("vec_id < 5").collect()
+    lsh_recalls, ivf_recalls = [], []
+    for r in queries:
+        q = [float(x) for x in r.embedding]
+        truth = {
+            x.vec_id for x in similarity.cosine_topk(embs, q, k=20).collect()
+        }
+        lsh = {
+            x.vec_id
+            for x in similarity.lsh_bucket_topk(
+                embs, q, k=20, nbits=6, probes=8, tables=8
+            ).collect()
+        }
+        ivf = {
+            x.vec_id
+            for x in similarity.ivf_topk(embs, q, k=20, nprobe=4).collect()
+        }
+        lsh_recalls.append(len(truth & lsh) / 20)
+        ivf_recalls.append(len(truth & ivf) / 20)
+    assert sum(lsh_recalls) / len(lsh_recalls) >= 0.8, lsh_recalls
+    assert sum(ivf_recalls) / len(ivf_recalls) >= 0.8, ivf_recalls
 
 
 def test_semantic_dedup_clusters_and_keeps(spark):
