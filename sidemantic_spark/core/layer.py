@@ -105,11 +105,22 @@ class SparkSemanticLayer:
         self.graph.resolve_inheritance()
         for model in self.graph.models.values():
             if model.source_uri and model.name not in self._registered_sources:
-                reader = self.spark.read.format(model.source_format)
+                # live-DB binding (replaces the reference's 9 warehouse
+                # adapters, db/postgres.py et al.): a jdbc: URI reads
+                # through spark.read.jdbc with Catalyst filter/column
+                # pushdown into the remote engine; partitioned parallel
+                # reads come from source_options (partitionColumn/
+                # lowerBound/upperBound/numPartitions, plus dbtable or
+                # a pushdown-friendly `query`). Needs the engine's JDBC
+                # driver jar on the Spark classpath at runtime.
+                fmt = model.source_format
+                if fmt == "parquet" and model.source_uri.startswith("jdbc:"):
+                    fmt = "jdbc"
+                reader = self.spark.read.format(fmt)
                 if model.source_options:
                     reader = reader.options(**model.source_options)
                 # jdbc sources carry the table in options, not a path
-                if model.source_format == "jdbc":
+                if fmt == "jdbc":
                     df = reader.option("url", model.source_uri).load()
                 else:
                     df = reader.load(model.source_uri)

@@ -348,3 +348,73 @@ def test_csv_source_with_reader_options(spark, tmp_path):
         ).collect()
     }
     assert rows == {("a", 900), ("b", 1000)}
+
+
+def test_jdbc_source_reader_binding(spark):
+    """A jdbc: source_uri routes through spark.read.format('jdbc') with
+    url + pushdown options and registers the model view — the Spark
+    replacement for the reference's 9 warehouse adapters
+    (db/postgres.py et al.).  No JDBC driver jar ships in this sandbox,
+    so the reader chain is verified against a recording fake; the
+    live-connection path is exercised by Spark itself once a driver jar
+    is on the classpath."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    calls = {}
+
+    class FakeDF:
+        def createOrReplaceTempView(self, name):
+            calls["view"] = name
+
+    class FakeReader:
+        def __init__(self):
+            calls["options"] = {}
+
+        def format(self, fmt):
+            calls["format"] = fmt
+            return self
+
+        def options(self, **kw):
+            calls["options"].update(kw)
+            return self
+
+        def option(self, k, v):
+            calls["options"][k] = v
+            return self
+
+        def load(self, *a):
+            calls["load_args"] = a
+            return FakeDF()
+
+    class FakeSpark:
+        @property
+        def read(self):
+            return FakeReader()
+
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="pg_orders",
+        table="pg_orders_src",
+        source_uri="jdbc:postgresql://db.example:5432/shop",
+        # source_format stays default: the jdbc: scheme is auto-detected
+        source_options={
+            "dbtable": "public.orders",
+            "partitionColumn": "order_id",
+            "lowerBound": "1",
+            "upperBound": "1000000",
+            "numPartitions": "32",
+        },
+        primary_key="order_id",
+        dimensions=[Dimension(name="status")],
+        metrics=[Metric(name="n", agg="count")],
+    ))
+    layer.spark = FakeSpark()
+    layer.register_sources()
+    layer.spark = spark
+    assert calls["format"] == "jdbc"
+    assert calls["options"]["url"] == "jdbc:postgresql://db.example:5432/shop"
+    assert calls["options"]["dbtable"] == "public.orders"
+    assert calls["options"]["numPartitions"] == "32"
+    assert calls["load_args"] == ()  # jdbc loads from options, not a path
+    assert calls["view"] == "pg_orders_src"
