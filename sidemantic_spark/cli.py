@@ -500,6 +500,15 @@ def cmd_workbench(args) -> int:
     spark = _build_spark("sidemantic-spark-workbench")
     layer = _load_layer(args, spark)
     layer.register_sources()
+    # full-screen TUI when textual is installed (ref workbench/app.py);
+    # plain REPL otherwise
+    try:
+        from sidemantic_spark.workbench import run_workbench
+
+        run_workbench(layer)
+        return 0
+    except ModuleNotFoundError:
+        pass
     print("sidemantic-spark workbench — semantic SQL; \\models, \\compile <sql>, \\q")
     while True:
         try:
