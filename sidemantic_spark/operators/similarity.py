@@ -14,10 +14,17 @@
 - :func:`embedding_near_dup_pairs` — pairwise near-duplicate detection
   across the corpus via LSH buckets.
 
-All math uses built-in higher-order functions (JVM, no Python UDF).
+Distance math runs as built-in higher-order functions (JVM) for the
+single-query scoring paths and as Arrow/numpy kernels where many
+plane/centroid comparisons per row would otherwise build giant
+interpreted expression trees (`_multi_probe_hit_udf`,
+`_argmax_cell_udf`).
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -108,6 +115,43 @@ def _probe_buckets(
     return [qbucket ^ m for m in flip_sets[: max(probes, 1)]]
 
 
+def _multi_probe_hit_udf(planes_by_table: list[list[list[float]]],
+                         probe_sets: list[list[int]]):
+    """Arrow-vectorized candidate filter for multi-table LSH: ONE
+    numpy matmul signs all tables' hyperplanes at once, packs sign
+    bits into per-table bucket ids, and tests membership against the
+    probe lists.  The pure-Column form (48 interpreted
+    ``aggregate``/``zip_with`` dot products per row, each with a
+    64-literal plane array) made plan analysis + interpreted eval the
+    dominant cost; this kernel keeps the plan a single opaque node."""
+    from pyspark.sql.functions import pandas_udf
+
+    t_count = len(planes_by_table)
+    nbits = len(planes_by_table[0])
+    planes = np.array(
+        [p for tbl in planes_by_table for p in tbl], dtype=np.float64
+    )  # (t_count*nbits, dim)
+    probe_arrays = [
+        np.array(sorted(s), dtype=np.int64) for s in probe_sets
+    ]
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+
+    @pandas_udf("boolean")
+    def hit(emb: pd.Series) -> pd.Series:
+        n = len(emb)
+        if n == 0:
+            return pd.Series([], dtype=bool)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        signs = (m @ planes.T) >= 0  # (n, t_count*nbits)
+        out = np.zeros(n, dtype=bool)
+        for t in range(t_count):
+            buckets = signs[:, t * nbits:(t + 1) * nbits].astype(np.int64) @ weights
+            out |= np.isin(buckets, probe_arrays[t])
+        return pd.Series(out)
+
+    return hit
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -139,22 +183,47 @@ def lsh_bucket_topk(
     """
     dim = len(query_vec)
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cond = None
-    sel = [F.col(id_col), emb.alias("__emb")]
-    bucketed = df.select(*sel)
-    for t in range(max(tables, 1)):
-        planes = _det_planes(dim, nbits, seed=42 + 7919 * t)
-        c = hyperplane_bucket(F.col("__emb"), planes).isin(
-            _probe_buckets(query_vec, planes, probes)
-        )
-        cond = c if cond is None else (cond | c)
+    bucketed = df.select(F.col(id_col), emb.alias("__emb"))
+    planes_by_table = [
+        _det_planes(dim, nbits, seed=42 + 7919 * t)
+        for t in range(max(tables, 1))
+    ]
+    probe_sets = [
+        _probe_buckets(query_vec, planes, probes) for planes in planes_by_table
+    ]
+    hit = _multi_probe_hit_udf(planes_by_table, probe_sets)
     q = _lit_vec(query_vec)
     return (
-        bucketed.where(cond)
+        bucketed.where(hit(F.col("__emb")))
         .select(F.col(id_col), F.round(cosine(F.col("__emb"), q), 6).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _argmax_cell_udf(centroid_vecs: list[list[float]]):
+    """Arrow-vectorized max-cosine cell assignment: one matmul against
+    the normalized centroid matrix, first-max argmax (same tie rule as
+    ``array_position(sims, array_max(sims))``).  Returns the 1-based
+    position, matching the Column form it replaces — the 16-centroid
+    x 64-literal cosine array made interpreted eval + plan analysis
+    the dominant cost of both k-means iterations and IVF probing."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.array(centroid_vecs, dtype=np.float64)
+    c_norm = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
+
+    @pandas_udf("int")
+    def cell(emb: pd.Series) -> pd.Series:
+        n = len(emb)
+        if n == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        m_norm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        sims = m_norm @ c_norm.T
+        return pd.Series((np.argmax(sims, axis=1) + 1).astype("int32"))
+
+    return cell
 
 
 def kmeans_centroids(
@@ -180,10 +249,9 @@ def kmeans_centroids(
         for r in df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     ]
     for _ in range(iters):
-        sims = F.array(*[cosine(emb, _lit_vec(cvec)) for _cid, cvec in centroids])
-        idx = F.array_position(sims, F.array_max(sims))
+        cell = _argmax_cell_udf([cvec for _cid, cvec in centroids])
         assigned = df.select(
-            idx.cast("int").alias("__cell"), emb.alias("__emb")
+            cell(emb).alias("__cell"), emb.alias("__emb")
         )
         means = (
             assigned.select("__cell", F.posexplode("__emb").alias("__pos", "__val"))
@@ -237,16 +305,13 @@ def ivf_topk(
     )
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
-    def cell_of(vec_expr: Column) -> Column:
-        # linear-size argmax: sims as one array, position of the max.
-        # (A chained WHEN doubles the expression tree per centroid and
-        # blows up codegen.)
-        sims = F.array(*[cosine(vec_expr, _lit_vec(cvec)) for _cid, cvec in centroids])
-        idx = F.array_position(sims, F.array_max(sims))
-        ids = F.array(*[F.lit(cid) for cid, _cvec in centroids])
-        return F.element_at(ids, idx.cast("int"))
-
-    assigned = df.select(F.col(id_col), emb.alias("__emb"), cell_of(emb).alias("__cell"))
+    cell = _argmax_cell_udf([cvec for _cid, cvec in centroids])
+    ids = F.array(*[F.lit(cid) for cid, _cvec in centroids])
+    assigned = df.select(
+        F.col(id_col),
+        emb.alias("__emb"),
+        F.element_at(ids, cell(emb)).alias("__cell"),
+    )
     sims = sorted(
         (
             (

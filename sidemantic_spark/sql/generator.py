@@ -1284,6 +1284,14 @@ class SqlGenerator:
             model = self.graph.get_model(m)
             metric = model.metric(fld)
             if metric is not None:
+                if metric.type == "derived" and _ALL_RE.search(metric.expr or ""):
+                    # SQL evaluates HAVING before window functions, so a
+                    # window-total metric cannot gate groups — the same
+                    # query works as a post-filter on the result
+                    raise QueryCompileError(
+                        f"metric {metric.name!r} uses all() window totals and "
+                        "cannot appear in HAVING; filter the result instead"
+                    )
                 rm = RMetric(m, metric, fld)
                 if dedup_scope:
                     return f"({self._metric_sql_dedup(rm, value_of, r)})"

@@ -368,6 +368,19 @@ def test_metric_window_total_count_distinct(layer, duck):
     )
 
 
+def test_metric_window_total_rejected_in_having(layer):
+    """HAVING evaluates before window functions — all() metrics there
+    must fail at compile, not at runtime."""
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    with pytest.raises(QueryCompileError, match="all\\(\\) window totals"):
+        layer.compile(
+            metrics=["orders.revenue"],
+            dimensions=["orders.status"],
+            filters=["orders.revenue_share > 0.3"],
+        )
+
+
 def test_multistep_funnel(layer, duck):
     """N-step funnel: sequential CTE chain enforcing chronological
     order (reference sql/generator.py:5420-5700)."""
