@@ -1284,6 +1284,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             metrics=["orders.revenue_qoq_ratio"],
             dimensions=["orders.order_date__quarter AS order_quarter"],
         ),
+        # §2.5 custom time_offset (ref core/metric.py:315): vs 2 months ago
+        "time_offset_custom": _q(
+            metrics=["orders.revenue_vs_2mo"],
+            dimensions=["orders.order_date__month AS order_month"],
+        ),
         "conversion_funnel": _q(metrics=["events.signup_to_purchase"]),
         "conversion_funnel_3step": _q(metrics=["events.signup_funnel"]),
         "retention_weekly": _q(metrics=["events.weekly_retention"]),
@@ -1892,6 +1897,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT i.order_year, CAST(i.revenue - p.revenue AS DOUBLE) AS revenue_yoy_diff
             FROM inner_q i
             LEFT JOIN inner_q p ON p.order_year = i.order_year - INTERVAL 1 YEAR
+        """,
+        "time_offset_custom": """
+            WITH inner_q AS (
+                SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT i.order_month, CAST(i.revenue - p.revenue AS DOUBLE) AS revenue_vs_2mo
+            FROM inner_q i
+            LEFT JOIN inner_q p ON p.order_month = i.order_month - INTERVAL 2 MONTH
         """,
         "window_expr_peak": """
             WITH inner_q AS (

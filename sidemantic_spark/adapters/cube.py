@@ -119,6 +119,33 @@ class CubeAdapter(BaseAdapter):
                 for f in (m.get("filters") or [])
                 if f.get("sql")
             ]
+            # measure-level time_shift -> time_comparison metric when the
+            # sql is a bare {measure} ref (ref adapters/cube.py:971-996)
+            ts_def = m.get("time_shift")
+            if ts_def and isinstance(ts_def, list) and ts_def:
+                ts = ts_def[0]
+                base_match = re.match(r"^\s*\{(\w+)\}\s*$", m.get("sql") or "")
+                if (
+                    ts.get("type") == "prior"
+                    and ts.get("interval")
+                    and base_match
+                ):
+                    interval = str(ts["interval"])
+                    comparison_map = {
+                        "1 year": "yoy", "1 month": "mom", "1 week": "wow",
+                        "1 day": "dod", "1 quarter": "qoq",
+                    }
+                    metrics.append(Metric(
+                        name=m["name"],
+                        type="time_comparison",
+                        base_metric=f"{name}.{base_match.group(1)}",
+                        comparison_type=comparison_map.get(interval, "prior_period"),
+                        time_offset=(
+                            None if interval in comparison_map else interval
+                        ),
+                        description=m.get("description"),
+                    ))
+                    continue
             if mtype in AGG_TYPES:
                 metrics.append(Metric(
                     name=m["name"],

@@ -74,7 +74,7 @@ _METRIC_KEYS = {
     "filters", "fill_nulls_with", "public", "hidden", "format",
     "numerator", "denominator",
     "window", "grain_to_date", "base_metric",
-    "comparison_type", "calculation",
+    "comparison_type", "calculation", "time_offset",
     "entity", "base_event", "conversion_event", "conversion_window", "steps",
     "cohort_event", "activity_event", "periods", "retention_granularity",
     "inner_metrics", "entity_dimensions", "having",
@@ -484,6 +484,7 @@ def _build_metric(mdata: dict, *, ctx: str, errors: list) -> Metric | None:
         base_metric=mdata.get("base_metric"),
         comparison_type=mdata.get("comparison_type"),
         calculation=mdata.get("calculation", "percent_change"),
+        time_offset=mdata.get("time_offset"),
         entity=mdata.get("entity"),
         base_event=base_event,
         conversion_event=mdata.get("conversion_event"),
@@ -739,7 +740,8 @@ def _metric_to_yaml(m: Metric) -> dict:
     if m.agg and m.type != "cohort":
         out["agg"] = m.agg
     for k in ("sql", "expr", "numerator", "denominator", "window",
-              "grain_to_date", "base_metric", "comparison_type", "entity",
+              "grain_to_date", "base_metric", "comparison_type",
+              "time_offset", "entity",
               "base_event", "conversion_event", "conversion_window",
               "activity_event", "having", "non_additive_dimension",
               "fill_nulls_with", "description", "label", "owner",

@@ -164,6 +164,9 @@ class Metric:
     # time_comparison
     comparison_type: str | None = None  # yoy|qoq|mom|wow|dod|prior_period
     calculation: str = "percent_change"  # difference|percent_change|ratio
+    # custom comparison offset, e.g. "13 week" (ref core/metric.py:315
+    # time_offset); overrides comparison_type's standard interval
+    time_offset: str | None = None
 
     # conversion / retention / cohort
     entity: str | None = None  # entity column/dimension name

@@ -176,6 +176,15 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                     calculation="difference",
                 ),
                 Metric(
+                    # custom comparison offset (ref core/metric.py:315
+                    # time_offset): vs 2 months ago, not the standard set
+                    name="revenue_vs_2mo",
+                    type="time_comparison",
+                    base_metric="revenue",
+                    time_offset="2 month",
+                    calculation="difference",
+                ),
+                Metric(
                     # share-of-prior-period: this month's revenue over
                     # last month's (ratio with offset_window, reference
                     # sql/generator.py:6331-6394)

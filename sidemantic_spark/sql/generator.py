@@ -2131,7 +2131,31 @@ def _identifiers(expr: str) -> list[str]:
     return list(dict.fromkeys(out))
 
 
+_OFFSET_RE = re.compile(
+    r"^\s*(\d+)\s+(day|week|month|quarter|year)s?\s*$", re.IGNORECASE
+)
+
+
 def _comparison_interval(metric: Metric, grain: str | None) -> str:
+    # custom offset (ref core/metric.py:315 time_offset, e.g. "13 week")
+    # beats the comparison_type's standard interval
+    if metric.time_offset:
+        m = _OFFSET_RE.match(metric.time_offset)
+        if not m:
+            raise QueryCompileError(
+                f"time_offset {metric.time_offset!r}: expected '<n> "
+                "day|week|month|quarter|year'"
+            )
+        n, unit = int(m.group(1)), m.group(2).lower()
+        if n == 0:
+            raise QueryCompileError(
+                "time_offset cannot be 0 (a period cannot compare to itself)"
+            )
+        if unit == "week":
+            n, unit = n * 7, "day"
+        elif unit == "quarter":
+            n, unit = n * 3, "month"
+        return f"INTERVAL '{n}' {unit.upper()}"
     ct = (metric.comparison_type or "prior_period").lower()
     mapping = {
         "yoy": "INTERVAL '1' YEAR",

@@ -1134,6 +1134,44 @@ b_orders:
     con.close()
 
 
+def test_cube_measure_time_shift(spark):
+    """Measure-level time_shift with a bare {measure} ref imports as a
+    time_comparison metric (ref adapters/cube.py:971-996); standard
+    intervals map to yoy/mom/..., custom ones carry time_offset."""
+    import yaml
+
+    from sidemantic_spark.adapters import CubeAdapter
+
+    layer = SparkSemanticLayer(spark)
+    CubeAdapter().parse(layer, yaml.safe_load("""
+cubes:
+  - name: ts_cube
+    sql_table: t
+    measures:
+      - name: revenue
+        type: sum
+        sql: amount
+      - name: revenue_prior_year
+        sql: "{revenue}"
+        time_shift:
+          - interval: 1 year
+            type: prior
+      - name: revenue_prior_2w
+        sql: "{revenue}"
+        time_shift:
+          - interval: 2 week
+            type: prior
+"""))
+    m = layer.graph.models["ts_cube"]
+    yoy = m.metric("revenue_prior_year")
+    assert yoy.type == "time_comparison"
+    assert yoy.base_metric == "ts_cube.revenue"
+    assert yoy.comparison_type == "yoy" and yoy.time_offset is None
+    custom = m.metric("revenue_prior_2w")
+    assert custom.type == "time_comparison"
+    assert custom.time_offset == "2 week"
+
+
 def test_cube_calendar_cube(spark):
     """Calendar cubes (ref fixtures/cube/custom_calendar.yml, ref
     adapters/cube.py:726-815): custom granularity names survive as

@@ -130,6 +130,47 @@ def test_mom_percent_change(layer, duck):
     )
 
 
+def test_custom_time_offset_comparison(layer, duck):
+    """Custom time_offset (ref core/metric.py:315): compare against
+    2 months ago instead of a standard yoy/mom/wow window."""
+    df = layer.query(
+        metrics=["orders.revenue_vs_2mo"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH inner_q AS (
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   SUM(o_totalprice) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT i.order_month,
+               i.revenue - p.revenue AS revenue_vs_2mo
+        FROM inner_q i
+        LEFT JOIN inner_q p ON p.order_month = i.order_month - INTERVAL 2 MONTH
+        """,
+    )
+
+
+def test_time_offset_validation(layer):
+    from sidemantic_spark.core.model import Metric
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    orders = layer.graph.get_model("orders")
+    if orders.metric("bad_offset") is None:
+        orders.add_metric(Metric(
+            name="bad_offset", type="time_comparison", base_metric="revenue",
+            time_offset="fortnight",
+        ))
+    with pytest.raises(QueryCompileError, match="time_offset"):
+        layer.compile(
+            metrics=["orders.bad_offset"],
+            dimensions=["orders.order_date__month AS m"],
+        )
+
+
 def test_yoy_difference(layer, duck):
     df = layer.query(
         metrics=["orders.revenue_yoy_diff"],
