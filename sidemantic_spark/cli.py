@@ -348,7 +348,11 @@ def cmd_serve(args) -> int:
     spark = _build_spark("sidemantic-spark-serve")
     layer = _load_layer(args, spark)
     layer.register_sources()
-    srv = SemanticHttpServer(layer, host=args.host, port=args.port, token=args.token)
+    srv = SemanticHttpServer(
+        layer, host=args.host, port=args.port, token=args.token,
+        require_user_attrs=getattr(args, "require_user_attrs", False),
+        user_header=getattr(args, "user_header", "X-Sidemantic-User"),
+    )
     srv.start()
     print(f"serving on http://{args.host}:{srv.port} "
           f"(endpoints: /health /models /query /sql /compile /query.arrow)")
@@ -544,12 +548,19 @@ def cmd_lsp(args) -> int:
 
 
 def cmd_mcp(args) -> int:
+    import json as _json
+
     from sidemantic_spark.server import McpServer
 
     spark = _build_spark("sidemantic-spark-mcp")
     layer = _load_layer(args, spark)
     layer.register_sources()
-    McpServer(layer).serve_stdio()
+    user_attrs = None
+    if getattr(args, "user_attributes", None):
+        user_attrs = _json.loads(args.user_attributes)
+        if not isinstance(user_attrs, dict):
+            raise SystemExit("--user-attributes must be a JSON object")
+    McpServer(layer, user_attributes=user_attrs).serve_stdio()
     return 0
 
 
@@ -670,6 +681,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8088)
     p.add_argument("--token", default=None, help="bearer token (default: no auth)")
+    p.add_argument(
+        "--require-user-attrs", action="store_true",
+        help="reject data requests lacking the trusted user header",
+    )
+    p.add_argument(
+        "--user-header", default="X-Sidemantic-User",
+        help="trusted header carrying per-request user attributes (JSON)",
+    )
     p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("pgserve", help="run the PostgreSQL wire-protocol server")
@@ -684,6 +703,11 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("mcp", help="run the MCP stdio server")
     _add_models_arg(p)
+    p.add_argument(
+        "--user-attributes",
+        help="static security user namespace as a JSON object, e.g. "
+        '\'{"tenant_id": 1}\'; default none (secured models deny)',
+    )
     p.set_defaults(func=cmd_mcp)
 
     p = sub.add_parser("lsp", help="run the language server (stdio)")

@@ -173,22 +173,24 @@ class SparkSemanticLayer:
 
     # -- compile / execute -------------------------------------------
 
-    def sql(self, semantic_sql: str) -> DataFrame:
+    def sql(self, semantic_sql: str, user: dict | None = None) -> DataFrame:
         """Execute semantic SQL text (models as tables, metrics/dims as
         columns) — the reference's ``layer.sql`` surface. When security
         controls are active the transport gate refuses source reads the
-        compiler cannot secure (ref core/transport_security.py)."""
+        compiler cannot secure (ref core/transport_security.py); the
+        ``user`` namespace feeds access checks and row policies exactly
+        as in ``query(user=...)``."""
         from sidemantic_spark.core.transport_security import rewrite_transport_sql
 
         self.register_sources()
-        return self.spark.sql(rewrite_transport_sql(self, semantic_sql))
+        return self.spark.sql(rewrite_transport_sql(self, semantic_sql, user=user))
 
-    def rewrite(self, semantic_sql: str) -> str:
+    def rewrite(self, semantic_sql: str, user: dict | None = None) -> str:
         from sidemantic_spark.sql.rewriter import SemanticSqlRewriter
 
         if not hasattr(self, "_rewriter"):
             self._rewriter = SemanticSqlRewriter(self)
-        return self._rewriter.rewrite(semantic_sql)
+        return self._rewriter.rewrite(semantic_sql, user=user)
 
     def explain_sql(self, semantic_sql: str) -> dict:
         from sidemantic_spark.sql.rewriter import SemanticSqlRewriter

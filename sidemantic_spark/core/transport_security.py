@@ -97,4 +97,4 @@ def rewrite_transport_sql(layer, query: str, *, user: dict | None = None,
                 f"{transport} refused non-semantic source(s) "
                 f"{', '.join(bad)} while security controls are active"
             )
-    return layer.rewrite(query)
+    return layer.rewrite(query, user=user)

@@ -31,9 +31,18 @@ MAX_BODY_BYTES = 10 * 1024 * 1024  # reference body-size middleware (api_server.
 
 class SemanticHttpServer:
     def __init__(self, layer, host: str = "127.0.0.1", port: int = 0,
-                 token: str | None = None) -> None:
+                 token: str | None = None,
+                 require_user_attrs: bool = False,
+                 user_header: str = "X-Sidemantic-User") -> None:
         self.layer = layer
         self.token = token
+        # per-request user attributes from the TRUSTED user header (ref
+        # api_server.py:217-235): meant to be injected by an auth proxy,
+        # never taken from the request body — a client-chosen body user
+        # would let callers pick their own row scope. require_user_attrs
+        # rejects data requests lacking a valid header.
+        self.require_user_attrs = require_user_attrs
+        self.user_header = user_header
         handler = _make_handler(self)
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread: threading.Thread | None = None
@@ -75,7 +84,7 @@ class SemanticHttpServer:
             }
         return {"models": out, "graph_metrics": sorted(self.layer.graph.metrics)}
 
-    def handle_query(self, body: dict):
+    def handle_query(self, body: dict, user: dict | None = None):
         return self.layer.query(
             metrics=body.get("metrics") or [],
             dimensions=body.get("dimensions") or [],
@@ -84,10 +93,10 @@ class SemanticHttpServer:
             limit=body.get("limit"),
             ungrouped=bool(body.get("ungrouped")),
             parameters=body.get("parameters") or {},
-            user=body.get("user"),
+            user=user if user is not None else body.get("user"),
         )
 
-    def handle_compile(self, body: dict) -> str:
+    def handle_compile(self, body: dict, user: dict | None = None) -> str:
         return self.layer.compile(
             metrics=body.get("metrics") or [],
             dimensions=body.get("dimensions") or [],
@@ -95,7 +104,7 @@ class SemanticHttpServer:
             order_by=body.get("order_by") or [],
             limit=body.get("limit"),
             parameters=body.get("parameters") or {},
-            user=body.get("user"),
+            user=user if user is not None else body.get("user"),
         )
 
 
@@ -177,21 +186,35 @@ def _make_handler(server: SemanticHttpServer):
                 body = json.loads(self.rfile.read(length) or b"{}")
             except json.JSONDecodeError:
                 return self._deny(400, "invalid JSON body")
+            # per-request user attributes from the trusted header only
+            user = None
+            raw_user = self.headers.get(server.user_header)
+            if raw_user is not None:
+                try:
+                    user = json.loads(raw_user)
+                except json.JSONDecodeError:
+                    return self._deny(400, "invalid user-attributes header")
+                if not isinstance(user, dict):
+                    return self._deny(400, "invalid user-attributes header")
+            if server.require_user_attrs and user is None and self.path in (
+                "/query", "/query.arrow", "/sql", "/chart"
+            ):
+                return self._deny(400, "user-attributes header required")
             try:
                 if self.path == "/query":
-                    df = server.handle_query(body)
+                    df = server.handle_query(body, user=user)
                     return self._ok(json.dumps({"rows": _df_to_rows(df)}).encode())
                 if self.path == "/query.arrow":
-                    df = server.handle_query(body)
+                    df = server.handle_query(body, user=user)
                     return self._ok(
                         _df_to_arrow_bytes(df),
                         ctype="application/vnd.apache.arrow.stream",
                     )
                 if self.path == "/sql":
-                    df = server.layer.sql(body.get("sql") or "")
+                    df = server.layer.sql(body.get("sql") or "", user=user)
                     return self._ok(json.dumps({"rows": _df_to_rows(df)}).encode())
                 if self.path == "/compile":
-                    sql = server.handle_compile(body)
+                    sql = server.handle_compile(body, user=user)
                     return self._ok(json.dumps({"sql": sql}).encode())
                 if self.path == "/chart":
                     from sidemantic_spark.charts import chart_for_query

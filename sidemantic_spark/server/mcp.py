@@ -99,10 +99,21 @@ TOOLS = [
 
 
 class McpServer:
-    """Single-session MCP server bound to a SparkSemanticLayer."""
+    """Single-session MCP server bound to a SparkSemanticLayer.
 
-    def __init__(self, layer) -> None:
+    ``user_attributes`` are STATIC per server process (ref
+    tests/test_mcp_security.py: MCP has no per-session identity):
+    they feed every query's access checks and row policies. The default
+    ``None`` fail-closes — secured models deny because their access/row
+    templates render with StrictUndefined over an empty user namespace.
+    """
+
+    def __init__(self, layer, user_attributes: dict | None = None) -> None:
         self.layer = layer
+        self.user_attributes = user_attributes
+
+    def get_user_attributes(self) -> dict | None:
+        return self.user_attributes
 
     # -- tool implementations ----------------------------------------
 
@@ -150,6 +161,7 @@ class McpServer:
             filters=args.get("filters") or [],
             order_by=args.get("order_by") or [],
             limit=limit,
+            user=self.user_attributes,
         )
 
     def tool_compile_query(self, args: dict):
@@ -164,7 +176,7 @@ class McpServer:
     def tool_run_sql(self, args: dict):
         from sidemantic_spark.server.http_api import _df_to_rows
 
-        df = self.layer.sql(args["sql"]).limit(MAX_ROWS)
+        df = self.layer.sql(args["sql"], user=self.user_attributes).limit(MAX_ROWS)
         return {"rows": _df_to_rows(df)}
 
     def tool_create_chart(self, args: dict):

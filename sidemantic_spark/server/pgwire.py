@@ -351,7 +351,9 @@ class PgWireServer:
             rows = rel.fetchall()
             return (cols, rows, f"SELECT {len(rows)}")
         self._enforce_access(stripped, user)
-        df = self.layer.sql(stripped)
+        # thread the session user into compilation so row policies scope
+        # result rows, not just the access gate
+        df = self.layer.sql(stripped, user=user)
         cols = [(f.name, _oid_for_spark_type(f.dataType.simpleString()))
                 for f in df.schema.fields]
         rows = [tuple(r) for r in df.collect()]

@@ -208,12 +208,23 @@ class SemanticSqlRewriter:
         # the naive island-only rewrite (wrapper executed verbatim), the
         # baseline the reference's planner benchmark compares against
         self.wrapper_rules_enabled = True
+        # security namespace threaded into every compiled QuerySpec so
+        # transport SQL (pgwire/HTTP/MCP) gets the same row policies as
+        # the structured query API (ref tests/test_mcp_security.py)
+        self._user: dict | None = None
 
     # -- public -------------------------------------------------------
 
-    def rewrite(self, sql: str) -> str:
+    def rewrite(self, sql: str, user: dict | None = None) -> str:
         """Semantic SQL text -> executable Spark SQL."""
-        key = (self.layer.graph.generation, self.wrapper_rules_enabled, sql)
+        self._user = user
+        key = (
+            self.layer.graph.generation,
+            self.wrapper_rules_enabled,
+            tuple(sorted((user or {}).items())),
+            user is None,
+            sql,
+        )
         hit = self._cache.get(key)
         if hit is not None:
             out, self._applied_rules, self._rejected_rules = hit
@@ -248,6 +259,13 @@ class SemanticSqlRewriter:
         }
 
     # -- internals ----------------------------------------------------
+
+    def _generate(self, spec):
+        # stamp the transport user onto every compiled spec so access
+        # checks and row policies fire identically to layer.query(user=)
+        spec.user = self._user
+        return self.layer.generator.generate(spec)
+
 
     def _rewrite_node(self, sql: str) -> str:
         # CTE islands: rewrite each WITH body that is a semantic query,
@@ -593,12 +611,12 @@ class SemanticSqlRewriter:
                 offset=int(clause_vals["OFFSET"]) if "OFFSET" in clause_vals else None,
             )
             self._applied_rules.append("rownum_topn_limit")
-            return self.layer.generator.generate(spec)
+            return self._generate(spec)
 
         # partitioned (or RANK/DENSE_RANK) top-N: window stage above the
         # compiled plan, filtered in a subquery (Spark has no QUALIFY)
         spec = QuerySpec(metrics=metrics, dimensions=dims, filters=filters)
-        compiled = self.layer.generator.generate(spec)
+        compiled = self._generate(spec)
         outs = ", ".join(o for o, _k, _r, _a in inner.entries)
 
         # window spec references must use the compiled plan's OUTPUT
@@ -662,7 +680,7 @@ class SemanticSqlRewriter:
             offset=int(clause_vals["OFFSET"]) if "OFFSET" in clause_vals else None,
         )
         self._applied_rules.append("distinct_dims")
-        return self.layer.generator.generate(spec)
+        return self._generate(spec)
 
     def _rule_time_rollup(
         self, inner, outer_items, outer_distinct, clause_vals
@@ -740,7 +758,7 @@ class SemanticSqlRewriter:
             offset=int(clause_vals["OFFSET"]) if "OFFSET" in clause_vals else None,
         )
         self._applied_rules.append("time_rollup")
-        return self.layer.generator.generate(spec)
+        return self._generate(spec)
 
     def _rule_wrapper_pushdown(
         self, inner, outer_items, outer_distinct, clause_vals
@@ -804,7 +822,7 @@ class SemanticSqlRewriter:
             and not inner.distinct,
         )
         self._applied_rules.append("wrapper_pushdown")
-        return self.layer.generator.generate(spec)
+        return self._generate(spec)
 
     def _rewrite_select(self, sql: str) -> str:
         m = re.match(r"^\s*SELECT\s+(?:DISTINCT\s+)?(.*)$", sql, re.IGNORECASE | re.DOTALL)
@@ -891,7 +909,7 @@ class SemanticSqlRewriter:
             return self._apply_qualify(
                 spec, clause_vals["QUALIFY"], classified, base_model
             )
-        return self.layer.generator.generate(spec)
+        return self._generate(spec)
 
     def _apply_qualify(
         self, spec: QuerySpec, qualify: str, classified: list, base_model: str
@@ -919,11 +937,11 @@ class SemanticSqlRewriter:
             ]
             spec.limit = k if spec.limit is None else min(spec.limit, k)
             self._applied_rules.append("qualify_topn_limit")
-            return self.layer.generator.generate(spec)
+            return self._generate(spec)
 
         order_by, limit, offset = spec.order_by, spec.limit, spec.offset
         spec.order_by, spec.limit, spec.offset = [], None, None
-        compiled = self.layer.generator.generate(spec)
+        compiled = self._generate(spec)
         # window refs are output-column names in the wrapper; rewrite
         # model.field / model.field__grain forms to their output names
         out_by_ref = {
@@ -1007,7 +1025,7 @@ class SemanticSqlRewriter:
             dimensions=dims_rendered,
             filters=[where] if where else [],
         )
-        main_sql = self.layer.generator.generate(main_spec)
+        main_sql = self._generate(main_spec)
         dim_entries = [
             (full, alias) for kind, full, alias in classified if kind == "dim"
         ]
@@ -1099,7 +1117,7 @@ class SemanticSqlRewriter:
             if include_visible and where:
                 sub_filters.insert(0, where)
             sub_dims = [f"{f} AS {a}" if a else f for f, a in active]
-            sub_sql = self.layer.generator.generate(
+            sub_sql = self._generate(
                 QuerySpec(
                     metrics=[full_metric],
                     dimensions=sub_dims,
@@ -1220,7 +1238,7 @@ class SemanticSqlRewriter:
         order = [sub_refs(o) for o in order_raw]
 
         spec = QuerySpec(metrics=inner_metrics, dimensions=inner_dims, filters=filters)
-        inner_sql = self.layer.generator.generate(spec)
+        inner_sql = self._generate(spec)
         out = f"SELECT {', '.join(outer_items)}\nFROM (\n{inner_sql}\n) _expr"
         if having:
             # the HAVING may reference expression aliases, so filter a

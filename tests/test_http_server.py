@@ -103,3 +103,96 @@ def test_dashboard_and_chart_endpoint(server):
     })["vega_lite"]
     assert spec["mark"]["type"] == "bar"
     assert len(spec["data"]["values"]) == 3
+
+
+@pytest.fixture(scope="module")
+def secured_server(spark, sf_dir):
+    """Secured layer + require_user_attrs server (ref
+    tests/server/test_api_security.py: trusted user header)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.core.security import SecurityPolicy
+    from sidemantic_spark.models.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="orders",
+        table="orders",
+        primary_key="o_orderkey",
+        dimensions=[Dimension(name="status", sql="o_orderstatus")],
+        metrics=[Metric(name="order_count", agg="count")],
+        security=SecurityPolicy(
+            access="True",
+            row_filters=["o_orderstatus = '{{ user.allowed_status }}'"],
+        ),
+    ))
+    srv = SemanticHttpServer(
+        layer, token="sekrit", require_user_attrs=True
+    ).start()
+    yield srv
+    srv.stop()
+
+
+def _req_hdr(server, path, body, user_header=None, header_name="X-Sidemantic-User"):
+    url = f"http://127.0.0.1:{server.port}{path}"
+    req = urllib.request.Request(url, data=json.dumps(body).encode())
+    req.add_header("Authorization", "Bearer sekrit")
+    req.add_header("Content-Type", "application/json")
+    if user_header is not None:
+        req.add_header(header_name, user_header)
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read())
+
+
+def test_user_header_scopes_rows(secured_server):
+    out = _req_hdr(
+        secured_server, "/query",
+        {"metrics": ["orders.order_count"], "dimensions": ["orders.status"]},
+        user_header=json.dumps({"allowed_status": "F"}),
+    )
+    assert {r["status"] for r in out["rows"]} == {"F"}
+
+
+def test_missing_user_header_rejected_when_required(secured_server):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _req_hdr(
+            secured_server, "/query",
+            {"metrics": ["orders.order_count"]},
+        )
+    assert exc.value.code == 400
+
+
+def test_invalid_user_header_rejected(secured_server):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _req_hdr(
+            secured_server, "/query",
+            {"metrics": ["orders.order_count"]},
+            user_header="not-json",
+        )
+    assert exc.value.code == 400
+
+
+def test_body_user_cannot_override_header(secured_server):
+    """The body-supplied user is client-chosen and must lose to the
+    trusted header (a client picking its own row scope would defeat
+    row-level security)."""
+    out = _req_hdr(
+        secured_server, "/query",
+        {
+            "metrics": ["orders.order_count"],
+            "dimensions": ["orders.status"],
+            "user": {"allowed_status": "O"},
+        },
+        user_header=json.dumps({"allowed_status": "F"}),
+    )
+    assert {r["status"] for r in out["rows"]} == {"F"}
+
+
+def test_sql_endpoint_scoped_by_header(secured_server):
+    out = _req_hdr(
+        secured_server, "/sql",
+        {"sql": "SELECT orders.status, orders.order_count FROM orders"},
+        user_header=json.dumps({"allowed_status": "O"}),
+    )
+    assert {r["status"] for r in out["rows"]} == {"O"}

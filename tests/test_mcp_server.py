@@ -105,3 +105,73 @@ def test_mcp_create_chart_tool(mcp):
     assert len(spec["data"]["values"]) == 3
     assert spec["encoding"]["x"]["field"] == "status"
     assert spec["encoding"]["y"]["field"] == "revenue"
+
+
+@pytest.fixture()
+def secured_mcp(spark, sf_dir):
+    """Layer with a secured orders model + an MCP server per user mode
+    (ref tests/test_mcp_security.py: static user_attributes)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.core.security import SecurityPolicy
+    from sidemantic_spark.models.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="orders",
+        table="orders",
+        primary_key="o_orderkey",
+        dimensions=[Dimension(name="status", sql="o_orderstatus")],
+        metrics=[Metric(name="order_count", agg="count")],
+        security=SecurityPolicy(
+            access="{{ user.role == 'analyst' }}",
+            row_filters=["o_orderstatus = '{{ user.allowed_status }}'"],
+        ),
+    ))
+    return layer
+
+
+def test_mcp_default_none_denies_secured_model(secured_mcp):
+    mcp = McpServer(secured_mcp)
+    assert mcp.get_user_attributes() is None
+    resp = _call(mcp, "tools/call", {
+        "name": "run_query",
+        "arguments": {"metrics": ["orders.order_count"]},
+    })
+    text = resp["result"]["content"][0]["text"]
+    assert resp["result"].get("isError") or "denied" in text or "user" in text
+
+
+def test_mcp_static_user_attributes_scope_rows(secured_mcp):
+    mcp = McpServer(secured_mcp, user_attributes={
+        "role": "analyst", "allowed_status": "F",
+    })
+    out, is_err = _tool(mcp, "run_query", {
+        "metrics": ["orders.order_count"], "dimensions": ["orders.status"],
+    })
+    assert not is_err
+    assert {r["status"] for r in out["rows"]} == {"F"}
+
+
+def test_mcp_run_sql_scopes_rows_with_user_attributes(secured_mcp):
+    mcp = McpServer(secured_mcp, user_attributes={
+        "role": "analyst", "allowed_status": "O",
+    })
+    out, is_err = _tool(mcp, "run_sql", {
+        "sql": "SELECT orders.status, orders.order_count FROM orders",
+    })
+    assert not is_err
+    assert {r["status"] for r in out["rows"]} == {"O"}
+
+
+def test_mcp_run_sql_denies_nonsemantic_source_when_secured(secured_mcp):
+    mcp = McpServer(secured_mcp, user_attributes={
+        "role": "analyst", "allowed_status": "O",
+    })
+    resp = _call(mcp, "tools/call", {
+        "name": "run_sql",
+        "arguments": {"sql": "SELECT * FROM lineitem"},
+    })
+    text = resp["result"]["content"][0]["text"]
+    assert resp["result"].get("isError") or "refused" in text

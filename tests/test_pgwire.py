@@ -295,3 +295,31 @@ def test_security_gate_enforced_per_user(spark, sf_dir):
         assert errors and "access" in errors[0].lower()
     finally:
         srv.stop()
+
+
+def test_pgwire_row_policy_scopes_rows(spark, sf_dir):
+    """The session user feeds compilation, so row policies scope the
+    result set (ref server/connection.py:80-83), not just the access
+    gate."""
+    from sidemantic_spark.core.security import SecurityPolicy
+
+    layer = build_layer(spark, sf_dir)
+    layer.graph.get_model("orders").security = SecurityPolicy(
+        access="True",
+        row_filters=["o_orderstatus = '{{ user.allowed_status }}'"],
+    )
+    srv = PgWireServer(
+        layer, username="ana", password="pw",
+        user_attrs_map={"ana": {"allowed_status": "F"}},
+    ).start()
+    try:
+        c = PgClient(srv.port, user="ana", password="pw")
+        _cols, rows, errors, _ = c.query(
+            "SELECT orders.status, orders.order_count FROM orders"
+        )
+        c.close()
+        assert not errors, errors
+        assert {r[0] for r in rows} == {"F"}
+    finally:
+        layer.graph.get_model("orders").security = None
+        srv.stop()
