@@ -564,6 +564,43 @@ def cmd_mcp(args) -> int:
     return 0
 
 
+def cmd_dashboard(args) -> int:
+    """Dashboard spec tooling (reference `sidemantic dashboard`):
+    validate a sidemantic.dashboard.v1 spec, emit TS authoring types,
+    or render a self-contained Vega-Lite HTML page."""
+    from sidemantic_spark.dashboard import (
+        generate_dashboard_typescript,
+        load_dashboard,
+        render_dashboard_html,
+    )
+
+    if args.action == "types":
+        layer = _load_layer(args)
+        print(generate_dashboard_typescript(layer))
+        return 0
+    doc = load_dashboard(args.spec)
+    if args.action == "validate":
+        layer = _load_layer(args)
+        errors = doc.validate(layer)
+        for e in errors:
+            print(f"ERROR: {e}")
+        print("OK" if not errors else f"{len(errors)} error(s)")
+        return 1 if errors else 0
+    if args.action == "html":
+        spark = _build_spark("sidemantic-spark-dashboard")
+        layer = _load_layer(args, spark)
+        layer.register_sources()
+        html = render_dashboard_html(layer, doc)
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(html)
+            print(f"wrote {args.out}")
+        else:
+            print(html)
+        return 0
+    raise SystemExit(f"unknown dashboard action {args.action!r}")
+
+
 def cmd_init(args) -> int:
     """Introspect data files -> generate model YAML (reference
     ``bootstrap.py``, ``init --from data/*.csv``)."""
@@ -690,6 +727,15 @@ def main(argv: list[str] | None = None) -> int:
         help="trusted header carrying per-request user attributes (JSON)",
     )
     p.set_defaults(func=cmd_serve)
+
+    p = sub.add_parser(
+        "dashboard", help="validate/types/render semantic dashboard specs"
+    )
+    p.add_argument("action", choices=["validate", "types", "html"])
+    p.add_argument("--spec", help="dashboard YAML/JSON (validate/html)")
+    p.add_argument("--out", help="output file for html")
+    _add_models_arg(p)
+    p.set_defaults(func=cmd_dashboard)
 
     p = sub.add_parser("pgserve", help="run the PostgreSQL wire-protocol server")
     _add_models_arg(p)

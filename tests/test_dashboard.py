@@ -1,0 +1,128 @@
+"""Dashboard documents (ref sidemantic/dashboard.py + tests/test_dashboard.py):
+spec loading, validation against the graph, TS type generation, and the
+Spark-native Vega-Lite HTML renderer."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from sidemantic_spark.dashboard import (
+    DASHBOARD_SCHEMA,
+    DashboardDocument,
+    DashboardSpecError,
+    build_semantic_types_schema,
+    generate_dashboard_typescript,
+    load_dashboard,
+    render_dashboard_html,
+)
+from sidemantic_spark.models.tpch import build_layer
+
+SPEC = {
+    "schema": DASHBOARD_SCHEMA,
+    "title": "Revenue Overview",
+    "tabs": [
+        {
+            "id": "overview",
+            "label": "Overview",
+            "charts": [
+                {
+                    "id": "rev-by-status",
+                    "type": "bar",
+                    "metrics": ["orders.revenue"],
+                    "dimensions": ["orders.status"],
+                },
+                {
+                    "id": "rev-by-month",
+                    "type": "line",
+                    "metrics": ["orders.revenue"],
+                    "dimensions": ["orders.order_date__month"],
+                },
+            ],
+        }
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def layer(spark, sf_dir):
+    return build_layer(spark, sf_dir)
+
+
+def test_from_dict_and_file_roundtrip(tmp_path):
+    doc = DashboardDocument.from_dict(SPEC)
+    assert doc.title == "Revenue Overview"
+    assert len(doc.tabs) == 1
+    p = tmp_path / "dash.json"
+    p.write_text(json.dumps(SPEC))
+    assert load_dashboard(p).to_dict() == SPEC
+    y = tmp_path / "dash.yaml"
+    import yaml
+
+    y.write_text(yaml.safe_dump(SPEC))
+    assert load_dashboard(y).to_dict() == SPEC
+    with pytest.raises(DashboardSpecError):
+        DashboardDocument.from_file(tmp_path / "missing.yaml")
+    with pytest.raises(DashboardSpecError):
+        DashboardDocument.from_dict(["not", "a", "mapping"])
+
+
+def test_validate_clean_spec(layer):
+    assert DashboardDocument.from_dict(SPEC).validate(layer) == []
+
+
+def test_validate_catches_errors(layer):
+    bad = {
+        "schema": "wrong.v9",
+        "title": "",
+        "tabs": [
+            {
+                "id": "t1",
+                "charts": [
+                    {"id": "c1", "type": "pie", "metrics": ["orders.nope"]},
+                    {"id": "c1", "metrics": ["orders.revenue"],
+                     "renderer": "excel"},
+                ],
+            },
+            {"id": "t1", "charts": [{"metrics": ["orders.revenue"]}]},
+        ],
+    }
+    errors = DashboardDocument.from_dict(bad).validate(layer)
+    joined = "\n".join(errors)
+    assert "schema must be" in joined
+    assert "title is required" in joined
+    assert "type must be one of" in joined
+    assert "unknown metric 'orders.nope'" in joined
+    assert "renderer must be one of" in joined
+    assert "duplicates 'c1'" in joined
+    assert "duplicates 't1'" in joined
+    assert "charts[0].id is required" in joined
+
+
+def test_semantic_types_schema(layer):
+    schema = build_semantic_types_schema(layer)
+    assert "orders.revenue" in schema["metrics"]
+    assert "orders.status" in schema["dimensions"]
+    # time dimensions expand to grain fields
+    assert "orders.order_date__month" in schema["dimensions"]
+    assert schema["fieldTypes"]["orders.revenue"] == "number"
+    assert schema["fieldTypes"]["orders.order_date"] == "date"
+
+
+def test_generate_typescript(layer):
+    ts = generate_dashboard_typescript(layer)
+    assert "export const sidemanticSchema" in ts
+    assert "export type SemanticField" in ts
+    assert '"orders.revenue": number;' in ts
+
+
+def test_render_html(layer):
+    html = render_dashboard_html(layer, DashboardDocument.from_dict(SPEC))
+    assert "<title>Revenue Overview</title>" in html
+    assert "vegaEmbed('#view_overview_rev_by_status'" in html.replace("-", "_")
+    # chart data is inlined (executed through the layer)
+    assert '"values"' in html
+    bad = DashboardDocument.from_dict({"title": "x", "tabs": []})
+    with pytest.raises(DashboardSpecError):
+        render_dashboard_html(layer, bad)
