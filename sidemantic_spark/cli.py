@@ -34,9 +34,16 @@ def _build_spark(app: str = "sidemantic-spark"):
 
 def _load_layer(args, spark=None):
     from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.project import ProjectContext, ProjectResolutionError
 
     layer = SparkSemanticLayer(spark)
+    ctx = ProjectContext.discover(config_path=getattr(args, "config", None))
     path = args.models
+    if path is None:
+        try:
+            path = str(ctx.resolve_models())
+        except ProjectResolutionError as exc:
+            raise SystemExit(str(exc))
     fmt = getattr(args, "format", None) or "native"
     if fmt == "native":
         from sidemantic_spark.authoring import load_path
@@ -56,6 +63,8 @@ def _load_layer(args, spark=None):
             model.table = model.table or name
         elif spark is not None:
             spark.read.parquet(uri).createOrReplaceTempView(name)
+    # project-config defaults: table registrations + preagg root
+    ctx.apply(layer, spark)
     return layer
 
 
@@ -649,7 +658,12 @@ def cmd_init(args) -> int:
 
 
 def _add_models_arg(p, required: bool = True):
-    p.add_argument("-f", "--models", required=required, help="model definitions path (file or dir)")
+    p.add_argument(
+        "-f", "--models", required=False,
+        help="model definitions path (file or dir); optional inside a "
+        "project with a sidemantic-spark.yml config",
+    )
+    p.add_argument("--config", help="explicit project config file")
     p.add_argument("--format", default="native",
                    help="input format: native or any import adapter name")
     p.add_argument("--register", action="append",

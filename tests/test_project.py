@@ -1,0 +1,121 @@
+"""Project discovery + config defaults (ref sidemantic/project.py,
+config.py, tests/test_project.py)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+import yaml
+
+from sidemantic_spark.project import (
+    ProjectContext,
+    ProjectResolutionError,
+    find_config,
+)
+
+
+def _write_project(root, models_dir="models"):
+    (root / models_dir).mkdir(parents=True, exist_ok=True)
+    (root / models_dir / "sales.yml").write_text(yaml.safe_dump({
+        "models": [{
+            "name": "sales",
+            "table": "sales",
+            "primary_key": "sale_id",
+            "dimensions": [{"name": "cat", "sql": "cat"}],
+            "metrics": [{"name": "total", "agg": "sum", "sql": "amount"}],
+        }]
+    }))
+    (root / "sidemantic-spark.yml").write_text(yaml.safe_dump({
+        "models_dir": models_dir,
+        "tables": {"sales": "data/sales.csv"},
+        "spark": {"spark.sql.shuffle.partitions": "4"},
+        "preagg_path": ".rollups",
+    }))
+    data = root / "data"
+    data.mkdir(exist_ok=True)
+    (data / "sales.csv").write_text(
+        "sale_id,cat,amount\n1,a,100\n2,b,50\n3,a,25\n"
+    )
+
+
+def test_discover_upward_and_resolve(tmp_path):
+    _write_project(tmp_path)
+    nested = tmp_path / "sub" / "deeper"
+    nested.mkdir(parents=True)
+    ctx = ProjectContext.discover(start_dir=nested)
+    assert ctx.root == tmp_path
+    assert ctx.config_path == tmp_path / "sidemantic-spark.yml"
+    assert ctx.resolve_models() == tmp_path / "models"
+    assert ctx.spark_conf() == {"spark.sql.shuffle.partitions": "4"}
+    assert ctx.tables() == {"sales": tmp_path / "data" / "sales.csv"}
+    assert ctx.preagg_path() == tmp_path / ".rollups"
+
+
+def test_no_config_falls_back_to_conventional(tmp_path):
+    (tmp_path / "models").mkdir()
+    ctx = ProjectContext.discover(start_dir=tmp_path)
+    assert ctx.config_path is None
+    assert ctx.resolve_models() == tmp_path / "models"
+    assert find_config(tmp_path) is None
+
+
+def test_explicit_config_is_authoritative(tmp_path):
+    with pytest.raises(ProjectResolutionError, match="not found"):
+        ProjectContext.discover(start_dir=tmp_path, config_path="nope.yml")
+    bad = tmp_path / "broken.yml"
+    bad.write_text("- just\n- a list\n")
+    with pytest.raises(ProjectResolutionError, match="mapping"):
+        ProjectContext.discover(start_dir=tmp_path, config_path=bad)
+
+
+def test_explicit_models_beats_config(tmp_path):
+    _write_project(tmp_path)
+    other = tmp_path / "other_models"
+    other.mkdir()
+    ctx = ProjectContext.discover(start_dir=tmp_path)
+    assert ctx.resolve_models(explicit="other_models") == other
+    with pytest.raises(ProjectResolutionError):
+        ctx.resolve_models(explicit="missing_dir")
+
+
+def test_apply_registers_tables_and_preagg(tmp_path, spark):
+    _write_project(tmp_path)
+    from sidemantic_spark.authoring import load_path
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    ctx = ProjectContext.discover(start_dir=tmp_path)
+    layer = SparkSemanticLayer(spark)
+    load_path(layer, str(ctx.resolve_models()))
+    ctx.apply(layer, spark)
+    assert layer.preaggs.base_path == str(tmp_path / ".rollups")
+    rows = {
+        (r["cat"], r["total"])
+        for r in layer.query(
+            metrics=["sales.total"], dimensions=["sales.cat"]
+        ).collect()
+    }
+    assert rows == {("a", 125), ("b", 50)}
+
+
+def test_cli_uses_project_config(tmp_path):
+    """`query` with no --models inside a project discovers the config,
+    registers tables and answers (ref CLI project contract)."""
+    _write_project(tmp_path)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="2",
+        PYTHONPATH=repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "sidemantic_spark", "query",
+         "-m", "sales.total", "-d", "sales.cat", "--output", "csv"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if "," in l]
+    assert "cat,total" in lines
+    assert {"a,125", "b,50"} <= set(lines)
