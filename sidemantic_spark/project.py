@@ -142,8 +142,17 @@ class ProjectContext:
         return p if p.is_absolute() else (self.root / p)
 
     def apply(self, layer, spark=None) -> None:
-        """Apply config defaults: register tables, set preagg root."""
+        """Apply config defaults: runtime Spark conf, table
+        registrations, preagg root.  Static conf keys (driver memory,
+        master) cannot change on a live session and are skipped —
+        set those via SPARK_GRAFT_* env instead."""
         session = spark or getattr(layer, "spark", None)
+        if session is not None:
+            for k, v in self.spark_conf().items():
+                try:
+                    session.conf.set(k, v)
+                except Exception:
+                    pass  # static conf on a running session
         if session is not None:
             for name, path in self.tables().items():
                 suffix = path.suffix.lower().lstrip(".") or "parquet"
