@@ -235,6 +235,23 @@ def test_semi_additive_agg_plan_is_sort_free(layer):
     assert "Window" not in plan
 
 
+def test_metric_window_total_plan_over_aggregate(layer):
+    """all(metric) window totals must run the Window over the
+    already-aggregated result (rows = output groups), never the fact
+    rows: exactly one Window node ABOVE the aggregate in the plan."""
+    df = layer.query(
+        metrics=["orders.revenue", "orders.revenue_share"],
+        dimensions=["orders.status"],
+    )
+    plan = _plan(df)
+    assert plan.count("Window") >= 1
+    # the Window's child chain must contain the HashAggregate — i.e. the
+    # window input is the aggregated frame, not the scan
+    win_pos = plan.find("Window")
+    agg_pos = plan.find("HashAggregate", win_pos)
+    assert agg_pos > win_pos, plan
+
+
 def test_semi_additive_grouped_uses_window_plan(layer):
     """With per-entity groupings (partkey), marker partitions are
     ~entity-count: the window plan's single sort-shuffle over tiny
