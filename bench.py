@@ -126,7 +126,7 @@ def main() -> None:
     # noise-robust estimator of the engine's actual cost; repeats share
     # warmed codegen, which is the steady state a long-lived cluster
     # session runs in anyway.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
