@@ -574,9 +574,9 @@ class SqlGenerator:
                     walk(child, depth + 1)
                 return
             if metric.type in ("cumulative", "time_comparison"):
-                base = metric.base_metric
+                base = self._base_metric_ref(metric, rm.model)
                 if base:
-                    _, child = self._lookup_metric(_qualify(base, rm.model))
+                    _, child = self._lookup_metric(base)
                     walk(child, depth + 1)
                 elif metric.agg:
                     shadow = Metric(name=metric.name, agg=metric.agg, sql=metric.sql, filters=metric.filters)
@@ -780,13 +780,34 @@ class SqlGenerator:
                 )
                 sql = sql.replace(key, f"({total})")
         elif metric.type in ("cumulative", "time_comparison"):
-            base_model, base = self._lookup_metric(_qualify(metric.base_metric, rm.model))
+            base_ref = self._base_metric_ref(metric, rm.model)
+            if base_ref is None:
+                raise QueryCompileError(
+                    f"{metric.type} metric {metric.name!r} needs base_metric or agg"
+                )
+            base_model, base = self._lookup_metric(base_ref)
             return self._metric_sql(RMetric(base_model, base, base.name), value_of, depth + 1)
         else:
             raise QueryCompileError(f"metric {metric.name!r}: unsupported in this plan")
         if metric.fill_nulls_with is not None:
             sql = f"COALESCE({sql}, {metric.fill_nulls_with})"
         return sql
+
+    def _base_metric_ref(self, metric: Metric, default_model: str) -> str | None:
+        """Base metric for cumulative/time_comparison: ``base_metric``,
+        else ``sql`` when (agg-less) it resolves to a metric reference —
+        the reference accepts ``Metric(type='cumulative',
+        sql='sales.amount')`` (ref tests/metrics/test_advanced.py:172)."""
+        if metric.base_metric:
+            return _qualify(metric.base_metric, default_model)
+        if metric.sql and not metric.agg:
+            ref = _qualify(metric.sql.strip(), default_model)
+            try:
+                self._lookup_metric(ref)
+            except QueryCompileError:
+                return None
+            return ref
+        return None
 
     def _window_total_sql(self, rm: RMetric, value_of, depth: int = 0) -> str:
         """Whole-result window aggregate for ``all(metric)``: the total
@@ -1419,9 +1440,7 @@ class SqlGenerator:
                 ratio_legs[rm.out] = (legs[0], legs[1])
                 inner_name_of[rm.out] = legs[0]
             elif rm.metric.type in ("cumulative", "time_comparison"):
-                base_ref = _qualify(
-                    rm.metric.base_metric, rm.model
-                ) if rm.metric.base_metric else None
+                base_ref = self._base_metric_ref(rm.metric, rm.model)
                 if base_ref is None:
                     raise QueryCompileError(
                         f"{rm.metric.type} metric {rm.metric.name!r} needs base_metric"
@@ -1462,6 +1481,15 @@ class SqlGenerator:
                 offsets[rm.out] = interval_sql(rm.metric.offset_window)
 
         select = [f"i.{rd.out} AS {rd.out}" for rd in r.dims]
+
+        def emit(expr: str, rm: RMetric) -> None:
+            # fill_nulls_with applies AFTER the window/comparison (ref
+            # tests/metrics/test_advanced.py:172,609): a missing prior
+            # period or all-NULL window frame yields the fill value
+            if rm.metric.fill_nulls_with is not None:
+                expr = f"COALESCE({expr}, {rm.metric.fill_nulls_with})"
+            select.append(f"{expr} AS {rm.out}")
+
         for rm in r.metrics:
             m = rm.metric
             base_col = f"i.{inner_name_of[rm.out]}"
@@ -1475,7 +1503,7 @@ class SqlGenerator:
                     expr = m.window_expression.format(
                         value=base_col, time=f"i.{t}", partition=part_clause
                     )
-                    select.append(f"{expr} AS {rm.out}")
+                    emit(expr, rm)
                     continue
                 if m.window:
                     frame = (
@@ -1486,23 +1514,25 @@ class SqlGenerator:
                         ([part] if part else []) + [_date_trunc(m.grain_to_date, f"i.{t}")]
                     )
                     frame = m.window_frame or "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-                    select.append(
-                        f"SUM({base_col}) OVER (PARTITION BY {part2} ORDER BY i.{t} {frame}) AS {rm.out}"
+                    emit(
+                        f"SUM({base_col}) OVER (PARTITION BY {part2} ORDER BY i.{t} {frame})",
+                        rm,
                     )
                     continue
                 else:
                     frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
                 if m.window_frame:
                     frame = m.window_frame
-                select.append(
-                    f"SUM({base_col}) OVER ({part_clause}ORDER BY i.{t} {frame}) AS {rm.out}"
+                emit(
+                    f"SUM({base_col}) OVER ({part_clause}ORDER BY i.{t} {frame})", rm
                 )
             elif m.type == "ratio" and m.offset_window:
                 num_out, den_out = ratio_legs[rm.out]
                 alias = f"p_{rm.out}"
-                select.append(
+                emit(
                     f"CAST(i.{num_out} AS DOUBLE)"
-                    f" / NULLIF(CAST({alias}.{den_out} AS DOUBLE), 0) AS {rm.out}"
+                    f" / NULLIF(CAST({alias}.{den_out} AS DOUBLE), 0)",
+                    rm,
                 )
             elif m.type == "time_comparison":
                 alias = f"p_{rm.out}"
@@ -1520,7 +1550,7 @@ class SqlGenerator:
                         f"CAST({base_col} - {prior} AS DOUBLE)"
                         f" / NULLIF(CAST({prior} AS DOUBLE), 0) * 100"
                     )
-                select.append(f"{expr} AS {rm.out}")
+                emit(expr, rm)
             else:
                 select.append(f"{base_col} AS {rm.out}")
 

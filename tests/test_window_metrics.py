@@ -354,6 +354,65 @@ def test_semi_additive_strategies_agree(layer, duck):
     assert agg_rows == win_rows
 
 
+def test_comparison_fill_nulls_applies_to_missing_prior_period(spark):
+    """fill_nulls_with on a time_comparison metric applies AFTER the
+    comparison: a missing prior period yields the fill value, not NULL
+    (ref tests/metrics/test_advanced.py:609)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    lay = SparkSemanticLayer(spark)
+    lay.add_model(Model(
+        name="fn_sales",
+        sql="SELECT DATE '2024-01-01' AS month, 100 AS revenue "
+            "UNION ALL SELECT DATE '2024-02-01', 150",
+        primary_key="month",
+        dimensions=[Dimension(name="month", sql="month", type="time",
+                              granularity="month")],
+        metrics=[
+            Metric(name="revenue", agg="sum", sql="revenue"),
+            Metric(name="change", type="time_comparison",
+                   base_metric="revenue", comparison_type="mom",
+                   calculation="difference", fill_nulls_with=0),
+        ],
+    ))
+    rows = lay.query(
+        metrics=["fn_sales.change"],
+        dimensions=["fn_sales.month__month AS m"],
+        order_by=["m"],
+    ).collect()
+    assert [r[1] for r in rows] == [0, 50]
+
+
+def test_cumulative_sql_metric_ref_and_fill_nulls(spark):
+    """Cumulative metrics accept sql='model.metric' as the base
+    reference (no base_metric field) and fill_nulls applies after the
+    window (ref tests/metrics/test_advanced.py:172)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    lay = SparkSemanticLayer(spark)
+    lay.add_model(Model(
+        name="fn_sales2",
+        sql="SELECT DATE '2024-01-01' AS day, CAST(NULL AS INT) AS amount "
+            "UNION ALL SELECT DATE '2024-01-02', 5",
+        primary_key="day",
+        dimensions=[Dimension(name="day", sql="day", type="time",
+                              granularity="day")],
+        metrics=[
+            Metric(name="amount", agg="sum", sql="amount"),
+            Metric(name="running_amount", type="cumulative",
+                   sql="fn_sales2.amount", fill_nulls_with=0),
+        ],
+    ))
+    rows = lay.query(
+        metrics=["fn_sales2.running_amount"],
+        dimensions=["fn_sales2.day__day AS d"],
+        order_by=["d"],
+    ).collect()
+    assert [r[1] for r in rows] == [0, 5]
+
+
 def test_metric_percent_of_total(layer, duck):
     """Metric-level window total (BSL `_.all(...)`, ref
     sql/generator.py:4358-4460): all(revenue) in a derived metric
