@@ -165,12 +165,13 @@ def chart_to_png(spec: dict) -> bytes:
 
 
 def chart_for_query(layer, metrics=None, dimensions=None, filters=None,
-                    chart_type: str = "auto", limit: int = 5000, **kw) -> dict:
+                    chart_type: str = "auto", limit: int = 5000,
+                    user: dict | None = None, **kw) -> dict:
     """Run a semantic query and chart the result. Row cap keeps the
     spec (which inlines data) bounded — charts are for aggregates, not
-    corpus dumps."""
+    corpus dumps. ``user`` feeds access gates and row policies."""
     df = layer.query(metrics=metrics or [], dimensions=dimensions or [],
-                     filters=filters or [], limit=limit)
+                     filters=filters or [], limit=limit, user=user)
     rows = [r.asDict() for r in df.collect()]
     title = kw.pop("title", None) or " / ".join(
         m.split(".")[-1] for m in (metrics or [])

@@ -53,6 +53,10 @@ def _load_layer(args, spark=None):
         from sidemantic_spark.adapters import import_file
 
         import_file(layer, path, fmt)
+    # project-config defaults first (table registrations + preagg root)
+    # so explicit --register bindings override config, matching the
+    # CLI > config precedence resolve_models() uses for --models
+    ctx.apply(layer, spark)
     for spec in getattr(args, "register", None) or []:
         name, _, uri = spec.partition("=")
         if not uri:
@@ -63,8 +67,6 @@ def _load_layer(args, spark=None):
             model.table = model.table or name
         elif spark is not None:
             spark.read.parquet(uri).createOrReplaceTempView(name)
-    # project-config defaults: table registrations + preagg root
-    ctx.apply(layer, spark)
     return layer
 
 
@@ -587,6 +589,8 @@ def cmd_dashboard(args) -> int:
         layer = _load_layer(args)
         print(generate_dashboard_typescript(layer))
         return 0
+    if not args.spec:
+        raise SystemExit(f"dashboard {args.action} requires --spec <file>")
     doc = load_dashboard(args.spec)
     if args.action == "validate":
         layer = _load_layer(args)
@@ -658,8 +662,13 @@ def cmd_init(args) -> int:
 
 
 def _add_models_arg(p, required: bool = True):
+    # `required` is vestigial since project discovery made --models
+    # optional everywhere: a missing path now errors through
+    # ProjectContext.resolve_models with a message that names both
+    # escape hatches (flag or project config)
+    del required
     p.add_argument(
-        "-f", "--models", required=False,
+        "-f", "--models",
         help="model definitions path (file or dir); optional inside a "
         "project with a sidemantic-spark.yml config",
     )

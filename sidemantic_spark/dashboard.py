@@ -268,9 +268,13 @@ def render_dashboard_html(layer, doc: DashboardDocument) -> str:
                 title=chart.get("title") or chart.get("id"),
             )
             div_id = f"view_{tab['id']}_{chart['id']}".replace("-", "_")
+            # escape "</" so a data value containing "</script>" cannot
+            # terminate the script block (markup injection via queried
+            # warehouse values)
+            spec_js = json.dumps(spec).replace("</", "<\\/")
             blocks.append(
                 f'<div class="chart" id="{div_id}"></div>'
-                f"<script>vegaEmbed('#{div_id}', {json.dumps(spec)});</script>"
+                f"<script>vegaEmbed('#{div_id}', {spec_js});</script>"
             )
         label = _html.escape(str(tab.get("label") or tab["id"]))
         sections.append(

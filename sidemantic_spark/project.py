@@ -120,7 +120,13 @@ class ProjectContext:
         conventional = self.root / "models"
         if conventional.is_dir():
             return conventional.resolve()
-        return self.root
+        if self.config_path is not None:
+            # a config marks a real project root; scanning it is sane
+            return self.root
+        raise ProjectResolutionError(
+            "no models path: pass -f/--models, or run inside a project "
+            "(sidemantic-spark.yml with models_dir, or a models/ directory)"
+        )
 
     def spark_conf(self) -> dict[str, str]:
         raw = self.config.get("spark") or {}

@@ -226,6 +226,7 @@ def _make_handler(server: SemanticHttpServer):
                         filters=body.get("filters"),
                         chart_type=body.get("chart_type", "auto"),
                         limit=min(int(body.get("limit") or 5000), 5000),
+                        user=user,
                     )
                     return self._ok(json.dumps({"vega_lite": spec}).encode())
             except Exception as exc:

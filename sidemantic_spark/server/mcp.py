@@ -192,6 +192,7 @@ class McpServer:
             chart_type=args.get("chart_type", "auto"),
             title=args.get("title"),
             limit=MAX_ROWS,
+            user=self.user_attributes,
         )
         return {"vega_lite": spec}
 

@@ -843,13 +843,16 @@ class SqlGenerator:
                 f"NULLIF(CAST(SUM(COUNT({value})) OVER () AS DOUBLE), 0)"
             )
         if agg in ("count_distinct", "approx_count_distinct"):
-            value = value_of(metric.name, metric)
-            prefix = f"{rm.model}_cte."
-            col = value[len(prefix):] if value and value.startswith(prefix) else value
+            # re-qualify every model-CTE reference for the subquery's
+            # alias (a plain prefix strip breaks when value_of returns
+            # an expression containing the prefix mid-string)
+            value = (value_of(metric.name, metric) or "").replace(
+                f"{rm.model}_cte.", "__all."
+            )
             expr = (
-                f"APPROX_COUNT_DISTINCT(__all.{col})"
+                f"APPROX_COUNT_DISTINCT({value})"
                 if agg == "approx_count_distinct"
-                else f"COUNT(DISTINCT __all.{col})"
+                else f"COUNT(DISTINCT {value})"
             )
             return f"(SELECT {expr} FROM {rm.model}_cte AS __all)"
         raise QueryCompileError(

@@ -212,28 +212,48 @@ class SemanticSqlRewriter:
         # transport SQL (pgwire/HTTP/MCP) gets the same row policies as
         # the structured query API (ref tests/test_mcp_security.py)
         self._user: dict | None = None
+        # one compile at a time: the threaded HTTP/pgwire servers share
+        # this rewriter, and _user is per-compile state — without the
+        # lock, thread B's user could be stamped onto thread A's spec
+        # (cross-user row scoping) and cached under A's key forever
+        import threading
+
+        self._compile_lock = threading.RLock()
 
     # -- public -------------------------------------------------------
 
     def rewrite(self, sql: str, user: dict | None = None) -> str:
         """Semantic SQL text -> executable Spark SQL."""
-        self._user = user
+        import json as _json
+
+        # JSON-canonicalized: user attribute values may be lists/objects
+        # (unhashable as tuples); None stays distinct from {}
+        user_key = (
+            None if user is None
+            else _json.dumps(user, sort_keys=True, default=str)
+        )
         key = (
             self.layer.graph.generation,
             self.wrapper_rules_enabled,
-            tuple(sorted((user or {}).items())),
-            user is None,
+            user_key,
             sql,
         )
-        hit = self._cache.get(key)
-        if hit is not None:
-            out, self._applied_rules, self._rejected_rules = hit
-            return out
-        self._applied_rules = []
-        self._rejected_rules = []
-        out = self._rewrite_node(_yardstick_normalize(_strip(sql)))
-        self._cache[key] = (out, list(self._applied_rules), list(self._rejected_rules))
-        return out
+        with self._compile_lock:
+            self._user = user
+            try:
+                hit = self._cache.get(key)
+                if hit is not None:
+                    out, self._applied_rules, self._rejected_rules = hit
+                    return out
+                self._applied_rules = []
+                self._rejected_rules = []
+                out = self._rewrite_node(_yardstick_normalize(_strip(sql)))
+                self._cache[key] = (
+                    out, list(self._applied_rules), list(self._rejected_rules)
+                )
+                return out
+            finally:
+                self._user = None
 
     def explain(self, sql: str) -> dict:
         """Rewrite plan summary (reference's RewriteExplanation:

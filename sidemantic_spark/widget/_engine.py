@@ -254,7 +254,7 @@ class ExplorerEngine:
         selected metric; the dimension's own filter is excluded so its
         chart shows the unfiltered distribution (ref refresh logic)."""
         metric = self.selected_metric or self.metrics[0]
-        out = self.selected_metric.split(".", 1)[1] if "." in metric else metric
+        out = metric.split(".", 1)[1] if "." in metric else metric
         return self.layer.query(
             metrics=self.metrics,
             dimensions=[dim_key],
@@ -276,12 +276,15 @@ class ExplorerEngine:
                 for f in self._build_filters()
                 if not f.startswith(self.time_dimension + " ")
             ]
+            # the comparison window is the CURRENT range shifted back by
+            # the offset — same length, so totals are comparable even
+            # when the range length differs from the offset
             start, end = self.date_range[0], self.date_range[-1]
             flt.append(
                 f"{self.time_dimension} >= {_time_literal(start)} - INTERVAL {offset}"
             )
             flt.append(
-                f"{self.time_dimension} < {_time_literal(start)}"
+                f"{self.time_dimension} <= {_time_literal(end)} - INTERVAL {offset}"
             )
             prev = self._totals_row(flt)
         for ref in self.metrics:

@@ -88,6 +88,19 @@ def test_engine_breakdown_filters_and_totals(sales_df):
     assert totals["widget_data.row_count"]["pct_change"] == 0.0
 
 
+def test_comparison_window_keeps_range_length(sales_df):
+    """The previous-period window is the CURRENT range shifted back by
+    the offset (same length), not a window of the offset's length —
+    a 14-day range vs wow must compare 14 days to 14 days."""
+    eng = ExplorerEngine(sales_df)
+    eng.date_range = ["2026-01-15", "2026-01-28"]  # 14 days, 2 rows/day
+    eng.comparison_mode = "wow"
+    totals = eng.metric_totals()
+    assert totals["widget_data.row_count"]["current"] == 28
+    # shifted window 2026-01-08..2026-01-21: also 14 full days
+    assert totals["widget_data.row_count"]["previous"] == 28
+
+
 def test_refresh_all_payload_ipc_roundtrip(sales_df):
     import pyarrow as pa
 

@@ -437,6 +437,42 @@ def test_metric_percent_of_total(layer, duck):
     assert abs(total - 1.0) < 1e-9
 
 
+def test_metric_window_total_count_distinct_expression_sql(layer, duck):
+    """all() over a count_distinct metric whose sql is an EXPRESSION:
+    every model-CTE reference inside the value must re-qualify for the
+    scalar subquery's alias."""
+    from sidemantic_spark.core.model import Metric
+
+    orders = layer.graph.get_model("orders")
+    if orders.metric("status_cust") is None:
+        orders.add_metric(Metric(
+            name="status_cust", agg="count_distinct",
+            sql="CONCAT(o_orderstatus, '-', CAST(o_custkey AS STRING))",
+        ))
+        orders.add_metric(Metric(
+            name="status_cust_share",
+            type="derived",
+            expr=(
+                "CAST(status_cust AS DOUBLE) / "
+                "CAST(all(status_cust) AS DOUBLE)"
+            ),
+        ))
+    df = layer.query(
+        metrics=["orders.status_cust_share"], dimensions=["orders.priority"]
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(DISTINCT CONCAT(o_orderstatus, '-', CAST(o_custkey AS VARCHAR))) AS DOUBLE)
+                 / CAST((SELECT COUNT(DISTINCT CONCAT(o_orderstatus, '-', CAST(o_custkey AS VARCHAR)))
+                         FROM orders) AS DOUBLE) AS status_cust_share
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
 def test_metric_window_total_count_distinct(layer, duck):
     """count_distinct has no decomposable window-total form; all()
     falls back to a scalar subquery over the model CTE (ref
