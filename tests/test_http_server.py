@@ -196,3 +196,24 @@ def test_sql_endpoint_scoped_by_header(secured_server):
         user_header=json.dumps({"allowed_status": "O"}),
     )
     assert {r["status"] for r in out["rows"]} == {"O"}
+
+
+def test_concurrent_requests_scope_by_own_user(secured_server):
+    """Cross-user isolation under concurrency (the rewriter is shared
+    by server threads): parallel /sql requests with different user
+    headers must each get rows scoped by THEIR user, and cached plans
+    must never leak another user's scope."""
+    import concurrent.futures
+
+    def fetch(status):
+        out = _req_hdr(
+            secured_server, "/sql",
+            {"sql": "SELECT orders.status, orders.order_count FROM orders"},
+            user_header=json.dumps({"allowed_status": status}),
+        )
+        return status, {r["status"] for r in out["rows"]}
+
+    jobs = ["F", "O"] * 10
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        for status, got in ex.map(fetch, jobs):
+            assert got == {status}, (status, got)
