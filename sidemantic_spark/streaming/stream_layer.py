@@ -42,6 +42,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from sidemantic_spark.core.model import Model
+from sidemantic_spark.sql.fragments import interval_sql
 
 
 class StreamingError(Exception):
@@ -318,6 +319,65 @@ class StreamingSemanticLayer:
         if within_watermark:
             return df.dropDuplicatesWithinWatermark(keys)
         return df.dropDuplicates(keys)
+
+    def stream_funnel(
+        self,
+        model_name: str,
+        entity: str,
+        base_event: str,
+        conversion_event: str,
+        conversion_window: str = "1 hour",
+        watermark: str = "2 hours",
+    ) -> DataFrame:
+        """Incremental conversion funnel: a watermarked stream-stream
+        LEFT OUTER self-join (base events x conversion events of the
+        same entity within ``conversion_window``) — the streaming form
+        of the batch conversion metric, which a windowed aggregation
+        cannot express because the two legs are different event rows.
+
+        The join's time-range predicate plus both-side watermarks bound
+        the state store to the watermark horizon (Spark drops base rows
+        once no in-window conversion can still arrive), so state stays
+        O(events per window), not O(stream history). Returns one append
+        row per base event: (entity, base_ts, conv_ts, converted);
+        unconverted rows emit when their watermark expires.
+
+        ``base_event``/``conversion_event`` are filter SQL over the
+        source columns (e.g. "event_type = 'signup'").
+        """
+        binding = self.bindings.get(model_name)
+        if binding is None:
+            raise StreamingError(f"model {model_name!r} has no stream binding")
+        t = binding.time_column
+        src = self._source(binding)
+        base = (
+            src.where(base_event)
+            .select(F.col(entity).alias("__entity"), F.col(t).alias("base_ts"))
+            .withWatermark("base_ts", watermark)
+        )
+        conv = (
+            src.where(conversion_event)
+            .select(
+                F.col(entity).alias("__conv_entity"),
+                F.col(t).alias("conv_ts"),
+            )
+            .withWatermark("conv_ts", watermark)
+        )
+        joined = base.join(
+            conv,
+            F.expr(
+                "__entity = __conv_entity AND "
+                f"conv_ts >= base_ts AND "
+                f"conv_ts <= base_ts + {interval_sql(conversion_window)}"
+            ),
+            "leftOuter",
+        )
+        return joined.select(
+            F.col("__entity").alias(entity),
+            "base_ts",
+            "conv_ts",
+            F.col("conv_ts").isNotNull().alias("converted"),
+        )
 
     def stream_stateful_metrics(
         self,

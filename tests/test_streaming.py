@@ -203,3 +203,66 @@ def test_stream_stateful_metrics(spark, stream_setup):
     assert abs(by_user[1]["running_max"] - 20.0) < 1e-9
     assert by_user[2]["running_count"] == 3
     assert abs(by_user[2]["running_sum"] - 32.0) < 1e-9
+
+
+def test_stream_funnel_join(spark, stream_setup, tmp_path):
+    """Watermarked stream-stream LEFT OUTER self-join funnel: each
+    'view' either converts to a same-user purchase within the window
+    or emits unconverted once the watermark passes its join window.
+    Outer-join null rows emit one trigger AFTER the watermark passes
+    (the engine uses the previous batch's watermark), so the test
+    drains twice through a checkpoint with a heartbeat event advancing
+    the clock — exactly how a production stream behaves."""
+    df = stream_setup.stream_funnel(
+        "sevents",
+        entity="user_id",
+        base_event="event_type = 'view'",
+        conversion_event="event_type = 'purchase'",
+        conversion_window="30 minutes",
+        watermark="10 minutes",
+    )
+    ckpt = str(tmp_path / "funnel_ckpt")
+    out_dir = str(tmp_path / "funnel_out")
+
+    def drain():
+        # parquet sink: the memory sink cannot recover from a
+        # checkpoint, and the restart is the point of this test
+        q = (df.writeStream.format("parquet")
+             .option("checkpointLocation", ckpt)
+             .option("path", out_dir)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    # heartbeats far past every open window advance the watermark so
+    # the expired unconverted rows flush on the restart. The global
+    # watermark is the MIN across BOTH sides' watermark operators, and
+    # filtered-out rows advance nothing — so one 'view' and one
+    # 'purchase' heartbeat are needed (in production both sides see
+    # the same live traffic)
+    src_dir = str(tmp_path / "events_stream")
+    spark.sql("""
+        SELECT event_id, ts, user_id, event_type, CAST(value AS DOUBLE) AS value
+        FROM VALUES
+            (98L, TIMESTAMP '2026-01-01 18:00:00', 9L, 'view', 0.0),
+            (99L, TIMESTAMP '2026-01-01 18:00:00', 9L, 'purchase', 0.0)
+            AS t(event_id, ts, user_id, event_type, value)
+    """).write.mode("append").parquet(src_dir)
+    drain()
+    drain()  # one more empty drain flushes state expired by the heartbeat
+
+    rows = {
+        (r.user_id, str(r.base_ts)[11:16], r.converted)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # user 1: view@10:00 -> purchase@10:10 (converted);
+    #         view@11:05 -> no purchase within 30m
+    # user 2: view@10:20 -> no purchase within 30m (11:15 is 55m later);
+    #         view@13:00 -> nothing after
+    # user 9: the heartbeat pair converts instantly
+    assert (1, "10:00", True) in rows
+    assert (1, "11:05", False) in rows
+    assert (2, "10:20", False) in rows
+    assert (2, "13:00", False) in rows
+    assert (9, "18:00", True) in rows
+    assert len(rows) == 5
