@@ -26,15 +26,22 @@ def _merge_named_lists(parent_items: list, child_items: list) -> list:
 
 
 def merge_model(child: Model, parent: Model) -> Model:
-    """Return a new Model = parent overridden by child (child name kept)."""
+    """Return a new Model = parent overridden by child (child name kept).
+
+    A child field overrides the parent only when it differs from the
+    dataclass DEFAULT — otherwise an extends-only child would silently
+    reset inherited non-None defaults (primary_key='id',
+    source_format='parquet', auto_dimensions=False) back to them.
+    """
     data = {f.name: getattr(parent, f.name) for f in dataclasses.fields(parent)}
+    child_defaults = Model(name="__probe__")
     for f in dataclasses.fields(child):
         if f.name in ("name", "extends"):
             continue
         child_val = getattr(child, f.name)
         if f.name in _MODEL_LIST_FIELDS:
             data[f.name] = _merge_named_lists(data.get(f.name) or [], child_val or [])
-        elif child_val is not None and child_val != ([] if isinstance(child_val, list) else None):
+        elif child_val != getattr(child_defaults, f.name):
             data[f.name] = child_val
     data["name"] = child.name
     data["extends"] = None

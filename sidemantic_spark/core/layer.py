@@ -79,18 +79,23 @@ class SparkSemanticLayer:
         (empty if valid) instead of raising — reference
         ``validation.py:805`` ``validate_query``. Unknown references
         include close-match suggestions."""
+        from sidemantic_spark.core.graph import SemanticGraphError
         from sidemantic_spark.sql.generator import QueryCompileError, QuerySpec
 
+        # SemanticGraphError covers unknown MODEL names (the most common
+        # validation failure) — both must land in the error list, not
+        # escape the documented returns-errors contract
+        caught = (QueryCompileError, SemanticGraphError)
         errors: list[str] = []
         for m in metrics or []:
             try:
                 self.generator._resolve(QuerySpec(metrics=[m]))
-            except QueryCompileError as e:
+            except caught as e:
                 errors.append(str(e))
         for d in dimensions or []:
             try:
                 self.generator._resolve(QuerySpec(dimensions=[d]))
-            except QueryCompileError as e:
+            except caught as e:
                 errors.append(str(e))
         return errors
 

@@ -352,13 +352,16 @@ class Migrator:
                     mname = alias or (f"{agg}_{col}" if col else "row_count")
                     mname = re.sub(r"\W+", "_", mname).lower()
                     if model.metric(mname) is None:
-                        model.metrics.append(Metric(name=mname, agg=agg, sql=col))
+                        # add_metric keeps the name-lookup cache in sync
+                        # (a bare list append would let repeated corpus
+                        # queries re-add the same metric)
+                        model.add_metric(Metric(name=mname, agg=agg, sql=col))
                 gm = _GROUP_RE.search(text)
                 if gm:
                     for ref in _split_commas(gm.group(1)):
                         col = ref.strip().rsplit(".", 1)[-1]
                         if re.fullmatch(r"\w+", col) and model.dimension(col) is None:
-                            model.dimensions.append(Dimension(name=col))
+                            model.add_dimension(Dimension(name=col))
         return proposed
 
     def generate_yaml(self, sqls: list[str]) -> str:

@@ -81,7 +81,11 @@ def unrecognized_sources(sql: str, layer) -> list[str]:
             if base in _SAFE_NONTABLE:
                 continue
             return ["<unparseable SQL>"]  # unknown table function
-        if tok.lower() not in allowed and base not in allowed:
+        # exact (bare) match only: models and CTEs are registered as
+        # bare names, so a QUALIFIED token (spark_catalog.default.orders)
+        # whose last segment merely matches a model name is a raw
+        # catalog read that would bypass row policies — refuse it
+        if tok.lower() not in allowed:
             out.add(tok)
     return sorted(out)
 

@@ -82,7 +82,14 @@ def replace_refs(
 def split_conjuncts(sql: str) -> list[str]:
     """Split on top-level AND (outside parens and string literals),
     preserving OR groupings (reference AND-flattening with OR-paren
-    preservation, ``sql/generator.py:1640-1750``)."""
+    preservation, ``sql/generator.py:1640-1750``).
+
+    An UNPARENTHESIZED top-level OR makes the whole expression one
+    unit: "a OR b AND c" means a OR (b AND c) in SQL, and splitting on
+    the AND would re-associate it as (a OR b) AND c."""
+    if _toplevel_or(sql):
+        stripped = sql.strip()
+        return [stripped] if stripped else []
     parts: list[str] = []
     depth = 0
     in_quote = False
@@ -114,6 +121,33 @@ def split_conjuncts(sql: str) -> list[str]:
     if last:
         parts.append(last)
     return [p for p in parts if p]
+
+
+def _toplevel_or(sql: str) -> bool:
+    """True when an OR exists at paren/quote depth 0."""
+    depth = 0
+    in_quote = False
+    upper = sql.upper()
+    for i, ch in enumerate(sql):
+        if ch == "'" and not (in_quote and i + 1 < len(sql) and sql[i + 1] == "'"):
+            in_quote = not in_quote
+        if in_quote:
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and upper.startswith("OR", i)
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+            and (
+                i + 2 >= len(sql)
+                or not (sql[i + 2].isalnum() or sql[i + 2] == "_")
+            )
+        ):
+            return True
+    return False
 
 
 _INTERVAL_RE = re.compile(r"^\s*(\d+)\s+(second|minute|hour|day|week|month|quarter|year)s?\s*$", re.I)

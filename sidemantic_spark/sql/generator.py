@@ -28,6 +28,7 @@ pre-aggregations.
 
 from __future__ import annotations
 
+import json
 import re
 from dataclasses import dataclass, field
 
@@ -156,8 +157,11 @@ class SqlGenerator:
             spec.ungrouped,
             spec.with_totals,
             tuple(spec.segments),
-            tuple(sorted(spec.parameters.items())),
-            tuple(sorted((spec.user or {}).items())),
+            # JSON-canonicalized: parameter/user values may be
+            # lists/objects, which are unhashable inside a key tuple
+            json.dumps(spec.parameters, sort_keys=True, default=str),
+            None if spec.user is None
+            else json.dumps(spec.user, sort_keys=True, default=str),
             spec.timezone,
         )
 
@@ -599,30 +603,62 @@ class SqlGenerator:
     )
     _REL_THIS_RE = re.compile(r"'(this|last)\s+(day|week|month|quarter|year)'", re.IGNORECASE)
 
+    # trailing "<col> <op>" immediately before a relative-date literal
+    _REL_LHS_RE = re.compile(r"([A-Za-z_][\w.]*)\s*(>=|<=|=|!=|>|<)\s*$")
+
     def _rewrite_relative_dates(self, conj: str) -> str:
+        """Replace each ``col op 'relative date'`` predicate IN PLACE
+        with a parenthesized range — surrounding text (ORs, parens,
+        other predicates) is preserved, not truncated."""
+        def expand(m: "re.Match[str]", rng) -> str | None:
+            lhs = conj[: m.start()]
+            lhs_m = self._REL_LHS_RE.search(lhs)
+            if not lhs_m:
+                return None
+            col = lhs_m.group(1)
+            return (
+                conj[: lhs_m.start(1)]
+                + "(" + rng(col) + ")"
+                + conj[m.end():]
+            )
+
         m = self._REL_RE.search(conj)
         if m:
             direction, n, unit = m.group(1).lower(), int(m.group(2)), m.group(3).lower()
-            lhs = conj[: m.start()].rstrip()
-            op_m = re.search(r"(>=|<=|=|!=|>|<)\s*$", lhs)
-            col = lhs[: op_m.start()].strip() if op_m else lhs
             if direction == "last":
-                return (
-                    f"{col} >= CURRENT_DATE - INTERVAL '{n}' {unit.upper()}"
-                    f" AND {col} < CURRENT_DATE + INTERVAL '1' DAY"
-                )
-            return (
-                f"{col} >= CURRENT_DATE AND {col} < CURRENT_DATE + INTERVAL '{n}' {unit.upper()}"
-            )
+                def rng(col):
+                    return (
+                        f"{col} >= CURRENT_DATE - INTERVAL '{n}' {unit.upper()}"
+                        f" AND {col} < CURRENT_DATE + INTERVAL '1' DAY"
+                    )
+            else:
+                def rng(col):
+                    return (
+                        f"{col} >= CURRENT_DATE AND "
+                        f"{col} < CURRENT_DATE + INTERVAL '{n}' {unit.upper()}"
+                    )
+            out = expand(m, rng)
+            if out is not None:
+                return self._rewrite_relative_dates(out)
+            return conj
         m = self._REL_THIS_RE.search(conj)
         if m:
             which, unit = m.group(1).lower(), m.group(2).lower()
-            lhs = conj[: m.start()].rstrip()
-            op_m = re.search(r"(>=|<=|=|!=|>|<)\s*$", lhs)
-            col = lhs[: op_m.start()].strip() if op_m else lhs
-            anchor = "CURRENT_DATE" if which == "this" else f"CURRENT_DATE - INTERVAL '1' {unit.upper()}"
+            anchor = (
+                "CURRENT_DATE" if which == "this"
+                else f"CURRENT_DATE - INTERVAL '1' {unit.upper()}"
+            )
             start = _date_trunc(unit, anchor)
-            return f"{col} >= {start} AND {col} < {start} + INTERVAL '1' {unit.upper()}"
+
+            def rng(col):
+                return (
+                    f"{col} >= {start} AND "
+                    f"{col} < {start} + INTERVAL '1' {unit.upper()}"
+                )
+
+            out = expand(m, rng)
+            if out is not None:
+                return self._rewrite_relative_dates(out)
         return conj
 
     # ------------------------------------------------------------------
@@ -1267,11 +1303,13 @@ class SqlGenerator:
             if metric.filters:
                 cond = " AND ".join(f"({self._rewrite_dedup_filter(f, r)})" for f in metric.filters)
                 if metric.agg == "count" and metric.sql is None:
-                    return f"COUNT(CASE WHEN {cond} THEN 1 END)"
-                return metric.agg_sql(f"CASE WHEN {cond} THEN {value} END")
-            if metric.agg == "count" and metric.sql is None:
-                return f"COUNT({value})"
-            sql = metric.agg_sql(value)
+                    sql = f"COUNT(CASE WHEN {cond} THEN 1 END)"
+                else:
+                    sql = metric.agg_sql(f"CASE WHEN {cond} THEN {value} END")
+            elif metric.agg == "count" and metric.sql is None:
+                sql = f"COUNT({value})"
+            else:
+                sql = metric.agg_sql(value)
             if metric.fill_nulls_with is not None:
                 sql = f"COALESCE({sql}, {metric.fill_nulls_with})"
             return sql
@@ -1368,10 +1406,18 @@ class SqlGenerator:
             select.append(f"__fact_{rm.model}.{rm.out} AS {rm.out}")
         sql = "SELECT\n    " + ",\n    ".join(select)
         sql += f"\nFROM {first}"
-        for name, _ in fact_sqls[1:]:
+        for idx, (name, _) in enumerate(fact_sqls[1:], start=1):
             if dim_outs:
+                # chain on COALESCE of ALL prior facts' dims: with 3+
+                # facts, a dim combination absent from the first fact
+                # still lives in the joined row via a later fact, and
+                # joining on first-fact columns alone would leave it
+                # NULL and spawn a duplicate unmerged output row
+                prior = [n for n, _ in fact_sqls[:idx]]
                 cond = " AND ".join(
-                    f"{first}.{o} <=> {name}.{o}" for o in dim_outs
+                    "COALESCE(" + ", ".join(f"{p}.{o}" for p in prior) + ")"
+                    f" <=> {name}.{o}"
+                    for o in dim_outs
                 )
                 sql += f"\nFULL OUTER JOIN {name} ON {cond}"
             else:

@@ -258,6 +258,12 @@ class SemanticSqlRewriter:
     def explain(self, sql: str) -> dict:
         """Rewrite plan summary (reference's RewriteExplanation:
         chosen plan + applied/rejected optimization rules)."""
+        with self._compile_lock:
+            # hold the lock across compile + rule-list read so a
+            # concurrent transport compile can't swap the rule lists
+            return self._explain_locked(sql)
+
+    def _explain_locked(self, sql: str) -> dict:
         compiled = self.rewrite(sql)
         first = compiled.splitlines()[0] if compiled else ""
         plan = "unknown"
@@ -314,8 +320,10 @@ class SemanticSqlRewriter:
             return sub
         return self._rewrite_select(sql)
 
-    def _is_semantic(self, sql: str) -> bool:
-        """Does this SELECT's FROM name a registered model?"""
+    def _is_semantic(self, sql: str, shadowed: set[str] | None = None) -> bool:
+        """Does this SELECT's FROM name a registered model?  ``shadowed``
+        names (in-scope CTEs) take precedence per SQL scoping rules —
+        a CTE named like a model must NOT resolve to the model."""
         m = re.match(r"^\s*SELECT\b", sql, re.IGNORECASE)
         if not m:
             return False
@@ -324,7 +332,11 @@ class SemanticSqlRewriter:
             return False
         tail = parts[1].strip()
         m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)", tail)
-        return bool(m) and m.group(1) in self.layer.graph.models
+        if not m:
+            return False
+        if shadowed and m.group(1) in shadowed:
+            return False
+        return m.group(1) in self.layer.graph.models
 
     def _rewrite_with(self, sql: str) -> str:
         body = re.sub(r"^\s*WITH\b", "", sql, count=1, flags=re.IGNORECASE)
@@ -369,11 +381,16 @@ class SemanticSqlRewriter:
         if not outer:
             raise QueryCompileError("WITH clause has no outer SELECT")
         rendered = []
+        seen_ctes: set[str] = set()
         for name, cte_body in ctes:
-            if self._is_semantic(cte_body):
+            # a CTE body may reference earlier CTEs, which shadow
+            # same-named models; later CTEs and the outer SELECT see
+            # every CTE name
+            if self._is_semantic(cte_body, shadowed=seen_ctes):
                 cte_body = self._rewrite_node(cte_body)
             rendered.append(f"{name} AS (\n{cte_body}\n)")
-        if self._is_semantic(outer):
+            seen_ctes.add(name)
+        if self._is_semantic(outer, shadowed=seen_ctes):
             outer = self._rewrite_node(outer)
         return "WITH " + ",\n".join(rendered) + "\n" + outer
 
@@ -582,6 +599,13 @@ class SemanticSqlRewriter:
         window stage over the compiled plan (ref
         sql/query_rewriter.py:1201-1478 row_number/QUALIFY top-N)."""
         if outer_distinct or "GROUP BY" in clause_vals or "HAVING" in clause_vals:
+            return None
+        # min(k, LIMIT) only composes without an OFFSET, and an inner
+        # LIMIT/OFFSET would change which rows the row numbers cover —
+        # fall back to the naive wrapper in both cases
+        if "OFFSET" in clause_vals:
+            return None
+        if inner.clause_vals.get("LIMIT") or inner.clause_vals.get("OFFSET"):
             return None
         rn_out, rn_sql = inner.rn
         where = clause_vals.get("WHERE", "")
@@ -951,7 +975,16 @@ class SemanticSqlRewriter:
         if k <= 0:
             raise QueryCompileError(f"QUALIFY top-N bound must be positive: {qualify!r}")
 
-        if fn == "ROW_NUMBER" and not partition and not spec.order_by:
+        if (
+            fn == "ROW_NUMBER"
+            and not partition
+            and not spec.order_by
+            # min(k, LIMIT) is only equivalent without an OFFSET: with
+            # one, LIMIT k OFFSET o returns rows o+1..o+k of the full
+            # stream, while rn<=k keeps only the first k — fall through
+            # to the explicit window stage
+            and spec.offset is None
+        ):
             spec.order_by = [
                 self._qualify_bare(o, base_model) for o in _split_items(order)
             ]
@@ -1006,6 +1039,14 @@ class SemanticSqlRewriter:
         main grouped query on the surviving dimensions — aggregated
         frames are tiny, so Catalyst broadcast-joins them; no
         correlated-subquery execution is needed."""
+
+        unsupported = [c for c in ("HAVING", "QUALIFY") if c in clause_vals]
+        if unsupported:
+            # refusing beats silently dropping the clause
+            raise QueryCompileError(
+                f"AT (...) context modifiers do not support "
+                f"{'/'.join(unsupported)} in the same query"
+            )
 
         def dim_base(full: str) -> str:
             return re.sub(r"__[a-z]+$", "", full)

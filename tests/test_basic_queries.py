@@ -418,3 +418,66 @@ def test_jdbc_source_reader_binding(spark):
     assert calls["options"]["numPartitions"] == "32"
     assert calls["load_args"] == ()  # jdbc loads from options, not a path
     assert calls["view"] == "pg_orders_src"
+
+
+def test_filter_or_and_precedence_preserved(layer, duck):
+    """'a OR b AND c' must stay one predicate (a OR (b AND c)) — the
+    conjunct splitter must not re-associate it as (a OR b) AND c."""
+    from tests.conftest import assert_df_matches_oracle
+
+    df = layer.query(
+        metrics=["orders.order_count"],
+        filters=[
+            "orders.status = 'F' OR orders.status = 'O' "
+            "AND orders.priority = '1-URGENT'"
+        ],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT COUNT(*) AS order_count FROM orders
+        WHERE o_orderstatus = 'F'
+           OR o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+        """,
+    )
+
+
+def test_relative_date_preserves_surrounding_predicate(layer):
+    """A relative-date literal inside a larger predicate expands in
+    place — trailing ORs are not truncated."""
+    sql = layer.compile(
+        metrics=["orders.order_count"],
+        filters=[
+            "orders.order_date >= 'last 7 days' OR orders.status = 'F'"
+        ],
+    )
+    assert "OR" in sql and "o_orderstatus = 'F'" in sql
+    assert "CURRENT_DATE - INTERVAL '7' DAY" in sql
+    # and the whole thing still executes
+    assert layer.query(
+        metrics=["orders.order_count"],
+        filters=[
+            "orders.order_date >= 'last 7 days' OR orders.status = 'F'"
+        ],
+    ).collect()[0][0] > 0
+
+
+def test_list_valued_user_attribute_compiles(layer):
+    """List/object-valued user attributes must not crash the compile
+    cache (keys are JSON-canonicalized)."""
+    sql = layer.compile(
+        metrics=["orders.order_count"],
+        user={"regions": ["US", "EU"], "role": "analyst"},
+    )
+    assert "order_count" in sql
+    # cache hit path with the same user
+    assert layer.compile(
+        metrics=["orders.order_count"],
+        user={"role": "analyst", "regions": ["US", "EU"]},
+    ) == sql
+
+
+def test_validate_query_unknown_model_returns_error(layer):
+    errs = layer.validate_query(metrics=["no_such_model.revenue"])
+    assert len(errs) == 1 and "no_such_model" in errs[0]

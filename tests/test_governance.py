@@ -400,6 +400,15 @@ def test_transport_security_fail_closed(spark, sf_dir):
     # unparseable-to-the-lexer constructs fail closed
     assert unrecognized_sources(
         "SELECT * FROM some_udtf(1)", layer) == ["<unparseable SQL>"]
+    # QUALIFIED names are raw catalog reads even when the last segment
+    # matches a model — allowing them would bypass row policies
+    with _pytest.raises(TransportSecurityError):
+        layer.sql("SELECT * FROM spark_catalog.default.sec_orders")
+    assert unrecognized_sources(
+        "WITH c AS (SELECT * FROM spark_catalog.default.sec_orders) "
+        "SELECT * FROM c",
+        layer,
+    ) == ["spark_catalog.default.sec_orders"]
     # CTEs over semantic models are fine
     assert layer.sql(
         "WITH r AS (SELECT sec_orders.revenue FROM sec_orders) SELECT * FROM r"

@@ -324,3 +324,48 @@ def test_foreign_key_queryable_as_dimension(layer, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_multifact_three_facts_merge_dims(spark, duck):
+    """With 3+ facts, a dim value absent from the FIRST fact must still
+    merge into one output row: the full-outer chain joins each fact on
+    COALESCE of all prior facts' dims, not the first fact's alone."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
+
+    spark.createDataFrame(
+        [("x",), ("y",), ("z",), ("w",)], "sname string"
+    ).createOrReplaceTempView("mf_d_t")
+    for name, rows in (
+        ("mf_a", [("x", 1), ("y", 2)]),
+        ("mf_b", [("y", 10), ("z", 20)]),
+        ("mf_c", [("z", 100), ("w", 200)]),
+    ):
+        spark.createDataFrame(rows, "sname string, v long") \
+            .createOrReplaceTempView(f"{name}_t")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="mf_d", table="mf_d_t", primary_key="sname",
+        dimensions=[Dimension(name="sname")],
+    ))
+    for name in ("mf_a", "mf_b", "mf_c"):
+        layer.add_model(Model(
+            name=name, table=f"{name}_t", primary_key="sname",
+            metrics=[Metric(name=f"{name}_sum", agg="sum", sql="v")],
+            relationships=[Relationship(
+                name="mf_d", type="many_to_one", foreign_key="sname"
+            )],
+        ))
+    rows = {
+        (r["sname"], r["mf_a_sum"], r["mf_b_sum"], r["mf_c_sum"])
+        for r in layer.query(
+            metrics=["mf_a.mf_a_sum", "mf_b.mf_b_sum", "mf_c.mf_c_sum"],
+            dimensions=["mf_d.sname"],
+        ).collect()
+    }
+    assert rows == {
+        ("x", 1, None, None),
+        ("y", 2, 10, None),
+        ("z", None, 20, 100),   # absent from mf_a: must be ONE row
+        ("w", None, None, 200),
+    }

@@ -692,3 +692,41 @@ def test_at_requires_measure(layer):
         layer.sql(
             "SELECT orders.status, orders.priority AT (ALL) FROM orders"
         )
+
+
+def test_topn_with_offset_not_folded(layer, duck):
+    """LIMIT folding of rn<=k is only valid without OFFSET; with one,
+    the compile must keep an explicit window stage (or naive wrapper)
+    so rows beyond the top-N cutoff are never returned."""
+    from tests.conftest import assert_df_matches_oracle
+
+    sql_text = (
+        "SELECT orders.priority, orders.revenue FROM orders "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY orders.revenue DESC) <= 3 "
+        "OFFSET 1"
+    )
+    df = layer.sql(sql_text)
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT priority, revenue FROM (
+            SELECT o_orderpriority AS priority,
+                   SUM(o_totalprice) AS revenue,
+                   ROW_NUMBER() OVER (ORDER BY SUM(o_totalprice) DESC) AS rn
+            FROM orders GROUP BY 1
+        ) WHERE rn <= 3
+        ORDER BY revenue DESC OFFSET 1
+        """,
+    )
+
+
+def test_cte_shadowing_model_name(layer, duck):
+    """A CTE named like a model shadows it (SQL scoping): the outer
+    SELECT must read the CTE, not compile against the model."""
+    from tests.conftest import assert_df_matches_oracle
+
+    df = layer.sql(
+        "WITH orders AS (SELECT 42 AS answer) SELECT answer FROM orders"
+    )
+    assert [r.answer for r in df.collect()] == [42]

@@ -183,3 +183,26 @@ def test_auto_dimensions_introspection(spark, sf_dir):
     rows = lyr.query(metrics=["auto_orders.order_count"],
                      dimensions=["auto_orders.o_orderstatus"]).collect()
     assert len(rows) == 3
+
+
+def test_extends_preserves_non_none_parent_defaults():
+    """An extends-only child must not reset parent fields whose
+    dataclass defaults are non-None (primary_key='id',
+    source_format='parquet'): overrides apply only when the child
+    value differs from the DEFAULT, mirroring merge_metric."""
+    from sidemantic_spark.core.inheritance import merge_model
+    from sidemantic_spark.core.model import Metric, Model
+
+    parent = Model(
+        name="base_orders", table="orders", primary_key="order_id",
+        source_format="csv",
+        metrics=[Metric(name="n", agg="count")],
+    )
+    child = Model(name="orders_ext", extends="base_orders")
+    merged = merge_model(child, parent)
+    assert merged.primary_key == "order_id"
+    assert merged.source_format == "csv"
+    assert merged.table == "orders"
+    # explicit child override still wins
+    child2 = Model(name="o2", extends="base_orders", primary_key="oid")
+    assert merge_model(child2, parent).primary_key == "oid"
