@@ -36,9 +36,10 @@ class PreAggManager:
 
     # -- SQL builders -------------------------------------------------
 
-    def rollup_sql(self, model: Model, pa: PreAggregation, extra_where: str | None = None) -> str:
+    def rollup_sql(self, model: Model, pa: PreAggregation, extra_where: str | None = None,
+                   source_override: str | None = None) -> str:
         """Materialization SELECT over the base model table."""
-        return rollup_select_sql(model, pa, extra_where)
+        return rollup_select_sql(model, pa, extra_where, source_override)
 
 
 
@@ -119,6 +120,12 @@ class PreAggManager:
         )
         if not (pa.partition_granularity and pa.time_dimension):
             return self.materialize(model_name, preagg_name) and None
+        if pa.bucket_by:
+            # a plain partitioned parquet overwrite would destroy the
+            # bucketed file layout while the catalog still advertises
+            # bucket metadata (wrong joins under bucket-based Exchange
+            # elimination) — rematerialize through the bucketed writer
+            return self.materialize(model_name, preagg_name) and None
         spark = self.layer.spark
         old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -133,7 +140,8 @@ class PreAggManager:
         self.register_one(model, pa)
 
 
-def rollup_select_sql(model: Model, pa: PreAggregation, extra_where: str | None = None) -> str:
+def rollup_select_sql(model: Model, pa: PreAggregation, extra_where: str | None = None,
+                      source_override: str | None = None) -> str:
     """Module-level rollup SELECT builder (also used by the router's
     lambda union-with-fresh branch, which has no manager instance)."""
     if pa.type == "original_sql":
@@ -212,7 +220,9 @@ def rollup_select_sql(model: Model, pa: PreAggregation, extra_where: str | None 
                 f"measure {mname!r} ({agg}) has no partial-aggregate decomposition"
             )
     cols.append("COUNT(*) AS __row_count")
-    source = model.table or (f"({model.sql})" if model.sql else None)
+    source = source_override or model.table or (
+        f"({model.sql})" if model.sql else None
+    )
     if source is None and model.source_uri:
         # file-backed models are registered as temp views under their
         # own name (layer.register_sources)

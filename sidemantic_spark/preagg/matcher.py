@@ -180,11 +180,35 @@ def _try_match(
     # unfiltered rollup dims that the query doesn't group by are fine —
     # re-aggregation collapses them; but query filters must hit stored
     # dims
-    for fname in filter_dims:
+    for entry in filter_dims:
+        # entries are (name, grain, aligned_grains) from the router, or
+        # a plain name from legacy callers
+        if isinstance(entry, tuple):
+            fname, fgrain, aligned = entry
+        else:
+            fname, fgrain, aligned = entry, None, None
         fdim = model.dimension(fname)
         if fdim is not None and fdim.type == "time":
             if pa.time_dimension != fname:
                 why(f"time filter on {fname!r} not coverable by rollup")
+                return None
+            # the rollup stores the TRUNCATED time column: a filter at
+            # a finer grain than the rollup (or a bare comparison whose
+            # literal straddles a rollup bucket) would silently change
+            # results — e.g. `>= '2024-01-15'` against month buckets
+            # drops all of January instead of keeping Jan 15-31
+            if fgrain is not None:
+                if not grain_derivable(pa.granularity, fgrain):
+                    why(
+                        f"time filter grain {fgrain!r} finer than rollup "
+                        f"granularity {pa.granularity!r}"
+                    )
+                    return None
+            elif aligned is not None and pa.granularity not in aligned:
+                why(
+                    f"bare time filter literal not aligned to rollup "
+                    f"granularity {pa.granularity!r}"
+                )
                 return None
             continue
         if fname not in pa.dimensions and fname != pa.time_dimension:

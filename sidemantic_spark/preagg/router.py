@@ -13,9 +13,50 @@ from __future__ import annotations
 
 import re
 
+import datetime as _dt
+
 from sidemantic_spark.core.model import Metric
 from sidemantic_spark.preagg.matcher import PreAggMatch, match_preagg
 from sidemantic_spark.sql.fragments import find_refs, replace_refs, split_conjuncts
+
+_TIME_LIT_RE = re.compile(
+    r"(>=|<=|<|>|=)\s*(?:TIMESTAMP|DATE)?\s*'([^']+)'", re.IGNORECASE
+)
+
+
+def _aligned_grains(conj: str) -> set[str]:
+    """Grains whose truncation leaves the compared literal unchanged —
+    the condition under which a range comparison against a TRUNCATED
+    column is exact.  Equality comparisons never qualify (a truncated
+    column matches the whole bucket, not the instant)."""
+    m = _TIME_LIT_RE.search(conj)
+    if not m:
+        return set()
+    op, lit = m.group(1), m.group(2)
+    if op == "=":
+        return set()
+    try:
+        dt = _dt.datetime.fromisoformat(lit.replace(" ", "T"))
+    except ValueError:
+        return set()
+    out: set[str] = set()
+    if dt.microsecond == 0:
+        out.add("second")
+        if dt.second == 0:
+            out.add("minute")
+            if dt.minute == 0:
+                out.add("hour")
+                if dt.hour == 0:
+                    out.add("day")
+                    if dt.weekday() == 0:
+                        out.add("week")
+                    if dt.day == 1:
+                        out.add("month")
+                        if dt.month in (1, 4, 7, 10):
+                            out.add("quarter")
+                        if dt.month == 1:
+                            out.add("year")
+    return out
 
 
 def try_route(gen, r) -> str | None:
@@ -33,14 +74,29 @@ def try_route(gen, r) -> str | None:
         return None
 
     dims = [(rd.name, rd.grain) for rd in r.dims]
-    filter_dims: list[str] = []
+    filter_dims: list = []
     known = set(gen.graph.models)
     for f in r.spec.filters:
-        for m, fld, _g in find_refs(f, known):
-            if m == r.base and model.metric(fld) is None:
-                filter_dims.append(fld)
-            elif m != r.base:
-                return None
+        for conj in split_conjuncts(f):
+            refs = find_refs(conj, known)
+            time_count = sum(
+                1 for m, fld, _g in refs
+                if m == r.base
+                and (d := model.dimension(fld)) is not None
+                and d.type == "time"
+            )
+            if time_count > 1:
+                return None  # unanalyzable multi-time-comparison conjunct
+            for m, fld, g in refs:
+                if m != r.base:
+                    return None
+                if model.metric(fld) is not None:
+                    continue
+                d = model.dimension(fld)
+                if d is not None and d.type == "time":
+                    filter_dims.append((fld, g, _aligned_grains(conj)))
+                else:
+                    filter_dims.append((fld, None, None))
     match = match_preagg(model, comp_names, dims, filter_dims)
     if match is None:
         return None
@@ -122,7 +178,21 @@ def _try_join_route(gen, r) -> str | None:
                 metric_filters.append(conj)
             elif ref_models <= {fact_name}:
                 local_filters.append(conj)
-                local_filter_dims.extend(fld for _m, fld, _g in refs)
+                time_count = sum(
+                    1 for _m, fld, _g in refs
+                    if (d := fact.dimension(fld)) is not None
+                    and d.type == "time"
+                )
+                if time_count > 1:
+                    return None
+                for _m, fld, g in refs:
+                    d = fact.dimension(fld)
+                    if d is not None and d.type == "time":
+                        local_filter_dims.append(
+                            (fld, g, _aligned_grains(conj))
+                        )
+                    else:
+                        local_filter_dims.append((fld, None, None))
             elif ref_models <= {remote_name}:
                 remote_filters.append(conj)
             else:
@@ -236,7 +306,14 @@ def _build_join_sql(
         f"WITH {remote_cte} AS (\n    {remote_sql}\n),\n"
         f"{rollup_cte} AS (\n    {rollup_sql}\n)\n"
         "SELECT\n    " + ",\n    ".join(select) + "\n"
-        f"FROM {remote_cte}\nLEFT JOIN {rollup_cte} ON {on}"
+        # FACT side preserved (rollup LEFT JOIN dim) to match the
+        # unrouted plan's row shape: dim values with zero fact rows
+        # must not appear just because a rollup exists.  A filtered
+        # dim side flips to INNER, mirroring the generator's
+        # filtered-model rule (generator.py:745)
+        f"FROM {rollup_cte}\n"
+        + ("JOIN" if remote_where else "LEFT JOIN")
+        + f" {remote_cte} ON {on}"
     )
     if group:
         sql += "\nGROUP BY " + ", ".join(group)
@@ -319,6 +396,13 @@ def _build_sql(gen, r, match: PreAggMatch) -> str:
         texpr = tdim.expr if tdim else pa.time_dimension
         grain = pa.lambda_boundary_grain or pa.granularity
         boundary = pa.lambda_boundary_sql or f"DATE_TRUNC('{grain}', CURRENT_TIMESTAMP)"
+        # both sides must split at a ROLLUP-granularity bucket edge: a
+        # finer boundary (e.g. day against month buckets) would keep a
+        # history bucket that already contains part of the fresh window
+        # (double count) or drop the gap between materialization time
+        # and the boundary.  Truncating the boundary to the rollup
+        # granularity recomputes the whole current bucket fresh.
+        boundary = f"DATE_TRUNC('{pa.granularity}', {boundary})"
         tcol = f"{pa.time_dimension}__{pa.granularity}"
         fresh = rollup_select_sql(model, pa, extra_where=f"{texpr} >= {boundary}")
         physical = (

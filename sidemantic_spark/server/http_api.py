@@ -27,6 +27,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 MAX_BODY_BYTES = 10 * 1024 * 1024  # reference body-size middleware (api_server.py:125)
+MAX_RESULT_ROWS = 10_000  # driver-side collect cap for JSON/Arrow responses
 
 
 class SemanticHttpServer:
@@ -84,16 +85,34 @@ class SemanticHttpServer:
             }
         return {"models": out, "graph_metrics": sorted(self.layer.graph.metrics)}
 
+    def _effective_user(self, header_user: dict | None, body: dict) -> dict | None:
+        """Trusted-header user always wins. The body user is CLIENT-
+        chosen, so it is honored only while NO security control is
+        active (pure convenience for unsecured layers) — otherwise an
+        attacker could pick their own row scope by omitting the header
+        and supplying body attributes."""
+        if header_user is not None:
+            return header_user
+        from sidemantic_spark.core.transport_security import controls_are_active
+
+        if controls_are_active(self.layer):
+            return None
+        return body.get("user")
+
     def handle_query(self, body: dict, user: dict | None = None):
+        limit = body.get("limit")
+        if limit is None or int(limit) > MAX_RESULT_ROWS:
+            # collect()-to-JSON responses must stay driver-safe
+            limit = MAX_RESULT_ROWS
         return self.layer.query(
             metrics=body.get("metrics") or [],
             dimensions=body.get("dimensions") or [],
             filters=body.get("filters") or [],
             order_by=body.get("order_by") or [],
-            limit=body.get("limit"),
+            limit=limit,
             ungrouped=bool(body.get("ungrouped")),
             parameters=body.get("parameters") or {},
-            user=user if user is not None else body.get("user"),
+            user=self._effective_user(user, body),
         )
 
     def handle_compile(self, body: dict, user: dict | None = None) -> str:
@@ -104,7 +123,7 @@ class SemanticHttpServer:
             order_by=body.get("order_by") or [],
             limit=body.get("limit"),
             parameters=body.get("parameters") or {},
-            user=user if user is not None else body.get("user"),
+            user=self._effective_user(user, body),
         )
 
 
@@ -211,7 +230,9 @@ def _make_handler(server: SemanticHttpServer):
                         ctype="application/vnd.apache.arrow.stream",
                     )
                 if self.path == "/sql":
-                    df = server.layer.sql(body.get("sql") or "", user=user)
+                    df = server.layer.sql(
+                        body.get("sql") or "", user=user
+                    ).limit(MAX_RESULT_ROWS)
                     return self._ok(json.dumps({"rows": _df_to_rows(df)}).encode())
                 if self.path == "/compile":
                     sql = server.handle_compile(body, user=user)

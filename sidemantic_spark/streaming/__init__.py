@@ -1,6 +1,7 @@
 from sidemantic_spark.streaming.stream_layer import (
+    StreamingError,
     StreamingModelBinding,
     StreamingSemanticLayer,
 )
 
-__all__ = ["StreamingModelBinding", "StreamingSemanticLayer"]
+__all__ = ["StreamingError", "StreamingModelBinding", "StreamingSemanticLayer"]

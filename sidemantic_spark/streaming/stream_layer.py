@@ -212,10 +212,18 @@ class StreamingSemanticLayer:
         base_path: str | None = None,
     ):
         """Continuously maintain a pre-aggregation from the model's
-        stream: every micro-batch re-aggregates its windows and
-        dynamic-partition-overwrites the affected partitions of the
-        same parquet layout the batch ``PreAggManager`` writes — the
-        router then serves queries from a stream-fresh rollup.
+        stream: every micro-batch re-aggregates at rollup grain,
+        merges the partials with what is already on disk (sum/count
+        add, min/max fold — which is why distinct-count measures are
+        refused), and dynamic-partition-overwrites only the touched
+        partitions of the same parquet layout the batch
+        ``PreAggManager`` writes — the router then serves queries from
+        a stream-fresh rollup.
+
+        Note on replay: foreachBatch is at-least-once; a replayed batch
+        would merge twice. For exactly-once bookkeeping, track
+        ``batch_id`` high-water marks alongside the rollup (standard
+        foreachBatch idempotency pattern).
         """
         from sidemantic_spark.preagg.manager import PreAggManager
 
@@ -226,23 +234,70 @@ class StreamingSemanticLayer:
         pa = next((p for p in model.pre_aggregations if p.name == preagg_name), None)
         if pa is None:
             raise StreamingError(f"unknown pre-aggregation {preagg_name!r}")
+        for mname in pa.measures:
+            magg = model.metric(mname).agg if model.metric(mname) else None
+            if magg in ("count_distinct", "approx_count_distinct"):
+                raise StreamingError(
+                    f"stream_rollup cannot maintain {mname!r} ({magg}): "
+                    "exact distinct partials do not merge across "
+                    "micro-batches; use a batch refresh for that rollup"
+                )
         mgr = PreAggManager(self.layer, **({"base_path": base_path} if base_path else {}))
         path = mgr.path_for(model, pa)
-        rollup_sql = mgr.rollup_sql(model, pa)
+        # the batch SQL reads from the micro-batch temp view via
+        # source_override — string-replacing the table name would mangle
+        # same-substring column refs and silently miss sql-bound models
+        view = f"__stream_batch_{model_name}_{preagg_name}"
+        batch_rollup_sql = mgr.rollup_sql(model, pa, source_override=view)
+        group_cols = list(pa.dimensions)
+        if pa.time_dimension:
+            group_cols.append(f"{pa.time_dimension}__{pa.granularity}")
+        if pa.partition_granularity:
+            group_cols.append("__part")
+
+        def _merge_exprs(columns: list[str]) -> list:
+            out = []
+            for c in columns:
+                if c in group_cols:
+                    continue
+                if c.endswith("__min"):
+                    out.append(F.min(c).alias(c))
+                elif c.endswith("__max"):
+                    out.append(F.max(c).alias(c))
+                else:  # __sum / __count / __row_count: additive
+                    out.append(F.sum(c).alias(c))
+            return out
 
         src = self._source(binding).withWatermark(binding.time_column, watermark)
 
         def _refresh(batch_df: DataFrame, batch_id: int) -> None:
-            # re-aggregate THE BATCH at rollup grain, then overwrite only
-            # the partitions it touches (idempotent on replay). The temp
-            # view lives on the micro-batch's session clone, so the SQL
-            # must run there too.
-            view = f"__stream_batch_{model_name}_{preagg_name}"
+            # re-aggregate THE BATCH at rollup grain, MERGE with the
+            # partials already on disk (a batch-only overwrite would
+            # drop earlier batches' contributions to the same
+            # partition), then overwrite the touched partitions.
+            sess = batch_df.sparkSession
             batch_df.createOrReplaceTempView(view)
-            agg = batch_df.sparkSession.sql(
-                rollup_sql.replace(model.table or model_name, view, 1)
-            )
-            writer = agg.write.mode("overwrite").option(
+            merged = sess.sql(batch_rollup_sql)
+            try:
+                existing = sess.read.parquet(path)
+            except Exception:
+                existing = None
+            if existing is not None:
+                if pa.partition_granularity:
+                    touched = [
+                        r[0]
+                        for r in merged.select("__part").distinct().collect()
+                    ]
+                    existing = existing.where(F.col("__part").isin(touched))
+                merged = (
+                    existing.unionByName(merged)
+                    .groupBy(*group_cols)
+                    .agg(*_merge_exprs(merged.columns))
+                )
+            # materialize BEFORE the write: the merge reads the same
+            # parquet path the write overwrites
+            merged = merged.localCheckpoint(eager=True)
+            writer = merged.write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             )
             if pa.partition_granularity:
@@ -338,9 +393,15 @@ class StreamingSemanticLayer:
         The join's time-range predicate plus both-side watermarks bound
         the state store to the watermark horizon (Spark drops base rows
         once no in-window conversion can still arrive), so state stays
-        O(events per window), not O(stream history). Returns one append
-        row per base event: (entity, base_ts, conv_ts, converted);
-        unconverted rows emit when their watermark expires.
+        O(events per window), not O(stream history). Emits append rows
+        (entity, base_ts, conv_ts, converted): one row per MATCHING
+        (base, conversion) pair as matches arrive — an entity that
+        converts twice inside the window emits two converted rows, so
+        conversion RATES must count DISTINCT (entity, base_ts) —
+        plus one unconverted row per base event whose window expires
+        with no match. Collapsing to first-conversion-only would need
+        a second stateful dedup operator downstream; this operator
+        keeps the raw pair stream so both semantics stay derivable.
 
         ``base_event``/``conversion_event`` are filter SQL over the
         source columns (e.g. "event_type = 'signup'").
@@ -402,8 +463,12 @@ class StreamingSemanticLayer:
         if binding is None:
             raise StreamingError(f"model {model_name!r} has no stream binding")
         df = self._source(binding).withWatermark(binding.time_column, watermark)
+        # entity keeps its SOURCE type (a hardcoded LONG kills the query
+        # at Arrow conversion for string keys)
+        entity_type = df.schema[entity].dataType.simpleString()
         out_schema = (
-            f"{entity} LONG, running_count LONG, running_sum DOUBLE, running_max DOUBLE"
+            f"{entity} {entity_type}, running_count LONG, "
+            "running_sum DOUBLE, running_max DOUBLE"
         )
         state_schema = "count LONG, sum DOUBLE, max DOUBLE"
 

@@ -217,3 +217,63 @@ def test_concurrent_requests_scope_by_own_user(secured_server):
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
         for status, got in ex.map(fetch, jobs):
             assert got == {status}, (status, got)
+
+
+def test_body_user_ignored_when_security_active(secured_server):
+    """Without the trusted header, a client-supplied body user must NOT
+    scope rows on a secured layer — it would let the caller choose
+    their own tenant. The compile falls back to user=None, which
+    fail-closes through StrictUndefined row templates."""
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _req_hdr(
+            secured_server, "/query",
+            {
+                "metrics": ["orders.order_count"],
+                "user": {"allowed_status": "O"},
+            },
+        )
+    # require_user_attrs server: missing header is rejected outright
+    assert exc.value.code == 400
+
+
+def test_body_user_cannot_self_scope_without_require_flag(spark, sf_dir):
+    """Even WITHOUT --require-user-attrs, a secured layer must ignore
+    the body user: the query fails closed (row template renders over an
+    empty namespace) instead of scoping by attacker-chosen attributes."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.core.security import SecurityPolicy
+    from sidemantic_spark.models.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="orders", table="orders", primary_key="o_orderkey",
+        dimensions=[Dimension(name="status", sql="o_orderstatus")],
+        metrics=[Metric(name="order_count", agg="count")],
+        security=SecurityPolicy(
+            access="True",
+            row_filters=["o_orderstatus = '{{ user.allowed_status }}'"],
+        ),
+    ))
+    srv = SemanticHttpServer(layer, token="sekrit").start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _req_hdr(
+                srv, "/query",
+                {
+                    "metrics": ["orders.order_count"],
+                    "user": {"allowed_status": "O"},
+                },
+            )
+        assert exc.value.code == 400  # row template fails over empty user
+        # the trusted header still works
+        out = _req_hdr(
+            srv, "/query",
+            {"metrics": ["orders.order_count"],
+             "dimensions": ["orders.status"]},
+            user_header=json.dumps({"allowed_status": "F"}),
+        )
+        assert {r["status"] for r in out["rows"]} == {"F"}
+    finally:
+        srv.stop()

@@ -589,3 +589,57 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     hk = hot_keys(spark.table("lineitem"), "l_orderkey", min_count=5)
     assert hk.columns == ["l_orderkey", "__cnt"]
     assert hk.where("__cnt <= 5").count() == 0
+
+
+def test_time_filter_finer_than_rollup_grain_not_routed(spark, sf_dir, tmp_path):
+    """A month-grain rollup must NOT serve a filter at day precision:
+    the stored column is truncated, so `>= '1997-06-15'` against month
+    buckets would drop all of June instead of keeping Jun 15-30.
+    Aligned literals and coarser/equal filter grains still route, and
+    routed results match the base table."""
+    layer = build_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [
+        PreAggregation(
+            name="monthly",
+            measures=["revenue"],
+            dimensions=["status"],
+            time_dimension="order_date",
+            granularity="month",
+        )
+    ]
+    layer.preaggs.base_path = str(tmp_path / "preagg_grain")
+    layer.preaggs.materialize("orders")
+
+    # mid-month literal: must fall back to the base table
+    kw = dict(
+        metrics=["orders.revenue"],
+        filters=["orders.order_date >= TIMESTAMP '1997-06-15'"],
+    )
+    assert "used_preagg" not in layer.compile(**kw)
+    # explicit finer grain: must fall back
+    assert "used_preagg" not in layer.compile(
+        metrics=["orders.revenue"],
+        filters=["orders.order_date__day >= TIMESTAMP '1997-06-15'"],
+    )
+    # equality on the raw column: bucket-match vs instant -> fall back
+    assert "used_preagg" not in layer.compile(
+        metrics=["orders.revenue"],
+        filters=["orders.order_date = TIMESTAMP '1997-06-01'"],
+    )
+    # month-aligned literal routes, and matches the base table
+    kw2 = dict(
+        metrics=["orders.revenue"],
+        filters=["orders.order_date >= TIMESTAMP '1997-06-01'"],
+    )
+    assert "used_preagg" in layer.compile(**kw2)
+    routed = layer.query(**kw2).collect()[0][0]
+    layer.generator.use_preaggs = False
+    raw = layer.query(**kw2).collect()[0][0]
+    layer.generator.use_preaggs = True
+    assert routed == raw
+    # coarser explicit grain (year) routes too
+    assert "used_preagg" in layer.compile(
+        metrics=["orders.revenue"],
+        filters=["orders.order_date__year >= TIMESTAMP '1997-01-01'"],
+    )

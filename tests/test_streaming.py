@@ -141,9 +141,52 @@ def test_stream_rollup_feeds_router(spark, stream_setup, tmp_path):
                 for r in layer.query(metrics=["sevents.event_count"],
                                      dimensions=["sevents.event_type"]).collect()}
         assert rows == {("view", 4), ("purchase", 2)}
+
+        # late-arriving micro-batch touching the SAME groups must MERGE
+        # with the partials on disk, not overwrite them (regression:
+        # per-batch overwrite dropped earlier batches' contributions)
+        src_dir = stream_setup.bindings["sevents"].source_path
+        spark.sql("""
+            SELECT event_id, ts, user_id, event_type, CAST(value AS DOUBLE) AS value
+            FROM VALUES
+                (7L, TIMESTAMP '2026-01-01 10:30:00', 3L, 'view', 1.0),
+                (8L, TIMESTAMP '2026-01-01 13:30:00', 3L, 'purchase', 5.0)
+                AS t(event_id, ts, user_id, event_type, value)
+        """).write.mode("append").parquet(src_dir)
+        q2 = stream_setup.stream_rollup(
+            "sevents", "hourly",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            watermark="0 seconds",
+            base_path=str(tmp_path / "rollups"),
+        )
+        q2.awaitTermination()
+        rows = {(r["event_type"], r["event_count"])
+                for r in layer.query(metrics=["sevents.event_count"],
+                                     dimensions=["sevents.event_type"]).collect()}
+        assert rows == {("view", 5), ("purchase", 3)}
+
+        # distinct-count partials do not merge across micro-batches
+        from sidemantic_spark.core.model import Metric
+        from sidemantic_spark.streaming import StreamingError as _SE
+
+        if model.metric("uniq_users") is None:
+            model.add_metric(Metric(name="uniq_users", agg="count_distinct",
+                                    sql="user_id"))
+        model.pre_aggregations.append(PreAggregation(
+            name="cd_hourly", measures=["uniq_users"],
+            dimensions=["event_type"], time_dimension="ts",
+            granularity="hour",
+        ))
+        layer.graph._invalidate()
+        with pytest.raises(_SE, match="count_distinct"):
+            stream_setup.stream_rollup(
+                "sevents", "cd_hourly",
+                checkpoint_dir=str(tmp_path / "ckpt_cd"),
+                base_path=str(tmp_path / "rollups"),
+            )
     finally:
         model.pre_aggregations = [p for p in model.pre_aggregations
-                                  if p.name != "hourly"]
+                                  if p.name not in ("hourly", "cd_hourly")]
         layer.graph._invalidate()
 
 
