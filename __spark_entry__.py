@@ -44,20 +44,9 @@ def _layer(spark: SparkSession, sf_dir: str):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary by returnflag/linestatus (TPC-H Q1
-    shape) compiled by the semantic layer."""
-    layer = _layer(spark, "/root/testdata/sf0.001")
-    return layer.query(
-        metrics=[
-            "lineitem.qty",
-            "lineitem.gross_revenue",
-            "lineitem.disc_revenue",
-            "lineitem.avg_qty",
-            "lineitem.line_count",
-        ],
-        dimensions=["lineitem.returnflag", "lineitem.linestatus"],
-        filters=["lineitem.ship_date <= TIMESTAMP '1998-09-02'"],
-        order_by=["returnflag", "linestatus"],
-    )
+    shape) compiled by the semantic layer. Delegates to the same
+    callable the bench times, so the two can never drift."""
+    return _tpch_q1(spark, "/root/testdata/sf0.001")
 
 
 # ----------------------------------------------------------------------
@@ -908,7 +897,9 @@ def _events_stream(spark, sf_dir):
     )
     for c in nanos_cols:
         stream = stream.withColumn(
-            c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+            # integer division: a double roundtrip has 256ns ulp at 2024
+                # epochs and truncates ~1.6% of aligned values 1us low
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
         )
     # watermarks require TIMESTAMP (LTZ); the file stores NTZ micros.
     # The cast reinterprets in session time (UTC), keeping wall-clock

@@ -40,9 +40,12 @@ HEADLINE = [
 
 
 def main() -> None:
+    import re as _re
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    sf_m = _re.search(r"sf([\d.]+)/*$", sf_dir)
+    sf = sf_m.group(1) if sf_m else "0"
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")

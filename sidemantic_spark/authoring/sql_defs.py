@@ -128,7 +128,23 @@ def parse_statements(text: str, into_model: Model | None = None, layer=None) -> 
 # ---------------------------------------------------------------------
 
 def _strip_comments(text: str) -> str:
-    return re.sub(r"--[^\n]*", "", text)
+    # quote-aware: a '--' inside a string literal is data, not a comment
+    out = []
+    i, n = 0, len(text)
+    in_quote = False
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            in_quote = not in_quote
+            out.append(ch)
+            i += 1
+        elif not in_quote and ch == "-" and text[i:i + 2] == "--":
+            while i < n and text[i] != "\n":
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def _split_frontmatter(text: str) -> tuple[str | None, str]:

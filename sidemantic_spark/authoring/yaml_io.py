@@ -50,6 +50,7 @@ _MODEL_KEYS = {
     "default_time_dimension", "default_grain", "description", "label",
     "sql_metrics", "sql_segments", "sql_dimensions", "pre_aggregations",
     "extends", "auto_dimensions", "row_filters", "security", "version",
+    "source_options",
     "owner", "domain", "tier", "deprecation", "freshness", "meta",
 }
 _FRESHNESS_KEYS = {"watermark", "sql", "ttl_seconds"}
@@ -225,18 +226,26 @@ def load_yaml(layer, text: str, *, source: str = "<yaml>") -> None:
         layer.graph.add_saved_query(sq)
 
 
-def _resolve_model_extends(md: dict, by_name: dict, errors: list) -> dict:
+def _resolve_model_extends(md: dict, by_name: dict, errors: list,
+                           _seen: tuple = ()) -> dict:
     """Model inheritance (reference ``core/inheritance.py:11``): child
     scalar fields win; list fields append parent entries the child
     doesn't redefine."""
     parent_name = md.get("extends")
     if not parent_name:
         return md
+    name = md.get("name", "?")
+    if name in _seen:
+        errors.append(
+            f"model {name!r}: extends cycle "
+            f"{' -> '.join((*_seen, name))}"
+        )
+        return md
     parent = by_name.get(parent_name)
     if parent is None:
         errors.append(f"model {md.get('name', '?')!r}: extends unknown model {parent_name!r}")
         return md
-    parent = _resolve_model_extends(parent, by_name, errors)
+    parent = _resolve_model_extends(parent, by_name, errors, _seen + (name,))
     merged = dict(parent)
     merged.pop("extends", None)
     for k, v in md.items():
@@ -399,6 +408,7 @@ def _build_model(md: dict, errors: list) -> Model | None:
         sql=md.get("sql"),
         source_uri=md.get("source_uri"),
         source_format=md.get("source_format", "parquet"),
+        source_options=dict(md.get("source_options") or {}),
         primary_key=md.get("primary_key_columns") or md.get("primary_key", "id"),
         dimensions=dims,
         metrics=metrics,
@@ -691,6 +701,16 @@ def export_yaml(graph) -> str:
         if model.freshness is not None:
             md["freshness"] = {k: v for k, v in vars(model.freshness).items()
                                if v is not None}
+        if getattr(model, "security", None) is not None:
+            sec = {k: v for k, v in vars(model.security).items() if v}
+            if sec:
+                md["security"] = sec
+        if getattr(model, "row_filters", None):
+            md["row_filters"] = list(model.row_filters)
+        if model.source_uri is not None and model.source_format != "parquet":
+            md["source_format"] = model.source_format
+        if getattr(model, "source_options", None):
+            md["source_options"] = dict(model.source_options)
         md["primary_key"] = model.primary_key
         if model.dimensions:
             md["dimensions"] = [_dim_to_yaml(d) for d in model.dimensions]

@@ -98,7 +98,12 @@ def create_chart(
     area, scatter, point}."""
     if chart_type not in ("auto", "bar", "line", "area", "scatter", "point"):
         raise ChartError(f"unknown chart_type {chart_type!r}")
-    auto_x, auto_ys = _auto_detect(data)
+    if x is None or y is None:
+        # only consult auto-detection for the axes the caller omitted —
+        # explicit x/y must work even when detection finds nothing
+        auto_x, auto_ys = _auto_detect(data)
+    else:
+        auto_x, auto_ys = None, None
     x = x or auto_x
     ys = [y] if isinstance(y, str) else (y or auto_ys)
     if not ys:

@@ -240,12 +240,29 @@ def cmd_preagg_recommend(args) -> int:
     if not recs:
         print("no recommendations")
         return 0
+    applied = []
     for r in recs:
         print(f"{r.model}: measures={r.measures} dimensions={r.dimensions} "
               f"granularity={r.granularity} score={r.benefit_score:.1f}")
         if args.apply:
             pa = rec.apply(r)
+            applied.append((r.model, pa))
             print(f"  applied as {pa.name}")
+    if applied:
+        # the in-memory graph dies with this process: emit the YAML the
+        # user must add to the model definitions (plus the materialize
+        # command) so --apply is actionable, not a silent no-op
+        import yaml as _yaml
+
+        print("\n# add to your model definitions to persist:")
+        for model_name, pa in applied:
+            spec = {k: v for k, v in vars(pa).items() if v}
+            print(_yaml.safe_dump(
+                {model_name: {"pre_aggregations": [spec]}},
+                sort_keys=False,
+            ).rstrip())
+            print(f"# then: sidemantic-spark preagg apply {model_name} "
+                  f"--name {pa.name}")
     return 0
 
 

@@ -49,7 +49,9 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
         df = spark.read.parquet(path)
         for c in nanos_cols:
             df = df.withColumn(
-                c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+                # integer division: a double roundtrip has 256ns ulp at 2024
+                # epochs and truncates ~1.6% of aligned values 1us low
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
         df.createOrReplaceTempView(t)
 

@@ -61,6 +61,7 @@ def _run_case(layer, case: dict) -> TestResult:
     try:
         q = dict(case.get("query") or {})
         df = layer.query(**q)
+        columns = list(df.columns)
         rows = [r.asDict() for r in df.collect()]
     except Exception as exc:
         if expect.get("error_contains"):
@@ -75,9 +76,10 @@ def _run_case(layer, case: dict) -> TestResult:
     if "row_count" in expect and len(rows) != expect["row_count"]:
         failures.append(f"row_count {len(rows)} != {expect['row_count']}")
     if "columns" in expect:
-        got_cols = list(rows[0].keys()) if rows else []
-        if sorted(got_cols) != sorted(expect["columns"]):
-            failures.append(f"columns {got_cols} != {expect['columns']}")
+        # schema columns, not the first row's keys: a correct
+        # zero-row result must still pass the columns check
+        if sorted(columns) != sorted(expect["columns"]):
+            failures.append(f"columns {columns} != {expect['columns']}")
     if "value" in expect:
         if not rows or len(rows[0]) == 0:
             failures.append("no value returned")
