@@ -175,10 +175,15 @@ def lsh_bucket_topk(
       recall lever when multi-probe plateaus (flips beyond pairs chase
       exponentially many buckets for linearly more recall).
 
-    The bucket filter is an IN-list per table (OR across tables), so at
-    scale — index rows replicated per table and partitioned by
-    (table, bucket), exactly the near-dup banding layout — a query
-    reads ``tables x probes`` bucket partitions instead of the corpus.
+    Execution shape: the candidate filter is an Arrow ``pandas_udf``
+    (one numpy matmul signs every table's hyperplanes at once), so this
+    form SCANS the whole corpus and evaluates the filter vectorized —
+    it saves the per-candidate exact-cosine work, not scan IO.  For a
+    scan-pruning index at scale, materialize per-table bucket-id
+    columns once (cheap JVM bit-packing at write time) and partition
+    the index by (table, bucket); then the same probe sets become
+    partition-pruning IN-list predicates and a query reads
+    ``tables x probes`` bucket partitions instead of the corpus.
     probes=1, tables=1 is the classic single-bucket probe.
     """
     dim = len(query_vec)

@@ -27,13 +27,18 @@ _TIME_LIT_RE = re.compile(
 def _aligned_grains(conj: str) -> set[str]:
     """Grains whose truncation leaves the compared literal unchanged —
     the condition under which a range comparison against a TRUNCATED
-    column is exact.  Equality comparisons never qualify (a truncated
-    column matches the whole bucket, not the instant)."""
+    column is exact.  Only ``>=`` and ``<`` qualify: for an aligned
+    literal B, ``ts >= B`` ≡ ``trunc(ts) >= B`` and ``ts < B`` ≡
+    ``trunc(ts) < B``, but ``ts <= B`` against truncated buckets keeps
+    the ENTIRE bucket starting at B (ts in (B, B+grain) leaks in) and
+    ``ts > B`` symmetrically drops that partial bucket.  Equality never
+    qualifies (a truncated column matches the whole bucket, not the
+    instant)."""
     m = _TIME_LIT_RE.search(conj)
     if not m:
         return set()
     op, lit = m.group(1), m.group(2)
-    if op == "=":
+    if op not in (">=", "<"):
         return set()
     try:
         dt = _dt.datetime.fromisoformat(lit.replace(" ", "T"))
@@ -106,12 +111,18 @@ def try_route(gen, r) -> str | None:
 def _component_names(gen, r) -> list[str] | None:
     """Expand ratio/derived metrics into their simple components; any
     metric-level filter or windowed/special metric disqualifies routing
-    (partials are pre-filter)."""
+    (partials are pre-filter).  Derived metrics containing ``all(...)``
+    window totals are likewise refused: ``all`` is a SQL keyword so
+    ``_metric_reagg_sql`` would leave the call un-substituted and emit
+    invalid ``all((SUM(x__sum)))`` SQL (mirrors the symmetric-agg and
+    dedup guards)."""
     comp_names: list[str] = []
     for rm in r.metrics:
         if rm.metric.type in ("cumulative", "time_comparison", "conversion", "retention", "cohort"):
             return None
         if rm.metric.non_additive_dimension:
+            return None
+        if _has_window_total(gen, rm.model, rm.metric):
             return None
         for _out, comp in gen._expand_components(rm):
             if comp.filters:
@@ -119,6 +130,31 @@ def _component_names(gen, r) -> list[str] | None:
             if comp.name not in comp_names:
                 comp_names.append(comp.name)
     return comp_names
+
+
+def _has_window_total(gen, model_name: str, metric: Metric, depth: int = 0) -> bool:
+    """True when ``metric`` (or any ratio leg / derived child) uses the
+    BSL ``all(...)`` window-total form, which is not re-aggregable from
+    rollup partials."""
+    from sidemantic_spark.sql.generator import _ALL_RE, _identifiers, _qualify
+
+    if depth > 10:
+        return True  # cycle: refuse routing, the generator will report
+    if _ALL_RE.search(metric.expr or "") or _ALL_RE.search(metric.sql or ""):
+        return True
+    children: list[str] = []
+    if metric.type == "ratio":
+        children = [leg for leg in (metric.numerator, metric.denominator) if leg]
+    elif metric.type == "derived":
+        children = list(_identifiers(metric.expr or ""))
+    for name in children:
+        try:
+            _, child = gen._lookup_metric(_qualify(name, model_name))
+        except Exception:
+            continue
+        if _has_window_total(gen, model_name, child, depth + 1):
+            return True
+    return False
 
 
 def _try_join_route(gen, r) -> str | None:

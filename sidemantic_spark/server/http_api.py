@@ -100,10 +100,16 @@ class SemanticHttpServer:
         return body.get("user")
 
     def handle_query(self, body: dict, user: dict | None = None):
+        """Returns ``(df, cap)``.  ``cap`` is the server-imposed row cap
+        (MAX_RESULT_ROWS) when the client's limit was absent or above
+        it, else None; the query then fetches cap+1 rows so the handler
+        can report truncation exactly instead of clamping silently."""
         limit = body.get("limit")
+        cap = None
         if limit is None or int(limit) > MAX_RESULT_ROWS:
             # collect()-to-JSON responses must stay driver-safe
-            limit = MAX_RESULT_ROWS
+            cap = MAX_RESULT_ROWS
+            limit = cap + 1
         return self.layer.query(
             metrics=body.get("metrics") or [],
             dimensions=body.get("dimensions") or [],
@@ -113,7 +119,7 @@ class SemanticHttpServer:
             ungrouped=bool(body.get("ungrouped")),
             parameters=body.get("parameters") or {},
             user=self._effective_user(user, body),
-        )
+        ), cap
 
     def handle_compile(self, body: dict, user: dict | None = None) -> str:
         return self.layer.compile(
@@ -146,16 +152,19 @@ def _json_val(v):
     return v
 
 
-def _df_to_arrow_bytes(df) -> bytes:
+def _df_to_arrow_bytes(df, cap: int | None = None) -> tuple[bytes, bool]:
     import io
 
     import pyarrow as pa
 
     table = df.toArrow()
+    truncated = cap is not None and table.num_rows > cap
+    if truncated:
+        table = table.slice(0, cap)
     sink = io.BytesIO()
     with pa.ipc.new_stream(sink, table.schema) as writer:
         writer.write_table(table)
-    return sink.getvalue()
+    return sink.getvalue(), truncated
 
 
 def _make_handler(server: SemanticHttpServer):
@@ -171,10 +180,17 @@ def _make_handler(server: SemanticHttpServer):
             self.end_headers()
             self.wfile.write(payload)
 
-        def _ok(self, payload: bytes, ctype: str = "application/json") -> None:
+        def _ok(
+            self,
+            payload: bytes,
+            ctype: str = "application/json",
+            extra_headers: dict | None = None,
+        ) -> None:
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(payload)))
+            for k, v in (extra_headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(payload)
 
@@ -221,19 +237,33 @@ def _make_handler(server: SemanticHttpServer):
                 return self._deny(400, "user-attributes header required")
             try:
                 if self.path == "/query":
-                    df = server.handle_query(body, user=user)
-                    return self._ok(json.dumps({"rows": _df_to_rows(df)}).encode())
-                if self.path == "/query.arrow":
-                    df = server.handle_query(body, user=user)
+                    df, cap = server.handle_query(body, user=user)
+                    rows = _df_to_rows(df)
+                    truncated = cap is not None and len(rows) > cap
+                    if truncated:
+                        rows = rows[:cap]
                     return self._ok(
-                        _df_to_arrow_bytes(df),
+                        json.dumps({"rows": rows, "truncated": truncated}).encode()
+                    )
+                if self.path == "/query.arrow":
+                    df, cap = server.handle_query(body, user=user)
+                    payload, truncated = _df_to_arrow_bytes(df, cap)
+                    return self._ok(
+                        payload,
                         ctype="application/vnd.apache.arrow.stream",
+                        extra_headers={"X-Truncated": str(truncated).lower()},
                     )
                 if self.path == "/sql":
                     df = server.layer.sql(
                         body.get("sql") or "", user=user
-                    ).limit(MAX_RESULT_ROWS)
-                    return self._ok(json.dumps({"rows": _df_to_rows(df)}).encode())
+                    ).limit(MAX_RESULT_ROWS + 1)
+                    rows = _df_to_rows(df)
+                    truncated = len(rows) > MAX_RESULT_ROWS
+                    if truncated:
+                        rows = rows[:MAX_RESULT_ROWS]
+                    return self._ok(
+                        json.dumps({"rows": rows, "truncated": truncated}).encode()
+                    )
                 if self.path == "/compile":
                     sql = server.handle_compile(body, user=user)
                     return self._ok(json.dumps({"sql": sql}).encode())

@@ -98,7 +98,12 @@ def split_conjuncts(sql: str) -> list[str]:
     upper = sql.upper()
     while i < len(sql):
         ch = sql[i]
-        if ch == "'" and not (in_quote and i + 1 < len(sql) and sql[i + 1] == "'"):
+        if ch == "'":
+            if in_quote and i + 1 < len(sql) and sql[i + 1] == "'":
+                # SQL '' escape: consume both so state stays in-quote
+                token.append("''")
+                i += 2
+                continue
             in_quote = not in_quote
         if not in_quote:
             if ch == "(":
@@ -129,7 +134,9 @@ def _toplevel_or(sql: str) -> bool:
     in_quote = False
     upper = sql.upper()
     for i, ch in enumerate(sql):
-        if ch == "'" and not (in_quote and i + 1 < len(sql) and sql[i + 1] == "'"):
+        if ch == "'":
+            # toggling on EVERY quote keeps state exact across the SQL
+            # '' escape (close+reopen with nothing between)
             in_quote = not in_quote
         if in_quote:
             continue

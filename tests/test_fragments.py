@@ -1,0 +1,40 @@
+"""SQL-fragment parser unit tests: quote-state tracking across the SQL
+``''`` escape (close+reopen), ref ``sql/fragment.py`` delegates this to
+sqlglot."""
+
+from __future__ import annotations
+
+from sidemantic_spark.sql.fragments import (
+    _toplevel_or,
+    find_refs,
+    split_conjuncts,
+)
+
+
+def test_doubled_quote_keeps_state_for_toplevel_or():
+    # 'a''b' is ONE literal (a'b); the OR after it IS top-level
+    assert _toplevel_or("x = 'a''b' OR y = 1")
+    # ... and an OR *inside* a literal containing '' is NOT
+    assert not _toplevel_or("x = 'a'' OR ''b' AND y = 1")
+
+
+def test_split_conjuncts_after_doubled_quote_literal():
+    assert split_conjuncts("x = 'it''s fine' AND y = 2") == [
+        "x = 'it''s fine'",
+        "y = 2",
+    ]
+    # AND inside the escaped literal must not split
+    assert split_conjuncts("x = 'it''s AND more' AND y = 2") == [
+        "x = 'it''s AND more'",
+        "y = 2",
+    ]
+
+
+def test_find_refs_ignores_refs_inside_escaped_literal():
+    refs = find_refs(
+        "orders.status = 'it''s orders.fake' AND orders.priority = 1",
+        {"orders"},
+    )
+    assert ("orders", "status", None) in refs
+    assert ("orders", "priority", None) in refs
+    assert not any(f == "fake" for _m, f, _g in refs)

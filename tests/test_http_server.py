@@ -277,3 +277,51 @@ def test_body_user_cannot_self_scope_without_require_flag(spark, sf_dir):
         assert {r["status"] for r in out["rows"]} == {"F"}
     finally:
         srv.stop()
+
+
+def test_truncation_indicator(server, monkeypatch):
+    """Server-capped results must say so instead of clamping silently
+    (the cap is shrunk here so a 3-group result overflows it)."""
+    import sidemantic_spark.server.http_api as http_api
+
+    monkeypatch.setattr(http_api, "MAX_RESULT_ROWS", 2)
+    out = _req(server, "/query", {
+        "metrics": ["orders.revenue"], "dimensions": ["orders.status"],
+        "order_by": ["status"],
+    })
+    assert out["truncated"] is True and len(out["rows"]) == 2
+
+    # explicit under-cap limit: client asked for 2 of 3 — NOT truncation
+    out = _req(server, "/query", {
+        "metrics": ["orders.revenue"], "dimensions": ["orders.status"],
+        "order_by": ["status"], "limit": 2,
+    })
+    assert out["truncated"] is False and len(out["rows"]) == 2
+
+    # /sql silently appended .limit() before; now it reports the cap
+    out = _req(server, "/sql", {
+        "sql": "SELECT orders.status, orders.order_count FROM orders"
+        " ORDER BY orders.status",
+    })
+    assert out["truncated"] is True and len(out["rows"]) == 2
+
+    # Arrow transport signals via header (no JSON side-channel)
+    url = f"http://127.0.0.1:{server.port}/query.arrow"
+    req = urllib.request.Request(url, data=json.dumps({
+        "metrics": ["orders.order_count"], "dimensions": ["orders.status"],
+    }).encode())
+    req.add_header("Authorization", "Bearer sekrit")
+    req.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.headers["X-Truncated"] == "true"
+        import pyarrow as pa
+
+        table = pa.ipc.open_stream(io.BytesIO(resp.read())).read_all()
+    assert table.num_rows == 2
+
+
+def test_uncapped_result_not_marked_truncated(server):
+    out = _req(server, "/query", {
+        "metrics": ["orders.revenue"], "dimensions": ["orders.status"],
+    })
+    assert out["truncated"] is False and len(out["rows"]) == 3

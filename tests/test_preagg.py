@@ -643,3 +643,41 @@ def test_time_filter_finer_than_rollup_grain_not_routed(spark, sf_dir, tmp_path)
         metrics=["orders.revenue"],
         filters=["orders.order_date__year >= TIMESTAMP '1997-01-01'"],
     )
+
+
+def test_boundary_ops_le_gt_not_routed(layer):
+    """`ts <= B` against a truncated column keeps the ENTIRE bucket
+    starting at B (and `ts > B` drops it) — only `>=` / `<` are exact
+    under truncation, so `<=` / `>` must fall back to the base table."""
+    for op in ("<=", ">"):
+        sql = layer.compile(
+            metrics=["orders.revenue"],
+            filters=[f"orders.order_date {op} TIMESTAMP '1997-06-01'"],
+        )
+        assert "used_preagg" not in sql, op
+    for op in (">=", "<"):
+        sql = layer.compile(
+            metrics=["orders.revenue"],
+            filters=[f"orders.order_date {op} TIMESTAMP '1997-06-01'"],
+        )
+        assert "used_preagg" in sql, op
+
+
+def test_window_total_metric_not_routed(layer):
+    """Derived metrics using the BSL all() window total cannot be
+    re-aggregated from rollup partials; routing used to emit invalid
+    `all((SUM(revenue__sum)))` SQL — it must fall back instead."""
+    sql = layer.compile(
+        metrics=["orders.revenue", "orders.revenue_share"],
+        dimensions=["orders.status"],
+    )
+    assert "used_preagg" not in sql
+    rows = layer.query(
+        metrics=["orders.revenue", "orders.revenue_share"],
+        dimensions=["orders.status"],
+    ).collect()
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-9
+    # plain revenue still routes (guard is per-metric, not global)
+    assert "used_preagg" in layer.compile(
+        metrics=["orders.revenue"], dimensions=["orders.status"]
+    )
