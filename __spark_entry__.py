@@ -446,6 +446,48 @@ def _multimodal_decode(spark, sf_dir):
     return decode_features(documents_as_media(_docs(spark, sf_dir)), dim=16, fake=True)
 
 
+def _multimodal_decode_png(spark, sf_dir):
+    """REAL codec path, Pillow-free: synthesize one tiny gray PNG per
+    document (stdlib encoder, pixels derived from doc_id) in a
+    mapInPandas stage, then run the production fake=False decode —
+    band-mean features via operators/png.py.  Deterministic end to end;
+    exact feature values are golden-tested in tests/test_operators.py
+    (no SQL oracle can decode PNG, so the driver records rows-only)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators.multimodal import MEDIA_SCHEMA, decode_features
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def to_png(batches):
+        from sidemantic_spark.operators.png import encode_png
+
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    8, 8,
+                    [(int(mid) * 7 + r * 13 + c * 29) % 256
+                     for r in range(8) for c in range(8)],
+                    color_type=0,
+                )
+                for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": "image",
+                "payload": payloads,
+                "width": 8,
+                "height": 8,
+                "duration_ms": None,
+                "codec": "png",
+            })
+
+    media = ids.mapInPandas(to_png, schema=MEDIA_SCHEMA)
+    return decode_features(media, dim=4, fake=False)
+
+
 def _multimodal_frame_sample(spark, sf_dir):
     """Video frame-sampling plan: JVM-side sequence+explode expands each
     video row into frame timestamps — deterministic metadata math, so
@@ -1040,7 +1082,7 @@ def _fanout_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     Alternative strategy to the entity-grain dedup plan, same result."""
     layer = _layer(spark, sf_dir)
     gen = layer.generator
-    gen.use_symmetric_aggregates = True
+    gen.fanout_strategy = "symmetric"
     try:
         sql = layer.compile(
             metrics=["orders.revenue", "orders.order_count"],
@@ -1052,7 +1094,28 @@ def _fanout_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
             dimensions=["lineitem.returnflag"],
         )
     finally:
-        gen.use_symmetric_aggregates = False
+        gen.fanout_strategy = "auto"
+
+
+def _fanout_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-grain DISTINCT fan-out plan, explicitly forced (the auto
+    strategy prefers symmetric aggregates; this entry keeps the dedup
+    plan contract-covered — raw-row semantics, exact decimal sums)."""
+    layer = _layer(spark, sf_dir)
+    gen = layer.generator
+    gen.fanout_strategy = "dedup"
+    try:
+        sql = layer.compile(
+            metrics=["orders.revenue", "orders.order_count"],
+            dimensions=["lineitem.returnflag"],
+        )
+        assert "plan=grouped-dedup" in sql, sql[:200]
+        return layer.query(
+            metrics=["orders.revenue", "orders.order_count"],
+            dimensions=["lineitem.returnflag"],
+        )
+    finally:
+        gen.fanout_strategy = "auto"
 
 
 def _yardstick_at_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1200,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dimensions=["lineitem.returnflag"],
         ),
         "fanout_symmetric_aggs": _fanout_symmetric,
+        "fanout_dedup_plan": _fanout_dedup_plan,
         "fanout_safe_aggs": _q(
             metrics=["orders.max_order_value", "orders.customer_count"],
             dimensions=["lineitem.returnflag"],
@@ -1308,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_topk": _ann_ivf_topk,
         "sim_embedding_near_dups": _emb_near_dups,
         "multimodal_decode_features": _multimodal_decode,
+        "multimodal_decode_png": _multimodal_decode_png,
         "multimodal_frame_sample": _multimodal_frame_sample,
         "multimodal_resize_meta": _multimodal_resize,
         # §2.6 pagination
@@ -1353,7 +1418,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest_dedup": _streaming_ingest_dedup,
         "streaming_rollup_route": _streaming_rollup_route,
     }
-    return {k: _canon(_dbl(v)) for k, v in qs.items()}
+    # Driver-sample rotation (round 4): the driver oracle-checks the
+    # FIRST 50 entries each round, so never-driver-verified entries go
+    # first — the whole LLM-pipeline family, streaming, the window
+    # long tail, set ops, RLS, preagg routing — plus a handful of §2
+    # anchors whose plans changed this round (fan-out strategy is now
+    # auto-symmetric) and must be re-verified.  Entries 51+ were all
+    # driver-green in r01-r03 and stay covered by the local strict run.
+    first_50 = [
+        # never driver-sampled: LLM-pipeline operators
+        "dedup_simhash", "dedup_ngram_jaccard", "dedup_clusters",
+        "text_profile", "text_language_id", "text_quality_score",
+        "text_pii_scrub", "text_repetition", "text_gopher_flags",
+        "text_fingerprint", "text_token_bpe", "data_profile_numeric",
+        "pipeline_domain_mix", "pipeline_span_dedup",
+        "pipeline_clean_corpus", "pipeline_sequence_pack",
+        "pipeline_sample_stratified", "pipeline_decontaminate",
+        "sim_cosine_topk", "sim_cosine_topk_batch", "sim_ann_lsh_topk",
+        "sim_ann_ivf_topk", "sim_embedding_near_dups",
+        "sim_semantic_dedup", "multimodal_decode_features",
+        "multimodal_frame_sample", "multimodal_resize_meta",
+        # never driver-sampled: §2 long tail
+        "ratio_offset_share", "qoq_ratio", "time_offset_custom",
+        "limit_offset_page", "row_level_security",
+        "semantic_sql_intersect", "semantic_sql_except",
+        "source_scan_uri", "saved_query_run", "explore_query",
+        "create_view_sink", "preagg_rollup_route",
+        # never driver-sampled: streaming extension
+        "streaming_window_agg", "streaming_sessionize",
+        "streaming_ingest_dedup", "streaming_rollup_route",
+        # new this round (forced entity-grain dedup plan)
+        "fanout_dedup_plan",
+        # anchors: plans changed this round (auto-symmetric fan-out)
+        "fanout_dedup", "fanout_symmetric_aggs",
+        # anchors: core §2 shapes
+        "basic_agg", "join_multi_hop", "semi_additive_last",
+        "wow_pct_change",
+    ]
+    ordered = {k: qs[k] for k in first_50}
+    ordered.update({k: v for k, v in qs.items() if k not in ordered})
+    return {k: _canon(_dbl(v)) for k, v in ordered.items()}
 
 
 # shared DuckDB fragments for the text-pipeline oracles
@@ -1768,6 +1872,16 @@ def oracle_sql() -> dict[str, str]:
             FROM joined GROUP BY 1
         """,
         "fanout_symmetric_aggs": """
+            WITH joined AS (
+                SELECT DISTINCT l.l_returnflag AS returnflag, o.o_orderkey,
+                       CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+                FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+            )
+            SELECT returnflag, CAST(SUM(price) AS DOUBLE) AS revenue,
+                   COUNT(CASE WHEN o_orderkey IS NOT NULL THEN 1 END) AS order_count
+            FROM joined GROUP BY 1
+        """,
+        "fanout_dedup_plan": """
             WITH joined AS (
                 SELECT DISTINCT l.l_returnflag AS returnflag, o.o_orderkey,
                        CAST(o.o_totalprice AS DECIMAL(18,2)) AS price

@@ -501,8 +501,11 @@ class SparkSemanticLayer:
                 "detected": bool(fanout_hops),
                 "hops": [f"{h.from_model}->{h.to_model}" for h in fanout_hops],
                 "strategy": (
-                    ("symmetric_aggregates" if self.generator.use_symmetric_aggregates
-                     else "entity_grain_dedup") if fanout_hops else None
+                    {
+                        "symmetric": "symmetric_aggregates",
+                        "dedup": "entity_grain_dedup",
+                        "auto": "auto_symmetric_else_dedup",
+                    }[self.generator.fanout_strategy] if fanout_hops else None
                 ),
             },
             "filters": {

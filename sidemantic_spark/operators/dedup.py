@@ -193,13 +193,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     fp = fingerprint(F.col(text_col)).alias("__fp")
     keyed = df.select("*", fp)
     keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
-    return df.join(F.broadcast(keep) if _small(keep) else keep, id_col, "left_semi")
-
-
-def _small(df: DataFrame) -> bool:
-    # broadcast only when the plan is provably tiny; default to shuffle
-    # join and let AQE convert to broadcast at runtime
-    return False
+    # shuffle join by default: `keep` has one id per distinct content,
+    # which is corpus-sized on a low-duplication corpus, so a static
+    # broadcast hint would be a scale hazard; AQE converts to broadcast
+    # at runtime when the aggregated side turns out tiny
+    return df.join(keep, id_col, "left_semi")
 
 
 def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -414,22 +412,18 @@ def connected_components(
 
     Returns (doc_id, cluster_id) for every id appearing in a pair, with
     cluster_id = the smallest id in the component — the canonical
-    "keep the lowest id, drop the rest" dedup decision. Each iteration
-    is one join + one groupBy (shuffles keyed by id, map-side
-    combinable) and converges in O(component diameter) rounds — for
-    LSH-derived near-dup graphs the diameter is tiny even when the
-    pair generator caps cliques, because capped members still chain
-    through the bucket prefix. This is the DataFrame form of the
-    standard MapReduce label-propagation CC (cf. Kiveris et al.,
-    "Connected Components in MapReduce and Beyond"); at 100 TB the
-    per-round shuffle is (ids + labels) only, never the documents.
+    "keep the lowest id, drop the rest" dedup decision. Each round
+    combines neighbor-min propagation (one join + one groupBy, shuffles
+    keyed by id, map-side combinable) with a POINTER-JUMPING step
+    (label <- label[label], one self-join on the label frame), the
+    doubling trick from PRAM/MapReduce CC (cf. Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): paths to the
+    component min halve every round, so convergence is O(log diameter)
+    rounds instead of O(diameter). The convergence check rides the
+    same checkpointed frame as a `changed` flag column — no separate
+    old-vs-new join job per round. At 100 TB the per-round shuffle is
+    (ids + labels) only, never the documents.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    # scanned once per round — keep it materialized across iterations
-    edges = edges.persist()
     # iteration shuffle width: localCheckpoint materializes the
     # NON-adaptive plan, so AQE never coalesces the per-round
     # join/groupBy exchanges — under a default 200-partition session
@@ -437,24 +431,34 @@ def connected_components(
     # rows and the loop is pure scheduler overhead.  Pin the width to
     # cluster parallelism for the loop's duration and restore after
     # (conf is session-scoped; concurrent queries in the same session
-    # during the loop would see the narrower width).
+    # during the loop would see the narrower width).  The pin MUST
+    # precede persist(): persist() compiles the cached subtree's
+    # PHYSICAL plan eagerly at call time, so a persist under the old
+    # width bakes old-width exchanges into every round (measured: the
+    # whole loop ran 200-task stages despite the pin).
     sess = pairs.sparkSession
     width_key = "spark.sql.shuffle.partitions"
     old_width = sess.conf.get(width_key, None)
     sess.conf.set(width_key, str(sess.sparkContext.defaultParallelism))
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
     try:
+        edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        edges = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        # scanned once per round — keep it materialized across iterations
+        edges = edges.persist()
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+        )
         changed, labels = _cc_loop(edges, labels_init=labels, max_iter=max_iter)
+        edges.unpersist()
     finally:
         if old_width is None:
             sess.conf.unset(width_key)
         else:
             sess.conf.set(width_key, old_width)
-    edges.unpersist()
     if changed != 0:
         # silently returning non-minimal labels would yield multiple
         # "representatives" per true cluster downstream (semantic_dedup
@@ -470,7 +474,8 @@ def connected_components(
 
 
 def _cc_loop(edges, labels_init, max_iter: int) -> tuple:
-    """Min-label propagation rounds; returns (changed, labels)."""
+    """Min-label propagation + pointer-jumping rounds; returns
+    (changed, labels)."""
     labels = labels_init
     changed = -1
     for _ in range(max_iter):
@@ -480,32 +485,52 @@ def _cc_loop(edges, labels_init, max_iter: int) -> tuple:
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        prop = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
         )
-        # localCheckpoint + count: materializes this round AND truncates
-        # the logical plan.  persist() alone is not enough — `labels`
+        # pointer jump: label <- label[label].  Labels are node ids, so
+        # the parent's label is defined for every non-root; paths to the
+        # component min halve each round (O(log d) total rounds).
+        parents = prop.select(
+            F.col("node").alias("__p"), F.col("label").alias("__plabel")
+        )
+        new_labels = (
+            prop.join(parents, prop.label == parents.__p, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("__plabel"), F.col("label")),
+                ).alias("label"),
+                (
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("__plabel"), F.col("label")),
+                    )
+                    != F.col("old")
+                ).alias("__changed"),
+            )
+        )
+        # localCheckpoint: materializes this round AND truncates the
+        # logical plan.  persist() alone is not enough — `labels`
         # appears twice per round (neighbor_min + the join), so the
         # un-truncated plan doubles every iteration and a component of
         # diameter ~8 already OOMs the driver at PLANNING time.  The
-        # count doubles as the convergence check.  (On a multi-node
-        # cluster prefer sc.setCheckpointDir + .checkpoint() for
-        # executor-loss resilience; localCheckpoint is the local-mode
-        # equivalent.)
+        # convergence check is a flag-column count over the checkpointed
+        # blocks — a shuffle-free scan, not another old-vs-new join job.
+        # (On a multi-node cluster prefer sc.setCheckpointDir +
+        # .checkpoint() for executor-loss resilience; localCheckpoint is
+        # the local-mode equivalent.)
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.expr("n.label <> o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__changed")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return changed, labels

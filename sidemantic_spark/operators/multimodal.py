@@ -83,6 +83,21 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     return [a / float(1 << 32) for a in acc]
 
 
+def _band_means(px: list, w: int, h: int, dim: int) -> list[float]:
+    """``dim`` horizontal-band mean intensities in [0, 1) over a
+    row-major grayscale pixel list — shared by both real decoders so
+    Pillow and the pure-Python fallback emit identical features."""
+    if not px:
+        return [0.0] * dim
+    bands: list[list[int]] = [[] for _ in range(dim)]
+    for row in range(h):
+        bands[row * dim // max(h, 1)].extend(px[row * w:(row + 1) * w])
+    return [
+        (sum(b) / len(b)) / 256.0 if b else 0.0
+        for b in bands
+    ]
+
+
 def _pil_decode(payload: bytes, dim: int) -> list[float] | None:
     """Real image features via Pillow: grayscale the image, split it
     into ``dim`` horizontal bands, mean intensity per band in [0, 1).
@@ -98,15 +113,21 @@ def _pil_decode(payload: bytes, dim: int) -> list[float] | None:
             px = list(g.getdata())
     except Exception:
         return None
-    if not px:
-        return [0.0] * dim
-    bands: list[list[int]] = [[] for _ in range(dim)]
-    for row in range(h):
-        bands[row * dim // max(h, 1)].extend(px[row * w:(row + 1) * w])
-    return [
-        (sum(b) / len(b)) / 256.0 if b else 0.0
-        for b in bands
-    ]
+    return _band_means(px, w, h, dim)
+
+
+def _pure_decode(payload: bytes, dim: int) -> list[float] | None:
+    """Pillow-free real decode: the stdlib-only PNG decoder
+    (:mod:`sidemantic_spark.operators.png`) feeding the same band-mean
+    featurizer.  Pillow's grayscale formula is replicated exactly, so
+    on a shared PNG input both paths return identical features."""
+    from sidemantic_spark.operators.png import decode_png_gray
+
+    decoded = decode_png_gray(payload)
+    if decoded is None:
+        return None
+    w, h, px = decoded
+    return _band_means(px, w, h, dim)
 
 
 def decode_features(
@@ -117,20 +138,19 @@ def decode_features(
 ) -> DataFrame:
     """Arrow-batched decode/feature-extract over the media table.
 
-    ``fake=False`` is the production path: requires Pillow at runtime
-    (per-executor import inside the UDF) and decodes payload bytes into
-    band-mean features; undecodable payloads yield decode_ok='error'.
-    ``fake=True`` runs the deterministic stand-in with the identical
-    batching/schema so plans and tests are faithful without codecs.
+    ``fake=False`` is the production path: Pillow when importable on
+    the executor (any format Pillow reads), else the stdlib-only PNG
+    decoder (``operators/png.py`` — same grayscale formula, identical
+    features on shared PNG inputs); undecodable payloads yield
+    decode_ok='error'.  ``fake=True`` runs the deterministic stand-in
+    with the identical batching/schema so plans and tests are faithful
+    without codecs.
     """
-    if not fake and not _HAS_PIL:
-        raise NotImplementedError(
-            "real image decode requires Pillow, which is not importable in "
-            "this environment; run with fake=True for the plumbing path"
-        )
 
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        real = _pil_decode if _HAS_PIL else _pure_decode
 
         for pdf in batches:
             if fake:
@@ -148,7 +168,7 @@ def decode_features(
                         feats.append(None)
                         status.append("null_payload")
                         continue
-                    f = _pil_decode(p, dim)
+                    f = real(p, dim)
                     feats.append(f)
                     status.append("ok" if f is not None else "error")
             yield pd.DataFrame(

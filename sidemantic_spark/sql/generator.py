@@ -125,10 +125,19 @@ class SqlGenerator:
         self._cache: dict = {}
         self.use_preaggs = True
         self.preagg_strict = False
-        # fan-out strategy: False = entity-grain DISTINCT plan (default,
-        # Spark-idiomatic); True = symmetric aggregates (reference
-        # core/symmetric_aggregate.py:20, spark hash branch :91-96)
-        self.use_symmetric_aggregates = False
+        # fan-out strategy (reference preference hierarchy,
+        # sql/generator.py:3056-3390):
+        #   "auto"      — symmetric aggregates whenever every metric
+        #                 decomposes to a symmetric form (narrow
+        #                 (dims, symkey+value) rows ride the shuffle),
+        #                 falling back to the entity-grain DISTINCT plan
+        #                 (which shuffles the full (pk, dims, raws) row
+        #                 width — correct but the weakest shape at 100x)
+        #   "symmetric" — force symmetric aggregates
+        #                 (core/symmetric_aggregate.py:20, spark :91-96)
+        #   "dedup"     — force the entity-grain DISTINCT plan
+        #                 (raw-row semantics, exact decimal sums)
+        self.fanout_strategy = "auto"
 
     # ------------------------------------------------------------------
     # public entry
@@ -147,7 +156,7 @@ class SqlGenerator:
             self.graph.generation,
             self.use_preaggs,
             self.preagg_strict,
-            self.use_symmetric_aggregates,
+            self.fanout_strategy,
             tuple(spec.metrics),
             tuple(spec.dimensions),
             tuple(spec.filters),
@@ -980,8 +989,19 @@ class SqlGenerator:
                 "decomposed under a fan-out join (reference raises too: core/symmetric_aggregate.py)"
             )
         if unsafe and r.metrics:
-            if self.use_symmetric_aggregates:
+            strategy = self.fanout_strategy
+            if strategy == "symmetric":
                 return self._symmetric_grouped_sql(r)
+            if strategy == "auto":
+                # prefer symmetric: its shuffle rows are (dims, symkey,
+                # value)-narrow vs the dedup plan's full (pk, dims,
+                # raws) DISTINCT — the decisive difference at 100x.
+                # Shapes sym_agg cannot express (all() totals, exotic
+                # aggs) raise QueryCompileError and take the dedup plan.
+                try:
+                    return self._symmetric_grouped_sql(r)
+                except QueryCompileError:
+                    pass
             return self._dedup_grouped_sql(r)
         return self._plain_grouped_sql(r)
 

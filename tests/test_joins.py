@@ -99,7 +99,29 @@ def test_fanout_dedup_sum(layer, duck):
     sql = layer.compile(
         metrics=["orders.revenue"], dimensions=["lineitem.returnflag"]
     )
-    assert "DISTINCT" in sql  # fan-out dedup plan engaged
+    # auto strategy prefers symmetric aggregates (narrow shuffle rows)
+    assert "plan=grouped-symmetric" in sql
+    # the entity-grain DISTINCT plan stays reachable and equivalent
+    gen = layer.generator
+    gen.fanout_strategy = "dedup"
+    try:
+        sql2 = layer.compile(
+            metrics=["orders.revenue"], dimensions=["lineitem.returnflag"]
+        )
+        assert "plan=grouped-dedup" in sql2
+        df2 = layer.query(
+            metrics=["orders.revenue", "orders.order_count"],
+            dimensions=["lineitem.returnflag"],
+        )
+        assert sorted(
+            (r["returnflag"], float(r["revenue"]), r["order_count"])
+            for r in df2.collect()
+        ) == sorted(
+            (r["returnflag"], float(r["revenue"]), r["order_count"])
+            for r in df.collect()
+        )
+    finally:
+        gen.fanout_strategy = "auto"
 
 
 def test_fanout_safe_aggs_passthrough(layer, duck):
@@ -194,12 +216,12 @@ def test_dims_only_distinct(layer, duck):
 
 
 def test_symmetric_aggregates_match_dedup_plan(layer, duck):
-    """use_symmetric_aggregates=True: SUM(DISTINCT hash(pk)*S + v) -
+    """fanout_strategy='symmetric': SUM(DISTINCT hash(pk)*S + v) -
     SUM(DISTINCT hash(pk)*S) recovers the fan-out-safe sum/count/avg
     (ref core/symmetric_aggregate.py:20-162; DECIMAL(38,6)-lifted keys
     instead of the reference's overflow-prone bigint spark branch)."""
     gen = layer.generator
-    gen.use_symmetric_aggregates = True
+    gen.fanout_strategy = "symmetric"
     try:
         sql = layer.compile(
             metrics=["orders.revenue", "orders.order_count", "orders.avg_order_value"],
@@ -217,7 +239,7 @@ def test_symmetric_aggregates_match_dedup_plan(layer, duck):
             ).collect()
         }
     finally:
-        gen.use_symmetric_aggregates = False
+        gen.fanout_strategy = "auto"
     expected = {
         s: (float(rev), cnt, float(avg))
         for s, rev, cnt, avg in duck.execute("""

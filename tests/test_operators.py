@@ -213,14 +213,136 @@ def test_multimodal_decode_plumbing(docs):
         assert again[r.media_id] == r.feature
 
 
-def test_multimodal_real_decode_stubbed(docs):
+def test_multimodal_resize_gated_without_pillow(docs):
     if multimodal._HAS_PIL:
         pytest.skip("Pillow present: fake=False runs the real codec path")
     media = multimodal.documents_as_media(docs.limit(1))
     with pytest.raises(NotImplementedError):
-        multimodal.decode_features(media, fake=False)
-    with pytest.raises(NotImplementedError):
         multimodal.resize_images(media, fake=False)
+
+
+def test_png_codec_roundtrip_and_filters():
+    """The stdlib PNG codec round-trips its own output exactly, and the
+    decoder reverses every scanline filter type (forward-filtered
+    streams are built by hand here, since the encoder always emits
+    filter 0)."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    from sidemantic_spark.operators.png import decode_png_gray, encode_png
+
+    # grayscale round-trip: 4x3 gradient
+    px = [(r * 4 + c) * 20 for r in range(3) for c in range(4)]
+    blob = encode_png(4, 3, px, color_type=0)
+    assert decode_png_gray(blob) == (4, 3, px)
+
+    # RGB round-trip with Pillow's exact fixed-point ITU-R 601-2 luma
+    # ((19595 R + 38470 G + 7471 B + 0x8000) >> 16): red 76, green 150
+    # (NOT the truncated //1000 value 149), blue 29, white 255
+    rgb = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    blob = encode_png(2, 2, rgb, color_type=2)
+    w, h, gray = decode_png_gray(blob)
+    assert (w, h) == (2, 2)
+    assert gray == [76, 150, 29, 255]
+
+    # filters 1-4: forward-filter a known grayscale image per row, then
+    # check the decoder reconstructs the original
+    width, height = 5, 4
+    img = [(r * 37 + c * 11) % 256 for r in range(height) for c in range(width)]
+
+    def fwd(ftype: int) -> bytes:
+        rows = []
+        for r in range(height):
+            line = img[r * width:(r + 1) * width]
+            prev = img[(r - 1) * width:r * width] if r else [0] * width
+            out = []
+            for i, b in enumerate(line):
+                left = line[i - 1] if i else 0
+                up = prev[i]
+                ul = prev[i - 1] if i else 0
+                if ftype == 1:
+                    out.append((b - left) & 0xFF)
+                elif ftype == 2:
+                    out.append((b - up) & 0xFF)
+                elif ftype == 3:
+                    out.append((b - (left + up) // 2) & 0xFF)
+                else:  # Paeth
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    out.append((b - pred) & 0xFF)
+            rows.append(bytes([ftype]) + bytes(out))
+        return b"".join(rows)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    for ftype in (1, 2, 3, 4):
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(fwd(ftype)))
+            + chunk(b"IEND", b"")
+        )
+        assert decode_png_gray(blob) == (width, height, img), f"filter {ftype}"
+
+    # unsupported / garbage inputs return None, never raise
+    assert decode_png_gray(b"not a png") is None
+    assert decode_png_gray(b"") is None
+    bad_depth = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_gray(bad_depth) is None
+
+
+def test_multimodal_real_decode_without_pillow(spark):
+    """fake=False decode works in this Pillow-less sandbox via the
+    stdlib PNG decoder: a constant-gray PNG yields exact 0.5 band
+    means, garbage payloads yield decode_ok='error', and the features
+    are deterministic (the entry-contract oracle property)."""
+    from sidemantic_spark.operators.png import encode_png
+
+    gray128 = encode_png(8, 8, [128] * 64, color_type=0)
+    gradient = encode_png(
+        4, 4, [(r * 64, r * 64, r * 64) for r in range(4) for _ in range(4)],
+        color_type=2,
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "image", gray128, 8, 8, None, "png"),
+            (2, "image", gradient, 4, 4, None, "png"),
+            (3, "image", b"garbage bytes", None, None, None, "png"),
+            (4, "image", None, None, None, None, "png"),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r.media_id: r
+        for r in multimodal.decode_features(media, dim=4, fake=False).collect()
+    }
+    assert rows[1].decode_ok == "ok"
+    assert rows[1].feature == [0.5, 0.5, 0.5, 0.5]
+    assert rows[2].decode_ok == "ok"
+    # 4 rows -> one band per row; row r is constant (r*64)*299+...//1000
+    expected = [(299 * v + 587 * v + 114 * v) // 1000 / 256.0 for v in (0, 64, 128, 192)]
+    assert [round(v, 6) for v in rows[2].feature] == [
+        round(v, 6) for v in expected
+    ]
+    assert rows[3].decode_ok == "error" and rows[3].feature is None
+    assert rows[4].decode_ok == "null_payload"
+
+    # pure-Python and Pillow featurizers agree bit-for-bit when both
+    # are available (skipped implicitly in Pillow-less environments)
+    if multimodal._HAS_PIL:
+        for blob in (gray128, gradient):
+            assert multimodal._pil_decode(blob, 4) == multimodal._pure_decode(blob, 4)
 
 
 @pytest.mark.skipif(not multimodal._HAS_PIL, reason="Pillow not installed")
@@ -264,10 +386,9 @@ def test_multimodal_resize_plumbing(docs):
             assert (r.width, r.height) == (256, 128)
         assert r.payload is not None  # stub passes payload through
 
-    import pytest
-
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_images(media, fake=False)
+    if not multimodal._HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            multimodal.resize_images(media, fake=False)
 
 
 def test_connected_components_clusters(spark):
