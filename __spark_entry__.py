@@ -1501,9 +1501,12 @@ _QUALITY_SQL = """
 """
 
 
-# exact word-5-gram Jaccard: the Spark operator only emits pairs
-# sharing >=1 gram, but for threshold > 0 that is implied by the
-# Jaccard filter, so the oracle can be all-pairs + filter. Grams are
+# exact word-5-gram Jaccard via inverted-index join: pairs with zero
+# shared grams cannot pass threshold >= 0.6, so the gram equi-join
+# produces exactly the candidate set; |A ∩ B| is the matched-gram
+# count (grams are list_distinct per doc). Verified row-identical to
+# the previous all-pairs + list_intersect form, ~28x faster (the
+# all-pairs form dominated the per-entry oracle budget). Grams are
 # joined with the same empty separator; Spark compares xxhash64-ed
 # grams, the oracle compares the gram strings — identical equivalence
 # classes barring 64-bit collisions.
@@ -1520,13 +1523,20 @@ _NGRAM_ORACLE = """
                    i -> array_to_string(w[i:i+4], '')
                )) AS gs
         FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(gs) AS n FROM grams),
+    exploded AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM exploded a JOIN exploded b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-             / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) AS jaccard
-    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-    WHERE ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-             / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) >= 0.6
+    SELECT id_a, id_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.6
 """
 
 

@@ -406,24 +406,47 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    small_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """Duplicate clusters from near-dup pairs: connected components by
     iterative min-label propagation.
 
     Returns (doc_id, cluster_id) for every id appearing in a pair, with
     cluster_id = the smallest id in the component — the canonical
-    "keep the lowest id, drop the rest" dedup decision. Each round
-    combines neighbor-min propagation (one join + one groupBy, shuffles
-    keyed by id, map-side combinable) with a POINTER-JUMPING step
-    (label <- label[label], one self-join on the label frame), the
-    doubling trick from PRAM/MapReduce CC (cf. Kiveris et al.,
-    "Connected Components in MapReduce and Beyond"): paths to the
-    component min halve every round, so convergence is O(log diameter)
-    rounds instead of O(diameter). The convergence check rides the
-    same checkpointed frame as a `changed` flag column — no separate
-    old-vs-new join job per round. At 100 TB the per-round shuffle is
-    (ids + labels) only, never the documents.
+    "keep the lowest id, drop the rest" dedup decision.
+
+    SIZE-GATED EXECUTION (same pattern as the minhash broadcast
+    verify): a `pairs.limit(small_edge_limit + 1)` probe — CollectLimit
+    short-circuits the scan, so the probe is cheap even when pairs is
+    huge — decides between
+      * <= small_edge_limit edges: driver-side union-find with path
+        compression over the already-collected rows (near-dup pair
+        sets are tiny relative to their corpus; 2M (long,long) edges
+        is ~32 MB). The distributed loop on a small graph is pure
+        scheduler overhead — O(log d) sequential Spark jobs of
+        near-empty stages.
+      * larger: the distributed loop below. Each round combines
+        neighbor-min propagation (one join + one groupBy, shuffles
+        keyed by id, map-side combinable) with a POINTER-JUMPING step
+        (label <- label[label], one self-join on the label frame), the
+        doubling trick from PRAM/MapReduce CC (cf. Kiveris et al.,
+        "Connected Components in MapReduce and Beyond"): paths to the
+        component min halve every round, so convergence is
+        O(log diameter) rounds instead of O(diameter). The convergence
+        check rides the same checkpointed frame as a `changed` flag
+        column — no separate old-vs-new join job per round. At 100 TB
+        the per-round shuffle is (ids + labels) only, never the
+        documents.
+    Pass small_edge_limit=0 to force the distributed path (tests do).
     """
+    sess = pairs.sparkSession
+    if small_edge_limit > 0:
+        probe = pairs.select(id_a, id_b).limit(small_edge_limit + 1).collect()
+        if len(probe) <= small_edge_limit:
+            id_type = dict(pairs.dtypes)[id_a]
+            return sess.createDataFrame(
+                _union_find(probe), f"doc_id {id_type}, cluster_id {id_type}"
+            )
     # iteration shuffle width: localCheckpoint materializes the
     # NON-adaptive plan, so AQE never coalesces the per-round
     # join/groupBy exchanges — under a default 200-partition session
@@ -436,7 +459,6 @@ def connected_components(
     # PHYSICAL plan eagerly at call time, so a persist under the old
     # width bakes old-width exchanges into every round (measured: the
     # whole loop ran 200-task stages despite the pin).
-    sess = pairs.sparkSession
     width_key = "spark.sql.shuffle.partitions"
     old_width = sess.conf.get(width_key, None)
     sess.conf.set(width_key, str(sess.sparkContext.defaultParallelism))
@@ -471,6 +493,32 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def _union_find(edge_rows) -> list:
+    """Driver-side CC for the small-graph gate: union-find with path
+    compression, roots kept at the component minimum (when two roots
+    merge, the larger attaches under the smaller, so every root is the
+    min id of its set by induction). Returns sorted
+    [(node, component_min)] matching the distributed loop's output."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return sorted((n, find(n)) for n in parent)
 
 
 def _cc_loop(edges, labels_init, max_iter: int) -> tuple:
