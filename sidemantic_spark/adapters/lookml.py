@@ -74,9 +74,61 @@ _MEASURE_AGGS = {
     "max": "max",
     "count_distinct": "count_distinct",
     "median": "median",
+    "median_distinct": "median",
     "sum_distinct": "sum",  # fan-out safety is our generator's job
     "average_distinct": "avg",
 }
+
+# anonymous blocks that legally repeat under one parent
+_REPEAT_ANON = {"when", "allowed_value", "link", "action"}
+
+# Looker duration dimension types -> TIMESTAMPDIFF units
+_DURATION_UNITS = {
+    "duration_second": "SECOND",
+    "duration_minute": "MINUTE",
+    "duration_hour": "HOUR",
+    "duration_day": "DAY",
+    "duration_week": "WEEK",
+    "duration_month": "MONTH",
+    "duration_quarter": "QUARTER",
+    "duration_year": "YEAR",
+}
+
+# -- liquid neutralization (import-time) ------------------------------------
+# Looker SQL params may embed Liquid. The reference protects the
+# fragments lexically and carries them through its SQL layer (ref
+# sql/lookml_expression.py:1-20); Spark SQL has no Liquid runtime, so
+# we neutralize at import with documented defaults:
+#   {% condition f %}expr{% endcondition %} -> 1=1   (no filter applied)
+#   {% parameter p %}  -> the parameter's default_value, else NULL
+#   {% if %}A{% elsif %}B{% else %}C{% endif %} -> A (first branch;
+#       nested ifs unsupported — none appear in the reference corpus)
+#   {% assign/for/comment ... %} tags -> dropped
+#   {{ var | filters }} -> var
+_LIQ_COND = re.compile(
+    r"\{%-?\s*condition\s+[\w.]+\s*-?%\}.*?\{%-?\s*endcondition\s*-?%\}", re.S
+)
+_LIQ_PARAM = re.compile(r"\{%-?\s*parameter\s+([\w.]+)\s*-?%\}")
+_LIQ_IF = re.compile(r"\{%-?\s*if\s[^%]*?-?%\}(.*?)\{%-?\s*endif\s*-?%\}", re.S)
+_LIQ_BRANCH = re.compile(r"\{%-?\s*els(?:e|if)[^%]*?-?%\}", re.S)
+_LIQ_TAG = re.compile(r"\{%[^%]*?%\}")
+_LIQ_VAR = re.compile(r"\{\{\s*([^}|]*?)\s*(?:\|[^}]*)?\}\}")
+
+
+def _strip_liquid(sql: str, param_defaults: dict[str, str] | None = None) -> str:
+    if "{%" not in sql and "{{" not in sql:
+        return sql
+    out = _LIQ_COND.sub("1=1", sql)
+    for _ in range(8):  # sequential (non-nested) if blocks
+        new = _LIQ_IF.sub(lambda m: _LIQ_BRANCH.split(m.group(1))[0], out)
+        if new == out:
+            break
+        out = new
+    defaults = param_defaults or {}
+    out = _LIQ_PARAM.sub(lambda m: defaults.get(m.group(1), "NULL"), out)
+    out = _LIQ_TAG.sub(" ", out)
+    out = _LIQ_VAR.sub(lambda m: m.group(1), out)
+    return out.strip()
 
 
 class _Scanner:
@@ -201,9 +253,14 @@ def _parse_block(sc: _Scanner) -> dict:
             out[key] = sc.read_list()
             continue
         if sc.peek() == "{":
-            # anonymous block (derived_table: { ... })
+            # anonymous block (derived_table: { ... }); keys that repeat
+            # (case whens, parameter allowed_values) accumulate in order
             sc.i += 1
-            out[key] = _parse_block(sc)
+            block = _parse_block(sc)
+            if key in _REPEAT_ANON:
+                out.setdefault(key, []).append(block)
+            else:
+                out[key] = block
             continue
         name = sc.read_value()
         sc.skip_ws()
@@ -227,6 +284,46 @@ def parse_lkml(text: str) -> dict:
     return _parse_block(_Scanner(text))
 
 
+def _deep_merge_block(base: dict, over: dict) -> dict:
+    """Looker refinement merge: scalars override, nested blocks merge
+    deeply, and lists of named blocks (dimensions, measures, ...) merge
+    BY NAME — a refinement adding `label` to a dimension keeps the
+    base's `sql` (node-lookml-parser "deep merge" semantics)."""
+    out = dict(base)
+    for k, v in over.items():
+        if k in ("name", "extension"):
+            continue
+        bv = out.get(k)
+        if k == "extends" and isinstance(bv, list) and isinstance(v, list):
+            # a refinement's extends ADD to the base's (Looker applies
+            # both); order: base parents first, then the refinement's
+            out[k] = bv + [x for x in v if x not in bv]
+        elif isinstance(v, dict) and isinstance(bv, dict):
+            out[k] = _deep_merge_block(bv, v)
+        elif (
+            isinstance(v, list)
+            and isinstance(bv, list)
+            and any(isinstance(x, dict) and "name" in x for x in v + bv)
+        ):
+            merged = [dict(x) if isinstance(x, dict) else x for x in bv]
+            index = {
+                x.get("name"): i
+                for i, x in enumerate(merged)
+                if isinstance(x, dict)
+            }
+            for item in v:
+                pos = index.get(item.get("name")) if isinstance(item, dict) else None
+                if pos is None:
+                    merged.append(item)
+                else:
+                    merged[pos] = _deep_merge_block(merged[pos], item)
+                    merged[pos]["name"] = item.get("name")
+            out[k] = merged
+        else:
+            out[k] = v
+    return out
+
+
 class LookMLAdapter(BaseAdapter):
     def parse_file(self, layer, path: str) -> None:
         with open(path) as fh:
@@ -241,15 +338,48 @@ class LookMLAdapter(BaseAdapter):
     # -- internals ----------------------------------------------------
 
     def _load(self, layer, doc: dict) -> None:
-        raw_views = {v["name"]: v for v in doc.get("views", [])}
+        # `view: +name` is a REFINEMENT: deep-merged into the base view
+        # in declaration order (Looker applies refinements in include
+        # order; a refinement may precede its base in the file), the
+        # refinement's fields winning. Same for `explore: +name`.
+        raw_views: dict[str, dict] = {}
+        refinements: list[dict] = []
+        for v in doc.get("views", []):
+            if v["name"].startswith("+"):
+                refinements.append(v)
+            else:
+                raw_views[v["name"]] = v
+        for r in refinements:
+            base = raw_views.get(r["name"].lstrip("+"))
+            if base is not None:
+                merged = _deep_merge_block(base, r)
+                merged["name"] = base["name"]
+                raw_views[base["name"]] = merged
         for name, raw in raw_views.items():
             raw_views[name] = self._apply_extends(raw, raw_views)
         for raw in raw_views.values():
             if raw.get("extension") == "required":
                 continue  # abstract base view, not a queryable model
             layer.add_model(self._view_to_model(raw))
-        for explore in doc.get("explores", []):
-            self._apply_explore(layer, explore)
+        raw_explores: dict[str, dict] = {}
+        explore_refinements: list[dict] = []
+        for e in doc.get("explores", []):
+            if e["name"].startswith("+"):
+                explore_refinements.append(e)
+            else:
+                raw_explores[e["name"]] = e
+        for r in explore_refinements:
+            base = raw_explores.get(r["name"].lstrip("+"))
+            if base is not None:
+                merged = _deep_merge_block(base, r)
+                merged["name"] = base["name"]
+                raw_explores[base["name"]] = merged
+        for name, e in raw_explores.items():
+            raw_explores[name] = self._apply_extends(e, raw_explores)
+        for e in raw_explores.values():
+            if e.get("extension") == "required":
+                continue
+            self._apply_explore(layer, e)
 
     def _apply_extends(self, raw: dict, views: dict, depth: int = 0) -> dict:
         parents = raw.get("extends") or []
@@ -291,13 +421,33 @@ class LookMLAdapter(BaseAdapter):
         measure_names = {
             m.get("name") for m in raw.get("measures", []) if m.get("name")
         }
+        # parameter default_values feed `{% parameter p %}` substitution
+        param_defaults: dict[str, str] = {}
+        for p in raw.get("parameters", []):
+            dv = p.get("default_value")
+            if dv is None:
+                continue
+            if p.get("type", "string") in ("string", "date", "date_time") and not (
+                str(dv).startswith("'") or str(dv).replace(".", "").isdigit()
+            ):
+                dv = f"'{dv}'"
+            param_defaults[p["name"]] = str(dv)
+
+        groups = {
+            g["name"]: g
+            for g in raw.get("dimension_groups", [])
+            if g.get("type") != "duration"
+        }
 
         def resolve(sql: str | None, *, in_measure: bool = False) -> str | None:
             """``${TABLE}.c`` -> c; ``${f}`` -> inlined dim SQL or
-            sibling-measure name; ``${v.f}`` -> v.f."""
+            sibling-measure name; ``${group_timeframe}`` -> the group's
+            SQL under that timeframe transform; ``${v.f}`` -> v.f;
+            Liquid neutralized (see _strip_liquid)."""
             if sql is None:
                 return None
-            out = sql.replace("${TABLE}.", "")
+            out = _strip_liquid(sql, param_defaults)
+            out = out.replace("${TABLE}.", "")
             out = re.sub(r"\$\{(\w+)\.(\w+)\}", r"\1.\2", out)
 
             def repl(m: re.Match) -> str:
@@ -306,6 +456,15 @@ class LookMLAdapter(BaseAdapter):
                     return f
                 inner = dim_sql.get(f)
                 if inner is None:
+                    # Looker generates `<group>_<timeframe>` fields from
+                    # a dimension_group; map them back onto the group's
+                    # SQL with the timeframe transform applied
+                    for gn, g in groups.items():
+                        if f == gn or f.startswith(gn + "_"):
+                            base = resolve(g.get("sql")) or gn
+                            if f == gn:
+                                return base
+                            return _timeframe_sql(f[len(gn) + 1 :], base)
                     return f
                 return f"({inner})" if re.search(r"[^\w.]", inner) else inner
 
@@ -320,11 +479,41 @@ class LookMLAdapter(BaseAdapter):
         dims: list[Dimension] = []
         for d in raw.get("dimensions", []):
             dtype = d.get("type", "string")
-            sql = resolve(d.get("sql")) or d["name"]
+            sql = resolve(d.get("sql")) or None
+            if sql is None and isinstance(d.get("case"), dict):
+                # `case:` dimension -> CASE WHEN over the when-block
+                # conditions with the labels as values (ref lookml.py
+                # maps case dims the same way; `tier`-style bucket
+                # labels stay presentation-layer, case labels ARE the
+                # dimension's values)
+                c = d["case"]
+                whens = c.get("when") or []
+                if isinstance(whens, dict):
+                    whens = [whens]
+                parts = [
+                    f"WHEN {resolve(w['sql'])} THEN '{w.get('label', '')}'"
+                    for w in whens
+                    if w.get("sql")
+                ]
+                if parts:
+                    tail = f" ELSE '{c['else']}'" if c.get("else") else ""
+                    sql = "CASE " + " ".join(parts) + tail + " END"
+                    dtype = "string"
+            if sql is None and dtype in _DURATION_UNITS:
+                # duration dims: sql_start/sql_end -> TIMESTAMPDIFF
+                start = resolve(d.get("sql_start"))
+                end = resolve(d.get("sql_end"))
+                if start and end:
+                    unit = _DURATION_UNITS[dtype]
+                    sql = f"TIMESTAMPDIFF({unit}, {start}, {end})"
+                dtype = "number"
+            sql = sql or d["name"]
             dim_sql[d["name"]] = sql
             if dtype == "tier":
                 # tier buckets a numeric into ranges; keep the raw value
                 # (bucket labels are presentation-layer)
+                dtype = "number"
+            if dtype in _DURATION_UNITS:
                 dtype = "number"
             dims.append(
                 Dimension(
@@ -380,7 +569,25 @@ class LookMLAdapter(BaseAdapter):
                         description=_str(m.get("description")),
                     )
                 )
-            elif mtype in ("percentile", "percent_of_total", "running_total"):
+            elif mtype in ("percentile", "percentile_distinct"):
+                # exact ordered-set aggregate (ref lookml.py:3080-3096:
+                # PERCENTILE_CONT(f) WITHIN GROUP); _distinct maps to the
+                # plain form — our generator owns fan-out safety
+                if sql:
+                    frac = float(m.get("percentile", 50)) / 100.0
+                    metrics.append(
+                        Metric(
+                            name=m["name"],
+                            sql=(
+                                f"PERCENTILE_CONT({frac}) "
+                                f"WITHIN GROUP (ORDER BY {sql})"
+                            ),
+                            sql_is_complete=True,
+                            description=_str(m.get("description")),
+                            label=_str(m.get("label")),
+                        )
+                    )
+            elif mtype in ("percent_of_total", "running_total"):
                 # presentation-layer measure types: keep the underlying
                 # aggregate; percent/running shapes are table calcs here
                 if sql:
@@ -403,10 +610,16 @@ class LookMLAdapter(BaseAdapter):
             )
 
         derived = raw.get("derived_table") or {}
+        table = raw.get("sql_table_name")
+        if isinstance(table, str):
+            table = _strip_liquid(table, param_defaults) or None
+        derived_sql = derived.get("sql")
+        if isinstance(derived_sql, str):
+            derived_sql = _strip_liquid(derived_sql, param_defaults) or None
         return Model(
             name=name,
-            table=raw.get("sql_table_name"),
-            sql=derived.get("sql"),
+            table=table,
+            sql=derived_sql,
             primary_key=(pk[0] if len(pk) == 1 else pk) if pk else "id",
             dimensions=dims,
             metrics=metrics,
@@ -509,6 +722,29 @@ class LookMLAdapter(BaseAdapter):
 
 def _str(v) -> str | None:
     return v if isinstance(v, str) else None
+
+
+def _timeframe_sql(tf: str, base: str) -> str:
+    """Looker timeframe field -> Spark SQL over the group's base expr
+    (generated fields like created_date / created_month / created_week_of_year)."""
+    b = f"({base})" if re.search(r"[^\w.]", base) else base
+    if tf in ("raw", "time"):
+        return b
+    if tf == "date":
+        return f"CAST({b} AS DATE)"
+    if tf in ("week", "month", "quarter", "year", "hour", "minute"):
+        return f"DATE_TRUNC('{tf.upper()}', {b})"
+    return {
+        "day_of_month": f"DAY({b})",
+        "day_of_year": f"DAYOFYEAR({b})",
+        "day_of_week": f"DAYOFWEEK({b})",
+        "day_of_week_index": f"DAYOFWEEK({b}) - 1",
+        "month_num": f"MONTH({b})",
+        "month_name": f"DATE_FORMAT({b}, 'MMMM')",
+        "week_of_year": f"WEEKOFYEAR({b})",
+        "year_num": f"YEAR({b})",
+        "hour_of_day": f"HOUR({b})",
+    }.get(tf, b)
 
 
 # ---------------------------------------------------------------------------

@@ -2186,7 +2186,8 @@ _COMPLETE_SQL_KEYWORDS = _SQL_KEYWORDS | {
     "order", "asc", "desc", "varchar", "string", "date", "timestamp",
     "boolean", "integer", "numeric", "real", "smallint", "tinyint", "char",
     "escape", "exists", "all", "any", "some", "current_date",
-    "current_timestamp",
+    "current_timestamp", "within", "group", "percentile_cont",
+    "percentile_disc", "percentile",
 }
 
 

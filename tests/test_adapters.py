@@ -1302,6 +1302,109 @@ def test_metricflow_export_roundtrip(spark):
                for r in o2.relationships)
 
 
+def test_lookml_refinements_liquid_case_percentile(spark):
+    """The LookML long tail end-to-end: `view: +name` refinements
+    (deep merge by field name), `case:` dimensions, Liquid
+    neutralization ({% condition %}/{% parameter %} with defaults),
+    duration dims, dimension_group timeframe refs, and percentile
+    measures compiled through Spark."""
+    from sidemantic_spark.adapters import LookMLAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_text(layer, """
+view: +rf_orders {
+  dimension: status { label: "Status (refined)" }
+  measure: p90_amount {
+    type: percentile
+    percentile: 90
+    sql: ${TABLE}.amount ;;
+  }
+}
+view: rf_orders {
+  sql_table_name: adapter_orders ;;
+  parameter: min_amount {
+    type: number
+    default_value: "60"
+  }
+  dimension: order_id {
+    type: number
+    primary_key: yes
+    sql: ${TABLE}.order_id ;;
+  }
+  dimension: status {
+    type: string
+    sql: ${TABLE}.status ;;
+  }
+  dimension: size_bucket {
+    case: {
+      when: {
+        sql: ${TABLE}.amount >= 100 ;;
+        label: "big"
+      }
+      when: {
+        sql: ${TABLE}.amount >= 50 ;;
+        label: "mid"
+      }
+      else: "small"
+    }
+  }
+  dimension: is_over_min {
+    type: yesno
+    sql: ${TABLE}.amount >= {% parameter min_amount %} ;;
+  }
+  dimension: clean_status {
+    type: string
+    sql: {% if use_codes %}${TABLE}.status_code{% else %}${TABLE}.status{% endif %} ;;
+  }
+  dimension_group: created {
+    type: time
+    timeframes: [date, month, year]
+    sql: ${TABLE}.created_at ;;
+  }
+  dimension: created_month_num {
+    type: number
+    sql: MONTH(${created_date}) ;;
+  }
+  measure: order_count { type: count }
+  measure: total_amount {
+    type: sum
+    sql: ${TABLE}.amount ;;
+  }
+}
+""")
+    m = layer.graph.models["rf_orders"]
+    assert "+rf_orders" not in layer.graph.models
+    # refinement merged: label added, base sql kept
+    st = m.dimension("status")
+    assert st.label == "Status (refined)" and (st.sql in (None, "status"))
+    # case dimension -> CASE WHEN sql
+    sb = m.dimension("size_bucket")
+    assert sb.sql.startswith("CASE WHEN amount >= 100 THEN 'big'")
+    assert "ELSE 'small'" in sb.sql
+    # liquid: parameter default interpolated, if -> first branch
+    assert m.dimension("is_over_min").sql == "amount >= 60"
+    assert m.dimension("clean_status").sql == "status_code"
+    # timeframe field ref resolves to the group's sql
+    assert m.dimension("created_month_num").sql == "MONTH(CAST(created_at AS DATE))"
+    # percentile measure from the refinement, end-to-end vs DuckDB
+    p90 = m.metric("p90_amount")
+    assert p90.sql_is_complete and "PERCENTILE_CONT(0.9)" in p90.sql
+    row = layer.query(metrics=["rf_orders.p90_amount"]).collect()[0]
+    want = con.execute(
+        "SELECT PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY amount) FROM adapter_orders"
+    ).fetchone()[0]
+    assert abs(float(row[0]) - float(want)) < 1e-9
+    # case dimension groups correctly through Spark
+    got = {
+        r[0]: r[1]
+        for r in layer.query(
+            metrics=["rf_orders.order_count"], dimensions=["rf_orders.size_bucket"]
+        ).collect()
+    }
+    assert got == {"big": 2, "mid": 1}
+
+
 def test_lookml_export_roundtrip(spark):
     """Graph -> LookML text -> graph keeps views/dimensions/measures/
     filters/joins for the shared subset (reference adapters are
