@@ -1098,9 +1098,10 @@ def _fanout_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fanout_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-grain DISTINCT fan-out plan, explicitly forced (the auto
-    strategy prefers symmetric aggregates; this entry keeps the dedup
-    plan contract-covered — raw-row semantics, exact decimal sums)."""
+    """Entity-grain DISTINCT fan-out plan, explicitly forced (auto
+    routes here too; the explicit force keeps this entry pinned to the
+    dedup plan even if routing changes — raw-row semantics, exact
+    decimal sums)."""
     layer = _layer(spark, sf_dir)
     gen = layer.generator
     gen.fanout_strategy = "dedup"

@@ -504,7 +504,7 @@ class SparkSemanticLayer:
                     {
                         "symmetric": "symmetric_aggregates",
                         "dedup": "entity_grain_dedup",
-                        "auto": "auto_symmetric_else_dedup",
+                        "auto": "auto_entity_grain_dedup",
                     }[self.generator.fanout_strategy] if fanout_hops else None
                 ),
             },

@@ -992,16 +992,16 @@ class SqlGenerator:
             strategy = self.fanout_strategy
             if strategy == "symmetric":
                 return self._symmetric_grouped_sql(r)
-            if strategy == "auto":
-                # prefer symmetric: its shuffle rows are (dims, symkey,
-                # value)-narrow vs the dedup plan's full (pk, dims,
-                # raws) DISTINCT — the decisive difference at 100x.
-                # Shapes sym_agg cannot express (all() totals, exotic
-                # aggs) raise QueryCompileError and take the dedup plan.
-                try:
-                    return self._symmetric_grouped_sql(r)
-                except QueryCompileError:
-                    pass
+            # auto prefers the entity-grain DISTINCT plan: Spark executes
+            # multiple DISTINCT aggregates (symmetric needs >=2 per sum
+            # metric plus COUNT(DISTINCT pk)) via an Expand operator that
+            # REPLICATES every input row once per distinct aggregate
+            # before the shuffle, so the symmetric plan moves MORE bytes
+            # than the single DISTINCT-(pk, dims, raws) shuffle it is
+            # meant to avoid — measured 3x slower cold at sf0.1
+            # (5.5s vs 1.8s, local[8]) with `Expand` in the plan.
+            # Symmetric stays forceable (fanout_strategy='symmetric') for
+            # engines/queries where a pre-dedup stage is the bottleneck.
             return self._dedup_grouped_sql(r)
         return self._plain_grouped_sql(r)
 

@@ -200,7 +200,7 @@ def test_explain_plan_fanout_and_join_path(layer):
         filters=["orders.status = 'F'"],
     )
     assert ex["fanout"]["detected"]
-    assert ex["fanout"]["strategy"] == "auto_symmetric_else_dedup"
+    assert ex["fanout"]["strategy"] == "auto_entity_grain_dedup"
     # the generator roots the join at the many side (lineitem) so the
     # orders metrics fan out across the many_to_one hop
     assert ex["join_path"][0]["from"] == "lineitem"
