@@ -18,10 +18,10 @@ import re
 from sidemantic_spark.adapters.base import BaseAdapter
 from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
 
-_SOURCE_RE = re.compile(
-    r"^source:\s*(\w+)(?:\s*\([^)]*\))?\s+is\s+([^\n{]+?)\s*(?:(extend\s*)?\{|$)", re.M
+_SOURCE_START = re.compile(
+    r"^source:\s*(`[^`]+`|\w+)(?:\s*\([^)]*\))?\s+is\s+", re.M
 )
-_TABLE_RE = re.compile(r"\w+\.table\(\s*['\"]([^'\"]+)['\"]\s*\)")
+_TABLE_RE = re.compile(r"(?:\w+\.)?(?:table|virtual)\(\s*['\"]([^'\"]+)['\"]\s*\)")
 _SQL_RE = re.compile(r"\w+\.sql\(\s*(?:\"\"\"|'''|\"|')(.*?)(?:\"\"\"|'''|\"|')\s*\)", re.S)
 _FIELD_RE = re.compile(r"^\s*`?([\w ]+?)`?\s+is\s+(.+)$")
 _JOIN_WITH_RE = re.compile(r"^\s*(\w+)\s+with\s+(\w+)\s*$")
@@ -36,6 +36,96 @@ def _strip_comments(text: str) -> str:
     text = re.sub(r"//[^\n]*", "", text)
     text = re.sub(r"/\*.*?\*/", "", text, flags=re.S)
     return text
+
+
+def _sanitize_name(name: str) -> str:
+    """Backtick source names may hold arbitrary text (`cube:carrier`);
+    model names become SQL CTE identifiers, so map to a safe slug."""
+    name = name.strip("`")
+    return re.sub(r"\W+", "_", name).strip("_") or "unnamed"
+
+
+def _copy_model(parent, name: str):
+    """Independent copy of a parent source for `is parent extend {...}`
+    inheritance (field lists are copied shallowly per element via
+    dataclasses.replace so extension edits don't mutate the parent)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        parent,
+        name=name,
+        dimensions=[dataclasses.replace(d) for d in parent.dimensions],
+        metrics=[dataclasses.replace(m) for m in parent.metrics],
+        relationships=[dataclasses.replace(r) for r in parent.relationships],
+        row_filters=list(parent.row_filters),
+        segments=[dataclasses.replace(s) for s in parent.segments],
+    )
+
+
+def _scan_binding(text: str, start: int) -> tuple[str, str, int]:
+    """From the char after `is `, consume the binding expression and an
+    optional extension block. Returns (binding, block_body, end_index).
+
+    Handles: call parens with nested quotes/triple-quotes
+    (``duckdb.sql(\"\"\"...\"\"\")``), `::type` constraints,
+    ``from( parent -> { ... } )`` and bare ``parent -> { ... }``
+    pipelines (the pipeline block belongs to the BINDING, and a further
+    `extend {`/`+ {`/`{` after it is the extension), and the three
+    extension spellings ``extend {``, ``+ {``, ``{``."""
+    i, n = start, len(text)
+
+    def skip_string(j: int) -> int:
+        for q in ('"""', "'''", '"', "'"):
+            if text.startswith(q, j):
+                end = text.find(q, j + len(q))
+                return (end + len(q)) if end >= 0 else n
+        return j
+
+    def skip_balanced(j: int, open_ch: str, close_ch: str) -> int:
+        depth = 0
+        while j < n:
+            k = skip_string(j)
+            if k != j:
+                j = k
+                continue
+            c = text[j]
+            if c == open_ch:
+                depth += 1
+            elif c == close_ch:
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+            j += 1
+        return n
+
+    # consume the primary term: identifier/backtick chain with optional
+    # call parens, e.g. duckdb.sql("""...""") or from( ... ) or a name
+    bind_start = i
+    while i < n:
+        m = re.match(r"[\w.`]+", text[i:])
+        if m:
+            i += m.end()
+        if i < n and text[i] == "(":
+            i = skip_balanced(i, "(", ")")
+        # `::type` constraint: consume and continue
+        if text.startswith("::", i):
+            i += 2
+            continue
+        break
+    # optional pipeline: `-> { ... }` is part of the binding
+    m = re.match(r"\s*->\s*", text[i:])
+    if m:
+        i += m.end()
+        if i < n and text[i] == "{":
+            i = skip_balanced(i, "{", "}")
+    binding = text[bind_start:i].strip()
+    # optional extension block: `extend {`, `+ {`, or bare `{`
+    m = re.match(r"[ \t]*(?:extend[ \t]*|\+[ \t\r\n]*)?\{", text[i:])
+    if m:
+        open_idx = i + m.end() - 1
+        body, end = _block(text, open_idx)
+        return binding, body, end + 1
+    return binding, "", i
 
 
 def _block(text: str, open_idx: int) -> tuple[str, int]:
@@ -93,21 +183,67 @@ class MalloyAdapter(BaseAdapter):
 
     def parse_text(self, layer, text: str) -> None:
         text = _strip_comments(text)
-        for m in _SOURCE_RE.finditer(text):
-            name, binding = m.group(1), m.group(2)
-            if m.group(0).rstrip().endswith("{"):
-                body, _end = _block(text, m.start() + m.group(0).rindex("{"))
-            else:
-                body = ""  # bare source: no extend block
-            model = self._parse_source(name, binding, body)
-            if model is not None:
-                try:
-                    layer.add_model(model)
-                except Exception:
-                    pass  # duplicate across imports: first wins
+        local: dict[str, Model] = {}
+        for m in _SOURCE_START.finditer(text):
+            name = _sanitize_name(m.group(1))
+            binding, body, _end = _scan_binding(text, m.end())
+            model = self._parse_source(name, binding, body, local, layer)
+            if model is None:
+                continue
+            local[name] = model
+            try:
+                layer.add_model(model)
+            except Exception:
+                pass  # duplicate across imports: first wins
 
-    def _parse_source(self, name: str, binding: str, body: str) -> Model | None:
+    def _lookup_parent(self, ref: str, local: dict, layer) -> Model | None:
+        ref = _sanitize_name(ref.split("::", 1)[0].strip())
+        if ref in local:
+            return local[ref]
+        return getattr(layer.graph, "models", {}).get(ref)
+
+    def _parse_source(
+        self, name: str, binding: str, body: str, local: dict, layer
+    ) -> Model | None:
         table = sql = None
+        parent: Model | None = None
+        binding = binding.strip()
+        # `from( parent -> { ... } )` / `parent -> { ... }`: a
+        # query-derived source — compile the simple pipeline shapes
+        # (group_by/aggregate/select/where/order_by/limit) to derived
+        # SQL; aggregate outputs become plain columns of the new source
+        # (Malloy semantics: a from() source's fields are the query's
+        # output columns)
+        pm = re.match(r"^(?:from\(\s*)?(`[^`]+`|\w+)\s*->\s*\{", binding)
+        if pm:
+            qparent = self._lookup_parent(pm.group(1), local, layer)
+            if qparent is None:
+                return None
+            qbody, _qe = _block(binding, binding.index("{", pm.start()))
+            derived = self._compile_pipeline(qparent, qbody)
+            if derived is None:
+                return None
+            sql, out_dims = derived
+            model = Model(name=name, sql=sql, primary_key="id",
+                          dimensions=out_dims, metrics=[], relationships=[])
+            if body:
+                self._apply_body(model, body)
+            return model
+
+        # composite source (##! experimental{composite_sources}):
+        # `compose(a, b, ...)` resolves fields per-query across the
+        # components; statically we bind to the FIRST component (the
+        # widest rollup in the cube pattern) as the queryable surface
+        cm = re.match(r"^compose\(\s*(`[^`]+`|\w+)", binding)
+        if cm:
+            parent = self._lookup_parent(cm.group(1), local, layer)
+            if parent is not None:
+                model = _copy_model(parent, name)
+                if body:
+                    self._apply_body(model, body)
+                return model
+            return None
+
         tm = _TABLE_RE.search(binding)
         if tm:
             table = tm.group(1)
@@ -118,33 +254,69 @@ class MalloyAdapter(BaseAdapter):
             sm = _SQL_RE.search(binding)
             if sm:
                 sql = sm.group(1).strip()
-            elif re.match(r"^\w+$", binding.strip()):
-                table = binding.strip()  # source extension: reuse table name
             else:
-                return None
+                # `source: child is parent [extend|+] { ... }`: source
+                # inheritance — copy the parent's binding and fields,
+                # then apply the extension body (`::type` constraints
+                # are assertions, stripped)
+                parent = self._lookup_parent(binding, local, layer)
+                if parent is not None:
+                    model = _copy_model(parent, name)
+                    if body:
+                        self._apply_body(model, body)
+                    return model
+                if re.match(r"^\w+$", binding):
+                    table = binding  # unknown bare ref: reuse as table name
+                else:
+                    return None
 
-        pk = "id"
-        dims: list[Dimension] = []
-        mets: list[Metric] = []
-        rels: list[Relationship] = []
-        row_filters: list[str] = []
+        model = Model(
+            name=name, table=table, sql=sql, primary_key="id",
+            dimensions=[], metrics=[], relationships=[], row_filters=[],
+        )
+        if body:
+            self._apply_body(model, body)
+        return model
 
+    def _apply_body(self, model: Model, body: str) -> None:
+        """Apply an extend/`+` block to ``model`` in place: added fields
+        replace same-named inherited ones (Malloy extension override),
+        ``except:`` drops inherited fields, ``where:`` appends row
+        filters."""
         section = None
+        new_dims: list[Dimension] = []
+        new_mets: list[Metric] = []
+        new_rels: list[Relationship] = []
+        dropped: set[str] = set()
+        # one-line bodies chain sections (`{ where: x except: a, b }`);
+        # split them — but NOT a measure's `{ where: ... }` filter
+        # suffix, whose `where:` follows an open brace
+        body = re.sub(r"([^{\s])[ \t]+((?:where|except)\s*:)", r"\1\n\2", body)
         for raw in body.splitlines():
             line = raw.rstrip()
             if not line.strip():
                 continue
-            header = re.match(r"^\s*(dimension|measure|join_one|join_many|join_cross|where|primary_key|declare)\s*:\s*(.*)$", line)
+            header = re.match(
+                r"^\s*(dimension|measure|join_one|join_many|join_cross|where"
+                r"|primary_key|declare|except)\s*:\s*(.*)$",
+                line,
+            )
             if header:
                 section = header.group(1)
                 rest = header.group(2).strip()
                 if section == "primary_key":
-                    pk = rest
+                    model.primary_key = rest
                     section = None
                     continue
                 if section == "where":
                     if rest:
-                        row_filters.append(_malloy_expr_to_sql(rest))
+                        model.row_filters.append(_malloy_expr_to_sql(rest))
+                    section = None
+                    continue
+                if section == "except":
+                    dropped.update(
+                        _sanitize_name(x.strip()) for x in rest.split(",") if x.strip()
+                    )
                     section = None
                     continue
                 if not rest:
@@ -153,20 +325,142 @@ class MalloyAdapter(BaseAdapter):
             else:
                 line = line.strip()
             if section in ("dimension", "declare"):
-                self._add_field(line, dims, mets)
+                self._add_field(line, new_dims, new_mets)
             elif section == "measure":
-                self._add_measure(line, mets)
+                self._add_measure(line, new_mets)
             elif section in ("join_one", "join_many", "join_cross"):
-                self._add_join(section, line, rels)
-        # qualify bare column refs in measure filters with the model name so
-        # the generator projects them into the model CTE
-        for met in mets:
-            met.filters = [_qualify_bare(f, name) for f in met.filters]
-        return Model(
-            name=name, table=table, sql=sql, primary_key=pk,
-            dimensions=dims, metrics=mets, relationships=rels,
-            row_filters=row_filters,
-        )
+                self._add_join(section, line, new_rels)
+        # qualify bare column refs in measure filters with the model name
+        for met in new_mets:
+            met.filters = [_qualify_bare(f, model.name) for f in met.filters]
+        if dropped:
+            model.dimensions = [d for d in model.dimensions if d.name not in dropped]
+            model.metrics = [m for m in model.metrics if m.name not in dropped]
+        for d in new_dims:
+            model.dimensions = [x for x in model.dimensions if x.name != d.name]
+            model.dimensions.append(d)
+        for m in new_mets:
+            model.metrics = [x for x in model.metrics if x.name != m.name]
+            model.metrics.append(m)
+        for rl in new_rels:
+            model.relationships = [
+                x for x in model.relationships if x.name != rl.name
+            ]
+            model.relationships.append(rl)
+        model.reindex()
+
+    def _compile_pipeline(
+        self, parent: Model, qbody: str
+    ) -> tuple[str, list[Dimension]] | None:
+        """Compile a simple Malloy query stage over ``parent`` to
+        derived SQL: group_by + aggregate (+ where/order_by/limit), or
+        select: * (+ order_by/limit). Nested/multi-stage pipelines are
+        out of scope and return None."""
+        group_by: list[tuple[str, str]] = []   # (out_name, sql)
+        aggs: list[tuple[str, str]] = []
+        wheres: list[str] = []
+        order_by = limit = None
+        select_star = False
+        section = None
+        dim_sql = {d.name: (d.sql or d.name) for d in parent.dimensions}
+        for raw in qbody.splitlines():
+            line = raw.strip()
+            if not line:
+                continue
+            header = re.match(
+                r"^(group_by|aggregate|select|where|order_by|limit|nest|top)"
+                r"\s*:\s*(.*)$",
+                line,
+            )
+            if header:
+                section = header.group(1)
+                line = header.group(2).strip()
+                if section == "limit":
+                    limit = line
+                    section = None
+                    continue
+                if section == "order_by":
+                    order_by = line.rstrip(",")
+                    section = None
+                    continue
+                if section == "where":
+                    if line:
+                        wheres.append(_malloy_expr_to_sql(line))
+                    section = None
+                    continue
+                if section == "nest":
+                    return None  # nested queries: not a flat source
+                if not line:
+                    continue
+            if section == "select":
+                if line.strip().rstrip(",") == "*":
+                    select_star = True
+                else:
+                    for item in line.split(","):
+                        item = item.strip()
+                        if item:
+                            group_by.append((item, dim_sql.get(item, item)))
+                continue
+            if section == "group_by":
+                for item in line.rstrip(",").split(","):
+                    item = item.strip()
+                    if not item:
+                        continue
+                    fm = _FIELD_RE.match(item)
+                    if fm:
+                        out = fm.group(1).strip().replace(" ", "_")
+                        group_by.append((out, _malloy_expr_to_sql(fm.group(2))))
+                    else:
+                        out = item.split(".")[-1]
+                        group_by.append((out, dim_sql.get(item, item)))
+                continue
+            if section == "aggregate":
+                for item in line.rstrip(",").split(","):
+                    item = item.strip()
+                    if not item:
+                        continue
+                    fm = _FIELD_RE.match(item)
+                    if fm:
+                        out = fm.group(1).strip().replace(" ", "_")
+                        mets: list[Metric] = []
+                        self._add_measure(item, mets)
+                        if mets and mets[0].is_simple:
+                            aggs.append((out, mets[0].agg_sql(mets[0].sql or "1")))
+                        elif mets:
+                            aggs.append((out, mets[0].expr or "NULL"))
+                    else:
+                        pm = parent.metric(item)
+                        if pm is None or not pm.is_simple:
+                            return None
+                        aggs.append((item, pm.agg_sql(pm.sql or "1")))
+                continue
+        src = parent.table or (f"({parent.sql})" if parent.sql else None)
+        if src is None:
+            return None
+        if select_star and not group_by and not aggs:
+            sql = f"SELECT * FROM {src}"
+            out_dims = [
+                Dimension(name=d.name, sql=d.sql, type=d.type)
+                for d in parent.dimensions
+            ]
+        elif group_by or aggs:
+            cols = [
+                (f"{s} AS {o}" if s != o else o) for o, s in group_by
+            ] + [f"{s} AS {o}" for o, s in aggs]
+            sql = f"SELECT {', '.join(cols)} FROM {src}"
+            if wheres:
+                sql += " WHERE " + " AND ".join(f"({w})" for w in wheres)
+            if group_by:
+                sql += " GROUP BY " + ", ".join(o for o, _s in group_by)
+            out_dims = [Dimension(name=o, type="categorical") for o, _s in group_by]
+            out_dims += [Dimension(name=o, type="numeric") for o, _s in aggs]
+        else:
+            return None
+        if order_by:
+            sql += f" ORDER BY {order_by}"
+        if limit:
+            sql += f" LIMIT {limit}"
+        return sql, out_dims
 
     def _add_field(self, line: str, dims: list[Dimension], mets: list[Metric]) -> None:
         fm = _FIELD_RE.match(line)

@@ -373,6 +373,13 @@ class Model:
 
         registry.notify_model(self)
 
+    def reindex(self) -> None:
+        """Rebuild the name->field indices after in-place edits to the
+        dimensions/metrics/segments lists (adapter extension merges)."""
+        self._dims = {d.name: d for d in self.dimensions}
+        self._metrics = {m.name: m for m in self.metrics}
+        self._segments = {s.name: s for s in self.segments}
+
     def pk_list(self) -> list[str]:
         pk = self.primary_key
         return list(pk) if isinstance(pk, (list, tuple)) else [pk]

@@ -655,6 +655,101 @@ source: m_orders is duckdb.table('adapter_orders') extend {
     con.close()
 
 
+def test_malloy_inheritance_pipeline_compose(spark):
+    """Malloy long tail end-to-end: source inheritance (`is parent
+    extend { ... }` and the old `parent + { ... }` spelling) with
+    `except:` drops and overrides, backtick source names, query-derived
+    sources (`from(parent -> { group_by/aggregate })` and direct
+    pipelines), `compose()` composite sources, and multiline
+    `.sql(\"\"\"...\"\"\")` bindings — all queried through Spark."""
+    from sidemantic_spark.adapters import MalloyAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    MalloyAdapter().parse_text(layer, """
+source: base_orders is duckdb.table('adapter_orders') extend {
+  primary_key: order_id
+  dimension:
+    status is status
+    margin is amount - cost
+  measure:
+    order_count is count()
+    revenue is sum(amount)
+}
+
+source: paid_orders is base_orders extend {
+  where: status = 'paid'
+  except: margin
+  measure:
+    revenue is sum(amount) { where: status = 'paid' }
+}
+
+source: old_style is base_orders + {
+  dimension: big is amount > 100
+}
+
+source: `cube:orders` is base_orders extend {}
+
+source: status_stats is from(base_orders -> {
+  group_by: status
+  aggregate: revenue
+}) extend {
+  measure: n_statuses is count()
+}
+
+source: top_status is status_stats -> {
+  select: *
+  order_by: revenue desc
+  limit: 1
+}
+
+source: composite is compose(base_orders, `cube:orders`)
+
+source: sql_orders is duckdb.sql(\"\"\"
+  SELECT order_id, status, amount FROM adapter_orders WHERE amount > 60
+\"\"\") extend {
+  measure: big_count is count()
+}
+""")
+    ms = layer.graph.models
+    # inheritance copies fields; except: drops; same-name measure overrides
+    po = ms["paid_orders"]
+    assert po.table == "adapter_orders"
+    assert po.dimension("status") is not None and po.dimension("margin") is None
+    assert po.metric("order_count") is not None
+    assert po.metric("revenue").filters  # overridden with the filtered form
+    assert po.row_filters == ["status = 'paid'"]
+    # old `+ {` spelling adds fields
+    assert ms["old_style"].dimension("big") is not None
+    # backtick names sanitize to SQL-safe slugs
+    assert "cube_orders" in ms
+    # compose() binds to its first component
+    assert ms["composite"].metric("revenue") is not None
+    # pipeline source: aggregate output becomes a plain numeric column
+    st = ms["status_stats"]
+    assert st.sql and "GROUP BY" in st.sql
+    assert st.dimension("revenue").type == "numeric"
+    rows = {
+        r["status"]: r["revenue_sum"]
+        for r in layer.query(
+            metrics=["status_stats.n_statuses"],
+            dimensions=["status_stats.status", "status_stats.revenue AS revenue_sum"],
+        ).collect()
+    }
+    assert rows == {"paid": 250, "refunded": 50}
+    # select: * + order_by + limit pipeline
+    ts = ms["top_status"]
+    assert ts.sql and "LIMIT 1" in ts.sql
+    top = layer.query(
+        metrics=[], dimensions=["top_status.status", "top_status.revenue AS r"]
+    ).collect()
+    assert len(top) == 1 and top[0]["status"] == "paid"
+    # multiline sql binding
+    big = layer.query(metrics=["sql_orders.big_count"]).collect()[0]
+    assert big["big_count"] == 2
+    con.close()
+
+
 def test_malloy_reference_ecommerce_fixture(spark):
     from sidemantic_spark.adapters import MalloyAdapter
 
