@@ -326,6 +326,33 @@ def _deep_merge_block(base: dict, over: dict) -> dict:
 
 class LookMLAdapter(BaseAdapter):
     def parse_file(self, layer, path: str) -> None:
+        """Parse a .lkml file — or a LookML PROJECT DIRECTORY: all
+        .lkml/.lookml files under it are parsed in sorted order and
+        loaded as one document, so cross-file `extends`, `view: +name`
+        refinements, and explore joins resolve project-wide (the
+        reference sorts its tree walk the same way because refinement
+        order is file order; include-scoping is simplified to
+        whole-project visibility — one project, one namespace)."""
+        import os as _os
+
+        if _os.path.isdir(path):
+            merged: dict = {}
+            for root, dirs, files in sorted(_os.walk(path)):
+                dirs.sort()
+                for f in sorted(files):
+                    if not f.endswith((".lkml", ".lookml")):
+                        continue
+                    with open(_os.path.join(root, f)) as fh:
+                        doc = parse_lkml(fh.read())
+                    for k, v in doc.items():
+                        if isinstance(v, list) and isinstance(
+                            merged.get(k, []), list
+                        ):
+                            merged.setdefault(k, []).extend(v)
+                        else:
+                            merged.setdefault(k, v)
+            self._load(layer, merged)
+            return
         with open(path) as fh:
             self.parse_text(layer, fh.read())
 

@@ -57,6 +57,44 @@ def _fixture_files(fmt: str) -> list[str]:
 
 
 @pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
+def test_adapter_extra_corpora_sweep(spark):
+    """Corpora outside the per-format fixture dirs: the AtScale SML
+    kitchen sink, the TMDL realistic/warning projects (directory
+    layout), and the Holistics kitchen sink modules."""
+    from sidemantic_spark.adapters import ADAPTERS
+
+    # atscale: both SML dirs, yml files
+    layer = SparkSemanticLayer(spark)
+    n = 0
+    for d in ("atscale_sml", "atscale_sml_kitchen_sink"):
+        for root, _dirs, files in os.walk(os.path.join(FIXROOT, d)):
+            for f in sorted(files):
+                if f.endswith((".yml", ".yaml")):
+                    ADAPTERS["atscale"]().parse_file(layer, os.path.join(root, f))
+                    n += 1
+    assert n > 10 and len(layer.graph.models) >= 10
+
+    # tmdl: project-directory parse of the extra fixtures
+    for d in ("tmdl_realistic", "tmdl_warning"):
+        layer = SparkSemanticLayer(spark)
+        ADAPTERS["tmdl"]().parse_file(layer, os.path.join(FIXROOT, d))
+        assert layer.graph.models, d
+
+    # holistics kitchen sink: every .aml module parses
+    import glob as _glob
+
+    layer = SparkSemanticLayer(spark)
+    files = sorted(
+        _glob.glob(os.path.join(FIXROOT, "holistics_kitchen_sink/**/*.aml"),
+                   recursive=True)
+    )
+    assert files
+    for p in files:
+        ADAPTERS["holistics"]().parse_file(layer, p)
+    assert len(layer.graph.models) >= 5
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
 @pytest.mark.parametrize(
     "fmt", ["bsl", "cube", "gooddata", "hex", "holistics", "lookml", "malloy",
             "metricflow", "omni", "osi", "rill", "snowflake", "superset",
@@ -1498,6 +1536,23 @@ view: rf_orders {
         ).collect()
     }
     assert got == {"big": 2, "mid": 1}
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
+def test_lookml_project_directory_parse(spark):
+    """Directory parse loads every .lkml file as one project: cross-file
+    explore joins (orders.explore.lkml joins views from orders.lkml)
+    resolve, and the whole 47-file reference corpus lands in one graph."""
+    from sidemantic_spark.adapters import LookMLAdapter
+
+    layer = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_file(layer, os.path.join(FIXROOT, "lookml"))
+    ms = layer.graph.models
+    assert len(ms) > 60
+    # cross-file explore: orders.explore.lkml references views defined
+    # in orders.lkml — the join resolves project-wide
+    orders = ms["orders"]
+    assert any(r.name == "customers" for r in orders.relationships)
 
 
 def test_lookml_export_roundtrip(spark):
