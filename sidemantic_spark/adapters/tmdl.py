@@ -41,8 +41,86 @@ _DAX_AGG_MAP = {
     "max": "max", "distinctcount": "count_distinct", "countrows": "count",
     "median": "median",
 }
+# X-iterators over a row expression: SUMX('T', 'T'[a] * 'T'[b])
+_DAX_X_RE = re.compile(
+    r"^\s*(SUMX|AVERAGEX|MINX|MAXX|COUNTX|MEDIANX)\s*\(\s*(?:'([^']+)'|(\w+))\s*,\s*(.+)\)\s*$",
+    re.I | re.S,
+)
+_DAX_X_MAP = {
+    "sumx": "sum", "averagex": "avg", "minx": "min", "maxx": "max",
+    "countx": "count", "medianx": "median",
+}
+_DAX_DIVIDE_RE = re.compile(
+    r"^\s*DIVIDE\s*\(", re.I
+)
+_DAX_CALC_RE = re.compile(r"^\s*CALCULATE\s*\(", re.I)
+_BARE_MEASURE_RE = re.compile(r"^\s*\[([^\]]+)\]\s*$")
 
 _REF_RE = re.compile(r"(?:'([^']+)'|(\w+))\[([^\]]+)\]")
+
+
+def _split_dax_args(body: str) -> list[str]:
+    """Split top-level commas, respecting parens/brackets/quotes."""
+    out, buf, depth = [], [], 0
+    in_s = in_d = False
+    for ch in body:
+        if in_s:
+            buf.append(ch)
+            if ch == "'":
+                in_s = False
+            continue
+        if in_d:
+            buf.append(ch)
+            if ch == '"':
+                in_d = False
+            continue
+        if ch == "'":
+            in_s = True
+        elif ch == '"':
+            in_d = True
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _call_body(dax: str) -> str | None:
+    """Inner text of the outermost call: ``F( ... )`` -> ``...``."""
+    open_idx = dax.find("(")
+    if open_idx < 0:
+        return None
+    depth = 0
+    for i in range(open_idx, len(dax)):
+        if dax[i] == "(":
+            depth += 1
+        elif dax[i] == ")":
+            depth -= 1
+            if depth == 0:
+                if dax[i + 1 :].strip():
+                    return None  # trailing text: not a single call
+                return dax[open_idx + 1 : i]
+    return None
+
+
+def _dax_cols_to_sql(expr: str) -> str:
+    """``'T'[col]`` / ``T[col]`` refs -> bare sanitized column names;
+    DAX double-quote string literals -> SQL single-quote."""
+    out = _REF_RE.sub(lambda m: _sanitize(m.group(3)), expr)
+    out = re.sub(r'"([^"]*)"', lambda m: "'" + m.group(1).replace("'", "''") + "'", out)
+    # DAX operators with direct SQL equivalents
+    out = re.sub(r"\s*&&\s*", " AND ", out)
+    out = re.sub(r"\s*\|\|\s*", " OR ", out)
+    out = re.sub(r"(?<![<>])=(?!=)", "=", out)
+    return out.strip()
 
 
 def _sanitize(name: str) -> str:
@@ -118,7 +196,7 @@ class TmdlAdapter(BaseAdapter):
                         expr, i = self._multiline(lines, i + 1)
                     else:
                         _props_ignored, i = self._props(lines, i + 1)
-                    mets.append(self._dax_measure(mname, expr, tname))
+                    mets.append(self._dax_measure(mname, expr, _sanitize(tname)))
                     continue
                 i += 1
             layer.add_model(Model(
@@ -155,21 +233,91 @@ class TmdlAdapter(BaseAdapter):
         return " ".join(out), i + 1
 
     def _dax_measure(self, name: str, dax: str, table: str) -> Metric | None:
-        m = _DAX_AGG_RE.match(dax)
+        """Translate the common DAX measure shapes (the reference covers
+        these via its DAX parser's agg-extraction, adapters/tmdl.py
+        ``_extract_dax_agg``; the long tail imports opaque):
+
+        - ``SUM('T'[col])`` family -> simple aggregate
+        - ``SUMX('T', <row expr>)`` family -> aggregate over the expr
+        - ``CALCULATE(<agg>, <predicate>...)`` -> filtered metric
+        - ``DIVIDE(a, b[, alt])`` -> ratio of measures, or a
+          complete-SQL safe divide when the args are inline aggregates
+        - arithmetic over ``[measure]`` refs -> derived metric
+        """
         mname = _sanitize(name)
-        if m:
-            agg = _DAX_AGG_MAP[m.group(1).lower()]
-            col = m.group(4)
-            return Metric(
-                name=mname, agg=agg,
-                sql=_sanitize(col) if col and agg != "count" else None,
-                label=name if name != mname else None,
-            )
+        label = name if name != mname else None
+        dax = dax.strip()
+        simple = self._dax_simple_agg(dax)
+        if simple is not None:
+            agg, sql = simple
+            return Metric(name=mname, agg=agg, sql=sql, label=label)
+        if _DAX_CALC_RE.match(dax):
+            body = _call_body(dax)
+            if body is not None:
+                args = _split_dax_args(body)
+                inner = self._dax_simple_agg(args[0]) if args else None
+                filters = [_dax_cols_to_sql(a) for a in args[1:]]
+                # predicates only (no FILTER()/ALL() table functions)
+                if inner is not None and all(
+                    re.search(r"[<>=]|\bIN\b", f, re.I) and "(" not in f
+                    for f in filters
+                ):
+                    agg, sql = inner
+                    # qualify the leading column so the generator
+                    # projects it into this model's CTE
+                    return Metric(
+                        name=mname, agg=agg, sql=sql, label=label,
+                        filters=[
+                            re.sub(r"^(\w+)\b(?!\.)", rf"{table}.\1", f)
+                            for f in filters
+                        ],
+                    )
+        if _DAX_DIVIDE_RE.match(dax):
+            body = _call_body(dax)
+            if body is not None:
+                args = _split_dax_args(body)
+                if len(args) in (2, 3):
+                    num, den = args[0], args[1]
+                    nm, dm = _BARE_MEASURE_RE.match(num), _BARE_MEASURE_RE.match(den)
+                    if nm and dm:
+                        return Metric(
+                            name=mname, type="ratio", label=label,
+                            numerator=_sanitize(nm.group(1)),
+                            denominator=_sanitize(dm.group(1)),
+                        )
+                    na = self._dax_simple_agg(num)
+                    da = self._dax_simple_agg(den)
+                    if na is not None and da is not None:
+                        n_sql = Metric(name="n", agg=na[0], sql=na[1]).agg_sql(na[1] or "1")
+                        d_sql = Metric(name="d", agg=da[0], sql=da[1]).agg_sql(da[1] or "1")
+                        return Metric(
+                            name=mname, label=label, sql_is_complete=True,
+                            sql=f"CAST({n_sql} AS DOUBLE) / NULLIF({d_sql}, 0)",
+                        )
+        # pure measure-ref arithmetic: [a] - [b], ([a]-[b])/[b], ...
+        if "[" in dax and not _REF_RE.search(dax):
+            refs = re.findall(r"\[([^\]]+)\]", dax)
+            if refs and re.fullmatch(r"[\s\[\]\w.+\-*/()]+", dax):
+                expr = re.sub(r"\[([^\]]+)\]", lambda m: _sanitize(m.group(1)), dax)
+                return Metric(name=mname, type="derived", expr=expr, label=label)
         # complex DAX: import as hidden metric so the name is preserved
         return Metric(
             name=mname, agg="count", public=False,
             description=f"unparsed DAX: {dax[:200]}",
         )
+
+    def _dax_simple_agg(self, dax: str) -> tuple[str, str | None] | None:
+        """``SUM('T'[col])`` / ``SUMX('T', expr)`` -> (agg, value_sql)."""
+        m = _DAX_AGG_RE.match(dax)
+        if m:
+            agg = _DAX_AGG_MAP[m.group(1).lower()]
+            col = m.group(4)
+            return agg, (_sanitize(col) if col and agg != "count" else None)
+        m = _DAX_X_RE.match(dax)
+        if m:
+            agg = _DAX_X_MAP[m.group(1).lower()]
+            return agg, _dax_cols_to_sql(m.group(4).strip())
+        return None
 
     # -- relationships -----------------------------------------------
 

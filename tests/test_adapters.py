@@ -848,6 +848,66 @@ def test_tmdl_end_to_end(spark, tmp_path):
     con.close()
 
 
+def test_tmdl_dax_long_tail(spark, tmp_path):
+    """Compound DAX measure shapes translate (the reference needs its
+    DAX parser crate for these; the common forms are regex-safe):
+    CALCULATE(agg, predicate) -> filtered metric, DIVIDE([m],[m]) ->
+    ratio, DIVIDE(agg, agg) -> complete-SQL safe divide, SUMX row
+    expressions, and [measure] arithmetic -> derived — all executed."""
+    from sidemantic_spark.adapters import TmdlAdapter
+
+    con = _seed_orders(spark)
+    d = tmp_path / "definition"
+    (d / "tables").mkdir(parents=True)
+    (d / "tables" / "Orders.tmdl").write_text("""table adapter_orders
+    column 'Order ID'
+        dataType: int64
+        isKey
+        sourceColumn: order_id
+    column Status
+        dataType: string
+        sourceColumn: status
+    column Amount
+        dataType: decimal
+        sourceColumn: amount
+    column Cost
+        dataType: decimal
+        sourceColumn: cost
+    measure 'Total Revenue' = SUM(adapter_orders[Amount])
+    measure 'Order Count' = COUNTROWS(adapter_orders)
+    measure 'Paid Revenue' = CALCULATE(SUM(adapter_orders[Amount]), adapter_orders[Status] = "paid")
+    measure 'Revenue Share' = DIVIDE([Paid Revenue], [Total Revenue])
+    measure 'AOV' = DIVIDE(SUM(adapter_orders[Amount]), COUNTROWS(adapter_orders), 0)
+    measure 'Total Margin' = SUMX(adapter_orders, adapter_orders[Amount] - adapter_orders[Cost])
+    measure 'Margin Pct' = [Total Margin] / [Total Revenue]
+    measure 'Opaque' = VAR x = 1 RETURN x
+""")
+    layer = SparkSemanticLayer(spark)
+    TmdlAdapter().parse_file(layer, str(tmp_path))
+    m = layer.graph.models["adapter_orders"]
+    pr = m.metric("paid_revenue")
+    assert pr.agg == "sum" and pr.filters == ["adapter_orders.status = 'paid'"]
+    assert m.metric("revenue_share").type == "ratio"
+    assert m.metric("aov").sql_is_complete
+    tm = m.metric("total_margin")
+    assert tm.agg == "sum" and tm.sql == "amount - cost"
+    assert m.metric("margin_pct").type == "derived"
+    op = m.metric("opaque")
+    assert not op.public and "unparsed DAX" in (op.description or "")
+    r = layer.query(
+        metrics=["adapter_orders.paid_revenue", "adapter_orders.revenue_share",
+                 "adapter_orders.aov", "adapter_orders.total_margin",
+                 "adapter_orders.margin_pct"],
+    ).collect()[0]
+    # data: paid 100 (cost 10), paid 150 (cost 20), refunded 50 (cost 5)
+    assert r["paid_revenue"] == 250
+    assert abs(float(r["revenue_share"]) - 250 / 300) < 1e-9
+    assert abs(float(r["aov"]) - 100.0) < 1e-9
+    assert r["total_margin"] == 265
+    assert abs(float(r["margin_pct"]) - 265 / 300) < 1e-9
+    con.close()
+
+
 def test_tmdl_reference_fixture(spark):
     from sidemantic_spark.adapters import TmdlAdapter
 
