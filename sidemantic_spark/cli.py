@@ -631,6 +631,48 @@ def cmd_dashboard(args) -> int:
     raise SystemExit(f"unknown dashboard action {args.action!r}")
 
 
+def cmd_crossfilter(args) -> int:
+    """Interactive crossfilter (reference `viz.py` crossfilter
+    sessions): write a standalone HTML page, or serve it live with the
+    /crossfilter endpoints backed by the cached interaction rollup."""
+    from sidemantic_spark.crossfilter import CrossfilterDashboard, CrossfilterSession
+
+    spark = _build_spark("sidemantic-spark-crossfilter")
+    layer = _load_layer(args, spark)
+    layer.register_sources()
+    session = CrossfilterSession(
+        layer,
+        metrics=args.metrics or [],
+        dimensions=args.dimensions or [],
+        base_filters=args.filters or None,
+        limit=args.limit,
+    )
+    dash = CrossfilterDashboard({"default": session})
+    if args.serve:
+        from sidemantic_spark.server.http_api import SemanticHttpServer
+
+        srv = SemanticHttpServer(
+            layer, host=args.host, port=args.port, crossfilter=dash
+        ).start()
+        print(f"crossfilter at http://{args.host}:{srv.port}/crossfilter")
+        try:
+            import time as _time
+
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.stop()
+        return 0
+    html = dash.to_html(title=args.title or "Crossfilter")
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(html)
+        print(f"wrote {args.out}")
+    else:
+        print(html)
+    return 0
+
+
 def cmd_init(args) -> int:
     """Introspect data files -> generate model YAML (reference
     ``bootstrap.py``, ``init --from data/*.csv``)."""
@@ -776,6 +818,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", help="output file for html")
     _add_models_arg(p)
     p.set_defaults(func=cmd_dashboard)
+
+    p = sub.add_parser(
+        "crossfilter",
+        help="interactive crossfilter HTML / live server for one semantic query",
+    )
+    _add_models_arg(p)
+    _add_query_args(p)
+    p.add_argument("--title", default=None)
+    p.add_argument("--out", default=None, help="write standalone HTML here")
+    p.add_argument("--serve", action="store_true", help="serve live instead")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8090)
+    p.set_defaults(func=cmd_crossfilter)
 
     p = sub.add_parser("pgserve", help="run the PostgreSQL wire-protocol server")
     _add_models_arg(p)

@@ -1,0 +1,507 @@
+"""Crossfilter sessions: coordinated interactive views over one
+semantic query.
+
+Re-expression of the reference's crossfilter engine
+(``viz.py`` ``CrossfilterSession`` / ``CrossfilterPlanner`` /
+``InteractionPreaggCache``, ~5k LoC): a session wraps ONE semantic
+query (metrics + dimensions); every interaction request carries a list
+of filters and gets back a set of COORDINATED views computed under
+crossfilter semantics — each view ignores the filter it itself renders
+(``viz.py:1466-1489`` bars ignore ``category:<field>``, the trend
+ignores the time brush ``xRange``, the scatter ignores
+``metricRange``), so brushing one chart filters all the others but
+never collapses itself.
+
+Spark-first execution — the interaction pre-aggregation
+(``viz.py:1107`` InteractionPreaggCache) maps onto a CACHED ROLLUP
+DataFrame: the session runs the semantic query once at the chart's
+full grain, persists the result (rollup-sized, not source-sized), and
+answers every interaction by re-aggregating that rollup with
+DataFrame groupBy/agg — sum/count re-add, min/max re-fold — so a brush
+never rescans the 100 TB source. Sessions whose metrics are not
+additive-decomposable (count_distinct, median, complex types) fall
+back to per-interaction semantic queries against the source, exactly
+like the reference's ``_unsupported_reason`` path.
+
+Filter payload shapes (``viz.py`` DimensionEquals / TimeRange /
+MetricRange):
+
+    {"type": "dimension",   "field": <dim alias>, "values": [...]}
+    {"type": "timeRange",   "field": <dim alias>, "start": s, "end": e}
+    {"type": "metricRange", "field": <metric alias>, "min": a, "max": b}
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import re
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class CrossfilterError(ValueError):
+    pass
+
+
+# reference viz.py to_spec: protocol marker consumed by JS clients
+PROTOCOL = "sidemantic-crossfilter-v1"
+
+# how a rollup metric column re-aggregates under coarser grouping
+_REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+_AS_RE = re.compile(r"\s+AS\s+", re.IGNORECASE)
+
+
+def _split_field(field: str) -> tuple[str, str]:
+    """``model.dim__grain AS alias`` -> (ref, alias)."""
+    parts = _AS_RE.split(field.strip(), maxsplit=1)
+    ref = parts[0].strip()
+    if len(parts) == 2:
+        return ref, parts[1].strip()
+    name = ref.split(".", 1)[1] if "." in ref else ref
+    return ref, name
+
+
+def _sql_quote(v: Any) -> str:
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _norm_filter(f: dict[str, Any]) -> dict[str, Any]:
+    if not isinstance(f, dict) or "type" not in f:
+        raise CrossfilterError(f"invalid crossfilter filter: {f!r}")
+    t = f["type"]
+    if t in ("dimension", "category"):
+        if not f.get("field") or "values" not in f:
+            raise CrossfilterError("dimension filter needs field + values")
+        return {"type": "dimension", "field": f["field"],
+                "values": list(f["values"])}
+    if t in ("timeRange", "xRange"):
+        if not f.get("field"):
+            raise CrossfilterError("timeRange filter needs field")
+        return {"type": "timeRange", "field": f["field"],
+                "start": f.get("start"), "end": f.get("end")}
+    if t == "metricRange":
+        if not f.get("field"):
+            raise CrossfilterError("metricRange filter needs field")
+        return {"type": "metricRange", "field": f["field"],
+                "min": f.get("min"), "max": f.get("max")}
+    raise CrossfilterError(f"unknown crossfilter filter type {t!r}")
+
+
+def _ignore_key(f: dict[str, Any]) -> str:
+    """The key a view passes to drop this filter (crossfilter
+    ignore-own-filter semantics; reference viz.py ``ignore_key``)."""
+    if f["type"] == "dimension":
+        return f"category:{f['field']}"
+    if f["type"] == "timeRange":
+        return "xRange"
+    return "metricRange"
+
+
+class CrossfilterSession:
+    """One semantic query + its interaction rollup.
+
+    ``dimensions`` order matters: the FIRST dimension is the x axis
+    (the trend view groups by it; a ``timeRange`` brush is assumed to
+    target it, matching the reference's single-x-axis charts).
+    """
+
+    def __init__(
+        self,
+        layer,
+        metrics: list[str],
+        dimensions: list[str],
+        *,
+        base_filters: list[str] | None = None,
+        limit: int | None = None,
+        table_limit: int = 75,
+        interaction_preaggregations: bool = True,
+        title: str | None = None,
+    ) -> None:
+        if not metrics or not dimensions:
+            raise CrossfilterError("crossfilter needs >=1 metric and >=1 dimension")
+        self.layer = layer
+        self.metrics = list(metrics)
+        self.dimensions = list(dimensions)
+        self.base_filters = list(base_filters or [])
+        self.limit = limit
+        self.table_limit = table_limit
+        self.title = title or " / ".join(self.metric_aliases())
+        self.interaction_preaggregations = interaction_preaggregations
+        self._rollup: DataFrame | None = None
+        self._reagg = self._metric_reagg_map()
+
+    # -- field bookkeeping -------------------------------------------
+
+    def dim_aliases(self) -> list[str]:
+        return [_split_field(d)[1] for d in self.dimensions]
+
+    def dim_refs(self) -> dict[str, str]:
+        return {a: r for r, a in (_split_field(d) for d in self.dimensions)}
+
+    def metric_aliases(self) -> list[str]:
+        return [m.split(".", 1)[1] if "." in m else m for m in self.metrics]
+
+    def _metric_reagg_map(self) -> dict[str, str] | None:
+        """alias -> rollup re-aggregation, or None when any metric is
+        not additive-decomposable (falls back to source queries)."""
+        out: dict[str, str] = {}
+        for ref, alias in zip(self.metrics, self.metric_aliases()):
+            if "." not in ref:
+                return None
+            model_name, mname = ref.split(".", 1)
+            model = self.layer.graph.models.get(model_name)
+            metric = model.metric(mname) if model is not None else None
+            if metric is None or not metric.is_simple:
+                return None
+            agg = metric.agg or "sum"
+            if agg not in _REAGG or metric.fill_nulls_with is not None:
+                return None
+            out[alias] = _REAGG[agg]
+        return out
+
+    # -- interaction rollup ------------------------------------------
+
+    @property
+    def uses_rollup(self) -> bool:
+        return self.interaction_preaggregations and self._reagg is not None
+
+    def ensure_rollup(self) -> DataFrame | None:
+        """Materialize + persist the full-grain rollup (the interaction
+        pre-aggregation). Rollup-sized: |distinct dim combos| rows."""
+        if not self.uses_rollup:
+            return None
+        if self._rollup is None:
+            df = self.layer.query(
+                metrics=self.metrics,
+                dimensions=self.dimensions,
+                filters=self.base_filters or None,
+            )
+            self._rollup = df.persist()
+            self._rollup.count()  # materialize once, eagerly
+        return self._rollup
+
+    def close(self) -> None:
+        if self._rollup is not None:
+            self._rollup.unpersist()
+            self._rollup = None
+
+    # -- filters ------------------------------------------------------
+
+    def _semantic_filters(self, filters: list[dict]) -> list[str]:
+        """Pre-aggregation filters as semantic filter strings (source
+        fallback path + the response's filter_expressions)."""
+        refs = self.dim_refs()
+        out = []
+        for f in filters:
+            if f["type"] == "dimension":
+                ref = refs.get(f["field"], f["field"])
+                vals = ", ".join(_sql_quote(v) for v in f["values"])
+                out.append(f"{ref} IN ({vals})")
+            elif f["type"] == "timeRange":
+                ref = refs.get(f["field"], f["field"])
+                if f.get("start") is not None:
+                    out.append(f"{ref} >= {_sql_quote(f['start'])}")
+                if f.get("end") is not None:
+                    out.append(f"{ref} <= {_sql_quote(f['end'])}")
+        return out
+
+    def _apply_pre_filters(self, df: DataFrame, filters: list[dict]) -> DataFrame:
+        dtypes = dict(df.dtypes)
+        for f in filters:
+            if f["type"] == "dimension":
+                df = df.where(F.col(f["field"]).isin(f["values"]))
+            elif f["type"] == "timeRange":
+                col = F.col(f["field"])
+                is_time = dtypes.get(f["field"], "").startswith(
+                    ("timestamp", "date")
+                )
+                for key, op in (("start", "__ge__"), ("end", "__le__")):
+                    v = f.get(key)
+                    if v is None:
+                        continue
+                    lit = F.to_timestamp(F.lit(v)) if is_time else F.lit(v)
+                    if is_time and dtypes.get(f["field"], "") == "date":
+                        lit = F.to_date(F.lit(v))
+                    df = df.where(getattr(col, op)(lit))
+        return df
+
+    @staticmethod
+    def _apply_metric_ranges(rows: list[dict], filters: list[dict]) -> list[dict]:
+        """Metric-range brushes filter AGGREGATED values at the view's
+        own grain — evaluated on the result rows (grid-level filter,
+        reference MetricRange.to_expressions)."""
+        for f in filters:
+            if f["type"] != "metricRange":
+                continue
+            field, lo, hi = f["field"], f.get("min"), f.get("max")
+
+            def keep(r, field=field, lo=lo, hi=hi):
+                v = r.get(field)
+                if v is None:
+                    return False
+                return (lo is None or v >= lo) and (hi is None or v <= hi)
+
+            rows = [r for r in rows if keep(r)]
+        return rows
+
+    # -- views --------------------------------------------------------
+
+    def _rollup_view(
+        self,
+        dims: list[str],
+        filters: list[dict],
+        *,
+        limit: int | None = None,
+    ) -> list[dict]:
+        df = self._apply_pre_filters(self.ensure_rollup(), filters)
+        all_dims = self.dim_aliases()
+        if dims == all_dims:
+            grid = df
+        elif dims:
+            grid = df.groupBy(*dims).agg(
+                *[getattr(F, fn)(a).alias(a) for a, fn in self._reagg.items()]
+            )
+        else:
+            grid = df.agg(
+                *[getattr(F, fn)(a).alias(a) for a, fn in self._reagg.items()]
+            )
+        if dims:
+            grid = grid.orderBy(*dims)
+        if limit:
+            grid = grid.limit(limit)
+        rows = [r.asDict(recursive=True) for r in grid.collect()]
+        return self._apply_metric_ranges(rows, filters)
+
+    def _source_view(
+        self,
+        dims: list[str],
+        filters: list[dict],
+        *,
+        limit: int | None = None,
+    ) -> list[dict]:
+        refs = self.dim_refs()
+        dim_args = [
+            d for d in self.dimensions if _split_field(d)[1] in dims
+        ] or None
+        sem = self.base_filters + self._semantic_filters(filters)
+        df = self.layer.query(
+            metrics=self.metrics,
+            dimensions=dim_args,
+            filters=sem or None,
+            order_by=dims or None,
+            limit=limit,
+        )
+        rows = [r.asDict(recursive=True) for r in df.collect()]
+        return self._apply_metric_ranges(rows, filters)
+
+    def _view(self, dims, filters, *, limit=None) -> list[dict]:
+        if self.uses_rollup:
+            return self._rollup_view(dims, filters, limit=limit)
+        return self._source_view(dims, filters, limit=limit)
+
+    # -- the coordinated query ---------------------------------------
+
+    def query(self, filters: list[dict[str, Any]] | None = None) -> dict[str, Any]:
+        """One interaction round: all coordinated views under
+        crossfilter semantics. Filter dicts per the module docstring."""
+        t0 = time.perf_counter()
+        timings: dict[str, float] = {}
+
+        def mark(name: str) -> None:
+            timings[name] = round((time.perf_counter() - t0) * 1000, 2)
+
+        sel = [_norm_filter(f) for f in (filters or [])]
+
+        def minus(ignore: str) -> list[dict]:
+            return [f for f in sel if _ignore_key(f) != ignore]
+
+        all_dims = self.dim_aliases()
+        x = all_dims[0]
+
+        current = self._view(all_dims, sel, limit=self.limit)
+        mark("current")
+        trend = self._view([x], minus("xRange"), limit=self.limit)
+        mark("trend")
+        scatter = (
+            self._view(all_dims, minus("metricRange"), limit=self.limit)
+            if any(f["type"] == "metricRange" for f in sel)
+            else current
+        )
+        mark("scatter")
+        # KPI grand totals: with additive metrics and no row cap the
+        # current grid re-aggregates in-process — derive, don't rescan
+        # (reference viz.py:1440 "derive, don't rescan")
+        if self.uses_rollup and self.limit is None:
+            kpis = self._derive_kpis(current)
+        else:
+            rows = self._view([], sel)
+            kpis = rows[0] if rows else {}
+        mark("kpis")
+        bars: dict[str, list[dict]] = {}
+        for field in all_dims[1:] or all_dims[:1]:
+            bars[field] = self._view(
+                [field], minus(f"category:{field}"), limit=self.limit
+            )
+        mark("bars")
+        return {
+            "protocol": PROTOCOL,
+            "rows": current,
+            "total_groups": len(current),
+            "filter_expressions": self._semantic_filters(sel),
+            "views": {
+                "trend": trend,
+                "scatter": scatter,
+                "table": current[: self.table_limit],
+                "kpis": kpis,
+                "bars": bars,
+            },
+            "used_interaction_preagg": self.uses_rollup,
+            "timings_ms": timings,
+            "updated_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        }
+
+    def _derive_kpis(self, rows: list[dict]) -> dict[str, Any]:
+        out: dict[str, Any] = {}
+        for alias, fn in (self._reagg or {}).items():
+            vals = [r[alias] for r in rows if r.get(alias) is not None]
+            if not vals:
+                out[alias] = None
+            elif fn == "sum":
+                out[alias] = sum(vals)
+            elif fn == "min":
+                out[alias] = min(vals)
+            else:
+                out[alias] = max(vals)
+        return out
+
+    def handle_request(self, payload: dict[str, Any]) -> dict[str, Any]:
+        return self.query(payload.get("filters"))
+
+    # -- client spec / HTML ------------------------------------------
+
+    def to_spec(self, *, query_endpoint: str | None = None) -> dict[str, Any]:
+        from sidemantic_spark.charts import create_chart
+
+        initial = self._view(self.dim_aliases(), [], limit=self.limit)
+        spec: dict[str, Any] = {
+            "protocol": PROTOCOL,
+            "title": self.title,
+            "fields": {
+                "x": self.dim_aliases()[0],
+                "dimensions": self.dim_aliases(),
+                "metrics": self.metric_aliases(),
+            },
+            "interaction_preaggregations": self.uses_rollup,
+            "table_limit": self.table_limit,
+            "data": initial,
+        }
+        if initial:
+            spec["vega_lite"] = create_chart(initial)
+        if query_endpoint:
+            spec["query_endpoint"] = query_endpoint
+        return spec
+
+    def to_tab(
+        self,
+        tab_id: str,
+        *,
+        label: str | None = None,
+        query_endpoint: str | None = "/crossfilter/query",
+    ) -> dict[str, Any]:
+        return {
+            "id": tab_id,
+            "label": label or tab_id.replace("_", " ").replace("-", " ").title(),
+            "spec": self.to_spec(query_endpoint=query_endpoint),
+            "query_endpoint": query_endpoint,
+        }
+
+    def to_html(self, *, title: str | None = None) -> str:
+        return crossfilter_html(title or self.title, [self.to_tab("default")])
+
+
+class CrossfilterDashboard:
+    """Named sessions served as tabs (reference CrossfilterDashboard)."""
+
+    def __init__(self, sessions: dict[str, CrossfilterSession]) -> None:
+        if not sessions:
+            raise CrossfilterError("dashboard needs >=1 session")
+        self.sessions = dict(sessions)
+
+    def to_spec(self) -> dict[str, Any]:
+        return {
+            "protocol": PROTOCOL,
+            "tabs": [s.to_tab(tab_id) for tab_id, s in self.sessions.items()],
+        }
+
+    def handle_request(self, payload: dict[str, Any]) -> dict[str, Any]:
+        tab = payload.get("tab") or next(iter(self.sessions))
+        session = self.sessions.get(tab)
+        if session is None:
+            raise CrossfilterError(f"unknown crossfilter tab {tab!r}")
+        return session.handle_request(payload)
+
+    def to_html(self, *, title: str = "Crossfilter") -> str:
+        return crossfilter_html(
+            title, [s.to_tab(tab_id) for tab_id, s in self.sessions.items()]
+        )
+
+    def close(self) -> None:
+        for s in self.sessions.values():
+            s.close()
+
+
+def crossfilter_html(title: str, tabs: list[dict[str, Any]]) -> str:
+    """Standalone HTML shell: tab bar + per-view tables + Vega-Embed
+    chart (CDN; the tables work offline), POSTing filter interactions
+    to the tab's query_endpoint when one is configured."""
+    payload = json.dumps({"title": title, "tabs": tabs}, default=str)
+    return (
+        "<!doctype html>\n<html><head><meta charset=\"utf-8\"><title>"
+        + title.replace("<", "&lt;")
+        + "</title>\n<style>body{font:14px system-ui;margin:16px}"
+        ".tabbar button{margin-right:6px}.kpi{display:inline-block;margin:8px;"
+        "padding:8px 14px;border:1px solid #ddd;border-radius:6px}"
+        "table{border-collapse:collapse}td,th{border:1px solid #ddd;"
+        "padding:2px 8px}</style>\n"
+        "<script src=\"https://cdn.jsdelivr.net/npm/vega@5\"></script>\n"
+        "<script src=\"https://cdn.jsdelivr.net/npm/vega-lite@5\"></script>\n"
+        "<script src=\"https://cdn.jsdelivr.net/npm/vega-embed@6\"></script>\n"
+        "</head><body>\n<h1>" + title.replace("<", "&lt;") + "</h1>\n"
+        "<div class=\"tabbar\" id=\"tabs\"></div><div id=\"kpis\"></div>"
+        "<div id=\"chart\"></div><div id=\"table\"></div>\n"
+        "<script id=\"cf-spec\" type=\"application/json\">" + payload
+        + "</script>\n<script>\n"
+        "const CF = JSON.parse(document.getElementById('cf-spec').textContent);\n"
+        "let active = 0;\n"
+        "function renderTab(i){\n"
+        "  active = i; const tab = CF.tabs[i]; const spec = tab.spec;\n"
+        "  document.getElementById('tabs').innerHTML = CF.tabs.map((t,j)=>\n"
+        "    `<button onclick=\\\"renderTab(${j})\\\" ${j===i?'disabled':''}>${t.label}</button>`).join('');\n"
+        "  if (spec.vega_lite && window.vegaEmbed)\n"
+        "    vegaEmbed('#chart', Object.assign({}, spec.vega_lite, {data:{values: spec.data}}));\n"
+        "  const rows = spec.data || [];\n"
+        "  const cols = rows.length ? Object.keys(rows[0]) : [];\n"
+        "  document.getElementById('table').innerHTML = '<table><tr>' +\n"
+        "    cols.map(c=>`<th>${c}</th>`).join('') + '</tr>' +\n"
+        "    rows.slice(0, spec.table_limit||75).map(r=>'<tr>'+cols.map(c=>`<td>${r[c]}</td>`).join('')+'</tr>').join('') + '</table>';\n"
+        "}\n"
+        "async function applyFilters(filters){\n"
+        "  const tab = CF.tabs[active];\n"
+        "  if (!tab.query_endpoint) return;\n"
+        "  const res = await fetch(tab.query_endpoint, {method:'POST',\n"
+        "    headers:{'Content-Type':'application/json'},\n"
+        "    body: JSON.stringify({tab: tab.id, filters})});\n"
+        "  const out = await res.json();\n"
+        "  tab.spec.data = out.rows; renderTab(active);\n"
+        "  document.getElementById('kpis').innerHTML = Object.entries(out.views.kpis||{})\n"
+        "    .map(([k,v])=>`<span class=\\\"kpi\\\"><b>${k}</b> ${v}</span>`).join('');\n"
+        "}\n"
+        "renderTab(0);\n"
+        "</script></body></html>\n"
+    )

@@ -34,9 +34,12 @@ class SemanticHttpServer:
     def __init__(self, layer, host: str = "127.0.0.1", port: int = 0,
                  token: str | None = None,
                  require_user_attrs: bool = False,
-                 user_header: str = "X-Sidemantic-User") -> None:
+                 user_header: str = "X-Sidemantic-User",
+                 crossfilter=None) -> None:
         self.layer = layer
         self.token = token
+        # optional CrossfilterDashboard served at /crossfilter*
+        self.crossfilter = crossfilter
         # per-request user attributes from the TRUSTED user header (ref
         # api_server.py:217-235): meant to be injected by an auth proxy,
         # never taken from the request body — a client-chosen body user
@@ -209,6 +212,14 @@ def _make_handler(server: SemanticHttpServer):
                 return self._ok(json.dumps(server.handle_models()).encode())
             if self.path in ("/", "/index.html"):
                 return self._ok(DASHBOARD_HTML.encode(), ctype="text/html")
+            if self.path == "/crossfilter" and server.crossfilter is not None:
+                return self._ok(
+                    server.crossfilter.to_html().encode(), ctype="text/html"
+                )
+            if self.path == "/crossfilter/spec" and server.crossfilter is not None:
+                return self._ok(
+                    json.dumps(server.crossfilter.to_spec(), default=str).encode()
+                )
             return self._deny(404, "not found")
 
         def do_POST(self):  # noqa: N802
@@ -267,6 +278,12 @@ def _make_handler(server: SemanticHttpServer):
                 if self.path == "/compile":
                     sql = server.handle_compile(body, user=user)
                     return self._ok(json.dumps({"sql": sql}).encode())
+                if (
+                    self.path == "/crossfilter/query"
+                    and server.crossfilter is not None
+                ):
+                    out = server.crossfilter.handle_request(body)
+                    return self._ok(json.dumps(out, default=str).encode())
                 if self.path == "/chart":
                     from sidemantic_spark.charts import chart_for_query
 

@@ -1,0 +1,201 @@
+"""Crossfilter session semantics (reference viz.py CrossfilterSession /
+CrossfilterPlanner): coordinated views, ignore-own-filter, the cached
+rollup fast path vs the source fallback, and the HTTP endpoints."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from sidemantic_spark.crossfilter import (
+    CrossfilterDashboard,
+    CrossfilterError,
+    CrossfilterSession,
+)
+from sidemantic_spark.models.tpch import build_layer
+
+
+@pytest.fixture(scope="module")
+def layer(spark, sf_dir):
+    return build_layer(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def session(layer):
+    s = CrossfilterSession(
+        layer,
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["orders.status", "orders.priority"],
+    )
+    yield s
+    s.close()
+
+
+def _by(rows, *keys):
+    return {tuple(r[k] for k in keys): r for r in rows}
+
+
+def test_rollup_fast_path_enabled(session):
+    assert session.uses_rollup
+    assert session.ensure_rollup() is not None
+
+
+def test_unfiltered_matches_direct_query(session, layer):
+    out = session.query()
+    direct = layer.query(
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["orders.status", "orders.priority"],
+    ).collect()
+    got = _by(out["rows"], "status", "priority")
+    assert len(got) == len(direct)
+    for r in direct:
+        row = got[(r["status"], r["priority"])]
+        assert row["revenue"] == r["revenue"]
+        assert row["order_count"] == r["order_count"]
+    assert out["used_interaction_preagg"] is True
+    assert out["total_groups"] == len(direct)
+
+
+def test_dimension_filter_and_kpis(session, layer):
+    out = session.query([{"type": "dimension", "field": "status", "values": ["O"]}])
+    assert all(r["status"] == "O" for r in out["rows"])
+    # KPIs = grand totals under the same filters
+    direct = layer.query(
+        metrics=["orders.revenue", "orders.order_count"],
+        filters=["orders.status = 'O'"],
+    ).collect()[0]
+    assert out["views"]["kpis"]["revenue"] == direct["revenue"]
+    assert out["views"]["kpis"]["order_count"] == direct["order_count"]
+    assert out["filter_expressions"] == ["orders.status IN ('O')"]
+
+
+def test_bars_ignore_own_filter(session):
+    """The bar for a dimension ignores that dimension's own filter
+    (classic crossfilter: selecting a bar must not collapse its own
+    chart) but applies the others'."""
+    out = session.query(
+        [{"type": "dimension", "field": "priority", "values": ["1-URGENT"]}]
+    )
+    bars = out["views"]["bars"]["priority"]
+    # own filter ignored: every priority still present
+    unfiltered = session.query()["views"]["bars"]["priority"]
+    assert {r["priority"] for r in bars} == {r["priority"] for r in unfiltered}
+    # ... but the current grid IS filtered
+    assert all(r["priority"] == "1-URGENT" for r in out["rows"])
+
+
+def test_trend_ignores_time_brush(session):
+    out = session.query(
+        [{"type": "timeRange", "field": "status", "start": "F", "end": "O"}]
+    )
+    # current respects the range (lexicographic on this categorical)
+    assert {r["status"] for r in out["rows"]} <= {"F", "O"}
+    # trend (grouped by x = status) ignores the x brush
+    trend_status = {r["status"] for r in out["views"]["trend"]}
+    assert "P" in trend_status
+
+
+def test_metric_range_filters_grid_not_scatter(session):
+    base = session.query()
+    cut = max(r["revenue"] for r in base["rows"]) - 1
+    out = session.query([{"type": "metricRange", "field": "revenue", "min": cut}])
+    assert 0 < len(out["rows"]) < len(base["rows"])
+    assert all(r["revenue"] >= cut for r in out["rows"])
+    # scatter ignores the metric brush: full grid survives there
+    assert len(out["views"]["scatter"]) == len(base["rows"])
+
+
+def test_rollup_matches_source_fallback(layer):
+    """The cached-rollup re-aggregation path must produce exactly the
+    source-query path's answers (additivity check end-to-end)."""
+    filters = [
+        {"type": "dimension", "field": "priority", "values": ["1-URGENT", "2-HIGH"]}
+    ]
+    fast = CrossfilterSession(
+        layer,
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["orders.status", "orders.priority"],
+    )
+    slow = CrossfilterSession(
+        layer,
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["orders.status", "orders.priority"],
+        interaction_preaggregations=False,
+    )
+    try:
+        a, b = fast.query(filters), slow.query(filters)
+        assert a["used_interaction_preagg"] and not b["used_interaction_preagg"]
+        for view in ("rows",):
+            assert _by(a[view], "status", "priority") == _by(b[view], "status", "priority")
+        assert _by(a["views"]["trend"], "status") == _by(b["views"]["trend"], "status")
+        assert a["views"]["kpis"] == b["views"]["kpis"]
+        assert _by(a["views"]["bars"]["priority"], "priority") == _by(
+            b["views"]["bars"]["priority"], "priority"
+        )
+    finally:
+        fast.close()
+        slow.close()
+
+
+def test_non_additive_metric_uses_source_path(layer):
+    s = CrossfilterSession(
+        layer,
+        metrics=["orders.customer_count"],  # count_distinct: not re-aggregable
+        dimensions=["orders.status"],
+    )
+    try:
+        assert not s.uses_rollup
+        out = s.query([{"type": "dimension", "field": "status", "values": ["O"]}])
+        direct = layer.query(
+            metrics=["orders.customer_count"],
+            dimensions=["orders.status"],
+            filters=["orders.status = 'O'"],
+        ).collect()
+        assert _by(out["rows"], "status") == _by(
+            [r.asDict() for r in direct], "status"
+        )
+    finally:
+        s.close()
+
+
+def test_spec_tab_html_and_validation(session, layer):
+    spec = session.to_spec(query_endpoint="/crossfilter/query")
+    assert spec["protocol"] == "sidemantic-crossfilter-v1"
+    assert spec["fields"]["x"] == "status"
+    assert spec["data"] and spec["vega_lite"]["mark"]
+    html = session.to_html()
+    assert "sidemantic-crossfilter-v1" in html or "Crossfilter" in html or "<table" in html
+    with pytest.raises(CrossfilterError):
+        CrossfilterSession(layer, metrics=[], dimensions=["orders.status"])
+    with pytest.raises(CrossfilterError):
+        session.query([{"type": "nope"}])
+
+
+def test_dashboard_and_http_endpoints(layer, session):
+    from sidemantic_spark.server.http_api import SemanticHttpServer
+
+    dash = CrossfilterDashboard({"orders": session})
+    srv = SemanticHttpServer(layer, crossfilter=dash).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        spec = json.loads(urllib.request.urlopen(base + "/crossfilter/spec").read())
+        assert spec["tabs"][0]["id"] == "orders"
+        req = urllib.request.Request(
+            base + "/crossfilter/query",
+            data=json.dumps({
+                "tab": "orders",
+                "filters": [
+                    {"type": "dimension", "field": "status", "values": ["O"]}
+                ],
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        out = json.loads(urllib.request.urlopen(req).read())
+        assert out["used_interaction_preagg"] is True
+        assert all(r["status"] == "O" for r in out["rows"])
+        html = urllib.request.urlopen(base + "/crossfilter").read().decode()
+        assert "cf-spec" in html
+    finally:
+        srv.stop()
