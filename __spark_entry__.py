@@ -361,6 +361,21 @@ def _ngram_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, threshold=0.6)
 
 
+def _source_overlap(spark, sf_dir):
+    """Prefix fingerprints (first 8 normalized words) so boilerplate
+    near-dups collide across sources; whole-doc fingerprints find zero
+    cross-source pairs in this corpus below sf0.1."""
+    from sidemantic_spark.operators.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(_docs(spark, sf_dir), prefix_words=8)
+
+
+def _vocab_topk(spark, sf_dir):
+    from sidemantic_spark.operators.text import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=100)
+
+
 def _text_profile(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1360,6 +1375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _minhash_pairs,
         "dedup_simhash": _simhash_pairs,
         "dedup_ngram_jaccard": _ngram_pairs,
+        "dedup_source_overlap": _source_overlap,
+        "text_vocab_topk": _vocab_topk,
         "text_profile": _text_profile,
         "text_language_id": _lang_id,
         "text_quality_score": _quality,
@@ -1429,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first_50 = [
         # never driver-sampled: LLM-pipeline operators
         "dedup_simhash", "dedup_ngram_jaccard", "dedup_clusters",
+        "dedup_source_overlap", "text_vocab_topk",
         "text_profile", "text_language_id", "text_quality_score",
         "text_pii_scrub", "text_repetition", "text_gopher_flags",
         "text_fingerprint", "text_token_bpe", "data_profile_numeric",
@@ -1450,11 +1468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest_dedup", "streaming_rollup_route",
         # new this round (forced entity-grain dedup plan)
         "fanout_dedup_plan",
-        # anchors: plans changed this round (auto-symmetric fan-out)
+        # anchors: plans changed this round (auto now prefers the
+        # entity-grain dedup plan; symmetric stays forceable)
         "fanout_dedup", "fanout_symmetric_aggs",
         # anchors: core §2 shapes
-        "basic_agg", "join_multi_hop", "semi_additive_last",
-        "wow_pct_change",
+        "basic_agg", "semi_additive_last",
     ]
     ordered = {k: qs[k] for k in first_50}
     ordered.update({k: v for k, v in qs.items() if k not in ordered})
@@ -2370,6 +2388,36 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "dedup_ngram_jaccard": _NGRAM_ORACLE,
+        "dedup_source_overlap": """
+            WITH fps AS (
+                SELECT DISTINCT
+                       md5(array_to_string(
+                           (string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))[1:8],
+                           ' ')) AS fp,
+                       source AS src
+                FROM documents
+            )
+            SELECT a.src AS source_a, b.src AS source_b,
+                   COUNT(*) AS shared_fingerprints
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.src < b.src
+            GROUP BY 1, 2
+        """,
+        "text_vocab_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+                FROM documents
+            ),
+            f AS (
+                SELECT term,
+                       COUNT(DISTINCT doc_id) AS doc_freq,
+                       COUNT(*) AS term_freq
+                FROM toks WHERE term != '' GROUP BY term
+            )
+            SELECT term, doc_freq, term_freq FROM f
+            ORDER BY doc_freq DESC, term_freq DESC, term ASC
+            LIMIT 100
+        """,
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
             edges AS (

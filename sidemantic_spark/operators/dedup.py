@@ -212,6 +212,54 @@ def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    prefix_words: int | None = None,
+) -> DataFrame:
+    """Cross-source duplicate overlap: for every unordered source pair
+    (source_a < source_b), how many DISTINCT content fingerprints
+    appear in both — the "which crawls duplicate each other" matrix
+    that drives source-level dedup priorities in corpus curation.
+
+    ``prefix_words=N`` fingerprints only the first N normalized words
+    (prefix/boilerplate dedup: near-identical pages differing in a
+    footer still collide); None fingerprints the whole document.
+
+    Plan shape: reduce to DISTINCT (fingerprint, source) first (one
+    combiner-friendly shuffle at corpus cardinality), then self-join on
+    the fingerprint. Per-fingerprint group size is bounded by the
+    number of SOURCES (tens, not rows), so the join output per key is
+    at most |sources|^2 — no quadratic blowup regardless of how many
+    documents share a fingerprint. At 100 TB only (16-byte fp, source)
+    pairs ride the shuffles; the documents never move.
+    """
+    from sidemantic_spark.operators.text import fingerprint
+
+    if prefix_words is not None:
+        fp = F.md5(
+            F.array_join(
+                F.slice(F.split(_norm(F.col(text_col)), " "), 1, prefix_words),
+                " ",
+            )
+        )
+    else:
+        fp = fingerprint(F.col(text_col))
+    fps = df.select(
+        fp.alias("__fp"),
+        F.col(group_col).alias("__src"),
+    ).distinct()
+    a = fps.select(F.col("__fp"), F.col("__src").alias("source_a"))
+    b = fps.select(F.col("__fp"), F.col("__src").alias("source_b"))
+    return (
+        a.join(b, "__fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+    )
+
+
 def pairs_from_bucket_keys(
     banded: DataFrame, bucket_cap: int = 256
 ) -> DataFrame:

@@ -322,3 +322,37 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         language_id(t).alias("detected_lang"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: the top-``k`` terms by document frequency,
+    with term frequency as tiebreak — the vocabulary-building /
+    Zipf-curve primitive of corpus analysis.
+
+    Plan shape: explode to (term, doc) pairs, aggregate per (term, doc)
+    FIRST and then per term — two narrow map-side-combinable shuffles
+    instead of one COUNT DISTINCT (whose Expand would replicate every
+    pair once per distinct aggregate, see the fan-out routing note in
+    sql/generator.py). Top-k is a TakeOrdered, no global sort. At 100 TB
+    the (term, doc) shuffle is the corpus' token stream — combiner-
+    friendly (terms repeat within partitions) and skew-tolerant (the
+    hot term rows collapse map-side).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    per_doc = toks.groupBy("term", "__id").agg(F.count("*").alias("__n"))
+    tf = per_doc.groupBy("term").agg(
+        F.count("*").alias("doc_freq"), F.sum("__n").alias("term_freq")
+    )
+    return tf.orderBy(
+        F.desc("doc_freq"), F.desc("term_freq"), F.asc("term")
+    ).limit(k)

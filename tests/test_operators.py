@@ -391,6 +391,52 @@ def test_multimodal_resize_plumbing(docs):
             multimodal.resize_images(media, fake=False)
 
 
+def test_source_overlap_matrix(spark):
+    rows = [
+        (1, "the quick brown fox jumps", "crawlA"),
+        (2, "THE  quick brown fox jumps", "crawlB"),   # norm-dup of 1
+        (3, "the quick brown fox jumps", "crawlC"),    # dup of 1
+        (4, "something else entirely", "crawlA"),
+        (5, "something else entirely", "crawlA"),      # same-source dup: no pair
+        (6, "unique text here", "crawlB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.source_a, r.source_b): r.shared_fingerprints
+        for r in dedup.source_overlap_matrix(df).collect()
+    }
+    assert got == {
+        ("crawlA", "crawlB"): 1,
+        ("crawlA", "crawlC"): 1,
+        ("crawlB", "crawlC"): 1,
+    }
+    # prefix fingerprinting collides documents differing past the prefix
+    rows2 = [
+        (1, "a b c d e f g h tail-one", "s1"),
+        (2, "a b c d e f g h tail-two", "s2"),
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string, source string")
+    assert dedup.source_overlap_matrix(df2).count() == 0
+    pref = dedup.source_overlap_matrix(df2, prefix_words=8).collect()
+    assert [(r.source_a, r.source_b, r.shared_fingerprints) for r in pref] == [
+        ("s1", "s2", 1)
+    ]
+
+
+def test_vocab_topk(spark):
+    from sidemantic_spark.operators.text import vocab_topk
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "Apple  date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.term, r.doc_freq, r.term_freq) for r in vocab_topk(df, k=3).collect()]
+    # apple: df=2 tf=3; banana: df=2 tf=2; cherry/date: df=1 tf=1 (tie -> term asc)
+    assert got == [("apple", 2, 3), ("banana", 2, 2), ("cherry", 1, 1)]
+
+
 def test_connected_components_clusters(spark):
     rows = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (5, 99)]
     pairs = spark.createDataFrame(rows, "id_a long, id_b long")
