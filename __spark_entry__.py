@@ -1707,7 +1707,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders
             WHERE o_orderdate >= CURRENT_DATE - INTERVAL 40 YEAR
-              AND o_orderdate < CURRENT_DATE + INTERVAL 1 DAY
             GROUP BY 1
         """,
         "window_dimension": """

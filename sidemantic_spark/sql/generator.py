@@ -610,62 +610,89 @@ class SqlGenerator:
     _REL_RE = re.compile(
         r"'(last|next)\s+(\d+)\s+(day|week|month|quarter|year)s?'", re.IGNORECASE
     )
-    _REL_THIS_RE = re.compile(r"'(this|last)\s+(day|week|month|quarter|year)'", re.IGNORECASE)
+    _REL_THIS_RE = re.compile(
+        r"'(this|last|next)\s+(day|week|month|quarter|year)'", re.IGNORECASE
+    )
+    _REL_DAY_RE = re.compile(r"'\s*(today|yesterday|tomorrow)\s*'", re.IGNORECASE)
+
+    @staticmethod
+    def _rel_interval(n: int, unit: str) -> str:
+        """Spark has no QUARTER interval qualifier (INVALID_TYPED_LITERAL)
+        — emit the equivalent months."""
+        if unit == "quarter":
+            return f"INTERVAL '{3 * n}' MONTH"
+        return f"INTERVAL '{n}' {unit.upper()}"
 
     # trailing "<col> <op>" immediately before a relative-date literal
-    _REL_LHS_RE = re.compile(r"([A-Za-z_][\w.]*)\s*(>=|<=|=|!=|>|<)\s*$")
+    _REL_LHS_RE = re.compile(r"([A-Za-z_][\w.]*)\s*(>=|<=|<>|!=|=|>|<)\s*$")
 
     def _rewrite_relative_dates(self, conj: str) -> str:
         """Replace each ``col op 'relative date'`` predicate IN PLACE
         with a parenthesized range — surrounding text (ORs, parens,
-        other predicates) is preserved, not truncated."""
-        def expand(m: "re.Match[str]", rng) -> str | None:
+        other predicates) is preserved, not truncated.
+
+        OPERATOR-AWARE (reference tests/dates/test_integration.py:88-178
+        pin this): the literal names a half-open period [start, end);
+        ``=`` keeps the full range, ``!=``/``<>`` negates it, ``>=``/
+        ``<`` compare against the period start, ``>``/``<=`` against
+        the period end."""
+        def expand(m: "re.Match[str]", start: str, end: str) -> str | None:
             lhs = conj[: m.start()]
             lhs_m = self._REL_LHS_RE.search(lhs)
             if not lhs_m:
                 return None
-            col = lhs_m.group(1)
+            col, op = lhs_m.group(1), lhs_m.group(2)
+            if op == ">=":
+                pred = f"{col} >= {start}"
+            elif op == ">":
+                pred = f"{col} >= {end}"
+            elif op == "<":
+                pred = f"{col} < {start}"
+            elif op == "<=":
+                pred = f"{col} < {end}"
+            elif op == "=":
+                pred = f"{col} >= {start} AND {col} < {end}"
+            else:  # != / <>
+                pred = f"NOT ({col} >= {start} AND {col} < {end})"
             return (
-                conj[: lhs_m.start(1)]
-                + "(" + rng(col) + ")"
-                + conj[m.end():]
+                conj[: lhs_m.start(1)] + "(" + pred + ")" + conj[m.end():]
             )
 
         m = self._REL_RE.search(conj)
         if m:
             direction, n, unit = m.group(1).lower(), int(m.group(2)), m.group(3).lower()
             if direction == "last":
-                def rng(col):
-                    return (
-                        f"{col} >= CURRENT_DATE - INTERVAL '{n}' {unit.upper()}"
-                        f" AND {col} < CURRENT_DATE + INTERVAL '1' DAY"
-                    )
+                start = f"CURRENT_DATE - {self._rel_interval(n, unit)}"
+                end = "CURRENT_DATE + INTERVAL '1' DAY"
             else:
-                def rng(col):
-                    return (
-                        f"{col} >= CURRENT_DATE AND "
-                        f"{col} < CURRENT_DATE + INTERVAL '{n}' {unit.upper()}"
-                    )
-            out = expand(m, rng)
+                start = "CURRENT_DATE"
+                end = f"CURRENT_DATE + {self._rel_interval(n, unit)}"
+            out = expand(m, start, end)
             if out is not None:
                 return self._rewrite_relative_dates(out)
             return conj
         m = self._REL_THIS_RE.search(conj)
         if m:
             which, unit = m.group(1).lower(), m.group(2).lower()
-            anchor = (
-                "CURRENT_DATE" if which == "this"
-                else f"CURRENT_DATE - INTERVAL '1' {unit.upper()}"
-            )
+            one = self._rel_interval(1, unit)
+            if which == "this":
+                anchor = "CURRENT_DATE"
+            elif which == "last":
+                anchor = f"CURRENT_DATE - {one}"
+            else:  # next
+                anchor = f"CURRENT_DATE + {one}"
             start = _date_trunc(unit, anchor)
-
-            def rng(col):
-                return (
-                    f"{col} >= {start} AND "
-                    f"{col} < {start} + INTERVAL '1' {unit.upper()}"
-                )
-
-            out = expand(m, rng)
+            out = expand(m, start, f"{start} + {one}")
+            if out is not None:
+                return self._rewrite_relative_dates(out)
+            return conj
+        m = self._REL_DAY_RE.search(conj)
+        if m:
+            which = m.group(1).lower()
+            offset = {"today": "", "yesterday": " - INTERVAL '1' DAY",
+                      "tomorrow": " + INTERVAL '1' DAY"}[which]
+            day = f"CURRENT_DATE{offset}"
+            out = expand(m, day, f"{day} + INTERVAL '1' DAY")
             if out is not None:
                 return self._rewrite_relative_dates(out)
         return conj

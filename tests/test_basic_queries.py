@@ -463,6 +463,78 @@ def test_relative_date_preserves_surrounding_predicate(layer):
     ).collect()[0][0] > 0
 
 
+def test_relative_date_day_and_next_forms(layer):
+    """The reference's single-day forms (today/yesterday/tomorrow,
+    ref tests/dates/test_relative_dates.py) and `next <unit>` compile
+    to day/unit ranges and execute."""
+    sql = layer.compile(
+        metrics=["orders.order_count"],
+        filters=["orders.order_date = 'today'"],
+    )
+    assert "CURRENT_DATE" in sql and "INTERVAL '1' DAY" in sql
+    sql = layer.compile(
+        metrics=["orders.order_count"],
+        filters=["orders.order_date = 'yesterday'"],
+    )
+    assert "CURRENT_DATE - INTERVAL '1' DAY" in sql
+    sql = layer.compile(
+        metrics=["orders.order_count"],
+        filters=["orders.order_date = 'tomorrow'"],
+    )
+    assert "CURRENT_DATE + INTERVAL '1' DAY" in sql
+    sql = layer.compile(
+        metrics=["orders.order_count"],
+        filters=["orders.order_date >= 'next month'"],
+    )
+    assert "DATE_TRUNC" in sql.upper()
+    assert "CURRENT_DATE + INTERVAL '1' MONTH" in sql
+    # all execute (historical data -> zero rows is fine; no error);
+    # quarter forms must emit months — Spark has no QUARTER interval
+    # qualifier, so 'last 2 quarters' used to fail at runtime
+    for flt in ("orders.order_date = 'today'",
+                "orders.order_date >= 'next quarter'",
+                "orders.order_date >= 'last 2 quarters'",
+                "orders.order_date >= 'this quarter'"):
+        n = layer.query(metrics=["orders.order_count"], filters=[flt]).collect()
+        assert len(n) == 1
+    sql = layer.compile(
+        metrics=["orders.order_count"],
+        filters=["orders.order_date >= 'last 2 quarters'"],
+    )
+    assert "INTERVAL '6' MONTH" in sql and "QUARTER'" not in sql
+
+
+def test_relative_date_operator_aware(layer, duck):
+    """The comparison operator shapes the rewrite (reference
+    tests/dates/test_integration.py:88-178): != negates the range,
+    </<= compare against period start/end, >= is open-ended upward."""
+    sql = layer.compile(
+        metrics=["orders.order_count"],
+        filters=["orders.order_date != 'today'"],
+    )
+    assert "NOT (" in sql and "'today'" not in sql
+    sql = layer.compile(
+        metrics=["orders.order_count"],
+        filters=["orders.order_date < 'this month'"],
+    )
+    assert "DATE_TRUNC" in sql.upper() and "'this month'" not in sql
+    # < uses the period START: no end-of-period bound in the predicate
+    assert sql.count("DATE_TRUNC") == 1
+    # >= is open-ended upward (no CURRENT_DATE + 1 DAY ceiling)
+    sql = layer.compile(
+        metrics=["orders.order_count"],
+        filters=["orders.order_date >= 'last 40 years'"],
+    )
+    assert "CURRENT_DATE + INTERVAL '1' DAY" not in sql
+    # executed equivalence: != 'today' == everything (historical data)
+    df = layer.query(
+        metrics=["orders.order_count"],
+        filters=["orders.order_date != 'today'"],
+    )
+    total = layer.query(metrics=["orders.order_count"]).collect()[0][0]
+    assert df.collect()[0][0] == total
+
+
 def test_list_valued_user_attribute_compiles(layer):
     """List/object-valued user attributes must not crash the compile
     cache (keys are JSON-canonicalized)."""
