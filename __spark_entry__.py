@@ -1361,6 +1361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dimensions=["orders.order_date__month AS order_month"],
         ),
         "conversion_funnel": _q(metrics=["events.signup_to_purchase"]),
+        "conversion_by_dimension": _q(
+            metrics=["events.signup_to_purchase"],
+            dimensions=["events.user_bucket"],
+        ),
         "conversion_funnel_3step": _q(metrics=["events.signup_funnel"]),
         "retention_weekly": _q(metrics=["events.weekly_retention"]),
         "cohort_avg_spend": _q(metrics=["events.avg_user_spend"]),
@@ -1447,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-sampled: LLM-pipeline operators
         "dedup_simhash", "dedup_ngram_jaccard", "dedup_clusters",
         "dedup_source_overlap", "text_vocab_topk",
+        "conversion_by_dimension",
         "text_profile", "text_language_id", "text_quality_score",
         "text_pii_scrub", "text_repetition", "text_gopher_flags",
         "text_fingerprint", "text_token_bpe", "data_profile_numeric",
@@ -1472,7 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entity-grain dedup plan; symmetric stays forceable)
         "fanout_dedup", "fanout_symmetric_aggs",
         # anchors: core §2 shapes
-        "basic_agg", "semi_additive_last",
+        "semi_additive_last",
     ]
     ordered = {k: qs[k] for k in first_50}
     ordered.update({k: v for k, v in qs.items() if k not in ordered})
@@ -2105,6 +2110,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(converted) AS BIGINT) AS signup_to_purchase_converted,
                    CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS signup_to_purchase
             FROM flags
+        """,
+        "conversion_by_dimension": """
+            WITH base AS (
+                SELECT user_id AS entity, ts,
+                       CAST(user_id % 2 AS INT) AS user_bucket
+                FROM events WHERE event_type = 'signup'
+            ),
+            conv AS (
+                SELECT user_id AS entity, ts,
+                       CAST(user_id % 2 AS INT) AS user_bucket
+                FROM events WHERE event_type = 'purchase'
+            ),
+            flags AS (
+                SELECT b.entity, b.user_bucket,
+                       MAX(CASE WHEN c.entity IS NOT NULL THEN 1 ELSE 0 END) AS converted
+                FROM base b
+                LEFT JOIN conv c ON c.entity = b.entity
+                     AND c.ts >= b.ts AND c.ts <= b.ts + INTERVAL 7 DAY
+                     AND c.user_bucket IS NOT DISTINCT FROM b.user_bucket
+                GROUP BY 1, 2
+            )
+            SELECT user_bucket,
+                   COUNT(*) AS signup_to_purchase_base,
+                   CAST(SUM(converted) AS BIGINT) AS signup_to_purchase_converted,
+                   CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS signup_to_purchase
+            FROM flags GROUP BY 1
         """,
         "conversion_funnel_3step": """
             WITH s1 AS (

@@ -395,6 +395,12 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                 Dimension(name="event_type"),
                 Dimension(name="ts", type="time"),
                 Dimension(name="user_id", type="numeric"),
+                # derived grouping dim: per-group funnel/retention tests
+                Dimension(
+                    name="user_bucket",
+                    sql="CAST(user_id % 2 AS INT)",
+                    type="categorical",
+                ),
                 Dimension(
                     name="next_event",
                     window="LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)",

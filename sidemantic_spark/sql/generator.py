@@ -1706,6 +1706,16 @@ class SqlGenerator:
         dim_cols = (", " + ", ".join(rd.out for rd in r.dims)) if r.dims else ""
         sel_dims = (dims_sel + ",\n    ") if r.dims else ""
         group = f"\nGROUP BY {dims_group}" if r.dims else ""
+        # the conversion event must fall in the SAME dimension group as
+        # its base event — without this, a conversion in group X credits
+        # a base in group Y whenever entity+window match (reference
+        # cross-group-leak fix, tests/test_bugfix_batch.py:607; NULL-safe
+        # via <=> = IS NOT DISTINCT FROM)
+        dim_join = (
+            " AND " + " AND ".join(f"c.{rd.out} <=> b.{rd.out}" for rd in r.dims)
+            if r.dims
+            else ""
+        )
 
         sql = f"""{self._instrumentation(r, 'conversion')}
 WITH {cte_name} AS (
@@ -1715,7 +1725,7 @@ __base AS (
     SELECT __entity, __ts{dim_cols} FROM {cte_name} WHERE {base_where}
 ),
 __conv AS (
-    SELECT __entity, __ts FROM {cte_name} WHERE {conv_where}
+    SELECT __entity, __ts{dim_cols} FROM {cte_name} WHERE {conv_where}
 ),
 __flags AS (
     SELECT
@@ -1723,7 +1733,7 @@ __flags AS (
         MAX(CASE WHEN c.__entity IS NOT NULL THEN 1 ELSE 0 END) AS __converted
     FROM __base b
     LEFT JOIN __conv c
-      ON c.__entity = b.__entity AND c.__ts >= b.__ts{window_cond}
+      ON c.__entity = b.__entity AND c.__ts >= b.__ts{window_cond}{dim_join}
     GROUP BY b.__entity{(', ' + ', '.join('b.' + rd.out for rd in r.dims)) if r.dims else ''}
 )
 SELECT

@@ -220,6 +220,60 @@ def test_conversion_funnel(layer, duck):
     )
 
 
+def test_conversion_with_dimension_no_cross_group_leak(spark):
+    """Per-dimension conversion joins the conversion event to the SAME
+    dimension group as its base (reference cross-group-leak fix,
+    tests/test_bugfix_batch.py:607): a purchase in region EU must not
+    credit a signup in region US even when entity+window match."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.createDataFrame(
+        [
+            (1, "signup", "2024-01-01 00:00:00", "US"),
+            (1, "purchase", "2024-01-03 00:00:00", "EU"),  # leaks w/o dim join
+            (2, "signup", "2024-01-05 00:00:00", "EU"),
+            (2, "purchase", "2024-01-06 00:00:00", "EU"),
+            (3, "signup", "2024-01-10 00:00:00", "EU"),
+        ],
+        "user_id long, event_type string, ts_s string, region string",
+    ).selectExpr(
+        "user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts", "region"
+    ).createOrReplaceTempView("cg_events")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="cg_events",
+        table="cg_events",
+        primary_key="user_id",
+        dimensions=[
+            Dimension(name="event_type"),
+            Dimension(name="ts", type="time"),
+            Dimension(name="region"),
+        ],
+        metrics=[Metric(
+            name="signup_conv",
+            type="conversion",
+            entity="user_id",
+            base_event="cg_events.event_type = 'signup'",
+            conversion_event="cg_events.event_type = 'purchase'",
+            conversion_window="7 days",
+        )],
+    ))
+    sql = layer.compile(metrics=["cg_events.signup_conv"],
+                        dimensions=["cg_events.region"])
+    assert "<=>" in sql  # NULL-safe dimension-group join
+    rows = {
+        r["region"]: r
+        for r in layer.query(
+            metrics=["cg_events.signup_conv"], dimensions=["cg_events.region"]
+        ).collect()
+    }
+    # US: 1 signup, purchase was in EU -> 0.0 (the leak case)
+    assert rows["US"]["signup_conv"] == 0.0
+    # EU: 2 signups, 1 same-group purchase -> 0.5
+    assert rows["EU"]["signup_conv"] == 0.5
+
+
 def test_retention(layer, duck):
     df = layer.query(metrics=["events.weekly_retention"])
     assert_df_matches_oracle(
