@@ -465,6 +465,21 @@ class LookMLAdapter(BaseAdapter):
             for g in raw.get("dimension_groups", [])
             if g.get("type") != "duration"
         }
+        # every declared dimension name — a ${ref} to a dimension
+        # declared LATER in the view must resolve to that dimension,
+        # never be hijacked by the group-timeframe fallback below (e.g.
+        # ${created_flag} with a dimension_group named `created`).
+        # Pre-register each dimension's lightly-normalized SQL so
+        # forward references inline through the iterative loop.
+        declared = {
+            d["name"] for d in raw.get("dimensions", []) if d.get("name")
+        }
+        for d in raw.get("dimensions", []):
+            if d.get("name") and isinstance(d.get("sql"), str):
+                pre = _strip_liquid(d["sql"], param_defaults)
+                pre = pre.replace("${TABLE}.", "")
+                pre = re.sub(r"\$\{(\w+)\.(\w+)\}", r"\1.\2", pre)
+                dim_sql[d["name"]] = pre.strip()
 
         def resolve(sql: str | None, *, in_measure: bool = False) -> str | None:
             """``${TABLE}.c`` -> c; ``${f}`` -> inlined dim SQL or
@@ -483,6 +498,8 @@ class LookMLAdapter(BaseAdapter):
                     return f
                 inner = dim_sql.get(f)
                 if inner is None:
+                    if f in declared:
+                        return f  # declared later: keep the bare ref
                     # Looker generates `<group>_<timeframe>` fields from
                     # a dimension_group; map them back onto the group's
                     # SQL with the timeframe transform applied
@@ -517,13 +534,16 @@ class LookMLAdapter(BaseAdapter):
                 whens = c.get("when") or []
                 if isinstance(whens, dict):
                     whens = [whens]
+                def _lit(v: str) -> str:
+                    return "'" + str(v).replace("'", "''") + "'"
+
                 parts = [
-                    f"WHEN {resolve(w['sql'])} THEN '{w.get('label', '')}'"
+                    f"WHEN {resolve(w['sql'])} THEN {_lit(w.get('label', ''))}"
                     for w in whens
                     if w.get("sql")
                 ]
                 if parts:
-                    tail = f" ELSE '{c['else']}'" if c.get("else") else ""
+                    tail = f" ELSE {_lit(c['else'])}" if c.get("else") else ""
                     sql = "CASE " + " ".join(parts) + tail + " END"
                     dtype = "string"
             if sql is None and dtype in _DURATION_UNITS:
@@ -764,8 +784,10 @@ def _timeframe_sql(tf: str, base: str) -> str:
     return {
         "day_of_month": f"DAY({b})",
         "day_of_year": f"DAYOFYEAR({b})",
-        "day_of_week": f"DAYOFWEEK({b})",
-        "day_of_week_index": f"DAYOFWEEK({b}) - 1",
+        # Looker day_of_week is the day NAME; the index is Monday=0
+        # (Spark DAYOFWEEK is Sunday=1)
+        "day_of_week": f"DATE_FORMAT({b}, 'EEEE')",
+        "day_of_week_index": f"(DAYOFWEEK({b}) + 5) % 7",
         "month_num": f"MONTH({b})",
         "month_name": f"DATE_FORMAT({b}, 'MMMM')",
         "week_of_year": f"WEEKOFYEAR({b})",

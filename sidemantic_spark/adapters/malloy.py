@@ -357,6 +357,7 @@ class MalloyAdapter(BaseAdapter):
         select: * (+ order_by/limit). Nested/multi-stage pipelines are
         out of scope and return None."""
         group_by: list[tuple[str, str]] = []   # (out_name, sql)
+        select_cols: list[tuple[str, str]] = []  # row-level projection
         aggs: list[tuple[str, str]] = []
         wheres: list[str] = []
         order_by = limit = None
@@ -393,13 +394,15 @@ class MalloyAdapter(BaseAdapter):
                 if not line:
                     continue
             if section == "select":
+                # Malloy select is a ROW-LEVEL projection preserving
+                # multiplicity — never a GROUP BY
                 if line.strip().rstrip(",") == "*":
                     select_star = True
                 else:
                     for item in line.split(","):
                         item = item.strip()
                         if item:
-                            group_by.append((item, dim_sql.get(item, item)))
+                            select_cols.append((item, dim_sql.get(item, item)))
                 continue
             if section == "group_by":
                 for item in line.rstrip(",").split(","):
@@ -443,6 +446,12 @@ class MalloyAdapter(BaseAdapter):
                 Dimension(name=d.name, sql=d.sql, type=d.type)
                 for d in parent.dimensions
             ]
+        elif select_cols and not group_by and not aggs:
+            cols = [(f"{s} AS {o}" if s != o else o) for o, s in select_cols]
+            sql = f"SELECT {', '.join(cols)} FROM {src}"
+            if wheres:
+                sql += " WHERE " + " AND ".join(f"({w})" for w in wheres)
+            out_dims = [Dimension(name=o, type="categorical") for o, _s in select_cols]
         elif group_by or aggs:
             cols = [
                 (f"{s} AS {o}" if s != o else o) for o, s in group_by

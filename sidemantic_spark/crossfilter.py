@@ -36,6 +36,7 @@ from __future__ import annotations
 import datetime
 import json
 import re
+import threading
 import time
 from typing import Any
 
@@ -134,6 +135,7 @@ class CrossfilterSession:
         self.title = title or " / ".join(self.metric_aliases())
         self.interaction_preaggregations = interaction_preaggregations
         self._rollup: DataFrame | None = None
+        self._rollup_lock = threading.Lock()
         self._reagg = self._metric_reagg_map()
 
     # -- field bookkeeping -------------------------------------------
@@ -173,17 +175,22 @@ class CrossfilterSession:
 
     def ensure_rollup(self) -> DataFrame | None:
         """Materialize + persist the full-grain rollup (the interaction
-        pre-aggregation). Rollup-sized: |distinct dim combos| rows."""
+        pre-aggregation). Rollup-sized: |distinct dim combos| rows.
+        Lock-guarded: concurrent first requests on a threaded server
+        must not each persist their own copy (the loser's would leak in
+        the block manager)."""
         if not self.uses_rollup:
             return None
         if self._rollup is None:
-            df = self.layer.query(
-                metrics=self.metrics,
-                dimensions=self.dimensions,
-                filters=self.base_filters or None,
-            )
-            self._rollup = df.persist()
-            self._rollup.count()  # materialize once, eagerly
+            with self._rollup_lock:
+                if self._rollup is None:
+                    df = self.layer.query(
+                        metrics=self.metrics,
+                        dimensions=self.dimensions,
+                        filters=self.base_filters or None,
+                    ).persist()
+                    df.count()  # materialize once, eagerly
+                    self._rollup = df
         return self._rollup
 
     def close(self) -> None:
@@ -252,13 +259,7 @@ class CrossfilterSession:
 
     # -- views --------------------------------------------------------
 
-    def _rollup_view(
-        self,
-        dims: list[str],
-        filters: list[dict],
-        *,
-        limit: int | None = None,
-    ) -> list[dict]:
+    def _rollup_view(self, dims: list[str], filters: list[dict]) -> list[dict]:
         df = self._apply_pre_filters(self.ensure_rollup(), filters)
         all_dims = self.dim_aliases()
         if dims == all_dims:
@@ -273,19 +274,9 @@ class CrossfilterSession:
             )
         if dims:
             grid = grid.orderBy(*dims)
-        if limit:
-            grid = grid.limit(limit)
-        rows = [r.asDict(recursive=True) for r in grid.collect()]
-        return self._apply_metric_ranges(rows, filters)
+        return [r.asDict(recursive=True) for r in grid.collect()]
 
-    def _source_view(
-        self,
-        dims: list[str],
-        filters: list[dict],
-        *,
-        limit: int | None = None,
-    ) -> list[dict]:
-        refs = self.dim_refs()
+    def _source_view(self, dims: list[str], filters: list[dict]) -> list[dict]:
         dim_args = [
             d for d in self.dimensions if _split_field(d)[1] in dims
         ] or None
@@ -295,21 +286,31 @@ class CrossfilterSession:
             dimensions=dim_args,
             filters=sem or None,
             order_by=dims or None,
-            limit=limit,
         )
-        rows = [r.asDict(recursive=True) for r in df.collect()]
-        return self._apply_metric_ranges(rows, filters)
+        return [r.asDict(recursive=True) for r in df.collect()]
 
-    def _view(self, dims, filters, *, limit=None) -> list[dict]:
+    def _view(self, dims, filters) -> list[dict]:
+        """One view's FULL grid under the pre-aggregation filters
+        (dimension/timeRange). Metric-range brushes and the row cap are
+        applied by the caller — ranges must filter BEFORE the limit, or
+        matching groups past the cap silently vanish."""
+        pre = [f for f in filters if f["type"] != "metricRange"]
         if self.uses_rollup:
-            return self._rollup_view(dims, filters, limit=limit)
-        return self._source_view(dims, filters, limit=limit)
+            return self._rollup_view(dims, pre)
+        return self._source_view(dims, pre)
+
+    def _cap(self, rows: list[dict]) -> list[dict]:
+        return rows[: self.limit] if self.limit else rows
 
     # -- the coordinated query ---------------------------------------
 
     def query(self, filters: list[dict[str, Any]] | None = None) -> dict[str, Any]:
         """One interaction round: all coordinated views under
-        crossfilter semantics. Filter dicts per the module docstring."""
+        crossfilter semantics. Filter dicts per the module docstring.
+        Metric-range brushes filter each view's grid AT ITS OWN GRAIN
+        before the row cap; KPIs ignore metric brushes (a grand total
+        filtered by a grid-grain range is not meaningful, and keeping
+        them range-free makes the rollup and source paths agree)."""
         t0 = time.perf_counter()
         timings: dict[str, float] = {}
 
@@ -317,6 +318,7 @@ class CrossfilterSession:
             timings[name] = round((time.perf_counter() - t0) * 1000, 2)
 
         sel = [_norm_filter(f) for f in (filters or [])]
+        ranges = [f for f in sel if f["type"] == "metricRange"]
 
         def minus(ignore: str) -> list[dict]:
             return [f for f in sel if _ignore_key(f) != ignore]
@@ -324,35 +326,38 @@ class CrossfilterSession:
         all_dims = self.dim_aliases()
         x = all_dims[0]
 
-        current = self._view(all_dims, sel, limit=self.limit)
+        grid = self._view(all_dims, sel)
+        matched = self._apply_metric_ranges(grid, ranges)
+        current = self._cap(matched)
         mark("current")
-        trend = self._view([x], minus("xRange"), limit=self.limit)
-        mark("trend")
-        scatter = (
-            self._view(all_dims, minus("metricRange"), limit=self.limit)
-            if any(f["type"] == "metricRange" for f in sel)
-            else current
+        trend = self._cap(
+            self._apply_metric_ranges(self._view([x], minus("xRange")), ranges)
         )
+        mark("trend")
+        # the scatter ignores the metric brush: the unranged grid
+        scatter = self._cap(grid) if ranges else current
         mark("scatter")
-        # KPI grand totals: with additive metrics and no row cap the
-        # current grid re-aggregates in-process — derive, don't rescan
-        # (reference viz.py:1440 "derive, don't rescan")
-        if self.uses_rollup and self.limit is None:
-            kpis = self._derive_kpis(current)
+        # KPI grand totals (metric brushes ignored): with additive
+        # metrics the full grid re-aggregates in-process — derive,
+        # don't rescan (reference viz.py:1440)
+        if self.uses_rollup:
+            kpis = self._derive_kpis(grid)
         else:
             rows = self._view([], sel)
             kpis = rows[0] if rows else {}
         mark("kpis")
         bars: dict[str, list[dict]] = {}
         for field in all_dims[1:] or all_dims[:1]:
-            bars[field] = self._view(
-                [field], minus(f"category:{field}"), limit=self.limit
+            bars[field] = self._cap(
+                self._apply_metric_ranges(
+                    self._view([field], minus(f"category:{field}")), ranges
+                )
             )
         mark("bars")
         return {
             "protocol": PROTOCOL,
             "rows": current,
-            "total_groups": len(current),
+            "total_groups": len(matched),
             "filter_expressions": self._semantic_filters(sel),
             "views": {
                 "trend": trend,
@@ -388,7 +393,7 @@ class CrossfilterSession:
     def to_spec(self, *, query_endpoint: str | None = None) -> dict[str, Any]:
         from sidemantic_spark.charts import create_chart
 
-        initial = self._view(self.dim_aliases(), [], limit=self.limit)
+        initial = self._cap(self._view(self.dim_aliases(), []))
         spec: dict[str, Any] = {
             "protocol": PROTOCOL,
             "title": self.title,

@@ -489,11 +489,17 @@ def connected_components(
     """
     sess = pairs.sparkSession
     if small_edge_limit > 0:
-        probe = pairs.select(id_a, id_b).limit(small_edge_limit + 1).collect()
-        if len(probe) <= small_edge_limit:
+        # Arrow probe, not .collect(): 2M pyspark Rows would be
+        # hundreds of MB of Python objects on the driver; the Arrow
+        # table is ~16 bytes/edge and iterates as plain scalars
+        probe = pairs.select(id_a, id_b).limit(small_edge_limit + 1).toArrow()
+        if probe.num_rows <= small_edge_limit:
             id_type = dict(pairs.dtypes)[id_a]
+            edge_iter = zip(
+                probe.column(0).to_pylist(), probe.column(1).to_pylist()
+            )
             return sess.createDataFrame(
-                _union_find(probe), f"doc_id {id_type}, cluster_id {id_type}"
+                _union_find(edge_iter), f"doc_id {id_type}, cluster_id {id_type}"
             )
     # iteration shuffle width: localCheckpoint materializes the
     # NON-adaptive plan, so AQE never coalesces the per-round

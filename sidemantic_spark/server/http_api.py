@@ -212,14 +212,26 @@ def _make_handler(server: SemanticHttpServer):
                 return self._ok(json.dumps(server.handle_models()).encode())
             if self.path in ("/", "/index.html"):
                 return self._ok(DASHBOARD_HTML.encode(), ctype="text/html")
-            if self.path == "/crossfilter" and server.crossfilter is not None:
-                return self._ok(
-                    server.crossfilter.to_html().encode(), ctype="text/html"
-                )
-            if self.path == "/crossfilter/spec" and server.crossfilter is not None:
-                return self._ok(
-                    json.dumps(server.crossfilter.to_spec(), default=str).encode()
-                )
+            if self.path.startswith("/crossfilter") and server.crossfilter is not None:
+                # crossfilter sessions run their semantic queries with NO
+                # per-request user attributes (the rollup is shared), so
+                # they cannot honor per-user row policies — refuse rather
+                # than silently serve unscoped data
+                if server.require_user_attrs:
+                    return self._deny(
+                        403, "crossfilter endpoints are unavailable when "
+                        "per-request user attributes are required"
+                    )
+                if self.path == "/crossfilter":
+                    return self._ok(
+                        server.crossfilter.to_html().encode(), ctype="text/html"
+                    )
+                if self.path == "/crossfilter/spec":
+                    return self._ok(
+                        json.dumps(
+                            server.crossfilter.to_spec(), default=str
+                        ).encode()
+                    )
             return self._deny(404, "not found")
 
         def do_POST(self):  # noqa: N802
@@ -282,6 +294,13 @@ def _make_handler(server: SemanticHttpServer):
                     self.path == "/crossfilter/query"
                     and server.crossfilter is not None
                 ):
+                    if server.require_user_attrs:
+                        # see the GET-side comment: shared sessions
+                        # cannot honor per-user row policies
+                        return self._deny(
+                            403, "crossfilter endpoints are unavailable when "
+                            "per-request user attributes are required"
+                        )
                     out = server.crossfilter.handle_request(body)
                     return self._ok(json.dumps(out, default=str).encode())
                 if self.path == "/chart":

@@ -1710,10 +1710,20 @@ class SqlGenerator:
         # its base event — without this, a conversion in group X credits
         # a base in group Y whenever entity+window match (reference
         # cross-group-leak fix, tests/test_bugfix_batch.py:607; NULL-safe
-        # via <=> = IS NOT DISTINCT FROM)
+        # via <=> = IS NOT DISTINCT FROM). TIME dims are excluded: the
+        # cohort period belongs to the BASE event, and a conversion
+        # landing in the next period but inside the window must still
+        # count toward the base's cohort.
+        def _is_time(rd) -> bool:
+            if rd.grain:
+                return True
+            d = self.graph.get_model(rd.model).dimension(rd.name)
+            return d is not None and d.type == "time"
+
+        attr_dims = [rd for rd in r.dims if not _is_time(rd)]
         dim_join = (
-            " AND " + " AND ".join(f"c.{rd.out} <=> b.{rd.out}" for rd in r.dims)
-            if r.dims
+            " AND " + " AND ".join(f"c.{rd.out} <=> b.{rd.out}" for rd in attr_dims)
+            if attr_dims
             else ""
         )
 

@@ -788,6 +788,110 @@ source: sql_orders is duckdb.sql(\"\"\"
     con.close()
 
 
+def test_malloy_select_projection_preserves_multiplicity(spark):
+    """`select:` with explicit columns is a ROW-LEVEL projection — it
+    must not collapse duplicate rows via GROUP BY."""
+    from sidemantic_spark.adapters import MalloyAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    MalloyAdapter().parse_text(layer, """
+source: mp_orders is duckdb.table('adapter_orders') extend {
+  primary_key: order_id
+  measure: order_count is count()
+}
+
+source: statuses_only is mp_orders -> {
+  select: status
+} extend {
+  measure: n_rows is count()
+}
+""")
+    m = layer.graph.models["statuses_only"]
+    assert "GROUP BY" not in (m.sql or "")
+    # 3 source rows -> 3 projected rows (2 paid + 1 refunded), not 2
+    assert layer.query(metrics=["statuses_only.n_rows"]).collect()[0][0] == 3
+    con.close()
+
+
+def test_lookml_resolve_regressions(spark):
+    """Forward dimension refs are not hijacked by a same-prefix
+    dimension_group, day_of_week timeframes follow Looker semantics
+    (name / Monday=0 index), and case labels with quotes escape."""
+    from sidemantic_spark.adapters import LookMLAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_text(layer, """
+view: rr_orders {
+  sql_table_name: adapter_orders ;;
+  dimension: order_id {
+    type: number
+    primary_key: yes
+    sql: ${TABLE}.order_id ;;
+  }
+  dimension: created_ref {
+    type: string
+    sql: CAST(${created_flag} AS STRING) ;;
+  }
+  dimension: created_flag {
+    type: yesno
+    sql: ${TABLE}.amount > 60 ;;
+  }
+  dimension_group: created {
+    type: time
+    timeframes: [date, day_of_week, day_of_week_index]
+    sql: ${TABLE}.created_at ;;
+  }
+  dimension: created_dow {
+    type: string
+    sql: ${created_day_of_week} ;;
+  }
+  dimension: created_dow_idx {
+    type: number
+    sql: ${created_day_of_week_index} ;;
+  }
+  dimension: quoted_bucket {
+    case: {
+      when: {
+        sql: ${TABLE}.amount >= 100 ;;
+        label: "Don't know"
+      }
+      else: "it's small"
+    }
+  }
+  measure: order_count { type: count }
+}
+""")
+    m = layer.graph.models["rr_orders"]
+    # forward ref resolves to the later dimension's SQL, not created_at
+    assert "amount > 60" in m.dimension("created_ref").sql
+    assert "created_at" not in m.dimension("created_ref").sql
+    # Looker day_of_week = day NAME; index is Monday=0
+    assert "DATE_FORMAT" in m.dimension("created_dow").sql
+    assert "+ 5) % 7" in m.dimension("created_dow_idx").sql
+    # quotes in case labels escape; the whole model executes
+    assert "Don''t know" in m.dimension("quoted_bucket").sql
+    rows = {
+        r["quoted_bucket"]: r["order_count"]
+        for r in layer.query(
+            metrics=["rr_orders.order_count"],
+            dimensions=["rr_orders.quoted_bucket"],
+        ).collect()
+    }
+    assert rows == {"Don't know": 2, "it's small": 1}
+    # seed dates: 2026-01-01 (Thursday), 2026-02-01 / 2026-02-15 (Sundays)
+    dows = {
+        (r["created_dow"], r["created_dow_idx"])
+        for r in layer.query(
+            metrics=["rr_orders.order_count"],
+            dimensions=["rr_orders.created_dow", "rr_orders.created_dow_idx"],
+        ).collect()
+    }
+    assert dows == {("Thursday", 3), ("Sunday", 6)}
+    con.close()
+
+
 def test_malloy_reference_ecommerce_fixture(spark):
     from sidemantic_spark.adapters import MalloyAdapter
 

@@ -5,6 +5,7 @@ rollup fast path vs the source fallback, and the HTTP endpoints."""
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.request
 
 import pytest
@@ -105,6 +106,40 @@ def test_metric_range_filters_grid_not_scatter(session):
     assert all(r["revenue"] >= cut for r in out["rows"])
     # scatter ignores the metric brush: full grid survives there
     assert len(out["views"]["scatter"]) == len(base["rows"])
+    # KPIs ignore metric brushes (both execution paths agree on this)
+    assert out["views"]["kpis"] == base["views"]["kpis"]
+
+
+def test_metric_range_applies_before_row_cap(layer):
+    """A metric-range brush must filter the grid BEFORE the row cap:
+    matching groups past the cap must not silently vanish."""
+    full = CrossfilterSession(
+        layer,
+        metrics=["orders.revenue"],
+        dimensions=["orders.status", "orders.priority"],
+    )
+    capped = CrossfilterSession(
+        layer,
+        metrics=["orders.revenue"],
+        dimensions=["orders.status", "orders.priority"],
+        limit=1,
+    )
+    try:
+        grid = full.query()["rows"]
+        # choose a cut matching ONLY the metrically-largest group, which
+        # sorts last by dims in this dataset with high likelihood — take
+        # the max-revenue row explicitly
+        top = max(grid, key=lambda r: r["revenue"])
+        flt = [{"type": "metricRange", "field": "revenue", "min": top["revenue"]}]
+        out = capped.query(flt)
+        assert len(out["rows"]) == 1
+        assert out["rows"][0]["revenue"] == top["revenue"]
+        assert out["total_groups"] == len(
+            [r for r in grid if r["revenue"] >= top["revenue"]]
+        )
+    finally:
+        full.close()
+        capped.close()
 
 
 def test_rollup_matches_source_fallback(layer):
@@ -171,6 +206,33 @@ def test_spec_tab_html_and_validation(session, layer):
         CrossfilterSession(layer, metrics=[], dimensions=["orders.status"])
     with pytest.raises(CrossfilterError):
         session.query([{"type": "nope"}])
+
+
+def test_crossfilter_denied_under_row_policies(layer, session):
+    """Crossfilter sessions run without per-request user attributes, so
+    a server requiring them must refuse the endpoints instead of
+    serving unscoped data."""
+    from sidemantic_spark.server.http_api import SemanticHttpServer
+
+    dash = CrossfilterDashboard({"orders": session})
+    srv = SemanticHttpServer(layer, require_user_attrs=True, crossfilter=dash).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        for path, method in (("/crossfilter/spec", "GET"),
+                             ("/crossfilter", "GET"),
+                             ("/crossfilter/query", "POST")):
+            req = urllib.request.Request(
+                base + path,
+                data=b"{}" if method == "POST" else None,
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(req)
+                raise AssertionError(f"{path} should have been denied")
+            except urllib.error.HTTPError as e:
+                assert e.code == 403, (path, e.code)
+    finally:
+        srv.stop()
 
 
 def test_dashboard_and_http_endpoints(layer, session):

@@ -274,6 +274,53 @@ def test_conversion_with_dimension_no_cross_group_leak(spark):
     assert rows["EU"]["signup_conv"] == 0.5
 
 
+def test_conversion_time_cohort_crosses_period_boundary(spark):
+    """Time-grain dimensions are EXCLUDED from the conversion dim join:
+    a signup on Jan 30 converting Feb 2 (inside the 7-day window) must
+    count toward the JANUARY cohort, not be dropped because the
+    purchase's month differs."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.createDataFrame(
+        [
+            (1, "signup", "2024-01-30 00:00:00"),
+            (1, "purchase", "2024-02-02 00:00:00"),  # next month, in window
+            (2, "signup", "2024-01-10 00:00:00"),
+        ],
+        "user_id long, event_type string, ts_s string",
+    ).selectExpr(
+        "user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts"
+    ).createOrReplaceTempView("tc_events")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="tc_events",
+        table="tc_events",
+        primary_key="user_id",
+        dimensions=[
+            Dimension(name="event_type"),
+            Dimension(name="ts", type="time"),
+        ],
+        metrics=[Metric(
+            name="conv",
+            type="conversion",
+            entity="user_id",
+            base_event="tc_events.event_type = 'signup'",
+            conversion_event="tc_events.event_type = 'purchase'",
+            conversion_window="7 days",
+        )],
+    ))
+    rows = {
+        r["m"]: r
+        for r in layer.query(
+            metrics=["tc_events.conv"], dimensions=["tc_events.ts__month AS m"]
+        ).collect()
+    }
+    jan = rows[list(rows)[0]]
+    assert jan["conv_base"] == 2 and jan["conv_converted"] == 1
+    assert jan["conv"] == 0.5
+
+
 def test_retention(layer, duck):
     df = layer.query(metrics=["events.weekly_retention"])
     assert_df_matches_oracle(
