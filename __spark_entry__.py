@@ -1448,13 +1448,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # auto-symmetric) and must be re-verified.  Entries 51+ were all
     # driver-green in r01-r03 and stay covered by the local strict run.
     first_50 = [
+        # cheap pure-JVM entry first: the first entry's driver timing
+        # absorbs session cold-start (worker pool, codegen), so it
+        # should not land on an Arrow-UDF-heavy operator
+        "text_fingerprint",
         # never driver-sampled: LLM-pipeline operators
         "dedup_simhash", "dedup_ngram_jaccard", "dedup_clusters",
         "dedup_source_overlap", "text_vocab_topk",
         "conversion_by_dimension",
         "text_profile", "text_language_id", "text_quality_score",
         "text_pii_scrub", "text_repetition", "text_gopher_flags",
-        "text_fingerprint", "text_token_bpe", "data_profile_numeric",
+        "text_token_bpe", "data_profile_numeric",
         "pipeline_domain_mix", "pipeline_span_dedup",
         "pipeline_clean_corpus", "pipeline_sequence_pack",
         "pipeline_sample_stratified", "pipeline_decontaminate",

@@ -48,6 +48,9 @@ EXTRA = [
     "dedup_ngram_jaccard",    # perf-worked r04
     "dedup_clusters",         # pointer-jumping CC (r04)
     "sim_semantic_dedup",     # LSH graph + CC (r04)
+    "text_vocab_topk",        # new operator (r04)
+    "dedup_source_overlap",   # new operator (r04)
+    "conversion_by_dimension",  # per-group funnel (r04)
 ]
 
 
