@@ -631,6 +631,63 @@ def cmd_dashboard(args) -> int:
     raise SystemExit(f"unknown dashboard action {args.action!r}")
 
 
+def cmd_manpage(args) -> int:
+    """Deterministic roff man page generated from the live argparse
+    command tree (reference ``manpage.py`` generates the same from its
+    Click tree) — `sidemantic-spark manpage > sidemantic-spark.1`."""
+    parser = build_parser()
+    print(render_manpage(parser))
+    return 0
+
+
+def render_manpage(parser) -> str:
+    import argparse as _ap
+
+    def roff(text: str) -> str:
+        out = text.replace("\\", r"\e").replace("-", r"\-")
+        if out.startswith((".", "'")):
+            out = r"\&" + out
+        return out
+
+    lines = [
+        '.TH "SIDEMANTIC-SPARK" "1" "" "" "sidemantic-spark manual"',
+        ".SH NAME",
+        r"sidemantic\-spark \- PySpark\-native semantic layer",
+        ".SH SYNOPSIS",
+        r".B sidemantic\-spark",
+        r"\fICOMMAND\fR [\fIOPTIONS\fR]",
+        ".SH DESCRIPTION",
+        roff(parser.description or ""),
+        ".SH COMMANDS",
+    ]
+    sub_actions = [
+        a for a in parser._actions if isinstance(a, _ap._SubParsersAction)
+    ]
+    for sub in sub_actions:
+        helps = {c.dest: c.help for c in sub._choices_actions}
+        for name, sp in sorted(sub.choices.items()):
+            lines.append(".TP")
+            lines.append(f"\\fB{roff(name)}\\fR")
+            lines.append(roff(helps.get(name) or sp.description or ""))
+            opts = [
+                a for a in sp._actions
+                if a.option_strings and a.dest != "help"
+            ]
+            if opts:
+                lines.append(".RS")
+                for a in opts:
+                    flag = ", ".join(a.option_strings)
+                    lines.append(".TP")
+                    lines.append(f"\\fB{roff(flag)}\\fR")
+                    lines.append(roff(a.help or ""))
+                lines.append(".RE")
+    lines += [
+        ".SH SEE ALSO",
+        r"The project README and SURVEY.md for the full operator inventory.",
+    ]
+    return "\n".join(lines) + "\n"
+
+
 def cmd_crossfilter(args) -> int:
     """Interactive crossfilter (reference `viz.py` crossfilter
     sessions): write a standalone HTML page, or serve it live with the
@@ -746,7 +803,7 @@ def _add_query_args(p):
     p.add_argument("--limit", type=int, default=None)
 
 
-def main(argv: list[str] | None = None) -> int:
+def build_parser() -> "argparse.ArgumentParser":
     parser = argparse.ArgumentParser(prog="sidemantic-spark",
                                      description="PySpark-native semantic layer")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -934,7 +991,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="rebuild partitions >= this timestamp (e.g. 2026-01-01)")
     p.set_defaults(func=cmd_preagg_refresh)
 
-    args = parser.parse_args(argv)
+    p = sub.add_parser("manpage", help="emit a roff man page for this CLI")
+    p.set_defaults(func=cmd_manpage)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
     return args.func(args)
 
 

@@ -377,3 +377,16 @@ models:
     layer = SparkSemanticLayer(None)
     load_path(layer, str(d))
     assert set(layer.graph.models) == {"orders", "orders_extra"}
+
+
+def test_cli_manpage(capsys):
+    """`manpage` emits roff covering every registered subcommand
+    (reference manpage.py generates the same from its Click tree)."""
+    from sidemantic_spark import cli
+
+    assert cli.main(["manpage"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith('.TH "SIDEMANTIC-SPARK" "1"')
+    for cmd in ("query", "sql", "convert", "serve", "crossfilter",
+                "preagg", "workbench", "manpage"):
+        assert f"\\fB{cmd}\\fR".replace("-", r"\-") in out or f"\\fB{cmd}\\fR" in out, cmd
