@@ -369,3 +369,28 @@ def test_fk_dimension_query_has_no_join(layer):
     assert "Join" not in plan
     scan = next(line for line in plan.splitlines() if "ReadSchema" in line)
     assert "customer" not in scan
+
+
+def test_vocab_topk_no_expand_takeordered(spark, sf_dir):
+    """vocab_topk's two-stage counting must avoid the Expand operator
+    (a COUNT DISTINCT formulation would replicate every (term, doc)
+    pair per distinct aggregate) and take top-k without a global sort."""
+    from sidemantic_spark.models.tpch import register_tables
+    from sidemantic_spark.operators.text import vocab_topk
+
+    register_tables(spark, sf_dir)
+    plan = _plan(vocab_topk(spark.table("documents"), k=10))
+    assert "Expand" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_source_overlap_no_nested_loop(spark, sf_dir):
+    """The fingerprint self-join is an equi-join (hash/sort-merge),
+    never a nested-loop pair blowup."""
+    from sidemantic_spark.models.tpch import register_tables
+    from sidemantic_spark.operators.dedup import source_overlap_matrix
+
+    register_tables(spark, sf_dir)
+    plan = _plan(source_overlap_matrix(spark.table("documents"), prefix_words=8))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
