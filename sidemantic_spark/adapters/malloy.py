@@ -219,7 +219,11 @@ class MalloyAdapter(BaseAdapter):
             qparent = self._lookup_parent(pm.group(1), local, layer)
             if qparent is None:
                 return None
-            qbody, _qe = _block(binding, binding.index("{", pm.start()))
+            qbody, qend = _block(binding, binding.index("{", pm.start()))
+            # multi-stage pipelines (`-> {} -> {}`) are out of scope;
+            # truncating to stage 1 would be a silently-wrong model
+            if "->" in binding[qend:]:
+                return None
             derived = self._compile_pipeline(qparent, qbody)
             if derived is None:
                 return None
