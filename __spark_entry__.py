@@ -1006,6 +1006,43 @@ def _streaming_window_agg(spark, sf_dir):
     )
 
 
+def _streaming_dedup_fingerprint(spark, sf_dir):
+    """Streaming corpus ingestion dedup on content fingerprints: the
+    documents stream computes the same md5 fingerprint the batch dedup
+    family uses, dropDuplicates keeps first-arrival per fingerprint,
+    availableNow replay retains exactly the batch DISTINCT fingerprint
+    set (the DuckDB oracle). At scale the within-watermark variant
+    bounds state; replay here is exact/global so the oracle holds."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators.text import fingerprint
+    from sidemantic_spark.streaming.stream_layer import (
+        StreamingModelBinding,
+        StreamingSemanticLayer,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .withColumn("fp", fingerprint(F.col("text")))
+        .withColumn("__ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    )
+    sl = StreamingSemanticLayer(_layer(spark, sf_dir))
+    sl.bind(
+        StreamingModelBinding(model="documents", time_column="__ts", stream=stream)
+    )
+    out = sl.stream_dedup(
+        "documents", keys=["fp"], watermark="36500 days", within_watermark=False
+    ).select("fp")
+    name = "stream_fp_" + uuid.uuid4().hex[:8]
+    sl.to_memory_sink(out, name, output_mode="append")
+    return spark.table(name)
+
+
 def _streaming_ingest_dedup(spark, sf_dir):
     """Watermark-bounded streaming ingestion dedup
     (dropDuplicates[WithinWatermark]); replayed availableNow with exact
@@ -1432,12 +1469,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.1 pre-aggregation materialization sink + aggregate-aware
         # routing
         "preagg_rollup_route": _preagg_route,
+        "corpus_stats_by_source": _q(
+            metrics=["documents.doc_count", "documents.total_chars",
+                     "documents.avg_chars"],
+            dimensions=["documents.source"],
+        ),
         # §2.9 Structured Streaming extension (reference has none):
         # availableNow replay == batch semantics, so both are
         # oracle-checkable
         "streaming_window_agg": _streaming_window_agg,
         "streaming_sessionize": _streaming_sessionize,
         "streaming_ingest_dedup": _streaming_ingest_dedup,
+        "streaming_dedup_fingerprint": _streaming_dedup_fingerprint,
         "streaming_rollup_route": _streaming_rollup_route,
     }
     # Driver-sample rotation (round 4): the driver oracle-checks the
@@ -1475,13 +1518,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-sampled: streaming extension
         "streaming_window_agg", "streaming_sessionize",
         "streaming_ingest_dedup", "streaming_rollup_route",
+        "streaming_dedup_fingerprint", "corpus_stats_by_source",
         # new this round (forced entity-grain dedup plan)
         "fanout_dedup_plan",
         # anchors: plans changed this round (auto now prefers the
         # entity-grain dedup plan; symmetric stays forceable)
-        "fanout_dedup", "fanout_symmetric_aggs",
-        # anchors: core §2 shapes
-        "semi_additive_last",
+        "fanout_dedup",
     ]
     ordered = {k: qs[k] for k in first_50}
     ordered.update({k: v for k, v in qs.items() if k not in ordered})
@@ -2561,6 +2603,17 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.cluster_id, v.vec_id) AS cluster_id,
                    COALESCE(c.cluster_id, v.vec_id) = v.vec_id AS keep
             FROM embeddings v LEFT JOIN clusters c ON v.vec_id = c.node
+        """,
+        "corpus_stats_by_source": """
+            SELECT source,
+                   COUNT(*) AS doc_count,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars
+            FROM documents GROUP BY 1
+        """,
+        "streaming_dedup_fingerprint": """
+            SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
         """,
         "preagg_rollup_route": """
             SELECT o_orderstatus AS status,

@@ -386,6 +386,26 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
     )
     layer.graph._invalidate()
 
+    # corpus table as a first-class semantic model: per-source/lang
+    # document stats query through the same compiler as TPC-H
+    layer.add_model(
+        Model(
+            name="documents",
+            table="documents",
+            primary_key="doc_id",
+            dimensions=[
+                Dimension(name="lang"),
+                Dimension(name="source"),
+                Dimension(name="n_chars", type="numeric"),
+            ],
+            metrics=[
+                Metric(name="doc_count", agg="count"),
+                Metric(name="total_chars", agg="sum", sql="n_chars"),
+                Metric(name="avg_chars", agg="avg", sql="n_chars"),
+            ],
+        )
+    )
+
     layer.add_model(
         Model(
             name="events",
