@@ -208,6 +208,40 @@ def test_spec_tab_html_and_validation(session, layer):
         session.query([{"type": "nope"}])
 
 
+def test_time_range_on_temporal_rollup_column(layer):
+    """A timeRange brush against a temporal x column filters the cached
+    rollup with proper timestamp casts, and trend still ignores it."""
+    s = CrossfilterSession(
+        layer,
+        metrics=["events.event_count"],
+        dimensions=["events.ts__day AS day", "events.event_type"],
+    )
+    try:
+        assert s.uses_rollup
+        base = s.query()
+        days = sorted({r["day"] for r in base["rows"]})
+        assert len(days) > 3
+        lo, hi = str(days[1]), str(days[2])
+        out = s.query([{"type": "timeRange", "field": "day",
+                        "start": lo, "end": hi}])
+        got_days = {r["day"] for r in out["rows"]}
+        assert got_days == {days[1], days[2]}
+        # trend groups by x=day and ignores the x brush
+        trend_days = {r["day"] for r in out["views"]["trend"]}
+        assert trend_days == set(days)
+        # counts under the brush match a direct filtered query
+        direct = layer.query(
+            metrics=["events.event_count"],
+            dimensions=["events.ts__day AS day", "events.event_type"],
+            filters=[f"events.ts >= '{lo}'", f"events.ts < '{hi}' + INTERVAL '1' DAY"],
+        ).collect()
+        assert sum(r["event_count"] for r in out["rows"]) == sum(
+            r["event_count"] for r in direct
+        )
+    finally:
+        s.close()
+
+
 def test_crossfilter_denied_under_row_policies(layer, session):
     """Crossfilter sessions run without per-request user attributes, so
     a server requiring them must refuse the endpoints instead of
