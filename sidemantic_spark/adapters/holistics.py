@@ -76,6 +76,29 @@ def _clean_sql(defn: str) -> str:
 
 class HolisticsAdapter(BaseAdapter):
     def parse_file(self, layer, path: str) -> None:
+        """Parse one .aml file — or a PROJECT DIRECTORY: all .aml files
+        are parsed in two passes so `.extend()` and Dataset/metric-store
+        references resolve regardless of file order (a partial defined
+        in extensions.aml may extend a model defined in a
+        later-sorting orders.model.aml)."""
+        import os as _os
+
+        if _os.path.isdir(path):
+            files = []
+            for root, dirs, fs in sorted(_os.walk(path)):
+                dirs.sort()
+                files += [
+                    _os.path.join(root, f) for f in sorted(fs)
+                    if f.endswith(".aml")
+                ]
+            texts = []
+            for p in files:
+                with open(p) as fh:
+                    texts.append(fh.read())
+            for _pass in (1, 2):
+                for text in texts:
+                    self.parse_text(layer, text)
+            return
         with open(path) as fh:
             self.parse_text(layer, fh.read())
 
@@ -83,6 +106,12 @@ class HolisticsAdapter(BaseAdapter):
         raise NotImplementedError("Holistics AML is text, use parse_file/parse_text")
 
     def parse_text(self, layer, text: str) -> None:
+        # PartialModel / PartialDataset bodies, usable by .extend() in
+        # this or any later file parsed by the same adapter instance
+        self._partials = getattr(self, "_partials", {})
+        for m in re.finditer(r"^Partial(?:Model|Dataset)\s+(\w+)\s*\{", text, re.M):
+            body, _ = _block(text, text.index("{", m.start()))
+            self._partials[m.group(1)] = body
         for m in _MODEL_RE.finditer(text):
             body, _ = _block(text, text.index("{", m.start()))
             model = self._parse_model(m.group(1), body)
@@ -90,6 +119,41 @@ class HolisticsAdapter(BaseAdapter):
                 layer.add_model(model)
             except Exception:
                 pass
+        # Model X = Y.extend(partial_name | { inline }) — copy the base
+        # and surgically merge the partial's per-field props (a partial
+        # block carrying only `label` must keep the base's sql/type)
+        for m in re.finditer(r"^Model\s+(\w+)\s*=\s*(\w+)\.extend\(", text, re.M):
+            new_name, base_name = m.group(1), m.group(2)
+            rest = text[m.end():]
+            im = re.match(r"\s*(\w+)\s*\)", rest)
+            if im:
+                pbody = self._partials.get(im.group(1))
+            else:
+                bm = re.match(r"\s*\{", rest)
+                if not bm:
+                    continue
+                pbody, _ = _block(text, m.end() + bm.end() - 1)
+            base = layer.graph.models.get(base_name)
+            if base is None or pbody is None:
+                continue
+            try:
+                layer.add_model(self._extend_model(base, new_name, pbody))
+            except Exception:
+                pass
+        # top-level Metric blocks: graph-level reusable metrics bound
+        # to the model their AQL references
+        for m in re.finditer(r"^Metric\s+(\w+)\s*\{", text, re.M):
+            body, _ = _block(text, text.index("{", m.start()))
+            self._apply_aql_metric(layer, m.group(1), body)
+        # Dataset X = Y.extend(PartialDataset): attach the partial's
+        # metric blocks (the docs.holistics.io metric-store pattern)
+        for m in re.finditer(r"^Dataset\s+\w+\s*=\s*\w+\.extend\(\s*(\w+)\s*\)", text, re.M):
+            pbody = self._partials.get(m.group(1))
+            if not pbody:
+                continue
+            for mm in re.finditer(r"^\s*metric\s+(\w+)\s*\{", pbody, re.M):
+                mbody, _ = _block(pbody, pbody.index("{", mm.start()))
+                self._apply_aql_metric(layer, mm.group(1), mbody)
         # standalone + dataset-inline Relationship blocks
         for m in re.finditer(r"Relationship\s*(?:\w+\s*)?\{", text):
             body, _ = _block(text, text.index("{", m.start()))
@@ -104,14 +168,8 @@ class HolisticsAdapter(BaseAdapter):
                 continue  # inequality rel_exprs are display-only
             self._add_rel(layer, frm_model, frm_col, to_model, to_col, "many_to_one")
 
-    def _parse_model(self, name: str, body: str) -> Model:
-        dims: list[Dimension] = []
-        mets: list[Metric] = []
-        table = None
-        tm = re.search(r"table_name\s*:\s*(.+)", body)
-        if tm:
-            table = _unquote(tm.group(1))
-        pk = "id"
+    def _parse_fields(self, body: str):
+        """Yield (kind, name, props, sql) per dimension/measure block."""
         pos = 0
         while True:
             fb = _FIELD_BLOCK_RE.search(body, pos)
@@ -125,6 +183,119 @@ class HolisticsAdapter(BaseAdapter):
             sm = _SQL_DEF_RE.search(fbody)
             if sm:
                 sql = _clean_sql(sm.group(1))
+            yield kind, fname, props, sql
+
+    def _extend_model(self, base: Model, name: str, partial_body: str) -> Model:
+        """Copy ``base`` as ``name`` and merge the partial's per-field
+        props: present props override, absent ones inherit (a partial
+        dimension carrying only `label` keeps the base's sql/type);
+        unseen fields append."""
+        import dataclasses
+
+        child = dataclasses.replace(
+            base,
+            name=name,
+            dimensions=[dataclasses.replace(d) for d in base.dimensions],
+            metrics=[dataclasses.replace(m) for m in base.metrics],
+            relationships=[dataclasses.replace(r) for r in base.relationships],
+        )
+        dims = {d.name: d for d in child.dimensions}
+        mets = {m.name: m for m in child.metrics}
+        for kind, fname, props, sql in self._parse_fields(partial_body):
+            if kind == "dimension":
+                d = dims.get(fname)
+                if d is None:
+                    d = Dimension(name=fname, type="categorical")
+                    child.dimensions.append(d)
+                    dims[fname] = d
+                if "type" in props:
+                    d.type = _TYPE_MAP.get(
+                        _unquote(props["type"]).lower(), "categorical"
+                    )
+                if "label" in props:
+                    d.label = _unquote(props["label"])
+                if sql is not None and sql != fname:
+                    d.sql = sql
+            else:
+                mm = mets.get(fname)
+                agg = _AGG_MAP.get(_unquote(props.get("aggregation_type", "")).lower())
+                if mm is None:
+                    mm = (Metric(name=fname, agg=agg, sql=sql) if agg
+                          else Metric(name=fname, type="derived", expr=sql))
+                    child.metrics.append(mm)
+                    mets[fname] = mm
+                else:
+                    if agg:
+                        mm.agg = agg
+                    if sql is not None:
+                        if mm.is_simple:
+                            mm.sql = sql
+                        else:
+                            mm.expr = sql
+                    if "label" in props:
+                        mm.label = _unquote(props["label"])
+        child.reindex()
+        return child
+
+    # AQL metric translation (docs.holistics.io metric store):
+    #   sum(model.col)                          -> model-level aggregate
+    #   model | where(cond) | agg(model.col)    -> filtered aggregate
+    #   agg(model.col) | of_all(x)              -> share-of-total via a
+    #       hidden base aggregate + all() window-total derived metric
+    #   other pipes (relative_period, ...)      -> opaque hidden metric
+    _AQL_RE = re.compile(
+        r"^\s*(?:(\w+)\s*\|\s*)?(?:where\(([^)]*)\)\s*\|\s*)?"
+        r"(sum|count|count_distinct|avg|min|max|median)\(\s*(\w+)\.(\w+)\s*\)\s*(.*)$",
+        re.S,
+    )
+
+    def _apply_aql_metric(self, layer, name: str, body: str) -> None:
+        sm = re.search(r"@aql\s*(.*?);;", body, re.S)
+        if not sm:
+            return
+        aql = sm.group(1).strip()
+        lm = re.search(r"label\s*:\s*(.+)", body)
+        label = _unquote(lm.group(1)) if lm else None
+        m = self._AQL_RE.match(aql)
+        model = layer.graph.models.get(m.group(4)) if m else None
+        if model is None or model.metric(name) is not None:
+            return
+        agg, col, tail = m.group(3), m.group(5), (m.group(6) or "").strip()
+        filters = [_unquote(m.group(2))] if m.group(2) else []
+        if not tail:
+            model.metrics.append(Metric(
+                name=name, agg=agg,
+                sql=None if agg == "count" and col in model.pk_list() else col,
+                filters=filters, label=label,
+            ))
+        elif re.match(r"^\|\s*of_all\(", tail):
+            base = f"__aql_{name}_base"
+            model.metrics.append(Metric(
+                name=base, agg=agg, sql=col, filters=filters, public=False,
+            ))
+            model.metrics.append(Metric(
+                name=name, type="derived", label=label,
+                expr=f"CAST({base} AS DOUBLE) / CAST(all({base}) AS DOUBLE)",
+            ))
+        else:
+            # AQL long tail (relative_period, exclude, group, ...):
+            # import opaque so the name survives with its definition
+            model.metrics.append(Metric(
+                name=name, agg="count", public=False, label=label,
+                description=f"unparsed AQL: {aql[:200]}",
+            ))
+        model.reindex()
+        layer.graph._invalidate()
+
+    def _parse_model(self, name: str, body: str) -> Model:
+        dims: list[Dimension] = []
+        mets: list[Metric] = []
+        table = None
+        tm = re.search(r"table_name\s*:\s*(.+)", body)
+        if tm:
+            table = _unquote(tm.group(1))
+        pk = "id"
+        for kind, fname, props, sql in self._parse_fields(body):
             if kind == "dimension":
                 if _unquote(props.get("primary_key", "")) in ("true", "True"):
                     pk = fname

@@ -1091,6 +1091,94 @@ Model h_orders {
     con.close()
 
 
+def test_holistics_partials_and_metric_store(spark):
+    """PartialModel + Model.extend() (named and inline), top-level
+    Metric blocks, and the PartialDataset metric-store pattern
+    (docs.holistics.io) — executed through Spark, including the
+    of_all() -> all() share-of-total translation."""
+    from sidemantic_spark.adapters import HolisticsAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    a = HolisticsAdapter()
+    a.parse_text(layer, """
+Model hp_orders {
+  table_name: 'adapter_orders'
+  dimension order_id {
+    type: 'number'
+    primary_key: true
+  }
+  dimension status {
+    type: 'text'
+  }
+  measure revenue {
+    aggregation_type: 'sum'
+    definition: @sql {{ #SOURCE.amount }};;
+  }
+}
+
+PartialModel hp_extras {
+  dimension status {
+    label: 'Status (extended)'
+  }
+  dimension big {
+    type: 'truefalse'
+    definition: @sql {{ amount }} > 60;;
+  }
+  measure order_count {
+    aggregation_type: 'count'
+  }
+}
+
+Model hp_orders_ext = hp_orders.extend(hp_extras)
+
+Metric hp_paid_revenue {
+  label: 'Paid Revenue'
+  definition: @aql hp_orders | where(hp_orders.status = 'paid') | sum(hp_orders.amount) ;;
+}
+
+PartialDataset hp_store {
+  metric hp_status_share {
+    definition: @aql sum(hp_orders.amount) | of_all(hp_orders) ;;
+  }
+}
+
+Dataset hp_base {
+  data_source_name: 'demo'
+}
+
+Dataset hp_full = hp_base.extend(hp_store)
+""")
+    ext = layer.graph.models["hp_orders_ext"]
+    # partial merge: label added, base type kept; new field + measure added
+    assert ext.dimension("status").label == "Status (extended)"
+    assert ext.dimension("big") is not None and ext.metric("order_count") is not None
+    # base untouched by the extension
+    assert layer.graph.models["hp_orders"].dimension("big") is None
+    # AQL metrics executed
+    row = layer.query(metrics=["hp_orders.hp_paid_revenue"]).collect()[0]
+    assert row[0] == 250
+    share = {
+        r["status"]: float(r["hp_status_share"])
+        for r in layer.query(
+            metrics=["hp_orders.hp_status_share"],
+            dimensions=["hp_orders.status"],
+        ).collect()
+    }
+    assert abs(share["paid"] - 250 / 300) < 1e-9
+    assert abs(share["refunded"] - 50 / 300) < 1e-9
+    # extended model also queries
+    big = {
+        r["big"]: r["order_count"]
+        for r in layer.query(
+            metrics=["hp_orders_ext.order_count"],
+            dimensions=["hp_orders_ext.big"],
+        ).collect()
+    }
+    assert big == {True: 2, False: 1}
+    con.close()
+
+
 def test_holistics_reference_fixtures(spark):
     import glob as _g
 
