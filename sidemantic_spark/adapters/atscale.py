@@ -26,6 +26,11 @@ _CALC_MAP = {
     "count-distinct": "count_distinct",
     "count_distinct": "count_distinct",
     "count nonnull": "count",
+    "count non-null": "count",
+    "count non null": "count",
+    "sum distinct": "sum",  # fan-out safety is the generator's job
+    "sum-distinct": "sum",
+    "average distinct": "avg",
     "average": "avg",
     "avg": "avg",
     "min": "min",
@@ -127,9 +132,27 @@ class AtScaleAdapter(BaseAdapter):
             except Exception:
                 pass
 
-        # metrics attach to their dataset's model
-        for met in metrics:
+        # metrics attach to their dataset's model; a metric_calc may
+        # omit `dataset:` (SML calcs are cube-level) — bind it to the
+        # model defining every metric its expression references.
+        # Unresolvable calcs are deferred on the instance and retried
+        # after each file (the defining metric may parse later).
+        pending = getattr(self, "_pending_calcs", [])
+        self._pending_calcs = []
+        for met in metrics + pending:
             ds_name = met.get("dataset")
+            if not ds_name and met.get("object_type") == "metric_calc":
+                import re as _re
+
+                refs = set(_re.findall(r"[A-Za-z_]\w*", met.get("expression") or ""))
+                for cand in layer.graph.models.values():
+                    names = {mm.name for mm in cand.metrics}
+                    if refs and refs <= names | {"and", "or", "not"}:
+                        ds_name = cand.name
+                        break
+                if ds_name is None:
+                    self._pending_calcs.append(met)
+                    continue
             if not ds_name or ds_name not in layer.graph.models:
                 continue
             model = layer.graph.models[ds_name]
@@ -139,7 +162,20 @@ class AtScaleAdapter(BaseAdapter):
                     expr=met.get("expression"), label=met.get("label"),
                 ))
                 continue
-            agg = _CALC_MAP.get(str(met.get("calculation_method", "")).lower())
+            method = str(met.get("calculation_method", "")).lower()
+            if method == "percentile" and met.get("custom_quantiles"):
+                # exact ordered-set aggregate at the declared quantile
+                # (the bare "percentile" method maps to median)
+                q = float(met["custom_quantiles"][0])
+                model.add_metric(Metric(
+                    name=met["unique_name"],
+                    sql=(f"PERCENTILE_CONT({q}) WITHIN GROUP "
+                         f"(ORDER BY {met.get('column')})"),
+                    sql_is_complete=True,
+                    label=met.get("label"),
+                ))
+                continue
+            agg = _CALC_MAP.get(method)
             if not agg:
                 continue
             model.add_metric(Metric(

@@ -1231,6 +1231,30 @@ def test_gooddata_end_to_end(spark):
     con.close()
 
 
+@pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
+def test_atscale_kitchen_sink_metric_long_tail(spark):
+    """SML metric long tail from the kitchen-sink corpus: 'count
+    non-null' and 'sum distinct' calculation methods, dataset-less
+    metric_calc bound by expression refs (deferred across files), and
+    custom_quantiles -> exact PERCENTILE_CONT."""
+    from sidemantic_spark.adapters import ADAPTERS
+
+    layer = SparkSemanticLayer(spark)
+    a = ADAPTERS["atscale"]()
+    d = os.path.join(FIXROOT, "atscale_sml_kitchen_sink")
+    for root, _dirs, files in os.walk(d):
+        for f in sorted(files):
+            if f.endswith((".yml", ".yaml")):
+                a.parse_file(layer, os.path.join(root, f))
+    fo = layer.graph.models["fact_orders"]
+    assert fo.metric("order_count").agg == "count"          # count non-null
+    assert fo.metric("total_amount_distinct").agg == "sum"  # sum distinct
+    calc = fo.metric("avg_order_value")                     # deferred calc
+    assert calc.type == "derived" and "order_count" in calc.expr
+    p75 = fo.metric("amount_p75")
+    assert p75.sql_is_complete and "PERCENTILE_CONT(0.75)" in p75.sql
+
+
 def test_atscale_catalog(spark):
     from sidemantic_spark.adapters import AtScaleAdapter
 
