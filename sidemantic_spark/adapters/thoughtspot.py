@@ -51,9 +51,15 @@ class ThoughtSpotAdapter(BaseAdapter):
         if "table" in data:
             self._parse_table(layer, data["table"])
         if "worksheet" in data:
-            self._parse_worksheet(layer, data["worksheet"])
+            ws = data["worksheet"]
+            self._parse_worksheet(layer, ws)
+            if ws.get("worksheet_columns"):
+                self._parse_semantic(layer, ws, kind="worksheet")
         if "model" in data:
-            self._parse_worksheet(layer, data["model"])
+            md = data["model"]
+            self._parse_worksheet(layer, md)
+            if md.get("columns"):
+                self._parse_semantic(layer, md, kind="model")
 
     def _parse_table(self, layer, tbl: dict) -> None:
         name = tbl.get("name")
@@ -151,6 +157,199 @@ class ThoughtSpotAdapter(BaseAdapter):
             body = _TS_REF_RE.sub(lambda m: m.group(2).replace(" ", "_"), expr)
             model.add_metric(Metric(name=fname, type="derived", expr=body))
 
+
+    # -- Model / Worksheet TML as a semantic model --------------------
+    # Reference adapters/thoughtspot.py:940 `_parse_model` /:813
+    # worksheet path: the TML object itself becomes ONE semantic model —
+    # single-table objects bind the physical table directly; joined
+    # objects compile to derived SQL (the join tree inlined, every
+    # referenced column projected under its TML column name), with
+    # role-playing aliases kept as the in-scope relation names.
+
+    def _parse_semantic(self, layer, d: dict, kind: str) -> None:
+        name = d.get("name")
+        if not name:
+            return
+        if kind == "model":
+            tables = d.get("model_tables") or []
+            col_defs = d.get("columns") or []
+            flat_joins = []
+            for t in tables:
+                src = t.get("alias") or t.get("name") or t.get("id")
+                for j in t.get("joins") or []:
+                    cond = j.get("on")
+                    if cond is None and True in j:
+                        cond = j.get(True)
+                    flat_joins.append({
+                        "source": src, "destination": j.get("with"),
+                        "on": cond or "", "type": j.get("type"),
+                    })
+        else:
+            tables = d.get("tables") or []
+            col_defs = d.get("worksheet_columns") or []
+            flat_joins = []
+            for j in d.get("joins") or []:
+                cond = j.get("on")
+                if cond is None and True in j:
+                    cond = j.get(True)
+                flat_joins.append({
+                    "source": j.get("source"), "destination": j.get("destination"),
+                    "on": cond or "", "type": j.get("type"),
+                })
+        if not tables:
+            return
+        # path lookup: every token (name/id/alias/path id) -> in-scope
+        # relation (the alias when the entry is aliased)
+        path: dict[str, str] = {}
+        phys: dict[str, str] = {}  # relation -> physical table
+        for t in tables:
+            tname = t.get("name") or t.get("id")
+            alias = t.get("alias")
+            rel = alias or tname
+            if not rel:
+                continue
+            fqn = t.get("fqn")
+            phys[rel] = (fqn.rsplit(".", 1)[-1] if fqn else tname) or rel
+            for token in (t.get("name"), t.get("id"), alias):
+                if token:
+                    path[token] = rel
+        for tp in d.get("table_paths") or []:
+            if tp.get("id"):
+                path[tp["id"]] = path.get(tp.get("table"), tp.get("table"))
+
+        def conv(expr: str | None) -> str | None:
+            if not expr:
+                return expr
+            return _TS_REF_RE.sub(
+                lambda m: f"{path.get(m.group(1), m.group(1))}."
+                          f"{m.group(2).replace(' ', '_')}",
+                expr,
+            )
+
+        formulas = d.get("formulas") or []
+        f_by_id = {f.get("id"): f for f in formulas if f.get("id")}
+        f_by_name = {f.get("name"): f for f in formulas if f.get("name")}
+
+        def formula_expr(f: dict, depth: int = 0) -> str | None:
+            expr = f.get("expr")
+            if expr is None or depth > 4:
+                return expr
+            # inline nested formula references by name
+            for other in formulas:
+                oname = other.get("name")
+                if oname and other is not f and re.search(
+                    rf"\[{re.escape(oname)}\]", expr
+                ):
+                    inner = formula_expr(other, depth + 1)
+                    if inner:
+                        expr = expr.replace(f"[{oname}]", f"({inner})")
+            return expr
+
+        base_rel = next(
+            (path.get(t.get("name") or t.get("id"))
+             for t in tables[:1]), None
+        )
+        single = len(tables) == 1 and not flat_joins
+        dims: list[Dimension] = []
+        mets: list[Metric] = []
+        projections: list[tuple[str, str]] = []  # (alias, expr)
+
+        def strip_base(expr: str) -> str:
+            # single-table objects bind the table directly; qualifiers
+            # refer to the one in-scope relation
+            return re.sub(rf"\b{re.escape(base_rel)}\.", "", expr) if base_rel else expr
+
+        for col in col_defs:
+            cname = col.get("name")
+            fid = col.get("formula_id")
+            cid = col.get("column_id")
+            f = f_by_id.get(fid) or f_by_name.get(fid) or f_by_name.get(cname)
+            if not cname:
+                cname = (f or {}).get("name") or (cid.split("::")[-1] if cid else None)
+            if not cname:
+                continue
+            out = re.sub(r"\W+", "_", cname).strip("_")
+            props = col.get("properties") or {}
+            if f is not None:
+                expr = conv(formula_expr(f))
+            elif cid and "::" in cid:
+                q, c = cid.split("::", 1)
+                expr = f"{path.get(q, q)}.{c.replace(' ', '_')}"
+            else:
+                expr = cid or out
+            is_measure = str(props.get("column_type", "ATTRIBUTE")).upper() == "MEASURE"
+            if single:
+                expr = strip_base(expr)
+            if is_measure:
+                agg = _AGG_MAP.get(str(props.get("aggregation", "SUM")).upper())
+                if agg is None:
+                    mets.append(Metric(name=out, agg="count", public=False,
+                                       description=f"unsupported TML aggregation: "
+                                                   f"{props.get('aggregation')}"))
+                    continue
+                if single:
+                    mets.append(Metric(name=out, agg=agg, sql=expr,
+                                       label=col.get("custom_name")))
+                else:
+                    raw = f"__m_{out}"
+                    projections.append((raw, expr))
+                    mets.append(Metric(name=out, agg=agg, sql=raw,
+                                       label=col.get("custom_name")))
+            else:
+                bucket = props.get("default_date_bucket")
+                gran = _BUCKET_GRAIN.get(str(bucket).upper()) if bucket else None
+                dt = str(col.get("data_type") or "VARCHAR").upper()
+                dtype = "time" if gran or dt in ("DATE", "DATETIME", "TIMESTAMP") \
+                    else _DTYPE_MAP.get(dt, "categorical")
+                if single:
+                    dims.append(Dimension(
+                        name=out, type=dtype, granularity=gran,
+                        sql=None if expr == out else expr,
+                        label=col.get("custom_name"),
+                    ))
+                else:
+                    projections.append((out, expr))
+                    dims.append(Dimension(name=out, type=dtype, granularity=gran,
+                                          label=col.get("custom_name")))
+
+        pk = next((x.name for x in dims if x.name in ("id",) or x.name.endswith("_id")),
+                  dims[0].name if dims else "id")
+        if single:
+            model = Model(name=name, table=phys.get(base_rel, base_rel),
+                          primary_key=pk, dimensions=dims, metrics=mets,
+                          description=d.get("description"))
+        else:
+            # derived SQL: inline the join tree, project every TML column
+            joined = {base_rel}
+            from_sql = f"{phys.get(base_rel, base_rel)}"
+            if base_rel and phys.get(base_rel) != base_rel:
+                from_sql += f" AS {base_rel}"
+            pending = list(flat_joins)
+            for _ in range(len(pending) + 1):
+                rest = []
+                for j in pending:
+                    src = path.get(j["source"], j["source"])
+                    dst = path.get(j["destination"], j["destination"])
+                    if src in joined and dst not in joined:
+                        jt = str(j.get("type") or "").upper()
+                        kw = {"LEFT_OUTER": "LEFT JOIN", "RIGHT_OUTER": "RIGHT JOIN",
+                              "FULL_OUTER": "FULL JOIN"}.get(jt, "JOIN")
+                        rel_sql = phys.get(dst, dst)
+                        if rel_sql != dst:
+                            rel_sql += f" AS {dst}"
+                        from_sql += f" {kw} {rel_sql} ON {conv(j['on'])}"
+                        joined.add(dst)
+                    elif dst not in joined:
+                        rest.append(j)
+                pending = rest
+            sel = ", ".join(f"{e} AS {a}" for a, e in projections) or "*"
+            model = Model(name=name, sql=f"SELECT {sel} FROM {from_sql}",
+                          primary_key=pk, dimensions=dims, metrics=mets,
+                          description=d.get("description"))
+        try:
+            layer.add_model(model)
+        except Exception:
+            pass
 
     def parse_file(self, layer, path: str) -> None:
         with open(path) as fh:

@@ -1325,6 +1325,72 @@ table:
     con.close()
 
 
+def test_thoughtspot_model_tml_semantic_object(spark):
+    """A TML Model (v2) is itself a semantic model: single-table objects
+    bind the table; joined objects compile to derived SQL with the join
+    tree inlined, formulas (incl. nested refs) resolved to physical
+    columns, and measures aggregated over projected exprs — executed."""
+    import yaml as _yaml
+
+    from sidemantic_spark.adapters import ThoughtSpotAdapter
+
+    con = _seed_orders(spark)
+    spark.sql("""
+        CREATE OR REPLACE TEMP VIEW ts_custs AS
+        SELECT * FROM VALUES (1, 'acme'), (2, 'globex') AS t(cust_id, cust_name)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMP VIEW ts_sales AS
+        SELECT * FROM VALUES
+            (1, 1, 100.0, 10.0), (2, 1, 150.0, 20.0), (3, 2, 50.0, 5.0)
+            AS t(sale_id, cust_id, gross, discount)
+    """)
+    layer = SparkSemanticLayer(spark)
+    ThoughtSpotAdapter().parse(layer, _yaml.safe_load("""
+model:
+  name: ts_sales_model
+  model_tables:
+    - name: ts_sales
+      joins:
+        - with: ts_custs
+          "on": "[ts_sales::cust_id] = [ts_custs::cust_id]"
+          type: LEFT_OUTER
+          cardinality: MANY_TO_ONE
+    - name: ts_custs
+  formulas:
+    - name: net
+      expr: "[ts_sales::gross] - [ts_sales::discount]"
+      id: net_f
+    - name: net_twice
+      expr: "[net] * 2"
+      id: net_twice_f
+  columns:
+    - name: sale_id
+      column_id: ts_sales::sale_id
+      properties: {column_type: ATTRIBUTE}
+    - name: customer
+      column_id: ts_custs::cust_name
+      properties: {column_type: ATTRIBUTE}
+    - name: net_revenue
+      formula_id: net_f
+      properties: {column_type: MEASURE, aggregation: SUM}
+    - name: net_twice_total
+      formula_id: net_twice_f
+      properties: {column_type: MEASURE, aggregation: SUM}
+"""))
+    m = layer.graph.models["ts_sales_model"]
+    assert m.sql and "LEFT JOIN ts_custs" in m.sql
+    rows = {
+        r["customer"]: (float(r["net_revenue"]), float(r["net_twice_total"]))
+        for r in layer.query(
+            metrics=["ts_sales_model.net_revenue", "ts_sales_model.net_twice_total"],
+            dimensions=["ts_sales_model.customer"],
+        ).collect()
+    }
+    assert rows == {"acme": (220.0, 440.0), "globex": (45.0, 90.0)}
+    con.close()
+
+
 def test_thoughtspot_worksheet_joins(spark):
     import glob as _g
 
