@@ -56,7 +56,8 @@ class OmniAdapter(BaseAdapter):
         with open(path) as fh:
             docs = [d for d in yaml.safe_load_all(fh.read()) if d is not None]
         stem = os.path.basename(path)
-        for suffix in (".view.yaml", ".view.yml", ".yaml", ".yml"):
+        for suffix in (".view.yaml", ".view.yml", ".topic.yaml",
+                       ".topic.yml", ".yaml", ".yml"):
             if stem.endswith(suffix):
                 stem = stem[: -len(suffix)]
                 break
@@ -71,10 +72,54 @@ class OmniAdapter(BaseAdapter):
             return
         if data.get("relationships"):
             self._parse_relationships(layer, data["relationships"])
+        if data.get("base_view"):
+            # *.topic.yaml: a curated query surface over a base view +
+            # allowed join fan — the Explore consumption contract
+            self._parse_topic(layer, data, filestem)
+            return
         if isinstance(data.get("dimensions"), dict) or isinstance(
             data.get("measures"), dict
         ):
             layer.add_model(self._parse_view(data, filestem))
+
+    def _parse_topic(self, layer, data: dict, filestem: str | None) -> None:
+        from sidemantic_spark.core.consumption import Explore
+
+        base = data["base_view"]
+        name = (filestem or data.get("label") or base).lower().replace(" ", "_")
+        # the join fan names which related views the topic exposes;
+        # nested keys are transitive joins — flatten for field scoping
+        def flat(joins: dict) -> list[str]:
+            out = []
+            for k, v in (joins or {}).items():
+                out.append(k)
+                if isinstance(v, dict):
+                    out.extend(flat(v))
+            return out
+
+        allowed_models = [base] + flat(data.get("joins"))
+        allowed_dims: list[str] | None = None
+        allowed_mets: list[str] | None = None
+        if all(m in layer.graph.models for m in allowed_models):
+            allowed_dims = [
+                f"{m}.{d.name}"
+                for m in allowed_models
+                for d in layer.graph.models[m].dimensions
+            ]
+            allowed_mets = [
+                f"{m}.{x.name}"
+                for m in allowed_models
+                for x in layer.graph.models[m].metrics
+            ]
+        try:
+            layer.add_explore(Explore(
+                name=name, model=base, label=data.get("label"),
+                description=data.get("description"),
+                allowed_dimensions=allowed_dims,
+                allowed_metrics=allowed_mets,
+            ))
+        except Exception:
+            pass
 
     def _parse_view(self, data: dict, filestem: str | None) -> Model:
         schema = data.get("schema")

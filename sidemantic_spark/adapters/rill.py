@@ -15,12 +15,52 @@ from sidemantic_spark.core.model import Dimension, Metric, Model
 
 
 class RillAdapter(BaseAdapter):
-    def parse(self, layer, data: dict) -> None:
+    def parse_file(self, layer, path: str) -> None:
+        import os as _os
+
+        import yaml as _yaml
+
+        with open(path) as fh:
+            docs = [d for d in _yaml.safe_load_all(fh.read()) if d]
+        stem = _os.path.splitext(_os.path.basename(path))[0]
+        for doc in docs:
+            if isinstance(doc, dict):
+                self.parse(layer, doc, filestem=stem)
+
+    def parse(self, layer, data: dict, filestem: str | None = None) -> None:
         if data.get("type") not in (None, "metrics_view"):
             return  # canvases/explores/dashboards have no semantic content
+        if data.get("parent"):
+            # derived (parent) metrics view: selects a field subset of
+            # its parent instead of defining its own (rill
+            # parse_metrics_view.go) — copy the named fields
+            parent = layer.graph.models.get(data["parent"])
+            if parent is None:
+                return
+            pdims = set(data.get("parent_dimensions") or [])
+            pmets = set(data.get("parent_measures") or [])
+            import dataclasses
+
+            import re as _re
+
+            raw_name = data.get("name") or data.get("display_name") or "derived"
+            layer.add_model(dataclasses.replace(
+                parent,
+                name=_re.sub(r"\W+", "_", str(raw_name)).strip("_").lower(),
+                dimensions=[dataclasses.replace(d) for d in parent.dimensions
+                            if not pdims or d.name in pdims
+                            or d.name == parent.default_time_dimension],
+                metrics=[dataclasses.replace(m) for m in parent.metrics
+                         if not pmets or m.name in pmets],
+                label=data.get("display_name"),
+            ))
+            return
         if "measures" not in data and "dimensions" not in data:
             return
-        name = data.get("name") or data.get("model") or data.get("table")
+        # Rill names a metrics view by its FILE STEM when `name:` is
+        # absent (runtime/parser); `model:` is the backing table, not
+        # the view's identity
+        name = data.get("name") or filestem or data.get("model") or data.get("table")
         if not name:
             return
 

@@ -659,6 +659,51 @@ def test_tableau_multi_join_reference_fixture(spark):
                for r in orders.relationships)
 
 
+@pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
+def test_rill_derived_parent_view(spark):
+    """A derived metrics view (`parent:` + parent_dimensions/measures,
+    rill parse_metrics_view.go) copies the selected subset of its
+    parent's fields."""
+    from sidemantic_spark.adapters import ADAPTERS
+
+    layer = SparkSemanticLayer(spark)
+    a = ADAPTERS["rill"]()
+    a.parse_file(layer, os.path.join(FIXROOT, "rill", "parent_metrics.yaml"))
+    a.parse_file(layer, os.path.join(FIXROOT, "rill", "derived_metrics.yaml"))
+    parent = layer.graph.models["parent_metrics"]
+    child = layer.graph.models["regional_sales"]
+    assert {d.name for d in child.dimensions} <= {d.name for d in parent.dimensions}
+    assert {m.name for m in child.metrics} == {"revenue", "orders"}
+    assert "region" in {d.name for d in child.dimensions}
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
+def test_omni_topic_becomes_explore(spark):
+    """A *.topic.yaml (base_view + join fan) becomes an Explore scoped
+    to the base and joined views' fields."""
+    import glob as _glob
+
+    from sidemantic_spark.adapters import ADAPTERS
+
+    layer = SparkSemanticLayer(spark)
+    a = ADAPTERS["omni"]()
+    d = os.path.join(FIXROOT, "omni")
+    topic = None
+    for p in sorted(_glob.glob(os.path.join(d, "**", "*.yaml"), recursive=True)):
+        if p.endswith(".topic.yaml"):
+            topic = topic or p
+            continue
+        a.parse_file(layer, p)
+    assert topic is not None
+    a.parse_file(layer, topic)
+    base = os.path.basename(topic).split(".")[0].lower()
+    exp = layer.graph.explores.get(base)
+    assert exp is not None
+    assert exp.model in layer.graph.models
+    assert exp.allowed_dimensions  # field scoping resolved
+    assert all(f.split(".")[0] in layer.graph.models for f in exp.allowed_dimensions)
+
+
 def test_malloy_end_to_end(spark):
     """Malloy source with dimensions, filtered measure, count_distinct,
     and a join, executed end-to-end."""
