@@ -55,10 +55,69 @@ _DIM_TYPES = {
 
 
 class CubeAdapter(BaseAdapter):
+    _POLICY_OPS = {
+        "gt": ">", "gte": ">=", "lt": "<", "lte": "<=",
+        "equals": "=", "notEquals": "!=",
+    }
+
     def parse(self, layer, data: dict) -> None:
         for cube in data.get("cubes") or []:
             model = self._parse_cube(cube)
             layer.add_model(model)
+        for view in data.get("views") or []:
+            self._parse_view(layer, view)
+
+    def _parse_view(self, layer, view: dict) -> None:
+        """Cube `views:` are curated query surfaces over a join path
+        with optional access policies — the Explore consumption
+        contract. Row-level filters for role "*" (everyone) become the
+        explore's mandatory filters; role-scoped policies have no
+        user context at import time and are skipped."""
+        from sidemantic_spark.core.consumption import Explore
+
+        name = view.get("name")
+        cubes = view.get("cubes") or []
+        if not name or not cubes:
+            return
+        base = str(cubes[0].get("join_path") or "").split(".")[0]
+        if not base:
+            return
+        filters: list[str] = []
+        for policy in view.get("access_policy") or []:
+            if policy.get("role") not in ("*", None):
+                continue  # role-scoped: needs per-user context
+            rl = policy.get("row_level") or {}
+            if rl.get("allow_all"):
+                continue
+            for f in rl.get("filters") or []:
+                member = str(f.get("member") or "").replace("${CUBE}", base)
+                op = self._POLICY_OPS.get(f.get("operator"))
+                vals = f.get("values") or []
+                if not member or op is None or not vals:
+                    continue
+                v = vals[0]
+                lit = v if isinstance(v, (int, float)) else f"'{v}'"
+                filters.append(f"{member} {op} {lit}")
+        # includes "*" on every join_path entry = unrestricted fields
+        restricted: list[str] | None = None
+        if any(c.get("includes") not in ("*", None) for c in cubes):
+            restricted = []
+            for c in cubes:
+                root = str(c.get("join_path") or "").split(".")[-1]
+                inc = c.get("includes")
+                if isinstance(inc, list):
+                    restricted += [
+                        f"{root}.{i}" for i in inc if isinstance(i, str)
+                    ]
+        try:
+            layer.add_explore(Explore(
+                name=name, model=base,
+                description=view.get("description"),
+                filters=filters,
+                allowed_dimensions=restricted,
+            ))
+        except Exception:
+            pass
 
     def _parse_cube(self, cube: dict) -> Model:
         name = cube.get("name")

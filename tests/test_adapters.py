@@ -660,6 +660,57 @@ def test_tableau_multi_join_reference_fixture(spark):
 
 
 @pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
+def test_cube_views_become_explores(spark):
+    """Cube `views:` import as Explores; a role-'*' row_level policy
+    becomes the explore's mandatory filter, enforced through the
+    compiled query."""
+    from sidemantic_spark.adapters import ADAPTERS
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    a = ADAPTERS["cube"]()
+    import yaml as _yaml
+
+    a.parse(layer, _yaml.safe_load("""
+cubes:
+  - name: cv_orders
+    sql_table: adapter_orders
+    dimensions:
+      - name: order_id
+        sql: order_id
+        type: number
+        primary_key: true
+      - name: status
+        sql: status
+        type: string
+    measures:
+      - name: order_count
+        type: count
+views:
+  - name: paid_orders_view
+    cubes:
+      - join_path: cv_orders
+        includes: "*"
+    access_policy:
+      - role: "*"
+        row_level:
+          filters:
+            - member: "${CUBE}.status"
+              operator: equals
+              values:
+                - paid
+"""))
+    exp = layer.graph.explores["paid_orders_view"]
+    assert exp.model == "cv_orders"
+    assert exp.filters == ["cv_orders.status = 'paid'"]
+    rows = layer.query(
+        metrics=["cv_orders.order_count"], explore="paid_orders_view"
+    ).collect()
+    assert rows[0][0] == 2  # only the paid rows
+    con.close()
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
 def test_rill_derived_parent_view(spark):
     """A derived metrics view (`parent:` + parent_dimensions/measures,
     rill parse_metrics_view.go) copies the selected subset of its
