@@ -78,6 +78,21 @@ class TableauAdapter(BaseAdapter):
         scope = conn if conn is not None else ds
         self._walk_relation(scope.find("relation"), tables, joins)
         if not tables:
+            # newer object-model TDS (the `_.fcp.ObjectModelEncapsulateLegacy`
+            # feature, Tableau 2020.2+) nests table relations inside
+            # feature-flag wrappers / object graphs instead of a direct
+            # join-tree child — collect every table relation flat
+            seen_rel = set()
+            for rel in ds.iter("relation"):
+                if rel.get("type") == "table" and rel.get("name"):
+                    if rel.get("name") in seen_rel:
+                        continue  # object-model XML repeats relations
+                    seen_rel.add(rel.get("name"))
+                    physical = rel.get("table")
+                    if physical:
+                        physical = ".".join(_BRACKET_RE.findall(physical)) or physical
+                    tables.append((rel.get("name"), physical))
+        if not tables:
             return
         ds_name = _sanitize(ds.get("formatted-name") or ds.get("name") or tables[0][0])
 
