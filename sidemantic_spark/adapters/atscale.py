@@ -28,9 +28,6 @@ _CALC_MAP = {
     "count nonnull": "count",
     "count non-null": "count",
     "count non null": "count",
-    "sum distinct": "sum",  # fan-out safety is the generator's job
-    "sum-distinct": "sum",
-    "average distinct": "avg",
     "average": "avg",
     "avg": "avg",
     "min": "min",
@@ -44,6 +41,16 @@ _CALC_MAP = {
     "var_samp": "variance",
     "var_pop": "variance_pop",
     "percentile": "median",
+}
+
+# SQL keywords/literals/type names that may appear in a metric_calc
+# expression without being metric references
+_SQL_WORDS = {
+    "and", "or", "not", "case", "when", "then", "else", "end", "null",
+    "true", "false", "is", "in", "like", "between", "as", "cast",
+    "double", "float", "int", "integer", "bigint", "decimal", "numeric",
+    "string", "varchar", "boolean", "date", "timestamp", "interval",
+    "distinct", "over", "partition", "by", "order",
 }
 
 _DTYPE_MAP = {
@@ -144,10 +151,21 @@ class AtScaleAdapter(BaseAdapter):
             if not ds_name and met.get("object_type") == "metric_calc":
                 import re as _re
 
-                refs = set(_re.findall(r"[A-Za-z_]\w*", met.get("expression") or ""))
+                expr = met.get("expression") or ""
+                refs = set(_re.findall(r"[A-Za-z_]\w*", expr))
+                # identifiers in call position are SQL functions
+                # (SAFE_DIVIDE, COALESCE, IF, ...), and SQL keywords /
+                # literals are not metric refs — requiring EVERY token
+                # to be a metric name would defer common calc shapes
+                # (CASE WHEN, function calls) forever and drop them
+                funcs = set(_re.findall(r"([A-Za-z_]\w*)\s*\(", expr))
+                metric_refs = {
+                    r for r in refs
+                    if r not in funcs and r.lower() not in _SQL_WORDS
+                }
                 for cand in layer.graph.models.values():
                     names = {mm.name for mm in cand.metrics}
-                    if refs and refs <= names | {"and", "or", "not"}:
+                    if metric_refs and metric_refs <= names:
                         ds_name = cand.name
                         break
                 if ds_name is None:
@@ -171,6 +189,21 @@ class AtScaleAdapter(BaseAdapter):
                     name=met["unique_name"],
                     sql=(f"PERCENTILE_CONT({q}) WITHIN GROUP "
                          f"(ORDER BY {met.get('column')})"),
+                    sql_is_complete=True,
+                    label=met.get("label"),
+                ))
+                continue
+            if method in ("sum distinct", "sum-distinct",
+                          "average distinct", "avg distinct"):
+                # value-level DISTINCT dedup — NOT the same as the
+                # generator's pk-row fan-out dedup (rows [10,10,20] sum
+                # to 30 here, 40 under row-dedup), so import as an
+                # opaque complete-SQL aggregate preserving the value
+                # semantics
+                fn = "SUM" if method.startswith("sum") else "AVG"
+                model.add_metric(Metric(
+                    name=met["unique_name"],
+                    sql=f"{fn}(DISTINCT {met.get('column')})",
                     sql_is_complete=True,
                     label=met.get("label"),
                 ))

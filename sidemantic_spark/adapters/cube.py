@@ -95,26 +95,54 @@ class CubeAdapter(BaseAdapter):
                 vals = f.get("values") or []
                 if not member or op is None or not vals:
                     continue
-                v = vals[0]
-                lit = v if isinstance(v, (int, float)) else f"'{v}'"
-                filters.append(f"{member} {op} {lit}")
-        # includes "*" on every join_path entry = unrestricted fields
-        restricted: list[str] | None = None
+                lits = [
+                    str(v) if isinstance(v, (int, float)) and not isinstance(v, bool)
+                    else "'" + str(v).replace("'", "''") + "'"
+                    for v in vals
+                ]
+                # multi-value equals/notEquals is IN semantics in Cube
+                if len(lits) > 1 and op == "=":
+                    filters.append(f"{member} IN ({', '.join(lits)})")
+                elif len(lits) > 1 and op == "!=":
+                    filters.append(f"{member} NOT IN ({', '.join(lits)})")
+                else:
+                    filters.append(f"{member} {op} {lits[0]}")
+        # includes "*" on every join_path entry = unrestricted fields.
+        # Otherwise the view curates a field surface: explicit includes
+        # lists allow those fields, and a `*` cube inside a restricted
+        # view contributes ALL of its fields (cubes are parsed before
+        # views, so the model is resolvable from the layer).  Includes
+        # entries are split into dimension vs metric allowlists by
+        # looking the field up on its cube — Explore enforces both.
+        restricted_dims: list[str] | None = None
+        restricted_mets: list[str] | None = None
         if any(c.get("includes") not in ("*", None) for c in cubes):
-            restricted = []
+            restricted_dims, restricted_mets = [], []
             for c in cubes:
                 root = str(c.get("join_path") or "").split(".")[-1]
                 inc = c.get("includes")
+                cube_model = layer.graph.models.get(root)
+                if inc in ("*", None):
+                    if cube_model is None:
+                        continue
+                    restricted_dims += [f"{root}.{d.name}" for d in cube_model.dimensions]
+                    restricted_mets += [f"{root}.{m.name}" for m in cube_model.metrics]
+                    continue
                 if isinstance(inc, list):
-                    restricted += [
-                        f"{root}.{i}" for i in inc if isinstance(i, str)
-                    ]
+                    for i in inc:
+                        if not isinstance(i, str):
+                            continue
+                        if cube_model is not None and cube_model.metric(i) is not None:
+                            restricted_mets.append(f"{root}.{i}")
+                        else:
+                            restricted_dims.append(f"{root}.{i}")
         try:
             layer.add_explore(Explore(
                 name=name, model=base,
                 description=view.get("description"),
                 filters=filters,
-                allowed_dimensions=restricted,
+                allowed_dimensions=restricted_dims,
+                allowed_metrics=restricted_mets,
             ))
         except Exception:
             pass

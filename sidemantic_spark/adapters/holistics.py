@@ -258,7 +258,27 @@ class HolisticsAdapter(BaseAdapter):
         label = _unquote(lm.group(1)) if lm else None
         m = self._AQL_RE.match(aql)
         model = layer.graph.models.get(m.group(4)) if m else None
-        if model is None or model.metric(name) is not None:
+        if model is None:
+            # regex miss (nested parens in where(), expression-valued
+            # aggregate args, unknown lead model): fall back to the
+            # opaque import so the metric NAME survives on the first
+            # model the AQL references instead of silently vanishing
+            cand_names = re.findall(r"\b(\w+)\s*[.|]", aql)
+            host = next(
+                (layer.graph.models[c] for c in cand_names
+                 if c in layer.graph.models),
+                None,
+            )
+            if host is None or host.metric(name) is not None:
+                return
+            host.metrics.append(Metric(
+                name=name, agg="count", public=False, label=label,
+                description=f"unparsed AQL: {aql[:200]}",
+            ))
+            host.reindex()
+            layer.graph._invalidate()
+            return
+        if model.metric(name) is not None:
             return
         agg, col, tail = m.group(3), m.group(5), (m.group(6) or "").strip()
         filters = [_unquote(m.group(2))] if m.group(2) else []

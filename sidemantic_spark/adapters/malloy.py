@@ -112,12 +112,22 @@ def _scan_binding(text: str, start: int) -> tuple[str, str, int]:
             i += 2
             continue
         break
-    # optional pipeline: `-> { ... }` is part of the binding
-    m = re.match(r"\s*->\s*", text[i:])
-    if m:
+    # optional pipeline: ALL `-> { ... }` / `-> name` stages are part
+    # of the binding — consuming only the first stage would hide a
+    # multi-stage pipeline from _parse_source's refusal guard and
+    # silently import a truncated stage-1 model
+    while True:
+        m = re.match(r"\s*->\s*", text[i:])
+        if not m:
+            break
         i += m.end()
         if i < n and text[i] == "{":
             i = skip_balanced(i, "{", "}")
+        else:
+            nm = re.match(r"[\w.`]+", text[i:])
+            if not nm:
+                break
+            i += nm.end()
     binding = text[bind_start:i].strip()
     # optional extension block: `extend {`, `+ {`, or bare `{`
     m = re.match(r"[ \t]*(?:extend[ \t]*|\+[ \t\r\n]*)?\{", text[i:])

@@ -81,6 +81,7 @@ class OmniAdapter(BaseAdapter):
             data.get("measures"), dict
         ):
             layer.add_model(self._parse_view(data, filestem))
+            self._resolve_pending_topics(layer)
 
     def _parse_topic(self, layer, data: dict, filestem: str | None) -> None:
         from sidemantic_spark.core.consumption import Explore
@@ -101,25 +102,50 @@ class OmniAdapter(BaseAdapter):
         allowed_dims: list[str] | None = None
         allowed_mets: list[str] | None = None
         if all(m in layer.graph.models for m in allowed_models):
-            allowed_dims = [
-                f"{m}.{d.name}"
-                for m in allowed_models
-                for d in layer.graph.models[m].dimensions
-            ]
-            allowed_mets = [
-                f"{m}.{x.name}"
-                for m in allowed_models
-                for x in layer.graph.models[m].metrics
-            ]
+            allowed_dims, allowed_mets = self._topic_scope(layer, allowed_models)
+        explore = Explore(
+            name=name, model=base, label=data.get("label"),
+            description=data.get("description"),
+            allowed_dimensions=allowed_dims,
+            allowed_metrics=allowed_mets,
+        )
         try:
-            layer.add_explore(Explore(
-                name=name, model=base, label=data.get("label"),
-                description=data.get("description"),
-                allowed_dimensions=allowed_dims,
-                allowed_metrics=allowed_mets,
-            ))
+            layer.add_explore(explore)
         except Exception:
-            pass
+            return
+        if allowed_dims is None:
+            # directory loaders sort `x.topic.yaml` BEFORE `x.view.yaml`,
+            # so the referenced views usually aren't parsed yet — defer
+            # the field-scoping resolution and retry after later files
+            # instead of importing the topic unrestricted
+            if not hasattr(self, "_pending_topics"):
+                self._pending_topics = []
+            self._pending_topics.append((explore, allowed_models))
+
+    @staticmethod
+    def _topic_scope(layer, allowed_models: list[str]) -> tuple[list[str], list[str]]:
+        dims = [
+            f"{m}.{d.name}"
+            for m in allowed_models
+            for d in layer.graph.models[m].dimensions
+        ]
+        mets = [
+            f"{m}.{x.name}"
+            for m in allowed_models
+            for x in layer.graph.models[m].metrics
+        ]
+        return dims, mets
+
+    def _resolve_pending_topics(self, layer) -> None:
+        still: list = []
+        for explore, allowed_models in getattr(self, "_pending_topics", []):
+            if all(m in layer.graph.models for m in allowed_models):
+                dims, mets = self._topic_scope(layer, allowed_models)
+                explore.allowed_dimensions = dims
+                explore.allowed_metrics = mets
+            else:
+                still.append((explore, allowed_models))
+        self._pending_topics = still
 
     def _parse_view(self, data: dict, filestem: str | None) -> Model:
         schema = data.get("schema")

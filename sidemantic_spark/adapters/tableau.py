@@ -79,19 +79,35 @@ class TableauAdapter(BaseAdapter):
         self._walk_relation(scope.find("relation"), tables, joins)
         if not tables:
             # newer object-model TDS (the `_.fcp.ObjectModelEncapsulateLegacy`
-            # feature, Tableau 2020.2+) nests table relations inside
+            # feature, Tableau 2020.2+) nests relation trees inside
             # feature-flag wrappers / object graphs instead of a direct
-            # join-tree child — collect every table relation flat
+            # connection child — walk every OUTERMOST relation tree so
+            # join relations (and their clauses) survive, then dedup
+            # (object-model XML repeats the same relations per wrapper)
+            all_rels = list(ds.iter("relation"))
+            nested = {
+                id(child)
+                for r in all_rels
+                for child in r.iter("relation")
+                if child is not r
+            }
+            raw_tables: list = []
+            raw_joins: list = []
+            for r in all_rels:
+                if id(r) not in nested:
+                    self._walk_relation(r, raw_tables, raw_joins)
             seen_rel = set()
-            for rel in ds.iter("relation"):
-                if rel.get("type") == "table" and rel.get("name"):
-                    if rel.get("name") in seen_rel:
-                        continue  # object-model XML repeats relations
-                    seen_rel.add(rel.get("name"))
-                    physical = rel.get("table")
-                    if physical:
-                        physical = ".".join(_BRACKET_RE.findall(physical)) or physical
-                    tables.append((rel.get("name"), physical))
+            for name, physical in raw_tables:
+                if name in seen_rel:
+                    continue
+                seen_rel.add(name)
+                tables.append((name, physical))
+            seen_join = set()
+            for j in raw_joins:
+                key = repr(j)
+                if key not in seen_join:
+                    seen_join.add(key)
+                    joins.append(j)
         if not tables:
             return
         ds_name = _sanitize(ds.get("formatted-name") or ds.get("name") or tables[0][0])

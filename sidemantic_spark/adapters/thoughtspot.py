@@ -330,17 +330,29 @@ class ThoughtSpotAdapter(BaseAdapter):
                 for j in pending:
                     src = path.get(j["source"], j["source"])
                     dst = path.get(j["destination"], j["destination"])
+                    jt = str(j.get("type") or "").upper()
                     if src in joined and dst not in joined:
-                        jt = str(j.get("type") or "").upper()
+                        # forward: attach the destination table
                         kw = {"LEFT_OUTER": "LEFT JOIN", "RIGHT_OUTER": "RIGHT JOIN",
                               "FULL_OUTER": "FULL JOIN"}.get(jt, "JOIN")
-                        rel_sql = phys.get(dst, dst)
-                        if rel_sql != dst:
-                            rel_sql += f" AS {dst}"
-                        from_sql += f" {kw} {rel_sql} ON {conv(j['on'])}"
-                        joined.add(dst)
-                    elif dst not in joined:
-                        rest.append(j)
+                        attach = dst
+                    elif dst in joined and src not in joined:
+                        # reverse: the join points back toward an
+                        # already-joined table — attach the SOURCE side
+                        # with the outer direction flipped (a LEFT join
+                        # from src seen from dst's side is a RIGHT join)
+                        kw = {"LEFT_OUTER": "RIGHT JOIN", "RIGHT_OUTER": "LEFT JOIN",
+                              "FULL_OUTER": "FULL JOIN"}.get(jt, "JOIN")
+                        attach = src
+                    else:
+                        if not (src in joined and dst in joined):
+                            rest.append(j)
+                        continue
+                    rel_sql = phys.get(attach, attach)
+                    if rel_sql != attach:
+                        rel_sql += f" AS {attach}"
+                    from_sql += f" {kw} {rel_sql} ON {conv(j['on'])}"
+                    joined.add(attach)
                 pending = rest
             sel = ", ".join(f"{e} AS {a}" for a, e in projections) or "*"
             model = Model(name=name, sql=f"SELECT {sel} FROM {from_sql}",

@@ -212,7 +212,9 @@ class Metric:
         # Auto-extraction: sql="SUM(amount)" -> agg="sum", sql="amount"
         # (reference core/metric.py:101-226, via sqlglot; regex suffices
         # for the single-agg-call shape; formula SQL is left intact).
-        if self.agg is None and self.type is None and self.sql:
+        # complete-SQL measures are emitted verbatim — decomposing e.g.
+        # SUM(DISTINCT x) into agg=sum/sql="DISTINCT x" would corrupt them
+        if self.agg is None and self.type is None and self.sql and not self.sql_is_complete:
             m = _COUNT_DISTINCT_RE.match(self.sql)
             if m:
                 self.agg = "count_distinct"

@@ -1344,7 +1344,10 @@ def test_atscale_kitchen_sink_metric_long_tail(spark):
                 a.parse_file(layer, os.path.join(root, f))
     fo = layer.graph.models["fact_orders"]
     assert fo.metric("order_count").agg == "count"          # count non-null
-    assert fo.metric("total_amount_distinct").agg == "sum"  # sum distinct
+    # 'sum distinct' dedups by VALUE — preserved as a complete-SQL
+    # aggregate, NOT flattened to plain sum (pk-row dedup ≠ value dedup)
+    tad = fo.metric("total_amount_distinct")
+    assert tad.sql_is_complete and tad.sql == "SUM(DISTINCT total_amount)"
     calc = fo.metric("avg_order_value")                     # deferred calc
     assert calc.type == "derived" and "order_count" in calc.expr
     p75 = fo.metric("amount_p75")
@@ -2372,3 +2375,358 @@ def test_fidelity_report_all_formats(spark):
         # no format may silently drop a whole model from the tpch graph
         assert not any(n.construct == "model" for n in rep.notes), (
             fmt, rep.summary_lines()[:5])
+
+
+# ----------------------------------------------------------------------
+# round-4 review regressions (adapter-deepening batch)
+# ----------------------------------------------------------------------
+
+
+def test_malloy_bare_multistage_pipeline_refused(spark):
+    """A bare multi-stage pipeline (`parent -> {s1} -> {s2}`) must be
+    refused like the from() spelling — truncating to stage 1 would be a
+    silently-wrong model."""
+    from sidemantic_spark.adapters import MalloyAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    MalloyAdapter().parse_text(layer, """
+source: base is duckdb.table('adapter_orders') extend {
+  primary_key: order_id
+}
+source: staged is base -> { group_by: status; aggregate: n is count() } -> { select: status; limit: 3 }
+source: single is base -> { group_by: status; aggregate: n is count() }
+""")
+    assert "staged" not in layer.graph.models  # multi-stage refused
+    assert "single" in layer.graph.models      # single stage still works
+    con.close()
+
+
+def _cube_view_layer(spark, view_yaml: str):
+    import yaml as _yaml
+
+    from sidemantic_spark.adapters import ADAPTERS
+
+    layer = SparkSemanticLayer(spark)
+    ADAPTERS["cube"]().parse(layer, _yaml.safe_load("""
+cubes:
+  - name: cvx_orders
+    sql_table: adapter_orders
+    dimensions:
+      - name: order_id
+        sql: order_id
+        type: number
+        primary_key: true
+      - name: status
+        sql: status
+        type: string
+    measures:
+      - name: order_count
+        type: count
+      - name: secret_revenue
+        sql: amount
+        type: sum
+  - name: cvx_customers
+    sql_table: adapter_customers
+    dimensions:
+      - name: customer_id
+        sql: customer_id
+        type: number
+        primary_key: true
+      - name: city
+        sql: city
+        type: string
+""" + view_yaml))
+    return layer
+
+
+def test_cube_view_star_cube_in_restricted_view(spark):
+    """`includes: "*"` on one cube of a restricted view contributes ALL
+    of that cube's fields to the allowlist, not nothing."""
+    con = _seed_orders(spark)
+    layer = _cube_view_layer(spark, """
+views:
+  - name: mixed_view
+    cubes:
+      - join_path: cvx_orders
+        includes: "*"
+      - join_path: cvx_orders.cvx_customers
+        includes: [city]
+""")
+    exp = layer.graph.explores["mixed_view"]
+    assert "cvx_orders.status" in exp.allowed_dimensions
+    assert "cvx_customers.city" in exp.allowed_dimensions
+    assert "cvx_orders.order_count" in exp.allowed_metrics
+    con.close()
+
+
+def test_cube_view_includes_restricts_metrics(spark):
+    """Measures excluded from a view's includes list must not be
+    queryable through the explore (allowed_metrics enforced), and
+    measure names must not pollute the dimension allowlist."""
+    import pytest as _pytest
+
+    con = _seed_orders(spark)
+    layer = _cube_view_layer(spark, """
+views:
+  - name: curated_view
+    cubes:
+      - join_path: cvx_orders
+        includes: [status, order_count]
+""")
+    exp = layer.graph.explores["curated_view"]
+    assert exp.allowed_metrics == ["cvx_orders.order_count"]
+    assert exp.allowed_dimensions == ["cvx_orders.status"]
+    with _pytest.raises(Exception):
+        layer.query(
+            metrics=["cvx_orders.secret_revenue"], explore="curated_view"
+        )
+    # the included surface still works
+    rows = layer.query(
+        metrics=["cvx_orders.order_count"], explore="curated_view"
+    ).collect()
+    assert rows[0][0] == 3
+    con.close()
+
+
+def test_cube_view_policy_multivalue_and_quote_escape(spark):
+    """A multi-value `equals` policy is IN semantics; string values are
+    quote-escaped."""
+    con = _seed_orders(spark)
+    layer = _cube_view_layer(spark, """
+views:
+  - name: pol_view
+    cubes:
+      - join_path: cvx_orders
+        includes: "*"
+    access_policy:
+      - role: "*"
+        row_level:
+          filters:
+            - member: "${CUBE}.status"
+              operator: equals
+              values: [paid, refunded]
+            - member: "${CUBE}.status"
+              operator: notEquals
+              values: ["o'brien", "x"]
+""")
+    exp = layer.graph.explores["pol_view"]
+    assert "cvx_orders.status IN ('paid', 'refunded')" in exp.filters
+    assert "cvx_orders.status NOT IN ('o''brien', 'x')" in exp.filters
+    rows = layer.query(
+        metrics=["cvx_orders.order_count"], explore="pol_view"
+    ).collect()
+    assert rows[0][0] == 3  # paid+refunded all pass both policies
+    con.close()
+
+
+def test_thoughtspot_reverse_join_direction_flipped(spark):
+    """A worksheet join pointing BACK toward an already-joined table
+    (source not yet in the tree) must attach the source side with the
+    outer direction flipped, not be silently discarded."""
+    import yaml as _yaml
+
+    from sidemantic_spark.adapters import ThoughtSpotAdapter
+
+    spark.sql("""
+        CREATE OR REPLACE TEMP VIEW tsr_custs AS
+        SELECT * FROM VALUES (1, 'acme'), (2, 'globex') AS t(cust_id, cust_name)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMP VIEW tsr_orders AS
+        SELECT * FROM VALUES (1, 1, 100.0), (2, 1, 50.0), (3, 2, 70.0)
+            AS t(order_id, cust_id, amount)
+    """)
+    layer = SparkSemanticLayer(spark)
+    ThoughtSpotAdapter().parse(layer, _yaml.safe_load("""
+worksheet:
+  name: tsr_ws
+  tables:
+    - name: tsr_orders
+    - name: tsr_custs
+  joins:
+    - name: j1
+      source: tsr_custs
+      destination: tsr_orders
+      "on": "[tsr_custs::cust_id] = [tsr_orders::cust_id]"
+      type: LEFT_OUTER
+  worksheet_columns:
+    - name: cust_name
+      column_id: tsr_custs::cust_name
+      properties: {column_type: ATTRIBUTE}
+    - name: amount
+      column_id: tsr_orders::amount
+      properties: {column_type: MEASURE, aggregation: SUM}
+"""))
+    m = layer.graph.models["tsr_ws"]
+    # tsr_custs must appear in the FROM tree (flipped to RIGHT JOIN)
+    assert "tsr_custs" in m.sql and "RIGHT JOIN" in m.sql
+    rows = {
+        r["cust_name"]: float(r["amount"])
+        for r in layer.query(
+            metrics=["tsr_ws.amount"], dimensions=["tsr_ws.cust_name"]
+        ).collect()
+    }
+    assert rows == {"acme": 150.0, "globex": 70.0}
+
+
+def test_atscale_sum_distinct_value_semantics(spark):
+    """`sum distinct` dedups by VALUE (SUM(DISTINCT col)), which differs
+    from pk-row fan-out dedup — imported as a complete-SQL aggregate."""
+    spark.sql("""
+        CREATE OR REPLACE TEMP VIEW asd_fact AS
+        SELECT * FROM VALUES (1, 10), (2, 10), (3, 20) AS t(id, val)
+    """)
+    from sidemantic_spark.adapters import AtScaleAdapter
+
+    layer = SparkSemanticLayer(spark)
+    a = AtScaleAdapter()
+    a.parse(layer, {
+        "object_type": "dataset", "unique_name": "asd_fact",
+        "table": "asd_fact",
+        "columns": [{"name": "id", "data_type": "int"},
+                    {"name": "val", "data_type": "int"}],
+    })
+    a.parse(layer, {
+        "object_type": "metric", "unique_name": "val_sum_distinct",
+        "dataset": "asd_fact", "column": "val",
+        "calculation_method": "sum distinct",
+    })
+    m = layer.graph.models["asd_fact"].metric("val_sum_distinct")
+    assert m is not None and m.sql_is_complete
+    rows = layer.query(metrics=["asd_fact.val_sum_distinct"]).collect()
+    assert rows[0][0] == 30  # NOT 40: the duplicate value counts once
+
+
+def test_atscale_calc_with_function_binds(spark):
+    """A dataset-less metric_calc whose expression uses function calls
+    or CASE must still bind to the model defining its metric refs."""
+    from sidemantic_spark.adapters import AtScaleAdapter
+
+    layer = SparkSemanticLayer(spark)
+    a = AtScaleAdapter()
+    a.parse(layer, {
+        "object_type": "dataset", "unique_name": "calc_fact",
+        "table": "calc_fact",
+        "columns": [{"name": "id", "data_type": "int"},
+                    {"name": "amount", "data_type": "double"}],
+    })
+    a.parse(layer, {
+        "object_type": "metric", "unique_name": "total",
+        "dataset": "calc_fact", "column": "amount",
+        "calculation_method": "sum",
+    })
+    a.parse(layer, {
+        "object_type": "metric", "unique_name": "order_count",
+        "dataset": "calc_fact", "calculation_method": "count",
+    })
+    a.parse(layer, {
+        "object_type": "metric_calc", "unique_name": "safe_aov",
+        "expression": "COALESCE(total / NULLIF(order_count, 0), 0)",
+    })
+    a.parse(layer, {
+        "object_type": "metric_calc", "unique_name": "case_share",
+        "expression": "CASE WHEN order_count > 0 THEN total ELSE NULL END",
+    })
+    m = layer.graph.models["calc_fact"]
+    assert m.metric("safe_aov") is not None
+    assert m.metric("case_share") is not None
+    assert not a._pending_calcs
+
+
+def test_holistics_aql_nested_paren_falls_back_opaque(spark):
+    """An AQL metric the regex cannot parse (nested parens inside
+    where()) imports as an opaque hidden metric instead of vanishing."""
+    from sidemantic_spark.adapters import ADAPTERS
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    ADAPTERS["holistics"]().parse_text(layer, """
+Model hp_orders {
+  type: 'table'
+  table_name: 'adapter_orders'
+  dimension status { type: 'text' }
+  measure amount_sum { type: 'number' definition: @aql sum(hp_orders.amount) ;; }
+}
+Metric tricky_metric {
+  definition: @aql hp_orders | where(contains(hp_orders.status, 'p')) | sum(hp_orders.amount) ;;
+  label: 'Tricky'
+}
+""")
+    m = layer.graph.models["hp_orders"].metric("tricky_metric")
+    assert m is not None
+    assert m.description and "unparsed AQL" in m.description
+    con.close()
+
+
+def test_tableau_object_model_joins_recovered(spark):
+    """A 2020.2+ object-model TDS (feature-flag wrappers around a join
+    relation tree) imports the join clauses, not just disconnected
+    tables."""
+    import tempfile
+
+    from sidemantic_spark.adapters import TableauAdapter
+
+    xml = """<?xml version='1.0' encoding='utf-8' ?>
+<datasource formatted-name='om_sales' inline='true' version='20.2'>
+  <connection class='federated'>
+    <_.fcp.ObjectModelEncapsulateLegacy.false>
+      <relation connection='x' name='om_orders' table='[public].[om_orders]' type='table' />
+    </_.fcp.ObjectModelEncapsulateLegacy.false>
+    <_.fcp.ObjectModelEncapsulateLegacy.true>
+      <relation type='join' join='left'>
+        <clause type='join'>
+          <expression op='='>
+            <expression op='[om_orders].[cust_id]' />
+            <expression op='[om_custs].[cust_id]' />
+          </expression>
+        </clause>
+        <relation connection='x' name='om_orders' table='[public].[om_orders]' type='table' />
+        <relation connection='x' name='om_custs' table='[public].[om_custs]' type='table' />
+      </relation>
+    </_.fcp.ObjectModelEncapsulateLegacy.true>
+  </connection>
+  <column datatype='integer' name='[cust_id]' role='dimension' type='ordinal' />
+  <column datatype='real' name='[amount]' role='measure' type='quantitative' />
+</datasource>"""
+    with tempfile.NamedTemporaryFile("w", suffix=".tds", delete=False) as fh:
+        fh.write(xml)
+        path = fh.name
+    layer = SparkSemanticLayer(spark)
+    TableauAdapter().parse_file(layer, path)
+    os.unlink(path)
+    models = layer.graph.models
+    assert "om_orders" in models and "om_custs" in models
+    # the join relation must yield a relationship between the two
+    rels = models["om_orders"].relationships + models["om_custs"].relationships
+    assert any(
+        r.name in ("om_custs", "om_orders") for r in rels
+    ), [ (m, [r.name for r in models[m].relationships]) for m in models ]
+
+
+def test_omni_topic_parsed_before_views_still_scoped(spark):
+    """Directory layouts sort `x.topic.yaml` before `x.view.yaml`; topic
+    field scoping must resolve once the views land (deferred), not
+    silently import unrestricted."""
+    from sidemantic_spark.adapters import ADAPTERS
+
+    layer = SparkSemanticLayer(spark)
+    a = ADAPTERS["omni"]()
+    # topic FIRST (sorted order), views after
+    a.parse(layer, {"base_view": "ord_view", "joins": {"cust_view": {}}},
+            filestem="ord_topic")
+    a.parse(layer, {
+        "name": "ord_view", "table_name": "t_orders",
+        "dimensions": {"status": {"sql": "status"}},
+        "measures": {"n": {"aggregate_type": "count"}},
+    }, filestem="ord_view")
+    a.parse(layer, {
+        "name": "cust_view", "table_name": "t_custs",
+        "dimensions": {"city": {"sql": "city"}},
+        "measures": {},
+    }, filestem="cust_view")
+    exp = layer.graph.explores["ord_topic"]
+    assert exp.allowed_dimensions is not None  # resolved after views
+    assert "ord_view.status" in exp.allowed_dimensions
+    assert "cust_view.city" in exp.allowed_dimensions
+    assert "ord_view.n" in exp.allowed_metrics
