@@ -74,10 +74,61 @@ _MEASURE_AGGS = {
     "max": "max",
     "count_distinct": "count_distinct",
     "median": "median",
-    "median_distinct": "median",
-    "sum_distinct": "sum",  # fan-out safety is our generator's job
-    "average_distinct": "avg",
 }
+
+# distinct-measure family (sum/average/median/percentile_distinct):
+# Looker dedups by the sql_distinct_key ENTITY when one is declared
+# (each distinct key contributes its value once even under join
+# fan-out), and by VALUE when not.  Neither equals a plain agg — see
+# _distinct_measure_sql (ref adapters/lookml.py:3475-3566).
+_DISTINCT_MEASURES = {"sum_distinct", "average_distinct",
+                      "median_distinct", "percentile_distinct"}
+
+# post-SQL (table-calculation) measure types computed over another
+# measure (ref adapters/lookml.py:3684-3802)
+_POST_SQL_MEASURES = {"running_total", "percent_of_total",
+                      "percent_of_previous"}
+
+
+def _keyed_distinct_agg_sql(mtype: str, value_sql: str, key_sql: str) -> str:
+    """Fan-out-safe sum/avg deduplicated by a key entity (symmetric
+    aggregate).  Each distinct key contributes its value exactly once:
+    a bounded per-key hash offset is summed DISTINCT alongside the
+    value and cancelled.  pmod(xxhash64) % 2^61 keeps every offset
+    under 2^61 so DECIMAL(38,6) accumulation never overflows under
+    Spark 4 ANSI mode, while 2^61 separation dwarfs realistic measure
+    magnitudes.  NOTE: the two-DISTINCT shape compiles to an Expand
+    (one replication per distinct agg) — acceptable for an imported
+    long-tail measure, not a shape to put on the 100 TB hot path."""
+    off = (f"CAST(pmod(xxhash64({key_sql}), 2305843009213693952) "
+           f"AS DECIMAL(38,6))")
+    val = f"CAST(({value_sql}) AS DECIMAL(38,6))"
+    keyed = f"(SUM(DISTINCT {off} + {val}) - SUM(DISTINCT {off}))"
+    if mtype == "sum_distinct":
+        return f"CAST({keyed} AS DOUBLE)"
+    return f"CAST({keyed} / NULLIF(COUNT(DISTINCT {key_sql}), 0) AS DOUBLE)"
+
+
+def _distinct_quantile_sql(value_sql: str, key_sql: str | None, frac: float) -> str:
+    """Continuous quantile over values deduplicated by key entity (or
+    by value when no key): collect (key, value) pairs, array_distinct,
+    project values, sort, interpolate.  The sorted array is bound ONCE
+    via a transform-lambda so collect_list runs a single time per
+    group; empty groups yield NULL (try_element_at, ANSI-safe)."""
+    if key_sql is not None:
+        collected = (f"transform(array_distinct(collect_list(named_struct("
+                     f"'k', {key_sql}, 'v', CAST(({value_sql}) AS DOUBLE)))), __x -> __x.v)")
+    else:
+        collected = f"array_distinct(collect_list(CAST(({value_sql}) AS DOUBLE)))"
+    sorted_arr = f"array_sort(filter({collected}, __x -> __x IS NOT NULL))"
+    pos = f"(size(__s)-1)*{frac}"
+    lo = f"try_element_at(__s, CAST(floor({pos}) AS INT)+1)"
+    hi = f"try_element_at(__s, CAST(ceil({pos}) AS INT)+1)"
+    return (
+        f"try_element_at(transform(array({sorted_arr}), "
+        f"__s -> CASE WHEN size(__s) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE {lo} + ({pos} - floor({pos})) * ({hi} - {lo}) END), 1)"
+    )
 
 # anonymous blocks that legally repeat under one parent
 _REPEAT_ANON = {"when", "allowed_value", "link", "action"}
@@ -595,10 +646,15 @@ class LookMLAdapter(BaseAdapter):
             sql = resolve(m.get("sql"), in_measure=True)
             filters = self._measure_filters(m, name, dim_sql)
             if mtype in _MEASURE_AGGS:
+                agg = _MEASURE_AGGS[mtype]
+                # Looker `approximate: yes` on count_distinct -> HLL
+                # (ref adapters/lookml.py:3178-3180)
+                if agg == "count_distinct" and m.get("approximate") in ("yes", True):
+                    agg = "approx_count_distinct"
                 metrics.append(
                     Metric(
                         name=m["name"],
-                        agg=_MEASURE_AGGS[mtype],
+                        agg=agg,
                         sql=sql,
                         filters=filters,
                         description=_str(m.get("description")),
@@ -616,10 +672,9 @@ class LookMLAdapter(BaseAdapter):
                         description=_str(m.get("description")),
                     )
                 )
-            elif mtype in ("percentile", "percentile_distinct"):
+            elif mtype == "percentile":
                 # exact ordered-set aggregate (ref lookml.py:3080-3096:
-                # PERCENTILE_CONT(f) WITHIN GROUP); _distinct maps to the
-                # plain form — our generator owns fan-out safety
+                # PERCENTILE_CONT(f) WITHIN GROUP)
                 if sql:
                     frac = float(m.get("percentile", 50)) / 100.0
                     metrics.append(
@@ -634,12 +689,84 @@ class LookMLAdapter(BaseAdapter):
                             label=_str(m.get("label")),
                         )
                     )
-            elif mtype in ("percent_of_total", "running_total"):
-                # presentation-layer measure types: keep the underlying
-                # aggregate; percent/running shapes are table calcs here
-                if sql:
+            elif mtype in _DISTINCT_MEASURES:
+                # Looker dedups by sql_distinct_key ENTITY (each key
+                # contributes once under join fan-out), by VALUE when
+                # keyless.  Plain sum/avg/median would double-count —
+                # see _keyed_distinct_agg_sql/_distinct_quantile_sql
+                # (ref lookml.py:3475-3566; our keyless quantile dedups
+                # by value via array_distinct, which the reference can
+                # only approximate with a plain PERCENTILE_CONT)
+                if not sql:
+                    continue
+                key = resolve(m.get("sql_distinct_key"), in_measure=True)
+                if mtype in ("sum_distinct", "average_distinct"):
+                    if key:
+                        csql = _keyed_distinct_agg_sql(mtype, sql, key)
+                    else:
+                        fn = "SUM" if mtype == "sum_distinct" else "AVG"
+                        csql = f"{fn}(DISTINCT {sql})"
+                else:
+                    frac = (
+                        0.5 if mtype == "median_distinct"
+                        else float(m.get("percentile", 50)) / 100.0
+                    )
+                    csql = _distinct_quantile_sql(sql, key or None, frac)
+                metrics.append(
+                    Metric(
+                        name=m["name"],
+                        sql=csql,
+                        sql_is_complete=True,
+                        description=_str(m.get("description")),
+                        label=_str(m.get("label")),
+                    )
+                )
+            elif mtype in _POST_SQL_MEASURES:
+                # post-SQL measures compute over another measure (ref
+                # lookml.py:3684-3802): running_total -> our native
+                # cumulative metric; percent_of_total -> derived with
+                # the all() window total; percent_of_previous -> derived
+                # LAG form (matches the reference's mapping, including
+                # its unspecified OVER () ordering caveat).  A raw
+                # column expression (not a bare ${measure} ref) gets a
+                # hidden sum base first.
+                if not sql:
+                    continue
+                raw_ref = re.match(r"^\s*\$\{(\w+)\}\s*$", m.get("sql") or "")
+                if raw_ref and raw_ref.group(1) in measure_names:
+                    base = raw_ref.group(1)
+                else:
+                    base = f"__{m['name']}_base"
                     metrics.append(
-                        Metric(name=m["name"], agg="sum", sql=sql, filters=filters)
+                        Metric(name=base, agg="sum", sql=sql,
+                               filters=filters, public=False)
+                    )
+                common = dict(
+                    description=_str(m.get("description")),
+                    label=_str(m.get("label")),
+                )
+                if mtype == "running_total":
+                    metrics.append(
+                        Metric(name=m["name"], type="cumulative",
+                               base_metric=base, **common)
+                    )
+                elif mtype == "percent_of_total":
+                    metrics.append(
+                        Metric(
+                            name=m["name"], type="derived",
+                            expr=(f"CAST({base} AS DOUBLE) / "
+                                  f"NULLIF(CAST(all({base}) AS DOUBLE), 0)"),
+                            **common,
+                        )
+                    )
+                else:  # percent_of_previous
+                    metrics.append(
+                        Metric(
+                            name=m["name"], type="derived",
+                            expr=(f"({base} - LAG({base}) OVER ()) / "
+                                  f"NULLIF(LAG({base}) OVER (), 0)"),
+                            **common,
+                        )
                     )
             # list/date measures etc. carry no aggregation: skip
 

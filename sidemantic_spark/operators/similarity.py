@@ -4,10 +4,11 @@
   stage (zip_with dot product against a literal query vector) + a
   TakeOrderedAndProject. At 100 TB this is a full scan but with zero
   shuffle (Spark's global top-k is per-partition top-k + driver merge).
-- :func:`lsh_bucket_topk` — random-hyperplane LSH variant: vectors are
-  bucketed by sign-pattern once (a narrow derived table you would
-  persist/bucket at scale); queries only scan matching buckets, turning
-  top-k into a partition-pruned scan.
+- :func:`lsh_bucket_topk` — random-hyperplane LSH variant: a vectorized
+  bucket-membership filter skips the exact-cosine work for non-matching
+  rows (full scan, cheap filter); materializing bucket-id columns and
+  partitioning by them upgrades the same probe sets to partition
+  pruning at scale (see the function docstring).
 - :func:`ivf_topk` — IVF-style: coarse centroids (deterministic sample),
   vectors assigned to nearest centroid; the query probes ``nprobe``
   nearest centroid cells.

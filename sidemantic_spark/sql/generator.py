@@ -2238,14 +2238,32 @@ _COMPLETE_SQL_KEYWORDS = _SQL_KEYWORDS | {
 }
 
 
+_LAMBDA_PARAM_RE = re.compile(r"(?:\(([\w\s,]+)\)|([A-Za-z_]\w*))\s*->")
+
+
+def _lambda_params(sql: str) -> set[str]:
+    """Parameter names of higher-order-function lambdas (``x ->``,
+    ``(a, b) ->``) — NOT columns.  Spark scopes a lambda param to
+    shadow any same-named column inside the body, so excluding the
+    name everywhere matches engine semantics."""
+    out: set[str] = set()
+    for m in _LAMBDA_PARAM_RE.finditer(sql or ""):
+        if m.group(1):
+            out |= {p.strip() for p in m.group(1).split(",") if p.strip()}
+        else:
+            out.add(m.group(2))
+    return out
+
+
 def _complete_sql_columns(sql: str) -> list[str]:
+    params = _lambda_params(sql)
     out = []
     for seg in re.split(r"('(?:[^']|'')*')", sql or ""):
         if seg.startswith("'"):
             continue
         for m in _COMPLETE_COL_RE.finditer(seg):
             tok = m.group(1)
-            if tok.lower() not in _COMPLETE_SQL_KEYWORDS:
+            if tok.lower() not in _COMPLETE_SQL_KEYWORDS and tok not in params:
                 out.append(tok)
     return list(dict.fromkeys(out))
 

@@ -2730,3 +2730,110 @@ def test_omni_topic_parsed_before_views_still_scoped(spark):
     assert "ord_view.status" in exp.allowed_dimensions
     assert "cust_view.city" in exp.allowed_dimensions
     assert "ord_view.n" in exp.allowed_metrics
+
+
+def test_lookml_distinct_measures_semantics(spark):
+    """sum/average_distinct: keyed -> symmetric aggregate (each KEY
+    counted once), keyless -> value dedup; median_distinct keyed ->
+    quantile over per-key values.  Distinguishable fixture: keyed sum
+    over (a,10),(a,10),(b,10),(c,20) = 40, value-dedup sum = 30."""
+    from sidemantic_spark.adapters import LookMLAdapter
+
+    spark.sql("""
+        CREATE OR REPLACE TEMP VIEW lkd_rows AS
+        SELECT * FROM VALUES
+            (1, 'a', 10.0), (2, 'a', 10.0), (3, 'b', 10.0), (4, 'c', 20.0)
+            AS t(row_id, k, v)
+    """)
+    layer = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_text(layer, """
+view: lkd {
+  sql_table_name: lkd_rows ;;
+  dimension: row_id { primary_key: yes sql: ${TABLE}.row_id ;; }
+  dimension: k { sql: ${TABLE}.k ;; }
+  measure: keyed_sum {
+    type: sum_distinct
+    sql: ${TABLE}.v ;;
+    sql_distinct_key: ${TABLE}.k ;;
+  }
+  measure: keyed_avg {
+    type: average_distinct
+    sql: ${TABLE}.v ;;
+    sql_distinct_key: ${TABLE}.k ;;
+  }
+  measure: value_sum {
+    type: sum_distinct
+    sql: ${TABLE}.v ;;
+  }
+  measure: keyed_median {
+    type: median_distinct
+    sql: ${TABLE}.v ;;
+    sql_distinct_key: ${TABLE}.k ;;
+  }
+}
+""")
+    r = layer.query(metrics=[
+        "lkd.keyed_sum", "lkd.keyed_avg", "lkd.value_sum", "lkd.keyed_median",
+    ]).collect()[0]
+    assert float(r["keyed_sum"]) == 40.0      # a:10 + b:10 + c:20
+    assert float(r["keyed_avg"]) == pytest.approx(40.0 / 3)
+    assert float(r["value_sum"]) == 30.0      # values {10, 20}
+    assert float(r["keyed_median"]) == 10.0   # per-key [10,10,20]
+
+
+def test_lookml_post_sql_measures(spark):
+    """running_total -> native cumulative metric; percent_of_total ->
+    all() window-total derived; approximate count_distinct -> HLL."""
+    from sidemantic_spark.adapters import LookMLAdapter
+
+    spark.sql("""
+        CREATE OR REPLACE TEMP VIEW lkp_rows AS
+        SELECT * FROM VALUES
+            (1, 'x', DATE '2026-01-01', 10.0),
+            (2, 'x', DATE '2026-02-01', 20.0),
+            (3, 'y', DATE '2026-03-01', 30.0)
+            AS t(row_id, grp, d, v)
+    """)
+    layer = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_text(layer, """
+view: lkp {
+  sql_table_name: lkp_rows ;;
+  dimension: row_id { primary_key: yes sql: ${TABLE}.row_id ;; }
+  dimension: grp { sql: ${TABLE}.grp ;; }
+  dimension_group: d { type: time timeframes: [month] sql: ${TABLE}.d ;; }
+  measure: revenue { type: sum sql: ${TABLE}.v ;; }
+  measure: revenue_running {
+    type: running_total
+    sql: ${revenue} ;;
+  }
+  measure: revenue_share {
+    type: percent_of_total
+    sql: ${revenue} ;;
+  }
+  measure: approx_groups {
+    type: count_distinct
+    approximate: yes
+    sql: ${TABLE}.grp ;;
+  }
+}
+""")
+    m = layer.graph.models["lkp"]
+    assert m.metric("revenue_running").type == "cumulative"
+    assert m.metric("revenue_running").base_metric == "revenue"
+    assert m.metric("approx_groups").agg == "approx_count_distinct"
+    shares = {
+        r["grp"]: float(r["revenue_share"])
+        for r in layer.query(
+            metrics=["lkp.revenue_share"], dimensions=["lkp.grp"]
+        ).collect()
+    }
+    assert shares == {"x": 0.5, "y": 0.5}
+    run = [
+        float(r["revenue_running"])
+        for r in layer.query(
+            metrics=["lkp.revenue_running"],
+            dimensions=["lkp.d__month AS month"],
+            order_by=["month"],
+        ).collect()
+    ]
+    assert run == [10.0, 30.0, 60.0]
