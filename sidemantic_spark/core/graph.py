@@ -70,6 +70,9 @@ class SemanticGraph:
         self.parameters: dict[str, object] = {}  # name -> Parameter
         self.explores: dict[str, object] = {}  # name -> Explore
         self.saved_queries: dict[str, object] = {}  # name -> SavedQuery
+        # adapter-retained specs with no queryable equivalent (e.g.
+        # MetricFlow conversion metrics, ref adapters/metricflow.py:879)
+        self.metadata: dict[str, object] = {}
         self._adjacency: dict[str, list[JoinHop]] | None = None
         self._path_cache: dict[tuple[str, str, frozenset[str]], list[JoinHop]] = {}
         self.generation = 0  # bumped on mutation; keys compile caches

@@ -2837,3 +2837,266 @@ view: lkp {
         ).collect()
     ]
     assert run == [10.0, 30.0, 60.0]
+
+
+# ----------------------------------------------------------------------
+# MetricFlow long tail: latest spec, percentile, filters, saved queries
+# (reference adapters/metricflow.py:109-486, tests/fixtures/metricflow)
+# ----------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
+def test_metricflow_latest_spec_models(spark):
+    """dbt Core 1.12 / Fusion spec: models: + nested semantic_model:,
+    column-level entities/dimensions, folded inline metrics, promoted
+    top-level metric keys (ref adapters/metricflow.py:109-164,394-486)."""
+    from sidemantic_spark.adapters import MetricFlowAdapter
+
+    layer = SparkSemanticLayer(spark)
+    MetricFlowAdapter().parse_file(
+        layer, os.path.join(FIXROOT, "metricflow/latest_spec_models.yml"))
+
+    orders = layer.graph.models["orders"]
+    customers = layer.graph.models["customers"]
+    assert orders.primary_key == "order_id"
+    assert customers.primary_key == "customer_id"
+    # foreign entity `customer` resolves to the customers model
+    rel = {r.name: r for r in orders.relationships}
+    assert rel["customers"].foreign_key == "customer_id"
+    # column-level dims: granularity at the column level, name override
+    d = {dd.name: dd for dd in orders.dimensions}
+    assert d["ordered_at"].type == "time" and d["ordered_at"].granularity == "day"
+    assert "status" in d and d["status"].sql == "order_status"
+    assert orders.default_time_dimension == "ordered_at"
+
+    # folded inline measures attach to the model
+    assert orders.metric("order_total").agg == "sum"
+    assert orders.metric("order_total").sql == "amount"
+    assert orders.metric("order_count").agg == "count"
+
+    # promoted ratio / derived / cumulative keys
+    g = layer.graph.metrics
+    assert g["revenue_per_order"].type == "ratio"
+    assert g["revenue_per_order"].numerator == "order_total"
+    # non-offset aliases rewritten to real inputs
+    assert g["net_order_total"].expr == "order_total - order_total / 2"
+    # offset alias kept, inputs retained as metadata
+    growth = g["order_total_growth"]
+    assert "total_7_days_ago" in growth.expr
+    assert any(i.get("offset_window") == "7 days"
+               for i in growth.meta["input_metrics"])
+    assert g["rolling_30d_revenue"].type == "cumulative"
+    assert g["rolling_30d_revenue"].window == "30 days"
+    assert g["rolling_30d_revenue"].base_metric == "order_total"
+    assert g["revenue_mtd"].grain_to_date == "month"
+    # conversion is retained as metadata, never a queryable metric
+    assert "order_to_repeat_conversion" not in g
+    conv = layer.graph.metadata["metricflow_conversion_metrics"]
+    assert conv["order_to_repeat_conversion"]["entity"] == "customer"
+    assert conv["order_to_repeat_conversion"]["calculation"] == "conversion_rate"
+
+
+def test_metricflow_latest_spec_end_to_end(spark):
+    """Folded inline metrics compile and execute through the full path."""
+    import yaml
+
+    from sidemantic_spark.adapters import MetricFlowAdapter
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE mf_latest_orders AS SELECT * FROM (VALUES
+            (1, 101, 'paid', 100.0, TIMESTAMP '2026-01-05 10:00:00'),
+            (2, 101, 'paid', 50.0, TIMESTAMP '2026-01-20 10:00:00'),
+            (3, 102, 'refunded', 30.0, TIMESTAMP '2026-02-02 10:00:00')
+        ) t(order_id, customer_id, order_status, amount, ordered_at)
+    """)
+    pdf = con.table("mf_latest_orders").arrow().to_pandas()
+    spark.createDataFrame(pdf).createOrReplaceTempView("mf_latest_orders")
+
+    layer = SparkSemanticLayer(spark)
+    MetricFlowAdapter().parse(layer, yaml.safe_load("""
+models:
+  - name: mf_latest_orders
+    semantic_model:
+      enabled: true
+      name: mfo
+    columns:
+      - name: order_id
+        entity: primary
+      - name: ordered_at
+        granularity: day
+        dimension:
+          type: time
+      - name: order_status
+        dimension:
+          type: categorical
+          name: status
+    metrics:
+      - name: order_total
+        type: simple
+        agg: sum
+        expr: amount
+      - name: order_n
+        type: simple
+        agg: count
+        expr: '*'
+"""))
+    mfo = layer.graph.models["mfo"]
+    assert mfo.table == "mf_latest_orders"
+    assert mfo.metric("order_n").sql is None  # constant count == COUNT(*)
+    rows = layer.query(metrics=["mfo.order_total", "mfo.order_n"],
+                       dimensions=["mfo.status"]).collect()
+    got = {(r["status"], float(r["order_total"]), r["order_n"]) for r in rows}
+    assert got == {("paid", 150.0, 2), ("refunded", 30.0, 1)}
+    con.close()
+
+
+def test_metricflow_percentile_filter_segments(spark):
+    """percentile -> exact ordered-set complete SQL (the reference drops
+    these); {{ Dimension() }} filter templating; meta.segments; hex
+    table override; entity window_groupings resolution."""
+    import yaml
+
+    from sidemantic_spark.adapters import MetricFlowAdapter
+
+    layer = SparkSemanticLayer(spark)
+    MetricFlowAdapter().parse(layer, yaml.safe_load("""
+semantic_models:
+  - name: orders
+    model: ref('raw_orders')
+    config:
+      meta:
+        hex:
+          table: analytics.orders_hex
+    meta:
+      segments:
+        - name: paid_only
+          sql: "{model}.status = 'paid'"
+      extends: null
+    entities:
+      - name: order
+        type: primary
+        expr: order_id
+      - name: customer
+        type: foreign
+        expr: customer_id
+    dimensions:
+      - name: status
+        type: categorical
+      - name: order_date
+        type: time
+        type_params:
+          time_granularity: day
+    measures:
+      - name: p90_amount
+        agg: percentile
+        expr: amount
+        agg_params:
+          percentile: 0.9
+      - name: p50_amount_disc
+        agg: percentile
+        expr: amount
+        agg_params:
+          percentile: 0.5
+          use_discrete_percentile: true
+      - name: weird_agg
+        agg: hyperloglog
+        expr: amount
+      - name: last_balance
+        agg: sum
+        expr: balance
+        non_additive_dimension:
+          name: order_date
+          window_choice: max
+          window_groupings:
+            - customer
+metrics:
+  - name: paid_revenue
+    type: simple
+    measure: revenue_total
+    filter: "{{ Dimension('order__status') }} = 'paid'"
+"""))
+    orders = layer.graph.models["orders"]
+    # hex table config wins over ref()
+    assert orders.table == "analytics.orders_hex"
+    # percentile -> complete SQL ordered-set aggregate, not coerced agg
+    p90 = orders.metric("p90_amount")
+    assert p90.sql_is_complete
+    assert p90.sql == "PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY amount)"
+    assert "PERCENTILE_DISC(0.5)" in orders.metric("p50_amount_disc").sql
+    # unrepresentable agg skipped, never coerced
+    assert orders.metric("weird_agg") is None
+    # entity name in window_groupings resolves to its backing column
+    assert orders.metric("last_balance").non_additive_window_groupings == ["customer_id"]
+    # meta.segments imported
+    assert orders._segments["paid_only"].sql == "{model}.status = 'paid'"
+    # metric-level filter: Jinja Dimension ref -> model.dim
+    paid = layer.graph.metrics["paid_revenue"]
+    assert paid.filters == ["orders.status = 'paid'"]
+    assert paid.expr == "revenue_total"
+
+
+def test_metricflow_saved_queries_mapping_and_list(spark):
+    """saved_queries as canonical list and latest-spec name-keyed
+    mapping; where/order_by/limit retained; Jinja refs translated."""
+    import yaml
+
+    from sidemantic_spark.adapters import MetricFlowAdapter
+
+    layer = SparkSemanticLayer(spark)
+    MetricFlowAdapter().parse(layer, yaml.safe_load("""
+semantic_models:
+  - name: orders
+    model: ref('raw_orders')
+    entities:
+      - name: order
+        type: primary
+        expr: order_id
+    dimensions:
+      - name: status
+        type: categorical
+    measures:
+      - name: revenue
+        agg: sum
+        expr: amount
+saved_queries:
+  weekly_revenue:
+    description: revenue by status
+    query_params:
+      metrics: [revenue]
+      group_by: ["Dimension('order__status')"]
+      where: "{{ Dimension('order__status') }} <> 'cancelled'"
+      order_by: [status]
+      limit: 100
+"""))
+    sq = layer.graph.saved_queries["weekly_revenue"]
+    assert sq.metrics == ["revenue"]
+    assert sq.dimensions == ["status"]
+    assert sq.filters == ["orders.status <> 'cancelled'"]
+    assert sq.limit == 100
+
+    layer2 = SparkSemanticLayer(spark)
+    MetricFlowAdapter().parse(layer2, yaml.safe_load("""
+semantic_models:
+  - name: orders
+    model: ref('raw_orders')
+    entities:
+      - name: order
+        type: primary
+        expr: order_id
+    dimensions:
+      - name: created_at
+        type: time
+        type_params:
+          time_granularity: day
+    measures:
+      - name: revenue
+        agg: sum
+        expr: amount
+saved_queries:
+  - name: monthly
+    query_params:
+      metrics: [revenue]
+      group_by: ["Dimension('order__created_at').grain('month')"]
+"""))
+    assert layer2.graph.saved_queries["monthly"].dimensions == ["created_at__month"]
