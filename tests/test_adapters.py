@@ -3100,3 +3100,218 @@ saved_queries:
       group_by: ["Dimension('order__created_at').grain('month')"]
 """))
     assert layer2.graph.saved_queries["monthly"].dimensions == ["created_at__month"]
+
+
+# ----------------------------------------------------------------------
+# Graphene GSQL long tail (reference adapters/graphene.py,
+# tests/adapters/graphene/test_parsing.py)
+# ----------------------------------------------------------------------
+
+
+def test_graphene_full_table_surface(spark):
+    """Annotations, multiline case, measure composition order, computed-
+    dimension inlining, alias role models, composite keys."""
+    from sidemantic_spark.adapters import GrapheneAdapter
+
+    layer = SparkSemanticLayer(spark)
+    GrapheneAdapter().parse_text(layer, """
+-- Customer orders.
+table gx_orders (
+  order_id INT64
+  user_id INT64
+  created_at TIMESTAMP #timeGrain=day
+  status STRING -- One of 'Processing', 'Complete'
+  amount FLOAT64 #currency=USD
+  cost FLOAT64 #currency=USD
+  location STRUCT<lat FLOAT64, lon FLOAT64>
+  tags array<string>
+
+  join one gx_users on user_id = gx_users.id
+  join many gx_items on order_id = gx_items.order_id
+
+  profit: revenue - cogs #currency=USD
+  is_complete: status = 'Complete'
+  revenue: sum(case when is_complete then amount else 0 end) #currency=USD
+  sum(amount) as gross_revenue #currency=USD
+  cogs: sum(case when is_complete then cost else 0 end) #currency=USD
+  profit_margin: profit / revenue #ratio
+  on_time_rate: avg(case
+    when status = 'Complete' then 1
+    else 0
+  end) #pct
+  status_label: case when status = '#done' then 'done--late' else 'other' end #description="Display label"
+  p90_amount: p90(amount)
+)
+
+table gx_users (
+  id BIGINT
+  name STRING
+)
+""")
+    m = layer.graph.models["gx_orders"]
+    assert m.description == "Customer orders."
+    # pk: join-many local key candidate
+    assert m.primary_key == "order_id"
+    # declared columns: type, annotation grain, data_type metadata
+    assert m.dimension("created_at").type == "time"
+    assert m.dimension("created_at").granularity == "day"
+    assert m.dimension("status").description == "One of 'Processing', 'Complete'"
+    assert m.dimension("location").meta["graphene"]["data_type"] == \
+        "STRUCT<lat FLOAT64, lon FLOAT64>"
+    assert "lon" not in {d.name for d in m.dimensions}
+    assert m.dimension("tags").meta["graphene"]["data_type"] == "array<string>"
+    # computed dim classification
+    assert m.dimension("is_complete").type == "boolean"
+    assert m.dimension("is_complete").sql == "status = 'Complete'"
+    # comment/annotation markers inside strings preserved
+    assert "#done" in m.dimension("status_label").sql
+    assert "done--late" in m.dimension("status_label").sql
+    assert m.dimension("status_label").description == "Display label"
+    # measures: inlining, currency mapping, order-independent composition
+    rev = m.metric("revenue")
+    assert rev.agg == "sum"
+    assert "is_complete" not in (rev.sql or "")
+    assert "status" in rev.sql
+    assert rev.value_format_name == "usd"
+    assert m.metric("gross_revenue").agg == "sum"
+    assert m.metric("gross_revenue").sql == "amount"
+    assert m.metric("profit").type == "derived"
+    assert m.dimension("profit") is None
+    assert m.metric("profit_margin").value_format_name == "percent"
+    # multiline case body folded into one aggregate
+    assert m.metric("on_time_rate").agg == "avg"
+    # pNN shorthand -> exact ordered-set aggregate
+    p90 = m.metric("p90_amount")
+    assert p90.sql_is_complete
+    assert p90.sql == "PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY amount)"
+    # joins
+    users = next(r for r in m.relationships if r.name == "gx_users")
+    assert users.type == "many_to_one"
+    assert users.foreign_key == "user_id" and users.primary_key == "id"
+    items = next(r for r in m.relationships if r.name == "gx_items")
+    assert items.type == "one_to_many"
+    assert items.primary_key == "order_id" and items.foreign_key == "order_id"
+
+
+def test_graphene_views_extend_aliases_unresolved(spark):
+    from sidemantic_spark.adapters import GrapheneAdapter
+
+    layer = SparkSemanticLayer(spark)
+    GrapheneAdapter().parse_text(layer, """
+table gv_regional as (
+  with filtered as (
+    select id, region, amount from gv_raw where status = 'Complete'
+  )
+  from filtered
+  where region = $selected_region
+  group by region
+  select region, count() as num_orders, sum(amount) as total_revenue
+  order by num_orders desc
+  limit 10
+)
+
+extend gv_regional (
+  avg_order_value: total_revenue / num_orders #currency=USD
+  row_count: count()
+)
+
+table gv_flights (
+  id BIGINT primary_key
+  origin VARCHAR
+  code_txt VARCHAR
+
+  join one gv_airports as origin_airport on origin = origin_airport.code
+  join one gv_airports as by_code on lower(code_txt) = by_code.code
+)
+
+table gv_airports (
+  code VARCHAR
+  name STRING
+)
+
+-- Example usage query, not a model declaration.
+from gv_regional
+select region, num_orders
+;
+
+table gv_events (
+  tenant_id BIGINT primary_key
+  event_id BIGINT primary_key
+  account_id INT64
+
+  join one gv_accounts on account_id = gv_accounts.account_id and tenant_id = gv_accounts.tenant_id
+)
+
+table gv_accounts (
+  account_id INT64
+  tenant_id INT64
+)
+""")
+    # view: verbatim SQL, projection dims, first projected col is pk
+    v = layer.graph.models["gv_regional"]
+    assert v.sql.startswith("with filtered as")
+    assert "$selected_region" in v.sql
+    assert v.primary_key == "region"
+    names = {d.name for d in v.dimensions}
+    assert {"region", "num_orders", "total_revenue"} <= names
+    assert "id" not in names  # CTE selects ignored
+    # extend adds a numeric dimension (formula over view columns)
+    aov = v.dimension("avg_order_value")
+    assert aov is not None and aov.type == "numeric"
+    assert aov.value_format_name == "usd"
+    assert v.metric("row_count").agg == "count"
+    # alias join creates role model
+    assert "origin_airport" in layer.graph.models
+    role = layer.graph.models["origin_airport"]
+    assert role.table == "gv_airports"
+    fl = layer.graph.models["gv_flights"]
+    origin = next(r for r in fl.relationships if r.name == "origin_airport")
+    assert origin.foreign_key == "origin" and origin.primary_key == "code"
+    # non-equi join preserved as metadata, not planned
+    assert fl.primary_key == "id"
+    unsupported = fl.meta["graphene"]["unsupported_joins"]
+    assert unsupported[0]["unsupported_reason"] == "unresolved_join_keys"
+    assert "lower(code_txt)" in unsupported[0]["on"]
+    assert "by_code" not in layer.graph.models
+    # example query after models is ignored
+    assert "gv_raw" not in layer.graph.models
+    # composite keys + composite explicit pk
+    ev = layer.graph.models["gv_events"]
+    assert ev.primary_key == ["tenant_id", "event_id"]
+    acc = next(r for r in ev.relationships if r.name == "gv_accounts")
+    assert acc.foreign_key == ["account_id", "tenant_id"]
+    assert acc.primary_key == ["account_id", "tenant_id"]
+
+
+def test_graphene_view_queries_end_to_end(spark):
+    """Derived-table view + extend compiles and runs against Spark."""
+    from sidemantic_spark.adapters import GrapheneAdapter
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE gq_orders AS SELECT * FROM (VALUES
+            ('west', 10.0), ('west', 5.0), ('east', 7.0)
+        ) t(region, amount)
+    """)
+    pdf = con.table("gq_orders").arrow().to_pandas()
+    spark.createDataFrame(pdf).createOrReplaceTempView("gq_orders")
+    layer = SparkSemanticLayer(spark)
+    GrapheneAdapter().parse_text(layer, """
+table gq_regional as (
+  select region, sum(amount) as total_revenue
+  from gq_orders
+  group by 1
+)
+
+extend gq_regional (
+  row_count: count()
+)
+""")
+    rows = layer.query(
+        metrics=["gq_regional.row_count"],
+        dimensions=["gq_regional.region", "gq_regional.total_revenue"],
+    ).collect()
+    got = sorted((r["region"], float(r["total_revenue"]), r["row_count"])
+                 for r in rows)
+    assert got == [("east", 7.0, 1), ("west", 15.0, 1)]
+    con.close()
