@@ -3315,3 +3315,101 @@ extend gq_regional (
                  for r in rows)
     assert got == [("east", 7.0, 1), ("west", 15.0, 1)]
     con.close()
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
+def test_snowflake_cortex_feature_long_tail(spark):
+    """Newer Cortex Analyst spec keys: 3-part base_table, synonyms,
+    sample_values, cortex_search_service, access modifiers, scoped
+    metrics with simple-agg split, verified_queries/custom_instructions
+    (reference adapters/snowflake.py:418-576, cortex_features.yaml)."""
+    from sidemantic_spark.adapters import SnowflakeAdapter
+
+    layer = SparkSemanticLayer(spark)
+    SnowflakeAdapter().parse_file(
+        layer, os.path.join(FIXROOT, "snowflake/cortex_features.yaml"))
+    orders = layer.graph.models["orders"]
+    assert orders.table == "analytics.sales.orders"
+    assert orders.primary_key == "order_id"
+    status = orders.dimension("status")
+    assert status.synonyms == ["state"]
+    sf = status.meta["snowflake"]
+    assert sf["sample_values"] == ["delivered", "shipped"]
+    assert sf["is_enum"] is True and sf["labels"] == ["Order Status"]
+    assert orders.dimension("customer_name").meta["snowflake"][
+        "cortex_search_service"] == "customer_name_search"
+    assert orders.dimension("order_date").type == "time"
+    total = orders.metric("order_total")
+    assert total.agg == "sum" and total.sql == "total"
+    assert total.synonyms == ["revenue"]
+    # scoped metric: single outer aggregate splits into agg + inner
+    distinct = orders.metric("distinct_orders")
+    assert distinct.agg == "count_distinct" and distinct.sql == "order_id"
+    assert not distinct.sql_is_complete
+    meta = layer.graph.metadata["snowflake"]
+    assert meta["verified_queries"][0]["name"] == "total revenue"
+    assert "revenue over total" in meta["custom_instructions"]
+    assert meta["module_custom_instructions"]["sql_generation"]
+
+
+def test_snowflake_top_level_and_complex_metrics(spark):
+    """Top-level metrics attach to their table (even across docs) or
+    register graph-level; complex scoped metrics become complete-SQL
+    measures that execute against Spark."""
+    import yaml
+
+    from sidemantic_spark.adapters import SnowflakeAdapter
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE sf_orders AS SELECT * FROM (VALUES
+            (1, 'delivered', 100.0, 80.0),
+            (2, 'delivered', 50.0, 30.0),
+            (3, 'returned', 30.0, 20.0)
+        ) t(order_id, status, total, cost)
+    """)
+    spark.createDataFrame(con.table("sf_orders").arrow().to_pandas()) \
+        .createOrReplaceTempView("sf_orders")
+    layer = SparkSemanticLayer(spark)
+    adapter = SnowflakeAdapter()
+    # metrics arrive in a doc BEFORE the table's doc
+    adapter.parse(layer, yaml.safe_load("""
+metrics:
+  - name: margin_pct
+    table: orders_sf
+    expr: (SUM(total) - SUM(cost)) / SUM(total)
+  - name: global_note_metric
+    expr: orders_sf.order_total
+"""))
+    adapter.parse(layer, yaml.safe_load("""
+tables:
+  - name: orders_sf
+    base_table:
+      table: sf_orders
+    primary_key:
+      columns: [order_id]
+    dimensions:
+      - name: status
+        data_type: varchar
+    facts:
+      - name: order_total
+        expr: total
+        default_aggregation: sum
+    filters:
+      - name: kept
+        expr: status = 'delivered'
+"""))
+    m = layer.graph.models["orders_sf"]
+    # pending table-scoped metric attached once the table parsed
+    margin = m.metric("margin_pct")
+    assert margin is not None and margin.sql_is_complete
+    # graph-level metric left untouched (model.field refs)
+    assert layer.graph.metrics["global_note_metric"].type == "derived"
+    # filters qualify bare columns onto {model}
+    assert m._segments["kept"].sql == "{model}.status = 'delivered'"
+    rows = layer.query(metrics=["orders_sf.margin_pct", "orders_sf.order_total"],
+                       segments=["orders_sf.kept"]).collect()
+    assert len(rows) == 1
+    assert abs(float(rows[0]["margin_pct"]) - (150.0 - 110.0) / 150.0) < 1e-9
+    assert float(rows[0]["order_total"]) == 150.0
+    con.close()
