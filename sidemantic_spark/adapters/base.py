@@ -77,6 +77,31 @@ _AGG_FN = {
 }
 
 
+_AGG_SPLIT_RE = re.compile(
+    r"^\s*(sum|count|count_distinct|approx_count_distinct|avg|average|min|max|"
+    r"median|stddev)\s*\(\s*(distinct\s+)?(.*?)\s*\)\s*$",
+    re.I | re.S,
+)
+
+
+def split_simple_aggregate(expr: str) -> tuple[str, str] | None:
+    """``SUM(amount)`` -> ("sum", "amount"); None for anything more
+    complex (nested parens inside the argument are fine, a second
+    top-level call or a wrapping operator is not)."""
+    m = _AGG_SPLIT_RE.match(expr or "")
+    if not m:
+        return None
+    inner = m.group(3)
+    if inner.count("(") != inner.count(")"):
+        return None
+    agg = {"average": "avg"}.get(m.group(1).lower(), m.group(1).lower())
+    if m.group(2):
+        if agg != "count":
+            return None
+        agg = "count_distinct"
+    return agg, inner.strip()
+
+
 def simple_agg_sql(metric) -> str | None:
     """Render a simple-agg metric as a plain SQL aggregate call
     (``SUM(x)`` / ``COUNT(*)`` / ``COUNT(DISTINCT x)``), the lingua

@@ -2,16 +2,44 @@
 
 Maps Rill metrics-view YAML (reference ``adapters/rill.py``; public
 docs docs.rilldata.com/build/metrics-view) onto one Model per view:
-``model``/``table`` -> table binding, ``timeseries`` -> default time
-dimension, dimensions (column / expression), measures (SQL expressions
-with aggregate auto-extraction; non-extractable formulas become derived
-metrics).
+
+- ``model``/``table`` -> table binding; ``timeseries`` -> default time
+  dimension with ``smallest_time_grain`` mapped to a granularity
+- dimensions: ``column`` (and its deprecated ``property`` alias),
+  ``expression``, ``lookup_table`` lookups (keyed column becomes the
+  SQL, lookup config retained in meta), ``ignore: true`` dropped,
+  unnamed dims follow Rill's ``name -> column -> dimension_<i>`` rule
+  with the first unnamed expression matching the timeseries claiming
+  its name (ref ``adapters/rill.py:394-494``)
+- measures: aggregate auto-extraction; ``type: derived`` formulas;
+  ``type: time_comparison`` -> native prior-period comparison;
+  ``window:`` rolling definitions -> cumulative metrics with the frame
+  preserved; ``requires``/``per`` promote to derived unless the
+  expression is itself one plain aggregation; ``format_d3`` /
+  ``format_preset`` map onto format fields; unnamed measures get
+  ``measure_<i>`` (ref ``adapters/rill.py:496-610``)
+- ``security:`` access/row_filter Go templates (``{{ .user.x }}``)
+  translate to the engine's ``{{ user.x }}`` namespace -> SecurityPolicy
+- ``parent:`` derived views copy the selected field subset from their
+  parent model
 """
 
 from __future__ import annotations
 
-from sidemantic_spark.adapters.base import BaseAdapter
+import re
+
+from sidemantic_spark.adapters.base import BaseAdapter, split_simple_aggregate
 from sidemantic_spark.core.model import Dimension, Metric, Model
+
+_GRAIN_MAP = {
+    "millisecond": "hour", "second": "hour", "minute": "hour",
+    "hour": "hour", "day": "day", "week": "week", "month": "month",
+    "quarter": "quarter", "year": "year",
+}
+_FORMAT_PRESETS = {
+    "humanize": "decimal_0", "currency_usd": "usd", "currency_eur": "eur",
+    "percentage": "percent", "interval_ms": "decimal_0",
+}
 
 
 class RillAdapter(BaseAdapter):
@@ -65,42 +93,31 @@ class RillAdapter(BaseAdapter):
             return
 
         timeseries = data.get("timeseries")
+        grain = _grain(data.get("smallest_time_grain"))
         dims: list[Dimension] = []
         seen = set()
-        for d in data.get("dimensions") or []:
-            dname = d.get("name") or d.get("column")
-            if not dname or dname in seen:
+        ts_taken = False
+        for i, d in enumerate(data.get("dimensions") or []):
+            dim = self._parse_dimension(d, i, timeseries, grain, ts_taken)
+            if dim is None or dim.name in seen:
                 continue
-            seen.add(dname)
-            expr = d.get("expression") or d.get("column")
+            seen.add(dim.name)
+            dims.append(dim)
+            if timeseries and dim.name == timeseries:
+                ts_taken = True
+        if timeseries and not any(
+                d.name == timeseries or d.sql == timeseries for d in dims):
             dims.append(Dimension(
-                name=dname,
-                type="categorical",
-                sql=None if expr == dname else expr,
-                label=d.get("display_name") or d.get("label"),
-                description=d.get("description"),
-            ))
-        if timeseries and timeseries not in seen:
-            dims.append(Dimension(
-                name=timeseries, type="time",
-                granularity=_grain(data.get("smallest_time_grain")),
+                name=timeseries, type="time", granularity=grain or "day",
             ))
 
         metrics: list[Metric] = []
-        for m in data.get("measures") or []:
-            if not m.get("name"):
-                continue
-            expr = m.get("expression") or m.get("sql")
-            metric = Metric(
-                name=m["name"],
-                sql=expr,
-                label=m.get("display_name") or m.get("label"),
-                description=m.get("description"),
-            )
-            if metric.agg is None:  # auto-extraction failed: formula
-                metric = Metric(name=m["name"], type="derived", expr=expr,
-                                description=m.get("description"))
-            metrics.append(metric)
+        mseen = set()
+        for i, m in enumerate(data.get("measures") or []):
+            metric = self._parse_measure(m, i)
+            if metric is not None and metric.name not in mseen:
+                mseen.add(metric.name)
+                metrics.append(metric)
 
         layer.add_model(Model(
             name=name if isinstance(name, str) else str(name),
@@ -109,16 +126,137 @@ class RillAdapter(BaseAdapter):
             dimensions=dims,
             metrics=metrics,
             default_time_dimension=timeseries if timeseries else None,
+            default_grain=(grain or "day") if timeseries else None,
             description=data.get("description"),
+            security=self._parse_security(data.get("security")),
         ))
+
+    def _parse_dimension(self, d: dict, index: int, timeseries: str | None,
+                         grain: str | None, ts_taken: bool) -> Dimension | None:
+        if not isinstance(d, dict) or d.get("ignore"):
+            return None
+        # ``property:`` is the deprecated alias for ``column:``
+        column = d.get("column") or d.get("property")
+        expression = d.get("expression")
+        lookup_key = d.get("lookup_key_column")
+        sql = expression or column or lookup_key
+        if not sql:
+            return None
+        # Rill's name rule: name -> column -> dimension_<i>; the FIRST
+        # unnamed expression matching the timeseries claims its name so
+        # default_time_dimension resolves (ref adapters/rill.py:455-461)
+        name = d.get("name")
+        if not name:
+            if timeseries and sql == timeseries and not ts_taken:
+                name = timeseries
+            else:
+                name = column or lookup_key or f"dimension_{index}"
+        is_ts = bool(timeseries) and (sql == timeseries or name == timeseries)
+        meta = None
+        if d.get("lookup_table"):
+            meta = {"rill_lookup_table": d["lookup_table"],
+                    "rill_lookup_key_column": lookup_key,
+                    "rill_lookup_value_column": d.get("lookup_value_column")}
+            if d.get("lookup_default_expression") is not None:
+                meta["rill_lookup_default_expression"] = d["lookup_default_expression"]
+        return Dimension(
+            name=name,
+            type="time" if is_ts else "categorical",
+            sql=None if sql == name else sql,
+            granularity=(grain or "day") if is_ts else None,
+            label=d.get("display_name") or d.get("label"),
+            description=d.get("description"),
+            meta=meta,
+        )
+
+    def _parse_measure(self, m: dict, index: int) -> Metric | None:
+        if not isinstance(m, dict) or m.get("ignore"):
+            return None
+        expr = m.get("expression") or m.get("sql")
+        if not expr:
+            return None
+        name = m.get("name") or f"measure_{index}"
+        mtype = str(m.get("type") or "").lower()
+        fmt = m.get("format_d3")
+        preset = m.get("format_preset")
+        common = dict(
+            label=m.get("display_name") or m.get("label"),
+            description=m.get("description"),
+            format=fmt,
+            value_format_name=(_FORMAT_PRESETS.get(preset, preset)
+                               if preset and not fmt else None),
+        )
+        meta: dict | None = None
+        if m.get("per") is not None:
+            meta = {"rill_per": m["per"]}
+
+        window = m.get("window")
+        if window:
+            # rolling-window measure -> cumulative with the declared frame
+            # (Rill: window.order + window.frame over the timeseries)
+            frame = order = None
+            if isinstance(window, dict):
+                order = window.get("order")
+                frame = window.get("frame")
+            split = split_simple_aggregate(expr)
+            if split is None:
+                return Metric(name=name, type="derived", expr=expr,
+                              meta=meta, **common)
+            agg, inner = split
+            if order:
+                meta = dict(meta or {}, rill_window_order=order)
+            return Metric(name=name, type="cumulative", agg=agg,
+                          sql=None if inner in ("*", "1", "") else inner,
+                          window_frame=frame, meta=meta, **common)
+        if mtype == "time_comparison":
+            # the expression names the base measure; Rill compares to the
+            # immediately prior period
+            return Metric(name=name, type="time_comparison",
+                          base_metric=expr, comparison_type="prior_period",
+                          meta=dict(meta or {}, rill_type="time_comparison"),
+                          **common)
+        if mtype == "derived":
+            return Metric(name=name, type="derived", expr=expr,
+                          meta=meta, **common)
+        if (m.get("requires") or m.get("per")) and split_simple_aggregate(expr) is None:
+            # requires/per promotion, unless the expression is one plain
+            # aggregation which must keep simple decomposition
+            return Metric(name=name, type="derived", expr=expr,
+                          meta=meta, **common)
+        metric = Metric(name=name, sql=expr, meta=meta, **common)
+        if metric.agg is None:  # auto-extraction failed: formula
+            metric = Metric(name=name, type="derived", expr=expr,
+                            meta=meta, **common)
+        return metric
+
+    @staticmethod
+    def _parse_security(sec) -> object | None:
+        """Rill ``security:`` -> SecurityPolicy; ``{{ .user.x }}`` Go
+        templates become our ``{{ user.x }}`` Jinja namespace."""
+        if not isinstance(sec, dict):
+            return None
+        from sidemantic_spark.core.security import SecurityPolicy
+
+        kwargs: dict = {}
+        access = sec.get("access")
+        if isinstance(access, str) and access.strip():
+            kwargs["access"] = _user_refs(access)
+        elif isinstance(access, bool):
+            kwargs["access"] = access
+        row_filter = sec.get("row_filter")
+        if isinstance(row_filter, str) and row_filter.strip():
+            kwargs["row_filters"] = [_user_refs(row_filter)]
+        return SecurityPolicy(**kwargs) if kwargs else None
+
+
+def _user_refs(template: str) -> str:
+    return re.sub(r"\.user\.", "user.", template)
 
 
 def _grain(g: str | None) -> str | None:
     if not g:
         return None
-    g = g.lower().strip()
-    return g if g in ("second", "minute", "hour", "day", "week", "month",
-                      "quarter", "year") else None
+    return _GRAIN_MAP.get(str(g).lower().strip())
 
 
 # ----------------------------------------------------------------------

@@ -33,13 +33,9 @@ from __future__ import annotations
 
 import re
 
-from sidemantic_spark.adapters.base import AGG_TYPES, BaseAdapter
+from sidemantic_spark.adapters.base import AGG_TYPES, BaseAdapter, split_simple_aggregate
 from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship, Segment
 
-_AGG_SPLIT_RE = re.compile(
-    r"^\s*(sum|count|avg|average|min|max|median)\s*\(\s*(distinct\s+)?(.*?)\s*\)\s*$",
-    re.I | re.S,
-)
 _BARE_COL_RE = re.compile(r"(?<![\w.'{])([A-Za-z_][A-Za-z0-9_]*)(?![\w.(}])(?!\s*\()")
 _SQL_WORDS = {
     "case", "when", "then", "else", "end", "and", "or", "not", "null",
@@ -64,23 +60,7 @@ def _qualify_model_placeholder(expr: str) -> str:
     return "".join(parts)
 
 
-def _split_simple_aggregate(expr: str) -> tuple[str, str] | None:
-    """``SUM(amount)`` -> ("sum", "amount"); None for anything more
-    complex (nested parens inside the argument are fine, a second
-    top-level call is not)."""
-    m = _AGG_SPLIT_RE.match(expr or "")
-    if not m:
-        return None
-    inner = m.group(3)
-    # the whole expression must be ONE call: balanced inner parens
-    if inner.count("(") != inner.count(")"):
-        return None
-    agg = {"average": "avg"}.get(m.group(1).lower(), m.group(1).lower())
-    if m.group(2):
-        if agg != "count":
-            return None
-        agg = "count_distinct"
-    return agg, inner.strip()
+_split_simple_aggregate = split_simple_aggregate
 
 
 class SnowflakeAdapter(BaseAdapter):

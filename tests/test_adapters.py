@@ -3413,3 +3413,89 @@ tables:
     assert abs(float(rows[0]["margin_pct"]) - (150.0 - 110.0) / 150.0) < 1e-9
     assert float(rows[0]["order_total"]) == 150.0
     con.close()
+
+
+def test_rill_measure_dimension_long_tail(spark):
+    """Rill back-compat and newer keys: property alias, unnamed
+    dimension_<i>/measure_<i> naming, ignore, lookup tables, window
+    measures -> cumulative, time_comparison, requires/per promotion,
+    format presets, security templates (ref adapters/rill.py:394-610)."""
+    import yaml
+
+    from sidemantic_spark.adapters import RillAdapter
+
+    layer = SparkSemanticLayer(spark)
+    RillAdapter().parse(layer, yaml.safe_load("""
+type: metrics_view
+name: rill_lt
+model: rill_lt_tbl
+timeseries: order_date
+smallest_time_grain: minute
+security:
+  access: "{{ .user.admin }}"
+  row_filter: "region = '{{ .user.region }}'"
+dimensions:
+  - property: status
+  - expression: order_date
+  - name: skipped
+    column: hidden_col
+    ignore: true
+  - expression: upper(region)
+  - name: country
+    lookup_table: countries
+    lookup_key_column: country_id
+    lookup_value_column: country_name
+measures:
+  - name: revenue
+    expression: SUM(amount)
+    format_preset: currency_usd
+  - expression: COUNT(*)
+  - name: rolling_rev
+    expression: SUM(amount)
+    window:
+      order: order_date
+      frame: RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+  - name: rev_prior
+    type: time_comparison
+    expression: revenue
+  - name: margin
+    type: derived
+    expression: revenue - cost_total
+  - name: per_user_rev
+    expression: SUM(amount)
+    per: user_id
+  - name: ignored_m
+    expression: SUM(x)
+    ignore: true
+"""))
+    m = layer.graph.models["rill_lt"]
+    # property alias + unnamed naming rules
+    assert m.dimension("status") is not None
+    od = m.dimension("order_date")  # unnamed expression claims timeseries
+    assert od.type == "time" and od.granularity == "hour"  # minute -> hour
+    assert m.dimension("dimension_3") is not None  # upper(region)
+    assert m.dimension("skipped") is None
+    country = m.dimension("country")
+    assert country.meta["rill_lookup_table"] == "countries"
+    assert country.sql == "country_id"
+    assert m.default_grain == "hour"
+    # measures
+    assert m.metric("revenue").agg == "sum"
+    assert m.metric("revenue").value_format_name == "usd"
+    assert m.metric("measure_1").agg == "count"
+    rolling = m.metric("rolling_rev")
+    assert rolling.type == "cumulative" and rolling.agg == "sum"
+    assert "6 DAY PRECEDING" in rolling.window_frame
+    assert rolling.meta["rill_window_order"] == "order_date"
+    prior = m.metric("rev_prior")
+    assert prior.type == "time_comparison"
+    assert prior.base_metric == "revenue"
+    assert prior.comparison_type == "prior_period"
+    assert m.metric("margin").type == "derived"
+    # per with a plain aggregation keeps simple decomposition
+    pu = m.metric("per_user_rev")
+    assert pu.agg == "sum" and pu.meta["rill_per"] == "user_id"
+    assert m.metric("ignored_m") is None
+    # security templates translated to the user.* namespace
+    assert m.security.access == "{{ user.admin }}"
+    assert m.security.row_filters == ["region = '{{ user.region }}'"]
