@@ -1,12 +1,29 @@
 """OSI (Open Semantic Interchange) importer.
 
-Re-expression of the reference's OSI adapter (``adapters/osi.py:61``):
-``semantic_model`` entries hold ``datasets`` (-> models; ``fields``
-with per-dialect expressions -> dimensions, ``dimension.is_time`` ->
-time type), ``relationships`` (from/to + from_columns/to_columns) and
-``metrics`` whose ANSI_SQL expressions reference dataset-qualified
-columns (``SUM(orders.amount)``) — each metric attaches to the model
-its expression references.
+Re-expression of the reference's OSI adapter (``adapters/osi.py:56``;
+public spec github.com/open-semantic-interchange/OSI). Both profiles
+are handled by one parser: the in-development ``0.2.x`` YAML profile
+and the released ``0.1.x`` JSON profile that dbt's OSI consumer ingests
+from an ``OSI/`` directory (generated ``target/``/``dbt_packages/``
+copies are skipped on directory parses).
+
+- ``semantic_model`` entries (list or single object) and the ontology
+  spec's ``ontology_mappings[].semantic_model`` both yield datasets;
+  semantic-model-level fields plus ``version``/``ontology`` are
+  preserved under ``graph.metadata["osi"]``
+- datasets -> models (``source`` binding, ``primary_key`` composite,
+  ``unique_keys`` retained in meta, first time field becomes the
+  default time dimension)
+- fields -> dimensions (per-dialect expressions with ANSI_SQL
+  preference, ``dimension.is_time`` -> time)
+- metrics carry full aggregate expressions over dataset-qualified
+  columns (``SUM(orders.amount)``): each attaches to the model its
+  expression references with the qualification stripped — the
+  reference registers them graph-level instead (``adapters/osi.py:385``)
+- ``ai_context`` / ``custom_extensions`` are retained in meta at every
+  level; a single SIDEMANTIC-vendor extension wrapper is unwrapped
+  back to its JSON payload (ref ``:933-953``)
+- relationships (from/to + from_columns/to_columns, composite)
 """
 
 from __future__ import annotations
@@ -18,39 +35,120 @@ from sidemantic_spark.adapters.base import BaseAdapter
 from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
 
 _QUALIFIED_RE = re.compile(r"\b(\w+)\.(\w+)\b")
+_DIALECT_PREFERENCE = ["ANSI_SQL", "SPARK", "SPARKSQL", "DATABRICKS",
+                       "SNOWFLAKE", "MAQL", "TABLEAU", "MDX"]
+_GENERATED_DIRS = {"target", "dbt_packages"}
 
 
 def _dialect_expr(obj: dict | None) -> str | None:
-    """Pick the ANSI_SQL (preferred) or first dialect expression."""
+    """Pick the preferred dialect expression (ANSI_SQL first, then the
+    Spark-executable dialects, then anything)."""
     if not obj:
         return None
     if isinstance(obj, str):
         return obj
     dialects = obj.get("dialects") or []
-    for d in dialects:
-        if str(d.get("dialect", "")).upper() in ("ANSI_SQL", "SPARK", "SPARKSQL"):
-            return d.get("expression")
-    return dialects[0].get("expression") if dialects else obj.get("expression")
+    by_name = {str(d.get("dialect", "")).upper(): d.get("expression")
+               for d in dialects if d.get("expression")}
+    for pref in _DIALECT_PREFERENCE:
+        if pref in by_name:
+            return by_name[pref]
+    if dialects and dialects[0].get("expression"):
+        return dialects[0]["expression"]
+    return obj.get("expression")
+
+
+def _decode_extensions(ext) -> object | None:
+    """Unwrap a single SIDEMANTIC-vendor extension back to its payload;
+    restore vendors the released JSON profile coerced to COMMON."""
+    if isinstance(ext, list):
+        restored = []
+        for e in ext:
+            if isinstance(e, dict) and e.get("vendor_name") == "COMMON" \
+                    and e.get("original_vendor_name"):
+                e = dict(e, vendor_name=e.pop("original_vendor_name"))
+                e.pop("original_vendor_name", None)
+            restored.append(e)
+        ext = restored
+    if (isinstance(ext, list) and len(ext) == 1 and isinstance(ext[0], dict)
+            and ext[0].get("vendor_name") == "SIDEMANTIC"):
+        data = ext[0].get("data")
+        if isinstance(data, str):
+            try:
+                return json.loads(data)
+            except json.JSONDecodeError:
+                return data
+        return data
+    return ext
+
+
+def _field_meta(obj: dict) -> dict | None:
+    meta = {}
+    if "ai_context" in obj:
+        meta["ai_context"] = obj.get("ai_context")
+    ext = _decode_extensions(obj.get("custom_extensions"))
+    if ext is not None:
+        meta["custom_extensions"] = ext
+    return meta or None
 
 
 class OsiAdapter(BaseAdapter):
     def parse_file(self, layer, path: str) -> None:
+        import os
+
+        if os.path.isdir(path):
+            for root, dirs, files in os.walk(path):
+                # dbt writes a compiled OSI copy to target/ — parsing it
+                # would duplicate or resurrect stale models
+                dirs[:] = [d for d in dirs if d not in _GENERATED_DIRS]
+                for f in sorted(files):
+                    if f.endswith((".yml", ".yaml", ".json")):
+                        self.parse_file(layer, os.path.join(root, f))
+            return
         if path.endswith(".json"):
             with open(path) as fh:
-                data = json.load(fh)
-            self.parse(layer, data)
+                text = fh.read()
+            if text.strip():
+                self.parse(layer, json.loads(text))
         else:
             super().parse_file(layer, path)
 
     def parse(self, layer, data: dict) -> None:
+        osi_meta = layer.graph.metadata.setdefault("osi", {"semantic_models": []})
+        if data.get("version"):
+            osi_meta["version"] = data["version"]
+        if data.get("ontology"):
+            osi_meta["ontology"] = data["ontology"]
+
         sms = data.get("semantic_model")
         if sms is None and "datasets" in data:
             sms = [data]
         if isinstance(sms, dict):
             sms = [sms]
-        for sm in sms or []:
-            if not isinstance(sm, dict):
-                continue
+        entries: list[tuple[dict, str, dict | None]] = [
+            (sm, "semantic_model", None) for sm in sms or []
+            if isinstance(sm, dict)
+        ]
+        # ontology spec: one semantic model per mapping entry
+        for i, mapping in enumerate(data.get("ontology_mappings") or []):
+            if isinstance(mapping, dict) and isinstance(
+                    mapping.get("semantic_model"), dict):
+                entries.append((mapping["semantic_model"],
+                                f"ontology_mappings[{i}].semantic_model",
+                                mapping))
+
+        for sm, source, mapping in entries:
+            sm_meta: dict = {"source": source}
+            for key in ("name", "description", "ai_context", "custom_extensions"):
+                if key in sm:
+                    sm_meta[key] = sm[key]
+            if mapping:
+                mm = {k: mapping[k]
+                      for k in ("name", "description", "concept_mappings")
+                      if k in mapping}
+                if mm:
+                    sm_meta["ontology_mapping"] = mm
+            osi_meta.setdefault("semantic_models", []).append(sm_meta)
             self._parse_semantic_model(layer, sm)
 
     def _parse_semantic_model(self, layer, sm: dict) -> None:
@@ -67,7 +165,7 @@ class OsiAdapter(BaseAdapter):
             frm, to = rel.get("from"), rel.get("to")
             fcols = rel.get("from_columns") or []
             tcols = rel.get("to_columns") or []
-            if not (frm and to and fcols):
+            if not (frm and to):
                 continue
             try:
                 model = layer.graph.get_model(frm)
@@ -75,10 +173,11 @@ class OsiAdapter(BaseAdapter):
                 continue
             if any(r.name == to for r in model.relationships):
                 continue
+            fk = (fcols if len(fcols) > 1 else fcols[0]) if fcols else f"{to}_id"
             model.relationships.append(Relationship(
                 name=to,
                 type=rel.get("type") or "many_to_one",
-                foreign_key=fcols if len(fcols) > 1 else fcols[0],
+                foreign_key=fk,
                 primary_key=(tcols if len(tcols) > 1 else tcols[0]) if tcols else None,
             ))
             layer.graph._invalidate()
@@ -95,22 +194,31 @@ class OsiAdapter(BaseAdapter):
             if not fname:
                 continue
             expr = _dialect_expr(f.get("expression"))
-            dim_meta = f.get("dimension") or {}
+            is_time = bool((f.get("dimension") or {}).get("is_time"))
             dims.append(Dimension(
                 name=fname,
-                type="time" if dim_meta.get("is_time") else "categorical",
+                type="time" if is_time else "categorical",
                 sql=None if expr in (None, fname) else expr,
+                granularity="day" if is_time else None,
                 description=f.get("description"),
+                label=f.get("label"),
+                meta=_field_meta(f),
             ))
         pk = ds.get("primary_key") or []
         if isinstance(pk, str):
             pk = [pk]
+        meta = _field_meta(ds) or {}
+        if ds.get("unique_keys"):
+            meta["osi_unique_keys"] = ds["unique_keys"]
         return Model(
             name=name,
             table=ds.get("source") or name,
             primary_key=pk if len(pk) > 1 else (pk[0] if pk else "id"),
             dimensions=dims,
+            default_time_dimension=next(
+                (d.name for d in dims if d.type == "time"), None),
             description=ds.get("description"),
+            meta=meta or None,
         )
 
     def _attach_metric(self, layer, met: dict, dataset_names: list[str]) -> None:
@@ -133,7 +241,9 @@ class OsiAdapter(BaseAdapter):
             return
         # strip the owner qualification: inside the model CTE columns are bare
         local = re.sub(rf"\b{owner}\.(\w+)\b", r"\1", expr)
-        model.add_metric(Metric(name=name, sql=local, description=met.get("description")))
+        model.add_metric(Metric(name=name, sql=local,
+                                description=met.get("description"),
+                                meta=_field_meta(met)))
         layer.graph._invalidate()
 
 
@@ -155,6 +265,8 @@ def export_osi(graph) -> dict:
         pk = model.pk_list()
         if pk != ["id"]:
             ds["primary_key"] = pk if len(pk) > 1 else pk[0]
+        if (model.meta or {}).get("osi_unique_keys"):
+            ds["unique_keys"] = model.meta["osi_unique_keys"]
         fields = []
         for d in model.dimensions:
             f: dict = {"name": d.name}
@@ -166,6 +278,8 @@ def export_osi(graph) -> dict:
                 f["dimension"] = {"is_time": True}
             if d.description:
                 f["description"] = d.description
+            if d.label:
+                f["label"] = d.label
             fields.append(f)
         if fields:
             ds["fields"] = fields

@@ -1604,8 +1604,13 @@ semantic_model:
     m = layer.graph.models["o_orders"]
     assert m.table == "adapter_orders"
     assert m.metric("revenue").agg == "sum"
+    # created_at imports as the default time dimension (first is_time
+    # field, ref adapters/osi.py:315-321) and would auto-include at day
+    # grain; pin a year grain so the grouping stays status-shaped
+    assert m.default_time_dimension == "created_at"
     r = layer.query(metrics=["o_orders.revenue", "o_orders.order_count"],
-                    dimensions=["o_orders.status"], order_by=["status"]).collect()
+                    dimensions=["o_orders.status", "o_orders.created_at__year"],
+                    order_by=["status"]).collect()
     assert [(x["status"], x["revenue"], x["order_count"]) for x in r] == [
         ("paid", 250, 2), ("refunded", 50, 1)
     ]
@@ -3499,3 +3504,85 @@ measures:
     # security templates translated to the user.* namespace
     assert m.security.access == "{{ user.admin }}"
     assert m.security.row_filters == ["region = '{{ user.region }}'"]
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
+def test_osi_kitchen_sink_long_tail(spark):
+    """OSI 0.2 kitchen sink: composite keys, unique_keys, ai_context /
+    custom_extensions retention, graph-level OSI metadata
+    (reference adapters/osi.py:176-330)."""
+    from sidemantic_spark.adapters import OsiAdapter
+
+    layer = SparkSemanticLayer(spark)
+    OsiAdapter().parse_file(layer, os.path.join(FIXROOT, "osi/kitchen_sink.yaml"))
+    osi_meta = layer.graph.metadata["osi"]
+    assert osi_meta["version"] == "0.2.0.dev0"
+    assert any(sm.get("name") == "tpcds_analytics"
+               for sm in osi_meta["semantic_models"])
+    ss = layer.graph.models["store_sales"]
+    assert ss.table == "tpcds.public.store_sales"
+    assert ss.pk_list() == ["ss_item_sk", "ss_ticket_number"]
+    assert ss.meta["ai_context"]["synonyms"] == ["sales transactions",
+                                                 "store purchases"]
+    assert ss.meta["osi_unique_keys"] == [["ss_item_sk", "ss_ticket_number"]]
+
+
+def test_osi_ontology_and_extensions(spark):
+    """Ontology-mapping profile + SIDEMANTIC extension unwrap + released
+    JSON profile dialect preference."""
+    import yaml
+
+    from sidemantic_spark.adapters import OsiAdapter
+
+    layer = SparkSemanticLayer(spark)
+    OsiAdapter().parse(layer, yaml.safe_load("""
+version: "0.2.0.dev0"
+ontology: retail_ontology
+ontology_mappings:
+  - name: sales_mapping
+    concept_mappings:
+      - concept: Sale
+        dataset: ont_sales
+    semantic_model:
+      name: mapped
+      datasets:
+        - name: ont_sales
+          source: ont_sales_tbl
+          primary_key: [sale_id]
+          custom_extensions:
+            - vendor_name: SIDEMANTIC
+              data: '{"tier": "gold"}'
+          fields:
+            - name: sale_id
+            - name: sold_at
+              dimension:
+                is_time: true
+            - name: channel
+              expression:
+                dialects:
+                  - dialect: MDX
+                    expression: "[Channel].[Name]"
+                  - dialect: ANSI_SQL
+                    expression: channel_code
+      metrics:
+        - name: sales_total
+          expression:
+            dialects:
+              - dialect: ANSI_SQL
+                expression: SUM(ont_sales.amount)
+"""))
+    meta = layer.graph.metadata["osi"]
+    assert meta["ontology"] == "retail_ontology"
+    sm_meta = meta["semantic_models"][-1]
+    assert sm_meta["source"].startswith("ontology_mappings[0]")
+    assert sm_meta["ontology_mapping"]["concept_mappings"][0]["concept"] == "Sale"
+    m = layer.graph.models["ont_sales"]
+    # SIDEMANTIC extension wrapper unwrapped back to its JSON payload
+    assert m.meta["custom_extensions"] == {"tier": "gold"}
+    # dialect preference: ANSI_SQL wins over MDX regardless of order
+    assert m.dimension("channel").sql == "channel_code"
+    assert m.dimension("sold_at").type == "time"
+    assert m.default_time_dimension == "sold_at"
+    # metric attaches to its dataset with qualification stripped
+    assert m.metric("sales_total").agg == "sum"
+    assert m.metric("sales_total").sql == "amount"
