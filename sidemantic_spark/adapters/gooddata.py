@@ -1,12 +1,25 @@
 """GoodData declarative LDM / analytics importer.
 
 Re-expression of the reference's GoodData adapter
-(``adapters/gooddata.py:32`` parse; cloud LDM ``:122``, legacy project
-model ``:505``): datasets map to models (attributes -> dimensions via
-sourceColumn, facts -> sum metrics, grain -> primary key, references ->
-many_to_one relationships); analytics ``metrics`` with simple MAQL
-(``SELECT <AGG>({fact/x})`` or arithmetic over ``{metric/y}`` refs)
-become graph-level metrics.
+(``adapters/gooddata.py:21``; cloud LDM ``:122``, legacy project model
+``:505``):
+
+- cloud datasets -> models: attributes -> dimensions (sourceColumn /
+  dataType from the defaultView label when the attribute carries a
+  ``labels`` array, ref ``:254-299``), facts -> metrics (declared
+  ``aggregation`` else sum for numeric), ``aggregatedFacts`` ->
+  metrics with their source-fact operation (ref ``:338-386``), grain ->
+  primary key (a grain column missing from the attributes is
+  synthesized), references -> relationships (flat ``sourceColumns`` or
+  the newer ``sources`` array, composite keys, ``multivalue`` ->
+  many_to_many), ``sql`` datasets -> derived models
+- ``dateInstances`` / ``dateDatasets`` -> date models with the declared
+  granularity list (ref ``:436-503``)
+- legacy ``projectModel``: anchor/attributes/facts with the label map
+  supplying source columns, ``dateDimensions``, references
+- analytics ``metrics`` with simple MAQL (``SELECT <AGG>({fact/x})``
+  or arithmetic over ``{metric/y}`` refs) attach to their owning model
+  or become graph-level derived metrics
 """
 
 from __future__ import annotations
@@ -23,7 +36,64 @@ _MAQL_AGG_RE = re.compile(
     re.I,
 )
 _MAQL_METRIC_REF_RE = re.compile(r"\{metric/([\w.]+)\}")
-_DATE_TYPES = {"DATE", "TIMESTAMP", "TIMESTAMP_TZ"}
+_GRANULARITIES = ("second", "minute", "hour", "day", "week", "month",
+                  "quarter", "year")
+_FACT_AGGS = {"sum": "sum", "avg": "avg", "average": "avg", "count": "count",
+              "count_distinct": "count_distinct",
+              "count distinct": "count_distinct",
+              "min": "min", "max": "max", "median": "median"}
+
+
+def _ident(obj, keys=("id", "identifier", "name")) -> str | None:
+    if isinstance(obj, str):
+        return obj
+    if isinstance(obj, dict):
+        for k in keys:
+            v = obj.get(k)
+            if isinstance(v, str) and v:
+                return v
+            if isinstance(v, dict):
+                inner = _ident(v, keys)
+                if inner:
+                    return inner
+    return None
+
+
+def _first(obj: dict, *keys):
+    for k in keys:
+        if obj.get(k) is not None:
+            return obj[k]
+    return None
+
+
+def _dim_type(data_type) -> tuple[str, str | None]:
+    """GoodData dataType -> (semantic type, granularity)."""
+    dt = str(data_type or "").upper()
+    if dt in ("BOOLEAN", "BOOL"):
+        return "boolean", None
+    if dt in ("INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT",
+              "DECIMAL", "NUMERIC", "FLOAT", "DOUBLE", "REAL"):
+        return "numeric", None
+    if dt == "DATE":
+        return "time", "day"
+    if dt in ("DATETIME", "TIMESTAMP", "TIMESTAMP_TZ",
+              "TIMESTAMP WITH TIME ZONE", "TIME"):
+        return "time", "hour"
+    return "categorical", None
+
+
+def _table_path(value) -> str | None:
+    """dataSourceTableId/tablePath -> physical name (last path element)."""
+    if isinstance(value, str):
+        return value
+    if isinstance(value, dict):
+        path = value.get("path")
+        if isinstance(path, list) and path:
+            return path[-1]
+        return _ident(value)
+    if isinstance(value, list) and value:
+        return value[-1]
+    return None
 
 
 class GoodDataAdapter(BaseAdapter):
@@ -60,71 +130,194 @@ class GoodDataAdapter(BaseAdapter):
                 except Exception:
                     pass
         for dd in ldm.get("dateInstances") or ldm.get("dateDatasets") or []:
-            if isinstance(dd.get("dateInstance"), dict):
-                dd = dd["dateInstance"]
-            name = dd.get("id")
-            if not name:
-                continue
-            try:
-                layer.add_model(Model(
-                    name=name, table=name, primary_key="date",
-                    dimensions=[Dimension(name="date", type="time", granularity="day")],
-                    description=dd.get("title"),
-                ))
-            except Exception:
-                pass
+            model = self._parse_date_instance(dd)
+            if model is not None:
+                try:
+                    layer.add_model(model)
+                except Exception:
+                    pass
+
+    def _parse_date_instance(self, dd: dict) -> Model | None:
+        if isinstance(dd.get("dateInstance"), dict):
+            dd = dd["dateInstance"]
+        if isinstance(dd.get("dateDimension"), dict):
+            dd = dd["dateDimension"]
+        name = _ident(dd)
+        if not name:
+            return None
+        grans = [str(g).lower() for g in (dd.get("granularities")
+                                          or dd.get("granularity") or []) if g]
+        grans = [g for g in grans if g in _GRANULARITIES]
+        primary = "day" if ("day" in grans or not grans) else grans[0]
+        dim_name = "date" if primary == "day" else primary
+        table = _table_path(_first(dd, "dataSourceTableId", "tablePath", "table"))
+        return Model(
+            name=name, table=table or name, primary_key=dim_name,
+            dimensions=[Dimension(
+                name=dim_name, type="time", granularity=primary,
+                supported_granularities=grans,
+                label=dd.get("title"),
+            )],
+            description=dd.get("description") or dd.get("title"),
+        )
 
     def _parse_dataset(self, ds: dict) -> Model | None:
-        name = ds.get("id")
+        name = _ident(ds)
         if not name:
             return None
         dims: list[Dimension] = []
         mets: list[Metric] = []
-        for attr in ds.get("attributes") or []:
-            if isinstance(attr.get("attribute"), dict):
-                attr = attr["attribute"]
-            aid = attr.get("id")
-            if not aid:
-                continue
-            src = attr.get("sourceColumn") or aid
-            dt = (attr.get("sourceColumnDataType") or "STRING").upper()
-            dims.append(Dimension(
-                name=aid,
-                type="time" if dt in _DATE_TYPES else (
-                    "numeric" if dt in ("NUMERIC", "INT", "DECIMAL") else "categorical"),
-                sql=None if src == aid else src,
-                label=attr.get("title"),
-            ))
-        for fact in ds.get("facts") or []:
-            if isinstance(fact.get("fact"), dict):
-                fact = fact["fact"]
-            fid = fact.get("id")
-            if not fid:
-                continue
-            src = fact.get("sourceColumn") or fid
-            # facts are additive numeric columns; expose both the raw
-            # column (as a numeric dimension for filters) and SUM metric
-            dims.append(Dimension(name=f"{fid}__raw", type="numeric",
-                                  sql=src, public=False))
-            mets.append(Metric(name=fid, agg="sum", sql=src, label=fact.get("title")))
+
+        attributes = list(ds.get("attributes") or [])
+        facts = list(ds.get("facts") or [])
+        # unified ``fields`` arrays tag each entry with its type
+        for f in ds.get("fields") or []:
+            ftype = str((f or {}).get("type") or "").lower()
+            if ftype == "attribute":
+                attributes.append(f)
+            elif ftype == "fact":
+                facts.append(f)
+
+        for attr in attributes:
+            dim = self._parse_attribute(attr)
+            if dim is not None:
+                dims.append(dim)
+        for fact in facts:
+            met = self._parse_fact(fact)
+            if met is not None:
+                # facts are additive numeric columns; expose both the raw
+                # column (as a hidden numeric dimension for filters) and
+                # the aggregate metric
+                dims.append(Dimension(name=f"{met.name}__raw", type="numeric",
+                                      sql=met.sql, public=False))
+                mets.append(met)
+        for agg_fact in ds.get("aggregatedFacts") or ds.get("aggregated_facts") or []:
+            met = self._parse_aggregated_fact(agg_fact)
+            if met is not None:
+                mets.append(met)
+
         rels: list[Relationship] = []
         for ref in ds.get("references") or []:
-            ident = (ref.get("identifier") or {}).get("id")
-            cols = ref.get("sourceColumns") or []
-            if ident and cols:
-                rels.append(Relationship(
-                    name=ident, type="many_to_one", foreign_key=cols[0],
-                ))
+            rel = self._parse_reference(ref)
+            if rel is not None:
+                rels.append(rel)
+
         grain = ds.get("grain") or []
-        pk = grain[0]["id"] if grain and isinstance(grain[0], dict) and grain[0].get("id") else "id"
-        table = None
-        dst = ds.get("dataSourceTableId") or {}
-        if isinstance(dst, dict) and dst.get("path"):
-            table = dst["path"][-1]
+        grain_ids = [g["id"] if isinstance(g, dict) else g
+                     for g in grain if _ident(g) or isinstance(g, str)]
+        grain_ids = [g for g in grain_ids if isinstance(g, str)]
+        pk = grain_ids[0] if grain_ids else "id"
+        if grain_ids and not any(d.name == pk for d in dims):
+            dims.append(Dimension(name=pk, type="categorical"))
+
+        # SQL-backed datasets: {"dataSourceId": ..., "statement": ...} or str
+        raw_sql = ds.get("sql")
+        sql = raw_sql.get("statement") if isinstance(raw_sql, dict) else raw_sql
+        table = None if sql else (
+            _table_path(_first(ds, "dataSourceTableId", "tablePath", "table"))
+            or name)
         return Model(
-            name=name, table=table or name, primary_key=pk,
+            name=name, table=table, sql=sql,
+            primary_key=grain_ids if len(grain_ids) > 1 else pk,
             dimensions=dims, metrics=mets, relationships=rels,
-            description=ds.get("title"),
+            description=ds.get("description") or ds.get("title"),
+        )
+
+    def _parse_attribute(self, attr: dict) -> Dimension | None:
+        if isinstance(attr.get("attribute"), dict):
+            attr = attr["attribute"]
+        aid = _ident(attr)
+        if not aid:
+            return None
+        # the defaultView label supplies the source column when present
+        labels = attr.get("labels") or []
+        default_view = _ident(attr.get("defaultView") or attr.get("default_view"))
+        label_def = None
+        for lb in labels:
+            if isinstance(lb, dict) and isinstance(lb.get("label"), dict):
+                lb = lb["label"]
+            if not isinstance(lb, dict):
+                continue
+            if label_def is None:
+                label_def = lb
+            if default_view and _ident(lb) == default_view:
+                label_def = lb
+                break
+        src = ((label_def or {}).get("sourceColumn")
+               or attr.get("sourceColumn") or aid)
+        dt = ((label_def or {}).get("sourceColumnDataType")
+              or (label_def or {}).get("dataType")
+              or attr.get("sourceColumnDataType") or attr.get("dataType"))
+        dtype, gran = _dim_type(dt)
+        meta = None
+        if attr.get("tags"):
+            meta = {"gooddata": {"tags": attr["tags"]}}
+        return Dimension(
+            name=aid, type=dtype, granularity=gran,
+            sql=None if src == aid else src,
+            label=attr.get("title") or (label_def or {}).get("title"),
+            description=attr.get("description"),
+            meta=meta,
+        )
+
+    def _parse_fact(self, fact: dict) -> Metric | None:
+        if isinstance(fact.get("fact"), dict):
+            fact = fact["fact"]
+        fid = _ident(fact)
+        if not fid:
+            return None
+        src = fact.get("sourceColumn") or fid
+        declared = fact.get("aggregation") or fact.get("agg")
+        agg = _FACT_AGGS.get(str(declared).lower(), "sum") if declared else "sum"
+        return Metric(name=fid, agg=agg, sql=src,
+                      label=fact.get("title"),
+                      description=fact.get("description"))
+
+    def _parse_aggregated_fact(self, agg_def: dict) -> Metric | None:
+        """Aggregate-awareness facts: pre-aggregated columns carrying the
+        source fact + SUM/MIN/MAX operation (ref ``:338-386``)."""
+        if isinstance(agg_def.get("aggregatedFact"), dict):
+            agg_def = agg_def["aggregatedFact"]
+        aid = _ident(agg_def)
+        if not aid:
+            return None
+        src = agg_def.get("sourceColumn") or aid
+        ref = agg_def.get("sourceFactReference") or agg_def.get("source_fact_reference") or {}
+        operation = ref.get("operation") if isinstance(ref, dict) else None
+        agg = _FACT_AGGS.get(str(operation).lower(), "sum") if operation else "sum"
+        source_fact = None
+        if isinstance(ref, dict):
+            source_fact = _ident(ref.get("reference"))
+        return Metric(
+            name=aid, agg=agg, sql=src,
+            label=agg_def.get("title"), description=agg_def.get("description"),
+            meta={"gooddata": {"aggregated_fact": True,
+                               "operation": operation,
+                               "source_fact": source_fact}},
+        )
+
+    def _parse_reference(self, ref) -> Relationship | None:
+        if isinstance(ref, str):
+            return Relationship(name=ref, type="many_to_one")
+        ident = _ident(_first(ref, "identifier", "dataset", "reference"))
+        if not ident:
+            return None
+        # newer exports: sources array of {column, target}; older: flat
+        # sourceColumns
+        sources = ref.get("sources")
+        if isinstance(sources, list) and sources:
+            cols = [s.get("column") for s in sources
+                    if isinstance(s, dict) and s.get("column")]
+        else:
+            cols = ref.get("sourceColumns") or ref.get("source_columns") or []
+            if isinstance(cols, str):
+                cols = [cols]
+        multivalue = _first(ref, "multivalue", "multiValue") is True
+        fk = (cols[0] if len(cols) == 1 else list(cols)) if cols else None
+        return Relationship(
+            name=ident,
+            type="many_to_many" if multivalue else "many_to_one",
+            foreign_key=fk,
         )
 
     # -- analytics metrics (MAQL subset) -----------------------------
@@ -146,7 +339,6 @@ class GoodDataAdapter(BaseAdapter):
                 if owner:
                     target = layer.graph.models[owner]
                     if target.metric(mid) is None and not any(d.name == mid for d in target.dimensions):
-                        src = ref if agg != "count_distinct" else ref
                         target.add_metric(Metric(name=mid, agg=agg, sql=self._column_of(target, ref), label=title))
                 continue
             # pure arithmetic over metric refs -> graph-level derived metric
@@ -177,6 +369,21 @@ class GoodDataAdapter(BaseAdapter):
     # -- legacy project model ---------------------------------------
 
     def _parse_legacy(self, layer, pm: dict) -> None:
+        for dd in pm.get("dateDimensions") or []:
+            if isinstance(dd.get("dateDimension"), dict):
+                dd = dd["dateDimension"]
+            name = _legacy_name(dd.get("name") or dd.get("title") or "")
+            if not name:
+                continue
+            try:
+                layer.add_model(Model(
+                    name=name, table=name, primary_key="date",
+                    dimensions=[Dimension(name="date", type="time",
+                                          granularity="day",
+                                          label=dd.get("title"))],
+                ))
+            except Exception:
+                pass
         for ds in pm.get("datasets") or []:
             if isinstance(ds.get("dataset"), dict):
                 ds = ds["dataset"]
@@ -184,29 +391,47 @@ class GoodDataAdapter(BaseAdapter):
             if not name:
                 continue
             name = _legacy_name(name)
+            label_map = {}
+            for lb in ds.get("labels") or []:
+                if isinstance(lb.get("label"), dict):
+                    lb = lb["label"]
+                lid = lb.get("identifier")
+                if lid:
+                    label_map[lid] = lb
             dims: list[Dimension] = []
             mets: list[Metric] = []
+            rels: list[Relationship] = []
             pk = "id"
             anchor = ds.get("anchor") or {}
             if isinstance(anchor.get("attribute"), dict):
                 a = anchor["attribute"]
                 pk = _legacy_name(a.get("identifier") or "id")
-                dims.append(Dimension(name=pk, sql=_legacy_col(a)))
+                dims.append(Dimension(name=pk, sql=_legacy_col(a, label_map)))
             for attr in ds.get("attributes") or []:
                 if isinstance(attr.get("attribute"), dict):
                     attr = attr["attribute"]
                 aid = _legacy_name(attr.get("identifier") or "")
                 if aid:
-                    dims.append(Dimension(name=aid, sql=_legacy_col(attr), label=attr.get("title")))
+                    dims.append(Dimension(name=aid,
+                                          sql=_legacy_col(attr, label_map),
+                                          label=attr.get("title")))
             for fact in ds.get("facts") or []:
                 if isinstance(fact.get("fact"), dict):
                     fact = fact["fact"]
                 fid = _legacy_name(fact.get("identifier") or "")
                 if fid:
-                    mets.append(Metric(name=fid, agg="sum", sql=_legacy_col(fact), label=fact.get("title")))
+                    mets.append(Metric(name=fid, agg="sum",
+                                       sql=_legacy_col(fact, label_map),
+                                       label=fact.get("title")))
+            for ref in ds.get("references") or []:
+                tgt = _legacy_name(ref if isinstance(ref, str) else _ident(ref) or "")
+                if tgt:
+                    rels.append(Relationship(name=tgt, type="many_to_one",
+                                             foreign_key=f"{tgt}_id"))
             try:
                 layer.add_model(Model(name=name, table=name, primary_key=pk,
-                                      dimensions=dims, metrics=mets))
+                                      dimensions=dims, metrics=mets,
+                                      relationships=rels))
             except Exception:
                 pass
 
@@ -216,10 +441,22 @@ def _legacy_name(ident: str) -> str:
     return ident.split(".")[-1] if ident else ident
 
 
-def _legacy_col(obj: dict) -> str | None:
+def _legacy_col(obj: dict, label_map: dict | None = None) -> str | None:
     cols = obj.get("sourceColumn")
     if isinstance(cols, str):
         return cols
+    # legacy attributes reference labels by identifier (resolved via the
+    # dataset's label map) or carry them inline; the first label's source
+    # column backs the attribute (ref adapters/gooddata.py:586-600)
+    for lid in obj.get("labels") or []:
+        if isinstance(lid, dict):
+            inline = lid.get("label") if isinstance(lid.get("label"), dict) else lid
+            if isinstance(inline.get("sourceColumn"), str):
+                return inline["sourceColumn"]
+            lid = _ident(inline)
+        lb = (label_map or {}).get(lid)
+        if lb and isinstance(lb.get("sourceColumn"), str):
+            return lb["sourceColumn"]
     return None
 
 
@@ -257,7 +494,7 @@ def export_gooddata(graph) -> dict:
             if src != d.name:
                 attr["sourceColumn"] = src
             attr["sourceColumnDataType"] = {
-                "time": "DATE", "numeric": "NUMERIC", "boolean": "STRING",
+                "time": "DATE", "numeric": "NUMERIC", "boolean": "BOOLEAN",
             }.get(d.type, "STRING")
             if d.label:
                 attr["title"] = d.label
@@ -277,12 +514,10 @@ def export_gooddata(graph) -> dict:
                 # for a unique key; fidelity reports the approximation)
                 or (m.agg == "count" and not m.sql)
             ):
-                import re as _re
-
                 ref = m.sql if m.sql else (
                     model.pk_list()[0] if model.pk_list() else None
                 )
-                if ref is None or not _re.fullmatch(r"\w+", ref):
+                if ref is None or not re.fullmatch(r"\w+", ref):
                     continue  # expression measures have no MAQL fact ref
                 if ref not in attr_ids:
                     attributes.append({"attribute": {
@@ -298,12 +533,10 @@ def export_gooddata(graph) -> dict:
                     },
                 })
             elif m.type == "derived" and m.expr:
-                import re as _re
-
-                body = _re.sub(r"\b([a-zA-Z_]\w*)\b",
-                               lambda mm: f"{{metric/{mm.group(1)}}}"
-                               if graph_metric_exists(graph, mm.group(1))
-                               else mm.group(1), m.expr)
+                body = re.sub(r"\b([a-zA-Z_]\w*)\b",
+                              lambda mm: f"{{metric/{mm.group(1)}}}"
+                              if graph_metric_exists(graph, mm.group(1))
+                              else mm.group(1), m.expr)
                 analytics_metrics.append({
                     "id": m.name,
                     "content": {"title": m.label or m.name,
@@ -315,8 +548,10 @@ def export_gooddata(graph) -> dict:
             ds["facts"] = facts
         pk = model.pk_list()
         if pk and pk != ["id"]:
-            ds["grain"] = [{"id": pk[0]}]
-        if model.table and model.table != model.name:
+            ds["grain"] = [{"id": c} for c in pk]
+        if model.sql:
+            ds["sql"] = model.sql
+        elif model.table and model.table != model.name:
             ds["dataSourceTableId"] = {"path": [model.table]}
         refs = []
         for tgt, fk in edges.get(model.name, []):

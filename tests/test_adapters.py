@@ -3586,3 +3586,88 @@ ontology_mappings:
     # metric attaches to its dataset with qualification stripped
     assert m.metric("sales_total").agg == "sum"
     assert m.metric("sales_total").sql == "amount"
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
+def test_gooddata_cloud_long_tail(spark):
+    """Cloud LDM long tail: unified fields arrays with defaultView
+    labels, declared fact aggregation, date instances with granularity
+    lists, newer references with sources arrays, SQL-backed datasets
+    (reference adapters/gooddata.py:140-503)."""
+    from sidemantic_spark.adapters import GoodDataAdapter
+
+    layer = SparkSemanticLayer(spark)
+    GoodDataAdapter().parse_file(
+        layer, os.path.join(FIXROOT, "gooddata/cloud_kitchen_sink.json"))
+    # fields arrays feed attributes/facts; defaultView label source
+    model = next(m for m in layer.graph.models.values()
+                 if m.dimension("order_status") is not None)
+    assert model.dimension("order_status").sql == "status"
+    assert model.metric("order_total").agg == "sum"
+    # date instance with granularities
+    date_models = [m for m in layer.graph.models.values()
+                   if any(d.type == "time" and d.supported_granularities
+                          for d in m.dimensions)]
+    assert date_models
+    dd = date_models[0].dimensions[0]
+    assert "month" in dd.supported_granularities
+    assert date_models[0].table == "analytics.date_dim"
+
+    layer2 = SparkSemanticLayer(spark)
+    GoodDataAdapter().parse_file(
+        layer2,
+        os.path.join(FIXROOT, "gooddata/sdk_declarative_ldm_with_sql_dataset.json"))
+    # SQL-backed dataset imports as a derived model
+    sqlm = layer2.graph.models["Customers_sql_dataset_with_WDF"]
+    assert sqlm.sql == "SELECT * FROM v_wdf_customers"
+    assert sqlm.table is None
+    # newer references: sources array -> foreign key
+    cc = layer2.graph.models["campaign_channels"]
+    rel = next(r for r in cc.relationships if r.name == "campaigns")
+    assert rel.foreign_key == "campaign_id"
+    assert cc.primary_key == "campaign_channel_id"
+
+
+def test_gooddata_legacy_labels_and_dates(spark):
+    """Legacy projectModel: label map supplies source columns,
+    dateDimensions import as date models, references attach."""
+    from sidemantic_spark.adapters import GoodDataAdapter
+
+    layer = SparkSemanticLayer(spark)
+    GoodDataAdapter().parse(layer, {
+        "projectModel": {
+            "dateDimensions": [
+                {"dateDimension": {"name": "closedate", "title": "Closed"}},
+            ],
+            "datasets": [{
+                "dataset": {
+                    "identifier": "dataset.opps",
+                    "anchor": {"attribute": {
+                        "identifier": "attr.opps.id",
+                        "labels": [{"label": {
+                            "identifier": "label.opps.id",
+                            "sourceColumn": "opp_id"}}],
+                    }},
+                    "labels": [
+                        {"label": {"identifier": "label.opps.stage",
+                                   "sourceColumn": "stage_name"}},
+                    ],
+                    "attributes": [{"attribute": {
+                        "identifier": "attr.opps.stage",
+                        "title": "Stage",
+                        "labels": ["label.opps.stage"],
+                    }}],
+                    "facts": [{"fact": {
+                        "identifier": "fact.opps.amount",
+                        "sourceColumn": "amount"}}],
+                    "references": ["dataset.accounts"],
+                },
+            }],
+        },
+    })
+    assert "closedate" in layer.graph.models
+    opps = layer.graph.models["opps"]
+    # label map resolves the attribute's source column
+    assert opps.dimension("stage").sql == "stage_name"
+    assert opps.metric("amount").agg == "sum"
+    assert opps.relationships[0].name == "accounts"
