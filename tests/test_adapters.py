@@ -3671,3 +3671,116 @@ def test_gooddata_legacy_labels_and_dates(spark):
     assert opps.dimension("stage").sql == "stage_name"
     assert opps.metric("amount").agg == "sum"
     assert opps.relationships[0].name == "accounts"
+
+
+def test_tableau_formula_translation():
+    """Tableau calc formulas -> Spark SQL (reference
+    adapters/tableau.py:139-634 translation pipeline)."""
+    from sidemantic_spark.adapters.tableau import translate_formula
+
+    cases = {
+        "ZN([Discount])": "COALESCE(discount, 0)",
+        "IIF([Qty] > 2, 'big', 'small')":
+            "CASE WHEN qty > 2 THEN 'big' ELSE 'small' END",
+        "IF [Qty] > 2 THEN 'big' ELSEIF [Qty] > 1 THEN 'mid' ELSE 'small' END":
+            "CASE WHEN qty > 2 THEN 'big' WHEN qty > 1 THEN 'mid' ELSE 'small' END",
+        "CONTAINS([Name], 'x')": "name LIKE '%' || 'x' || '%'",
+        "COUNTD([Customer Id])": "COUNT(DISTINCT customer_id)",
+        "DATETRUNC('month', [Order Date])": "DATE_TRUNC('month', order_date)",
+        "DATEADD('month', 3, [Order Date])":
+            "TIMESTAMPADD(MONTH, 3, order_date)",
+        "LEN([Name])": "LENGTH(name)",
+        "STR([Qty]) + ' units'": "CAST(qty AS STRING) || ' units'",
+        "MID([Name], 2, 3)": "SUBSTRING(name, 2, 3)",
+        "ISNULL([Ship Date])": "(ship_date IS NULL)",
+        "IFNULL([A], [B])": "COALESCE(a, b)",
+        # double-quoted strings normalize; // comments drop
+        '[Region] = "West" // west only': "region = 'West'",
+        "INT([Price])": "CAST(price AS INT)",
+    }
+    for src, want in cases.items():
+        got, ok = translate_formula(src)
+        assert ok, src
+        assert got.strip() == want, f"{src!r}: {got!r} != {want!r}"
+    # untranslatable: LOD, table calcs, Tableau-only functions
+    for bad in ("{FIXED [Region] : SUM([Sales])}",
+                "RUNNING_SUM(SUM([Sales]))",
+                "USERNAME()"):
+        raw, ok = translate_formula(bad)
+        assert not ok and raw == bad
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
+def test_tableau_calcs_hidden_drill_paths(spark):
+    """sales_calcs.tds: translated calc measures, hidden columns stay
+    non-public, drill paths become dimension hierarchies."""
+    from sidemantic_spark.adapters import TableauAdapter
+
+    layer = SparkSemanticLayer(spark)
+    TableauAdapter().parse_file(
+        layer, os.path.join(FIXROOT, "tableau/sales_calcs.tds"))
+    m = layer.graph.models["sales_calcs"]
+    assert m.table == "public.sales"
+    rev = m.metric("calc_revenue")
+    assert rev.agg == "sum" and rev.sql == "price * quantity"
+    assert m.metric("calc_safe_discount").sql == "COALESCE(discount, 0)"
+    assert m.metric("hidden_cost").public is False
+    # drill path Geography: country > state > city
+    assert m.dimension("state").parent == "country"
+    assert m.dimension("city").parent == "state"
+
+
+def test_tableau_metadata_orphans_and_lod(spark):
+    """metadata-records supply types/aggregations and orphan physical
+    columns; LOD calcs import hidden with NULL bodies and the raw
+    formula in metadata; Number of Records maps to COUNT(*)."""
+    import textwrap
+
+    from sidemantic_spark.adapters import TableauAdapter
+
+    tds = textwrap.dedent("""\
+    <?xml version='1.0' encoding='utf-8' ?>
+    <datasource formatted-name='orph' version='18.1'>
+      <connection class='postgres' dbname='x' server='l'>
+        <relation type='table' name='orders' table='[public].[orders]' />
+        <metadata-records>
+          <metadata-record class='column'>
+            <local-name>[order_date]</local-name>
+            <local-type>date</local-type>
+            <parent-name>[orders]</parent-name>
+          </metadata-record>
+          <metadata-record class='column'>
+            <local-name>[freight]</local-name>
+            <local-type>real</local-type>
+            <aggregation>Sum</aggregation>
+            <parent-name>[orders]</parent-name>
+          </metadata-record>
+        </metadata-records>
+      </connection>
+      <column datatype='integer' name='[Number of Records]' role='measure' type='quantitative'>
+        <calculation class='tableau' formula='1' />
+      </column>
+      <column caption='Regional Sales' datatype='real' name='[lod_sales]' role='measure' aggregation='Sum' type='quantitative'>
+        <calculation class='tableau' formula='{FIXED [region] : SUM([sales])}' />
+      </column>
+    </datasource>
+    """)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".tds", delete=False) as fh:
+        fh.write(tds)
+        path = fh.name
+    layer = SparkSemanticLayer(spark)
+    TableauAdapter().parse_file(layer, path)
+    m = layer.graph.models["orph"]
+    # Number of Records -> COUNT(*)
+    nr = m.metric("number_of_records")
+    assert nr.agg == "count" and nr.sql is None
+    # LOD calc: hidden, NULL body, raw formula retained
+    lod = m.metric("lod_sales")
+    assert lod.public is False
+    assert lod.sql == "NULL"
+    assert "FIXED" in lod.meta["tableau"]["formula"]
+    # orphan metadata columns import with their declared type/agg
+    assert m.dimension("order_date").type == "time"
+    assert m.metric("freight").agg == "sum"
