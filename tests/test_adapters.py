@@ -3784,3 +3784,89 @@ def test_tableau_metadata_orphans_and_lod(spark):
     # orphan metadata columns import with their declared type/agg
     assert m.dimension("order_date").type == "time"
     assert m.metric("freight").agg == "sum"
+
+
+def test_bsl_expression_long_tail(spark):
+    """AST-translated BSL surface: left_on/right_on joins, model-level
+    filter, date-part dims, compound aggregations, filter methods,
+    ternary, _.all window totals (reference adapters/bsl_expr.py)."""
+    import yaml
+
+    from sidemantic_spark.adapters import BslAdapter
+    from sidemantic_spark.adapters.bsl import bsl_filter_to_sql
+
+    layer = SparkSemanticLayer(spark)
+    BslAdapter().parse(layer, yaml.safe_load("""
+bsl_flights:
+  table: flights_tbl
+  primary_key: flight_id
+  filter: _.year > 2020
+  time_dimension: dep_time
+  dimensions:
+    flight_id: _.flight_id
+    carrier: _.carrier
+    dep_year:
+      expr: _.dep_time.year()
+    dep_time:
+      expr: _.dep_time
+      is_time_dimension: true
+      smallest_time_grain: TIME_GRAIN_DAY
+  measures:
+    flight_count:
+      expr: _.count()
+    total_distance:
+      expr: _.distance.sum()
+    net_delay:
+      expr: (_.arr_delay - _.dep_delay).sum()
+    long_hauls:
+      expr: _.count()
+      filter: _.distance > 1000
+    distance_share:
+      expr: _.total_distance / _.all(_.total_distance)
+    avg_per_flight:
+      expr: total_distance / flight_count
+  joins:
+    carriers:
+      model: bsl_carriers
+      type: one
+      left_on: carrier
+      right_on: code
+
+bsl_carriers:
+  table: carriers_tbl
+  dimensions:
+    code:
+      expr: _.code
+      is_entity: true
+    name: _.name
+"""))
+    m = layer.graph.models["bsl_flights"]
+    assert m.primary_key == "flight_id"
+    assert m.row_filters == ["year > 2020"]
+    assert m.default_time_dimension == "dep_time"
+    # date-part dims -> EXTRACT
+    assert m.dimension("dep_year").sql == "EXTRACT(YEAR FROM dep_time)"
+    assert m.dimension("dep_time").granularity == "day"
+    # compound aggregation
+    nd = m.metric("net_delay")
+    assert nd.agg == "sum" and nd.sql == "arr_delay - dep_delay"
+    # measure-level filter translated
+    assert m.metric("long_hauls").filters == ["distance > 1000"]
+    # _.all -> __bsl_all window-total marker
+    share = m.metric("distance_share")
+    assert share.type == "derived"
+    assert "__bsl_all(total_distance)" in share.expr
+    # calc measure over other measures
+    assert m.metric("avg_per_flight").type == "derived"
+    # joins: left_on/right_on
+    rel = next(r for r in m.relationships if r.name == "bsl_carriers")
+    assert rel.type == "many_to_one"
+    assert rel.foreign_key == "carrier" and rel.primary_key == "code"
+    # entity marker still sets the pk
+    assert layer.graph.models["bsl_carriers"].primary_key == "code"
+    # filter translation surface
+    assert bsl_filter_to_sql("_.status.isin(['a', 'b'])") == "status IN ('a', 'b')"
+    assert bsl_filter_to_sql("(_.a > 1) & ~_.b.isnull()") == \
+        "(a > 1) AND (NOT (b IS NULL))"
+    assert bsl_filter_to_sql("_.x.between(1, 5) | (_.y == 'z')") == \
+        "(x BETWEEN 1 AND 5) OR (y = 'z')"
