@@ -78,14 +78,18 @@ class HexAdapter(BaseAdapter):
             if not did:
                 continue
             sql = d.get("expr_sql") or d.get("expr_calc")
+            htype = d.get("type", "string")
+            dtype = _DIM_TYPES.get(htype, "categorical")
             dims.append(
                 Dimension(
                     name=did,
-                    type=_DIM_TYPES.get(d.get("type", "string"), "categorical"),
+                    type=dtype,
                     sql=sql,
+                    granularity=("day" if htype == "date" else "hour")
+                    if dtype == "time" else None,
                     description=d.get("description"),
                     label=d.get("name"),
-                    public=d.get("visibility") != "internal",
+                    public=d.get("visibility") not in ("internal", "private"),
                 )
             )
             if d.get("unique"):
@@ -96,19 +100,59 @@ class HexAdapter(BaseAdapter):
             mid = m.get("id")
             if not mid:
                 continue
-            filters = [
-                f"{name}.{f}" for f in (m.get("filters") or []) if isinstance(f, str)
-            ]
+            # filters: dimension-name refs or inline dimension objects
+            # carrying their own expr (ref adapters/hex.py:316-327)
+            filters = []
+            for f in m.get("filters") or []:
+                if isinstance(f, str):
+                    filters.append(f"{name}.{f}")
+                elif isinstance(f, dict):
+                    fexpr = f.get("expr_sql") or f.get("expr_calc")
+                    if fexpr:
+                        filters.append(fexpr)
+            # semi-additive: object form {over: [{dimension, pick}],
+            # groupings: [...]}; legacy string shorthands ignored.  The
+            # full object rides in meta so pick:min snapshots round-trip
+            # (ref adapters/hex.py:363-409)
+            semi = m.get("semi_additive")
+            nad = None
+            nad_window = "max"
+            nad_groupings: list[str] = []
+            if isinstance(semi, dict):
+                for entry in semi.get("over") or []:
+                    if isinstance(entry, dict) and entry.get("dimension") is not None:
+                        dim_ref = entry["dimension"]
+                        if isinstance(dim_ref, dict):
+                            dim_ref = dim_ref.get("id")
+                        if isinstance(dim_ref, str):
+                            nad = dim_ref
+                            if entry.get("pick") in ("min", "max"):
+                                nad_window = entry["pick"]
+                            break
+                    elif isinstance(entry, str):
+                        nad = entry
+                        break
+                nad_groupings = [g for g in semi.get("groupings") or []
+                                 if isinstance(g, str)]
+            common = dict(
+                description=m.get("description"),
+                label=m.get("name"),
+                public=m.get("visibility") not in ("internal", "private"),
+                non_additive_dimension=nad,
+                non_additive_window=nad_window,
+                non_additive_window_groupings=nad_groupings,
+                meta={"hex_semi_additive": semi} if isinstance(semi, dict) else None,
+            )
             func = m.get("func")
             if m.get("func_sql"):
                 metrics.append(
-                    Metric(
-                        name=mid,
-                        sql=m["func_sql"],
-                        sql_is_complete=True,
-                        description=m.get("description"),
-                        public=m.get("visibility") != "internal",
-                    )
+                    Metric(name=mid, sql=m["func_sql"], sql_is_complete=True,
+                           filters=filters, **common)
+                )
+            elif m.get("func_calc"):
+                metrics.append(
+                    Metric(name=mid, type="derived", expr=m["func_calc"],
+                           filters=filters, **common)
                 )
             elif func == "count_if":
                 cond = m.get("of")
@@ -117,19 +161,13 @@ class HexAdapter(BaseAdapter):
                         name=mid,
                         agg="count",
                         filters=filters + ([f"{name}.{cond}"] if cond else []),
-                        description=m.get("description"),
+                        **common,
                     )
                 )
             elif func in _FUNCS:
                 metrics.append(
-                    Metric(
-                        name=mid,
-                        agg=_FUNCS[func],
-                        sql=m.get("of"),
-                        filters=filters,
-                        description=m.get("description"),
-                        public=m.get("visibility") != "internal",
-                    )
+                    Metric(name=mid, agg=_FUNCS[func], sql=m.get("of"),
+                           filters=filters, **common)
                 )
             # unknown funcs are skipped rather than mis-aggregated
 

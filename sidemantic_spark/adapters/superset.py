@@ -2,16 +2,32 @@
 
 Maps Superset dataset export YAML (reference ``adapters/superset.py``;
 public format: superset import/export datasets) onto one Model:
-``table_name``/``sql`` -> binding, ``columns`` -> dimensions
-(``is_dttm`` -> time), ``metrics`` -> Metric via aggregate
-auto-extraction of the SQL expression (``COUNT(*)``, ``SUM(x)``, ...);
-non-extractable expressions become derived metrics.
+``catalog``/``schema``/``table_name`` -> qualified binding (``sql``
+for virtual datasets), ``columns`` -> dimensions (``is_dttm`` or the
+``main_dttm_col`` -> time with DATE->day / else hour granularity),
+``metrics`` -> Metric via the declared ``metric_type`` else aggregate
+auto-extraction of the SQL expression; non-extractable expressions
+become derived metrics. Display/format keys with no first-class
+equivalent (``d3format``, ``currency``, ``warning_text``,
+``advanced_data_type``, ``python_date_format``, ``folders``,
+``extra.currency_code_column``) ride under a ``superset`` meta
+namespace (ref ``adapters/superset.py:26-36``).
 """
 
 from __future__ import annotations
 
+import json
+
 from sidemantic_spark.adapters.base import BaseAdapter
 from sidemantic_spark.core.model import Dimension, Metric, Model
+
+_METRIC_TYPES = {"count": "count", "count_distinct": "count_distinct",
+                 "sum": "sum", "avg": "avg", "min": "min", "max": "max"}
+
+
+def _meta_of(obj: dict, keys: tuple[str, ...]) -> dict | None:
+    extra = {k: obj[k] for k in keys if obj.get(k) is not None}
+    return {"superset": extra} if extra else None
 
 
 class SupersetAdapter(BaseAdapter):
@@ -20,29 +36,38 @@ class SupersetAdapter(BaseAdapter):
         if not name or ("metrics" not in data and "columns" not in data):
             return
 
+        main_dttm = data.get("main_dttm_col")
         dims: list[Dimension] = []
+        pk = "id"
         for c in data.get("columns") or []:
             cname = c.get("column_name")
             if not cname:
                 continue
             ctype = (c.get("type") or "").upper()
-            if c.get("is_dttm"):
+            grain = None
+            if c.get("is_dttm") or cname == main_dttm:
                 dtype = "time"
+                grain = "day" if ("DATE" in ctype and "TIME" not in ctype) \
+                    else "hour"
             elif any(t in ctype for t in ("INT", "FLOAT", "DOUBLE", "DECIMAL", "NUMERIC")):
                 dtype = "numeric"
             elif "BOOL" in ctype:
                 dtype = "boolean"
             else:
                 dtype = "categorical"
+            if cname == "id":
+                pk = cname
             expr = c.get("expression")
             dims.append(Dimension(
                 name=cname,
                 type=dtype,
+                granularity=grain,
                 sql=expr if expr else None,
                 label=c.get("verbose_name"),
                 description=c.get("description"),
+                meta=_meta_of(c, ("advanced_data_type", "python_date_format",
+                                  "datetime_format")),
             ))
-        main_dttm = data.get("main_dttm_col")
         if main_dttm and not any(d.name == main_dttm for d in dims):
             dims.append(Dimension(name=main_dttm, type="time"))
 
@@ -52,25 +77,63 @@ class SupersetAdapter(BaseAdapter):
             expr = m.get("expression")
             if not mname or not expr:
                 continue
-            metric = Metric(
-                name=mname, sql=expr,
+            common = dict(
                 label=m.get("verbose_name"),
                 description=m.get("description"),
+                format=m.get("d3format"),
+                meta=_meta_of(m, ("d3format", "currency", "warning_text")),
             )
+            agg = _METRIC_TYPES.get(str(m.get("metric_type") or "").lower())
+            if agg:
+                # the declared type names the aggregation; strip a matching
+                # wrapper from the expression (COUNT(*) -> None)
+                import re as _re
+
+                inner = expr
+                mm = _re.match(rf"^\s*{agg.upper()}\s*\(\s*(.*?)\s*\)\s*$",
+                               expr, _re.I)
+                if mm:
+                    inner = mm.group(1) or None
+                    if inner == "*":
+                        inner = None
+                metrics.append(Metric(name=mname, agg=agg, sql=inner, **common))
+                continue
+            metric = Metric(name=mname, sql=expr, **common)
             if metric.agg is None:
-                metric = Metric(name=mname, type="derived", expr=expr,
-                                description=m.get("description"))
+                metric = Metric(name=mname, type="derived", expr=expr, **common)
             metrics.append(metric)
 
+        # dataset-level metadata: catalog qualifier, folders, and the
+        # extra.currency_code_column key (extra serializes as JSON)
+        superset_meta: dict = {}
+        if data.get("catalog") is not None:
+            superset_meta["catalog"] = data["catalog"]
+        if data.get("folders") is not None:
+            superset_meta["folders"] = data["folders"]
+        extra = data.get("extra")
+        if isinstance(extra, str):
+            try:
+                extra = json.loads(extra)
+            except (TypeError, ValueError):
+                extra = None
+        ccc = data.get("currency_code_column")
+        if ccc is None and isinstance(extra, dict):
+            ccc = extra.get("currency_code_column")
+        if ccc is not None:
+            superset_meta["currency_code_column"] = ccc
+
+        table_parts = [p for p in (data.get("catalog"), data.get("schema"),
+                                   name) if p]
         layer.add_model(Model(
             name=name,
-            table=name if not data.get("sql") else None,
+            table=".".join(table_parts) if not data.get("sql") else None,
             sql=data.get("sql"),
-            primary_key="id",
+            primary_key=pk,
             dimensions=dims,
             metrics=metrics,
             default_time_dimension=main_dttm if main_dttm else None,
             description=data.get("description"),
+            meta={"superset": superset_meta} if superset_meta else None,
         ))
 
 

@@ -3870,3 +3870,110 @@ bsl_carriers:
         "(a > 1) AND (NOT (b IS NULL))"
     assert bsl_filter_to_sql("_.x.between(1, 5) | (_.y == 'z')") == \
         "(x BETWEEN 1 AND 5) OR (y = 'z')"
+
+
+def test_superset_long_tail(spark):
+    """Catalog/schema qualification, declared metric_type, granularity
+    from SQL types, display metadata retention
+    (reference adapters/superset.py:64-283)."""
+    import yaml
+
+    from sidemantic_spark.adapters import SupersetAdapter
+
+    layer = SparkSemanticLayer(spark)
+    SupersetAdapter().parse(layer, yaml.safe_load("""
+table_name: ss_orders
+catalog: lake
+schema: sales
+main_dttm_col: created_at
+extra: '{"currency_code_column": "currency"}'
+columns:
+  - column_name: id
+    type: BIGINT
+  - column_name: created_at
+    type: DATE
+  - column_name: status
+    type: VARCHAR
+    advanced_data_type: enum
+metrics:
+  - metric_name: order_count
+    metric_type: count
+    expression: COUNT(*)
+    d3format: ",d"
+  - metric_name: revenue
+    metric_type: sum
+    expression: SUM(amount)
+    currency:
+      symbol: USD
+      symbolPosition: prefix
+"""))
+    m = layer.graph.models["ss_orders"]
+    assert m.table == "lake.sales.ss_orders"
+    assert m.primary_key == "id"
+    ca = m.dimension("created_at")
+    assert ca.type == "time" and ca.granularity == "day"
+    assert m.dimension("status").meta["superset"]["advanced_data_type"] == "enum"
+    oc = m.metric("order_count")
+    assert oc.agg == "count" and oc.sql is None
+    assert oc.format == ",d"
+    rev = m.metric("revenue")
+    assert rev.agg == "sum" and rev.sql == "amount"
+    assert rev.meta["superset"]["currency"]["symbol"] == "USD"
+    assert m.meta["superset"]["catalog"] == "lake"
+    assert m.meta["superset"]["currency_code_column"] == "currency"
+
+
+def test_hex_semi_additive_and_filters(spark):
+    """Hex object-form semi_additive maps to semi-additive fields (with
+    the original retained for pick:min round-trips); inline filter
+    dimension objects and func_calc measures import
+    (reference adapters/hex.py:262-409)."""
+    import yaml
+
+    from sidemantic_spark.adapters import HexAdapter
+
+    layer = SparkSemanticLayer(spark)
+    HexAdapter().parse(layer, yaml.safe_load("""
+id: hx_balances
+type: model
+base_sql_table: balances_tbl
+dimensions:
+  - id: account_id
+    type: string
+    unique: true
+  - id: snapshot_date
+    type: date
+  - id: is_active
+    type: boolean
+measures:
+  - id: opening_balance
+    func: sum
+    of: balance
+    semi_additive:
+      over:
+        - dimension: snapshot_date
+          pick: min
+      groupings:
+        - account_id
+  - id: active_balance
+    func: sum
+    of: balance
+    filters:
+      - expr_sql: is_active = true
+  - id: balance_ratio
+    func_calc: opening_balance / active_balance
+  - id: hidden_metric
+    func: sum
+    of: balance
+    visibility: private
+"""))
+    m = layer.graph.models["hx_balances"]
+    assert m.dimension("snapshot_date").granularity == "day"
+    ob = m.metric("opening_balance")
+    assert ob.non_additive_dimension == "snapshot_date"
+    assert ob.non_additive_window == "min"
+    assert ob.non_additive_window_groupings == ["account_id"]
+    assert ob.meta["hex_semi_additive"]["over"][0]["pick"] == "min"
+    assert m.metric("active_balance").filters == ["is_active = true"]
+    assert m.metric("balance_ratio").type == "derived"
+    assert m.metric("hidden_metric").public is False
