@@ -91,9 +91,24 @@ def split_simple_aggregate(expr: str) -> tuple[str, str] | None:
     m = _AGG_SPLIT_RE.match(expr or "")
     if not m:
         return None
-    inner = m.group(3)
-    if inner.count("(") != inner.count(")"):
+    # the whole expression must be ONE call: the paren opened after the
+    # function name must close at the very end (a count-equality check
+    # would wrongly accept close-then-open shapes like SUM(a) + SUM(b))
+    s = expr.strip()
+    open_i = s.index("(")
+    depth = 0
+    close_i = -1
+    for i in range(open_i, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                close_i = i
+                break
+    if close_i != len(s) - 1:
         return None
+    inner = m.group(3)
     agg = {"average": "avg"}.get(m.group(1).lower(), m.group(1).lower())
     if m.group(2):
         if agg != "count":

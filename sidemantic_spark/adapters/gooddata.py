@@ -203,9 +203,8 @@ class GoodDataAdapter(BaseAdapter):
                 rels.append(rel)
 
         grain = ds.get("grain") or []
-        grain_ids = [g["id"] if isinstance(g, dict) else g
-                     for g in grain if _ident(g) or isinstance(g, str)]
-        grain_ids = [g for g in grain_ids if isinstance(g, str)]
+        grain_ids = [g if isinstance(g, str) else _ident(g) for g in grain]
+        grain_ids = [g for g in grain_ids if isinstance(g, str) and g]
         pk = grain_ids[0] if grain_ids else "id"
         if grain_ids and not any(d.name == pk for d in dims):
             dims.append(Dimension(name=pk, type="categorical"))

@@ -152,9 +152,9 @@ def _split_outside(s: str, pattern: re.Pattern) -> list[str]:
         if c == "'":
             i = _skip_string(s, i)
             continue
-        if c in "(<[":
+        if c == "(":
             depth += 1
-        elif c in ")>]":
+        elif c == ")":
             depth = max(0, depth - 1)
         elif depth == 0:
             m = pattern.match(s, i)

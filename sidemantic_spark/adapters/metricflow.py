@@ -117,7 +117,9 @@ class MetricFlowAdapter(BaseAdapter):
             pe = getattr(mdl, "_mf_primary_entity", None)
             if pe:
                 primary_owner.setdefault(pe, name)
-        self._entity_owner = primary_owner
+        # accumulate across parse() calls: a metrics-only document must
+        # still resolve entity refs declared by an earlier document
+        self._entity_owner.update(primary_owner)
 
         for model, entities, _primary in parsed:
             for e in entities:
@@ -209,6 +211,11 @@ class MetricFlowAdapter(BaseAdapter):
         dims = [d for d in (self._parse_dimension(dd)
                             for dd in sm.get("dimensions") or []) if d]
         dim_names = {d.name for d in dims}
+        # a virtual agg_time_dimension (e.g. metric_time) that names no
+        # real time dimension must not dangle as the model default
+        if agg_time_dim and not any(
+                d.name == agg_time_dim and d.type == "time" for d in dims):
+            agg_time_dim = None
 
         metrics: list[Metric] = []
         for m in sm.get("measures") or []:

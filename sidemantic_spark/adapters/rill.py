@@ -32,7 +32,10 @@ from sidemantic_spark.adapters.base import BaseAdapter, split_simple_aggregate
 from sidemantic_spark.core.model import Dimension, Metric, Model
 
 _GRAIN_MAP = {
-    "millisecond": "hour", "second": "hour", "minute": "hour",
+    # this engine truncates at second/minute natively, so only the
+    # sub-second grain coarsens (the reference folds everything below
+    # hour up to hour)
+    "millisecond": "second", "second": "second", "minute": "minute",
     "hour": "hour", "day": "day", "week": "week", "month": "month",
     "quarter": "quarter", "year": "year",
 }

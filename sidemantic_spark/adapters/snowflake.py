@@ -39,9 +39,12 @@ from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship, 
 _BARE_COL_RE = re.compile(r"(?<![\w.'{])([A-Za-z_][A-Za-z0-9_]*)(?![\w.(}])(?!\s*\()")
 _SQL_WORDS = {
     "case", "when", "then", "else", "end", "and", "or", "not", "null",
-    "nullif", "coalesce", "cast", "as", "is", "in", "like", "between",
-    "true", "false", "int", "bigint", "double", "decimal", "distinct",
-    "interval", "date", "timestamp",
+    "nullif", "coalesce", "cast", "as", "is", "in", "like", "ilike",
+    "rlike", "regexp", "between", "exists", "any", "all", "some",
+    "escape", "true", "false", "int", "bigint", "double", "decimal",
+    "distinct", "interval", "date", "timestamp",
+    # niladic current-time functions appear without parens
+    "current_date", "current_timestamp", "current_time", "localtimestamp",
 }
 
 
@@ -87,9 +90,10 @@ class SnowflakeAdapter(BaseAdapter):
                 continue
             if table_name:
                 pending.append((table_name, metric))
-            else:
-                layer.graph.metrics.setdefault(metric.name, metric)
+            elif metric.name not in layer.graph.metrics:
+                layer.graph.add_metric(metric)
         still = []
+        attached = False
         for table_name, metric in pending:
             model = layer.graph.models.get(table_name)
             if model is None:
@@ -97,7 +101,10 @@ class SnowflakeAdapter(BaseAdapter):
             elif model.metric(metric.name) is None:
                 model.metrics.append(metric)
                 model.reindex()
+                attached = True
         pending[:] = still
+        if attached:
+            layer.graph._invalidate()
 
         self._apply_top_level_sections(layer, data)
 

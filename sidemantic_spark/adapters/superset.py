@@ -85,18 +85,25 @@ class SupersetAdapter(BaseAdapter):
             )
             agg = _METRIC_TYPES.get(str(m.get("metric_type") or "").lower())
             if agg:
-                # the declared type names the aggregation; strip a matching
-                # wrapper from the expression (COUNT(*) -> None)
-                import re as _re
+                from sidemantic_spark.adapters.base import split_simple_aggregate
 
-                inner = expr
-                mm = _re.match(rf"^\s*{agg.upper()}\s*\(\s*(.*?)\s*\)\s*$",
-                               expr, _re.I)
-                if mm:
-                    inner = mm.group(1) or None
-                    if inner == "*":
-                        inner = None
-                metrics.append(Metric(name=mname, agg=agg, sql=inner, **common))
+                # the expression is the source of truth: a single outer
+                # aggregate splits into agg + inner (this also handles the
+                # COUNT(DISTINCT x) spelling of count_distinct)
+                split = split_simple_aggregate(expr)
+                if split is not None:
+                    s_agg, inner = split
+                    metrics.append(Metric(
+                        name=mname, agg=s_agg,
+                        sql=None if inner in ("*", "") else inner, **common))
+                elif "(" not in expr:
+                    # bare column with a declared aggregation type
+                    metrics.append(Metric(name=mname, agg=agg, sql=expr, **common))
+                else:
+                    # complex aggregate expression: emit verbatim into the
+                    # aggregate scope rather than nesting it under agg
+                    metrics.append(Metric(name=mname, sql=expr,
+                                          sql_is_complete=True, **common))
                 continue
             metric = Metric(name=mname, sql=expr, **common)
             if metric.agg is None:

@@ -190,9 +190,11 @@ def _split_args(s: str) -> list[str]:
 
 def _replace_call(text: str, func_re: re.Pattern, builder) -> str:
     """Rewrite every ``FUNC(...)`` match via ``builder(args) -> str | None``
-    (balanced parens; builder returning None leaves the call alone)."""
+    (balanced parens; builder returning None skips that call and later
+    matches still rewrite)."""
+    pos = 0
     while True:
-        m = func_re.search(text)
+        m = func_re.search(text, pos)
         if not m:
             return text
         close = _matching_paren(text, m.end() - 1)
@@ -201,8 +203,10 @@ def _replace_call(text: str, func_re: re.Pattern, builder) -> str:
         args = _split_args(text[m.end():close])
         built = builder(args)
         if built is None:
-            return text
+            pos = m.end()
+            continue
         text = text[:m.start()] + built + text[close + 1:]
+        pos = m.start() + len(built)
 
 
 def _if_to_case(match: re.Match) -> str:

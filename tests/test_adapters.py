@@ -3477,13 +3477,13 @@ measures:
     # property alias + unnamed naming rules
     assert m.dimension("status") is not None
     od = m.dimension("order_date")  # unnamed expression claims timeseries
-    assert od.type == "time" and od.granularity == "hour"  # minute -> hour
+    assert od.type == "time" and od.granularity == "minute"
     assert m.dimension("dimension_3") is not None  # upper(region)
     assert m.dimension("skipped") is None
     country = m.dimension("country")
     assert country.meta["rill_lookup_table"] == "countries"
     assert country.sql == "country_id"
-    assert m.default_grain == "hour"
+    assert m.default_grain == "minute"
     # measures
     assert m.metric("revenue").agg == "sum"
     assert m.metric("revenue").value_format_name == "usd"
@@ -3977,3 +3977,122 @@ measures:
     assert m.metric("active_balance").filters == ["is_active = true"]
     assert m.metric("balance_ratio").type == "derived"
     assert m.metric("hidden_metric").public is False
+
+
+def test_adapter_review_regressions(spark):
+    """Pinned fixes from the adapter-batch review: compound aggregates
+    never split as simple, COUNT(DISTINCT x) metric_type spelling,
+    GoodData identifier-form grain, keyword-safe {model} qualification,
+    comparison operators inside split contexts, multi-doc MetricFlow
+    entity resolution, and repeated Tableau calls after a malformed one."""
+    import yaml
+
+    from sidemantic_spark.adapters import (
+        GoodDataAdapter,
+        MetricFlowAdapter,
+        SupersetAdapter,
+    )
+    from sidemantic_spark.adapters.base import split_simple_aggregate
+    from sidemantic_spark.adapters.graphene import GrapheneAdapter
+    from sidemantic_spark.adapters.snowflake import _qualify_model_placeholder
+    from sidemantic_spark.adapters.tableau import translate_formula
+
+    # close-then-open paren shapes are NOT one simple aggregate
+    assert split_simple_aggregate("SUM(a) + SUM(b)") is None
+    assert split_simple_aggregate("AVG(a) + AVG(b)") is None
+    assert split_simple_aggregate("SUM(COALESCE(a, 0))") == ("sum", "COALESCE(a, 0)")
+    assert split_simple_aggregate("COUNT(DISTINCT user_id)") == \
+        ("count_distinct", "user_id")
+
+    # Superset: COUNT(DISTINCT x) spelling + compound expressions
+    layer = SparkSemanticLayer(spark)
+    SupersetAdapter().parse(layer, yaml.safe_load("""
+table_name: ss_rx
+columns:
+  - column_name: id
+    type: BIGINT
+metrics:
+  - metric_name: users
+    metric_type: count_distinct
+    expression: COUNT(DISTINCT user_id)
+  - metric_name: spread
+    metric_type: sum
+    expression: SUM(a) - SUM(b)
+"""))
+    rx = layer.graph.models["ss_rx"]
+    assert rx.metric("users").agg == "count_distinct"
+    assert rx.metric("users").sql == "user_id"
+    assert rx.metric("spread").sql_is_complete  # never nested under SUM
+
+    # GoodData: identifier-form grain entries must not crash
+    layer2 = SparkSemanticLayer(spark)
+    GoodDataAdapter().parse(layer2, {"ldm": {"datasets": [{
+        "dataset": {"id": "gd_rx", "grain": [{"identifier": "attr.region"}],
+                    "attributes": [{"id": "attr.region"}]},
+    }]}})
+    assert layer2.graph.models["gd_rx"].primary_key == "attr.region"
+
+    # Snowflake: keywords and niladic functions stay unqualified
+    assert _qualify_model_placeholder("status ILIKE 'a%'") == \
+        "{model}.status ILIKE 'a%'"
+    assert _qualify_model_placeholder("created_at >= CURRENT_DATE") == \
+        "{model}.created_at >= CURRENT_DATE"
+
+    # Graphene: comparisons inside view projections don't poison splits
+    layer3 = SparkSemanticLayer(spark)
+    GrapheneAdapter().parse_text(layer3, """
+table gx_rx as (
+  select case when amount < 100 then 1 else 0 end as small_flag, status
+  from orders
+)
+""")
+    names = {d.name for d in layer3.graph.models["gx_rx"].dimensions}
+    assert names == {"small_flag", "status"}
+    assert layer3.graph.models["gx_rx"].primary_key == "small_flag"
+
+    # MetricFlow: entity owners accumulate across documents
+    layer4 = SparkSemanticLayer(spark)
+    mf = MetricFlowAdapter()
+    mf.parse(layer4, yaml.safe_load("""
+semantic_models:
+  - name: customers_rx
+    model: ref('raw_customers')
+    entities:
+      - name: customer
+        type: primary
+        expr: customer_id
+    dimensions:
+      - name: region
+        type: categorical
+"""))
+    mf.parse(layer4, yaml.safe_load("""
+metrics:
+  - name: eu_revenue
+    type: derived
+    type_params:
+      expr: revenue
+    filter: "{{ Dimension('customer__region') }} = 'EU'"
+"""))
+    assert layer4.graph.metrics["eu_revenue"].filters == \
+        ["customers_rx.region = 'EU'"]
+    # virtual agg_time_dimension never dangles
+    mf.parse(layer4, yaml.safe_load("""
+semantic_models:
+  - name: dangling_rx
+    model: ref('raw_x')
+    defaults:
+      agg_time_dimension: metric_time
+    entities:
+      - name: x
+        type: primary
+        expr: x_id
+    dimensions:
+      - name: region
+        type: categorical
+"""))
+    assert layer4.graph.models["dangling_rx"].default_time_dimension is None
+
+    # Tableau: a malformed call doesn't stop later valid rewrites
+    got, ok = translate_formula("IIF([a], [b]) + IIF([c], [d], [e])")
+    assert ok
+    assert "CASE WHEN c THEN d ELSE e END" in got
