@@ -1123,21 +1123,29 @@ class SqlGenerator:
         fact_model = self.graph.get_model(fact)
         pk_cols = [f"__pk{i}" for i in range(len(fact_model.pk_list()))]
 
+        # Narrow dedup: the DISTINCT shuffle carries ONLY (fact pk, dims)
+        # — every raw measure and metric-filter column is functionally
+        # dependent on the fact pk, so it re-attaches afterwards with one
+        # equi-join on the pk (broadcast-able: the fact is pre-aggregated
+        # to one row per key by construction). At scale this keeps the
+        # wide decimal columns out of the row-count-sized dedup exchange;
+        # the reference dedups the full joined row instead
+        # (ref sql/generator.py:3056-3390 fan-out hierarchy).
         proj = [f"{fact}_cte.{c} AS {c}" for c in pk_cols]
         for rd in r.dims:
             proj.append(f"{rd.model}_cte.{rd.out} AS {rd.out}")
-        raw_cols = []
+        wide = []  # re-attached from the fact CTE after the DISTINCT
         for comp_out, comp in r.component_metrics.get(fact, []):
             if comp.sql:
-                proj.append(f"{fact}_cte.{comp_out}_raw AS {comp_out}_raw")
-                raw_cols.append(f"{comp_out}_raw")
+                wide.append(f"__f.{comp_out}_raw AS {comp_out}_raw")
         filter_cols = set()
         for rm in r.metrics:
             for _o, comp in self._expand_components(rm):
                 for flt in comp.filters:
                     for m, fld, _g in find_refs(flt, set(self.graph.models)):
                         if m == fact:
-                            proj.append(f"{fact}_cte.{fld} AS {fld}")
+                            if fld not in filter_cols:
+                                wide.append(f"__f.{fld} AS {fld}")
                             filter_cols.add(fld)
                         else:
                             raise QueryCompileError(
@@ -1152,6 +1160,14 @@ class SqlGenerator:
             joined += "\n    WHERE " + "\n      AND ".join(f"({w})" for w in where)
 
         dedup = "SELECT DISTINCT * FROM __joined"
+        if wide:
+            on = " AND ".join(f"__p.{c} = __f.{c}" for c in pk_cols)
+            dedup = (
+                "SELECT __p.*,\n        "
+                + ",\n        ".join(wide)
+                + "\n    FROM (SELECT DISTINCT * FROM __joined) __p"
+                + f"\n    LEFT JOIN {fact}_cte __f ON {on}"
+            )
 
         # count-without-sql counts fact rows; outer-join misses leave the
         # fact pk NULL and must count as zero
