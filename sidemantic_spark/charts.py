@@ -182,3 +182,181 @@ def chart_for_query(layer, metrics=None, dimensions=None, filters=None,
         m.split(".")[-1] for m in (metrics or [])
     ).replace("_", " ").title() or None
     return create_chart(rows, chart_type=chart_type, title=title, **kw)
+
+
+# ----------------------------------------------------------------------
+# fluent builder (reference viz.py:1903 ChartBuilder)
+# ----------------------------------------------------------------------
+
+class ChartBuilder:
+    """Chainable, renderer-neutral chart builder (reference
+    ``viz.py:1903``). Authors charts over semantic fields; the query
+    compiles and executes only when ``data()`` / ``sql`` /
+    ``to_vegalite()`` / ``to_html()`` is requested.
+
+    >>> layer.chart("orders.revenue", by="orders.status").bar().to_vegalite()
+    """
+
+    def __init__(
+        self,
+        layer,
+        metrics,
+        *,
+        by=None,
+        mark: str = "auto",
+        filters: list[str] | None = None,
+        segments: list[str] | None = None,
+        order_by: list[str] | None = None,
+        limit: int | None = None,
+        title: str | None = None,
+        user: dict | None = None,
+    ) -> None:
+        self.layer = layer
+        self.metrics = [metrics] if isinstance(metrics, str) else list(metrics)
+        self.dimensions = ([by] if isinstance(by, str) else list(by or []))
+        if not self.metrics:
+            raise ChartError("at least one metric is required")
+        self.mark = mark
+        self.filters = list(filters or [])
+        self.segments = list(segments or [])
+        self.order_by = list(order_by) if order_by is not None else None
+        self.limit = limit
+        self.title = title
+        self.user = user
+        self.interactions: dict[str, Any] = {}
+        self._rows: list[dict[str, Any]] | None = None
+        self._sql: str | None = None
+
+    # -- chainable marks ------------------------------------------------
+    def bar(self) -> "ChartBuilder":
+        self.mark = "bar"
+        return self
+
+    def line(self) -> "ChartBuilder":
+        self.mark = "line"
+        return self
+
+    def area(self) -> "ChartBuilder":
+        self.mark = "area"
+        return self
+
+    def scatter(self) -> "ChartBuilder":
+        self.mark = "scatter"
+        return self
+
+    def point(self) -> "ChartBuilder":
+        self.mark = "point"
+        return self
+
+    # -- interactions ---------------------------------------------------
+    def brush(self, fields=None, *, name: str = "brush",
+              channel: str = "x") -> "ChartBuilder":
+        """Interval brush selection over ``channel`` (x | y | xy)."""
+        self.interactions["brush"] = {
+            "name": name,
+            "fields": [fields] if isinstance(fields, str) else list(fields or []),
+            "channel": channel if channel in ("x", "y", "xy") else "x",
+        }
+        return self
+
+    def interactive(self, enabled: bool = True) -> "ChartBuilder":
+        if enabled:
+            self.interactions.setdefault(
+                "brush", {"name": "brush", "fields": [], "channel": "x"})
+        else:
+            self.interactions.pop("brush", None)
+        return self
+
+    def select(self, fields=None) -> "ChartBuilder":
+        """Add grouping dimensions (chainable spelling of ``by``)."""
+        add = [fields] if isinstance(fields, str) else list(fields or [])
+        self.dimensions += [f for f in add if f not in self.dimensions]
+        self._rows = None
+        return self
+
+    def where(self, filter_expr: str) -> "ChartBuilder":
+        self.filters.append(filter_expr)
+        self._rows = None
+        return self
+
+    def crossfilter(self, **kw):
+        """Spin up a coordinated-views crossfilter session over this
+        chart's fields (reference viz.py:1993)."""
+        from sidemantic_spark.crossfilter import CrossfilterSession
+
+        return CrossfilterSession(
+            self.layer,
+            self.metrics,
+            self.dimensions,
+            base_filters=self.filters,
+            title=self.title,
+            **kw,
+        )
+
+    # -- execution ------------------------------------------------------
+    def data(self) -> list[dict[str, Any]]:
+        if self._rows is None:
+            kwargs: dict = dict(
+                metrics=self.metrics, dimensions=self.dimensions,
+                filters=self.filters, segments=self.segments,
+            )
+            if self.order_by is not None:
+                kwargs["order_by"] = self.order_by
+            if self.limit is not None:
+                kwargs["limit"] = self.limit
+            if self.user is not None:
+                kwargs["user"] = self.user
+            self._sql = self.layer.compile(**kwargs)
+            df = self.layer.query(**kwargs)
+            self._rows = [r.asDict() for r in df.collect()]
+        return self._rows
+
+    @property
+    def sql(self) -> str:
+        self.data()
+        return self._sql or ""
+
+    def to_vegalite(self) -> dict[str, Any]:
+        rows = self.data()
+        ys = [m.split(".")[-1] for m in self.metrics]
+        x = self.dimensions[0].split(".")[-1].split("__")[0] if self.dimensions else None
+        if x is not None and rows and x not in rows[0]:
+            # grain-suffixed output columns keep the suffix
+            x = next((c for c in rows[0] if c.startswith(x)), x)
+        spec = create_chart(
+            rows,
+            x=x,
+            y=[c for c in ys if not rows or c in rows[0]] or ys,
+            chart_type=self.mark if self.mark != "scatter" else "point",
+            title=self.title,
+        )
+        brush = self.interactions.get("brush")
+        if brush:
+            encodings = {"x": ["x"], "y": ["y"], "xy": ["x", "y"]}[brush["channel"]]
+            spec["params"] = [{
+                "name": brush["name"],
+                "select": {"type": "interval", "encodings": encodings},
+            }]
+        spec["usermeta"] = {"sidemantic_spark": {
+            "metrics": self.metrics,
+            "dimensions": self.dimensions,
+            "filters": self.filters,
+        }}
+        return spec
+
+    def to_html(self) -> str:
+        """Standalone HTML page embedding the chart via vega-embed."""
+        import json as _json
+
+        spec = self.to_vegalite()
+        title = self.title or "Chart"
+        return (
+            "<!DOCTYPE html>\n<html><head><meta charset='utf-8'>"
+            f"<title>{title}</title>\n"
+            "<script src=\"https://cdn.jsdelivr.net/npm/vega@5\"></script>\n"
+            "<script src=\"https://cdn.jsdelivr.net/npm/vega-lite@5\"></script>\n"
+            "<script src=\"https://cdn.jsdelivr.net/npm/vega-embed@6\"></script>\n"
+            "</head><body><div id='vis'></div>\n<script>\n"
+            f"vegaEmbed('#vis', {_json.dumps(spec)});\n"
+            "</script></body></html>\n"
+        )

@@ -432,6 +432,24 @@ class SparkSemanticLayer:
                 pass
         self._result_cache.clear()
 
+    def chart(self, metric, *, by=None, mark: str = "auto",
+              filters: list[str] | None = None,
+              segments: list[str] | None = None,
+              order_by: list[str] | None = None,
+              limit: int | None = None, title: str | None = None,
+              user: dict | None = None):
+        """Headless chart builder over semantic fields (reference
+        ``core/semantic_layer.py:860`` / ``viz.py:1903``)::
+
+            layer.chart("orders.revenue",
+                        by="orders.order_date__month").line().to_vegalite()
+        """
+        from sidemantic_spark.charts import ChartBuilder
+
+        return ChartBuilder(self, metric, by=by, mark=mark, filters=filters,
+                            segments=segments, order_by=order_by,
+                            limit=limit, title=title, user=user)
+
     def explain_plan(self, **kwargs) -> dict:
         """Structured explain IR (reference ``core/query_plan.py:43``
         QueryPlan / ``sql/planner.py:23``): resolved models and join

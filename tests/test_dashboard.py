@@ -126,3 +126,44 @@ def test_render_html(layer):
     bad = DashboardDocument.from_dict({"title": "x", "tabs": []})
     with pytest.raises(DashboardSpecError):
         render_dashboard_html(layer, bad)
+
+
+def test_chart_builder_fluent(spark):
+    """layer.chart() fluent builder: chainable marks, where/select,
+    brush params, lazy execution, vega-lite + html outputs, crossfilter
+    handoff (reference viz.py:1903 ChartBuilder,
+    core/semantic_layer.py:860)."""
+    from sidemantic_spark.models.tpch import build_layer
+
+    layer = build_layer(spark, None)
+    cb = (layer.chart("orders.revenue", by="orders.status",
+                      title="Revenue by Status")
+          .bar()
+          .where("orders.status != 'X'")
+          .brush("x"))
+    # lazy: no rows yet
+    assert cb._rows is None
+    spec = cb.to_vegalite()
+    assert spec["mark"]["type"] == "bar"
+    assert spec["title"] == "Revenue by Status"
+    assert spec["params"][0]["select"]["type"] == "interval"
+    assert spec["usermeta"]["sidemantic_spark"]["metrics"] == ["orders.revenue"]
+    rows = spec["data"]["values"]
+    assert rows and {"status", "revenue"} <= set(rows[0])
+    assert "SELECT" in cb.sql
+    html = cb.to_html()
+    assert "vegaEmbed" in html and "Revenue by Status" in html
+
+    # select() adds dimensions; line() over a time grain
+    cb2 = (layer.chart(["orders.revenue", "orders.order_count"],
+                       by="orders.order_date__month").line())
+    spec2 = cb2.to_vegalite()
+    assert spec2["mark"]["type"] == "line"
+    assert any(t.get("fold") for t in spec2.get("transform", []))
+
+    # crossfilter handoff inherits fields
+    sess = (layer.chart("orders.revenue", by="orders.status")
+            .crossfilter(interaction_preaggregations=False))
+    out = sess.query()
+    assert out["rows"] and "views" in out
+    sess.close()
