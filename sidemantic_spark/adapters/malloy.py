@@ -174,11 +174,106 @@ def _qualify_bare(text: str, model: str) -> str:
     return "".join(out)
 
 
+def _split_top(expr: str, sep: str) -> list[str]:
+    """Split on a top-level separator token (outside quotes/parens)."""
+    parts: list[str] = []
+    depth = 0
+    i = last = 0
+    n = len(expr)
+    w = len(sep)
+    while i < n:
+        c = expr[i]
+        if c == "'":
+            i += 1
+            while i < n and expr[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and expr.startswith(sep, i) and (
+            sep.strip() or True
+        ):
+            parts.append(expr[last:i])
+            i += w
+            last = i
+            continue
+        i += 1
+    parts.append(expr[last:])
+    return parts
+
+
+_PICK_RE = re.compile(
+    r"pick\s+(.+?)\s+when\s+(.+?)(?=\s+pick\s|\s+else\s|$)", re.I | re.S
+)
+_CMP_START_RE = re.compile(r"^\s*(=|!=|<=|>=|<|>)\s*(.+)$", re.S)
+_LHS_OP_RE = re.compile(r"^(.*?)(=|!=|<=|>=|<|>)\s*([^=<>].*)$", re.S)
+_DATE_LIT_RE = re.compile(r"@(\d{4})(?:-(\d{2}))?(?:-(\d{2}))?")
+
+
+def _expand_alt_tree(expr: str, sep: str, sql_op: str) -> str:
+    """Malloy partial-comparison alternation: ``x < 10 & > 0`` ->
+    ``x < 10 AND x > 0``; ``s != 'a' & 'b'`` -> ``s != 'a' AND s != 'b'``
+    (ref ``adapters/malloy.py:1132-1200`` and/or trees)."""
+    parts = [p.strip() for p in _split_top(expr, sep)]
+    if len(parts) < 2 or not all(parts):
+        return expr
+    head = _LHS_OP_RE.match(parts[0])
+    if not head:
+        return expr
+    lhs, op = head.group(1).strip(), head.group(2)
+    out = [parts[0]]
+    for p in parts[1:]:
+        cm = _CMP_START_RE.match(p)
+        if cm:  # partial with its own operator: `> -8000`
+            out.append(f"{lhs} {cm.group(1)} {cm.group(2).strip()}")
+        else:  # bare value reuses the head operator: `'Returned'`
+            out.append(f"{lhs} {op} {p}")
+    return f" {sql_op} ".join(out)
+
+
 def _malloy_expr_to_sql(expr: str) -> str:
-    """Malloy scalar expr -> Spark SQL (the common shapes)."""
-    expr = expr.strip()
+    """Malloy scalar expr -> Spark SQL (the documented idioms: ``::``
+    casts, ``@`` date literals, ``now``, ``pick/when/else`` -> CASE,
+    ``??`` -> COALESCE, ``&``/``|`` alternation trees, ``~``/``!~``
+    regex-or-LIKE matches — ref ``adapters/malloy.py:795-1200``)."""
+    expr = expr.strip().rstrip(",").strip()
+    # pick V when C pick V2 when C2 else E -> CASE
+    if re.match(r"^\s*pick\s", expr, re.I):
+        whens = [(v.strip(), c.strip()) for v, c in _PICK_RE.findall(expr)]
+        if whens:
+            em = re.search(r"\belse\s+(.+)$", expr, re.I | re.S)
+            case = "CASE " + " ".join(
+                f"WHEN {_malloy_expr_to_sql(c)} THEN {v}" for v, c in whens
+            )
+            if em:
+                case += f" ELSE {em.group(1).strip()}"
+            return case + " END"
     # x::date / x::timestamp casts
     expr = re.sub(r"(\w+)::(\w+)", r"CAST(\1 AS \2)", expr)
+    # @2024-01-15 / @2024-03 / @2024 date literals
+    expr = _DATE_LIT_RE.sub(
+        lambda m: f"DATE '{m.group(1)}-{m.group(2) or '01'}-{m.group(3) or '01'}'",
+        expr,
+    )
+    # standalone `now`
+    expr = re.sub(r"(?<![\w.'])now(?![\w.('])", "CURRENT_TIMESTAMP", expr)
+    # regex / LIKE match: s ~ r'...' -> RLIKE, s ~ '...' -> LIKE
+    expr = re.sub(r"!~\s*r'((?:[^'\\]|\\.)*)'", r" NOT RLIKE '\1'", expr)
+    expr = re.sub(r"~\s*r'((?:[^'\\]|\\.)*)'", r" RLIKE '\1'", expr)
+    expr = re.sub(r"!~\s*('(?:[^'\\]|\\.)*')", r" NOT LIKE \1", expr)
+    expr = re.sub(r"~\s*('(?:[^'\\]|\\.)*')", r" LIKE \1", expr)
+    # ?? null-coalescing chains
+    if "??" in expr:
+        parts = [p.strip() for p in _split_top(expr, "??")]
+        if len(parts) > 1 and all(parts):
+            expr = "COALESCE(" + ", ".join(parts) + ")"
+    # & / | alternation trees (spaced, top-level only — `&`/`|` are not
+    # SQL operators in these scalar contexts)
+    if " & " in expr:
+        expr = _expand_alt_tree(expr, " & ", "AND")
+    if " | " in expr:
+        expr = _expand_alt_tree(expr, " | ", "OR")
     return expr
 
 
@@ -306,6 +401,24 @@ class MalloyAdapter(BaseAdapter):
         # split them — but NOT a measure's `{ where: ... }` filter
         # suffix, whose `where:` follows an open brace
         body = re.sub(r"([^{\s])[ \t]+((?:where|except)\s*:)", r"\1\n\2", body)
+        pending: list[str] = []
+        pending_section: str | None = None
+
+        def dispatch(sec: str, entry: str) -> None:
+            if sec in ("dimension", "declare"):
+                self._add_field(entry, new_dims, new_mets)
+            elif sec == "measure":
+                self._add_measure(entry, new_mets)
+            elif sec in ("join_one", "join_many", "join_cross"):
+                self._add_join(sec, entry, new_rels)
+
+        def flush() -> None:
+            nonlocal pending, pending_section
+            if pending and pending_section:
+                dispatch(pending_section, " ".join(pending))
+            pending = []
+            pending_section = None
+
         for raw in body.splitlines():
             line = raw.rstrip()
             if not line.strip():
@@ -316,6 +429,7 @@ class MalloyAdapter(BaseAdapter):
                 line,
             )
             if header:
+                flush()
                 section = header.group(1)
                 rest = header.group(2).strip()
                 if section == "primary_key":
@@ -338,12 +452,18 @@ class MalloyAdapter(BaseAdapter):
                 line = rest
             else:
                 line = line.strip()
-            if section in ("dimension", "declare"):
-                self._add_field(line, new_dims, new_mets)
-            elif section == "measure":
-                self._add_measure(line, new_mets)
-            elif section in ("join_one", "join_many", "join_cross"):
-                self._add_join(section, line, new_rels)
+            if section is None:
+                continue
+            # a new field entry starts at `name is [...]` (the expression
+            # may start on the next line); anything else continues the
+            # previous entry (multi-line pick blocks etc.)
+            if re.match(r"^`?[\w ]+?`?\s+is(\s|$)", line) or not pending:
+                flush()
+                pending = [line]
+                pending_section = section
+            else:
+                pending.append(line)
+        flush()
         # qualify bare column refs in measure filters with the model name
         for met in new_mets:
             met.filters = [_qualify_bare(f, model.name) for f in met.filters]

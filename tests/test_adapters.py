@@ -4096,3 +4096,71 @@ semantic_models:
     got, ok = translate_formula("IIF([a], [b]) + IIF([c], [d], [e])")
     assert ok
     assert "CASE WHEN c THEN d ELSE e END" in got
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXROOT), reason="reference fixtures unavailable")
+def test_malloy_expression_transforms(spark):
+    """Malloy expression idioms -> Spark SQL: ?? coalescing, @ date
+    literals, now, multi-line pick/when/else, &-alternation trees
+    (reference adapters/malloy.py:795-1200,
+    fixtures/malloy/expression_transforms.malloy)."""
+    from sidemantic_spark.adapters import MalloyAdapter
+
+    layer = SparkSemanticLayer(spark)
+    MalloyAdapter().parse_file(
+        layer, os.path.join(FIXROOT, "malloy/expression_transforms.malloy"))
+    m = layer.graph.models["transforms"]
+    assert m.dimension("safe_name").sql == "COALESCE(name, 'Unknown')"
+    assert m.dimension("fallback_value").sql == \
+        "COALESCE(primary_value, secondary_value, 'default')"
+    assert m.dimension("cutoff_full").sql == "DATE '2024-01-15'"
+    assert m.dimension("cutoff_month").sql == "DATE '2024-03-01'"
+    assert m.dimension("cutoff_year").sql == "DATE '2024-01-01'"
+    assert m.dimension("in_range").sql == "value < 2031 AND value > -8000"
+    assert m.dimension("not_excluded").sql == \
+        "status != 'Cancelled' AND status != 'Returned'"
+    assert m.dimension("category").sql == (
+        "CASE WHEN score > 80 THEN 'High' WHEN score > 50 THEN 'Medium' "
+        "ELSE 'Low' END")
+    assert layer.graph.models["time_check"].dimension("current_time").sql == \
+        "CURRENT_TIMESTAMP"
+
+
+def test_malloy_idioms_end_to_end(spark):
+    """Translated Malloy idioms execute against Spark."""
+    import duckdb as _duck
+
+    from sidemantic_spark.adapters import MalloyAdapter
+
+    con = _duck.connect()
+    con.execute("""
+        CREATE TABLE ml_scores AS SELECT * FROM (VALUES
+            (1, 'alice', 90, 'Active'),
+            (2, NULL, 60, 'Cancelled'),
+            (3, 'carol', 30, 'Returned')
+        ) t(id, name, score, status)
+    """)
+    spark.createDataFrame(con.table("ml_scores").arrow().to_pandas()) \
+        .createOrReplaceTempView("ml_scores")
+    layer = SparkSemanticLayer(spark)
+    MalloyAdapter().parse_text(layer, """
+source: ml_scores_src is duckdb.table('ml_scores') extend {
+  primary_key: id
+  dimension:
+    safe_name is name ?? 'Unknown',
+    kept is status != 'Cancelled' & 'Returned',
+    band is
+      pick 'High' when score > 80
+      pick 'Medium' when score > 50
+      else 'Low'
+  measure: n is count()
+}
+""")
+    rows = layer.query(metrics=["ml_scores_src.n"],
+                       dimensions=["ml_scores_src.band",
+                                   "ml_scores_src.kept",
+                                   "ml_scores_src.safe_name"]).collect()
+    got = {(r["band"], r["kept"], r["safe_name"]) for r in rows}
+    assert got == {("High", True, "alice"), ("Medium", False, "Unknown"),
+                   ("Low", False, "carol")}
+    con.close()
