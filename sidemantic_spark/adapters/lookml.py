@@ -458,6 +458,60 @@ class LookMLAdapter(BaseAdapter):
             if e.get("extension") == "required":
                 continue
             self._apply_explore(layer, e)
+        self._resolve_ndts(layer)
+
+    def _resolve_ndts(self, layer) -> None:
+        """Compile native derived tables (``derived_table {
+        explore_source: ... }``) into real derived SQL by running the
+        declared column list through this layer's own generator — the
+        explore's joins are registered by now, so ``field:`` refs
+        resolve to metrics/dimensions and the compiled SELECT becomes
+        the model's binding. Unresolvable sources keep a documented
+        stub (the reference emits only the stub,
+        ref adapters/lookml.py:2861-2918)."""
+        for model in list(layer.graph.models.values()):
+            src = (model.meta or {}).get("lookml_ndt")
+            if not src:
+                continue
+            # multi-file projects load one file at a time: a stubbed NDT
+            # re-resolves once a later file brings the missing models
+            if model.sql and not (model.meta or {}).get("lookml_ndt_unresolved"):
+                continue
+            base = src.get("name")
+            columns = src.get("columns") or []
+            metrics: list[str] = []
+            dims: list[str] = []
+            for col in columns:
+                fld = col.get("field")
+                alias = col.get("name") or (fld.split(".")[-1] if fld else None)
+                if not fld or not alias:
+                    continue
+                mdl_name = fld.split(".", 1)[0]
+                mdl = layer.graph.models.get(mdl_name)
+                ref = f"{fld} AS {alias}"
+                if mdl is not None and mdl.metric(fld.split(".", 1)[1]) is not None:
+                    metrics.append(ref)
+                else:
+                    dims.append(ref)
+            sql = None
+            if metrics or dims:
+                try:
+                    sql = layer.compile(metrics=metrics, dimensions=dims)
+                except Exception:
+                    sql = None
+            if sql is None:
+                sql = f"SELECT * FROM {base}  -- native derived table (unresolved explore_source)"
+                model.meta["lookml_ndt_unresolved"] = True
+            else:
+                model.meta.pop("lookml_ndt_unresolved", None)
+            for dc in (model.meta or {}).get("lookml_derived_columns") or []:
+                dsql = dc.get("sql")
+                if dc.get("name") and isinstance(dsql, str):
+                    expr = re.sub(r"\$\{(\w+)\}", r"\1", dsql)
+                    sql = f"SELECT *, {expr} AS {dc['name']} FROM (\n{sql}\n)"
+            model.sql = sql
+            model.table = None
+            layer.graph._invalidate()
 
     def _apply_extends(self, raw: dict, views: dict, depth: int = 0) -> dict:
         parents = raw.get("extends") or []
@@ -783,6 +837,35 @@ class LookMLAdapter(BaseAdapter):
                 )
             )
 
+        # display long tail shared by every field branch above:
+        # value_format_name / value_format, drill_fields, group_label,
+        # hidden (ref adapters/lookml.py value_format + drill handling)
+        raw_measures = {m.get("name"): m for m in raw.get("measures", [])}
+        for met in metrics:
+            rm = raw_measures.get(met.name)
+            if not rm:
+                continue
+            met.value_format_name = met.value_format_name or _str(rm.get("value_format_name"))
+            met.format = met.format or _str(rm.get("value_format"))
+            if rm.get("hidden") in ("yes", True):
+                met.public = False
+            df = rm.get("drill_fields")
+            if isinstance(df, list) and not met.drill_fields:
+                met.drill_fields = [str(x) for x in df]
+            gl = _str(rm.get("group_label"))
+            if gl:
+                met.meta = {**(met.meta or {}), "group_label": gl}
+        raw_dims = {d.get("name"): d for d in raw.get("dimensions", [])}
+        for dim in dims:
+            rd = raw_dims.get(dim.name)
+            if not rd:
+                continue
+            dim.value_format_name = dim.value_format_name or _str(rd.get("value_format_name"))
+            dim.format = dim.format or _str(rd.get("value_format"))
+            gl = _str(rd.get("group_label"))
+            if gl:
+                dim.meta = {**(dim.meta or {}), "group_label": gl}
+
         derived = raw.get("derived_table") or {}
         table = raw.get("sql_table_name")
         if isinstance(table, str):
@@ -790,6 +873,16 @@ class LookMLAdapter(BaseAdapter):
         derived_sql = derived.get("sql")
         if isinstance(derived_sql, str):
             derived_sql = _strip_liquid(derived_sql, param_defaults) or None
+        meta = None
+        if not derived_sql and derived.get("explore_source"):
+            # native derived table: the query is declared over an explore;
+            # resolved AFTER explores register (see _resolve_ndts) by
+            # compiling the semantic query through this layer — the
+            # reference can only stub these as comments
+            # (ref adapters/lookml.py:2861-2918)
+            meta = {"lookml_ndt": derived["explore_source"]}
+            if derived.get("derived_columns"):
+                meta["lookml_derived_columns"] = derived["derived_columns"]
         return Model(
             name=name,
             table=table,
@@ -799,6 +892,7 @@ class LookMLAdapter(BaseAdapter):
             metrics=metrics,
             segments=segments,
             description=_str(raw.get("description")),
+            meta=meta,
         )
 
     def _measure_filters(
@@ -835,6 +929,38 @@ class LookMLAdapter(BaseAdapter):
         base = explore.get("from") or explore.get("view_name") or explore["name"]
         if base not in layer.graph.models:
             return
+        # explore-level mandatory filter applies to every query over the
+        # base model (ref adapters/lookml.py sql_always_where handling)
+        saw = explore.get("sql_always_where")
+        if isinstance(saw, str) and saw.strip():
+            cond = _strip_liquid(saw)
+            cond = cond.replace("${TABLE}.", "")
+            # row filters evaluate inside the base model's CTE (bare
+            # columns); refs to joined views cannot apply there, so only
+            # base-view conditions translate
+            other = [v for v, _f in re.findall(r"\$\{(\w+)\.(\w+)\}", cond)
+                     if v != base]
+            if not other:
+                cond = re.sub(r"\$\{" + re.escape(base) + r"\.(\w+)\}",
+                              r"\1", cond)
+                cond = re.sub(r"\$\{(\w+)\}", r"\1", cond)
+                base_model = layer.graph.get_model(base)
+                if cond and cond not in base_model.row_filters:
+                    base_model.row_filters.append(cond)
+        # the explore itself is a curated consumption contract
+        from sidemantic_spark.core.consumption import Explore as _Explore
+
+        if explore["name"] not in layer.graph.explores:
+            fields = [f for f in explore.get("fields") or []
+                      if isinstance(f, str) and "." in f and "*" not in f]
+            layer.graph.explores[explore["name"]] = _Explore(
+                name=explore["name"],
+                model=base,
+                label=_str(explore.get("label")),
+                description=_str(explore.get("description")),
+                allowed_dimensions=fields or None,
+                allowed_metrics=fields or None,
+            )
         for j in explore.get("joins", []):
             jname = j.get("from") or j["name"]
             if jname not in layer.graph.models:

@@ -4164,3 +4164,80 @@ source: ml_scores_src is duckdb.table('ml_scores') extend {
     assert got == {("High", True, "alice"), ("Medium", False, "Unknown"),
                    ("Low", False, "carol")}
     con.close()
+
+
+def test_lookml_ndt_sql_always_where_explore_objects(spark):
+    """Native derived tables compile to real derived SQL through the
+    layer's own generator (the reference can only stub them,
+    ref adapters/lookml.py:2861-2918); sql_always_where becomes a base
+    row filter; explores register as consumption contracts; measure
+    value_format_name/drill_fields import."""
+    import duckdb as _duck
+
+    from sidemantic_spark.adapters import LookMLAdapter
+
+    con = _duck.connect()
+    con.execute("""
+        CREATE TABLE lk_oi AS SELECT * FROM (VALUES
+            (1, 10, 100.0, 'ok'), (2, 10, 50.0, 'ok'),
+            (3, 20, 30.0, 'void')
+        ) t(id, user_id, sale_price, status)
+    """)
+    spark.createDataFrame(con.table("lk_oi").arrow().to_pandas()) \
+        .createOrReplaceTempView("lk_oi")
+    layer = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_text(layer, """
+view: lk_items {
+  sql_table_name: lk_oi ;;
+  dimension: id { primary_key: yes }
+  dimension: user_id {}
+  dimension: status {}
+  measure: total_revenue {
+    type: sum
+    sql: ${TABLE}.sale_price ;;
+    value_format_name: usd
+    drill_fields: [id, status]
+  }
+  measure: order_count { type: count }
+}
+
+explore: lk_items {
+  label: "Items"
+  sql_always_where: ${lk_items.status} = 'ok' ;;
+}
+
+view: lk_user_facts {
+  derived_table: {
+    explore_source: lk_items {
+      column: user_id { field: lk_items.user_id }
+      column: lifetime_revenue { field: lk_items.total_revenue }
+      column: lifetime_orders { field: lk_items.order_count }
+    }
+  }
+  dimension: user_id { primary_key: yes }
+  dimension: lifetime_revenue { type: number }
+  dimension: lifetime_orders { type: number }
+  measure: user_count { type: count }
+}
+""")
+    items = layer.graph.models["lk_items"]
+    # sql_always_where -> mandatory base row filter (model-CTE scope)
+    assert items.row_filters == ["status = 'ok'"]
+    # display long tail
+    rev = items.metric("total_revenue")
+    assert rev.value_format_name == "usd"
+    assert rev.drill_fields == ["id", "status"]
+    # explore registered as a consumption contract
+    assert layer.graph.explores["lk_items"].label == "Items"
+    # NDT compiled into real derived SQL, not a stub
+    facts = layer.graph.models["lk_user_facts"]
+    assert facts.table is None
+    assert "unresolved" not in facts.sql
+    assert "GROUP BY" in facts.sql
+    # and it executes: per-user rollup respecting the always-where
+    rows = layer.query(metrics=["lk_user_facts.user_count"],
+                       dimensions=["lk_user_facts.user_id",
+                                   "lk_user_facts.lifetime_revenue"]).collect()
+    got = {(r["user_id"], float(r["lifetime_revenue"])) for r in rows}
+    assert got == {(10, 150.0)}  # status='void' excluded by always-where
+    con.close()
