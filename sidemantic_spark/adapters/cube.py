@@ -53,6 +53,9 @@ _DIM_TYPES = {
     "geo": "categorical",
 }
 
+# Cube display format names -> our value_format_name vocabulary
+_CUBE_FORMATS = {"percent": "percent", "currency": "usd"}
+
 
 class CubeAdapter(BaseAdapter):
     _POLICY_OPS = {
@@ -181,12 +184,20 @@ class CubeAdapter(BaseAdapter):
             if d.get("time_shift") is not None:
                 meta = dict(meta) if isinstance(meta, dict) else {}
                 meta["time_shift"] = d.get("time_shift")
+            if d.get("sub_query") is not None:
+                # measure-as-dimension over a joined cube: no first-class
+                # equivalent — preserved so export round-trips it
+                # (ref adapters/cube.py:789-797)
+                meta = dict(meta) if isinstance(meta, dict) else {}
+                meta["cube_sub_query"] = d.get("sub_query")
             dim = Dimension(
                 name=d["name"],
                 type=_DIM_TYPES.get(d.get("type", "string"), "categorical"),
                 sql=None if sql == d["name"] else sql,
                 description=d.get("description"),
                 label=d.get("title"),
+                format=d.get("format") if isinstance(d.get("format"), str) else None,
+                value_format_name=_CUBE_FORMATS.get(d.get("format")),
                 public=d.get("public", not d.get("shown") is False),
                 supported_granularities=supported or [],
                 meta=meta,
@@ -233,14 +244,43 @@ class CubeAdapter(BaseAdapter):
                         description=m.get("description"),
                     ))
                     continue
+            common = dict(
+                filters=filters,
+                description=m.get("description"),
+                label=m.get("title"),
+                format=m.get("format") if isinstance(m.get("format"), str) else None,
+                value_format_name=_CUBE_FORMATS.get(m.get("format")),
+                drill_fields=[_leaf(x) for x in m.get("drill_members") or []],
+                public=m.get("public", not m.get("shown") is False),
+                meta=m.get("meta") if isinstance(m.get("meta"), dict) else None,
+            )
+            # rolling_window -> cumulative: trailing interval or to_date
+            # grain (ref adapters/cube.py:936-952); leading/offset have
+            # no first-class slot and ride in meta
+            rw = m.get("rolling_window")
+            if isinstance(rw, dict) and mtype in AGG_TYPES:
+                extra = {k: rw[k] for k in ("leading", "offset") if rw.get(k)}
+                if extra:
+                    common["meta"] = dict(common["meta"] or {},
+                                          cube_rolling_window=extra)
+                metrics.append(Metric(
+                    name=m["name"],
+                    type="cumulative",
+                    agg=AGG_TYPES[mtype],
+                    sql=sql,
+                    window=rw.get("trailing")
+                    if rw.get("trailing") not in (None, "unbounded") else None,
+                    grain_to_date=rw.get("granularity")
+                    if rw.get("type") == "to_date" else None,
+                    **common,
+                ))
+                continue
             if mtype in AGG_TYPES:
                 metrics.append(Metric(
                     name=m["name"],
                     agg=AGG_TYPES[mtype],
                     sql=sql,
-                    filters=filters,
-                    description=m.get("description"),
-                    label=m.get("title"),
+                    **common,
                 ))
             elif mtype == "number":
                 # formula over other measures / raw SQL
@@ -248,11 +288,11 @@ class CubeAdapter(BaseAdapter):
                     name=m["name"],
                     type="derived",
                     expr=sql,
-                    filters=filters,
-                    description=m.get("description"),
+                    **common,
                 ))
             else:  # unsupported measure types parse as opaque derived
-                metrics.append(Metric(name=m["name"], type="derived", expr=sql))
+                metrics.append(Metric(name=m["name"], type="derived", expr=sql,
+                                      **common))
 
         rels: list[Relationship] = []
         for j in cube.get("joins") or []:
@@ -285,15 +325,21 @@ class CubeAdapter(BaseAdapter):
 
         preaggs = []
         for pa in cube.get("pre_aggregations") or []:
-            if pa.get("type", "rollup") != "rollup":
+            pa_type = pa.get("type", "rollup")
+            if pa_type == "rollup_lambda":
+                pa_type = "lambda"
+            if pa_type not in ("rollup", "rollup_join", "original_sql", "lambda"):
                 continue
             preaggs.append(PreAggregation(
                 name=pa["name"],
+                type=pa_type,
                 measures=[_leaf(x) for x in pa.get("measures") or []],
                 dimensions=[_leaf(x) for x in pa.get("dimensions") or []],
                 time_dimension=_leaf(pa.get("time_dimension")) if pa.get("time_dimension") else None,
                 granularity=pa.get("granularity", "day"),
                 partition_granularity=pa.get("partition_granularity"),
+                sql=strip_cube_placeholders(pa.get("sql"), name)
+                if pa_type == "original_sql" else None,
             ))
 
         # explicit hierarchies -> parent chains (ref adapters/cube.py
@@ -321,6 +367,9 @@ class CubeAdapter(BaseAdapter):
             segments=segments,
             pre_aggregations=preaggs,
             description=cube.get("description"),
+            label=cube.get("title"),
+            extends=cube.get("extends"),
+            meta=cube.get("meta") if isinstance(cube.get("meta"), dict) else None,
         )
 
     def _join_condition(self, sql: str, this: str, other: str):

@@ -4241,3 +4241,81 @@ view: lk_user_facts {
     got = {(r["user_id"], float(r["lifetime_revenue"])) for r in rows}
     assert got == {(10, 150.0)}  # status='void' excluded by always-where
     con.close()
+
+
+def test_cube_rolling_window_and_display_long_tail(spark):
+    """Cube rolling_window -> cumulative metrics (trailing window /
+    to_date grain, leading-offset retained), format mapping,
+    drill_members, sub_query retention, extends and title
+    (reference adapters/cube.py:936-996,789-797)."""
+    import yaml
+
+    from sidemantic_spark.adapters import CubeAdapter
+
+    layer = SparkSemanticLayer(spark)
+    CubeAdapter().parse(layer, yaml.safe_load("""
+cubes:
+  - name: cb_orders
+    title: Orders
+    sql_table: cb_orders_tbl
+    dimensions:
+      - name: id
+        sql: id
+        type: number
+        primary_key: true
+      - name: created_at
+        sql: created_at
+        type: time
+      - name: top_product
+        sql: "{CUBE}.product_id"
+        type: number
+        sub_query: true
+    measures:
+      - name: revenue
+        sql: amount
+        type: sum
+        format: currency
+        drill_members: [id, created_at]
+      - name: rolling_revenue_7d
+        sql: amount
+        type: sum
+        rolling_window:
+          trailing: 7 day
+      - name: revenue_mtd
+        sql: amount
+        type: sum
+        rolling_window:
+          type: to_date
+          granularity: month
+      - name: conversion
+        sql: "{converted} / {visits}"
+        type: number
+        format: percent
+      - name: visits
+        sql: id
+        type: count
+      - name: converted
+        sql: id
+        type: count
+    pre_aggregations:
+      - name: base_sql
+        type: original_sql
+  - name: cb_orders_ext
+    extends: cb_orders
+"""))
+    m = layer.graph.models["cb_orders"]
+    assert m.label == "Orders"
+    rev = m.metric("revenue")
+    assert rev.value_format_name == "usd"
+    assert rev.drill_fields == ["id", "created_at"]
+    rolling = m.metric("rolling_revenue_7d")
+    assert rolling.type == "cumulative" and rolling.agg == "sum"
+    assert rolling.window == "7 day" and rolling.sql == "amount"
+    mtd = m.metric("revenue_mtd")
+    assert mtd.type == "cumulative" and mtd.grain_to_date == "month"
+    assert m.metric("conversion").value_format_name == "percent"
+    assert m.dimension("top_product").meta["cube_sub_query"] is True
+    assert m.pre_aggregations[0].type == "original_sql"
+    # extends: child inherits the parent surface
+    ext = layer.graph.models["cb_orders_ext"]
+    assert ext.metric("revenue") is not None or ext.extends == "cb_orders"
