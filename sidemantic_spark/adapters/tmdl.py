@@ -251,11 +251,48 @@ class TmdlAdapter(BaseAdapter):
         if simple is not None:
             agg, sql = simple
             return Metric(name=mname, agg=agg, sql=sql, label=label)
+        # time intelligence: TOTALYTD/TOTALQTD/TOTALMTD(base, 'Date'[col])
+        # -> native grain-to-date cumulative metrics
+        tm = re.match(r"^\s*TOTAL(YTD|QTD|MTD)\s*\(", dax, re.I)
+        if tm:
+            body = _call_body(dax)
+            args = _split_dax_args(body or "")
+            if args:
+                grain = {"ytd": "year", "qtd": "quarter",
+                         "mtd": "month"}[tm.group(1).lower()]
+                first = args[0].strip()
+                bm = _BARE_MEASURE_RE.match(first)
+                if bm:
+                    return Metric(name=mname, type="cumulative", label=label,
+                                  grain_to_date=grain,
+                                  base_metric=_sanitize(bm.group(1)))
+                inner = self._dax_simple_agg(first)
+                if inner is not None:
+                    return Metric(name=mname, type="cumulative", label=label,
+                                  grain_to_date=grain,
+                                  agg=inner[0], sql=inner[1])
         if _DAX_CALC_RE.match(dax):
             body = _call_body(dax)
             if body is not None:
                 args = _split_dax_args(body)
                 inner = self._dax_simple_agg(args[0]) if args else None
+                # CALCULATE(base, <time shift>) -> native prior-period
+                # comparison: SAMEPERIODLASTYEAR / PREVIOUSx / DATEADD
+                # return the prior VALUE (calculation="prior")
+                if len(args) == 2:
+                    shift = _dax_time_shift(args[1])
+                    if shift is not None:
+                        comparison, offset = shift
+                        bm = _BARE_MEASURE_RE.match(args[0].strip())
+                        kwargs = dict(name=mname, type="time_comparison",
+                                      label=label, calculation="prior",
+                                      comparison_type=comparison,
+                                      time_offset=offset)
+                        if bm:
+                            return Metric(base_metric=_sanitize(bm.group(1)),
+                                          **kwargs)
+                        if inner is not None:
+                            return Metric(agg=inner[0], sql=inner[1], **kwargs)
                 filters = [_dax_cols_to_sql(a) for a in args[1:]]
                 # predicates only (no FILTER()/ALL() table functions)
                 if inner is not None and all(
@@ -429,3 +466,37 @@ def export_tmdl(graph) -> str:
     if rel_lines:
         blocks.append("\n".join(rel_lines))
     return "\n\n".join(blocks) + "\n"
+
+
+_PREVIOUS_MAP = {"previousyear": "yoy", "previousquarter": "qoq",
+                 "previousmonth": "mom", "previousday": "dod"}
+_DATEADD_UNIT_MAP = {"year": "yoy", "quarter": "qoq", "month": "mom",
+                     "day": "dod"}
+
+
+def _dax_time_shift(arg: str) -> tuple[str, str | None] | None:
+    """DAX time-shift table functions -> (comparison_type, time_offset).
+
+    ``SAMEPERIODLASTYEAR('D'[c])`` -> yoy; ``PREVIOUSMONTH('D'[c])`` ->
+    mom; ``DATEADD('D'[c], -1, YEAR)`` -> yoy, ``DATEADD(..., -13,
+    WEEK)`` -> custom "13 week" offset. Returns None for anything else.
+    """
+    s = arg.strip()
+    if re.match(r"^SAMEPERIODLASTYEAR\s*\(", s, re.I):
+        return "yoy", None
+    pm = re.match(r"^(PREVIOUSYEAR|PREVIOUSQUARTER|PREVIOUSMONTH|PREVIOUSDAY)\s*\(", s, re.I)
+    if pm:
+        return _PREVIOUS_MAP[pm.group(1).lower()], None
+    dm = re.match(
+        r"^DATEADD\s*\(.+?,\s*(-?\d+)\s*,\s*(YEAR|QUARTER|MONTH|WEEK|DAY)\s*\)\s*$",
+        s, re.I | re.S,
+    )
+    if dm:
+        n = abs(int(dm.group(1)))
+        unit = dm.group(2).lower()
+        if int(dm.group(1)) >= 0:
+            return None  # forward shifts have no comparison equivalent
+        if n == 1 and unit in _DATEADD_UNIT_MAP:
+            return _DATEADD_UNIT_MAP[unit], None
+        return "prior_period", f"{n} {unit}"
+    return None

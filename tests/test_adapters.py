@@ -4319,3 +4319,49 @@ cubes:
     # extends: child inherits the parent surface
     ext = layer.graph.models["cb_orders_ext"]
     assert ext.metric("revenue") is not None or ext.extends == "cb_orders"
+
+
+def test_tmdl_dax_time_intelligence(spark):
+    """DAX time intelligence maps onto native metric types: TOTALYTD ->
+    grain-to-date cumulative, CALCULATE(base, SAMEPERIODLASTYEAR/
+    PREVIOUSMONTH/DATEADD) -> prior-value time comparisons."""
+    import tempfile
+
+    from sidemantic_spark.adapters import TmdlAdapter
+
+    tmdl = """table Sales
+	column Id
+		dataType: int64
+		isKey
+	column Amount
+		dataType: double
+	column OrderDate
+		dataType: dateTime
+	measure 'Total Sales' = SUM('Sales'[Amount])
+	measure 'Sales YTD' = TOTALYTD(SUM('Sales'[Amount]), 'Dates'[Date])
+	measure 'Sales MTD' = TOTALMTD([Total Sales], 'Dates'[Date])
+	measure 'Sales LY' = CALCULATE([Total Sales], SAMEPERIODLASTYEAR('Dates'[Date]))
+	measure 'Sales PM' = CALCULATE(SUM('Sales'[Amount]), PREVIOUSMONTH('Dates'[Date]))
+	measure 'Sales 13w Ago' = CALCULATE([Total Sales], DATEADD('Dates'[Date], -13, WEEK))
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".tmdl", delete=False) as fh:
+        fh.write(tmdl)
+        path = fh.name
+    layer = SparkSemanticLayer(spark)
+    TmdlAdapter().parse_file(layer, path)
+    m = layer.graph.models["sales"]
+    ytd = m.metric("sales_ytd")
+    assert ytd.type == "cumulative" and ytd.grain_to_date == "year"
+    assert ytd.agg == "sum" and ytd.sql == "amount"
+    mtd = m.metric("sales_mtd")
+    assert mtd.type == "cumulative" and mtd.grain_to_date == "month"
+    assert mtd.base_metric == "total_sales"
+    ly = m.metric("sales_ly")
+    assert ly.type == "time_comparison" and ly.comparison_type == "yoy"
+    assert ly.calculation == "prior" and ly.base_metric == "total_sales"
+    pm = m.metric("sales_pm")
+    assert pm.type == "time_comparison" and pm.comparison_type == "mom"
+    assert pm.agg == "sum" and pm.sql == "amount"
+    w13 = m.metric("sales_13w_ago")
+    assert w13.comparison_type == "prior_period"
+    assert w13.time_offset == "13 week"
