@@ -297,8 +297,42 @@ class HolisticsAdapter(BaseAdapter):
                 name=name, type="derived", label=label,
                 expr=f"CAST({base} AS DOUBLE) / CAST(all({base}) AS DOUBLE)",
             ))
+        elif re.match(r"^\|\s*running_total\(", tail):
+            # cumulative over the query's time dimension
+            model.metrics.append(Metric(
+                name=name, type="cumulative", agg=agg, sql=col,
+                filters=filters, label=label,
+            ))
+        elif re.match(r"^\|\s*period_to_date\(", tail):
+            gm = re.search(r"period_to_date\(\s*'(\w+)'", tail)
+            grain = gm.group(1).lower() if gm else "year"
+            model.metrics.append(Metric(
+                name=name, type="cumulative", agg=agg, sql=col,
+                grain_to_date=grain if grain in
+                ("day", "week", "month", "quarter", "year") else "year",
+                filters=filters, label=label,
+            ))
+        elif re.match(r"^\|\s*relative_period\(", tail):
+            # prior-period VALUE shifted by the declared interval
+            rm_ = re.search(
+                r"relative_period\([^)]*?(-?\d+)\s*,?\s*'?"
+                r"(year|quarter|month|week|day)s?'?", tail, re.I)
+            comparison, offset = "prior_period", None
+            if rm_:
+                n, unit = int(rm_.group(1)), rm_.group(2).lower()
+                std = {"year": "yoy", "quarter": "qoq", "month": "mom",
+                       "day": "dod", "week": "wow"}
+                if abs(n) == 1 and unit in std:
+                    comparison = std[unit]
+                else:
+                    offset = f"{abs(n)} {unit}"
+            model.metrics.append(Metric(
+                name=name, type="time_comparison", agg=agg, sql=col,
+                comparison_type=comparison, time_offset=offset,
+                calculation="prior", filters=filters, label=label,
+            ))
         else:
-            # AQL long tail (relative_period, exclude, group, ...):
+            # AQL long tail (exclude, keep_grains, group, ...):
             # import opaque so the name survives with its definition
             model.metrics.append(Metric(
                 name=name, agg="count", public=False, label=label,

@@ -4365,3 +4365,49 @@ def test_tmdl_dax_time_intelligence(spark):
     w13 = m.metric("sales_13w_ago")
     assert w13.comparison_type == "prior_period"
     assert w13.time_offset == "13 week"
+
+
+def test_holistics_aql_pipe_modifiers(spark):
+    """AQL pipe modifiers map onto native metric types: running_total
+    -> cumulative, period_to_date -> grain-to-date, relative_period ->
+    prior-value time comparison (the reference passes the inner metric
+    through, ref adapters/holistics.py:2071-2110)."""
+    from sidemantic_spark.adapters import HolisticsAdapter
+
+    layer = SparkSemanticLayer(spark)
+    HolisticsAdapter().parse_text(layer, """
+Model ho_orders {
+  table_name: 'ho_orders_tbl'
+  dimension id { type: 'number' primary_key: 'true' }
+  dimension amount { type: 'number' }
+  dimension created_at { type: 'datetime' }
+}
+
+Metric ho_running_rev {
+  label: 'Running Revenue'
+  definition: @aql sum(ho_orders.amount) | running_total(ho_orders.created_at) ;;
+}
+
+Metric ho_rev_ytd {
+  definition: @aql sum(ho_orders.amount) | period_to_date('year', ho_orders.created_at) ;;
+}
+
+Metric ho_rev_prev_month {
+  definition: @aql sum(ho_orders.amount) | relative_period(ho_orders.created_at, -1, 'month') ;;
+}
+
+Metric ho_rev_13w {
+  definition: @aql sum(ho_orders.amount) | relative_period(ho_orders.created_at, -13, 'week') ;;
+}
+""")
+    m = layer.graph.models["ho_orders"]
+    rr = m.metric("ho_running_rev")
+    assert rr.type == "cumulative" and rr.agg == "sum" and rr.sql == "amount"
+    assert rr.label == "Running Revenue"
+    ytd = m.metric("ho_rev_ytd")
+    assert ytd.type == "cumulative" and ytd.grain_to_date == "year"
+    pm = m.metric("ho_rev_prev_month")
+    assert pm.type == "time_comparison" and pm.comparison_type == "mom"
+    assert pm.calculation == "prior"
+    w13 = m.metric("ho_rev_13w")
+    assert w13.time_offset == "13 week"
