@@ -1364,6 +1364,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             metrics=["orders.revenue", "orders.revenue_mom"],
             dimensions=["orders.order_date__month AS order_month"],
         ),
+        # derived formula over a prior-value comparison child (the shape
+        # MetricFlow offset_window aliases synthesize): the window plan
+        # hoists the comparison as a pseudo-unit and combines it with
+        # the plain aggregate in the outer select
+        "derived_offset_growth": _q(
+            metrics=["orders.revenue", "orders.revenue_growth_mom"],
+            dimensions=["orders.order_date__month AS order_month"],
+        ),
         # §2.5 raw window_expression passthrough
         "window_expr_peak": _q(
             metrics=["orders.revenue", "orders.revenue_peak_to_date"],
@@ -2069,6 +2077,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT i.order_month, CAST(i.revenue AS DOUBLE) AS revenue,
                    CAST(i.revenue - p.revenue AS DOUBLE)
                      / NULLIF(CAST(p.revenue AS DOUBLE), 0) * 100 AS revenue_mom
+            FROM inner_q i
+            LEFT JOIN inner_q p ON p.order_month = i.order_month - INTERVAL 1 MONTH
+        """,
+        "derived_offset_growth": """
+            WITH inner_q AS (
+                SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT i.order_month, CAST(i.revenue AS DOUBLE) AS revenue,
+                   CAST(i.revenue - p.revenue AS DOUBLE) AS revenue_growth_mom
             FROM inner_q i
             LEFT JOIN inner_q p ON p.order_month = i.order_month - INTERVAL 1 MONTH
         """,

@@ -176,8 +176,32 @@ class MetricFlowAdapter(BaseAdapter):
     @staticmethod
     def _add_metric(layer, metric: Metric) -> None:
         # duplicate names across files: first definition wins (ref ``:228-233``)
-        if metric.name not in layer.graph.metrics:
-            layer.graph.add_metric(metric)
+        if metric.name in layer.graph.metrics:
+            return
+        # derived metrics with offset_window input aliases: register a
+        # hidden prior-value time comparison per alias so the formula's
+        # alias refs resolve to real shifted metrics
+        for item in getattr(metric, "_mf_offset_inputs", []) or []:
+            alias = item["alias"]
+            if alias in layer.graph.metrics:
+                continue
+            offset = str(item["offset_window"]).strip()
+            mm = re.match(r"^(\d+)\s+(day|week|month|quarter|year)s?$",
+                          offset, re.I)
+            std = {("1", "year"): "yoy", ("1", "quarter"): "qoq",
+                   ("1", "month"): "mom", ("1", "week"): "wow",
+                   ("1", "day"): "dod"}
+            comparison = std.get((mm.group(1), mm.group(2).lower())) if mm else None
+            layer.graph.add_metric(Metric(
+                name=alias,
+                type="time_comparison",
+                base_metric=item["name"],
+                comparison_type=comparison or "prior_period",
+                time_offset=None if comparison else offset,
+                calculation="prior",
+                public=False,
+            ))
+        layer.graph.add_metric(metric)
 
     # ------------------------------------------------------------------
     # semantic models
@@ -473,8 +497,18 @@ class MetricFlowAdapter(BaseAdapter):
             if expr and summary:
                 expr = self._rewrite_input_aliases(str(expr), summary)
             extra = {"input_metrics": summary} if summary else None
-            return Metric(name=name, type="derived", expr=expr,
-                          meta=extra, **common)
+            metric = Metric(name=name, type="derived", expr=expr,
+                            meta=extra, **common)
+            # offset_window aliases are expressible here as native
+            # prior-value time comparisons (the reference can only retain
+            # them as metadata, ref :744-752) — synthesize one hidden
+            # shifted metric per offset alias so the formula queries
+            metric._mf_offset_inputs = [
+                i for i in (summary or [])
+                if i.get("alias") and i.get("offset_window")
+                and i.get("filter") is None and i.get("offset_to_grain") is None
+            ]
+            return metric
 
         # cumulative: window / grain_to_date / period_agg can sit under
         # type_params (legacy convenience), cumulative_type_params

@@ -55,7 +55,10 @@ def controls_are_active(layer) -> bool:
 
 _STRING_RE = re.compile(r"'(?:[^'\\]|\\.)*'")
 _COMMENT_RE = re.compile(r"--[^\n]*|/\*.*?\*/", re.S)
-_CTE_RE = re.compile(r"\b(?:WITH|,)\s+([A-Za-z_]\w*)\s+AS\s*\(", re.I)
+# NB: the comma alternative must not carry a leading \b — after a
+# closing paren (`), cnt AS (`) there is no word boundary before the
+# comma, so `\b(?:WITH|,)` silently missed every CTE after the first
+_CTE_RE = re.compile(r"(?:\bWITH\b|,)\s+([A-Za-z_]\w*)\s+AS\s*\(", re.I)
 _SOURCE_RE = re.compile(r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*|\S)", re.I)
 _SAFE_NONTABLE = {"unnest", "values", "range", "lateral"}
 

@@ -197,6 +197,24 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
                     offset_window="1 month",
                 ),
                 Metric(
+                    # prior-period VALUE (calculation="prior") — the
+                    # shape MetricFlow offset aliases synthesize
+                    name="revenue_prior_month",
+                    type="time_comparison",
+                    base_metric="revenue",
+                    comparison_type="mom",
+                    calculation="prior",
+                    public=False,
+                ),
+                Metric(
+                    # derived formula over a window child: the window
+                    # plan hoists revenue_prior_month as a pseudo-unit
+                    # and combines it with the plain aggregate
+                    name="revenue_growth_mom",
+                    type="derived",
+                    expr="revenue - revenue_prior_month",
+                ),
+                Metric(
                     # raw window_expression passthrough (reference
                     # core/metric.py:299-308): best month seen to date
                     name="revenue_peak_to_date",

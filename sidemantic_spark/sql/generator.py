@@ -200,6 +200,7 @@ class SqlGenerator:
             for rm in r.metrics
             if rm.metric.type in ("cumulative", "time_comparison")
             or (rm.metric.type == "ratio" and rm.metric.offset_window)
+            or self._derived_window_children(rm)
         ]
         if window_metrics:
             return self._window_sql(r, window_metrics)
@@ -516,6 +517,8 @@ class SqlGenerator:
             candidates = [c for c in (metric.numerator, metric.denominator) if c]
         elif metric.type == "derived" and metric.expr:
             candidates = _identifiers(metric.expr)
+        elif metric.type in ("cumulative", "time_comparison"):
+            candidates = [c for c in (metric.base_metric, metric.sql) if c]
         for cand in candidates:
             if "." in cand:
                 model_name = cand.split(".", 1)[0]
@@ -1520,6 +1523,31 @@ class SqlGenerator:
     # ------------------------------------------------------------------
     # window-metric pipeline (ref sql/generator.py:5701-6482)
     # ------------------------------------------------------------------
+    def _derived_window_children(self, rm: RMetric) -> list[tuple[str, str, Metric]]:
+        """(token, model, child) for each metric a derived formula
+        references; non-empty result with a window-type child routes the
+        query to the window plan (derived-over-comparison formulas, e.g.
+        MetricFlow offset aliases)."""
+        m = rm.metric
+        if m.type != "derived" or not m.expr:
+            return []
+        children: list[tuple[str, str, Metric]] = []
+        windowed = False
+        for tok in _identifiers(m.expr):
+            try:
+                model_name, child = self._lookup_metric(tok)
+            except QueryCompileError:
+                try:
+                    model_name, child = self._lookup_metric(_qualify(tok, rm.model))
+                except QueryCompileError:
+                    continue
+            children.append((tok, model_name, child))
+            if child.type in ("cumulative", "time_comparison") or (
+                child.type == "ratio" and child.offset_window
+            ):
+                windowed = True
+        return children if windowed else []
+
     def _window_sql(self, r: Resolved, window_metrics: list[RMetric]) -> str:
         time_dims = [rd for rd in r.dims if rd.grain or self._is_time_dim(rd)]
         if not time_dims:
@@ -1527,12 +1555,33 @@ class SqlGenerator:
         time_dim = time_dims[-1]  # finest listed time dim
         other_outs = [rd.out for rd in r.dims if rd.out != time_dim.out]
 
+        # derived formulas over window children (e.g. a MetricFlow
+        # offset alias) hoist each referenced metric as a pseudo-unit:
+        # the children compute like top-level window/plain metrics and
+        # the formula combines their expressions in the outer select
+        units: list[RMetric] = []
+        derived_formulas: list[tuple[RMetric, list[str]]] = []
+        seen_units: set[str] = set()
+        for rm in r.metrics:
+            children = self._derived_window_children(rm)
+            if children:
+                toks = []
+                for tok, model_name, child in children:
+                    toks.append(tok)
+                    if tok not in seen_units:
+                        seen_units.add(tok)
+                        units.append(RMetric(model_name, child, tok))
+                derived_formulas.append((rm, toks))
+            elif rm.out not in seen_units:
+                seen_units.add(rm.out)
+                units.append(rm)
+
         # inner spec: every window metric replaced by its base simple agg
         inner_metric_refs: list[str] = []
         seen_inner: set[str] = set()
         inner_name_of: dict[str, str] = {}
         ratio_legs: dict[str, tuple[str, str]] = {}
-        for rm in r.metrics:
+        for rm in units:
             if rm.metric.type == "ratio" and rm.metric.offset_window:
                 # both legs become inner simple metrics; the outer stage
                 # divides the current numerator by the denominator from
@@ -1546,8 +1595,8 @@ class SqlGenerator:
                     ref = _qualify(leg, rm.model)
                     out_name = ref.split(".", 1)[1]
                     legs.append(out_name)
-                    if ref not in seen_inner:
-                        seen_inner.add(ref)
+                    if out_name not in seen_inner:
+                        seen_inner.add(out_name)
                         inner_metric_refs.append(f"{ref} AS {out_name}")
                 ratio_legs[rm.out] = (legs[0], legs[1])
                 inner_name_of[rm.out] = legs[0]
@@ -1559,15 +1608,14 @@ class SqlGenerator:
                     )
                 base_out = base_ref.split(".", 1)[1]
                 inner_name_of[rm.out] = base_out
-                if base_ref not in seen_inner:
-                    seen_inner.add(base_ref)
+                if base_out not in seen_inner:
+                    seen_inner.add(base_out)
                     inner_metric_refs.append(f"{base_ref} AS {base_out}")
             else:
                 inner_name_of[rm.out] = rm.out
-                ref = f"{rm.model}.{rm.metric.name} AS {rm.out}"
-                if ref not in seen_inner:
-                    seen_inner.add(ref)
-                    inner_metric_refs.append(ref)
+                if rm.out not in seen_inner:
+                    seen_inner.add(rm.out)
+                    inner_metric_refs.append(f"{rm.model}.{rm.metric.name} AS {rm.out}")
 
         inner_dim_refs = [
             f"{rd.model}.{rd.name}" + (f"__{rd.grain}" if rd.grain else "") + f" AS {rd.out}"
@@ -1586,13 +1634,16 @@ class SqlGenerator:
 
         # comparison offsets -> extra self-joins on shifted time
         offsets: dict[str, str] = {}
-        for rm in r.metrics:
+        for rm in units:
             if rm.metric.type == "time_comparison":
                 offsets[rm.out] = _comparison_interval(rm.metric, time_dim.grain)
             elif rm.metric.type == "ratio" and rm.metric.offset_window:
                 offsets[rm.out] = interval_sql(rm.metric.offset_window)
 
         select = [f"i.{rd.out} AS {rd.out}" for rd in r.dims]
+        expr_of: dict[str, str] = {}
+        top_outs = {rm.out for rm in r.metrics}
+        formula_outs = {rm.out for rm, _toks in derived_formulas}
 
         def emit(expr: str, rm: RMetric) -> None:
             # fill_nulls_with applies AFTER the window/comparison (ref
@@ -1600,9 +1651,11 @@ class SqlGenerator:
             # period or all-NULL window frame yields the fill value
             if rm.metric.fill_nulls_with is not None:
                 expr = f"COALESCE({expr}, {rm.metric.fill_nulls_with})"
-            select.append(f"{expr} AS {rm.out}")
+            expr_of[rm.out] = expr
+            if rm.out in top_outs and rm.out not in formula_outs:
+                select.append(f"{expr} AS {rm.out}")
 
-        for rm in r.metrics:
+        for rm in units:
             m = rm.metric
             base_col = f"i.{inner_name_of[rm.out]}"
             if m.type == "cumulative":
@@ -1664,7 +1717,22 @@ class SqlGenerator:
                     )
                 emit(expr, rm)
             else:
-                select.append(f"{base_col} AS {rm.out}")
+                emit(base_col, rm)
+
+        # derived formulas combine their children's computed expressions
+        # (single pass over the ORIGINAL formula so one child's expansion
+        # is never re-matched by another token)
+        for rm, toks in derived_formulas:
+            tokset = {t for t in toks if t in expr_of}
+            expr = re.sub(
+                r"(?<![\w.])([A-Za-z_]\w*)(?![\w.(])",
+                lambda mm: f"({expr_of[mm.group(1)]})"
+                if mm.group(1) in tokset else mm.group(0),
+                rm.metric.expr,
+            )
+            if rm.metric.fill_nulls_with is not None:
+                expr = f"COALESCE({expr}, {rm.metric.fill_nulls_with})"
+            select.append(f"{expr} AS {rm.out}")
 
         sql = "SELECT\n    " + ",\n    ".join(select) + "\nFROM __inner i"
         for out, off in offsets.items():

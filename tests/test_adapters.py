@@ -4411,3 +4411,70 @@ Metric ho_rev_13w {
     assert pm.calculation == "prior"
     w13 = m.metric("ho_rev_13w")
     assert w13.time_offset == "13 week"
+
+
+def test_metricflow_offset_alias_native_comparison(spark):
+    """Derived-metric offset_window aliases synthesize hidden
+    prior-value time comparisons so the formula is queryable — the
+    reference can only retain the offsets as round-trip metadata
+    (ref adapters/metricflow.py:744-752)."""
+    import duckdb as _duck
+    import yaml
+
+    from sidemantic_spark.adapters import MetricFlowAdapter
+
+    con = _duck.connect()
+    con.execute("""
+        CREATE TABLE mf_daily AS SELECT * FROM (VALUES
+            (1, 10.0, TIMESTAMP '2026-01-01'),
+            (2, 20.0, TIMESTAMP '2026-01-02'),
+            (3, 50.0, TIMESTAMP '2026-01-03')
+        ) t(order_id, amount, ordered_at)
+    """)
+    spark.createDataFrame(con.table("mf_daily").arrow().to_pandas()) \
+        .createOrReplaceTempView("mf_daily")
+    layer = SparkSemanticLayer(spark)
+    MetricFlowAdapter().parse(layer, yaml.safe_load("""
+semantic_models:
+  - name: mf_daily
+    model: ref('mf_daily')
+    entities:
+      - name: order
+        type: primary
+        expr: order_id
+    dimensions:
+      - name: ordered_at
+        type: time
+        type_params:
+          time_granularity: day
+    measures:
+      - name: order_total
+        agg: sum
+        expr: amount
+metrics:
+  - name: order_total_growth
+    type: derived
+    type_params:
+      expr: order_total - total_1d_ago
+      metrics:
+        - name: order_total
+          alias: total_1d_ago
+          offset_window: 1 day
+"""))
+    # the alias registered as a hidden prior-value comparison
+    shifted = layer.graph.metrics["total_1d_ago"]
+    assert shifted.type == "time_comparison"
+    assert shifted.comparison_type == "dod"
+    assert shifted.calculation == "prior" and shifted.public is False
+    growth = layer.graph.metrics["order_total_growth"]
+    assert growth.expr == "order_total - total_1d_ago"
+    rows = layer.query(
+        metrics=["order_total_growth"],
+        dimensions=["mf_daily.ordered_at__day AS d"],
+        order_by=["d"],
+    ).collect()
+    vals = [None if r["order_total_growth"] is None
+            else float(r["order_total_growth"]) for r in rows]
+    # day1 has no prior -> NULL diff; day2: 20-10; day3: 50-20
+    assert vals == [None, 10.0, 30.0]
+    con.close()

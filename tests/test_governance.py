@@ -427,3 +427,23 @@ def test_transport_security_fail_closed(spark, sf_dir):
     with _pytest.raises(Exception) as exc:
         open_layer.sql("SELECT COUNT(*) AS n FROM orders")
     assert not isinstance(exc.value, TransportSecurityError)
+
+
+def test_transport_gate_recognizes_second_cte(spark):
+    """The CTE lexer must register every CTE in a WITH list: after a
+    closing paren there is no word boundary before the comma, so a
+    leading \\b silently missed `), cnt AS (` and refused valid
+    semantic SQL whenever security controls were active."""
+    from sidemantic_spark.core.transport_security import unrecognized_sources
+    from sidemantic_spark.models.tpch import build_layer
+
+    layer = build_layer(spark, None)
+    sql = """
+        WITH rev AS (SELECT orders.status, orders.revenue FROM orders),
+        cnt AS (SELECT orders.status, orders.order_count FROM orders)
+        SELECT r.status, r.revenue, c.order_count
+        FROM rev r JOIN cnt c ON r.status = c.status
+    """
+    assert unrecognized_sources(sql, layer) == []
+    assert unrecognized_sources(
+        "SELECT * FROM raw_table", layer) == ["raw_table"]
