@@ -197,7 +197,8 @@ class CubeAdapter(BaseAdapter):
                 description=d.get("description"),
                 label=d.get("title"),
                 format=d.get("format") if isinstance(d.get("format"), str) else None,
-                value_format_name=_CUBE_FORMATS.get(d.get("format")),
+                value_format_name=_CUBE_FORMATS.get(d.get("format"))
+                if isinstance(d.get("format"), str) else None,
                 public=d.get("public", not d.get("shown") is False),
                 supported_granularities=supported or [],
                 meta=meta,
@@ -249,7 +250,8 @@ class CubeAdapter(BaseAdapter):
                 description=m.get("description"),
                 label=m.get("title"),
                 format=m.get("format") if isinstance(m.get("format"), str) else None,
-                value_format_name=_CUBE_FORMATS.get(m.get("format")),
+                value_format_name=_CUBE_FORMATS.get(m.get("format"))
+                if isinstance(m.get("format"), str) else None,
                 drill_fields=[_leaf(x) for x in m.get("drill_members") or []],
                 public=m.get("public", not m.get("shown") is False),
                 meta=m.get("meta") if isinstance(m.get("meta"), dict) else None,

@@ -495,8 +495,13 @@ class LookMLAdapter(BaseAdapter):
                     dims.append(ref)
             sql = None
             if metrics or dims:
+                # the NDT queries THROUGH the explore, so its mandatory
+                # sql_always_where filters apply to the compiled query
+                explore = layer.graph.explores.get(base)
+                filters = list(getattr(explore, "filters", []) or [])
                 try:
-                    sql = layer.compile(metrics=metrics, dimensions=dims)
+                    sql = layer.compile(metrics=metrics, dimensions=dims,
+                                        filters=filters)
                 except Exception:
                     sql = None
             if sql is None:
@@ -929,24 +934,19 @@ class LookMLAdapter(BaseAdapter):
         base = explore.get("from") or explore.get("view_name") or explore["name"]
         if base not in layer.graph.models:
             return
-        # explore-level mandatory filter applies to every query over the
-        # base model (ref adapters/lookml.py sql_always_where handling)
+        # explore-level mandatory filter: sql_always_where is scoped to
+        # THIS explore (other explores and direct model queries must not
+        # inherit it), so it becomes the Explore contract's mandatory
+        # filter — the joined scope also lets it reference joined views
+        mandatory: list[str] = []
         saw = explore.get("sql_always_where")
         if isinstance(saw, str) and saw.strip():
             cond = _strip_liquid(saw)
-            cond = cond.replace("${TABLE}.", "")
-            # row filters evaluate inside the base model's CTE (bare
-            # columns); refs to joined views cannot apply there, so only
-            # base-view conditions translate
-            other = [v for v, _f in re.findall(r"\$\{(\w+)\.(\w+)\}", cond)
-                     if v != base]
-            if not other:
-                cond = re.sub(r"\$\{" + re.escape(base) + r"\.(\w+)\}",
-                              r"\1", cond)
-                cond = re.sub(r"\$\{(\w+)\}", r"\1", cond)
-                base_model = layer.graph.get_model(base)
-                if cond and cond not in base_model.row_filters:
-                    base_model.row_filters.append(cond)
+            cond = cond.replace("${TABLE}.", f"{base}.")
+            cond = re.sub(r"\$\{(\w+)\.(\w+)\}", r"\1.\2", cond)
+            cond = re.sub(r"\$\{(\w+)\}", rf"{base}.\1", cond)
+            if cond.strip():
+                mandatory.append(cond.strip())
         # the explore itself is a curated consumption contract
         from sidemantic_spark.core.consumption import Explore as _Explore
 
@@ -960,6 +960,7 @@ class LookMLAdapter(BaseAdapter):
                 description=_str(explore.get("description")),
                 allowed_dimensions=fields or None,
                 allowed_metrics=fields or None,
+                filters=mandatory,
             )
         for j in explore.get("joins", []):
             jname = j.get("from") or j["name"]

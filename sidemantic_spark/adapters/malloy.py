@@ -191,9 +191,7 @@ def _split_top(expr: str, sep: str) -> list[str]:
             depth += 1
         elif c == ")":
             depth -= 1
-        elif depth == 0 and expr.startswith(sep, i) and (
-            sep.strip() or True
-        ):
+        elif depth == 0 and expr.startswith(sep, i):
             parts.append(expr[last:i])
             i += w
             last = i

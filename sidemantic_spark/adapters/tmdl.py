@@ -257,7 +257,10 @@ class TmdlAdapter(BaseAdapter):
         if tm:
             body = _call_body(dax)
             args = _split_dax_args(body or "")
-            if args:
+            # only the plain 2-arg form (base, date column) translates;
+            # extra args (filter predicates, year_end_date) would be
+            # silently dropped — those keep the opaque import instead
+            if len(args) == 2:
                 grain = {"ytd": "year", "qtd": "quarter",
                          "mtd": "month"}[tm.group(1).lower()]
                 first = args[0].strip()

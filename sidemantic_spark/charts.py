@@ -281,14 +281,31 @@ class ChartBuilder:
 
     def crossfilter(self, **kw):
         """Spin up a coordinated-views crossfilter session over this
-        chart's fields (reference viz.py:1993)."""
+        chart's fields (reference viz.py:1993). Segments resolve to
+        their filter SQL so the session sees the same rows as the
+        chart; a user context cannot be threaded through a session and
+        raises rather than silently widening visibility."""
+        if self.user is not None:
+            raise ChartError(
+                "crossfilter sessions do not carry a user context; "
+                "build the session without user= or pre-filter the fields"
+            )
         from sidemantic_spark.crossfilter import CrossfilterSession
 
+        filters = list(self.filters)
+        for seg_ref in self.segments:
+            if "." not in seg_ref:
+                raise ChartError(f"segment ref must be model.segment: {seg_ref!r}")
+            model_name, seg_name = seg_ref.split(".", 1)
+            seg = self.layer.graph.get_model(model_name).segment(seg_name)
+            if seg is None:
+                raise ChartError(f"unknown segment {seg_ref!r}")
+            filters.append(seg.sql.replace("{model}", model_name))
         return CrossfilterSession(
             self.layer,
             self.metrics,
             self.dimensions,
-            base_filters=self.filters,
+            base_filters=filters,
             title=self.title,
             **kw,
         )
@@ -313,8 +330,20 @@ class ChartBuilder:
 
     @property
     def sql(self) -> str:
-        self.data()
-        return self._sql or ""
+        # compile only — asking a builder for its SQL must not run the query
+        if self._sql is None:
+            kwargs: dict = dict(
+                metrics=self.metrics, dimensions=self.dimensions,
+                filters=self.filters, segments=self.segments,
+            )
+            if self.order_by is not None:
+                kwargs["order_by"] = self.order_by
+            if self.limit is not None:
+                kwargs["limit"] = self.limit
+            if self.user is not None:
+                kwargs["user"] = self.user
+            self._sql = self.layer.compile(**kwargs)
+        return self._sql
 
     def to_vegalite(self) -> dict[str, Any]:
         rows = self.data()

@@ -471,6 +471,18 @@ class SqlGenerator:
 
     def _lookup_metric(self, ref: str) -> tuple[str, Metric]:
         ref = ref.strip()
+        # internal marker: "<metric>__base" resolves a window-typed
+        # metric carrying its own agg+sql to a plain-aggregate shadow —
+        # the window plan's inner query computes the base this way
+        # without re-routing to the window plan
+        if ref.endswith("__base"):
+            model_name, metric = self._lookup_metric(ref[: -len("__base")])
+            if metric.type in ("cumulative", "time_comparison") and metric.agg:
+                return model_name, Metric(
+                    name=metric.name + "__base", agg=metric.agg,
+                    sql=metric.sql, filters=list(metric.filters),
+                )
+            return model_name, metric
         # graph-level metrics may carry dotted namespace names
         # (e.g. "finance.revenue_per_order") that shadow no model
         if ref in self.graph.metrics:
@@ -1138,8 +1150,10 @@ class SqlGenerator:
         for rd in r.dims:
             proj.append(f"{rd.model}_cte.{rd.out} AS {rd.out}")
         wide = []  # re-attached from the fact CTE after the DISTINCT
+        wide_seen: set[str] = set()
         for comp_out, comp in r.component_metrics.get(fact, []):
-            if comp.sql:
+            if comp.sql and comp_out not in wide_seen:
+                wide_seen.add(comp_out)
                 wide.append(f"__f.{comp_out}_raw AS {comp_out}_raw")
         filter_cols = set()
         for rm in r.metrics:
@@ -1147,7 +1161,7 @@ class SqlGenerator:
                 for flt in comp.filters:
                     for m, fld, _g in find_refs(flt, set(self.graph.models)):
                         if m == fact:
-                            if fld not in filter_cols:
+                            if fld not in filter_cols and fld not in wide_seen:
                                 wide.append(f"__f.{fld} AS {fld}")
                             filter_cols.add(fld)
                         else:
@@ -1567,10 +1581,13 @@ class SqlGenerator:
             if children:
                 toks = []
                 for tok, model_name, child in children:
-                    toks.append(tok)
-                    if tok not in seen_units:
-                        seen_units.add(tok)
-                        units.append(RMetric(model_name, child, tok))
+                    # qualified refs (orders.revenue) get a dot-free out
+                    # alias; the formula substitution maps tok -> out
+                    out = tok.replace(".", "_")
+                    toks.append((tok, out))
+                    if out not in seen_units:
+                        seen_units.add(out)
+                        units.append(RMetric(model_name, child, out))
                 derived_formulas.append((rm, toks))
             elif rm.out not in seen_units:
                 seen_units.add(rm.out)
@@ -1603,9 +1620,15 @@ class SqlGenerator:
             elif rm.metric.type in ("cumulative", "time_comparison"):
                 base_ref = self._base_metric_ref(rm.metric, rm.model)
                 if base_ref is None:
-                    raise QueryCompileError(
-                        f"{rm.metric.type} metric {rm.metric.name!r} needs base_metric"
-                    )
+                    if not rm.metric.agg:
+                        raise QueryCompileError(
+                            f"{rm.metric.type} metric {rm.metric.name!r} needs "
+                            "base_metric or agg"
+                        )
+                    # inline agg+sql (adapter imports: Cube rolling_window,
+                    # DAX TOTALYTD, AQL running_total): the __base marker
+                    # resolves to a plain-aggregate shadow in the inner query
+                    base_ref = f"{rm.model}.{rm.metric.name}__base"
                 base_out = base_ref.split(".", 1)[1]
                 inner_name_of[rm.out] = base_out
                 if base_out not in seen_inner:
@@ -1719,17 +1742,23 @@ class SqlGenerator:
             else:
                 emit(base_col, rm)
 
-        # derived formulas combine their children's computed expressions
-        # (single pass over the ORIGINAL formula so one child's expansion
-        # is never re-matched by another token)
+        # derived formulas combine their children's computed expressions.
+        # Two phases (placeholder then expansion) so one child's expanded
+        # SQL is never re-matched by another token, and dotted refs
+        # (orders.revenue) substitute correctly
         for rm, toks in derived_formulas:
-            tokset = {t for t in toks if t in expr_of}
-            expr = re.sub(
-                r"(?<![\w.])([A-Za-z_]\w*)(?![\w.(])",
-                lambda mm: f"({expr_of[mm.group(1)]})"
-                if mm.group(1) in tokset else mm.group(0),
-                rm.metric.expr,
-            )
+            expr = rm.metric.expr
+            pairs = [(tok, out) for tok, out in dict(toks).items()
+                     if out in expr_of]
+            placeholders = {}
+            for idx, (tok, out) in enumerate(
+                    sorted(pairs, key=lambda p: len(p[0]), reverse=True)):
+                ph = f"__dwu{idx}__"
+                placeholders[ph] = out
+                expr = re.sub(
+                    rf"(?<![\w.]){re.escape(tok)}(?![\w.(])", ph, expr)
+            for ph, out in placeholders.items():
+                expr = expr.replace(ph, f"({expr_of[out]})")
             if rm.metric.fill_nulls_with is not None:
                 expr = f"COALESCE({expr}, {rm.metric.fill_nulls_with})"
             select.append(f"{expr} AS {rm.out}")

@@ -4221,14 +4221,18 @@ view: lk_user_facts {
 }
 """)
     items = layer.graph.models["lk_items"]
-    # sql_always_where -> mandatory base row filter (model-CTE scope)
-    assert items.row_filters == ["status = 'ok'"]
+    # sql_always_where is EXPLORE-scoped: it lives on the consumption
+    # contract, not as a model-wide row filter (direct model queries
+    # and other explores must not inherit it)
+    assert items.row_filters == []
+    explore = layer.graph.explores["lk_items"]
+    assert explore.filters == ["lk_items.status = 'ok'"]
     # display long tail
     rev = items.metric("total_revenue")
     assert rev.value_format_name == "usd"
     assert rev.drill_fields == ["id", "status"]
     # explore registered as a consumption contract
-    assert layer.graph.explores["lk_items"].label == "Items"
+    assert explore.label == "Items"
     # NDT compiled into real derived SQL, not a stub
     facts = layer.graph.models["lk_user_facts"]
     assert facts.table is None
@@ -4476,5 +4480,62 @@ metrics:
     vals = [None if r["order_total_growth"] is None
             else float(r["order_total_growth"]) for r in rows]
     # day1 has no prior -> NULL diff; day2: 20-10; day3: 50-20
+    assert vals == [None, 10.0, 30.0]
+    con.close()
+
+
+def test_window_metrics_with_inline_agg_execute(spark):
+    """Review regression: window-typed metrics carrying their own
+    agg+sql (no base_metric) — the shape Cube rolling_window, DAX
+    TOTALYTD, and AQL running_total import — must compile AND execute;
+    qualified model.metric refs work in derived-over-window formulas."""
+    import duckdb as _duck
+
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    con = _duck.connect()
+    con.execute("""
+        CREATE TABLE wq_orders AS SELECT * FROM (VALUES
+            (1, 10.0, TIMESTAMP '2026-01-01'),
+            (2, 20.0, TIMESTAMP '2026-01-02'),
+            (3, 50.0, TIMESTAMP '2026-01-03')
+        ) t(id, amount, created_at)
+    """)
+    spark.createDataFrame(con.table("wq_orders").arrow().to_pandas()) \
+        .createOrReplaceTempView("wq_orders")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="wq_orders", table="wq_orders", primary_key="id",
+        dimensions=[Dimension(name="created_at", type="time", granularity="day")],
+        metrics=[
+            Metric(name="revenue", agg="sum", sql="amount"),
+            # inline agg+sql cumulative (no base_metric)
+            Metric(name="running_rev", type="cumulative", agg="sum",
+                   sql="amount"),
+            Metric(name="rev_prior_day", type="time_comparison", agg="sum",
+                   sql="amount", comparison_type="dod", calculation="prior"),
+        ],
+    ))
+    rows = layer.query(
+        metrics=["wq_orders.running_rev", "wq_orders.rev_prior_day"],
+        dimensions=["wq_orders.created_at__day AS d"],
+        order_by=["d"],
+    ).collect()
+    running = [float(r["running_rev"]) for r in rows]
+    prior = [None if r["rev_prior_day"] is None else float(r["rev_prior_day"])
+             for r in rows]
+    assert running == [10.0, 30.0, 80.0]
+    assert prior == [None, 10.0, 20.0]
+
+    # derived formula over a window child using QUALIFIED refs
+    layer.graph.add_metric(Metric(
+        name="growth_q", type="derived",
+        expr="wq_orders.revenue - wq_orders.rev_prior_day",
+    ))
+    rows = layer.query(metrics=["growth_q"],
+                       dimensions=["wq_orders.created_at__day AS d"],
+                       order_by=["d"]).collect()
+    vals = [None if r["growth_q"] is None else float(r["growth_q"])
+            for r in rows]
     assert vals == [None, 10.0, 30.0]
     con.close()
