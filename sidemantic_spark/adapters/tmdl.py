@@ -193,7 +193,8 @@ class TmdlAdapter(BaseAdapter):
                 if mm:
                     mname, expr = _unquote(mm.group(1)), mm.group(2).strip()
                     if expr == "```" or not expr:  # backtick / multiline DAX block
-                        expr, i = self._multiline(lines, i + 1)
+                        expr, i = self._multiline(lines, i + 1,
+                                                  fenced=(expr == "```"))
                     else:
                         _props_ignored, i = self._props(lines, i + 1)
                     mets.append(self._dax_measure(mname, expr, _sanitize(tname)))
@@ -225,12 +226,31 @@ class TmdlAdapter(BaseAdapter):
             i += 1
         return props, i
 
-    def _multiline(self, lines: list[str], i: int) -> tuple[str, int]:
+    def _multiline(self, lines: list[str], i: int, fenced: bool = True) -> tuple[str, int]:
+        """Collect a multiline DAX expression. Fenced blocks read to the
+        closing ```; UNFENCED continuations (``measure X =`` with the
+        DAX indented on following lines) stop at the first property line
+        (``formatString: ...``) or declaration — reading to a fence that
+        never comes would swallow every following measure."""
         out = []
-        while i < len(lines) and lines[i].strip() != "```":
-            out.append(lines[i].strip())
+        while i < len(lines):
+            s = lines[i].strip()
+            if fenced:
+                if s == "```":
+                    i += 1
+                    break
+            else:
+                if re.match(r"^(table|column|measure|partition|hierarchy"
+                            r"|relationship|kpi|annotation)\b", s) or \
+                        re.match(r"^\w+\s*:", s) and not out:
+                    break
+                if out and re.match(r"^(formatString|lineageTag|displayFolder"
+                                    r"|description|isHidden|dataCategory"
+                                    r"|annotation|changedProperty)\b", s):
+                    break
+            out.append(s)
             i += 1
-        return " ".join(out), i + 1
+        return " ".join(x for x in out if x), i
 
     def _dax_measure(self, name: str, dax: str, table: str) -> Metric | None:
         """Translate the common DAX measure shapes (the reference covers
@@ -247,6 +267,16 @@ class TmdlAdapter(BaseAdapter):
         mname = _sanitize(name)
         label = name if name != mname else None
         dax = dax.strip()
+        # single VAR x = <expr> RETURN <body>: inline the var so simple
+        # shapes like `VAR ly = [Sales (LY)] RETURN DIVIDE([Sales]-ly, ly)`
+        # translate as measure formulas instead of importing opaque
+        vm = re.match(r"^\s*VAR\s+(\w+)\s*=\s*(.+?)\s+RETURN\s+(.+)$",
+                      dax, re.I | re.S)
+        if vm and not re.search(r"\bVAR\b", vm.group(3), re.I):
+            var_name, var_expr, body = vm.groups()
+            if "(" not in var_expr or _BARE_MEASURE_RE.match(var_expr.strip()):
+                dax = re.sub(rf"\b{re.escape(var_name)}\b",
+                             f"({var_expr.strip()})", body.strip())
         simple = self._dax_simple_agg(dax)
         if simple is not None:
             agg, sql = simple
@@ -279,6 +309,22 @@ class TmdlAdapter(BaseAdapter):
             if body is not None:
                 args = _split_dax_args(body)
                 inner = self._dax_simple_agg(args[0]) if args else None
+                # CALCULATE(base, DATESYTD/QTD/MTD(...)) -> grain-to-date
+                # cumulative over the base
+                if len(args) == 2:
+                    dm = re.match(r"^\s*DATES(YTD|QTD|MTD)\s*\(", args[1], re.I)
+                    if dm:
+                        grain = {"ytd": "year", "qtd": "quarter",
+                                 "mtd": "month"}[dm.group(1).lower()]
+                        bm = _BARE_MEASURE_RE.match(args[0].strip())
+                        if bm:
+                            return Metric(name=mname, type="cumulative",
+                                          label=label, grain_to_date=grain,
+                                          base_metric=_sanitize(bm.group(1)))
+                        if inner is not None:
+                            return Metric(name=mname, type="cumulative",
+                                          label=label, grain_to_date=grain,
+                                          agg=inner[0], sql=inner[1])
                 # CALCULATE(base, <time shift>) -> native prior-period
                 # comparison: SAMEPERIODLASTYEAR / PREVIOUSx / DATEADD
                 # return the prior VALUE (calculation="prior")
@@ -333,6 +379,16 @@ class TmdlAdapter(BaseAdapter):
                         return Metric(
                             name=mname, label=label, sql_is_complete=True,
                             sql=f"CAST({n_sql} AS DOUBLE) / NULLIF({d_sql}, 0)",
+                        )
+                    # both args pure measure-ref arithmetic (the shape a
+                    # VAR/RETURN growth formula inlines to):
+                    # DIVIDE([a]-[b], [b]) -> derived safe-divide formula
+                    nf, df_ = _measure_formula(num), _measure_formula(den)
+                    if nf is not None and df_ is not None:
+                        return Metric(
+                            name=mname, type="derived", label=label,
+                            expr=(f"CAST(({nf}) AS DOUBLE)"
+                                  f" / NULLIF(CAST(({df_}) AS DOUBLE), 0)"),
                         )
         # pure measure-ref arithmetic: [a] - [b], ([a]-[b])/[b], ...
         if "[" in dax and not _REF_RE.search(dax):
@@ -503,3 +559,14 @@ def _dax_time_shift(arg: str) -> tuple[str, str | None] | None:
             return _DATEADD_UNIT_MAP[unit], None
         return "prior_period", f"{n} {unit}"
     return None
+
+
+def _measure_formula(expr: str) -> str | None:
+    """Sanitized formula when ``expr`` is pure measure-ref arithmetic
+    (``[a] - [b]``, parens, numbers); None otherwise."""
+    expr = expr.strip()
+    if "[" not in expr or _REF_RE.search(expr):
+        return None
+    if not re.fullmatch(r"[\s\[\]\w.+\-*/()]+", expr):
+        return None
+    return re.sub(r"\[([^\]]+)\]", lambda m: _sanitize(m.group(1)), expr)

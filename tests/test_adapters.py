@@ -4539,3 +4539,55 @@ def test_window_metrics_with_inline_agg_execute(spark):
             for r in rows]
     assert vals == [None, 10.0, 30.0]
     con.close()
+
+
+def test_tmdl_unfenced_multiline_var_return_datesytd(spark):
+    """Unfenced multiline DAX stops at property lines instead of
+    swallowing following measures; single VAR/RETURN formulas inline;
+    CALCULATE(base, DATESYTD(...)) maps to grain-to-date cumulative."""
+    import tempfile
+
+    from sidemantic_spark.adapters import TmdlAdapter
+
+    tmdl = """table Sales2
+	column Id
+		dataType: int64
+		isKey
+	column Amount
+		dataType: double
+	measure 'Total Sales' = SUM('Sales2'[Amount])
+	measure Margin =
+		SUMX (
+		    Sales2,
+		    Sales2[Amount]
+		        * ( Sales2[Amount] - Sales2[Amount] )
+		)
+		formatString: $ #,##0
+		lineageTag: abc
+	measure 'Sales Growth' =
+		var ly =[Sales LY] return DIVIDE( [Total Sales]- ly, ly )
+		formatString: 0.00%
+	measure 'Sales LY' = CALCULATE([Total Sales], SAMEPERIODLASTYEAR('Dates'[Date]))
+	measure 'Value YTD' = CALCULATE([Total Sales], DATESYTD('Dates'[Date]))
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".tmdl", delete=False) as fh:
+        fh.write(tmdl)
+        path = fh.name
+    layer = SparkSemanticLayer(spark)
+    TmdlAdapter().parse_file(layer, path)
+    m = layer.graph.models["sales2"]
+    # the unfenced SUMX parsed as its own aggregate, props excluded,
+    # and the following measures were NOT swallowed
+    margin = m.metric("margin")
+    assert margin.agg == "sum"
+    assert "formatString" not in (margin.sql or "")
+    assert m.metric("sales_ly") is not None
+    assert m.metric("value_ytd") is not None
+    # VAR/RETURN inlined into a derived safe-divide formula
+    growth = m.metric("sales_growth")
+    assert growth.type == "derived"
+    assert "sales_ly" in growth.expr and "NULLIF" in growth.expr
+    # DATESYTD -> grain-to-date cumulative
+    ytd = m.metric("value_ytd")
+    assert ytd.type == "cumulative" and ytd.grain_to_date == "year"
+    assert ytd.base_metric == "total_sales"
