@@ -1770,7 +1770,31 @@ class SqlGenerator:
             conds += [f"{alias}.{o} <=> i.{o}" for o in other_outs]
             sql += f"\nLEFT JOIN __inner {alias} ON " + " AND ".join(conds)
         if r.having:
-            raise QueryCompileError("HAVING on window metrics not yet supported")
+            # window metrics are per-output-row values, so HAVING becomes
+            # a plain filter over the window select's output columns
+            # (evaluated in a wrapping stage — Spark pipelines it, no
+            # extra exchange)
+            out_of: dict[tuple[str, str], str] = {}
+            for rm in r.metrics:
+                out_of[(rm.model, rm.metric.name)] = rm.out
+            for rd in r.dims:
+                out_of[(rd.model, rd.name)] = rd.out
+            known = set(self.graph.models)
+
+            def sub(m: str, fld: str, g: str | None) -> str:
+                out = out_of.get((m, fld))
+                if out is None:
+                    raise QueryCompileError(
+                        f"HAVING over window metrics can only reference "
+                        f"selected fields; {m}.{fld} is not in the select"
+                    )
+                return _date_trunc(g, out) if g else out
+
+            conds = [replace_refs(h, known, sub) for h in r.having]
+            sql = (
+                "SELECT * FROM (\n" + sql + "\n)\nWHERE "
+                + "\n  AND ".join(f"({c})" for c in conds)
+            )
         sql += self._order_limit(r)
         header = self._instrumentation(r, "window")
         return f"{header}\nWITH __inner AS (\n{inner_sql}\n)\n{sql}"

@@ -763,3 +763,31 @@ def test_window_expression_passthrough(layer, duck):
         FROM inner_q
         """,
     )
+
+
+def test_having_on_window_metrics(layer, duck):
+    """HAVING over a window/comparison metric filters the window
+    select's output rows (previously raised not-supported)."""
+    from tests.conftest import assert_df_matches_oracle
+
+    df = layer.query(
+        metrics=["orders.revenue", "orders.revenue_mom"],
+        dimensions=["orders.order_date__month AS order_month"],
+        # the filter classifier routes metric predicates to HAVING
+        filters=["orders.revenue_mom > 0"],
+        order_by=["order_month"],
+    )
+    assert_df_matches_oracle(df, duck, """
+        WITH inner_q AS (
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+        ), w AS (
+            SELECT i.order_month, CAST(i.revenue AS DOUBLE) AS revenue,
+                   CAST(i.revenue - p.revenue AS DOUBLE)
+                     / NULLIF(CAST(p.revenue AS DOUBLE), 0) * 100 AS revenue_mom
+            FROM inner_q i
+            LEFT JOIN inner_q p ON p.order_month = i.order_month - INTERVAL 1 MONTH
+        )
+        SELECT * FROM w WHERE revenue_mom > 0 ORDER BY order_month
+    """)
