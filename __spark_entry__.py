@@ -1372,6 +1372,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             metrics=["orders.revenue", "orders.revenue_growth_mom"],
             dimensions=["orders.order_date__month AS order_month"],
         ),
+        # HAVING over a comparison metric: the window plan applies the
+        # predicate as a filter stage over its output columns
+        "having_on_window_metric": _q(
+            metrics=["orders.revenue", "orders.revenue_mom"],
+            dimensions=["orders.order_date__month AS order_month"],
+            filters=["orders.revenue_mom > 0"],
+        ),
         # §2.5 raw window_expression passthrough
         "window_expr_peak": _q(
             metrics=["orders.revenue", "orders.revenue_peak_to_date"],
@@ -2090,6 +2097,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i.revenue - p.revenue AS DOUBLE) AS revenue_growth_mom
             FROM inner_q i
             LEFT JOIN inner_q p ON p.order_month = i.order_month - INTERVAL 1 MONTH
+        """,
+        "having_on_window_metric": """
+            WITH inner_q AS (
+                SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1
+            ), w AS (
+                SELECT i.order_month, CAST(i.revenue AS DOUBLE) AS revenue,
+                       CAST(i.revenue - p.revenue AS DOUBLE)
+                         / NULLIF(CAST(p.revenue AS DOUBLE), 0) * 100 AS revenue_mom
+                FROM inner_q i
+                LEFT JOIN inner_q p ON p.order_month = i.order_month - INTERVAL 1 MONTH
+            )
+            SELECT * FROM w WHERE revenue_mom > 0
         """,
         "yoy_difference": """
             WITH inner_q AS (
