@@ -68,6 +68,12 @@ def try_route(gen, r) -> str | None:
     """Serve the resolved query from a rollup if one matches."""
     if r.spec.ungrouped or r.spec.with_totals:
         return None
+    if r.spec.timezone:
+        # rollups are materialized with UTC-truncated buckets; serving a
+        # timezone query from one would silently return UTC day/month
+        # boundaries — bucket live in the requested zone instead
+        # (ref tests/dates/test_query_timezone.py:63-120)
+        return None
     if r.hops:
         return _try_join_route(gen, r)
     model = gen.graph.get_model(r.base)

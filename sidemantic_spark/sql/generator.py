@@ -348,6 +348,7 @@ class SqlGenerator:
             expr = dim.window if dim.window else dim.expr
             if grain:
                 if spec.timezone and dim.type == "time":
+                    _validate_timezone(spec.timezone)
                     expr = f"FROM_UTC_TIMESTAMP({expr}, '{spec.timezone}')"
                 expr = _date_trunc(grain, expr)
             out = alias or (f"{dim_name}__{grain}" if grain else dim_name)
@@ -2326,6 +2327,18 @@ FROM __per_entity"""
 # ----------------------------------------------------------------------
 # helpers
 # ----------------------------------------------------------------------
+
+_TZ_RE = re.compile(r"^[A-Za-z][A-Za-z0-9_+\-/]*$")
+
+
+def _validate_timezone(tz: str) -> None:
+    """The timezone embeds into a SQL string literal, so anything
+    outside the IANA name alphabet (letters, digits, ``_+-/``) is an
+    injection vector and is rejected (ref
+    tests/dates/test_query_timezone.py:123)."""
+    if not _TZ_RE.fullmatch(tz):
+        raise QueryCompileError(f"Invalid timezone {tz!r}")
+
 
 def _date_trunc(grain: str, expr: str) -> str:
     return f"DATE_TRUNC('{grain}', {expr})"

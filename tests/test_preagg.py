@@ -681,3 +681,34 @@ def test_window_total_metric_not_routed(layer):
     assert "used_preagg" in layer.compile(
         metrics=["orders.revenue"], dimensions=["orders.status"]
     )
+
+
+def test_timezone_bypasses_preagg_routing(spark, tmp_path):
+    """Rollups are materialized with UTC-truncated buckets, so a
+    timezone query must bucket live in the requested zone instead of
+    silently returning UTC day boundaries (reference
+    tests/dates/test_query_timezone.py:63-120). Invalid timezone
+    strings are rejected before they reach a SQL literal."""
+    import pytest as _pytest
+
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.preagg.matcher import PreAggregation
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    layer = build_layer(spark, "/root/testdata/sf0.001")
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [PreAggregation(
+        name="tzday", measures=["revenue"], dimensions=[],
+        time_dimension="order_date", granularity="day")]
+    layer.preaggs.base_path = str(tmp_path)
+    layer.preaggs.materialize("orders")
+    kw = dict(metrics=["orders.revenue"],
+              dimensions=["orders.order_date__day"])
+    assert "used_preagg" in layer.compile(**kw)
+    tz = layer.compile(timezone="America/New_York", **kw)
+    assert "used_preagg" not in tz
+    assert "FROM_UTC_TIMESTAMP" in tz
+    with _pytest.raises(QueryCompileError, match="Invalid timezone"):
+        layer.compile(timezone="UTC'; DROP TABLE x; --", **kw)
+    with _pytest.raises(QueryCompileError, match="Invalid timezone"):
+        layer.compile(timezone="America/New York", **kw)
