@@ -14,6 +14,7 @@ at 100 TB because the filter prunes at the source.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 
@@ -22,6 +23,11 @@ class SecurityError(Exception):
 
 
 _env = None
+_rf_env = None
+
+# author quotes hugging a placeholder ('{{ user.x }}') are stripped so
+# the finalize-quoted literal is not double-wrapped
+_HUGGING_QUOTES = re.compile(r"(['\"])\s*(\{\{.*?\}\})\s*\1")
 
 
 def _jinja_env():
@@ -31,6 +37,58 @@ def _jinja_env():
 
         _env = Environment(autoescape=False, undefined=StrictUndefined)
     return _env
+
+
+def _sql_literal(value):
+    """{{ }} output -> complete, type-correct SQL literal: strings are
+    single-quoted with embedded quotes doubled, so an attribute value
+    can NEVER break out of its predicate (``tenant_id = {{ user.t }}``
+    with ``t = "1 OR 1=1"`` renders ``tenant_id = '1 OR 1=1'``).
+    Unsupported types raise so an object's attacker-controlled repr
+    never reaches SQL (ref ``core/security.py:154-173``)."""
+    from jinja2 import Undefined
+
+    if isinstance(value, Undefined):
+        str(value)  # StrictUndefined: force the UndefinedError (deny)
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return str(value)
+    if value is None:
+        return "NULL"
+    if isinstance(value, str):
+        return "'" + value.replace("'", "''") + "'"
+    raise TypeError(
+        f"unsupported user-attribute type for a row filter: {type(value).__name__}"
+    )
+
+
+def _row_filter_env():
+    """Dedicated environment whose ``finalize`` converts every ``{{ }}``
+    output to a SQL literal; control flow (``{% if %}``, comparisons)
+    still sees the raw Python values (ref ``core/security.py:176-196``)."""
+    global _rf_env
+    if _rf_env is None:
+        from jinja2 import Environment, StrictUndefined
+
+        _rf_env = Environment(autoescape=False, undefined=StrictUndefined,
+                              finalize=_sql_literal)
+    return _rf_env
+
+
+def render_row_filter(template: str, user: dict | None, *, ctx: str) -> str:
+    """Render a row-filter template with every interpolated attribute
+    emitted as a safe SQL literal (both the quoted and unquoted author
+    forms)."""
+    from jinja2 import TemplateError
+
+    try:
+        normalized = _HUGGING_QUOTES.sub(r"\2", template)
+        return _row_filter_env().from_string(normalized).render(user=user or {})
+    except TypeError as exc:
+        raise SecurityError(f"{ctx}: {exc}") from exc
+    except TemplateError as exc:
+        raise SecurityError(f"{ctx}: template error: {exc}") from exc
 
 
 @dataclass
@@ -51,7 +109,7 @@ class SecurityPolicy:
 
     def rendered_row_filters(self, model_name: str, user: dict | None) -> list[str]:
         return [
-            render_template(f, user, ctx=f"model {model_name!r} row filter")
+            render_row_filter(f, user, ctx=f"model {model_name!r} row filter")
             for f in self.row_filters
         ]
 

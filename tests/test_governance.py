@@ -447,3 +447,57 @@ def test_transport_gate_recognizes_second_cte(spark):
     assert unrecognized_sources(sql, layer) == []
     assert unrecognized_sources(
         "SELECT * FROM raw_table", layer) == ["raw_table"]
+
+
+def test_row_filter_values_render_as_safe_literals():
+    """User attributes interpolated into row filters render as complete
+    SQL literals in BOTH the quoted and unquoted author forms, so a
+    malicious attribute value cannot widen the predicate (reference
+    core/security.py:154-240, test_security_advisor_regressions)."""
+    import pytest as _pytest
+
+    from sidemantic_spark.core.security import SecurityError, render_row_filter
+
+    r = render_row_filter
+    # unquoted form: string still renders quoted, never a boolean breakout
+    assert r("tenant_id = {{ user.tenant_id }}", {"tenant_id": "1 OR 1=1"},
+             ctx="t") == "tenant_id = '1 OR 1=1'"
+    # quoted form: breakout attempt stays inside one escaped literal
+    assert r("email = '{{ user.email }}'", {"email": "x' OR '1'='1"},
+             ctx="t") == "email = 'x'' OR ''1''=''1'"
+    assert r("region = '{{ user.region }}'", {"region": "US"},
+             ctx="t") == "region = 'US'"
+    # typed literals
+    assert r("n = {{ user.n }}", {"n": 42}, ctx="t") == "n = 42"
+    assert r("b = {{ user.b }}", {"b": True}, ctx="t") == "b = TRUE"
+    assert r("x = {{ user.x }}", {"x": None}, ctx="t") == "x = NULL"
+    # unsupported attribute types are rejected, not repr'd into SQL
+    with _pytest.raises(SecurityError):
+        r("x = {{ user.x }}", {"x": object()}, ctx="t")
+    # missing attribute raises (deny) instead of silently widening
+    with _pytest.raises(SecurityError):
+        r("t = {{ user.missing }}", {}, ctx="t")
+
+
+def test_row_filter_injection_enforced_end_to_end(spark):
+    """A malicious attribute value cannot widen a scoped query."""
+    from sidemantic_spark.core.security import SecurityPolicy
+    from sidemantic_spark.models.tpch import build_layer
+
+    layer = build_layer(spark, "/root/testdata/sf0.001")
+    orders = layer.graph.get_model("orders")
+    old = orders.security
+    orders.security = SecurityPolicy(
+        row_filters=["o_orderstatus = {{ user.status }}"])
+    try:
+        legit = layer.query(metrics=["orders.order_count"],
+                            user={"status": "F"}).collect()[0][0]
+        hostile = layer.query(metrics=["orders.order_count"],
+                              user={"status": "F' OR '1'='1"}).collect()[0][0]
+        total = layer.query(metrics=["orders.order_count"],
+                            user={"status": "F"},
+                            filters=[]).collect()[0][0]
+        assert legit > 0
+        assert hostile == 0  # matches no real status, widens nothing
+    finally:
+        orders.security = old
