@@ -74,8 +74,22 @@ def try_route(gen, r) -> str | None:
         # boundaries — bucket live in the requested zone instead
         # (ref tests/dates/test_query_timezone.py:63-120)
         return None
+    # rollups are materialized WITHOUT user context: static
+    # model.row_filters are baked in at materialization (manager.py:166),
+    # but a user-dependent SecurityPolicy cannot be — serving a scoped
+    # query from an unscoped rollup would leak other tenants' aggregates,
+    # and the routed plan would also skip the access gate. The join
+    # route's REMOTE side scans the raw source and applies its policy
+    # live (:297-301), so only the rollup-owning fact model disqualifies
+    # (ref tests/core/test_security_enforcement.py:239)
     if r.hops:
+        fact_models = {rm.model for rm in r.metrics}
+        if any(getattr(gen.graph.get_model(m), "security", None) is not None
+               for m in fact_models):
+            return None
         return _try_join_route(gen, r)
+    if getattr(gen.graph.get_model(r.base), "security", None) is not None:
+        return None
     model = gen.graph.get_model(r.base)
     if not getattr(model, "pre_aggregations", None):
         return None

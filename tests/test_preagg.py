@@ -712,3 +712,37 @@ def test_timezone_bypasses_preagg_routing(spark, tmp_path):
         layer.compile(timezone="UTC'; DROP TABLE x; --", **kw)
     with _pytest.raises(QueryCompileError, match="Invalid timezone"):
         layer.compile(timezone="America/New York", **kw)
+
+
+def test_security_policy_bypasses_preagg_routing(spark, tmp_path):
+    """A rollup is materialized without user context, so a query scoped
+    by a SecurityPolicy must not be served from it (it would leak
+    unscoped aggregates and skip the access gate); static
+    model.row_filters ARE baked in at materialization and stay
+    routable (reference tests/core/test_security_enforcement.py:239)."""
+    from sidemantic_spark.core.security import SecurityPolicy
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    layer = build_layer(spark, "/root/testdata/sf0.001")
+    orders = layer.graph.get_model("orders")
+    old_sec, old_rf = orders.security, list(orders.row_filters)
+    orders.pre_aggregations = [PreAggregation(
+        name="rlsday", measures=["revenue"], dimensions=["status"],
+        time_dimension="order_date", granularity="day")]
+    layer.preaggs.base_path = str(tmp_path)
+    layer.preaggs.materialize("orders")
+    kw = dict(metrics=["orders.revenue"], dimensions=["orders.status"])
+    try:
+        assert "used_preagg" in layer.compile(**kw)
+        orders.security = SecurityPolicy(
+            row_filters=["o_orderstatus = {{ user.status }}"])
+        scoped = layer.compile(user={"status": "F"}, **kw)
+        assert "used_preagg" not in scoped
+        # and the scoped result is actually filtered
+        rows = layer.query(user={"status": "F"}, **kw).collect()
+        assert {r["status"] for r in rows} == {"F"}
+    finally:
+        orders.security = old_sec
+        orders.row_filters = old_rf
+        orders.pre_aggregations = []
