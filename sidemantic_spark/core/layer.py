@@ -266,6 +266,7 @@ class SparkSemanticLayer:
             return self.compile(**kwargs)
         self.graph.resolve_inheritance()
         self._warn_deprecations(metrics or [], dimensions or [])
+        self.generator.enforce_visibility = self.enforce_visibility
         if self.enforce_visibility:
             from sidemantic_spark.core.security import enforce_field_visibility
 

@@ -125,6 +125,10 @@ class SqlGenerator:
         self._cache: dict = {}
         self.use_preaggs = True
         self.preagg_strict = False
+        # set by the owning layer: visibility enforcement must also
+        # cover AUTO-INCLUDED fields (default time dimensions), which
+        # the layer's pre-check over user-provided refs cannot see
+        self.enforce_visibility = False
         # fan-out strategy (reference preference hierarchy,
         # sql/generator.py:3056-3390):
         #   "auto"      — symmetric aggregates whenever every metric
@@ -304,6 +308,16 @@ class SqlGenerator:
             if not model.default_time_dimension:
                 continue
             d = model.dimension(model.default_time_dimension)
+            if self.enforce_visibility and d is not None and not d.public:
+                # the auto-include would leak a hidden field's values;
+                # reject like an explicit reference would be rejected
+                # (ref tests/core/test_security_enforcement.py:219)
+                from sidemantic_spark.core.security import SecurityError
+
+                raise SecurityError(
+                    f"dimension {model_name}.{model.default_time_dimension} "
+                    "is not public (auto-included default_time_dimension)"
+                )
             grain = model.default_grain or (d.granularity if d else None) or "day"
             added.append(f"{model_name}.{model.default_time_dimension}__{grain}")
         if not added:

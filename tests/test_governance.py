@@ -501,3 +501,34 @@ def test_row_filter_injection_enforced_end_to_end(spark):
         assert hostile == 0  # matches no real status, widens nothing
     finally:
         orders.security = old
+
+
+def test_hidden_default_time_dimension_rejected(spark):
+    """A non-public default_time_dimension must not leak via auto-
+    include: the query is rejected just like an explicit reference
+    (reference tests/core/test_security_enforcement.py:219)."""
+    import duckdb as _duck
+    import pytest as _pytest
+
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.core.security import SecurityError
+
+    con = _duck.connect()
+    con.execute("CREATE TABLE gv_hv AS SELECT 1 id, TIMESTAMP '2024-01-01' ts, 5 amt")
+    spark.createDataFrame(con.table("gv_hv").arrow().to_pandas()) \
+        .createOrReplaceTempView("gv_hv")
+    layer = SparkSemanticLayer(spark)
+    layer.enforce_visibility = True
+    layer.add_model(Model(
+        name="gv_hv", table="gv_hv", primary_key="id",
+        dimensions=[Dimension(name="ts", type="time", granularity="day",
+                              public=False)],
+        metrics=[Metric(name="total", agg="sum", sql="amt")],
+        default_time_dimension="ts",
+    ))
+    with _pytest.raises(SecurityError, match="not public"):
+        layer.compile(metrics=["gv_hv.total"])
+    # enforcement off: auto-include remains available
+    layer.enforce_visibility = False
+    assert "ts__day" in layer.compile(metrics=["gv_hv.total"])
+    con.close()
