@@ -161,6 +161,10 @@ class SqlGenerator:
             self.use_preaggs,
             self.preagg_strict,
             self.fanout_strategy,
+            # the auto-include visibility check runs inside _generate, so
+            # a cache hit from an enforcement-off compile must not serve
+            # an enforcement-on call
+            self.enforce_visibility,
             tuple(spec.metrics),
             tuple(spec.dimensions),
             tuple(spec.filters),

@@ -532,3 +532,34 @@ def test_hidden_default_time_dimension_rejected(spark):
     layer.enforce_visibility = False
     assert "ts__day" in layer.compile(metrics=["gv_hv.total"])
     con.close()
+
+
+def test_visibility_toggle_not_served_from_compile_cache(spark):
+    """A compile cached under enforcement-off must not serve an
+    enforcement-on call (the auto-include visibility check runs inside
+    the generator, after the cache lookup)."""
+    import duckdb as _duck
+    import pytest as _pytest
+
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.core.security import SecurityError
+
+    con = _duck.connect()
+    con.execute("CREATE TABLE gv_cc AS SELECT 1 id, TIMESTAMP '2024-01-01' ts, 5 amt")
+    spark.createDataFrame(con.table("gv_cc").arrow().to_pandas()) \
+        .createOrReplaceTempView("gv_cc")
+    layer = SparkSemanticLayer(spark)
+    layer.enforce_visibility = False
+    layer.add_model(Model(
+        name="gv_cc", table="gv_cc", primary_key="id",
+        dimensions=[Dimension(name="ts", type="time", granularity="day",
+                              public=False)],
+        metrics=[Metric(name="total", agg="sum", sql="amt")],
+        default_time_dimension="ts",
+    ))
+    # warm the cache with enforcement off
+    assert "ts__day" in layer.compile(metrics=["gv_cc.total"])
+    layer.enforce_visibility = True
+    with _pytest.raises(SecurityError, match="not public"):
+        layer.compile(metrics=["gv_cc.total"])
+    con.close()
