@@ -27,7 +27,37 @@ _rf_env = None
 
 # author quotes hugging a placeholder ('{{ user.x }}') are stripped so
 # the finalize-quoted literal is not double-wrapped
-_HUGGING_QUOTES = re.compile(r"(['\"])\s*(\{\{.*?\}\})\s*\1")
+# [^{}] keeps one match from spanning "}} ... {{" across TWO
+# placeholders (a greedy span would strip the quotes around a
+# multi-placeholder literal and skip the CONCAT rewrite below)
+_HUGGING_QUOTES = re.compile(r"(['\"])\s*(\{\{[^{}]*\}\})\s*\1")
+
+# a placeholder embedded in a LARGER quoted literal ("region LIKE
+# '{{ user.region }}%'") cannot just have its quotes stripped — the
+# literal is rewritten to CONCAT of safe parts, the placeholder emitted
+# bare so finalize still renders the value as a complete quoted literal
+# (round-5 ADVICE: the previous behavior emitted malformed SQL)
+_QUOTED_SINGLE = re.compile(r"'((?:[^']|'')*)'")
+_QUOTED_DOUBLE = re.compile(r'"((?:[^"]|"")*)"')
+_PLACEHOLDER_RE = re.compile(r"\{\{[^{}]*\}\}")
+
+
+def _explode_quoted_literal(m: re.Match) -> str:
+    q, content = m.group(0)[0], m.group(1)
+    if not _PLACEHOLDER_RE.search(content):
+        return m.group(0)
+    parts: list[str] = []
+    pos = 0
+    for pm in _PLACEHOLDER_RE.finditer(content):
+        if pm.start() > pos:
+            parts.append(q + content[pos:pm.start()] + q)
+        parts.append(pm.group(0))
+        pos = pm.end()
+    if pos < len(content):
+        parts.append(q + content[pos:] + q)
+    if len(parts) == 1:
+        return parts[0]
+    return "CONCAT(" + ", ".join(parts) + ")"
 
 
 def _jinja_env():
@@ -84,6 +114,8 @@ def render_row_filter(template: str, user: dict | None, *, ctx: str) -> str:
 
     try:
         normalized = _HUGGING_QUOTES.sub(r"\2", template)
+        normalized = _QUOTED_SINGLE.sub(_explode_quoted_literal, normalized)
+        normalized = _QUOTED_DOUBLE.sub(_explode_quoted_literal, normalized)
         return _row_filter_env().from_string(normalized).render(user=user or {})
     except TypeError as exc:
         raise SecurityError(f"{ctx}: {exc}") from exc

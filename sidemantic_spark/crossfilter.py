@@ -200,18 +200,33 @@ class CrossfilterSession:
 
     # -- filters ------------------------------------------------------
 
+    def _dim_ref(self, field: str) -> str:
+        """Resolve a client-supplied filter field to the session's own
+        dimension reference.  Unknown fields are REJECTED rather than
+        interpolated verbatim: on the non-rollup fallback path these
+        strings reach ``layer.query(filters=[...])`` as raw SQL, so a
+        passthrough would let an HTTP client inject arbitrary WHERE
+        clauses (round-5 ADVICE, crossfilter.py:210)."""
+        refs = self.dim_refs()
+        ref = refs.get(field)
+        if ref is None:
+            raise CrossfilterError(
+                f"unknown crossfilter field {field!r}; expected one of "
+                f"{sorted(refs)}"
+            )
+        return ref
+
     def _semantic_filters(self, filters: list[dict]) -> list[str]:
         """Pre-aggregation filters as semantic filter strings (source
         fallback path + the response's filter_expressions)."""
-        refs = self.dim_refs()
         out = []
         for f in filters:
             if f["type"] == "dimension":
-                ref = refs.get(f["field"], f["field"])
+                ref = self._dim_ref(f["field"])
                 vals = ", ".join(_sql_quote(v) for v in f["values"])
                 out.append(f"{ref} IN ({vals})")
             elif f["type"] == "timeRange":
-                ref = refs.get(f["field"], f["field"])
+                ref = self._dim_ref(f["field"])
                 if f.get("start") is not None:
                     out.append(f"{ref} >= {_sql_quote(f['start'])}")
                 if f.get("end") is not None:
@@ -318,6 +333,15 @@ class CrossfilterSession:
             timings[name] = round((time.perf_counter() - t0) * 1000, 2)
 
         sel = [_norm_filter(f) for f in (filters or [])]
+        metric_aliases = set(self.metric_aliases())
+        for f in sel:
+            if f["type"] in ("dimension", "timeRange"):
+                self._dim_ref(f["field"])  # raises on unknown fields
+            elif f["field"] not in metric_aliases:
+                raise CrossfilterError(
+                    f"unknown metricRange field {f['field']!r}; expected "
+                    f"one of {sorted(metric_aliases)}"
+                )
         ranges = [f for f in sel if f["type"] == "metricRange"]
 
         def minus(ignore: str) -> list[dict]:

@@ -493,8 +493,15 @@ class SqlGenerator:
         # internal marker: "<metric>__base" resolves a window-typed
         # metric carrying its own agg+sql to a plain-aggregate shadow —
         # the window plan's inner query computes the base this way
-        # without re-routing to the window plan
+        # without re-routing to the window plan.  A GENUINE metric whose
+        # name happens to end in "__base" wins: the graph is checked
+        # first, and only unresolvable refs get marker treatment
+        # (round-5 ADVICE: the suffix-strip used to shadow real names).
         if ref.endswith("__base"):
+            try:
+                return self._lookup_metric_plain(ref)
+            except QueryCompileError:
+                pass
             model_name, metric = self._lookup_metric(ref[: -len("__base")])
             if metric.type in ("cumulative", "time_comparison") and metric.agg:
                 return model_name, Metric(
@@ -502,6 +509,9 @@ class SqlGenerator:
                     sql=metric.sql, filters=list(metric.filters),
                 )
             return model_name, metric
+        return self._lookup_metric_plain(ref)
+
+    def _lookup_metric_plain(self, ref: str) -> tuple[str, Metric]:
         # graph-level metrics may carry dotted namespace names
         # (e.g. "finance.revenue_per_order") that shadow no model
         if ref in self.graph.metrics:
@@ -992,9 +1002,21 @@ class SqlGenerator:
         )
 
     def _rewrite_dedup_filter(self, f: str, r: Resolved) -> str:
-        """model.field -> bare projected column for the dedup scope."""
+        """model.field -> projected column for the dedup scope.
+
+        Fact-model fields referenced by metric filters are re-attached
+        in ``_dedup_grouped_sql`` under a reserved ``__flt_`` alias so
+        they can never collide with a dimension output of the same name
+        (a bare ``status`` selected both as a dim and as a re-attached
+        filter column would make the outer GROUP BY ambiguous)."""
         known = set(self.graph.models)
-        return replace_refs(f, known, lambda m, fld, g: (_date_trunc(g, fld) if g else fld))
+        fact = r.metrics[0].model
+
+        def sub(m, fld, g):
+            col = f"__flt_{fld}" if m == fact else fld
+            return _date_trunc(g, col) if g else col
+
+        return replace_refs(f, known, sub)
 
     # ------------------------------------------------------------------
     # grouped plan (incl. fan-out dedup)
@@ -1174,14 +1196,19 @@ class SqlGenerator:
             if comp.sql and comp_out not in wide_seen:
                 wide_seen.add(comp_out)
                 wide.append(f"__f.{comp_out}_raw AS {comp_out}_raw")
+        # Metric-filter columns re-attach under a reserved __flt_ alias:
+        # the bare name may already be projected as a dimension output
+        # of ANOTHER model (or of the fact itself), and a duplicate
+        # column in __dedup makes the outer GROUP BY ambiguous.
+        # _rewrite_dedup_filter rewrites fact refs to the same alias.
         filter_cols = set()
         for rm in r.metrics:
             for _o, comp in self._expand_components(rm):
                 for flt in comp.filters:
                     for m, fld, _g in find_refs(flt, set(self.graph.models)):
                         if m == fact:
-                            if fld not in filter_cols and fld not in wide_seen:
-                                wide.append(f"__f.{fld} AS {fld}")
+                            if fld not in filter_cols:
+                                wide.append(f"__f.{fld} AS __flt_{fld}")
                             filter_cols.add(fld)
                         else:
                             raise QueryCompileError(

@@ -59,6 +59,32 @@ def test_unfiltered_matches_direct_query(session, layer):
     assert out["total_groups"] == len(direct)
 
 
+def test_unknown_filter_field_rejected(session, layer):
+    """Round-5 ADVICE hardening: a filter whose field is not a known
+    dim/metric alias must raise, never be interpolated verbatim into
+    the generated WHERE clause (SQL injection on the source-fallback
+    path)."""
+    for bad in (
+        {"type": "dimension", "field": "1=1) OR (1=1", "values": ["x"]},
+        {"type": "timeRange", "field": "status'; DROP TABLE t; --",
+         "start": "1990-01-01"},
+        {"type": "metricRange", "field": "not_a_metric", "min": 0},
+    ):
+        with pytest.raises(CrossfilterError, match="unknown"):
+            session.query(filters=[bad])
+    # the source-fallback path (no rollup) must reject too
+    src = CrossfilterSession(
+        layer,
+        metrics=["orders.revenue"],
+        dimensions=["orders.status"],
+        interaction_preaggregations=False,
+    )
+    with pytest.raises(CrossfilterError, match="unknown"):
+        src.query(filters=[
+            {"type": "dimension", "field": "x) OR (1=1", "values": ["v"]}
+        ])
+
+
 def test_dimension_filter_and_kpis(session, layer):
     out = session.query([{"type": "dimension", "field": "status", "values": ["O"]}])
     assert all(r["status"] == "O" for r in out["rows"])

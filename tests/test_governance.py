@@ -479,6 +479,51 @@ def test_row_filter_values_render_as_safe_literals():
         r("t = {{ user.missing }}", {}, ctx="t")
 
 
+def test_row_filter_placeholder_inside_partial_quoted_literal():
+    """Round-5 ADVICE: a placeholder embedded in a LARGER quoted literal
+    (LIKE/prefix templates) is rewritten to CONCAT of safe parts instead
+    of rendering malformed SQL — and the value still cannot break out."""
+    from sidemantic_spark.core.security import render_row_filter
+
+    r = render_row_filter
+    assert r("region LIKE '{{ user.region }}%'", {"region": "EMEA"},
+             ctx="t") == "region LIKE CONCAT('EMEA', '%')"
+    assert r("path LIKE '/tenants/{{ user.tid }}/%'", {"tid": "t1"},
+             ctx="t") == "path LIKE CONCAT('/tenants/', 't1', '/%')"
+    # two placeholders in one literal
+    assert r("k = '{{ user.a }}-{{ user.b }}'", {"a": "x", "b": "y"},
+             ctx="t") == "k = CONCAT('x', '-', 'y')"
+    # breakout attempt stays one escaped literal inside the CONCAT
+    assert r("region LIKE '{{ user.region }}%'",
+             {"region": "x' OR '1'='1"},
+             ctx="t") == "region LIKE CONCAT('x'' OR ''1''=''1', '%')"
+    # exact-span quoted form unchanged by the new rewrite
+    assert r("region = '{{ user.region }}'", {"region": "US"},
+             ctx="t") == "region = 'US'"
+
+
+def test_row_filter_like_prefix_enforced_end_to_end(spark):
+    """The CONCAT rewrite executes: a LIKE-prefix row filter scopes the
+    query and a hostile value does not widen it."""
+    from sidemantic_spark.core.security import SecurityPolicy
+    from sidemantic_spark.models.tpch import build_layer
+
+    layer = build_layer(spark, "/root/testdata/sf0.001")
+    orders = layer.graph.get_model("orders")
+    old = orders.security
+    orders.security = SecurityPolicy(
+        row_filters=["o_orderpriority LIKE '{{ user.prio }}%'"])
+    try:
+        legit = layer.query(metrics=["orders.order_count"],
+                            user={"prio": "1-URGENT"}).collect()[0][0]
+        hostile = layer.query(metrics=["orders.order_count"],
+                              user={"prio": "zzz' OR '1'='1"}).collect()[0][0]
+        assert legit > 0
+        assert hostile == 0
+    finally:
+        orders.security = old
+
+
 def test_row_filter_injection_enforced_end_to_end(spark):
     """A malicious attribute value cannot widen a scoped query."""
     from sidemantic_spark.core.security import SecurityPolicy

@@ -126,6 +126,34 @@ def test_fanout_dedup_sum(layer, duck):
         gen.fanout_strategy = "auto"
 
 
+def test_fanout_dedup_filtered_metric_with_same_dim(layer, duck):
+    """Regression (round-5 ADVICE): a metric filter column that is ALSO
+    selected as a dimension must not produce a duplicate column in
+    __dedup — the re-attach uses a reserved __flt_ alias, so GROUP BY
+    status stays unambiguous."""
+    df = layer.query(
+        metrics=["orders.open_revenue"],
+        dimensions=["orders.status", "lineitem.returnflag"],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH joined AS (
+            SELECT DISTINCT o.o_orderstatus AS status,
+                   l.l_returnflag AS returnflag,
+                   o.o_orderkey, o.o_totalprice
+            FROM orders o
+            LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT status, returnflag,
+               SUM(CASE WHEN status = 'O'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS open_revenue
+        FROM joined GROUP BY 1, 2
+        """,
+    )
+
+
 def test_fanout_safe_aggs_passthrough(layer, duck):
     """min/max/count_distinct need no dedup under fan-out."""
     df = layer.query(

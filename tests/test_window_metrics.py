@@ -791,3 +791,35 @@ def test_having_on_window_metrics(layer, duck):
         )
         SELECT * FROM w WHERE revenue_mom > 0 ORDER BY order_month
     """)
+
+
+def test_metric_named_base_suffix_resolvable(spark):
+    """Round-5 ADVICE: a REAL metric whose name ends in '__base' must
+    resolve to itself — the internal window-plan marker only applies to
+    refs the graph cannot resolve directly."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0)],
+        "id long, grp string, amt double",
+    ).createOrReplaceTempView("nb_rows")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="nb_rows",
+        table="nb_rows",
+        primary_key="id",
+        dimensions=[Dimension(name="grp")],
+        metrics=[
+            Metric(name="amt__base", agg="sum", sql="amt"),
+            # a DIFFERENT window metric named amt must not shadow it
+            Metric(name="amt", type="cumulative", agg="sum", sql="amt"),
+        ],
+    ))
+    rows = {
+        r["grp"]: r["amt__base"]
+        for r in layer.query(
+            metrics=["nb_rows.amt__base"], dimensions=["nb_rows.grp"]
+        ).collect()
+    }
+    assert rows == {"a": 15.0, "b": 7.0}
