@@ -87,6 +87,43 @@ def test_rollup_month_from_day(layer, duck):
     )
 
 
+def test_wrapped_month_query_switches_to_rollup_table(layer, duck):
+    """The reference's wrapped-rollup scenario (ref
+    sql/query_rewriter.py:1960-2016): a BI-tool month re-aggregation
+    wrapped around the day-grain semantic view is lifted into the
+    semantic query AND routed to the materialized day rollup — the
+    scanned table switches away from the base fact.  This is the
+    deterministic guard behind bench.py's time_rollup ratio."""
+    rollup_sql = """
+        SELECT DATE_TRUNC('month', order_date__day) AS m, SUM(revenue) AS revenue
+        FROM (SELECT orders.order_date__day, orders.revenue FROM orders) t
+        GROUP BY 1
+    """
+    opt = layer.rewrite(rollup_sql)
+    assert "orders_preagg_daily" in opt
+    rw = layer._rewriter
+    rw.wrapper_rules_enabled = False
+    layer.generator.use_preaggs = False
+    try:
+        naive = rw.rewrite(rollup_sql)
+    finally:
+        rw.wrapper_rules_enabled = True
+        layer.generator.use_preaggs = True
+    assert "orders_preagg_daily" not in naive
+    # both plans must return the same answer as the raw-table oracle
+    for sql in (opt, naive):
+        df = layer.spark.sql(sql)
+        assert_df_matches_oracle(
+            df,
+            duck,
+            """
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS m,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+            """,
+        )
+
+
 def test_rollup_avg_recomposition(layer, duck):
     sql = layer.compile(
         metrics=["orders.avg_order_value"], dimensions=["orders.priority"]
