@@ -7,6 +7,7 @@ adjacency list at ``:310``, BFS shortest path with ambiguity detection at
 
 from __future__ import annotations
 
+import re
 from collections import deque
 from dataclasses import dataclass
 
@@ -152,21 +153,37 @@ class SemanticGraph:
                 else:
                     fk = tuple(rel.fk_list() or model.pk_list())
                     pk = tuple(rel.pk_list(target.pk_list()))
-                fwd = JoinHop(model.name, rel.name, rel.type, fk, pk, rel.sql)
+                custom = _custom_join_condition(rel.sql)
+                fwd = JoinHop(model.name, rel.name, rel.type, fk, pk, custom)
                 rev = JoinHop(
                     rel.name,
                     model.name,
                     _REVERSE[rel.type],
                     pk,
                     fk,
-                    _reverse_custom_sql(rel.sql),
+                    _reverse_custom_sql(custom),
                 )
                 adj[model.name].append(fwd)
                 adj[rel.name].append(rev)
-        # reciprocal declarations on both models produce identical hops;
-        # collapse them so they don't read as ambiguous paths
+        # reciprocal declarations on both models produce the same hop —
+        # once directly and once as the generated reverse.  Custom join
+        # SQL arrives as `{from}.x = {to}.x` from one side and the
+        # {from}/{to}-swapped form from the other; equality and AND are
+        # commutative, so collapse on the normalized condition (reference
+        # core/semantic_graph.py `_normalized_join_condition`) without
+        # hiding genuinely different predicates.
         for name, hops in adj.items():
-            adj[name] = sorted(set(hops), key=lambda h: (h.to_model, h.rel_type))
+            seen: dict = {}
+            for h in hops:
+                key = (
+                    h.to_model, h.rel_type, h.fk_side, h.pk_side,
+                    _normalized_join_condition(h.custom_sql),
+                )
+                if key not in seen:
+                    seen[key] = h
+            adj[name] = sorted(
+                seen.values(), key=lambda h: (h.to_model, h.rel_type)
+            )
         self._adjacency = adj
         return adj
 
@@ -286,3 +303,36 @@ def _reverse_custom_sql(sql: str | None) -> str | None:
         .replace("{to}", "{from}")
         .replace("\0", "{to}")
     )
+
+
+def _custom_join_condition(sql: str | None) -> str | None:
+    """Custom join SQL only for the placeholder-based contract: a bare
+    expression without ``{from}``/``{to}`` is a key annotation, not a
+    join predicate (reference ``core/semantic_graph.py:33-38`` — their
+    own fixtures pass ``sql="id"`` alongside ``foreign_key=...``)."""
+    if not sql:
+        return None
+    if "{from}" in sql or "{to}" in sql:
+        return sql
+    return None
+
+
+_EQ_SPLIT_RE = re.compile(r"\s+AND\s+", re.IGNORECASE)
+
+
+def _normalized_join_condition(sql: str | None) -> str | None:
+    """Canonicalize simple equality conjunctions for hop de-duplication:
+    ``{from}.x = {to}.x`` and its reciprocal swap compare equal, while
+    opaque predicates stay distinct (reference
+    ``core/semantic_graph.py:40-60``)."""
+    if sql is None:
+        return None
+    normalized: list[str] = []
+    for conj in _EQ_SPLIT_RE.split(sql.strip()):
+        m = re.fullmatch(r"\s*(.+?)\s*=\s*(.+?)\s*", conj)
+        if m and not any(op in conj for op in ("!=", "<=", ">=", "<>")):
+            sides = sorted(re.sub(r"\s+", "", s) for s in m.groups())
+            normalized.append("=".join(sides))
+        else:
+            normalized.append(re.sub(r"\s+", " ", conj.strip()))
+    return " AND ".join(sorted(normalized))

@@ -368,6 +368,16 @@ class Model:
     meta: dict | None = None  # arbitrary extension metadata (ref core/model.py:67)
 
     def __post_init__(self) -> None:
+        # normalize the {model} self-reference placeholder the reference
+        # accepts in metric sql/filters (its YAML loader and our
+        # authoring/yaml_io.py already do this; Python-built models get
+        # the same treatment): complete-SQL column refs become bare
+        # columns of the model CTE, filters become model-qualified refs
+        for m in self.metrics:
+            if m.sql and "{model}" in m.sql:
+                m.sql = m.sql.replace("{model}.", "")
+            if m.filters:
+                m.filters = [f.replace("{model}", self.name) for f in m.filters]
         self._dims = {d.name: d for d in self.dimensions}
         self._metrics = {m.name: m for m in self.metrics}
         self._segments = {s.name: s for s in self.segments}

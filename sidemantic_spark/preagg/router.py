@@ -66,8 +66,17 @@ def _aligned_grains(conj: str) -> set[str]:
 
 def try_route(gen, r) -> str | None:
     """Serve the resolved query from a rollup if one matches."""
-    if r.spec.ungrouped or r.spec.with_totals:
+    if r.spec.with_totals:
         return None
+    if r.spec.ungrouped:
+        # drill-to-detail routes only to a PK-carrying rollup of the
+        # base model (no joins, no timezone re-bucketing, no security —
+        # the same gates as the grouped path below)
+        if r.spec.timezone or r.hops:
+            return None
+        if getattr(gen.graph.get_model(r.base), "security", None) is not None:
+            return None
+        return _try_ungrouped_route(gen, r)
     if r.spec.timezone:
         # rollups are materialized with UTC-truncated buckets; serving a
         # timezone query from one would silently return UTC day/month
@@ -175,6 +184,145 @@ def _has_window_total(gen, model_name: str, metric: Metric, depth: int = 0) -> b
         if _has_window_total(gen, model_name, child, depth + 1):
             return True
     return False
+
+
+def _pk_covering_rollups(model) -> list:
+    """Rollups whose dimension set stores the model's FULL primary key
+    (every pk column appears as a stored dimension, matched by name or
+    by the dimension's expression).  Such a rollup has exactly one row
+    per base row, so it preserves detail."""
+    pks = model.pk_list()
+    out = []
+    for pa in getattr(model, "pre_aggregations", None) or []:
+        if pa.type not in ("rollup", "rollup_join"):
+            continue  # lambda's fresh-union math targets aggregates
+        covered = True
+        for c in pks:
+            if not any(
+                d == c
+                or (
+                    (dim := model.dimension(d)) is not None
+                    and dim.expr == c
+                )
+                for d in pa.dimensions
+            ):
+                covered = False
+                break
+        if covered:
+            out.append(pa)
+    return out
+
+
+def _try_ungrouped_route(gen, r) -> str | None:
+    """Ungrouped (drill-to-detail) routing: a rollup that stores the
+    model's full primary key has one row per base row, so the stored
+    sum/count/min/max partials ARE the per-row raw values — select them
+    directly with no GROUP BY and no re-aggregation (reference
+    tests/optimizations/test_pre_aggregations.py
+    ``test_ungrouped_routes_to_pk_carrying_rollup`` and the bail cases:
+    avg, approx_count_distinct, metric filters, partial composite pk,
+    keyless models).
+
+    At 100 TB this serves drill-to-detail pages from the bucketed
+    rollup instead of re-scanning the raw fact table."""
+    model = gen.graph.get_model(r.base)
+    if not getattr(model, "pre_aggregations", None):
+        return None
+    if model.primary_key is None:
+        # an empty key set is not evidence that an aggregate rollup
+        # preserves detail rows (ref test_ungrouped_keyless_model)
+        return None
+    for rm in r.metrics:
+        m = rm.metric
+        if not m.is_simple or m.filters or m.non_additive_dimension:
+            return None
+        if m.agg not in ("sum", "count", "min", "max"):
+            # avg is not a per-row value from (sum, count) state under
+            # detail semantics; approx/count_distinct likewise bail
+            return None
+    dims = [(rd.name, rd.grain) for rd in r.dims]
+    known = set(gen.graph.models)
+    filter_dims: list = []
+    for f in r.spec.filters:
+        for conj in split_conjuncts(f):
+            refs = find_refs(conj, known)
+            time_count = sum(
+                1 for m_, fld, _g in refs
+                if m_ == r.base
+                and (d := model.dimension(fld)) is not None
+                and d.type == "time"
+            )
+            if time_count > 1:
+                return None
+            for m_, fld, g in refs:
+                if m_ != r.base:
+                    return None
+                if model.metric(fld) is not None:
+                    return None  # metric filters bail to raw (ref)
+                d = model.dimension(fld)
+                if d is not None and d.type == "time":
+                    filter_dims.append((fld, g, _aligned_grains(conj)))
+                else:
+                    filter_dims.append((fld, None, None))
+
+    from sidemantic_spark.preagg.matcher import _try_match
+
+    comp_names = [rm.metric.name for rm in r.metrics]
+    candidates = []
+    for pa in _pk_covering_rollups(model):
+        m = _try_match(model, pa, comp_names, dims, filter_dims, [])
+        if m is not None:
+            candidates.append(m)
+    if not candidates:
+        return None
+    candidates.sort(key=lambda c: (c.specificity, c.preagg.name))
+    return _build_ungrouped_sql(gen, r, candidates[0])
+
+
+def _build_ungrouped_sql(gen, r, match: PreAggMatch) -> str:
+    model = gen.graph.get_model(r.base)
+    pa = match.preagg
+    physical = pa.physical_name(model.name)
+    _PARTIAL = {"sum": "__sum", "count": "__count", "min": "__min", "max": "__max"}
+
+    select: list[str] = []
+    for rd in r.dims:
+        col, regrain = match.dim_map[rd.name]
+        expr = f"DATE_TRUNC('{regrain}', {col})" if regrain else col
+        select.append(f"{expr} AS {rd.out}")
+    for rm in r.metrics:
+        m = rm.metric
+        expr = f"{m.name}{_PARTIAL[m.agg]}"
+        if m.fill_nulls_with is not None:
+            expr = f"COALESCE({expr}, {m.fill_nulls_with})"
+        select.append(f"{expr} AS {rm.out}")
+
+    known = set(gen.graph.models)
+
+    def rollup_col(m_: str, fld: str, grain: str | None) -> str:
+        col, _ = match.dim_map.get(fld, (None, None))
+        if col is None:
+            dim = model.dimension(fld)
+            if dim is not None and dim.type == "time" and pa.time_dimension == fld:
+                col = f"{fld}__{pa.granularity}"
+            else:
+                col = fld
+        return f"DATE_TRUNC('{grain}', {col})" if grain else col
+
+    where = [
+        replace_refs(conj, known, rollup_col)
+        for f in r.spec.filters
+        for conj in split_conjuncts(f)
+    ]
+    sql = "SELECT\n    " + ",\n    ".join(select) + f"\nFROM {physical}"
+    if where:
+        sql += "\nWHERE " + "\n  AND ".join(f"({w})" for w in where)
+    sql += gen._order_limit(r)
+    header = (
+        f"-- sidemantic_spark models={r.base} plan=preagg-ungrouped "
+        f"used_preagg={physical}"
+    )
+    return f"{header}\n{sql}"
 
 
 def _try_join_route(gen, r) -> str | None:
@@ -530,8 +678,27 @@ def explain_route(gen, r) -> dict:
     candidates+checks, core/query_plan.py:43)."""
     from sidemantic_spark.preagg.matcher import explain_candidates
 
-    if r.spec.ungrouped or r.spec.with_totals:
-        return {"eligible": False, "reason": "ungrouped/with_totals queries never route", "candidates": []}
+    if r.spec.with_totals:
+        return {"eligible": False, "reason": "with_totals queries never route", "candidates": []}
+    if r.spec.ungrouped:
+        model = gen.graph.get_model(r.base)
+        if getattr(model, "primary_key", None) is None:
+            return {
+                "eligible": False,
+                "reason": "ungrouped query, model has no declared primary "
+                          "key for unique rows",
+                "candidates": [],
+            }
+        used = try_route(gen, r)
+        pk_rollups = [
+            pa.physical_name(model.name) for pa in _pk_covering_rollups(model)
+        ]
+        return {
+            "eligible": True,
+            "reason": "ungrouped query: pk-carrying rollup route",
+            "used": used is not None,
+            "candidates": [{"name": n, "ok": used is not None} for n in pk_rollups],
+        }
     if r.hops:
         used = _try_join_route(gen, r) is not None
         return {

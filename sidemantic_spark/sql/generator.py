@@ -183,6 +183,11 @@ class SqlGenerator:
         )
 
     def _generate(self, spec: QuerySpec) -> str:
+        if spec.ungrouped and spec.with_totals:
+            raise QueryCompileError(
+                "with_totals cannot be combined with ungrouped "
+                "(reference sql/generator.py:1061)"
+            )
         spec = self._apply_parameters_and_segments(spec)
         spec = self._apply_default_time_dims(spec)
         r = self._resolve(spec)
@@ -417,6 +422,17 @@ class SqlGenerator:
         outer: list[str] = []
         having: list[str] = []
         extra_cols: dict[str, set[str]] = {m: set() for m in join_order}
+
+        # custom-SQL joins supply their own key columns via the
+        # {from}/{to} placeholders — project each referenced column into
+        # its side's CTE (ref sql/generator.py:2058-2061)
+        for h in hops:
+            if h.custom_sql:
+                for side, m in (("from", h.from_model), ("to", h.to_model)):
+                    for col in re.findall(
+                        r"\{%s\}\.(\w+)" % side, h.custom_sql
+                    ):
+                        extra_cols[m].add(col)
 
         metric_names = self._metric_name_index(join_order)
         for f in spec.filters:
@@ -1062,18 +1078,37 @@ class SqlGenerator:
             for rm in r.metrics
             if dup.get(rm.model, False)
             for _o, comp in self._expand_components(rm)
-            # opaque complete SQL cannot be made fan-out-safe either
-            # (reference guard sql/generator.py:3721-3742)
-            if comp.agg in FANOUT_IMPOSSIBLE_AGGS or comp.sql_is_complete
+            if comp.agg in FANOUT_IMPOSSIBLE_AGGS
         ]
         if impossible:
             raise QueryCompileError(
                 f"metric {impossible[0].metric.name!r} ({impossible[0].metric.agg}) cannot be "
                 "decomposed under a fan-out join (reference raises too: core/symmetric_aggregate.py)"
             )
-        if unsafe and r.metrics:
+        # opaque complete-SQL measures under fan-out evaluate over the
+        # DEDUPLICATED entity rows (reference
+        # tests/metrics/test_symmetric_aggs.py
+        # test_fanout_evaluates_complete_sql_over_deduplicated_entity_rows);
+        # a FILTERED complete-SQL measure cannot be conditioned per-row
+        # (no column expression to wrap in CASE WHEN) and is rejected
+        complete_fanout = [
+            (rm, comp)
+            for rm in r.metrics
+            if dup.get(rm.model, False)
+            for _o, comp in self._expand_components(rm)
+            if comp.sql_is_complete
+        ]
+        for _rm, comp in complete_fanout:
+            if comp.filters:
+                raise QueryCompileError(
+                    f"metric {comp.name!r}: filtered complete-SQL measure "
+                    "cannot be evaluated safely under a fan-out join "
+                    "(reference test_fanout_rejects_filtered_zero_column_"
+                    "complete_sql)"
+                )
+        if (unsafe or complete_fanout) and r.metrics:
             strategy = self.fanout_strategy
-            if strategy == "symmetric":
+            if strategy == "symmetric" and not complete_fanout:
                 return self._symmetric_grouped_sql(r)
             # auto prefers the entity-grain DISTINCT plan: Spark executes
             # multiple DISTINCT aggregates (symmetric needs >=2 per sum
@@ -1127,7 +1162,11 @@ class SqlGenerator:
         for rd in r.dims:
             select_parts.append(f"{rd.model}_cte.{rd.out} AS {rd.out}")
         for rm in r.metrics:
-            select_parts.append(f"{self._metric_sql(rm, value_of)} AS {rm.out}")
+            if r.spec.ungrouped:
+                expr = self._ungrouped_metric_sql(rm, value_of)
+            else:
+                expr = self._metric_sql(rm, value_of)
+            select_parts.append(f"{expr} AS {rm.out}")
         if not select_parts:
             raise QueryCompileError("empty select list")
         if r.spec.with_totals and dim_outs:
@@ -1147,12 +1186,54 @@ class SqlGenerator:
             else:
                 sql += "\nGROUP BY " + ", ".join(group_cols)
         if r.having:
+            if r.spec.ungrouped:
+                raise QueryCompileError(
+                    "metric-stage (HAVING) filters are an aggregation "
+                    "concept; not supported for ungrouped queries "
+                    "(reference sql/generator.py:6933-6940)"
+                )
             having = [
                 self._rewrite_having(h, r, value_of) for h in r.having
             ]
             sql += "\nHAVING " + "\n  AND ".join(f"({h})" for h in having)
         sql += self._order_limit(r)
         return self._assemble(r, ctes, sql, plan="grouped")
+
+    def _ungrouped_metric_sql(self, rm: RMetric, value_of) -> str:
+        """Per-row raw value for drill-to-detail: ungrouped queries
+        select the raw measure column without aggregation (reference
+        sql/generator.py:3869-3872).  count per detail row is 1 (or a
+        NULL-presence indicator when the metric counts an expression);
+        windowed/derived/ratio metrics have no per-row value and are
+        rejected."""
+        metric = rm.metric
+        if not metric.is_simple:
+            raise QueryCompileError(
+                f"metric {metric.name!r} ({metric.type or 'expression'}) "
+                "has no per-row raw value; not supported for ungrouped "
+                "queries"
+            )
+        if metric.agg == "approx_count_distinct":
+            raise QueryCompileError(
+                f"metric {metric.name!r}: approx_count_distinct has no "
+                "per-row raw value; not supported for ungrouped queries"
+            )
+        value = value_of(metric.name, metric)
+        if metric.agg in ("count", "count_distinct"):
+            if value is None:
+                base = "1"
+            else:
+                base = f"CASE WHEN {value} IS NOT NULL THEN 1 ELSE 0 END"
+        else:
+            base = value
+        if metric.filters:
+            cond = " AND ".join(
+                f"({self._rewrite_outer_filter(f)})" for f in metric.filters
+            )
+            base = f"CASE WHEN {cond} THEN {base} END"
+        if metric.fill_nulls_with is not None:
+            base = f"COALESCE({base}, {metric.fill_nulls_with})"
+        return base
 
     def _dedup_grouped_sql(self, r: Resolved) -> str:
         """Entity-grain fan-out-safe plan: join -> DISTINCT over
@@ -1166,11 +1247,11 @@ class SqlGenerator:
             raise QueryCompileError("ungrouped queries cannot be fan-out corrected")
         for rm in r.metrics:
             for _o, comp in self._expand_components(rm):
-                if comp.sql_is_complete:
+                if comp.sql_is_complete and comp.filters:
                     raise QueryCompileError(
-                        f"opaque complete-SQL metric {comp.name!r} cannot be "
-                        "combined with fan-out-corrected metrics (reference "
-                        "guard sql/generator.py:3721-3742)"
+                        f"metric {comp.name!r}: filtered complete-SQL "
+                        "measure cannot be evaluated safely under a "
+                        "fan-out join"
                     )
         fact = r.metrics[0].model  # single metric model (multifact split ran)
         ctes = [
@@ -1193,6 +1274,8 @@ class SqlGenerator:
         wide = []  # re-attached from the fact CTE after the DISTINCT
         wide_seen: set[str] = set()
         for comp_out, comp in r.component_metrics.get(fact, []):
+            if comp.sql_is_complete:
+                continue  # raw columns re-attach via __flt_ below
             if comp.sql and comp_out not in wide_seen:
                 wide_seen.add(comp_out)
                 wide.append(f"__f.{comp_out}_raw AS {comp_out}_raw")
@@ -1204,6 +1287,14 @@ class SqlGenerator:
         filter_cols = set()
         for rm in r.metrics:
             for _o, comp in self._expand_components(rm):
+                if comp.sql_is_complete:
+                    # complete-SQL measures evaluate over the deduped
+                    # entity rows: re-attach every referenced raw column
+                    for fld in _complete_sql_columns(comp.sql):
+                        if fld not in filter_cols:
+                            wide.append(f"__f.{fld} AS __flt_{fld}")
+                        filter_cols.add(fld)
+                    continue
                 for flt in comp.filters:
                     for m, fld, _g in find_refs(flt, set(self.graph.models)):
                         if m == fact:
@@ -1424,6 +1515,15 @@ class SqlGenerator:
 
     def _metric_sql_dedup(self, rm: RMetric, value_of, r: Resolved, depth: int = 0) -> str:
         metric = rm.metric
+        if metric.sql_is_complete:
+            # evaluate the opaque SQL over the deduplicated entity rows;
+            # its raw columns were re-attached under __flt_ aliases
+            sql = _rename_complete_sql_cols(
+                metric.sql, lambda c: f"__flt_{c}"
+            )
+            if metric.fill_nulls_with is not None:
+                sql = f"COALESCE({sql}, {metric.fill_nulls_with})"
+            return sql
         if metric.is_simple:
             value = value_of(metric.name, metric)
             if metric.filters:
@@ -2461,6 +2561,24 @@ def _complete_sql_columns(sql: str) -> list[str]:
             if tok.lower() not in _COMPLETE_SQL_KEYWORDS and tok not in params:
                 out.append(tok)
     return list(dict.fromkeys(out))
+
+
+def _rename_complete_sql_cols(sql: str, rename) -> str:
+    """Rewrite every bare column reference in an opaque complete-SQL
+    measure via ``rename(col)`` (dedup scope: ``col -> __flt_col``)."""
+    cols = set(_complete_sql_columns(sql))
+    out_parts = []
+    for seg in re.split(r"('(?:[^']|'')*')", sql or ""):
+        if seg.startswith("'"):
+            out_parts.append(seg)
+            continue
+        out_parts.append(
+            _COMPLETE_COL_RE.sub(
+                lambda m: rename(m.group(1)) if m.group(1) in cols else m.group(1),
+                seg,
+            )
+        )
+    return "".join(out_parts)
 
 
 def _qualify_complete_sql(sql: str, scope: str) -> str:

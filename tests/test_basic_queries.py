@@ -299,18 +299,63 @@ def test_complete_sql_measure(layer, duck):
     )
 
 
-def test_complete_sql_measure_fanout_guard(layer):
-    """Complete SQL under a fan-out join must refuse
-    (ref sql/generator.py:3721-3742)."""
+def test_complete_sql_measure_fanout_dedup(layer, duck):
+    """Complete SQL under a fan-out join evaluates over the
+    DEDUPLICATED entity rows (reference tests/metrics/
+    test_symmetric_aggs.py
+    test_fanout_evaluates_complete_sql_over_deduplicated_entity_rows;
+    round 5 replaced the earlier blanket refusal)."""
+    df = layer.query(
+        metrics=["orders.open_rate"],
+        dimensions=["lineitem.returnflag"],
+    )
+    assert "grouped-dedup" in layer.compile(
+        metrics=["orders.open_rate"], dimensions=["lineitem.returnflag"]
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        WITH dedup AS (
+            SELECT DISTINCT l.l_returnflag AS returnflag,
+                   o.o_orderkey, o.o_orderstatus, o.o_totalprice
+            FROM lineitem l
+            LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT returnflag,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
+                 / NULLIF(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0)
+                 AS open_rate
+        FROM dedup GROUP BY 1
+        """,
+    )
+
+
+def test_filtered_complete_sql_measure_fanout_rejected(layer):
+    """A FILTERED complete-SQL measure cannot be conditioned per row
+    and must refuse under fan-out (reference
+    test_fanout_rejects_filtered_zero_column_complete_sql)."""
     import pytest as _pytest
 
+    from sidemantic_spark.core.model import Metric
     from sidemantic_spark.sql.generator import QueryCompileError
 
-    with _pytest.raises(QueryCompileError):
-        layer.compile(
-            metrics=["orders.open_rate"],
-            dimensions=["lineitem.returnflag"],
-        )
+    orders = layer.graph.get_model("orders")
+    orders.metrics.append(Metric(
+        name="flt_complete", sql="COUNT(*)", sql_is_complete=True,
+        filters=["orders.status = 'O'"],
+    ))
+    orders.reindex()
+    try:
+        with _pytest.raises(QueryCompileError, match="evaluated safely"):
+            layer.compile(
+                metrics=["orders.flt_complete"],
+                dimensions=["lineitem.returnflag"],
+            )
+    finally:
+        orders.metrics = [m for m in orders.metrics if m.name != "flt_complete"]
+        orders.reindex()
 
 
 def test_csv_source_with_reader_options(spark, tmp_path):

@@ -421,3 +421,141 @@ def test_multifact_three_facts_merge_dims(spark, duck):
         ("z", None, 20, 100),   # absent from mf_a: must be ONE row
         ("w", None, None, 200),
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-5 reference-test mining: symmetric-agg guards
+# (reference tests/metrics/test_symmetric_aggs.py:331-540)
+# ---------------------------------------------------------------------------
+
+
+def test_reciprocal_relationship_declarations_not_ambiguous(spark):
+    """Declaring the same relationship on BOTH models (the reference's
+    own authoring style, incl. a bare ``sql="id"`` key annotation) is
+    ONE edge, not an ambiguous pair; NULL measures under fan-out stay
+    NULL and avg isolates entity rows (ref
+    test_fanout_isolates_typed_entity_rows_for_double_sum_avg_and_nulls)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
+
+    spark.createDataFrame(
+        [(1, 100.25), (2, 50.75), (3, None)], "id long, amount double"
+    ).createOrReplaceTempView("recip_orders")
+    spark.createDataFrame(
+        [(1, 1, "paid"), (2, 1, "paid"), (3, 2, "paid"), (4, 3, "null-only")],
+        "id long, order_id long, category string",
+    ).createOrReplaceTempView("recip_items")
+    lay = SparkSemanticLayer(spark)
+    lay.add_model(Model(
+        name="rc_orders", table="recip_orders", primary_key="id",
+        metrics=[
+            Metric(name="revenue", agg="sum", sql="amount"),
+            Metric(name="aov", agg="avg", sql="amount"),
+        ],
+        relationships=[Relationship(
+            name="rc_items", type="one_to_many", sql="id",
+            foreign_key="order_id")],
+    ))
+    lay.add_model(Model(
+        name="rc_items", table="recip_items", primary_key="id",
+        dimensions=[Dimension(name="category")],
+        relationships=[Relationship(
+            name="rc_orders", type="many_to_one", foreign_key="order_id")],
+    ))
+    rows = lay.query(
+        metrics=["rc_orders.revenue", "rc_orders.aov"],
+        dimensions=["rc_items.category"],
+        order_by=["category"],
+    ).collect()
+    got = [(r[0], r[1] and float(r[1]), r[2] and float(r[2])) for r in rows]
+    assert got == [("null-only", None, None), ("paid", 151.0, 75.5)]
+    sql = lay.compile(metrics=["rc_orders.revenue"],
+                      dimensions=["rc_items.category"])
+    assert "DISTINCT" in sql and "HASH(" not in sql.upper()
+
+
+def test_fanout_composite_custom_join_no_delimiter_collision(spark):
+    """Composite keys joined via custom {from}/{to} SQL: the reciprocal
+    declarations collapse (commutative equality normalization), the
+    custom join's key columns project into both CTEs, and the dedup
+    carries pk columns separately — no CONCAT delimiter collisions
+    (ref test_fanout_typed_composite_keys_do_not_collide_on_delimiters)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
+
+    spark.createDataFrame(
+        [("a|b", "c", 100.0), ("a", "b|c", 200.0)],
+        "part_a string, part_b string, amount double",
+    ).createOrReplaceTempView("comp_orders")
+    spark.createDataFrame(
+        [(1, "a|b", "c", "all"), (2, "a|b", "c", "all"), (3, "a", "b|c", "all")],
+        "id long, part_a string, part_b string, category string",
+    ).createOrReplaceTempView("comp_items")
+    join_sql = "{from}.part_a = {to}.part_a AND {from}.part_b = {to}.part_b"
+    lay = SparkSemanticLayer(spark)
+    lay.add_model(Model(
+        name="cp_orders", table="comp_orders",
+        primary_key=["part_a", "part_b"],
+        metrics=[Metric(name="revenue", agg="sum", sql="amount")],
+        relationships=[Relationship(
+            name="cp_items", type="one_to_many", sql=join_sql)],
+    ))
+    lay.add_model(Model(
+        name="cp_items", table="comp_items", primary_key="id",
+        dimensions=[Dimension(name="category")],
+        relationships=[Relationship(
+            name="cp_orders", type="many_to_one", sql=join_sql)],
+    ))
+    rows = lay.query(metrics=["cp_orders.revenue"],
+                     dimensions=["cp_items.category"]).collect()
+    assert [(r[0], float(r[1])) for r in rows] == [("all", 300.0)]
+    sql = lay.compile(metrics=["cp_orders.revenue"],
+                      dimensions=["cp_items.category"])
+    assert "CONCAT(" not in sql.upper()
+
+
+def test_filter_only_sibling_fanout_deduplicates_non_base_metric(spark):
+    """A filter on a sibling one_to_many model fans out the metric
+    model's rows; the dedup plan must correct it (ref
+    test_filter_only_sibling_fanout_is_deduplicated_for_non_base_metric)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
+
+    spark.createDataFrame([(1, "east")], "id long, region string") \
+        .createOrReplaceTempView("sib_customers")
+    spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 50)], "id long, customer_id long, amount long"
+    ).createOrReplaceTempView("sib_orders")
+    spark.createDataFrame(
+        [(1, 1, "open"), (2, 1, "open"), (3, 1, "closed")],
+        "id long, customer_id long, kind string",
+    ).createOrReplaceTempView("sib_tickets")
+    lay = SparkSemanticLayer(spark)
+    lay.add_model(Model(
+        name="sb_cust", table="sib_customers", primary_key="id",
+        dimensions=[Dimension(name="region")],
+        relationships=[
+            Relationship(name="sb_ord", type="one_to_many", sql="id",
+                         foreign_key="customer_id"),
+            Relationship(name="sb_tick", type="one_to_many", sql="id",
+                         foreign_key="customer_id"),
+        ],
+    ))
+    lay.add_model(Model(
+        name="sb_ord", table="sib_orders", primary_key="id",
+        metrics=[Metric(name="revenue", agg="sum", sql="amount")],
+        relationships=[Relationship(
+            name="sb_cust", type="many_to_one", foreign_key="customer_id")],
+    ))
+    lay.add_model(Model(
+        name="sb_tick", table="sib_tickets", primary_key="id",
+        dimensions=[Dimension(name="kind")],
+        relationships=[Relationship(
+            name="sb_cust", type="many_to_one", foreign_key="customer_id")],
+    ))
+    rows = lay.query(
+        metrics=["sb_ord.revenue"],
+        dimensions=["sb_cust.region"],
+        filters=["sb_tick.kind = 'open'"],
+    ).collect()
+    assert [(r[0], int(r[1])) for r in rows] == [("east", 150)]

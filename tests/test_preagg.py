@@ -783,3 +783,266 @@ def test_security_policy_bypasses_preagg_routing(spark, tmp_path):
         orders.security = old_sec
         orders.row_filters = old_rf
         orders.pre_aggregations = []
+
+
+# ---------------------------------------------------------------------------
+# Ungrouped (drill-to-detail) routing to PK-carrying rollups — mirrors
+# reference tests/optimizations/test_pre_aggregations.py:2292-2671
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def detail_layer(spark, tmp_path):
+    """orders with a detail rollup storing the pk + status, plus an
+    aggregate-only rollup."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.createDataFrame(
+        [(1, "completed", 100.0), (2, "completed", 300.0), (3, "pending", 50.0)],
+        "order_id long, status string, amount double",
+    ).createOrReplaceTempView("ug_orders")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="ug_orders",
+        table="ug_orders",
+        primary_key="order_id",
+        dimensions=[
+            Dimension(name="order_id"),
+            Dimension(name="status"),
+        ],
+        metrics=[
+            Metric(name="revenue", agg="sum", sql="amount"),
+            Metric(name="order_count", agg="count"),
+            Metric(name="avg_amount", agg="avg", sql="amount"),
+            Metric(name="approx_ids", agg="approx_count_distinct", sql="order_id"),
+            Metric(name="big_revenue", agg="sum", sql="amount",
+                   filters=["ug_orders.status = 'completed'"]),
+        ],
+        pre_aggregations=[
+            PreAggregation(
+                name="detail",
+                measures=["revenue", "order_count", "avg_amount"],
+                dimensions=["order_id", "status"],
+            ),
+            PreAggregation(
+                name="by_status",
+                measures=["revenue", "order_count"],
+                dimensions=["status"],
+            ),
+        ],
+    ))
+    layer.preaggs.base_path = str(tmp_path)
+    layer.preaggs.materialize("ug_orders")
+    return layer
+
+
+def test_ungrouped_routes_to_pk_carrying_rollup(detail_layer):
+    """An ungrouped query is served from a rollup that stores the pk,
+    returning stored rows that equal the raw detail rows."""
+    kw = dict(
+        metrics=["ug_orders.revenue"],
+        dimensions=["ug_orders.order_id", "ug_orders.status"],
+        order_by=["order_id"],
+        ungrouped=True,
+    )
+    sql = detail_layer.compile(**kw)
+    assert "ug_orders_preagg_detail" in sql
+    assert "used_preagg" in sql
+    assert "GROUP BY" not in sql.upper()
+    assert "HAVING" not in sql.upper()
+    assert "SUM(revenue__sum)" not in sql  # raw column, not re-aggregated
+    routed = [tuple(r) for r in detail_layer.spark.sql(sql).collect()]
+    detail_layer.generator.use_preaggs = False
+    try:
+        raw = [tuple(r) for r in detail_layer.query(**kw).collect()]
+    finally:
+        detail_layer.generator.use_preaggs = True
+    assert [(r[0], r[1], float(r[2])) for r in routed] == \
+           [(r[0], r[1], float(r[2])) for r in raw]
+
+
+def test_ungrouped_count_metric_from_detail_rollup(detail_layer):
+    rows = detail_layer.query(
+        metrics=["ug_orders.order_count"],
+        dimensions=["ug_orders.order_id"],
+        order_by=["order_id"],
+        ungrouped=True,
+    ).collect()
+    assert [r["order_count"] for r in rows] == [1, 1, 1]
+
+
+def test_ungrouped_rollup_without_pk_falls_to_raw(detail_layer):
+    """Only the by_status rollup matching the queried shape is NOT
+    pk-carrying when order_id is not requested... the detail rollup
+    still carries the pk, so drop it to force the aggregate-only one."""
+    model = detail_layer.graph.get_model("ug_orders")
+    pas = model.pre_aggregations
+    model.pre_aggregations = [pa for pa in pas if pa.name == "by_status"]
+    try:
+        sql = detail_layer.compile(
+            metrics=["ug_orders.revenue"],
+            dimensions=["ug_orders.status"],
+            ungrouped=True,
+        )
+        assert "ug_orders_preagg_by_status" not in sql
+        assert "ug_orders_cte" in sql
+        assert "used_preagg" not in sql
+    finally:
+        model.pre_aggregations = pas
+
+
+def test_ungrouped_keyless_model_falls_to_raw(spark, tmp_path):
+    """An empty key set is not evidence that an aggregate rollup
+    preserves detail rows."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.createDataFrame(
+        [("completed", 100.0)], "status string, amount double",
+    ).createOrReplaceTempView("ug_keyless")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="ug_keyless",
+        table="ug_keyless",
+        primary_key=None,
+        dimensions=[Dimension(name="status")],
+        metrics=[Metric(name="revenue", agg="sum", sql="amount")],
+        pre_aggregations=[PreAggregation(
+            name="by_status", measures=["revenue"], dimensions=["status"])],
+    ))
+    layer.preaggs.base_path = str(tmp_path)
+    layer.preaggs.materialize("ug_keyless")
+    sql = layer.compile(
+        metrics=["ug_keyless.revenue"], dimensions=["ug_keyless.status"],
+        ungrouped=True,
+    )
+    assert "ug_keyless_preagg_by_status" not in sql
+    assert "used_preagg" not in sql
+    plan = layer.explain_plan(
+        metrics=["ug_keyless.revenue"], dimensions=["ug_keyless.status"],
+        ungrouped=True,
+    )
+    assert "no declared primary key" in str(plan)
+
+
+def test_ungrouped_composite_pk_partial_rollup_falls_to_raw(spark, tmp_path):
+    """A rollup carrying only part of a composite pk cannot guarantee
+    unique rows."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.createDataFrame(
+        [(1, 1, "completed", 100.0)],
+        "order_id long, line_id long, status string, amount double",
+    ).createOrReplaceTempView("ug_lines")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="ug_lines",
+        table="ug_lines",
+        primary_key=["order_id", "line_id"],
+        dimensions=[
+            Dimension(name="order_id"),
+            Dimension(name="line_id"),
+            Dimension(name="status"),
+        ],
+        metrics=[Metric(name="revenue", agg="sum", sql="amount")],
+        pre_aggregations=[PreAggregation(
+            name="partial", measures=["revenue"],
+            dimensions=["order_id", "status"])],
+    ))
+    layer.preaggs.base_path = str(tmp_path)
+    layer.preaggs.materialize("ug_lines")
+    sql = layer.compile(
+        metrics=["ug_lines.revenue"],
+        dimensions=["ug_lines.order_id", "ug_lines.status"],
+        ungrouped=True,
+    )
+    assert "ug_lines_preagg_partial" not in sql
+
+
+def test_ungrouped_avg_metric_bails_to_raw(detail_layer):
+    """avg under ungrouped is not a per-row stored value, so even a PK
+    rollup must fall to raw (reference bails; the raw path selects the
+    raw column directly)."""
+    sql = detail_layer.compile(
+        metrics=["ug_orders.avg_amount"],
+        dimensions=["ug_orders.order_id", "ug_orders.status"],
+        ungrouped=True,
+    )
+    assert "ug_orders_preagg_detail" not in sql
+    assert "ug_orders_cte" in sql
+
+
+def test_ungrouped_metric_filter_bails_to_raw(detail_layer):
+    sql = detail_layer.compile(
+        metrics=["ug_orders.big_revenue"],
+        dimensions=["ug_orders.order_id"],
+        ungrouped=True,
+    )
+    assert "ug_orders_preagg_detail" not in sql
+
+
+def test_ungrouped_approx_count_distinct_bails_to_raw(detail_layer):
+    import pytest as _pytest
+
+    with _pytest.raises(QueryCompileError, match="per-row"):
+        detail_layer.compile(
+            metrics=["ug_orders.approx_ids"],
+            dimensions=["ug_orders.order_id"],
+            ungrouped=True,
+        )
+
+
+def test_ungrouped_strict_without_pk_rollup_raises(detail_layer):
+    """Strict mode + ungrouped errors when no PK-carrying rollup can
+    serve the query."""
+    import pytest as _pytest
+
+    model = detail_layer.graph.get_model("ug_orders")
+    pas = model.pre_aggregations
+    model.pre_aggregations = [pa for pa in pas if pa.name == "by_status"]
+    detail_layer.generator.preagg_strict = True
+    try:
+        with _pytest.raises(QueryCompileError, match="preagg_strict"):
+            detail_layer.compile(
+                metrics=["ug_orders.revenue"],
+                dimensions=["ug_orders.order_id", "ug_orders.status"],
+                ungrouped=True,
+            )
+    finally:
+        detail_layer.generator.preagg_strict = False
+        model.pre_aggregations = pas
+
+
+def test_ungrouped_metrics_raw_values_match_oracle(layer, duck):
+    """Generator-level: ungrouped + metrics selects per-row raw values
+    (reference sql/generator.py:3869-3872), verified against DuckDB."""
+    layer.generator.use_preaggs = False
+    try:
+        df = layer.query(
+            metrics=["orders.revenue", "orders.order_count"],
+            dimensions=["orders.status"],
+            filters=["orders.status = 'P'"],
+            ungrouped=True,
+        )
+    finally:
+        layer.generator.use_preaggs = True
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS revenue,
+               1 AS order_count
+        FROM orders WHERE o_orderstatus = 'P'
+        """,
+    )
+
+
+def test_ungrouped_with_totals_rejected(layer):
+    with pytest.raises(QueryCompileError, match="with_totals"):
+        layer.compile(
+            metrics=["orders.revenue"], dimensions=["orders.status"],
+            ungrouped=True, with_totals=True,
+        )
