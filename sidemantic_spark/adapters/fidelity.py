@@ -26,6 +26,10 @@ class FidelityNote:
 class FidelityReport:
     format: str
     notes: list[FidelityNote] = field(default_factory=list)
+    # per-construct status for fields the IMPORTING adapter tagged with
+    # meta={"construct": ...} (aql:*, dax:*, lookml:liquid, ...):
+    # construct tag -> {qualified field name -> kept|approximated|dropped}
+    constructs: dict = field(default_factory=dict)
 
     @property
     def has_losses(self) -> bool:
@@ -39,13 +43,23 @@ class FidelityReport:
 
     def summary_lines(self) -> list[str]:
         if not self.notes:
-            return [f"{self.format}: full fidelity for this graph"]
-        lines = [
-            f"{self.format}: "
-            + ", ".join(f"{v} {k}" for k, v in sorted(self.counts().items()))
-        ]
-        for n in sorted(self.notes, key=lambda x: (x.severity, x.construct, x.name)):
-            lines.append(f"  [{n.severity}] {n.construct} {n.name}: {n.detail}")
+            lines = [f"{self.format}: full fidelity for this graph"]
+        else:
+            lines = [
+                f"{self.format}: "
+                + ", ".join(f"{v} {k}" for k, v in sorted(self.counts().items()))
+            ]
+            for n in sorted(self.notes, key=lambda x: (x.severity, x.construct, x.name)):
+                lines.append(f"  [{n.severity}] {n.construct} {n.name}: {n.detail}")
+        for tag in sorted(self.constructs):
+            statuses = self.constructs[tag]
+            agg: dict[str, int] = {}
+            for s in statuses.values():
+                agg[s] = agg.get(s, 0) + 1
+            lines.append(
+                f"  construct {tag}: "
+                + ", ".join(f"{v} {k}" for k, v in sorted(agg.items()))
+            )
         return lines
 
     def to_dict(self) -> dict:
@@ -53,6 +67,7 @@ class FidelityReport:
             "format": self.format,
             "counts": self.counts(),
             "notes": [vars(n) for n in self.notes],
+            "constructs": self.constructs,
         }
 
 
@@ -167,4 +182,27 @@ def diff_graphs(before, after, fmt: str) -> FidelityReport:
                 rep.notes.append(FidelityNote(
                     "relationship", f"{mname} -> {r.name}",
                     f"{r.type} edge dropped", "dropped"))
+
+    # per-construct attribution: any field the importing adapter tagged
+    # (meta={"construct": ...}) reports its roundtrip status under the
+    # construct's name, so a regression in e.g. the AQL pipe or compound
+    # DAX translation is attributable at a glance
+    noted = {n.name: n.severity for n in rep.notes}
+    for mname, model in before.models.items():
+        other = after.models.get(mname)
+        for fld in list(model.dimensions) + list(model.metrics):
+            tag = (fld.meta or {}).get("construct")
+            if not tag:
+                continue
+            q = f"{mname}.{fld.name}"
+            if other is None or (
+                other.dimension(fld.name) is None
+                and other.metric(fld.name) is None
+            ):
+                status = "dropped"
+            elif q in noted:
+                status = "approximated"
+            else:
+                status = "kept"
+            rep.constructs.setdefault(tag, {})[q] = status
     return rep

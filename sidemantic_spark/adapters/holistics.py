@@ -274,6 +274,7 @@ class HolisticsAdapter(BaseAdapter):
             host.metrics.append(Metric(
                 name=name, agg="count", public=False, label=label,
                 description=f"unparsed AQL: {aql[:200]}",
+                meta={"construct": "aql:opaque"},
             ))
             host.reindex()
             layer.graph._invalidate()
@@ -287,6 +288,7 @@ class HolisticsAdapter(BaseAdapter):
                 name=name, agg=agg,
                 sql=None if agg == "count" and col in model.pk_list() else col,
                 filters=filters, label=label,
+                meta={"construct": "aql:aggregate"},
             ))
         elif re.match(r"^\|\s*of_all\(", tail):
             base = f"__aql_{name}_base"
@@ -296,12 +298,14 @@ class HolisticsAdapter(BaseAdapter):
             model.metrics.append(Metric(
                 name=name, type="derived", label=label,
                 expr=f"CAST({base} AS DOUBLE) / CAST(all({base}) AS DOUBLE)",
+                meta={"construct": "aql:of_all"},
             ))
         elif re.match(r"^\|\s*running_total\(", tail):
             # cumulative over the query's time dimension
             model.metrics.append(Metric(
                 name=name, type="cumulative", agg=agg, sql=col,
                 filters=filters, label=label,
+                meta={"construct": "aql:running_total"},
             ))
         elif re.match(r"^\|\s*period_to_date\(", tail):
             gm = re.search(r"period_to_date\(\s*'(\w+)'", tail)
@@ -311,6 +315,7 @@ class HolisticsAdapter(BaseAdapter):
                 grain_to_date=grain if grain in
                 ("day", "week", "month", "quarter", "year") else "year",
                 filters=filters, label=label,
+                meta={"construct": "aql:period_to_date"},
             ))
         elif re.match(r"^\|\s*relative_period\(", tail):
             # prior-period VALUE shifted by the declared interval
@@ -330,6 +335,7 @@ class HolisticsAdapter(BaseAdapter):
                 name=name, type="time_comparison", agg=agg, sql=col,
                 comparison_type=comparison, time_offset=offset,
                 calculation="prior", filters=filters, label=label,
+                meta={"construct": "aql:relative_period"},
             ))
         else:
             # AQL long tail (exclude, keep_grains, group, ...):
@@ -337,6 +343,7 @@ class HolisticsAdapter(BaseAdapter):
             model.metrics.append(Metric(
                 name=name, agg="count", public=False, label=label,
                 description=f"unparsed AQL: {aql[:200]}",
+                meta={"construct": "aql:opaque"},
             ))
         model.reindex()
         layer.graph._invalidate()

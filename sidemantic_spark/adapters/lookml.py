@@ -145,6 +145,16 @@ _DURATION_UNITS = {
     "duration_year": "YEAR",
 }
 
+def _liquid_construct(raw_sql) -> dict | None:
+    """Construct attribution for the fidelity report: fields whose
+    LookML SQL carried Liquid templating are tagged so an export
+    regression on the translated form is attributable to the
+    ``lookml:liquid`` construct (round-5 verdict task)."""
+    if isinstance(raw_sql, str) and ("{%" in raw_sql or "{{" in raw_sql):
+        return {"construct": "lookml:liquid"}
+    return None
+
+
 # -- liquid neutralization (import-time) ------------------------------------
 # Looker SQL params may embed Liquid. The reference protects the
 # fragments lexically and carries them through its SQL layer (ref
@@ -680,6 +690,7 @@ class LookMLAdapter(BaseAdapter):
                     description=_str(d.get("description")),
                     label=_str(d.get("label")),
                     public=d.get("hidden") != "yes",
+                    meta=_liquid_construct(d.get("sql")),
                 )
             )
             if d.get("primary_key") == "yes":
@@ -718,6 +729,7 @@ class LookMLAdapter(BaseAdapter):
                         filters=filters,
                         description=_str(m.get("description")),
                         label=_str(m.get("label")),
+                        meta=_liquid_construct(m.get("sql")),
                     )
                 )
             elif mtype in ("number", "yesno"):

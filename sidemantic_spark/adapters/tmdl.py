@@ -253,6 +253,32 @@ class TmdlAdapter(BaseAdapter):
         return " ".join(x for x in out if x), i
 
     def _dax_measure(self, name: str, dax: str, table: str) -> Metric | None:
+        """Translate a DAX measure and tag it with the construct shape it
+        came from, so fidelity reports attribute export regressions to a
+        named DAX construct (round-5 verdict task)."""
+        m = self._dax_measure_inner(name, dax, table)
+        if m is None:
+            return None
+        if m.meta is None:
+            d = dax.strip()
+            if (m.description or "").startswith("unparsed DAX"):
+                tag = "dax:opaque"
+            elif re.match(r"^\s*TOTAL(YTD|QTD|MTD)", d, re.I):
+                tag = "dax:total_to_date"
+            elif re.match(r"^\s*VAR\b", d, re.I):
+                tag = "dax:var_return"
+            elif _DAX_CALC_RE.match(d):
+                tag = "dax:calculate"
+            elif _DAX_DIVIDE_RE.match(d):
+                tag = "dax:divide"
+            elif m.type == "derived":
+                tag = "dax:measure_formula"
+            else:
+                tag = "dax:aggregate"
+            m.meta = {"construct": tag}
+        return m
+
+    def _dax_measure_inner(self, name: str, dax: str, table: str) -> Metric | None:
         """Translate the common DAX measure shapes (the reference covers
         these via its DAX parser's agg-extraction, adapters/tmdl.py
         ``_extract_dax_agg``; the long tail imports opaque):

@@ -4591,3 +4591,147 @@ def test_tmdl_unfenced_multiline_var_return_datesytd(spark):
     ytd = m.metric("value_ytd")
     assert ytd.type == "cumulative" and ytd.grain_to_date == "year"
     assert ytd.base_metric == "total_sales"
+
+
+def test_lookml_cross_file_extends_and_refinement_stacking(spark, tmp_path):
+    """Cross-file project semantics (reference adapters/lookml.py
+    project-merge paths): `extends` resolves across files, `view: +name`
+    refinements stack in file order with last-wins overrides, and a
+    refinement on the PARENT propagates through extends into the child."""
+    from sidemantic_spark.adapters import LookMLAdapter
+
+    (tmp_path / "01_base.view.lkml").write_text("""
+view: base_events {
+  extension: required
+  sql_table_name: raw_events ;;
+  dimension: kind { sql: ${TABLE}.kind ;; }
+  measure: cnt { type: count }
+}
+""")
+    (tmp_path / "02_concrete.view.lkml").write_text("""
+view: events {
+  extends: [base_events]
+  sql_table_name: events_tbl ;;
+  dimension: region { sql: ${TABLE}.region ;; }
+}
+""")
+    (tmp_path / "03_refine.view.lkml").write_text("""
+view: +events {
+  dimension: kind { label: "Kind A" }
+  measure: revenue { type: sum sql: ${TABLE}.amount ;; }
+}
+""")
+    (tmp_path / "04_refine_again.view.lkml").write_text("""
+view: +events {
+  dimension: kind { label: "Kind B" }
+}
+""")
+    (tmp_path / "05_parent_refine.view.lkml").write_text("""
+view: +base_events {
+  dimension: status { sql: ${TABLE}.status ;; }
+}
+""")
+    layer = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_file(layer, str(tmp_path))
+    ms = layer.graph.models
+    # the abstract base stays out of the graph
+    assert "base_events" not in ms
+    events = ms["events"]
+    # child overrides the inherited table binding
+    assert events.table == "events_tbl"
+    dims = {d.name: d for d in events.dimensions}
+    # inherited + own + parent-refined dimensions all present
+    assert set(dims) >= {"kind", "region", "status"}
+    # refinements stack in file order: the LAST label wins
+    assert dims["kind"].label == "Kind B"
+    metrics = {m.name for m in events.metrics}
+    assert {"cnt", "revenue"} <= metrics
+
+
+def test_fidelity_report_names_translated_constructs(spark):
+    """Round-5 verdict task: constructs translated by the round-4
+    adapter deepening (AQL pipes, compound DAX, LookML liquid) are
+    TAGGED at import and the fidelity report lists per-construct status,
+    so an export regression is attributable to a named construct."""
+    from sidemantic_spark.adapters import HolisticsAdapter, LookMLAdapter
+    from sidemantic_spark.adapters.fidelity import diff_graphs
+
+    layer = SparkSemanticLayer(spark)
+    HolisticsAdapter().parse_text(layer, """
+Model fid_orders {
+  type: 'table'
+  table_name: 'fid_orders'
+  dimension status { type: 'text' }
+  dimension amount { type: 'number' }
+}
+
+Metric fid_paid_rev {
+  definition: @aql fid_orders | where(fid_orders.status = 'paid') | sum(fid_orders.amount) ;;
+}
+
+Metric fid_run_total {
+  definition: @aql sum(fid_orders.amount) | running_total(fid_orders.status) ;;
+}
+""")
+    m = layer.graph.models["fid_orders"]
+    assert (m.metric("fid_paid_rev").meta or {}).get("construct") == "aql:aggregate"
+    assert (m.metric("fid_run_total").meta or {}).get("construct") == "aql:running_total"
+
+    # liquid tagging
+    lk = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_text(lk, """
+view: fid_events {
+  sql_table_name: fid_events ;;
+  dimension: region {
+    sql: {% if prod._parameter_value == 'yes' %}${TABLE}.region{% else %}${TABLE}.region_test{% endif %} ;;
+  }
+  dimension: plain { sql: ${TABLE}.plain ;; }
+  measure: n { type: count }
+}
+""")
+    ev = lk.graph.models["fid_events"]
+    assert (ev.dimension("region").meta or {}).get("construct") == "lookml:liquid"
+    assert ev.dimension("plain").meta is None
+
+    # the report: identical graphs -> every tagged construct "kept";
+    # a graph missing one tagged metric -> that construct "dropped"
+    rep = diff_graphs(layer.graph, layer.graph, "native")
+    assert rep.constructs["aql:aggregate"]["fid_orders.fid_paid_rev"] == "kept"
+    assert rep.constructs["aql:running_total"]["fid_orders.fid_run_total"] == "kept"
+
+    import copy
+
+    lossy = copy.deepcopy(layer.graph)
+    lm = lossy.models["fid_orders"]
+    lm.metrics = [x for x in lm.metrics if x.name != "fid_run_total"]
+    lm.reindex()
+    rep2 = diff_graphs(layer.graph, lossy, "native")
+    assert rep2.constructs["aql:running_total"]["fid_orders.fid_run_total"] == "dropped"
+    assert any("construct aql:running_total" in line for line in rep2.summary_lines())
+    assert rep2.to_dict()["constructs"]["aql:aggregate"]
+
+
+def test_tmdl_dax_construct_tags(spark, tmp_path):
+    from sidemantic_spark.adapters import ADAPTERS
+
+    p = tmp_path / "FidSales.tmdl"
+    p.write_text("""table FidSales
+    measure 'Total Amount' = SUM('FidSales'[amount])
+    measure 'Amount YTD' = TOTALYTD(SUM('FidSales'[amount]), 'FidSales'[order_date])
+    measure 'Share' = DIVIDE([Total Amount], [Total Amount])
+    measure 'Weird' = GENERATESERIES(1, 10)
+    column amount
+        dataType: double
+    column order_date
+        dataType: dateTime
+    partition FidSales = m
+        source = x
+""")
+    layer = SparkSemanticLayer(spark)
+    ADAPTERS["tmdl"]().parse_file(layer, str(p))
+    m = layer.graph.models["fidsales"]
+    tags = {x.name: (x.meta or {}).get("construct") for x in m.metrics}
+    assert tags.get("total_amount") == "dax:aggregate"
+    assert tags.get("amount_ytd") == "dax:total_to_date"
+    assert tags.get("share") == "dax:divide"
+    assert tags.get("weird") == "dax:opaque"
