@@ -20,6 +20,7 @@ from it afterwards scans orders of magnitude less data.
 from __future__ import annotations
 
 import os
+import re
 
 from sidemantic_spark.core.model import Model
 from sidemantic_spark.preagg.matcher import PreAggregation
@@ -140,6 +141,36 @@ class PreAggManager:
         self.register_one(model, pa)
 
 
+_DOTTED_REF_RE = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b")
+
+
+def _local_metric_filter(f: str, model: Model) -> str:
+    """Metric-filter SQL rewritten for the raw single-table scan the
+    materialization runs: ``model.field`` refs become the dimension's
+    expression (or the bare column); a ref to ANY other model is
+    rejected — the rollup scans one table and cannot evaluate it."""
+    from sidemantic_spark.sql.fragments import replace_refs
+
+    def sub(_m: str, fld: str, g: str | None) -> str:
+        dim = model.dimension(fld)
+        expr = dim.expr if dim is not None else fld
+        return f"DATE_TRUNC('{g}', {expr})" if g else expr
+
+    out = replace_refs(f, {model.name}, sub)
+    for seg in re.split(r"('(?:[^']|'')*')", out):
+        if seg.startswith("'"):
+            continue
+        leftover = _DOTTED_REF_RE.search(seg)
+        if leftover:
+            raise ValueError(
+                f"pre-aggregation measure filter references "
+                f"{leftover.group(0)!r}, which is not on model "
+                f"{model.name!r}; cross-model filters cannot be baked "
+                "into a rollup"
+            )
+    return out
+
+
 def rollup_select_sql(model: Model, pa: PreAggregation, extra_where: str | None = None,
                       source_override: str | None = None) -> str:
     """Module-level rollup SELECT builder (also used by the router's
@@ -173,11 +204,24 @@ def rollup_select_sql(model: Model, pa: PreAggregation, extra_where: str | None 
     group: list[str] = []
     for dname in pa.dimensions:
         dim = model.dimension(dname)
+        if dim is not None and dim.window:
+            # a window-function dimension cannot appear in a GROUP BY
+            # materialization (reference
+            # test_generate_materialization_sql_rejects_window_dimension)
+            raise ValueError(
+                f"pre-aggregation dimension {dname!r} uses a window "
+                "function and cannot be materialized in a rollup"
+            )
         expr = dim.expr if dim else dname
         cols.append(f"{expr} AS {dname}")
         group.append(expr)
     if pa.time_dimension:
         tdim = model.dimension(pa.time_dimension)
+        if tdim is not None and tdim.window:
+            raise ValueError(
+                f"pre-aggregation time dimension {pa.time_dimension!r} "
+                "uses a window function and cannot be materialized"
+            )
         texpr = tdim.expr if tdim else pa.time_dimension
         tcol = f"DATE_TRUNC('{pa.granularity}', {texpr})"
         cols.append(f"{tcol} AS {pa.time_dimension}__{pa.granularity}")
@@ -192,6 +236,20 @@ def rollup_select_sql(model: Model, pa: PreAggregation, extra_where: str | None 
             raise ValueError(f"pre-aggregation measure {mname!r} must be a simple metric")
         expr = metric.sql or "1"
         agg = metric.agg
+        # metric-level filters BAKE into the partial state (reference
+        # test_total_rollup_materializes_filtered_metrics_without_empty_
+        # group_by): the stored sums/counts are pre-filtered, so routing
+        # reads them without re-evaluating the filter.  Filters must
+        # reference only the owning model (the materialization scans one
+        # table); the router enforces the same on the query side.
+        if metric.filters:
+            cond = " AND ".join(
+                f"({_local_metric_filter(f, model)})" for f in metric.filters
+            )
+            expr = f"CASE WHEN {cond} THEN {expr} ELSE NULL END"
+            count_star = f"COUNT(CASE WHEN {cond} THEN 1 ELSE NULL END)"
+        else:
+            count_star = "COUNT(*)"
         if agg in ("sum", "avg"):
             cols.append(f"SUM({expr}) AS {mname}__sum")
             cols.append(f"COUNT({expr}) AS {mname}__count")
@@ -199,7 +257,7 @@ def rollup_select_sql(model: Model, pa: PreAggregation, extra_where: str | None 
             if metric.sql:
                 cols.append(f"COUNT({expr}) AS {mname}__count")
             else:
-                cols.append(f"COUNT(*) AS {mname}__count")
+                cols.append(f"{count_star} AS {mname}__count")
         elif agg == "min":
             cols.append(f"MIN({expr}) AS {mname}__min")
         elif agg == "max":
@@ -235,5 +293,9 @@ def rollup_select_sql(model: Model, pa: PreAggregation, extra_where: str | None 
         where.append(extra_where)
     if where:
         sql += "\nWHERE " + " AND ".join(f"({w})" for w in where)
-    sql += "\nGROUP BY " + ", ".join(group)
+    if group:
+        # a TOTAL rollup (no dims, no time dim) is a global aggregate:
+        # emitting an empty GROUP BY would be a syntax error (reference
+        # test_total_rollup_materializes_..._without_empty_group_by)
+        sql += "\nGROUP BY " + ", ".join(group)
     return sql

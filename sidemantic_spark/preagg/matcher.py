@@ -21,6 +21,7 @@ is the whole point at 100 TB.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from sidemantic_spark.core.model import Metric, Model
@@ -67,7 +68,26 @@ class PreAggregation:
     bucket_by: list[str] = field(default_factory=list)
     buckets: int = 0
 
+    def __post_init__(self) -> None:
+        # the name lands verbatim in physical table identifiers that are
+        # interpolated into DDL/FROM clauses — reject anything that is
+        # not a plain identifier (reference
+        # test_preagg_injection_in_preagg_name_rejected)
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", self.name or ""):
+            raise ValueError(
+                f"invalid pre-aggregation name {self.name!r}: must be a "
+                "plain SQL identifier"
+            )
+
     def physical_name(self, model_name: str) -> str:
+        # the model side of the identifier is validated too: a model
+        # name that is not an identifier cannot become a table name
+        # (reference test_preagg_injection_in_model_name_rejected)
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", model_name or ""):
+            raise ValueError(
+                f"invalid model name {model_name!r} for pre-aggregation "
+                "table: must be a plain SQL identifier"
+            )
         return f"{model_name}_preagg_{self.name}"
 
 
@@ -231,6 +251,12 @@ def _try_match(
     extra_dims = len(pa.dimensions) - len(raw_columns) - sum(
         1 for name, _ in dims if model.dimension(name) and model.dimension(name).type != "time"
     )
+    # an unqueried time dimension is an extra dimension too: a total
+    # query picks the total rollup over a day-grain one — scanning one
+    # row beats re-aggregating a year of buckets (reference
+    # test_preagg_matcher_prefers_total_rollup_over_time_rollup)
+    if pa.time_dimension and pa.time_dimension not in dim_map:
+        extra_dims += 1
     specificity = max(extra_dims, 0) * 10 + (0 if exact_grain else 1)
     return PreAggMatch(preagg=pa, model=model.name, dim_map=dim_map, specificity=specificity)
 

@@ -138,13 +138,17 @@ def try_route(gen, r) -> str | None:
 
 
 def _component_names(gen, r) -> list[str] | None:
-    """Expand ratio/derived metrics into their simple components; any
-    metric-level filter or windowed/special metric disqualifies routing
-    (partials are pre-filter).  Derived metrics containing ``all(...)``
-    window totals are likewise refused: ``all`` is a SQL keyword so
-    ``_metric_reagg_sql`` would leave the call un-substituted and emit
-    invalid ``all((SUM(x__sum)))`` SQL (mirrors the symmetric-agg and
-    dedup guards)."""
+    """Expand ratio/derived metrics into their simple components; a
+    windowed/special metric disqualifies routing.  Metric-level filters
+    that reference only the OWNING model are fine — the materialization
+    bakes them into the stored partials (reference
+    test_total_rollup_materializes_filtered_metrics_without_empty_group_by)
+    — but a filter touching another model cannot be baked and refuses.
+    Derived metrics containing ``all(...)`` window totals are likewise
+    refused: ``all`` is a SQL keyword so ``_metric_reagg_sql`` would
+    leave the call un-substituted and emit invalid ``all((SUM(x__sum)))``
+    SQL (mirrors the symmetric-agg and dedup guards)."""
+    known = set(gen.graph.models)
     comp_names: list[str] = []
     for rm in r.metrics:
         if rm.metric.type in ("cumulative", "time_comparison", "conversion", "retention", "cohort"):
@@ -154,8 +158,9 @@ def _component_names(gen, r) -> list[str] | None:
         if _has_window_total(gen, rm.model, rm.metric):
             return None
         for _out, comp in gen._expand_components(rm):
-            if comp.filters:
-                return None
+            for flt in comp.filters:
+                if any(m != rm.model for m, _f, _g in find_refs(flt, known)):
+                    return None
             if comp.name not in comp_names:
                 comp_names.append(comp.name)
     return comp_names

@@ -406,6 +406,14 @@ class SqlGenerator:
             for m, _f, _g in find_refs(f, known):
                 if m not in model_names and m not in filter_models:
                     filter_models.append(m)
+        # metric-LEVEL filters referencing another model pull it into
+        # the join too (previously a raw KeyError at projection time)
+        for rm in metrics:
+            for _out, comp in self._expand_components(rm):
+                for flt in comp.filters:
+                    for m, _f, _g in find_refs(flt, known):
+                        if m not in model_names and m not in filter_models:
+                            filter_models.append(m)
         all_models = model_names + filter_models
         if not all_models:
             raise QueryCompileError("query references no models")

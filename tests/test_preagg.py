@@ -1046,3 +1046,142 @@ def test_ungrouped_with_totals_rejected(layer):
             metrics=["orders.revenue"], dimensions=["orders.status"],
             ungrouped=True, with_totals=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 mining, part 2: matcher preference, filtered-measure baking,
+# identifier validation, window-dim materialization rejection
+# ---------------------------------------------------------------------------
+
+
+def test_total_rollup_preferred_over_time_rollup_for_total_query(spark, tmp_path):
+    """A total query picks the total rollup (1 row) over the day-grain
+    one (ref test_preagg_matcher_prefers_total_rollup_over_time_rollup)."""
+    from sidemantic_spark.models.tpch import build_layer as _bl
+
+    layer = _bl(spark, "/root/testdata/sf0.001")
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [
+        PreAggregation(name="daily2", measures=["revenue"],
+                       time_dimension="order_date", granularity="day"),
+        PreAggregation(name="total2", measures=["revenue"]),
+    ]
+    layer.preaggs.base_path = str(tmp_path)
+    layer.preaggs.materialize("orders")
+    sql = layer.compile(metrics=["orders.revenue"])
+    assert "orders_preagg_total2" in sql
+    # a month query still uses the day rollup
+    sql2 = layer.compile(metrics=["orders.revenue"],
+                         dimensions=["orders.order_date__month AS m"])
+    assert "orders_preagg_daily2" in sql2
+
+
+def test_filtered_measure_bakes_into_rollup_and_routes(spark, tmp_path, duck, sf_dir):
+    """Metric-level filters bake into the stored partials (CASE WHEN at
+    materialization, no empty GROUP BY for a total rollup) and the
+    filtered metric ROUTES, reading pre-filtered state (reference
+    test_total_rollup_materializes_filtered_metrics_without_empty_group_by
+    + the additive-only filter coverage family)."""
+    from sidemantic_spark.models.tpch import build_layer as _bl
+    from sidemantic_spark.preagg.manager import rollup_select_sql
+
+    layer = _bl(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    pa = PreAggregation(
+        name="filt", measures=["open_revenue", "order_count"],
+        dimensions=["priority"],
+    )
+    orders.pre_aggregations = [pa]
+    mat = rollup_select_sql(orders, pa)
+    assert "CASE WHEN" in mat and "o_orderstatus = 'O'" in mat
+    layer.preaggs.base_path = str(tmp_path)
+    layer.preaggs.materialize("orders")
+    sql = layer.compile(metrics=["orders.open_revenue"],
+                        dimensions=["orders.priority"])
+    assert "orders_preagg_filt" in sql
+    df = layer.query(metrics=["orders.open_revenue"],
+                     dimensions=["orders.priority"])
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderpriority AS priority,
+               SUM(CASE WHEN o_orderstatus = 'O'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS open_revenue
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_cross_model_measure_filter_not_routable(spark, tmp_path):
+    """A measure filter referencing ANOTHER model cannot bake into a
+    single-table rollup: materialization raises, routing refuses."""
+    from sidemantic_spark.core.model import Metric
+    from sidemantic_spark.models.tpch import build_layer as _bl
+    from sidemantic_spark.preagg.manager import rollup_select_sql
+
+    layer = _bl(spark, "/root/testdata/sf0.001")
+    orders = layer.graph.get_model("orders")
+    orders.metrics.append(Metric(
+        name="seg_rev", agg="sum", sql="o_totalprice",
+        filters=["customer.mktsegment = 'BUILDING'"],
+    ))
+    orders.reindex()
+    pa = PreAggregation(name="xm", measures=["seg_rev"], dimensions=["status"])
+    try:
+        with pytest.raises(ValueError, match="cross-model"):
+            rollup_select_sql(orders, pa)
+        orders.pre_aggregations = [
+            PreAggregation(name="xm2", measures=["revenue"], dimensions=["status"])]
+        layer.preaggs.base_path = str(tmp_path)
+        layer.preaggs.materialize("orders")
+        sql = layer.compile(metrics=["orders.seg_rev"],
+                            dimensions=["orders.status"])
+        assert "used_preagg" not in sql
+        # the cross-model metric filter auto-joins customer and executes
+        assert "customer_cte" in sql
+        rows = layer.query(metrics=["orders.seg_rev"],
+                           dimensions=["orders.status"]).collect()
+        assert len(rows) > 0
+    finally:
+        orders.metrics = [m for m in orders.metrics if m.name != "seg_rev"]
+        orders.reindex()
+        orders.pre_aggregations = []
+
+
+def test_preagg_name_injection_rejected():
+    """Names land in physical table identifiers: non-identifier names
+    are rejected before they can reach SQL (reference
+    test_preagg_injection_in_{model,preagg}_name_rejected)."""
+    with pytest.raises(ValueError, match="identifier"):
+        PreAggregation(name="x; DROP TABLE y; --", measures=["revenue"])
+    pa = PreAggregation(name="ok", measures=["revenue"])
+    with pytest.raises(ValueError, match="identifier"):
+        pa.physical_name("orders; DROP TABLE z")
+    assert pa.physical_name("orders") == "orders_preagg_ok"
+
+
+def test_window_dimension_materialization_rejected(spark):
+    """Window-function dimensions cannot appear in a GROUP BY
+    materialization (reference
+    test_generate_materialization_sql_rejects_window_dimension)."""
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.preagg.manager import rollup_select_sql
+
+    model = Model(
+        name="w_orders", table="w_orders", primary_key="id",
+        dimensions=[
+            Dimension(name="rank_in_day",
+                      window="RANK() OVER (ORDER BY amount)"),
+            Dimension(name="ts", type="time",
+                      window="LAG(ts) OVER (ORDER BY ts)"),
+        ],
+        metrics=[Metric(name="revenue", agg="sum", sql="amount")],
+    )
+    with pytest.raises(ValueError, match="window"):
+        rollup_select_sql(model, PreAggregation(
+            name="bywin", measures=["revenue"], dimensions=["rank_in_day"]))
+    with pytest.raises(ValueError, match="window"):
+        rollup_select_sql(model, PreAggregation(
+            name="bytime", measures=["revenue"],
+            time_dimension="ts", granularity="day"))
