@@ -953,6 +953,117 @@ def _preagg_route(spark, sf_dir):
     )
 
 
+def _detail_layer(spark, sf_dir):
+    """Dedicated layer with a pk dimension on orders (detail entries
+    need a unique key for a deterministic ORDER BY/LIMIT and for the
+    PK-carrying rollup route)."""
+    from sidemantic_spark.core.model import Dimension
+    from sidemantic_spark.models.tpch import build_layer
+
+    _ensure_tables(spark, sf_dir)
+    layer = build_layer(spark, None)
+    orders = layer.graph.get_model("orders")
+    orders.dimensions.append(Dimension(name="okey", sql="o_orderkey"))
+    orders.reindex()
+    layer.graph._invalidate()
+    return layer
+
+
+def _ungrouped_metrics_detail(spark, sf_dir):
+    """Drill-to-detail WITH metrics: per-row raw measure values, no
+    GROUP BY (round-5 feature; reference sql/generator.py:3869-3872
+    selects the raw column under ungrouped)."""
+    return _detail_layer(spark, sf_dir).query(
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["orders.okey", "orders.status"],
+        filters=["orders.status = 'P'"],
+        order_by=["okey"],
+        limit=500,
+        ungrouped=True,
+    )
+
+
+def _preagg_ungrouped_route(spark, sf_dir):
+    """Ungrouped routing to a PK-carrying rollup: the stored partials
+    ARE the per-row values, so drill-to-detail pages serve from the
+    rollup instead of re-scanning the fact (reference
+    test_ungrouped_routes_to_pk_carrying_rollup)."""
+    import os
+
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    layer = _detail_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [PreAggregation(
+        name="contract_detail",
+        measures=["revenue", "order_count"],
+        dimensions=["okey", "status"],
+    )]
+    layer.preaggs.base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".preagg_cache",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    layer.preaggs.materialize("orders")
+    kw = dict(
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["orders.okey", "orders.status"],
+        filters=["orders.status = 'P'"],
+        order_by=["okey"],
+        limit=500,
+        ungrouped=True,
+    )
+    sql = layer.compile(**kw)
+    assert "plan=preagg-ungrouped" in sql, sql[:200]
+    return layer.query(**kw)
+
+
+def _preagg_filtered_measure_route(spark, sf_dir):
+    """Filtered additive measures route to rollups that bake the filter
+    into the stored partial state (round-5 feature; reference
+    test_total_rollup_materializes_filtered_metrics...)."""
+    import os
+
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    _ensure_tables(spark, sf_dir)
+    layer = build_layer(spark, None)
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [PreAggregation(
+        name="contract_filt",
+        measures=["open_revenue", "order_count"],
+        dimensions=["priority"],
+    )]
+    layer.preaggs.base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".preagg_cache",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    layer.preaggs.materialize("orders")
+    kw = dict(
+        metrics=["orders.open_revenue", "orders.order_count"],
+        dimensions=["orders.priority"],
+    )
+    sql = layer.compile(**kw)
+    assert "used_preagg=orders_preagg_contract_filt" in sql, sql[:200]
+    return layer.query(**kw)
+
+
+def _fanout_complete_sql(spark, sf_dir):
+    """Opaque complete-SQL measure under a fan-out join, evaluated over
+    the deduplicated entity rows (round-5 feature; reference
+    test_fanout_evaluates_complete_sql_over_deduplicated_entity_rows)."""
+    layer = _layer(spark, sf_dir)
+    sql = layer.compile(
+        metrics=["orders.open_rate"], dimensions=["lineitem.returnflag"]
+    )
+    assert "plan=grouped-dedup" in sql, sql[:200]
+    return layer.query(
+        metrics=["orders.open_rate"], dimensions=["lineitem.returnflag"]
+    )
+
+
 def _events_stream(spark, sf_dir):
     """events.parquet as a streaming DataFrame, with the same
     conditional nanos->timestamp cast register_tables applies to the
@@ -1506,6 +1617,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.1 pre-aggregation materialization sink + aggregate-aware
         # routing
         "preagg_rollup_route": _preagg_route,
+        # round-5 features: drill-to-detail metrics, pk-rollup routing,
+        # filtered-measure rollups, complete-SQL under fan-out
+        "ungrouped_metrics_detail": _ungrouped_metrics_detail,
+        "preagg_ungrouped_route": _preagg_ungrouped_route,
+        "preagg_filtered_measure_route": _preagg_filtered_measure_route,
+        "fanout_complete_sql": _fanout_complete_sql,
         "corpus_stats_by_source": _q(
             metrics=["documents.doc_count", "documents.total_chars",
                      "documents.avg_chars"],
@@ -2685,6 +2802,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                    COUNT(*) AS order_count
             FROM orders GROUP BY 1
+        """,
+        "ungrouped_metrics_detail": """
+            SELECT o_orderkey AS okey, o_orderstatus AS status,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+                   CAST(1 AS BIGINT) AS order_count
+            FROM orders WHERE o_orderstatus = 'P'
+            ORDER BY okey LIMIT 500
+        """,
+        "preagg_ungrouped_route": """
+            SELECT o_orderkey AS okey, o_orderstatus AS status,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+                   CAST(1 AS BIGINT) AS order_count
+            FROM orders WHERE o_orderstatus = 'P'
+            ORDER BY okey LIMIT 500
+        """,
+        "preagg_filtered_measure_route": """
+            SELECT o_orderpriority AS priority,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+                       AS open_revenue,
+                   COUNT(*) AS order_count
+            FROM orders GROUP BY 1
+        """,
+        "fanout_complete_sql": """
+            WITH dedup AS (
+                SELECT DISTINCT l.l_returnflag AS returnflag,
+                       o.o_orderkey, o.o_orderstatus, o.o_totalprice
+                FROM lineitem l
+                LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+            )
+            SELECT returnflag,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                            THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
+                     / NULLIF(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0)
+                     AS open_rate
+            FROM dedup GROUP BY 1
         """,
         "limit_offset_page": """
             SELECT o_orderpriority AS priority,

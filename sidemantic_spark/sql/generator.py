@@ -1228,10 +1228,14 @@ class SqlGenerator:
             )
         value = value_of(metric.name, metric)
         if metric.agg in ("count", "count_distinct"):
+            # BIGINT to match the grouped COUNT()'s result type
             if value is None:
-                base = "1"
+                base = "CAST(1 AS BIGINT)"
             else:
-                base = f"CASE WHEN {value} IS NOT NULL THEN 1 ELSE 0 END"
+                base = (
+                    f"CAST(CASE WHEN {value} IS NOT NULL THEN 1 ELSE 0 END"
+                    " AS BIGINT)"
+                )
         else:
             base = value
         if metric.filters:
