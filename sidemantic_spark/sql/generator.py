@@ -540,6 +540,25 @@ class SqlGenerator:
         # (e.g. "finance.revenue_per_order") that shadow no model
         if ref in self.graph.metrics:
             metric = self.graph.metrics[ref]
+            # passthrough: a typeless graph metric whose sql/expr is
+            # exactly one model.measure reference ADOPTS that measure
+            # wholesale (agg, filters, non-additive snapshot plan …) —
+            # the reference keeps the wrapped measure's plan
+            # (tests/metrics/test_non_additive_guard.py
+            # test_graph_metric_wrapping_semi_additive_measure_is_planned)
+            if not metric.type and not metric.agg:
+                target = (metric.sql or metric.expr or "").strip()
+                if target and fragments.REF_RE.fullmatch(target):
+                    try:
+                        owner, underlying = self._lookup_metric_plain(target)
+                    except QueryCompileError:
+                        pass
+                    else:
+                        import dataclasses
+
+                        return owner, dataclasses.replace(
+                            underlying, name=metric.name
+                        )
             owner = self._graph_metric_owner(ref, metric)
             if owner:
                 return owner, metric
@@ -2307,14 +2326,41 @@ FROM __per_entity"""
             )
         rm = sa[0]
         m = rm.metric
+        if any(rmx.model != rm.model for rmx in r.metrics):
+            raise QueryCompileError(
+                "semi-additive metrics cannot be combined with metrics "
+                "from another model"
+            )
         model = self.graph.get_model(rm.model)
-        nad = model.dimension(m.non_additive_dimension)
-        nad_expr = nad.expr if nad else m.non_additive_dimension
+
+        # one (__nadN/__grpN) projected column per distinct expression;
+        # each semi-additive metric carries its OWN (nad, groupings,
+        # window fn) spec so opening/closing snapshots compose in one
+        # query (reference tests/metrics/test_non_additive_guard.py
+        # test_opening_and_closing_snapshot_metrics_compose)
+        extra: list[tuple[str, str]] = []
+        alias_of: dict[str, str] = {}
+
+        def col_alias(expr: str, base: str) -> str:
+            if expr not in alias_of:
+                alias_of[expr] = f"__{base}{len(alias_of)}"
+                extra.append((alias_of[expr], expr))
+            return alias_of[expr]
+
+        specs: dict[str, tuple[str, tuple[str, ...], str]] = {}
+        for rmx in sa:
+            mm = rmx.metric
+            nad = model.dimension(mm.non_additive_dimension)
+            nad_expr = nad.expr if nad else mm.non_additive_dimension
+            nad_alias = col_alias(nad_expr, "nad")
+            grp_aliases = []
+            for g in mm.non_additive_window_groupings:
+                gd = model.dimension(g)
+                grp_aliases.append(col_alias(gd.expr if gd else g, "grp"))
+            fn = "MAX" if mm.non_additive_window == "max" else "MIN"
+            specs[rmx.out] = (nad_alias, tuple(grp_aliases), fn)
+
         groupings = list(m.non_additive_window_groupings)
-        extra = [("__nad", nad_expr)]
-        for i, g in enumerate(groupings):
-            gd = model.dimension(g)
-            extra.append((f"__grp{i}", gd.expr if gd else g))
         ctes = []
         for name in r.models:
             if name == rm.model:
@@ -2323,13 +2369,9 @@ FROM __per_entity"""
                 ctes.append(self._model_cte(r, name))
 
         dim_outs = [rd.out for rd in r.dims]
-        part_cols = [f"__grp{i}" for i in range(len(groupings))] + dim_outs
-        part = ", ".join(part_cols) if part_cols else "1"
-        fn = "MAX" if m.non_additive_window == "max" else "MIN"
 
         proj = [f"{rd.model}_cte.{rd.out} AS {rd.out}" for rd in r.dims]
-        proj += [f"{rm.model}_cte.__nad AS __nad"]
-        proj += [f"{rm.model}_cte.__grp{i} AS __grp{i}" for i in range(len(groupings))]
+        proj += [f"{rm.model}_cte.{alias} AS {alias}" for alias, _e in extra]
         for comp_out, comp in r.component_metrics.get(rm.model, []):
             if comp.sql:
                 proj.append(f"{rm.model}_cte.{comp_out}_raw AS {comp_out}_raw")
@@ -2366,12 +2408,18 @@ FROM __per_entity"""
         # (low-cardinality) dims, the sort skews badly at scale, and the
         # sort-free pipeline wins — so (a) is used only then.
         decomposable = {"sum", "count", "min", "max"}
-        if not groupings and all(
+        uniform = (
+            len(sa) == len(r.metrics) and len(set(specs.values())) == 1
+        )
+        nad0, grp0, fn0 = specs[rm.out]
+        part_cols = list(grp0) + dim_outs
+        part = ", ".join(part_cols) if part_cols else "1"
+        if uniform and not groupings and all(
             rmx.metric.agg in decomposable and not rmx.metric.sql_is_complete
             for rmx in r.metrics
         ):
             by_fn = "MAX_BY" if m.non_additive_window == "max" else "MIN_BY"
-            ts_parts = list(part_cols) + ["__nad"]
+            ts_parts = list(part_cols) + [nad0]
             ts_sel = list(ts_parts)
             last_sel = list(part_cols)
             final_parts = list(dim_outs)
@@ -2380,7 +2428,7 @@ FROM __per_entity"""
                 value = f"{mm.name}_raw" if mm.sql else None
                 partial = mm.agg_sql(value) if value else "COUNT(*)"
                 ts_sel.append(f"{partial} AS {rmx.out}__ts")
-                last_sel.append(f"{by_fn}({rmx.out}__ts, __nad) AS {rmx.out}__last")
+                last_sel.append(f"{by_fn}({rmx.out}__ts, {nad0}) AS {rmx.out}__last")
                 outer = "SUM" if mm.agg in ("sum", "count") else mm.agg.upper()
                 final_parts.append(f"{outer}({rmx.out}__last) AS {rmx.out}")
             ts_cte = (
@@ -2399,18 +2447,41 @@ FROM __per_entity"""
                 r, ctes, final, plan="semi-additive-agg", extra_ctes=extra_ctes
             )
 
-        marked = (
-            f"SELECT *, {fn}(__nad) OVER (PARTITION BY {part}) AS __marker FROM __joined"
-        )
+        # one marker column per distinct (nad, groupings, fn) spec; each
+        # semi-additive metric filters to ITS marker rows via CASE while
+        # additive siblings aggregate over ALL rows — a shared WHERE
+        # would steal rows from them (reference
+        # test_semi_additive_and_additive_metrics_keep_independent_row_sets)
+        markers: dict[tuple[str, tuple[str, ...], str], str] = {}
+        marker_sel = ["*"]
+        for spec in specs.values():
+            if spec in markers:
+                continue
+            nad_a, grp_a, fn_a = spec
+            p = ", ".join(list(grp_a) + dim_outs) or "1"
+            alias = f"__marker{len(markers)}"
+            markers[spec] = alias
+            marker_sel.append(
+                f"{fn_a}({nad_a}) OVER (PARTITION BY {p}) AS {alias}"
+            )
+        marked = "SELECT " + ", ".join(marker_sel) + " FROM __joined"
 
         select_parts = list(dim_outs)
         for rmx in r.metrics:
             mm = rmx.metric
             value = f"{mm.name}_raw" if mm.sql else None
-            agg_sql = mm.agg_sql(value) if value else "COUNT(*)"
+            if rmx.out in specs:
+                nad_a, _grp_a, _fn_a = specs[rmx.out]
+                cond = f"{nad_a} = {markers[specs[rmx.out]]}"
+                if value is None:
+                    agg_sql = f"COUNT(CASE WHEN {cond} THEN 1 END)"
+                else:
+                    agg_sql = mm.agg_sql(f"CASE WHEN {cond} THEN {value} END")
+            else:
+                agg_sql = mm.agg_sql(value) if value else "COUNT(*)"
             select_parts.append(f"{agg_sql} AS {rmx.out}")
         final = "SELECT\n    " + ",\n    ".join(select_parts)
-        final += "\nFROM __marked\nWHERE __nad = __marker"
+        final += "\nFROM __marked"
         if dim_outs:
             final += "\nGROUP BY " + ", ".join(dim_outs)
         final += self._order_limit(r)

@@ -823,3 +823,75 @@ def test_metric_named_base_suffix_resolvable(spark):
         ).collect()
     }
     assert rows == {"a": 15.0, "b": 7.0}
+
+
+def _balances_layer(spark):
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.createDataFrame(
+        [("A", "2026-01-10", 100), ("A", "2026-01-31", 110),
+         ("B", "2026-01-10", 200), ("B", "2026-01-31", 210)],
+        "account string, day_s string, balance int",
+    ).selectExpr(
+        "account", "CAST(day_s AS DATE) AS day", "balance"
+    ).createOrReplaceTempView("na_bal")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="na_bal", table="na_bal", primary_key="account",
+        dimensions=[
+            Dimension(name="account"),
+            Dimension(name="day", type="time", granularity="day"),
+        ],
+        metrics=[
+            Metric(name="closing", agg="sum", sql="balance",
+                   non_additive_dimension="day", non_additive_window="max"),
+            Metric(name="opening", agg="sum", sql="balance",
+                   non_additive_dimension="day", non_additive_window="min"),
+            Metric(name="total_balance", agg="sum", sql="balance",
+                   non_additive_dimension="day"),
+            Metric(name="snapshots", agg="count"),
+        ],
+    ))
+    return layer
+
+
+def test_opening_and_closing_snapshots_compose(spark):
+    """Two semi-additive metrics with DIFFERENT windows in one query
+    each keep their own marker (reference tests/metrics/
+    test_non_additive_guard.py test_opening_and_closing_snapshot_...)."""
+    layer = _balances_layer(spark)
+    row = layer.query(metrics=["na_bal.closing", "na_bal.opening"]).collect()[0]
+    assert (row["closing"], row["opening"]) == (320, 300)
+
+
+def test_semi_additive_keeps_additive_sibling_row_set(spark):
+    """A snapshot metric must not remove rows from additive siblings
+    (reference test_semi_additive_and_additive_metrics_keep_independent
+    _row_sets)."""
+    layer = _balances_layer(spark)
+    rows = layer.query(
+        metrics=["na_bal.closing", "na_bal.snapshots"],
+        dimensions=["na_bal.account"],
+        order_by=["account"],
+    ).collect()
+    assert [tuple(r) for r in rows] == [("A", 110, 2), ("B", 210, 2)]
+
+
+def test_graph_metric_wrapping_semi_additive_keeps_snapshot_plan(spark):
+    """A typeless graph metric whose sql names a model measure adopts
+    it wholesale, snapshot plan included (reference
+    test_graph_metric_wrapping_semi_additive_measure_is_planned)."""
+    from sidemantic_spark.core.model import Metric
+
+    layer = _balances_layer(spark)
+    layer.graph.add_metric(Metric(name="wrapped_balance", sql="na_bal.total_balance"))
+    sql = layer.compile(metrics=["wrapped_balance"], dimensions=["na_bal.account"])
+    assert "plan=semi-additive" in sql
+    rows = {
+        r["account"]: r["wrapped_balance"]
+        for r in layer.query(
+            metrics=["wrapped_balance"], dimensions=["na_bal.account"]
+        ).collect()
+    }
+    assert rows == {"A": 110, "B": 210}
