@@ -463,16 +463,30 @@ def _build_metric(mdata: dict, *, ctx: str, errors: list) -> Metric | None:
     # `inner_metrics`, having over the inner metric's name
     cohort_agg = None
     having = mdata.get("having")
+    inner_metrics_native: list[dict] = []
     if mtype == "cohort":
-        cohort_agg = mdata.get("agg") or "count"
-        agg = None
-        inner = (mdata.get("inner_metrics") or [{}])[0]
-        agg = inner.get("agg", "count")
-        sql = inner.get("sql") or inner.get("expr")
-        if having and inner.get("name"):
-            import re as _re
+        inner_list = _listify(mdata.get("inner_metrics"))
+        outer_sql = mdata.get("sql")
+        if len(inner_list) > 1 or (
+            outer_sql and "cohort_sub." in str(outer_sql)
+        ):
+            # the reference's native multi-inner form: keep it whole
+            # (agg is the OUTER aggregation, sql references cohort_sub)
+            inner_metrics_native = [dict(im) for im in inner_list]
+            agg = mdata.get("agg")
+            sql = outer_sql
+        else:
+            cohort_agg = mdata.get("agg") or "count"
+            agg = None
+            inner = (inner_list or [{}])[0]
+            agg = inner.get("agg", "count")
+            sql = inner.get("sql") or inner.get("expr")
+            if having and inner.get("name"):
+                import re as _re
 
-            having = _re.sub(rf"\b{_re.escape(inner['name'])}\b", "value", having)
+                having = _re.sub(
+                    rf"\b{_re.escape(inner['name'])}\b", "value", having
+                )
 
     base_event = mdata.get("base_event") or mdata.get("cohort_event")
 
@@ -506,6 +520,7 @@ def _build_metric(mdata: dict, *, ctx: str, errors: list) -> Metric | None:
         cohort_aggregation=cohort_agg,
         having=having,
         entity_dimensions=_listify(mdata.get("entity_dimensions")),
+        inner_metrics=inner_metrics_native,
         non_additive_dimension=mdata.get("non_additive_dimension"),
         non_additive_window=mdata.get("non_additive_window", "max"),
         non_additive_window_groupings=_listify(mdata.get("non_additive_window_groupings")),
@@ -775,8 +790,14 @@ def _metric_to_yaml(m: Metric) -> dict:
         out["deprecation"] = {k: v for k, v in vars(m.deprecation).items()
                               if v is not None}
     if m.type == "cohort":
-        out["agg"] = m.cohort_aggregation or "count"
-        out["inner_metrics"] = [{"name": "value", "agg": m.agg, "sql": m.sql}]
+        if m.inner_metrics:
+            # native multi-inner form round-trips verbatim
+            out["agg"] = m.agg
+            out["sql"] = m.sql
+            out["inner_metrics"] = [dict(im) for im in m.inner_metrics]
+        else:
+            out["agg"] = m.cohort_aggregation or "count"
+            out["inner_metrics"] = [{"name": "value", "agg": m.agg, "sql": m.sql}]
         if m.entity_dimensions:
             out["entity_dimensions"] = list(m.entity_dimensions)
     if m.type == "retention":

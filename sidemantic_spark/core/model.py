@@ -180,6 +180,11 @@ class Metric:
     cohort_aggregation: str | None = None  # outer re-aggregation for cohort
     having: str | None = None  # inner HAVING for cohort metrics
     entity_dimensions: list[str] = field(default_factory=list)  # cohort group dims
+    # reference cohort authoring surface (core/metric.py inner_metrics):
+    # a list of {name, agg, sql} per-entity aggregates; the outer `sql`
+    # may reference them via the `cohort_sub.` subquery alias and `agg`
+    # is the OUTER re-aggregation in this form
+    inner_metrics: list[dict] = field(default_factory=list)
 
     # semi-additive
     non_additive_dimension: str | None = None  # time dim that must not sum

@@ -603,6 +603,29 @@ class SqlGenerator:
             candidates = _identifiers(metric.expr)
         elif metric.type in ("cumulative", "time_comparison"):
             candidates = [c for c in (metric.base_metric, metric.sql) if c]
+        elif metric.type in ("conversion", "retention", "cohort"):
+            # event predicates may carry model-qualified refs; else the
+            # model owning the entity dimension hosts the funnel
+            # (reference resolves graph-level funnels the same way —
+            # tests/metrics/test_advanced.py multistep funnel family)
+            known = set(self.graph.models)
+            texts = [
+                t for t in (
+                    metric.entity, metric.base_event,
+                    metric.conversion_event, metric.activity_event,
+                    metric.sql,
+                ) if t
+            ] + list(metric.steps or [])
+            for t in texts:
+                for m_, _f, _g in find_refs(t, known):
+                    return m_
+            if metric.entity:
+                owners = [
+                    name for name, mdl in self.graph.models.items()
+                    if mdl.dimension(metric.entity) is not None
+                ]
+                if len(owners) == 1:
+                    return owners[0]
         for cand in candidates:
             if "." in cand:
                 model_name = cand.split(".", 1)[0]
@@ -2252,6 +2275,8 @@ GROUP BY r.cohort_date, r.{periods_label}, s.cohort_size"""
     def _cohort_sql(self, r: Resolved, rm: RMetric) -> str:
         m = rm.metric
         model = self.graph.get_model(rm.model)
+        if m.inner_metrics:
+            return self._cohort_inner_metrics_sql(r, rm)
         if not (m.entity and m.sql and m.agg and m.cohort_aggregation):
             raise QueryCompileError(
                 f"cohort metric {m.name!r} needs entity, sql, agg (inner) and cohort_aggregation (outer)"
@@ -2299,6 +2324,113 @@ WITH {cte_name} AS (
 ),
 __per_entity AS (
     SELECT {', '.join(inner_group)}, {inner_agg} AS __entity_value
+    FROM {cte_name}
+    GROUP BY {', '.join(inner_group)}{having}
+)
+SELECT
+    {sel}{outer_agg} AS {rm.out}
+FROM __per_entity"""
+        if dim_cols:
+            sql += "\nGROUP BY " + ", ".join(dim_cols)
+        sql += self._order_limit(r)
+        return sql
+
+    def _cohort_inner_metrics_sql(self, r: Resolved, rm: RMetric) -> str:
+        """Reference cohort authoring surface (core/metric.py
+        ``inner_metrics`` + outer ``sql`` over the ``cohort_sub``
+        alias, tests/metrics/test_cohort.py): N per-entity aggregates,
+        an inner HAVING over their names, and an outer aggregate whose
+        expression references them through ``cohort_sub.<name>``."""
+        m = rm.metric
+        model = self.graph.get_model(rm.model)
+        if not m.entity:
+            raise QueryCompileError(f"cohort metric {m.name!r} needs entity")
+        if not (m.sql and m.agg):
+            raise QueryCompileError(
+                f"cohort metric {m.name!r} with inner_metrics needs an "
+                "outer sql and agg"
+            )
+        inner_specs: list[tuple[str, str, str | None]] = []
+        for im in m.inner_metrics:
+            name_ = im.get("name")
+            if not name_:
+                raise QueryCompileError(
+                    f"cohort metric {m.name!r}: inner metric missing name"
+                )
+            agg_ = im.get("agg")
+            sql_ = im.get("sql")
+            if not agg_:
+                raise QueryCompileError(
+                    f"cohort metric {m.name!r}: inner metric {name_!r} "
+                    "missing agg"
+                )
+            if not sql_ and agg_ != "count":
+                raise QueryCompileError(
+                    f"cohort metric {m.name!r}: inner metric {name_!r} "
+                    f"({agg_}) needs sql"
+                )
+            inner_specs.append((name_, agg_, sql_))
+
+        entity_dim = model.dimension(m.entity)
+        entity = entity_dim.expr if entity_dim else m.entity
+        extra = [("__entity", entity)]
+        val_cols: dict[str, str] = {}
+        for i, (name_, _agg, sql_) in enumerate(inner_specs):
+            if sql_:
+                vd = model.dimension(sql_)
+                extra.append((f"__val{i}", vd.expr if vd else sql_))
+                val_cols[name_] = f"__val{i}"
+        ed_cols = []
+        for dname in m.entity_dimensions:
+            if any(rd.out == dname for rd in r.dims):
+                continue
+            d = model.dimension(dname)
+            if d is None and model.metric(dname) is None:
+                raise QueryCompileError(
+                    f"cohort metric {m.name!r}: unknown dimension {dname!r}"
+                )
+            extra.append((dname, d.expr if d else dname))
+            ed_cols.append(dname)
+        cte_name, cte_sql = self._model_cte(r, rm.model, extra_time=extra)
+        dim_cols = [rd.out for rd in r.dims] + ed_cols
+        inner_group = ["__entity"] + dim_cols
+
+        inner_agg_of: dict[str, str] = {}
+        inner_sel = list(inner_group)
+        for name_, agg_, _sql in inner_specs:
+            col = val_cols.get(name_)
+            agg_sql = (
+                Metric(name=name_, agg=agg_, sql=col).agg_sql(col)
+                if col is not None
+                else "COUNT(*)"
+            )
+            inner_agg_of[name_] = agg_sql
+            inner_sel.append(f"{agg_sql} AS {name_}")
+        having = ""
+        if m.having:
+            h = m.having
+            for name_, agg_sql in inner_agg_of.items():
+                h = re.sub(rf"\b{re.escape(name_)}\b", f"({agg_sql})", h)
+            having = "\n    HAVING " + h
+
+        outer_expr = m.sql.replace("cohort_sub.", "")
+        if m.agg == "avg":
+            # exact SUM / COUNT (see _cohort_sql's determinism note)
+            outer_agg = (
+                f"CAST(SUM({outer_expr}) AS DOUBLE) / COUNT({outer_expr})"
+            )
+        else:
+            outer_agg = Metric(
+                name="outer", agg=m.agg, sql=outer_expr
+            ).agg_sql(outer_expr)
+
+        sel = (", ".join(dim_cols) + ",\n    ") if dim_cols else ""
+        sql = f"""{self._instrumentation(r, 'cohort')}
+WITH {cte_name} AS (
+    {cte_sql}
+),
+__per_entity AS (
+    SELECT {', '.join(inner_sel)}
     FROM {cte_name}
     GROUP BY {', '.join(inner_group)}{having}
 )

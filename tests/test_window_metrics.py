@@ -895,3 +895,153 @@ def test_graph_metric_wrapping_semi_additive_keeps_snapshot_plan(spark):
         ).collect()
     }
     assert rows == {"A": 110, "B": 210}
+
+
+def test_graph_level_funnel_resolves_owner_and_orders_steps(spark):
+    """Graph-level conversion metrics resolve their owning model from
+    the entity dimension, and the sequential step chain honors event
+    ORDER (reference test_multistep_funnel_repeated_actions_valid_path
+    + test_multistep_funnel_only_prior_step2_not_counted)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    def build(rows_sql, mname):
+        lay = SparkSemanticLayer(spark)
+        lay.add_model(Model(
+            name=mname, sql=rows_sql, primary_key="user_id",
+            dimensions=[Dimension(name="user_id"), Dimension(name="event"),
+                        Dimension(name="ts", type="time")],
+        ))
+        return lay
+
+    # purchase BEFORE signup plus another purchase AFTER: valid path
+    l1 = build(
+        "SELECT 1 AS user_id, 'purchase' AS event, CAST('2024-01-01' AS TIMESTAMP) AS ts"
+        " UNION ALL SELECT 1, 'signup', CAST('2024-01-05' AS TIMESTAMP)"
+        " UNION ALL SELECT 1, 'purchase', CAST('2024-01-10' AS TIMESTAMP)"
+        " UNION ALL SELECT 2, 'signup', CAST('2024-01-01' AS TIMESTAMP)"
+        " UNION ALL SELECT 2, 'purchase', CAST('2024-01-02' AS TIMESTAMP)",
+        "gf_ev1")
+    l1.graph.add_metric(Metric(name="f1", type="conversion", entity="user_id",
+                               steps=["event = 'signup'", "event = 'purchase'"]))
+    row = l1.query(metrics=["f1"]).collect()[0]
+    assert (row["step_1_count"], row["step_2_count"]) == (2, 2)
+
+    # purchase ONLY before signup: not counted at step 2
+    l2 = build(
+        "SELECT 1 AS user_id, 'purchase' AS event, CAST('2024-01-01' AS TIMESTAMP) AS ts"
+        " UNION ALL SELECT 1, 'signup', CAST('2024-01-05' AS TIMESTAMP)"
+        " UNION ALL SELECT 2, 'signup', CAST('2024-01-01' AS TIMESTAMP)"
+        " UNION ALL SELECT 2, 'purchase', CAST('2024-01-02' AS TIMESTAMP)",
+        "gf_ev2")
+    l2.graph.add_metric(Metric(name="f2", type="conversion", entity="user_id",
+                               steps=["event = 'signup'", "event = 'purchase'"]))
+    row = l2.query(metrics=["f2"]).collect()[0]
+    assert (row["step_1_count"], row["step_2_count"]) == (2, 1)
+
+
+def test_cohort_inner_metrics_surface(spark):
+    """The reference's inner_metrics cohort form: per-entity aggregates,
+    inner HAVING over their names, outer agg over cohort_sub refs
+    (reference tests/metrics/test_cohort.py
+    test_cohort_outer_sql_references_subquery + validation family)."""
+    import pytest as _pytest
+
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="co_events",
+        sql="SELECT 1 AS user_id, 'web' AS platform, 10 AS score"
+            " UNION ALL SELECT 1, 'mobile', 20"
+            " UNION ALL SELECT 2, 'web', 5"
+            " UNION ALL SELECT 2, 'mobile', 15"
+            " UNION ALL SELECT 3, 'mobile', 30",
+        primary_key="user_id",
+        dimensions=[Dimension(name="user_id"), Dimension(name="platform"),
+                    Dimension(name="score", type="number")],
+        metrics=[Metric(
+            name="avg_total_score", type="cohort", entity="user_id",
+            inner_metrics=[{"name": "total_score", "agg": "sum", "sql": "score"}],
+            having="total_score > 0", agg="avg", sql="cohort_sub.total_score",
+        )],
+    ))
+    val = layer.query(metrics=["co_events.avg_total_score"]).collect()[0][0]
+    assert abs(val - 26.667) < 0.01
+    by_platform = {
+        r["platform"]: r["avg_total_score"]
+        for r in layer.query(
+            metrics=["co_events.avg_total_score"],
+            dimensions=["co_events.platform"],
+        ).collect()
+    }
+    assert abs(by_platform["web"] - 7.5) < 1e-9
+
+    # validation: missing name / missing sql for non-count aggs
+    model = layer.graph.get_model("co_events")
+    for bad, msg in (
+        ({"agg": "sum", "sql": "score"}, "missing name"),
+        ({"name": "x", "agg": "sum"}, "needs sql"),
+        ({"name": "x", "agg": "count_distinct"}, "needs sql"),
+    ):
+        model.metrics[0].inner_metrics = [bad]
+        layer.generator._cache.clear()  # in-place metric edit: no generation bump
+        with _pytest.raises(QueryCompileError, match=msg):
+            layer.compile(metrics=["co_events.avg_total_score"])
+    model.metrics[0].inner_metrics = [
+        {"name": "total_score", "agg": "sum", "sql": "score"}]
+
+
+def test_sparse_month_comparison_uses_calendar_prior(spark):
+    """MoM against a SPARSE series compares to the calendar prior month
+    (missing -> NULL), never the previous available row (reference
+    test_month_comparison_does_not_use_previous_available_sparse_row)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="sp_sales",
+        sql="SELECT CAST('2024-01-01' AS TIMESTAMP) AS sale_date, 100 AS revenue"
+            " UNION ALL SELECT CAST('2024-03-01' AS TIMESTAMP), 180",
+        primary_key="sale_date",
+        dimensions=[Dimension(name="sale_date", type="time")],
+        metrics=[Metric(name="revenue", agg="sum", sql="revenue")],
+    ))
+    layer.graph.add_metric(Metric(
+        name="revenue_mom", type="time_comparison",
+        base_metric="sp_sales.revenue", comparison_type="mom",
+        calculation="difference"))
+    rows = layer.query(
+        metrics=["revenue_mom"], dimensions=["sp_sales.sale_date__month"],
+        order_by=["sale_date__month"],
+    ).collect()
+    assert rows[1][0].month == 3 and rows[1][1] is None
+
+
+def test_cumulative_fill_nulls_applies_after_window(spark):
+    """fill_nulls_with on a cumulative metric coalesces the WINDOWED
+    value, not the input (reference
+    test_cumulative_fill_nulls_applies_after_window)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="fn_sales",
+        sql="SELECT CAST('2024-01-01' AS TIMESTAMP) AS day, CAST(NULL AS INT) AS amount"
+            " UNION ALL SELECT CAST('2024-01-02' AS TIMESTAMP), 5",
+        primary_key="day",
+        dimensions=[Dimension(name="day", type="time", granularity="day")],
+        metrics=[Metric(name="amount", agg="sum", sql="amount")],
+    ))
+    layer.graph.add_metric(Metric(
+        name="running_amount", type="cumulative",
+        sql="fn_sales.amount", fill_nulls_with=0))
+    rows = layer.query(
+        metrics=["running_amount"], dimensions=["fn_sales.day__day"],
+        order_by=["day__day"],
+    ).collect()
+    assert [r["running_amount"] for r in rows] == [0, 5]
