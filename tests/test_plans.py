@@ -394,3 +394,63 @@ def test_source_overlap_no_nested_loop(spark, sf_dir):
     plan = _plan(source_overlap_matrix(spark.table("documents"), prefix_words=8))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ungrouped_preagg_route_plan_is_scan_filter_limit(spark, sf_dir, tmp_path):
+    """Drill-to-detail from a PK-carrying rollup compiles to a rollup
+    scan + filter + TakeOrdered — no aggregation, no join, and the only
+    ordering work is the top-N (100 TB shape: detail pages come off the
+    bucketed rollup without touching the fact table)."""
+    from sidemantic_spark.core.model import Dimension
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    layer = build_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    orders.dimensions.append(Dimension(name="okey", sql="o_orderkey"))
+    orders.reindex()
+    layer.graph._invalidate()
+    orders.pre_aggregations = [PreAggregation(
+        name="plans_detail",
+        measures=["revenue", "order_count"],
+        dimensions=["okey", "status"],
+    )]
+    layer.preaggs.base_path = str(tmp_path)
+    layer.preaggs.materialize("orders")
+    kw = dict(
+        metrics=["orders.revenue"],
+        dimensions=["orders.okey", "orders.status"],
+        filters=["orders.status = 'P'"],
+        order_by=["okey"],
+        limit=100,
+        ungrouped=True,
+    )
+    sql = layer.compile(**kw)
+    assert "plan=preagg-ungrouped" in sql
+    df = layer.query(**kw)
+    plan = _plan(df)
+    assert "orders_preagg_plans_detail" in plan or "revenue__sum" in plan
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filtered_measure_route_scans_rollup_partials(spark, sf_dir, tmp_path):
+    """A filtered measure served from a rollup reads pre-filtered
+    partial state: the plan scans the rollup columns, never re-reads
+    the base table or re-evaluates the filter."""
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    layer = build_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [PreAggregation(
+        name="plans_filt",
+        measures=["open_revenue"],
+        dimensions=["priority"],
+    )]
+    layer.preaggs.base_path = str(tmp_path)
+    layer.preaggs.materialize("orders")
+    df = layer.query(metrics=["orders.open_revenue"],
+                     dimensions=["orders.priority"])
+    plan = _optimized(df)
+    assert "open_revenue__sum" in plan
+    assert "o_totalprice" not in plan and "o_orderstatus" not in plan
