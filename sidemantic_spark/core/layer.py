@@ -276,7 +276,10 @@ class SparkSemanticLayer:
                 "filters": filters or [],
                 "order_by": order_by or [],
             })
-        if limit is None:
+        if limit is None and not with_totals:
+            # a configured default_limit must never page out the
+            # grand-total row (reference
+            # test_with_totals_ignores_configured_default_limit)
             limit = self.default_limit
         # graph-level parameter defaults, overridden per query
         defaults = {
@@ -286,7 +289,7 @@ class SparkSemanticLayer:
         }
         if defaults:
             parameters = {**defaults, **(parameters or {})}
-        if self.max_limit is not None:
+        if self.max_limit is not None and not with_totals:
             limit = min(limit, self.max_limit) if limit is not None else self.max_limit
         spec = QuerySpec(
             metrics=list(metrics or []),

@@ -188,6 +188,12 @@ class SqlGenerator:
                 "with_totals cannot be combined with ungrouped "
                 "(reference sql/generator.py:1061)"
             )
+        if spec.with_totals and (spec.limit is not None or spec.offset):
+            # paging would cut the grand-total row (reference
+            # test_with_totals_with_limit_raises)
+            raise QueryCompileError(
+                "with_totals cannot be combined with limit/offset"
+            )
         spec = self._apply_parameters_and_segments(spec)
         spec = self._apply_default_time_dims(spec)
         r = self._resolve(spec)
@@ -197,6 +203,11 @@ class SqlGenerator:
             if len(r.metrics) != 1:
                 raise QueryCompileError(
                     f"{special[0].metric.type} metrics compile standalone; got {len(r.metrics)} metrics"
+                )
+            if r.spec.with_totals:
+                raise QueryCompileError(
+                    f"with_totals is not supported for "
+                    f"{special[0].metric.type} metrics"
                 )
             rm = special[0]
             if rm.metric.type == "conversion":
@@ -216,6 +227,11 @@ class SqlGenerator:
             or self._derived_window_children(rm)
         ]
         if window_metrics:
+            if r.spec.with_totals:
+                raise QueryCompileError(
+                    "with_totals is not yet supported for window-metric "
+                    "queries (reference raises NotImplementedError too)"
+                )
             return self._window_sql(r, window_metrics)
 
         metric_models = sorted({rm.model for rm in r.metrics})

@@ -598,3 +598,39 @@ def test_list_valued_user_attribute_compiles(layer):
 def test_validate_query_unknown_model_returns_error(layer):
     errs = layer.validate_query(metrics=["no_such_model.revenue"])
     assert len(errs) == 1 and "no_such_model" in errs[0]
+
+
+def test_with_totals_guards(spark):
+    """with_totals guards mined from the reference ungrouped/totals
+    suite: explicit limit/offset raise (paging would cut the total
+    row), a configured default_limit is skipped, and window metrics
+    refuse (reference tests/queries/test_ungrouped_queries.py:342-375)."""
+    import pytest as _pytest
+
+    from sidemantic_spark.core.model import Metric
+    from sidemantic_spark.models.tpch import build_layer as _bl
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    layer = _bl(spark, "/root/testdata/sf0.001")
+    kw = dict(metrics=["orders.revenue"], dimensions=["orders.status"],
+              with_totals=True)
+    with _pytest.raises(QueryCompileError, match="limit/offset"):
+        layer.compile(limit=2, **kw)
+    with _pytest.raises(QueryCompileError, match="limit/offset"):
+        layer.compile(offset=1, **kw)
+    layer.default_limit = 1
+    try:
+        sql = layer.compile(**kw)
+        assert "GROUPING SETS" in sql and "LIMIT 1" not in sql
+        # ...but plain queries still get the default cap
+        plain = layer.compile(metrics=["orders.revenue"],
+                              dimensions=["orders.status"])
+        assert "LIMIT 1" in plain
+    finally:
+        layer.default_limit = None
+    layer.graph.add_metric(Metric(name="cum_rev_t", type="cumulative",
+                                  sql="orders.revenue"))
+    with _pytest.raises(QueryCompileError, match="with_totals"):
+        layer.compile(metrics=["cum_rev_t"],
+                      dimensions=["orders.order_date__day"],
+                      with_totals=True)
