@@ -2041,8 +2041,7 @@ class SqlGenerator:
             raise QueryCompileError(f"model {rm.model!r} needs a time dimension")
         tdim = model.dimension(tdim_name)
         ts = tdim.expr if tdim else tdim_name
-        entity_dim = model.dimension(m.entity)
-        entity = entity_dim.expr if entity_dim else m.entity
+        entity = self._entity_expr(model, m)
         window = interval_sql(m.conversion_window) if m.conversion_window else None
 
         for f in (m.base_event, m.conversion_event):
@@ -2134,8 +2133,7 @@ FROM __flags"""
             )
         tdim = model.dimension(tdim_name)
         ts = tdim.expr if tdim else tdim_name
-        entity_dim = model.dimension(m.entity)
-        entity = entity_dim.expr if entity_dim else m.entity
+        entity = self._entity_expr(model, m)
         for step in m.steps:
             self._event_filter_cols(step, rm.model, r)
         cte_name, cte_sql = self._model_cte(
@@ -2229,8 +2227,7 @@ FROM __step_1
             )
         tdim = model.dimension(tdim_name)
         ts = tdim.expr if tdim else tdim_name
-        entity_dim = model.dimension(m.entity)
-        entity = entity_dim.expr if entity_dim else m.entity
+        entity = self._entity_expr(model, m)
         grain = m.retention_granularity
         periods_label = f"{grain}s_since"
         for filt in (m.base_event, m.activity_event):
@@ -2288,6 +2285,22 @@ GROUP BY r.cohort_date, r.{periods_label}, s.cohort_size"""
     # ------------------------------------------------------------------
     # cohort metric (ref sql/generator.py:4694-4997)
     # ------------------------------------------------------------------
+    def _entity_expr(self, model, m: Metric) -> str:
+        """Entity column expression for conversion/retention/cohort
+        metrics.  The entity must resolve to a declared dimension or be
+        a plain column identifier — it is interpolated into generated
+        SQL, so free-form text would be an injection vector (reference
+        test_conversion_invalid_entity_rejected)."""
+        dim = model.dimension(m.entity)
+        if dim is not None:
+            return dim.expr
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", m.entity or ""):
+            raise QueryCompileError(
+                f"Invalid entity {m.entity!r} for metric {m.name!r}: "
+                "must be a declared dimension or a plain column identifier"
+            )
+        return m.entity
+
     def _cohort_sql(self, r: Resolved, rm: RMetric) -> str:
         m = rm.metric
         model = self.graph.get_model(rm.model)
@@ -2297,8 +2310,7 @@ GROUP BY r.cohort_date, r.{periods_label}, s.cohort_size"""
             raise QueryCompileError(
                 f"cohort metric {m.name!r} needs entity, sql, agg (inner) and cohort_aggregation (outer)"
             )
-        entity_dim = model.dimension(m.entity)
-        entity = entity_dim.expr if entity_dim else m.entity
+        entity = self._entity_expr(model, m)
         # the inner value may name a dimension whose sql differs
         val_dim = model.dimension(m.sql) if m.sql else None
         val_expr = val_dim.expr if val_dim else m.sql
@@ -2387,8 +2399,7 @@ FROM __per_entity"""
                 )
             inner_specs.append((name_, agg_, sql_))
 
-        entity_dim = model.dimension(m.entity)
-        entity = entity_dim.expr if entity_dim else m.entity
+        entity = self._entity_expr(model, m)
         extra = [("__entity", entity)]
         val_cols: dict[str, str] = {}
         for i, (name_, _agg, sql_) in enumerate(inner_specs):

@@ -608,3 +608,41 @@ def test_visibility_toggle_not_served_from_compile_cache(spark):
     with _pytest.raises(SecurityError, match="not public"):
         layer.compile(metrics=["gv_cc.total"])
     con.close()
+
+
+def test_conversion_entity_injection_rejected(spark):
+    """Conversion/retention/cohort entity names interpolate into SQL, so
+    anything that is not a declared dimension or plain identifier is
+    rejected (reference test_conversion_invalid_entity_rejected)."""
+    import pytest as _pytest
+
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="inj_events", table="inj_events_t", primary_key="event_id",
+        dimensions=[
+            Dimension(name="event_id", type="number"),
+            Dimension(name="user_id", type="number"),
+            Dimension(name="event_type"),
+            Dimension(name="event_time", type="time"),
+        ],
+        metrics=[
+            Metric(name="conv", type="conversion",
+                   entity="user_id; DROP TABLE--",
+                   base_event="inj_events.event_type = 'signup'",
+                   conversion_event="inj_events.event_type = 'purchase'",
+                   conversion_window="7 days"),
+            Metric(name="ret", type="retention",
+                   entity="uid'); DROP--",
+                   base_event="inj_events.event_type = 'install'",
+                   retention_granularity="day"),
+        ],
+    ))
+    with _pytest.raises(QueryCompileError, match="Invalid entity"):
+        layer.compile(metrics=["inj_events.conv"],
+                      dimensions=["inj_events.event_time"])
+    with _pytest.raises(QueryCompileError, match="Invalid entity"):
+        layer.compile(metrics=["inj_events.ret"])
