@@ -507,6 +507,9 @@ class SqlGenerator:
                 for flt in comp.filters:
                     for m, fld, _g in find_refs(flt, known):
                         extra_cols[m].add(fld)
+            # derived expressions may reference model.column directly
+            # (graph expression metrics): project those columns too
+            self._collect_derived_expr_columns(rm, extra_cols, known)
 
         return Resolved(
             spec=spec,
@@ -521,6 +524,47 @@ class SqlGenerator:
             extra_cols=extra_cols,
             component_metrics=component,
         )
+
+    def _collect_derived_expr_columns(
+        self, rm: RMetric, extra_cols: dict, known: set, depth: int = 0
+    ) -> None:
+        """Raw ``model.column`` refs inside derived/ratio expressions
+        must project into the owning model's CTE (the select rewrites
+        them to ``model_cte.column``)."""
+        if depth > 10:
+            return
+        m = rm.metric
+        if m.type == "derived" and m.expr:
+            for mo, fld, _g in find_refs(m.expr, known):
+                mdl = self.graph.models.get(mo)
+                if mdl is None or mo not in extra_cols:
+                    continue
+                child = mdl.metric(fld)
+                if child is not None:
+                    self._collect_derived_expr_columns(
+                        RMetric(mo, child, fld), extra_cols, known, depth + 1
+                    )
+                else:
+                    extra_cols[mo].add(fld)
+            for name in _identifiers(m.expr):
+                try:
+                    cm, c = self._lookup_metric(_qualify(name, rm.model))
+                except QueryCompileError:
+                    continue
+                self._collect_derived_expr_columns(
+                    RMetric(cm, c, c.name), extra_cols, known, depth + 1
+                )
+        elif m.type == "ratio":
+            for leg in (m.numerator, m.denominator):
+                if not leg:
+                    continue
+                try:
+                    cm, c = self._lookup_metric(_qualify(leg, rm.model))
+                except QueryCompileError:
+                    continue
+                self._collect_derived_expr_columns(
+                    RMetric(cm, c, c.name), extra_cols, known, depth + 1
+                )
 
     def _parse_ref(self, ref: str) -> tuple[str, str, str | None]:
         m = fragments.REF_RE.fullmatch(ref.strip())
@@ -556,6 +600,12 @@ class SqlGenerator:
         # (e.g. "finance.revenue_per_order") that shadow no model
         if ref in self.graph.metrics:
             metric = self.graph.metrics[ref]
+            if metric.type == "derived" and metric.expr and re.search(
+                rf"\b{re.escape(ref)}\b", metric.expr
+            ):
+                raise QueryCompileError(
+                    f"derived metric {ref!r} cannot reference itself"
+                )
             # passthrough: a typeless graph metric whose sql/expr is
             # exactly one model.measure reference ADOPTS that measure
             # wholesale (agg, filters, non-additive snapshot plan …) —
@@ -977,6 +1027,23 @@ class SqlGenerator:
                     RMetric(child_model, child, child.name), value_of, depth + 1
                 )
                 sql = sql.replace(key, f"({total})")
+
+            # dotted refs: model.metric recurses; model.column rewrites
+            # to the CTE column (projected via extra_cols in _resolve) —
+            # graph expression metrics like `SUM(orders.amount) * 2`
+            # reference raw columns directly (reference
+            # tests/test_validation.py graph-metric-name family)
+            def _dotted(mo: str, fld: str, g: str | None) -> str:
+                mdl = self.graph.models.get(mo)
+                if mdl is not None and mdl.metric(fld) is not None:
+                    cm, c = self._lookup_metric(f"{mo}.{fld}")
+                    return "(" + self._metric_sql(
+                        RMetric(cm, c, c.name), value_of, depth + 1
+                    ) + ")"
+                col = f"{mo}_cte.{fld}"
+                return _date_trunc(g, col) if g else col
+
+            sql = replace_refs(sql, set(self.graph.models), _dotted)
         elif metric.type in ("cumulative", "time_comparison"):
             base_ref = self._base_metric_ref(metric, rm.model)
             if base_ref is None:
@@ -1948,11 +2015,20 @@ class SqlGenerator:
                     expr = f"CAST({base_col} AS DOUBLE) / NULLIF(CAST({prior} AS DOUBLE), 0)"
                 elif calc == "prior":
                     expr = prior
-                else:  # percent_change: in percent, reference ×100
-                    # (sql/generator.py:6428)
+                elif calc in (None, "percent_change"):
+                    # in percent, reference ×100 (sql/generator.py:6428)
                     expr = (
                         f"CAST({base_col} - {prior} AS DOUBLE)"
                         f" / NULLIF(CAST({prior} AS DOUBLE), 0) * 100"
+                    )
+                else:
+                    # a typo'd calculation silently computing
+                    # percent_change would be a wrong answer (reference
+                    # raises on invalid calculation types too)
+                    raise QueryCompileError(
+                        f"metric {m.name!r}: unknown calculation "
+                        f"{calc!r}; expected difference | ratio | prior "
+                        "| percent_change"
                     )
                 emit(expr, rm)
             else:

@@ -111,3 +111,65 @@ def test_display_metadata_fields_roundtrip_yaml():
     ))
     text = export_yaml(graph)
     assert "value_format_name" in text and "synonyms" in text
+
+
+def test_graph_expression_metric_with_raw_column_refs(spark):
+    """Graph-level expression metrics referencing model.COLUMN project
+    the column into the CTE and rewrite the ref; an exact dotted graph
+    metric name wins over model.metric interpretation; dotted ratio legs
+    resolve the graph metric; self-references raise (reference
+    tests/test_validation.py + test_metric_expressions.py families)."""
+    import pytest as _pytest
+
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    spark.createDataFrame(
+        [(1, "paid", 100), (2, "paid", 50), (3, "open", 25)],
+        "id int, status string, amount int",
+    ).selectExpr("id", "status", "amount",
+                 "CAST('2024-01-01' AS TIMESTAMP) AS ts") \
+        .createOrReplaceTempView("ge_orders")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="ge_orders", table="ge_orders", primary_key="id",
+        dimensions=[Dimension(name="status"),
+                    Dimension(name="ts", type="time")],
+        metrics=[Metric(name="revenue", agg="sum", sql="amount")],
+    ))
+    # exact graph-metric name shadows the model metric of the same ref
+    layer.graph.add_metric(Metric(
+        name="ge_orders.revenue", type="derived",
+        sql="SUM(ge_orders.amount) * 2"))
+    rows = {
+        r["status"]: int(r[1])
+        for r in layer.query(
+            metrics=["ge_orders.revenue"], dimensions=["ge_orders.status"]
+        ).collect()
+    }
+    assert rows == {"open": 50, "paid": 300}
+    # dotted ratio legs resolve the graph metric, not the model metric
+    layer.graph.add_metric(Metric(
+        name="exact_ratio", type="ratio",
+        numerator="ge_orders.revenue", denominator="ge_orders.revenue"))
+    vals = [
+        float(r["exact_ratio"])
+        for r in layer.query(
+            metrics=["exact_ratio"], dimensions=["ge_orders.status"]
+        ).collect()
+    ]
+    assert vals == [1.0, 1.0]
+    # self-reference raises a clear error
+    layer.graph.add_metric(Metric(name="loopy", type="derived", sql="loopy + 1"))
+    with _pytest.raises(QueryCompileError, match="reference itself"):
+        layer.compile(metrics=["loopy"])
+    # invalid time-comparison calculation raises rather than silently
+    # computing percent_change
+    layer.graph.add_metric(Metric(
+        name="bad_calc_m", type="time_comparison",
+        base_metric="ge_orders.revenue", comparison_type="mom",
+        calculation="bogus_calc"))
+    with _pytest.raises(QueryCompileError, match="unknown calculation"):
+        layer.compile(metrics=["bad_calc_m"],
+                      dimensions=["ge_orders.ts__month"])
