@@ -45,8 +45,21 @@ class TableCalculation:
         if t == "formula":
             if not self.formula:
                 raise TableCalcError(f"table calc {self.name!r} needs formula")
-            return f"{self.formula} AS {self.name}"
+            # the reference's `${col}` placeholder form treats NULL
+            # result cells as 0 (ref table_calc_processor.py
+            # test_formula_with_null_becomes_zero); raw SQL formulas
+            # keep SQL NULL semantics
+            import re as _re
+
+            expr = _re.sub(
+                r"\$\{(\w+)\}", r"COALESCE(\1, 0)", self.formula
+            )
+            return f"{expr} AS {self.name}"
         if t in ("rank", "row_number"):
+            if not order and self.field:
+                # reference ranks by the field DESCENDING by default,
+                # NULL as 0 (ref test_rank_descending_by_default)
+                order = f"ORDER BY COALESCE({self.field}, 0) DESC"
             if not order:
                 raise TableCalcError(f"{self.name!r}: {t} needs order_by")
             fn = "RANK()" if t == "rank" else "ROW_NUMBER()"
@@ -55,10 +68,12 @@ class TableCalculation:
             raise TableCalcError(f"table calc {self.name!r} needs field")
         f = self.field
         if t in ("percent_of_total", "percent_of_column_total"):
-            # percentages, not fractions (ref table_calc_processor.py:184)
+            # percentages, not fractions (ref table_calc_processor.py:184);
+            # a NULL cell contributes 0% rather than NULL (ref
+            # test_null_in_percent_of_total)
             scope = part if t == "percent_of_total" else ""
             return (
-                f"CAST({f} AS DOUBLE) * 100 / NULLIF(CAST(SUM({f}) {over(scope)} AS DOUBLE), 0)"
+                f"CAST(COALESCE({f}, 0) AS DOUBLE) * 100 / NULLIF(CAST(SUM({f}) {over(scope)} AS DOUBLE), 0)"
                 f" AS {self.name}"
             )
         if t == "percent_of_previous":
@@ -72,8 +87,10 @@ class TableCalculation:
         if t == "running_total":
             if not order:
                 raise TableCalcError(f"{self.name!r}: running_total needs order_by")
+            # COALESCE keeps an all-NULL column at 0, matching the
+            # reference's NULL-as-0 accumulation
             return (
-                f"SUM({f}) {over(part, order, 'ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW')}"
+                f"SUM(COALESCE({f}, 0)) {over(part, order, 'ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW')}"
                 f" AS {self.name}"
             )
         if t == "percentile":
@@ -81,10 +98,12 @@ class TableCalculation:
         if t == "moving_average":
             if not order:
                 raise TableCalcError(f"{self.name!r}: moving_average needs order_by")
+            # NULL cells average as 0 over the FULL frame width (ref
+            # test_null_in_moving_average: (10 + NULL) / 2 = 5)
             frame = f"ROWS BETWEEN {self.window_size - 1} PRECEDING AND CURRENT ROW"
             return (
-                f"CAST(SUM({f}) {over(part, order, frame)} AS DOUBLE)"
-                f" / COUNT({f}) {over(part, order, frame)} AS {self.name}"
+                f"CAST(SUM(COALESCE({f}, 0)) {over(part, order, frame)} AS DOUBLE)"
+                f" / COUNT(*) {over(part, order, frame)} AS {self.name}"
             )
         raise TableCalcError(f"unknown table calc type {t!r}")
 

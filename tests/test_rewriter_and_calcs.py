@@ -730,3 +730,50 @@ def test_cte_shadowing_model_name(layer, duck):
         "WITH orders AS (SELECT 42 AS answer) SELECT answer FROM orders"
     )
     assert [r.answer for r in df.collect()] == [42]
+
+
+def test_table_calc_null_semantics_match_reference(spark):
+    """NULL handling parity with the reference's row processor
+    (tests/core/test_table_calculations.py NULL family): running totals
+    and formulas treat NULL as 0, percent_of_total yields 0%, moving
+    averages divide by the FULL frame width, rank defaults to field
+    DESC with NULL ranked as 0."""
+    from sidemantic_spark.sql.table_calcs import apply_table_calcs
+
+    spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 20.0)], "i int, value double"
+    ).createOrReplaceTempView("tc_nulls")
+    base = "SELECT i, value FROM tc_nulls"
+
+    def run(calc):
+        sql = apply_table_calcs(base, [calc])
+        return [r[-1] for r in spark.sql(sql).orderBy("i").collect()]
+
+    assert run(TableCalculation(
+        name="rt", type="running_total", field="value", order_by=["i"],
+    )) == [10.0, 10.0, 30.0]
+    assert run(TableCalculation(
+        name="ma", type="moving_average", field="value", order_by=["i"],
+        window_size=3,
+    )) == [10.0, 5.0, 10.0]
+    pct = run(TableCalculation(
+        name="pct", type="percent_of_total", field="value"))
+    by_i = dict(zip([1, 2, 3], pct))
+    assert by_i[2] == 0.0
+    assert abs(by_i[1] - 100.0 * 10 / 30) < 1e-9
+    # rank defaults to field DESC, NULL as 0 -> last
+    ranks = dict(zip([1, 2, 3], run(TableCalculation(
+        name="rnk", type="rank", field="value"))))
+    assert ranks == {1: 2, 2: 3, 3: 1}
+    # ${col} formula placeholders coalesce NULL to 0
+    f = run(TableCalculation(
+        name="s", type="formula", formula="${value} + 1"))
+    assert f == [11.0, 1.0, 21.0]
+    # all-NULL running total stays 0, not NULL
+    spark.createDataFrame(
+        [(1, None), (2, None)], "i int, value double"
+    ).createOrReplaceTempView("tc_allnull")
+    sql = apply_table_calcs("SELECT i, value FROM tc_allnull", [
+        TableCalculation(name="rt", type="running_total", field="value",
+                         order_by=["i"])])
+    assert [r[-1] for r in spark.sql(sql).orderBy("i").collect()] == [0.0, 0.0]
