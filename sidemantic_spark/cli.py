@@ -215,10 +215,26 @@ def cmd_info(args) -> int:
 
 
 def cmd_test(args) -> int:
-    from sidemantic_spark.testing import run_golden_tests
+    from sidemantic_spark.testing import check_schema_drift, run_golden_tests
 
     spark = _build_spark()
     layer = _load_layer(args, spark)
+    rc = 0
+    if getattr(args, "drift", False):
+        report = check_schema_drift(layer)
+        for e in report.errors:
+            print(f"DRIFT {e}")
+        print(
+            f"schema drift: {report.checked_models} models checked, "
+            f"{len(report.errors)} errors"
+        )
+        if report.errors:
+            rc = 1
+        if args.cases is None:
+            return rc
+    if args.cases is None:
+        print("no testcase file given (pass CASES or --drift)")
+        return 2
     results = run_golden_tests(layer, args.cases)
     failed = [r for r in results if not r.passed]
     for r in results:
@@ -226,7 +242,7 @@ def cmd_test(args) -> int:
         detail = "; ".join(r.failures) if r.failures else ""
         print(f"{status} {r.name}" + (f": {detail}" if detail else ""))
     print(f"{len(results) - len(failed)}/{len(results)} passed")
-    return 1 if failed else 0
+    return 1 if failed or rc else 0
 
 
 def cmd_preagg_recommend(args) -> int:
@@ -849,7 +865,9 @@ def build_parser() -> "argparse.ArgumentParser":
 
     p = sub.add_parser("test", help="run golden YAML testcases")
     _add_models_arg(p)
-    p.add_argument("cases", help="testcase YAML path")
+    p.add_argument("cases", nargs="?", default=None, help="testcase YAML path")
+    p.add_argument("--drift", action="store_true",
+                   help="check models against the live catalog schema")
     p.set_defaults(func=cmd_test)
 
     p = sub.add_parser("serve", help="run the HTTP/Arrow API server")

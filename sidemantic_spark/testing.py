@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import datetime
 import decimal
+import re
 from dataclasses import dataclass, field
 
 import yaml
@@ -113,3 +114,119 @@ def _value_eq(got, want, tol: float) -> bool:
         except (TypeError, ValueError):
             return False
     return got == want
+
+
+_IDENT_ONLY_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_COL_TOKEN_RE = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]*\b")
+_SQL_WORDS = {
+    "select", "from", "where", "and", "or", "not", "case", "when", "then",
+    "else", "end", "as", "cast", "sum", "count", "avg", "min", "max",
+    "distinct", "null", "true", "false", "coalesce", "nullif", "in", "is",
+    "like", "between", "interval", "double", "decimal", "int", "bigint",
+    "string", "varchar", "date", "timestamp", "boolean", "over", "partition",
+    "by", "order", "concat", "abs", "round", "floor", "ceil", "lower",
+    "upper", "if",
+}
+
+
+def _referenced_columns(expression: str) -> set[str]:
+    """Best-effort bare column references in a SQL expression fragment
+    (reference ``sidemantic/testing.py:205``): a bare identifier IS the
+    column; otherwise unqualified word tokens minus SQL keywords and
+    function names (a token followed by '(')."""
+    expr = expression.strip()
+    if _IDENT_ONLY_RE.match(expr):
+        return {expr}
+    out: set[str] = set()
+    for seg in re.split(r"('(?:[^']|'')*')", expr):
+        if seg.startswith("'"):
+            continue
+        for m in _COL_TOKEN_RE.finditer(seg):
+            tok = m.group(0)
+            end = m.end()
+            rest = seg[end:end + 1]
+            prev = seg[m.start() - 1] if m.start() > 0 else ""
+            if prev == ".":
+                continue  # qualified: table checked separately
+            if rest == "(" or seg[end:].lstrip()[:1] == "(":
+                continue  # function call
+            if tok.lower() in _SQL_WORDS or tok.isdigit():
+                continue
+            out.add(tok)
+    return out
+
+
+@dataclass
+class DriftReport:
+    errors: list[str] = field(default_factory=list)
+    warnings: list[str] = field(default_factory=list)
+    checked_models: int = 0
+
+    @property
+    def ok(self) -> bool:
+        return not self.errors
+
+
+def check_schema_drift(layer) -> "DriftReport":
+    """Compare loaded models against the LIVE Spark catalog (reference
+    ``sidemantic/testing.py:228``): dropped/renamed tables and columns
+    that static validation cannot see.  Every table/SQL-backed model is
+    probed with a zero-row analysis (no data read — Catalyst resolves
+    the schema) and declared pk/dimension/metric/relationship columns
+    are checked against the live column list."""
+    report = DriftReport()
+    layer.register_sources()
+    for model_name, model in sorted(layer.graph.models.items()):
+        if model.table:
+            probe = f"SELECT * FROM {model.table} LIMIT 0"
+        elif model.sql:
+            probe = f"SELECT * FROM ({model.sql}) AS _probe LIMIT 0"
+        elif model.source_uri:
+            probe = f"SELECT * FROM {model.name} LIMIT 0"
+        else:
+            continue
+        try:
+            live = {f.name.lower() for f in layer.spark.sql(probe).schema.fields}
+        except Exception as exc:
+            source = model.table or model.source_uri or "inline sql"
+            report.errors.append(
+                f"Model '{model_name}': cannot read {source}: "
+                f"{str(exc).splitlines()[0][:160]}"
+            )
+            continue
+        report.checked_models += 1
+
+        def check(kind: str, label: str, expression: str | None,
+                  columns=live, name=model_name) -> None:
+            for column in (_referenced_columns(expression) if expression else set()):
+                if column.lower() not in columns:
+                    report.errors.append(
+                        f"Model '{name}': {kind} '{label}' references "
+                        f"missing column '{column}'"
+                    )
+
+        if model.primary_key:
+            for column in model.pk_list():
+                if column.lower() not in live:
+                    report.errors.append(
+                        f"Model '{model_name}': primary key column "
+                        f"'{column}' not found in database"
+                    )
+        for dimension in model.dimensions:
+            if dimension.window:
+                continue  # window expressions reference output columns
+            check("dimension", dimension.name, dimension.sql or dimension.name)
+        for metric in model.metrics:
+            if metric.sql and metric.is_simple:
+                check("metric", metric.name, metric.sql)
+        for relationship in model.relationships:
+            for column in relationship.fk_list():
+                if relationship.type in ("one_to_many", "one_to_one"):
+                    continue  # FK lives on the RELATED model
+                if column.lower() not in live:
+                    report.errors.append(
+                        f"Model '{model_name}': relationship "
+                        f"'{relationship.name}' foreign key '{column}' "
+                        "not found in database"
+                    )
+    return report

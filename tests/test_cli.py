@@ -390,3 +390,47 @@ def test_cli_manpage(capsys):
     for cmd in ("query", "sql", "convert", "serve", "crossfilter",
                 "preagg", "workbench", "manpage"):
         assert f"\\fB{cmd}\\fR".replace("-", r"\-") in out or f"\\fB{cmd}\\fR" in out, cmd
+
+
+def test_schema_drift_detection(spark, sf_dir):
+    """check_schema_drift probes the live catalog and reports dropped/
+    renamed columns that static validation cannot see (reference
+    sidemantic/testing.py:228 + tests/test_testing.py drift family)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.testing import check_schema_drift
+
+    layer = build_layer(spark, sf_dir)
+    report = check_schema_drift(layer)
+    assert report.ok, report.errors
+    assert report.checked_models >= 5
+
+    bad = SparkSemanticLayer(spark)
+    bad.add_model(Model(
+        name="drift_orders", table="orders", primary_key="no_such_pk",
+        dimensions=[
+            Dimension(name="status", sql="o_orderstatus"),
+            Dimension(name="ghost", sql="o_ghost_column"),
+            Dimension(name="expr_ghost",
+                      sql="CASE WHEN missing_col > 1 THEN 'x' END"),
+        ],
+        metrics=[Metric(name="rev", agg="sum", sql="o_totalprice"),
+                 Metric(name="bad", agg="sum", sql="not_a_col")],
+        relationships=[Relationship(name="drift_cust", type="many_to_one",
+                                    foreign_key="o_missing_fk")],
+    ))
+    bad.add_model(Model(
+        name="drift_cust", table="no_such_table_anywhere", primary_key="id",
+    ))
+    rep = check_schema_drift(bad)
+    assert not rep.ok
+    joined = "\n".join(rep.errors)
+    assert "no_such_pk" in joined
+    assert "o_ghost_column" in joined
+    assert "missing_col" in joined
+    assert "not_a_col" in joined
+    assert "o_missing_fk" in joined
+    assert "no_such_table_anywhere" in joined
+    # the healthy columns produce no errors
+    assert "o_orderstatus" not in joined and "o_totalprice" not in joined
