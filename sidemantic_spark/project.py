@@ -52,6 +52,68 @@ def load_config(path: Path) -> dict[str, Any]:
     return data
 
 
+# -- raw data files (reference sidemantic/datafiles.py) ----------------------
+
+DATA_FILE_SUFFIXES = {".csv", ".tsv", ".parquet", ".json", ".jsonl", ".ndjson"}
+
+_SPARK_FORMATS = {
+    ".csv": "csv", ".tsv": "csv", ".parquet": "parquet",
+    ".json": "json", ".jsonl": "json", ".ndjson": "json",
+}
+
+
+def is_data_file(path: Path) -> bool:
+    return path.suffix.lower() in DATA_FILE_SUFFIXES
+
+
+def table_name_for(path: Path) -> str:
+    """Sanitized lowercase view name for a raw data file (reference
+    datafiles.py ``table_name_for``): non-identifier characters become
+    underscores, a leading digit gets a ``t_`` prefix, and an empty
+    residue falls back to ``data``."""
+    import re
+
+    stem = re.sub(r"[^A-Za-z0-9_]", "_", path.stem).lower()
+    stem = stem.strip("_") or "data"
+    if stem[0].isdigit():
+        stem = f"t_{stem}"
+    return stem
+
+
+def discover_data_files(directory: Path) -> list[Path]:
+    """Sorted data files directly under ``directory`` (reference
+    datafiles.py ``discover_data_files``); missing dir -> empty."""
+    if not directory.is_dir():
+        return []
+    return sorted(p for p in directory.iterdir() if p.is_file() and is_data_file(p))
+
+
+def register_data_files(spark, files: list[Path]) -> dict[str, Path]:
+    """Register each data file as a temp view under its sanitized name.
+    Duplicate resolved names and unsupported suffixes are errors, not
+    silent last-wins (reference build_file_views)."""
+    views: dict[str, Path] = {}
+    for p in files:
+        fmt = _SPARK_FORMATS.get(p.suffix.lower())
+        if fmt is None:
+            raise ProjectResolutionError(f"unsupported data file: {p}")
+        name = table_name_for(p)
+        if name in views:
+            raise ProjectResolutionError(
+                f"data files {views[name].name!r} and {p.name!r} both "
+                f"resolve to view {name!r}"
+            )
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.options(
+                header="true", inferSchema="true",
+                sep="\t" if p.suffix.lower() == ".tsv" else ",",
+            )
+        reader.load(str(p)).createOrReplaceTempView(name)
+        views[name] = p
+    return views
+
+
 @dataclass(frozen=True)
 class ProjectContext:
     """Discovered project and its shared command defaults
@@ -166,6 +228,13 @@ class ProjectContext:
                 if suffix == "csv":
                     reader = reader.options(header="true", inferSchema="true")
                 reader.load(str(path)).createOrReplaceTempView(name)
+            if not self.tables():
+                # conventional data/ directory: every raw data file
+                # auto-registers as a view under its sanitized name
+                # (reference project.py + datafiles.py auto-discovery)
+                register_data_files(
+                    session, discover_data_files(self.root / "data")
+                )
         pre = self.preagg_path()
         if pre is not None and getattr(layer, "preaggs", None) is not None:
             layer.preaggs.base_path = str(pre)

@@ -119,3 +119,56 @@ def test_cli_uses_project_config(tmp_path):
     lines = [l for l in out.stdout.strip().splitlines() if "," in l]
     assert "cat,total" in lines
     assert {"a,125", "b,50"} <= set(lines)
+
+
+def test_data_file_name_sanitization():
+    """Reference datafiles.py table_name_for parity."""
+    from pathlib import Path
+
+    from sidemantic_spark.project import table_name_for
+
+    assert table_name_for(Path("orders.csv")) == "orders"
+    assert table_name_for(Path("Orders.CSV")) == "orders"
+    assert table_name_for(Path("weird--name.csv")) == "weird__name"
+    assert table_name_for(Path("2020 orders!.csv")) == "t_2020_orders"
+    assert table_name_for(Path("__.csv")) == "data"
+
+
+def test_data_dir_auto_discovery(spark, tmp_path):
+    """A conventional data/ directory auto-registers every raw data
+    file as a view; duplicate resolved names are an error (reference
+    tests/test_datafiles.py + test_project_data_files.py)."""
+    import csv as _csv
+
+    import pytest as _pytest
+
+    from sidemantic_spark.project import (
+        ProjectContext,
+        ProjectResolutionError,
+        discover_data_files,
+        register_data_files,
+    )
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    d = tmp_path / "proj"
+    (d / "data").mkdir(parents=True)
+    (d / "models").mkdir()
+    (d / "sidemantic-spark.yml").write_text("models_dir: models\n")
+    with open(d / "data" / "My Sales!.csv", "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["id", "amount"])
+        w.writerows([[1, 10], [2, 20]])
+    (d / "data" / "notes.txt").write_text("not a data file")
+
+    files = discover_data_files(d / "data")
+    assert [p.name for p in files] == ["My Sales!.csv"]
+
+    ctx = ProjectContext.discover(start_dir=d)
+    layer = SparkSemanticLayer(spark)
+    ctx.apply(layer, spark)
+    assert spark.sql("SELECT SUM(amount) FROM my_sales").collect()[0][0] == 30
+
+    # duplicate resolved names refuse
+    (d / "data" / "my-sales.csv").write_text("id,amount\n3,5\n")
+    with _pytest.raises(ProjectResolutionError, match="resolve to view"):
+        register_data_files(spark, discover_data_files(d / "data"))
