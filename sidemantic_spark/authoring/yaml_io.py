@@ -13,6 +13,7 @@ models register as ``spark.read`` temp views at query time.
 from __future__ import annotations
 
 import os
+import re
 
 import yaml
 
@@ -117,9 +118,34 @@ def _listify(v) -> list:
 # parse
 # ---------------------------------------------------------------------
 
+def substitute_env_vars(content: str) -> str:
+    """Environment-variable substitution in YAML content (reference
+    ``adapters/sidemantic.py:209``): ``${VAR}``, ``${VAR:-default}``,
+    and the brace-less UPPERCASE ``$VAR`` form.  Missing variables
+    without a default keep the original text (never fail the load)."""
+    import os as _os
+
+    def replace_var(match: "re.Match") -> str:
+        var_expr = match.group(1)
+        if ":-" in var_expr:
+            var_name, default = var_expr.split(":-", 1)
+            return _os.environ.get(var_name, default)
+        value = _os.environ.get(var_expr)
+        return match.group(0) if value is None else value
+
+    content = re.sub(r"\$\{([^}]+)\}", replace_var, content)
+
+    def replace_simple(match: "re.Match") -> str:
+        value = _os.environ.get(match.group(1))
+        return match.group(0) if value is None else value
+
+    return re.sub(r"\$([A-Z_][A-Z0-9_]*)", replace_simple, content)
+
+
 def load_yaml(layer, text: str, *, source: str = "<yaml>") -> None:
     """Parse native YAML text and register its models/metrics/parameters
     on ``layer``. Raises AuthoringError with the full error list."""
+    text = substitute_env_vars(text)
     try:
         data = yaml.safe_load(text)
     except yaml.YAMLError as exc:

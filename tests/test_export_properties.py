@@ -124,3 +124,36 @@ def test_export_roundtrip_preserves_core(fmt, layer):
                     for rr in layer2.graph.models[side].relationships
                 )
                 assert kept, (fmt, mname, r.name)
+
+
+def test_yaml_env_var_substitution(spark, monkeypatch):
+    """${VAR}, ${VAR:-default}, and brace-less UPPERCASE $VAR substitute
+    in native YAML; missing vars without defaults keep the original text
+    (reference tests/adapters/test_env_vars.py)."""
+    from sidemantic_spark.authoring.yaml_io import substitute_env_vars
+    from sidemantic_spark.authoring import load_yaml
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    monkeypatch.setenv("SM_TABLE", "env_orders")
+    monkeypatch.setenv("DB_HOST", "localhost")
+    assert substitute_env_vars("host: ${DB_HOST}") == "host: localhost"
+    assert substitute_env_vars("host: ${MISSING:-fallback}") == "host: fallback"
+    assert substitute_env_vars("host: $DB_HOST") == "host: localhost"
+    assert substitute_env_vars("host: ${NOPE}") == "host: ${NOPE}"
+    assert substitute_env_vars("host: $NOPE_VAR") == "host: $NOPE_VAR"
+    # lowercase simple form is NOT substituted (case sensitive)
+    monkeypatch.setenv("db_host", "x")
+    assert substitute_env_vars("a: $db_host") == "a: $db_host"
+
+    layer = SparkSemanticLayer(spark)
+    load_yaml(layer, """
+version: 1
+models:
+  - name: env_model
+    table: ${SM_TABLE}
+    primary_key: id
+    metrics:
+      - name: n
+        agg: count
+""")
+    assert layer.graph.models["env_model"].table == "env_orders"
