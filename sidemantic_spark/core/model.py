@@ -326,9 +326,70 @@ class Parameter:
     query passes no override."""
 
     name: str
-    type: str = "string"  # string | number | date
+    type: str = "string"  # string | number | date | unquoted | yesno
     default_value: object = None
     description: str | None = None
+    allowed_values: list | None = None
+
+    _DATE_RE = re.compile(
+        r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?$"
+    )
+    _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+
+    def format_value(self, value) -> str:
+        """Render ``value`` as a COMPLETE SQL literal for this
+        parameter's type (reference ``core/parameter.py`` format_value):
+        numbers must parse, unquoted values must be identifiers, strings
+        escape embedded quotes — a parameter can never break out of its
+        literal position."""
+        if self.allowed_values is not None and value not in self.allowed_values:
+            raise ValueError(
+                f"Parameter {self.name!r}: value {value!r} not in "
+                f"allowed_values {self.allowed_values!r}"
+            )
+        t = self.type
+        if t == "number":
+            if isinstance(value, bool) or not isinstance(value, (int, float, str)):
+                raise ValueError(
+                    "Numeric parameter must be int, float, or a numeric "
+                    f"string, got {type(value).__name__}"
+                )
+            if isinstance(value, str):
+                try:
+                    value = float(value)
+                except ValueError:
+                    raise ValueError(
+                        f"Invalid numeric parameter value: {value!r}"
+                    ) from None
+            return str(value)
+        if t == "unquoted":
+            if not isinstance(value, str) or not self._IDENT_RE.match(value):
+                raise ValueError(
+                    f"Unquoted parameter {self.name!r} must be alphanumeric "
+                    f"identifiers (dot-separated), got {value!r}"
+                )
+            return value
+        if t == "yesno":
+            if isinstance(value, bool):
+                return "TRUE" if value else "FALSE"
+            if isinstance(value, str) and value.lower() in ("yes", "no", "true", "false"):
+                return "TRUE" if value.lower() in ("yes", "true") else "FALSE"
+            raise ValueError(
+                f"Yes/no parameter {self.name!r} must be boolean or "
+                f"yes/no, got {value!r}"
+            )
+        if t == "date":
+            import datetime as _dt
+
+            if isinstance(value, (_dt.date, _dt.datetime)):
+                return f"'{value.isoformat(sep=' ') if isinstance(value, _dt.datetime) else value.isoformat()}'"
+            if isinstance(value, str) and self._DATE_RE.match(value.strip()):
+                return f"'{value.strip()}'"
+            raise ValueError(
+                f"Invalid date parameter value for {self.name!r}: {value!r}"
+            )
+        # string: escape embedded quotes so the value stays one literal
+        return "'" + str(value).replace("'", "''") + "'"
 
 
 @dataclass

@@ -273,7 +273,20 @@ class SqlGenerator:
                     for k, v in context.items():
                         if v is None:
                             continue
-                        lit = f"'{v}'" if isinstance(v, str) else str(v)
+                        param = self.graph.parameters.get(k)
+                        if param is not None and hasattr(param, "format_value"):
+                            # typed formatting: numbers validate, strings
+                            # escape, unquoted values must be identifiers
+                            # (reference core/parameter.py format_value —
+                            # a value can never break out of its literal)
+                            try:
+                                lit = param.format_value(v)
+                            except ValueError as exc:
+                                raise QueryCompileError(str(exc)) from exc
+                        elif isinstance(v, str):
+                            lit = "'" + v.replace("'", "''") + "'"
+                        else:
+                            lit = str(v)
                         f = f.replace("{{ " + k + " }}", lit).replace("{{" + k + "}}", lit)
                 out.append(f)
             filters = [f for f in out if f.strip()]

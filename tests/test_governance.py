@@ -646,3 +646,39 @@ def test_conversion_entity_injection_rejected(spark):
                       dimensions=["inj_events.event_time"])
     with _pytest.raises(QueryCompileError, match="Invalid entity"):
         layer.compile(metrics=["inj_events.ret"])
+
+
+def test_parameter_typed_formatting_blocks_injection(spark):
+    """Typed parameter values render as complete literals (reference
+    tests/templates/test_parameters.py injection family): numbers must
+    parse, unquoted values must be identifiers, strings escape embedded
+    quotes, allowed_values is enforced."""
+    import pytest as _pytest
+
+    from sidemantic_spark.core.model import Parameter
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    layer = build_layer(spark, "/root/testdata/sf0.001")
+    layer.graph.add_parameter(Parameter(name="min_total", type="number",
+                                        default_value=0))
+    layer.graph.add_parameter(Parameter(name="status_p", type="string",
+                                        default_value="F"))
+    kw = dict(metrics=["orders.revenue"],
+              filters=["orders.total_price > {{ min_total }}",
+                       "orders.status = {{ status_p }}"])
+    sql = layer.compile(parameters={"min_total": "100", "status_p": "F"}, **kw)
+    assert "> 100.0" in sql and "= 'F'" in sql
+    with _pytest.raises(QueryCompileError, match="Invalid numeric"):
+        layer.compile(parameters={"min_total": "0) OR (1=1"}, **kw)
+    # a hostile string value stays ONE escaped literal
+    sql = layer.compile(parameters={"min_total": 0,
+                                    "status_p": "F' OR '1'='1"}, **kw)
+    assert "= 'F'' OR ''1''=''1'" in sql
+    # allowed_values enforcement
+    layer.graph.add_parameter(Parameter(
+        name="region_p", type="string", allowed_values=["EMEA", "APAC"]))
+    with _pytest.raises(QueryCompileError, match="allowed_values"):
+        layer.compile(metrics=["orders.revenue"],
+                      filters=["orders.status = {{ region_p }}"],
+                      parameters={"region_p": "nope"})
