@@ -309,6 +309,16 @@ def _semantic_sql_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_sql_from_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`FROM metrics` virtual catalog table (round-5 feature; reference
+    sql/query_rewriter.py from-metrics route): cross-model fields by
+    qualified name, no base model in the FROM."""
+    return _layer(spark, sf_dir).sql(
+        "SELECT orders.revenue, customer.mktsegment FROM metrics "
+        "GROUP BY customer.mktsegment"
+    )
+
+
 def _semantic_sql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _layer(spark, sf_dir).sql(
         "SELECT orders.status, orders.revenue FROM orders WHERE orders.status = 'O' "
@@ -1422,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_sql_expression": _semantic_sql_expression,
         "semantic_sql_cte_island": _semantic_sql_cte_island,
         "semantic_sql_union": _semantic_sql_union,
+        "semantic_sql_from_metrics": _semantic_sql_from_metrics,
         "semantic_sql_qualify_topn": _semantic_sql_qualify_topn,
         "semantic_sql_time_rollup": _semantic_sql_time_rollup,
         "yardstick_aggregate": _yardstick_aggregate,
@@ -2027,6 +2038,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus AS status,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        """,
+        "semantic_sql_from_metrics": """
+            SELECT CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   c.c_mktsegment AS mktsegment
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 2
         """,
         "semantic_sql_qualify_topn": """
             SELECT o_orderstatus AS status,

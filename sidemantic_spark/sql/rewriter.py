@@ -340,6 +340,13 @@ class SemanticSqlRewriter:
 
     def _rewrite_with(self, sql: str) -> str:
         body = re.sub(r"^\s*WITH\b", "", sql, count=1, flags=re.IGNORECASE)
+        recursive = ""
+        m_rec = re.match(r"\s*RECURSIVE\b", body, re.IGNORECASE)
+        if m_rec:
+            # user RECURSIVE CTEs pass through verbatim (reference
+            # test_semantic_root_with_recursive_cte_preserved)
+            recursive = "RECURSIVE "
+            body = body[m_rec.end():]
         # scan `name AS ( ... )` items sequentially: a top-level comma
         # continues the CTE list, anything else starts the outer SELECT
         ctes: list[tuple[str, str]] = []
@@ -392,7 +399,7 @@ class SemanticSqlRewriter:
             seen_ctes.add(name)
         if self._is_semantic(outer, shadowed=seen_ctes):
             outer = self._rewrite_node(outer)
-        return "WITH " + ",\n".join(rendered) + "\n" + outer
+        return "WITH " + recursive + ",\n".join(rendered) + "\n" + outer
 
     def _rewrite_from_subquery(self, sql: str) -> str | None:
         """SELECT ... FROM (<semantic select>) alias ... — rewrite the
@@ -903,11 +910,53 @@ class SemanticSqlRewriter:
         else:
             base_model = from_clause
         graph = self.layer.graph
+        items = _split_items(select_list)
+        if base_model not in graph.models and base_model.lower() == "metrics":
+            # `FROM metrics` virtual catalog table (reference
+            # sql/query_rewriter.py from-metrics route)
+            return self._rewrite_metrics_table(items, clause_vals)
         model = graph.get_model(base_model)
+
+        # SELECT * expands to the base model's public dimensions and
+        # simple/ratio/derived metrics (reference
+        # test_select_star_expansion; window/funnel metrics need their
+        # own plans and are not auto-included)
+        if any(it.strip() == "*" for it in items):
+            expanded: list[str] = []
+            for it in items:
+                if it.strip() != "*":
+                    expanded.append(it)
+                    continue
+                expanded += [
+                    f"{base_model}.{d.name}" for d in model.dimensions if d.public
+                ]
+                expanded += [
+                    f"{base_model}.{mm.name}" for mm in model.metrics
+                    if mm.public and (
+                        mm.is_simple or mm.type in ("ratio", "derived")
+                    )
+                ]
+            items = expanded
+
+        # ad-hoc COUNT(*) = a count metric of the base model (reference
+        # test_ad_hoc_count_aggregation); registered once, hidden name
+        out_items: list[str] = []
+        for it in items:
+            ref, alias = _split_item_alias(it)
+            if re.fullmatch(r"COUNT\s*\(\s*\*\s*\)", ref.strip(), re.IGNORECASE):
+                if model.metric("__adhoc_count") is None:
+                    from sidemantic_spark.core.model import Metric as _Metric
+
+                    model.metrics.append(_Metric(name="__adhoc_count", agg="count"))
+                    model.reindex()
+                    graph._invalidate()
+                out_items.append(f"{base_model}.__adhoc_count AS {alias or 'count'}")
+            else:
+                out_items.append(it)
+        items = out_items
 
         metrics: list[str] = []
         dimensions: list[str] = []
-        items = _split_items(select_list)
         if any(_parse_at_item(it) is not None for it in items):
             return self._rewrite_at_select(items, clause_vals, base_model)
         classified: list[tuple[str, str, str | None]] = []
@@ -953,6 +1002,55 @@ class SemanticSqlRewriter:
             return self._apply_qualify(
                 spec, clause_vals["QUALIFY"], classified, base_model
             )
+        return self._generate(spec)
+
+    def _rewrite_metrics_table(self, items: list[str], clause_vals: dict) -> str:
+        """``FROM metrics`` virtual table (reference
+        sql/query_rewriter.py from-metrics route + tests/queries/
+        test_sql_rewriter.py:1038-1129): query ANY model's fields by
+        model-qualified name, plus graph-level metrics by bare name.
+        SELECT * and bare field names are rejected — no base model
+        scopes them."""
+        graph = self.layer.graph
+        metrics: list[str] = []
+        dimensions: list[str] = []
+        for item in items:
+            ref, alias = _split_item_alias(item)
+            ref = ref.strip()
+            if ref == "*":
+                raise QueryCompileError(
+                    "FROM metrics does not support SELECT *; name "
+                    "model-qualified fields"
+                )
+            if ref in graph.metrics:
+                metrics.append(f"{ref} AS {alias}" if alias else ref)
+                continue
+            target = self._classify_ref(ref, base_model=None)
+            if target is None:
+                raise QueryCompileError(
+                    f"FROM metrics requires model-qualified metric/"
+                    f"dimension names (or graph metrics); got {ref!r}"
+                )
+            kind, full = target
+            rendered = f"{full} AS {alias}" if alias else full
+            (metrics if kind == "metric" else dimensions).append(rendered)
+        filters = []
+        if "WHERE" in clause_vals:
+            filters.append(clause_vals["WHERE"])
+        if "HAVING" in clause_vals:
+            filters.append(clause_vals["HAVING"])
+        order_by = (
+            _split_items(clause_vals["ORDER BY"])
+            if "ORDER BY" in clause_vals else []
+        )
+        spec = QuerySpec(
+            metrics=metrics,
+            dimensions=dimensions,
+            filters=filters,
+            order_by=order_by,
+            limit=int(clause_vals["LIMIT"]) if "LIMIT" in clause_vals else None,
+            offset=int(clause_vals["OFFSET"]) if "OFFSET" in clause_vals else None,
+        )
         return self._generate(spec)
 
     def _apply_qualify(
@@ -1386,7 +1484,7 @@ class SemanticSqlRewriter:
                     return True
         return False
 
-    def _classify_ref(self, ref: str, base_model: str) -> tuple[str, str] | None:
+    def _classify_ref(self, ref: str, base_model: str | None) -> tuple[str, str] | None:
         ref = ref.strip()
         graph = self.layer.graph
         m = re.fullmatch(
@@ -1403,7 +1501,9 @@ class SemanticSqlRewriter:
             if model.dimension(field) is not None:
                 return ("dim", ref)
             return None
-        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(?:__[a-z]+)?", ref):
+        if base_model is not None and re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_]*(?:__[a-z]+)?", ref
+        ):
             # bare column: resolve against the base model
             base = ref.split("__", 1)[0]
             model = graph.get_model(base_model)

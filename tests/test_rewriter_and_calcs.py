@@ -777,3 +777,68 @@ def test_table_calc_null_semantics_match_reference(spark):
         TableCalculation(name="rt", type="running_total", field="value",
                          order_by=["i"])])
     assert [r[-1] for r in spark.sql(sql).orderBy("i").collect()] == [0.0, 0.0]
+
+
+def test_from_metrics_virtual_table(spark, sf_dir, duck):
+    """`FROM metrics` virtual catalog table: any model's fields by
+    qualified name, graph metrics by bare name; SELECT * and bare field
+    names are rejected (reference tests/queries/test_sql_rewriter.py
+    from-metrics family)."""
+    import pytest as _pytest
+
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.sql.generator import QueryCompileError
+    from tests.conftest import assert_df_matches_oracle
+
+    layer = build_layer(spark, sf_dir)
+    df = layer.sql(
+        "SELECT orders.revenue, customer.mktsegment FROM metrics "
+        "GROUP BY customer.mktsegment"
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue,
+               c.c_mktsegment AS mktsegment
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 2
+        """,
+    )
+    with _pytest.raises(QueryCompileError, match="SELECT \\*"):
+        layer.rewrite("SELECT * FROM metrics")
+    with _pytest.raises(QueryCompileError, match="model-qualified"):
+        layer.rewrite("SELECT revenue FROM metrics")
+
+
+def test_select_star_and_adhoc_count(spark, sf_dir, duck):
+    """SELECT * expands to public dims + simple metrics; ad-hoc COUNT(*)
+    aggregates base rows (reference test_select_star_expansion +
+    test_ad_hoc_count_aggregation)."""
+    from sidemantic_spark.models.tpch import build_layer
+    from tests.conftest import assert_df_matches_oracle
+
+    layer = build_layer(spark, sf_dir)
+    df = layer.sql("SELECT COUNT(*) AS n, orders.status FROM orders "
+                   "GROUP BY orders.status")
+    assert_df_matches_oracle(
+        df,
+        duck,
+        "SELECT COUNT(*) AS n, o_orderstatus AS status FROM orders GROUP BY 2",
+    )
+    star = layer.rewrite("SELECT * FROM region")
+    cols = layer.spark.sql(star).columns
+    assert "name" in cols  # region's public dimension expanded
+
+
+def test_recursive_cte_preserved(spark, sf_dir, duck):
+    from sidemantic_spark.models.tpch import build_layer
+
+    layer = build_layer(spark, sf_dir)
+    out = layer.rewrite(
+        "WITH RECURSIVE nums AS (SELECT 1 AS n UNION ALL SELECT n+1 "
+        "FROM nums WHERE n < 3) "
+        "SELECT nums.n FROM nums"
+    )
+    assert "RECURSIVE" in out
+    assert sorted(r[0] for r in layer.spark.sql(out).collect()) == [1, 2, 3]
