@@ -380,10 +380,14 @@ def minhash_lsh_pairs(
 
     cand = pairs_from_bucket_keys(banded)
     if broadcast_verify is None:
-        # auto: one cheap count of the input (id+text scan, no shingle
-        # work) decides the strategy — the operator-level analogue of
-        # AQE's size-based join planning
-        broadcast_verify = df.count() <= broadcast_doc_cap
+        # auto: a LIMIT-bounded count decides the strategy — Spark stops
+        # scanning once cap+1 rows exist, so the gate costs O(cap) rows
+        # instead of a full corpus count (the operator-level analogue of
+        # AQE's size-based join planning)
+        broadcast_verify = (
+            df.select(F.lit(1)).limit(broadcast_doc_cap + 1).count()
+            <= broadcast_doc_cap
+        )
     return _exact_jaccard_verify(
         cand, shingled, "__sh", jaccard_threshold, broadcast_verify
     )
@@ -796,5 +800,7 @@ def ngram_jaccard_pairs(
     cand = pairs_from_bucket_keys(banded, bucket_cap=1024)
     # size-gated exact verify shared with minhash_lsh_pairs
     return _exact_jaccard_verify(
-        cand, docs, "__grams", threshold, broadcast_verify=df.count() <= 100_000
+        cand, docs, "__grams", threshold,
+        # LIMIT-bounded gate: early-exits instead of counting the corpus
+        broadcast_verify=df.select(F.lit(1)).limit(100_001).count() <= 100_000,
     )
