@@ -30,7 +30,14 @@ class SparkSemanticLayer:
         self.max_limit = max_limit
         self.enforce_visibility = True
         self._registered_sources: set[str] = set()
-        self._result_cache: dict[str, DataFrame] = {}
+        # content-keyed result cache: key -> (persisted DataFrame,
+        # monotonic stamp); LRU-bounded + optional TTL (reference
+        # core/result_cache.py)
+        self._result_cache: dict[str, tuple] = {}
+        self.result_cache_max_entries = 32
+        self.result_cache_ttl_seconds: float | None = None
+        self._cache_hits = 0
+        self._cache_misses = 0
         self.query_log: list[str] = []  # instrumentation headers, recommender input
 
     # -- registry ----------------------------------------------------
@@ -329,7 +336,7 @@ class SparkSemanticLayer:
         sql = self.compile(**kwargs)
         if use_cache:
             key = self._cache_key(sql, kwargs.get("user"))
-            hit = self._result_cache.get(key)
+            hit = self._cache_get(key)
             if hit is not None:
                 return hit
         try:
@@ -350,8 +357,59 @@ class SparkSemanticLayer:
             # content-keyed result cache (ref core/result_cache.py:22-50);
             # Spark-side: persist the DataFrame, dedup by compiled plan
             df = df.persist()
-            self._result_cache[key] = df
+            self._cache_put(key, df)
         return df
+
+    def _cache_get(self, key: str):
+        import time as _time
+
+        entry = self._result_cache.get(key)
+        if entry is None:
+            self._cache_misses += 1
+            return None
+        df, stamp = entry
+        if (
+            self.result_cache_ttl_seconds is not None
+            and _time.monotonic() - stamp > self.result_cache_ttl_seconds
+        ):
+            # expired: unpersist and treat as a miss (reference
+            # core/result_cache.py TTL expiry)
+            self._result_cache.pop(key, None)
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+            self._cache_misses += 1
+            return None
+        # LRU touch: move to the end
+        self._result_cache.pop(key)
+        self._result_cache[key] = (df, stamp)
+        self._cache_hits += 1
+        return df
+
+    def _cache_put(self, key: str, df) -> None:
+        import time as _time
+
+        self._result_cache[key] = (df, _time.monotonic())
+        while len(self._result_cache) > self.result_cache_max_entries:
+            # LRU eviction: the persisted block manager memory is the
+            # budget the reference's byte cap models (ref
+            # core/result_cache.py LRU-by-bytes); evicted frames
+            # unpersist so the executor memory is actually released
+            _old_key, (old_df, _s) = next(iter(self._result_cache.items()))
+            self._result_cache.pop(_old_key)
+            try:
+                old_df.unpersist()
+            except Exception:
+                pass
+
+    @property
+    def result_cache_stats(self) -> dict:
+        return {
+            "entries": len(self._result_cache),
+            "hits": self._cache_hits,
+            "misses": self._cache_misses,
+        }
 
     def _warn_deprecations(self, metrics: list[str], dimensions: list[str]) -> None:
         """Non-fatal DeprecationWarning for every referenced deprecated
@@ -429,7 +487,7 @@ class SparkSemanticLayer:
         return hashlib.sha256(payload.encode()).hexdigest()
 
     def clear_result_cache(self) -> None:
-        for df in self._result_cache.values():
+        for df, _stamp in self._result_cache.values():
             try:
                 df.unpersist()
             except Exception:

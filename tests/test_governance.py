@@ -682,3 +682,40 @@ def test_parameter_typed_formatting_blocks_injection(spark):
         layer.compile(metrics=["orders.revenue"],
                       filters=["orders.status = {{ region_p }}"],
                       parameters={"region_p": "nope"})
+
+
+def test_result_cache_lru_ttl_and_stats(spark, sf_dir):
+    """LRU eviction unpersists the oldest entry, TTL expiry is a miss,
+    and hit/miss stats are observable (reference core/result_cache.py
+    LRU-by-bytes / TTL / counters)."""
+    from sidemantic_spark.models.tpch import build_layer
+
+    layer = build_layer(spark, sf_dir)
+    layer.clear_result_cache()
+    layer._cache_hits = layer._cache_misses = 0
+    layer.result_cache_max_entries = 2
+
+    q1 = dict(metrics=["orders.revenue"], dimensions=["orders.status"])
+    q2 = dict(metrics=["orders.revenue"], dimensions=["orders.priority"])
+    q3 = dict(metrics=["orders.order_count"], dimensions=["orders.status"])
+    a = layer.query(use_cache=True, **q1)
+    assert layer.query(use_cache=True, **q1) is a  # hit
+    layer.query(use_cache=True, **q2)
+    layer.query(use_cache=True, **q3)  # evicts q1 (LRU)
+    assert len(layer._result_cache) == 2
+    b = layer.query(use_cache=True, **q1)  # miss: recomputed
+    assert b is not a
+    stats = layer.result_cache_stats
+    assert stats["hits"] == 1 and stats["entries"] == 2
+
+    # TTL expiry via an injected stamp (no sleeping)
+    layer.result_cache_ttl_seconds = 1000.0
+    c = layer.query(use_cache=True, **q1)
+    key = next(reversed(layer._result_cache))
+    df, _stamp = layer._result_cache[key]
+    layer._result_cache[key] = (df, _stamp - 5000.0)  # age it out
+    d = layer.query(use_cache=True, **q1)
+    assert d is not c
+    layer.result_cache_ttl_seconds = None
+    layer.result_cache_max_entries = 32
+    layer.clear_result_cache()
