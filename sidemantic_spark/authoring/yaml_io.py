@@ -668,13 +668,19 @@ def validate_graph(graph) -> list[str]:
 # filesystem entry points
 # ---------------------------------------------------------------------
 
-def load_path(layer, path: str) -> None:
+def load_path(layer, path: str, strict: bool = True) -> None:
     """Load one file or every ``*.yml``/``*.yaml``/``*.sql``/``*.py``
     under a directory (mixed directories are the reference's
     ``mixed_yaml_sql_directory`` fixture; ``.py`` files are Python
     semantic definition files executed inside ``with layer:`` so
     constructed Models auto-register — reference ``loaders.py`` +
-    ``core/registry.py:62``)."""
+    ``core/registry.py:62``).
+
+    ``strict=True`` (default) fails WITHOUT leaving a partial graph:
+    YAML parse errors are detected up front, before any file loads
+    (reference test_load_from_directory_strict_raises_on_detected_
+    parse_error).  ``strict=False`` skips unloadable files with a
+    warning (explicit lenient opt-in)."""
     from sidemantic_spark.authoring.sql_defs import load_sql_definitions
 
     if os.path.isdir(path):
@@ -685,15 +691,33 @@ def load_path(layer, path: str) -> None:
             raise AuthoringError(f"no model files under {path!r}")
     else:
         files = [path]
+    if strict:
+        for f in files:
+            if not f.endswith((".yml", ".yaml")):
+                continue
+            try:
+                with open(f) as fh:
+                    yaml.safe_load(fh.read())
+            except yaml.YAMLError as exc:
+                raise AuthoringError(
+                    f"Could not parse {f}: {exc}"
+                ) from exc
     for f in files:
         with open(f) as fh:
             text = fh.read()
-        if f.endswith(".sql"):
-            load_sql_definitions(layer, text, source=f)
-        elif f.endswith(".py"):
-            load_python_definitions(layer, text, source=f)
-        else:
-            load_yaml(layer, text, source=f)
+        try:
+            if f.endswith(".sql"):
+                load_sql_definitions(layer, text, source=f)
+            elif f.endswith(".py"):
+                load_python_definitions(layer, text, source=f)
+            else:
+                load_yaml(layer, text, source=f)
+        except Exception as exc:
+            if strict:
+                raise
+            import warnings as _warnings
+
+            _warnings.warn(f"skipped {f}: {exc}")
 
 
 def load_python_definitions(layer, source_text: str, *, source: str = "<py>") -> None:

@@ -172,3 +172,33 @@ def test_data_dir_auto_discovery(spark, tmp_path):
     (d / "data" / "my-sales.csv").write_text("id,amount\n3,5\n")
     with _pytest.raises(ProjectResolutionError, match="resolve to view"):
         register_data_files(spark, discover_data_files(d / "data"))
+
+
+def test_directory_load_strict_vs_lenient(spark, tmp_path):
+    """Strict directory loading raises on a YAML parse error WITHOUT
+    leaving a partial graph; lenient mode skips the broken file with a
+    warning (reference tests/test_loaders.py strict/lenient pair)."""
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    from sidemantic_spark.authoring import load_path
+    from sidemantic_spark.authoring.yaml_io import AuthoringError
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    (tmp_path / "good.yml").write_text(
+        "models:\n  - name: ld_orders\n    table: orders\n"
+        "    primary_key: id\n    metrics:\n      - name: n\n        agg: count\n")
+    (tmp_path / "zbad.yml").write_text("models:\n  - name: broken\n    table: [\n")
+
+    layer = SparkSemanticLayer(spark)
+    with _pytest.raises(AuthoringError, match="Could not parse"):
+        load_path(layer, str(tmp_path))
+    assert not layer.graph.models  # strict failure left no partial graph
+
+    layer2 = SparkSemanticLayer(spark)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        load_path(layer2, str(tmp_path), strict=False)
+    assert set(layer2.graph.models) == {"ld_orders"}
+    assert any("zbad" in str(w.message) for w in caught)
