@@ -47,6 +47,11 @@ class SemanticHttpServer:
         # rejects data requests lacking a valid header.
         self.require_user_attrs = require_user_attrs
         self.user_header = user_header
+        # short-lived sessions exchanged for the bearer token (reference
+        # server/api_server.py /auth/session): token -> monotonic expiry
+        self.session_ttl_seconds = 600
+        self._sessions: dict[str, float] = {}
+        self._sessions_lock = threading.Lock()
         handler = _make_handler(self)
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread: threading.Thread | None = None
@@ -65,6 +70,39 @@ class SemanticHttpServer:
         self._httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)
+
+    # -- sessions ------------------------------------------------------
+
+    def issue_session(self) -> str:
+        import secrets
+        import time
+
+        tok = secrets.token_urlsafe(32)
+        with self._sessions_lock:
+            # opportunistic sweep of expired sessions
+            now = time.monotonic()
+            for k in [k for k, exp in self._sessions.items() if exp < now]:
+                self._sessions.pop(k, None)
+            self._sessions[tok] = now + self.session_ttl_seconds
+        return tok
+
+    def session_valid(self, tok: str | None) -> bool:
+        import time
+
+        if not tok:
+            return False
+        with self._sessions_lock:
+            exp = self._sessions.get(tok)
+            if exp is None:
+                return False
+            if exp < time.monotonic():
+                self._sessions.pop(tok, None)
+                return False
+            return True
+
+    def revoke_session(self, tok: str | None) -> None:
+        with self._sessions_lock:
+            self._sessions.pop(tok or "", None)
 
     # -- request handlers --------------------------------------------
 
@@ -197,13 +235,30 @@ def _make_handler(server: SemanticHttpServer):
             self.end_headers()
             self.wfile.write(payload)
 
+        def _session_token(self) -> str | None:
+            auth = self.headers.get("Authorization", "")
+            if auth.startswith("Sidemantic-Session "):
+                return auth.split(" ", 1)[1].strip()
+            cookie = self.headers.get("Cookie", "")
+            for part in cookie.split(";"):
+                k, _, v = part.strip().partition("=")
+                if k == "sidemantic_session":
+                    return v
+            return None
+
         def _authed(self) -> bool:
             if server.token is None:
                 return True
             auth = self.headers.get("Authorization", "")
-            return auth == f"Bearer {server.token}"
+            if auth == f"Bearer {server.token}":
+                return True
+            return server.session_valid(self._session_token())
 
         def do_GET(self):  # noqa: N802 (stdlib API)
+            if self.path == "/readyz":
+                # liveness probe stays public (reference
+                # test_readyz_is_public)
+                return self._ok(b'{"status": "ok"}')
             if not self._authed():
                 return self._deny(401, "unauthorized")
             if self.path == "/health":
@@ -234,7 +289,39 @@ def _make_handler(server: SemanticHttpServer):
                     )
             return self._deny(404, "not found")
 
+        def do_DELETE(self):  # noqa: N802
+            if self.path == "/auth/session":
+                server.revoke_session(self._session_token())
+                self.send_response(204)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            return self._deny(404, "not found")
+
         def do_POST(self):  # noqa: N802
+            if self.path == "/auth/session":
+                # bearer-token -> short-lived session exchange
+                # (reference server/api_server.py /auth/session): ONLY
+                # the real bearer token may mint sessions
+                auth = self.headers.get("Authorization", "")
+                if server.token is None or auth != f"Bearer {server.token}":
+                    return self._deny(401, "unauthorized")
+                tok = server.issue_session()
+                ttl = server.session_ttl_seconds
+                if self.headers.get("X-Sidemantic-Session-Mode") == "header":
+                    payload = json.dumps(
+                        {"expires_in": ttl, "session_token": tok}
+                    ).encode()
+                    return self._ok(payload, extra_headers={
+                        "Cache-Control": "no-store"})
+                payload = json.dumps({"expires_in": ttl}).encode()
+                return self._ok(payload, extra_headers={
+                    "Cache-Control": "no-store",
+                    "Set-Cookie": (
+                        f"sidemantic_session={tok}; HttpOnly; "
+                        f"SameSite=strict; Max-Age={ttl}; Path=/"
+                    ),
+                })
             if not self._authed():
                 return self._deny(401, "unauthorized")
             length = int(self.headers.get("Content-Length", 0))

@@ -325,3 +325,66 @@ def test_uncapped_result_not_marked_truncated(server):
         "metrics": ["orders.revenue"], "dimensions": ["orders.status"],
     })
     assert out["truncated"] is False and len(out["rows"]) == 3
+
+
+def test_session_exchange_and_readyz(spark, sf_dir):
+    """Bearer-token -> short-lived session exchange (reference
+    server/api_server.py): cookie mode sets an HttpOnly SameSite cookie,
+    header mode returns the token in the body, logout revokes, /readyz
+    stays public, wrong bearers are rejected."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.server.http_api import SemanticHttpServer
+
+    layer = build_layer(spark, sf_dir)
+    srv = SemanticHttpServer(layer, token="sekrit").start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def req(path, method="GET", headers=None, ok=True):
+        r = urllib.request.Request(base + path, method=method,
+                                   headers=headers or {})
+        try:
+            resp = urllib.request.urlopen(r)
+            return resp.status, dict(resp.headers), resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers), e.read()
+
+    try:
+        # readyz public, health authed
+        assert req("/readyz")[0] == 200
+        assert req("/health")[0] == 401
+        # wrong bearer rejected
+        code, _, _ = req("/auth/session", "POST",
+                         {"Authorization": "Bearer wrong"})
+        assert code == 401
+        # cookie mode
+        code, headers, body = req("/auth/session", "POST",
+                                  {"Authorization": "Bearer sekrit"})
+        assert code == 200
+        assert _json.loads(body)["expires_in"] == 600
+        cookie = headers["Set-Cookie"]
+        assert "sidemantic_session=" in cookie and "HttpOnly" in cookie
+        assert "SameSite=strict" in cookie
+        assert headers["Cache-Control"] == "no-store"
+        sess_cookie = cookie.split(";")[0]
+        assert req("/health", headers={"Cookie": sess_cookie})[0] == 200
+        # logout revokes
+        assert req("/auth/session", "DELETE",
+                   {"Cookie": sess_cookie})[0] == 204
+        assert req("/health", headers={"Cookie": sess_cookie})[0] == 401
+        # header mode
+        code, headers, body = req(
+            "/auth/session", "POST",
+            {"Authorization": "Bearer sekrit",
+             "X-Sidemantic-Session-Mode": "header"})
+        payload = _json.loads(body)
+        assert "session_token" in payload
+        assert "Set-Cookie" not in headers
+        tok = payload["session_token"]
+        assert req("/health", headers={
+            "Authorization": f"Sidemantic-Session {tok}"})[0] == 200
+    finally:
+        srv.stop()
