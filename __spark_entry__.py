@@ -2040,10 +2040,10 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
         """,
         "semantic_sql_from_metrics": """
-            SELECT CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-                   c.c_mktsegment AS mktsegment
+            SELECT c.c_mktsegment AS mktsegment,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-            GROUP BY 2
+            GROUP BY 1
         """,
         "semantic_sql_qualify_topn": """
             SELECT o_orderstatus AS status,
