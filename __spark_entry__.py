@@ -115,9 +115,14 @@ def _canon(fn):
         from pyspark.sql import types as T
 
         df = fn(spark, sf_dir)
-        if any(isinstance(f.dataType, T.ArrayType) for f in df.schema.fields):
+        if any(
+            isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            for f in df.schema.fields
+        ):
 
             def _ser(f):
+                if isinstance(f.dataType, (T.MapType, T.StructType)):
+                    return F.to_json(F.col(f.name)).alias(f.name)
                 if not isinstance(f.dataType, T.ArrayType):
                     return F.col(f.name)
                 col = F.col(f.name)
