@@ -51,6 +51,12 @@ EXTRA = [
     "text_vocab_topk",        # new operator (r04)
     "dedup_source_overlap",   # new operator (r04)
     "conversion_by_dimension",  # per-group funnel (r04)
+    # round-5 features
+    "ungrouped_metrics_detail",       # drill-to-detail with metrics
+    "preagg_ungrouped_route",         # detail pages off a pk rollup
+    "preagg_filtered_measure_route",  # filter baked into partials
+    "fanout_complete_sql",            # opaque measure over dedup rows
+    "semantic_sql_from_metrics",      # virtual catalog table
 ]
 
 
