@@ -974,6 +974,23 @@ class LookMLAdapter(BaseAdapter):
                 allowed_metrics=fields or None,
                 filters=mandatory,
             )
+        # explore/join aliases: `explore: orders { from: fact_orders }`
+        # and `join: customer_orders { from: fact_orders }` reference the
+        # ALIAS in sql_on; resolve every alias to its actual view before
+        # matching (reference adapters/lookml.py explore from-aliasing,
+        # tests/adapters/lookml/test_edge_cases.py:113-140)
+        alias_of: dict[str, str] = {explore["name"]: base}
+        for j in explore.get("joins", []):
+            alias_of[j["name"]] = j.get("from") or j["name"]
+
+        def _dealias(sql_on: str) -> str:
+            return re.sub(
+                r"\$\{(\w+)\.(\w+)\}",
+                lambda m: "${" + alias_of.get(m.group(1), m.group(1))
+                + "." + m.group(2) + "}",
+                sql_on,
+            )
+
         for j in explore.get("joins", []):
             jname = j.get("from") or j["name"]
             if jname not in layer.graph.models:
@@ -982,6 +999,7 @@ class LookMLAdapter(BaseAdapter):
             sql_on = j.get("sql_on")
             if not sql_on:
                 continue
+            sql_on = _dealias(sql_on)
             cond = re.fullmatch(
                 r"\s*\$\{(\w+)\.(\w+)\}\s*=\s*\$\{(\w+)\.(\w+)\}\s*", sql_on
             )

@@ -4735,3 +4735,41 @@ def test_tmdl_dax_construct_tags(spark, tmp_path):
     assert tags.get("amount_ytd") == "dax:total_to_date"
     assert tags.get("share") == "dax:divide"
     assert tags.get("weird") == "dax:opaque"
+
+
+def test_lookml_explore_from_aliasing(spark):
+    """`from:` aliases on explores and joins resolve to the actual view
+    in sql_on before relationship extraction (reference
+    tests/adapters/lookml/test_edge_cases.py:113-140)."""
+    from sidemantic_spark.adapters import LookMLAdapter
+
+    layer = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_text(layer, """
+view: alias_fact_orders {
+  sql_table_name: orders ;;
+  dimension: customer_id { sql: ${TABLE}.customer_id ;; }
+  measure: n { type: count }
+}
+view: alias_dim_customers {
+  sql_table_name: customers ;;
+  dimension: id { primary_key: yes sql: ${TABLE}.id ;; }
+}
+explore: alias_orders_e {
+  from: alias_fact_orders
+  join: alias_dim_customers {
+    relationship: many_to_one
+    sql_on: ${alias_orders_e.customer_id} = ${alias_dim_customers.id} ;;
+  }
+  join: customer_orders {
+    from: alias_fact_orders
+    relationship: one_to_many
+    sql_on: ${alias_dim_customers.id} = ${customer_orders.customer_id} ;;
+  }
+}
+""")
+    fo = layer.graph.models["alias_fact_orders"]
+    rels = {(r.name, r.type) for r in fo.relationships}
+    assert ("alias_dim_customers", "many_to_one") in rels
+    dc = layer.graph.models["alias_dim_customers"]
+    assert {(r.name, r.type) for r in dc.relationships} == {
+        ("alias_fact_orders", "one_to_many")}
