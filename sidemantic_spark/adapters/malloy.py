@@ -30,6 +30,55 @@ _AGG_CALL_RE = re.compile(r"^(count|sum|avg|min|max|stddev|median)\s*\((.*)\)\s*
 _COUNT_DISTINCT_RE = re.compile(r"^count\s*\(\s*distinct\s+(.+?)\s*\)\s*(\{.*\})?\s*$", re.S)
 _CD_FUNC_RE = re.compile(r"^count_distinct\s*\(\s*(.+?)\s*\)\s*(\{.*\})?\s*$", re.S)
 _WHERE_SUFFIX_RE = re.compile(r"\{\s*where:\s*(.+?)\s*\}\s*$", re.S)
+# Malloy's canonical dot-method aggregate: `amount.sum()` /
+# `items.amount.avg()` (reference adapters/malloy.py +
+# tests/adapters/malloy/test_audit_regressions.py)
+_DOT_AGG_RE = re.compile(
+    r"^([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\."
+    r"(sum|avg|min|max|median|stddev|count)\s*\(\s*\)$"
+)
+_EMBEDDED_AGG_RE = re.compile(
+    r"(?:[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*\.)?"
+    r"(?:count|sum|avg|min|max|median|stddev)\s*\("
+)
+_TIMEFRAME_DIM_RE = re.compile(
+    r"^(\w+)\.(year|quarter|month|week|day|hour|minute|second)$"
+)
+
+
+def _translate_agg_calls(expr: str, cond: str | None) -> str:
+    """Rewrite Malloy aggregate calls inside a composite expression to
+    SQL aggregates (``amount.sum()`` -> ``SUM(amount)``, ``count()`` ->
+    ``COUNT(*)``); a measure-level ``{ where: }`` condition bakes in as
+    CASE WHEN so the filter survives the complete-SQL form."""
+
+    def dot(m: "re.Match") -> str:
+        path, agg = m.group(1), m.group(2)
+        if agg == "count":
+            inner = "*" if cond is None else f"CASE WHEN {cond} THEN 1 END"
+            return f"COUNT({inner})"
+        val = path if cond is None else f"CASE WHEN {cond} THEN {path} END"
+        return f"{agg.upper()}({val})"
+
+    out = re.sub(
+        r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\."
+        r"(sum|avg|min|max|median|stddev|count)\s*\(\s*\)",
+        dot, expr,
+    )
+
+    def classic(m: "re.Match") -> str:
+        agg, inner = m.group(1), m.group(2).strip()
+        if agg == "count" and not inner:
+            inner = "*" if cond is None else f"CASE WHEN {cond} THEN 1 END"
+            return f"COUNT({inner})"
+        if cond is not None and inner:
+            inner = f"CASE WHEN {cond} THEN {inner} END"
+        return f"{agg.upper()}({inner})"
+
+    return re.sub(
+        r"(?<![\w.])(count|sum|avg|min|max|median|stddev)\s*\(\s*([^()]*)\s*\)",
+        classic, out,
+    )
 
 
 def _strip_comments(text: str) -> str:
@@ -608,8 +657,21 @@ class MalloyAdapter(BaseAdapter):
         if not fm:
             return
         fname, expr = fm.group(1).strip().replace(" ", "_"), fm.group(2).strip()
-        if _AGG_CALL_RE.match(expr) or _COUNT_DISTINCT_RE.match(expr) or _CD_FUNC_RE.match(expr):
+        if (
+            _AGG_CALL_RE.match(expr) or _COUNT_DISTINCT_RE.match(expr)
+            or _CD_FUNC_RE.match(expr) or _DOT_AGG_RE.match(expr)
+        ):
             self._add_measure(line, mets)  # declare: can hold measures
+            return
+        tf = _TIMEFRAME_DIM_RE.match(expr)
+        if tf:
+            # trailing timeframe (`created_at.month`) infers a time
+            # dimension at that granularity (reference
+            # test_trailing_timeframe_infers_time_and_granularity)
+            dims.append(Dimension(
+                name=fname, sql=None if tf.group(1) == fname else tf.group(1),
+                type="time", granularity=tf.group(2),
+            ))
             return
         sql = _malloy_expr_to_sql(expr)
         dtype = "categorical"
@@ -635,6 +697,15 @@ class MalloyAdapter(BaseAdapter):
             mets.append(Metric(name=fname, agg="count_distinct",
                                sql=_malloy_expr_to_sql(cd.group(1)), filters=filters))
             return
+        dm = _DOT_AGG_RE.match(expr)
+        if dm:
+            # dot-method aggregate: `amount.sum()` -> agg=sum sql=amount
+            path, agg = dm.group(1), dm.group(2)
+            mets.append(Metric(
+                name=fname, agg=agg,
+                sql=_malloy_expr_to_sql(path), filters=filters,
+            ))
+            return
         am = _AGG_CALL_RE.match(expr)
         if am:
             agg, inner = am.group(1), am.group(2).strip()
@@ -643,6 +714,15 @@ class MalloyAdapter(BaseAdapter):
                 sql=None if not inner or agg == "count" else _malloy_expr_to_sql(inner),
                 filters=filters,
             ))
+            return
+        if _EMBEDDED_AGG_RE.search(expr):
+            # arithmetic over aggregates (`amount.sum() / count()`) ->
+            # complete-SQL expression metric; a { where: } condition
+            # bakes into each aggregate (reference
+            # test_ratio_of_two_aggregates_is_derived family)
+            cond = filters[0] if filters else None
+            sql = _malloy_expr_to_sql(_translate_agg_calls(expr, cond))
+            mets.append(Metric(name=fname, sql=sql, sql_is_complete=True))
             return
         # formula over other measures -> derived
         mets.append(Metric(name=fname, type="derived", expr=_malloy_expr_to_sql(expr), filters=filters))

@@ -4773,3 +4773,41 @@ explore: alias_orders_e {
     dc = layer.graph.models["alias_dim_customers"]
     assert {(r.name, r.type) for r in dc.relationships} == {
         ("alias_fact_orders", "one_to_many")}
+
+
+def test_malloy_dot_method_aggregates_and_timeframes(spark):
+    """Malloy's canonical measure forms (reference
+    tests/adapters/malloy/test_audit_regressions.py): dot-method
+    aggregates map to plain aggs, arithmetic over aggregates becomes a
+    complete-SQL expression, a { where: } filter survives, and trailing
+    timeframes infer time dimensions with granularity — all executed."""
+    from sidemantic_spark.adapters import MalloyAdapter
+
+    spark.createDataFrame(
+        [(1, "paid", 100.0, "2024-02-03"), (2, "open", 50.0, "2024-03-04")],
+        "id int, status string, amount double, d string",
+    ).selectExpr("id", "status", "amount",
+                 "CAST(d AS TIMESTAMP) AS created_at") \
+        .createOrReplaceTempView("mdot_orders_t")
+    layer = SparkSemanticLayer(spark)
+    MalloyAdapter().parse_text(layer, """
+source: mdot_orders is table('mdot_orders_t') extend {
+  primary_key: id
+  measure: total_rev is amount.sum()
+  measure: aov is amount.sum() / count()
+  measure: big_rev is amount.sum() { where: status = 'paid' }
+  dimension: created_month is created_at.month
+}
+""")
+    m = layer.graph.models["mdot_orders"]
+    assert m.metric("total_rev").agg == "sum"
+    assert m.metric("aov").sql_is_complete
+    assert "SUM(amount)" in m.metric("aov").sql
+    assert m.metric("big_rev").filters
+    cm = m.dimension("created_month")
+    assert cm.type == "time" and cm.granularity == "month"
+    row = layer.query(
+        metrics=["mdot_orders.total_rev", "mdot_orders.aov",
+                 "mdot_orders.big_rev"]
+    ).collect()[0]
+    assert (row[0], row[1], row[2]) == (150.0, 75.0, 100.0)
