@@ -1653,50 +1653,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_fingerprint": _streaming_dedup_fingerprint,
         "streaming_rollup_route": _streaming_rollup_route,
     }
-    # Driver-sample rotation (round 5): the driver oracle-checks the
-    # FIRST 50 entries each round.  Priority order: (a) the three
-    # entries added in round 4 and never sampled, (b) the two entries
-    # whose only driver rows are non-green — multimodal_decode_features
-    # (r04 err: the driver's pandas canonicalizer crashed on the raw
-    # array column, fixed by the _canon to_json serialization above)
-    # and yoy_difference (r01 hash-fail, fixed by the decimal->double
-    # boundary casts in round 2), (c) everything whose newest green is
-    # r01/r02, (d) backfill with r03 anchors so no sampled entry's
-    # newest driver row is older than two rounds.  Entries 51+ are all
-    # r03/r04-green and stay covered by the local strict run
-    # (scripts/strict_compare.py, 113/113).
+    # Driver-sample rotation (round 6): the driver oracle-checks the
+    # FIRST 50 entries each round.  Priority order: (a) the five
+    # oracle-backed entries added in round 5 and never driver-sampled,
+    # (b) entries added this round, (c) the three rows-only ANN/simhash
+    # entries the verdict asked to re-record, (d) the r03-green cohort
+    # (oldest remaining driver rows), (e) backfill with r04 anchors so
+    # no sampled entry's newest driver row is older than two rounds.
+    # Entries 51+ are all r04/r05-green and stay covered by the local
+    # strict run (scripts/strict_compare.py).
     first_50 = [
         # cheap pure-JVM entry first: the first entry's driver timing
         # absorbs session cold-start (worker pool, codegen), so it
         # should not land on an Arrow-UDF-heavy operator
         "basic_agg",
-        # never driver-sampled (added round 4)
-        "derived_offset_growth", "having_on_window_metric",
-        "multimodal_decode_png",
-        # non-green driver rows, both fixed since
-        "multimodal_decode_features", "yoy_difference",
-        # newest green is r01
-        "conversion_funnel", "conversion_funnel_3step",
-        "retention_weekly", "cohort_avg_spend", "semi_additive_last",
-        "tpch_q1_pricing_summary", "dedup_exact_stats",
-        "dedup_exact_keep_first", "dedup_minhash_lsh",
-        # newest green is r02
-        "wow_pct_change",
-        # r03 anchors (oldest remaining cohort)
-        "time_grain_month", "filter_pushdown", "metric_filter",
-        "ratio_metric", "derived_metric", "having_filter",
-        "order_limit", "ungrouped", "with_totals",
-        "count_distinct_minmax", "fill_nulls_zero", "timezone_month",
-        "relative_date_filter", "window_dimension",
-        "complete_sql_measure", "stats_aggs", "jinja_param_filter",
-        "semantic_sql_expression", "semantic_sql_cte_island",
-        "semantic_sql_union", "semantic_sql_qualify_topn",
-        "semantic_sql_time_rollup", "yardstick_aggregate",
-        "fanout_safe_aggs", "multifact_split", "running_total",
-        "rolling_window_90d", "ytd", "mom_pct_change",
-        "yardstick_at_modifiers", "fanout_symmetric_aggs",
-        "window_expr_peak", "metric_percent_of_total",
-        "join_multi_hop",
+        # never driver-sampled (added round 5)
+        "semantic_sql_from_metrics", "ungrouped_metrics_detail",
+        "preagg_ungrouped_route", "preagg_filtered_measure_route",
+        "fanout_complete_sql",
+        # rows-only entries: re-record rows this round
+        "dedup_simhash", "sim_ann_lsh_topk", "sim_ann_ivf_topk",
+        # r03 cohort (oldest remaining driver-green rows)
+        "dims_only_distinct", "segment_filter",
+        "table_calc_pct_of_total", "table_calc_rank",
+        "table_calc_moving_avg", "table_calc_pct_of_previous",
+        "table_calc_formula", "join_m2o", "join_filtered_inner",
+        "join_part_brand", "join_m2m_through", "fk_dimension_no_join",
+        "join_cross", "join_composite_derived",
+        # r04 anchors (backfill)
+        "fanout_dedup", "fanout_dedup_plan", "ratio_offset_share",
+        "qoq_ratio", "time_offset_custom", "conversion_by_dimension",
+        "dedup_ngram_jaccard", "dedup_source_overlap",
+        "text_vocab_topk", "text_profile", "text_language_id",
+        "text_quality_score", "text_pii_scrub", "text_repetition",
+        "data_profile_numeric", "pipeline_domain_mix",
+        "sim_cosine_topk", "sim_cosine_topk_batch",
+        "sim_embedding_near_dups", "multimodal_frame_sample",
+        "multimodal_resize_meta", "limit_offset_page",
+        "row_level_security", "semantic_sql_intersect",
+        "semantic_sql_except", "source_scan_uri", "saved_query_run",
     ]
     ordered = {k: qs[k] for k in first_50}
     ordered.update({k: v for k, v in qs.items() if k not in ordered})
