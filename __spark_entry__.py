@@ -1065,6 +1065,68 @@ def _preagg_filtered_measure_route(spark, sf_dir):
     return layer.query(**kw)
 
 
+def _preagg_approx_distinct_route(spark, sf_dir):
+    """approx_count_distinct routes through stored HLL sketches at a
+    COARSER grain than the rollup (hll_union_agg + hll_sketch_estimate
+    re-aggregation) — the Spark-first upgrade over the reference's
+    exact-grain-only count_distinct guard (core/preagg_matcher.py:
+    138-143).  HLL estimates aren't DuckDB-reproducible, so the entry
+    surfaces a DuckDB-checkable projection: the exact distinct count
+    per bucket plus two booleans — routed-vs-raw sketch parity
+    (union of daily sketches must equal the direct month sketch) and
+    a 5%% accuracy bound vs the exact count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    _ensure_tables(spark, sf_dir)
+    layer = build_layer(spark, None)
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [PreAggregation(
+        name="contract_hll",
+        measures=["approx_customers", "order_count"],
+        dimensions=[],
+        time_dimension="order_date",
+        granularity="day",
+    )]
+    layer.preaggs.base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".preagg_cache",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    layer.preaggs.materialize("orders")
+    kw = dict(
+        metrics=["orders.approx_customers"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    sql = layer.compile(**kw)
+    assert "used_preagg=orders_preagg_contract_hll" in sql, sql[:200]
+    assert "hll_union_agg" in sql and "hll_sketch_estimate" in sql, sql[:400]
+    routed = layer.query(**kw)
+    raw = spark.sql(
+        "SELECT DATE_TRUNC('month', o_orderdate) AS order_month, "
+        "hll_sketch_estimate(hll_sketch_agg(o_custkey)) AS est_raw, "
+        "COUNT(DISTINCT o_custkey) AS exact_cd "
+        "FROM orders GROUP BY 1"
+    )
+    return (
+        routed.join(raw, "order_month")
+        .select(
+            "order_month",
+            "exact_cd",
+            (F.col("approx_customers") == F.col("est_raw")).alias("parity_ok"),
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_cd"))
+                / F.col("exact_cd")
+                < F.lit(0.05)
+            ).alias("est_in_bounds"),
+        )
+    )
+
+
 def _fanout_complete_sql(spark, sf_dir):
     """Opaque complete-SQL measure under a fan-out join, evaluated over
     the deduplicated entity rows (round-5 feature; reference
@@ -1639,6 +1701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preagg_ungrouped_route": _preagg_ungrouped_route,
         "preagg_filtered_measure_route": _preagg_filtered_measure_route,
         "fanout_complete_sql": _fanout_complete_sql,
+        # round-6 feature: HLL-sketch rollup partials let approx-
+        # distinct metrics re-aggregate at any coarser grain
+        "preagg_approx_distinct_route": _preagg_approx_distinct_route,
         "corpus_stats_by_source": _q(
             metrics=["documents.doc_count", "documents.total_chars",
                      "documents.avg_chars"],
@@ -1671,6 +1736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_sql_from_metrics", "ungrouped_metrics_detail",
         "preagg_ungrouped_route", "preagg_filtered_measure_route",
         "fanout_complete_sql",
+        # added round 6
+        "preagg_approx_distinct_route",
         # rows-only entries: re-record rows this round
         "dedup_simhash", "sim_ann_lsh_topk", "sim_ann_ivf_topk",
         # r03 cohort (oldest remaining driver-green rows)
@@ -1691,7 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_near_dups", "multimodal_frame_sample",
         "multimodal_resize_meta", "limit_offset_page",
         "row_level_security", "semantic_sql_intersect",
-        "semantic_sql_except", "source_scan_uri", "saved_query_run",
+        "semantic_sql_except", "source_scan_uri",
     ]
     ordered = {k: qs[k] for k in first_50}
     ordered.update({k: v for k, v in qs.items() if k not in ordered})
@@ -2840,6 +2907,17 @@ def oracle_sql() -> dict[str, str]:
                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
                        AS open_revenue,
                    COUNT(*) AS order_count
+            FROM orders GROUP BY 1
+        """,
+        # HLL estimates aren't DuckDB-reproducible; the entry projects
+        # the exact distinct count (checkable) plus booleans asserting
+        # routed-vs-raw sketch parity and the 5% accuracy bound
+        "preagg_approx_distinct_route": """
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP)
+                       AS order_month,
+                   COUNT(DISTINCT o_custkey) AS exact_cd,
+                   TRUE AS parity_ok,
+                   TRUE AS est_in_bounds
             FROM orders GROUP BY 1
         """,
         "fanout_complete_sql": """

@@ -454,3 +454,62 @@ def test_filtered_measure_route_scans_rollup_partials(spark, sf_dir, tmp_path):
     plan = _optimized(df)
     assert "open_revenue__sum" in plan
     assert "o_totalprice" not in plan and "o_orderstatus" not in plan
+
+
+def test_approx_distinct_route_scans_hll_sketches(spark, sf_dir, tmp_path):
+    """approx_count_distinct at a coarser grain than the rollup reads
+    the stored HLL sketch column and re-aggregates it with
+    hll_union_agg — never re-reading the base table's raw key column
+    (the Spark-first upgrade over the reference's exact-grain-only
+    guard, core/preagg_matcher.py:138-143)."""
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    layer = build_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [PreAggregation(
+        name="plans_hll",
+        measures=["approx_customers"],
+        dimensions=[],
+        time_dimension="order_date",
+        granularity="day",
+    )]
+    layer.preaggs.base_path = str(tmp_path)
+    layer.preaggs.materialize("orders")
+    sql = layer.compile(
+        metrics=["orders.approx_customers"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    assert "used_preagg=orders_preagg_plans_hll" in sql
+    assert "hll_union_agg" in sql and "hll_sketch_estimate" in sql
+    df = layer.query(
+        metrics=["orders.approx_customers"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    plan = _optimized(df)
+    # the scan reads the binary sketch partial, not the raw key column
+    assert "approx_customers__hll" in plan
+    assert "o_custkey" not in plan
+
+
+def test_exact_count_distinct_refuses_coarser_grain_rollup(spark, sf_dir, tmp_path):
+    """The exact-grain guard stays intact for exact count_distinct:
+    the same coarser-grain query must NOT route (re-aggregating exact
+    distinct counts across buckets double-counts keys)."""
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    layer = build_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [PreAggregation(
+        name="plans_cd",
+        measures=["customer_count"],
+        dimensions=[],
+        time_dimension="order_date",
+        granularity="day",
+    )]
+    layer.preaggs.base_path = str(tmp_path)
+    layer.preaggs.materialize("orders")
+    sql = layer.compile(
+        metrics=["orders.customer_count"],
+        dimensions=["orders.order_date__month AS order_month"],
+    )
+    assert "used_preagg" not in sql
