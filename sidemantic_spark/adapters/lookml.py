@@ -286,6 +286,59 @@ def _split_list_items(inner: str) -> list[str]:
     return items
 
 
+def _filter_condition_sql(ref: str, val: str) -> str:
+    """One Looker filter-expression value -> a SQL condition on ``ref``
+    (the representable subset: comparisons, negation, NULL, relative
+    date windows — which map onto the engine's native relative-date
+    filters instead of the reference's warn-and-literal fallback)."""
+    val = val.strip()
+    op_m = re.match(r"(>=|<=|!=|<>|>|<)\s*(.+)$", val)
+    if op_m:
+        op = "!=" if op_m.group(1) == "<>" else op_m.group(1)
+        return f"{ref} {op} {op_m.group(2)}"
+    rel = re.fullmatch(
+        r"(?:last\s+)?(\d+)\s+(day|week|month|quarter|year)s?", val, re.I
+    )
+    if rel:
+        return f"{ref} >= 'last {rel.group(1)} {rel.group(2).lower()}s'"
+    if val.upper() == "NULL":
+        return f"{ref} IS NULL"
+    if val.upper() == "-NULL":
+        return f"{ref} IS NOT NULL"
+    if val.lower() == "yes":
+        return f"{ref} = true"
+    if val.lower() == "no":
+        return f"{ref} = false"
+    if val.startswith("-"):
+        return f"{ref} != '{val[1:]}'"
+    return f"{ref} = '{val}'"
+
+
+def _always_filter_items(af) -> list[tuple[str, str]]:
+    """``always_filter``/``conditionally_filter`` block -> (field, value)
+    pairs; accepts the list form ``filters: [view.field: "expr"]`` and
+    the legacy block form ``filters: { field: f value: v }``."""
+    if not isinstance(af, dict):
+        return []
+    raw = af.get("filters")
+    out: list[tuple[str, str]] = []
+    if isinstance(raw, dict):
+        f, v = raw.get("field"), raw.get("value")
+        if f and v is not None:
+            out.append((str(f), str(v)))
+    elif isinstance(raw, list):
+        for item in raw:
+            if isinstance(item, dict):
+                f, v = item.get("field"), item.get("value")
+                if f and v is not None:
+                    out.append((str(f), str(v)))
+                continue
+            fm = re.match(r"\s*([\w.]+)\s*:\s*\"?(.*?)\"?\s*$", str(item))
+            if fm:
+                out.append((fm.group(1), fm.group(2)))
+    return out
+
+
 def _parse_block(sc: _Scanner) -> dict:
     """Parse `{ key: ... }*` until the matching close brace or EOF."""
     out: dict = {}
@@ -928,24 +981,14 @@ class LookMLAdapter(BaseAdapter):
                 continue
             field, val = fm.group(1), fm.group(2)
             ref = field if "." in field else f"{view}.{field}"
-            op_m = re.match(r"(>=|<=|!=|<>|>|<)\s*(.+)$", val)
-            if op_m:
-                op = "!=" if op_m.group(1) == "<>" else op_m.group(1)
-                out.append(f"{ref} {op} {op_m.group(2)}")
-            elif re.fullmatch(r"\d+\s+(day|week|month|quarter|year)s?", val):
-                out.append(f"{ref} >= 'last {val}'")
-            elif val.upper() in ("NULL",):
-                out.append(f"{ref} IS NULL")
-            elif val.startswith("-"):
-                out.append(f"{ref} != '{val[1:]}'")
-            else:
-                out.append(f"{ref} = '{val}'")
+            out.append(_filter_condition_sql(ref, val))
         return out
 
     def _apply_explore(self, layer, explore: dict) -> None:
         base = explore.get("from") or explore.get("view_name") or explore["name"]
         if base not in layer.graph.models:
             return
+        base_model = layer.graph.models[base]
         # explore-level mandatory filter: sql_always_where is scoped to
         # THIS explore (other explores and direct model queries must not
         # inherit it), so it becomes the Explore contract's mandatory
@@ -959,6 +1002,40 @@ class LookMLAdapter(BaseAdapter):
             cond = re.sub(r"\$\{(\w+)\}", rf"{base}.\1", cond)
             if cond.strip():
                 mandatory.append(cond.strip())
+            # the filter ALSO materializes as an opt-in segment on the
+            # base model, named per explore for uniqueness (reference
+            # adapters/lookml.py:3891-3907 converts both mandatory
+            # filter forms to segments); segments evaluate inside the
+            # model CTE, so every field ref collapses to {model}.col
+            seg_sql = _strip_liquid(saw).replace("${TABLE}.", "{model}.")
+            seg_sql = re.sub(r"\$\{(\w+)\.(\w+)\}", r"{model}.\2", seg_sql)
+            seg_sql = re.sub(r"\$\{(\w+)\}", r"{model}.\1", seg_sql)
+            seg_name = f"_sql_always_where_{explore['name']}"
+            if seg_sql.strip() and all(
+                s.name != seg_name for s in base_model.segments
+            ):
+                base_model.segments.append(Segment(
+                    name=seg_name,
+                    sql=seg_sql.strip(),
+                    description=f"Explore filter: {explore['name']}",
+                ))
+        # always_filter: the explore's required filters — each becomes
+        # a segment on the base model (reference adapters/lookml.py:
+        # 3909-3940, field refs stripped to the bare column) and joins
+        # the explore contract's mandatory filter set
+        for field, value in _always_filter_items(explore.get("always_filter")):
+            bare = field.rsplit(".", 1)[-1]
+            cond = _filter_condition_sql("{model}." + bare, value)
+            seg_name = f"_always_filter_{explore['name']}_{field}"
+            if cond and all(s.name != seg_name for s in base_model.segments):
+                base_model.segments.append(Segment(
+                    name=seg_name,
+                    sql=cond,
+                    description=f"Always filter: {field}",
+                ))
+            if cond:
+                mandatory.append(cond.replace("{model}.", f"{base}."))
+        base_model.reindex()
         # the explore itself is a curated consumption contract
         from sidemantic_spark.core.consumption import Explore as _Explore
 

@@ -4811,3 +4811,46 @@ source: mdot_orders is table('mdot_orders_t') extend {
                  "mdot_orders.big_rev"]
     ).collect()[0]
     assert (row[0], row[1], row[2]) == (150.0, 75.0, 100.0)
+
+
+def test_lookml_explore_mandatory_filters_become_segments(spark):
+    """Explore mandatory filters materialize as opt-in segments on the
+    base model — BOTH forms: sql_always_where (field refs collapse to
+    {model}.col) and always_filter (view qualifier stripped), named per
+    explore for uniqueness (reference adapters/lookml.py:3891-3940,
+    tests/adapters/lookml/test_edge_cases.py:128-170). The explore
+    contract keeps them as mandatory filters too — segments are opt-in,
+    the explore applies them always."""
+    import os
+
+    from sidemantic_spark.adapters import LookMLAdapter
+
+    layer = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_file(
+        layer, os.path.join(FIXROOT, "lookml", "edge_cases_explores.lkml")
+    )
+    fact_orders = layer.graph.models["fact_orders"]
+    seg_names = [s.name for s in fact_orders.segments]
+
+    # sql_always_where: ${fact_orders.status} != 'deleted'
+    assert "_sql_always_where_orders" in seg_names
+    saw = fact_orders.segment("_sql_always_where_orders")
+    assert "deleted" in saw.sql
+    assert "${fact_orders.status}" not in saw.sql
+    assert "{model}.status" in saw.sql
+
+    # always_filter: { filters: [fact_orders.created_date: "last 365 days"] }
+    af = fact_orders.segment("_always_filter_orders_fact_orders.created_date")
+    assert af is not None
+    # view qualifier stripped: {model}.created_date, never
+    # {model}.fact_orders.created_date
+    assert "fact_orders.created_date" not in af.sql
+    assert "created_date" in af.sql
+    # the relative-date value maps onto the engine's native
+    # relative-date filter (the reference warns and emits a literal)
+    assert "last 365 days" in af.sql
+
+    # the explore contract carries both as mandatory filters
+    explore = layer.graph.explores["orders"]
+    assert any("deleted" in f for f in explore.filters)
+    assert any("created_date" in f for f in explore.filters)
