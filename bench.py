@@ -164,6 +164,18 @@ def main() -> None:
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
         return best
 
+    # Noise sentinel: the same unchanged query timed before and after
+    # the whole run. On an idle box the post reading is equal-or-faster
+    # (JIT keeps settling); the post reading coming in >20% SLOWER
+    # means hypervisor/box contention arrived during the run, and every
+    # number in this record is suspect (round-5 lesson: extras moved
+    # +8-59% on byte-identical code). The flag makes that visible in
+    # the JSON instead of reading as a regression. The first timing is
+    # a settle pass — plan-shape JIT is still finishing right after
+    # warmup and would make the pre reading artificially slow.
+    time_query("basic_agg")
+    sentinel_pre = time_query("basic_agg")
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -171,6 +183,20 @@ def main() -> None:
         per_query[name] = round(best, 4)
         total += best
     extra_queries = {name: round(time_query(name), 4) for name in EXTRA}
+
+    sentinel_post = time_query("basic_agg")
+    # signed: positive = run got slower (contention); negative drift is
+    # expected JIT settling and does not contaminate
+    noise_pct = round(
+        (sentinel_post - sentinel_pre) / max(sentinel_pre, 1e-9) * 100, 1
+    )
+    if noise_pct > 20:
+        print(
+            f"# WARNING: noise sentinel diverged {noise_pct}% "
+            f"({sentinel_pre:.3f}s -> {sentinel_post:.3f}s); box is not "
+            "idle, treat this record's timings as contaminated",
+            file=sys.stderr,
+        )
 
     # semantic-plan rewrite speedups vs naive wrapper SQL (the
     # reference's planner benchmark, floors 1.2x / 1.05x — see
@@ -278,6 +304,12 @@ def main() -> None:
                 "compile_ms": round(compile_ms, 3),
                 "cpus": int(cpus),
                 "rewrite_speedups": rewrite_speedups,
+                "noise_sentinel": {
+                    "pre_sec": round(sentinel_pre, 4),
+                    "post_sec": round(sentinel_post, 4),
+                    "divergence_pct": noise_pct,
+                    "contaminated": noise_pct > 20,
+                },
             }
         )
     )
