@@ -429,7 +429,18 @@ class SemanticSqlRewriter:
             return None
         inner = tail[1:end].strip()
         if not self._is_semantic(inner):
-            return None
+            # BI tools wrap the wrapper (ROW_NUMBER pagination around a
+            # projection around the semantic island): recurse — the
+            # island may sit one or more levels down (reference
+            # semantic_plus_postprocess plan,
+            # tests/queries/test_semantic_sql_planner.py:2913-2950)
+            try:
+                compiled_inner = self._rewrite_node(inner)
+            except QueryCompileError:
+                return None
+            if _strip(compiled_inner) == _strip(inner):
+                return None
+            return f"{parts[0]}FROM (\n{compiled_inner}\n){tail[end + 1:]}"
         compiled = self._rewrite_node(inner)
         return f"{parts[0]}FROM (\n{compiled}\n){tail[end + 1:]}"
 
@@ -490,6 +501,70 @@ class SemanticSqlRewriter:
             return None
         return out
 
+    def _parse_inner_expanded(self, sql: str) -> _InnerParse | None:
+        """Middle level of the BI-expanded top-N shape —
+        ``SELECT <inner outputs..>, WINFN() OVER (..) AS rn FROM
+        (<semantic select>) alias`` — folded into the equivalent
+        one-level ``_InnerParse`` with the window item attached (the
+        reference's global_row_number_topn accepts exactly this shape,
+        tests/queries/test_semantic_sql_planner.py:2776-2840)."""
+        m = re.match(r"^\s*SELECT\s+(DISTINCT\s+)?(.*)$", sql, re.I | re.S)
+        if not m or m.group(1):
+            return None
+        from_parts = _top_level_split(m.group(2), "FROM")
+        if len(from_parts) != 2:
+            return None
+        select_list = from_parts[0].strip()
+        tail = from_parts[1].lstrip()
+        if not tail.startswith("("):
+            return None
+        depth = 0
+        in_q = False
+        end = None
+        for j, ch in enumerate(tail):
+            if ch == "'":
+                in_q = not in_q
+            elif not in_q:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = j
+                        break
+        if end is None:
+            return None
+        # the middle level may carry nothing beyond an optional alias:
+        # its own WHERE/GROUP BY would change which rows get numbered
+        remainder = tail[end + 1 :].strip()
+        if remainder and not re.fullmatch(
+            r"(?:AS\s+)?[A-Za-z_][A-Za-z0-9_]*", remainder, re.I
+        ):
+            return None
+        inner = self._parse_inner(tail[1:end].strip())
+        if inner is None or inner.rn is not None or inner.distinct:
+            return None
+        outs = {o for o, _k, _r, _a in inner.entries}
+        seen: set[str] = set()
+        rn = None
+        for item in _split_items(select_list):
+            ref, alias = _split_item_alias(item)
+            wm = _ROWNUM_RE.match(ref)
+            if wm is not None:
+                if rn is not None or alias is None:
+                    return None
+                rn = (alias, ref)
+                continue
+            # only bare un-realiased passthrough of the inner outputs:
+            # anything else changes the projection and must fall back
+            if alias is not None or ref not in outs or ref in seen:
+                return None
+            seen.add(ref)
+        if rn is None or seen != outs or rn[0] in outs:
+            return None
+        inner.rn = rn
+        return inner
+
     def _try_wrapper_rules(self, sql: str) -> str | None:
         m = re.match(r"^\s*SELECT\s+(DISTINCT\s+)?(.*)$", sql, re.I | re.S)
         if not m:
@@ -536,6 +611,8 @@ class SemanticSqlRewriter:
         if "QUALIFY" in clause_vals:
             return None
         inner = self._parse_inner(inner_sql)
+        if inner is None:
+            inner = self._parse_inner_expanded(inner_sql)
         if inner is None:
             return None
 
@@ -617,10 +694,21 @@ class SemanticSqlRewriter:
         rn_out, rn_sql = inner.rn
         where = clause_vals.get("WHERE", "")
         fm = re.fullmatch(rf"\s*{re.escape(rn_out)}\s*(<=|<)\s*(\d+)\s*", where)
-        if not fm:
+        bm = re.fullmatch(
+            rf"\s*{re.escape(rn_out)}\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)\s*",
+            where,
+            re.I,
+        )
+        if fm:
+            lo, hi = 1, int(fm.group(2)) - (1 if fm.group(1) == "<" else 0)
+        elif bm:
+            # rn BETWEEN a AND b is LIMIT (b-a+1) OFFSET (a-1) pagination
+            # (reference global_row_number_topn BETWEEN form)
+            lo, hi = int(bm.group(1)), int(bm.group(2))
+        else:
             return None
-        k = int(fm.group(2)) - (1 if fm.group(1) == "<" else 0)
-        if k <= 0:
+        k = hi
+        if hi < lo or hi <= 0 or lo < 1:
             return None
         # projection must be * or the full inner column set (a dim
         # subset would change the grain)
@@ -644,22 +732,45 @@ class SemanticSqlRewriter:
         ]
         filters = self._inner_filters(inner)
 
-        if fn == "ROW_NUMBER" and not partition and "ORDER BY" not in clause_vals:
+        win_order = [
+            self._map_out_cols(o, inner).strip() for o in _split_items(order)
+        ]
+        # an outer ORDER BY that restates the window's order is implied
+        # by the plan's own ORDER BY and does not block the fast path
+        # (the reference applies safe_order_pushdown alongside the
+        # top-N rule); anything else needs the window stage
+        outer_order_redundant = True
+        if "ORDER BY" in clause_vals:
+            outer_order = [
+                self._map_out_cols(o, inner).strip()
+                for o in _split_items(clause_vals["ORDER BY"])
+            ]
+
+            def _norm(items: list[str]) -> list[str]:
+                return [
+                    re.sub(r"\s+", " ", o).upper()
+                    + ("" if re.search(r"\s(ASC|DESC)$", o, re.I) else " ASC")
+                    for o in items
+                ]
+
+            outer_order_redundant = _norm(outer_order) == _norm(
+                win_order[: len(outer_order)]
+            )
+
+        if fn == "ROW_NUMBER" and not partition and outer_order_redundant:
             # global top-N: fold into plan ORDER BY + LIMIT — Catalyst
             # compiles this to TakeOrderedAndProject (no full sort, no
-            # window exchange)
-            limit = k
+            # window exchange); rn BETWEEN windows become LIMIT+OFFSET
+            limit = hi - lo + 1
             if "LIMIT" in clause_vals:
                 limit = min(limit, int(clause_vals["LIMIT"]))
             spec = QuerySpec(
                 metrics=metrics,
                 dimensions=dims,
                 filters=filters,
-                order_by=[
-                    self._map_out_cols(o, inner) for o in _split_items(order)
-                ],
+                order_by=win_order,
                 limit=limit,
-                offset=int(clause_vals["OFFSET"]) if "OFFSET" in clause_vals else None,
+                offset=lo - 1 if lo > 1 else None,
             )
             self._applied_rules.append("rownum_topn_limit")
             return self._generate(spec)
@@ -686,7 +797,8 @@ class SemanticSqlRewriter:
             f"SELECT {outs} FROM (\n"
             f"SELECT _t.*, {fn}() OVER ({part_clause}ORDER BY {to_out(order.strip())}) AS __rn\n"
             f"FROM (\n{compiled}\n) _t\n"
-            f") _w WHERE __rn <= {k}"
+            f") _w WHERE "
+            + (f"__rn BETWEEN {lo} AND {hi}" if lo > 1 else f"__rn <= {hi}")
         )
         if "ORDER BY" in clause_vals:
             out_sql += f"\nORDER BY {clause_vals['ORDER BY']}"

@@ -842,3 +842,156 @@ def test_recursive_cte_preserved(spark, sf_dir, duck):
     )
     assert "RECURSIVE" in out
     assert sorted(r[0] for r in layer.spark.sql(out).collect()) == [1, 2, 3]
+
+
+def test_expanded_rownum_topn_bi_shape(layer, duck):
+    """The BI-expanded 3-level top-N (projection over a ROW_NUMBER
+    level over the semantic island) folds to the same ORDER BY+LIMIT
+    plan as the 1-level form (reference global_row_number_topn,
+    tests/queries/test_semantic_sql_planner.py:2776-2808); the
+    redundant outer ORDER BY restating the window order does not block
+    the fast path."""
+    sql = (
+        "SELECT status, revenue FROM ("
+        "SELECT status, revenue, ROW_NUMBER() OVER (ORDER BY revenue DESC) AS rn "
+        "FROM (SELECT orders.revenue, orders.status FROM orders) semantic_result"
+        ") ranked WHERE rn <= 2 ORDER BY revenue DESC"
+    )
+    ex = layer.explain_sql(sql)
+    assert ex["applied_rules"] == ["rownum_topn_limit"]
+    assert "ROW_NUMBER" not in ex["compiled_sql"].upper()
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT o_orderstatus AS status, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1 ORDER BY revenue DESC LIMIT 2
+        """,
+    )
+
+
+def test_expanded_rownum_between_pagination(layer, duck):
+    """rn BETWEEN a AND b is LIMIT/OFFSET pagination (reference
+    test_global_row_number_between_rewrites_to_limit_offset)."""
+    sql = (
+        "SELECT status, revenue FROM ("
+        "SELECT status, revenue, ROW_NUMBER() OVER (ORDER BY revenue DESC) AS rn "
+        "FROM (SELECT orders.revenue, orders.status FROM orders) semantic_result"
+        ") ranked WHERE rn BETWEEN 2 AND 3"
+    )
+    ex = layer.explain_sql(sql)
+    assert ex["applied_rules"] == ["rownum_topn_limit"]
+    assert "LIMIT 2" in ex["compiled_sql"]
+    assert "OFFSET 1" in ex["compiled_sql"]
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT o_orderstatus AS status, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1 ORDER BY revenue DESC LIMIT 2 OFFSET 1
+        """,
+    )
+
+
+def test_expanded_rank_tie_semantics_stay_postprocess(layer, duck):
+    """RANK carries tie semantics: the expanded wrapper must NOT fold
+    to a global LIMIT (reference rejects with 'only ROW_NUMBER is
+    supported'); the island still compiles and the wrapper evaluates
+    the rank as written."""
+    sql = (
+        "SELECT status, revenue FROM ("
+        "SELECT status, revenue, RANK() OVER (ORDER BY revenue DESC) AS rv "
+        "FROM (SELECT orders.revenue, orders.status FROM orders) semantic_result"
+        ") ranked WHERE rv <= 1"
+    )
+    ex = layer.explain_sql(sql)
+    assert "rownum_topn_limit" not in ex["applied_rules"]
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT status, revenue FROM (
+            SELECT status, revenue, RANK() OVER (ORDER BY revenue DESC) AS rv
+            FROM (SELECT o_orderstatus AS status,
+                         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                  FROM orders GROUP BY 1)
+        ) WHERE rv <= 1
+        """,
+    )
+
+
+def test_expanded_partitioned_rank_not_global_limit(layer, duck):
+    """PARTITION BY in the expanded shape is per-group top-N — folding
+    it to a global LIMIT would be wrong rows (reference
+    test_global_row_number_topn_rejects_partitioned_rank)."""
+    sql = (
+        "SELECT status, priority, revenue FROM ("
+        "SELECT status, priority, revenue, "
+        "ROW_NUMBER() OVER (PARTITION BY status ORDER BY revenue DESC) AS rn "
+        "FROM (SELECT orders.status, orders.priority, orders.revenue FROM orders) sq"
+        ") ranked WHERE rn <= 1"
+    )
+    ex = layer.explain_sql(sql)
+    assert "rownum_topn_limit" not in ex["applied_rules"]
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT status, priority, revenue FROM (
+            SELECT status, priority, revenue,
+                   ROW_NUMBER() OVER (PARTITION BY status ORDER BY revenue DESC) AS rn
+            FROM (SELECT o_orderstatus AS status, o_orderpriority AS priority,
+                         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                  FROM orders GROUP BY 1, 2)
+        ) WHERE rn <= 1
+        """,
+    )
+
+
+def test_expanded_rank_column_projected_stays_postprocess(layer, duck):
+    """Projecting the rank column itself means the rewrite cannot drop
+    the window (reference rejects 'outer projection rn is not an inner
+    semantic field'); rows must still be correct via postprocess."""
+    sql = (
+        "SELECT status, rn FROM ("
+        "SELECT status, revenue, ROW_NUMBER() OVER (ORDER BY revenue DESC) AS rn "
+        "FROM (SELECT orders.revenue, orders.status FROM orders) semantic_result"
+        ") ranked WHERE rn <= 2"
+    )
+    ex = layer.explain_sql(sql)
+    assert "rownum_topn_limit" not in ex["applied_rules"]
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT status, rn FROM (
+            SELECT status, ROW_NUMBER() OVER (ORDER BY revenue DESC) AS rn
+            FROM (SELECT o_orderstatus AS status,
+                         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                  FROM orders GROUP BY 1)
+        ) WHERE rn <= 2
+        """,
+    )
+
+
+def test_nested_wrapper_recursion_compiles_island(layer, duck):
+    """A non-semantic wrapper whose FROM-subquery is itself a wrapper
+    over a semantic island rewrites recursively instead of erroring
+    (reference semantic_plus_postprocess chosen plan)."""
+    sql = (
+        "SELECT UPPER(status) AS s FROM ("
+        "SELECT status, revenue FROM "
+        "(SELECT orders.revenue, orders.status FROM orders) sq"
+        ") t WHERE revenue > 0"
+    )
+    assert_df_matches_oracle(
+        layer.sql(sql),
+        duck,
+        """
+        SELECT UPPER(status) AS s FROM (
+            SELECT o_orderstatus AS status,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+        ) WHERE revenue > 0
+        """,
+    )
