@@ -1,15 +1,25 @@
 """Consumption contracts: Explore (curated entrypoint) and SavedQuery.
 
 Re-expression of the reference's ``core/consumption.py:100,168``:
-an Explore constrains callers to field allowlists, injects defaults and
-mandatory filters, and caps limits; a SavedQuery is a named immutable
-structured query, optionally governed by an Explore. Both resolve at
-compile time (``core/semantic_layer.py:923``) — pure metadata, no
-execution-side cost.
+an Explore constrains callers to field allowlists (dimensions, metrics,
+filter fields, order-by fields), injects defaults and mandatory
+filters, and caps limits; a SavedQuery is a named immutable structured
+query, optionally governed by an Explore. Both resolve at compile time
+(``core/semantic_layer.py:923``) — pure metadata, no execution-side
+cost.
+
+Expression helpers mirror the reference's
+``expression_field_references`` / ``qualify_expression_fields``
+(``core/consumption.py:11-67``): bare known fields qualify with the
+base model, columns inside subqueries are left alone (their scope is
+the subquery), but model-qualified refs anywhere — including
+correlated refs inside EXISTS — still count as references for
+allowlist enforcement.
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 
@@ -22,6 +32,130 @@ def _qualify(value: str, model: str) -> str:
     return value if "." in base else f"{model}.{value}"
 
 
+_IDENT_RE = re.compile(
+    r"(?<![\w.])[A-Za-z_][A-Za-z0-9_]*(?:__[a-z]+)?(?!\s*\()(?![\w.])"
+)
+_DOTTED_RE = re.compile(
+    r"(?<![\w.])([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*(?:__[a-z]+)?)(?![\w.])"
+)
+
+
+def _split_quoted(text: str) -> list[str]:
+    return re.split(r"('(?:[^']|'')*')", text)
+
+
+def _subquery_spans(text: str) -> list[tuple[int, int]]:
+    """Character spans of ``( SELECT ... )`` subqueries (quote-aware)."""
+    spans: list[tuple[int, int]] = []
+    in_q = False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q and ch == "(" and re.match(r"\(\s*SELECT\b", text[i:], re.I):
+            depth = 0
+            q = False
+            for j in range(i, len(text)):
+                cj = text[j]
+                if cj == "'":
+                    q = not q
+                elif not q:
+                    if cj == "(":
+                        depth += 1
+                    elif cj == ")":
+                        depth -= 1
+                        if depth == 0:
+                            spans.append((i, j + 1))
+                            i = j
+                            break
+        i += 1
+    return spans
+
+
+def qualify_expression_fields(
+    expressions: list[str],
+    base_model: str,
+    known_fields: set[str] | None = None,
+) -> list[str]:
+    """Prefix bare known-field tokens with the base model; tokens inside
+    string literals and subqueries stay untouched (a subquery column
+    resolves in its own scope). Without ``known_fields`` the
+    leading-token heuristic applies (legacy behavior)."""
+    out: list[str] = []
+    for expr in expressions:
+        if known_fields is None:
+            out.append(_qualify(expr, base_model))
+            continue
+        spans = _subquery_spans(expr)
+
+        def in_subquery(pos: int) -> bool:
+            return any(s <= pos < e for s, e in spans)
+
+        pieces: list[str] = []
+        offset = 0
+        for seg in _split_quoted(expr):
+            if seg.startswith("'"):
+                pieces.append(seg)
+                offset += len(seg)
+                continue
+
+            def sub(m: re.Match) -> str:
+                tok = m.group(0)
+                if in_subquery(offset + m.start()):
+                    return tok
+                if tok.split("__", 1)[0] in known_fields:
+                    return f"{base_model}.{tok}"
+                return tok
+
+            pieces.append(_IDENT_RE.sub(sub, seg))
+            offset += len(seg)
+        out.append("".join(pieces))
+    return out
+
+
+def expression_field_references(
+    expressions: list[str],
+    base_model: str,
+    known_fields: set[str] | None = None,
+    graph_models: set[str] | None = None,
+) -> set[str]:
+    """Semantic field refs in contract expressions, for allowlist
+    enforcement. Bare known fields (outside subqueries) count as
+    ``base_model.field``; dotted ``model.field`` refs count wherever
+    they appear — including correlated refs inside EXISTS subqueries —
+    when the qualifier is a known graph model (a subquery-local alias
+    is not a semantic ref)."""
+    refs: set[str] = set()
+    models = {base_model} | (graph_models or set())
+    for expr in expressions:
+        spans = _subquery_spans(expr)
+
+        def in_subquery(pos: int) -> bool:
+            return any(s <= pos < e for s, e in spans)
+
+        offset = 0
+        for seg in _split_quoted(expr):
+            if seg.startswith("'"):
+                offset += len(seg)
+                continue
+            for m in _DOTTED_RE.finditer(seg):
+                if m.group(1) in models:
+                    refs.add(f"{m.group(1)}.{m.group(2)}")
+            if known_fields is not None:
+                for m in _IDENT_RE.finditer(seg):
+                    if in_subquery(offset + m.start()):
+                        continue
+                    if m.group(0).split("__", 1)[0] in known_fields:
+                        refs.add(f"{base_model}.{m.group(0)}")
+            offset += len(seg)
+    return refs
+
+
+def _strip_grain(ref: str) -> str:
+    return ref.split("__", 1)[0]
+
+
 @dataclass
 class Explore:
     name: str
@@ -30,6 +164,8 @@ class Explore:
     description: str | None = None
     allowed_dimensions: list[str] | None = None  # None = unrestricted
     allowed_metrics: list[str] | None = None
+    allowed_filter_fields: list[str] | None = None
+    allowed_order_by: list[str] | None = None
     default_dimensions: list[str] = field(default_factory=list)
     default_metrics: list[str] = field(default_factory=list)
     filters: list[str] = field(default_factory=list)  # mandatory
@@ -57,7 +193,19 @@ class Explore:
                         f"explore {self.name!r}: default_{kind} not allowed: {bad}"
                     )
 
-    def resolve(self, kwargs: dict) -> dict:
+    def _known_fields(self, graph) -> set[str] | None:
+        if graph is None:
+            return None
+        model = graph.models.get(self.model)
+        if model is None:
+            return None
+        return (
+            {d.name for d in model.dimensions}
+            | {m.name for m in model.metrics}
+            | {s.name for s in getattr(model, "segments", [])}
+        )
+
+    def resolve(self, kwargs: dict, graph=None) -> dict:
         """Apply the contract to query kwargs; returns updated kwargs."""
         out = dict(kwargs)
         metrics = [_qualify(m, self.model) for m in (out.get("metrics") or [])]
@@ -65,6 +213,14 @@ class Explore:
         if not metrics and not dims:
             metrics = [_qualify(m, self.model) for m in self.default_metrics]
             dims = [_qualify(d, self.model) for d in self.default_dimensions]
+        if not metrics and not dims:
+            # an explore with allowlists but no defaults cannot compile
+            # an empty selection (reference raises the same way,
+            # tests/core/test_consumption_compiler.py:148-170)
+            raise ContractError(
+                f"explore {self.name!r}: must select at least one metric "
+                "or dimension (no defaults configured)"
+            )
         if self.allowed_metrics is not None:
             allow = {_qualify(v, self.model) for v in self.allowed_metrics}
             bad = [m for m in metrics if m not in allow]
@@ -74,19 +230,60 @@ class Explore:
             allow = {_qualify(v, self.model) for v in self.allowed_dimensions}
             bad = [d for d in dims if d not in allow]
             if bad:
-                raise ContractError(f"explore {self.name!r}: dimensions not allowed: {bad}")
-        filters = list(out.get("filters") or []) or [
-            _qualify(f, self.model) for f in self.default_filters
-        ]
-        filters = [_qualify(f, self.model) for f in self.filters] + filters
-        order_by = out.get("order_by") or [
-            _qualify(o, self.model) for o in self.default_order_by
-        ]
+                raise ContractError(
+                    f"explore {self.name!r} does not allow dimension(s) "
+                    f"{bad} (not allowed by contract)"
+                )
+        known = self._known_fields(graph)
+        graph_models = set(graph.models) if graph is not None else None
+        user_filters = list(out.get("filters") or [])
+        if self.allowed_filter_fields is not None and user_filters:
+            allow = {_qualify(_strip_grain(v), self.model) for v in self.allowed_filter_fields}
+            refs = expression_field_references(
+                user_filters, self.model, known, graph_models
+            )
+            bad_refs = sorted(
+                r for r in refs
+                if _qualify(_strip_grain(r), self.model) not in allow
+            )
+            if bad_refs:
+                raise ContractError(
+                    f"explore {self.name!r} does not allow filter field(s) "
+                    f"{bad_refs} (not allowed by contract)"
+                )
+        filters = user_filters or qualify_expression_fields(
+            self.default_filters, self.model, known
+        )
+        filters = qualify_expression_fields(self.filters, self.model, known) + filters
+        user_order = list(out.get("order_by") or [])
+        if self.allowed_order_by is not None and user_order:
+            allow = {_qualify(v, self.model) for v in self.allowed_order_by}
+            for o in user_order:
+                ref = re.sub(r"\s+(ASC|DESC)\s*$", "", o.strip(), flags=re.I)
+                if _qualify(ref, self.model) not in allow:
+                    raise ContractError(
+                        f"explore {self.name!r} does not allow ordering by "
+                        f"{ref!r} (not allowed by contract)"
+                    )
+        order_by = user_order or qualify_expression_fields(
+            self.default_order_by, self.model, known
+        )
         limit = out.get("limit")
+        if (
+            limit is not None
+            and self.max_limit is not None
+            and limit > self.max_limit
+        ):
+            # an explicit request above the cap is an error, not a
+            # silent truncation (reference 'exceeds max_limit')
+            raise ContractError(
+                f"explore {self.name!r}: limit {limit} exceeds max_limit "
+                f"{self.max_limit}"
+            )
         if limit is None:
             limit = self.default_limit
-        if self.max_limit is not None:
-            limit = self.max_limit if limit is None else min(limit, self.max_limit)
+        if self.max_limit is not None and limit is None:
+            limit = self.max_limit
         out.update(
             metrics=metrics, dimensions=dims, filters=filters,
             order_by=order_by, limit=limit,

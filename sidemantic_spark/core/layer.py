@@ -240,7 +240,7 @@ class SparkSemanticLayer:
             explore = self.graph.explores.get(explore_name)
             if explore is None:
                 raise ContractError(f"unknown explore {explore_name!r}")
-            kwargs = explore.resolve(kwargs)
+            kwargs = explore.resolve(kwargs, graph=self.graph)
         return kwargs
 
     def compile(

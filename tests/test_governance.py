@@ -719,3 +719,123 @@ def test_result_cache_lru_ttl_and_stats(spark, sf_dir):
     layer.result_cache_ttl_seconds = None
     layer.result_cache_max_entries = 32
     layer.clear_result_cache()
+
+
+def test_explore_filter_field_allowlist(layer):
+    """Filter-field allowlist (reference Explore.allowed_filter_fields,
+    tests/core/test_consumption_compiler.py:148-170): a governed caller
+    cannot filter on fields outside the allowlist — not even hidden
+    inside an EXISTS subquery (a filter on a disallowed column is an
+    aggregate side-channel)."""
+    layer.graph.explores.pop("gov_filters", None)
+    layer.add_explore(Explore(
+        name="gov_filters",
+        model="orders",
+        allowed_metrics=["revenue"],
+        allowed_dimensions=["status"],
+        allowed_filter_fields=["status"],
+        default_metrics=["revenue"],
+        default_dimensions=["status"],
+    ))
+    # allowed field passes
+    layer.compile(explore="gov_filters", filters=["orders.status = 'O'"])
+    with pytest.raises(ContractError, match="does not allow filter field"):
+        layer.compile(explore="gov_filters", filters=["orders.priority = '1-URGENT'"])
+    # bare (unqualified) disallowed field is still caught
+    with pytest.raises(ContractError, match="does not allow filter field"):
+        layer.compile(explore="gov_filters", filters=["priority = '1-URGENT'"])
+    # correlated model-qualified ref inside EXISTS is still a reference
+    with pytest.raises(ContractError, match="does not allow filter field"):
+        layer.compile(
+            explore="gov_filters",
+            filters=["EXISTS (SELECT 1 FROM x WHERE x.a = orders.priority)"],
+        )
+
+
+def test_explore_order_by_allowlist(layer):
+    layer.graph.explores.pop("gov_order", None)
+    layer.add_explore(Explore(
+        name="gov_order",
+        model="orders",
+        allowed_metrics=["revenue"],
+        allowed_dimensions=["status"],
+        allowed_order_by=["revenue"],
+        default_metrics=["revenue"],
+        default_dimensions=["status"],
+    ))
+    layer.compile(explore="gov_order", order_by=["revenue DESC"])
+    with pytest.raises(ContractError, match="does not allow ordering"):
+        layer.compile(explore="gov_order", order_by=["orders.status"])
+
+
+def test_explore_explicit_limit_above_cap_errors(layer):
+    """An explicit limit above max_limit is an error, not a silent
+    truncation (reference 'exceeds max_limit'); absent limits still
+    fall back default -> max."""
+    layer.graph.explores.pop("gov_limit", None)
+    layer.add_explore(Explore(
+        name="gov_limit",
+        model="orders",
+        default_metrics=["revenue"],
+        default_dimensions=["status"],
+        max_limit=100,
+    ))
+    sql = layer.compile(explore="gov_limit", limit=50)
+    assert "LIMIT 50" in sql
+    with pytest.raises(ContractError, match="exceeds max_limit"):
+        layer.compile(explore="gov_limit", limit=101)
+    # no explicit limit: capped at max_limit
+    assert "LIMIT 100" in layer.compile(explore="gov_limit")
+
+
+def test_explore_empty_selection_errors(layer):
+    layer.graph.explores.pop("gov_empty", None)
+    layer.add_explore(Explore(
+        name="gov_empty", model="orders", allowed_metrics=["revenue"],
+    ))
+    with pytest.raises(ContractError, match="at least one metric or dimension"):
+        layer.compile(explore="gov_empty")
+    assert "SUM" in layer.compile(explore="gov_empty", metrics=["revenue"])
+
+
+def test_explore_qualifies_relative_filter_and_order_expressions(layer, duck):
+    """Bare (relative) contract expressions qualify per-field — not by
+    blind prefixing — so non-leading fields and subqueries survive
+    (reference qualify_expression_fields,
+    tests/core/test_consumption_compiler.py:88-120)."""
+    from sidemantic_spark.core.consumption import (
+        expression_field_references,
+        qualify_expression_fields,
+    )
+
+    known = {"status", "priority", "revenue"}
+    assert qualify_expression_fields(
+        ["status IN (SELECT status FROM allowed_statuses)"], "orders", known
+    ) == ["orders.status IN (SELECT status FROM allowed_statuses)"]
+    assert expression_field_references(
+        ["status IN (SELECT status FROM allowed_statuses)"], "orders", known
+    ) == {"orders.status"}
+    # correlated qualified ref counts; the subquery-local alias does not
+    assert expression_field_references(
+        ["EXISTS (SELECT 1 FROM allowed a WHERE a.status = orders.status)"],
+        "orders", known,
+    ) == {"orders.status"}
+
+    layer.graph.explores.pop("gov_relative", None)
+    layer.add_explore(Explore(
+        name="gov_relative",
+        model="orders",
+        default_metrics=["revenue"],
+        default_dimensions=["status"],
+        filters=["status != 'P'"],
+        default_order_by=["revenue DESC"],
+    ))
+    df = layer.query(explore="gov_relative")
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders WHERE o_orderstatus != 'P' GROUP BY 1
+        """,
+    )
