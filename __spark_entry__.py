@@ -1992,7 +1992,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus AS status,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders
-            WHERE o_orderdate >= CURRENT_DATE - INTERVAL 40 YEAR
+            WHERE o_orderdate >= DATE_TRUNC('year', CURRENT_DATE) - INTERVAL 40 YEAR
             GROUP BY 1
         """,
         "window_dimension": """

@@ -851,11 +851,31 @@ class SqlGenerator:
         if m:
             direction, n, unit = m.group(1).lower(), int(m.group(2)), m.group(3).lower()
             if direction == "last":
-                start = f"CURRENT_DATE - {self._rel_interval(n, unit)}"
-                end = "CURRENT_DATE + INTERVAL '1' DAY"
+                if unit in ("day", "week"):
+                    # rolling window from today (reference
+                    # RelativeDateRange SIMPLE_PATTERNS: CURRENT_DATE-N,
+                    # open-ended upward in to_range)
+                    start = f"CURRENT_DATE - {self._rel_interval(n, unit)}"
+                    end = "CURRENT_DATE + INTERVAL '1' DAY"
+                else:
+                    # calendar-aligned: the N COMPLETE periods before
+                    # the current one (reference TRUNC_PATTERNS:
+                    # DATE_TRUNC - INTERVAL, core/relative_date.py:40-43
+                    # — 'last 3 months' excludes the running month)
+                    trunc = _date_trunc(unit, "CURRENT_DATE")
+                    start = f"{trunc} - {self._rel_interval(n, unit)}"
+                    end = trunc
             else:
                 start = "CURRENT_DATE"
-                end = f"CURRENT_DATE + {self._rel_interval(n, unit)}"
+                if unit in ("day", "week"):
+                    # reference to_range is inclusive of day N
+                    # (col <= CURRENT_DATE + N): half-open equivalent
+                    end = (
+                        f"CURRENT_DATE + {self._rel_interval(n, unit)}"
+                        " + INTERVAL '1' DAY"
+                    )
+                else:
+                    end = f"CURRENT_DATE + {self._rel_interval(n, unit)}"
             out = expand(m, start, end)
             if out is not None:
                 return self._rewrite_relative_dates(out)

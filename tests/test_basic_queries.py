@@ -634,3 +634,38 @@ def test_with_totals_guards(spark):
         layer.compile(metrics=["cum_rev_t"],
                       dimensions=["orders.order_date__day"],
                       with_totals=True)
+
+
+def test_relative_date_last_n_calendar_periods(layer, duck):
+    """'last N months/quarters/years' means the N COMPLETE calendar
+    periods before the current one (reference core/relative_date.py:
+    40-43 DATE_TRUNC - INTERVAL; to_range spans exactly N periods and
+    excludes the running period). Days/weeks stay rolling-from-today."""
+    sql = layer.compile(
+        metrics=["orders.order_count"],
+        filters=["orders.order_date = 'last 2 quarters'"],
+    )
+    # calendar-aligned: both bounds anchor to the quarter start
+    assert "DATE_TRUNC('quarter', CURRENT_DATE) - INTERVAL '6' MONTH" in sql
+    # the running quarter is excluded: the end bound is the trunc itself
+    assert "< DATE_TRUNC('quarter', CURRENT_DATE)" in sql.replace("\n", " ")
+    # rolling forms keep CURRENT_DATE arithmetic
+    sql = layer.compile(
+        metrics=["orders.order_count"],
+        filters=["orders.order_date >= 'last 7 days'"],
+    )
+    assert "CURRENT_DATE - INTERVAL '7' DAY" in sql
+    assert "DATE_TRUNC" not in sql.upper()
+    # executed parity vs DuckDB evaluating the reference's range form
+    df = layer.query(
+        metrics=["orders.order_count"],
+        filters=["orders.order_date = 'last 120 years'"],
+    )
+    want = duck.execute(
+        """
+        SELECT COUNT(*) FROM orders
+        WHERE o_orderdate >= DATE_TRUNC('year', CURRENT_DATE) - INTERVAL 120 YEAR
+          AND o_orderdate < DATE_TRUNC('year', CURRENT_DATE)
+        """
+    ).fetchone()[0]
+    assert df.collect()[0][0] == want
