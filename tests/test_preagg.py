@@ -1185,3 +1185,112 @@ def test_window_dimension_materialization_rejected(spark):
         rollup_select_sql(model, PreAggregation(
             name="bytime", measures=["revenue"],
             time_dimension="ts", granularity="day"))
+
+
+def test_recommender_scoring_naming_summary(layer):
+    """Recommendation quality mirrors the reference's assertions
+    (tests/optimizations/test_preagg_recommender.py:115-273): same
+    ranked order on the same traffic shape, the reference's name
+    scheme, and a summary honoring both thresholds."""
+    from sidemantic_spark.preagg.recommender import (
+        PreAggregationRecommender,
+        QueryPattern,
+    )
+
+    rec = PreAggregationRecommender(layer.graph, min_query_count=2)
+    hot = ("SELECT 1 -- sidemantic_spark models=orders "
+           "metrics=orders.revenue dimensions=orders.status granularities=day")
+    warm = ("SELECT 1 -- sidemantic_spark models=orders "
+            "metrics=orders.order_count dimensions=orders.priority")
+    cold = ("SELECT 1 -- sidemantic_spark models=orders "
+            "metrics=orders.revenue dimensions=orders.o_custkey")
+    rec.parse_query_log([hot] * 100 + [warm] * 50 + [cold])
+    recs = rec.get_recommendations()
+    assert len(recs) == 2  # third pattern below threshold
+    assert recs[0].query_count == 100
+    assert recs[0].pattern.metrics == frozenset(["revenue"])
+    assert recs[1].query_count == 50
+
+    # name scheme: {model}_{finest_grain}_{dims}_{metric|Nmetrics}
+    assert rec._generate_name(QueryPattern(
+        model="orders", metrics=frozenset(["revenue"]),
+        dimensions=frozenset(["status"]), granularities=frozenset(["day"]),
+    )) == "orders_day_status_revenue"
+    assert rec._generate_name(QueryPattern(
+        model="orders", metrics=frozenset(["revenue", "order_count"]),
+        dimensions=frozenset(["status"]), granularities=frozenset(),
+    )) == "orders_status_2metrics"
+    # distinct >2-dim sets must not collide; neither do same-named
+    # fields on different models
+    n3 = rec._generate_name(QueryPattern(
+        model="orders", metrics=frozenset(["revenue"]),
+        dimensions=frozenset(["a", "b", "c"]), granularities=frozenset(),
+    ))
+    n4 = rec._generate_name(QueryPattern(
+        model="orders", metrics=frozenset(["revenue"]),
+        dimensions=frozenset(["x", "y", "z"]), granularities=frozenset(),
+    ))
+    assert n3 != n4 and "3dims_" in n3
+    assert rec._generate_name(QueryPattern(
+        model="customer", metrics=frozenset(["revenue"]),
+        dimensions=frozenset(["status"]), granularities=frozenset(["day"]),
+    )) != "orders_day_status_revenue"
+
+    # benefit blend: hot narrow multi-metric beats cold wide single
+    s_hot = rec._benefit_score(QueryPattern(
+        model="orders", metrics=frozenset(["revenue", "order_count"]),
+        dimensions=frozenset(["status"]), granularities=frozenset(),
+    ), count=1000)
+    s_cold = rec._benefit_score(QueryPattern(
+        model="orders", metrics=frozenset(["revenue"]),
+        dimensions=frozenset(["status", "priority", "o_custkey", "okey2"]),
+        granularities=frozenset(),
+    ), count=10)
+    assert s_hot > 0.5 and s_cold < s_hot
+
+    # summary honors count AND score thresholds
+    summary = rec.get_summary()
+    assert summary["total_queries"] == 151
+    assert summary["unique_patterns"] == 3
+    assert summary["models"]["orders"] == 151
+    assert summary["patterns_above_threshold"] == 2
+    assert summary["queries_skipped"] == 0
+
+    # the recommended spec routes: the hot pattern's rollup has a time
+    # dimension pulled from the model's actual dimension types
+    preagg = recs[0].preagg
+    assert preagg.name == "orders_day_status_revenue"
+    assert preagg.measures == ["revenue"]
+    assert preagg.dimensions == ["status"]
+
+
+def test_recommender_cli_accessors(layer, tmp_path):
+    """The CLI prints r.model/measures/dimensions/granularity — the
+    accessor surface the reference exposes (was an AttributeError)."""
+    from sidemantic_spark.preagg.recommender import PreAggregationRecommender
+
+    rec = PreAggregationRecommender(layer.graph, min_query_count=1)
+    rec.parse_query_log([
+        "SELECT 1 -- sidemantic_spark models=orders "
+        "metrics=orders.revenue dimensions=orders.status,orders.order_date "
+        "granularities=month"
+    ])
+    r = rec.get_recommendations()[0]
+    assert r.model == "orders"
+    assert r.measures == ["revenue"]
+    assert r.dimensions == ["status"]
+    assert r.granularity == "month"
+    assert r.suggested_name == r.preagg.name
+    assert r.estimated_benefit_score == r.benefit_score
+
+    # file ingestion path
+    log = tmp_path / "q.sql"
+    log.write_text(
+        "SELECT 1 -- sidemantic_spark models=orders metrics=orders.revenue "
+        "dimensions=orders.status;\n"
+        "not instrumented\n"
+    )
+    rec2 = PreAggregationRecommender(layer.graph, min_query_count=1)
+    rec2.parse_query_log_file(str(log))
+    assert rec2.queries_matched == 1
+    assert rec2.get_summary()["queries_skipped"] >= 1
