@@ -30,7 +30,7 @@ from sidemantic_spark.adapters.base import (
     strip_cube_placeholders,
 )
 from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship, Segment
-from sidemantic_spark.preagg.matcher import PreAggregation
+from sidemantic_spark.preagg.matcher import PreAggregation, RefreshKey
 
 _REL_MAP = {
     "one_to_many": "one_to_many",
@@ -190,6 +190,35 @@ class CubeAdapter(BaseAdapter):
                 # (ref adapters/cube.py:789-797)
                 meta = dict(meta) if isinstance(meta, dict) else {}
                 meta["cube_sub_query"] = d.get("sub_query")
+            # case/when/else dimensions compile to a SQL CASE expression
+            # (ref adapters/cube.py:735-748); without this the imported
+            # dimension would resolve to a nonexistent bare column
+            case_def = d.get("case")
+            if isinstance(case_def, dict) and not sql:
+                parts = []
+                for w in case_def.get("when") or []:
+                    cond = strip_cube_placeholders(w.get("sql"), name)
+                    lbl = str(w.get("label", "")).replace("'", "''")
+                    parts.append(f"WHEN {cond} THEN '{lbl}'")
+                else_def = case_def.get("else") or {}
+                if else_def:
+                    lbl = str(else_def.get("label", "Unknown")).replace("'", "''")
+                    parts.append(f"ELSE '{lbl}'")
+                if parts:
+                    sql = "CASE " + " ".join(parts) + " END"
+            # switch values / mask / currency / geo lat+long have no
+            # first-class field: preserve in meta, lossy-but-visible
+            # (ref adapters/cube.py:756-780)
+            extras = {
+                k: d.get(k)
+                for k in ("mask", "currency", "latitude", "longitude")
+                if d.get(k) is not None
+            }
+            if d.get("type") == "switch" and d.get("values") is not None:
+                extras["switch_values"] = d.get("values")
+            if extras:
+                meta = dict(meta) if isinstance(meta, dict) else {}
+                meta.update(extras)
             dim = Dimension(
                 name=d["name"],
                 type=_DIM_TYPES.get(d.get("type", "string"), "categorical"),
@@ -332,6 +361,32 @@ class CubeAdapter(BaseAdapter):
                 pa_type = "lambda"
             if pa_type not in ("rollup", "rollup_join", "original_sql", "lambda"):
                 continue
+            # refresh policy + build bounds + indexes (ref adapters/
+            # cube.py:1192-1240): refresh_key drives full-vs-incremental
+            # refresh resolution; indexes map onto the Spark bucketed
+            # layout (bucket_by) — the engine-idiomatic rollup index
+            rk_def = pa.get("refresh_key") or pa.get("refreshKey")
+            refresh_key = None
+            if isinstance(rk_def, dict):
+                refresh_key = RefreshKey(
+                    every=rk_def.get("every"),
+                    sql=strip_cube_placeholders(rk_def.get("sql"), name)
+                    if rk_def.get("sql") else None,
+                    incremental=bool(rk_def.get("incremental", False)),
+                    update_window=rk_def.get("update_window")
+                    or rk_def.get("updateWindow"),
+                )
+            bucket_by: list[str] = []
+            for idx in pa.get("indexes") or []:
+                cols = idx.get("columns") if isinstance(idx, dict) else None
+                if cols and not bucket_by:
+                    bucket_by = [_leaf(c) for c in cols]
+
+            def _range_sql(key_a: str, key_b: str) -> str | None:
+                d = pa.get(key_a) or pa.get(key_b)
+                raw = d.get("sql") if isinstance(d, dict) else d
+                return strip_cube_placeholders(raw, name) if raw else None
+
             preaggs.append(PreAggregation(
                 name=pa["name"],
                 type=pa_type,
@@ -342,6 +397,14 @@ class CubeAdapter(BaseAdapter):
                 partition_granularity=pa.get("partition_granularity"),
                 sql=strip_cube_placeholders(pa.get("sql"), name)
                 if pa_type == "original_sql" else None,
+                refresh_key=refresh_key,
+                build_range_start=_range_sql("build_range_start", "buildRangeStart"),
+                build_range_end=_range_sql("build_range_end", "buildRangeEnd"),
+                scheduled_refresh=bool(
+                    pa.get("scheduled_refresh", pa.get("scheduledRefresh", False))
+                ),
+                bucket_by=bucket_by,
+                buckets=8 if bucket_by else 0,
             ))
 
         # explicit hierarchies -> parent chains (ref adapters/cube.py
@@ -497,6 +560,22 @@ def export_cube(graph) -> dict:
                     "dimensions": list(pa.dimensions),
                     **({"time_dimension": pa.time_dimension,
                         "granularity": pa.granularity} if pa.time_dimension else {}),
+                    **({"refresh_key": {
+                        k: v for k, v in (
+                            ("every", pa.refresh_key.every),
+                            ("sql", pa.refresh_key.sql),
+                            ("incremental", pa.refresh_key.incremental or None),
+                            ("update_window", pa.refresh_key.update_window),
+                        ) if v
+                    }} if pa.refresh_key else {}),
+                    **({"build_range_start": {"sql": pa.build_range_start}}
+                       if pa.build_range_start else {}),
+                    **({"build_range_end": {"sql": pa.build_range_end}}
+                       if pa.build_range_end else {}),
+                    **({"scheduled_refresh": True} if pa.scheduled_refresh else {}),
+                    **({"indexes": [{"name": f"{pa.name}_idx",
+                                     "columns": list(pa.bucket_by)}]}
+                       if pa.bucket_by else {}),
                 }
                 for pa in model.pre_aggregations
             ]

@@ -111,6 +111,35 @@ class PreAggManager:
             for pa in getattr(model, "pre_aggregations", []) or []:
                 self.register_one(model, pa)
 
+    def refresh(self, model_name: str, preagg_name: str, mode: str = "auto") -> str:
+        """Policy-driven refresh (reference ``core/preagg_management.py:
+        42-55`` resolve_refresh_mode): ``auto`` resolves to incremental
+        iff the spec opts in via ``refresh_key.incremental`` — the
+        ``update_window`` bounds how much trailing history the dynamic
+        partition overwrite rewrites; everything else is a full
+        rebuild. Returns the resolved mode."""
+        model = self.layer.graph.get_model(model_name)
+        pa = next(p for p in model.pre_aggregations if p.name == preagg_name)
+        resolved = resolve_refresh_mode(pa, mode)
+        if resolved == "incremental":
+            window = (pa.refresh_key.update_window if pa.refresh_key else None) or "7 day"
+            m = re.fullmatch(r"\s*(\d+)\s+(day|week|month|quarter|year)s?\s*", window, re.I)
+            if not m:
+                raise ValueError(
+                    f"pre-aggregation {preagg_name!r}: unsupported "
+                    f"update_window {window!r}"
+                )
+            n, unit = int(m.group(1)), m.group(2).lower()
+            if unit == "quarter":
+                n, unit = 3 * n, "month"
+            self.refresh_incremental(
+                model_name, preagg_name,
+                f"CURRENT_TIMESTAMP - INTERVAL '{n}' {unit.upper()}",
+            )
+        else:
+            self.materialize(model_name, preagg_name)
+        return resolved
+
     def refresh_incremental(self, model_name: str, preagg_name: str, since_sql: str) -> None:
         """Rebuild only partitions where the partition bucket >= the
         given SQL timestamp expression (dynamic partition overwrite:
@@ -139,6 +168,21 @@ class PreAggManager:
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
         self.register_one(model, pa)
+
+
+def resolve_refresh_mode(pa, requested: str | None = "auto") -> str:
+    """``auto`` -> incremental iff ``refresh_key.incremental`` (reference
+    ``core/preagg_management.py:42-55``); explicit modes validate."""
+    normalized = (requested or "auto").lower()
+    if normalized == "auto":
+        rk = getattr(pa, "refresh_key", None)
+        return "incremental" if rk is not None and rk.incremental else "full"
+    if normalized not in {"full", "incremental"}:
+        raise ValueError(
+            f"invalid refresh mode {requested!r}: expected auto, full, "
+            "or incremental"
+        )
+    return normalized
 
 
 _DOTTED_REF_RE = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b")
@@ -291,6 +335,17 @@ def rollup_select_sql(model: Model, pa: PreAggregation, extra_where: str | None 
     where = list(model.row_filters)
     if extra_where:
         where.append(extra_where)
+    # build-range bounds (reference core/pre_aggregation.py:60-66):
+    # the materialization scans only the declared time range — at
+    # 100 TB this is the difference between a bounded backfill and a
+    # full-history rebuild
+    if pa.time_dimension and (pa.build_range_start or pa.build_range_end):
+        tdim = model.dimension(pa.time_dimension)
+        texpr = tdim.expr if tdim else pa.time_dimension
+        if pa.build_range_start:
+            where.append(f"{texpr} >= ({pa.build_range_start})")
+        if pa.build_range_end:
+            where.append(f"{texpr} < ({pa.build_range_end})")
     if where:
         sql += "\nWHERE " + " AND ".join(f"({w})" for w in where)
     if group:

@@ -42,6 +42,20 @@ _DERIVABLE = {
 
 
 @dataclass
+class RefreshKey:
+    """Refresh policy for a rollup (reference ``core/pre_aggregation.py:
+    16-24``): ``every`` interval / trigger ``sql``, and the incremental
+    opt-in with its ``update_window`` (how much trailing history each
+    incremental pass rewrites — maps onto the manager's dynamic
+    partition overwrite)."""
+
+    every: str | None = None
+    sql: str | None = None
+    incremental: bool = False
+    update_window: str | None = None
+
+
+@dataclass
 class PreAggregation:
     """Materialized rollup spec attached to a model."""
 
@@ -67,6 +81,16 @@ class PreAggregation:
     # core/pre_aggregation.py:27, map to this on Spark)
     bucket_by: list[str] = field(default_factory=list)
     buckets: int = 0
+    # refresh policy + build bounds (reference core/pre_aggregation.py:
+    # 16-24,60-90): refresh_key drives full-vs-incremental resolution,
+    # build_range_* bound what the materialization scans, and
+    # scheduled_refresh marks the rollup for the refresh scheduler.
+    # The reference's `indexes` map onto bucket_by above (bucketed
+    # layout is the Spark analog of a rollup index).
+    refresh_key: RefreshKey | None = None
+    build_range_start: str | None = None  # SQL expr (time lower bound)
+    build_range_end: str | None = None  # SQL expr (time upper bound)
+    scheduled_refresh: bool = False
 
     def __post_init__(self) -> None:
         # the name lands verbatim in physical table identifiers that are

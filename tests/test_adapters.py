@@ -4854,3 +4854,125 @@ def test_lookml_explore_mandatory_filters_become_segments(spark):
     explore = layer.graph.explores["orders"]
     assert any("deleted" in f for f in explore.filters)
     assert any("created_date" in f for f in explore.filters)
+
+
+def test_cube_preagg_refresh_key_indexes_build_range(spark):
+    """Cube pre-aggregation long tail (ref adapters/cube.py:1192-1240):
+    refresh_key -> PreAggregation.refresh_key driving auto refresh-mode
+    resolution (ref core/preagg_management.py:42-55); indexes -> the
+    Spark bucketed layout; build_range bounds the materialization scan;
+    everything round-trips through export."""
+    from sidemantic_spark.adapters.cube import CubeAdapter, export_cube
+    from sidemantic_spark.models.tpch import register_tables
+    from sidemantic_spark.preagg.manager import (
+        resolve_refresh_mode,
+        rollup_select_sql,
+    )
+
+    layer = SparkSemanticLayer(spark)
+    CubeAdapter().parse(layer, {"cubes": [{
+        "name": "orders_cube", "sql_table": "orders",
+        "measures": [{"name": "revenue", "type": "sum", "sql": "o_totalprice"}],
+        "dimensions": [
+            {"name": "status", "type": "string", "sql": "o_orderstatus"},
+            {"name": "order_date", "type": "time", "sql": "o_orderdate"},
+        ],
+        "pre_aggregations": [{
+            "name": "daily", "measures": ["revenue"], "dimensions": ["status"],
+            "time_dimension": "order_date", "granularity": "day",
+            "partition_granularity": "month",
+            "refresh_key": {"every": "1 hour", "incremental": True,
+                            "update_window": "7 day"},
+            "indexes": [{"name": "s_idx", "columns": ["status"]}],
+            "build_range_start": {"sql": "DATE '1995-01-01'"},
+            "build_range_end": {"sql": "DATE '1996-01-01'"},
+            "scheduled_refresh": True,
+        }],
+    }]})
+    model = layer.graph.get_model("orders_cube")
+    pa = model.pre_aggregations[0]
+    assert pa.refresh_key.every == "1 hour"
+    assert pa.refresh_key.incremental and pa.refresh_key.update_window == "7 day"
+    assert pa.bucket_by == ["status"] and pa.buckets
+    assert pa.scheduled_refresh
+    assert resolve_refresh_mode(pa) == "incremental"
+    assert resolve_refresh_mode(pa, "full") == "full"
+    with pytest.raises(ValueError, match="invalid refresh mode"):
+        resolve_refresh_mode(pa, "sideways")
+    # build-range bounds land in the materialization scan
+    mat = rollup_select_sql(model, pa)
+    assert "o_orderdate >= (DATE '1995-01-01')" in mat
+    assert "o_orderdate < (DATE '1996-01-01')" in mat
+    # export round-trips the policy
+    out = export_cube(layer.graph)["cubes"][0]["pre_aggregations"][0]
+    assert out["refresh_key"]["update_window"] == "7 day"
+    assert out["build_range_start"] == {"sql": "DATE '1995-01-01'"}
+    assert out["indexes"][0]["columns"] == ["status"]
+    assert out["scheduled_refresh"] is True
+
+
+def test_cube_policy_refresh_executes(spark, sf_dir, tmp_path):
+    """`PreAggManager.refresh(mode='auto')` resolves incremental from
+    the refresh_key and actually rewrites only the update window via
+    dynamic partition overwrite (no bucket_by so the partitioned
+    parquet path is exercised)."""
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.preagg.matcher import PreAggregation, RefreshKey
+
+    layer = build_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    orders.pre_aggregations = [PreAggregation(
+        name="policy_daily",
+        measures=["revenue"],
+        dimensions=["status"],
+        time_dimension="order_date",
+        granularity="day",
+        partition_granularity="month",
+        refresh_key=RefreshKey(every="1 hour", incremental=True,
+                               update_window="30 day"),
+    )]
+    layer.preaggs.base_path = str(tmp_path)
+    layer.preaggs.materialize("orders")
+    assert layer.preaggs.refresh("orders", "policy_daily") == "incremental"
+    # full override still works
+    assert layer.preaggs.refresh("orders", "policy_daily", mode="full") == "full"
+    # the rollup still routes + answers after both refreshes
+    sql = layer.compile(metrics=["orders.revenue"], dimensions=["orders.status"])
+    assert "used_preagg=orders_preagg_policy_daily" in sql
+    assert layer.query(metrics=["orders.revenue"],
+                       dimensions=["orders.status"]).count() == 3
+
+
+def test_cube_case_dimension_compiles_to_sql_case(spark):
+    """Cube case/when/else dimensions become SQL CASE expressions
+    (ref adapters/cube.py:735-748) — without this the dimension
+    resolves to a nonexistent bare column."""
+    from sidemantic_spark.adapters.cube import CubeAdapter
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW case_src AS "
+        "SELECT * FROM VALUES (1, 120.0), (2, 40.0) t(id, amount)"
+    )
+    layer = SparkSemanticLayer(spark)
+    CubeAdapter().parse(layer, {"cubes": [{
+        "name": "sales", "sql_table": "case_src",
+        "measures": [{"name": "total", "type": "sum", "sql": "amount"}],
+        "dimensions": [
+            {"name": "size_bucket", "type": "string", "case": {
+                "when": [{"sql": "{CUBE}.amount >= 100", "label": "big"}],
+                "else": {"label": "small"},
+            }},
+            {"name": "masked", "type": "string", "sql": "id",
+             "mask": "***", "latitude": "1.0"},
+        ],
+    }]})
+    model = layer.graph.get_model("sales")
+    dim = model.dimension("size_bucket")
+    assert dim.sql and dim.sql.startswith("CASE WHEN")
+    assert model.dimension("masked").meta["mask"] == "***"
+    rows = {
+        (r["size_bucket"], float(r["total"]))
+        for r in layer.query(metrics=["sales.total"],
+                             dimensions=["sales.size_bucket"]).collect()
+    }
+    assert rows == {("big", 120.0), ("small", 40.0)}
