@@ -27,6 +27,10 @@ import re
 import yaml
 
 from sidemantic_spark.adapters.base import BaseAdapter
+from sidemantic_spark.adapters.lookml import (
+    _distinct_quantile_sql,
+    _keyed_distinct_agg_sql,
+)
 from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
 
 _DIM_TYPES = {
@@ -48,6 +52,19 @@ _AGGS = {
     "max": "max",
     "count_distinct": "count_distinct",
     "median": "median",
+}
+
+# Omni timeframe names -> engine grains (ref adapters/omni.py:295-305)
+_TIMEFRAMES = {
+    "date": "day",
+    "day": "day",
+    "week": "week",
+    "month": "month",
+    "quarter": "quarter",
+    "year": "year",
+    "hour": "hour",
+    "minute": "minute",
+    "second": "second",
 }
 
 
@@ -170,14 +187,39 @@ class OmniAdapter(BaseAdapter):
         for dname, props in (data.get("dimensions") or {}).items():
             props = props or {}
             sql = resolve(props.get("sql"))
+            dtype = _DIM_TYPES.get(props.get("type", "string"), "categorical")
+            # timeframes on a time dimension: first maps to the base
+            # granularity, full list to supported_granularities
+            # (ref adapters/omni.py:292-316)
+            timeframes = props.get("timeframes")
+            if timeframes is not None and not isinstance(timeframes, list):
+                timeframes = [timeframes]
+            granularity = None
+            supported: list[str] = []
+            if timeframes:
+                dtype = "time"
+                mapped = [
+                    _TIMEFRAMES[tf] for tf in timeframes if tf in _TIMEFRAMES
+                ]
+                if mapped:
+                    granularity = mapped[0]
+                    supported = list(dict.fromkeys(mapped))
+            meta = {
+                k: props[k]
+                for k in ("synonyms", "order_by_field")
+                if props.get(k) is not None
+            }
             dims.append(
                 Dimension(
                     name=dname,
-                    type=_DIM_TYPES.get(props.get("type", "string"), "categorical"),
+                    type=dtype,
                     sql=None if sql in (None, dname) else sql,
+                    granularity=granularity,
+                    supported_granularities=supported,
                     description=props.get("description"),
                     label=props.get("label"),
                     public=props.get("hidden") is not True,
+                    meta=meta or None,
                 )
             )
             if props.get("primary_key") is True:
@@ -186,9 +228,48 @@ class OmniAdapter(BaseAdapter):
         metrics: list[Metric] = []
         for mname, props in (data.get("measures") or {}).items():
             props = props or {}
-            agg = _AGGS.get(props.get("aggregate_type", "count"))
-            if agg is None:
+            # time-comparison pattern (ref adapters/omni.py:350-380):
+            # a filter carrying date_offset_from_query with
+            # cancel_query_filter means "this measure, shifted back by
+            # the offset" — the engine's time_comparison metric
+            tc = self._time_comparison_metric(mname, props)
+            if tc is not None:
+                metrics.append(tc)
                 continue
+            mtype = props.get("aggregate_type", "count")
+            agg = _AGGS.get(mtype)
+            inner = resolve(props.get("sql"))
+            complete_sql = None
+            if agg is None:
+                # Omni long-tail aggregates (ref adapters/omni.py:
+                # 384-440 leaves these agg-less with metadata; this
+                # engine can execute them): percentile -> continuous
+                # quantile; *_distinct_on -> fan-out-safe keyed-distinct
+                # aggregates over custom_primary_key_sql; list ->
+                # sorted collect_set join
+                key = resolve(props.get("custom_primary_key_sql"))
+                if mtype == "percentile" and inner:
+                    frac = float(props.get("percentile", 50) or 50) / 100.0
+                    complete_sql = (
+                        _distinct_quantile_sql(inner, key, frac)
+                        if key else f"PERCENTILE({inner}, {frac})"
+                    )
+                elif mtype in ("sum_distinct_on", "average_distinct_on") and inner and key:
+                    complete_sql = _keyed_distinct_agg_sql(
+                        "sum_distinct" if mtype.startswith("sum") else "avg_distinct",
+                        inner, key,
+                    )
+                elif mtype == "median_distinct_on" and inner and key:
+                    complete_sql = _distinct_quantile_sql(inner, key, 0.5)
+                elif mtype == "count_distinct_on" and key:
+                    agg, inner = "count_distinct", key
+                elif mtype == "list" and inner:
+                    complete_sql = (
+                        "array_join(sort_array(collect_set("
+                        f"CAST({inner} AS STRING))), ', ')"
+                    )
+                else:
+                    continue  # untranslatable (no sql/key to build from)
             filters = []
             for ffield, fprops in (props.get("filters") or {}).items():
                 if not isinstance(fprops, dict):
@@ -201,14 +282,22 @@ class OmniAdapter(BaseAdapter):
                     v = fprops["is_not"]
                     lit = v if isinstance(v, (int, float)) else f"'{v}'"
                     filters.append(f"{name}.{ffield} != {lit}")
+            meta = {
+                k: props[k]
+                for k in ("aggregate_type", "percentile", "synonyms",
+                          "custom_primary_key_sql")
+                if props.get(k) is not None
+            } if complete_sql is not None else None
             metrics.append(
                 Metric(
                     name=mname,
-                    agg=agg,
-                    sql=resolve(props.get("sql")),
+                    agg=agg if complete_sql is None else None,
+                    sql=complete_sql if complete_sql is not None else inner,
+                    sql_is_complete=complete_sql is not None,
                     filters=filters,
                     description=props.get("description"),
                     label=props.get("label"),
+                    meta=meta,
                 )
             )
 
@@ -220,6 +309,48 @@ class OmniAdapter(BaseAdapter):
             metrics=metrics,
             description=(data.get("description") or "").strip() or None,
         )
+
+    _TC_SUFFIXES = (
+        "_yoy", "_mom", "_wow", "_dod", "_qoq",
+        "_same_time_two_years_previously", "_same_time_one_year_previously",
+        "_same_time_last_month", "_same_time_last_week",
+        "_previous_period", "_prior_period",
+    )
+
+    def _time_comparison_metric(self, mname: str, props: dict):
+        """Omni offset-measure pattern -> time_comparison Metric
+        (ref adapters/omni.py:350-380,478-540): the offset unit picks
+        yoy/mom/wow/dod/qoq, the known name suffixes locate the base
+        measure, and Omni's default calculation is the difference."""
+        for conditions in (props.get("filters") or {}).values():
+            if not isinstance(conditions, dict):
+                continue
+            offset = conditions.get("date_offset_from_query")
+            if offset is None or conditions.get("cancel_query_filter") is not True:
+                continue
+            low = str(offset).lower()
+            comparison = next(
+                (c for u, c in (("year", "yoy"), ("quarter", "qoq"),
+                                ("month", "mom"), ("week", "wow"),
+                                ("day", "dod")) if u in low),
+                "prior_period",
+            )
+            base = mname
+            for suffix in self._TC_SUFFIXES:
+                if base.endswith(suffix):
+                    base = base[: -len(suffix)]
+                    break
+            return Metric(
+                name=mname,
+                type="time_comparison",
+                base_metric=base,
+                comparison_type=comparison,
+                time_offset=str(offset),
+                calculation="difference",
+                label=props.get("label"),
+                description=props.get("description"),
+            )
+        return None
 
     def _parse_relationships(self, layer, rels: list) -> None:
         for rl in rels or []:

@@ -4976,3 +4976,121 @@ def test_cube_case_dimension_compiles_to_sql_case(spark):
                              dimensions=["sales.size_bucket"]).collect()
     }
     assert rows == {("big", 120.0), ("small", 40.0)}
+
+
+def test_omni_timeframes_and_long_tail_measures(spark):
+    """Omni timeframes -> base grain + supported_granularities (ref
+    adapters/omni.py:292-316); percentile / sum_distinct_on /
+    median_distinct_on / list measures translate to EXECUTABLE
+    complete-SQL aggregates (the reference leaves them agg-less with
+    metadata; this engine runs them — quantile interpolation and
+    fan-out-safe keyed-distinct sums)."""
+    from sidemantic_spark.adapters.omni import OmniAdapter
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW omni_src AS SELECT * FROM VALUES "
+        "(1, 'a', 10.0, DATE '2024-01-01'), (1, 'a', 10.0, DATE '2024-01-02'), "
+        "(2, 'b', 30.0, DATE '2024-02-01'), (3, 'b', 50.0, DATE '2024-02-02') "
+        "t(k, grp, v, d)"
+    )
+    layer = SparkSemanticLayer(spark)
+    import yaml as _yaml
+
+    OmniAdapter().parse(layer, _yaml.safe_load("""
+name: omni_m
+table_name: omni_src
+dimensions:
+  k:
+    primary_key: true
+  grp: {}
+  d:
+    timeframes: [date, month, year]
+measures:
+  p90_v:
+    aggregate_type: percentile
+    percentile: 90
+    sql: "${omni_m.v}"
+  dedup_sum:
+    aggregate_type: sum_distinct_on
+    sql: "${omni_m.v}"
+    custom_primary_key_sql: "${omni_m.k}"
+  med_dedup:
+    aggregate_type: median_distinct_on
+    sql: "${omni_m.v}"
+    custom_primary_key_sql: "${omni_m.k}"
+  grp_list:
+    aggregate_type: list
+    sql: "${omni_m.grp}"
+"""))
+    model = layer.graph.models["omni_m"]
+    d = model.dimension("d")
+    assert d.type == "time" and d.granularity == "day"
+    assert d.supported_granularities == ["day", "month", "year"]
+    for mname in ("p90_v", "dedup_sum", "med_dedup", "grp_list"):
+        met = model.metric(mname)
+        assert met.sql_is_complete, mname
+        assert met.meta["aggregate_type"], mname
+
+    row = layer.query(
+        metrics=["omni_m.dedup_sum", "omni_m.med_dedup", "omni_m.grp_list"],
+    ).collect()[0]
+    # keyed dedup: k=1 contributes 10 once -> 10+30+50
+    assert float(row["dedup_sum"]) == 90.0
+    # median over deduped values {10, 30, 50}
+    assert float(row["med_dedup"]) == 30.0
+    assert row["grp_list"] == "a, b"
+    p90 = layer.query(metrics=["omni_m.p90_v"]).collect()[0][0]
+    # PERCENTILE over raw rows [10,10,30,50]: 0.9*(4-1)=2.7 -> 30+0.7*20
+    assert abs(float(p90) - 44.0) < 1e-6
+
+
+def test_omni_time_comparison_measure_pattern(spark, sf_dir, duck):
+    """Omni's offset-measure pattern (date_offset_from_query +
+    cancel_query_filter, ref adapters/omni.py:350-380) imports as a
+    time_comparison metric and EXECUTES through the window plan."""
+    import yaml as _yaml
+
+    from sidemantic_spark.adapters.omni import OmniAdapter
+    from sidemantic_spark.models.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    layer = SparkSemanticLayer(spark)
+    OmniAdapter().parse(layer, _yaml.safe_load("""
+name: omni_tc
+table_name: orders
+dimensions:
+  k:
+    primary_key: true
+    sql: "${omni_tc.o_orderkey}"
+  order_date:
+    timeframes: [date, month]
+    sql: "${omni_tc.o_orderdate}"
+measures:
+  revenue:
+    aggregate_type: sum
+    sql: "${omni_tc.o_totalprice}"
+  revenue_yoy:
+    aggregate_type: sum
+    sql: "${omni_tc.o_totalprice}"
+    filters:
+      order_date:
+        date_offset_from_query: 1 year
+        cancel_query_filter: true
+"""))
+    met = layer.graph.models["omni_tc"].metric("revenue_yoy")
+    assert met.type == "time_comparison"
+    assert met.base_metric == "revenue"
+    assert met.comparison_type == "yoy"
+    assert met.calculation == "difference"
+    df = layer.query(
+        metrics=["omni_tc.revenue", "omni_tc.revenue_yoy"],
+        dimensions=["omni_tc.order_date__year AS y"],
+    )
+    rows = {r["y"].year: (r["revenue"], r["revenue_yoy"]) for r in df.collect()}
+    # the shifted series is the prior year's revenue (difference calc
+    # yields current - prior; spot-check one interior year)
+    years = sorted(rows)
+    mid = years[len(years) // 2]
+    prior_rev = rows[mid - 1][0]
+    assert rows[mid][1] is not None
+    assert abs(float(rows[mid][1]) - (float(rows[mid][0]) - float(prior_rev))) < 1e-6
