@@ -439,11 +439,7 @@ class Model:
         # authoring/yaml_io.py already do this; Python-built models get
         # the same treatment): complete-SQL column refs become bare
         # columns of the model CTE, filters become model-qualified refs
-        for m in self.metrics:
-            if m.sql and "{model}" in m.sql:
-                m.sql = m.sql.replace("{model}.", "")
-            if m.filters:
-                m.filters = [f.replace("{model}", self.name) for f in m.filters]
+        self._normalize_placeholders()
         self._dims = {d.name: d for d in self.dimensions}
         self._metrics = {m.name: m for m in self.metrics}
         self._segments = {s.name: s for s in self.segments}
@@ -451,9 +447,23 @@ class Model:
 
         registry.notify_model(self)
 
+    def _normalize_placeholders(self) -> None:
+        for d in self.dimensions:
+            # dimension SQL renders inside the model CTE: {model}.col
+            # collapses to the bare column (reference
+            # test_multistep_funnel_model_placeholder_timestamp)
+            if d.sql and "{model}" in d.sql:
+                d.sql = d.sql.replace("{model}.", "")
+        for m in self.metrics:
+            if m.sql and "{model}" in m.sql:
+                m.sql = m.sql.replace("{model}.", "")
+            if m.filters:
+                m.filters = [f.replace("{model}", self.name) for f in m.filters]
+
     def reindex(self) -> None:
         """Rebuild the name->field indices after in-place edits to the
         dimensions/metrics/segments lists (adapter extension merges)."""
+        self._normalize_placeholders()
         self._dims = {d.name: d for d in self.dimensions}
         self._metrics = {m.name: m for m in self.metrics}
         self._segments = {s.name: s for s in self.segments}

@@ -195,6 +195,7 @@ class SqlGenerator:
                 "with_totals cannot be combined with limit/offset"
             )
         spec = self._apply_parameters_and_segments(spec)
+        spec = self._resolve_model_placeholder(spec)
         spec = self._apply_default_time_dims(spec)
         r = self._resolve(spec)
 
@@ -254,6 +255,36 @@ class SqlGenerator:
     # ------------------------------------------------------------------
     # pre-passes: parameters, segments, relative dates
     # ------------------------------------------------------------------
+    def _resolve_model_placeholder(self, spec: QuerySpec) -> QuerySpec:
+        """``{model}`` in query filters resolves to the query's anchor
+        model — the model of the first metric/dimension ref (reference
+        sql/generator.py:555 resolves the same placeholder before
+        filter classification)."""
+        if not any("{model}" in f for f in spec.filters):
+            return spec
+        anchor = None
+        for ref in list(spec.metrics) + list(spec.dimensions):
+            head = ref.split(".", 1)[0].split(" ", 1)[0].strip()
+            if head in self.graph.models:
+                anchor = head
+                break
+            metric = getattr(self.graph, "metrics", {}).get(head)
+            if metric is not None:
+                anchor = self._graph_metric_owner(head, metric)
+                if anchor:
+                    break
+        if anchor is None:
+            raise QueryCompileError(
+                "filters use the {model} placeholder but the query has "
+                "no model-qualified metric/dimension to anchor it"
+            )
+        import dataclasses
+
+        return dataclasses.replace(spec, filters=[
+            f.replace("{model}.", f"{anchor}.").replace("{model}", anchor)
+            for f in spec.filters
+        ])
+
     def _apply_parameters_and_segments(self, spec: QuerySpec) -> QuerySpec:
         from sidemantic_spark.core.template import is_sql_template, render_sql_template
 
@@ -2303,6 +2334,10 @@ FROM __step_1
         return sql
 
     def _rewrite_event_filter(self, f: str, model_name: str) -> str:
+        # {model} self-references in step/event predicates collapse to
+        # bare columns — they evaluate inside the model CTE (reference
+        # test_multistep_funnel_model_placeholder_step_predicates)
+        f = f.replace("{model}.", "").replace("{model}", model_name)
         known = set(self.graph.models)
         out = replace_refs(f, known, lambda m, fld, g: (_date_trunc(g, fld) if g else fld))
         return out
@@ -2310,6 +2345,7 @@ FROM __step_1
     def _event_filter_cols(self, filt: str, model_name: str, r: Resolved) -> None:
         """Project every column an event filter touches into the model
         CTE — both ``model.field`` refs and bare dimension names."""
+        filt = filt.replace("{model}.", "")
         model = self.graph.get_model(model_name)
         for mo, fld, _g in find_refs(filt, set(self.graph.models)):
             r.extra_cols.setdefault(mo, set()).add(fld)

@@ -1045,3 +1045,85 @@ def test_cumulative_fill_nulls_applies_after_window(spark):
         order_by=["day__day"],
     ).collect()
     assert [r["running_amount"] for r in rows] == [0, 5]
+
+
+def test_funnel_model_placeholder_steps_filter_and_timestamp(spark, duck):
+    """{model} placeholders resolve everywhere the reference accepts
+    them (tests/metrics/test_advanced.py:1594-1826): in step
+    predicates and query filters (-> anchor model), and in a time
+    dimension's SQL (-> bare CTE column)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    ev_sql = (
+        "SELECT 1 AS user_id, 'signup' AS event, 'US' AS region, "
+        "TIMESTAMP '2024-01-01' AS created_at "
+        "UNION ALL SELECT 1, 'purchase', 'US', TIMESTAMP '2024-01-02' "
+        "UNION ALL SELECT 2, 'signup', 'EU', TIMESTAMP '2024-01-01' "
+        "UNION ALL SELECT 2, 'purchase', 'EU', TIMESTAMP '2024-01-02' "
+        "UNION ALL SELECT 3, 'signup', 'US', TIMESTAMP '2024-01-01'"
+    )
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="ph_events", sql=ev_sql, primary_key="user_id",
+        dimensions=[
+            Dimension(name="user_id", sql="user_id"),
+            Dimension(name="event", sql="event"),
+            Dimension(name="region", sql="region"),
+            # {model}.col in a time dimension collapses to the bare col
+            Dimension(name="created_at", sql="{model}.created_at", type="time"),
+        ],
+    ))
+    layer.add_metric(Metric(
+        name="ph_funnel", type="conversion", entity="user_id",
+        steps=["{model}.event = 'signup'", "{model}.event = 'purchase'"],
+    ))
+    rows = layer.query(
+        metrics=["ph_funnel"],
+        filters=["{model}.region = 'US'"],
+    ).collect()
+    # US users: 1 (converted), 3 (signup only)
+    assert rows[0]["total_entities"] == 2
+    assert rows[0]["step_1_count"] == 2
+    assert rows[0]["step_2_count"] == 1
+
+
+def test_funnel_or_step_parenthesized_with_filter(spark):
+    """OR inside a step predicate must be parenthesized against the
+    appended query filter (reference
+    test_multistep_funnel_or_step_with_filter) — unparenthesized, an
+    EU signup leaks through the US filter."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    ev_sql = (
+        "SELECT 1 AS user_id, 'email_signup' AS event, 'US' AS region, "
+        "TIMESTAMP '2024-01-01' AS ts "
+        "UNION ALL SELECT 1, 'purchase', 'US', TIMESTAMP '2024-01-02' "
+        "UNION ALL SELECT 2, 'social_signup', 'US', TIMESTAMP '2024-01-01' "
+        "UNION ALL SELECT 2, 'purchase', 'US', TIMESTAMP '2024-01-02' "
+        "UNION ALL SELECT 3, 'email_signup', 'EU', TIMESTAMP '2024-01-01' "
+        "UNION ALL SELECT 3, 'purchase', 'EU', TIMESTAMP '2024-01-02' "
+        "UNION ALL SELECT 4, 'social_signup', 'EU', TIMESTAMP '2024-01-01'"
+    )
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="or_events", sql=ev_sql, primary_key="user_id",
+        dimensions=[
+            Dimension(name="user_id", sql="user_id"),
+            Dimension(name="event", sql="event"),
+            Dimension(name="region", sql="region"),
+            Dimension(name="ts", sql="ts", type="time"),
+        ],
+    ))
+    layer.add_metric(Metric(
+        name="or_funnel", type="conversion", entity="user_id",
+        steps=["event = 'email_signup' OR event = 'social_signup'",
+               "event = 'purchase'"],
+    ))
+    rows = layer.query(
+        metrics=["or_funnel"], filters=["or_events.region = 'US'"]
+    ).collect()
+    assert rows[0]["total_entities"] == 2  # EU users 3,4 filtered out
+    assert rows[0]["step_1_count"] == 2
+    assert rows[0]["step_2_count"] == 2
