@@ -459,6 +459,18 @@ class Model:
                 m.sql = m.sql.replace("{model}.", "")
             if m.filters:
                 m.filters = [f.replace("{model}", self.name) for f in m.filters]
+            # count_distinct with no expression counts distinct ENTITIES:
+            # it defaults to the primary key, composite keys concatenated
+            # with a separator so ('ab','c') != ('a','bc') (reference
+            # tests/queries/test_count_distinct_and_segments.py:42-80)
+            if m.agg in ("count_distinct", "approx_count_distinct") and not m.sql:
+                pk = self.pk_list()
+                if pk:
+                    m.sql = pk[0] if len(pk) == 1 else (
+                        "CONCAT(" + ", '||', ".join(
+                            f"CAST({k} AS STRING)" for k in pk
+                        ) + ")"
+                    )
 
     def reindex(self) -> None:
         """Rebuild the name->field indices after in-place edits to the

@@ -669,3 +669,43 @@ def test_relative_date_last_n_calendar_periods(layer, duck):
         """
     ).fetchone()[0]
     assert df.collect()[0][0] == want
+
+
+def test_count_distinct_defaults_to_primary_key(spark):
+    """count_distinct with no sql counts distinct ENTITIES: it defaults
+    to the primary key; a composite key concatenates with a separator
+    so ('ab','c') never collides with ('a','bc') (reference
+    tests/queries/test_count_distinct_and_segments.py:42-80 — without
+    both keys the composite case returns 5 instead of 6)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model, Segment
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW cd_location AS SELECT * FROM VALUES "
+        "(1,'3000','BE'),(2,'3000','BE'),(3,'7090','BE'),"
+        "(4,'75001','FR'),(5,'75001','FR'),(1,'7090','BE') "
+        "t(sk_location_id, zipcode, country)"
+    )
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="cd_loc", table="cd_location",
+        primary_key=["sk_location_id", "zipcode"],
+        dimensions=[Dimension(name="sk_location_id"),
+                    Dimension(name="zipcode"),
+                    Dimension(name="country")],
+        metrics=[Metric(name="count", agg="count_distinct")],
+        segments=[Segment(name="zip_7090", sql="{model}.zipcode = '7090'")],
+    ))
+    assert "CONCAT(" in layer.compile(metrics=["cd_loc.count"])
+    assert layer.query(metrics=["cd_loc.count"]).collect()[0][0] == 6
+    # segments compose with the defaulted key (reference issue #22)
+    assert layer.query(metrics=["cd_loc.count"],
+                       segments=["cd_loc.zip_7090"]).collect()[0][0] == 2
+
+    single = SparkSemanticLayer(spark)
+    single.add_model(Model(
+        name="cd_single", table="cd_location", primary_key="sk_location_id",
+        dimensions=[Dimension(name="sk_location_id")],
+        metrics=[Metric(name="cnt", agg="count_distinct")],
+    ))
+    assert single.query(metrics=["cd_single.cnt"]).collect()[0][0] == 5
