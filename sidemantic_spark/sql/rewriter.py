@@ -387,6 +387,15 @@ class SemanticSqlRewriter:
             break
         if not outer:
             raise QueryCompileError("WITH clause has no outer SELECT")
+        # the outer statement must be a SELECT (possibly parenthesized
+        # set-op branches): `WITH t AS (...) INSERT INTO ...` would
+        # smuggle DML through the read-only SQL gateway (reference
+        # test_raw_rejects_dml_in_cte rejects exactly this)
+        if not re.match(r"^[\s(]*SELECT\b", outer, re.IGNORECASE):
+            raise QueryCompileError(
+                "WITH outer statement must be a SELECT; DML/DDL is not "
+                f"allowed through the semantic SQL gateway: {outer[:60]!r}"
+            )
         rendered = []
         seen_ctes: set[str] = set()
         for name, cte_body in ctes:

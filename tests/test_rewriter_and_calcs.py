@@ -995,3 +995,24 @@ def test_nested_wrapper_recursion_compiles_island(layer, duck):
         ) WHERE revenue > 0
         """,
     )
+
+
+def test_sql_gateway_rejects_dml_behind_cte(layer):
+    """`WITH t AS (...) INSERT INTO ...` must not smuggle DML through
+    the read-only semantic SQL gateway (reference
+    tests/server/test_api_server.py test_raw_rejects_dml_in_cte);
+    legitimate CTE SELECTs keep working."""
+    import pytest as _pytest
+
+    for sql in (
+        "WITH t AS (SELECT 1 AS x) INSERT INTO victim SELECT * FROM t",
+        "WITH t AS (SELECT orders.revenue FROM orders) INSERT INTO v SELECT 1",
+        "WITH t AS (SELECT 1) DELETE FROM orders",
+        "WITH t AS (SELECT 1) UPDATE orders SET o_comment = 'x'",
+    ):
+        with _pytest.raises(QueryCompileError, match="must be a SELECT"):
+            layer.sql(sql)
+    # CTE SELECT still compiles
+    assert layer.sql(
+        "WITH t AS (SELECT orders.revenue FROM orders) SELECT * FROM t"
+    ).count() == 1
