@@ -232,9 +232,18 @@ class SemanticSqlRewriter:
             None if user is None
             else _json.dumps(user, sort_keys=True, default=str)
         )
+        gen = self.layer.generator
         key = (
             self.layer.graph.generation,
             self.wrapper_rules_enabled,
+            # the generator-state flags that shape compiled SQL: a
+            # cached rewrite from an enforcement-off (or preaggs-on)
+            # compile must not serve after the flag flips (reference
+            # test_sql_rewrite_cache_isolated_by_visibility_state)
+            gen.use_preaggs,
+            gen.preagg_strict,
+            gen.fanout_strategy,
+            getattr(self.layer, "enforce_visibility", False),
             user_key,
             sql,
         )
@@ -290,6 +299,20 @@ class SemanticSqlRewriter:
         # stamp the transport user onto every compiled spec so access
         # checks and row policies fire identically to layer.query(user=)
         spec.user = self._user
+        # field visibility enforces on the SQL path exactly as on the
+        # structured path (layer.compile) — without this, a hidden
+        # metric compiles straight through `layer.sql` (reference
+        # test_sql_and_raw_deny_hidden_fields_when_visibility_enforced)
+        if getattr(self.layer, "enforce_visibility", False):
+            from sidemantic_spark.core.security import enforce_field_visibility
+
+            self.layer.generator.enforce_visibility = True
+            enforce_field_visibility(self.layer.graph, {
+                "metrics": spec.metrics,
+                "dimensions": spec.dimensions,
+                "filters": spec.filters,
+                "order_by": spec.order_by,
+            })
         return self.layer.generator.generate(spec)
 
 

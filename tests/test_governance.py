@@ -839,3 +839,29 @@ def test_explore_qualifies_relative_filter_and_order_expressions(layer, duck):
         FROM orders WHERE o_orderstatus != 'P' GROUP BY 1
         """,
     )
+
+
+def test_sql_path_enforces_visibility_and_cache_isolation(spark, sf_dir):
+    """Hidden fields are denied through layer.sql/rewrite exactly as on
+    the structured path, and the rewrite cache is isolated by the
+    visibility state (reference
+    test_sql_and_raw_deny_hidden_fields_when_visibility_enforced +
+    test_sql_rewrite_cache_isolated_by_visibility_state)."""
+    from sidemantic_spark.core.security import SecurityError
+    from sidemantic_spark.models.tpch import build_layer
+
+    vlayer = build_layer(spark, sf_dir)
+    met = vlayer.graph.get_model("orders").metric("revenue")
+    met.public = False
+    try:
+        with pytest.raises(SecurityError, match="not public"):
+            vlayer.rewrite("SELECT orders.revenue FROM orders")
+        # enforcement off: compiles and seeds the cache
+        vlayer.enforce_visibility = False
+        assert vlayer.rewrite("SELECT orders.revenue FROM orders")
+        # back on: the cached compile must NOT leak through
+        vlayer.enforce_visibility = True
+        with pytest.raises(SecurityError, match="not public"):
+            vlayer.rewrite("SELECT orders.revenue FROM orders")
+    finally:
+        met.public = True
