@@ -198,13 +198,20 @@ class CubeAdapter(BaseAdapter):
                 parts = []
                 for w in case_def.get("when") or []:
                     cond = strip_cube_placeholders(w.get("sql"), name)
+                    if not cond:
+                        # a branch with no condition would emit the
+                        # literal token None — invalid SQL that only
+                        # explodes at first query
+                        continue
                     lbl = str(w.get("label", "")).replace("'", "''")
                     parts.append(f"WHEN {cond} THEN '{lbl}'")
+                has_when = bool(parts)
                 else_def = case_def.get("else") or {}
                 if else_def:
                     lbl = str(else_def.get("label", "Unknown")).replace("'", "''")
                     parts.append(f"ELSE '{lbl}'")
-                if parts:
+                # a searched CASE needs at least one WHEN to be valid
+                if has_when:
                     sql = "CASE " + " ".join(parts) + " END"
             # switch values / mask / currency / geo lat+long have no
             # first-class field: preserve in meta, lossy-but-visible

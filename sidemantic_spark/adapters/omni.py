@@ -204,11 +204,11 @@ class OmniAdapter(BaseAdapter):
                 if mapped:
                     granularity = mapped[0]
                     supported = list(dict.fromkeys(mapped))
-            meta = {
-                k: props[k]
-                for k in ("synonyms", "order_by_field")
-                if props.get(k) is not None
-            }
+            meta = (
+                {"order_by_field": props["order_by_field"]}
+                if props.get("order_by_field") is not None else None
+            )
+            syn = props.get("synonyms")
             dims.append(
                 Dimension(
                     name=dname,
@@ -219,7 +219,10 @@ class OmniAdapter(BaseAdapter):
                     description=props.get("description"),
                     label=props.get("label"),
                     public=props.get("hidden") is not True,
-                    meta=meta or None,
+                    # first-class synonyms field feeds catalog/LSP
+                    # search, matching every other adapter
+                    synonyms=[str(s) for s in syn] if isinstance(syn, list) else [],
+                    meta=meta,
                 )
             )
             if props.get("primary_key") is True:
@@ -249,7 +252,10 @@ class OmniAdapter(BaseAdapter):
                 # sorted collect_set join
                 key = resolve(props.get("custom_primary_key_sql"))
                 if mtype == "percentile" and inner:
-                    frac = float(props.get("percentile", 50) or 50) / 100.0
+                    # explicit None check: percentile: 0 (the minimum)
+                    # is falsy and must not coerce to the median
+                    pct = props.get("percentile")
+                    frac = float(50 if pct is None else pct) / 100.0
                     complete_sql = (
                         _distinct_quantile_sql(inner, key, frac)
                         if key else f"PERCENTILE({inner}, {frac})"
@@ -284,10 +290,11 @@ class OmniAdapter(BaseAdapter):
                     filters.append(f"{name}.{ffield} != {lit}")
             meta = {
                 k: props[k]
-                for k in ("aggregate_type", "percentile", "synonyms",
+                for k in ("aggregate_type", "percentile",
                           "custom_primary_key_sql")
                 if props.get(k) is not None
             } if complete_sql is not None else None
+            msyn = props.get("synonyms")
             metrics.append(
                 Metric(
                     name=mname,
@@ -297,6 +304,7 @@ class OmniAdapter(BaseAdapter):
                     filters=filters,
                     description=props.get("description"),
                     label=props.get("label"),
+                    synonyms=[str(s) for s in msyn] if isinstance(msyn, list) else [],
                     meta=meta,
                 )
             )

@@ -251,16 +251,43 @@ class Explore:
                     f"explore {self.name!r} does not allow filter field(s) "
                     f"{bad_refs} (not allowed by contract)"
                 )
+            # fail closed on subqueries that read semantic tables: an
+            # alias (`FROM orders o ... o.priority`) hides the column
+            # refs from extraction, reopening the aggregate
+            # side-channel the allowlist exists to close. Subqueries
+            # over non-semantic tables (allowed-values lookups) pass.
+            if graph_models:
+                for f in user_filters:
+                    for s, e in _subquery_spans(f):
+                        body = f[s:e]
+                        hit = next(
+                            (m for m in graph_models if re.search(
+                                rf"\b(?:FROM|JOIN)\s+{re.escape(m)}\b",
+                                body, re.I)),
+                            None,
+                        )
+                        if hit is not None:
+                            raise ContractError(
+                                f"explore {self.name!r} does not allow "
+                                f"filter subqueries scanning model {hit!r} "
+                                "(not allowed: aliased column access is "
+                                "unauditable)"
+                            )
         filters = user_filters or qualify_expression_fields(
             self.default_filters, self.model, known
         )
         filters = qualify_expression_fields(self.filters, self.model, known) + filters
         user_order = list(out.get("order_by") or [])
         if self.allowed_order_by is not None and user_order:
-            allow = {_qualify(v, self.model) for v in self.allowed_order_by}
+            allow = {
+                _qualify(_strip_grain(v), self.model)
+                for v in self.allowed_order_by
+            }
             for o in user_order:
                 ref = re.sub(r"\s+(ASC|DESC)\s*$", "", o.strip(), flags=re.I)
-                if _qualify(ref, self.model) not in allow:
+                # the grain variant of an allowed field is the same
+                # field (mirrors the filter-allowlist strip above)
+                if _qualify(_strip_grain(ref), self.model) not in allow:
                     raise ContractError(
                         f"explore {self.name!r} does not allow ordering by "
                         f"{ref!r} (not allowed by contract)"

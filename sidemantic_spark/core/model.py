@@ -459,18 +459,6 @@ class Model:
                 m.sql = m.sql.replace("{model}.", "")
             if m.filters:
                 m.filters = [f.replace("{model}", self.name) for f in m.filters]
-            # count_distinct with no expression counts distinct ENTITIES:
-            # it defaults to the primary key, composite keys concatenated
-            # with a separator so ('ab','c') != ('a','bc') (reference
-            # tests/queries/test_count_distinct_and_segments.py:42-80)
-            if m.agg in ("count_distinct", "approx_count_distinct") and not m.sql:
-                pk = self.pk_list()
-                if pk:
-                    m.sql = pk[0] if len(pk) == 1 else (
-                        "CONCAT(" + ", '||', ".join(
-                            f"CAST({k} AS STRING)" for k in pk
-                        ) + ")"
-                    )
 
     def reindex(self) -> None:
         """Rebuild the name->field indices after in-place edits to the
@@ -483,6 +471,26 @@ class Model:
     def pk_list(self) -> list[str]:
         pk = self.primary_key
         return list(pk) if isinstance(pk, (list, tuple)) else [pk]
+
+    def metric_value_sql(self, metric: Metric) -> str | None:
+        """The expression a simple metric aggregates, resolved at
+        GENERATION time (never mutating the authored Metric, so exports
+        round-trip what the author wrote). count_distinct with no
+        expression counts distinct ENTITIES: it defaults to the primary
+        key, composite keys concatenated with a separator so
+        ('ab','c') != ('a','bc') (reference
+        tests/queries/test_count_distinct_and_segments.py:42-80)."""
+        if metric.sql:
+            return metric.sql
+        if metric.agg in ("count_distinct", "approx_count_distinct"):
+            pk = self.pk_list()
+            if pk and pk[0]:
+                if len(pk) == 1:
+                    return pk[0]
+                return "CONCAT(" + ", '||', ".join(
+                    f"CAST({k} AS STRING)" for k in pk
+                ) + ")"
+        return None
 
     def dimension(self, name: str) -> Dimension | None:
         dim = self._dims.get(name)

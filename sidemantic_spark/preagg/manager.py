@@ -278,7 +278,7 @@ def rollup_select_sql(model: Model, pa: PreAggregation, extra_where: str | None 
         metric = model.metric(mname)
         if metric is None or not metric.is_simple:
             raise ValueError(f"pre-aggregation measure {mname!r} must be a simple metric")
-        expr = metric.sql or "1"
+        expr = model.metric_value_sql(metric) or "1"
         agg = metric.agg
         # metric-level filters BAKE into the partial state (reference
         # test_total_rollup_materializes_filtered_metrics_without_empty_

@@ -151,6 +151,18 @@ class PreAggregationRecommender:
                 continue
             out.append(PreAggRecommendation(pattern, preagg, count, score))
         out.sort(key=lambda r: (-r.benefit_score, -r.query_count, r.preagg.name))
+        # the 'Nmetrics' name form collapses distinct metric sets: two
+        # same-shaped recommendations would materialize into the SAME
+        # physical table and silently overwrite each other — append a
+        # stable digest of the metric set to later duplicates
+        seen_names: set[str] = set()
+        for rec in out:
+            if rec.preagg.name in seen_names:
+                digest = hashlib.md5(
+                    "_".join(sorted(rec.pattern.metrics)).encode()
+                ).hexdigest()[:6]
+                rec.preagg.name = f"{rec.preagg.name}_{digest}"
+            seen_names.add(rec.preagg.name)
         return out[:top_n] if top_n is not None else out
 
     def get_summary(self) -> dict:

@@ -973,8 +973,9 @@ class SqlGenerator:
         for comp_out, comp in r.component_metrics.get(model_name, []):
             if comp.sql_is_complete:
                 continue  # its columns arrive via extra_cols
-            if comp.sql:
-                cols[f"{comp_out}_raw"] = comp.sql
+            value_sql = model.metric_value_sql(comp)
+            if value_sql:
+                cols[f"{comp_out}_raw"] = value_sql
             elif comp.agg not in (None, "count"):
                 raise QueryCompileError(f"metric {comp.name!r} has no sql expression")
         if extra_time:

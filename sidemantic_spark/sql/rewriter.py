@@ -198,6 +198,25 @@ def _out_name(kind: str, full_ref: str, alias: str | None) -> str:
     return full_ref.split(".", 1)[1]
 
 
+
+def _find_balanced_paren(text: str) -> int | None:
+    """Index of the ``)`` closing the paren at text[0] (quote-aware),
+    or None when unbalanced. ``text`` must start at the open paren."""
+    depth = 0
+    in_q = False
+    for j, ch in enumerate(text):
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return j
+    return None
+
+
 class SemanticSqlRewriter:
     def __init__(self, layer) -> None:
         self.layer = layer
@@ -302,11 +321,14 @@ class SemanticSqlRewriter:
         # field visibility enforces on the SQL path exactly as on the
         # structured path (layer.compile) — without this, a hidden
         # metric compiles straight through `layer.sql` (reference
-        # test_sql_and_raw_deny_hidden_fields_when_visibility_enforced)
-        if getattr(self.layer, "enforce_visibility", False):
+        # test_sql_and_raw_deny_hidden_fields_when_visibility_enforced).
+        # Assign the layer flag UNCONDITIONALLY: only setting True would
+        # latch enforcement on after the layer flag is turned off.
+        enforce = getattr(self.layer, "enforce_visibility", False)
+        self.layer.generator.enforce_visibility = enforce
+        if enforce:
             from sidemantic_spark.core.security import enforce_field_visibility
 
-            self.layer.generator.enforce_visibility = True
             enforce_field_visibility(self.layer.graph, {
                 "metrics": spec.metrics,
                 "dimensions": spec.dimensions,
@@ -443,20 +465,7 @@ class SemanticSqlRewriter:
         tail = parts[1].lstrip()
         if not tail.startswith("("):
             return None
-        depth = 0
-        in_q = False
-        end = None
-        for j, ch in enumerate(tail):
-            if ch == "'":
-                in_q = not in_q
-            elif not in_q:
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                    if depth == 0:
-                        end = j
-                        break
+        end = _find_balanced_paren(tail)
         if end is None:
             return None
         inner = tail[1:end].strip()
@@ -550,20 +559,7 @@ class SemanticSqlRewriter:
         tail = from_parts[1].lstrip()
         if not tail.startswith("("):
             return None
-        depth = 0
-        in_q = False
-        end = None
-        for j, ch in enumerate(tail):
-            if ch == "'":
-                in_q = not in_q
-            elif not in_q:
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                    if depth == 0:
-                        end = j
-                        break
+        end = _find_balanced_paren(tail)
         if end is None:
             return None
         # the middle level may carry nothing beyond an optional alias:
@@ -609,20 +605,7 @@ class SemanticSqlRewriter:
         tail = from_parts[1].lstrip()
         if not tail.startswith("("):
             return None
-        depth = 0
-        in_q = False
-        end = None
-        for j, ch in enumerate(tail):
-            if ch == "'":
-                in_q = not in_q
-            elif not in_q:
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                    if depth == 0:
-                        end = j
-                        break
+        end = _find_balanced_paren(tail)
         if end is None:
             return None
         inner_sql = tail[1:end].strip()

@@ -159,12 +159,12 @@ class StreamingSemanticLayer:
                     "complex types (cumulative/comparison/...) are batch plans over "
                     "the streamed rollup"
                 )
-            expr_sql = metric.agg_sql(metric.sql or "1")
+            expr_sql = metric.agg_sql(model.metric_value_sql(metric) or "1")
             if metric.filters:
                 cond = " AND ".join(
                     f"({self._strip_model(c, model_name)})" for c in metric.filters
                 )
-                inner = metric.sql or "1"
+                inner = model.metric_value_sql(metric) or "1"
                 expr_sql = metric.agg_sql(f"CASE WHEN {cond} THEN {inner} END")
             aggs.append(F.expr(expr_sql).alias(mname))
 
@@ -350,7 +350,7 @@ class StreamingSemanticLayer:
             mname = ref.split(".", 1)[-1]
             metric = model.metric(mname)
             if metric is not None and metric.is_simple:
-                aggs.append(F.expr(metric.agg_sql(metric.sql or "1")).alias(mname))
+                aggs.append(F.expr(metric.agg_sql(model.metric_value_sql(metric) or "1")).alias(mname))
         return (
             df.groupBy(
                 F.session_window(F.col(binding.time_column), gap).alias("__s"),

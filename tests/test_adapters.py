@@ -5094,3 +5094,50 @@ measures:
     prior_rev = rows[mid - 1][0]
     assert rows[mid][1] is not None
     assert abs(float(rows[mid][1]) - (float(rows[mid][0]) - float(prior_rev))) < 1e-6
+
+
+def test_omni_percentile_zero_and_synonyms(spark):
+    """percentile: 0 means the minimum, not the median (falsy-coercion
+    guard); synonyms land on the first-class field, not meta."""
+    import yaml as _yaml
+
+    from sidemantic_spark.adapters.omni import OmniAdapter
+
+    spark.sql("CREATE OR REPLACE TEMP VIEW omni_p0 AS "
+              "SELECT * FROM VALUES (1, 10.0),(2, 30.0),(3, 50.0) t(id, v)")
+    layer = SparkSemanticLayer(spark)
+    OmniAdapter().parse(layer, _yaml.safe_load("""
+name: omni_p0
+table_name: omni_p0
+dimensions:
+  id:
+    primary_key: true
+    synonyms: [identifier, key]
+measures:
+  p0_v:
+    aggregate_type: percentile
+    percentile: 0
+    sql: "${omni_p0.v}"
+"""))
+    model = layer.graph.models["omni_p0"]
+    assert model.dimension("id").synonyms == ["identifier", "key"]
+    assert float(layer.query(metrics=["omni_p0.p0_v"]).collect()[0][0]) == 10.0
+
+
+def test_count_distinct_pk_default_does_not_contaminate_export(spark):
+    """The pk default resolves at generation time only: the authored
+    Metric keeps sql=None and exports round-trip what the author wrote."""
+    from sidemantic_spark.adapters.cube import export_cube
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="exp_m", table="t", primary_key="pk_col",
+        dimensions=[Dimension(name="pk_col")],
+        metrics=[Metric(name="entities", agg="count_distinct")],
+    ))
+    met = layer.graph.models["exp_m"].metric("entities")
+    assert met.sql is None
+    out = export_cube(layer.graph)["cubes"][0]
+    m_out = next(m for m in out["measures"] if m["name"] == "entities")
+    assert "sql" not in m_out

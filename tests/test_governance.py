@@ -865,3 +865,64 @@ def test_sql_path_enforces_visibility_and_cache_isolation(spark, sf_dir):
             vlayer.rewrite("SELECT orders.revenue FROM orders")
     finally:
         met.public = True
+
+
+def test_filter_allowlist_rejects_aliased_subquery_scan(layer):
+    """Aliasing the model inside a filter subquery (`FROM orders o ...
+    o.priority`) hides column refs from extraction — the allowlist
+    fails closed on subqueries that scan semantic models, while
+    lookup-table subqueries and correlated refs keep working."""
+    layer.graph.explores.pop("gov_alias", None)
+    layer.add_explore(Explore(
+        name="gov_alias",
+        model="orders",
+        allowed_metrics=["revenue"],
+        allowed_dimensions=["status"],
+        allowed_filter_fields=["status"],
+        default_metrics=["revenue"],
+    ))
+    with pytest.raises(ContractError, match="subqueries scanning model"):
+        layer.compile(
+            explore="gov_alias",
+            filters=["EXISTS (SELECT 1 FROM orders o WHERE o.priority = '1-URGENT')"],
+        )
+    # lookup-table subquery still allowed (reference permits these)
+    layer.compile(
+        explore="gov_alias",
+        filters=["orders.status IN (SELECT s FROM allowed_statuses)"],
+    )
+
+
+def test_order_allowlist_accepts_grain_variants(layer):
+    layer.graph.explores.pop("gov_grain", None)
+    layer.add_explore(Explore(
+        name="gov_grain",
+        model="orders",
+        allowed_order_by=["order_date"],
+        default_metrics=["revenue"],
+        default_dimensions=["order_date__month"],
+    ))
+    # the grain variant of an allowed field is the same field
+    layer.compile(explore="gov_grain", order_by=["order_date__month DESC"])
+    with pytest.raises(ContractError, match="does not allow ordering"):
+        layer.compile(explore="gov_grain", order_by=["revenue"])
+
+
+def test_visibility_enforcement_does_not_latch(spark, sf_dir):
+    """Turning layer.enforce_visibility back OFF must actually disable
+    enforcement on the SQL path (the flag is assigned, not latched)."""
+    from sidemantic_spark.core.security import SecurityError
+    from sidemantic_spark.models.tpch import build_layer
+
+    vlayer = build_layer(spark, sf_dir)
+    met = vlayer.graph.get_model("orders").metric("revenue")
+    met.public = False
+    try:
+        with pytest.raises(SecurityError):
+            vlayer.rewrite("SELECT orders.revenue FROM orders")
+        vlayer.enforce_visibility = False
+        # must compile — enforcement is off again, no stale True flag
+        assert vlayer.rewrite("SELECT orders.revenue FROM orders")
+    finally:
+        vlayer.enforce_visibility = True
+        met.public = True

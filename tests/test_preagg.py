@@ -1294,3 +1294,23 @@ def test_recommender_cli_accessors(layer, tmp_path):
     rec2.parse_query_log_file(str(log))
     assert rec2.queries_matched == 1
     assert rec2.get_summary()["queries_skipped"] >= 1
+
+
+def test_recommender_disambiguates_colliding_names(layer):
+    """Two same-shaped patterns with different metric sets must not
+    materialize into the same physical table — later duplicates get a
+    metric-set digest suffix."""
+    from sidemantic_spark.preagg.recommender import PreAggregationRecommender
+
+    rec = PreAggregationRecommender(layer.graph, min_query_count=1)
+    rec.parse_query_log(
+        ["SELECT 1 -- sidemantic_spark models=orders "
+         "metrics=orders.revenue,orders.order_count dimensions=orders.status"] * 3
+        + ["SELECT 1 -- sidemantic_spark models=orders "
+           "metrics=orders.max_order_value,orders.min_order_value "
+           "dimensions=orders.status"] * 2
+    )
+    names = [r.preagg.name for r in rec.get_recommendations()]
+    assert len(names) == len(set(names))
+    assert any(n == "orders_status_2metrics" for n in names)
+    assert any(n.startswith("orders_status_2metrics_") for n in names)
