@@ -199,6 +199,16 @@ class Metric:
     meta: dict | None = None
 
     def __post_init__(self) -> None:
+        # an N-step funnel has no conversion-window semantics: the step
+        # chain enforces chronological order, nothing expires — accepting
+        # both would silently imply windowed behavior that never runs
+        # (reference core/metric.py steps/conversion_window validation,
+        # tests/metrics/test_advanced.py:1068-1080)
+        if self.steps and self.conversion_window:
+            raise ValueError(
+                f"metric {self.name!r}: cannot specify both 'steps' and "
+                "'conversion_window' (the step chain has no window)"
+            )
         # ``expr`` is an accepted alias for ``sql`` on simple metrics
         # (reference core/metric.py:70-96, tests/test_expr_sql_alias.py);
         # derived metrics keep ``expr`` as the formula field

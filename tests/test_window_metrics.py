@@ -1127,3 +1127,17 @@ def test_funnel_or_step_parenthesized_with_filter(spark):
     assert rows[0]["total_entities"] == 2  # EU users 3,4 filtered out
     assert rows[0]["step_1_count"] == 2
     assert rows[0]["step_2_count"] == 2
+
+
+def test_funnel_steps_and_conversion_window_rejected():
+    """steps + conversion_window is contradictory — the step chain has
+    no window semantics; accepting both silently implies behavior that
+    never runs (reference tests/metrics/test_advanced.py:1068-1080)."""
+    import pytest as _pytest
+
+    from sidemantic_spark.core.model import Metric
+
+    with _pytest.raises(ValueError, match="both 'steps' and 'conversion_window'"):
+        Metric(name="bad_funnel", type="conversion", entity="user_id",
+               steps=["event = 'a'", "event = 'b'"],
+               conversion_window="7 days")
