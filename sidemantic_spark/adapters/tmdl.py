@@ -179,15 +179,15 @@ class TmdlAdapter(BaseAdapter):
                 if cm:
                     cname = _unquote(cm.group(1))
                     props, i = self._props(lines, i + 1)
-                    dtype = _TYPE_MAP.get((props.get("dataType") or "string").lower(), "categorical")
-                    src = props.get("sourceColumn") or cname
+                    dtype = _TYPE_MAP.get((props.get("datatype") or "string").lower(), "categorical")
+                    src = props.get("sourcecolumn") or cname
                     dname = _sanitize(cname)
                     dims.append(Dimension(
                         name=dname, type=dtype,
                         sql=None if src == dname else src,
                         label=cname if cname != dname else None,
                     ))
-                    if "isKey" in props:
+                    if "iskey" in props:
                         pk = dname
                     continue
                 if mm:
@@ -219,10 +219,12 @@ class TmdlAdapter(BaseAdapter):
             if re.match(r"^(table|column|measure|partition|hierarchy|relationship)\b", s) or not lines[i][:1].isspace():
                 break
             kv = re.match(r"^(\w+)\s*:\s*(.*)$", s)
+            # TMDL property names are case-insensitive (the reference's
+            # tokenizer lowercases before lookup) — normalize here
             if kv:
-                props[kv.group(1)] = kv.group(2).strip().strip('"')
+                props[kv.group(1).lower()] = kv.group(2).strip().strip('"')
             elif re.match(r"^\w+$", s):
-                props[s] = "true"
+                props[s.lower()] = "true"
             i += 1
         return props, i
 

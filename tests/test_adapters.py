@@ -5141,3 +5141,31 @@ def test_count_distinct_pk_default_does_not_contaminate_export(spark):
     out = export_cube(layer.graph)["cubes"][0]
     m_out = next(m for m in out["measures"] if m["name"] == "entities")
     assert "sql" not in m_out
+
+
+def test_tmdl_property_names_case_insensitive(spark):
+    """TMDL property names are case-insensitive (the reference's
+    tokenizer lowercases before lookup): SourceColumn/DataType/IsKey
+    spellings must parse identically to the canonical camelCase."""
+    from sidemantic_spark.adapters.tmdl import TmdlAdapter
+
+    layer = SparkSemanticLayer(spark)
+    import tempfile, os as _os
+    d = tempfile.mkdtemp()
+    with open(_os.path.join(d, "sales.tmdl"), "w") as fh:
+        fh.write("""
+table Sales
+	column Id
+		DataType: int64
+		IsKey
+		SourceColumn: id_raw
+	column Region
+		dataType: string
+		sourceColumn: region_raw
+	measure Total = SUM(Sales[Amount])
+""")
+    TmdlAdapter().parse_file(layer, _os.path.join(d, "sales.tmdl"))
+    model = layer.graph.models["sales"]
+    assert model.primary_key == "id"
+    assert model.dimension("id").sql == "id_raw"
+    assert model.dimension("region").sql == "region_raw"
