@@ -4,9 +4,12 @@ Design notes for 100 TB scale:
 
 - Exact dedup is a hash-groupBy: one shuffle on a 128-bit content
   fingerprint (uniformly distributed, so no skew), map-side combine.
-- MinHash signatures are computed entirely JVM-side with built-in array
-  functions (shingle -> xxhash64 -> affine permutations -> array_min),
-  i.e. one codegen'd map stage, no Python. LSH banding explodes to
+- MinHash shingle hashes AND signatures come out of ONE Arrow kernel
+  (vectorized XXH64 over UTF-8 char windows -> affine permutations ->
+  reduceat min): a single map stage, one Python round trip. The
+  equivalent JVM higher-order-function pipeline stays as the parity
+  oracle but evaluates interpreted (no codegen for HOF lambdas) and
+  measured ~25x slower per pass. LSH banding explodes to
   ``bands`` rows per doc and shuffles on (band, band_hash) — the
   standard near-dup join; band buckets are uniformly distributed by the
   hash, so skew only appears for *actually identical* band signatures,
@@ -32,14 +35,30 @@ from pyspark.sql import functions as F
 _P = (1 << 31) - 1
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the session's parallelism when the source read
-    produced too few partitions (tiny files): the signature/banding map
-    stages are CPU-bound, so a cheap early shuffle of the raw rows buys
-    full-core utilization. No-op when the scan is already wide."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
-        return df.repartition(target)
+_SPREAD_CAP = 100_000
+
+
+def _bounded_count(df: DataFrame, cap: int) -> int:
+    """Row count bounded at cap+1: CollectLimit short-circuits the scan
+    once cap+1 rows exist, so the probe costs O(cap) rows even on a
+    100 TB input (the operator-level analogue of AQE's size probes)."""
+    return df.select(F.lit(1)).limit(cap + 1).count()
+
+
+def _spread(df: DataFrame, n_rows: int) -> DataFrame:
+    """Repartition to the session's parallelism when the bounded row
+    count says the corpus is small: tiny corpora usually arrive as one
+    or two scan partitions (single small files), the downstream
+    signature/banding stages are CPU-bound, and shuffling <= 100k tiny
+    rows is negligible next to the utilization it buys. Above the cap
+    the file scan is already split-parallel and an unconditional
+    corpus-wide shuffle of raw text would be the actual scale hazard,
+    so wide inputs pass through untouched. The count arrives from the
+    caller so one probe job can feed both this gate and the
+    broadcast-verify gate (no DataFrame->RDD conversion, no extra
+    jobs)."""
+    if n_rows <= _SPREAD_CAP:
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df
 
 
@@ -179,6 +198,154 @@ def _minhash_sig_udf(num_hashes: int = 64):
         return pd.Series(list(cols))
 
     return sig
+
+
+# xxHash64 primes (public spec); numpy uint64 arithmetic wraps mod 2^64
+# exactly like the JVM's, so the vectorized kernel below reproduces the
+# engine expression xxhash64(shingle) bit-for-bit.
+_XP1 = np.uint64(0x9E3779B185EBCA87)
+_XP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XP3 = np.uint64(0x165667B19E3779F9)
+_XP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XP5 = np.uint64(0x27D4EB2F165667C5)
+_U64 = np.uint64
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _U64(r)) | (x >> _U64(64 - r))
+
+
+def _xxh64_windows(
+    data: np.ndarray, starts: np.ndarray, lengths: np.ndarray, seed: int = 42
+) -> np.ndarray:
+    """Vectorized XXH64 (seed 42, the SQL xxhash64 default) over byte
+    windows ``data[starts[i] : starts[i]+lengths[i]]``.
+
+    Windows are grouped by byte length (k char-shingles are one length
+    on ASCII text, a handful on multi-byte text), and each group runs
+    the short-input XXH64 tail — 8-byte lanes, one 4-byte lane, single
+    bytes, avalanche — as numpy column operations over every window at
+    once. Supports any length < 2^31 in principle but is intended for
+    short shingles; all arithmetic wraps in uint64 exactly per spec."""
+    out = np.empty(len(starts), dtype=np.uint64)
+    for L64 in np.unique(lengths):
+        L = int(L64)
+        sel = lengths == L64
+        s = starts[sel]
+        h = np.full(
+            len(s), _U64((seed + int(_XP5) + L) & ((1 << 64) - 1)), dtype=np.uint64
+        )
+        pos = 0
+        while L - pos >= 8:
+            lane = np.zeros(len(s), dtype=np.uint64)
+            for j in range(8):
+                lane |= data[s + (pos + j)].astype(np.uint64) << _U64(8 * j)
+            h ^= _rotl64(lane * _XP2, 31) * _XP1
+            h = _rotl64(h, 27) * _XP1 + _XP4
+            pos += 8
+        if L - pos >= 4:
+            w = np.zeros(len(s), dtype=np.uint64)
+            for j in range(4):
+                w |= data[s + (pos + j)].astype(np.uint64) << _U64(8 * j)
+            h ^= w * _XP1
+            h = _rotl64(h, 23) * _XP2 + _XP3
+            pos += 4
+        while pos < L:
+            h ^= data[s + pos].astype(np.uint64) * _XP5
+            h = _rotl64(h, 11) * _XP1
+            pos += 1
+        h ^= h >> _U64(33)
+        h *= _XP2
+        h ^= h >> _U64(29)
+        h *= _XP3
+        h ^= h >> _U64(32)
+        out[sel] = h
+    return out
+
+
+def _sig_and_shingles_udf(num_hashes: int = 64, k: int = 5):
+    """Arrow-vectorized shingle-hash + MinHash-signature kernel:
+    normalized text -> struct(sh: array<bigint>, sig: array<bigint>).
+
+    Replaces the JVM higher-order-function shingle pipeline
+    (transform/substr/xxhash64/array_distinct) for the bulk dedup path:
+    HOF lambdas evaluate INTERPRETED with no common-subexpression
+    elimination, and the ~2 s/5k-doc shingle stage dominated the whole
+    operator (and was re-evaluated once per verify side — exprIds
+    defeat exchange reuse). Here char windows are located with one
+    UTF-8 continuation-byte scan, hashed by the vectorized XXH64 above
+    (bit-identical to the xxhash64 expression — parity-tested against
+    the Column form in tests/test_operators.py), reduced mod 2^31-1,
+    uniqued per doc, and fed straight into the signature reduceat —
+    one Arrow round trip for both outputs. ``sh`` comes out sorted
+    (np.unique) where the Column form keeps first-occurrence order;
+    every consumer is order-insensitive (set ops, min)."""
+    from pyspark.sql.functions import pandas_udf
+
+    consts = _perm_constants(num_hashes)
+    A = np.array([a for a, _ in consts], dtype=np.int64)
+    B = np.array([b for _, b in consts], dtype=np.int64)
+
+    @pandas_udf("struct<sh: array<bigint>, sig: array<bigint>>")
+    def kern(norm: pd.Series) -> pd.DataFrame:
+        n = len(norm)
+        if n == 0:
+            return pd.DataFrame({"sh": [], "sig": []})
+        enc = [s.encode("utf-8") for s in norm]
+        blob = b"".join(enc)
+        data = (
+            np.frombuffer(blob, dtype=np.uint8)
+            if blob
+            else np.empty(0, dtype=np.uint8)
+        )
+        byte_lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+        doc_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(byte_lens, out=doc_off[1:])
+        cs_all = (
+            np.flatnonzero((data & 0xC0) != 0x80)
+            if len(data)
+            else np.empty(0, dtype=np.int64)
+        )
+        lo = np.searchsorted(cs_all, doc_off[:-1], side="left")
+        hi = np.searchsorted(cs_all, doc_off[1:], side="left")
+        w_starts, w_lens = [], []
+        for i in range(n):
+            cs = cs_all[lo[i]:hi[i]]
+            n_chars = len(cs)
+            end = doc_off[i + 1]
+            if n_chars < k:
+                # whole (short) doc is the single shingle, "" included
+                w_starts.append(np.array([doc_off[i]], dtype=np.int64))
+                w_lens.append(np.array([end - doc_off[i]], dtype=np.int64))
+            else:
+                ws = cs[: n_chars - k + 1]
+                ends = np.concatenate([cs[k:], np.array([end], dtype=np.int64)])
+                w_starts.append(ws)
+                w_lens.append(ends - ws)
+        counts = np.fromiter((len(w) for w in w_starts), dtype=np.int64, count=n)
+        with np.errstate(over="ignore"):
+            hashes = _xxh64_windows(
+                data, np.concatenate(w_starts), np.concatenate(w_lens)
+            )
+        sh_mod = np.remainder(hashes.view(np.int64), _P)
+        bounds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=bounds[1:])
+        sh_list = [np.unique(sh_mod[bounds[i]:bounds[i + 1]]) for i in range(n)]
+        dlens = np.fromiter((len(a) for a in sh_list), dtype=np.int64, count=n)
+        hcat = np.concatenate(sh_list)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(dlens[:-1], out=offs[1:])
+        sigs = np.empty((num_hashes, n), dtype=np.int64)
+        buf = np.empty_like(hcat)
+        for i in range(num_hashes):
+            np.multiply(hcat, A[i], out=buf)
+            np.add(buf, B[i], out=buf)
+            np.remainder(buf, _P, out=buf)
+            sigs[i] = np.minimum.reduceat(buf, offs)
+        cols = np.ascontiguousarray(sigs.T)
+        return pd.DataFrame({"sh": sh_list, "sig": list(cols)})
+
+    return kern
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -340,26 +507,28 @@ def minhash_lsh_pairs(
     corpus-scale-safe: no broadcast assumption, shingles computed once.
     """
     rows_per_band = num_hashes // bands
-    df = _spread(df)
-    # normalize in its own projection (see _shingles note), shingle+hash
-    # JVM-side, then the Arrow/numpy signature kernel
-    shingled = df.select(
+    # ONE bounded probe feeds both gates (spread + verify strategy)
+    n_docs = _bounded_count(df, max(_SPREAD_CAP, broadcast_doc_cap))
+    df = _spread(df, n_docs)
+    # normalize in its own projection (see _shingles note), then ONE
+    # Arrow kernel computes shingle hashes AND the signature (the JVM
+    # HOF shingle stage was the operator's dominant cost — see
+    # _sig_and_shingles_udf)
+    feat = df.select(
         F.col(id_col).alias("__id"),
         _norm(F.col(text_col)).alias("__norm"),
     ).select(
         "__id",
-        _shingle_hashes_of_norm(F.col("__norm"), k).alias("__sh"),
+        _sig_and_shingles_udf(num_hashes, k)(F.col("__norm")).alias("__f"),
     )
-    # no persist anywhere: the signature frame is consumed exactly once
-    # (banding) and the shingle frame feeds the two verify sides, whose
-    # recompute (~1.7s at sf0.1) is cheaper than a columnar cache build
-    # of nested arrays (~7s) — and at corpus scale caching either would
-    # blow the storage budget. Keeping the whole operator one lazy DAG
-    # also lets Catalyst/AQE plan it end-to-end in a single job.
-    with_sig = shingled.select(
-        "__id",
-        _minhash_sig_udf(num_hashes)(F.col("__sh")).alias("__sig"),
-    )
+    # no persist anywhere: the feature subtree is re-evaluated by each
+    # verify side (exprIds defeat exchange reuse), but one kernel pass
+    # is far cheaper than a columnar cache build of nested arrays
+    # (~7s at sf0.1) — and at corpus scale caching would blow the
+    # storage budget. Keeping the whole operator one lazy DAG also
+    # lets Catalyst/AQE plan it end-to-end in a single job.
+    shingled = feat.select("__id", F.col("__f.sh").alias("__sh"))
+    with_sig = feat.select("__id", F.col("__f.sig").alias("__sig"))
     # band keys carry ONLY (id, band, bhash): the wide shingle arrays
     # must not ride through the banding shuffle — at corpus scale they
     # dominate the shuffle volume by orders of magnitude
@@ -380,14 +549,8 @@ def minhash_lsh_pairs(
 
     cand = pairs_from_bucket_keys(banded)
     if broadcast_verify is None:
-        # auto: a LIMIT-bounded count decides the strategy — Spark stops
-        # scanning once cap+1 rows exist, so the gate costs O(cap) rows
-        # instead of a full corpus count (the operator-level analogue of
-        # AQE's size-based join planning)
-        broadcast_verify = (
-            df.select(F.lit(1)).limit(broadcast_doc_cap + 1).count()
-            <= broadcast_doc_cap
-        )
+        # auto by the shared bounded probe (see _bounded_count)
+        broadcast_verify = n_docs <= broadcast_doc_cap
     return _exact_jaccard_verify(
         cand, shingled, "__sh", jaccard_threshold, broadcast_verify
     )
@@ -720,7 +883,7 @@ def simhash_near_dups(
         F.array_distinct(F.split(F.col("__norm"), " ")), lambda t: F.xxhash64(t)
     )
     sig = (
-        _spread(df)
+        _spread(df, _bounded_count(df, _SPREAD_CAP))
         .select(F.col(id_col).alias("__id"), _norm(F.col(text_col)).alias("__norm"))
         .select("__id", token_hashes.alias("__th"))
         .select("__id", _simhash_sig_udf()(F.col("__th")).alias("__sig"))
@@ -777,7 +940,7 @@ def ngram_jaccard_pairs(
     pre-filter with :func:`minhash_lsh_pairs`; this operator is the
     exact verifier of the dedup family.
     """
-    df = _spread(df)
+    df = _spread(df, _bounded_count(df, _SPREAD_CAP))
     # tokens from a pre-materialized normalized column (HOF lambdas are
     # interpreted with no CSE — see _shingles)
     normed = df.select(F.col(id_col).alias("__id"), _norm(F.col(text_col)).alias("__norm"))

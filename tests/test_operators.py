@@ -910,3 +910,43 @@ def test_semantic_dedup_clusters_and_keeps(spark):
     assert out[2].cluster_id == 1 and not out[2].keep
     assert out[3].cluster_id == 1 and not out[3].keep  # near-parallel joins via 1
     assert out[4].cluster_id == 4 and out[4].keep  # orthogonal singleton
+
+
+def test_sig_and_shingles_kernel_parity(docs, spark):
+    """The combined Arrow shingle+signature kernel must reproduce the
+    JVM Column forms bit-for-bit: xxhash64 char-shingles mod p (as a
+    set — the kernel sorts, the Column form keeps first occurrence)
+    and the affine-permutation MinHash signature. Unicode and
+    short-text edges ride along via synthetic rows."""
+    from pyspark.sql import functions as F
+
+    extra = spark.createDataFrame(
+        [
+            (100001, ""),                      # empty -> single "" shingle
+            (100002, "ab"),                   # shorter than k
+            (100003, "héllo wörld — ünïcode"),  # multi-byte UTF-8
+            (100004, "  spaced\t\tout\n\nwhitespace  "),
+            (100005, "aaaaaaaaaaaaaaaaaaaaa"),  # one distinct shingle
+        ],
+        ["doc_id", "text"],
+    )
+    d = docs.limit(120).select("doc_id", "text").unionByName(extra)
+    normed = d.select(
+        F.col("doc_id"), dedup._norm(F.col("text")).alias("__norm")
+    )
+    jvm = normed.select(
+        "doc_id",
+        dedup._shingle_hashes_of_norm(F.col("__norm"), 5).alias("sh"),
+        dedup.minhash_signature_from_hashes(
+            dedup._shingle_hashes_of_norm(F.col("__norm"), 5), 16
+        ).alias("sig"),
+    ).collect()
+    kern = normed.select(
+        "doc_id", dedup._sig_and_shingles_udf(16, 5)(F.col("__norm")).alias("f")
+    ).collect()
+    jvm_by_id = {r.doc_id: (sorted(r.sh), list(r.sig)) for r in jvm}
+    assert len(kern) == len(jvm_by_id)
+    for r in kern:
+        sh_j, sig_j = jvm_by_id[r.doc_id]
+        assert sorted(r.f.sh) == sh_j, f"shingle hashes differ for doc {r.doc_id}"
+        assert list(r.f.sig) == sig_j, f"signature differs for doc {r.doc_id}"
