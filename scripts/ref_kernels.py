@@ -559,6 +559,13 @@ def java_double_str(v: float) -> str:
     return sign + mant_s + "E" + str(exp - 1)
 
 
+def as_float32(vals: list[float]) -> list[float]:
+    """Round-trip through binary32: the media feature column is
+    array<float>, so every double is truncated at the Arrow boundary
+    before the contract-boundary cast back to double."""
+    return [float(np.float32(v)) for v in vals]
+
+
 def to_json_doubles(vals: list[float] | None, round6: bool = True) -> str | None:
     """``to_json(transform(arr, x -> round(x, 6)))`` replica: JSON array
     of Java-formatted doubles, no spaces."""
