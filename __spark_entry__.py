@@ -1718,51 +1718,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_fingerprint": _streaming_dedup_fingerprint,
         "streaming_rollup_route": _streaming_rollup_route,
     }
-    # Driver-sample rotation (round 6): the driver oracle-checks the
-    # FIRST 50 entries each round.  Priority order: (a) the five
-    # oracle-backed entries added in round 5 and never driver-sampled,
-    # (b) entries added this round, (c) the three rows-only ANN/simhash
-    # entries the verdict asked to re-record, (d) the r03-green cohort
-    # (oldest remaining driver rows), (e) backfill with r04 anchors so
-    # no sampled entry's newest driver row is older than two rounds.
-    # Entries 51+ are all r04/r05-green and stay covered by the local
-    # strict run (scripts/strict_compare.py).
-    first_50 = [
-        # cheap pure-JVM entry first: the first entry's driver timing
-        # absorbs session cold-start (worker pool, codegen), so it
-        # should not land on an Arrow-UDF-heavy operator
-        "basic_agg",
-        # never driver-sampled (added round 5)
-        "semantic_sql_from_metrics", "ungrouped_metrics_detail",
-        "preagg_ungrouped_route", "preagg_filtered_measure_route",
-        "fanout_complete_sql",
-        # added round 6
-        "preagg_approx_distinct_route",
-        # rows-only entries: re-record rows this round
-        "dedup_simhash", "sim_ann_lsh_topk", "sim_ann_ivf_topk",
-        # r03 cohort (oldest remaining driver-green rows)
-        "dims_only_distinct", "segment_filter",
-        "table_calc_pct_of_total", "table_calc_rank",
-        "table_calc_moving_avg", "table_calc_pct_of_previous",
-        "table_calc_formula", "join_m2o", "join_filtered_inner",
-        "join_part_brand", "join_m2m_through", "fk_dimension_no_join",
-        "join_cross", "join_composite_derived",
-        # r04 anchors (backfill)
-        "fanout_dedup", "fanout_dedup_plan", "ratio_offset_share",
-        "qoq_ratio", "time_offset_custom", "conversion_by_dimension",
-        "dedup_ngram_jaccard", "dedup_source_overlap",
-        "text_vocab_topk", "text_profile", "text_language_id",
-        "text_quality_score", "text_pii_scrub", "text_repetition",
-        "data_profile_numeric", "pipeline_domain_mix",
-        "sim_cosine_topk", "sim_cosine_topk_batch",
-        "sim_embedding_near_dups", "multimodal_frame_sample",
-        "multimodal_resize_meta", "limit_offset_page",
-        "row_level_security", "semantic_sql_intersect",
-        "semantic_sql_except", "source_scan_uri",
-    ]
-    ordered = {k: qs[k] for k in first_50}
-    ordered.update({k: v for k, v in qs.items() if k not in ordered})
+    # Driver-sample rotation (policy encoded since round 7, replacing
+    # per-round hand-picked lists): the driver oracle-checks the FIRST
+    # 50 entries each round, so entries are ordered
+    # never-oracle-verified-first, then stalest-verification-first,
+    # computed from the CORRECTNESS_r*.json records the driver itself
+    # writes to the repo root. An entry counts as "verified in round N"
+    # only when that round's record hash-matched (rows-only records
+    # don't count — they were the r1-r6 blind spot). basic_agg stays
+    # pinned first as the session cold-start absorber (the first
+    # entry's driver timing pays worker-pool/codegen spin-up, which
+    # should not land on an Arrow-UDF-heavy operator). With ~119
+    # entries and 50 sampled per round, every entry re-verifies at
+    # least every ~3 rounds with no hand maintenance.
+    ordered = {k: qs[k] for k in _sample_order(list(qs))}
     return {k: _canon(_dbl(v)) for k, v in ordered.items()}
+
+
+def _sample_order(names: list[str]) -> list[str]:
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_verified = {n: -1 for n in names}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        for n, rec in data.items():
+            if n in last_verified and isinstance(rec, dict) and rec.get("hash_match"):
+                last_verified[n] = max(last_verified[n], rnd)
+    ordered = sorted(names, key=lambda n: (last_verified[n], n))
+    if "basic_agg" in ordered:
+        ordered.remove("basic_agg")
+        ordered.insert(0, "basic_agg")
+    return ordered
 
 
 # shared DuckDB fragments for the text-pipeline oracles
