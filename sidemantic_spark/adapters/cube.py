@@ -63,6 +63,26 @@ class CubeAdapter(BaseAdapter):
         "equals": "=", "notEquals": "!=",
     }
 
+    def _member_filter_sql(self, f: dict, base: str) -> str | None:
+        """Cube {member, operator, values} filter -> SQL predicate
+        (shared by access-policy row filters and view default_filters).
+        Multi-value equals/notEquals is IN semantics in Cube."""
+        member = str(f.get("member") or "").replace("${CUBE}", base)
+        op = self._POLICY_OPS.get(f.get("operator"))
+        vals = f.get("values") or []
+        if not member or op is None or not vals:
+            return None
+        lits = [
+            str(v) if isinstance(v, (int, float)) and not isinstance(v, bool)
+            else "'" + str(v).replace("'", "''") + "'"
+            for v in vals
+        ]
+        if len(lits) > 1 and op == "=":
+            return f"{member} IN ({', '.join(lits)})"
+        if len(lits) > 1 and op == "!=":
+            return f"{member} NOT IN ({', '.join(lits)})"
+        return f"{member} {op} {lits[0]}"
+
     def parse(self, layer, data: dict) -> None:
         for cube in data.get("cubes") or []:
             model = self._parse_cube(cube)
@@ -93,23 +113,20 @@ class CubeAdapter(BaseAdapter):
             if rl.get("allow_all"):
                 continue
             for f in rl.get("filters") or []:
-                member = str(f.get("member") or "").replace("${CUBE}", base)
-                op = self._POLICY_OPS.get(f.get("operator"))
-                vals = f.get("values") or []
-                if not member or op is None or not vals:
-                    continue
-                lits = [
-                    str(v) if isinstance(v, (int, float)) and not isinstance(v, bool)
-                    else "'" + str(v).replace("'", "''") + "'"
-                    for v in vals
-                ]
-                # multi-value equals/notEquals is IN semantics in Cube
-                if len(lits) > 1 and op == "=":
-                    filters.append(f"{member} IN ({', '.join(lits)})")
-                elif len(lits) > 1 and op == "!=":
-                    filters.append(f"{member} NOT IN ({', '.join(lits)})")
-                else:
-                    filters.append(f"{member} {op} {lits[0]}")
+                sql = self._member_filter_sql(f, base)
+                if sql:
+                    filters.append(sql)
+        # view default_filters: pre-applied when the caller supplies no
+        # filters of their own (overridable — unlike the access-policy
+        # filters above, which are mandatory). The reference stores
+        # these as inert metadata with a warning (ref adapters/cube.py
+        # "view default_filters ... not applied to queries"); the
+        # Explore contract applies them for real.
+        default_filters: list[str] = []
+        for f in view.get("default_filters") or []:
+            sql = self._member_filter_sql(f, base)
+            if sql:
+                default_filters.append(sql)
         # includes "*" on every join_path entry = unrestricted fields.
         # Otherwise the view curates a field surface: explicit includes
         # lists allow those fields, and a `*` cube inside a restricted
@@ -144,6 +161,7 @@ class CubeAdapter(BaseAdapter):
                 name=name, model=base,
                 description=view.get("description"),
                 filters=filters,
+                default_filters=default_filters,
                 allowed_dimensions=restricted_dims,
                 allowed_metrics=restricted_mets,
             ))

@@ -681,7 +681,10 @@ class LookMLAdapter(BaseAdapter):
                             base = resolve(g.get("sql")) or gn
                             if f == gn:
                                 return base
-                            return _timeframe_sql(f[len(gn) + 1 :], base)
+                            return _timeframe_sql(
+                                f[len(gn) + 1 :], base,
+                                g.get("fiscal_month_offset"),
+                            )
                     return f
                 return f"({inner})" if re.search(r"[^\w.]", inner) else inner
 
@@ -762,6 +765,35 @@ class LookMLAdapter(BaseAdapter):
                     public=g.get("hidden") != "yes",
                 )
             )
+            # materialize declared timeframes the grain-suffix mechanism
+            # can't express: extracted parts (different value domains)
+            # and fiscal truncations (fiscal_month_offset shifts the
+            # bucket boundaries — ref adapters/lookml.py:2765-2800).
+            # Plain truncations stay `group__grain` queries.
+            offset = g.get("fiscal_month_offset")
+            for tf in g.get("timeframes") or []:
+                tf = str(tf).strip().strip(",")
+                if tf in _FISCAL_TRUNC_TIMEFRAMES:
+                    dims.append(
+                        Dimension(
+                            name=f"{g['name']}_{tf}",
+                            type="time",
+                            sql=_timeframe_sql(tf, sql, offset),
+                            granularity=_FISCAL_TRUNC_TIMEFRAMES[tf],
+                            description=_str(g.get("description")),
+                            public=g.get("hidden") != "yes",
+                        )
+                    )
+                elif tf in _PART_TIMEFRAMES:
+                    dims.append(
+                        Dimension(
+                            name=f"{g['name']}_{tf}",
+                            type=_PART_TIMEFRAMES[tf],
+                            sql=_timeframe_sql(tf, sql, offset),
+                            description=_str(g.get("description")),
+                            public=g.get("hidden") != "yes",
+                        )
+                    )
 
         metrics: list[Metric] = []
         for m in raw.get("measures", []):
@@ -868,6 +900,10 @@ class LookMLAdapter(BaseAdapter):
                 common = dict(
                     description=_str(m.get("description")),
                     label=_str(m.get("label")),
+                    # round-trip marker so export regenerates the
+                    # original LookML measure type (ref
+                    # adapters/lookml.py:3737,3800 meta.table_calculation)
+                    meta={"table_calculation": mtype},
                 )
                 if mtype == "running_total":
                     metrics.append(
@@ -892,6 +928,32 @@ class LookMLAdapter(BaseAdapter):
                             **common,
                         )
                     )
+            elif mtype == "period_over_period":
+                # ref adapters/lookml.py:3048-3078: based_on names the
+                # base measure; period/kind map onto the engine's
+                # native time_comparison metric
+                based_on = _str(m.get("based_on"))
+                if not based_on:
+                    continue
+                period_map = {"year": "yoy", "quarter": "qoq",
+                              "month": "mom", "week": "wow", "day": "dod"}
+                kind_map = {"difference": "difference",
+                            "relative_change": "percent_change",
+                            "ratio": "ratio"}
+                metrics.append(
+                    Metric(
+                        name=m["name"],
+                        type="time_comparison",
+                        base_metric=based_on,
+                        comparison_type=period_map.get(
+                            m.get("period", "year"), "yoy"),
+                        calculation=kind_map.get(
+                            m.get("kind", "relative_change"),
+                            "percent_change"),
+                        description=_str(m.get("description")),
+                        label=_str(m.get("label")),
+                    )
+                )
             # list/date measures etc. carry no aggregation: skip
 
         segments = []
@@ -1132,9 +1194,24 @@ def _str(v) -> str | None:
     return v if isinstance(v, str) else None
 
 
-def _timeframe_sql(tf: str, base: str) -> str:
+def _fiscal_offset_int(fiscal_offset) -> int:
+    """``fiscal_month_offset`` as an int (months the fiscal year starts
+    after January; bad/absent values mean calendar, offset 0)."""
+    try:
+        return int(fiscal_offset) if fiscal_offset is not None else 0
+    except (TypeError, ValueError):
+        return 0
+
+
+def _timeframe_sql(tf: str, base: str, fiscal_offset=None) -> str:
     """Looker timeframe field -> Spark SQL over the group's base expr
-    (generated fields like created_date / created_month / created_week_of_year)."""
+    (generated fields like created_date / created_month / created_week_of_year).
+
+    Fiscal timeframes honor the group's ``fiscal_month_offset`` (ref
+    adapters/lookml.py:2801-2857): truncations shift the timestamp back
+    by the offset so calendar DATE_TRUNC lands on fiscal boundaries;
+    extracted parts use PMOD so month 1 of an offset-3 fiscal year is
+    April (Spark's %% is sign-of-dividend, which would go negative)."""
     b = f"({base})" if re.search(r"[^\w.]", base) else base
     if tf in ("raw", "time"):
         return b
@@ -1142,6 +1219,8 @@ def _timeframe_sql(tf: str, base: str) -> str:
         return f"CAST({b} AS DATE)"
     if tf in ("week", "month", "quarter", "year", "hour", "minute"):
         return f"DATE_TRUNC('{tf.upper()}', {b})"
+    o = _fiscal_offset_int(fiscal_offset)
+    fb = f"({b} - INTERVAL {o} MONTH)" if o else b
     return {
         "day_of_month": f"DAY({b})",
         "day_of_year": f"DAYOFYEAR({b})",
@@ -1154,7 +1233,35 @@ def _timeframe_sql(tf: str, base: str) -> str:
         "week_of_year": f"WEEKOFYEAR({b})",
         "year_num": f"YEAR({b})",
         "hour_of_day": f"HOUR({b})",
+        "quarter_of_year": f"QUARTER({b})",
+        "fiscal_quarter": f"DATE_TRUNC('QUARTER', {fb})",
+        "fiscal_year": f"DATE_TRUNC('YEAR', {fb})",
+        "fiscal_month_num": f"(PMOD(MONTH({b}) - 1 - {o}, 12) + 1)",
+        "fiscal_quarter_of_year":
+            f"(FLOOR(PMOD(MONTH({b}) - 1 - {o}, 12) / 3) + 1)",
     }.get(tf, b)
+
+
+# extracted-part / fiscal timeframes that the engine's ``dim__grain``
+# mechanism cannot express, so a dimension_group declaring them gets a
+# materialized `{group}_{timeframe}` dimension (plain truncations stay
+# grain-suffix queries and are NOT materialized — engine-idiomatic
+# where the reference emits one dimension per timeframe)
+_PART_TIMEFRAMES = {
+    "day_of_month": "numeric",
+    "day_of_year": "numeric",
+    "day_of_week": "categorical",
+    "day_of_week_index": "numeric",
+    "month_num": "numeric",
+    "month_name": "categorical",
+    "week_of_year": "numeric",
+    "year_num": "numeric",
+    "hour_of_day": "numeric",
+    "quarter_of_year": "numeric",
+    "fiscal_month_num": "numeric",
+    "fiscal_quarter_of_year": "numeric",
+}
+_FISCAL_TRUNC_TIMEFRAMES = {"fiscal_quarter": "quarter", "fiscal_year": "year"}
 
 
 # ---------------------------------------------------------------------------

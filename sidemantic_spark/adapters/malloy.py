@@ -472,7 +472,7 @@ class MalloyAdapter(BaseAdapter):
                 continue
             header = re.match(
                 r"^\s*(dimension|measure|join_one|join_many|join_cross|where"
-                r"|primary_key|declare|except)\s*:\s*(.*)$",
+                r"|primary_key|declare|except|timezone)\s*:\s*(.*)$",
                 line,
             )
             if header:
@@ -481,6 +481,16 @@ class MalloyAdapter(BaseAdapter):
                 rest = header.group(2).strip()
                 if section == "primary_key":
                     model.primary_key = rest
+                    section = None
+                    continue
+                if section == "timezone":
+                    # `timezone: 'America/Los_Angeles'` — preserved as
+                    # model metadata, same as the reference (its Malloy
+                    # importer stashes the tz in metadata; query-time
+                    # bucketing uses the engine's per-query timezone)
+                    tz = rest.strip().strip("'\"")
+                    if tz:
+                        model.meta = {**(model.meta or {}), "timezone": tz}
                     section = None
                     continue
                 if section == "where":
@@ -737,15 +747,40 @@ class MalloyAdapter(BaseAdapter):
         if om:
             target, cond = om.group(1), om.group(2).strip()
             rtype = "one_to_many" if kind == "join_many" else "many_to_one"
-            # `target.col = col` equi-join -> key pair; else custom SQL
-            em = re.match(rf"^{target}\.(\w+)\s*=\s*(\w+)$", cond)
-            if em:
-                if kind == "join_many":
-                    rels.append(Relationship(name=target, type="one_to_many",
-                                             foreign_key=em.group(1)))
+            # AND-composed equalities of (target.col, source col) in
+            # either ordering -> (composite) key-pair relationship, the
+            # engine's native composite join (ref adapters/malloy.py
+            # extracts the same via _extract_on_condition_keys and
+            # stashes extras in metadata.composite_keys; here every key
+            # participates in the join). Anything else -> custom
+            # {from}/{to} condition SQL.
+            pks: list[str] = []
+            fks: list[str] = []
+            for part in re.split(r"\s+and\s+", cond, flags=re.IGNORECASE):
+                part = part.strip()
+                fwd = re.match(rf"^{target}\.(\w+)\s*=\s*(\w+)$", part)
+                rev = re.match(rf"^(\w+)\s*=\s*{target}\.(\w+)$", part)
+                if fwd:
+                    pk, fk = fwd.group(1), fwd.group(2)
+                elif rev:
+                    pk, fk = rev.group(2), rev.group(1)
                 else:
-                    rels.append(Relationship(name=target, type="many_to_one",
-                                             foreign_key=em.group(2), primary_key=em.group(1)))
+                    pks = []
+                    break
+                pks.append(pk)
+                fks.append(fk)
+            if pks:
+                if kind == "join_many":
+                    rels.append(Relationship(
+                        name=target, type="one_to_many",
+                        foreign_key=pks if len(pks) > 1 else pks[0],
+                    ))
+                else:
+                    rels.append(Relationship(
+                        name=target, type="many_to_one",
+                        foreign_key=fks if len(fks) > 1 else fks[0],
+                        primary_key=pks if len(pks) > 1 else pks[0],
+                    ))
             else:
                 cond_sql = re.sub(rf"\b{target}\.", "{to}.", cond)
                 cond_sql = re.sub(r"(?<![\w.{])(\w+)(?=\s*=)", r"{from}.\1", cond_sql, count=0)

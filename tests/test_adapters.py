@@ -5169,3 +5169,190 @@ table Sales
     assert model.primary_key == "id"
     assert model.dimension("id").sql == "id_raw"
     assert model.dimension("region").sql == "region_raw"
+
+
+def test_lookml_fiscal_timeframes(spark):
+    """dimension_group fiscal timeframes honor fiscal_month_offset (ref
+    adapters/lookml.py:2765-2857): truncations shift by the offset so
+    calendar DATE_TRUNC lands on fiscal boundaries; extracted parts use
+    PMOD month arithmetic. Offset 3 = fiscal year starts in April."""
+    from sidemantic_spark.adapters import LookMLAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_text(layer, """
+view: lk_fiscal {
+  sql_table_name: adapter_orders ;;
+  dimension: order_id { type: number  primary_key: yes  sql: ${TABLE}.order_id ;; }
+  dimension_group: created {
+    type: time
+    timeframes: [date, month, year, fiscal_quarter, fiscal_year, fiscal_month_num, fiscal_quarter_of_year]
+    fiscal_month_offset: 3
+    sql: ${TABLE}.created_at ;;
+  }
+  measure: order_count { type: count }
+}
+""")
+    m = layer.graph.models["lk_fiscal"]
+    fq = m.dimension("created_fiscal_quarter")
+    assert fq.type == "time" and fq.granularity == "quarter"
+    fy = m.dimension("created_fiscal_year")
+    assert fy.type == "time" and fy.granularity == "year"
+    # Jan/Feb 2026 with offset 3 fall in fiscal month 10/11 of the
+    # fiscal year that started April 2025 (fiscal Q4 of that year)
+    rows = layer.query(
+        metrics=["lk_fiscal.order_count"],
+        dimensions=["lk_fiscal.created_fiscal_month_num",
+                    "lk_fiscal.created_fiscal_year"],
+        order_by=["created_fiscal_month_num"],
+    ).collect()
+    got = [(int(r[0]), str(r[1])[:10], r[2]) for r in rows]
+    assert got == [(10, "2025-01-01", 1), (11, "2025-01-01", 2)]
+    con.close()
+
+
+def test_lookml_period_over_period(spark):
+    """measure type period_over_period + based_on imports as the native
+    time_comparison metric (ref adapters/lookml.py:3048-3078)."""
+    from sidemantic_spark.adapters import LookMLAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_text(layer, """
+view: lk_pop {
+  sql_table_name: adapter_orders ;;
+  dimension: order_id { type: number  primary_key: yes  sql: ${TABLE}.order_id ;; }
+  dimension_group: created { type: time  sql: ${TABLE}.created_at ;; }
+  measure: revenue { type: sum  sql: ${TABLE}.amount ;; }
+  measure: rev_mom {
+    type: period_over_period
+    based_on: revenue
+    period: month
+    kind: difference
+  }
+}
+""")
+    m = layer.graph.models["lk_pop"].metric("rev_mom")
+    assert m.type == "time_comparison"
+    assert m.base_metric == "revenue"
+    assert m.comparison_type == "mom"
+    assert m.calculation == "difference"
+    rows = layer.query(
+        metrics=["lk_pop.revenue", "lk_pop.rev_mom"],
+        dimensions=["lk_pop.created__month"],
+        order_by=["created__month"],
+    ).collect()
+    # Jan 100 -> Feb 200: difference vs prior month = 100
+    assert [r["rev_mom"] for r in rows] == [None, 100]
+    con.close()
+
+
+def test_malloy_composite_key_join(spark):
+    """`join_one: t on t.a = a and t.b = b` imports as a composite-key
+    relationship (every equality participates in the join), matching
+    the reference's _extract_on_condition_keys + composite_keys."""
+    import pandas as pd
+
+    from sidemantic_spark.adapters import MalloyAdapter
+
+    spark.createDataFrame(pd.DataFrame({
+        "region": ["east", "east", "west"],
+        "day": ["d1", "d2", "d1"],
+        "amount": [10, 20, 40],
+    })).createOrReplaceTempView("mc_sales")
+    spark.createDataFrame(pd.DataFrame({
+        "region": ["east", "east", "west"],
+        "day": ["d1", "d2", "d1"],
+        "manager": ["ann", "bob", "cee"],
+    })).createOrReplaceTempView("mc_staff")
+    layer = SparkSemanticLayer(spark)
+    MalloyAdapter().parse_text(layer, """
+source: mc_staff is duckdb.table('mc_staff') extend {
+  dimension:
+    manager is manager
+}
+
+source: mc_sales is duckdb.table('mc_sales') extend {
+  join_one: mc_staff on mc_staff.region = region and mc_staff.day = day
+
+  measure:
+    total is sum(amount)
+}
+""")
+    rel = layer.graph.models["mc_sales"].relationships[0]
+    assert rel.name == "mc_staff"
+    assert rel.fk_list() == ["region", "day"]
+    rows = layer.query(
+        metrics=["mc_sales.total"],
+        dimensions=["mc_staff.manager"],
+        order_by=["manager"],
+    ).collect()
+    assert [(r[0], r[1]) for r in rows] == [("ann", 10), ("bob", 20), ("cee", 40)]
+
+
+def test_malloy_timezone_statement(spark):
+    """source-level `timezone:` is preserved as model metadata (the
+    reference stashes it in metadata too; bucketing uses the engine's
+    per-query timezone)."""
+    from sidemantic_spark.adapters import MalloyAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    MalloyAdapter().parse_text(layer, """
+source: m_tz is duckdb.table('adapter_orders') extend {
+  timezone: 'America/Los_Angeles'
+  dimension:
+    status is status
+  measure:
+    order_count is count()
+}
+""")
+    assert layer.graph.models["m_tz"].meta["timezone"] == "America/Los_Angeles"
+    con.close()
+
+
+def test_cube_view_default_filters(spark):
+    """view default_filters pre-apply when the caller sends no filters
+    and are overridable by explicit ones — a real implementation of a
+    key the reference imports as inert metadata with a warning."""
+    import yaml as _yaml
+
+    from sidemantic_spark.adapters import ADAPTERS
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    ADAPTERS["cube"]().parse(layer, _yaml.safe_load("""
+cubes:
+  - name: dfv_orders
+    sql_table: adapter_orders
+    dimensions:
+      - name: order_id
+        sql: order_id
+        type: number
+        primary_key: true
+      - name: status
+        sql: status
+        type: string
+    measures:
+      - name: order_count
+        type: count
+views:
+  - name: dfv_view
+    cubes:
+      - join_path: dfv_orders
+        includes: "*"
+    default_filters:
+      - member: "${CUBE}.status"
+        operator: equals
+        values: [paid]
+"""))
+    exp = layer.graph.explores["dfv_view"]
+    assert exp.default_filters == ["dfv_orders.status = 'paid'"]
+    assert layer.query(
+        metrics=["dfv_orders.order_count"], explore="dfv_view"
+    ).collect()[0][0] == 2
+    assert layer.query(
+        metrics=["dfv_orders.order_count"], explore="dfv_view",
+        filters=["dfv_orders.status = 'refunded'"],
+    ).collect()[0][0] == 1
+    con.close()
