@@ -513,3 +513,103 @@ def test_exact_count_distinct_refuses_coarser_grain_rollup(spark, sf_dir, tmp_pa
         dimensions=["orders.order_date__month AS order_month"],
     )
     assert "used_preagg" not in sql
+
+
+def test_incremental_refresh_prunes_source_scan(spark, tmp_path):
+    """The update_window-bounded incremental refresh
+    (preagg/manager.py refresh_incremental) must push its trailing
+    bound THROUGH the rollup aggregate down to the SOURCE scan as a
+    partition filter — at 100 TB an incremental refresh that re-reads
+    full history is a full rebuild with extra steps — and its dynamic
+    partition overwrite must rewrite only the trailing rollup
+    partitions, leaving history byte-identical."""
+    import datetime
+    import os
+
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.preagg.matcher import PreAggregation, RefreshKey
+
+    # date-partitioned source: ~4 months of daily rows
+    days = [datetime.date(1997, 1, 1) + datetime.timedelta(days=i) for i in range(110)]
+    src = spark.createDataFrame(
+        [(d, i % 7, float(i)) for i, d in enumerate(days)],
+        "od date, k int, amount double",
+    )
+    src_path = str(tmp_path / "inc_src")
+    src.write.partitionBy("od").parquet(src_path)
+    spark.read.parquet(src_path).createOrReplaceTempView("inc_src")
+
+    layer = SparkSemanticLayer(spark)
+    pa = PreAggregation(
+        name="mo",
+        measures=["amt"],
+        dimensions=["k"],
+        time_dimension="od",
+        granularity="day",
+        partition_granularity="month",
+        refresh_key=RefreshKey(incremental=True, update_window="45 day"),
+    )
+    model = Model(
+        name="inc_orders",
+        table="inc_src",
+        primary_key="od",
+        dimensions=[
+            Dimension(name="od", type="time", sql="od"),
+            Dimension(name="k", type="numeric", sql="k"),
+        ],
+        metrics=[Metric(name="amt", agg="sum", sql="amount")],
+        pre_aggregations=[pa],
+    )
+    layer.add_model(model)
+    layer.preaggs.base_path = str(tmp_path / "rollups")
+    layer.preaggs.materialize("inc_orders")
+
+    rollup_dir = layer.preaggs.path_for(model, pa)
+    def snapshot():
+        out = {}
+        for part in os.listdir(rollup_dir):
+            if not part.startswith("__part="):
+                continue
+            d = os.path.join(rollup_dir, part)
+            out[part] = sorted(os.listdir(d))
+        return out
+
+    before = snapshot()
+    assert len(before) == 4  # jan..apr
+
+    # (a) the refresh SELECT partition-prunes the SOURCE scan
+    inner = layer.preaggs.rollup_sql(model, pa)
+    df = spark.sql(
+        f"SELECT * FROM (\n{inner}\n) "
+        "WHERE __part >= CAST(DATE '1997-03-01' AS DATE)"
+    )
+    plan = _plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    assert "od" in pf[0] and "PartitionFilters: []" not in pf[0], pf[0]
+    # the pruned scan reads the trailing window's days only, visible as
+    # the filter bound in the partition filter expression
+    assert "1997-03-01" in pf[0] or "9922" in pf[0], pf[0]
+
+    # (b) dynamic overwrite touches only trailing partitions
+    layer.preaggs.refresh_incremental("inc_orders", "mo", "DATE '1997-03-01'")
+    after = snapshot()
+    assert set(after) == set(before)
+    for part, files in before.items():
+        month = part.split("=")[1][:7]
+        if month < "1997-03":
+            assert after[part] == files, f"{part} was rewritten"
+        else:
+            assert after[part] != files, f"{part} was not refreshed"
+
+    # (c) values still match the source after the partial rewrite
+    got = {
+        (r["k"], r["amt"])
+        for r in layer.query(metrics=["inc_orders.amt"], dimensions=["inc_orders.k"]).collect()
+    }
+    want = {
+        (r["k"], r["s"])
+        for r in spark.sql("SELECT k, SUM(amount) AS s FROM inc_src GROUP BY k").collect()
+    }
+    assert got == want
