@@ -236,11 +236,14 @@ class PreAggregationRecommender:
                 time_dim = dname
             else:
                 dims.append(dname)
-        # finest queried grain keeps every observed grain derivable
-        grain = "day"
-        observed = [g for g in _GRAIN_ORDER if g in pattern.granularities]
-        if observed:
-            grain = observed[0]
+        # finest queried grain keeps every observed grain derivable; a
+        # pattern with granularities but NO time-typed dimension must
+        # not truncate a categorical — the spec stays grain-less (ref
+        # test_time_dimension_not_forced_onto_categorical_dimension)
+        grain = None
+        if time_dim is not None:
+            observed = [g for g in _GRAIN_ORDER if g in pattern.granularities]
+            grain = observed[0] if observed else "day"
         return PreAggregation(
             name=self._generate_name(pattern),
             measures=measures,

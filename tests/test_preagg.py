@@ -1314,3 +1314,70 @@ def test_recommender_disambiguates_colliding_names(layer):
     assert len(names) == len(set(names))
     assert any(n == "orders_status_2metrics" for n in names)
     assert any(n.startswith("orders_status_2metrics_") for n in names)
+
+
+def test_recommender_end_to_end_parity(spark, sf_dir, tmp_path):
+    """The reference's end-to-end recommendation fixture
+    (tests/optimizations/test_preagg_recommender.py:291-333,417-471):
+    the same observed-query stream through the REAL compiled SQL yields
+    the same ranked rollup spec; applying it makes the traffic route;
+    routed (used_preagg) traffic stops feeding the recommender;
+    top_n=0 yields nothing."""
+    from sidemantic_spark.preagg.recommender import PreAggregationRecommender
+
+    layer = build_layer(spark, sf_dir)
+    layer.graph.get_model("orders").pre_aggregations = []
+    queries = [
+        layer.compile(
+            metrics=["orders.revenue"],
+            dimensions=["orders.status", "orders.order_date__day"],
+        )
+        for _ in range(100)
+    ]
+    rec = PreAggregationRecommender(layer.graph, min_query_count=10)
+    rec.parse_query_log(queries)
+    assert rec.get_recommendations(top_n=0) == []
+    recs = rec.get_recommendations(top_n=1)
+    assert len(recs) == 1
+    assert recs[0].query_count == 100
+    preagg = recs[0].preagg
+    assert preagg.type == "rollup"
+    assert "revenue" in preagg.measures
+    assert preagg.time_dimension == "order_date"
+    assert preagg.granularity == "day"
+    assert preagg.dimensions == ["status"]
+
+    # apply + materialize -> the observed traffic now routes
+    rec.apply(recs[0])
+    layer.preaggs.base_path = str(tmp_path)
+    layer.preaggs.materialize("orders")
+    routed_sql = layer.compile(
+        metrics=["orders.revenue"],
+        dimensions=["orders.status", "orders.order_date__day"],
+    )
+    assert "used_preagg" in routed_sql
+
+    # routed traffic must not re-feed the recommender
+    rec2 = PreAggregationRecommender(layer.graph, min_query_count=1)
+    rec2.parse_query_log([routed_sql])
+    assert rec2.get_recommendations() == []
+    layer.graph.get_model("orders").pre_aggregations = []
+
+
+def test_recommender_no_time_dim_stays_grainless(layer):
+    """Granularity tokens without a time-typed dimension must not
+    truncate a categorical (ref
+    test_time_dimension_not_forced_onto_categorical_dimension)."""
+    from sidemantic_spark.preagg.recommender import PreAggregationRecommender
+
+    rec = PreAggregationRecommender(layer.graph, min_query_count=1)
+    rec.parse_query_log([
+        "SELECT 1 -- sidemantic_spark models=orders "
+        "metrics=orders.revenue dimensions=orders.status granularities=day"
+    ])
+    recs = rec.get_recommendations()
+    assert len(recs) == 1
+    preagg = recs[0].preagg
+    assert preagg.time_dimension is None
+    assert preagg.granularity is None
+    assert preagg.dimensions == ["status"]
