@@ -22,10 +22,14 @@ class SparkSemanticLayer:
         spark: SparkSession,
         default_limit: int | None = None,
         max_limit: int | None = None,
+        allow_non_additive_unsafe: bool = False,
     ) -> None:
         self.spark = spark
         self.graph = SemanticGraph()
         self.generator = SqlGenerator(self.graph)
+        # reference semantic_layer.py escape hatch: skip the
+        # semi-additive rewrite, aggregate naively over all snapshots
+        self.generator.allow_non_additive_unsafe = allow_non_additive_unsafe
         self.default_limit = default_limit
         self.max_limit = max_limit
         self.enforce_visibility = True

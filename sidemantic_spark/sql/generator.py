@@ -142,6 +142,11 @@ class SqlGenerator:
         #   "dedup"     — force the entity-grain DISTINCT plan
         #                 (raw-row semantics, exact decimal sums)
         self.fanout_strategy = "auto"
+        # escape hatch (reference semantic_layer.py allow_non_additive_
+        # unsafe; tests/metrics/test_non_additive_guard.py:163): skip
+        # the semi-additive rewrite and aggregate naively over every
+        # snapshot — over-counts by construction, caller opts in
+        self.allow_non_additive_unsafe = False
 
     # ------------------------------------------------------------------
     # public entry
@@ -161,6 +166,7 @@ class SqlGenerator:
             self.use_preaggs,
             self.preagg_strict,
             self.fanout_strategy,
+            self.allow_non_additive_unsafe,
             # the auto-include visibility check runs inside _generate, so
             # a cache hit from an enforcement-off compile must not serve
             # an enforcement-on call
@@ -217,7 +223,10 @@ class SqlGenerator:
                 return self._retention_sql(r, rm)
             return self._cohort_sql(r, rm)
 
-        if any(rm.metric.non_additive_dimension for rm in r.metrics):
+        if (
+            not self.allow_non_additive_unsafe
+            and any(rm.metric.non_additive_dimension for rm in r.metrics)
+        ):
             return self._semi_additive_sql(r)
 
         window_metrics = [

@@ -262,6 +262,7 @@ class SemanticSqlRewriter:
             gen.use_preaggs,
             gen.preagg_strict,
             gen.fanout_strategy,
+            getattr(gen, "allow_non_additive_unsafe", False),
             getattr(self.layer, "enforce_visibility", False),
             user_key,
             sql,

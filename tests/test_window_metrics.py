@@ -1141,3 +1141,50 @@ def test_funnel_steps_and_conversion_window_rejected():
         Metric(name="bad_funnel", type="conversion", entity="user_id",
                steps=["event = 'a'", "event = 'b'"],
                conversion_window="7 days")
+
+
+def test_non_additive_unsafe_escape_hatch(spark):
+    """allow_non_additive_unsafe skips the semi-additive rewrite and
+    aggregates naively over every snapshot (reference tests/metrics/
+    test_non_additive_guard.py:163 test_escape_hatch_reverts_to_naive).
+    The flag must also partition the compile cache — a guarded compile
+    must not serve the unsafe layer and vice versa."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    _balances_layer(spark)  # seeds the na_bal view
+    def build(unsafe):
+        layer = SparkSemanticLayer(spark, allow_non_additive_unsafe=unsafe)
+        layer.add_model(Model(
+            name="na_bal", table="na_bal", primary_key="account",
+            dimensions=[
+                Dimension(name="account"),
+                Dimension(name="day", type="time", granularity="day"),
+            ],
+            metrics=[Metric(name="closing", agg="sum", sql="balance",
+                            non_additive_dimension="day",
+                            non_additive_window="max")],
+        ))
+        return layer
+
+    guarded = build(False)
+    rows = guarded.query(metrics=["na_bal.closing"],
+                         dimensions=["na_bal.account"],
+                         order_by=["account"]).collect()
+    assert [tuple(r) for r in rows] == [("A", 110), ("B", 210)]
+
+    unsafe = build(True)
+    sql = unsafe.compile(metrics=["na_bal.closing"],
+                         dimensions=["na_bal.account"])
+    assert "MAX_BY" not in sql and "__snap" not in sql
+    rows = unsafe.query(metrics=["na_bal.closing"],
+                        dimensions=["na_bal.account"],
+                        order_by=["account"]).collect()
+    # naive: sums BOTH snapshots per account (over-counted by design)
+    assert [tuple(r) for r in rows] == [("A", 210), ("B", 410)]
+
+    # flag flip on one layer must not serve the cached guarded compile
+    unsafe.generator.allow_non_additive_unsafe = False
+    sql2 = unsafe.compile(metrics=["na_bal.closing"],
+                          dimensions=["na_bal.account"])
+    assert sql != sql2
