@@ -926,3 +926,37 @@ def test_visibility_enforcement_does_not_latch(spark, sf_dir):
     finally:
         vlayer.enforce_visibility = True
         met.public = True
+
+
+def test_secured_sql_nested_shapes_fail_closed(spark, sf_dir):
+    """The reference's transport-parity battery (tests/server/
+    test_transport_security_parity.py:189): EXISTS predicates probing
+    hidden fields and scalar projection subqueries must fail closed on
+    a secured layer — each is an oracle channel if allowed through."""
+    import pytest as _pytest
+
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.core.security import SecurityPolicy
+    from sidemantic_spark.models.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="sec2_orders", table="orders", primary_key="o_orderkey",
+        dimensions=[Dimension(name="status", sql="o_orderstatus"),
+                    Dimension(name="secret_note", sql="o_comment", public=False)],
+        metrics=[Metric(name="total_amount", agg="sum", sql="o_totalprice")],
+        security=SecurityPolicy(row_filters=["o_orderstatus = 'F'"]),
+    ))
+    with _pytest.raises(Exception) as e1:
+        layer.sql(
+            "SELECT total_amount FROM sec2_orders WHERE EXISTS "
+            "(SELECT 1 FROM sec2_orders WHERE secret_note = 'x')"
+        ).collect()
+    assert "secret_note" in str(e1.value)
+    with _pytest.raises(Exception):
+        layer.sql(
+            "SELECT (SELECT 1 FROM sec2_orders LIMIT 1) AS leaked, "
+            "total_amount FROM sec2_orders"
+        ).collect()
