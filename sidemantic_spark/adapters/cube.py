@@ -57,31 +57,131 @@ _DIM_TYPES = {
 _CUBE_FORMATS = {"percent": "percent", "currency": "usd"}
 
 
-class CubeAdapter(BaseAdapter):
-    _POLICY_OPS = {
-        "gt": ">", "gte": ">=", "lt": "<", "lte": "<=",
-        "equals": "=", "notEquals": "!=",
-    }
+def _sql_literal(v) -> str:
+    """SQL literal with quote doubling so a value cannot break out of
+    the fragment; numbers stay unquoted."""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
 
+
+def _cube_filter_to_sql(
+    member: str, operator: str, values, qualifier: str | None = None
+) -> str | None:
+    """One Cube {member, operator, values} filter -> SQL fragment, or
+    None when there is no mechanical translation (the caller records it
+    as unmapped). ``{CUBE}.col`` / ``{cube}.col`` prefixes reduce to the
+    bare column; callers scope the fragment to the owning model. Cube
+    also allows DYNAMIC values (``values: security_context.x``), which
+    arrive as a string — those must be unmapped, never iterated
+    character by character into a garbage IN-list (ref
+    tests/adapters/test_security_import.py test_cube_dynamic_values)."""
+    col = re.sub(r"^\$?\{[^}]*\}\.", "", member or "")
+    col = col.split(".")[-1] if "." in col else col
+    op = (operator or "").strip()
+    if not col:
+        return None
+    if qualifier:
+        col = f"{qualifier}.{col}"
+    if op in ("set", "notSet"):
+        vals: list = []
+    elif isinstance(values, (list, tuple)):
+        vals = list(values)
+    else:
+        return None
+    if op in ("equals", "in"):
+        if len(vals) == 1:
+            return f"{col} = {_sql_literal(vals[0])}"
+        return f"{col} IN ({', '.join(_sql_literal(v) for v in vals)})" if vals else None
+    if op in ("notEquals", "notIn"):
+        if len(vals) == 1:
+            return f"{col} != {_sql_literal(vals[0])}"
+        return f"{col} NOT IN ({', '.join(_sql_literal(v) for v in vals)})" if vals else None
+    if op == "contains":
+        return " OR ".join(f"{col} LIKE {_sql_literal('%' + str(v) + '%')}" for v in vals) if vals else None
+    if op == "notContains":
+        return " AND ".join(f"{col} NOT LIKE {_sql_literal('%' + str(v) + '%')}" for v in vals) if vals else None
+    if op == "startsWith":
+        return " OR ".join(f"{col} LIKE {_sql_literal(str(v) + '%')}" for v in vals) if vals else None
+    if op == "endsWith":
+        return " OR ".join(f"{col} LIKE {_sql_literal('%' + str(v))}" for v in vals) if vals else None
+    if op in ("gt", "gte", "lt", "lte") and vals:
+        sql_op = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}[op]
+        return f"{col} {sql_op} {_sql_literal(vals[0])}"
+    if op == "set":
+        return f"{col} IS NOT NULL"
+    if op == "notSet":
+        return f"{col} IS NULL"
+    return None
+
+
+def _access_policy_to_security(access_policy):
+    """Cube ``access_policy`` -> (SecurityPolicy | None, unmapped set).
+
+    Translates the mechanical subset — ``row_level.filters`` — into row
+    filters (bare columns: they evaluate inside the model's own CTE).
+    Role/condition gating and member-level rules have no static SQL
+    equivalent; they are reported as unmapped so the import warns and
+    preserves them in meta. Filters inside one policy combine per
+    ``filters_type`` (default AND); OR groups are parenthesized because
+    separate row filters are later ANDed and ``A OR B AND C`` binds as
+    ``A OR (B AND C)``."""
+    from sidemantic_spark.core.security import SecurityPolicy
+
+    if not isinstance(access_policy, list):
+        return None, set()
+    row_filters: list[str] = []
+    unmapped: set[str] = set()
+    for policy in access_policy:
+        if not isinstance(policy, dict):
+            continue
+        if policy.get("conditions"):
+            unmapped.add("conditions")
+        if policy.get("role") not in (None, "*"):
+            unmapped.add("role")
+        if policy.get("member_level"):
+            unmapped.add("member_level")
+        row_level = policy.get("row_level") or {}
+        combine = str(row_level.get("filters_type") or "and").lower()
+        fragments: list[str] = []
+        for filt in row_level.get("filters") or []:
+            if not isinstance(filt, dict):
+                continue
+            if "and" in filt or "or" in filt:
+                unmapped.add("nested_filters")
+                continue
+            sql = _cube_filter_to_sql(
+                filt.get("member", ""), filt.get("operator", ""),
+                filt.get("values", []),
+            )
+            if sql is None:
+                unmapped.add(f"operator:{filt.get('operator')}")
+            else:
+                fragments.append(
+                    f"({sql})" if " OR " in sql or " AND " in sql else sql
+                )
+        if not fragments:
+            continue
+        if len(fragments) == 1:
+            row_filters.append(fragments[0])
+        elif combine == "or":
+            row_filters.append("(" + " OR ".join(fragments) + ")")
+        else:
+            row_filters.append(" AND ".join(fragments))
+    if not row_filters:
+        return None, unmapped
+    return SecurityPolicy(row_filters=row_filters), unmapped
+
+
+class CubeAdapter(BaseAdapter):
     def _member_filter_sql(self, f: dict, base: str) -> str | None:
-        """Cube {member, operator, values} filter -> SQL predicate
-        (shared by access-policy row filters and view default_filters).
-        Multi-value equals/notEquals is IN semantics in Cube."""
-        member = str(f.get("member") or "").replace("${CUBE}", base)
-        op = self._POLICY_OPS.get(f.get("operator"))
-        vals = f.get("values") or []
-        if not member or op is None or not vals:
-            return None
-        lits = [
-            str(v) if isinstance(v, (int, float)) and not isinstance(v, bool)
-            else "'" + str(v).replace("'", "''") + "'"
-            for v in vals
-        ]
-        if len(lits) > 1 and op == "=":
-            return f"{member} IN ({', '.join(lits)})"
-        if len(lits) > 1 and op == "!=":
-            return f"{member} NOT IN ({', '.join(lits)})"
-        return f"{member} {op} {lits[0]}"
+        """View-scope filter: shared operator translation, qualified
+        with the view's base model so Explore-contract qualification
+        resolves it in the joined scope."""
+        return _cube_filter_to_sql(
+            f.get("member", ""), f.get("operator", ""), f.get("values", []),
+            qualifier=base,
+        )
 
     def parse(self, layer, data: dict) -> None:
         for cube in data.get("cubes") or []:
@@ -446,6 +546,32 @@ class CubeAdapter(BaseAdapter):
                 if cd is not None and not cd.parent:
                     cd.parent = parent
 
+        # cube-level access_policy: row_level filters import as an
+        # ENFORCED SecurityPolicy (ref adapters/cube.py:568-584 — the
+        # silent alternative would be importing a secured Cube project
+        # into an unsecured model); untranslatable constructs are
+        # preserved in meta and warned.
+        import warnings as _warnings
+
+        meta = cube.get("meta") if isinstance(cube.get("meta"), dict) else None
+        access_policy = cube.get("access_policy")
+        security, unmapped = _access_policy_to_security(access_policy)
+        if access_policy is not None:
+            meta = {**(meta or {}), "access_policy": access_policy}
+            if security is None:
+                _warnings.warn(
+                    f"Cube {name!r}: access_policy could not be translated "
+                    "to row filters; preserved in meta only",
+                    stacklevel=2,
+                )
+            elif unmapped:
+                _warnings.warn(
+                    f"Cube {name!r}: imported {len(security.row_filters)} "
+                    "row filter(s); untranslated access_policy constructs "
+                    f"({', '.join(sorted(unmapped))}) preserved in meta only",
+                    stacklevel=2,
+                )
+
         return Model(
             name=name,
             table=cube.get("sql_table") or cube.get("sqlTable"),
@@ -459,7 +585,8 @@ class CubeAdapter(BaseAdapter):
             description=cube.get("description"),
             label=cube.get("title"),
             extends=cube.get("extends"),
-            meta=cube.get("meta") if isinstance(cube.get("meta"), dict) else None,
+            security=security,
+            meta=meta,
         )
 
     def _join_condition(self, sql: str, this: str, other: str):

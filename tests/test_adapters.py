@@ -5356,3 +5356,118 @@ views:
         filters=["dfv_orders.status = 'refunded'"],
     ).collect()[0][0] == 1
     con.close()
+
+
+def test_cube_access_policy_operator_map():
+    """The full Cube row_level operator vocabulary translates to SQL
+    fragments with literal escaping; dynamic (string) values are
+    unmapped, never iterated char-by-char (ref tests/adapters/
+    test_security_import.py)."""
+    from sidemantic_spark.adapters.cube import _access_policy_to_security
+
+    policy, unmapped = _access_policy_to_security([{
+        "role": "*",
+        "row_level": {"filters": [
+            {"member": "{CUBE}.region", "operator": "equals", "values": ["US"]},
+            {"member": "status", "operator": "in", "values": ["active", "trial"]},
+        ]},
+    }])
+    assert policy.row_filters == ["region = 'US' AND status IN ('active', 'trial')"]
+    assert unmapped == set()
+
+    policy, _ = _access_policy_to_security(
+        [{"row_level": {"filters": [
+            {"member": "name", "operator": "equals", "values": ["O'Brien"]}]}}]
+    )
+    assert policy.row_filters == ["name = 'O''Brien'"]
+
+    for operator, values, expected in [
+        ("notEquals", ["x"], "col != 'x'"),
+        ("notIn", ["a", "b"], "col NOT IN ('a', 'b')"),
+        ("gt", [5], "col > 5"),
+        ("set", [], "col IS NOT NULL"),
+        ("notSet", [], "col IS NULL"),
+        ("contains", ["ab"], "col LIKE '%ab%'"),
+        ("notContains", ["ab"], "col NOT LIKE '%ab%'"),
+        ("startsWith", ["ab"], "col LIKE 'ab%'"),
+        ("endsWith", ["ab"], "col LIKE '%ab'"),
+    ]:
+        policy, _ = _access_policy_to_security(
+            [{"row_level": {"filters": [
+                {"member": "col", "operator": operator, "values": values}]}}]
+        )
+        assert policy is not None and policy.row_filters == [expected], operator
+
+    # OR groups parenthesized (later row filters AND together)
+    policy, _ = _access_policy_to_security([{
+        "row_level": {"filters_type": "or", "filters": [
+            {"member": "a", "operator": "equals", "values": ["1"]},
+            {"member": "b", "operator": "equals", "values": ["2"]},
+        ]},
+    }])
+    assert policy.row_filters == ["(a = '1' OR b = '2')"]
+
+    # dynamic values -> unmapped, NOT a char-exploded IN list
+    policy, unmapped = _access_policy_to_security(
+        [{"row_level": {"filters": [
+            {"member": "city", "operator": "in",
+             "values": "security_context.x"}]}}]
+    )
+    assert policy is None
+    assert "operator:in" in unmapped
+
+    # role/conditions gating reported as unmapped but filters still apply
+    policy, unmapped = _access_policy_to_security([{
+        "role": "manager",
+        "conditions": [{"if": "something"}],
+        "row_level": {"filters": [
+            {"member": "x", "operator": "equals", "values": ["1"]}]},
+    }])
+    assert policy is not None and {"role", "conditions"} <= unmapped
+
+
+def test_cube_access_policy_enforced_end_to_end(spark):
+    """A cube-level access_policy imports as an enforced
+    SecurityPolicy: queries over the imported model are row-filtered
+    (the reference imports this as security too — the silent
+    alternative is an UNSECURED model from a secured Cube project)."""
+    import warnings as _warnings
+
+    import yaml as _yaml
+
+    from sidemantic_spark.adapters import ADAPTERS
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        ADAPTERS["cube"]().parse(layer, _yaml.safe_load("""
+cubes:
+  - name: ap_orders
+    sql_table: adapter_orders
+    access_policy:
+      - role: "*"
+        row_level:
+          filters:
+            - member: "{CUBE}.status"
+              operator: equals
+              values: [paid]
+    dimensions:
+      - name: order_id
+        sql: order_id
+        type: number
+        primary_key: true
+      - name: status
+        sql: status
+        type: string
+    measures:
+      - name: order_count
+        type: count
+"""))
+    m = layer.graph.models["ap_orders"]
+    assert m.security is not None
+    assert m.security.row_filters == ["status = 'paid'"]
+    assert m.meta["access_policy"]  # preserved for round-trip
+    n = layer.query(metrics=["ap_orders.order_count"]).collect()[0][0]
+    assert n == 2  # refunded row filtered out
+    con.close()
