@@ -446,6 +446,38 @@ class CubeAdapter(BaseAdapter):
                     expr=sql,
                     **common,
                 ))
+            elif mtype == "rank" and m.get("order_by"):
+                # Cube/Tesseract rank measures: a REAL windowed rank
+                # over the ordered base measure(s) via the engine's
+                # derived-over-aggregate windows — the reference
+                # imports these as a lossy COUNT fallback with a
+                # warning (ref adapters/cube.py:885-903). reduce_by /
+                # multi_stage ride in meta for round-trip.
+                items = []
+                for ob in m.get("order_by") or []:
+                    if isinstance(ob, dict):
+                        ref = ob.get("sql") or ob.get("member") or ""
+                        direction = str(ob.get("dir", "desc"))
+                    else:
+                        ref, direction = str(ob), "desc"
+                    ref = re.sub(r"^\{(\w+)\}$",
+                                 r"\1", strip_cube_placeholders(ref, name) or "")
+                    if ref:
+                        items.append(
+                            f"{ref} {'ASC' if direction.lower() == 'asc' else 'DESC'}"
+                        )
+                extra = {
+                    k: m.get(k) for k in ("reduce_by", "multi_stage")
+                    if m.get(k) is not None
+                }
+                if extra:
+                    common["meta"] = dict(common["meta"] or {},
+                                          cube_rank=extra)
+                metrics.append(Metric(
+                    name=m["name"], type="derived",
+                    expr=f"RANK() OVER (ORDER BY {', '.join(items)})",
+                    **common,
+                ))
             else:  # unsupported measure types parse as opaque derived
                 metrics.append(Metric(name=m["name"], type="derived", expr=sql,
                                       **common))

@@ -5471,3 +5471,50 @@ cubes:
     n = layer.query(metrics=["ap_orders.order_count"]).collect()[0][0]
     assert n == 2  # refunded row filtered out
     con.close()
+
+
+def test_cube_rank_measure_is_real_rank(spark):
+    """type: rank measures import as a real windowed RANK over the
+    ordered base measure — the reference imports these as a lossy COUNT
+    fallback (ref adapters/cube.py:885-903); the engine's
+    derived-over-aggregate windows can do the real thing."""
+    import yaml as _yaml
+
+    from sidemantic_spark.adapters import ADAPTERS
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    ADAPTERS["cube"]().parse(layer, _yaml.safe_load("""
+cubes:
+  - name: rank_orders
+    sql_table: adapter_orders
+    dimensions:
+      - name: order_id
+        sql: order_id
+        type: number
+        primary_key: true
+      - name: status
+        sql: status
+        type: string
+    measures:
+      - name: revenue
+        type: sum
+        sql: amount
+      - name: revenue_rank
+        type: rank
+        multi_stage: true
+        order_by:
+          - sql: "{revenue}"
+            dir: desc
+"""))
+    m = layer.graph.models["rank_orders"].metric("revenue_rank")
+    assert m.type == "derived" and "RANK() OVER" in m.expr
+    assert m.meta["cube_rank"]["multi_stage"] is True
+    rows = layer.query(
+        metrics=["rank_orders.revenue", "rank_orders.revenue_rank"],
+        dimensions=["rank_orders.status"],
+        order_by=["status"],
+    ).collect()
+    # paid: 250 -> rank 1; refunded: 50 -> rank 2
+    assert [tuple(r) for r in rows] == [("paid", 250, 1), ("refunded", 50, 2)]
+    con.close()
