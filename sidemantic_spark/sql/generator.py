@@ -687,6 +687,12 @@ class SqlGenerator:
             model = self.graph.get_model(model_name)
             metric = model.metric(metric_name)
             if metric is None:
+                # a graph-level metric qualified with its RESOLVED owner
+                # (chained window/derived metrics qualify children with
+                # the anchor model before lookup) — fall back to the
+                # graph namespace rather than failing
+                if metric_name in self.graph.metrics:
+                    return self._lookup_metric_plain(metric_name)
                 raise QueryCompileError(
                     f"unknown metric {ref!r}"
                     + _did_you_mean(metric_name, [m.name for m in model.metrics])
@@ -708,10 +714,15 @@ class SqlGenerator:
             f"unknown metric {ref!r}" + _did_you_mean(ref, all_metrics)
         )
 
-    def _graph_metric_owner(self, ref: str, metric: Metric) -> str | None:
+    def _graph_metric_owner(
+        self, ref: str, metric: Metric, _seen: frozenset = frozenset()
+    ) -> str | None:
         """Owning model for a graph-level metric: a model carrying a
         same-named metric, else the model of the first child reference
-        (ratio numerator / derived identifier)."""
+        (ratio numerator / derived identifier) — recursing through
+        graph-metric children, so chains like time_comparison -> derived
+        -> cumulative -> model.measure resolve (reference
+        tests/metrics/test_cumulative.py:412-530 chained families)."""
         for name, mdl in self.graph.models.items():
             if mdl.metric(ref) is not None:
                 return name
@@ -754,6 +765,13 @@ class SqlGenerator:
                 for name, mdl in self.graph.models.items():
                     if mdl.metric(cand) is not None:
                         return name
+                child = self.graph.metrics.get(cand)
+                if child is not None and cand not in _seen and cand != ref:
+                    owner = self._graph_metric_owner(
+                        cand, child, _seen | {ref, cand}
+                    )
+                    if owner:
+                        return owner
         return None
 
     def _metric_name_index(self, models: list[str]) -> set[tuple[str, str]]:

@@ -1188,3 +1188,80 @@ def test_non_additive_unsafe_escape_hatch(spark):
     sql2 = unsafe.compile(metrics=["na_bal.closing"],
                           dimensions=["na_bal.account"])
     assert sql != sql2
+
+
+def _chain_sales_layer(spark):
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="chain_sales",
+        sql="""SELECT month_start,
+                CASE WHEN month_start < DATE '2024-01-01' THEN 100 ELSE 200 END AS gbv,
+                CASE WHEN month_start < DATE '2024-01-01' THEN 10 ELSE 20 END AS bookings
+            FROM (SELECT explode(sequence(DATE '2023-01-01', DATE '2024-03-01',
+                                          INTERVAL 1 MONTH)) AS month_start)""",
+        primary_key="month_start",
+        dimensions=[Dimension(name="month_start", type="time")],
+        metrics=[Metric(name="gbv", agg="sum", sql="gbv"),
+                 Metric(name="bookings", agg="sum", sql="bookings")],
+    ))
+    g = layer.graph
+    g.add_metric(Metric(name="ch_ytd_gbv", type="cumulative",
+                        sql="chain_sales.gbv", grain_to_date="year"))
+    g.add_metric(Metric(name="ch_ytd_bookings", type="cumulative",
+                        sql="chain_sales.bookings", grain_to_date="year"))
+    return layer
+
+
+def test_time_comparison_over_derived_cumulative_chain(spark):
+    """time_comparison -> derived -> cumulative -> model.measure chains
+    resolve owners recursively through graph-metric children (reference
+    tests/metrics/test_cumulative.py:412). ABV is constant within each
+    year (100/10 then 200/20), so YTD ABV is 10 everywhere and the YoY
+    change is exactly 0."""
+    from sidemantic_spark.core.model import Metric
+
+    layer = _chain_sales_layer(spark)
+    layer.graph.add_metric(Metric(name="ch_ytd_abv", type="derived",
+                                  sql="ch_ytd_gbv / ch_ytd_bookings"))
+    layer.graph.add_metric(Metric(
+        name="ch_yoy_abv", type="time_comparison", base_metric="ch_ytd_abv",
+        comparison_type="yoy", calculation="percent_change",
+    ))
+    rows = [r.asDict() for r in layer.query(
+        metrics=["ch_ytd_abv", "ch_yoy_abv"],
+        dimensions=["chain_sales.month_start__month"],
+        order_by=["month_start__month"],
+    ).collect()]
+    assert len(rows) == 15
+    r24 = [r for r in rows if str(r["month_start__month"]).startswith("2024")]
+    assert len(r24) == 3
+    assert all(abs(float(r["ch_ytd_abv"]) - 10.0) < 1e-9 for r in r24)
+    assert all(abs(float(r["ch_yoy_abv"])) < 1e-9 for r in r24)
+
+
+def test_time_comparison_over_ratio_cumulative_chain(spark):
+    """time_comparison -> ratio -> cumulative chains (reference
+    tests/metrics/test_cumulative.py:472)."""
+    from sidemantic_spark.core.model import Metric
+
+    layer = _chain_sales_layer(spark)
+    layer.graph.add_metric(Metric(name="ch_abv_ratio", type="ratio",
+                                  numerator="ch_ytd_gbv",
+                                  denominator="ch_ytd_bookings"))
+    layer.graph.add_metric(Metric(
+        name="ch_yoy_ratio", type="time_comparison",
+        base_metric="ch_abv_ratio",
+        comparison_type="yoy", calculation="percent_change",
+    ))
+    rows = [r.asDict() for r in layer.query(
+        metrics=["ch_abv_ratio", "ch_yoy_ratio"],
+        dimensions=["chain_sales.month_start__month"],
+        order_by=["month_start__month"],
+    ).collect()]
+    r24 = [r for r in rows if str(r["month_start__month"]).startswith("2024")]
+    assert len(r24) == 3
+    assert all(abs(float(r["ch_abv_ratio"]) - 10.0) < 1e-9 for r in r24)
+    assert all(abs(float(r["ch_yoy_ratio"])) < 1e-9 for r in r24)
