@@ -678,7 +678,51 @@ class SqlGenerator:
                         return owner, dataclasses.replace(
                             underlying, name=metric.name
                         )
+            # owner detection FIRST (it scans the original text for
+            # model-qualified refs), normalization after
             owner = self._graph_metric_owner(ref, metric)
+            if owner and not metric.type and not metric.agg and (
+                metric.sql or metric.expr
+            ):
+                # untyped graph metric with inline expression SQL
+                # ("dependency-free expression metric", e.g.
+                # SUM(sales.gbv)/NULLIF(SUM(sales.bookings),0) — ref
+                # tests/metrics/test_cumulative.py:532). When the author
+                # wrote their own aggregates, normalize to a
+                # complete-SQL measure (model.field refs reduce to the
+                # field's raw expression, so the author's SUM() wraps
+                # the raw column instead of nesting over the measure's
+                # aggregate); otherwise treat as a derived formula over
+                # sibling metrics.
+                import dataclasses
+
+                text = metric.expr or metric.sql
+                if _AGG_TOKEN_RE.search(text):
+                    known = set(self.graph.models)
+
+                    def _raw_of(mo: str, fld: str, g: str | None) -> str:
+                        mdl = self.graph.models.get(mo)
+                        if mdl is not None:
+                            mm = mdl.metric(fld)
+                            src = mm.sql if (mm is not None and mm.sql) else None
+                            if src is None:
+                                dd = mdl.dimension(fld)
+                                src = dd.sql if (dd is not None and dd.sql) else None
+                            if src:
+                                return (
+                                    f"({src})" if re.search(r"[^\w.]", src) else src
+                                )
+                        return fld
+
+                    metric = dataclasses.replace(
+                        metric,
+                        sql=replace_refs(text, known, _raw_of),
+                        sql_is_complete=True,
+                    )
+                else:
+                    metric = dataclasses.replace(
+                        metric, type="derived", expr=text
+                    )
             if owner:
                 return owner, metric
             raise QueryCompileError(f"graph metric {ref!r} has no resolvable owning model")
@@ -772,6 +816,16 @@ class SqlGenerator:
                     )
                     if owner:
                         return owner
+        # last resort: model-qualified references anywhere in the
+        # metric's SQL text (untyped "dependency-free expression"
+        # metrics like SUM(sales.gbv)/NULLIF(SUM(sales.bookings),0) —
+        # ref tests/metrics/test_cumulative.py:532)
+        known = set(self.graph.models)
+        for text in (metric.expr, metric.sql):
+            if not text:
+                continue
+            for m_, _f, _g in find_refs(text, known):
+                return m_
         return None
 
     def _metric_name_index(self, models: list[str]) -> set[tuple[str, str]]:
@@ -2924,6 +2978,13 @@ def _qualify(name: str | None, default_model: str) -> str:
 _IDENT_RE = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?\b")
 # metric-level window totals: all(metric) / __bsl_all(metric)
 _ALL_RE = re.compile(r"\b(?:__bsl_all|all)\(\s*([A-Za-z_][\w.]*)\s*\)", re.IGNORECASE)
+# aggregate-call detector for untyped graph expression metrics (the
+# author already aggregated -> complete-SQL measure, not derived)
+_AGG_TOKEN_RE = re.compile(
+    r"\b(?:sum|count|avg|mean|min|max|median|stddev\w*|var\w*|"
+    r"percentile\w*|approx\w*|collect_\w+|first|last|any_value)\s*\(",
+    re.IGNORECASE,
+)
 _SQL_KEYWORDS = {
     "case", "when", "then", "else", "end", "and", "or", "not", "null", "nullif",
     "coalesce", "cast", "as", "double", "bigint", "int", "float", "decimal",

@@ -1265,3 +1265,29 @@ def test_time_comparison_over_ratio_cumulative_chain(spark):
     assert len(r24) == 3
     assert all(abs(float(r["ch_abv_ratio"]) - 10.0) < 1e-9 for r in r24)
     assert all(abs(float(r["ch_yoy_ratio"])) < 1e-9 for r in r24)
+
+
+def test_dependency_free_expression_metric_with_windows(spark):
+    """An untyped graph metric whose SQL carries its own aggregates
+    (SUM(model.x)/NULLIF(SUM(model.y),0)) computes ONCE in the grouped
+    stage as a complete-SQL measure — never re-aggregated in outer
+    window stages (reference tests/metrics/test_cumulative.py:532)."""
+    from sidemantic_spark.core.model import Metric
+
+    layer = _chain_sales_layer(spark)
+    g = layer.graph
+    g.add_metric(Metric(name="ch_abv_inline",
+                        sql="SUM(chain_sales.gbv) / NULLIF(SUM(chain_sales.bookings), 0)"))
+    g.add_metric(Metric(name="ch_yoy_gbv", type="time_comparison",
+                        base_metric="ch_ytd_gbv",
+                        comparison_type="yoy", calculation="percent_change"))
+    rows = [r.asDict() for r in layer.query(
+        metrics=["ch_abv_inline", "ch_ytd_gbv", "ch_yoy_gbv"],
+        dimensions=["chain_sales.month_start__month"],
+        order_by=["month_start__month"],
+    ).collect()]
+    assert len(rows) == 15
+    assert all(abs(float(r["ch_abv_inline"]) - 10.0) < 1e-9 for r in rows)
+    jan24 = rows[12]
+    assert float(jan24["ch_ytd_gbv"]) == 200.0
+    assert abs(float(jan24["ch_yoy_gbv"]) - 100.0) < 1e-9  # 200 vs 100
