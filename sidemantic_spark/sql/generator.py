@@ -1211,7 +1211,11 @@ class SqlGenerator:
         sql='sales.amount')`` (ref tests/metrics/test_advanced.py:172)."""
         if metric.base_metric:
             return _qualify(metric.base_metric, default_model)
-        if metric.sql and not metric.agg:
+        if metric.sql:
+            # metric-reference sql wins even when agg is set: agg then
+            # names the WINDOW function over the base metric's bucket
+            # values (rolling avg/min/count — ref sql/generator.py:6180
+            # resolves the base metric first, agg_func defaults to SUM)
             ref = _qualify(metric.sql.strip(), default_model)
             try:
                 self._lookup_metric(ref)
@@ -2110,6 +2114,12 @@ class SqlGenerator:
         for rm in units:
             m = rm.metric
             base_col = f"i.{inner_name_of[rm.out]}"
+            # window function over the bucket values: metric.agg, SUM by
+            # default (rolling averages/minima/counts — ref
+            # sql/generator.py:6180 agg_func selection)
+            wfn = (m.agg or "sum").upper()
+            if wfn == "COUNT_DISTINCT":
+                wfn, base_col = "COUNT", f"DISTINCT {base_col}"
             if m.type == "cumulative":
                 if m.window_expression:
                     # raw passthrough (reference sql/generator.py:6139-6147):
@@ -2132,7 +2142,7 @@ class SqlGenerator:
                     )
                     frame = m.window_frame or "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
                     emit(
-                        f"SUM({base_col}) OVER (PARTITION BY {part2} ORDER BY i.{t} {frame})",
+                        f"{wfn}({base_col}) OVER (PARTITION BY {part2} ORDER BY i.{t} {frame})",
                         rm,
                     )
                     continue
@@ -2141,7 +2151,7 @@ class SqlGenerator:
                 if m.window_frame:
                     frame = m.window_frame
                 emit(
-                    f"SUM({base_col}) OVER ({part_clause}ORDER BY i.{t} {frame})", rm
+                    f"{wfn}({base_col}) OVER ({part_clause}ORDER BY i.{t} {frame})", rm
                 )
             elif m.type == "ratio" and m.offset_window:
                 num_out, den_out = ratio_legs[rm.out]

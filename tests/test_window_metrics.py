@@ -1291,3 +1291,43 @@ def test_dependency_free_expression_metric_with_windows(spark):
     jan24 = rows[12]
     assert float(jan24["ch_ytd_gbv"]) == 200.0
     assert abs(float(jan24["ch_yoy_gbv"]) - 100.0) < 1e-9  # 200 vs 100
+
+
+def test_rolling_average_and_count(spark):
+    """cumulative metrics whose agg names the WINDOW function over the
+    base metric's bucket values: rolling 3-day AVG and COUNT (reference
+    tests/metrics/test_cumulative.py:174,307 — agg_func selection,
+    SUM stays the default)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.createDataFrame(
+        [(1, "2024-01-01", 100.0), (2, "2024-01-02", 150.0),
+         (3, "2024-01-03", 200.0), (4, "2024-01-04", 120.0),
+         (5, "2024-01-05", 180.0)],
+        "order_id int, d string, order_amount double",
+    ).selectExpr(
+        "order_id", "CAST(d AS DATE) AS order_date", "order_amount"
+    ).createOrReplaceTempView("roll_orders")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="roll_o", table="roll_orders", primary_key="order_id",
+        dimensions=[Dimension(name="order_date", type="time", granularity="day")],
+        metrics=[Metric(name="daily_revenue", agg="sum", sql="order_amount"),
+                 Metric(name="order_count", agg="count", sql="order_id")],
+    ))
+    layer.graph.add_metric(Metric(
+        name="rolling_3day_avg", type="cumulative", agg="avg",
+        sql="roll_o.daily_revenue", window="2 days"))
+    layer.graph.add_metric(Metric(
+        name="rolling_3day_count", type="cumulative", agg="count",
+        sql="roll_o.order_count", window="2 days"))
+    rows = layer.query(
+        metrics=["roll_o.daily_revenue", "rolling_3day_avg", "rolling_3day_count"],
+        dimensions=["roll_o.order_date"],
+        order_by=["roll_o.order_date"],
+    ).collect()
+    avgs = [round(float(r["rolling_3day_avg"]), 2) for r in rows]
+    counts = [int(r["rolling_3day_count"]) for r in rows]
+    assert avgs == [100.0, 125.0, 150.0, 156.67, 166.67]
+    assert counts == [1, 2, 3, 3, 3]
