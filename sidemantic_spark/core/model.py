@@ -229,7 +229,11 @@ class Metric:
         # for the single-agg-call shape; formula SQL is left intact).
         # complete-SQL measures are emitted verbatim — decomposing e.g.
         # SUM(DISTINCT x) into agg=sum/sql="DISTINCT x" would corrupt them
-        if self.agg is None and self.type is None and self.sql and not self.sql_is_complete:
+        # cumulative metrics accept the same single-agg-call sugar:
+        # sql="AVG(orders.daily_revenue)" -> agg="avg" naming the window
+        # function, sql="orders.daily_revenue" the base reference (ref
+        # tests/metrics/test_cumulative.py:223 parsed-from-sql form)
+        if self.agg is None and self.type in (None, "cumulative") and self.sql and not self.sql_is_complete:
             m = _COUNT_DISTINCT_RE.match(self.sql)
             if m:
                 self.agg = "count_distinct"

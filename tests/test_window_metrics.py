@@ -1331,3 +1331,15 @@ def test_rolling_average_and_count(spark):
     counts = [int(r["rolling_3day_count"]) for r in rows]
     assert avgs == [100.0, 125.0, 150.0, 156.67, 166.67]
     assert counts == [1, 2, 3, 3, 3]
+
+
+def test_rolling_average_parsed_from_sql(spark):
+    """cumulative sql=\"AVG(model.metric)\" auto-extracts agg=avg +
+    base ref at construction (reference
+    tests/metrics/test_cumulative.py:223)."""
+    from sidemantic_spark.core.model import Metric
+
+    m = Metric(name="rap", type="cumulative",
+               sql="AVG(roll_o.daily_revenue)", window="2 days")
+    assert m.agg == "avg"
+    assert m.sql == "roll_o.daily_revenue"
