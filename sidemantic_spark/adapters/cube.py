@@ -486,7 +486,18 @@ class CubeAdapter(BaseAdapter):
         for j in cube.get("joins") or []:
             rel_type = _REL_MAP.get(j.get("relationship", "many_to_one"))
             if rel_type is None:
-                raise AdapterError(f"cube {name}: unknown relationship {j.get('relationship')!r}")
+                # warn + default rather than failing a whole project
+                # import over one odd join (ref adapters/cube.py
+                # test_unknown_relationship_warns_and_defaults)
+                import warnings as _warnings
+
+                _warnings.warn(
+                    f"cube {name!r}: unknown relationship "
+                    f"{j.get('relationship')!r} on join {j.get('name')!r}; "
+                    "defaulting to many_to_one",
+                    stacklevel=2,
+                )
+                rel_type = "many_to_one"
             sql = j.get("sql")
             fk = pk_col = None
             custom = None

@@ -5518,3 +5518,33 @@ cubes:
     # paid: 250 -> rank 1; refunded: 50 -> rank 2
     assert [tuple(r) for r in rows] == [("paid", 250, 1), ("refunded", 50, 2)]
     con.close()
+
+
+def test_cube_unknown_relationship_warns_and_defaults(spark):
+    """An unknown Cube join relationship warns and defaults to
+    many_to_one instead of failing the whole project import (ref
+    tests/adapters/cube/test_correctness_fixes.py:225)."""
+    import warnings as _warnings
+
+    import yaml as _yaml
+
+    from sidemantic_spark.adapters import ADAPTERS
+
+    layer = SparkSemanticLayer(spark)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        ADAPTERS["cube"]().parse(layer, _yaml.safe_load("""
+cubes:
+  - name: ur_orders
+    sql_table: t
+    joins:
+      - name: other
+        relationship: weird_kind
+        sql: "{CUBE}.other_id = {other}.id"
+    measures:
+      - name: n
+        type: count
+"""))
+    rel = layer.graph.models["ur_orders"].relationships[0]
+    assert rel.type == "many_to_one"
+    assert any("weird_kind" in str(w.message) for w in caught)
