@@ -46,6 +46,25 @@ _TIMEFRAME_DIM_RE = re.compile(
 )
 
 
+def _is_single_call_expr(expr: str) -> bool:
+    """True when ``expr`` is exactly one call — fn(...) with the first
+    parenthesis closing at the very end (a trailing { ... } refinement
+    block excluded before the caller gets here). Guards the greedy
+    ``(.*)`` agg regexes against compound forms like sum(a) / sum(b)."""
+    i = expr.find("(")
+    if i < 0:
+        return False
+    depth = 0
+    for j in range(i, len(expr)):
+        if expr[j] == "(":
+            depth += 1
+        elif expr[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return expr[j + 1:].strip() == ""
+    return False
+
+
 def _translate_agg_calls(expr: str, cond: str | None) -> str:
     """Rewrite Malloy aggregate calls inside a composite expression to
     SQL aggregates (``amount.sum()`` -> ``SUM(amount)``, ``count()`` ->
@@ -690,6 +709,14 @@ class MalloyAdapter(BaseAdapter):
             dtype = "time"
         elif re.search(r"[<>=]|\bis\b", low) and "_is_" not in low:
             dtype = "boolean"
+        elif re.search(
+            r"[+-]\s*(?:interval\s+)?'?\d+'?\s+"
+            r"(?:day|week|month|quarter|year|hour|minute|second)s?\b",
+            low,
+        ):
+            # duration arithmetic (`created_at + 1 day`) stays a time
+            # dimension (ref test_duration_arithmetic_is_time)
+            dtype = "time"
         dims.append(Dimension(name=fname, sql=None if sql == fname else sql, type=dtype))
 
     def _add_measure(self, line: str, mets: list[Metric]) -> None:
@@ -697,10 +724,16 @@ class MalloyAdapter(BaseAdapter):
         if not fm:
             return
         fname, expr = fm.group(1).strip().replace(" ", "_"), fm.group(2).strip()
+        # chained refinements AND together: `count() { where: a } {
+        # where: b }` keeps BOTH filters (ref
+        # test_chained_where_keeps_all_filters_and_aggregation) — strip
+        # trailing { where: } groups innermost-last
         filters: list[str] = []
-        wm = _WHERE_SUFFIX_RE.search(expr)
-        if wm:
-            filters = [_malloy_expr_to_sql(wm.group(1))]
+        while True:
+            wm = re.search(r"\{\s*where:\s*([^{}]*?)\s*\}\s*$", expr, re.S)
+            if not wm:
+                break
+            filters.insert(0, _malloy_expr_to_sql(wm.group(1)))
             expr = expr[: wm.start()].strip()
         cd = _COUNT_DISTINCT_RE.match(expr) or _CD_FUNC_RE.match(expr)
         if cd:
@@ -717,7 +750,12 @@ class MalloyAdapter(BaseAdapter):
             ))
             return
         am = _AGG_CALL_RE.match(expr)
-        if am:
+        if am and _is_single_call_expr(expr):
+            # only when the WHOLE expr is one call: `sum(a) / sum(b)`
+            # must NOT split greedily into agg=sum sql="a) / sum(b" —
+            # compound aggregate arithmetic falls through to the
+            # complete-SQL branch (ref
+            # test_ratio_of_two_aggregates_is_derived family)
             agg, inner = am.group(1), am.group(2).strip()
             mets.append(Metric(
                 name=fname, agg=agg,
@@ -730,7 +768,7 @@ class MalloyAdapter(BaseAdapter):
             # complete-SQL expression metric; a { where: } condition
             # bakes into each aggregate (reference
             # test_ratio_of_two_aggregates_is_derived family)
-            cond = filters[0] if filters else None
+            cond = " AND ".join(filters) if filters else None
             sql = _malloy_expr_to_sql(_translate_agg_calls(expr, cond))
             mets.append(Metric(name=fname, sql=sql, sql_is_complete=True))
             return

@@ -5548,3 +5548,54 @@ cubes:
     rel = layer.graph.models["ur_orders"].relationships[0]
     assert rel.type == "many_to_one"
     assert any("weird_kind" in str(w.message) for w in caught)
+
+
+def test_malloy_compound_aggregates_and_chained_filters(spark):
+    """Compound aggregate arithmetic (sum(a)/sum(b), sum/count, with a
+    newline before the operator) must import as complete-SQL expression
+    measures — NOT greedily split into a corrupt single aggregate — and
+    chained { where: } refinements must AND together (ref
+    tests/adapters/malloy/test_audit_regressions.py)."""
+    from sidemantic_spark.adapters import MalloyAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    MalloyAdapter().parse_text(layer, """
+source: mar_orders is duckdb.table('adapter_orders') extend {
+  dimension:
+    status is status
+
+  measure:
+    unit_margin is sum(amount) / sum(cost)
+    avg_amount is sum(amount)
+      / count()
+    paid_feb is count() { where: status = 'paid' } { where: amount > 120 }
+}
+""")
+    m = layer.graph.models["mar_orders"]
+    assert m.metric("unit_margin").sql_is_complete
+    assert m.metric("unit_margin").agg is None
+    assert m.metric("paid_feb").filters == [
+        "mar_orders.status = 'paid'", "mar_orders.amount > 120"]
+    r = layer.query(metrics=["mar_orders.unit_margin", "mar_orders.avg_amount",
+                             "mar_orders.paid_feb"]).collect()[0]
+    # amounts 100+150+50=300, costs 10+20+5=35, rows 3; paid & >120 -> 1
+    assert abs(float(r["unit_margin"]) - 300 / 35) < 1e-9
+    assert float(r["avg_amount"]) == 100.0
+    assert r["paid_feb"] == 1
+    con.close()
+
+
+def test_malloy_duration_arithmetic_dimension_is_time(spark):
+    """`created_at + 1 day` stays a time dimension (ref
+    test_duration_arithmetic_is_time_not_numeric)."""
+    from sidemantic_spark.adapters import MalloyAdapter
+
+    layer = SparkSemanticLayer(spark)
+    MalloyAdapter().parse_text(layer, """
+source: dur_o is duckdb.table('t') extend {
+  dimension:
+    ship_date is created_at + 1 day
+}
+""")
+    assert layer.graph.models["dur_o"].dimension("ship_date").type == "time"
