@@ -315,8 +315,30 @@ def _malloy_expr_to_sql(expr: str) -> str:
             if em:
                 case += f" ELSE {em.group(1).strip()}"
             return case + " END"
+    # double-quoted segments are opaque (identifiers / passthrough) —
+    # no transform may rewrite their contents (ref
+    # test_expression_transforms_ignore_malloy_syntax_inside_strings)
+    held: list[str] = []
+
+    def _hold(m: re.Match) -> str:
+        held.append(m.group(0))
+        return f"\x00{len(held) - 1}\x00"
+
+    expr = re.sub(r'"(?:[^"\\]|\\.)*"', _hold, expr)
+    # regex / LIKE match: s ~ r'...' -> RLIKE, s ~ '...' -> LIKE
+    # (these consume their quoted operands, so they run BEFORE string
+    # protection)
+    expr = re.sub(r"!~\s*r'((?:[^'\\]|\\.)*)'", r" NOT RLIKE '\1'", expr)
+    expr = re.sub(r"~\s*r'((?:[^'\\]|\\.)*)'", r" RLIKE '\1'", expr)
+    expr = re.sub(r"!~\s*('(?:[^'\\]|\\.)*')", r" NOT LIKE \1", expr)
+    expr = re.sub(r"~\s*('(?:[^'\\]|\\.)*')", r" LIKE \1", expr)
+    # ...now protect remaining single-quoted literals from the scalar
+    # rewrites below (@dates, casts, now)
+    expr = re.sub(r"'(?:[^'\\]|\\.|'')*'", _hold, expr)
     # x::date / x::timestamp casts
     expr = re.sub(r"(\w+)::(\w+)", r"CAST(\1 AS \2)", expr)
+    # fn!type(args) result-type annotations -> fn(args)
+    expr = re.sub(r"(\w+)!(?!=)\w*\(", r"\1(", expr)
     # @2024-01-15 / @2024-03 / @2024 date literals
     expr = _DATE_LIT_RE.sub(
         lambda m: f"DATE '{m.group(1)}-{m.group(2) or '01'}-{m.group(3) or '01'}'",
@@ -324,11 +346,8 @@ def _malloy_expr_to_sql(expr: str) -> str:
     )
     # standalone `now`
     expr = re.sub(r"(?<![\w.'])now(?![\w.('])", "CURRENT_TIMESTAMP", expr)
-    # regex / LIKE match: s ~ r'...' -> RLIKE, s ~ '...' -> LIKE
-    expr = re.sub(r"!~\s*r'((?:[^'\\]|\\.)*)'", r" NOT RLIKE '\1'", expr)
-    expr = re.sub(r"~\s*r'((?:[^'\\]|\\.)*)'", r" RLIKE '\1'", expr)
-    expr = re.sub(r"!~\s*('(?:[^'\\]|\\.)*')", r" NOT LIKE \1", expr)
-    expr = re.sub(r"~\s*('(?:[^'\\]|\\.)*')", r" LIKE \1", expr)
+    for i, lit in enumerate(held):
+        expr = expr.replace(f"\x00{i}\x00", lit)
     # ?? null-coalescing chains
     if "??" in expr:
         parts = [p.strip() for p in _split_top(expr, "??")]

@@ -5599,3 +5599,21 @@ source: dur_o is duckdb.table('t') extend {
 }
 """)
     assert layer.graph.models["dur_o"].dimension("ship_date").type == "time"
+
+
+def test_malloy_transforms_ignore_strings(spark):
+    """Scalar expression transforms (@date literals, ::casts, fn!type
+    annotations, now) must not rewrite quoted string contents (ref
+    tests/adapters/malloy/test_edge_cases.py:8)."""
+    from sidemantic_spark.adapters.malloy import _malloy_expr_to_sql as t
+
+    assert t("'@2024-01-01'") == "'@2024-01-01'"
+    assert t("note = '@2024-01-01'") == "note = '@2024-01-01'"
+    assert t("'timestamp_seconds!timestamp(x)'") == "'timestamp_seconds!timestamp(x)'"
+    assert t("note = '@2024-01-01' AND created_at >= @2024-01-01") == (
+        "note = '@2024-01-01' AND created_at >= DATE '2024-01-01'"
+    )
+    assert t("timestamp_seconds!timestamp(x)") == "timestamp_seconds(x)"
+    assert t("\"name ~ r'x'\"") == "\"name ~ r'x'\""
+    assert t("a != b(1)") == "a != b(1)"
+    assert t("concat(note, ' ?? x.sum() @2020 ')") == "concat(note, ' ?? x.sum() @2020 ')"
