@@ -32,7 +32,12 @@ import json
 import re
 from dataclasses import dataclass, field
 
-from sidemantic_spark.core.graph import JoinHop, SemanticGraph, SemanticGraphError
+from sidemantic_spark.core.graph import (
+    JoinHop,
+    NoJoinPathError,
+    SemanticGraph,
+    SemanticGraphError,
+)
 from sidemantic_spark.core.model import (
     FANOUT_IMPOSSIBLE_AGGS,
     FANOUT_UNSAFE_AGGS,
@@ -491,14 +496,42 @@ class SqlGenerator:
             if policy is not None:
                 policy.check_access(name, spec.user)
         base = all_models[0]
-        hops = self.graph.join_tree(base, all_models[1:])
+        try:
+            hops = self.graph.join_tree(base, all_models[1:])
+        except NoJoinPathError:
+            # conformed-dimension multi-fact: metrics from UNRELATED
+            # fact models compile as separate per-fact subqueries and
+            # FULL OUTER join on shared dimension names
+            # (_multifact_sql) — only the models dimensions/filters
+            # live on must be graph-reachable (reference
+            # tests/test_bugfix_batch.py full-outer-join family)
+            metric_only = {rm.model for rm in metrics} - {
+                rd.model for rd in dims
+            } - set(filter_models)
+            if len({rm.model for rm in metrics}) < 2:
+                raise
+            reachable: list[str] = []
+            for m in all_models[1:]:
+                try:
+                    self.graph.join_tree(base, [m])
+                except NoJoinPathError:
+                    if m not in metric_only:
+                        raise
+                else:
+                    reachable.append(m)
+            hops = self.graph.join_tree(base, reachable)
         join_order = [base] + [h.to_model for h in hops]
 
         # filter classification (ref sql/generator.py:1640-1750, :2971)
-        pushdown: dict[str, list[str]] = {m: [] for m in join_order}
+        # keyed over join_order PLUS conformed (unreachable) fact
+        # models, which the multifact split recompiles separately
+        scope_models = list(dict.fromkeys(
+            join_order + [rm.model for rm in metrics]
+        ))
+        pushdown: dict[str, list[str]] = {m: [] for m in scope_models}
         outer: list[str] = []
         having: list[str] = []
-        extra_cols: dict[str, set[str]] = {m: set() for m in join_order}
+        extra_cols: dict[str, set[str]] = {m: set() for m in scope_models}
 
         # custom-SQL joins supply their own key columns via the
         # {from}/{to} placeholders — project each referenced column into
@@ -547,7 +580,7 @@ class SqlGenerator:
                         extra_cols[m].add(fld)
 
         # per-metric filters reference columns too
-        component: dict[str, list[tuple[str, Metric]]] = {m: [] for m in join_order}
+        component: dict[str, list[tuple[str, Metric]]] = {m: [] for m in scope_models}
         for rm in metrics:
             for comp_out, comp in self._expand_components(rm):
                 component[rm.model].append((comp_out, comp))
@@ -1881,13 +1914,30 @@ class SqlGenerator:
     # multi-fact split (ref sql/generator.py:2586-2921)
     # ------------------------------------------------------------------
     def _multifact_sql(self, r: Resolved, metric_models: list[str]) -> str:
-        dim_refs = [
-            (f"{rd.model}.{rd.name}" + (f"__{rd.grain}" if rd.grain else "")) + f" AS {rd.out}"
-            for rd in r.dims
-        ]
         known = set(self.graph.models)
         fact_sqls: list[tuple[str, str]] = []
         for fm in metric_models:
+            reachable = self._reachable_from(fm)
+            # conformed dimensions: a dim named on an UNRELATED model
+            # resolves onto this fact's own same-named dimension (the
+            # classic conformed-dimension star pair — reference
+            # tests/test_bugfix_batch.py full-outer multi-fact family)
+            dim_refs = []
+            for rd in r.dims:
+                model = rd.model
+                if model not in reachable:
+                    if self.graph.get_model(fm).dimension(rd.name) is None:
+                        raise QueryCompileError(
+                            f"dimension {rd.model}.{rd.name} is neither "
+                            f"joinable from fact {fm!r} nor conformed "
+                            f"(no same-named dimension on {fm!r})"
+                        )
+                    model = fm
+                dim_refs.append(
+                    f"{model}.{rd.name}"
+                    + (f"__{rd.grain}" if rd.grain else "")
+                    + f" AS {rd.out}"
+                )
             fact_metrics = [
                 (f"{rm.model}.{rm.metric.name} AS {rm.out}")
                 for rm in r.metrics
@@ -1897,7 +1947,7 @@ class SqlGenerator:
                 f
                 for f in r.spec.filters
                 if all(
-                    m in self._reachable_from(fm) for m, _f, _g in find_refs(f, known)
+                    m in reachable for m, _f, _g in find_refs(f, known)
                 )
             ]
             sub = QuerySpec(

@@ -559,3 +559,45 @@ def test_filter_only_sibling_fanout_deduplicates_non_base_metric(spark):
         filters=["sb_tick.kind = 'open'"],
     ).collect()
     assert [(r[0], int(r[1])) for r in rows] == [("east", 150)]
+
+
+def test_conformed_dimension_multifact(spark):
+    """Metrics from UNRELATED fact models sharing a dimension name
+    compile as per-fact subqueries FULL OUTER joined null-safely on the
+    conformed dimension (reference tests/test_bugfix_batch.py: NULL
+    dimension values must not drop, and the join must not be
+    COALESCE-equality which breaks non-string types)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.createDataFrame(
+        [(1, 1, 100.0), (2, 2, 200.0), (3, None, 50.0)],
+        "order_id int, customer_id int, amount double",
+    ).createOrReplaceTempView("cfd_orders")
+    spark.createDataFrame(
+        [(1, 1, 5), (2, 2, 3), (3, None, 7), (4, 99, 2)],
+        "li_id int, customer_id int, qty int",
+    ).createOrReplaceTempView("cfd_items")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="cfd_o", table="cfd_orders", primary_key="order_id",
+        dimensions=[Dimension(name="customer_id", type="numeric")],
+        metrics=[Metric(name="revenue", agg="sum", sql="amount")],
+    ))
+    layer.add_model(Model(
+        name="cfd_li", table="cfd_items", primary_key="li_id",
+        dimensions=[Dimension(name="customer_id", type="numeric")],
+        metrics=[Metric(name="total_qty", agg="sum", sql="qty")],
+    ))
+    sql = layer.compile(metrics=["cfd_o.revenue", "cfd_li.total_qty"],
+                        dimensions=["cfd_o.customer_id"])
+    assert "FULL OUTER JOIN" in sql.upper()
+    assert "<=>" in sql  # null-safe, not COALESCE-equality
+    rows = sorted(
+        [tuple(r) for r in layer.query(
+            metrics=["cfd_o.revenue", "cfd_li.total_qty"],
+            dimensions=["cfd_o.customer_id"],
+        ).collect()],
+        key=lambda x: (x[0] is None, x[0] if x[0] is not None else -1),
+    )
+    assert rows == [(1, 100.0, 5), (2, 200.0, 3), (99, None, 2), (None, 50.0, 7)]
