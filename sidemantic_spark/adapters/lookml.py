@@ -730,12 +730,29 @@ class LookMLAdapter(BaseAdapter):
                     unit = _DURATION_UNITS[dtype]
                     sql = f"TIMESTAMPDIFF({unit}, {start}, {end})"
                 dtype = "number"
+            if dtype == "location":
+                # type: location combines sql_latitude/sql_longitude;
+                # compose a queryable "lat,lon" value (the reference
+                # keeps the dimension but leaves it expression-less)
+                lat = resolve(d.get("sql_latitude"))
+                lon = resolve(d.get("sql_longitude"))
+                if lat and lon:
+                    sql = f"CONCAT({lat}, ',', {lon})"
+                dtype = "string"
             sql = sql or d["name"]
             dim_sql[d["name"]] = sql
             if dtype == "tier":
-                # tier buckets a numeric into ranges; keep the raw value
-                # (bucket labels are presentation-layer)
-                dtype = "number"
+                # tier buckets the numeric into Looker's documented
+                # ranges — a REAL CASE bucketing where the reference
+                # imports the raw value and loses the tier semantics.
+                # Grouping by the tier then matches Looker's output.
+                tier_sql = _tier_case_sql(sql, d.get("tiers"), d.get("style"))
+                if tier_sql is not None:
+                    sql = tier_sql
+                    dim_sql[d["name"]] = sql
+                    dtype = "string"
+                else:
+                    dtype = "number"
             if dtype in _DURATION_UNITS:
                 dtype = "number"
             dims.append(
@@ -1192,6 +1209,42 @@ class LookMLAdapter(BaseAdapter):
 
 def _str(v) -> str | None:
     return v if isinstance(v, str) else None
+
+
+def _tier_case_sql(base: str, tiers, style: str | None) -> str | None:
+    """Looker ``type: tier`` -> CASE bucketing with the documented
+    label styles (classic default, integer, relational, interval).
+    Buckets are [lo, hi): below the first tier, one bucket per
+    consecutive pair, and a final open bucket at the top. Labels sort
+    lexically, not numerically — same caveat as Looker's own output."""
+    if not isinstance(tiers, (list, tuple)) or not tiers:
+        return None
+    try:
+        vals = [float(t) for t in tiers]
+    except (TypeError, ValueError):
+        return None
+
+    def fmt(v: float) -> str:
+        return str(int(v)) if float(v).is_integer() else str(v)
+
+    b = f"({base})" if re.search(r"[^\w.]", base) else base
+    st = (style or "classic").lower()
+    if st == "relational":
+        below, above = f"< {fmt(vals[0])}", f">= {fmt(vals[-1])}"
+    else:
+        below, above = f"Below {fmt(vals[0])}", f"{fmt(vals[-1])} or Above"
+    parts = [f"WHEN {b} < {fmt(vals[0])} THEN '{below}'"]
+    for lo, hi in zip(vals, vals[1:]):
+        if st == "integer":
+            label = f"{fmt(lo)} to {fmt(hi - 1)}"
+        elif st == "relational":
+            label = f">= {fmt(lo)} and < {fmt(hi)}"
+        elif st == "interval":
+            label = f"[{fmt(lo)}, {fmt(hi)})"
+        else:  # classic
+            label = f"{fmt(lo)} to {fmt(hi)}"
+        parts.append(f"WHEN {b} < {fmt(hi)} THEN '{label}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{above}' END"
 
 
 def _fiscal_offset_int(fiscal_offset) -> int:

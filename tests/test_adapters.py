@@ -5617,3 +5617,46 @@ def test_malloy_transforms_ignore_strings(spark):
     assert t("\"name ~ r'x'\"") == "\"name ~ r'x'\""
     assert t("a != b(1)") == "a != b(1)"
     assert t("concat(note, ' ?? x.sum() @2020 ')") == "concat(note, ' ?? x.sum() @2020 ')"
+
+
+def test_lookml_tier_and_location_dimensions(spark):
+    """type: tier imports as a REAL CASE bucketing with Looker's label
+    styles (the reference keeps the raw value and loses tier
+    semantics); type: location composes sql_latitude/sql_longitude
+    into a queryable lat,lon value."""
+    from sidemantic_spark.adapters import LookMLAdapter
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    LookMLAdapter().parse_text(layer, """
+view: lk_tier {
+  sql_table_name: adapter_orders ;;
+  dimension: order_id { type: number  primary_key: yes  sql: ${TABLE}.order_id ;; }
+  dimension: amount { type: number  sql: ${TABLE}.amount ;; }
+  dimension: amount_tier {
+    type: tier
+    tiers: [60, 120]
+    style: integer
+    sql: ${amount} ;;
+  }
+  dimension: loc {
+    type: location
+    sql_latitude: ${TABLE}.cost ;;
+    sql_longitude: ${TABLE}.amount ;;
+  }
+  measure: n { type: count }
+}
+""")
+    m = layer.graph.models["lk_tier"]
+    tier = m.dimension("amount_tier")
+    assert tier.type == "categorical"
+    assert "CASE" in tier.sql and "Below 60" in tier.sql and "60 to 119" in tier.sql
+    rows = {r[0]: r[1] for r in layer.query(
+        metrics=["lk_tier.n"], dimensions=["lk_tier.amount_tier"]).collect()}
+    # amounts 100, 150, 50 -> one per bucket
+    assert rows == {"Below 60": 1, "60 to 119": 1, "120 or Above": 1}
+    loc = m.dimension("loc")
+    assert "CONCAT" in loc.sql
+    assert layer.query(metrics=["lk_tier.n"],
+                       dimensions=["lk_tier.loc"]).count() == 3
+    con.close()
