@@ -60,6 +60,13 @@ _DTYPE_MAP = {
     "boolean": "boolean", "bool": "boolean",
 }
 
+# AtScale level time_unit -> engine granularity (ref atscale_sml.py:22-32)
+_TIME_UNIT_MAP = {
+    "year": "year", "halfyear": "quarter", "trimester": "quarter",
+    "quarter": "quarter", "month": "month", "week": "week", "day": "day",
+    "hour": "hour", "minute": "minute", "second": "second",
+}
+
 
 class AtScaleAdapter(BaseAdapter):
     def parse_file(self, layer, path: str) -> None:
@@ -106,6 +113,40 @@ class AtScaleAdapter(BaseAdapter):
                     dim_datasets.setdefault(dname, ds)
             dim_levels[dname] = levels
 
+        # dimension-object level attributes refine dataset columns:
+        # name_column / key_columns[0] give the SQL, time_unit makes it
+        # a time dimension at that granularity (ref adapters/
+        # atscale_sml.py:545-611)
+        attr_dims: dict[str, list[Dimension]] = {}
+        for dname, dim in dimensions.items():
+            is_time_dim = str(dim.get("type", "")).lower() == "time"
+            for attr in dim.get("level_attributes") or []:
+                targets = [(attr.get("dataset"), attr)]
+                for shared in attr.get("shared_degenerate_columns") or []:
+                    if shared.get("dataset"):
+                        targets.append((shared["dataset"], shared))
+                for ds_name, src in targets:
+                    if not ds_name:
+                        continue
+                    aname = attr.get("unique_name") or attr.get("name")
+                    if not aname:
+                        continue
+                    sql = src.get("name_column")
+                    if not sql:
+                        kc = src.get("key_columns") or attr.get("key_columns") or []
+                        sql = kc[0] if kc else None
+                    sql = sql or aname
+                    tu = str(attr.get("time_unit") or "").lower()
+                    dtype = "time" if (is_time_dim or tu) else None
+                    attr_dims.setdefault(ds_name, []).append(Dimension(
+                        name=aname,
+                        sql=None if sql == aname else sql,
+                        type=dtype or "categorical",
+                        granularity=_TIME_UNIT_MAP.get(tu) if dtype == "time" else None,
+                        label=attr.get("label") or dim.get("label"),
+                        description=attr.get("description"),
+                    ))
+
         # build one Model per dataset
         for ds_name, ds in datasets.items():
             dims = []
@@ -115,6 +156,18 @@ class AtScaleAdapter(BaseAdapter):
                     continue
                 dt = str(col.get("data_type") or "string").lower().split("(")[0]
                 dims.append(Dimension(name=cname, type=_DTYPE_MAP.get(dt, "categorical")))
+            # dimension-attribute refinements override same-named /
+            # same-column dims and add attribute-named ones
+            for ad in attr_dims.get(ds_name, []):
+                existing = next(
+                    (i for i, d in enumerate(dims)
+                     if d.name == ad.name or (ad.sql and d.name == ad.sql)),
+                    None,
+                )
+                if existing is not None and dims[existing].name == ad.name:
+                    dims[existing] = ad
+                elif all(d.name != ad.name for d in dims):
+                    dims.append(ad)
             mets = []
             for lm in level_metrics.get(ds_name, []):
                 agg = _CALC_MAP.get(str(lm.get("calculation_method", "")).lower())

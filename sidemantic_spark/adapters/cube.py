@@ -236,21 +236,38 @@ class CubeAdapter(BaseAdapter):
         # looking the field up on its cube — Explore enforces both.
         restricted_dims: list[str] | None = None
         restricted_mets: list[str] | None = None
-        if any(c.get("includes") not in ("*", None) for c in cubes):
+        if any(
+            c.get("includes") not in ("*", None) or c.get("excludes")
+            for c in cubes
+        ):
             restricted_dims, restricted_mets = [], []
             for c in cubes:
                 root = str(c.get("join_path") or "").split(".")[-1]
                 inc = c.get("includes")
+                # excludes filters both the `*` expansion and explicit
+                # lists (ref adapters/cube.py:1315-1334)
+                exc = set(c.get("excludes") or [])
                 cube_model = layer.graph.models.get(root)
                 if inc in ("*", None):
                     if cube_model is None:
                         continue
-                    restricted_dims += [f"{root}.{d.name}" for d in cube_model.dimensions]
-                    restricted_mets += [f"{root}.{m.name}" for m in cube_model.metrics]
+                    restricted_dims += [
+                        f"{root}.{d.name}" for d in cube_model.dimensions
+                        if d.name not in exc
+                    ]
+                    restricted_mets += [
+                        f"{root}.{m.name}" for m in cube_model.metrics
+                        if m.name not in exc
+                    ]
                     continue
                 if isinstance(inc, list):
                     for i in inc:
-                        if not isinstance(i, str):
+                        # dict entries carry {name, alias}: the original
+                        # member is exposed (aliasing is view-naming
+                        # cosmetics; the Explore surface is qualified)
+                        if isinstance(i, dict):
+                            i = i.get("name")
+                        if not isinstance(i, str) or i in exc:
                             continue
                         if cube_model is not None and cube_model.metric(i) is not None:
                             restricted_mets.append(f"{root}.{i}")
@@ -411,21 +428,61 @@ class CubeAdapter(BaseAdapter):
                 meta=m.get("meta") if isinstance(m.get("meta"), dict) else None,
             )
             # rolling_window -> cumulative: trailing interval or to_date
-            # grain (ref adapters/cube.py:936-952); leading/offset have
-            # no first-class slot and ride in meta
+            # grain (ref adapters/cube.py:936-952). ``leading`` compiles
+            # to a real RANGE ... FOLLOWING frame (the reference only
+            # preserves it in meta with a not-applied warning —
+            # ref :948-960); ``offset`` (start|end window anchor) stays
+            # meta-only, matching the reference
             rw = m.get("rolling_window")
             if isinstance(rw, dict) and mtype in AGG_TYPES:
                 extra = {k: rw[k] for k in ("leading", "offset") if rw.get(k)}
                 if extra:
                     common["meta"] = dict(common["meta"] or {},
                                           cube_rolling_window=extra)
+                trailing = rw.get("trailing")
+                leading = rw.get("leading")
+                window_frame = None
+                if leading:
+                    from sidemantic_spark.sql.fragments import interval_sql
+
+                    def _bound(text: str, default_dir: str) -> str:
+                        # Cube allows negative intervals ('-1 month'
+                        # leading = window ends a month BEFORE the
+                        # anchor); a sign flips the frame direction
+                        s = str(text).strip()
+                        neg = s.startswith("-")
+                        iv = interval_sql(s.lstrip("-").strip())
+                        flip = {"PRECEDING": "FOLLOWING",
+                                "FOLLOWING": "PRECEDING"}
+                        return f"{iv} {flip[default_dir] if neg else default_dir}"
+
+                    start = (
+                        "UNBOUNDED PRECEDING"
+                        if trailing in (None, "unbounded")
+                        else _bound(trailing, "PRECEDING")
+                    )
+                    end = (
+                        "UNBOUNDED FOLLOWING"
+                        if leading == "unbounded"
+                        else _bound(leading, "FOLLOWING")
+                    )
+                    window_frame = f"RANGE BETWEEN {start} AND {end}"
+                if rw.get("offset") not in (None, "end"):
+                    import warnings as _warnings
+
+                    _warnings.warn(
+                        f"Cube measure {m['name']!r} uses rolling_window "
+                        "offset: start, which is preserved in meta but not "
+                        "applied to results",
+                        stacklevel=2,
+                    )
                 metrics.append(Metric(
                     name=m["name"],
                     type="cumulative",
                     agg=AGG_TYPES[mtype],
                     sql=sql,
-                    window=rw.get("trailing")
-                    if rw.get("trailing") not in (None, "unbounded") else None,
+                    window=trailing if trailing not in (None, "unbounded") else None,
+                    window_frame=window_frame,
                     grain_to_date=rw.get("granularity")
                     if rw.get("type") == "to_date" else None,
                     **common,
@@ -710,6 +767,25 @@ def export_cube(graph) -> dict:
                 continue
             if m.type == "derived":
                 measures.append({"name": m.name, "type": "number", "sql": m.expr})
+                continue
+            if m.type == "cumulative" and m.agg:
+                # round-trip to Cube rolling_window: trailing from the
+                # window, to_date from grain_to_date, leading/offset
+                # restored from import meta (cube_rolling_window)
+                rw: dict = {}
+                if m.window:
+                    rw["trailing"] = m.window
+                if m.grain_to_date:
+                    rw["type"] = "to_date"
+                    rw["granularity"] = m.grain_to_date
+                rw.update((m.meta or {}).get("cube_rolling_window") or {})
+                if not rw:
+                    rw["trailing"] = "unbounded"
+                out = {"name": m.name, "type": _AGG_OUT.get(m.agg, m.agg),
+                       "rolling_window": rw}
+                if m.sql:
+                    out["sql"] = m.sql
+                measures.append(out)
                 continue
             if not m.is_simple:
                 continue  # window-metric types have no cube equivalent

@@ -120,7 +120,7 @@ class GoodDataAdapter(BaseAdapter):
     # -- cloud LDM ---------------------------------------------------
 
     def _parse_cloud_ldm(self, layer, ldm: dict) -> None:
-        for ds in ldm.get("datasets") or []:
+        for ds in ldm.get("datasets") or ldm.get("data_sets") or ldm.get("dataSets") or []:
             if isinstance(ds.get("dataset"), dict):
                 ds = ds["dataset"]
             model = self._parse_dataset(ds)
@@ -129,7 +129,8 @@ class GoodDataAdapter(BaseAdapter):
                     layer.add_model(model)
                 except Exception:
                     pass
-        for dd in ldm.get("dateInstances") or ldm.get("dateDatasets") or []:
+        for dd in (ldm.get("dateInstances") or ldm.get("date_instances")
+                   or ldm.get("dateDatasets") or []):
             model = self._parse_date_instance(dd)
             if model is not None:
                 try:
@@ -150,7 +151,7 @@ class GoodDataAdapter(BaseAdapter):
         grans = [g for g in grans if g in _GRANULARITIES]
         primary = "day" if ("day" in grans or not grans) else grans[0]
         dim_name = "date" if primary == "day" else primary
-        table = _table_path(_first(dd, "dataSourceTableId", "tablePath", "table"))
+        table = _table_path(_first(dd, "dataSourceTableId", "tablePath", "table_path", "table"))
         return Model(
             name=name, table=table or name, primary_key=dim_name,
             dimensions=[Dimension(
@@ -202,7 +203,10 @@ class GoodDataAdapter(BaseAdapter):
             if rel is not None:
                 rels.append(rel)
 
-        grain = ds.get("grain") or []
+        grain = (ds.get("grain") or ds.get("primary_key")
+                 or ds.get("primaryKey") or [])
+        if isinstance(grain, (str, dict)):
+            grain = [grain]
         grain_ids = [g if isinstance(g, str) else _ident(g) for g in grain]
         grain_ids = [g for g in grain_ids if isinstance(g, str) and g]
         pk = grain_ids[0] if grain_ids else "id"
@@ -213,7 +217,7 @@ class GoodDataAdapter(BaseAdapter):
         raw_sql = ds.get("sql")
         sql = raw_sql.get("statement") if isinstance(raw_sql, dict) else raw_sql
         table = None if sql else (
-            _table_path(_first(ds, "dataSourceTableId", "tablePath", "table"))
+            _table_path(_first(ds, "dataSourceTableId", "tablePath", "table_path", "table"))
             or name)
         return Model(
             name=name, table=table, sql=sql,
@@ -368,7 +372,7 @@ class GoodDataAdapter(BaseAdapter):
     # -- legacy project model ---------------------------------------
 
     def _parse_legacy(self, layer, pm: dict) -> None:
-        for dd in pm.get("dateDimensions") or []:
+        for dd in pm.get("dateDimensions") or pm.get("date_dimensions") or []:
             if isinstance(dd.get("dateDimension"), dict):
                 dd = dd["dateDimension"]
             name = _legacy_name(dd.get("name") or dd.get("title") or "")
@@ -383,7 +387,7 @@ class GoodDataAdapter(BaseAdapter):
                 ))
             except Exception:
                 pass
-        for ds in pm.get("datasets") or []:
+        for ds in pm.get("datasets") or pm.get("data_sets") or pm.get("dataSets") or []:
             if isinstance(ds.get("dataset"), dict):
                 ds = ds["dataset"]
             name = ds.get("identifier") or ds.get("title")

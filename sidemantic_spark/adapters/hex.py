@@ -174,6 +174,10 @@ class HexAdapter(BaseAdapter):
         rels: list[Relationship] = []
         for rl in data.get("relations") or []:
             rid = rl.get("id")
+            # `target` names the related semantic model when it differs
+            # from the relation id (ref adapters/hex.py:423); join_sql
+            # still references the relation by ${id}
+            target = rl.get("target") or rid
             rtype = rl.get("type", "many_to_one")
             join_sql = rl.get("join_sql") or ""
             m = re.fullmatch(
@@ -183,7 +187,7 @@ class HexAdapter(BaseAdapter):
             if m:
                 rels.append(
                     Relationship(
-                        name=rid,
+                        name=target,
                         type=rtype,
                         foreign_key=m.group(1),
                         primary_key=m.group(2),
@@ -193,7 +197,7 @@ class HexAdapter(BaseAdapter):
                 custom = join_sql
                 custom = re.sub(r"\$\{" + re.escape(rid or "") + r"\}", "{to}", custom)
                 custom = re.sub(r"(?<![\w.{])(\w+)(\s*=)", r"{from}.\1\2", custom, count=1)
-                rels.append(Relationship(name=rid, type=rtype, sql=custom))
+                rels.append(Relationship(name=target, type=rtype, sql=custom))
 
         derived_sql = data.get("base_sql_query")
         return Model(

@@ -364,7 +364,16 @@ def _parse_block(sc: _Scanner) -> dict:
             out[key] = sc.read_until_dsemi()
             continue
         if sc.peek() == "[":
-            out[key] = sc.read_list()
+            val = sc.read_list()
+            if key == "include":
+                # repeated / bracketed include declarations accumulate
+                # (the lkml library's `includes` convention; reference
+                # adapters/lookml.py:900-907 flattens both forms)
+                out.setdefault("includes", []).extend(
+                    v for v in val if isinstance(v, str)
+                )
+            else:
+                out[key] = val
             continue
         if sc.peek() == "{":
             # anonymous block (derived_table: { ... }); keys that repeat
@@ -390,12 +399,118 @@ def _parse_block(sc: _Scanner) -> dict:
             else:
                 out.setdefault(key, block)
             continue
+        if key == "include":
+            out.setdefault("includes", []).append(name)
+            continue
         out[key] = name
 
 
 def parse_lkml(text: str) -> dict:
     """LookML text -> {'views': [...], 'explores': [...], ...}."""
     return _parse_block(_Scanner(text))
+
+
+def _resolve_include(root, including_file, pattern: str) -> set:
+    """Files matched by one LookML ``include:`` pattern (reference
+    semantics, adapters/lookml.py:1108-1129): leading ``/`` is
+    project-root relative, else relative to the declaring file;
+    ``//other_project/...`` is a cross-project include (no local files);
+    the ``.lkml`` suffix may be omitted."""
+    if pattern.startswith("//"):
+        return set()
+    base, pat = (
+        (root, pattern[1:]) if pattern.startswith("/")
+        else (including_file.parent, pattern)
+    )
+    patterns = [pat] if pat.endswith(".lkml") else [pat, pat + ".lkml"]
+    out: set = set()
+    for cand in patterns:
+        try:
+            out |= {p.resolve() for p in base.glob(cand) if p.is_file()}
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def _merge_project_docs(proj_root, docs: list) -> dict:
+    """Merge per-file LookML docs into one project document, applying
+    include-scoping when active (see ``LookMLAdapter.parse_file``)."""
+    includes_by_file = {
+        p.resolve(): list(doc.get("includes") or []) for p, doc in docs
+        if doc.get("includes")
+    }
+    model_files = [p.resolve() for p, _ in docs if p.name.endswith(".model.lkml")]
+    scoping = any(f in includes_by_file for f in model_files)
+
+    order: list = []  # merge order (resolved paths)
+    included: set = set()
+    if scoping:
+        seen: set = set()
+
+        def visit(cur) -> None:
+            # a file is ordered AFTER the files it includes: includes sit
+            # at the top, so an included refinement lands before the
+            # includer's own (reference ordered-include-closure reading)
+            if cur in seen:
+                return
+            seen.add(cur)  # before recursing: circular includes must not loop
+            for pattern in includes_by_file.get(cur, []):
+                for hit in sorted(_resolve_include(proj_root, cur, pattern)):
+                    visit(hit)
+            order.append(cur)
+
+        # EVERY model file seeds the closure — a self-contained model
+        # without include: belongs to the project just as much
+        for mf in model_files:
+            visit(mf)
+        included = set(order)
+        for p, _doc in docs:
+            if p.resolve() not in included:
+                order.append(p.resolve())
+
+    doc_of = {p.resolve(): doc for p, doc in docs}
+    paths = order if scoping else [p.resolve() for p, _ in docs]
+
+    # same-name base-view collision: exactly one included copy wins
+    # (an archived duplicate alongside the live view must not collide)
+    drop_dupe: set = set()  # (path, view_name)
+    if scoping:
+        by_name: dict = {}
+        for p in paths:
+            for v in doc_of.get(p, {}).get("views", []) or []:
+                if not str(v.get("name", "")).startswith("+"):
+                    by_name.setdefault(v["name"], []).append(p)
+        for name, owners in by_name.items():
+            if len(owners) > 1:
+                live = [p for p in owners if p in included]
+                if len(live) == 1:
+                    drop_dupe |= {(p, name) for p in owners if p != live[0]}
+
+    merged: dict = {}
+    for p in paths:
+        doc = doc_of.get(p)
+        if doc is None:
+            continue
+        for k, v in doc.items():
+            if isinstance(v, list) and isinstance(merged.get(k, []), list):
+                items = v
+                if k in ("views", "explores") and scoping:
+                    items = [
+                        x for x in v
+                        if not (
+                            isinstance(x, dict)
+                            and (
+                                # un-included refinement: dropped
+                                (str(x.get("name", "")).startswith("+")
+                                 and p not in included)
+                                or (p, x.get("name")) in drop_dupe
+                            )
+                        )
+                    ]
+                merged.setdefault(k, []).extend(items)
+            else:
+                merged.setdefault(k, v)
+    return merged
 
 
 def _deep_merge_block(base: dict, over: dict) -> dict:
@@ -441,31 +556,36 @@ def _deep_merge_block(base: dict, over: dict) -> dict:
 class LookMLAdapter(BaseAdapter):
     def parse_file(self, layer, path: str) -> None:
         """Parse a .lkml file — or a LookML PROJECT DIRECTORY: all
-        .lkml/.lookml files under it are parsed in sorted order and
-        loaded as one document, so cross-file `extends`, `view: +name`
-        refinements, and explore joins resolve project-wide (the
-        reference sorts its tree walk the same way because refinement
-        order is file order; include-scoping is simplified to
-        whole-project visibility — one project, one namespace)."""
+        .lkml/.lookml files under it are parsed and loaded as one
+        document, so cross-file `extends`, `view: +name` refinements,
+        and explore joins resolve project-wide.
+
+        When a ``.model.lkml`` file declares ``include:`` patterns,
+        include-scoping activates (reference adapters/lookml.py:118-260):
+        files are merged in the models' include order (refinements are
+        order-sensitive — the LAST include of a ``view: +name`` wins),
+        refinements in files no model's include closure reaches are
+        dropped (a stale ``view: +orders`` in an archive/ directory must
+        not override the live view), and a same-name base-view collision
+        resolves to the included copy. Base views in un-included files
+        still load — scoping filters refinements, not views. With no
+        includes declared, all files merge in sorted order."""
         import os as _os
 
         if _os.path.isdir(path):
-            merged: dict = {}
+            from pathlib import Path as _Path
+
+            proj_root = _Path(path)
+            docs: list[tuple[_Path, dict]] = []
             for root, dirs, files in sorted(_os.walk(path)):
                 dirs.sort()
                 for f in sorted(files):
                     if not f.endswith((".lkml", ".lookml")):
                         continue
-                    with open(_os.path.join(root, f)) as fh:
-                        doc = parse_lkml(fh.read())
-                    for k, v in doc.items():
-                        if isinstance(v, list) and isinstance(
-                            merged.get(k, []), list
-                        ):
-                            merged.setdefault(k, []).extend(v)
-                        else:
-                            merged.setdefault(k, v)
-            self._load(layer, merged)
+                    p = _Path(root) / f
+                    with open(p) as fh:
+                        docs.append((p, parse_lkml(fh.read())))
+            self._load(layer, _merge_project_docs(proj_root, docs))
             return
         with open(path) as fh:
             self.parse_text(layer, fh.read())
@@ -770,7 +890,28 @@ class LookMLAdapter(BaseAdapter):
                 pk.append(sql)
         for g in raw.get("dimension_groups", []):
             if g.get("type") == "duration":
-                continue  # duration groups generate arithmetic fields
+                # duration groups generate one numeric dimension per
+                # interval, named `{group}_{interval}s`, computing
+                # DATEDIFF(start, end) in that unit (reference
+                # adapters/lookml.py:2942-3003); groups without both
+                # sql_start/sql_end cannot produce a value
+                start = resolve(g.get("sql_start"))
+                end = resolve(g.get("sql_end"))
+                if not start or not end:
+                    continue
+                for iv in g.get("intervals") or ["day"]:
+                    unit = str(iv).upper()
+                    if unit not in ("SECOND", "MINUTE", "HOUR", "DAY",
+                                    "WEEK", "MONTH", "QUARTER", "YEAR"):
+                        continue
+                    dname = f"{g['name']}_{iv}s"
+                    dur_sql = f"TIMESTAMPDIFF({unit}, {start}, {end})"
+                    dim_sql[dname] = dur_sql
+                    dims.append(Dimension(
+                        name=dname, type="numeric", sql=dur_sql,
+                        description=f"Duration in {iv}s between start and end",
+                    ))
+                continue
             sql = resolve(g.get("sql")) or g["name"]
             dim_sql[g["name"]] = sql
             dims.append(
@@ -1014,6 +1155,13 @@ class LookMLAdapter(BaseAdapter):
             gl = _str(rd.get("group_label"))
             if gl:
                 dim.meta = {**(dim.meta or {}), "group_label": gl}
+            # display metadata the reference also stashes on dim meta
+            # (ref adapters/lookml.py:2550-2556)
+            if rd.get("order_by_field"):
+                dim.meta = {**(dim.meta or {}),
+                            "order_by_field": rd["order_by_field"]}
+            if rd.get("can_filter") in ("no", False):
+                dim.meta = {**(dim.meta or {}), "can_filter": False}
 
         derived = raw.get("derived_table") or {}
         table = raw.get("sql_table_name")
@@ -1068,6 +1216,18 @@ class LookMLAdapter(BaseAdapter):
         if base not in layer.graph.models:
             return
         base_model = layer.graph.models[base]
+        # explore-level display properties ride on the base model's meta
+        # (reference adapters/lookml.py:3856-3864); description falls
+        # back onto a model that has none
+        explore_meta = {}
+        if _str(explore.get("label")):
+            explore_meta["explore_label"] = _str(explore.get("label"))
+        if _str(explore.get("group_label")):
+            explore_meta["explore_group_label"] = _str(explore.get("group_label"))
+        if explore_meta:
+            base_model.meta = {**(base_model.meta or {}), **explore_meta}
+        if _str(explore.get("description")) and not base_model.description:
+            base_model.description = _str(explore.get("description"))
         # explore-level mandatory filter: sql_always_where is scoped to
         # THIS explore (other explores and direct model queries must not
         # inherit it), so it becomes the Explore contract's mandatory

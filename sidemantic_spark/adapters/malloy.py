@@ -103,7 +103,65 @@ def _translate_agg_calls(expr: str, cond: str | None) -> str:
 def _strip_comments(text: str) -> str:
     text = re.sub(r"//[^\n]*", "", text)
     text = re.sub(r"/\*.*?\*/", "", text, flags=re.S)
+    # `# annotation` lines vanish from the parsed text; their content is
+    # collected separately by _collect_annotations
+    text = re.sub(r"^\s*#[^\n]*$", "", text, flags=re.M)
     return text
+
+
+_ANN_DESC_RE = re.compile(r"^desc\s*:\s*(.*)$", re.IGNORECASE)
+_ANN_TARGET_RE = re.compile(
+    r"^\s*(?:source\s*:\s*)?([A-Za-z_`][\w`]*)\s+is\b"
+)
+
+
+def _collect_annotations(text: str) -> dict[str, tuple[str | None, list[str]]]:
+    """Malloy ``# annotation`` lines attach to the NEXT declaration
+    (reference adapters/malloy.py:412-432 and
+    tests/fixtures/malloy/annotations.malloy): ``# desc: text`` is a
+    description, any other tag string joins the ``tags`` meta list.
+    Returns {target_name: (description, tags)} keyed by the sanitized
+    source/field name the annotation precedes."""
+    out: dict[str, tuple[str | None, list[str]]] = {}
+    desc: str | None = None
+    tags: list[str] = []
+    for line in text.splitlines():
+        s = line.strip()
+        if s.startswith("#"):
+            body = s.lstrip("#").strip()
+            m = _ANN_DESC_RE.match(body)
+            if m:
+                desc = m.group(1).strip()
+            elif body:
+                tags.append(body)
+            continue
+        if not s or s.startswith("//"):
+            continue
+        if desc is not None or tags:
+            t = _ANN_TARGET_RE.match(s)
+            if t:
+                out[_sanitize_name(t.group(1))] = (desc, tags)
+            desc, tags = None, []
+    return out
+
+
+def _apply_annotations(ann: dict, models) -> None:
+    if not ann:
+        return
+    for model in models:
+        got = ann.get(model.name)
+        if got and not model.description:
+            model.description = got[0] or model.description
+            if got[1]:
+                model.meta = {**(model.meta or {}), "tags": got[1]}
+        for field in list(model.dimensions) + list(model.metrics):
+            got = ann.get(field.name)
+            if not got:
+                continue
+            if got[0] and not field.description:
+                field.description = got[0]
+            if got[1]:
+                field.meta = {**(field.meta or {}), "tags": got[1]}
 
 
 def _sanitize_name(name: str) -> str:
@@ -372,6 +430,7 @@ class MalloyAdapter(BaseAdapter):
         raise NotImplementedError("Malloy is text, use parse_file/parse_text")
 
     def parse_text(self, layer, text: str) -> None:
+        ann = _collect_annotations(text)
         text = _strip_comments(text)
         local: dict[str, Model] = {}
         for m in _SOURCE_START.finditer(text):
@@ -385,6 +444,7 @@ class MalloyAdapter(BaseAdapter):
                 layer.add_model(model)
             except Exception:
                 pass  # duplicate across imports: first wins
+        _apply_annotations(ann, local.values())
 
     def _lookup_parent(self, ref: str, local: dict, layer) -> Model | None:
         ref = _sanitize_name(ref.split("::", 1)[0].strip())

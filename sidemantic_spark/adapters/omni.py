@@ -33,6 +33,19 @@ from sidemantic_spark.adapters.lookml import (
 )
 from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
 
+# Omni relationship_type -> engine type (ref adapters/omni.py:577-584)
+_REL_TYPES = {
+    "one_to_one": "one_to_one",
+    "many_to_one": "many_to_one",
+    "assumed_many_to_one": "many_to_one",
+    "one_to_many": "one_to_many",
+    "many_to_many": "many_to_many",
+}
+# Omni join_type -> generator join-type override (always_left is Omni's
+# default LEFT-join policy; other values pass through as metadata only)
+_JOIN_TYPES = {"always_left": "left", "inner": "inner",
+               "full_outer": "full", "full": "full"}
+
 _DIM_TYPES = {
     "string": "categorical",
     "number": "numeric",
@@ -378,23 +391,40 @@ class OmniAdapter(BaseAdapter):
                 r"\s*\$\{(\w+)\.(\w+)\}\s*=\s*\$\{(\w+)\.(\w+)\}\s*",
                 " ".join(on_sql.split()),
             )
-            rtype = rl.get("relationship_type", "many_to_one")
+            rtype_str = rl.get("relationship_type", "many_to_one")
+            # ``assumed_many_to_one`` is Omni's auto-inferred variant
+            # (ref adapters/omni.py:577-584); join_type/reversible are
+            # Omni join metadata with no first-class field (ref :602-609)
+            rtype = _REL_TYPES.get(rtype_str, "many_to_one")
+            meta: dict = {}
+            if rl.get("join_type") is not None:
+                meta["join_type"] = rl["join_type"]
+            if rl.get("reversible") is not None:
+                meta["reversible"] = rl["reversible"]
+            if rtype_str == "assumed_many_to_one":
+                meta["assumed"] = True
+            # engine-idiomatic: always_left/inner/full_outer drive the
+            # generator's join-type override directly
+            jt = _JOIN_TYPES.get(str(rl.get("join_type") or "").lower())
             if m:
                 av, ac, bv, bc = m.groups()
                 if av == dst:  # orient: left side of ON is the from-view
                     av, ac, bv, bc = bv, bc, av, ac
                 if rtype == "one_to_many":
                     rel = Relationship(
-                        name=dst, type="one_to_many", foreign_key=bc, primary_key=ac
+                        name=dst, type="one_to_many", foreign_key=bc,
+                        primary_key=ac, join_type=jt, meta=meta or None,
                     )
                 else:
                     rel = Relationship(
-                        name=dst, type=rtype, foreign_key=ac, primary_key=bc
+                        name=dst, type=rtype, foreign_key=ac, primary_key=bc,
+                        join_type=jt, meta=meta or None,
                     )
             else:
                 custom = re.sub(r"\$\{" + re.escape(src) + r"\.(\w+)\}", r"{from}.\1", on_sql)
                 custom = re.sub(r"\$\{" + re.escape(dst) + r"\.(\w+)\}", r"{to}.\1", custom)
-                rel = Relationship(name=dst, type=rtype, sql=" ".join(custom.split()))
+                rel = Relationship(name=dst, type=rtype, sql=" ".join(custom.split()),
+                                   join_type=jt, meta=meta or None)
             left.relationships.append(rel)
             layer.graph._invalidate()
 
@@ -495,12 +525,28 @@ def export_omni(graph) -> list:
     for owner, tgt, fks, pks, rtype, _jt in m2o_edges(graph):
         if len(fks) != 1:
             continue  # omni on_sql regex is single-column
-        rels.append({
+        rd = {
             "join_from_view": owner,
             "join_to_view": tgt,
             "on_sql": f"${{{owner}.{fks[0]}}} = ${{{tgt}.{pks[0]}}}",
             "relationship_type": rtype,
-        })
+        }
+        # round-trip Omni join metadata (join_type/reversible) preserved
+        # on import (ref adapters/omni.py:602-609, :948-954)
+        for mname, other in ((owner, tgt), (tgt, owner)):
+            mdl = graph.models.get(mname)
+            rel = next(
+                (r for r in (mdl.relationships if mdl else []) if r.name == other),
+                None,
+            )
+            if rel is not None and rel.meta:
+                if rel.meta.get("assumed"):
+                    rd["relationship_type"] = "assumed_many_to_one"
+                for k in ("join_type", "reversible"):
+                    if rel.meta.get(k) is not None:
+                        rd[k] = rel.meta[k]
+                break
+        rels.append(rd)
     if rels:
         docs.append(rels)
     return docs

@@ -68,8 +68,8 @@ class RillAdapter(BaseAdapter):
             parent = layer.graph.models.get(data["parent"])
             if parent is None:
                 return
-            pdims = set(data.get("parent_dimensions") or [])
-            pmets = set(data.get("parent_measures") or [])
+            pdims = _field_selector(data.get("parent_dimensions"))
+            pmets = _field_selector(data.get("parent_measures"))
             import dataclasses
 
             import re as _re
@@ -79,10 +79,10 @@ class RillAdapter(BaseAdapter):
                 parent,
                 name=_re.sub(r"\W+", "_", str(raw_name)).strip("_").lower(),
                 dimensions=[dataclasses.replace(d) for d in parent.dimensions
-                            if not pdims or d.name in pdims
+                            if pdims(d.name)
                             or d.name == parent.default_time_dimension],
                 metrics=[dataclasses.replace(m) for m in parent.metrics
-                         if not pmets or m.name in pmets],
+                         if pmets(m.name)],
                 label=data.get("display_name"),
             ))
             return
@@ -254,6 +254,36 @@ class RillAdapter(BaseAdapter):
 
 def _user_refs(template: str) -> str:
     return re.sub(r"\.user\.", "user.", template)
+
+
+def _field_selector(sel):
+    """Predicate for Rill's parent_dimensions/parent_measures selector
+    forms (ref adapters/rill.py:150-210): omitted / ``"*"`` -> all;
+    a name list -> membership; ``{exclude: [...]}`` -> all but those;
+    ``{regex: ...}`` -> pattern match; ``"* EXCLUDE (a, b)"`` / ``{expr:
+    ...}`` -> DuckDB star expression. Unknown forms inherit everything
+    rather than silently dropping fields."""
+    if sel is None or sel == "*":
+        return lambda _n: True
+    if isinstance(sel, str):
+        m = re.match(r"^\*\s*EXCLUDE\s*\((.*?)\)\s*$", sel.strip(), re.IGNORECASE)
+        if m:
+            exc = {x.strip().strip("\"'") for x in m.group(1).split(",") if x.strip()}
+            return lambda n: n not in exc
+        return lambda _n: True
+    if isinstance(sel, (list, tuple, set)):
+        names = set(sel)
+        return lambda n: n in names
+    if isinstance(sel, dict):
+        if "exclude" in sel:
+            exc = set(sel.get("exclude") or [])
+            return lambda n: n not in exc
+        if "regex" in sel:
+            pat = re.compile(sel["regex"])
+            return lambda n: bool(pat.search(n))
+        if "expr" in sel:
+            return _field_selector(sel["expr"])
+    return lambda _n: True
 
 
 def _grain(g: str | None) -> str | None:

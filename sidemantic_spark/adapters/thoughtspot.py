@@ -43,6 +43,8 @@ _DTYPE_MAP = {
 }
 
 _JOIN_COND_RE = re.compile(r"\[(\w+)::(\w+)\]\s*=\s*\[(\w+)::(\w+)\]")
+# single [table::col] ref; table part may carry "(path)_suffix" decorations
+_TML_REF = re.compile(r"\[([^\]:]+)::([^\]]+)\]")
 _TS_REF_RE = re.compile(r"\[(\w+)::([\w ]+)\]")
 
 
@@ -82,7 +84,8 @@ class ThoughtSpotAdapter(BaseAdapter):
                 mets.append(Metric(
                     name=cname, agg=agg,
                     sql=db_col if agg != "count" else None,
-                    label=col.get("custom_name"),
+                    label=col.get("custom_name") or col.get("display_name"),
+                    format=props.get("format_pattern"),
                     description=col.get("description"),
                 ))
             else:
@@ -95,17 +98,45 @@ class ThoughtSpotAdapter(BaseAdapter):
                     name=cname, type=dtype,
                     sql=None if db_col == cname else db_col,
                     granularity=gran,
-                    label=col.get("custom_name"),
+                    label=col.get("custom_name") or col.get("display_name"),
+                    format=props.get("format_pattern"),
                 ))
                 if cname == "id" or props.get("is_primary_key"):
                     pk = cname
         db_table = tbl.get("db_table") or name
         schema = tbl.get("schema")
         table = f"{schema}.{db_table}" if schema and schema.lower() not in ("public",) else db_table
+        # table-level joins_with: joins declared on the table file itself
+        # (ref adapters/thoughtspot.py:786,1483-1518) — ``on`` is
+        # "[TABLE::col] = [TABLE (decorated path)::col]"; destination.name
+        # is authoritative, the bracketed names may carry path suffixes
+        rels: list[Relationship] = []
+        for join in tbl.get("joins_with") or []:
+            if not isinstance(join, dict):
+                continue
+            dest = join.get("destination")
+            dest = dest.get("name") if isinstance(dest, dict) else dest
+            # YAML 1.1 parses a bare `on:` key as boolean True
+            cond = join.get("on") or join.get(True) or ""
+            refs = _TML_REF.findall(str(cond))
+            if not dest or len(refs) < 2:
+                continue
+            jt = str(join.get("type", "INNER")).upper()
+            rtype = "many_to_one"
+            if join.get("is_one_to_one"):
+                rtype = "one_to_one"
+            elif jt in ("RIGHT_OUTER", "FULL_OUTER", "OUTER"):
+                rtype = "many_to_many"
+            rels.append(Relationship(
+                name=dest, type=rtype,
+                foreign_key=refs[0][1], primary_key=refs[1][1],
+                join_type="inner" if jt == "INNER" else None,
+            ))
         try:
             layer.add_model(Model(
                 name=name, table=db_table if table != db_table else table,
                 primary_key=pk, dimensions=dims, metrics=mets,
+                relationships=rels,
                 description=tbl.get("description"),
             ))
         except Exception:
@@ -289,12 +320,12 @@ class ThoughtSpotAdapter(BaseAdapter):
                     continue
                 if single:
                     mets.append(Metric(name=out, agg=agg, sql=expr,
-                                       label=col.get("custom_name")))
+                                       label=col.get("custom_name") or col.get("display_name")))
                 else:
                     raw = f"__m_{out}"
                     projections.append((raw, expr))
                     mets.append(Metric(name=out, agg=agg, sql=raw,
-                                       label=col.get("custom_name")))
+                                       label=col.get("custom_name") or col.get("display_name")))
             else:
                 bucket = props.get("default_date_bucket")
                 gran = _BUCKET_GRAIN.get(str(bucket).upper()) if bucket else None
@@ -305,12 +336,12 @@ class ThoughtSpotAdapter(BaseAdapter):
                     dims.append(Dimension(
                         name=out, type=dtype, granularity=gran,
                         sql=None if expr == out else expr,
-                        label=col.get("custom_name"),
+                        label=col.get("custom_name") or col.get("display_name"),
                     ))
                 else:
                     projections.append((out, expr))
                     dims.append(Dimension(name=out, type=dtype, granularity=gran,
-                                          label=col.get("custom_name")))
+                                          label=col.get("custom_name") or col.get("display_name")))
 
         pk = next((x.name for x in dims if x.name in ("id",) or x.name.endswith("_id")),
                   dims[0].name if dims else "id")

@@ -310,6 +310,7 @@ class Relationship:
     through_from_key: str | list[str] | None = None  # junction FK -> this model
     through_to_key: str | list[str] | None = None  # junction FK -> related model
     join_type: str | None = None  # explicit override: left|inner|full
+    meta: dict | None = None  # source-format join metadata (ref Relationship.metadata)
 
     def fk_list(self) -> list[str]:
         fk = self.foreign_key

@@ -169,6 +169,11 @@ def parse_interval(text: str) -> tuple[int, str]:
 
 
 def interval_sql(text: str) -> str:
-    """'7 days' -> Spark ``INTERVAL '7' DAY``."""
+    """'7 days' -> Spark ``INTERVAL '7' DAY``.
+
+    Spark has no QUARTER interval qualifier (INVALID_TYPED_LITERAL) —
+    quarters emit as 3n MONTH."""
     n, unit = parse_interval(text)
+    if unit == "quarter":
+        return f"INTERVAL '{3 * n}' MONTH"
     return f"INTERVAL '{n}' {unit.upper()}"

@@ -2326,15 +2326,21 @@ class SqlGenerator:
         entity = self._entity_expr(model, m)
         window = interval_sql(m.conversion_window) if m.conversion_window else None
 
-        for f in (m.base_event, m.conversion_event):
-            self._event_filter_cols(f, rm.model, r)
+        base_f = self._normalize_event_filter(m.base_event, rm.model, m.name, "base_event")
+        conv_f = self._normalize_event_filter(
+            m.conversion_event, rm.model, m.name, "conversion_event"
+        )
+        for field, f in (("base_event", base_f), ("conversion_event", conv_f)):
+            self._event_filter_cols(
+                f, rm.model, r, context=f"conversion metric {m.name!r} {field}"
+            )
         cte_name, cte_sql = self._model_cte(
             r, rm.model, extra_time=[("__ts", ts), ("__entity", entity)]
         )
         dims_sel = ", ".join(f"b.{rd.out} AS {rd.out}" for rd in r.dims)
         dims_group = ", ".join(f"b.{rd.out}" for rd in r.dims)
-        base_where = self._rewrite_event_filter(m.base_event, rm.model)
-        conv_where = self._rewrite_event_filter(m.conversion_event, rm.model)
+        base_where = self._rewrite_event_filter(base_f, rm.model)
+        conv_where = self._rewrite_event_filter(conv_f, rm.model)
 
         window_cond = f" AND c.__ts <= b.__ts + {window}" if window else ""
         dim_cols = (", " + ", ".join(rd.out for rd in r.dims)) if r.dims else ""
@@ -2416,8 +2422,14 @@ FROM __flags"""
         tdim = model.dimension(tdim_name)
         ts = tdim.expr if tdim else tdim_name
         entity = self._entity_expr(model, m)
-        for step in m.steps:
-            self._event_filter_cols(step, rm.model, r)
+        steps_f = [
+            self._normalize_event_filter(s, rm.model, m.name, f"steps[{i}]")
+            for i, s in enumerate(m.steps)
+        ]
+        for i, step in enumerate(steps_f):
+            self._event_filter_cols(
+                step, rm.model, r, context=f"conversion metric {m.name!r} steps[{i}]"
+            )
         cte_name, cte_sql = self._model_cte(
             r, rm.model, extra_time=[("__ts", ts), ("__entity", entity)]
         )
@@ -2425,7 +2437,7 @@ FROM __flags"""
         n = len(m.steps)
 
         ctes = [f"{cte_name} AS (\n    {cte_sql}\n)"]
-        for i, step in enumerate(m.steps, 1):
+        for i, step in enumerate(steps_f, 1):
             where = self._rewrite_event_filter(step, rm.model)
             if i == 1:
                 sel = ["__entity", "MIN(__ts) AS step_1_ts"] + dim_outs
@@ -2484,9 +2496,17 @@ FROM __step_1
         out = replace_refs(f, known, lambda m, fld, g: (_date_trunc(g, fld) if g else fld))
         return out
 
-    def _event_filter_cols(self, filt: str, model_name: str, r: Resolved) -> None:
+    def _event_filter_cols(
+        self, filt: str, model_name: str, r: Resolved, context: str = ""
+    ) -> None:
         """Project every column an event filter touches into the model
-        CTE — both ``model.field`` refs and bare dimension names."""
+        CTE — both ``model.field`` refs and bare dimension names — and
+        validate that every bare column the filter references will
+        actually resolve against the pruned model CTE.  The reference
+        raises a clear ``ValueError`` for out-of-contract conversion
+        inputs (``sql/generator.py:5316``); without this check an
+        undeclared column surfaces as a raw Spark ``AnalysisException``
+        at run time."""
         filt = filt.replace("{model}.", "")
         model = self.graph.get_model(model_name)
         for mo, fld, _g in find_refs(filt, set(self.graph.models)):
@@ -2494,6 +2514,63 @@ FROM __step_1
         for ident in _identifiers(filt):
             if model.dimension(ident) is not None:
                 r.extra_cols.setdefault(model_name, set()).add(ident)
+        projected = r.extra_cols.get(model_name, set())
+        unknown = [
+            col
+            for col in _complete_sql_columns(filt)
+            if model.dimension(col) is None
+            and col not in projected
+            and col not in self.graph.models
+            and col.lower() not in _INTERVAL_UNIT_WORDS
+        ]
+        if unknown:
+            where = context or "event filter"
+            raise QueryCompileError(
+                f"{where} references column(s) {', '.join(repr(c) for c in unknown)} "
+                f"that are not declared dimensions of model {model_name!r}. "
+                f"Declare each as a dimension, or qualify it as "
+                f"'{model_name}.<column>' to project the raw column."
+            )
+
+    def _event_type_dim(self, model) -> str | None:
+        """The model's event-type dimension, found the way the reference
+        does (``sql/generator.py:5305-5316``): a categorical dimension
+        whose name contains both "event" and "type"."""
+        for d in model.dimensions:
+            n = d.name.lower()
+            if "event" in n and "type" in n:
+                return d.name
+        return None
+
+    def _normalize_event_filter(
+        self, filt: str | None, model_name: str, metric_name: str, field: str
+    ) -> str | None:
+        """Accept both event-filter forms for conversion/retention/cohort
+        metrics: a filter SQL expression (this engine's general form) and
+        the reference's bare event *value* (``base_event="signup"`` means
+        ``event_type = 'signup'`` — ref ``tests/metrics/test_advanced.py:
+        450-458``).  A bare single identifier that is not a declared
+        dimension and not a SQL keyword is treated as a value matched
+        against the model's event-type dimension."""
+        if filt is None:
+            return None
+        s = filt.strip()
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_\-]*", s):
+            return filt
+        if s.lower() in _COMPLETE_SQL_KEYWORDS or s.lower() in _SQL_KEYWORDS:
+            return filt
+        model = self.graph.get_model(model_name)
+        if model.dimension(s) is not None:
+            return filt  # a boolean dimension used as a predicate
+        ev = self._event_type_dim(model)
+        if ev is None:
+            raise QueryCompileError(
+                f"metric {metric_name!r}: {field}={s!r} is a bare event value, "
+                f"which requires an event-type dimension on model {model_name!r} "
+                "(a categorical dimension named like 'event_type'). Declare one, "
+                f"or write {field} as a full filter expression."
+            )
+        return f"{ev} = '{s.replace(chr(39), chr(39) * 2)}'"
 
     # ------------------------------------------------------------------
     # retention (ref sql/generator.py:4998-5209)
@@ -2517,17 +2594,21 @@ FROM __step_1
         entity = self._entity_expr(model, m)
         grain = m.retention_granularity
         periods_label = f"{grain}s_since"
-        for filt in (m.base_event, m.activity_event):
+        base_f = self._normalize_event_filter(m.base_event, rm.model, m.name, "base_event")
+        activity_f = self._normalize_event_filter(
+            m.activity_event, rm.model, m.name, "activity_event"
+        )
+        for field, filt in (("base_event", base_f), ("activity_event", activity_f)):
             if filt:
-                self._event_filter_cols(filt, rm.model, r)
+                self._event_filter_cols(
+                    filt, rm.model, r, context=f"retention metric {m.name!r} {field}"
+                )
         cte_name, cte_sql = self._model_cte(
             r, rm.model, extra_time=[("__ts", ts), ("__entity", entity)]
         )
-        cohort_where = self._rewrite_event_filter(m.base_event, rm.model)
+        cohort_where = self._rewrite_event_filter(base_f, rm.model)
         activity_where = (
-            self._rewrite_event_filter(m.activity_event, rm.model)
-            if m.activity_event
-            else "TRUE"
+            self._rewrite_event_filter(activity_f, rm.model) if activity_f else "TRUE"
         )
         period_expr = _period_diff(grain, "c.cohort_date", "a.__period")
 
@@ -3066,6 +3147,14 @@ _COMPLETE_SQL_KEYWORDS = _SQL_KEYWORDS | {
     "escape", "exists", "all", "any", "some", "current_date",
     "current_timestamp", "within", "group", "percentile_cont",
     "percentile_disc", "percentile",
+}
+
+
+# interval-unit words an event filter may contain bare ("INTERVAL 7 days")
+_INTERVAL_UNIT_WORDS = {
+    "days", "weeks", "months", "quarters", "years",
+    "hour", "hours", "minute", "minutes", "second", "seconds",
+    "millisecond", "milliseconds",
 }
 
 

@@ -1343,3 +1343,165 @@ def test_rolling_average_parsed_from_sql(spark):
                sql="AVG(roll_o.daily_revenue)", window="2 days")
     assert m.agg == "avg"
     assert m.sql == "roll_o.daily_revenue"
+
+
+def test_conversion_undeclared_filter_column_is_compile_error(spark):
+    """An event filter referencing a column that is neither a declared
+    dimension nor projected into the model CTE must fail at COMPILE
+    time with a clear engine error, not a raw Spark AnalysisException
+    at run (reference raises ValueError — sql/generator.py:5316 area)."""
+    import pytest
+
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    spark.createDataFrame(
+        [(1, "signup", "2024-01-01 00:00:00")],
+        "user_id long, event_type string, ts_s string",
+    ).selectExpr(
+        "user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts"
+    ).createOrReplaceTempView("vc_events")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="vc_events",
+        table="vc_events",
+        primary_key="user_id",
+        dimensions=[
+            Dimension(name="event_type"),
+            Dimension(name="ts", type="time"),
+        ],
+        metrics=[Metric(
+            name="conv",
+            type="conversion",
+            entity="user_id",
+            base_event="undeclared_col = 'signup'",
+            conversion_event="event_type = 'purchase'",
+            conversion_window="7 days",
+        )],
+    ))
+    with pytest.raises(QueryCompileError) as exc:
+        layer.compile(metrics=["vc_events.conv"])
+    msg = str(exc.value)
+    assert "undeclared_col" in msg
+    assert "not declared dimensions" in msg
+    assert "vc_events" in msg
+
+
+def test_conversion_bare_event_value_python_api(spark):
+    """base_event="signup" (a bare event VALUE, the reference's form —
+    tests/metrics/test_advanced.py:450-458) matches against the model's
+    event-type dimension; equivalent to an explicit filter expression.
+    Covers the Python-API path (the YAML path normalizes in yaml_io)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.createDataFrame(
+        [
+            (1, "signup", "2024-01-01 00:00:00"),
+            (1, "purchase", "2024-01-03 00:00:00"),
+            (2, "signup", "2024-01-05 00:00:00"),
+            (3, "signup", "2024-01-10 00:00:00"),
+            (3, "purchase", "2024-01-25 00:00:00"),  # outside window
+        ],
+        "user_id long, event_type string, ts_s string",
+    ).selectExpr(
+        "user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts"
+    ).createOrReplaceTempView("bare_events")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="bare_events",
+        table="bare_events",
+        primary_key="user_id",
+        dimensions=[
+            Dimension(name="event_type"),
+            Dimension(name="ts", type="time"),
+        ],
+        metrics=[
+            Metric(
+                name="conv_bare", type="conversion", entity="user_id",
+                base_event="signup", conversion_event="purchase",
+                conversion_window="7 days",
+            ),
+            Metric(
+                name="conv_expr", type="conversion", entity="user_id",
+                base_event="event_type = 'signup'",
+                conversion_event="event_type = 'purchase'",
+                conversion_window="7 days",
+            ),
+        ],
+    ))
+    sql = layer.compile(metrics=["bare_events.conv_bare"])
+    assert "event_type = 'signup'" in sql
+    bare = layer.query(metrics=["bare_events.conv_bare"]).collect()[0]
+    expr = layer.query(metrics=["bare_events.conv_expr"]).collect()[0]
+    assert bare["conv_bare"] == expr["conv_expr"]
+    assert abs(bare["conv_bare"] - 1.0 / 3.0) < 1e-9
+
+
+def test_retention_bare_event_value_python_api(spark):
+    """Retention base_event/activity_event also accept bare values."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.createDataFrame(
+        [
+            (1, "signup", "2024-01-01 00:00:00"),
+            (1, "visit", "2024-01-08 00:00:00"),
+            (2, "signup", "2024-01-01 00:00:00"),
+        ],
+        "user_id long, event_type string, ts_s string",
+    ).selectExpr(
+        "user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts"
+    ).createOrReplaceTempView("ret_bare_events")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="ret_bare_events",
+        table="ret_bare_events",
+        primary_key="user_id",
+        default_time_dimension="ts",
+        dimensions=[
+            Dimension(name="event_type"),
+            Dimension(name="ts", type="time"),
+        ],
+        metrics=[Metric(
+            name="weekly_ret", type="retention", entity="user_id",
+            base_event="signup", activity_event="visit",
+            retention_granularity="week", retention_periods=2,
+        )],
+    ))
+    rows = layer.query(metrics=["ret_bare_events.weekly_ret"]).collect()
+    week1 = [r for r in rows if r["weeks_since"] == 1]
+    assert week1 and week1[0]["active_users"] == 1
+    assert week1[0]["cohort_size"] == 2
+
+
+def test_bare_event_value_without_event_type_dim_is_clear_error(spark):
+    """A bare event value on a model with no event-type dimension gets
+    the engine's explanatory error, not an unresolved-column crash."""
+    import pytest
+
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id long, ts_s string"
+    ).selectExpr(
+        "user_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+    ).createOrReplaceTempView("noev_events")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="noev_events",
+        table="noev_events",
+        primary_key="user_id",
+        dimensions=[Dimension(name="ts", type="time")],
+        metrics=[Metric(
+            name="conv", type="conversion", entity="user_id",
+            base_event="signup", conversion_event="purchase",
+            conversion_window="7 days",
+        )],
+    ))
+    with pytest.raises(QueryCompileError) as exc:
+        layer.compile(metrics=["noev_events.conv"])
+    assert "event-type dimension" in str(exc.value)
