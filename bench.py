@@ -143,6 +143,15 @@ def main() -> None:
     # warmed codegen, which is the steady state a long-lived cluster
     # session runs in anyway.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # sub-second queries sit below this bench's round-to-round noise
+    # floor at 3 repeats (r7 lesson: every light query read +23-55% on
+    # byte-identical code while the heavy tier improved — a fixed
+    # per-run overhead shift, not a regression). Light queries therefore
+    # get LIGHT_REPEATS total repeats and the record publishes per-tier
+    # noise bounds + a fixed-overhead calibration pair so a delta can be
+    # attributed before it is read as a regression.
+    light_cutoff = float(os.environ.get("SPARK_GRAFT_LIGHT_CUTOFF_SEC", "0.6"))
+    light_repeats = int(os.environ.get("SPARK_GRAFT_LIGHT_REPEATS", "7"))
 
     # every individual repeat is published under "repeat_times": a
     # best-of-3 can land mid-JIT-settle or mid-contention on a
@@ -150,6 +159,9 @@ def main() -> None:
     # code regression (round-6 lesson: minhash "+54%" on byte-identical
     # operator code, all three repeats > 3 s, sentinel blind)
     repeat_log: dict[str, list[float]] = {}
+    median_log: dict[str, float] = {}
+
+    import statistics as _stats
 
     def time_query(name: str, log_as: str | None = None) -> float:
         fn = queries[name]
@@ -160,8 +172,14 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()
             times.append(time.perf_counter() - t0)
+        # light tier: more repeats so the median is a usable estimator
+        while min(times) < light_cutoff and len(times) < light_repeats:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
         best = min(times)
         repeat_log[log_as or name] = [round(t, 4) for t in times]
+        median_log[log_as or name] = round(_stats.median(times), 4)
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
         return best
 
@@ -176,6 +194,25 @@ def main() -> None:
     # warmup and would make the pre reading artificially slow.
     time_query("basic_agg", log_as="basic_agg_settle")
     sentinel_pre = time_query("basic_agg", log_as="basic_agg_sentinel_pre")
+
+    # fixed-overhead calibration: the cost of an (almost) no-op plan and
+    # a tiny cached-table scan this run. Light-query wall time is
+    # dominated by this per-run constant (scheduler + Py4J round trips +
+    # JIT state), so a round-to-round light delta should be compared
+    # against the calibration delta first — if both moved together, the
+    # box moved, not the code.
+    def _cal(fn) -> float:
+        ts = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    calibration = {
+        "noop_sql_sec": round(_cal(lambda: spark.sql("SELECT 1").collect()), 4),
+        "tiny_scan_sec": round(_cal(lambda: spark.table("region").count()), 4),
+    }
 
     per_query: dict[str, float] = {}
     total = 0.0
@@ -202,6 +239,49 @@ def main() -> None:
         (sentinel_post - sentinel_pre) / max(sentinel_pre, 1e-9) * 100, 1
     )
     contaminated = noise_pct > 20 or heavy_pct > 25
+
+    # per-tier noise bounds: within-run repeat spread (max-min)/median
+    # per query, p90 across the tier, plus the sentinel drift magnitude.
+    # Round-to-round deltas inside the bound are noise by definition —
+    # this makes the 2x-of-baseline gate readable for sub-second
+    # queries (r7 ask #1).
+    def _spread_pct(ts: list[float]) -> float:
+        # first repeat pays plan codegen (a one-time cost the best-of
+        # estimator deliberately discards) — spread is steady-state only
+        ts = ts[1:] if len(ts) > 2 else ts
+        return (max(ts) - min(ts)) / max(_stats.median(ts), 1e-9) * 100
+
+    def _p90(xs: list[float]) -> float:
+        if not xs:
+            return 0.0
+        xs = sorted(xs)
+        return xs[min(len(xs) - 1, int(round(0.9 * (len(xs) - 1))))]
+
+    all_named = {**per_query, **extra_queries}
+    light_spreads = [
+        _spread_pct(repeat_log[n]) for n, v in all_named.items()
+        if v < light_cutoff and n in repeat_log
+    ]
+    heavy_spreads = [
+        _spread_pct(repeat_log[n]) for n, v in all_named.items()
+        if v >= light_cutoff and n in repeat_log
+    ]
+    noise_bounds = {
+        "method": (
+            "per-query within-run spread (max-min)/median over repeats "
+            "(light tier: 7 repeats, heavy: 3), p90 across the tier, "
+            "plus |sentinel drift|; treat a round-to-round delta within "
+            "the bound as noise, and check the calibration pair before "
+            "attributing a light-tier shift to code"
+        ),
+        "light_cutoff_sec": light_cutoff,
+        "light_p90_spread_pct": round(_p90(light_spreads), 1),
+        "heavy_p90_spread_pct": round(_p90(heavy_spreads), 1),
+        # only POSITIVE sentinel drift (the box slowing down mid-run)
+        # widens the bound; negative drift is normal JIT settling
+        "light_bound_pct": round(_p90(light_spreads) + max(0.0, noise_pct), 1),
+        "heavy_bound_pct": round(_p90(heavy_spreads) + max(0.0, heavy_pct), 1),
+    }
     if contaminated:
         print(
             f"# WARNING: noise sentinel diverged (short {noise_pct}%, "
@@ -317,6 +397,9 @@ def main() -> None:
                 "cpus": int(cpus),
                 "rewrite_speedups": rewrite_speedups,
                 "repeat_times": repeat_log,
+                "queries_median": median_log,
+                "noise_bounds": noise_bounds,
+                "calibration": calibration,
                 "noise_sentinel": {
                     "pre_sec": round(sentinel_pre, 4),
                     "post_sec": round(sentinel_post, 4),
