@@ -1760,6 +1760,29 @@ def _sample_order(names: list[str]) -> list[str]:
     if "basic_agg" in ordered:
         ordered.remove("basic_agg")
         ordered.insert(0, "basic_agg")
+    # sidecar: which round each entry last hash-verified in, plus this
+    # call's computed rotation — so the judge reads one file instead of
+    # reconstructing the rotation from every CORRECTNESS_r*.json
+    # (VERDICT r7 ask #7). Written best-effort; never fails the contract.
+    try:
+        with open(os.path.join(here, "SAMPLE_HISTORY.json"), "w") as f:
+            json.dump(
+                {
+                    "last_hash_verified_round": last_verified,
+                    "sample_order_this_call": ordered,
+                    "entries": len(ordered),
+                    "note": (
+                        "driver samples the first 50 of sample_order per "
+                        "round; never-verified entries sort first, then "
+                        "stalest; -1 = never hash-verified"
+                    ),
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError:
+        pass
     return ordered
 
 
