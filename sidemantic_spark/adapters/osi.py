@@ -32,6 +32,7 @@ import json
 import re
 
 from sidemantic_spark.adapters.base import BaseAdapter
+from sidemantic_spark.core.graph import SemanticGraphError
 from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
 
 _QUALIFIED_RE = re.compile(r"\b(\w+)\.(\w+)\b")
@@ -159,8 +160,8 @@ class OsiAdapter(BaseAdapter):
                 dataset_names.append(model.name)
                 try:
                     layer.add_model(model)
-                except Exception:
-                    pass
+                except SemanticGraphError:
+                    pass  # duplicate across imports: first wins
         for rel in sm.get("relationships") or []:
             frm, to = rel.get("from"), rel.get("to")
             fcols = rel.get("from_columns") or []
@@ -169,7 +170,7 @@ class OsiAdapter(BaseAdapter):
                 continue
             try:
                 model = layer.graph.get_model(frm)
-            except Exception:
+            except SemanticGraphError:
                 continue
             if any(r.name == to for r in model.relationships):
                 continue

@@ -24,7 +24,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from sidemantic_spark.core.model import Dimension, Metric, Model
+from sidemantic_spark.core.graph import SemanticGraphError
+from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
 
 _AGG_RE = re.compile(
     r"\b(SUM|COUNT|AVG|MIN|MAX|MEDIAN|STDDEV|VARIANCE)\s*\(\s*"
@@ -47,6 +48,102 @@ _AGG_NAME = {
     "max": "max", "median": "median", "stddev": "stddev",
     "variance": "variance",
 }
+
+# EXTRACT(unit FROM col) would otherwise let _FROM_RE read `col` as a
+# table (reference tests/test_migrator_edge_cases.py:34) — normalize to
+# DATE_PART before any clause scanning
+_EXTRACT_RE = re.compile(r"\bEXTRACT\s*\(\s*(\w+)\s+FROM\s+([\w.]+)\s*\)", re.I)
+# additional comma-separated FROM tables (implicit joins)
+_FROM_MORE_RE = re.compile(r"\s*,\s*([\w.]+)(?:\s+(?:AS\s+)?(\w+))?", re.I)
+_UNION_RE = re.compile(r"\bUNION(?:\s+ALL)?\b", re.I)
+_DATEPART_RE = re.compile(r"\bDATE_(?:PART|TRUNC)\s*\(\s*'(\w+)'\s*,\s*([\w.]+)\s*\)", re.I)
+
+_SQL_WORDS = {
+    "from", "where", "group", "order", "over", "as", "on", "and", "or",
+    "union", "having", "limit", "join", "when", "then", "else", "end",
+    "case", "desc", "asc", "by", "distinct", "not", "in", "is", "null",
+    "between", "like", "all",
+}
+_FN_WORDS = {
+    "coalesce", "upper", "lower", "substring", "substr", "trim", "ltrim",
+    "rtrim", "cast", "date_trunc", "date_part", "extract", "concat",
+    "round", "abs", "nullif", "length", "replace", "left", "right",
+    "ifnull", "greatest", "least", "decimal", "integer", "varchar",
+    "double", "bigint", "date", "timestamp", "float", "numeric",
+}
+
+
+def _normalize_extract(text: str) -> str:
+    return _EXTRACT_RE.sub(
+        lambda m: f"DATE_PART('{m.group(1).lower()}', {m.group(2)})", text
+    )
+
+
+def _first_column(expr: str) -> str | None:
+    """The first plain column reference inside an expression — the
+    dimension a GROUP BY item like COALESCE(region, 'x') or
+    UPPER(status) is really about."""
+    for seg in re.split(r"('(?:[^']|'')*')", expr):
+        if seg.startswith("'"):
+            continue
+        for m in re.finditer(r"[A-Za-z_][\w.]*", seg):
+            tok = m.group(0)
+            low = tok.lower()
+            if low in _SQL_WORDS or low in _FN_WORDS:
+                continue
+            if seg[m.end():].lstrip().startswith("("):
+                continue  # function call
+            return tok.rsplit(".", 1)[-1]
+    return None
+
+
+def _balanced_end(text: str, open_i: int) -> int:
+    """Index just past the ')' matching the '(' at ``open_i``."""
+    depth = 0
+    for i in range(open_i, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return len(text)
+
+
+_AGG_START_RE = re.compile(
+    r"\b(SUM|COUNT|AVG|MIN|MAX|MEDIAN|STDDEV|VARIANCE)\s*\(", re.I
+)
+
+
+def _agg_calls(body: str) -> list[dict]:
+    """Aggregate calls in a SELECT body, paren-balanced (nested CAST /
+    CASE / math survive), with DISTINCT flag, optional OVER clause, and
+    alias. Each entry: {fn, distinct, inner, over, alias, start, end}."""
+    out: list[dict] = []
+    for m in _AGG_START_RE.finditer(body):
+        open_i = m.end() - 1
+        end = _balanced_end(body, open_i)
+        inner = body[open_i + 1:end - 1].strip()
+        distinct = bool(re.match(r"DISTINCT\s", inner, re.I))
+        if distinct:
+            inner = inner[8:].strip()
+        pos = end
+        over = None
+        om = re.match(r"\s*OVER\s*\(", body[pos:], re.I)
+        if om:
+            o_open = pos + om.end() - 1
+            o_end = _balanced_end(body, o_open)
+            over = body[o_open + 1:o_end - 1]
+            pos = o_end
+        alias = None
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", body[pos:], re.I)
+        if am and am.group(1).lower() not in _SQL_WORDS:
+            alias = am.group(1)
+        out.append({
+            "fn": m.group(1).lower(), "distinct": distinct, "inner": inner,
+            "over": over, "alias": alias, "start": m.start(), "end": pos,
+        })
+    return out
 
 
 @dataclass
@@ -85,7 +182,7 @@ class Migrator:
 
     def analyze(self, sql: str) -> QueryAnalysis:
         qa = QueryAnalysis(sql=sql.strip())
-        text = _strip_comments(sql)
+        text = _normalize_extract(_strip_comments(sql))
         if re.search(r"\b(UNION|INTERSECT|EXCEPT|WITH)\b", text, re.I):
             qa.reasons.append("set operations / CTEs: migrate branches separately")
             return qa
@@ -132,9 +229,18 @@ class Migrator:
         select_m = _SELECT_RE.search(text)
         select_body = select_m.group(1) if select_m else ""
         sel_metrics: list[str] = []
-        for am in _AGG_RE.finditer(select_body):
+        for call in _agg_calls(select_body):
+            if call["over"] is not None:
+                # a window over an aggregate cannot rewrite to a plain
+                # metric reference — dropping the OVER would silently
+                # change results
+                qa.reasons.append(
+                    "window function over aggregate: model it as a "
+                    "cumulative metric (see migrate generate)"
+                )
+                continue
             fn, distinct, inner, alias = (
-                am.group(1).lower(), am.group(2), am.group(3).strip(), am.group(4),
+                call["fn"], call["distinct"], call["inner"], call["alias"],
             )
             agg = "count_distinct" if (fn == "count" and distinct) else _AGG_NAME[fn]
             col = None if inner in ("*", "") else inner
@@ -153,12 +259,29 @@ class Migrator:
                 qa.missing_metrics.append((mname, agg, bare))
 
         sel_dims: list[str] = []
+        select_items = [s.strip() for s in _split_commas(select_body)]
         gm = _GROUP_RE.search(text)
         if gm:
             for ref in _split_commas(gm.group(1)):
                 ref = ref.strip()
                 if re.fullmatch(r"\d+", ref):
-                    qa.reasons.append("positional GROUP BY: resolve manually")
+                    # ordinal: resolve to the Nth select item's expression
+                    idx = int(ref) - 1
+                    if 0 <= idx < len(select_items):
+                        ref = re.sub(
+                            r"\s+AS\s+\w+\s*$", "", select_items[idx],
+                            flags=re.I,
+                        ).strip()
+                    else:
+                        qa.reasons.append("positional GROUP BY out of range")
+                        continue
+                if not re.fullmatch(r"[\w.]+", ref):
+                    # expression GROUP BY: rewriting it to the bare
+                    # column would change semantics — report the gap
+                    # (generate() extracts the underlying column as a
+                    # bootstrap dimension instead)
+                    col0 = _first_column(ref) or ref
+                    qa.missing_dimensions.append(("?", col0))
                     continue
                 mname, col = resolve_col(ref)
                 if mname is None:
@@ -189,7 +312,7 @@ class Migrator:
             for other in models[1:]:
                 try:
                     self.layer.graph.find_path(models[0], other)
-                except Exception as exc:
+                except SemanticGraphError as exc:
                     qa.reasons.append(f"no join path {models[0]} -> {other}: {exc}")
 
         where_sql = None
@@ -320,49 +443,194 @@ class Migrator:
 
     def generate(self, sqls: list[str]) -> dict[str, Model]:
         """Bootstrap Model definitions for uncovered tables from how the
-        corpus queries them: GROUP BY columns become dimensions,
-        aggregate calls become metrics (``migrate generate``)."""
+        corpus queries them (``migrate generate``; edge-case contract
+        mirrors reference ``tests/test_migrator_edge_cases.py``):
+
+        - aggregate calls -> metrics (paren-balanced, so CASE/CAST/math
+          inside the call survive);
+        - GROUP BY items -> dimensions: ordinals resolve through the
+          select list, expressions (COALESCE/UPPER/SUBSTRING/...)
+          contribute their underlying column, DATE_PART/DATE_TRUNC
+          (and EXTRACT, pre-normalized) mark the column as a time
+          dimension;
+        - SELECT DISTINCT with no aggregates -> dimensions;
+        - ``AGG(col) OVER (...)`` -> a base simple metric plus a
+          cumulative metric (ROWS BETWEEN n PRECEDING -> window,
+          PARTITION BY DATE_TRUNC('g', ...) -> grain_to_date); rank
+          window functions are ignored;
+        - UNION branches analyze independently;
+        - implicit comma joins propose both models, with the
+          fk = pk equality in WHERE becoming a relationship.
+        """
         proposed: dict[str, Model] = {}
         for sql in sqls:
             if not sql.strip():
                 continue
-            text = _strip_comments(sql)
-            fm = _FROM_RE.search(text)
-            if not fm:
+            for branch in _UNION_RE.split(_strip_comments(sql)):
+                self._generate_branch(_normalize_extract(branch), proposed)
+        return proposed
+
+    def _generate_branch(self, text: str, proposed: dict[str, Model]) -> None:
+        fm = _FROM_RE.search(text)
+        if not fm:
+            return
+        tables: list[tuple[str, str]] = []  # (table, alias)
+        tables.append((fm.group(1), (fm.group(2) or fm.group(1).rsplit(".", 1)[-1])))
+        # implicit comma joins: FROM a x, b y
+        pos = fm.end()
+        while True:
+            cm = _FROM_MORE_RE.match(text, pos)
+            if not cm or cm.group(1).lower() in _SQL_WORDS:
+                break
+            tables.append((cm.group(1), cm.group(2) or cm.group(1).rsplit(".", 1)[-1]))
+            pos = cm.end()
+        for jm in _JOIN_RE.finditer(text):
+            tables.append((jm.group(1), jm.group(2) or jm.group(1).rsplit(".", 1)[-1]))
+
+        select_m = _SELECT_RE.search(text)
+        body = select_m.group(1) if select_m else ""
+        calls = _agg_calls(body)
+        alias_of = {a.lower(): t.rsplit(".", 1)[-1] for t, a in tables}
+
+        def model_for(col_ref: str | None) -> Model | None:
+            """Pick the proposed model a column belongs to (alias-
+            qualified refs decide; bare columns go to the first)."""
+            if col_ref and "." in col_ref:
+                tname = alias_of.get(col_ref.rsplit(".", 1)[0].lower())
+                if tname and tname in proposed:
+                    return proposed[tname]
+            for t, _a in tables:
+                name = t.rsplit(".", 1)[-1]
+                if name in proposed:
+                    return proposed[name]
+            return None
+
+        for table, _alias in tables:
+            if self.table_to_model.get(table.lower()):
                 continue
-            tables = [fm.group(1)] + [j.group(1) for j in _JOIN_RE.finditer(text)]
-            for table in tables:
-                if self.table_to_model.get(table.lower()):
-                    continue
-                name = table.rsplit(".", 1)[-1]
-                model = proposed.get(name) or Model(
+            name = table.rsplit(".", 1)[-1]
+            if name not in proposed:
+                proposed[name] = Model(
                     name=name, table=table, primary_key="id",
                     dimensions=[], metrics=[],
                 )
-                proposed[name] = model
-                select_m = _SELECT_RE.search(text)
-                body = select_m.group(1) if select_m else ""
-                for am in _AGG_RE.finditer(body):
-                    fn, distinct, inner, alias = (
-                        am.group(1).lower(), am.group(2),
-                        am.group(3).strip(), am.group(4),
+        if not proposed:
+            return
+
+        # -- metrics ----------------------------------------------------
+        for call in calls:
+            fn, inner, alias, over = (
+                call["fn"], call["inner"], call["alias"], call["over"],
+            )
+            agg = "count_distinct" if (fn == "count" and call["distinct"]) else _AGG_NAME[fn]
+            inner_has_agg = bool(_AGG_START_RE.search(inner))
+            col = None if inner in ("*", "") else inner
+            base_col = _first_column(inner) if col else None
+            model = model_for(col if col and re.fullmatch(r"[\w.]+", col) else None)
+            if model is None:
+                continue
+            # strip alias qualifiers so the stored sql resolves in the
+            # model CTE
+            clean_inner = None
+            if col:
+                clean_inner = col
+                for _t, a in tables:
+                    clean_inner = re.sub(
+                        rf"\b{re.escape(a)}\.", "", clean_inner
                     )
-                    agg = "count_distinct" if (fn == "count" and distinct) else _AGG_NAME[fn]
-                    col = None if inner in ("*", "") else inner.rsplit(".", 1)[-1]
-                    mname = alias or (f"{agg}_{col}" if col else "row_count")
-                    mname = re.sub(r"\W+", "_", mname).lower()
-                    if model.metric(mname) is None:
-                        # add_metric keeps the name-lookup cache in sync
-                        # (a bare list append would let repeated corpus
-                        # queries re-add the same metric)
-                        model.add_metric(Metric(name=mname, agg=agg, sql=col))
-                gm = _GROUP_RE.search(text)
-                if gm:
-                    for ref in _split_commas(gm.group(1)):
-                        col = ref.strip().rsplit(".", 1)[-1]
-                        if re.fullmatch(r"\w+", col) and model.dimension(col) is None:
-                            model.add_dimension(Dimension(name=col))
-        return proposed
+            base_name = re.sub(
+                r"\W+", "_",
+                (f"{agg}_{base_col}" if base_col else "row_count"),
+            ).lower()
+            if over is not None:
+                if inner_has_agg:
+                    # percent-of-total shape SUM(SUM(x)) OVER(): the
+                    # inner agg registers below via its own call entry
+                    continue
+                # cumulative metric over the base agg (ref migrator
+                # window handling, tests :682-817)
+                if model.metric(base_name) is None:
+                    model.add_metric(Metric(name=base_name, agg=agg, sql=clean_inner))
+                window = None
+                grain_to_date = None
+                wm = re.search(r"ROWS\s+BETWEEN\s+(\d+)\s+PRECEDING", over, re.I)
+                if wm:
+                    window = f"{wm.group(1)} days"
+                gm_ = re.search(r"PARTITION\s+BY\s+DATE_TRUNC\s*\(\s*'(\w+)'", over, re.I)
+                if gm_:
+                    grain_to_date = gm_.group(1).lower()
+                cname = re.sub(r"\W+", "_", alias or f"cumulative_{base_name}").lower()
+                if model.metric(cname) is None:
+                    model.add_metric(Metric(
+                        name=cname, type="cumulative",
+                        sql=f"{model.name}.{base_name}",
+                        window=window, grain_to_date=grain_to_date,
+                    ))
+                continue
+            mname = re.sub(r"\W+", "_", alias or base_name).lower()
+            if model.metric(mname) is None:
+                model.add_metric(Metric(name=mname, agg=agg, sql=clean_inner))
+
+        # -- dimensions --------------------------------------------------
+        select_items = [s.strip() for s in _split_commas(body)]
+
+        def add_dim(expr: str) -> None:
+            expr = re.sub(r"\s+AS\s+\w+\s*$", "", expr.strip(), flags=re.I)
+            if _AGG_START_RE.search(expr):
+                return
+            is_time = bool(_DATEPART_RE.search(expr))
+            col = _first_column(expr) if not re.fullmatch(r"[\w.]+", expr) else expr.rsplit(".", 1)[-1]
+            if not col or not re.fullmatch(r"\w+", col):
+                return
+            model = model_for(expr if "." in expr else None)
+            if model is None:
+                return
+            if model.dimension(col) is None:
+                model.add_dimension(Dimension(
+                    name=col, type="time" if is_time else "categorical",
+                ))
+            elif is_time:
+                d = model.dimension(col)
+                if d is not None and d.type != "time" and d in model.dimensions:
+                    d.type = "time"
+
+        gm = _GROUP_RE.search(text)
+        if gm:
+            for ref in _split_commas(gm.group(1)):
+                ref = ref.strip()
+                if re.fullmatch(r"\d+", ref):
+                    idx = int(ref) - 1
+                    if 0 <= idx < len(select_items):
+                        add_dim(select_items[idx])
+                    continue
+                add_dim(ref)
+        elif re.match(r"\s*SELECT\s+DISTINCT\b", text, re.I) and not calls:
+            for item in select_items:
+                add_dim(re.sub(r"^\s*DISTINCT\s+", "", item, flags=re.I))
+
+        # -- implicit-join relationships ---------------------------------
+        if len(tables) > 1:
+            wm = _WHERE_RE.search(text)
+            for eq in re.finditer(
+                r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)", wm.group(1) if wm else ""
+            ):
+                la, lc, ra, rc = eq.groups()
+                lt, rt = alias_of.get(la.lower()), alias_of.get(ra.lower())
+                if not lt or not rt or lt == rt:
+                    continue
+                # fk side = the column that is not the bare pk name
+                if rc.lower() == "id" or rc.lower().endswith("key"):
+                    fk_model, fk, target, pk = lt, lc, rt, rc
+                else:
+                    fk_model, fk, target, pk = rt, rc, lt, lc
+                owner = proposed.get(fk_model)
+                if owner is not None and all(
+                    r.name != target for r in owner.relationships
+                ):
+                    owner.relationships.append(Relationship(
+                        name=target, type="many_to_one",
+                        foreign_key=fk, primary_key=pk,
+                    ))
 
     def generate_yaml(self, sqls: list[str]) -> str:
         """Generated models as native YAML (the ``--output`` payload)."""

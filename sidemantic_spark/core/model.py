@@ -524,6 +524,14 @@ class Model:
     def metric(self, name: str) -> Metric | None:
         return self._metrics.get(name)
 
+    # reference API-name parity (core/model.py:104,111): a user porting
+    # code that calls get_dimension/get_metric keeps working
+    def get_dimension(self, name: str) -> Dimension | None:
+        return self.dimension(name)
+
+    def get_metric(self, name: str) -> Metric | None:
+        return self.metric(name)
+
     def segment(self, name: str) -> Segment | None:
         return self._segments.get(name)
 

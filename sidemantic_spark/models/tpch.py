@@ -40,9 +40,21 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os as _os
+
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
-        schema = pq.read_schema(path)
+        # Spark-written tables are DIRECTORIES of part files (e.g. the
+        # synthesized sf1 in scripts/scale_check.py); read the schema
+        # from any part file
+        schema_path = path
+        if _os.path.isdir(path):
+            parts = sorted(
+                f for f in _os.listdir(path) if f.endswith(".parquet")
+            )
+            if parts:
+                schema_path = _os.path.join(path, parts[0])
+        schema = pq.read_schema(schema_path)
         nanos_cols = [
             f.name for f in schema if str(f.type).startswith("timestamp[ns")
         ]

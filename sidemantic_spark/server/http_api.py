@@ -30,6 +30,32 @@ MAX_BODY_BYTES = 10 * 1024 * 1024  # reference body-size middleware (api_server.
 MAX_RESULT_ROWS = 10_000  # driver-side collect cap for JSON/Arrow responses
 
 
+def _client_errors() -> tuple:
+    """Exception classes that are the CALLER's fault -> HTTP 400.
+    Everything else is a 500 at the protocol boundary (logged)."""
+    from sidemantic_spark.core.consumption import ContractError
+    from sidemantic_spark.core.graph import SemanticGraphError
+    from sidemantic_spark.core.security import SecurityError
+    from sidemantic_spark.core.transport_security import TransportSecurityError
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    errs: list[type] = [
+        QueryCompileError, SemanticGraphError, ContractError,
+        SecurityError, TransportSecurityError,
+        ValueError, KeyError, TypeError, json.JSONDecodeError,
+    ]
+    try:  # Spark analysis errors are usually bad column refs from the caller
+        from pyspark.errors import AnalysisException, ParseException
+
+        errs += [AnalysisException, ParseException]
+    except ImportError:
+        pass
+    return tuple(errs)
+
+
+_CLIENT_ERRORS = _client_errors()
+
+
 class SemanticHttpServer:
     def __init__(self, layer, host: str = "127.0.0.1", port: int = 0,
                  token: str | None = None,
@@ -403,8 +429,17 @@ def _make_handler(server: SemanticHttpServer):
                         user=user,
                     )
                     return self._ok(json.dumps({"vega_lite": spec}).encode())
-            except Exception as exc:
+            except _CLIENT_ERRORS as exc:
                 return self._deny(400, f"{type(exc).__name__}: {exc}")
+            except Exception as exc:  # HTTP protocol boundary: the
+                # server must answer, so unexpected failures map to 500
+                # with the error logged and NOT exposed (reference
+                # exception-boundary policy: broad catches only at the
+                # protocol edge, tests/core/test_exception_boundaries.py)
+                import logging
+
+                logging.getLogger(__name__).exception("unhandled /POST error")
+                return self._deny(500, f"internal error: {type(exc).__name__}")
             return self._deny(404, "not found")
 
     return Handler

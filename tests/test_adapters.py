@@ -5908,3 +5908,45 @@ def test_lookml_include_duplicate_view_resolves_to_included_copy(tmp_path):
     layer.spark = None
     LookMLAdapter().parse_file(layer, str(proj))
     assert layer.graph.models["orders"].table == "live.orders"
+
+
+def test_rill_parent_selector_forms():
+    """Rill parent_dimensions/parent_measures selector normalization
+    (ref tests/adapters/rill/test_modern_features.py:311-420): star,
+    omitted, {exclude}, {regex}, {expr}, and bare '* EXCLUDE (...)'."""
+    from sidemantic_spark.adapters.rill import RillAdapter
+    from sidemantic_spark.core.graph import SemanticGraph
+
+    PARENT = {
+        "type": "metrics_view", "name": "parent", "model": "src",
+        "timeseries": "day", "smallest_time_grain": "day",
+        "dimensions": [{"name": "a", "column": "a"},
+                       {"name": "b", "column": "b"}],
+        "measures": [{"name": "m1", "expression": "SUM(x)"},
+                     {"name": "m2", "expression": "SUM(y)"}],
+    }
+
+    class _L:
+        def __init__(self):
+            self.graph = SemanticGraph()
+
+        def add_model(self, m):
+            self.graph.add_model(m)
+
+    def run(child):
+        lay = _L()
+        ad = RillAdapter()
+        ad.parse(lay, dict(PARENT))
+        ad.parse(lay, child)
+        c = lay.graph.models["child"]
+        return {d.name for d in c.dimensions}, {m.name for m in c.metrics}
+
+    base = {"type": "metrics_view", "name": "child", "parent": "parent"}
+    assert run({**base, "parent_measures": "*"})[1] == {"m1", "m2"}
+    assert run(base)[1] == {"m1", "m2"}  # omitted -> all
+    assert run({**base, "parent_measures": {"exclude": ["m2"]}})[1] == {"m1"}
+    assert run({**base, "parent_measures": {"regex": "^m1$"}})[1] == {"m1"}
+    assert run({**base, "parent_measures": "* EXCLUDE (m2)"})[1] == {"m1"}
+    assert run({**base, "parent_measures": ["m2"]})[1] == {"m2"}
+    dims, _ = run({**base, "parent_dimensions": {"expr": "* EXCLUDE (b)"}})
+    assert "a" in dims and "b" not in dims

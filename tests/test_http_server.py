@@ -388,3 +388,67 @@ def test_session_exchange_and_readyz(spark, sf_dir):
             "Authorization": f"Sidemantic-Session {tok}"})[0] == 200
     finally:
         srv.stop()
+
+
+def test_control_plane_responsive_during_slow_queries(server):
+    """/models reads the in-memory graph and must not queue behind
+    in-flight query execution (reference tests/server/
+    test_concurrency.py:121 — the control plane takes no query lock)."""
+    import threading
+    import time as _time
+
+    _req(server, "/query", {"metrics": ["orders.revenue"],
+                            "dimensions": ["orders.status"]})  # warm
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def hammer() -> None:
+        while not stop.is_set():
+            try:
+                _req(server, "/query", {
+                    "metrics": ["orders.revenue", "orders.order_count"],
+                    "dimensions": ["orders.status", "customer.mktsegment"],
+                })
+            except Exception as exc:  # noqa: BLE001 - recorded, not hidden
+                errors.append(str(exc))
+
+    workers = [threading.Thread(target=hammer) for _ in range(3)]
+    for w in workers:
+        w.start()
+    try:
+        t0 = _time.perf_counter()
+        models = _req(server, "/models")["models"]
+        elapsed = _time.perf_counter() - t0
+        assert "orders" in models
+        assert elapsed < 2.0, f"control-plane read blocked {elapsed:.2f}s"
+    finally:
+        stop.set()
+        for w in workers:
+            w.join(timeout=30)
+    assert not errors, errors[:2]
+
+
+def test_concurrent_queries_do_not_serialize(server):
+    """Spark sessions serve concurrent actions; four parallel /query
+    requests must take well under 4x a single request (reference
+    tests/server/test_concurrency.py:91)."""
+    import concurrent.futures
+    import statistics
+    import time as _time
+
+    def one() -> float:
+        t0 = _time.perf_counter()
+        _req(server, "/query", {
+            "metrics": ["orders.revenue"],
+            "dimensions": ["orders.status"],
+        })
+        return _time.perf_counter() - t0
+
+    one()  # warm
+    single = statistics.median([one() for _ in range(3)])
+    t0 = _time.perf_counter()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(lambda _i: one(), range(4)))
+    total = _time.perf_counter() - t0
+    # serialized would be ~4x single; generous bound for busy boxes
+    assert total < 3.0 * single + 1.0, (total, single)
