@@ -15,6 +15,11 @@ from sidemantic_spark.authoring.yaml_io import (
     load_yaml,
 )
 from sidemantic_spark.authoring.sql_defs import load_sql_definitions
+from sidemantic_spark.authoring.loaders import (
+    FormatDetectionError,
+    detect_yaml_format,
+    load_from_directory,
+)
 
 __all__ = [
     "AuthoringError",
@@ -22,4 +27,7 @@ __all__ = [
     "load_path",
     "load_yaml",
     "load_sql_definitions",
+    "FormatDetectionError",
+    "detect_yaml_format",
+    "load_from_directory",
 ]

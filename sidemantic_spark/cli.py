@@ -45,7 +45,18 @@ def _load_layer(args, spark=None):
         except ProjectResolutionError as exc:
             raise SystemExit(str(exc))
     fmt = getattr(args, "format", None) or "native"
-    if fmt == "native":
+    if fmt == "auto":
+        # mixed project directory: per-file format auto-detection
+        # (reference loaders.py:load_from_directory)
+        import os as _os
+
+        from sidemantic_spark.authoring import load_from_directory, load_path
+
+        if _os.path.isdir(path):
+            load_from_directory(layer, path)
+        else:
+            load_path(layer, path)
+    elif fmt == "native":
         from sidemantic_spark.authoring import load_path
 
         load_path(layer, path)
@@ -806,7 +817,7 @@ def _add_models_arg(p, required: bool = True):
     )
     p.add_argument("--config", help="explicit project config file")
     p.add_argument("--format", default="native",
-                   help="input format: native or any import adapter name")
+                   help="input format: native, auto (per-file detection over a mixed directory), or any import adapter name")
     p.add_argument("--register", action="append",
                    help="bind data: model_name=/path/to/data.parquet (repeatable)")
 

@@ -58,6 +58,10 @@ _FROM_MORE_RE = re.compile(r"\s*,\s*([\w.]+)(?:\s+(?:AS\s+)?(\w+))?", re.I)
 _UNION_RE = re.compile(r"\bUNION(?:\s+ALL)?\b", re.I)
 _DATEPART_RE = re.compile(r"\bDATE_(?:PART|TRUNC)\s*\(\s*'(\w+)'\s*,\s*([\w.]+)\s*\)", re.I)
 
+# finer grains sort lower (finest-observed-grain rule)
+_GRAIN_ORDER = {"second": 0, "minute": 1, "hour": 2, "day": 3, "week": 4,
+                "month": 5, "quarter": 6, "year": 7}
+
 _SQL_WORDS = {
     "from", "where", "group", "order", "over", "as", "on", "and", "or",
     "union", "having", "limit", "join", "when", "then", "else", "end",
@@ -517,49 +521,87 @@ class Migrator:
         if not proposed:
             return
 
-        # -- metrics ----------------------------------------------------
-        for call in calls:
-            fn, inner, alias, over = (
-                call["fn"], call["inner"], call["alias"], call["over"],
-            )
-            agg = "count_distinct" if (fn == "count" and call["distinct"]) else _AGG_NAME[fn]
-            inner_has_agg = bool(_AGG_START_RE.search(inner))
+        # -- metrics (per select ITEM: an item that is exactly one
+        # aggregate keeps its alias as the metric name; an item
+        # combining aggregates with arithmetic becomes base metrics +
+        # a DERIVED metric referencing them — ref tests
+        # test_migrator_generation.py:668-734) -------------------------
+        def _strip_quals(expr: str) -> str:
+            for _t, a in tables:
+                expr = re.sub(rf"\b{re.escape(a)}\.", "", expr)
+            return expr
+
+        def _base_metric(call: dict, model: Model) -> str:
+            """Register the canonical base metric for an agg call;
+            returns its name."""
+            fn, inner = call["fn"], call["inner"]
+            agg = ("count_distinct" if (fn == "count" and call["distinct"])
+                   else _AGG_NAME[fn])
             col = None if inner in ("*", "") else inner
             base_col = _first_column(inner) if col else None
-            model = model_for(col if col and re.fullmatch(r"[\w.]+", col) else None)
-            if model is None:
-                continue
-            # strip alias qualifiers so the stored sql resolves in the
-            # model CTE
-            clean_inner = None
-            if col:
-                clean_inner = col
-                for _t, a in tables:
-                    clean_inner = re.sub(
-                        rf"\b{re.escape(a)}\.", "", clean_inner
-                    )
-            base_name = re.sub(
+            name = re.sub(
                 r"\W+", "_",
                 (f"{agg}_{base_col}" if base_col else "row_count"),
             ).lower()
-            if over is not None:
-                if inner_has_agg:
-                    # percent-of-total shape SUM(SUM(x)) OVER(): the
-                    # inner agg registers below via its own call entry
+            if model.metric(name) is None:
+                model.add_metric(Metric(
+                    name=name, agg=agg,
+                    sql=_strip_quals(col) if col else None,
+                ))
+            return name
+
+        for item in [s.strip() for s in _split_commas(body)]:
+            item_calls = _agg_calls(item)
+            if not item_calls:
+                continue
+            alias_m = re.search(r"\s+AS\s+(\w+)\s*$", item, re.I)
+            item_alias = alias_m.group(1) if alias_m else None
+            item_expr = item[:alias_m.start()] if alias_m else item
+            first = item_calls[0]
+            model = model_for(
+                first["inner"]
+                if re.fullmatch(r"[\w.]+", first["inner"] or "")
+                else None
+            )
+            if model is None:
+                continue
+            if re.search(
+                r"\b(?:RANK|DENSE_RANK|ROW_NUMBER|NTILE|LAG|LEAD|"
+                r"PERCENT_RANK|CUME_DIST|FIRST_VALUE|LAST_VALUE)\s*\(",
+                item, re.I,
+            ):
+                # rank-family window functions are row-ordering artifacts,
+                # not metrics (ref test :780); keep any inner base aggs
+                for c in item_calls:
+                    if c["over"] is None:
+                        _base_metric(c, model)
+                continue
+            windows = [c for c in item_calls if c["over"] is not None]
+            if windows:
+                call = windows[0]
+                if _AGG_START_RE.search(call["inner"]):
+                    # percent-of-total SUM(SUM(x)) OVER(): register the
+                    # inner base aggregates only
+                    for c in item_calls:
+                        if c["over"] is None:
+                            _base_metric(c, model)
                     continue
-                # cumulative metric over the base agg (ref migrator
-                # window handling, tests :682-817)
-                if model.metric(base_name) is None:
-                    model.add_metric(Metric(name=base_name, agg=agg, sql=clean_inner))
+                base_name = _base_metric(call, model)
                 window = None
                 grain_to_date = None
-                wm = re.search(r"ROWS\s+BETWEEN\s+(\d+)\s+PRECEDING", over, re.I)
+                wm = re.search(r"ROWS\s+BETWEEN\s+(\d+)\s+PRECEDING",
+                               call["over"], re.I)
                 if wm:
                     window = f"{wm.group(1)} days"
-                gm_ = re.search(r"PARTITION\s+BY\s+DATE_TRUNC\s*\(\s*'(\w+)'", over, re.I)
+                gm_ = re.search(
+                    r"PARTITION\s+BY\s+DATE_TRUNC\s*\(\s*'(\w+)'",
+                    call["over"], re.I,
+                )
                 if gm_:
                     grain_to_date = gm_.group(1).lower()
-                cname = re.sub(r"\W+", "_", alias or f"cumulative_{base_name}").lower()
+                cname = re.sub(
+                    r"\W+", "_", item_alias or f"cumulative_{base_name}"
+                ).lower()
                 if model.metric(cname) is None:
                     model.add_metric(Metric(
                         name=cname, type="cumulative",
@@ -567,9 +609,52 @@ class Migrator:
                         window=window, grain_to_date=grain_to_date,
                     ))
                 continue
-            mname = re.sub(r"\W+", "_", alias or base_name).lower()
-            if model.metric(mname) is None:
-                model.add_metric(Metric(name=mname, agg=agg, sql=clean_inner))
+            sole_call = (
+                len(item_calls) == 1
+                and re.fullmatch(r"\s*", item[:first["start"]])
+                and re.fullmatch(r"\s*(?:AS\s+\w+)?\s*",
+                                 item[first["end"]:], re.I)
+            )
+            if sole_call:
+                # the item IS one aggregate call: alias names the metric
+                fn, inner = first["fn"], first["inner"]
+                agg = ("count_distinct"
+                       if (fn == "count" and first["distinct"])
+                       else _AGG_NAME[fn])
+                col = None if inner in ("*", "") else inner
+                base_col = _first_column(inner) if col else None
+                mname = re.sub(
+                    r"\W+", "_",
+                    item_alias or (f"{agg}_{base_col}" if base_col
+                                   else "row_count"),
+                ).lower()
+                if model.metric(mname) is None:
+                    model.add_metric(Metric(
+                        name=mname, agg=agg,
+                        sql=_strip_quals(col) if col else None,
+                    ))
+                continue
+            # composite item: base metrics + a derived metric whose sql
+            # references them by name (executable by this engine, where
+            # the reference stores the raw SQL text)
+            base_names: list[tuple[dict, str]] = [
+                (c, _base_metric(c, model)) for c in item_calls
+            ]
+            if item_alias:
+                derived = item_expr
+                # replace call text right-to-left so spans stay valid
+                for c, bname in sorted(
+                    base_names, key=lambda t: -t[0]["start"]
+                ):
+                    derived = (
+                        derived[:c["start"]] + bname + derived[c["end"]:]
+                    )
+                dname = re.sub(r"\W+", "_", item_alias).lower()
+                if model.metric(dname) is None:
+                    model.add_metric(Metric(
+                        name=dname, type="derived",
+                        sql=_strip_quals(derived).strip(),
+                    ))
 
         # -- dimensions --------------------------------------------------
         select_items = [s.strip() for s in _split_commas(body)]
@@ -578,21 +663,33 @@ class Migrator:
             expr = re.sub(r"\s+AS\s+\w+\s*$", "", expr.strip(), flags=re.I)
             if _AGG_START_RE.search(expr):
                 return
-            is_time = bool(_DATEPART_RE.search(expr))
+            dp = _DATEPART_RE.search(expr)
+            is_time = bool(dp)
+            grain = dp.group(1).lower() if dp else None
             col = _first_column(expr) if not re.fullmatch(r"[\w.]+", expr) else expr.rsplit(".", 1)[-1]
             if not col or not re.fullmatch(r"\w+", col):
                 return
             model = model_for(expr if "." in expr else None)
             if model is None:
                 return
-            if model.dimension(col) is None:
+            existing = next((d for d in model.dimensions if d.name == col), None)
+            if existing is None:
+                if model.dimension(col) is not None:
+                    return  # synthesized pk/fk dimension: queryable already
                 model.add_dimension(Dimension(
                     name=col, type="time" if is_time else "categorical",
+                    granularity=grain,
                 ))
             elif is_time:
-                d = model.dimension(col)
-                if d is not None and d.type != "time" and d in model.dimensions:
-                    d.type = "time"
+                # a time column is emitted once, at the FINEST grain
+                # observed across the corpus (ref test :399-424)
+                existing.type = "time"
+                if grain and (
+                    existing.granularity is None
+                    or _GRAIN_ORDER.get(grain, 9)
+                    < _GRAIN_ORDER.get(existing.granularity, 9)
+                ):
+                    existing.granularity = grain
 
         gm = _GROUP_RE.search(text)
         if gm:
@@ -608,15 +705,28 @@ class Migrator:
             for item in select_items:
                 add_dim(re.sub(r"^\s*DISTINCT\s+", "", item, flags=re.I))
 
-        # -- implicit-join relationships ---------------------------------
+        # -- join relationships (explicit JOIN ON + implicit WHERE) ------
         if len(tables) > 1:
             wm = _WHERE_RE.search(text)
+            cond_text = " ".join(
+                [wm.group(1) if wm else ""]
+                + [jm.group(3) or "" for jm in _JOIN_RE.finditer(text)]
+            )
             for eq in re.finditer(
-                r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)", wm.group(1) if wm else ""
+                r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)", cond_text
             ):
                 la, lc, ra, rc = eq.groups()
                 lt, rt = alias_of.get(la.lower()), alias_of.get(ra.lower())
                 if not lt or not rt or lt == rt:
+                    continue
+
+                def _keyish(c: str) -> bool:
+                    c = c.lower()
+                    return c == "id" or c.endswith("_id") or c.endswith("key")
+
+                # a non-key equality (a.status = b.status) is a filter,
+                # not a join edge (ref test :1367)
+                if not (_keyish(lc) or _keyish(rc)):
                     continue
                 # fk side = the column that is not the bare pk name
                 if rc.lower() == "id" or rc.lower().endswith("key"):

@@ -172,3 +172,79 @@ def test_analyze_handles_comments_and_empty():
     qa = mig.analyze("-- comment\nSELECT status, COUNT(*) FROM orders GROUP BY status")
     assert qa.tables == ["orders"]
     assert _migrator().generate(["   ", ""]) == {}
+
+
+# round 8, second sweep: mined from reference tests/test_migrator_generation.py
+
+
+def test_derived_metric_from_composite_expression():
+    """SUM(a)/COUNT(*) as x -> base metrics + a DERIVED metric
+    referencing them by name (ref test_migrator_generation.py:668-734;
+    the reference stores raw SQL text — here the derived sql is
+    executable metric references)."""
+    models = _migrator().generate([
+        "SELECT status, SUM(total_amount) / COUNT(*) as avg_order_value"
+        " FROM orders GROUP BY status"
+    ])
+    orders = models["orders"]
+    assert orders.metric("sum_total_amount").agg == "sum"
+    assert orders.metric("row_count").agg == "count"
+    d = orders.metric("avg_order_value")
+    assert d.type == "derived"
+    assert d.sql == "sum_total_amount / row_count"
+
+
+def test_finest_observed_time_granularity_wins():
+    models = _migrator().generate([
+        "SELECT DATE_TRUNC('month', order_date), COUNT(*) FROM orders GROUP BY 1",
+        "SELECT DATE_TRUNC('day', order_date), COUNT(*) FROM orders GROUP BY 1",
+    ])
+    d = next(x for x in models["orders"].dimensions if x.name == "order_date")
+    assert d.type == "time" and d.granularity == "day"
+
+
+def test_explicit_join_on_yields_relationship():
+    models = _migrator().generate([
+        "SELECT c.region, COUNT(*) FROM orders o"
+        " JOIN customers c ON o.customer_id = c.id GROUP BY c.region"
+    ])
+    rels = models["orders"].relationships
+    assert any(r.name == "customers" and r.foreign_key == "customer_id"
+               for r in rels)
+
+
+def test_no_relationship_from_non_key_equality():
+    """a.status = b.status is a filter, not a join edge (ref :1367)."""
+    models = _migrator().generate([
+        "SELECT a.x, COUNT(*) FROM t1 a JOIN t2 b ON a.status = b.status"
+        " GROUP BY a.x"
+    ])
+    assert models["t1"].relationships == []
+    assert models["t2"].relationships == []
+
+
+def test_multiple_aggregations_same_column_keep_aliases():
+    models = _migrator().generate([
+        "SELECT SUM(amount) as total, AVG(amount) as average,"
+        " MAX(amount) as biggest FROM orders"
+    ])
+    names = {m.name for m in models["orders"].metrics}
+    assert {"total", "average", "biggest"} <= names
+
+
+def test_repeated_corpus_queries_do_not_duplicate_metrics():
+    models = _migrator().generate([
+        "SELECT SUM(amount) FROM orders",
+        "SELECT SUM(amount) FROM orders",
+    ])
+    names = [m.name for m in models["orders"].metrics]
+    assert names.count("sum_amount") == 1
+
+
+def test_count_column_distinct_from_count_star():
+    models = _migrator().generate([
+        "SELECT COUNT(email) as with_email, COUNT(*) as total FROM users"
+    ])
+    ms = {m.name: m for m in models["users"].metrics}
+    assert ms["with_email"].sql == "email"
+    assert ms["total"].sql is None
