@@ -165,6 +165,36 @@ class SqlGenerator:
         self._cache[key] = sql
         return sql
 
+    def generate_view(
+        self,
+        view_name: str,
+        metrics: list[str] | None = None,
+        dimensions: list[str] | None = None,
+        filters: list[str] | None = None,
+        temporary: bool = False,
+    ) -> str:
+        """CREATE VIEW DDL wrapping a compiled semantic query.
+
+        Mirrors reference ``sql/generator.py`` generate_view (exercised
+        by ref ``tests/queries/test_view_generation.py``): the view name
+        is identifier-validated (never interpolated raw — SQL-injection
+        guard), and the body is a normal compiled query so the view can
+        be joined against arbitrary SQL. ``temporary=True`` emits
+        ``CREATE TEMPORARY VIEW`` for Spark's session catalog.
+        """
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", view_name or ""):
+            raise ValueError(
+                f"Invalid view name: {view_name!r}. View names must be "
+                "valid identifiers (letters, digits, underscores)."
+            )
+        body = self.generate(QuerySpec(
+            metrics=list(metrics or []),
+            dimensions=list(dimensions or []),
+            filters=list(filters or []),
+        ))
+        kind = "CREATE TEMPORARY VIEW" if temporary else "CREATE VIEW"
+        return f"{kind} {view_name} AS\n{body}"
+
     def _cache_key(self, spec: QuerySpec):
         return (
             self.graph.generation,
