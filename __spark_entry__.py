@@ -871,6 +871,110 @@ def _pipeline_decontaminate(spark, sf_dir):
     )
 
 
+_BM25_QUERY = "fast hash join"
+
+
+def _text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 lexical top-k: map-only tokenize + per-term TF, one
+    map-side-combined stats aggregate re-joined via broadcast, top-k as
+    TakeOrderedAndProject — no corpus shuffle at any scale."""
+    from sidemantic_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=25)
+
+
+def _search_tfidf_topk(spark, sf_dir):
+    """lnTF-IDF baseline scorer over the same plan shape as BM25."""
+    from sidemantic_spark.operators.search import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), _BM25_QUERY, k=25)
+
+
+def _events_sessionize(spark, sf_dir):
+    """Gap-based batch sessionization (1-day gap): one exchange on
+    user_id; the LAG window and the per-session rollup both run inside
+    that partitioning (no second exchange). Integer-microsecond time
+    math for exact cross-engine reproducibility."""
+    from sidemantic_spark.operators.sessions import session_stats
+
+    _ensure_tables(spark, sf_dir)
+    return session_stats(
+        spark.table("events").selectExpr(
+            "user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type"
+        ),
+        gap_seconds=86400,
+    )
+
+
+def _bm25_oracle_sql(terms: list[str], k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of operators/search.bm25_topk for the fixed query."""
+    dfs = ",\n                   ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    contribs = []
+    for i, t in enumerate(terms):
+        tf = f"len(list_filter(b.toks, x -> x = '{t}'))::DOUBLE"
+        idf = f"ln(1 + (s.n::DOUBLE - s.df{i}::DOUBLE + 0.5) / (s.df{i}::DOUBLE + 0.5))"
+        contribs.append(
+            f"{idf} * ({tf} * {k1 + 1.0}) / ({tf} + {k1} * "
+            f"({1.0 - b} + {b} * b.dl::DOUBLE / (s.dl_total::DOUBLE / s.n::DOUBLE)))"
+        )
+    score = "\n                 + ".join(contribs)
+    return f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        base AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+        stats AS (
+            SELECT count(*) AS n, sum(dl) AS dl_total,
+                   {dfs}
+            FROM base
+        )
+        SELECT b.doc_id,
+               round({score}, 6) AS score
+        FROM base b CROSS JOIN stats s
+        WHERE round({score}, 6) > 0
+        ORDER BY 2 DESC, 1
+        LIMIT {k}
+    """
+
+
+def _tfidf_oracle_sql(terms: list[str], k: int) -> str:
+    """DuckDB twin of operators/search.tfidf_topk."""
+    dfs = ",\n                   ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    contribs = []
+    for i, t in enumerate(terms):
+        tf = f"len(list_filter(b.toks, x -> x = '{t}'))::DOUBLE"
+        contribs.append(
+            f"CASE WHEN {tf} > 0 AND s.df{i} > 0 THEN "
+            f"(1.0 + ln({tf})) * ln(s.n::DOUBLE / s.df{i}::DOUBLE) ELSE 0.0 END"
+        )
+    score = "\n                 + ".join(contribs)
+    return f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        base AS (SELECT doc_id, toks FROM tok),
+        stats AS (SELECT count(*) AS n, {dfs} FROM base)
+        SELECT b.doc_id,
+               round({score}, 6) AS score
+        FROM base b CROSS JOIN stats s
+        WHERE round({score}, 6) > 0
+        ORDER BY 2 DESC, 1
+        LIMIT {k}
+    """
+
+
 def _source_scan_uri(spark, sf_dir):
     """Remote/file source scan (reference core/model.py:30 source_uri):
     the model binds to a parquet URI, registered as a plain scan view so
@@ -1692,6 +1796,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sequence_pack": _pipeline_sequence_pack,
         "pipeline_sample_stratified": _pipeline_sample_stratified,
         "pipeline_decontaminate": _pipeline_decontaminate,
+        # lexical retrieval (BM25/TF-IDF) + batch sessionization
+        "text_bm25_topk": _text_bm25_topk,
+        "search_tfidf_topk": _search_tfidf_topk,
+        "events_sessionize": _events_sessionize,
         # §2.1 pre-aggregation materialization sink + aggregate-aware
         # routing
         "preagg_rollup_route": _preagg_route,
@@ -1908,6 +2016,7 @@ def _mix_case_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from sidemantic_spark.operators.pipeline import sample_thresholds_sql
+    from sidemantic_spark.operators.search import query_terms
     from sidemantic_spark.operators.text import PII_PATTERNS
 
     fp = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
@@ -3104,6 +3213,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT tg.doc_id, COUNT(DISTINCT tg.g) AS shared_grams
             FROM tg JOIN eg ON tg.g = eg.g
             GROUP BY 1
+        """,
+        "text_bm25_topk": _bm25_oracle_sql(query_terms(_BM25_QUERY), 25),
+        "search_tfidf_topk": _tfidf_oracle_sql(query_terms(_BM25_QUERY), 25),
+        "events_sessionize": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, event_type,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+                FROM events
+            ),
+            flag AS (
+                SELECT *, CASE WHEN p IS NULL
+                               OR epoch_us(ts) - epoch_us(p) > 86400::BIGINT * 1000000
+                          THEN 1 ELSE 0 END AS ns
+                FROM o
+            ),
+            sess AS (
+                SELECT *, CAST(SUM(ns) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                FROM flag
+            )
+            SELECT user_id, session_idx,
+                   COUNT(*) AS n_events,
+                   CAST(MIN(ts) AS TIMESTAMP) AS started,
+                   MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+                   COUNT(DISTINCT event_type) AS n_event_types
+            FROM sess GROUP BY 1, 2
         """,
         "streaming_window_agg": """
             SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS window_start,

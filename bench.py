@@ -57,6 +57,9 @@ EXTRA = [
     "preagg_filtered_measure_route",  # filter baked into partials
     "fanout_complete_sql",            # opaque measure over dedup rows
     "semantic_sql_from_metrics",      # virtual catalog table
+    # round-8 operators
+    "text_bm25_topk",                 # lexical BM25 top-k
+    "events_sessionize",              # batch gap sessionization
 ]
 
 

@@ -950,3 +950,153 @@ def test_sig_and_shingles_kernel_parity(docs, spark):
         sh_j, sig_j = jvm_by_id[r.doc_id]
         assert sorted(r.f.sh) == sh_j, f"shingle hashes differ for doc {r.doc_id}"
         assert list(r.f.sig) == sig_j, f"signature differs for doc {r.doc_id}"
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (operators/sessions.py)
+# ---------------------------------------------------------------------------
+
+def test_sessionize_gap_boundaries(spark):
+    from sidemantic_spark.operators.sessions import session_stats, sessionize
+
+    rows = [
+        # user 1: three events, 2nd within gap, 3rd beyond
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:20:00", "b"),
+        (3, 1, "2024-01-01 01:00:00", "a"),
+        # user 2: single event
+        (4, 2, "2024-01-01 00:00:00", "c"),
+        # user 1: exact-gap event (== gap -> same session, strict >)
+        (5, 1, "2024-01-01 01:30:00", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).col("ts").cast("timestamp"))
+
+    sess = sessionize(df, gap_seconds=1800)
+    by_event = {r["event_id"]: r["session_idx"] for r in sess.collect()}
+    assert by_event[1] == 1 and by_event[2] == 1   # 20 min < 30 min gap
+    assert by_event[3] == 2                        # 40 min > gap -> new session
+    assert by_event[5] == 2                        # exactly 30 min -> NOT new (strict >)
+    assert by_event[4] == 1                        # user 2 starts at 1
+
+    stats = session_stats(df, gap_seconds=1800)
+    rows = {(r["user_id"], r["session_idx"]): r for r in stats.collect()}
+    assert rows[(1, 1)]["n_events"] == 2
+    assert rows[(1, 2)]["n_events"] == 2
+    assert rows[(1, 1)]["duration_us"] == 20 * 60 * 1_000_000
+    assert rows[(2, 1)]["n_events"] == 1 and rows[(2, 1)]["duration_us"] == 0
+    assert rows[(1, 2)]["n_event_types"] == 2
+
+
+def test_sessionize_ts_tiebreak_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators.sessions import sessionize
+
+    # Two events share a timestamp: event_id ordering decides the lag
+    # chain; result must not depend on input order.
+    rows = [(10, 1, "2024-01-01 00:00:00"), (9, 1, "2024-01-01 00:00:00")]
+    for order in (rows, rows[::-1]):
+        df = spark.createDataFrame(order, ["event_id", "user_id", "ts"]).withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+        out = {r["event_id"]: r["session_idx"]
+               for r in sessionize(df, gap_seconds=60).collect()}
+        assert out == {9: 1, 10: 1}
+
+
+def test_session_rollup_reuses_user_partitioning(spark):
+    """The (user, session) group-by must not add a second exchange on
+    top of the window's user_id exchange."""
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators.sessions import session_stats
+
+    df = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "a")],
+        ["event_id", "user_id", "ts", "event_type"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = session_stats(df, gap_seconds=60)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# BM25 / TF-IDF lexical search (operators/search.py)
+# ---------------------------------------------------------------------------
+
+def test_bm25_known_corpus(spark):
+    from sidemantic_spark.operators.search import bm25_topk, query_terms
+
+    assert query_terms("Fast, fast HASH-join!") == ["fast", "hash", "join"]
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast hash join beats slow sort"),
+            (2, "the slow scan reads every row"),
+            (3, "hash hash hash everywhere"),
+            (4, "completely unrelated text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, "fast hash", k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 4 not in ids                      # zero-score docs filtered
+    assert ids[0] == 1                       # matches both terms -> top
+    assert set(ids) == {1, 3}
+    assert all(r["score"] > 0 for r in out)
+
+    # Rarer term (fast: df=1) outweighs common term at equal tf
+    one_term = {r["doc_id"]: r["score"] for r in
+                bm25_topk(docs, "fast", k=10).collect()}
+    assert set(one_term) == {1}
+
+
+def test_bm25_tf_saturation(spark):
+    """BM25's tf saturation: tripled term count must score higher but
+    less than 3x (k1 saturation), unlike raw TF."""
+    from sidemantic_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "hash join"), (2, "hash hash hash join join join"), (3, "filler row")],
+        ["doc_id", "text"],
+    )
+    scores = {r["doc_id"]: r["score"] for r in bm25_topk(docs, "hash", k=10).collect()}
+    assert scores[2] > scores[1]
+    assert scores[2] < 3 * scores[1]
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest as _pytest
+
+    from sidemantic_spark.operators.search import bm25_topk, tfidf_topk
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="no tokens"):
+        bm25_topk(docs, "!!! ...")
+    with _pytest.raises(ValueError, match="no tokens"):
+        tfidf_topk(docs, "")
+
+
+def test_bm25_plan_is_broadcast_no_corpus_shuffle(spark):
+    """Stats side must broadcast; the corpus must not hash-exchange."""
+    from sidemantic_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 7} filler") for i in range(100)], ["doc_id", "text"])
+    plan = bm25_topk(docs, "term1 term2", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_tfidf_vs_manual(spark):
+    import math
+
+    from sidemantic_spark.operators.search import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "d d")], ["doc_id", "text"])
+    scores = {r["doc_id"]: r["score"] for r in tfidf_topk(docs, "a", k=10).collect()}
+    n, df_a = 3, 2
+    assert scores[1] == round((1 + math.log(2)) * math.log(n / df_a), 6)
+    assert scores[2] == round((1 + math.log(1)) * math.log(n / df_a), 6)
+    assert 3 not in scores
