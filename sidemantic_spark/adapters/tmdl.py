@@ -450,11 +450,13 @@ class TmdlAdapter(BaseAdapter):
             lines = block.splitlines()
             frm = to = None
             from_card, to_card = "many", None
+            active = True
             for s in (ln.strip() for ln in lines[1:]):
                 fm = re.match(r"^fromColumn:\s*(.*)$", s)
                 tm = re.match(r"^toColumn:\s*(.*)$", s)
                 fc = re.match(r"^fromCardinality:\s*(\w+)$", s)
                 tc = re.match(r"^toCardinality:\s*(\w+)$", s)
+                ia = re.match(r"^isActive:\s*(\w+)$", s)
                 if fm:
                     frm = _REF_RE.match(fm.group(1).strip())
                 elif tm:
@@ -463,6 +465,10 @@ class TmdlAdapter(BaseAdapter):
                     from_card = fc.group(1).lower()
                 elif tc:
                     to_card = tc.group(1).lower()
+                elif ia:
+                    # role-playing date keys: preserved but excluded from
+                    # join pathing (ref adapters/tmdl.py isActive handling)
+                    active = ia.group(1).lower() != "false"
             if not frm or not to:
                 continue
             from_table = _sanitize(frm.group(1) or frm.group(2))
@@ -487,6 +493,7 @@ class TmdlAdapter(BaseAdapter):
                 continue
             model.relationships.append(Relationship(
                 name=to_table, type=rtype, foreign_key=from_col, primary_key=to_col,
+                active=active,
             ))
             layer.graph._invalidate()
 
@@ -538,6 +545,19 @@ def export_tmdl(graph) -> str:
         blocks.append("\n".join(lines))
     from sidemantic_spark.adapters.base import m2o_edges
 
+    # inactive edges keyed in m2o_edges' owner/target orientation so the
+    # isActive: false marker survives the roundtrip
+    inactive: set = set()
+    for model in graph.models.values():
+        for rel in model.relationships:
+            if rel.active or rel.type == "cross" or rel.through or rel.sql:
+                continue
+            fks = rel.fk_list()
+            if rel.type == "one_to_many":
+                inactive.add((rel.name, model.name, tuple(fks)))
+            else:
+                inactive.add((model.name, rel.name, tuple(fks)))
+
     rel_lines: list[str] = []
     for owner, tgt, fks, pks, rtype, _jt in m2o_edges(graph):
         if len(fks) != 1:
@@ -550,6 +570,8 @@ def export_tmdl(graph) -> str:
             else "\tfromCardinality: many"
         )
         rel_lines.append("\ttoCardinality: one")
+        if (owner, tgt, tuple(fks)) in inactive:
+            rel_lines.append("\tisActive: false")
     if rel_lines:
         blocks.append("\n".join(rel_lines))
     return "\n\n".join(blocks) + "\n"

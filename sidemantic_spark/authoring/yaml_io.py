@@ -90,6 +90,7 @@ _REL_KEYS = {
     "primary_key_columns", "through", "through_foreign_key",
     "related_foreign_key", "through_foreign_key_columns",
     "related_foreign_key_columns", "sql", "join_type", "description",
+    "active",
 }
 _SEG_KEYS = {"name", "sql", "description", "label", "public"}
 _PARAM_KEYS = {"name", "type", "default_value", "description", "label"}
@@ -362,6 +363,7 @@ def _build_model(md: dict, errors: list) -> Model | None:
             through_from_key=through_fk,
             through_to_key=related_fk,
             join_type=rdata.get("join_type"),
+            active=rdata.get("active", True) is not False,
         ))
 
     segs: list[Segment] = []
@@ -597,7 +599,7 @@ def _post_process_model(model: Model, errors: list) -> None:
                         f"{v!r} needs an event-type dimension"
                     )
                     return v
-                return f"{event_type_dim} = '{v}'"
+                return f"{event_type_dim} = '{v.strip().replace(chr(39), chr(39) * 2)}'"
 
             for attr in ("base_event", "conversion_event", "activity_event"):
                 v = getattr(m, attr)
@@ -610,7 +612,9 @@ def _post_process_model(model: Model, errors: list) -> None:
 def _is_bare_event_name(v: str) -> bool:
     import re as _re
 
-    return bool(_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", v.strip()))
+    # embedded single quotes stay on the bare-value path (an unbalanced
+    # quote is never valid filter SQL); escaped at the interpolation site
+    return bool(_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_']*", v.strip()))
 
 
 # ---------------------------------------------------------------------
@@ -872,6 +876,8 @@ def _rel_to_yaml(r: Relationship) -> dict:
         out["through_foreign_key"] = r.through_from_key
     if r.through_to_key:
         out["related_foreign_key"] = r.through_to_key
+    if not r.active:
+        out["active"] = False
     return out
 
 

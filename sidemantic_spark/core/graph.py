@@ -139,6 +139,10 @@ class SemanticGraph:
             for rel in model.relationships:
                 if rel.name not in self.models:
                     continue
+                if not rel.active:
+                    # preserved metadata only (ref core/semantic_graph.py:
+                    # inactive edges never participate in default pathing)
+                    continue
                 if rel.type == "many_to_many" and rel.through:
                     self._add_junction_hops(adj, model, rel)
                     continue

@@ -311,6 +311,10 @@ class Relationship:
     through_to_key: str | list[str] | None = None  # junction FK -> related model
     join_type: str | None = None  # explicit override: left|inner|full
     meta: dict | None = None  # source-format join metadata (ref Relationship.metadata)
+    # inactive imported relationships (TMDL isActive: false, role-playing
+    # date keys) are preserved but excluded from join pathing (ref
+    # core/relationship.py:42 `active`)
+    active: bool = True
 
     def fk_list(self) -> list[str]:
         fk = self.foreign_key

@@ -2585,7 +2585,11 @@ FROM __step_1
         if filt is None:
             return None
         s = filt.strip()
-        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_\-]*", s):
+        # embedded single quotes stay on the bare-value path (an
+        # unbalanced quote is never valid filter SQL): the reference
+        # escapes them into the literal (ref tests/
+        # test_sql_generation_security.py conversion_event_name_quotes)
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_\-']*", s):
             return filt
         if s.lower() in _COMPLETE_SQL_KEYWORDS or s.lower() in _SQL_KEYWORDS:
             return filt

@@ -5950,3 +5950,108 @@ def test_rill_parent_selector_forms():
     assert run({**base, "parent_measures": ["m2"]})[1] == {"m2"}
     dims, _ = run({**base, "parent_dimensions": {"expr": "* EXCLUDE (b)"}})
     assert "a" in dims and "b" not in dims
+
+
+def test_inactive_relationship_excluded_from_pathing(spark):
+    """Relationship(active=False) is preserved on the model but never
+    used for join pathing (ref core/relationship.py:42, tests/
+    test_semantic_graph_errors.py inactive-relationship case)."""
+    from sidemantic_spark.core.graph import SemanticGraph
+    from sidemantic_spark.core.model import Model, Relationship
+
+    graph = SemanticGraph()
+    graph.add_model(Model(
+        name="sales", table="sales", primary_key="id",
+        relationships=[Relationship(
+            name="calendar", type="many_to_one",
+            foreign_key="ship_date_key", primary_key="date_key",
+            active=False,
+        )],
+    ))
+    graph.add_model(Model(name="calendar", table="calendar", primary_key="date_key"))
+
+    with pytest.raises(Exception, match="[Nn]o join path"):
+        graph.find_path("sales", "calendar")
+    # the relationship itself is preserved as metadata
+    assert graph.models["sales"].relationships[0].active is False
+
+
+def test_tmdl_inactive_relationship_roundtrip(spark, tmp_path):
+    """isActive: false imports as Relationship(active=False), stays out
+    of pathing, and survives export."""
+    from sidemantic_spark.adapters import TmdlAdapter
+    from sidemantic_spark.adapters.tmdl import export_tmdl
+
+    d = tmp_path / "definition"
+    (d / "tables").mkdir(parents=True)
+    (d / "tables" / "Sales.tmdl").write_text("""table rp_sales
+    column id
+        dataType: int64
+        isKey
+        sourceColumn: id
+    column ship_date_key
+        dataType: int64
+        sourceColumn: ship_date_key
+    column order_date_key
+        dataType: int64
+        sourceColumn: order_date_key
+""")
+    (d / "tables" / "Calendar.tmdl").write_text("""table rp_calendar
+    column date_key
+        dataType: int64
+        isKey
+        sourceColumn: date_key
+""")
+    (d / "relationships.tmdl").write_text("""relationship 'Sales-OrderDate'
+    fromColumn: rp_sales[order_date_key]
+    toColumn: rp_calendar[date_key]
+    fromCardinality: many
+    toCardinality: one
+
+relationship 'Sales-ShipDate'
+    fromColumn: rp_sales[ship_date_key]
+    toColumn: rp_calendar[date_key]
+    fromCardinality: many
+    toCardinality: one
+    isActive: false
+""")
+    layer = SparkSemanticLayer(spark)
+    TmdlAdapter().parse_file(layer, str(tmp_path))
+    sales = layer.graph.models["rp_sales"]
+    by_fk = {r.foreign_key: r for r in sales.relationships}
+    assert by_fk["order_date_key"].active is True
+    assert by_fk["ship_date_key"].active is False
+
+    # pathing resolves through the single ACTIVE edge (no ambiguity:
+    # the inactive role-playing edge is excluded)
+    path = layer.graph.find_path("rp_sales", "rp_calendar")
+    assert [h.fk_side for h in path] == [("order_date_key",)]
+
+    out = export_tmdl(layer.graph)
+    assert out.count("isActive: false") == 1
+    assert "rp_sales[ship_date_key]" in out
+
+
+def test_yaml_inactive_relationship_roundtrip(spark):
+    from sidemantic_spark.authoring.yaml_io import export_yaml, load_yaml
+    from sidemantic_spark.core.graph import SemanticGraph
+    from sidemantic_spark.core.model import Model, Relationship
+
+    graph = SemanticGraph()
+    graph.add_model(Model(
+        name="sales", table="sales", primary_key="id",
+        relationships=[
+            Relationship(name="calendar", type="many_to_one",
+                         foreign_key="ship_date_key", primary_key="date_key",
+                         active=False),
+            Relationship(name="calendar", type="many_to_one",
+                         foreign_key="order_date_key", primary_key="date_key"),
+        ],
+    ))
+    graph.add_model(Model(name="calendar", table="calendar", primary_key="date_key"))
+    text = export_yaml(graph)
+    layer2 = SparkSemanticLayer(spark)
+    load_yaml(layer2, text)
+    rels = {r.foreign_key: r for r in layer2.graph.models["sales"].relationships}
+    assert rels["ship_date_key"].active is False
+    assert rels["order_date_key"].active is True

@@ -1505,3 +1505,41 @@ def test_bare_event_value_without_event_type_dim_is_clear_error(spark):
     with pytest.raises(QueryCompileError) as exc:
         layer.compile(metrics=["noev_events.conv"])
     assert "event-type dimension" in str(exc.value)
+
+
+def test_conversion_event_value_quotes_escaped(spark):
+    """Event values containing single quotes are escaped into the
+    literal, never treated as filter SQL (ref tests/
+    test_sql_generation_security.py conversion_event_name_quotes)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.createDataFrame(
+        [
+            (1, "sign'up", "2024-01-01 00:00:00"),
+            (1, "pur'chase", "2024-01-03 00:00:00"),
+            (2, "sign'up", "2024-01-05 00:00:00"),
+        ],
+        "user_id long, event_type string, ts_s string",
+    ).selectExpr(
+        "user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts"
+    ).createOrReplaceTempView("quote_events")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="quote_events",
+        table="quote_events",
+        primary_key="user_id",
+        dimensions=[
+            Dimension(name="event_type"),
+            Dimension(name="ts", type="time"),
+        ],
+        metrics=[Metric(
+            name="conv", type="conversion", entity="user_id",
+            base_event="sign'up", conversion_event="pur'chase",
+            conversion_window="7 days",
+        )],
+    ))
+    sql = layer.compile(metrics=["quote_events.conv"])
+    assert "sign''up" in sql and "pur''chase" in sql
+    row = layer.query(metrics=["quote_events.conv"]).collect()[0]
+    assert abs(row["conv"] - 0.5) < 1e-9
