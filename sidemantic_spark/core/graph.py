@@ -94,6 +94,12 @@ class SemanticGraph:
         if model.name in self.models:
             raise SemanticGraphError(f"duplicate model {model.name!r}")
         self.models[model.name] = model
+        # graph-level metric types are addressable without a model prefix
+        # (ref core/semantic_graph.py:129-137: time_comparison and
+        # conversion auto-register; regular metrics stay model-scoped)
+        for metric in model.metrics:
+            if metric.type in ("time_comparison", "conversion") and metric.name not in self.metrics:
+                self.metrics[metric.name] = metric
         self._invalidate()
 
     def add_metric(self, metric: Metric) -> None:

@@ -1543,3 +1543,37 @@ def test_conversion_event_value_quotes_escaped(spark):
     assert "sign''up" in sql and "pur''chase" in sql
     row = layer.query(metrics=["quote_events.conv"]).collect()[0]
     assert abs(row["conv"] - 0.5) < 1e-9
+
+
+def test_time_comparison_auto_registered_at_graph_level(spark):
+    """time_comparison/conversion metrics auto-register as graph-level
+    names queryable without a model prefix; regular metrics stay
+    model-scoped (ref core/semantic_graph.py:129-137, tests/
+    test_semantic_graph_errors.py auto-register cases)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.sql(
+        "SELECT 1 AS id, 10.0 AS amount, CAST('2024-01-01' AS TIMESTAMP) AS d "
+        "UNION ALL SELECT 2, 20.0, CAST('2024-02-01' AS TIMESTAMP)"
+    ).createOrReplaceTempView("ar_orders")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="ar_orders", table="ar_orders", primary_key="id",
+        dimensions=[Dimension(name="d", type="time")],
+        metrics=[
+            Metric(name="revenue", agg="sum", sql="amount"),
+            Metric(name="revenue_mom", type="time_comparison",
+                   base_metric="revenue", comparison_type="mom",
+                   calculation="percent_change"),
+        ],
+    ))
+    assert "revenue_mom" in layer.graph.metrics
+    assert "revenue" not in layer.graph.metrics  # regular metrics stay scoped
+
+    rows = sorted(
+        layer.query(metrics=["revenue_mom"], dimensions=["ar_orders.d__month"]).collect(),
+        key=lambda r: str(r[0]),
+    )
+    assert rows[0]["revenue_mom"] is None
+    assert abs(rows[1]["revenue_mom"] - 100.0) < 1e-9
