@@ -291,6 +291,126 @@ def document_symbols(text: str) -> list[dict]:
     return out
 
 
+def _word_at(text: str, line: int, character: int) -> str | None:
+    lines = text.splitlines()
+    if line >= len(lines):
+        return None
+    for m in _WORD_RE.finditer(lines[line]):
+        if m.start() <= character <= m.end():
+            return m.group(0)
+    return None
+
+
+def _definition_lines(text: str) -> list[tuple[str, int, int, int]]:
+    """(name, line, start_char, end_char) for every ``name: X`` and
+    ``- name: X`` declaration in document order."""
+    out = []
+    for i, ln in enumerate(text.splitlines()):
+        m = re.match(r"^\s*-?\s*name:\s*([\w.]+)\s*$", ln)
+        if m:
+            out.append((m.group(1), i, ln.index(m.group(1)), ln.index(m.group(1)) + len(m.group(1))))
+    return out
+
+
+def _rng(line: int, start: int, end: int) -> dict:
+    return {"start": {"line": line, "character": start},
+            "end": {"line": line, "character": end}}
+
+
+def definition_for(text: str, line: int, character: int) -> dict | None:
+    """Range of the ``name:`` declaration for the token under the
+    cursor. ``model.field`` resolves the field part; lookup is
+    case-insensitive (ref lsp/server.py find_definition_by_name)."""
+    word = _word_at(text, line, character)
+    if not word:
+        return None
+    target = word.rsplit(".", 1)[-1].lower()
+    for name, dline, s, e in _definition_lines(text):
+        if name.lower() == target:
+            return _rng(dline, s, e)
+    return None
+
+
+def references_for(
+    text: str, line: int, character: int, include_declaration: bool = True
+) -> list[dict]:
+    """Whole-word occurrence ranges of the token under the cursor.
+    The ``name:`` declaration line is included only when asked (LSP
+    ``context.includeDeclaration``)."""
+    word = _word_at(text, line, character)
+    if not word:
+        return []
+    target = word.rsplit(".", 1)[-1]
+    decl_lines = {
+        dline for name, dline, _, _ in _definition_lines(text)
+        if name.lower() == target.lower()
+    }
+    pat = re.compile(rf"(?<![\w.]){re.escape(target)}(?![\w])")
+    out = []
+    for i, ln in enumerate(text.splitlines()):
+        for m in pat.finditer(ln):
+            if i in decl_lines and not include_declaration:
+                continue
+            out.append(_rng(i, m.start(), m.end()))
+    return out
+
+
+# renaming a structural key would corrupt the document, not the model
+_RENAME_KEYWORDS = frozenset(
+    MODEL_KEYS + DIMENSION_KEYS + METRIC_KEYS
+    + ["models", "dimensions", "metrics", "relationships", "segments"]
+)
+
+
+def rename_edits(
+    text: str, line: int, character: int, new_name: str
+) -> list[dict] | None:
+    """TextEdits renaming every whole-word occurrence of the symbol
+    under the cursor. Refuses YAML structure keywords and invalid new
+    names (ref lsp/server.py build_rename_workspace_edit)."""
+    word = _word_at(text, line, character)
+    if not word or "." in word:
+        word = word.rsplit(".", 1)[-1] if word else None
+    if not word or word in _RENAME_KEYWORDS:
+        return None
+    if not re.fullmatch(r"[A-Za-z_]\w*", new_name or ""):
+        return None
+    pat = re.compile(rf"(?<![\w.]){re.escape(word)}(?![\w])")
+    edits = [
+        {"range": _rng(i, m.start(), m.end()), "newText": new_name}
+        for i, ln in enumerate(text.splitlines())
+        for m in pat.finditer(ln)
+    ]
+    return edits or None
+
+
+_SIGNATURES = {
+    "models": ("model(name, table|sql, primary_key, dimensions, metrics, ...)",
+               MODEL_KEYS),
+    "dimensions": ("dimension(name, type, sql, granularity, ...)",
+                   DIMENSION_KEYS),
+    "metrics": ("metric(name, agg|type, sql, filters, ...)", METRIC_KEYS),
+}
+
+
+def signature_help(text: str, line: int) -> dict | None:
+    """Block-contextual signature: the enclosing definition's field
+    surface (ref lsp/server.py build_signature_help)."""
+    block = _enclosing_block(text.splitlines(), line) or "models"
+    sig = _SIGNATURES.get(block)
+    if sig is None:
+        return None
+    label, keys = sig
+    return {
+        "signatures": [{
+            "label": label,
+            "parameters": [{"label": k} for k in keys],
+        }],
+        "activeSignature": 0,
+        "activeParameter": 0,
+    }
+
+
 class LspServer:
     """Content-Length framed JSON-RPC loop over stdio."""
 
@@ -310,6 +430,10 @@ class LspServer:
                     "completionProvider": {"triggerCharacters": [".", ":"]},
                     "hoverProvider": True,
                     "documentSymbolProvider": True,
+                    "definitionProvider": True,
+                    "referencesProvider": True,
+                    "renameProvider": True,
+                    "signatureHelpProvider": {"triggerCharacters": [":", " "]},
                 },
                 "serverInfo": {"name": "sidemantic-spark-lsp", "version": "1.0"},
             })
@@ -353,6 +477,39 @@ class LspServer:
         if method == "textDocument/documentSymbol":
             uri = (params.get("textDocument") or {}).get("uri")
             return self._result(msg_id, document_symbols(self.docs.get(uri, "")))
+        if method == "textDocument/definition":
+            uri = (params.get("textDocument") or {}).get("uri")
+            pos = params.get("position") or {}
+            rng = definition_for(self.docs.get(uri, ""), pos.get("line", 0),
+                                 pos.get("character", 0))
+            if rng is None:
+                return self._result(msg_id, None)
+            return self._result(msg_id, {"uri": uri, "range": rng})
+        if method == "textDocument/references":
+            uri = (params.get("textDocument") or {}).get("uri")
+            pos = params.get("position") or {}
+            include = bool((params.get("context") or {}).get(
+                "includeDeclaration", True))
+            locs = references_for(
+                self.docs.get(uri, ""), pos.get("line", 0),
+                pos.get("character", 0), include_declaration=include)
+            return self._result(
+                msg_id, [{"uri": uri, "range": r} for r in locs])
+        if method == "textDocument/rename":
+            uri = (params.get("textDocument") or {}).get("uri")
+            pos = params.get("position") or {}
+            edits = rename_edits(
+                self.docs.get(uri, ""), pos.get("line", 0),
+                pos.get("character", 0), params.get("newName", ""))
+            if edits is None:
+                return self._result(msg_id, None)
+            return self._result(msg_id, {"changes": {uri: edits}})
+        if method == "textDocument/signatureHelp":
+            uri = (params.get("textDocument") or {}).get("uri")
+            pos = params.get("position") or {}
+            return self._result(
+                msg_id, signature_help(self.docs.get(uri, ""),
+                                       pos.get("line", 0)))
         if msg_id is not None:
             return self._error(msg_id, -32601, f"method not found: {method}")
         return None

@@ -133,3 +133,117 @@ def test_lsp_rpc_flow_and_stdio_framing():
     raw = out.getvalue().decode()
     assert "sidemantic-spark-lsp" in raw
     assert raw.count("Content-Length") == 2  # initialize + shutdown replies
+
+
+def test_definition_and_references():
+    from sidemantic_spark.server.lsp import definition_for, references_for
+
+    lines = DOC.splitlines()
+    # "revenue" appears declared at its `- name: revenue` line
+    decl_line = next(i for i, ln in enumerate(lines) if "name: revenue" in ln)
+    # put a reference in a derived metric and resolve from there
+    doc = DOC + """\
+      - name: rev_share
+        type: derived
+        expr: revenue / order_count
+"""
+    ref_line = len(doc.splitlines()) - 1
+    col = doc.splitlines()[ref_line].index("revenue") + 1
+    rng = definition_for(doc, ref_line, col)
+    assert rng is not None and rng["start"]["line"] == decl_line
+
+    # case-insensitive lookup (ref lsp/server.py find_definition_by_name)
+    rng2 = definition_for(doc.replace("expr: revenue /", "expr: REVENUE /"),
+                          ref_line, col)
+    assert rng2 is None or rng2["start"]["line"] == decl_line  # REVENUE token
+    assert definition_for(doc, ref_line, doc.splitlines()[ref_line].index("order_count") + 1) is not None
+
+    refs_incl = references_for(doc, ref_line, col, include_declaration=True)
+    refs_excl = references_for(doc, ref_line, col, include_declaration=False)
+    assert len(refs_incl) == len(refs_excl) + 1
+    assert all(r["start"]["line"] != decl_line for r in refs_excl)
+
+
+def test_rename_and_keyword_guard():
+    from sidemantic_spark.server.lsp import rename_edits
+
+    doc = DOC + """\
+      - name: rev_share
+        type: derived
+        expr: revenue / order_count
+"""
+    ref_line = len(doc.splitlines()) - 1
+    col = doc.splitlines()[ref_line].index("revenue") + 1
+    edits = rename_edits(doc, ref_line, col, "gross_revenue")
+    assert edits and len(edits) == doc.count("revenue") - doc.count("revenue_")  # whole words only
+    # applying the edits yields no leftover whole-word 'revenue'
+    new_lines = doc.splitlines()
+    for e in sorted(edits, key=lambda e: (e["range"]["start"]["line"],
+                                          -e["range"]["start"]["character"])):
+        ln = e["range"]["start"]["line"]
+        s, t = e["range"]["start"]["character"], e["range"]["end"]["character"]
+        new_lines[ln] = new_lines[ln][:s] + e["newText"] + new_lines[ln][t:]
+    joined = "\n".join(new_lines)
+    import re as _re
+    assert not _re.search(r"(?<![\w.])revenue(?![\w])", joined)
+
+    # structural keywords are refused (ref build_rename_workspace_edit
+    # skips keywords); so are invalid new names
+    kw_line = next(i for i, ln in enumerate(doc.splitlines()) if ln.strip() == "metrics:")
+    kw_col = doc.splitlines()[kw_line].index("metrics") + 1
+    assert rename_edits(doc, kw_line, kw_col, "things") is None
+    assert rename_edits(doc, ref_line, col, "1bad name") is None
+
+
+def test_signature_help_contexts():
+    from sidemantic_spark.server.lsp import signature_help
+
+    lines = DOC.splitlines()
+    in_metric = next(i for i, ln in enumerate(lines) if "agg: sum" in ln)
+    sh = signature_help(DOC, in_metric)
+    assert sh and "metric(" in sh["signatures"][0]["label"]
+    params = [p["label"] for p in sh["signatures"][0]["parameters"]]
+    assert "agg" in params and "filters" in params
+
+    in_dim = next(i for i, ln in enumerate(lines) if "sql: o_orderstatus" in ln)
+    sh = signature_help(DOC, in_dim)
+    assert sh and "dimension(" in sh["signatures"][0]["label"]
+
+
+def test_server_dispatch_new_methods():
+    srv = LspServer()
+    init = srv.handle({"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}})
+    caps = init["result"]["capabilities"]
+    for cap in ("definitionProvider", "referencesProvider", "renameProvider",
+                "signatureHelpProvider"):
+        assert caps.get(cap), cap
+
+    doc = DOC + """\
+      - name: rev_share
+        type: derived
+        expr: revenue / order_count
+"""
+    srv.handle({"jsonrpc": "2.0", "method": "textDocument/didOpen",
+                "params": {"textDocument": {"uri": "u", "text": doc}}})
+    ref_line = len(doc.splitlines()) - 1
+    col = doc.splitlines()[ref_line].index("revenue") + 1
+    pos = {"line": ref_line, "character": col}
+
+    r = srv.handle({"jsonrpc": "2.0", "id": 2, "method": "textDocument/definition",
+                    "params": {"textDocument": {"uri": "u"}, "position": pos}})
+    assert r["result"]["uri"] == "u"
+
+    r = srv.handle({"jsonrpc": "2.0", "id": 3, "method": "textDocument/references",
+                    "params": {"textDocument": {"uri": "u"}, "position": pos,
+                               "context": {"includeDeclaration": False}}})
+    assert r["result"] and all(loc["uri"] == "u" for loc in r["result"])
+
+    r = srv.handle({"jsonrpc": "2.0", "id": 4, "method": "textDocument/rename",
+                    "params": {"textDocument": {"uri": "u"}, "position": pos,
+                               "newName": "net_revenue"}})
+    assert r["result"]["changes"]["u"]
+
+    r = srv.handle({"jsonrpc": "2.0", "id": 5, "method": "textDocument/signatureHelp",
+                    "params": {"textDocument": {"uri": "u"},
+                               "position": {"line": ref_line, "character": 0}}})
+    assert r["result"]["signatures"]
