@@ -127,17 +127,20 @@ def _looks_like_osi_json(data) -> bool:
     return False
 
 
+def load_from_file(layer, path: str) -> None:
+    """Auto-detect and load exactly one semantic file.
+
+    Exact-file semantics (ref ``tests/test_formats.py``
+    auto_file_load_is_exact): only the named file is parsed — sibling
+    files are never scanned, including for LookML.
+    """
+    _load_one(layer, path, lookml_target=path)
+
+
 def load_from_directory(layer, directory: str, strict: bool = True) -> None:
     """Auto-detect and load every semantic file under ``directory``."""
-    from sidemantic_spark.adapters import ADAPTERS, import_file
-    from sidemantic_spark.authoring.sql_defs import load_sql_definitions
-    from sidemantic_spark.authoring.yaml_io import (
-        load_python_definitions,
-        load_yaml,
-    )
-
     directory = os.path.abspath(directory)
-    saw_lookml = False
+    saw_lookml = [False]
     files: list[str] = []
     for root, dirs, names in os.walk(directory):
         dirs[:] = sorted(
@@ -146,87 +149,103 @@ def load_from_directory(layer, directory: str, strict: bool = True) -> None:
         for name in sorted(names):
             files.append(os.path.join(root, name))
 
-    def _handle(path: str) -> None:
-        nonlocal saw_lookml
-        ext = os.path.splitext(path)[1].lower()
-        if ext in (".lkml", ".lookml"):
-            if not saw_lookml:
-                saw_lookml = True
-                ADAPTERS["lookml"]().parse_file(layer, directory)
-            return
-        if ext == ".malloy":
-            return import_file(layer, path, "malloy")
-        if ext == ".tml":
-            return import_file(layer, path, "thoughtspot")
-        if ext == ".tmdl":
-            return import_file(layer, path, "tmdl")
-        if ext == ".aml":
-            return import_file(layer, path, "holistics")
-        if ext == ".gsql":
-            return import_file(layer, path, "graphene")
-        if ext == ".json":
-            with open(path) as fh:
-                try:
-                    data = json.load(fh)
-                except json.JSONDecodeError as exc:
-                    raise FormatDetectionError(
-                        f"malformed JSON in {path}: {exc}"
-                    ) from exc
-            if _looks_like_osi_json(data) or os.path.basename(
-                os.path.dirname(path)
-            ).upper() == "OSI":
-                return import_file(layer, path, "osi")
-            if isinstance(data, dict) and (
-                "ldm" in data or "projectModel" in data
-            ):
-                return import_file(layer, path, "gooddata")
-            return None  # random JSON: never guessed at
-        if ext == ".sql":
-            with open(path) as fh:
-                text = fh.read()
-            if _YARDSTICK_RE.search(text):
-                ADAPTERS["yardstick"]().parse_text(layer, text)
-                return
-            return load_sql_definitions(layer, text, source=path)
-        if ext == ".py":
-            with open(path) as fh:
-                text = fh.read()
-            if _PY_MODEL_RE.search(text):
-                return load_python_definitions(layer, text, source=path)
-            return None
-        if ext in (".yml", ".yaml"):
-            with open(path) as fh:
-                text = fh.read()
-            fmt = detect_yaml_format(text)
-            if fmt == "native":
-                return load_yaml(layer, text, source=path)
-            stem = os.path.splitext(os.path.basename(path))[0]
-            adapter = ADAPTERS[fmt]()
-            try:
-                docs = _docs(text)
-            except yaml.YAMLError as exc:
-                raise FormatDetectionError(
-                    f"malformed YAML in {path}: {exc}"
-                ) from exc
-            import inspect
-
-            takes_stem = "filestem" in inspect.signature(
-                adapter.parse
-            ).parameters
-            for doc in docs:
-                if takes_stem:
-                    adapter.parse(layer, doc, filestem=stem)
-                else:
-                    adapter.parse(layer, doc)
-            return None
-        return None
-
     for path in files:
         try:
-            _handle(path)
+            _load_one(layer, path, lookml_target=directory,
+                      saw_lookml=saw_lookml)
         except Exception as exc:
             if strict:
                 if isinstance(exc, FormatDetectionError):
                     raise
                 raise FormatDetectionError(f"{path}: {exc}") from exc
             warnings.warn(f"skipped {path}: {exc}", stacklevel=2)
+
+
+def _load_one(layer, path: str, *, lookml_target: str,
+              saw_lookml: list | None = None) -> None:
+    """Dispatch one file to its format loader. ``lookml_target`` is what
+    the LookML adapter receives (the project directory when scanning a
+    tree — LookML views/explores cross-reference between files — or the
+    file itself for exact-file loads); ``saw_lookml`` dedupes the
+    directory-wide parse across a tree walk."""
+    from sidemantic_spark.adapters import ADAPTERS, import_file
+    from sidemantic_spark.authoring.sql_defs import load_sql_definitions
+    from sidemantic_spark.authoring.yaml_io import (
+        load_python_definitions,
+        load_yaml,
+    )
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".lkml", ".lookml"):
+        if saw_lookml is None:
+            ADAPTERS["lookml"]().parse_file(layer, lookml_target)
+        elif not saw_lookml[0]:
+            saw_lookml[0] = True
+            ADAPTERS["lookml"]().parse_file(layer, lookml_target)
+        return
+    if ext == ".malloy":
+        return import_file(layer, path, "malloy")
+    if ext == ".tml":
+        return import_file(layer, path, "thoughtspot")
+    if ext == ".tmdl":
+        return import_file(layer, path, "tmdl")
+    if ext == ".aml":
+        return import_file(layer, path, "holistics")
+    if ext == ".gsql":
+        return import_file(layer, path, "graphene")
+    if ext == ".json":
+        with open(path) as fh:
+            try:
+                data = json.load(fh)
+            except json.JSONDecodeError as exc:
+                raise FormatDetectionError(
+                    f"malformed JSON in {path}: {exc}"
+                ) from exc
+        if _looks_like_osi_json(data) or os.path.basename(
+            os.path.dirname(path)
+        ).upper() == "OSI":
+            return import_file(layer, path, "osi")
+        if isinstance(data, dict) and (
+            "ldm" in data or "projectModel" in data
+        ):
+            return import_file(layer, path, "gooddata")
+        return None  # random JSON: never guessed at
+    if ext == ".sql":
+        with open(path) as fh:
+            text = fh.read()
+        if _YARDSTICK_RE.search(text):
+            ADAPTERS["yardstick"]().parse_text(layer, text)
+            return
+        return load_sql_definitions(layer, text, source=path)
+    if ext == ".py":
+        with open(path) as fh:
+            text = fh.read()
+        if _PY_MODEL_RE.search(text):
+            return load_python_definitions(layer, text, source=path)
+        return None
+    if ext in (".yml", ".yaml"):
+        with open(path) as fh:
+            text = fh.read()
+        fmt = detect_yaml_format(text)
+        if fmt == "native":
+            return load_yaml(layer, text, source=path)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        adapter = ADAPTERS[fmt]()
+        try:
+            docs = _docs(text)
+        except yaml.YAMLError as exc:
+            raise FormatDetectionError(
+                f"malformed YAML in {path}: {exc}"
+            ) from exc
+        import inspect
+
+        takes_stem = "filestem" in inspect.signature(
+            adapter.parse
+        ).parameters
+        for doc in docs:
+            if takes_stem:
+                adapter.parse(layer, doc, filestem=stem)
+            else:
+                adapter.parse(layer, doc)
+        return None
+    return None
