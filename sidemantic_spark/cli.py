@@ -62,8 +62,17 @@ def _load_layer(args, spark=None):
         load_path(layer, path)
     else:
         from sidemantic_spark.adapters import import_file
+        from sidemantic_spark.formats import get_semantic_format
 
-        import_file(layer, path, fmt)
+        # alias resolution: cube_js -> cube, powerbi -> tmdl, dbt ->
+        # metricflow, ... (ref formats.py get_semantic_format)
+        spec = get_semantic_format(fmt, operation="import")
+        if spec.adapter == "sidemantic":
+            from sidemantic_spark.authoring import load_path as _lp
+
+            _lp(layer, path)
+        else:
+            import_file(layer, path, spec.adapter)
     # project-config defaults first (table registrations + preagg root)
     # so explicit --register bindings override config, matching the
     # CLI > config precedence resolve_models() uses for --models
@@ -138,9 +147,12 @@ def cmd_compile(args) -> int:
 
 def cmd_convert(args) -> int:
     from sidemantic_spark.adapters import export_graph
+    from sidemantic_spark.formats import get_semantic_format
 
     layer = _load_layer(args)
-    text = export_graph(layer.graph, args.to)
+    spec = get_semantic_format(args.to, operation="export")
+    target = "native" if spec.adapter == "sidemantic" else spec.adapter
+    text = export_graph(layer.graph, target)
     if args.out:
         with open(args.out, "w") as fh:
             fh.write(text)
@@ -150,7 +162,7 @@ def cmd_convert(args) -> int:
     if getattr(args, "fidelity", False):
         from sidemantic_spark.adapters.fidelity import roundtrip_fidelity
 
-        rep = roundtrip_fidelity(layer.graph, args.to)
+        rep = roundtrip_fidelity(layer.graph, target)
         for line in rep.summary_lines():
             print(line)
     return 0

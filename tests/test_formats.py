@@ -104,3 +104,28 @@ cubes:
     layer = SparkSemanticLayer(spark)
     load_semantic_source(layer, str(p), source_format="cube_js")
     assert "explicit_cube" in layer.graph.models
+
+
+def test_cli_accepts_format_aliases(spark, tmp_path, capsys):
+    """`convert --to powerbi` and `--format cube_js` resolve through the
+    registry (ref formats.py alias table)."""
+    import argparse
+
+    from sidemantic_spark.cli import cmd_convert
+
+    cube_doc = """\
+cubes:
+  - name: alias_cube
+    sql_table: t
+    measures:
+      - name: count
+        type: count
+"""
+    p = tmp_path / "model.yml"
+    p.write_text(cube_doc)
+    args = argparse.Namespace(
+        models=str(p), config=None, format="cube_js", register=None,
+        to="powerbi", out=None, fidelity=False)
+    assert cmd_convert(args) == 0
+    out = capsys.readouterr().out
+    assert "alias_cube" in out and "table alias_cube" in out  # TMDL text
