@@ -185,18 +185,20 @@ def sample_thresholds_sql(
 def _word_gram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, gram_hash) long-format word n-grams of the normalized text.
     Documents shorter than ``n`` words contribute their whole text as
-    one gram (mirrors the dedup family's degenerate-input rule)."""
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.split(_norm(F.col(text_col)), " ").alias("__toks"),
+    one gram (mirrors the dedup family's degenerate-input rule).
+
+    Hashing runs through the dedup family's Arrow batch kernel —
+    bit-identical values to the previous interpreted
+    ``xxhash64(concat_ws(' ', slice(...)))`` formulation, measured
+    ~3.5x faster (see dedup._word_gram_hashes_udf)."""
+    from sidemantic_spark.operators.dedup import _word_gram_hashes_udf
+
+    normed = df.select(
+        F.col(id_col).alias("__id"), _norm(F.col(text_col)).alias("__norm")
     )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("__toks") - n + 1, F.lit(1))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i, n))),
-        )
+    return normed.select(
+        "__id", F.explode(_word_gram_hashes_udf(n)(F.col("__norm"))).alias("__gram")
     )
-    return toks.select("__id", F.explode(grams).alias("__gram"))
 
 
 def span_dedup(

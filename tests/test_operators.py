@@ -1100,3 +1100,55 @@ def test_tfidf_vs_manual(spark):
     assert scores[1] == round((1 + math.log(2)) * math.log(n / df_a), 6)
     assert scores[2] == round((1 + math.log(1)) * math.log(n / df_a), 6)
     assert 3 not in scores
+
+
+def test_xxh64_kernel_full_length_parity(spark):
+    """_xxh64_windows must match the engine's xxhash64 bit-for-bit on
+    BOTH paths: short inputs (<32 B tail-only) and >=32 B inputs that
+    take the 4-accumulator stripe path (word n-grams live there)."""
+    import numpy as np
+
+    from sidemantic_spark.operators.dedup import _xxh64_windows
+
+    tests = [
+        "a", "abcd", "abcdefg", "abcdefgh",  # tail-only
+        "0123456789012345678901234567890",    # 31 B: longest tail-only
+        "01234567890123456789012345678901",   # 32 B: one stripe, no tail
+        "x" * 33, "y" * 63, "z" * 64,         # stripe + tails
+        "alpha beta gamma delta epsilon zeta eta theta",  # real gram
+        "ünïcødé multibyte window test ünïcødé multibyte",
+    ]
+    bufs = [t.encode("utf-8") for t in tests]
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    starts, lengths, off = [], [], 0
+    for b in bufs:
+        starts.append(off)
+        lengths.append(len(b))
+        off += len(b)
+    h = _xxh64_windows(data, np.array(starts), np.array(lengths)).view("int64")
+    row = spark.sql("SELECT " + ", ".join(
+        f"xxhash64('{t}') AS h{i}" for i, t in enumerate(tests))).collect()[0]
+    for i, t in enumerate(tests):
+        assert int(row[i]) == int(h[i]), (len(bufs[i]), t[:30])
+
+
+def test_word_gram_kernel_matches_jvm_formulation(docs, spark):
+    """The Arrow word-gram kernel must reproduce the engine expression
+    xxhash64(concat_ws(' ', slice(split(norm), i, n))) exactly."""
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators import dedup
+
+    n = 5
+    normed = docs.limit(150).select(
+        F.col("doc_id"), dedup._norm(F.col("text")).alias("__norm"))
+    kern = {r["doc_id"]: sorted(r["g"]) for r in normed.select(
+        "doc_id", dedup._word_gram_hashes_udf(n)(F.col("__norm")).alias("g")
+    ).collect()}
+    toks = normed.select("doc_id", F.split("__norm", " ").alias("__toks"))
+    jvm_grams = F.array_sort(F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__toks") - n + 1, F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i, n))))))
+    jvm = {r["doc_id"]: list(r["g"]) for r in toks.select(
+        "doc_id", jvm_grams.alias("g")).collect()}
+    assert kern == jvm
