@@ -1152,3 +1152,26 @@ def test_word_gram_kernel_matches_jvm_formulation(docs, spark):
     jvm = {r["doc_id"]: list(r["g"]) for r in toks.select(
         "doc_id", jvm_grams.alias("g")).collect()}
     assert kern == jvm
+
+
+def test_hyperplane_bucket_kernel_parity(spark, sf_dir):
+    """The Arrow banded-bucket kernel must agree bit-for-bit with the
+    JVM hyperplane_bucket fold on the full embeddings table (sign bits
+    depend on IEEE rounding order — the kernel accumulates per
+    dimension to match the sequential fold exactly)."""
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators import similarity
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bands, r, dim = 4, 4, 64
+    planes = similarity._det_planes(dim, bands * r)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    jvm = {x["vec_id"]: [x[f"b{j}"] for j in range(bands)] for x in df.select(
+        "vec_id", *[similarity.hyperplane_bucket(emb, planes[j * r:(j + 1) * r]).alias(f"b{j}")
+                    for j in range(bands)]).collect()}
+    kern = df.select(
+        "vec_id",
+        similarity._hyperplane_band_buckets_udf(planes, bands, r)(
+            F.col("embedding")).alias("bs")).collect()
+    assert all(list(x["bs"]) == jvm[x["vec_id"]] for x in kern)
