@@ -18,9 +18,11 @@ class BaseAdapter:
         raise NotImplementedError
 
     def parse_file(self, layer, path: str) -> None:
+        from sidemantic_spark.authoring.yaml_io import yaml_safe_load_all
+
         with open(path) as fh:
             text = fh.read()
-        docs = [d for d in yaml.safe_load_all(text) if d]
+        docs = [d for d in yaml_safe_load_all(text) if d]
         for doc in docs:
             self.parse(layer, doc)
 

@@ -41,7 +41,9 @@ class FormatDetectionError(Exception):
 
 
 def _docs(text: str) -> list:
-    return [d for d in yaml.safe_load_all(text) if d is not None]
+    from sidemantic_spark.authoring.yaml_io import yaml_safe_load_all
+
+    return [d for d in yaml_safe_load_all(text) if d is not None]
 
 
 def detect_yaml_format(text: str) -> str:

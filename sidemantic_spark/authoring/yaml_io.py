@@ -17,6 +17,20 @@ import re
 
 import yaml
 
+# libyaml's C loader is ~10x the pure-Python one on big projects (ref
+# tests/test_loading_validation_performance.py safe_c_loader case);
+# fall back transparently where the wheel lacks it
+_YAML_LOADER = getattr(yaml, "CSafeLoader", yaml.SafeLoader)
+
+
+def yaml_safe_load(text: str):
+    return yaml.load(text, Loader=_YAML_LOADER)
+
+
+def yaml_safe_load_all(text: str):
+    return yaml.load_all(text, Loader=_YAML_LOADER)
+
+
 from sidemantic_spark.core.model import (
     SIMPLE_AGGS,
     Dimension,
@@ -148,7 +162,7 @@ def load_yaml(layer, text: str, *, source: str = "<yaml>") -> None:
     on ``layer``. Raises AuthoringError with the full error list."""
     text = substitute_env_vars(text)
     try:
-        data = yaml.safe_load(text)
+        data = yaml_safe_load(text)
     except yaml.YAMLError as exc:
         raise AuthoringError(f"{source}: YAML parse error: {exc}") from exc
     if not isinstance(data, dict):
@@ -701,7 +715,7 @@ def load_path(layer, path: str, strict: bool = True) -> None:
                 continue
             try:
                 with open(f) as fh:
-                    yaml.safe_load(fh.read())
+                    yaml_safe_load(fh.read())
             except yaml.YAMLError as exc:
                 raise AuthoringError(
                     f"Could not parse {f}: {exc}"
