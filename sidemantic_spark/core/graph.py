@@ -153,17 +153,28 @@ class SemanticGraph:
                     self._add_junction_hops(adj, model, rel)
                     continue
                 target = self.models[rel.name]
+                custom = _custom_join_condition(rel.sql)
                 # key convention (reference core/semantic_graph.py:415-427,
                 # core/relationship.py:27-31): many_to_one carries the FK
                 # locally and joins the target's PK; one_to_many/one_to_one
-                # join the local PK to the FK on the related model
+                # join the local PK to the FK on the related model. An
+                # OMITTED foreign key is never invented from primary keys —
+                # the edge is simply not joinable (ref
+                # tests/test_relationships.py omitted-key cases; a guessed
+                # pk=pk join would silently produce wrong rows). Custom-SQL
+                # and cross edges carry their own condition.
+                if not rel.fk_list() and not custom and rel.type != "cross":
+                    continue
                 if rel.type in ("one_to_many", "one_to_one"):
                     fk = tuple(rel.pk_list(model.pk_list()))  # local key
                     pk = tuple(rel.fk_list() or target.pk_list())  # related FK
                 else:
                     fk = tuple(rel.fk_list() or model.pk_list())
                     pk = tuple(rel.pk_list(target.pk_list()))
-                custom = _custom_join_condition(rel.sql)
+                if len(fk) != len(pk) and not custom and rel.type != "cross":
+                    # composite-key arity mismatch: not joinable (ref
+                    # tests/test_relationships.py mismatched-arity case)
+                    continue
                 fwd = JoinHop(model.name, rel.name, rel.type, fk, pk, custom)
                 rev = JoinHop(
                     rel.name,

@@ -601,3 +601,42 @@ def test_conformed_dimension_multifact(spark):
         key=lambda x: (x[0] is None, x[0] if x[0] is not None else -1),
     )
     assert rows == [(1, 100.0, 5), (2, 200.0, 3), (99, None, 2), (None, 50.0, 7)]
+
+
+def test_omitted_keys_are_not_joinable():
+    """Relationships without structured keys never invent a pk=pk join
+    (ref tests/test_relationships.py omitted-key + arity cases) —
+    a guessed join silently returns wrong rows; refusing is correct."""
+    from sidemantic_spark.core.graph import SemanticGraph
+    from sidemantic_spark.core.model import Model, Relationship
+
+    def graph_with(rel):
+        g = SemanticGraph()
+        g.add_model(Model(name="a", table="a", primary_key="a_id",
+                          relationships=[rel]))
+        g.add_model(Model(name="b", table="b", primary_key="b_id"))
+        return g
+
+    for rel in (
+        Relationship(name="b", type="many_to_one"),
+        Relationship(name="b", type="one_to_many"),
+        Relationship(name="b", type="one_to_one"),
+        # composite arity mismatch
+        Relationship(name="b", type="many_to_one",
+                     foreign_key=["x", "y"], primary_key="b_id"),
+    ):
+        g = graph_with(rel)
+        with pytest.raises(Exception, match="[Nn]o join path"):
+            g.find_path("a", "b")
+
+    # explicit FK + omitted PK -> target primary key is used
+    g = graph_with(Relationship(name="b", type="many_to_one", foreign_key="b_ref"))
+    path = g.find_path("a", "b")
+    assert [(h.fk_side, h.pk_side) for h in path] == [(("b_ref",), ("b_id",))]
+
+    # custom SQL and cross edges need no structured keys
+    g = graph_with(Relationship(name="b", type="many_to_one",
+                                sql="{from}.x = {to}.y"))
+    assert g.find_path("a", "b")
+    g = graph_with(Relationship(name="b", type="cross"))
+    assert g.find_path("a", "b")
