@@ -1320,6 +1320,28 @@ def _streaming_window_agg(spark, sf_dir):
     )
 
 
+def _streaming_enrich_agg(spark, sf_dir):
+    """Stream-static enrichment: the events stream broadcast-joined to
+    the customer dimension, then a complete-mode grouped aggregate.
+    Stateless join (no watermark state); availableNow replay equals the
+    batch LEFT JOIN + GROUP BY oracle."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    sl = _stream_layer(spark, sf_dir)
+    enriched = sl.stream_enrich(
+        "events", "customer", {"user_id": "c_custkey"}, columns=["c_mktsegment"]
+    )
+    agg = enriched.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+    name = "stream_enr_" + uuid.uuid4().hex[:8]
+    sl.to_memory_sink(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
 def _streaming_dedup_fingerprint(spark, sf_dir):
     """Streaming corpus ingestion dedup on content fingerprints: the
     documents stream computes the same md5 fingerprint the batch dedup
@@ -1823,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_agg": _streaming_window_agg,
         "streaming_sessionize": _streaming_sessionize,
         "streaming_ingest_dedup": _streaming_ingest_dedup,
+        "streaming_enrich_agg": _streaming_enrich_agg,
         "streaming_dedup_fingerprint": _streaming_dedup_fingerprint,
         "streaming_rollup_route": _streaming_rollup_route,
     }
@@ -3273,6 +3296,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_ingest_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_enrich_agg": """
+            SELECT c.c_mktsegment AS mktsegment,
+                   COUNT(*) AS event_count,
+                   CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1
         """,
         "streaming_rollup_route": """
             SELECT event_type,

@@ -366,6 +366,42 @@ class StreamingSemanticLayer:
             )
         )
 
+    def stream_enrich(
+        self,
+        model_name: str,
+        static_model: str,
+        on: dict[str, str],
+        columns: list[str] | None = None,
+        how: str = "left",
+    ) -> DataFrame:
+        """Stream-static enrichment join: the bound stream joined to a
+        registered static model's table, static side broadcast.
+
+        Stateless (no watermark state): Spark re-plans the static side
+        per micro-batch, so slowly-changing dimension updates are
+        picked up at batch boundaries. At scale the static side must be
+        broadcast-sized (a dimension table); stream-stream fact joins
+        belong to :meth:`stream_funnel`'s watermarked self-join.
+        ``on`` maps stream columns to static columns; ``columns``
+        optionally prunes the static projection (always keeping the
+        join keys).
+        """
+        binding = self.bindings.get(model_name)
+        if binding is None:
+            raise StreamingError(f"model {model_name!r} has no stream binding")
+        self.layer.register_sources()
+        sm = self.layer.graph.get_model(static_model)
+        static_df = self.layer.spark.table(sm.table or static_model)
+        if columns:
+            keep = list(dict.fromkeys(list(on.values()) + columns))
+            static_df = static_df.select(*keep)
+        s = self._source(binding)
+        cond = None
+        for sc, tc in on.items():
+            c = s[sc] == static_df[tc]
+            cond = c if cond is None else cond & c
+        return s.join(F.broadcast(static_df), cond, how)
+
     def stream_dedup(
         self,
         model_name: str,

@@ -309,3 +309,42 @@ def test_stream_funnel_join(spark, stream_setup, tmp_path):
     assert (2, "13:00", False) in rows
     assert (9, "18:00", True) in rows
     assert len(rows) == 5
+
+
+def test_stream_enrich_broadcast_join(spark, stream_setup):
+    """Stream-static enrichment joins the bound stream to a static
+    dimension with a broadcast (stateless) join; availableNow replay
+    equals the batch LEFT JOIN aggregate."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.core.model import Dimension, Model
+    from sidemantic_spark.streaming.stream_layer import StreamingError
+
+    sl = stream_setup
+    spark.sql("""
+        SELECT * FROM VALUES (1L, 'gold'), (2L, 'basic')
+        AS t(cust_id, tier)
+    """).createOrReplaceTempView("stream_custs")
+    sl.layer.add_model(Model(
+        name="stream_custs", table="stream_custs", primary_key="cust_id",
+        dimensions=[Dimension(name="tier")],
+    ))
+
+    enriched = sl.stream_enrich(
+        "sevents", "stream_custs", {"user_id": "cust_id"}, columns=["tier"])
+    assert enriched.isStreaming
+    agg = enriched.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("v"),
+    )
+    name = "enr_" + uuid.uuid4().hex[:8]
+    sl.to_memory_sink(agg, name, output_mode="complete")
+    got = {r["tier"]: (r["n"], r["v"]) for r in spark.table(name).collect()}
+    # user 1 (gold): events 1,2,4 -> 23.0; user 2 (basic): events 3,5,6 -> 32.0
+    assert got == {"gold": (3, 23.0), "basic": (3, 32.0)}
+
+    import pytest as _pytest
+    with _pytest.raises(StreamingError, match="no stream binding"):
+        sl.stream_enrich("stream_custs", "sevents", {"x": "y"})
