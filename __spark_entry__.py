@@ -883,6 +883,21 @@ def _text_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=25)
 
 
+_BM25_QUERY2 = "stream window sort"
+
+
+def _text_bm25_indexed(spark, sf_dir):
+    """BM25 over MATERIALIZED corpus statistics (build_term_stats):
+    the per-query stats pass becomes a term-pruned scan of a
+    vocabulary-sized table — the preagg philosophy applied to lexical
+    search. Results are identical to the inline path (equivalence
+    pinned in tests); the oracle recomputes from the raw corpus."""
+    from sidemantic_spark.operators.search import bm25_topk, build_term_stats
+
+    docs = _docs(spark, sf_dir)
+    return bm25_topk(docs, _BM25_QUERY2, k=25, stats=build_term_stats(docs))
+
+
 def _search_tfidf_topk(spark, sf_dir):
     """lnTF-IDF baseline scorer over the same plan shape as BM25."""
     from sidemantic_spark.operators.search import tfidf_topk
@@ -1820,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_decontaminate": _pipeline_decontaminate,
         # lexical retrieval (BM25/TF-IDF) + batch sessionization
         "text_bm25_topk": _text_bm25_topk,
+        "text_bm25_indexed": _text_bm25_indexed,
         "search_tfidf_topk": _search_tfidf_topk,
         "events_sessionize": _events_sessionize,
         # §2.1 pre-aggregation materialization sink + aggregate-aware
@@ -3238,6 +3254,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "text_bm25_topk": _bm25_oracle_sql(query_terms(_BM25_QUERY), 25),
+        "text_bm25_indexed": _bm25_oracle_sql(query_terms(_BM25_QUERY2), 25),
         "search_tfidf_topk": _tfidf_oracle_sql(query_terms(_BM25_QUERY), 25),
         "events_sessionize": """
             WITH o AS (

@@ -59,6 +59,37 @@ def _term_tf(terms_col: Column, term: str) -> Column:
     return F.size(F.filter(terms_col, lambda x: x == F.lit(term)))
 
 
+def build_term_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materializable corpus statistics for repeated BM25 queries.
+
+    One shuffle keyed on term (map-side combined, output bounded by
+    vocabulary size, not corpus size) plus one tiny corpus-summary row
+    (``term IS NULL``: N in ``df_count``, total length in ``dl_total``).
+    Persist with ``.write.partitionBy()``/``saveAsTable`` and pass as
+    ``stats=`` to :func:`bm25_topk` — the per-query stats scan then
+    prunes to the query's terms (predicate pushdown on ``term``) and
+    the corpus pass drops from every query to a one-time build, the
+    pre-aggregation philosophy applied to lexical search.
+    """
+    toks = df.select(tokenize(F.col(text_col)).alias("_toks"))
+    per_term = (
+        toks.select(F.explode(F.array_distinct("_toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .withColumn("dl_total", F.lit(None).cast("long"))
+    )
+    summary = toks.agg(
+        F.count(F.lit(1)).alias("df_count"),  # N
+        F.sum(F.size("_toks")).alias("dl_total"),
+    ).select(F.lit(None).cast("string").alias("term"), "df_count", "dl_total")
+    return per_term.unionByName(summary)
+
+
 def bm25_topk(
     df: DataFrame,
     query: str,
@@ -68,6 +99,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents for ``query`` under Okapi BM25.
 
@@ -86,16 +118,36 @@ def bm25_topk(
         tokenize(F.col(text_col)).alias("_toks"),
     ).withColumn("_dl", F.size("_toks"))
 
-    stats = base.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("_dl").alias("_dl_total"),
-        *[
-            F.sum(F.array_contains("_toks", t).cast("long")).alias(f"_df_{i}")
-            for i, t in enumerate(terms)
-        ],
-    )
+    if stats is not None:
+        # materialized path: prune the stats table to the query terms
+        # (pushdown-able IN on the term column) + the summary row, and
+        # pivot the handful of rows into the same one-row shape the
+        # inline aggregate produces. Missing terms -> df 0.
+        pruned = stats.where(
+            F.col("term").isin(list(terms)) | F.col("term").isNull()
+        )
+        stats_row = pruned.agg(
+            F.max(F.when(F.col("term").isNull(), F.col("df_count"))).alias("_n"),
+            F.max(F.when(F.col("term").isNull(), F.col("dl_total"))).alias("_dl_total"),
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("term") == t, F.col("df_count"))),
+                    F.lit(0),
+                ).alias(f"_df_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+    else:
+        stats_row = base.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_dl").alias("_dl_total"),
+            *[
+                F.sum(F.array_contains("_toks", t).cast("long")).alias(f"_df_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
 
-    scored = base.crossJoin(F.broadcast(stats))
+    scored = base.crossJoin(F.broadcast(stats_row))
     avgdl = F.col("_dl_total").cast("double") / F.col("_n").cast("double")
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / avgdl)
 

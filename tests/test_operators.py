@@ -1175,3 +1175,28 @@ def test_hyperplane_bucket_kernel_parity(spark, sf_dir):
         similarity._hyperplane_band_buckets_udf(planes, bands, r)(
             F.col("embedding")).alias("bs")).collect()
     assert all(list(x["bs"]) == jvm[x["vec_id"]] for x in kern)
+
+
+def test_bm25_materialized_stats_equivalence(docs, spark):
+    """bm25_topk(stats=build_term_stats(...)) must return exactly the
+    inline-stats results — the materialized path is a routing identity,
+    like preagg rollups for metrics."""
+    from sidemantic_spark.operators.search import bm25_topk, build_term_stats
+
+    corpus = docs.limit(400).select("doc_id", "text")
+    stats = build_term_stats(corpus)
+    inline = bm25_topk(corpus, "fast hash join", k=20).collect()
+    routed = bm25_topk(corpus, "fast hash join", k=20, stats=stats).collect()
+    assert [(r["doc_id"], r["score"]) for r in inline] == \
+           [(r["doc_id"], r["score"]) for r in routed]
+
+    # a query with an unseen term: df=0 contributes idf but tf=0 -> no
+    # score change; both paths agree
+    inline2 = bm25_topk(corpus, "fast zzzunseenzzz", k=5).collect()
+    routed2 = bm25_topk(corpus, "fast zzzunseenzzz", k=5, stats=stats).collect()
+    assert [(r["doc_id"], r["score"]) for r in inline2] == \
+           [(r["doc_id"], r["score"]) for r in routed2]
+
+    # the summary row carries N and total length
+    row = stats.where("term IS NULL").collect()
+    assert len(row) == 1 and row[0]["df_count"] == 400
