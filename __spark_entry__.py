@@ -472,6 +472,17 @@ def _ann_ivf_topk(spark, sf_dir):
     return ivf_topk(_embs(spark, sf_dir), _QUERY_VEC, k=20)
 
 
+def _ann_quantized_topk(spark, sf_dir):
+    """Int8-quantized ANN: integer-dot candidate pool (exact int math,
+    deterministic across engines) + exact-cosine rerank. 4x smaller
+    scan bytes than float32 brute force at 100 TB; fully
+    SQL-expressible, so the DuckDB oracle replicates the quantization
+    bit-for-bit."""
+    from sidemantic_spark.operators.similarity import quantized_topk
+
+    return quantized_topk(_embs(spark, sf_dir), _QUERY_VEC, k=20, pool=200)
+
+
 def _cosine_topk_batch(spark, sf_dir):
     """Batch exact k-NN: the whole query block (8 vectors) against the
     corpus in one pass — per-partition numpy matmul over Arrow batches,
@@ -1793,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_profile_numeric": _data_profile_numeric,
         "pipeline_domain_mix": _pipeline_domain_mix,
         "sim_cosine_topk": _cosine_topk,
+        "sim_ann_quantized_topk": _ann_quantized_topk,
         "sim_cosine_topk_batch": _cosine_topk_batch,
         "sim_ann_lsh_topk": _ann_lsh_topk,
         "sim_ann_ivf_topk": _ann_ivf_topk,
@@ -2056,7 +2068,11 @@ def _mix_case_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from sidemantic_spark.operators.pipeline import sample_thresholds_sql
     from sidemantic_spark.operators.search import query_terms
+    from sidemantic_spark.operators.similarity import quantize_query
     from sidemantic_spark.operators.text import PII_PATTERNS
+
+    _qscale, _qq = quantize_query(_QUERY_VEC)
+    _qq_sql = "[" + ", ".join(str(v) for v in _qq) + "]"
 
     fp = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
     _PII_EMAIL, _PII_IP, _PII_PHONE = (p for p, _ in PII_PATTERNS)
@@ -2732,6 +2748,35 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine_sim DESC, vec_id ASC
             LIMIT 20
+        """,
+        "sim_ann_quantized_topk": f"""
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            s AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+                FROM base
+            ),
+            qd AS (
+                SELECT vec_id, v, sc,
+                       list_transform(v, x -> CAST(floor(x / sc + 0.5) AS BIGINT)) AS qv
+                FROM s WHERE sc > 0
+            ),
+            approx AS (
+                SELECT vec_id, v,
+                       sc * {_qscale!r} * CAST(list_sum(
+                           list_transform(range(1, 65), i -> qv[i] * ({_qq_sql})[i])
+                       ) AS DOUBLE) AS a
+                FROM qd
+            ),
+            pool AS (
+                SELECT vec_id, v FROM approx ORDER BY a DESC, vec_id LIMIT 200
+            )
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       v, CAST({_QUERY_VEC_SQL} AS DOUBLE[])), 6) AS cosine_sim
+            FROM pool ORDER BY 2 DESC, 1 LIMIT 20
         """,
         "sim_cosine_topk_batch": """
             WITH q AS (

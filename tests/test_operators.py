@@ -1200,3 +1200,30 @@ def test_bm25_materialized_stats_equivalence(docs, spark):
     # the summary row carries N and total length
     row = stats.where("term IS NULL").collect()
     assert len(row) == 1 and row[0]["df_count"] == 400
+
+
+def test_quantized_topk_recall_and_determinism(spark, sf_dir):
+    """Int8-quantized ANN with a 10x-k pool must recover the exact
+    brute-force top-k on the benchmark corpus, and the integer
+    candidate scores must be invariant to partitioning."""
+    from sidemantic_spark.operators.similarity import (
+        cosine_topk,
+        quantize_query,
+        quantized_topk,
+    )
+
+    q = [(1.0 if i % 2 == 0 else -0.5) + i * 0.01 for i in range(64)]
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    quant = [r["vec_id"] for r in quantized_topk(df, q, k=10, pool=100).collect()]
+    assert quant == exact  # rerank restores exact order when pool covers
+
+    re1 = quantized_topk(df.repartition(7), q, k=10, pool=100).collect()
+    re2 = quantized_topk(df.coalesce(1), q, k=10, pool=100).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in re1] == \
+           [(r["vec_id"], r["cosine_sim"]) for r in re2]
+
+    # quantize_query: scale covers the max component exactly (code 127)
+    s, codes = quantize_query(q)
+    assert max(abs(c) for c in codes) == 127
+    assert quantize_query([0.0, 0.0]) == (0.0, [0, 0])
