@@ -1001,6 +1001,17 @@ def _tfidf_oracle_sql(terms: list[str], k: int) -> str:
     """
 
 
+def _pipeline_shuffle_shards(spark, sf_dir):
+    """Deterministic md5-keyed global shuffle into 8 shards: the
+    write-ordering step of a corpus pipeline, one shard-keyed shuffle,
+    no global sort stage."""
+    from sidemantic_spark.operators.pipeline import shuffle_shards
+
+    return shuffle_shards(
+        _docs(spark, sf_dir).select("doc_id"), n_shards=8, seed="r8"
+    )
+
+
 def _source_scan_uri(spark, sf_dir):
     """Remote/file source scan (reference core/model.py:30 source_uri):
     the model binds to a parquet URI, registered as a plain scan view so
@@ -1845,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sequence_pack": _pipeline_sequence_pack,
         "pipeline_sample_stratified": _pipeline_sample_stratified,
         "pipeline_decontaminate": _pipeline_decontaminate,
+        "pipeline_shuffle_shards": _pipeline_shuffle_shards,
         # lexical retrieval (BM25/TF-IDF) + batch sessionization
         "text_bm25_topk": _text_bm25_topk,
         "text_bm25_indexed": _text_bm25_indexed,
@@ -3297,6 +3309,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT tg.doc_id, COUNT(DISTINCT tg.g) AS shared_grams
             FROM tg JOIN eg ON tg.g = eg.g
             GROUP BY 1
+        """,
+        "pipeline_shuffle_shards": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       md5('r8' || ':' || CAST(doc_id AS VARCHAR)) AS k
+                FROM documents
+            ),
+            sharded AS (
+                SELECT doc_id, k,
+                       CAST(CAST(('0x' || substring(k, 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+                FROM keyed
+            )
+            SELECT doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY shard ORDER BY k, doc_id) - 1 AS INT) AS pos
+            FROM sharded
         """,
         "text_bm25_topk": _bm25_oracle_sql(query_terms(_BM25_QUERY), 25),
         "text_bm25_indexed": _bm25_oracle_sql(query_terms(_BM25_QUERY2), 25),

@@ -60,6 +60,7 @@ EXTRA = [
     # round-8 operators
     "text_bm25_topk",                 # lexical BM25 top-k
     "events_sessionize",              # batch gap sessionization
+    "sim_ann_quantized_topk",         # int8 ANN + exact rerank
 ]
 
 

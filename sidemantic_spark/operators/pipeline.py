@@ -271,6 +271,39 @@ def span_dedup(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "seed0",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the final step
+    of a training-corpus pipeline (write N shuffled shards).
+
+    The shuffle key is ``md5(seed || ':' || id)``: no RNG state, so the
+    assignment is reproducible across runs/engines/cluster sizes and a
+    new seed is a full independent reshuffle. ``shard`` is a map-only
+    projection (uniform by construction — md5 prefix mod n); ``pos``
+    (the within-shard write order) costs exactly one shuffle keyed on
+    shard with a per-shard sort — the same cost any sharded writer
+    pays. No global single-partition ordering stage anywhere: at
+    100 TB, pick ``n_shards`` >= cluster parallelism and each task
+    sorts one shard. Adds ``shard`` and ``pos`` (0-based).
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    key_int = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (
+        df.withColumn("__key", key)
+        .withColumn("shard", (key_int % F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w) - F.lit(1))
+        .drop("__key")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -1227,3 +1227,31 @@ def test_quantized_topk_recall_and_determinism(spark, sf_dir):
     s, codes = quantize_query(q)
     assert max(abs(c) for c in codes) == 127
     assert quantize_query([0.0, 0.0]) == (0.0, [0, 0])
+
+
+def test_shuffle_shards_deterministic_and_uniform(docs, spark):
+    """md5-keyed shuffle sharding: reproducible across partitionings,
+    seed-sensitive, uniform-ish across shards, dense 0-based positions."""
+    from sidemantic_spark.operators.pipeline import shuffle_shards
+
+    d = docs.select("doc_id")
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+         shuffle_shards(d, n_shards=8, seed="s").collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+         shuffle_shards(d.repartition(13), n_shards=8, seed="s").collect()}
+    assert a == b
+
+    # a different seed is an independent reshuffle
+    c = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+         shuffle_shards(d, n_shards=8, seed="t").collect()}
+    assert c != a
+
+    # positions are dense 0..len-1 within each shard; shards roughly even
+    from collections import Counter
+    by_shard = Counter(s for s, _ in a.values())
+    assert set(by_shard) == set(range(8))
+    n = len(a)
+    assert all(abs(v - n / 8) < n / 8 * 0.5 for v in by_shard.values())
+    for shard in range(8):
+        poss = sorted(p for s, p in a.values() if s == shard)
+        assert poss == list(range(len(poss)))
