@@ -305,6 +305,14 @@ def _read_balanced(text: str, open_paren: int) -> tuple[str, int]:
     raise ValueError("unbalanced parens in semantic-SQL definition")
 
 
+# long-form property spellings (ref core/dialect.py:24 PROPERTY_ALIASES)
+_PROPERTY_ALIASES = {
+    "expression": "sql",
+    "aggregation": "agg",
+    "filter": "filters",
+}
+
+
 def _parse_fields(body: str) -> dict[str, str]:
     """``name total_revenue, agg sum, sql amount`` -> dict. Values run to
     the next top-level comma and may contain quotes/parens/placeholders."""
@@ -318,6 +326,7 @@ def _parse_fields(body: str) -> dict[str, str]:
             fields[item] = "true"
             continue
         key, val = m.group(1).lower(), m.group(2).strip()
+        key = _PROPERTY_ALIASES.get(key, key)
         if (val.startswith("'") and val.endswith("'")) or (
             val.startswith('"') and val.endswith('"')
         ):

@@ -164,3 +164,23 @@ model orders from orders (
     assert mets["average_order_value"].type == "derived"
     assert mets["average_order_value"].sql == "revenue / order_count"
     assert m.segments[0].name == "completed"
+
+
+def test_property_aliases_resolve(spark):
+    """Long-form spellings map to canonical fields: aggregation -> agg,
+    expression -> sql, filter -> filters (ref core/dialect.py:24
+    PROPERTY_ALIASES, tests/core/test_dialect_parsing.py)."""
+    from sidemantic_spark.authoring.sql_defs import load_sql_definitions
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    layer = SparkSemanticLayer(spark)
+    load_sql_definitions(layer, """
+MODEL (name alias_m, table t1, primary_key id);
+METRIC (name orders_count, aggregation count);
+METRIC (name rev, aggregation sum, expression amount);
+DIMENSION (name d1, expression upper(region));
+""")
+    m = layer.graph.models["alias_m"]
+    assert m.metric("orders_count").agg == "count"
+    assert m.metric("rev").agg == "sum" and m.metric("rev").sql == "amount"
+    assert m.dimension("d1").sql == "upper(region)"
