@@ -83,6 +83,39 @@ def _jsonable(v: Any) -> Any:
     return v
 
 
+# value_format_name -> d3 axis/tooltip format (reference viz.py applies
+# ",.2f" to quantitative encodings; named formats extend that to the
+# metric's declared display metadata)
+VALUE_FORMATS = {
+    "usd": "$,.2f",
+    "eur": ",.2f",
+    "currency": "$,.2f",
+    "percent": ".1%",
+    "percent_0": ".0%",
+    "percent_2": ".2%",
+    "decimal": ",.2f",
+    "decimal_0": ",.0f",
+    "count": ",",
+    "id": "d",
+}
+
+
+def axis_format_for(metric) -> str | None:
+    """d3 format string for a Metric's display metadata, if any."""
+    if getattr(metric, "value_format_name", None):
+        return VALUE_FORMATS.get(metric.value_format_name)
+    fmt = getattr(metric, "format", None)
+    if fmt:
+        # spreadsheet-style masks: map the common shapes to d3
+        if "%" in fmt:
+            return ".1%"
+        if "$" in fmt:
+            return "$,.2f"
+        if "#,##0" in fmt or "0.00" in fmt:
+            return ",.2f"
+    return None
+
+
 def create_chart(
     data: list[dict[str, Any]],
     x: str | None = None,
@@ -93,6 +126,7 @@ def create_chart(
     y_label: str | None = None,
     width: int = 600,
     height: int = 360,
+    y_format: str | None = None,
 ) -> dict:
     """Rows -> Vega-Lite v5 spec. ``chart_type`` in {auto, bar, line,
     area, scatter, point}."""
@@ -135,20 +169,26 @@ def create_chart(
         spec["mark"] = {"type": chart_type, "tooltip": True}
         if chart_type in ("line", "area"):
             spec["mark"]["point"] = True
+        y_enc = {"field": ys[0], "type": "quantitative",
+                 "title": y_label or _format_label(ys[0])}
+        if y_format:
+            y_enc["axis"] = {"format": y_format}
         spec["encoding"] = {
             "x": x_enc,
-            "y": {"field": ys[0], "type": "quantitative",
-                  "title": y_label or _format_label(ys[0])},
+            "y": y_enc,
             "color": {"value": CATEGORICAL[0]},
         }
     else:
         # fold multiple metrics into a colored series
         spec["transform"] = [{"fold": ys, "as": ["series", "value"]}]
         spec["mark"] = {"type": chart_type, "tooltip": True}
+        y_enc = {"field": "value", "type": "quantitative",
+                 "title": y_label or "Value"}
+        if y_format:
+            y_enc["axis"] = {"format": y_format}
         enc: dict = {
             "x": x_enc,
-            "y": {"field": "value", "type": "quantitative",
-                  "title": y_label or "Value"},
+            "y": y_enc,
             "color": {"field": "series", "type": "nominal",
                       "title": None},
         }
@@ -181,6 +221,22 @@ def chart_for_query(layer, metrics=None, dimensions=None, filters=None,
     title = kw.pop("title", None) or " / ".join(
         m.split(".")[-1] for m in (metrics or [])
     ).replace("_", " ").title() or None
+    # metric display metadata -> axis format (first metric wins, the
+    # single-axis chart shape)
+    if "y_format" not in kw:
+        for mref in metrics or []:
+            model_name, _, mname = mref.rpartition(".")
+            try:
+                model = layer.graph.get_model(model_name)
+                mt = model.metric(mname) if model else None
+            except Exception:
+                mt = None
+            if mt is None and mref in layer.graph.metrics:
+                mt = layer.graph.metrics[mref]
+            fmt = axis_format_for(mt) if mt is not None else None
+            if fmt:
+                kw["y_format"] = fmt
+                break
     return create_chart(rows, chart_type=chart_type, title=title, **kw)
 
 

@@ -167,3 +167,37 @@ def test_chart_builder_fluent(spark):
     out = sess.query()
     assert out["rows"] and "views" in out
     sess.close()
+
+
+def test_chart_axis_format_from_metric_metadata(spark, sf_dir):
+    """Metric format/value_format_name metadata reaches the Vega axis
+    (reference viz.py applies number formats to quantitative
+    encodings)."""
+    from sidemantic_spark.charts import axis_format_for, chart_for_query, create_chart
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.sql(
+        "SELECT * FROM VALUES ('a', 10.0), ('b', 20.0) AS t(cat, amount)"
+    ).createOrReplaceTempView("fmt_chart")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="fmt_chart", table="fmt_chart", primary_key="cat",
+        dimensions=[Dimension(name="cat")],
+        metrics=[
+            Metric(name="rev", agg="sum", sql="amount", value_format_name="usd"),
+            Metric(name="share", agg="sum", sql="amount", format="0.0%"),
+            Metric(name="plain", agg="sum", sql="amount"),
+        ],
+    ))
+    spec = chart_for_query(layer, metrics=["fmt_chart.rev"], dimensions=["fmt_chart.cat"])
+    assert spec["encoding"]["y"]["axis"]["format"] == "$,.2f"
+
+    assert axis_format_for(layer.graph.get_model("fmt_chart").metric("share")) == ".1%"
+    assert axis_format_for(layer.graph.get_model("fmt_chart").metric("plain")) is None
+
+    # explicit y_format wins; folded multi-metric charts carry it too
+    spec = create_chart(
+        [{"cat": "a", "m1": 1.0, "m2": 2.0}], x="cat", y=["m1", "m2"],
+        y_format=",.0f")
+    assert spec["encoding"]["y"]["axis"]["format"] == ",.0f"
