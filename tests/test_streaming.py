@@ -348,3 +348,29 @@ def test_stream_enrich_broadcast_join(spark, stream_setup):
     import pytest as _pytest
     with _pytest.raises(StreamingError, match="no stream binding"):
         sl.stream_enrich("stream_custs", "sevents", {"x": "y"})
+
+
+def test_batch_and_streaming_sessionize_agree(spark, stream_setup):
+    """Batch gap sessionization (operators/sessions.py) and the
+    streaming session_window twin partition events identically on
+    non-boundary data. (Exact-boundary semantics differ by design:
+    batch starts a new session at delta > gap, session_window's
+    half-open [start, last+gap) already excludes delta == gap.)"""
+    import uuid
+
+    from sidemantic_spark.operators.sessions import session_stats
+
+    sl = stream_setup
+    out = sl.sessionize("sevents", entity="user_id", gap="30 minutes",
+                        watermark="365 days")
+    name = "sess_par_" + uuid.uuid4().hex[:8]
+    sl.to_memory_sink(out, name, output_mode="complete")
+    streaming = sorted(
+        (r["user_id"], r["events_in_session"])
+        for r in spark.table(name).collect())
+
+    batch_df = spark.read.parquet(sl.bindings["sevents"].source_path)
+    batch = sorted(
+        (r["user_id"], r["n_events"])
+        for r in session_stats(batch_df, gap_seconds=1800).collect())
+    assert streaming == batch
