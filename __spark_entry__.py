@@ -1001,6 +1001,23 @@ def _tfidf_oracle_sql(terms: list[str], k: int) -> str:
     """
 
 
+def _pipeline_chunk_docs(spark, sf_dir):
+    """Fixed-size overlapping character chunking (embedding/RAG prep):
+    map-only sequence+substr+posexplode, zero shuffle. Chunk text
+    compares as md5 to keep the result compact."""
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators.pipeline import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), size=400, overlap=40
+    ).select(
+        "doc_id", "chunk_idx",
+        F.length("chunk_text").alias("chunk_chars"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def _pipeline_shuffle_shards(spark, sf_dir):
     """Deterministic md5-keyed global shuffle into 8 shards: the
     write-ordering step of a corpus pipeline, one shard-keyed shuffle,
@@ -1857,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sample_stratified": _pipeline_sample_stratified,
         "pipeline_decontaminate": _pipeline_decontaminate,
         "pipeline_shuffle_shards": _pipeline_shuffle_shards,
+        "pipeline_chunk_docs": _pipeline_chunk_docs,
         # lexical retrieval (BM25/TF-IDF) + batch sessionization
         "text_bm25_topk": _text_bm25_topk,
         "text_bm25_indexed": _text_bm25_indexed,
@@ -3309,6 +3327,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT tg.doc_id, COUNT(DISTINCT tg.g) AS shared_grams
             FROM tg JOIN eg ON tg.g = eg.g
             GROUP BY 1
+        """,
+        "pipeline_chunk_docs": """
+            WITH n AS (
+                SELECT doc_id, text,
+                       GREATEST(CAST(ceil((length(text) - 40) / 360.0) AS INT), 1) AS nc
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   CAST(length(substring(text, i * 360 + 1, 400)) AS INT) AS chunk_chars,
+                   md5(substring(text, i * 360 + 1, 400)) AS chunk_md5
+            FROM n, unnest(range(0, nc)) AS t(i)
         """,
         "pipeline_shuffle_shards": """
             WITH keyed AS (

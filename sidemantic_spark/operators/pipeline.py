@@ -271,6 +271,41 @@ def span_dedup(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 500,
+    overlap: int = 50,
+) -> DataFrame:
+    """Fixed-size overlapping character chunks — embedding/RAG prep.
+
+    Pure ``sequence`` + ``substring`` + ``posexplode``: a map-only
+    generator stage in whole-stage codegen, zero shuffle, linear in
+    corpus bytes at any scale. Chunk ``i`` covers
+    ``[i*(size-overlap), i*(size-overlap)+size)``; the last chunk may
+    be short, and every doc yields at least one chunk (empty text
+    included, as one empty chunk). Adds ``chunk_idx`` (0-based) and
+    ``chunk_text``.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    n_chunks = F.greatest(
+        (F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / F.lit(stride))).cast("int"),
+        F.lit(1),
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts, lambda i: F.col(text_col).substr(i * stride + 1, F.lit(size))
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     *,

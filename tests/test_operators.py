@@ -1255,3 +1255,36 @@ def test_shuffle_shards_deterministic_and_uniform(docs, spark):
     for shard in range(8):
         poss = sorted(p for s, p in a.values() if s == shard)
         assert poss == list(range(len(poss)))
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from sidemantic_spark.operators.pipeline import chunk_documents
+
+    text = "abcdefghij" * 12  # 120 chars
+    df = spark.createDataFrame([(1, text), (2, "short"), (3, "")],
+                               ["doc_id", "text"])
+    out = chunk_documents(df, size=50, overlap=10)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in out.collect()))
+    by_doc = {}
+    for d, i, c in rows:
+        by_doc.setdefault(d, []).append((i, c))
+
+    # doc 1: stride 40 -> chunks at 0, 40, 80; ceil((120-10)/40) = 3
+    chunks = [c for _, c in by_doc[1]]
+    assert len(chunks) == 3
+    assert chunks[0] == text[0:50]
+    assert chunks[1] == text[40:90]
+    assert chunks[2] == text[80:120]
+    # consecutive chunks share exactly `overlap` characters
+    assert chunks[0][-10:] == chunks[1][:10]
+    # reassembly: stripping the overlap reconstructs the doc
+    assert chunks[0] + chunks[1][10:] + chunks[2][10:] == text
+
+    # short and empty docs still yield one chunk
+    assert by_doc[2] == [(0, "short")]
+    assert by_doc[3] == [(0, "")]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, size=10, overlap=10)
