@@ -1691,6 +1691,14 @@ class SqlGenerator:
         for rm in r.metrics:
             expr = self._metric_sql_dedup(rm, value_of, r)
             select_parts.append(f"{expr} AS {rm.out}")
+        if r.spec.with_totals and dim_outs:
+            # grand-total marker: a genuine NULL dim value must stay
+            # distinguishable from the rollup row (ref tests/queries/
+            # test_ungrouped_queries.py with_totals-null-marking; the
+            # grouped plan emits the same column at :1518)
+            select_parts.append(
+                f"CAST(GROUPING({dim_outs[0]}) AS BOOLEAN) AS _is_total"
+            )
         final = "SELECT\n    " + ",\n    ".join(select_parts)
         final += "\nFROM __dedup"
         if dim_outs:
@@ -1839,6 +1847,11 @@ class SqlGenerator:
         select_parts = list(dim_outs)
         for rm in r.metrics:
             select_parts.append(f"{sym_agg(rm.metric)} AS {rm.out}")
+        if r.spec.with_totals and dim_outs:
+            # same grand-total marker as the grouped/dedup plans
+            select_parts.append(
+                f"CAST(GROUPING({dim_outs[0]}) AS BOOLEAN) AS _is_total"
+            )
         final = "SELECT\n    " + ",\n    ".join(select_parts)
         final += "\nFROM __joined"
         if dim_outs:
@@ -1984,13 +1997,20 @@ class SqlGenerator:
                 metrics=fact_metrics,
                 dimensions=dim_refs,
                 filters=fact_filters,
+                # each fact emits its own GROUPING SETS rollup row +
+                # _is_total marker; the join below aligns total rows
+                # with total rows so a genuine NULL dim never merges
+                # with a rollup row
+                with_totals=r.spec.with_totals and bool(r.dims),
             )
             fact_sqls.append((f"__fact_{fm}", self._generate(sub)))
 
         dim_outs = [rd.out for rd in r.dims]
+        with_totals = r.spec.with_totals and bool(dim_outs)
+        join_outs = dim_outs + (["_is_total"] if with_totals else [])
         first = fact_sqls[0][0]
         select = []
-        for o in dim_outs:
+        for o in join_outs:
             if len(fact_sqls) > 1:
                 select.append(f"COALESCE({', '.join(f'{n}.{o}' for n, _ in fact_sqls)}) AS {o}")
             else:
@@ -2000,7 +2020,7 @@ class SqlGenerator:
         sql = "SELECT\n    " + ",\n    ".join(select)
         sql += f"\nFROM {first}"
         for idx, (name, _) in enumerate(fact_sqls[1:], start=1):
-            if dim_outs:
+            if join_outs:
                 # chain on COALESCE of ALL prior facts' dims: with 3+
                 # facts, a dim combination absent from the first fact
                 # still lives in the joined row via a later fact, and
@@ -2010,7 +2030,7 @@ class SqlGenerator:
                 cond = " AND ".join(
                     "COALESCE(" + ", ".join(f"{p}.{o}" for p in prior) + ")"
                     f" <=> {name}.{o}"
-                    for o in dim_outs
+                    for o in join_outs
                 )
                 sql += f"\nFULL OUTER JOIN {name} ON {cond}"
             else:

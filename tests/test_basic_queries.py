@@ -709,3 +709,36 @@ def test_count_distinct_defaults_to_primary_key(spark):
         metrics=[Metric(name="cnt", agg="count_distinct")],
     ))
     assert single.query(metrics=["cd_single.cnt"]).collect()[0][0] == 5
+
+
+def test_with_totals_on_fanout_and_multifact_plans(layer, spark):
+    """with_totals must emit the _is_total marker on EVERY physical
+    plan — grouped, fan-out dedup, symmetric, and multi-fact split —
+    so genuine NULL dimension values stay distinguishable from the
+    rollup row (found by the round-8 compiler fuzz: the dedup and
+    multifact plans computed the total but dropped the marker)."""
+    # fan-out dedup plan (metric model != dim model)
+    rows = layer.query(
+        metrics=["customer.customer_count"],
+        dimensions=["orders.status"], with_totals=True).collect()
+    tot = [r for r in rows if r["_is_total"]]
+    det = [r for r in rows if not r["_is_total"]]
+    assert len(tot) == 1 and len(det) == 3
+
+    # multi-fact split (metrics from two facts)
+    rows = layer.query(
+        metrics=["orders.revenue", "customer.customer_count"],
+        dimensions=["orders.status"], with_totals=True).collect()
+    tot = [r for r in rows if r["_is_total"]][0]
+    det = [r for r in rows if not r["_is_total"]]
+    assert abs(float(tot["revenue"]) - sum(float(r["revenue"]) for r in det)) < 1e-6
+
+    # symmetric plan
+    layer.generator.fanout_strategy = "symmetric"
+    try:
+        rows = layer.query(
+            metrics=["customer.customer_count"],
+            dimensions=["orders.status"], with_totals=True).collect()
+        assert sum(1 for r in rows if r["_is_total"]) == 1
+    finally:
+        layer.generator.fanout_strategy = "auto"

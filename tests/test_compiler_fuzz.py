@@ -69,10 +69,49 @@ def test_any_field_combo_compiles_and_analyzes(fuzz_layer, spark, c):
     want = {m.split(".", 1)[1] for m in metrics}
     for d in dims:
         name = d.split(".", 1)[1]
-        got_name = name.split("__", 1)[0] + ("_" + name.split("__", 1)[1] if "__" in name else "")
         # grain dims project as <dim>_<grain> by default
         assert any(name.split("__")[0] in f for f in got), (d, got)
     assert want <= got, (want, got)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(c=combo, shape=st.sampled_from(["ungrouped", "totals", "ordered"]))
+def test_query_shapes_compile_and_analyze(fuzz_layer, spark, c, shape):
+    """Ungrouped (drill-to-detail), grand-total, and ordered variants
+    of every field combo must also pass the analyzer."""
+    metrics, dims, filters, limit = c
+    kwargs = dict(metrics=metrics, dimensions=dims, filters=filters)
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    if shape == "ungrouped":
+        kwargs["ungrouped"] = True
+        kwargs["limit"] = (limit or 10)
+        try:
+            sql = fuzz_layer.compile(**kwargs)
+        except QueryCompileError as e:
+            # defined refusal: ungrouped queries that would need
+            # fan-out correction have no per-row semantics
+            assert "fan-out" in str(e)
+            return
+        fuzz_layer.register_sources()
+        got = set(spark.sql(sql).schema.fieldNames())
+        assert {m.split(".", 1)[1] for m in metrics} <= got
+        return
+    elif shape == "totals":
+        if not dims:
+            dims = ["orders.status"]
+            kwargs["dimensions"] = dims
+        kwargs["with_totals"] = True
+    else:
+        kwargs["order_by"] = [metrics[0].split(".", 1)[1] + " desc"]
+        kwargs["limit"] = (limit or 10)
+    sql = fuzz_layer.compile(**kwargs)
+    fuzz_layer.register_sources()
+    got = set(spark.sql(sql).schema.fieldNames())
+    if shape == "totals":
+        assert "_is_total" in got
+    assert {m.split(".", 1)[1] for m in metrics} <= got
 
 
 @settings(max_examples=15, deadline=None,
