@@ -134,3 +134,28 @@ def test_structured_and_semantic_sql_paths_agree(fuzz_layer, spark, c):
     rb = sorted(map(tuple, rb_df.collect()), key=repr)
     assert sorted(b.columns) == sorted(a.columns)
     assert ra == rb
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(c=combo, shape=st.sampled_from(["timezone", "segment", "offset"]))
+def test_modifier_shapes_compile_and_analyze(fuzz_layer, spark, c, shape):
+    """Timezone bucketing, segments, and offset pagination compose with
+    any field combo without breaking the analyzer."""
+    metrics, dims, filters, limit = c
+    kwargs = dict(metrics=metrics, dimensions=dims, filters=filters)
+    if shape == "timezone":
+        if not any("__" in d for d in dims):
+            dims = dims + ["orders.order_date__month"]
+            kwargs["dimensions"] = dims
+        kwargs["timezone"] = "America/New_York"
+    elif shape == "segment":
+        kwargs["segments"] = ["orders.urgent"]
+    else:
+        kwargs["order_by"] = [metrics[0].split(".", 1)[1]]
+        kwargs["limit"] = limit or 7
+        kwargs["offset"] = 3
+    sql = fuzz_layer.compile(**kwargs)
+    fuzz_layer.register_sources()
+    got = set(spark.sql(sql).schema.fieldNames())
+    assert {m.split(".", 1)[1] for m in metrics} <= got
