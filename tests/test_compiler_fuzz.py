@@ -159,3 +159,49 @@ def test_modifier_shapes_compile_and_analyze(fuzz_layer, spark, c, shape):
     fuzz_layer.register_sources()
     got = set(spark.sql(sql).schema.fieldNames())
     assert {m.split(".", 1)[1] for m in metrics} <= got
+
+
+ADDITIVE = ["orders.revenue", "orders.order_count"]
+WRAP_DIMS = ["orders.status", "orders.priority", "customer.mktsegment"]
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    m=st.sampled_from(ADDITIVE),
+    d1=st.sampled_from(WRAP_DIMS),
+    d2=st.sampled_from(WRAP_DIMS),
+    wrapper=st.sampled_from(["identity", "filter", "cte_order", "rollup"]),
+)
+def test_wrapped_semantic_sql_matches_direct(fuzz_layer, spark, m, d1, d2, wrapper):
+    """Every wrapper shape the BI-tool corpus produces — identity
+    subquery, outer dim filter, CTE + order/limit, aggregate rollup to
+    a coarser grain — must return the same rows as the equivalent
+    direct semantic query (the rewriter's correctness contract)."""
+    mcol = m.split(".", 1)[1]
+    dcol1, dcol2 = d1.split(".", 1)[1], d2.split(".", 1)[1]
+    if dcol1 == dcol2:
+        d2, dcol2 = ("orders.priority", "priority") if dcol1 != "priority" \
+            else ("orders.status", "status")
+    inner = f"SELECT {d1}, {d2}, {m} FROM orders"
+
+    if wrapper == "identity":
+        sql = f"SELECT * FROM ({inner}) t"
+        direct = fuzz_layer.query(metrics=[m], dimensions=[d1, d2])
+    elif wrapper == "filter":
+        sql = f"SELECT {dcol1}, {dcol2}, {mcol} FROM ({inner}) t WHERE {dcol1} IS NOT NULL"
+        direct = fuzz_layer.query(metrics=[m], dimensions=[d1, d2],
+                                  filters=[f"{d1} IS NOT NULL"])
+    elif wrapper == "cte_order":
+        sql = f"WITH c AS ({inner}) SELECT * FROM c ORDER BY {dcol1}, {dcol2} LIMIT 11"
+        direct = fuzz_layer.query(metrics=[m], dimensions=[d1, d2],
+                                  order_by=[dcol1, dcol2], limit=11)
+    else:  # rollup to coarser grain (additive metric)
+        sql = f"SELECT {dcol1}, SUM({mcol}) AS {mcol} FROM ({inner}) t GROUP BY {dcol1}"
+        direct = fuzz_layer.query(metrics=[m], dimensions=[d1])
+
+    got = fuzz_layer.sql(sql)
+    ga = sorted(map(tuple, got.select(*direct.columns).collect()), key=repr)
+    gb = sorted(map(tuple, direct.collect()), key=repr)
+    assert sorted(got.columns) == sorted(direct.columns)
+    assert ga == gb, (wrapper, sql)
