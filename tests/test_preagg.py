@@ -1381,3 +1381,42 @@ def test_recommender_no_time_dim_stays_grainless(layer):
     assert preagg.time_dimension is None
     assert preagg.granularity is None
     assert preagg.dimensions == ["status"]
+
+
+def test_preagg_routing_identity_fuzz(layer, spark):
+    """Routing-identity fuzz: for random queries over rollup-covered
+    and rollup-exceeding field combos, use_preaggs on/off must return
+    identical rows — whether the router used the rollup or refused it
+    is an optimization detail, never a results change."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    covered_metrics = ["orders.revenue", "orders.order_count",
+                       "orders.avg_order_value", "orders.customer_count"]
+    # max_order_value is NOT materialized -> forces raw fallback
+    all_metrics = covered_metrics + ["orders.max_order_value"]
+    dims = ["orders.status", "orders.priority", "orders.order_date__month",
+            "orders.order_date__year"]
+    filt = [None, "orders.status = 'F'",
+            "orders.order_date__year >= TIMESTAMP '1996-01-01'"]
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        ms=st.lists(st.sampled_from(all_metrics), min_size=1, max_size=3,
+                    unique=True),
+        ds=st.lists(st.sampled_from(dims), min_size=0, max_size=2, unique=True),
+        f=st.sampled_from(filt),
+    )
+    def check(ms, ds, f):
+        kwargs = dict(metrics=ms, dimensions=ds,
+                      filters=[f] if f else [])
+        routed = sorted(map(tuple, layer.query(**kwargs).collect()), key=repr)
+        layer.generator.use_preaggs = False
+        try:
+            raw = sorted(map(tuple, layer.query(**kwargs).collect()), key=repr)
+        finally:
+            layer.generator.use_preaggs = True
+        assert routed == raw, (ms, ds, f)
+
+    check()
