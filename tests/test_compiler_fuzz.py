@@ -205,3 +205,33 @@ def test_wrapped_semantic_sql_matches_direct(fuzz_layer, spark, m, d1, d2, wrapp
     gb = sorted(map(tuple, direct.collect()), key=repr)
     assert sorted(got.columns) == sorted(direct.columns)
     assert ga == gb, (wrapper, sql)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ms=st.lists(st.sampled_from(
+        ["customer.customer_count", "customer.total_acctbal", "orders.revenue"]),
+        min_size=1, max_size=2, unique=True),
+    ds=st.lists(st.sampled_from(
+        ["orders.status", "orders.priority", "customer.mktsegment"]),
+        min_size=1, max_size=2, unique=True),
+)
+def test_fanout_strategies_agree(fuzz_layer, ms, ds):
+    """auto / symmetric / dedup fan-out plans are physical choices, not
+    semantic ones: every strategy must return identical rows for any
+    fan-out-prone combo (dims from the many side, metrics from the one
+    side)."""
+    results = {}
+    for strat in ("auto", "dedup", "symmetric"):
+        fuzz_layer.generator.fanout_strategy = strat
+        try:
+            rows = fuzz_layer.query(metrics=ms, dimensions=ds).collect()
+        finally:
+            fuzz_layer.generator.fanout_strategy = "auto"
+        canon = sorted(
+            (tuple(round(float(v), 6) if isinstance(v, (int, float)) or
+                   hasattr(v, "quantize") else v for v in r) for r in rows),
+            key=repr)
+        results[strat] = canon
+    assert results["auto"] == results["dedup"] == results["symmetric"], (ms, ds)
