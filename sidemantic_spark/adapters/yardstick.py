@@ -15,10 +15,71 @@ import re
 from sidemantic_spark.adapters.base import BaseAdapter
 from sidemantic_spark.core.model import Dimension, Metric, Model
 
-_VIEW_RE = re.compile(
-    r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s*(?:WHERE\s+(.*?))?\s*(?:;|$)",
-    re.I | re.S,
+_VIEW_HEAD_RE = re.compile(
+    r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+SELECT\s+", re.I
 )
+
+
+def _scan_view(text: str, start: int):
+    """Scan one CREATE VIEW statement from a _VIEW_HEAD_RE match end:
+    returns (select_list, from_target, where, end_index). The FROM
+    target may be an identifier or a balanced parenthesized derived
+    table (``FROM (VALUES ...) AS t(...)``); trailing GROUP BY (over
+    any expressions) is redundant with the measure model and dropped
+    (ref corpus measures.test GROUP BY / inline-VALUES views)."""
+    # statement body runs to the first top-level ';' (or EOF)
+    depth, in_str, i = 0, False, start
+    while i < len(text):
+        c = text[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == ";" and depth == 0:
+            break
+        i += 1
+    body, end = text[start:i], i + 1
+    m = re.search(r"\bFROM\b", body, re.I)
+    # top-level FROM: re-scan for depth-0 occurrence
+    for fm in re.finditer(r"\bFROM\b", body, re.I):
+        pre = body[: fm.start()]
+        if pre.count("(") - pre.count(")") == 0:
+            m = fm
+            break
+    if m is None:
+        return None
+    select_list = body[: m.start()].strip()
+    rest = body[m.end():].strip()
+    if rest.startswith("("):
+        depth, j = 0, 0
+        while j < len(rest):
+            if rest[j] == "(":
+                depth += 1
+            elif rest[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    j += 1
+                    break
+            j += 1
+        # optional `AS alias(cols)` after the derived table
+        am = re.match(r"\s*(?:AS\s+)?\w+\s*(\([^)]*\))?", rest[j:], re.I)
+        k = j + (am.end() if am else 0)
+        from_target = rest[:k].strip()
+        rest = rest[k:].strip()
+    else:
+        tm = re.match(r"([\w.]+)", rest)
+        from_target = tm.group(1)
+        rest = rest[tm.end():].strip()
+    where = None
+    wm = re.match(r"WHERE\s+(.*?)(?:GROUP\s+BY\b.*)?$", rest, re.I | re.S)
+    if wm and rest.upper().startswith("WHERE"):
+        where = wm.group(1).strip()
+    return select_list, from_target, where, end
 _MEASURE_RE = re.compile(r"^(.*?)\s+AS\s+MEASURE\s+(?:\"([^\"]+)\"|(\w+))\s*$", re.I | re.S)
 _ALIAS_RE = re.compile(r"^(.*?)\s+AS\s+(?:\"([^\"]+)\"|(\w+))\s*$", re.I | re.S)
 
@@ -58,8 +119,12 @@ class YardstickAdapter(BaseAdapter):
 
     def parse_text(self, layer, text: str) -> None:
         text = re.sub(r"--[^\n]*", "", text)
-        for m in _VIEW_RE.finditer(text):
-            name, select_list, table, where = m.group(1), m.group(2), m.group(3), m.group(4)
+        for m in _VIEW_HEAD_RE.finditer(text):
+            scanned = _scan_view(text, m.end())
+            if scanned is None:
+                continue
+            select_list, table, where, _end = scanned
+            name = m.group(1)
             dims: list[Dimension] = []
             mets: list[Metric] = []
             measure_names: set[str] = set()
@@ -92,9 +157,17 @@ class YardstickAdapter(BaseAdapter):
                     if am2:
                         dname = (am2.group(2) or am2.group(3)).replace(" ", "_")
                         dims.append(Dimension(name=dname, sql=am2.group(1).strip()))
+            derived = table.startswith("(")
             try:
+                if name in layer.graph.models and re.search(
+                    r"OR\s+REPLACE", m.group(0), re.I
+                ):
+                    del layer.graph.models[name]
+                    layer.graph._invalidate()
                 layer.add_model(Model(
-                    name=name, table=table,
+                    name=name,
+                    table=None if derived else table,
+                    sql=f"SELECT * FROM {table}" if derived else None,
                     primary_key=dims[0].name if dims else "id",
                     dimensions=dims, metrics=mets,
                     row_filters=[where.strip()] if where else [],

@@ -29,7 +29,24 @@ _SET_OPS = ["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]
 
 def _strip(sql: str) -> str:
     sql = re.sub(r"--[^\n]*", "", sql)
+    # C-style block comments too (quote-aware: only outside literals)
+    parts = sql.split("'")
+    for i in range(0, len(parts), 2):
+        parts[i] = re.sub(r"/\*.*?\*/", " ", parts[i], flags=re.S)
+    sql = "'".join(parts)
     return sql.strip().rstrip(";").strip()
+
+
+def _normalize_compound_keywords(sql: str) -> str:
+    """Collapse internal whitespace in two-word clause keywords
+    (``GROUP   BY`` -> ``GROUP BY``) outside string literals — the
+    clause splitter matches exact keyword text (ref corpus
+    tests/fixtures/sql/yardstick/measures.test 'extra spaces' case)."""
+    parts = sql.split("'")
+    for i in range(0, len(parts), 2):  # even segments are outside quotes
+        parts[i] = re.sub(r"\bGROUP\s+BY\b", "GROUP BY", parts[i], flags=re.I)
+        parts[i] = re.sub(r"\bORDER\s+BY\b", "ORDER BY", parts[i], flags=re.I)
+    return "'".join(parts)
 
 
 def _top_level_split(sql: str, keyword: str) -> list[str]:
@@ -164,6 +181,51 @@ def _parse_at_item(item: str):
     return ref, is_agg, mods, alias
 
 
+def _scan_aggregate_terms(expr: str):
+    """Find every ``AGGREGATE(ref) [AT (...)]...`` term inside an
+    arbitrary expression. Returns ``(template, terms)`` where each term
+    in the template is replaced by ``\x00T{n}\x00`` and ``terms[n]`` is
+    ``(ref, [modifier, ...])`` (empty mods = plain aggregate)."""
+    terms: list[tuple[str, list[str]]] = []
+    out: list[str] = []
+    i = 0
+    while i < len(expr):
+        m = re.match(r"AGGREGATE\s*\(\s*([A-Za-z_][\w.]*)\s*\)", expr[i:], re.I)
+        if m and (i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] == "_")):
+            ref = m.group(1)
+            j = i + m.end()
+            mods: list[str] = []
+            while True:
+                am = re.match(r"\s*AT\s*\(", expr[j:], re.I)
+                if not am:
+                    break
+                k = j + am.end()
+                depth, in_str = 1, False
+                while k < len(expr) and depth:
+                    c = expr[k]
+                    if in_str:
+                        if c == "'":
+                            in_str = False
+                    elif c == "'":
+                        in_str = True
+                    elif c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                    k += 1
+                if depth:
+                    raise QueryCompileError(f"unclosed AT (...) in {expr!r}")
+                mods.append(expr[j + am.end() : k - 1].strip())
+                j = k
+            out.append(f"\x00T{len(terms)}\x00")
+            terms.append((ref, mods))
+            i = j
+        else:
+            out.append(expr[i])
+            i += 1
+    return "".join(out), terms
+
+
 _AGG_ITEM_RE = re.compile(r"^(SUM|MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\)$", re.I)
 _DTRUNC_ITEM_RE = re.compile(
     r"^DATE_TRUNC\s*\(\s*'(\w+)'\s*,\s*([A-Za-z_]\w*)\s*\)$", re.I
@@ -276,7 +338,11 @@ class SemanticSqlRewriter:
                     return out
                 self._applied_rules = []
                 self._rejected_rules = []
-                out = self._rewrite_node(_yardstick_normalize(_strip(sql)))
+                out = self._rewrite_node(
+                    _yardstick_normalize(
+                        _normalize_compound_keywords(_strip(sql))
+                    )
+                )
                 self._cache[key] = (
                     out, list(self._applied_rules), list(self._rejected_rules)
                 )
@@ -1004,6 +1070,7 @@ class SemanticSqlRewriter:
         return self._generate(spec)
 
     def _rewrite_select(self, sql: str) -> str:
+        self._extra_scope: list[str] = []  # joined-model lookup scope
         m = re.match(r"^\s*SELECT\s+(?:DISTINCT\s+)?(.*)$", sql, re.IGNORECASE | re.DOTALL)
         if not m:
             raise QueryCompileError(f"semantic SQL must start with SELECT: {sql[:80]!r}")
@@ -1028,8 +1095,49 @@ class SemanticSqlRewriter:
         if re.search(r"\bJOIN\b", from_clause, re.I):
             # explicit JOINs are accepted but must match declared
             # relationship keys (ref sql/query_rewriter.py:5568-5707);
-            # compilation still goes through the relationship graph
+            # compilation still goes through the relationship graph.
+            # Table aliases (`FROM orders o JOIN customer c ON ...`)
+            # rebind to their models first (ref corpus measures.test
+            # aliased multi-fact joins).
+            alias_map: dict[str, str] = {}
+
+            def strip_alias(m: re.Match) -> str:
+                prefix, model_name, alias_name = m.group(1), m.group(2), m.group(3)
+                if (model_name in self.layer.graph.models
+                        and alias_name.upper() not in ("ON", "JOIN", "LEFT",
+                                                       "INNER", "FULL", "OUTER")
+                        and alias_name not in self.layer.graph.models):
+                    alias_map[alias_name] = model_name
+                    return prefix + model_name
+                return m.group(0)
+
+            from_clause = re.sub(
+                r"(^\s*|\bJOIN\s+)([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\b",
+                strip_alias, from_clause,
+            )
+            for alias_name, model_name in alias_map.items():
+                alias_re = re.compile(rf"(?<![\w.]){re.escape(alias_name)}\.")
+                select_list = alias_re.sub(f"{model_name}.", select_list)
+                from_clause = alias_re.sub(f"{model_name}.", from_clause)
+                clause_vals = {
+                    k: alias_re.sub(f"{model_name}.", v)
+                    if k not in ("LIMIT", "OFFSET") else v
+                    for k, v in clause_vals.items()
+                }
             base_model = self._validate_explicit_joins(from_clause)
+        elif (am := re.fullmatch(
+            r"([A-Za-z_][A-Za-z0-9_]*)\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)",
+            from_clause, re.I,
+        )) and am.group(1) in self.layer.graph.models:
+            # FROM model [AS] alias: alias-qualified refs rebind to the
+            # model (ref corpus measures.test table-alias family)
+            base_model, alias_name = am.group(1), am.group(2)
+            alias_re = re.compile(rf"(?<![\w.]){re.escape(alias_name)}\.")
+            select_list = alias_re.sub(f"{base_model}.", select_list)
+            clause_vals = {
+                k: alias_re.sub(f"{base_model}.", v) if k not in ("LIMIT", "OFFSET") else v
+                for k, v in clause_vals.items()
+            }
         elif not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", from_clause):
             raise QueryCompileError(
                 f"semantic FROM must name a single model (joins come from the "
@@ -1085,7 +1193,24 @@ class SemanticSqlRewriter:
 
         metrics: list[str] = []
         dimensions: list[str] = []
-        if any(_parse_at_item(it) is not None for it in items):
+        select_list2, clause_vals = self._register_expr_dims(
+            ", ".join(items), clause_vals, base_model, model
+        )
+        items = _split_items(select_list2)
+
+        def _has_at_term(it: str) -> bool:
+            if _parse_at_item(it) is not None:
+                return True
+            # expression items embedding AGGREGATE(...) AT (...) terms
+            # (ref corpus measures.test pct-of-total / yoy arithmetic)
+            ref, _a = _split_item_alias(it)
+            try:
+                _t, terms = _scan_aggregate_terms(ref)
+            except QueryCompileError:
+                return False
+            return any(mods for _r, mods in terms)
+
+        if any(_has_at_term(it) for it in items):
             return self._rewrite_at_select(items, clause_vals, base_model)
         classified: list[tuple[str, str, str | None]] = []
         has_expression = False
@@ -1277,30 +1402,87 @@ class SemanticSqlRewriter:
         def dim_base(full: str) -> str:
             return re.sub(r"__[a-z]+$", "", full)
 
-        at_calls: list[tuple] = []
-        main_items: list[str] = []
-        for item in items:
-            parsed = _parse_at_item(item)
-            if parsed is not None:
-                at_calls.append(parsed)
-            else:
-                main_items.append(item)
-
+        at_calls: list[tuple] = []  # (ref, is_agg, mods, alias, expose)
+        render: list[tuple] = []    # ordered output plan
         classified: list[tuple[str, str, str | None]] = []
         metrics: list[str] = []
         dims_rendered: list[str] = []
-        for item in main_items:
+        metric_outs: dict[str, str] = {}  # full metric -> out column
+
+        def add_main(kind: str, full: str, alias: str | None) -> str:
+            out = _out_name(kind, full, alias)
+            rendered = f"{full} AS {alias}" if alias else full
+            pool = metrics if kind == "metric" else dims_rendered
+            if rendered not in pool and not any(
+                _out_name(k, f, a) == out for k, f, a in classified
+            ):
+                classified.append((kind, full, alias))
+                pool.append(rendered)
+            if kind == "metric":
+                metric_outs[full] = out
+            return out
+
+        for item in items:
+            parsed = _parse_at_item(item)
+            if parsed is not None:
+                ref, is_agg, mods, alias = parsed
+                render.append(("at", len(at_calls), alias))
+                at_calls.append((ref, is_agg, mods, alias, True))
+                continue
             ref, alias = _split_item_alias(item)
             target = self._classify_ref(ref, base_model)
-            if target is None:
+            if target is not None:
+                kind, full = target
+                add_main(kind, full, alias)
+                render.append(("main", kind, full, alias))
+                continue
+            # expression path: arithmetic over AGGREGATE(...)/AT terms
+            # and already-aggregated measure refs (ref corpus
+            # measures.test pct-of-total / yoy-change families)
+            template, terms = _scan_aggregate_terms(ref)
+            if not terms and "AT" not in ref.upper():
                 raise QueryCompileError(
                     f"AT-modifier queries support plain metric/dimension "
                     f"select items alongside the AT calls, got: {item!r}"
                 )
-            kind, full = target
-            classified.append((kind, full, alias))
-            rendered = f"{full} AS {alias}" if alias else full
-            (metrics if kind == "metric" else dims_rendered).append(rendered)
+            term_map: list[tuple] = []
+            for tref, tmods in terms:
+                tgt = self._classify_ref(tref, base_model)
+                if tgt is None or tgt[0] != "metric":
+                    raise QueryCompileError(
+                        f"AGGREGATE() requires a measure reference, got {tref!r}"
+                    )
+                if tmods:
+                    term_map.append(("at", len(at_calls)))
+                    at_calls.append((tref, True, tmods, None, False))
+                else:
+                    term_map.append(("main", add_main("metric", tgt[1], None)))
+            # bare measure/dim tokens in the remainder bind to __main
+            token_subs: dict[str, str] = {}
+            for tok in set(re.findall(r"[A-Za-z_][\w.]*", re.sub(r"\x00T\d+\x00", " ", template))):
+                if tok.upper() in ("AND", "OR", "NOT", "NULL", "CASE", "WHEN",
+                                   "THEN", "ELSE", "END", "AS", "CAST",
+                                   "DOUBLE", "IS"):
+                    continue
+                tgt = self._classify_ref(tok, base_model)
+                if tgt is None:
+                    continue
+                kind, full = tgt
+                if kind == "dim":
+                    out = _out_name("dim", full, None)
+                    if not any(_out_name(k, f, a) == out
+                               for k, f, a in classified):
+                        raise QueryCompileError(
+                            f"expression references dimension {tok!r} which "
+                            "is not selected by the query"
+                        )
+                    token_subs[tok] = f"__main.{out}"
+                else:
+                    token_subs[tok] = f"__main.{add_main('metric', full, None)}"
+            for tok, repl in token_subs.items():
+                template = re.sub(rf"(?<![\w.]){re.escape(tok)}(?![\w.(])",
+                                  repl, template)
+            render.append(("expr", template, alias, term_map))
 
         where = (
             self._qualify_bare(clause_vals["WHERE"], base_model)
@@ -1318,15 +1500,17 @@ class SemanticSqlRewriter:
         ]
 
         ctes = [f"__main AS (\n{main_sql}\n)"]
-        sel_extra: list[str] = []
         joins: list[str] = []
-        for idx, (ref, is_agg, mods, alias) in enumerate(at_calls):
+        for idx, (ref, is_agg, mods, alias, _expose) in enumerate(at_calls):
             target = self._classify_ref(ref, base_model)
             if target is None or target[0] != "metric":
                 raise QueryCompileError(
                     f"AT modifiers require a measure reference, got {ref!r}"
                 )
             full_metric = target[1]
+            # re-store the resolved full ref so the render stage names
+            # default columns from the qualified metric
+            at_calls[idx] = (full_metric, is_agg, mods, alias, _expose)
 
             # flatten compound modifiers: `AT (ALL a, WHERE x)` splits on
             # top-level commas; bare continuations extend a previous ALL
@@ -1349,6 +1533,7 @@ class SemanticSqlRewriter:
 
             active = list(dim_entries)
             preds: list[str] = []
+            join_overrides: dict[str, str] = {}  # sub out col -> main-side expr
             include_visible = bool(is_agg)
             has_set = any(m.split(None, 1)[0].upper() == "SET" for m in flat)
             if has_set:
@@ -1394,6 +1579,40 @@ class SemanticSqlRewriter:
                             f"SET target must be a dimension: {dref!r}"
                         )
                     tb = dim_base(tgt[1])
+                    # contextual shift: the value references the target
+                    # dimension (optionally via Yardstick's CURRENT
+                    # keyword) — `SET year = year - 1` means "evaluate
+                    # at the row's year minus one", a shifted JOIN, not
+                    # a constant pin (ref corpus measures.test
+                    # prior-year family). The dim stays grouped in the
+                    # sub-context and the join equates the sub's value
+                    # to the shifted outer expression.
+                    val_clean = re.sub(r"\bCURRENT\s+", "", val.strip(),
+                                       flags=re.I)
+                    dim_short = tgt[1].split(".", 1)[1]
+                    shift = op == "=" and re.search(
+                        rf"(?<![\w.]){re.escape(dim_base(dim_short))}(?![\w.])",
+                        val_clean,
+                    )
+                    if shift:
+                        entry = next(
+                            (e for e in dim_entries if dim_base(e[0]) == tb),
+                            None,
+                        )
+                        if entry is None:
+                            raise QueryCompileError(
+                                f"SET {dref} = <expression over {dref}> "
+                                f"requires {dref} to be selected in the query"
+                            )
+                        if entry not in active:
+                            active.append(entry)
+                        out_col = entry[1] or entry[0].split(".", 1)[1]
+                        join_overrides[out_col] = re.sub(
+                            rf"(?<![\w.]){re.escape(dim_base(dim_short))}(?![\w.])",
+                            f"__main.{out_col}",
+                            val_clean,
+                        )
+                        continue
                     active = [e for e in active if dim_base(e[0]) != tb]
                     preds.append(f"{tgt[1]} {op} {val.strip()}")
                 elif kw == "VISIBLE":
@@ -1418,24 +1637,42 @@ class SemanticSqlRewriter:
             ctes.append(f"{a_alias} AS (\nSELECT {sel_cols} FROM (\n{sub_sql}\n)\n)")
             if sub_outs:
                 cond = " AND ".join(
-                    f"__main.{c} <=> {a_alias}.{c}" for c in sub_outs
+                    f"{a_alias}.{c} <=> {join_overrides[c]}"
+                    if c in join_overrides
+                    else f"__main.{c} <=> {a_alias}.{c}"
+                    for c in sub_outs
                 )
                 joins.append(f"LEFT JOIN {a_alias} ON {cond}")
             else:
                 joins.append(f"CROSS JOIN {a_alias}")
-            sel_extra.append(
-                f"{a_alias}.__val{idx} AS "
-                + (alias or f"{mout}_at_{idx}")
-            )
 
-        main_outs = [
-            f"__main.{_out_name(k, f, a)}" for k, f, a in classified
-        ]
+        def at_val(idx: int) -> str:
+            return f"__at{idx}.__val{idx}"
+
+        out_cols: list[str] = []
+        for entry in render:
+            if entry[0] == "main":
+                _tag, kind, full, alias = entry
+                out_cols.append(f"__main.{_out_name(kind, full, alias)}")
+            elif entry[0] == "at":
+                _tag, idx, alias = entry
+                ref = at_calls[idx][0]
+                default = _out_name("metric", ref, None) + f"_at_{idx}"
+                out_cols.append(f"{at_val(idx)} AS {alias or default}")
+            else:
+                _tag, template, alias, term_map = entry
+                resolved = template
+                for n, tm in enumerate(term_map):
+                    repl = at_val(tm[1]) if tm[0] == "at" else f"__main.{tm[1]}"
+                    resolved = resolved.replace(f"\x00T{n}\x00", repl)
+                out_cols.append(
+                    f"({resolved}) AS {alias or f'expr_{len(out_cols)}'}"
+                )
         sql = (
             "WITH "
             + ",\n".join(ctes)
             + "\nSELECT "
-            + ", ".join(main_outs + sel_extra)
+            + ", ".join(out_cols)
             + "\nFROM __main\n"
             + "\n".join(joins)
         )
@@ -1480,22 +1717,25 @@ class SemanticSqlRewriter:
             r"(?:__([a-z]+))?(?![\w.])"
         )
 
-        def sub_refs(text: str) -> str:
+        def sub_refs(text: str) -> tuple[str, bool]:
             out = []
+            matched = False
             for seg in re.split(r"('(?:[^']|'')*')", text):
                 if seg.startswith("'"):
                     out.append(seg)
                     continue
 
                 def repl(m: re.Match) -> str:
+                    nonlocal matched
                     tok = m.group(0)
                     target = self._classify_ref(tok, base_model)
                     if target is None:
                         return tok
+                    matched = True
                     return note(*target)
 
                 out.append(token_re.sub(repl, seg))
-            return "".join(out)
+            return "".join(out), matched
 
         outer_items = []
         for i, item in enumerate(items):
@@ -1505,8 +1745,11 @@ class SemanticSqlRewriter:
                 name = note(*target)
                 outer_items.append(f"{name} AS {alias}" if alias else name)
                 continue
-            rewritten = sub_refs(ref)
-            if rewritten == ref:
+            rewritten, matched = sub_refs(ref)
+            # `matched` (not text comparison): a resolved ref can render
+            # as its own spelling (`2 * revenue` resolves revenue to the
+            # identically-named output column)
+            if not matched:
                 raise QueryCompileError(
                     f"unsupported select item {item!r}: references no known "
                     "metric or dimension"
@@ -1517,12 +1760,12 @@ class SemanticSqlRewriter:
         if "WHERE" in clause_vals:
             filters.append(self._qualify_bare(clause_vals["WHERE"], base_model))
         having = (
-            sub_refs(clause_vals["HAVING"]) if "HAVING" in clause_vals else None
+            sub_refs(clause_vals["HAVING"])[0] if "HAVING" in clause_vals else None
         )
         order_raw = (
             _split_items(clause_vals["ORDER BY"]) if "ORDER BY" in clause_vals else []
         )
-        order = [sub_refs(o) for o in order_raw]
+        order = [sub_refs(o)[0] for o in order_raw]
 
         spec = QuerySpec(metrics=inner_metrics, dimensions=inner_dims, filters=filters)
         inner_sql = self._generate(spec)
@@ -1567,10 +1810,26 @@ class SemanticSqlRewriter:
                         f"explicit JOIN condition must be model.col = model.col: {conj.strip()!r}")
                 pairs.append((em.group(1), em.group(2), em.group(3), em.group(4)))
             if not self._join_matches_graph(seen, target, pairs):
-                raise QueryCompileError(
-                    f"explicit JOIN to {target!r} does not match any declared "
-                    f"relationship keys: {cond!r}")
+                # conformed-dimension join: two UNRELATED facts joined on
+                # same-named dimensions both declare (ref corpus
+                # measures.test multi-fact family). Valid — the
+                # generator's multi-fact split builds exactly this
+                # FULL-OUTER-on-conformed-dims plan.
+                tgt_model = graph.get_model(target)
+                conformed = pairs and all(
+                    a_col == b_col
+                    and graph.get_model(a_m).dimension(a_col) is not None
+                    and tgt_model.dimension(b_col) is not None
+                    for a_m, a_col, _b_m, b_col in pairs
+                )
+                if not conformed:
+                    raise QueryCompileError(
+                        f"explicit JOIN to {target!r} does not match any "
+                        f"declared relationship keys: {cond!r}")
             seen.add(target)
+        # unqualified refs in the select list may name fields of ANY
+        # joined model (ref corpus aliased multi-fact joins)
+        self._extra_scope = [m2 for m2 in seen if m2 != base_model]
         return base_model
 
     def _join_matches_graph(self, seen: set, target: str, pairs: list) -> bool:
@@ -1612,6 +1871,87 @@ class SemanticSqlRewriter:
                     return True
         return False
 
+    # scalar functions whose application to a dimension is itself a
+    # groupable dimension (ref corpus measures.test MONTH()/DATE_TRUNC()
+    # select items). Aggregates are deliberately absent.
+    _EXPR_DIM_FNS = (
+        "MONTH", "YEAR", "DAY", "QUARTER", "WEEK", "DAYOFWEEK", "HOUR",
+        "DATE_TRUNC", "UPPER", "LOWER", "LEFT", "RIGHT", "SUBSTRING",
+        "SUBSTR", "CONCAT", "ARRAY_LENGTH", "LENGTH",
+    )
+
+    def _register_expr_dims(
+        self, text: str, clause_vals: dict, base_model: str, model
+    ) -> tuple[str, dict]:
+        """Fold scalar-function-over-dimension expressions into ad-hoc
+        model dimensions so ``SELECT MONTH(order_date), AGGREGATE(m)``
+        groups by the expression (ref corpus function-dim family). The
+        expression text is replaced with the generated dimension name
+        everywhere it appears (select items AND inside AT mods /
+        clauses), so modifiers like ``AT (ALL MONTH(d))`` target the
+        same dimension."""
+        import hashlib
+
+        from sidemantic_spark.core.model import Dimension as _Dim
+
+        pat = re.compile(
+            r"\b(" + "|".join(self._EXPR_DIM_FNS) + r")\s*\(", re.I
+        )
+        exprs: list[str] = []
+        for m in pat.finditer(text):
+            start = m.start()
+            depth, j, in_str = 0, m.end() - 1, False
+            while j < len(text):
+                c = text[j]
+                if in_str:
+                    if c == "'":
+                        in_str = False
+                elif c == "'":
+                    in_str = True
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            expr = text[start : j + 1]
+            # every identifier inside must be a dimension of the model
+            # (or a nested allowed function / string literal)
+            ok = True
+            inner = re.sub(r"'[^']*'", "", expr)
+            for tok in set(re.findall(r"[A-Za-z_][\w]*", inner)):
+                if tok.upper() in self._EXPR_DIM_FNS:
+                    continue
+                if model.dimension(tok) is not None:
+                    continue
+                ok = False
+                break
+            if ok and re.search(r"[A-Za-z_]", inner[len(expr.split("(")[0]):]):
+                exprs.append(expr)
+        mapping: dict[str, str] = {}
+        for expr in sorted(set(exprs), key=len, reverse=True):
+            # Spark spelling for the DuckDB-isms the corpus uses
+            sql_expr = re.sub(r"\bARRAY_LENGTH\s*\(", "size(", expr, flags=re.I)
+            # no "__" in the name: the grain-suffix convention splits on it
+            name = "expr_dim_" + hashlib.md5(expr.encode()).hexdigest()[:8]
+            if model.dimension(name) is None:
+                model.dimensions.append(_Dim(name=name, sql=sql_expr))
+                model.reindex()
+                self.layer.graph._invalidate()
+            mapping[expr] = name
+        if not mapping:
+            return text, clause_vals
+        def apply(s: str) -> str:
+            for expr, name in mapping.items():
+                s = s.replace(expr, name)
+            return s
+        clause_vals = {
+            k: apply(v) if k not in ("LIMIT", "OFFSET") else v
+            for k, v in clause_vals.items()
+        }
+        return apply(text), clause_vals
+
     def _classify_ref(self, ref: str, base_model: str | None) -> tuple[str, str] | None:
         ref = ref.strip()
         graph = self.layer.graph
@@ -1632,13 +1972,15 @@ class SemanticSqlRewriter:
         if base_model is not None and re.fullmatch(
             r"[A-Za-z_][A-Za-z0-9_]*(?:__[a-z]+)?", ref
         ):
-            # bare column: resolve against the base model
+            # bare column: resolve against the base model, then any
+            # explicitly-joined models (set by _validate_explicit_joins)
             base = ref.split("__", 1)[0]
-            model = graph.get_model(base_model)
-            if model.metric(base) is not None:
-                return ("metric", f"{base_model}.{ref}")
-            if model.dimension(base) is not None:
-                return ("dim", f"{base_model}.{ref}")
+            for scope in [base_model] + list(getattr(self, "_extra_scope", [])):
+                model = graph.get_model(scope)
+                if model.metric(base) is not None:
+                    return ("metric", f"{scope}.{ref}")
+                if model.dimension(base) is not None:
+                    return ("dim", f"{scope}.{ref}")
         return None
 
     def _qualify_bare(self, text: str, base_model: str) -> str:
