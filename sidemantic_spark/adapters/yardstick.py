@@ -81,6 +81,21 @@ def _scan_view(text: str, start: int):
         where = wm.group(1).strip()
     return select_list, from_target, where, end
 _MEASURE_RE = re.compile(r"^(.*?)\s+AS\s+MEASURE\s+(?:\"([^\"]+)\"|(\w+))\s*$", re.I | re.S)
+
+
+def _spark_fn_spellings(expr: str) -> str:
+    """DuckDB-dialect aggregate spellings -> Spark SQL equivalents
+    (Yardstick sources are DuckDB SQL; ref corpus measures.test
+    ordered-set family)."""
+    # QUANTILE_CONT(col, f) -> percentile(col, f) (interpolated)
+    expr = re.sub(
+        r"\bQUANTILE_CONT\s*\(\s*([\w.]+)\s*,\s*([\d.]+)\s*\)",
+        r"percentile(\1, \2)", expr, flags=re.I)
+    # QUANTILE_DISC(col, f) -> percentile_disc(f) WITHIN GROUP
+    expr = re.sub(
+        r"\bQUANTILE_DISC\s*\(\s*([\w.]+)\s*,\s*([\d.]+)\s*\)",
+        r"percentile_disc(\2) WITHIN GROUP (ORDER BY \1)", expr, flags=re.I)
+    return expr
 _ALIAS_RE = re.compile(r"^(.*?)\s+AS\s+(?:\"([^\"]+)\"|(\w+))\s*$", re.I | re.S)
 
 
@@ -136,7 +151,7 @@ class YardstickAdapter(BaseAdapter):
             for item in items:
                 mm = _MEASURE_RE.match(item)
                 if mm:
-                    expr = mm.group(1).strip()
+                    expr = _spark_fn_spellings(mm.group(1).strip())
                     mname = (mm.group(2) or mm.group(3)).replace(" ", "_")
                     refs = set(re.findall(r"\b\w+\b", expr))
                     if not re.search(r"\w+\s*\(", expr) and refs & measure_names:

@@ -244,6 +244,18 @@ class Metric:
                 self.agg = m.group(1).lower()
                 inner = m.group(2)
                 self.sql = None if inner in ("*", "") else inner
+                return
+            # non-decomposable aggregate expressions (FILTER clauses,
+            # WITHIN GROUP ordered-set aggregates, CASE over aggregates)
+            # are complete-SQL measures: emitted verbatim over the CTE
+            # columns (ref corpus measures.test filtered/ordered-set
+            # measure families — previously a hard error)
+            if re.search(
+                r"\b(SUM|COUNT|MIN|MAX|AVG|MEDIAN|MODE|STDDEV\w*|VAR\w*|"
+                r"PERCENTILE\w*|QUANTILE\w*|APPROX_COUNT_DISTINCT)\s*\(",
+                self.sql, re.I,
+            ):
+                self.sql_is_complete = True
 
     @property
     def is_simple(self) -> bool:

@@ -1750,6 +1750,11 @@ class SemanticSqlRewriter:
             # as its own spelling (`2 * revenue` resolves revenue to the
             # identically-named output column)
             if not matched:
+                if re.fullmatch(r"\s*(?:-?[\d.]+|'(?:[^']|'')*')\s*", ref):
+                    # constant select items pass through (ref corpus
+                    # measures.test literal-projection family)
+                    outer_items.append(f"{ref} AS {alias or f'expr_{i}'}")
+                    continue
                 raise QueryCompileError(
                     f"unsupported select item {item!r}: references no known "
                     "metric or dimension"
