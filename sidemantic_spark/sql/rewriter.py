@@ -1489,17 +1489,22 @@ class SemanticSqlRewriter:
             if "WHERE" in clause_vals
             else None
         )
-        main_spec = QuerySpec(
-            metrics=metrics,
-            dimensions=dims_rendered,
-            filters=[where] if where else [],
-        )
-        main_sql = self._generate(main_spec)
+        has_main = bool(classified)
         dim_entries = [
             (full, alias) for kind, full, alias in classified if kind == "dim"
         ]
-
-        ctes = [f"__main AS (\n{main_sql}\n)"]
+        if has_main:
+            main_spec = QuerySpec(
+                metrics=metrics,
+                dimensions=dims_rendered,
+                filters=[where] if where else [],
+            )
+            ctes = [f"__main AS (\n{self._generate(main_spec)}\n)"]
+        else:
+            # main-less AT query (`SELECT AGGREGATE(m) AT (ALL) FROM x`):
+            # no grouped context to join back to — the at-contexts ARE
+            # the result (ref corpus measures.test at-only family)
+            ctes = []
         joins: list[str] = []
         for idx, (ref, is_agg, mods, alias, _expose) in enumerate(at_calls):
             target = self._classify_ref(ref, base_model)
@@ -1549,7 +1554,13 @@ class SemanticSqlRewriter:
                 if kw == "ALL" and not rest:
                     active, preds, include_visible = [], [], False
                 elif kw == "ALL":
-                    for t in _split_items(rest):
+                    # targets split on commas OR bare whitespace
+                    # (`AT (ALL year region)` — ref corpus measures.test)
+                    targets = [
+                        t2 for t in _split_items(rest)
+                        for t2 in t.strip().split()
+                    ]
+                    for t in targets:
                         tgt = self._classify_ref(t.strip(), base_model)
                         if tgt is None or tgt[0] != "dim":
                             raise QueryCompileError(
@@ -1668,13 +1679,21 @@ class SemanticSqlRewriter:
                 out_cols.append(
                     f"({resolved}) AS {alias or f'expr_{len(out_cols)}'}"
                 )
+        if has_main:
+            from_sql = "__main\n" + "\n".join(joins)
+        else:
+            # at-only query: the first context anchors the FROM; a
+            # main-less sub has no dims to join on, so peers cross-join
+            from_sql = "__at0\n" + "\n".join(
+                f"CROSS JOIN __at{i}" for i in range(1, len(at_calls))
+            )
         sql = (
             "WITH "
             + ",\n".join(ctes)
             + "\nSELECT "
             + ", ".join(out_cols)
-            + "\nFROM __main\n"
-            + "\n".join(joins)
+            + "\nFROM "
+            + from_sql
         )
         if "ORDER BY" in clause_vals:
             sql += "\nORDER BY " + clause_vals["ORDER BY"]

@@ -6,7 +6,7 @@ semantics (AS MEASURE views, AGGREGATE(), AT context modifiers). This
 replays every statement and query end-to-end on Spark through the
 Yardstick importer + semantic-SQL rewriter and compares expected rows.
 
-96 of 115 queries replay exactly (round 8). KNOWN_UNSUPPORTED pins the
+98 of 115 queries replay exactly (round 8). KNOWN_UNSUPPORTED pins the
 remainder — DuckDB-dialect long tail (::VARCHAR casts, CTE views,
 generate_series table functions, array-typed columns, scalar
 subqueries) and advanced AT shapes (main-less AT, AT over HAVING,
@@ -34,12 +34,10 @@ KNOWN_UNSUPPORTED = {
     98,    # cross-view join without declared relationship (non-conformed keys)
     119,   # array-typed column through the typed INSERT path
     130,   # CTE inside CREATE VIEW
-    136,   # main-less AT (ALL) as the only select item
     148, 149, 150, 153,  # ::VARCHAR postfix casts
     155, 156,            # generate_series table function sources
     160,   # bare NULL projection
     171,   # scalar subqueries without FROM
-    173,   # AT (ALL a b) space-separated target list
     179,   # qualified-join base with row filters
     185,   # bare measure ref alongside AT calls (paper corpus)
     186,   # AT (VISIBLE) combined with HAVING
@@ -212,4 +210,4 @@ def test_yardstick_corpus_replay(corpus_result):
         (bi, detail[bi][0][:90], detail[bi][1][:120]) for bi in unexpected_fail]
     # a construct starting to pass should shrink the pinned list
     assert not unexpected_pass, unexpected_pass
-    assert passed >= 96
+    assert passed >= 98
