@@ -1016,3 +1016,94 @@ def test_sql_gateway_rejects_dml_behind_cte(layer):
     assert layer.sql(
         "WITH t AS (SELECT orders.revenue FROM orders) SELECT * FROM t"
     ).count() == 1
+
+
+@pytest.fixture()
+def measures_layer(spark):
+    """Tiny Yardstick-style measure model (no reference checkout needed
+    — standalone twins of the corpus-replay families)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.sql(
+        "SELECT * FROM VALUES (2022,'US',100.0),(2022,'EU',50.0),"
+        "(2023,'US',150.0),(2023,'EU',75.0) AS t(year, region, amount)"
+    ).createOrReplaceTempView("ys_sales")
+    lyr = SparkSemanticLayer(spark)
+    lyr.add_model(Model(
+        name="ys_sales", table="ys_sales", primary_key="year",
+        dimensions=[Dimension(name="year", type="numeric"),
+                    Dimension(name="region")],
+        metrics=[Metric(name="revenue", sql="SUM(amount)")],
+    ))
+    return lyr
+
+
+def test_at_set_contextual_shift(measures_layer):
+    """SET dim = <expr over dim> is a shifted join (prior-period), with
+    or without the CURRENT keyword (ref corpus measures.test)."""
+    for form in ("year - 1", "CURRENT year - 1"):
+        rows = {r["year"]: r["prior"] for r in measures_layer.sql(
+            f"SEMANTIC SELECT year, AGGREGATE(revenue) AT (SET year = {form}) "
+            "AS prior FROM ys_sales").collect()}
+        assert rows[2022] is None
+        assert float(rows[2023]) == 150.0
+
+
+def test_at_aggregate_arithmetic_items(measures_layer):
+    """Arithmetic over AGGREGATE()/AT terms renders in select order."""
+    rows = measures_layer.sql(
+        "SEMANTIC SELECT year, region, AGGREGATE(revenue) AS revenue, "
+        "100.0 * AGGREGATE(revenue) / AGGREGATE(revenue) AT (ALL region) "
+        "AS pct FROM ys_sales").collect()
+    assert rows[0].__fields__ == ["year", "region", "revenue", "pct"]
+    by = {(r["year"], r["region"]): float(r["pct"]) for r in rows}
+    assert abs(by[(2022, "US")] - 100 * 100 / 150) < 1e-9
+    assert abs(by[(2023, "EU")] - 100 * 75 / 225) < 1e-9
+
+
+def test_from_alias_and_mainless_at(measures_layer):
+    rows = measures_layer.sql(
+        "SEMANTIC SELECT s.year, AGGREGATE(revenue) AT (ALL) AS total "
+        "FROM ys_sales AS s").collect()
+    assert all(float(r["total"]) == 375.0 for r in rows)
+
+    only = measures_layer.sql(
+        "SEMANTIC SELECT AGGREGATE(revenue) AT (ALL) FROM ys_sales").collect()
+    assert len(only) == 1 and float(only[0][0]) == 375.0
+
+
+def test_function_of_dimension_groups(measures_layer):
+    rows = measures_layer.sql(
+        "SEMANTIC SELECT UPPER(region), AGGREGATE(revenue) FROM ys_sales"
+    ).collect()
+    by = {r[0]: float(r[1]) for r in rows}
+    assert by == {"US": 250.0, "EU": 125.0}
+
+
+def test_filtered_and_ordered_set_measures(spark):
+    """Non-decomposable aggregate measures (FILTER, WITHIN GROUP) are
+    complete-SQL passthroughs."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.sql(
+        "SELECT * FROM VALUES (2022,'US',100.0),(2022,'EU',50.0),"
+        "(2023,'US',150.0) AS t(year, region, amount)"
+    ).createOrReplaceTempView("ys_f")
+    lyr = SparkSemanticLayer(spark)
+    lyr.add_model(Model(
+        name="ys_f", table="ys_f", primary_key="year",
+        dimensions=[Dimension(name="year", type="numeric"),
+                    Dimension(name="region")],
+        metrics=[
+            Metric(name="us_rev", sql="SUM(amount) FILTER (WHERE region = 'US')"),
+            Metric(name="p50", sql="PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY amount)"),
+        ],
+    ))
+    m = lyr.graph.get_model("ys_f")
+    assert m.metric("us_rev").sql_is_complete
+    rows = {r["year"]: (r["us_rev"], r["p50"]) for r in lyr.query(
+        metrics=["ys_f.us_rev", "ys_f.p50"], dimensions=["ys_f.year"]).collect()}
+    assert float(rows[2022][0]) == 100.0 and float(rows[2022][1]) == 75.0
+    assert float(rows[2023][0]) == 150.0
