@@ -76,9 +76,37 @@ def _scan_view(text: str, start: int):
         from_target = tm.group(1)
         rest = rest[tm.end():].strip()
     where = None
-    wm = re.match(r"WHERE\s+(.*?)(?:GROUP\s+BY\b.*)?$", rest, re.I | re.S)
-    if wm and rest.upper().startswith("WHERE"):
-        where = wm.group(1).strip()
+    if re.match(r"WHERE\b", rest, re.I):
+        # trim every trailing clause (GROUP BY / ORDER BY / HAVING /
+        # QUALIFY / LIMIT / OFFSET) with a quote/paren-aware top-level
+        # scan: a lazy regex only trimmed GROUP BY, so `WHERE x ORDER
+        # BY y` stored `x ORDER BY y` as the row filter, and a
+        # 'GROUP BY' substring inside a string literal truncated it.
+        tail = rest[len("WHERE"):]
+        clause_re = re.compile(
+            r"(?:GROUP\s+BY|ORDER\s+BY|HAVING|QUALIFY|LIMIT|OFFSET)\b",
+            re.I,
+        )
+        cut = len(tail)
+        depth, in_q, j = 0, False, 0
+        while j < len(tail):
+            c = tail[j]
+            if in_q:
+                if c == "'":
+                    in_q = False
+            elif c == "'":
+                in_q = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and (j == 0 or not (tail[j - 1].isalnum()
+                                                or tail[j - 1] == "_")):
+                if clause_re.match(tail, j):
+                    cut = j
+                    break
+            j += 1
+        where = tail[:cut].strip() or None
     return select_list, from_target, where, end
 _MEASURE_RE = re.compile(r"^(.*?)\s+AS\s+MEASURE\s+(?:\"([^\"]+)\"|(\w+))\s*$", re.I | re.S)
 

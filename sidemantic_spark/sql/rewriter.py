@@ -25,16 +25,47 @@ from sidemantic_spark.sql.generator import QueryCompileError, QuerySpec
 
 _CLAUSES = ["WHERE", "GROUP BY", "HAVING", "QUALIFY", "ORDER BY", "LIMIT", "OFFSET"]
 _SET_OPS = ["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]
+# tokens that can follow a table name in a FROM clause and are therefore
+# never table aliases
+_JOIN_KEYWORDS = ("ON", "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "OUTER",
+                  "CROSS", "USING")
 
 
 def _strip(sql: str) -> str:
-    sql = re.sub(r"--[^\n]*", "", sql)
-    # C-style block comments too (quote-aware: only outside literals)
-    parts = sql.split("'")
-    for i in range(0, len(parts), 2):
-        parts[i] = re.sub(r"/\*.*?\*/", " ", parts[i], flags=re.S)
-    sql = "'".join(parts)
-    return sql.strip().rstrip(";").strip()
+    """Remove ``--`` line comments and ``/* */`` block comments with a
+    single linear scan tracking in-string state. A quote-split approach
+    breaks on apostrophes INSIDE comments (``/* don't */`` flips the
+    parity and the comment survives), so comment text must be consumed
+    before quote state is considered."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    quote = ""  # "'" or '"' while inside a literal/quoted identifier
+    while i < n:
+        ch = sql[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                if quote == "'" and i + 1 < n and sql[i + 1] == "'":
+                    out.append("'")  # '' escape stays inside the literal
+                    i += 2
+                    continue
+                quote = ""
+            i += 1
+        elif ch in ("'", '"'):
+            quote = ch
+            out.append(ch)
+            i += 1
+        elif ch == "-" and sql.startswith("--", i):
+            while i < n and sql[i] != "\n":
+                i += 1
+        elif ch == "/" and sql.startswith("/*", i):
+            end = sql.find("*/", i + 2)
+            i = n if end == -1 else end + 2
+            out.append(" ")
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out).strip().rstrip(";").strip()
 
 
 def _normalize_compound_keywords(sql: str) -> str:
@@ -300,6 +331,9 @@ class SemanticSqlRewriter:
         import threading
 
         self._compile_lock = threading.RLock()
+        # (model, dim_name) pairs registered by _register_expr_dims
+        # during the current rewrite(); removed in its finally block
+        self._ephemeral_dims: list = []
 
     # -- public -------------------------------------------------------
 
@@ -349,6 +383,20 @@ class SemanticSqlRewriter:
                 return out
             finally:
                 self._user = None
+                if self._ephemeral_dims:
+                    # drop the ad-hoc expression dimensions registered
+                    # during this compile: they must not outlive the
+                    # query (SELECT * expansion, adapter export)
+                    touched = set()
+                    for model, name in self._ephemeral_dims:
+                        d = model.dimension(name)
+                        if d is not None:
+                            model.dimensions.remove(d)
+                            touched.add(id(model))
+                            model.reindex()
+                    self._ephemeral_dims = []
+                    if touched:
+                        self.layer.graph._invalidate()
 
     def explain(self, sql: str) -> dict:
         """Rewrite plan summary (reference's RewriteExplanation:
@@ -1104,16 +1152,22 @@ class SemanticSqlRewriter:
             def strip_alias(m: re.Match) -> str:
                 prefix, model_name, alias_name = m.group(1), m.group(2), m.group(3)
                 if (model_name in self.layer.graph.models
-                        and alias_name.upper() not in ("ON", "JOIN", "LEFT",
-                                                       "INNER", "FULL", "OUTER")
+                        and alias_name.upper() not in _JOIN_KEYWORDS
                         and alias_name not in self.layer.graph.models):
                     alias_map[alias_name] = model_name
                     return prefix + model_name
                 return m.group(0)
 
+            # the alias candidate must never be a join keyword, and the
+            # rejection must happen in the pattern (negative lookahead)
+            # rather than in strip_alias: a consumed-but-unchanged match
+            # like `orders JOIN` would eat the JOIN token and leave the
+            # following `customers c` pair unmatched.
             from_clause = re.sub(
-                r"(^\s*|\bJOIN\s+)([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\b",
-                strip_alias, from_clause,
+                r"(^\s*|\bJOIN\s+)([A-Za-z_]\w*)\s+(?:AS\s+)?"
+                r"(?!(?:" + "|".join(_JOIN_KEYWORDS) + r")\b)"
+                r"([A-Za-z_]\w*)\b",
+                strip_alias, from_clause, flags=re.I,
             )
             for alias_name, model_name in alias_map.items():
                 alias_re = re.compile(rf"(?<![\w.]){re.escape(alias_name)}\.")
@@ -1963,6 +2017,11 @@ class SemanticSqlRewriter:
                 model.dimensions.append(_Dim(name=name, sql=sql_expr))
                 model.reindex()
                 self.layer.graph._invalidate()
+                # per-query scope: rewrite() removes these after compile
+                # so a later SELECT * / export never sees the synthetic
+                # dimension (the compiled SQL inlines the expression and
+                # is self-contained)
+                self._ephemeral_dims.append((model, name))
             mapping[expr] = name
         if not mapping:
             return text, clause_vals

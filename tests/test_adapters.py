@@ -1840,6 +1840,30 @@ FROM adapter_orders;
     con.close()
 
 
+def test_yardstick_where_trailing_clauses():
+    """_scan_view must trim ALL trailing clauses (ORDER BY / HAVING /
+    LIMIT) from the WHERE capture, quote-aware — a lazy GROUP-BY-only
+    regex stored 'x ORDER BY y' as the row filter, and a 'GROUP BY'
+    substring inside a string literal truncated it (round-9 advisor)."""
+    from sidemantic_spark.adapters.yardstick import _VIEW_HEAD_RE, _scan_view
+
+    def scan(text):
+        m = _VIEW_HEAD_RE.search(text)
+        _sel, _tgt, where, _end = _scan_view(text, m.end())
+        return where
+
+    assert scan("CREATE VIEW v AS SELECT x, SUM(y) AS MEASURE t FROM f "
+                "WHERE x > 3 ORDER BY x;") == "x > 3"
+    assert scan("CREATE VIEW v AS SELECT x, SUM(y) AS MEASURE t FROM f "
+                "WHERE x > 3 GROUP BY x HAVING SUM(y) > 0 LIMIT 5;") == "x > 3"
+    assert scan("CREATE VIEW v AS SELECT x, SUM(y) AS MEASURE t FROM f "
+                "WHERE x = 'GROUP BY literal' GROUP BY x;") == "x = 'GROUP BY literal'"
+    # no trailing clause at all
+    assert scan("CREATE VIEW v AS SELECT x, SUM(y) AS MEASURE t FROM f "
+                "WHERE x IN (SELECT g FROM h GROUP BY g);") == \
+        "x IN (SELECT g FROM h GROUP BY g)"
+
+
 def test_cube_export_roundtrip(spark):
     """Graph -> Cube YAML -> graph keeps models/metrics/joins/segments
     (reference export contract adapters/base.py:9)."""

@@ -1107,3 +1107,84 @@ def test_filtered_and_ordered_set_measures(spark):
         metrics=["ys_f.us_rev", "ys_f.p50"], dimensions=["ys_f.year"]).collect()}
     assert float(rows[2022][0]) == 100.0 and float(rows[2022][1]) == 75.0
     assert float(rows[2023][0]) == 150.0
+
+
+# -- round-9 advisor regressions --------------------------------------
+
+
+def test_explicit_join_unaliased_first_aliased_second(layer, duck):
+    """`FROM orders JOIN customer c ON ...` — an unaliased first table
+    must not consume the JOIN keyword during alias-stripping, leaving
+    alias `c` unbound (round-9 advisor)."""
+    from tests.conftest import assert_df_matches_oracle
+
+    df = layer.sql(
+        "SELECT customer.mktsegment, orders.revenue "
+        "FROM orders JOIN customer c ON orders.custkey = c.c_custkey"
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT c.c_mktsegment AS mktsegment,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        """,
+    )
+
+
+def test_right_join_rejected_not_swallowed(layer):
+    """RIGHT was missing from the alias keyword exclusion, so `orders
+    RIGHT JOIN x` silently treated RIGHT as an alias and dropped it —
+    compiling a LEFT plan for a RIGHT join.  It must error loudly
+    (the graph rebuilds joins LEFT-by-default; RIGHT semantics are not
+    expressible through it)."""
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    with pytest.raises(QueryCompileError):
+        layer.rewrite(
+            "SELECT orders.revenue FROM orders RIGHT JOIN customer c "
+            "ON orders.custkey = c.c_custkey"
+        )
+
+
+def test_expr_dims_do_not_leak_into_model(layer):
+    """Ad-hoc expr_dim_<md5> dimensions registered for a function-dim
+    query must be removed after the compile: they must not surface in
+    a later SELECT * or in adapter export (round-9 advisor)."""
+    layer.rewrite(
+        "SELECT MONTH(orders.order_date), AGGREGATE(orders.revenue) FROM orders"
+    )
+    star = layer.rewrite("SELECT * FROM orders")
+    assert "expr_dim_" not in star
+    om = layer.graph.get_model("orders")
+    assert not [d.name for d in om.dimensions if d.name.startswith("expr_dim_")]
+
+
+def test_block_comment_with_apostrophe(layer, duck):
+    """`/* don't */` — an apostrophe inside a comment must not flip the
+    quote parity of the comment stripper (round-9 advisor)."""
+    from tests.conftest import assert_df_matches_oracle
+
+    df = layer.sql(
+        "SELECT orders.status /* don't */, orders.revenue FROM orders"
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1
+        """,
+    )
+
+
+def test_line_comment_inside_string_preserved(layer):
+    """A `--` inside a string literal is data, not a comment."""
+    out = layer.rewrite(
+        "SELECT orders.status, orders.revenue FROM orders "
+        "WHERE orders.status <> 'a--b'"
+    )
+    assert "a--b" in out
