@@ -49,12 +49,12 @@ from sidemantic_spark.adapters.yardstick import _VIEW_HEAD_RE, _scan_view
 text = ("CREATE VIEW v1 AS SELECT x, SUM(y) AS MEASURE total FROM t "
         "WHERE x > 3 ORDER BY x;")
 m = _VIEW_HEAD_RE.search(text)
-sel, tgt, where, _ = _scan_view(text, m.end())
+sel, tgt, where, _cte, _ = _scan_view(text, m.end())
 assert where == "x > 3", f"where={where!r}"
 text2 = ("CREATE VIEW v2 AS SELECT x, SUM(y) AS MEASURE total FROM t "
          "WHERE x = 'GROUP BY literal' GROUP BY x;")
 m2 = _VIEW_HEAD_RE.search(text2)
-_, _, where2, _ = _scan_view(text2, m2.end())
+_, _, where2, _cte2, _ = _scan_view(text2, m2.end())
 assert where2 == "x = 'GROUP BY literal'", f"where2={where2!r}"
 print("ADVICE4 OK (trailing clause trim is quote-aware)")
 

@@ -16,17 +16,61 @@ from sidemantic_spark.adapters.base import BaseAdapter
 from sidemantic_spark.core.model import Dimension, Metric, Model
 
 _VIEW_HEAD_RE = re.compile(
-    r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+SELECT\s+", re.I
+    r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(?=WITH\b|SELECT\b)",
+    re.I,
 )
 
 
 def _scan_view(text: str, start: int):
     """Scan one CREATE VIEW statement from a _VIEW_HEAD_RE match end:
-    returns (select_list, from_target, where, end_index). The FROM
-    target may be an identifier or a balanced parenthesized derived
-    table (``FROM (VALUES ...) AS t(...)``); trailing GROUP BY (over
-    any expressions) is redundant with the measure model and dropped
-    (ref corpus measures.test GROUP BY / inline-VALUES views)."""
+    returns (select_list, from_target, where, cte_prefix, end_index).
+    The FROM target may be an identifier or a balanced parenthesized
+    derived table (``FROM (VALUES ...) AS t(...)``); trailing GROUP BY
+    (over any expressions) is redundant with the measure model and
+    dropped (ref corpus measures.test GROUP BY / inline-VALUES views).
+    A leading WITH clause (CTE inside the view, ref corpus
+    distinct_count_cte_v) is captured as ``cte_prefix`` so the model
+    source becomes a CTE-prefixed derived table."""
+    cte_prefix = None
+    wm = re.match(r"WITH\b", text[start:], re.I)
+    if wm:
+        i = start + wm.end()
+        while True:
+            m2 = re.match(r"\s*(\w+)\s+AS\s*\(", text[i:], re.I)
+            if not m2:
+                break
+            j = i + m2.end() - 1  # at the CTE body's open paren
+            depth, in_str = 0, False
+            while j < len(text):
+                c = text[j]
+                if in_str:
+                    if c == "'":
+                        in_str = False
+                elif c == "'":
+                    in_str = True
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+            i = j
+            cm = re.match(r"\s*,", text[i:])
+            if not cm:
+                break
+            i += cm.end()
+        sm = re.match(r"\s*SELECT\s+", text[i:], re.I)
+        if not sm:
+            return None
+        cte_prefix = text[start:i].strip()
+        start = i + sm.end()
+    else:
+        sm = re.match(r"SELECT\s+", text[start:], re.I)
+        if not sm:
+            return None
+        start = start + sm.end()
     # statement body runs to the first top-level ';' (or EOF)
     depth, in_str, i = 0, False, start
     while i < len(text):
@@ -75,6 +119,30 @@ def _scan_view(text: str, start: int):
         tm = re.match(r"([\w.]+)", rest)
         from_target = tm.group(1)
         rest = rest[tm.end():].strip()
+        if rest.startswith("(") and from_target.lower() == "generate_series":
+            # table-function source (ref corpus measures.test
+            # `FROM generate_series(1, 5) AS t(x)`): DuckDB's inclusive
+            # series maps to Spark's sequence() exploded in a derived
+            # table, so the existing derived-table path takes over.
+            depth, j = 0, 0
+            while j < len(rest):
+                if rest[j] == "(":
+                    depth += 1
+                elif rest[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+            args = rest[1:j - 1]
+            tail2 = rest[j:].strip()
+            col = "generate_series"
+            am2 = re.match(r"(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)", tail2, re.I)
+            if am2:
+                col = am2.group(2)
+                tail2 = tail2[am2.end():].strip()
+            from_target = f"(SELECT explode(sequence({args})) AS {col})"
+            rest = tail2
     where = None
     if re.match(r"WHERE\b", rest, re.I):
         # trim every trailing clause (GROUP BY / ORDER BY / HAVING /
@@ -107,7 +175,7 @@ def _scan_view(text: str, start: int):
                     break
             j += 1
         where = tail[:cut].strip() or None
-    return select_list, from_target, where, end
+    return select_list, from_target, where, cte_prefix, end
 _MEASURE_RE = re.compile(r"^(.*?)\s+AS\s+MEASURE\s+(?:\"([^\"]+)\"|(\w+))\s*$", re.I | re.S)
 
 
@@ -123,6 +191,10 @@ def _spark_fn_spellings(expr: str) -> str:
     expr = re.sub(
         r"\bQUANTILE_DISC\s*\(\s*([\w.]+)\s*,\s*([\d.]+)\s*\)",
         r"percentile_disc(\2) WITHIN GROUP (ORDER BY \1)", expr, flags=re.I)
+    # length-less VARCHAR/TEXT in postfix casts -> STRING (Spark parses
+    # `::` natively but has no bare VARCHAR type)
+    expr = re.sub(r"(::\s*)(?:VARCHAR|TEXT)\b(?!\s*\()", r"\1STRING",
+                  expr, flags=re.I)
     return expr
 _ALIAS_RE = re.compile(r"^(.*?)\s+AS\s+(?:\"([^\"]+)\"|(\w+))\s*$", re.I | re.S)
 
@@ -166,7 +238,7 @@ class YardstickAdapter(BaseAdapter):
             scanned = _scan_view(text, m.end())
             if scanned is None:
                 continue
-            select_list, table, where, _end = scanned
+            select_list, table, where, cte_prefix, _end = scanned
             name = m.group(1)
             dims: list[Dimension] = []
             mets: list[Metric] = []
@@ -177,6 +249,22 @@ class YardstickAdapter(BaseAdapter):
                 if mm:
                     measure_names.add((mm.group(2) or mm.group(3)).replace(" ", "_"))
             for item in items:
+                if item.strip() == "*":
+                    # `SELECT *, SUM(x) AS MEASURE m` (ref corpus paper
+                    # family): expand the star to the source table's
+                    # columns as dimensions via the session catalog;
+                    # derived/unreadable sources skip gracefully.
+                    try:
+                        session = getattr(layer, "spark", None)
+                        src = f"({table})" if table.startswith("(") else table
+                        for col in session.sql(
+                            f"SELECT * FROM {src} WHERE 1=0"
+                        ).columns:
+                            if not any(d.name == col for d in dims):
+                                dims.append(Dimension(name=col))
+                    except Exception:
+                        pass
+                    continue
                 mm = _MEASURE_RE.match(item)
                 if mm:
                     expr = _spark_fn_spellings(mm.group(1).strip())
@@ -201,6 +289,13 @@ class YardstickAdapter(BaseAdapter):
                         dname = (am2.group(2) or am2.group(3)).replace(" ", "_")
                         dims.append(Dimension(name=dname, sql=am2.group(1).strip()))
             derived = table.startswith("(")
+            model_sql = f"SELECT * FROM {table}" if derived else None
+            if cte_prefix:
+                # CTE inside the view body: the model source is the
+                # CTE-prefixed detail query (Spark supports WITH inside
+                # a FROM subquery)
+                model_sql = f"{cte_prefix}\nSELECT * FROM {table}"
+                derived = True
             try:
                 if name in layer.graph.models and re.search(
                     r"OR\s+REPLACE", m.group(0), re.I
@@ -210,7 +305,7 @@ class YardstickAdapter(BaseAdapter):
                 layer.add_model(Model(
                     name=name,
                     table=None if derived else table,
-                    sql=f"SELECT * FROM {table}" if derived else None,
+                    sql=model_sql,
                     primary_key=dims[0].name if dims else "id",
                     dimensions=dims, metrics=mets,
                     row_filters=[where.strip()] if where else [],

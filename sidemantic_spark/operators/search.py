@@ -75,6 +75,14 @@ def build_term_stats(
     prunes to the query's terms (predicate pushdown on ``term``) and
     the corpus pass drops from every query to a one-time build, the
     pre-aggregation philosophy applied to lexical search.
+
+    Refresh contract: the stats are a SNAPSHOT of ``df`` — appending or
+    deleting documents makes a materialized index stale (it mis-states
+    N, df and avg doc length, shifting every score), so rebuild (or
+    incrementally merge: ``df_count``/``dl_total`` are additive under
+    union-with-re-aggregation) whenever the corpus changes.
+    ``tests/test_operators.py::test_bm25_index_refresh_contract`` pins
+    rebuilt-index == inline parity after an append.
     """
     toks = df.select(tokenize(F.col(text_col)).alias("_toks"))
     per_term = (

@@ -210,16 +210,20 @@ def _try_match(
                     f"{pa.granularity!r}"
                 )
                 return None
+            # keyed by (name, requested_grain): the same time dim can
+            # be queried at TWO grains in one query (month + year), and
+            # a name-only key silently collapses them onto one rewrite
+            # (found by the routing-identity fuzz, round 9)
             if qgrain != pa.granularity:
                 exact_grain = False
-                dim_map[name] = (f"{name}__{pa.granularity}", qgrain)
+                dim_map[(name, grain)] = (f"{name}__{pa.granularity}", qgrain)
             else:
-                dim_map[name] = (f"{name}__{pa.granularity}", None)
+                dim_map[(name, grain)] = (f"{name}__{pa.granularity}", None)
         else:
             if name not in pa.dimensions:
                 why(f"dimension {name!r} not stored in rollup")
                 return None
-            dim_map[name] = (name, None)
+            dim_map[(name, grain)] = (name, None)
 
     # unfiltered rollup dims that the query doesn't group by are fine —
     # re-aggregation collapses them; but query filters must hit stored
@@ -259,7 +263,7 @@ def _try_match(
             why(f"filter column {fname!r} not stored in rollup")
             return None
 
-    grouped_all = len(dim_map) == len(pa.dimensions) + (1 if pa.time_dimension else 0)
+    grouped_all = len({n for n, _g in dim_map}) == len(pa.dimensions) + (1 if pa.time_dimension else 0)
     for mname in metric_names:
         metric = model.metric(mname)
         if metric is None or mname not in pa.measures:
@@ -279,7 +283,7 @@ def _try_match(
     # query picks the total rollup over a day-grain one — scanning one
     # row beats re-aggregating a year of buckets (reference
     # test_preagg_matcher_prefers_total_rollup_over_time_rollup)
-    if pa.time_dimension and pa.time_dimension not in dim_map:
+    if pa.time_dimension and pa.time_dimension not in {n for n, _g in dim_map}:
         extra_dims += 1
     specificity = max(extra_dims, 0) * 10 + (0 if exact_grain else 1)
     return PreAggMatch(preagg=pa, model=model.name, dim_map=dim_map, specificity=specificity)

@@ -292,7 +292,7 @@ def _build_ungrouped_sql(gen, r, match: PreAggMatch) -> str:
 
     select: list[str] = []
     for rd in r.dims:
-        col, regrain = match.dim_map[rd.name]
+        col, regrain = match.dim_map[(rd.name, rd.grain)]
         expr = f"DATE_TRUNC('{regrain}', {col})" if regrain else col
         select.append(f"{expr} AS {rd.out}")
     for rm in r.metrics:
@@ -305,7 +305,7 @@ def _build_ungrouped_sql(gen, r, match: PreAggMatch) -> str:
     known = set(gen.graph.models)
 
     def rollup_col(m_: str, fld: str, grain: str | None) -> str:
-        col, _ = match.dim_map.get(fld, (None, None))
+        col, _ = match.dim_map.get((fld, grain), (None, None))
         if col is None:
             dim = model.dimension(fld)
             if dim is not None and dim.type == "time" and pa.time_dimension == fld:
@@ -426,7 +426,7 @@ def _build_join_sql(
     rollup_cte = f"{fact.name}_rollup"
 
     def rollup_col(m: str, fld: str, grain: str | None) -> str:
-        col, _ = match.dim_map.get(fld, (None, None))
+        col, _ = match.dim_map.get((fld, grain), (None, None))
         if col is None:
             dim = fact.dimension(fld)
             if dim is not None and dim.type == "time" and pa.time_dimension == fld:
@@ -486,7 +486,7 @@ def _build_join_sql(
         if rd.model == remote.name:
             expr = f"{remote_cte}.{rd.out}"
         else:
-            col, regrain = match.dim_map[rd.name]
+            col, regrain = match.dim_map[(rd.name, rd.grain)]
             expr = f"DATE_TRUNC('{regrain}', {col})" if regrain else col
         select.append(f"{expr} AS {rd.out}" if expr != rd.out else expr)
         group.append(expr)
@@ -619,13 +619,14 @@ def _build_sql(gen, r, match: PreAggMatch) -> str:
             f" UNION ALL\n{fresh})"
         )
     exact = all(regrain is None for _col, regrain in match.dim_map.values()) and (
-        len(match.dim_map) == len(pa.dimensions) + (1 if pa.time_dimension else 0)
+        len({n for n, _g in match.dim_map})
+        == len(pa.dimensions) + (1 if pa.time_dimension else 0)
     )
 
     select: list[str] = []
     group: list[str] = []
     for rd in r.dims:
-        col, regrain = match.dim_map[rd.name]
+        col, regrain = match.dim_map[(rd.name, rd.grain)]
         expr = f"DATE_TRUNC('{regrain}', {col})" if regrain else col
         select.append(f"{expr} AS {rd.out}")
         group.append(expr)
@@ -635,7 +636,7 @@ def _build_sql(gen, r, match: PreAggMatch) -> str:
     known = set(gen.graph.models)
 
     def rollup_col(m: str, fld: str, grain: str | None) -> str:
-        col, _ = match.dim_map.get(fld, (None, None))
+        col, _ = match.dim_map.get((fld, grain), (None, None))
         if col is None:
             dim = model.dimension(fld)
             if dim is not None and dim.type == "time" and pa.time_dimension == fld:

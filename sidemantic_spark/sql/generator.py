@@ -535,17 +535,21 @@ class SqlGenerator:
             # (_multifact_sql) — only the models dimensions/filters
             # live on must be graph-reachable (reference
             # tests/test_bugfix_batch.py full-outer-join family)
-            metric_only = {rm.model for rm in metrics} - {
-                rd.model for rd in dims
-            } - set(filter_models)
-            if len({rm.model for rm in metrics}) < 2:
+            metric_owners = {rm.model for rm in metrics}
+            if len(metric_owners) < 2:
                 raise
             reachable: list[str] = []
             for m in all_models[1:]:
                 try:
                     self.graph.join_tree(base, [m])
                 except NoJoinPathError:
-                    if m not in metric_only:
+                    # an unreachable model is fine when it carries a
+                    # metric: the multifact split compiles it as its own
+                    # per-fact subquery, hosting its private dimensions
+                    # too (ref corpus measures.test cross-view conformed
+                    # join). Dims/filters on a model no fact can host
+                    # still raise.
+                    if m not in metric_owners:
                         raise
                 else:
                     reachable.append(m)
@@ -619,6 +623,16 @@ class SqlGenerator:
                     # each into the model CTE
                     for ident in _complete_sql_columns(comp.sql):
                         extra_cols[rm.model].add(ident)
+                    # dimension names shadowed by SQL keywords (`year`,
+                    # `month`, `date`, ...) are skipped by the generic
+                    # column scan but still need projecting when the
+                    # opaque SQL references them — a window measure's
+                    # `OVER (ORDER BY year)` (ref corpus measures.test
+                    # window family)
+                    mdl = self.graph.get_model(rm.model)
+                    for tok in set(re.findall(r"[A-Za-z_]\w*", comp.sql or "")):
+                        if mdl.dimension(tok) is not None:
+                            extra_cols[rm.model].add(tok)
                     continue
                 for flt in comp.filters:
                     for m, fld, _g in find_refs(flt, known):
@@ -1484,6 +1498,14 @@ class SqlGenerator:
         ]
         dim_outs = [rd.out for rd in r.dims]
 
+        win_rms = [
+            rm for rm in r.metrics
+            if rm.metric.sql_is_complete and rm.metric.sql
+            and re.search(r"\bOVER\s*\(", rm.metric.sql, re.I)
+        ]
+        if win_rms:
+            return self._window_measure_grouped_sql(r, ctes, win_rms)
+
         def value_of(out: str, metric: Metric):
             if metric.agg == "count" and metric.sql is None:
                 owner = next(
@@ -1544,6 +1566,62 @@ class SqlGenerator:
             sql += "\nHAVING " + "\n  AND ".join(f"({h})" for h in having)
         sql += self._order_limit(r)
         return self._assemble(r, ctes, sql, plan="grouped")
+
+    def _window_measure_grouped_sql(self, r: Resolved, ctes, win_rms) -> str:
+        """Measures defined as window expressions (``SUM(x) OVER (...)``
+        — Yardstick window-measure views, ref corpus measures.test
+        window family) evaluate at ROW grain over the filtered base,
+        then reduce to the query grain by asserting a single distinct
+        value per evaluation context. The reference raises
+        'Window measure <m> returned multiple values for the evaluation
+        context' when the context doesn't pin the window to one value —
+        a running total grouped at its order key passes, the same
+        measure AT (ALL) fails at runtime, and an unordered
+        ``OVER ()`` total passes everywhere. ``raise_error`` inside a
+        lazily-evaluated IF reproduces that data-dependent contract in
+        pure Spark SQL."""
+        if len(win_rms) != len(r.metrics):
+            raise QueryCompileError(
+                "window measures cannot be combined with aggregate "
+                "metrics in one query; split the select"
+            )
+        if r.spec.with_totals:
+            raise QueryCompileError("window measures do not support totals")
+        if r.having:
+            raise QueryCompileError(
+                "HAVING over a window measure is not supported; wrap the "
+                "query and filter the result"
+            )
+        inner_parts = [f"{rd.model}_cte.{rd.out} AS {rd.out}" for rd in r.dims]
+        for rm in r.metrics:
+            sql = _qualify_complete_sql(rm.metric.sql, f"{rm.model}_cte")
+            if rm.metric.fill_nulls_with is not None:
+                sql = f"COALESCE({sql}, {rm.metric.fill_nulls_with})"
+            inner_parts.append(f"{sql} AS {rm.out}")
+        inner = "SELECT\n    " + ",\n    ".join(inner_parts)
+        inner += "\nFROM " + self._join_clause(r)
+        where = [self._rewrite_outer_filter(f) for f in r.outer_filters]
+        if where:
+            inner += "\nWHERE " + "\n  AND ".join(f"({w})" for w in where)
+        if r.spec.ungrouped:
+            # detail grain: the per-row window value IS the result
+            sql = inner + self._order_limit(r)
+            return self._assemble(r, ctes, sql, plan="window_measure")
+        outer_parts = list(dict.fromkeys(rd.out for rd in r.dims))
+        for rm in r.metrics:
+            msg = (f"Window measure {rm.metric.name} returned multiple "
+                   "values for the evaluation context")
+            outer_parts.append(
+                f"IF(COUNT(DISTINCT {rm.out}) <= 1, MAX({rm.out}), "
+                f"raise_error('{msg}')) AS {rm.out}"
+            )
+        sql = "SELECT\n    " + ",\n    ".join(outer_parts)
+        sql += "\nFROM (\n" + inner + "\n)"
+        dim_outs = list(dict.fromkeys(rd.out for rd in r.dims))
+        if dim_outs:
+            sql += "\nGROUP BY " + ", ".join(dim_outs)
+        sql += self._order_limit(r)
+        return self._assemble(r, ctes, sql, plan="window_measure")
 
     def _ungrouped_metric_sql(self, rm: RMetric, value_of) -> str:
         """Per-row raw value for drill-to-detail: ungrouped queries
@@ -1958,6 +2036,31 @@ class SqlGenerator:
     # ------------------------------------------------------------------
     def _multifact_sql(self, r: Resolved, metric_models: list[str]) -> str:
         known = set(self.graph.models)
+        # a dim PRIVATE to one fact (named on it / reachable from it,
+        # and neither conformed onto nor reachable from some other
+        # fact) is projected only by its own fact's subquery and
+        # excluded from the FULL OUTER join keys — the other facts'
+        # rows repeat across its values, the conformed-star semantics
+        # of the reference corpus cross-view join (measures.test)
+        fact_covers: dict[str, set[str]] = {}
+        for fm in metric_models:
+            reach_fm = self._reachable_from(fm)
+            fact_covers[fm] = {
+                rd.out for rd in r.dims
+                if rd.model in reach_fm
+                or self.graph.get_model(fm).dimension(rd.name) is not None
+            }
+        for rd in r.dims:
+            if not any(rd.out in c for c in fact_covers.values()):
+                raise QueryCompileError(
+                    f"dimension {rd.model}.{rd.name} is neither joinable "
+                    f"from any fact nor conformed (no same-named "
+                    f"dimension on any fact model)"
+                )
+        shared_outs = {
+            rd.out for rd in r.dims
+            if all(rd.out in c for c in fact_covers.values())
+        }
         fact_sqls: list[tuple[str, str]] = []
         for fm in metric_models:
             reachable = self._reachable_from(fm)
@@ -1967,14 +2070,10 @@ class SqlGenerator:
             # tests/test_bugfix_batch.py full-outer multi-fact family)
             dim_refs = []
             for rd in r.dims:
+                if rd.out not in fact_covers[fm]:
+                    continue  # private to another fact
                 model = rd.model
                 if model not in reachable:
-                    if self.graph.get_model(fm).dimension(rd.name) is None:
-                        raise QueryCompileError(
-                            f"dimension {rd.model}.{rd.name} is neither "
-                            f"joinable from fact {fm!r} nor conformed "
-                            f"(no same-named dimension on {fm!r})"
-                        )
                     model = fm
                 dim_refs.append(
                     f"{model}.{rd.name}"
@@ -2007,32 +2106,45 @@ class SqlGenerator:
 
         dim_outs = [rd.out for rd in r.dims]
         with_totals = r.spec.with_totals and bool(dim_outs)
-        join_outs = dim_outs + (["_is_total"] if with_totals else [])
+        join_outs = [o for o in dim_outs if o in shared_outs] + (
+            ["_is_total"] if with_totals else []
+        )
+        covers = {n: fact_covers[fm] | ({"_is_total"} if with_totals else set())
+                  for (n, _), fm in zip(fact_sqls, metric_models)}
         first = fact_sqls[0][0]
         select = []
-        for o in join_outs:
-            if len(fact_sqls) > 1:
-                select.append(f"COALESCE({', '.join(f'{n}.{o}' for n, _ in fact_sqls)}) AS {o}")
+        for o in dim_outs + (["_is_total"] if with_totals else []):
+            owners = [n for n, _ in fact_sqls if o in covers[n]]
+            if len(owners) > 1:
+                select.append(
+                    f"COALESCE({', '.join(f'{n}.{o}' for n in owners)}) AS {o}"
+                )
             else:
-                select.append(f"{first}.{o} AS {o}")
+                select.append(f"{owners[0]}.{o} AS {o}")
         for rm in r.metrics:
             select.append(f"__fact_{rm.model}.{rm.out} AS {rm.out}")
         sql = "SELECT\n    " + ",\n    ".join(select)
         sql += f"\nFROM {first}"
         for idx, (name, _) in enumerate(fact_sqls[1:], start=1):
-            if join_outs:
-                # chain on COALESCE of ALL prior facts' dims: with 3+
-                # facts, a dim combination absent from the first fact
-                # still lives in the joined row via a later fact, and
-                # joining on first-fact columns alone would leave it
-                # NULL and spawn a duplicate unmerged output row
-                prior = [n for n, _ in fact_sqls[:idx]]
-                cond = " AND ".join(
+            conds = []
+            for o in join_outs:
+                if o not in covers[name]:
+                    continue
+                # chain on COALESCE of ALL prior covering facts' dims:
+                # with 3+ facts, a dim combination absent from the
+                # first fact still lives in the joined row via a later
+                # fact, and joining on first-fact columns alone would
+                # leave it NULL and spawn a duplicate unmerged output
+                # row
+                prior = [n for n, _ in fact_sqls[:idx] if o in covers[n]]
+                if not prior:
+                    continue
+                conds.append(
                     "COALESCE(" + ", ".join(f"{p}.{o}" for p in prior) + ")"
                     f" <=> {name}.{o}"
-                    for o in join_outs
                 )
-                sql += f"\nFULL OUTER JOIN {name} ON {cond}"
+            if conds:
+                sql += f"\nFULL OUTER JOIN {name} ON {' AND '.join(conds)}"
             else:
                 sql += f"\nCROSS JOIN {name}"
         if r.having:

@@ -145,6 +145,24 @@ def _split_items(text: str) -> list[str]:
 _AGGREGATE_REF_RE = re.compile(r"\bAGGREGATE\s*\(\s*(\"[^\"]+\"|[\w.]+)\s*\)", re.I)
 
 
+def _normalize_cast_types(sql: str) -> str:
+    """Map DuckDB/Postgres type names Spark lacks onto Spark spellings
+    in postfix casts (``x::VARCHAR`` -> ``x::STRING``) and CAST calls.
+    Spark parses ``::`` natively (3.4+); only the bare length-less
+    VARCHAR/TEXT type names fail (ref corpus measures.test ::VARCHAR
+    family). Quote-aware: even segments of a quote split are outside
+    string literals."""
+    parts = sql.split("'")
+    for i in range(0, len(parts), 2):
+        # postfix form only: `AS VARCHAR` inside CAST() can't be told
+        # apart from a column alias literally named "varchar" by regex
+        parts[i] = re.sub(
+            r"(::\s*)(?:VARCHAR|TEXT)\b(?!\s*\()",
+            r"\1STRING", parts[i], flags=re.I,
+        )
+    return "'".join(parts)
+
+
 def _yardstick_normalize(sql: str) -> str:
     """Yardstick flavor (reference ``sql/query_rewriter.py:3007-3043``):
     ``SEMANTIC SELECT ...`` prefix and ``AGGREGATE(measure)`` refs.
@@ -154,6 +172,14 @@ def _yardstick_normalize(sql: str) -> str:
     (the AGGREGATE form carries a different visibility default than a
     bare ``measure AT (...)`` — ref ``:3717-3760``)."""
     sql = re.sub(r"^\s*SEMANTIC\s+", "", sql, flags=re.I)
+    if re.search(r"\bAT\s*\(", sql, re.I):
+        # statements with AT modifiers keep their AGGREGATE() wrappers:
+        # the wrapper carries the visibility default (AGGREGATE(m) sees
+        # the query WHERE, a bare measure ref ignores it — ref
+        # query_rewriter.py:3717-3760 and the paper Listing-8 family),
+        # so unwrapping here would erase the distinction before the AT
+        # planner classifies the items.
+        return sql
 
     def sub(m: re.Match) -> str:
         if re.match(r"\s*AT\s*\(", sql[m.end():], re.I):
@@ -334,6 +360,12 @@ class SemanticSqlRewriter:
         # (model, dim_name) pairs registered by _register_expr_dims
         # during the current rewrite(); removed in its finally block
         self._ephemeral_dims: list = []
+        # ad-hoc models auto-registered for plain catalog tables named
+        # in explicit joins; removed in rewrite()'s finally block
+        self._ephemeral_models: list[str] = []
+        # (model, metric_name) ad-hoc aggregate metrics registered for
+        # the current rewrite(); removed in its finally block
+        self._ephemeral_metrics: list = []
 
     # -- public -------------------------------------------------------
 
@@ -374,7 +406,9 @@ class SemanticSqlRewriter:
                 self._rejected_rules = []
                 out = self._rewrite_node(
                     _yardstick_normalize(
-                        _normalize_compound_keywords(_strip(sql))
+                        _normalize_cast_types(
+                            _normalize_compound_keywords(_strip(sql))
+                        )
                     )
                 )
                 self._cache[key] = (
@@ -383,6 +417,19 @@ class SemanticSqlRewriter:
                 return out
             finally:
                 self._user = None
+                if self._ephemeral_models:
+                    for name in self._ephemeral_models:
+                        self.layer.graph.models.pop(name, None)
+                    self._ephemeral_models = []
+                    self.layer.graph._invalidate()
+                if self._ephemeral_metrics:
+                    for model, name in self._ephemeral_metrics:
+                        mobj = model.metric(name)
+                        if mobj is not None:
+                            model.metrics.remove(mobj)
+                            model.reindex()
+                    self._ephemeral_metrics = []
+                    self.layer.graph._invalidate()
                 if self._ephemeral_dims:
                     # drop the ad-hoc expression dimensions registered
                     # during this compile: they must not outlive the
@@ -1117,6 +1164,46 @@ class SemanticSqlRewriter:
         self._applied_rules.append("wrapper_pushdown")
         return self._generate(spec)
 
+    def _rewrite_fromless(self, select_body: str) -> str | None:
+        """``SELECT`` without a top-level FROM whose items are scalar
+        subqueries and/or constants (ref corpus measures.test
+        cardinality checks: ``SELECT (SELECT COUNT(*) FROM t) AS a,
+        (SELECT COUNT(*) FROM measure_view) AS b``). Each parenthesized
+        subquery island compiles through the semantic path when it
+        references a model; plain-SQL islands and literals pass
+        through. Returns None when an item is neither, so the caller's
+        needs-a-FROM error still fires for genuinely malformed SQL."""
+        items = _split_items(select_body)
+        out_items: list[str] = []
+        for i, item in enumerate(items):
+            expr, alias = _split_item_alias(item)
+            expr = expr.strip()
+            if expr.startswith("(") and re.match(r"\(\s*SELECT\b", expr, re.I):
+                end = _find_balanced_paren(expr)
+                if end == len(expr) - 1:
+                    inner = expr[1:end].strip()
+                    from sidemantic_spark.core.graph import SemanticGraphError
+
+                    try:
+                        compiled = self._rewrite_node(inner)
+                    except (QueryCompileError, SemanticGraphError):
+                        compiled = inner  # plain-SQL subquery island
+                    out_items.append(
+                        f"(\n{compiled}\n) AS {alias or f'expr_{i}'}"
+                    )
+                    continue
+            if re.fullmatch(
+                r"\s*(?:-?[\d.]+|NULL|TRUE|FALSE|'(?:[^']|'')*')\s*",
+                expr, re.I,
+            ):
+                out_items.append(f"{expr} AS {alias}" if alias else expr)
+                continue
+            return None
+        if not out_items:
+            return None
+        self._applied_rules.append("fromless_scalar_subqueries")
+        return "SELECT " + ",\n       ".join(out_items)
+
     def _rewrite_select(self, sql: str) -> str:
         self._extra_scope: list[str] = []  # joined-model lookup scope
         m = re.match(r"^\s*SELECT\s+(?:DISTINCT\s+)?(.*)$", sql, re.IGNORECASE | re.DOTALL)
@@ -1125,6 +1212,9 @@ class SemanticSqlRewriter:
         rest = m.group(1)
         from_parts = _top_level_split(rest, "FROM")
         if len(from_parts) < 2:
+            fromless = self._rewrite_fromless(rest)
+            if fromless is not None:
+                return fromless
             raise QueryCompileError("semantic SQL needs a FROM clause")
         select_list = from_parts[0].strip()
         tail = "FROM".join(from_parts[1:]) if False else from_parts[1]
@@ -1147,6 +1237,23 @@ class SemanticSqlRewriter:
             # Table aliases (`FROM orders o JOIN customer c ON ...`)
             # rebind to their models first (ref corpus measures.test
             # aliased multi-fact joins).
+            # `USING (c1, c2)` (ref corpus measures.test Listing-9
+            # join) normalizes to the equivalent ON equality over the
+            # two preceding table names/aliases before alias stripping
+            um = re.fullmatch(
+                r"\s*([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+"
+                r"JOIN\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+"
+                r"USING\s*\(([^)]*)\)\s*", from_clause, re.I,
+            )
+            if um:
+                lt = um.group(2) or um.group(1)
+                rt = um.group(4) or um.group(3)
+                cols_u = [c.strip() for c in um.group(5).split(",") if c.strip()]
+                on = " AND ".join(f"{lt}.{c} = {rt}.{c}" for c in cols_u)
+                head = f"{um.group(1)} {um.group(2)}" if um.group(2) else um.group(1)
+                tail_t = f"{um.group(3)} {um.group(4)}" if um.group(4) else um.group(3)
+                from_clause = f"{head} JOIN {tail_t} ON {on}"
+            self._register_adhoc_join_tables(from_clause)
             alias_map: dict[str, str] = {}
 
             def strip_alias(m: re.Match) -> str:
@@ -1241,8 +1348,40 @@ class SemanticSqlRewriter:
                     model.reindex()
                     graph._invalidate()
                 out_items.append(f"{base_model}.__adhoc_count AS {alias or 'count'}")
-            else:
-                out_items.append(it)
+                continue
+            # ad-hoc aggregate over a dimension column (`AVG(c.custAge)`
+            # — ref corpus measures.test Listing-9 weighted average):
+            # registered as a per-query metric on the dim's model; under
+            # a fanned-out join the entity-grain dedup plan evaluates it
+            # over distinct joined entities.
+            am = re.fullmatch(
+                r"(AVG|SUM|MIN|MAX|COUNT)\s*\(\s*([A-Za-z_][\w.]*)\s*\)",
+                ref.strip(), re.I,
+            )
+            if am:
+                tgt = self._classify_ref(am.group(2), base_model)
+                if tgt is not None and tgt[0] == "dim":
+                    dmodel, dfield = tgt[1].split(".", 1)
+                    dfield = dfield.split("__", 1)[0]
+                    fn = am.group(1).lower()
+                    mname = f"__adhoc_{fn}_{dfield}"
+                    owner = graph.get_model(dmodel)
+                    if owner.metric(mname) is None:
+                        from sidemantic_spark.core.model import Metric as _Metric
+
+                        dim_obj = owner.dimension(dfield)
+                        owner.metrics.append(_Metric(
+                            name=mname, agg=fn,
+                            sql=(dim_obj.sql or dfield) if dim_obj else dfield,
+                        ))
+                        owner.reindex()
+                        graph._invalidate()
+                        self._ephemeral_metrics.append((owner, mname))
+                    out_items.append(
+                        f"{dmodel}.{mname} AS {alias or f'{fn}_{dfield}'}"
+                    )
+                    continue
+            out_items.append(it)
         items = out_items
 
         metrics: list[str] = []
@@ -1263,6 +1402,15 @@ class SemanticSqlRewriter:
             except QueryCompileError:
                 return False
             return any(mods for _r, mods in terms)
+
+        if "WHERE" in clause_vals and re.search(
+            r"\bAT\s*\(", clause_vals["WHERE"], re.I
+        ):
+            corr = self._rewrite_correlated_where(
+                items, clause_vals, base_model
+            )
+            if corr is not None:
+                return corr
 
         if any(_has_at_term(it) for it in items):
             return self._rewrite_at_select(items, clause_vals, base_model)
@@ -1430,6 +1578,136 @@ class SemanticSqlRewriter:
         self._applied_rules.append("qualify_topn_window")
         return sql
 
+    def _rewrite_correlated_where(
+        self, items: list[str], clause_vals: dict[str, str], base_model: str
+    ) -> str | None:
+        """Row-vs-measure comparison in WHERE (ref corpus measures.test
+        Listing-12 family): ``WHERE o.revenue > o.avgRevenue AT (WHERE
+        prodName = o.prodName)`` filters DETAIL rows against a measure
+        evaluated in a correlated context. Compiles as detail rows
+        LEFT-JOINed to the per-correlation-key aggregate (both sides
+        re-use the model's own plans; the aggregate side is tiny, so
+        Catalyst broadcast-joins it), with the comparison applied as a
+        plain WHERE. Returns None when the WHERE doesn't match the
+        supported shape — one measure-AT conjunct whose modifier is a
+        correlated equality on a dimension — so the caller's normal
+        routes (and their precise errors) still apply."""
+        conjs = [c.strip() for c in _top_level_split(
+            clause_vals["WHERE"], "AND") if c.strip()]
+        at_conj, others = None, []
+        for c in conjs:
+            if at_conj is None and re.search(r"\bAT\s*\(", c, re.I):
+                at_conj = c
+            else:
+                others.append(c)
+        if at_conj is None:
+            return None
+        m = re.match(
+            r"^(.+?)\s*(>=|<=|<>|!=|=|>|<)\s*([A-Za-z_][\w.]*)\s+AT\s*\(",
+            at_conj, re.I | re.S,
+        )
+        if not m:
+            return None
+        lhs, op, mref = m.group(1), m.group(2), m.group(3)
+        mod_start = m.end() - 1
+        mod_end = _find_balanced_paren(at_conj[mod_start:])
+        if mod_end is None or at_conj[mod_start + mod_end + 1:].strip():
+            return None
+        mod = at_conj[mod_start + 1: mod_start + mod_end]
+        tgt = self._classify_ref(mref, base_model)
+        if tgt is None or tgt[0] != "metric":
+            return None
+        full_metric = tgt[1]
+        mm = re.match(r"^\s*WHERE\s+(.+)$", mod.strip(), re.I | re.S)
+        if not mm:
+            return None
+        pm = re.fullmatch(
+            r"([A-Za-z_][\w.]*)\s*=\s*([A-Za-z_][\w.]*)",
+            mm.group(1).strip(),
+        )
+        if not pm:
+            return None
+
+        def dim_short(ref2: str) -> str | None:
+            t = self._classify_ref(ref2, base_model)
+            return t[1].split(".", 1)[1] if t and t[0] == "dim" else None
+
+        da, db = dim_short(pm.group(1)), dim_short(pm.group(2))
+        if da is None or da != db:
+            return None
+        corr = da
+
+        sel: list[tuple[str, str | None]] = []
+        for item in items:
+            ref2, alias = _split_item_alias(item)
+            t = self._classify_ref(ref2, base_model)
+            if t is None or t[0] != "dim":
+                return None
+            sel.append((t[1], alias))
+
+        def to_det(text: str) -> tuple[str, set[str]]:
+            used: set[str] = set()
+            out = []
+            for seg in re.split(r"('(?:[^']|'')*')", text):
+                if seg.startswith("'"):
+                    out.append(seg)
+                    continue
+
+                def repl(mt: re.Match) -> str:
+                    t = self._classify_ref(mt.group(0), base_model)
+                    if t and t[0] == "dim":
+                        short = t[1].split(".", 1)[1]
+                        used.add(t[1])
+                        return f"__det.{short}"
+                    return mt.group(0)
+
+                out.append(re.sub(r"[A-Za-z_][\w.]*", repl, seg))
+            return "".join(out), used
+
+        lhs_det, det_refs = to_det(lhs.strip())
+        other_det: list[str] = []
+        for c in others:
+            cd, used = to_det(c)
+            det_refs |= used
+            other_det.append(cd)
+        det_refs |= {full for full, _a in sel}
+        det_refs.add(f"{base_model}.{corr}")
+
+        det_sql = self._generate(QuerySpec(
+            dimensions=sorted(det_refs), ungrouped=True,
+        ))
+        ctx_sql = self._generate(QuerySpec(
+            metrics=[full_metric],
+            dimensions=[f"{base_model}.{corr}"],
+        ))
+        mout = _out_name("metric", full_metric, None)
+        out_cols = [
+            f"__det.{full.split('.', 1)[1]}"
+            + (f" AS {alias}" if alias else "")
+            for full, alias in sel
+        ]
+        preds = [f"{lhs_det} {op} __ctx.{mout}"] + other_det
+        sql = (
+            f"WITH __det AS (\n{det_sql}\n),\n__ctx AS (\n{ctx_sql}\n)\n"
+            + "SELECT " + ", ".join(out_cols)
+            + f"\nFROM __det\nLEFT JOIN __ctx ON __det.{corr} <=> __ctx.{corr}"
+            + "\nWHERE " + "\n  AND ".join(f"({p})" for p in preds)
+        )
+        if "ORDER BY" in clause_vals:
+            ob = clause_vals["ORDER BY"]
+            for full, alias in sorted(sel, key=lambda kv: -len(kv[0])):
+                ob = re.sub(
+                    rf"(?<![\w.]){re.escape(full)}(?![\w.])",
+                    alias or full.split(".", 1)[1], ob,
+                )
+            sql += "\nORDER BY " + ob
+        if "LIMIT" in clause_vals:
+            sql += f"\nLIMIT {int(clause_vals['LIMIT'])}"
+        if "OFFSET" in clause_vals:
+            sql += f"\nOFFSET {int(clause_vals['OFFSET'])}"
+        self._applied_rules.append("correlated_where_measure")
+        return sql
+
     def _rewrite_at_select(
         self, items: list[str], clause_vals: dict[str, str], base_model: str
     ) -> str:
@@ -1445,7 +1723,7 @@ class SemanticSqlRewriter:
         frames are tiny, so Catalyst broadcast-joins them; no
         correlated-subquery execution is needed."""
 
-        unsupported = [c for c in ("HAVING", "QUALIFY") if c in clause_vals]
+        unsupported = [c for c in ("QUALIFY",) if c in clause_vals]
         if unsupported:
             # refusing beats silently dropping the clause
             raise QueryCompileError(
@@ -1476,6 +1754,15 @@ class SemanticSqlRewriter:
                 metric_outs[full] = out
             return out
 
+        # GROUP BY ROLLUP(dim): the main context adds the grand-total
+        # grouping-set row; AGGREGATE terms then join per-group (the
+        # total row's NULL dim matches no sub-context, so every measure
+        # is NULL there while COUNT(*) still counts — ref corpus paper
+        # Listing-8 block)
+        with_totals = bool(re.search(
+            r"\bROLLUP\s*\(", clause_vals.get("GROUP BY", ""), re.I
+        ))
+
         for item in items:
             parsed = _parse_at_item(item)
             if parsed is not None:
@@ -1487,6 +1774,16 @@ class SemanticSqlRewriter:
             target = self._classify_ref(ref, base_model)
             if target is not None:
                 kind, full = target
+                if kind == "metric" and ".__adhoc_" not in full:
+                    # bare measure ref in an AT query: evaluates in the
+                    # group context but IGNORES the query WHERE (the
+                    # paper's invisible default; AGGREGATE(m) opts in).
+                    # COUNT(*) / AVG(col) — rewritten to __adhoc_*
+                    # metrics upstream — are literal SQL, not measure
+                    # refs: they stay in the main visible context.
+                    render.append(("at", len(at_calls), alias))
+                    at_calls.append((ref, False, [], alias, True))
+                    continue
                 add_main(kind, full, alias)
                 render.append(("main", kind, full, alias))
                 continue
@@ -1506,7 +1803,9 @@ class SemanticSqlRewriter:
                     raise QueryCompileError(
                         f"AGGREGATE() requires a measure reference, got {tref!r}"
                     )
-                if tmods:
+                if tmods or with_totals:
+                    # under ROLLUP totals even mod-less AGGREGATE terms
+                    # must join per-group so the total row reads NULL
                     term_map.append(("at", len(at_calls)))
                     at_calls.append((tref, True, tmods, None, False))
                 else:
@@ -1538,6 +1837,47 @@ class SemanticSqlRewriter:
                                   repl, template)
             render.append(("expr", template, alias, term_map))
 
+        # HAVING over AT terms (ref corpus measures.test AT+HAVING):
+        # each AGGREGATE(...) AT (...) term in the HAVING expression
+        # resolves to the matching at-context's value column (adding a
+        # hidden context when the select list doesn't already compute
+        # it); since every context is pre-aggregated in its own CTE,
+        # HAVING becomes a plain WHERE over the joined result.
+        having_template = None
+        having_map: list[tuple] = []
+        if "HAVING" in clause_vals:
+            having_template, hterms = _scan_aggregate_terms(
+                clause_vals["HAVING"]
+            )
+            if not hterms:
+                raise QueryCompileError(
+                    "HAVING alongside AT modifiers must filter on "
+                    "AGGREGATE(...) terms"
+                )
+            def _resolved(ref2: str) -> str:
+                tgt2 = self._classify_ref(ref2, base_model)
+                return tgt2[1] if tgt2 else ref2
+
+            for tref, tmods in hterms:
+                tfull = _resolved(tref)
+                tkey = [re.sub(r"\s+", " ", m.strip().upper()) for m in tmods]
+                found = None
+                for ci, (cref, _ci_agg, cmods, _ca, _ce) in enumerate(at_calls):
+                    if _resolved(cref) == tfull and [
+                        re.sub(r"\s+", " ", m.strip().upper()) for m in cmods
+                    ] == tkey:
+                        found = ci
+                        break
+                if found is None and tmods:
+                    found = len(at_calls)
+                    at_calls.append((tref, True, tmods, None, False))
+                if found is not None:
+                    having_map.append(("at", found))
+                else:
+                    having_map.append(
+                        ("main", add_main("metric", tfull, None))
+                    )
+
         where = (
             self._qualify_bare(clause_vals["WHERE"], base_model)
             if "WHERE" in clause_vals
@@ -1552,6 +1892,7 @@ class SemanticSqlRewriter:
                 metrics=metrics,
                 dimensions=dims_rendered,
                 filters=[where] if where else [],
+                with_totals=with_totals,
             )
             ctes = [f"__main AS (\n{self._generate(main_spec)}\n)"]
         else:
@@ -1665,10 +2006,36 @@ class SemanticSqlRewriter:
                             None,
                         )
                         if entry is None:
-                            raise QueryCompileError(
-                                f"SET {dref} = <expression over {dref}> "
-                                f"requires {dref} to be selected in the query"
-                            )
+                            # CURRENT-shift without the dim in the select
+                            # list (ref corpus measures.test CURRENT-shift
+                            # family): the current value can only come
+                            # from an equality filter on the dim; with no
+                            # such filter the evaluation context has no
+                            # current value and the measure is NULL (an
+                            # impossible predicate makes the ungrouped
+                            # aggregate return NULL / the joined context
+                            # return no row).
+                            cur_val = None
+                            short = dim_base(dim_short)
+                            for conj in re.split(r"\bAND\b", where or "",
+                                                 flags=re.I):
+                                cm = re.fullmatch(
+                                    rf"\s*\(*\s*(?:[\w.]+\.)?{re.escape(short)}"
+                                    r"\s*=\s*('(?:[^']|'')*'|[-\w.]+)\s*\)*\s*",
+                                    conj,
+                                )
+                                if cm:
+                                    cur_val = cm.group(1)
+                                    break
+                            if cur_val is not None:
+                                shifted = re.sub(
+                                    rf"(?<![\w.]){re.escape(short)}(?![\w.])",
+                                    cur_val, val_clean,
+                                )
+                                preds.append(f"{tgt[1]} = ({shifted})")
+                            else:
+                                preds.append("1 = 0")
+                            continue
                         if entry not in active:
                             active.append(entry)
                         out_col = entry[1] or entry[0].split(".", 1)[1]
@@ -1687,6 +2054,27 @@ class SemanticSqlRewriter:
             sub_filters = list(preds)
             if include_visible and where:
                 sub_filters.insert(0, where)
+            # drop context dims the measure's own fact can neither
+            # reach nor conform to (another fact's PRIVATE dims, ref
+            # corpus measures.test cross-view join): the measure's
+            # context grain is what its fact can express; the join back
+            # then repeats the value across the private dim's values.
+            # Ephemeral ad-hoc join tables don't count as reach — a
+            # measure view joined through a plain table keeps its OWN
+            # context (the paper Listing-9 semantics: avgAge is the
+            # same for every prodName group), it does not inherit the
+            # bridge's grouping.
+            mm_model = full_metric.split(".", 1)[0]
+            reach = self.layer.generator._reachable_from(mm_model) - set(
+                self._ephemeral_models
+            )
+            mm_obj = self.layer.graph.get_model(mm_model)
+
+            def _ctx_ok(full_dim: str) -> bool:
+                dmodel, dfield = dim_base(full_dim).split(".", 1)
+                return dmodel in reach or mm_obj.dimension(dfield) is not None
+
+            active = [e for e in active if _ctx_ok(e[0])]
             sub_dims = [f"{f} AS {a}" if a else f for f, a in active]
             sub_sql = self._generate(
                 QuerySpec(
@@ -1749,8 +2137,26 @@ class SemanticSqlRewriter:
             + "\nFROM "
             + from_sql
         )
+        if having_template is not None:
+            resolved_h = having_template
+            for n, hm in enumerate(having_map):
+                repl = (
+                    at_val(hm[1]) if hm[0] == "at" else f"__main.{hm[1]}"
+                )
+                resolved_h = resolved_h.replace(f"\x00T{n}\x00", repl)
+            sql += "\nWHERE " + resolved_h
         if "ORDER BY" in clause_vals:
-            sql += "\nORDER BY " + clause_vals["ORDER BY"]
+            # model-qualified refs (`model.dim`) name __main's output
+            # columns in the final select scope
+            ob = clause_vals["ORDER BY"]
+            for kind, full, alias in sorted(
+                classified, key=lambda kv: -len(kv[1])
+            ):
+                ob = re.sub(
+                    rf"(?<![\w.]){re.escape(full)}(?![\w.])",
+                    _out_name(kind, full, alias), ob,
+                )
+            sql += "\nORDER BY " + ob
         if "LIMIT" in clause_vals:
             sql += f"\nLIMIT {int(clause_vals['LIMIT'])}"
         if "OFFSET" in clause_vals:
@@ -1823,7 +2229,10 @@ class SemanticSqlRewriter:
             # as its own spelling (`2 * revenue` resolves revenue to the
             # identically-named output column)
             if not matched:
-                if re.fullmatch(r"\s*(?:-?[\d.]+|'(?:[^']|'')*')\s*", ref):
+                if re.fullmatch(
+                    r"\s*(?:-?[\d.]+|NULL|TRUE|FALSE|'(?:[^']|'')*')\s*",
+                    ref, re.I,
+                ):
                     # constant select items pass through (ref corpus
                     # measures.test literal-projection family)
                     outer_items.append(f"{ref} AS {alias or f'expr_{i}'}")
@@ -1859,6 +2268,36 @@ class SemanticSqlRewriter:
         if "OFFSET" in clause_vals:
             out += f"\nOFFSET {int(clause_vals['OFFSET'])}"
         return out
+
+    def _register_adhoc_join_tables(self, from_clause: str) -> None:
+        """Plain catalog tables named in an explicit JOIN become
+        ephemeral ad-hoc models (every column a dimension) so a query
+        can join a raw table against a measure view (ref corpus
+        measures.test qualified-join family). The model lives only for
+        this compile — rewrite()'s finally block removes it."""
+        spark = getattr(self.layer, "spark", None)
+        if spark is None:
+            return
+        graph = self.layer.graph
+        for t in re.findall(
+            r"(?:^\s*|\bJOIN\s+)([A-Za-z_]\w*)", from_clause, re.I
+        ):
+            if t in graph.models or t.upper() in _JOIN_KEYWORDS:
+                continue
+            from pyspark.errors import AnalysisException, ParseException
+
+            try:
+                cols = spark.sql(f"SELECT * FROM {t} WHERE 1=0").columns
+            except (AnalysisException, ParseException):
+                continue  # not a readable table: let validation raise
+            from sidemantic_spark.core.model import Dimension as _D
+            from sidemantic_spark.core.model import Model as _M
+
+            self.layer.add_model(_M(
+                name=t, table=t, primary_key=cols[0],
+                dimensions=[_D(name=c) for c in cols],
+            ))
+            self._ephemeral_models.append(t)
 
     def _validate_explicit_joins(self, from_clause: str) -> str:
         """``model [LEFT|INNER] JOIN other ON a.x = b.y [...]`` — every ON
@@ -1900,7 +2339,12 @@ class SemanticSqlRewriter:
                     and tgt_model.dimension(b_col) is not None
                     for a_m, a_col, _b_m, b_col in pairs
                 )
-                if not conformed:
+                # an ephemeral ad-hoc bridge beats the conformed
+                # interpretation: a plain table carries no measures, so
+                # a multi-fact FULL OUTER split has nothing to split —
+                # the graph join (entity-grain fan-out handling) is the
+                # semantics the reference gives these queries
+                if not self._hook_adhoc_bridge(pairs, target) and not conformed:
                     raise QueryCompileError(
                         f"explicit JOIN to {target!r} does not match any "
                         f"declared relationship keys: {cond!r}")
@@ -1909,6 +2353,46 @@ class SemanticSqlRewriter:
         # joined model (ref corpus aliased multi-fact joins)
         self._extra_scope = [m2 for m2 in seen if m2 != base_model]
         return base_model
+
+    def _hook_adhoc_bridge(self, pairs: list, target: str) -> bool:
+        """When one side of an unmatched explicit join is an ephemeral
+        ad-hoc table model, wire a many_to_one relationship from the
+        bridge onto the measure view's pk for this compile — the
+        graph's fan-out machinery then evaluates the view's measures at
+        entity grain (AVG over DISTINCT joined entities, the reference
+        corpus qualified-join semantics), not over duplicated join
+        rows."""
+        eph = set(self._ephemeral_models)
+        if not pairs or not eph:
+            return False
+        graph = self.layer.graph
+        sides = {m for a_m, _ac, b_m, _bc in pairs for m in (a_m, b_m)}
+        bridges = sides & eph
+        others = sides - eph
+        if len(bridges) != 1 or len(others) != 1:
+            return False
+        bridge, other = next(iter(bridges)), next(iter(others))
+        fks, pks = [], []
+        for a_m, a_col, b_m, b_col in pairs:
+            if a_m == bridge and b_m == other:
+                fks.append(a_col)
+                pks.append(b_col)
+            elif a_m == other and b_m == bridge:
+                fks.append(b_col)
+                pks.append(a_col)
+            else:
+                return False
+        if pks != graph.get_model(other).pk_list():
+            return False
+        from sidemantic_spark.core.model import Relationship as _R
+
+        bridge_model = graph.get_model(bridge)
+        bridge_model.relationships.append(_R(
+            name=other, type="many_to_one",
+            foreign_key=fks[0] if len(fks) == 1 else fks,
+        ))
+        graph._invalidate()
+        return True
 
     def _join_matches_graph(self, seen: set, target: str, pairs: list) -> bool:
         graph = self.layer.graph

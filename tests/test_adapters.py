@@ -1849,7 +1849,7 @@ def test_yardstick_where_trailing_clauses():
 
     def scan(text):
         m = _VIEW_HEAD_RE.search(text)
-        _sel, _tgt, where, _end = _scan_view(text, m.end())
+        _sel, _tgt, where, _cte, _end = _scan_view(text, m.end())
         return where
 
     assert scan("CREATE VIEW v AS SELECT x, SUM(y) AS MEASURE t FROM f "

@@ -1420,3 +1420,37 @@ def test_preagg_routing_identity_fuzz(layer, spark):
         assert routed == raw, (ms, ds, f)
 
     check()
+
+
+def test_preagg_same_dim_two_grains(spark, sf_dir):
+    """One query grouping the SAME time dimension at two grains (month
+    AND year) must route with per-grain rewrites — a name-keyed dim_map
+    silently collapsed both onto one DATE_TRUNC (round-9 fuzz find)."""
+    import tempfile
+
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    layer = build_layer(spark, sf_dir)
+    om = layer.graph.get_model("orders")
+    om.pre_aggregations = [PreAggregation(
+        name="two_grain", measures=["revenue"], dimensions=["status"],
+        time_dimension="order_date", granularity="day",
+    )]
+    layer.preaggs.base_path = tempfile.mkdtemp(prefix="preagg_2g_")
+    layer.preaggs.materialize("orders")
+    kwargs = dict(
+        metrics=["orders.revenue"],
+        dimensions=["orders.order_date__month", "orders.order_date__year"],
+    )
+    layer.generator.use_preaggs = True
+    sql = layer.compile(**kwargs)
+    assert "used_preagg" in sql.splitlines()[0]
+    assert "DATE_TRUNC('month'" in sql and "DATE_TRUNC('year'" in sql
+    routed = sorted(map(tuple, layer.query(**kwargs).collect()), key=repr)
+    layer.generator.use_preaggs = False
+    try:
+        raw = sorted(map(tuple, layer.query(**kwargs).collect()), key=repr)
+    finally:
+        layer.generator.use_preaggs = True
+    assert routed == raw

@@ -1188,3 +1188,389 @@ def test_line_comment_inside_string_preserved(layer):
         "WHERE orders.status <> 'a--b'"
     )
     assert "a--b" in out
+
+
+# -- round-9 Yardstick corpus features --------------------------------
+
+
+@pytest.fixture(scope="module")
+def window_measure_layer(spark):
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    spark.sql(
+        "SELECT * FROM VALUES (2021,10),(2022,20),(2023,30) AS t(year, revenue)"
+    ).createOrReplaceTempView("wm_orders")
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW wm_running_v AS
+SELECT year, SUM(revenue) OVER (ORDER BY year) AS MEASURE running_total
+FROM wm_orders;
+CREATE VIEW wm_total_v AS
+SELECT year, SUM(revenue) OVER () AS MEASURE global_total
+FROM wm_orders;
+""")
+    return lyr
+
+
+def test_window_measure_detail_and_grouped(window_measure_layer):
+    """Window-measure views evaluate at row grain over the base, then
+    reduce to the query grain (ref corpus measures.test window family)."""
+    lyr = window_measure_layer
+    rows = lyr.sql(
+        "SELECT year, running_total::VARCHAR FROM wm_running_v ORDER BY year"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(2021, "10"), (2022, "30"), (2023, "60")]
+    rows = lyr.sql(
+        "SEMANTIC SELECT year, AGGREGATE(running_total) FROM wm_running_v "
+        "GROUP BY year ORDER BY year"
+    ).collect()
+    assert [(r[0], int(r[1])) for r in rows] == [(2021, 10), (2022, 30), (2023, 60)]
+
+
+def test_window_measure_at_contexts(window_measure_layer):
+    lyr = window_measure_layer
+    rows = lyr.sql(
+        "SEMANTIC SELECT year, AGGREGATE(running_total) AT (WHERE year = 2022) "
+        "AS v FROM wm_running_v"
+    ).collect()
+    assert sorted((r["year"], int(r["v"])) for r in rows) == [
+        (2021, 20), (2022, 20), (2023, 20)]
+    rows = lyr.sql(
+        "SEMANTIC SELECT year, AGGREGATE(global_total) AT (ALL) AS v "
+        "FROM wm_total_v GROUP BY year ORDER BY year"
+    ).collect()
+    assert [int(r["v"]) for r in rows] == [60, 60, 60]
+
+
+def test_window_measure_multiple_values_is_runtime_error(window_measure_layer):
+    """An ordered window measure at a context spanning several window
+    rows has no single value — the reference raises 'Window measure
+    <m> returned multiple values for the evaluation context' at
+    RUNTIME (data-dependent), reproduced via raise_error in a lazy IF."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = window_measure_layer.sql(
+        "SEMANTIC SELECT year, AGGREGATE(running_total) AT (ALL) "
+        "FROM wm_running_v GROUP BY year"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                       match="multiple values"):
+        df.collect()
+
+
+def test_current_shift_without_selected_dim(spark):
+    """SET dim = CURRENT dim - 1 with the dim absent from the select:
+    the current value comes from an equality filter, else NULL (ref
+    corpus measures.test CURRENT-shift family)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.sql(
+        "SELECT * FROM VALUES (2022,'US',100.0),(2022,'EU',50.0),"
+        "(2023,'US',150.0),(2023,'EU',75.0) AS t(year, region, amount)"
+    ).createOrReplaceTempView("cs_sales")
+    lyr = SparkSemanticLayer(spark)
+    lyr.add_model(Model(
+        name="cs_sales", table="cs_sales", primary_key="year",
+        dimensions=[Dimension(name="year", type="numeric"),
+                    Dimension(name="region")],
+        metrics=[Metric(name="revenue", sql="SUM(amount)")],
+    ))
+    pinned = lyr.sql(
+        "SEMANTIC SELECT AGGREGATE(revenue) AT (SET year = CURRENT year - 1) "
+        "FROM cs_sales WHERE year = 2023"
+    ).collect()
+    assert len(pinned) == 1 and float(pinned[0][0]) == 150.0
+    unpinned = lyr.sql(
+        "SEMANTIC SELECT region, AGGREGATE(revenue) AT (SET year = CURRENT year - 1) "
+        "AS prior FROM cs_sales GROUP BY region ORDER BY region"
+    ).collect()
+    assert [(r["region"], r["prior"]) for r in unpinned] == [
+        ("EU", None), ("US", None)]
+
+
+def test_fromless_scalar_subqueries(spark):
+    """SELECT with no top-level FROM: scalar-subquery islands compile
+    through the semantic path when they reference a model (ref corpus
+    measures.test cardinality checks)."""
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    spark.sql(
+        "SELECT * FROM VALUES (DATE'2024-01-01','A',100,40),"
+        "(DATE'2024-01-01','A',50,10) AS t(order_date, prod, revenue, cost)"
+    ).createOrReplaceTempView("fl_orders")
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW fl_orders_v AS
+SELECT order_date, prod,
+       (SUM(revenue) - SUM(cost))::DOUBLE / SUM(revenue) AS MEASURE margin
+FROM fl_orders;
+""")
+    rows = lyr.sql(
+        "SELECT (SELECT COUNT(*) FROM fl_orders) AS base_rows, "
+        "(SELECT COUNT(*) FROM fl_orders_v) AS view_rows"
+    ).collect()
+    assert [tuple(rows[0])] == [(2, 2)]
+
+
+def test_generate_series_view(spark):
+    """`FROM generate_series(1, 5) AS t(x)` becomes an exploded
+    sequence derived table (ref corpus measures.test series family)."""
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW series_v AS
+SELECT x, SUM(x) AS MEASURE total
+FROM generate_series(1, 5) AS t(x);
+""")
+    rows = lyr.sql(
+        "SEMANTIC SELECT x, AGGREGATE(total) FROM series_v"
+    ).collect()
+    assert sorted((r[0], int(r[1])) for r in rows) == [
+        (1, 1), (2, 2), (3, 3), (4, 4), (5, 5)]
+    total = lyr.sql("SEMANTIC SELECT AGGREGATE(total) FROM series_v").collect()
+    assert int(total[0][0]) == 15
+
+
+def test_cte_bodied_view(spark):
+    """CREATE VIEW ... AS WITH base AS (...) SELECT ... — the CTE
+    prefix becomes part of the model's derived-table source."""
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    spark.sql(
+        "SELECT * FROM VALUES (2023,'US'),(2023,'EU'),(2023,'US') "
+        "AS t(year, region)"
+    ).createOrReplaceTempView("cte_regions")
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW cte_v AS
+WITH base AS (SELECT * FROM cte_regions)
+SELECT year, COUNT(DISTINCT region) AS MEASURE unique_regions
+FROM base;
+""")
+    rows = lyr.sql(
+        "SEMANTIC SELECT year, AGGREGATE(unique_regions) FROM cte_v"
+    ).collect()
+    assert [(r[0], r[1]) for r in rows] == [(2023, 2)]
+
+
+def test_null_projection(spark):
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 100.0), (2, 275.0) AS t(id, amount)"
+    ).createOrReplaceTempView("np_sales")
+    lyr = SparkSemanticLayer(spark)
+    lyr.add_model(Model(
+        name="np_sales", table="np_sales", primary_key="id",
+        dimensions=[Dimension(name="id", type="numeric")],
+        metrics=[Metric(name="revenue", sql="SUM(amount)")],
+    ))
+    rows = lyr.sql(
+        "SEMANTIC SELECT NULL, AGGREGATE(revenue) FROM np_sales"
+    ).collect()
+    assert len(rows) == 1 and rows[0][0] is None and float(rows[0][1]) == 375.0
+
+
+@pytest.fixture(scope="module")
+def paper_layer(spark):
+    """The reference paper's Listing-8/12 fixtures (corpus blocks
+    180-201)."""
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    spark.sql(
+        "SELECT * FROM VALUES ('Happy','Var Bob',DATE'2024-01-01',4),"
+        "('Happy','Alice',DATE'2024-01-02',6),"
+        "('Happy','Alice',DATE'2024-01-03',7),"
+        "('Whizz','Alice',DATE'2024-01-04',3) "
+        "AS t(prodName, custName, order_date, revenue)"
+    ).createOrReplaceTempView("tp_paper_orders")
+    spark.sql(
+        "SELECT * FROM VALUES ('Happy',DATE'2024-01-01',4),"
+        "('Happy',DATE'2024-01-02',6),('Happy',DATE'2024-01-03',7),"
+        "('Whizz',DATE'2024-01-04',3) AS t(prodName, orderDate, revenue)"
+    ).createOrReplaceTempView("tp_paper_l12")
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW tp_orders_v AS
+SELECT *, SUM(revenue) AS MEASURE sumRevenue
+FROM tp_paper_orders;
+CREATE VIEW tp_l12_v AS
+SELECT prodName, orderDate, revenue, AVG(revenue) AS MEASURE avgRevenue
+FROM tp_paper_l12;
+""")
+    return lyr
+
+
+def test_at_visibility_defaults_with_rollup(paper_layer):
+    """Paper Listing 8 (corpus block 185): AGGREGATE(m) sees the query
+    WHERE, a bare measure ref ignores it, AT (VISIBLE) opts back in,
+    COUNT(*) counts visible rows, and the ROLLUP total row reads NULL
+    for every measure (its NULL group matches no context)."""
+    rows = paper_layer.sql(
+        "SELECT o.prodName, COUNT(*) AS c, AGGREGATE(o.sumRevenue) AS rAgg, "
+        "o.sumRevenue AT (VISIBLE) AS rViz, o.sumRevenue AS r "
+        "FROM tp_orders_v o WHERE o.custName <> 'Var Bob' "
+        "GROUP BY ROLLUP(o.prodName) ORDER BY o.prodName"
+    ).collect()
+    got = sorted([tuple(r) for r in rows], key=lambda t: (t[0] is None, t))
+    assert got == [
+        ("Happy", 2, 13, 13, 17),
+        ("Whizz", 1, 3, 3, 3),
+        (None, 3, None, None, None),
+    ]
+
+
+def test_at_visible_with_having(paper_layer):
+    """Corpus block 186: HAVING over an AT term filters the joined
+    pre-aggregated result."""
+    rows = paper_layer.sql(
+        "SELECT o.prodName, AGGREGATE(o.sumRevenue) AT (VISIBLE) AS rViz "
+        "FROM tp_orders_v o WHERE o.custName <> 'Var Bob' "
+        "GROUP BY o.prodName "
+        "HAVING AGGREGATE(o.sumRevenue) AT (VISIBLE) > 10 "
+        "ORDER BY o.prodName"
+    ).collect()
+    assert [tuple(r) for r in rows] == [("Happy", 13)]
+
+
+def test_correlated_where_measure(paper_layer):
+    """Corpus block 196: detail rows filtered against a measure in a
+    correlated AT context (`WHERE revenue > avgRevenue AT (WHERE
+    prodName = o.prodName)`)."""
+    import datetime
+
+    rows = paper_layer.sql(
+        "SELECT o.prodName, o.orderDate FROM tp_l12_v o "
+        "WHERE o.revenue > o.avgRevenue AT (WHERE prodName = o.prodName) "
+        "ORDER BY o.prodName, o.orderDate"
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Happy", datetime.date(2024, 1, 2)),
+        ("Happy", datetime.date(2024, 1, 3)),
+    ]
+
+
+def test_cross_view_conformed_join_with_at(spark):
+    """Corpus block 98: two measure views joined on conformed dims
+    (year, region) with a fact-private dim (product) — the multifact
+    split hosts the private dim on its own fact, the FULL OUTER join
+    keys on the shared dims only, and an AT (ALL year) context drops
+    to the measure-fact's expressible grain (region)."""
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    spark.sql(
+        "SELECT * FROM VALUES (2022,'US',100.0),(2022,'EU',50.0),"
+        "(2023,'US',150.0),(2023,'EU',75.0) AS t(year, region, amount)"
+    ).createOrReplaceTempView("cv_sales")
+    spark.sql(
+        "SELECT * FROM VALUES (2022,'US','Cars',1.0),(2022,'US','Shoes',2.0),"
+        "(2022,'EU','Shoes',3.0),(2023,'US','Cars',2.0),"
+        "(2023,'US','Shoes',4.0),(2023,'EU','Cars',5.0) "
+        "AS t(year, region, product, qty)"
+    ).createOrReplaceTempView("cv_details")
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW cv_sales_v AS
+SELECT year, region, SUM(amount) AS MEASURE revenue
+FROM cv_sales;
+CREATE VIEW cv_details_v AS
+SELECT year, region, product, SUM(qty) AS MEASURE quantity
+FROM cv_details;
+""")
+    rows = lyr.sql(
+        "SEMANTIC SELECT s.year, s.region, sd.product, "
+        "AGGREGATE(revenue) AS rev, "
+        "AGGREGATE(revenue) AT (ALL year) AS region_total, "
+        "AGGREGATE(quantity) AS qty "
+        "FROM cv_sales_v s JOIN cv_details_v sd "
+        "ON s.year = sd.year AND s.region = sd.region"
+    ).collect()
+    got = sorted((r[0], r[1], r[2], float(r[3]), float(r[4]), float(r[5]))
+                 for r in rows)
+    assert got == [
+        (2022, "EU", "Shoes", 50.0, 125.0, 3.0),
+        (2022, "US", "Cars", 100.0, 250.0, 1.0),
+        (2022, "US", "Shoes", 100.0, 250.0, 2.0),
+        (2023, "EU", "Cars", 75.0, 125.0, 5.0),
+        (2023, "US", "Cars", 150.0, 250.0, 2.0),
+        (2023, "US", "Shoes", 150.0, 250.0, 4.0),
+    ]
+
+
+def test_plain_table_join_bridge(spark):
+    """Corpus block 179: a plain catalog table as the base of an
+    explicit join against a measure view becomes an ephemeral ad-hoc
+    model bridged many_to_one onto the view's pk; measures evaluate at
+    entity grain (AVG over DISTINCT joined customers, not duplicated
+    join rows), and the model disappears after the compile."""
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    spark.sql(
+        "SELECT * FROM VALUES (1,'X'),(1,'X'),(2,'X') AS t(cust_id, product)"
+    ).createOrReplaceTempView("br_orders")
+    spark.sql(
+        "SELECT * FROM VALUES (1,25),(2,35) AS t(cust_id, age)"
+    ).createOrReplaceTempView("br_customers")
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW br_customers_v AS
+SELECT cust_id, AVG(age) AS MEASURE avg_age
+FROM br_customers;
+""")
+    rows = lyr.sql(
+        "SELECT o.product, AGGREGATE(c.avg_age) AS measure_avg, "
+        "AGGREGATE(c.avg_age) AT (VISIBLE) AS visible_avg "
+        "FROM br_orders o JOIN br_customers_v c ON o.cust_id = c.cust_id "
+        "GROUP BY o.product"
+    ).collect()
+    assert [(r[0], float(r[1]), float(r[2])) for r in rows] == [("X", 30.0, 30.0)]
+    assert "br_orders" not in lyr.graph.models  # ephemeral model removed
+
+
+def test_using_join_with_adhoc_aggregates(spark):
+    """Corpus block 192 (paper Listing 9): USING joins normalize to ON;
+    AVG(col) over a joined dimension is an ad-hoc visible metric at
+    entity grain; a bare measure ref on the joined view keeps the
+    VIEW's own context (same value for every group); AT (VISIBLE)
+    applies only the query WHERE."""
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    spark.sql(
+        "SELECT * FROM VALUES ('Happy','Alice'),('Happy','Var Bob'),"
+        "('Whizz','Carol') AS t(prodName, custName)"
+    ).createOrReplaceTempView("us_order_customers")
+    spark.sql(
+        "SELECT * FROM VALUES ('Alice',30),('Carol',40),('Var Bob',16) "
+        "AS t(custName, custAge)"
+    ).createOrReplaceTempView("us_customers")
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW us_customers_v AS
+SELECT *, AVG(custAge) AS MEASURE avgAge
+FROM us_customers;
+""")
+    rows = lyr.sql(
+        "SELECT o.prodName, COUNT(*) AS orderCount, "
+        "AVG(c.custAge) AS weightedAvgAge, c.avgAge AS avgAge, "
+        "c.avgAge AT (VISIBLE) AS visibleAvgAge "
+        "FROM us_order_customers o JOIN us_customers_v c USING (custName) "
+        "WHERE c.custAge >= 18 GROUP BY o.prodName ORDER BY o.prodName"
+    ).collect()
+    got = [(r[0], r[1], float(r[2]), round(float(r[3]), 6), float(r[4]))
+           for r in rows]
+    assert got == [
+        ("Happy", 1, 30.0, 28.666667, 35.0),
+        ("Whizz", 1, 40.0, 28.666667, 35.0),
+    ]

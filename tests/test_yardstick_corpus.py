@@ -6,13 +6,16 @@ semantics (AS MEASURE views, AGGREGATE(), AT context modifiers). This
 replays every statement and query end-to-end on Spark through the
 Yardstick importer + semantic-SQL rewriter and compares expected rows.
 
-98 of 115 queries replay exactly (round 8). KNOWN_UNSUPPORTED pins the
-remainder — DuckDB-dialect long tail (::VARCHAR casts, CTE views,
-generate_series table functions, array-typed columns, scalar
-subqueries) and advanced AT shapes (main-less AT, AT over HAVING,
-ungrouped measure comparisons) — so any regression on the passing set
-fails this test, and any NEW pass shows up as an unexpected-pass
-failure prompting the list to shrink.
+ALL 115 of 115 queries replay exactly (round 9; 98 in round 8 — the
+round-9 additions: window measures with the reference's
+multiple-values runtime contract, ::VARCHAR postfix casts,
+generate_series table-function sources, CTE-bodied views, NULL
+projections, scalar subqueries without FROM, CURRENT-shift without
+the selected dim, array-typed columns, SELECT-* measure views,
+AT+HAVING, correlated row-vs-measure WHERE, the paper Listing-8
+visibility semantics with ROLLUP totals, plain-table ad-hoc join
+bridges, and USING joins). KNOWN_UNSUPPORTED is EMPTY — any
+regression on any corpus query fails this test.
 
 Skipped wholesale when the reference checkout isn't present.
 """
@@ -30,21 +33,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.exists(CORPUS), reason="reference corpus not present"
 )
 
-KNOWN_UNSUPPORTED = {
-    98,    # cross-view join without declared relationship (non-conformed keys)
-    119,   # array-typed column through the typed INSERT path
-    130,   # CTE inside CREATE VIEW
-    148, 149, 150, 153,  # ::VARCHAR postfix casts
-    155, 156,            # generate_series table function sources
-    160,   # bare NULL projection
-    171,   # scalar subqueries without FROM
-    179,   # qualified-join base with row filters
-    185,   # bare measure ref alongside AT calls (paper corpus)
-    186,   # AT (VISIBLE) combined with HAVING
-    192,   # weighted-average join arithmetic
-    196,   # ungrouped row-vs-measure comparison
-    200, 201,  # CURRENT-shift without the dim selected
-}
+KNOWN_UNSUPPORTED: set[int] = set()
 
 TYPE_MAP = {"INT": "INT", "INTEGER": "INT", "BIGINT": "BIGINT",
             "TEXT": "STRING", "VARCHAR": "STRING", "DOUBLE": "DOUBLE",
@@ -102,8 +91,13 @@ def run(spark, layer, blocks, limit=None, verbose=False):
                     cols = []
                     for item in re.split(r",(?![^()]*\))", colspec):
                         item = item.strip()
-                        cm = re.match(r"(\w+)\s+(\w+)", item)
-                        cols.append((cm.group(1), TYPE_MAP.get(cm.group(2).upper(), cm.group(2).upper())))
+                        cm = re.match(r"(\w+)\s+([\w\[\]]+)", item)
+                        typ = cm.group(2).upper()
+                        if typ.endswith("[]"):  # DuckDB array column type
+                            typ = f"ARRAY<{TYPE_MAP.get(typ[:-2], typ[:-2])}>"
+                        else:
+                            typ = TYPE_MAP.get(typ, typ)
+                        cols.append((cm.group(1), typ))
                     schemas[name] = cols
                     continue
                 m = re.match(r"INSERT INTO (\w+)\s+VALUES\s*(.*)$", s, re.S | re.I)
@@ -129,7 +123,12 @@ def run(spark, layer, blocks, limit=None, verbose=False):
                     continue
                 if expect_err:
                     try:
-                        layer.sql(s) if s.upper().startswith("SEMANTIC") else spark.sql(s)
+                        res = layer.sql(s) if s.upper().startswith("SEMANTIC") else spark.sql(s)
+                        # `statement error` covers runtime errors too
+                        # (e.g. 'Window measure ... returned multiple
+                        # values' raises on execution, not compile)
+                        if hasattr(res, "collect"):
+                            res.collect()
                         failures.append((bi, "expected error, none", s[:80]))
                         failed += 1
                     except Exception:
@@ -140,7 +139,7 @@ def run(spark, layer, blocks, limit=None, verbose=False):
             # query
             semanticish = s.upper().startswith("SEMANTIC") or (
                 re.search(r"\bAGGREGATE\s*\(", s, re.I)
-                or any(re.search(rf"\bFROM\s+{m}\b", s, re.I)
+                or any(re.search(rf"\b(?:FROM|JOIN)\s+{m}\b", s, re.I)
                        for m in layer.graph.models))
             df = layer.sql(s) if semanticish else spark.sql(s)
             rows = df.collect()
@@ -210,4 +209,4 @@ def test_yardstick_corpus_replay(corpus_result):
         (bi, detail[bi][0][:90], detail[bi][1][:120]) for bi in unexpected_fail]
     # a construct starting to pass should shrink the pinned list
     assert not unexpected_pass, unexpected_pass
-    assert passed >= 98
+    assert passed >= 115
