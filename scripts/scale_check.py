@@ -53,7 +53,27 @@ OPS = [
     "sim_semantic_dedup",
     "pipeline_decontaminate",
     "fanout_dedup",
+    # round-8 operators (VERDICT r8 ask #4): the indexed-BM25 claim
+    # (vocabulary-sized index, term-pruned scan) should show a
+    # near-flat ratio; sessionization is one exchange on user_id;
+    # chunking is map-only
+    "text_bm25_topk",
+    "text_bm25_indexed",
+    "events_sessionize",
+    "sim_ann_quantized_topk",
+    "pipeline_chunk_docs",
 ]
+
+# adversarial duplicate-density run (VERDICT r8 ask #5): replicas keep
+# IDENTICAL text/embeddings (only keys shift), creating 10-deep exact
+# near-dup cliques — the pathological shape for LSH pair expansion.
+# The bucket cap (pairs_from_bucket_keys bucket_cap=256) must bound
+# the emitted pairs, so wall time should stay within ~the benign sf1
+# run even though duplicate density is 10x worse.
+ADVERSARIAL_OPS = ["sim_semantic_dedup", "dedup_minhash_lsh"]
+SF1_ADV_DIR = os.environ.get(
+    "SPARK_GRAFT_SF1_ADV_DIR", "/tmp/spark_graft_synth_sf1_adv"
+)
 
 # key columns shifted by replica * STRIDE per table
 KEY_SHIFTS = {
@@ -69,13 +89,17 @@ KEY_SHIFTS = {
 COPY_AS_IS = ["region", "nation"]
 
 
-def build_sf1(spark, rebuild: bool = False) -> str:
-    marker = os.path.join(SF1_DIR, "_SYNTH_COMPLETE")
+def build_sf1(spark, rebuild: bool = False, adversarial: bool = False) -> str:
+    """Benign mode decorrelates replicas (Caesar-shifted text, rotated
+    embeddings); adversarial mode keeps them IDENTICAL so every
+    document/vector sits in a 10-deep exact-duplicate clique."""
+    out_dir = SF1_ADV_DIR if adversarial else SF1_DIR
+    marker = os.path.join(out_dir, "_SYNTH_COMPLETE")
     if os.path.exists(marker) and not rebuild:
-        return SF1_DIR
-    if os.path.isdir(SF1_DIR):
-        shutil.rmtree(SF1_DIR)
-    os.makedirs(SF1_DIR, exist_ok=True)
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
     from pyspark.sql import functions as F
 
     rep = spark.range(REPLICAS).withColumnRenamed("id", "__rep")
@@ -84,7 +108,7 @@ def build_sf1(spark, rebuild: bool = False) -> str:
         out = df.crossJoin(F.broadcast(rep))
         for k in keys:
             out = out.withColumn(k, F.col(k) + F.col("__rep") * F.lit(STRIDE))
-        if table == "documents":
+        if table == "documents" and not adversarial:
             # alphabet bijection per replica: Caesar-shift letters (both
             # cases by the same r, so the operators' lowercasing keeps
             # the bijection) and digits; whitespace/punct stay fixed
@@ -100,7 +124,7 @@ def build_sf1(spark, rebuild: bool = False) -> str:
                     F.col("__rep") == r, F.translate(F.col("text"), src, dst)
                 ).otherwise(text_col)
             out = out.withColumn("text", text_col)
-        if table == "embeddings":
+        if table == "embeddings" and not adversarial:
             # rotate dims by replica: slice(v, r+1, 64-r) || slice(v, 1, r)
             dim = len(df.select("embedding").first()[0])
             out = out.withColumn(
@@ -119,19 +143,19 @@ def build_sf1(spark, rebuild: bool = False) -> str:
         out = out.drop("__rep")
         parts = 16 if table == "lineitem" else 4
         out.repartition(parts).write.mode("overwrite").parquet(
-            f"{SF1_DIR}/{table}.parquet"
+            f"{out_dir}/{table}.parquet"
         )
         print(f"# built {table} x{REPLICAS}", file=sys.stderr)
     for table in COPY_AS_IS:
         src = f"{SF01}/{table}.parquet"
-        dst = f"{SF1_DIR}/{table}.parquet"
+        dst = f"{out_dir}/{table}.parquet"
         if os.path.isdir(src):
             shutil.copytree(src, dst)
         else:
             shutil.copy(src, dst)
     with open(marker, "w") as f:
         f.write("ok")
-    return SF1_DIR
+    return out_dir
 
 
 def main() -> None:
@@ -197,14 +221,41 @@ def main() -> None:
         )
         results[op] = rec
 
+    # adversarial duplicate-density pass (r8 ask #5): same row count as
+    # benign sf1 but 10-deep exact-duplicate cliques; the bucket cap
+    # must keep wall time in the same regime as the benign run
+    adv_results: dict[str, dict] = {}
+    if "--skip-adversarial" not in sys.argv:
+        adv = build_sf1(spark, rebuild, adversarial=True)
+        for op in ADVERSARIAL_OPS:
+            fn = queries[op]
+            times, rows = [], 0
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                rows = fn(spark, adv).count()
+                times.append(time.perf_counter() - t0)
+            benign = results.get(op, {}).get("sf1", {}).get("sec")
+            adv_results[op] = {
+                "sec": round(min(times), 3),
+                "rows": rows,
+                "benign_sf1_sec": benign,
+                "adv_over_benign": round(min(times) / benign, 2) if benign else None,
+            }
+            print(f"# {op} @sf1-adversarial: {min(times):.2f}s ({rows} rows)",
+                  file=sys.stderr)
+
     print(json.dumps({
         "metric": "sf01_to_sf1_scaling",
         "replicas": REPLICAS,
         "ops": results,
+        "adversarial": adv_results,
         "note": (
             "ratio < 10 = sublinear wall-clock per 10x rows (fixed "
             "overhead amortizing / parallelism headroom); ratio ~10 = "
-            "linear; ratio > 10 names the next perf target"
+            "linear; ratio > 10 names the next perf target. "
+            "adversarial = identical-replica sf1 (10-deep duplicate "
+            "cliques): adv_over_benign near 1 shows the bucket cap "
+            "bounds pathological pair expansion"
         ),
     }))
     spark.stop()

@@ -452,3 +452,119 @@ def test_concurrent_queries_do_not_serialize(server):
     total = _time.perf_counter() - t0
     # serialized would be ~4x single; generous bound for busy boxes
     assert total < 3.0 * single + 1.0, (total, single)
+
+
+# -- round-9 mined reference server cases (tests/server/) --------------
+
+
+def test_non_object_json_user_header_rejected(secured_server):
+    """Valid JSON that is not an OBJECT (`[1, 2, 3]`) must 400, not be
+    treated as attributes (ref test_api_security.py
+    test_non_object_json_header_returns_400)."""
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _req_hdr(
+            secured_server, "/query",
+            {"metrics": ["orders.order_count"]},
+            user_header="[1, 2, 3]",
+        )
+    assert exc.value.code == 400
+
+
+def test_custom_user_header_name(spark, sf_dir):
+    """A deployment-specific trusted header name scopes rows exactly
+    like the default (ref test_api_security.py
+    test_custom_user_header_name); the DEFAULT header must be ignored
+    on such a server (it is no longer the trusted channel)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.core.security import SecurityPolicy
+    from sidemantic_spark.models.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="orders", table="orders", primary_key="o_orderkey",
+        dimensions=[Dimension(name="status", sql="o_orderstatus")],
+        metrics=[Metric(name="order_count", agg="count")],
+        security=SecurityPolicy(
+            access="True",
+            row_filters=["o_orderstatus = '{{ user.allowed_status }}'"],
+        ),
+    ))
+    srv = SemanticHttpServer(
+        layer, token="sekrit", require_user_attrs=True,
+        user_header="X-My-User",
+    ).start()
+    try:
+        out = _req_hdr(
+            srv, "/query",
+            {"metrics": ["orders.order_count"], "dimensions": ["orders.status"]},
+            user_header=json.dumps({"allowed_status": "O"}),
+            header_name="X-My-User",
+        )
+        assert {r["status"] for r in out["rows"]} == {"O"}
+        # default header is NOT trusted on this server
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _req_hdr(
+                srv, "/query",
+                {"metrics": ["orders.order_count"]},
+                user_header=json.dumps({"allowed_status": "O"}),
+                header_name="X-Sidemantic-User",
+            )
+        assert exc.value.code == 400  # require_user_attrs: header absent
+    finally:
+        srv.stop()
+
+
+def test_result_cache_key_differs_across_users(spark, sf_dir):
+    """Same compiled SQL, different user attributes -> different result
+    cache keys (ref test_api_security.py)."""
+    from sidemantic_spark.models.tpch import build_layer
+
+    layer = build_layer(spark, sf_dir)
+    sql = "select 1"
+    key_a = layer._cache_key(sql, {"tenant_id": 1})
+    key_b = layer._cache_key(sql, {"tenant_id": 2})
+    key_none = layer._cache_key(sql, None)
+    assert key_a != key_b
+    assert key_a != key_none
+    assert key_b != key_none
+
+
+def test_result_cache_no_cross_user_leak_end_to_end(spark, sf_dir):
+    """With result caching on, two users issuing the SAME query must
+    each get rows scoped by THEIR attributes (ref test_api_security.py
+    test_result_cache_no_cross_user_leak_end_to_end)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.core.security import SecurityPolicy
+    from sidemantic_spark.models.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="orders", table="orders", primary_key="o_orderkey",
+        dimensions=[Dimension(name="status", sql="o_orderstatus")],
+        metrics=[Metric(name="order_count", agg="count")],
+        security=SecurityPolicy(
+            access="True",
+            row_filters=["o_orderstatus = '{{ user.allowed_status }}'"],
+        ),
+    ))
+    kwargs = dict(
+        metrics=["orders.order_count"], dimensions=["orders.status"],
+    )
+    rows_a = layer.query(
+        use_cache=True, user={"allowed_status": "O"}, **kwargs
+    ).collect()
+    rows_b = layer.query(
+        use_cache=True, user={"allowed_status": "F"}, **kwargs
+    ).collect()
+    # repeat user A: must hit the cache AND still be A's rows
+    rows_a2 = layer.query(
+        use_cache=True, user={"allowed_status": "O"}, **kwargs
+    ).collect()
+    assert {r["status"] for r in rows_a} == {"O"}
+    assert {r["status"] for r in rows_b} == {"F"}
+    assert {r["status"] for r in rows_a2} == {"O"}
+    assert layer._cache_hits >= 1

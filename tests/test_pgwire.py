@@ -323,3 +323,18 @@ def test_pgwire_row_policy_scopes_rows(spark, sf_dir):
     finally:
         layer.graph.get_model("orders").security = None
         srv.stop()
+
+
+def test_partial_auth_config_fails_closed():
+    """username without password (or vice versa) must be refused at
+    construction — a half-configured server would accept any client
+    (ref tests/server/test_connection.py
+    test_handle_auth_partial_config_fails_closed)."""
+    import pytest as _pytest
+
+    from sidemantic_spark.server.pgwire import PgWireServer
+
+    with _pytest.raises(ValueError, match="username and password"):
+        PgWireServer(layer=None, username="user", password=None)
+    with _pytest.raises(ValueError, match="username and password"):
+        PgWireServer(layer=None, username=None, password="pw")
