@@ -1575,6 +1575,69 @@ def _yardstick_at_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _yardstick_window_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window measures (``SUM(x) OVER (ORDER BY ...)`` AS MEASURE):
+    two-stage plan — row-grain window eval over the base, then a
+    group-grain reduction asserting ONE distinct value per evaluation
+    context (ref corpus measures.test window family; a context spanning
+    several window values raises the reference's 'returned multiple
+    values' runtime error). Ties share the RANGE-frame value, so
+    grouping by the order key is always single-valued."""
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    _ensure_tables(spark, sf_dir)
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW win_orders AS
+SELECT o_orderdate,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (ORDER BY o_orderdate)
+           AS MEASURE running_rev
+FROM orders;
+""")
+    return lyr.sql(
+        "SEMANTIC SELECT o_orderdate AS order_day, "
+        "AGGREGATE(running_rev) AS running_rev "
+        "FROM win_orders GROUP BY o_orderdate"
+    )
+
+
+def _yardstick_visibility_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paper Listing-8 visibility semantics (corpus block 185):
+    AGGREGATE(m) sees the query WHERE, a bare measure ref ignores it,
+    COUNT(*) counts visible rows, and the ROLLUP grand-total row reads
+    NULL for every measure (its NULL group joins no context)."""
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    _ensure_tables(spark, sf_dir)
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW vis_orders AS
+SELECT o_orderstatus, o_orderpriority,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS MEASURE sum_rev
+FROM orders;
+""")
+    return lyr.sql(
+        "SELECT o.o_orderstatus AS status, COUNT(*) AS c, "
+        "AGGREGATE(o.sum_rev) AS ragg, o.sum_rev AT (VISIBLE) AS rviz, "
+        "o.sum_rev AS r "
+        "FROM vis_orders o WHERE o.o_orderpriority <> '1-URGENT' "
+        "GROUP BY ROLLUP(o.o_orderstatus)"
+    )
+
+
+def _semantic_sql_fromless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT without a top-level FROM: each scalar-subquery island
+    compiles through the semantic path (ref corpus measures.test
+    cardinality checks — COUNT(*) over a measure view counts detail
+    rows, not groups)."""
+    return _layer(spark, sf_dir).sql(
+        "SELECT (SELECT COUNT(*) FROM orders) AS order_rows, "
+        "(SELECT COUNT(*) FROM customer) AS customer_rows"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         # §2.2/2.4 projection/filter/aggregation
@@ -1684,6 +1747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_sql_time_rollup": _semantic_sql_time_rollup,
         "yardstick_aggregate": _yardstick_aggregate,
         "yardstick_at_modifiers": _yardstick_at_modifiers,
+        "yardstick_window_measure": _yardstick_window_measure,
+        "yardstick_visibility_rollup": _yardstick_visibility_rollup,
+        "semantic_sql_fromless": _semantic_sql_fromless,
         "table_calc_pct_of_total": _table_calc_pct_of_total,
         "table_calc_rank": _table_calc_rank,
         "table_calc_moving_avg": _table_calc_moving_avg,
@@ -2346,6 +2412,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus AS status,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders GROUP BY 1
+        """,
+        "yardstick_window_measure": """
+            SELECT DISTINCT o_orderdate AS order_day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       OVER (ORDER BY o_orderdate) AS DOUBLE) AS running_rev
+            FROM orders
+        """,
+        "yardstick_visibility_rollup": """
+            WITH all_rev AS (
+                SELECT o_orderstatus,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+                FROM orders GROUP BY 1
+            ),
+            vis AS (
+                SELECT o_orderstatus,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                FROM orders WHERE o_orderpriority <> '1-URGENT'
+            )
+            SELECT v.o_orderstatus AS status,
+                   COUNT(*) AS c,
+                   CAST(CASE WHEN GROUPING(v.o_orderstatus) = 1 THEN NULL
+                        ELSE SUM(v.p) END AS DOUBLE) AS ragg,
+                   CAST(CASE WHEN GROUPING(v.o_orderstatus) = 1 THEN NULL
+                        ELSE SUM(v.p) END AS DOUBLE) AS rviz,
+                   CAST(CASE WHEN GROUPING(v.o_orderstatus) = 1 THEN NULL
+                        ELSE MAX(a.s) END AS DOUBLE) AS r
+            FROM vis v LEFT JOIN all_rev a USING (o_orderstatus)
+            GROUP BY ROLLUP(v.o_orderstatus)
+        """,
+        "semantic_sql_fromless": """
+            SELECT (SELECT COUNT(*) FROM orders) AS order_rows,
+                   (SELECT COUNT(*) FROM customer) AS customer_rows
         """,
         "yardstick_at_modifiers": """
             SELECT o_orderstatus AS status,
