@@ -1627,6 +1627,41 @@ FROM orders;
     )
 
 
+def _events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON field profile (operators/semistruct.py):
+    get_json_object evaluates the path in the JVM (Jackson) per row —
+    no UDF, no parse-to-struct materialization; DECIMAL-accumulated
+    mean for cross-engine determinism."""
+    from sidemantic_spark.operators.semistruct import json_field_stats
+
+    _ensure_tables(spark, sf_dir)
+    return json_field_stats(
+        spark.table("events"), json_col="props", path="$.k",
+        group_col="event_type",
+    )
+
+
+def _events_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON key-frequency profile (schema discovery): from_json to a
+    string map + exploded keys, one shuffle bounded by the key
+    vocabulary."""
+    from sidemantic_spark.operators.semistruct import json_key_profile
+
+    _ensure_tables(spark, sf_dir)
+    return json_key_profile(spark.table("events"), json_col="props")
+
+
+def _sim_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean mislabel detection (operators/similarity.py
+    label_centroid_purity): per-label DECIMAL-mean centroids (one
+    labels x dim shuffle), Arrow matmul assignment with 6dp-rounded
+    first-max argmax so the whole operator is SQL-oracle-expressible."""
+    from sidemantic_spark.operators.similarity import label_centroid_purity
+
+    _ensure_tables(spark, sf_dir)
+    return label_centroid_purity(spark.table("embeddings"))
+
+
 def _semantic_sql_fromless(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT without a top-level FROM: each scalar-subquery island
     compiles through the semantic path (ref corpus measures.test
@@ -1748,6 +1783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yardstick_aggregate": _yardstick_aggregate,
         "yardstick_at_modifiers": _yardstick_at_modifiers,
         "yardstick_window_measure": _yardstick_window_measure,
+        "events_json_stats": _events_json_stats,
+        "events_json_keys": _events_json_keys,
+        "sim_label_purity": _sim_label_purity,
         "yardstick_visibility_rollup": _yardstick_visibility_rollup,
         "semantic_sql_fromless": _semantic_sql_fromless,
         "table_calc_pct_of_total": _table_calc_pct_of_total,
@@ -2412,6 +2450,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus AS status,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders GROUP BY 1
+        """,
+        "events_json_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n_rows,
+                   COUNT(CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                       AS val_present,
+                   ROUND(CAST(SUM(CAST(CAST(json_extract_string(props, '$.k')
+                           AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                         / COUNT(CAST(json_extract_string(props, '$.k')
+                           AS DOUBLE)), 6) AS val_avg,
+                   MIN(CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                       AS val_min,
+                   MAX(CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                       AS val_max
+            FROM events GROUP BY 1
+        """,
+        "events_json_keys": """
+            WITH n AS (SELECT COUNT(*) AS total FROM events)
+            SELECT k AS key, COUNT(*) AS n_rows,
+                   ROUND(COUNT(*) / (SELECT CAST(total AS DOUBLE) FROM n), 6)
+                       AS coverage
+            FROM events, UNNEST(json_keys(props)) AS t(k)
+            GROUP BY 1
+        """,
+        "sim_label_purity": """
+            WITH pos AS (
+                SELECT vec_id, label, unnest(embedding) AS val,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings
+            ),
+            cent AS (
+                SELECT label AS clab, pos,
+                       CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                           / COUNT(*) AS mean
+                FROM pos GROUP BY 1, 2
+            ),
+            dots AS (
+                SELECT p.vec_id, p.label, c.clab,
+                       SUM(p.val * c.mean) AS dot,
+                       SUM(p.val * p.val) AS n1,
+                       SUM(c.mean * c.mean) AS n2
+                FROM pos p JOIN cent c USING (pos)
+                GROUP BY 1, 2, 3
+            ),
+            best AS (
+                SELECT vec_id, label, clab AS nearest_label,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY ROUND(dot / (SQRT(n1)*SQRT(n2)), 6) DESC,
+                                   clab ASC) AS rn
+                FROM dots
+            )
+            SELECT vec_id, label, nearest_label,
+                   (label = nearest_label) AS is_pure
+            FROM best WHERE rn = 1
         """,
         "yardstick_window_measure": """
             SELECT DISTINCT o_orderdate AS order_day,

@@ -61,6 +61,9 @@ EXTRA = [
     "text_bm25_topk",                 # lexical BM25 top-k
     "events_sessionize",              # batch gap sessionization
     "sim_ann_quantized_topk",         # int8 ANN + exact rerank
+    # round-9 operators
+    "events_json_stats",              # schema-on-read JSON field stats
+    "sim_label_purity",               # nearest-class-mean mislabels
 ]
 
 

@@ -79,6 +79,13 @@ class SemanticGraph:
         self.generation = 0  # bumped on mutation; keys compile caches
 
     def add_parameter(self, param) -> None:
+        if param.name in self.parameters:
+            # silent overwrite would let a second loader redefine a
+            # parameter's type/allowed_values (reference
+            # test_semantic_graph_duplicate_parameter raises too)
+            raise SemanticGraphError(
+                f"parameter {param.name!r} already registered"
+            )
         self.parameters[param.name] = param
         self._invalidate()
 

@@ -208,6 +208,18 @@ class SparkSemanticLayer:
             self._rewriter = SemanticSqlRewriter(self)
         return self._rewriter.rewrite(semantic_sql, user=user)
 
+    def get_catalog_metadata(self, schema: str = "public") -> dict:
+        """Postgres information_schema-shaped export of the graph
+        (ref ``core/catalog.py:69`` via ``layer.get_catalog_metadata``):
+        models as tables, dimensions AND metrics as columns, pk/fk
+        constraints with referenced table/column mapping."""
+        from sidemantic_spark.server.catalog import get_catalog_metadata
+
+        return get_catalog_metadata(
+            self.graph, schema=schema,
+            enforce_visibility=getattr(self, "enforce_visibility", False),
+        )
+
     def explain_sql(self, semantic_sql: str) -> dict:
         from sidemantic_spark.sql.rewriter import SemanticSqlRewriter
 

@@ -372,7 +372,10 @@ class Parameter:
         parameter's type (reference ``core/parameter.py`` format_value):
         numbers must parse, unquoted values must be identifiers, strings
         escape embedded quotes — a parameter can never break out of its
-        literal position."""
+        literal position. ``None`` falls back to ``default_value``
+        (reference test_parameter_default_value)."""
+        if value is None:
+            value = self.default_value
         if self.allowed_values is not None and value not in self.allowed_values:
             raise ValueError(
                 f"Parameter {self.name!r}: value {value!r} not in "
@@ -421,6 +424,40 @@ class Parameter:
             )
         # string: escape embedded quotes so the value stays one literal
         return "'" + str(value).replace("'", "''") + "'"
+
+
+class ParameterSet:
+    """A set of declared parameters bound to query-supplied values
+    (reference ``core/parameter.py`` ParameterSet): ``get`` returns the
+    effective value (supplied or default), ``format`` the typed SQL
+    literal, and ``interpolate`` substitutes ``{{ name }}`` refs in SQL
+    text — unknown names are left untouched (they may be user-attribute
+    or Jinja constructs handled elsewhere)."""
+
+    def __init__(self, parameters: dict, values: dict | None = None):
+        self.parameters = parameters
+        self.values = dict(values or {})
+
+    def get(self, name: str):
+        if name in self.values:
+            return self.values[name]
+        param = self.parameters.get(name)
+        return param.default_value if param is not None else None
+
+    def format(self, name: str) -> str:
+        param = self.parameters.get(name)
+        if param is None:
+            raise KeyError(f"unknown parameter {name!r}")
+        return param.format_value(self.get(name))
+
+    def interpolate(self, sql: str) -> str:
+        def sub(m: "re.Match[str]") -> str:
+            name = m.group(1)
+            if name not in self.parameters:
+                return m.group(0)
+            return self.format(name)
+
+        return re.sub(r"\{\{\s*([A-Za-z_]\w*)\s*\}\}", sub, sql)
 
 
 @dataclass

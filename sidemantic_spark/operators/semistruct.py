@@ -1,0 +1,82 @@
+"""Semi-structured (JSON) column operators — schema-on-read.
+
+Event logs and crawl metadata land as JSON strings (the ``events.props``
+column in the test corpus); at 100 TB you cannot re-ingest to add a
+field, so extraction must be schema-on-read and JVM-side.  Both
+operators here compile to built-in expressions (``get_json_object`` /
+``from_json`` + ``map_keys``) — no Python in the hot path, predicate
+pushdown and whole-stage codegen intact; the JSON path evaluation is
+Jackson inside the JVM, exactly how production Spark pipelines read
+sparse event properties.
+
+Reference analog: none (the reference is a semantic-layer engine); this
+extends the engine for the training-data-pipeline brief the same way
+the dedup/similarity operators do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def json_field_stats(
+    df: DataFrame,
+    json_col: str = "props",
+    path: str = "$.k",
+    group_col: str = "event_type",
+    *,
+    out_prefix: str = "val",
+) -> DataFrame:
+    """Numeric profile of one JSON field per group.
+
+    ``get_json_object`` evaluates the JSON path in the JVM per row (no
+    parse-to-struct materialization); missing keys / non-numeric values
+    become NULL and are surfaced via the present-count so silent
+    coverage drops are visible. The mean accumulates in DECIMAL before
+    ONE double division — a double-sum is partition-order-dependent and
+    would hash-differently across engines/core counts.
+    """
+    v = F.get_json_object(F.col(json_col), path).cast("double")
+    return (
+        df.select(F.col(group_col), v.alias("__v"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("__v").alias(f"{out_prefix}_present"),
+            F.round(
+                (
+                    F.sum(F.col("__v").cast("decimal(28,6)"))
+                    / F.count("__v")
+                ).cast("double"),
+                6,
+            ).alias(f"{out_prefix}_avg"),
+            F.min("__v").alias(f"{out_prefix}_min"),
+            F.max("__v").alias(f"{out_prefix}_max"),
+        )
+    )
+
+
+def json_key_profile(df: DataFrame, json_col: str = "props") -> DataFrame:
+    """Key-frequency profile of a JSON column (schema discovery).
+
+    ``from_json`` to ``map<string,string>`` + ``map_keys`` + explode —
+    one shuffle keyed on the key name, output bounded by the DISTINCT
+    key vocabulary (tiny even at 100 TB).  ``coverage`` = fraction of
+    rows carrying the key, the first question asked of any new event
+    stream.
+    """
+    total = df.count()
+    keys = df.select(
+        F.explode(
+            F.map_keys(F.from_json(F.col(json_col), "map<string,string>"))
+        ).alias("key")
+    )
+    return (
+        keys.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn(
+            "coverage",
+            F.round(F.col("n_rows") / F.lit(float(max(total, 1))), 6),
+        )
+    )

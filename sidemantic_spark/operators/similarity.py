@@ -313,13 +313,16 @@ def lsh_bucket_topk(
     )
 
 
-def _argmax_cell_udf(centroid_vecs: list[list[float]]):
+def _argmax_cell_udf(centroid_vecs: list[list[float]], round_dp: int | None = None):
     """Arrow-vectorized max-cosine cell assignment: one matmul against
     the normalized centroid matrix, first-max argmax (same tie rule as
     ``array_position(sims, array_max(sims))``).  Returns the 1-based
     position, matching the Column form it replaces — the 16-centroid
     x 64-literal cosine array made interpreted eval + plan analysis
-    the dominant cost of both k-means iterations and IVF probing."""
+    the dominant cost of both k-means iterations and IVF probing.
+    ``round_dp`` rounds similarities BEFORE the argmax so a ~1e-15
+    dot-product ordering difference between engines cannot flip a
+    near-tie (used by the oracle-compared label-purity operator)."""
     from pyspark.sql.functions import pandas_udf
 
     c = np.array(centroid_vecs, dtype=np.float64)
@@ -333,6 +336,8 @@ def _argmax_cell_udf(centroid_vecs: list[list[float]]):
         m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
         m_norm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
         sims = m_norm @ c_norm.T
+        if round_dp is not None:
+            sims = np.round(sims, round_dp)
         return pd.Series((np.argmax(sims, axis=1) + 1).astype("int32"))
 
     return cell
@@ -568,6 +573,59 @@ def semantic_dedup(
                 "keep"
             ),
         )
+    )
+
+
+def label_centroid_purity(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-class-mean mislabel detection over an embedding column.
+
+    The classic curation signal (confident-learning lite): compute one
+    centroid per label, assign every vector to its max-cosine centroid,
+    and flag rows whose nearest class is not their own label.  Fully
+    distributed: per-label per-dimension means are ONE shuffle of
+    ``labels x dim`` tiny rows (DECIMAL-accumulated — a double mean is
+    partition-order-dependent and would jitter assignments across core
+    counts), only the ``labels x dim`` centroid matrix is collected and
+    ridden into an Arrow matmul kernel as literals, and the scan stays
+    embarrassingly parallel.  Similarities round to 6dp BEFORE argmax
+    (first-max, i.e. lowest label wins ties) so the assignment is
+    bit-reproducible across engines — the whole operator is expressible
+    as a SQL oracle.
+
+    Returns one row per vector: (id, label, nearest_label, is_pure).
+    """
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    means = (
+        df.select(
+            F.col(label_col).alias("__lab"),
+            F.posexplode(emb).alias("__pos", "__val"),
+        )
+        .groupBy("__lab", "__pos")
+        .agg(
+            (
+                F.sum(F.col("__val").cast("decimal(28,12)")) / F.count(F.lit(1))
+            ).cast("double").alias("__mean")
+        )
+        .collect()
+    )
+    by_lab: dict[int, dict[int, float]] = {}
+    for r in means:
+        by_lab.setdefault(r["__lab"], {})[int(r["__pos"])] = float(r["__mean"])
+    labs = sorted(by_lab)
+    cents = [[by_lab[lab][p] for p in sorted(by_lab[lab])] for lab in labs]
+    cell = _argmax_cell_udf(cents, round_dp=6)
+    lab_arr = F.array(*[F.lit(lab) for lab in labs])
+    return df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.element_at(lab_arr, cell(emb)).alias("nearest_label"),
+    ).withColumn(
+        "is_pure", F.col(label_col) == F.col("nearest_label")
     )
 
 

@@ -56,9 +56,19 @@ def get_catalog_metadata(
         })
         ordinal = 1
 
+        # FK columns of many_to_one relationships get is_foreign_key
+        # (ref tests/test_catalog.py test_foreign_key_constraints)
+        fk_cols = {
+            fk
+            for rel in model.relationships
+            if rel.type == "many_to_one" and rel.name in graph.models
+            for fk in rel.fk_list()
+        }
+
         def add_col(name: str, data_type: str, *, nullable: str = "YES",
                     is_pk: bool = False, is_metric: bool = False,
-                    description: str | None = None, model=model) -> None:
+                    description: str | None = None,
+                    label: str | None = None, model=model) -> None:
             nonlocal ordinal
             columns.append({
                 "table_catalog": "sidemantic",
@@ -70,8 +80,10 @@ def get_catalog_metadata(
                 "is_nullable": nullable,
                 "data_type": data_type,
                 "is_primary_key": is_pk,
+                "is_foreign_key": name in fk_cols,
                 "is_metric": is_metric,
                 "description": description,
+                "label": label,
             })
             ordinal += 1
 
@@ -96,6 +108,8 @@ def get_catalog_metadata(
                 "table_name": model.name,
                 "column_name": model.primary_key,
                 "ordinal_position": 1,
+                "referenced_table_name": None,
+                "referenced_column_name": None,
             })
 
         for dim in model.dimensions:
@@ -106,6 +120,7 @@ def get_catalog_metadata(
                 pg_type_for_dimension(dim.type, dim.granularity),
                 is_pk=dim.name == model.primary_key,
                 description=dim.description,
+                label=dim.label,
             )
         for metric in model.metrics:
             if enforce_visibility and not metric.public:
@@ -115,6 +130,7 @@ def get_catalog_metadata(
                 pg_type_for_metric(metric.agg),
                 is_metric=True,
                 description=metric.description,
+                label=metric.label,
             )
 
         for rel in model.relationships:
@@ -143,6 +159,8 @@ def get_catalog_metadata(
                     "table_name": model.name,
                     "column_name": fk,
                     "ordinal_position": i + 1,
+                    "referenced_table_name": rel.name,
+                    "referenced_column_name": pks[i],
                 })
 
     return {

@@ -1328,3 +1328,85 @@ def test_chunk_documents_coverage_and_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, size=10, overlap=10)
+
+
+# -- round-9 operators: semi-structured JSON + label purity ------------
+
+
+def test_json_field_stats(spark):
+    from sidemantic_spark.operators.semistruct import json_field_stats
+
+    df = spark.createDataFrame(
+        [
+            ("click", '{"k": 10}'),
+            ("click", '{"k": 20}'),
+            ("click", '{"other": 1}'),      # key absent -> NULL
+            ("view", '{"k": "7"}'),          # numeric string coerces
+            ("view", "not json at all"),     # malformed -> NULL
+        ],
+        ["event_type", "props"],
+    )
+    rows = {r["event_type"]: r for r in json_field_stats(df).collect()}
+    c = rows["click"]
+    assert (c["n_rows"], c["val_present"]) == (3, 2)
+    assert c["val_avg"] == 15.0 and c["val_min"] == 10.0 and c["val_max"] == 20.0
+    v = rows["view"]
+    assert (v["n_rows"], v["val_present"], v["val_avg"]) == (2, 1, 7.0)
+
+
+def test_json_key_profile(spark):
+    from sidemantic_spark.operators.semistruct import json_key_profile
+
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": 2}',), ('{"a": 3}',), ('{"c": null}',), ("junk",)],
+        ["props"],
+    )
+    rows = {r["key"]: (r["n_rows"], r["coverage"])
+            for r in json_key_profile(df).collect()}
+    assert rows == {"a": (2, 0.5), "b": (1, 0.25), "c": (1, 0.25)}
+
+
+def test_json_ops_plan_no_python_udf(spark):
+    """Both JSON operators must stay JVM-side (get_json_object /
+    from_json) — no BatchEvalPython / ArrowEvalPython in the plan."""
+    from sidemantic_spark.operators.semistruct import (
+        json_field_stats,
+        json_key_profile,
+    )
+
+    df = spark.createDataFrame([("a", '{"k": 1}')], ["event_type", "props"])
+    for out in (json_field_stats(df), json_key_profile(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+
+def test_label_centroid_purity_known_clusters(spark):
+    """Two tight clusters with one mislabeled vector: the mislabeled
+    row is flagged (nearest centroid is the other class), everything
+    else is pure."""
+    from sidemantic_spark.operators.similarity import label_centroid_purity
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.1, 0.9, 0.0], 1),
+        (5, [0.0, 0.0, 0.95, 0.05], 0),  # labeled 0, sits in cluster 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["vec_id"]: (r["nearest_label"], r["is_pure"])
+           for r in label_centroid_purity(df).collect()}
+    assert out[5] == (1, False)
+    assert all(out[i][1] for i in (1, 2, 3, 4))
+
+
+def test_label_centroid_purity_deterministic(spark):
+    """Repeated runs (different partitionings) produce identical
+    assignments — the DECIMAL centroid accumulation and 6dp-rounded
+    argmax are the determinism contract."""
+    from sidemantic_spark.operators.similarity import label_centroid_purity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, label_centroid_purity(emb).collect()))
+    b = sorted(map(tuple, label_centroid_purity(emb.repartition(7)).collect()))
+    assert a == b
