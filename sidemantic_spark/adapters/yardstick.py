@@ -306,6 +306,7 @@ class YardstickAdapter(BaseAdapter):
                     name=name,
                     table=None if derived else table,
                     sql=model_sql,
+                    measure_view=True,
                     primary_key=dims[0].name if dims else "id",
                     dimensions=dims, metrics=mets,
                     row_filters=[where.strip()] if where else [],

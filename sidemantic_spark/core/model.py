@@ -487,6 +487,12 @@ class Model:
     default_grain: str | None = None
     description: str | None = None
     row_filters: list[str] = field(default_factory=list)  # static row filters
+    # Yardstick measure-view flavor (AS MEASURE imports): bare measure
+    # refs carry the paper's INVISIBLE default (ignore the query WHERE;
+    # AGGREGATE(m) / AT (VISIBLE) opt back in) — ref
+    # tests/queries/test_yardstick_query_rewriter.py plain-reference
+    # family. Native models keep classic WHERE-respecting semantics.
+    measure_view: bool = False
     security: object | None = None  # SecurityPolicy (access + user row filters)
     pre_aggregations: list = field(default_factory=list)  # [PreAggregation]
     extends: str | None = None  # inherit from another model (core/inheritance.py:11)

@@ -172,21 +172,33 @@ def _yardstick_normalize(sql: str) -> str:
     (the AGGREGATE form carries a different visibility default than a
     bare ``measure AT (...)`` — ref ``:3717-3760``)."""
     sql = re.sub(r"^\s*SEMANTIC\s+", "", sql, flags=re.I)
-    if re.search(r"\bAT\s*\(", sql, re.I):
-        # statements with AT modifiers keep their AGGREGATE() wrappers:
-        # the wrapper carries the visibility default (AGGREGATE(m) sees
-        # the query WHERE, a bare measure ref ignores it — ref
-        # query_rewriter.py:3717-3760 and the paper Listing-8 family),
-        # so unwrapping here would erase the distinction before the AT
-        # planner classifies the items.
-        return sql
+    # schema-qualified AGGREGATE (`schema.AGGREGATE(m)`) is the same
+    # function (ref test_yardstick_schema_qualified_aggregate_function)
+    sql = re.sub(r"\b\w+\.(AGGREGATE\s*\()", r"\1", sql, flags=re.I)
+    # curly measure refs `{revenue}` -> bare refs; `{{ param }}` Jinja
+    # braces are untouched (inner braces are brace-adjacent)
+    sql = re.sub(r"(?<!\{)\{\s*(\w+)\s*\}(?!\})", r"\1", sql)
+    # AGGREGATE() wrappers are PRESERVED here: the wrapper carries the
+    # visibility default (AGGREGATE(m) sees the query WHERE, a bare
+    # measure ref on a measure view ignores it — ref
+    # query_rewriter.py:3717-3760 and the paper Listing-8 family), so a
+    # global unwrap would erase the distinction before the planner
+    # classifies the items. The classic (non-AT, non-measure-view)
+    # select path unwraps locally in _strip_aggregate_wrappers.
+    return sql
+
+
+def _strip_aggregate_wrappers(text: str) -> str:
+    """Unwrap ``AGGREGATE(measure)`` to the bare ref for the classic
+    grouped path (the semantic planner supplies the aggregation from
+    the metric definition); AT-followed calls stay wrapped."""
 
     def sub(m: re.Match) -> str:
-        if re.match(r"\s*AT\s*\(", sql[m.end():], re.I):
+        if re.match(r"\s*AT\s*\(", text[m.end():], re.I):
             return m.group(0)
         return m.group(1).strip('"').replace(" ", "_")
 
-    return _AGGREGATE_REF_RE.sub(sub, sql)
+    return _AGGREGATE_REF_RE.sub(sub, text)
 
 
 _AT_HEAD_RE = re.compile(
@@ -501,6 +513,18 @@ class SemanticSqlRewriter:
 
 
     def _rewrite_node(self, sql: str) -> str:
+        # CTAS / INSERT ... SELECT: the DDL/DML prefix passes through and
+        # the SELECT part compiles semantically (ref
+        # test_yardstick_ctas_and_insert_select_with_aggregate)
+        ddl = re.match(
+            r"^\s*(CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+|TEMP\s+)?"
+            r"(?:TABLE|VIEW)\s+[\w.]+\s+AS"
+            r"|INSERT\s+INTO\s+[\w.]+(?:\s*\([^)]*\))?)"
+            r"\s+((?:SELECT|WITH|SEMANTIC)\b.*)$",
+            sql, re.I | re.S,
+        )
+        if ddl:
+            return ddl.group(1) + "\n" + self._rewrite_node(ddl.group(2))
         # CTE islands: rewrite each WITH body that is a semantic query,
         # leave plain-SQL bodies and the outer statement intact
         # (ref sql/query_rewriter.py:4913-4973, :5299-5461)
@@ -1414,6 +1438,31 @@ class SemanticSqlRewriter:
 
         if any(_has_at_term(it) for it in items):
             return self._rewrite_at_select(items, clause_vals, base_model)
+
+        # measure-view invisible default (ref plain-reference family):
+        # a BARE measure ref on an AS-MEASURE view ignores the query
+        # WHERE; AGGREGATE(m) opts into it. With a WHERE present the AT
+        # machinery (which encodes per-item visibility) compiles the
+        # query even without any AT modifier in it.
+        if getattr(model, "measure_view", False) and "WHERE" in clause_vals:
+
+            def _is_bare_metric(it: str) -> bool:
+                ref0, _a0 = _split_item_alias(it)
+                t0 = self._classify_ref(ref0, base_model)
+                return bool(
+                    t0 and t0[0] == "metric" and ".__adhoc_" not in t0[1]
+                )
+
+            if any(_is_bare_metric(it) for it in items):
+                return self._rewrite_at_select(items, clause_vals, base_model)
+
+        # classic grouped path: AGGREGATE() wrappers unwrap to plain
+        # (visible) metric refs here, AFTER the routing above
+        items = [_strip_aggregate_wrappers(it) for it in items]
+        clause_vals = {
+            k: _strip_aggregate_wrappers(v) if k not in ("LIMIT", "OFFSET") else v
+            for k, v in clause_vals.items()
+        }
         classified: list[tuple[str, str, str | None]] = []
         has_expression = False
         for item in items:
@@ -1921,6 +1970,17 @@ class SemanticSqlRewriter:
                 for part in _split_items(mod):
                     head = part.split(None, 1)
                     kw = head[0].upper() if head else ""
+                    if kw == "SET":
+                        # compound `SET dim = <expr> VISIBLE` inside one
+                        # modifier: the trailing keyword is its own flag,
+                        # not part of the SET expression (ref
+                        # test_yardstick_compound_at_modifiers_set_visible)
+                        vm = re.match(r"^(.*?)\s+VISIBLE\s*$", part, re.I)
+                        if vm:
+                            flat.append(vm.group(1))
+                            flat.append("VISIBLE")
+                            prev_kw = "VISIBLE"
+                            continue
                     if kw in ("ALL", "WHERE", "SET", "VISIBLE"):
                         flat.append(part)
                         prev_kw = kw

@@ -742,3 +742,32 @@ def test_with_totals_on_fanout_and_multifact_plans(layer, spark):
         assert sum(1 for r in rows if r["_is_total"]) == 1
     finally:
         layer.generator.fanout_strategy = "auto"
+
+
+def test_or_group_parens_preserved_in_pushdown(layer, duck):
+    """'(A OR B) AND C' must keep the OR group's parens when conjuncts
+    are split and pushed into the model CTE — without them SQL
+    precedence silently rewrites the predicate (reference
+    test_bugfix_batch.py Fix 5)."""
+    from tests.conftest import assert_df_matches_oracle
+
+    df = layer.query(
+        metrics=["orders.revenue"],
+        dimensions=["orders.status"],
+        filters=[
+            "(orders.priority = '1-URGENT' OR orders.priority = '2-HIGH') "
+            "AND orders.status = 'F'"
+        ],
+    )
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderstatus AS status,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders
+        WHERE (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')
+          AND o_orderstatus = 'F'
+        GROUP BY 1
+        """,
+    )
