@@ -1,0 +1,170 @@
+"""Randomized AT-modifier semantics fuzz.
+
+Generates random Yardstick queries (dims subset x modifier chains x
+optional visible WHERE) over a small 3-dimensional fixture and checks
+every row against an INDEPENDENT pandas implementation of the paper
+semantics: the measure value of an output row is the SUM over the
+context rows selected by (query WHERE if visible) + AT preds + equality
+on the surviving correlated dims.  The corpus pins fixed shapes; this
+covers their compositions.  Seeded RNG — fully deterministic.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+DIMS = ["year", "region", "category"]
+ROWS = [
+    (2022, "US", "A", 100.0), (2022, "US", "B", 50.0),
+    (2022, "EU", "A", 80.0), (2022, "EU", "B", 40.0),
+    (2023, "US", "A", 120.0), (2023, "US", "B", 60.0),
+    (2023, "EU", "A", 100.0), (2023, "EU", "B", 50.0),
+    (2024, "US", "A", 30.0),
+]
+WHERE_PREDS = [
+    ("region = 'US'", lambda r: r[1] == "US"),
+    ("year = 2022", lambda r: r[0] == 2022),
+    ("year > 2022", lambda r: r[0] > 2022),
+    ("region = 'US' OR year = 2022", lambda r: r[1] == "US" or r[0] == 2022),
+]
+SET_PINS = [
+    ("year", "2022", lambda r: r[0] == 2022),
+    ("region", "'EU'", lambda r: r[1] == "EU"),
+    ("category", "'A'", lambda r: r[2] == "A"),
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_layer(spark):
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    values = ",".join(f"({y},'{rg}','{c}',{a})" for y, rg, c, a in ROWS)
+    spark.sql(
+        f"SELECT * FROM VALUES {values} AS t(year, region, category, amount)"
+    ).createOrReplaceTempView("fz_products")
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW fz_products_v AS
+SELECT year, region, category, SUM(amount) AS MEASURE revenue
+FROM fz_products;
+""")
+    return lyr
+
+
+def expected_value(out_row, sel_dims, mods, visible_filter):
+    """Independent implementation of the engine's documented modifier
+    contract (each rule corpus-validated): the context = rows passing
+    (the query WHERE when visible) + AT preds + equality on surviving
+    correlated dims.  AGGREGATE defaults to visible; any SET turns
+    visibility off; bare ALL resets dims, preds AND visibility; a
+    single lone WHERE modifier evaluates non-correlated."""
+    active = list(sel_dims)
+    preds = []
+    visible = not any(kind == "set" for kind, _p in mods)
+    if len(mods) == 1 and mods[0][0] == "where":
+        active = []
+    for kind, payload in mods:
+        if kind == "all_bare":
+            active, preds, visible = [], [], False
+        elif kind == "all":
+            active = [d for d in active if d not in payload]
+        elif kind == "where":
+            preds.append(payload[1])
+        elif kind == "set":
+            dim, _lit, fn = payload
+            active = [d for d in active if d != dim]
+            preds.append(fn)
+    total = 0.0
+    matched = False
+    for r in ROWS:
+        if visible and visible_filter is not None and not visible_filter(r):
+            continue
+        if any(not p(r) for p in preds):
+            continue
+        ok = True
+        for d in active:
+            di = DIMS.index(d)
+            if r[di] != out_row[d]:
+                ok = False
+                break
+        if not ok:
+            continue
+        total += r[3]
+        matched = True
+    return total if matched else None
+
+
+def test_at_semantics_fuzz(fuzz_layer):
+    rng = random.Random(20260816)
+    n_checked = 0
+    for case in range(60):
+        k = rng.randint(1, 3)
+        sel_dims = sorted(rng.sample(DIMS, k))
+        # random modifier chain (1-2 modifiers)
+        mods = []
+        for _ in range(rng.randint(1, 2)):
+            kind = rng.choice(["all_bare", "all", "where", "set"])
+            if kind == "all_bare":
+                mods.append(("all_bare", None))
+            elif kind == "all":
+                targets = rng.sample(sel_dims, rng.randint(1, len(sel_dims)))
+                mods.append(("all", targets))
+            elif kind == "where":
+                mods.append(("where", rng.choice(WHERE_PREDS)))
+            else:
+                mods.append(("set", rng.choice(SET_PINS)))
+        use_where = rng.random() < 0.4
+        visible = rng.choice(WHERE_PREDS) if use_where else None
+
+        at_txt = " ".join(
+            "AT (ALL)" if kind == "all_bare"
+            else f"AT (ALL {' '.join(p)})" if kind == "all"
+            else f"AT (WHERE {p[0]})" if kind == "where"
+            else f"AT (SET {p[0]} = {p[1]})"
+            for kind, p in mods
+        )
+        sql = (
+            "SEMANTIC SELECT "
+            + ", ".join(sel_dims)
+            + f", AGGREGATE(revenue) {at_txt} AS v FROM fz_products_v"
+            + (f" WHERE {visible[0]}" if visible else "")
+        )
+        try:
+            rows = fuzz_layer.sql(sql).collect()
+        except Exception as exc:  # pragma: no cover - fail loudly
+            raise AssertionError(f"case {case}: {sql!r} failed: {exc}")
+        assert rows, f"case {case}: {sql!r} returned no rows"
+        for r in rows:
+            out = {d: r[d] for d in sel_dims}
+            want = expected_value(out, sel_dims, mods, visible[1] if visible else None)
+            got = None if r["v"] is None else float(r["v"])
+            assert got == want, (
+                f"case {case}: {sql!r} row {out}: got {got}, want {want}"
+            )
+            n_checked += 1
+    assert n_checked > 200  # the fuzz actually exercised many rows
+
+
+def test_at_all_chain_exhaustive(fuzz_layer):
+    """Every ALL-subset over three dims: the AT value must equal the
+    SUM over the context grouped by the complement subset."""
+    for drop in itertools.chain.from_iterable(
+        itertools.combinations(DIMS, n) for n in range(1, 4)
+    ):
+        sql = (
+            "SEMANTIC SELECT year, region, category, "
+            f"AGGREGATE(revenue) AT (ALL {' '.join(drop)}) AS v "
+            "FROM fz_products_v"
+        )
+        rows = fuzz_layer.sql(sql).collect()
+        keep = [d for d in DIMS if d not in drop]
+        for r in rows:
+            want = sum(
+                row[3] for row in ROWS
+                if all(row[DIMS.index(d)] == r[d] for d in keep)
+            )
+            assert float(r["v"]) == want, (drop, dict(r.asDict()))
