@@ -1673,6 +1673,35 @@ def _semantic_sql_fromless(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming aggregation over a schema-on-read JSON metric
+    (get_json_object inside the incremental agg — Jackson in the JVM,
+    streams exactly like a plain column): daily event windows with the
+    count and the sum of the props.k field, availableNow to completion
+    so the final state is batch-equivalent and the DuckDB oracle is the
+    plain GROUP BY day + json_extract_string."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    sl = _stream_layer(spark, sf_dir)
+    out = sl.stream_query(
+        "events",
+        metrics=["events.event_count", "events.props_k_sum"],
+        dimensions=["events.event_type"],
+        window="1 day",
+        watermark="36500 days",
+    )
+    name = "stream_json_" + uuid.uuid4().hex[:8]
+    sl.to_memory_sink(out, name)
+    return spark.table(name).select(
+        "window_start",
+        "event_type",
+        "event_count",
+        F.col("props_k_sum").cast("double").alias("props_k_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         # §2.2/2.4 projection/filter/aggregation
@@ -2010,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich_agg": _streaming_enrich_agg,
         "streaming_dedup_fingerprint": _streaming_dedup_fingerprint,
         "streaming_rollup_route": _streaming_rollup_route,
+        "streaming_json_rollup": _streaming_json_rollup,
     }
     # Driver-sample rotation (policy encoded since round 7, replacing
     # per-round hand-picked lists): the driver oracle-checks the FIRST
@@ -2450,6 +2480,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus AS status,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders GROUP BY 1
+        """,
+        "streaming_json_rollup": """
+            SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                       AS window_start,
+                   event_type,
+                   COUNT(*) AS event_count,
+                   CAST(SUM(CAST(CAST(json_extract_string(props, '$.k')
+                       AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS props_k_sum
+            FROM events GROUP BY 1, 2
         """,
         "events_json_stats": """
             SELECT event_type,

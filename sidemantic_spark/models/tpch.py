@@ -459,6 +459,13 @@ def build_layer(spark: SparkSession, sf_dir: str | None = None) -> SparkSemantic
             metrics=[
                 Metric(name="event_count", agg="count"),
                 Metric(name="total_value", agg="sum", sql="CAST(value AS DECIMAL(18,6))"),
+                # schema-on-read metric over the JSON props column
+                # (get_json_object is JVM-side and streams incrementally)
+                Metric(
+                    name="props_k_sum",
+                    agg="sum",
+                    sql="CAST(get_json_object(props, '$.k') AS DECIMAL(18,2))",
+                ),
                 Metric(name="active_users", agg="count_distinct", sql="user_id"),
                 Metric(
                     name="event_wow",

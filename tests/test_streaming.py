@@ -374,3 +374,39 @@ def test_batch_and_streaming_sessionize_agree(spark, stream_setup):
         (r["user_id"], r["n_events"])
         for r in session_stats(batch_df, gap_seconds=1800).collect())
     assert streaming == batch
+
+
+def test_streaming_json_metric_rollup(spark, sf_dir):
+    """A schema-on-read JSON metric (get_json_object inside the
+    incremental agg) streams exactly like a plain column: the
+    availableNow replay's final state equals the batch GROUP BY
+    (round-9 semistruct x streaming crossover)."""
+    import importlib.util
+    import os
+
+    here = os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("__spark_entry__", here)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    streamed = mod.queries()["streaming_json_rollup"](spark, sf_dir)
+    got = {(r["window_start"], r["event_type"]):
+           (r["event_count"], round(float(r["props_k_sum"]), 6))
+           for r in streamed.collect()}
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.table("events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.expr(
+                "CAST(get_json_object(props, '$.k') AS DECIMAL(18,2))"
+            )).cast("double").alias("s"),
+        )
+    )
+    want = {(r["d"], r["event_type"]): (r["c"], round(float(r["s"]), 6))
+            for r in batch.collect()}
+    assert got == want
