@@ -613,3 +613,69 @@ def test_incremental_refresh_prunes_source_scan(spark, tmp_path):
         for r in spark.sql("SELECT k, SUM(amount) AS s FROM inc_src GROUP BY k").collect()
     }
     assert got == want
+
+
+def test_at_context_joins_broadcast(spark, sf_dir):
+    """The AT-modifier plan's context joins must be broadcast-hash
+    (the context sides are tiny pre-aggregated frames) — a sort-merge
+    join here would shuffle the full grouped result per context at
+    scale (round-9 plan audit, pinned)."""
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.models.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW plan_vis_orders AS
+SELECT o_orderstatus, o_orderpriority,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS MEASURE sum_rev
+FROM orders;
+""")
+    df = lyr.sql(
+        "SELECT o.o_orderstatus AS status, COUNT(*) AS c, "
+        "AGGREGATE(o.sum_rev) AS ragg, o.sum_rev AT (VISIBLE) AS rviz, "
+        "o.sum_rev AS r FROM plan_vis_orders o "
+        "WHERE o.o_orderpriority <> '1-URGENT' "
+        "GROUP BY ROLLUP(o.o_orderstatus)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3  # one per AT context
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multifact_private_dim_joins_on_shared_dims_only(spark, sf_dir):
+    """Cross-view conformed join with a fact-private dim: the FULL
+    OUTER join must key on the SHARED dims only — keying on the
+    private dim (absent from one side) would null-join every row."""
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    spark.sql(
+        "SELECT * FROM VALUES (2022,'US',100.0),(2023,'EU',75.0) "
+        "AS t(year, region, amount)"
+    ).createOrReplaceTempView("plan_mf_sales")
+    spark.sql(
+        "SELECT * FROM VALUES (2022,'US','Cars',1.0),(2023,'EU','Shoes',2.0) "
+        "AS t(year, region, product, qty)"
+    ).createOrReplaceTempView("plan_mf_details")
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW plan_mf_sales_v AS
+SELECT year, region, SUM(amount) AS MEASURE revenue
+FROM plan_mf_sales;
+CREATE VIEW plan_mf_details_v AS
+SELECT year, region, product, SUM(qty) AS MEASURE quantity
+FROM plan_mf_details;
+""")
+    sql = lyr.rewrite(
+        "SEMANTIC SELECT s.year, s.region, sd.product, "
+        "AGGREGATE(revenue) AS rev, AGGREGATE(quantity) AS qty "
+        "FROM plan_mf_sales_v s JOIN plan_mf_details_v sd "
+        "ON s.year = sd.year AND s.region = sd.region"
+    )
+    join_line = next(l for l in sql.splitlines() if "FULL OUTER JOIN" in l)
+    assert "year" in join_line and "region" in join_line
+    assert "product" not in join_line  # private dim excluded from keys
+    assert "CROSS JOIN" not in sql
