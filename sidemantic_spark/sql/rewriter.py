@@ -2499,7 +2499,7 @@ class SemanticSqlRewriter:
     _EXPR_DIM_FNS = (
         "MONTH", "YEAR", "DAY", "QUARTER", "WEEK", "DAYOFWEEK", "HOUR",
         "DATE_TRUNC", "UPPER", "LOWER", "LEFT", "RIGHT", "SUBSTRING",
-        "SUBSTR", "CONCAT", "ARRAY_LENGTH", "LENGTH",
+        "SUBSTR", "CONCAT", "ARRAY_LENGTH", "LENGTH", "COALESCE",
     )
 
     def _register_expr_dims(

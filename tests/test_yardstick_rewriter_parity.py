@@ -657,3 +657,71 @@ FROM yp_ordered_set;
         "FROM ordered_set_p"
     ).collect()}
     assert mode_v == {"A": 1, "B": 10}
+
+
+def test_duckdb_scalar_functions_over_views(spark):
+    """Scalar-function select items group as ad-hoc expression dims
+    (ref test_yardstick_duckdb_scalar_functions): YEAR/MONTH, UPPER,
+    COALESCE over nullable dims, DATE_TRUNC, LEFT, ARRAY_LENGTH."""
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    spark.sql(
+        "SELECT * FROM VALUES (DATE'2023-01-15',100.0),(DATE'2023-01-20',150.0),"
+        "(DATE'2023-02-10',200.0),(DATE'2023-03-05',80.0),"
+        "(DATE'2024-01-08',250.0),(DATE'2024-02-14',180.0) AS t(sale_date, amount)"
+    ).createOrReplaceTempView("yp_dated_sales")
+    spark.sql(
+        "SELECT * FROM VALUES ('Electronics','Phones',500.0),"
+        "('Electronics','Laptops',800.0),('Clothing','Shirts',100.0),"
+        "('Clothing','Pants',150.0) AS t(category, subcategory, amount)"
+    ).createOrReplaceTempView("yp_products_str")
+    spark.sql(
+        "SELECT * FROM VALUES ('US',100.0),(CAST(NULL AS STRING),50.0),"
+        "('EU',75.0),(CAST(NULL AS STRING),25.0) AS t(region, amount)"
+    ).createOrReplaceTempView("yp_nullable_sales")
+    spark.sql(
+        "SELECT * FROM VALUES (array('a','b'),100.0),(array('b','c'),150.0),"
+        "(array('a'),80.0) AS t(tags, amount)"
+    ).createOrReplaceTempView("yp_tagged")
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW dated_sales_p AS
+SELECT sale_date, SUM(amount) AS MEASURE revenue FROM yp_dated_sales;
+CREATE VIEW products_str_p AS
+SELECT category, subcategory, SUM(amount) AS MEASURE revenue FROM yp_products_str;
+CREATE VIEW nullable_sales_p AS
+SELECT region, SUM(amount) AS MEASURE revenue FROM yp_nullable_sales;
+CREATE VIEW tagged_items_p AS
+SELECT tags, SUM(amount) AS MEASURE revenue FROM yp_tagged;
+""")
+    got = {(r[0], r[1], float(r[2])) for r in lyr.sql(
+        "SEMANTIC SELECT YEAR(sale_date) AS yr, MONTH(sale_date) AS mo, "
+        "AGGREGATE(revenue) AS revenue FROM dated_sales_p").collect()}
+    assert got == {(2023, 1, 250.0), (2023, 2, 200.0), (2023, 3, 80.0),
+                   (2024, 1, 250.0), (2024, 2, 180.0)}
+
+    got = {(r[0], float(r[1])) for r in lyr.sql(
+        "SEMANTIC SELECT UPPER(category) AS cat, AGGREGATE(revenue) "
+        "AS revenue FROM products_str_p").collect()}
+    assert got == {("CLOTHING", 250.0), ("ELECTRONICS", 1300.0)}
+
+    got = {(r[0], float(r[1])) for r in lyr.sql(
+        "SEMANTIC SELECT COALESCE(region, 'Unknown') AS region_bucket, "
+        "AGGREGATE(revenue) AS revenue FROM nullable_sales_p").collect()}
+    assert got == {("EU", 75.0), ("US", 100.0), ("Unknown", 75.0)}
+
+    got = {(int(r[0]), float(r[1])) for r in lyr.sql(
+        "SEMANTIC SELECT ARRAY_LENGTH(tags) AS tag_len, AGGREGATE(revenue) "
+        "AS revenue FROM tagged_items_p").collect()}
+    assert got == {(1, 80.0), (2, 250.0)}
+
+    got = {(str(r[0])[:10], float(r[1])) for r in lyr.sql(
+        "SEMANTIC SELECT DATE_TRUNC('year', sale_date) AS yr, "
+        "AGGREGATE(revenue) AS revenue FROM dated_sales_p").collect()}
+    assert got == {("2023-01-01", 530.0), ("2024-01-01", 430.0)}
+
+    got = {(r[0], float(r[1])) for r in lyr.sql(
+        "SEMANTIC SELECT LEFT(category, 4) AS cat_prefix, "
+        "AGGREGATE(revenue) AS revenue FROM products_str_p").collect()}
+    assert got == {("Clot", 250.0), ("Elec", 1300.0)}
