@@ -215,9 +215,11 @@ class SparkSemanticLayer:
         constraints with referenced table/column mapping."""
         from sidemantic_spark.server.catalog import get_catalog_metadata
 
+        rewriter = getattr(self, "_rewriter", None)
         return get_catalog_metadata(
             self.graph, schema=schema,
             enforce_visibility=getattr(self, "enforce_visibility", False),
+            lock=rewriter._compile_lock if rewriter is not None else None,
         )
 
     def explain_sql(self, semantic_sql: str) -> dict:

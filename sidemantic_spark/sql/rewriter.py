@@ -176,8 +176,14 @@ def _yardstick_normalize(sql: str) -> str:
     # function (ref test_yardstick_schema_qualified_aggregate_function)
     sql = re.sub(r"\b\w+\.(AGGREGATE\s*\()", r"\1", sql, flags=re.I)
     # curly measure refs `{revenue}` -> bare refs; `{{ param }}` Jinja
-    # braces are untouched (inner braces are brace-adjacent)
-    sql = re.sub(r"(?<!\{)\{\s*(\w+)\s*\}(?!\})", r"\1", sql)
+    # braces are untouched (inner braces are brace-adjacent). Quote-
+    # aware: a literal like WHERE tag = '{code}' must survive intact
+    # (even segments of a quote split are outside string literals,
+    # same convention as _normalize_cast_types)
+    parts = sql.split("'")
+    for i in range(0, len(parts), 2):
+        parts[i] = re.sub(r"(?<!\{)\{\s*(\w+)\s*\}(?!\})", r"\1", parts[i])
+    sql = "'".join(parts)
     # AGGREGATE() wrappers are PRESERVED here: the wrapper carries the
     # visibility default (AGGREGATE(m) sees the query WHERE, a bare
     # measure ref on a measure view ignores it — ref
@@ -352,6 +358,11 @@ class SemanticSqlRewriter:
     def __init__(self, layer) -> None:
         self.layer = layer
         self._cache: dict = {}
+        self._CACHE_MAX = 512  # FIFO bound for long-running servers
+        # generation bumps caused by ephemeral register/cleanup this
+        # compile; cancelled in rewrite()'s finally so the compile
+        # caches stay hot across ad-hoc/expr-dim queries
+        self._eph_gen_bumps = 0
         self._applied_rules: list[str] = []
         self._rejected_rules: list[str] = []
         # benchmark/debug escape hatch: False keeps wrapper queries on
@@ -409,6 +420,7 @@ class SemanticSqlRewriter:
         )
         with self._compile_lock:
             self._user = user
+            self._eph_gen_bumps = 0
             try:
                 hit = self._cache.get(key)
                 if hit is not None:
@@ -423,6 +435,10 @@ class SemanticSqlRewriter:
                         )
                     )
                 )
+                if len(self._cache) >= self._CACHE_MAX:
+                    # FIFO-bound: long-running servers (pgwire/HTTP)
+                    # must not grow the compile cache without limit
+                    self._cache.pop(next(iter(self._cache)))
                 self._cache[key] = (
                     out, list(self._applied_rules), list(self._rejected_rules)
                 )
@@ -434,6 +450,7 @@ class SemanticSqlRewriter:
                         self.layer.graph.models.pop(name, None)
                     self._ephemeral_models = []
                     self.layer.graph._invalidate()
+                    self._eph_gen_bumps += 1
                 if self._ephemeral_metrics:
                     for model, name in self._ephemeral_metrics:
                         mobj = model.metric(name)
@@ -442,6 +459,7 @@ class SemanticSqlRewriter:
                             model.reindex()
                     self._ephemeral_metrics = []
                     self.layer.graph._invalidate()
+                    self._eph_gen_bumps += 1
                 if self._ephemeral_dims:
                     # drop the ad-hoc expression dimensions registered
                     # during this compile: they must not outlive the
@@ -456,6 +474,18 @@ class SemanticSqlRewriter:
                     self._ephemeral_dims = []
                     if touched:
                         self.layer.graph._invalidate()
+                        self._eph_gen_bumps += 1
+                if self._eph_gen_bumps:
+                    # ephemeral register+cleanup is a net no-op on graph
+                    # state, so its generation bumps must not outlive the
+                    # compile: otherwise every expr-dim/ad-hoc query
+                    # permanently shifts the generation and the compile
+                    # caches (keyed on it) never hit again. Persistent
+                    # mutations made mid-rewrite (__adhoc_count, inferred
+                    # m2m bridge relationships) are NOT counted here, so
+                    # their bumps survive as they should.
+                    self.layer.graph.generation -= self._eph_gen_bumps
+                    self._eph_gen_bumps = 0
 
     def explain(self, sql: str) -> dict:
         """Rewrite plan summary (reference's RewriteExplanation:
@@ -1264,19 +1294,28 @@ class SemanticSqlRewriter:
             # `USING (c1, c2)` (ref corpus measures.test Listing-9
             # join) normalizes to the equivalent ON equality over the
             # two preceding table names/aliases before alias stripping
+            # a LEFT/RIGHT/INNER/FULL prefix is a join keyword, never a
+            # table alias (`a LEFT JOIN b USING (c)` must not bind LEFT
+            # as a's alias and emit `ON LEFT.c = ...`)
+            _jk = r"(?:LEFT|RIGHT|INNER|FULL|OUTER|CROSS|JOIN)\b"
             um = re.fullmatch(
-                r"\s*([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+"
-                r"JOIN\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+"
+                r"\s*([A-Za-z_]\w*)"
+                rf"(?:\s+(?:AS\s+)?(?!{_jk})([A-Za-z_]\w*))?\s+"
+                r"((?:LEFT|RIGHT|INNER|FULL)(?:\s+OUTER)?\s+)?"
+                r"JOIN\s+([A-Za-z_]\w*)"
+                rf"(?:\s+(?:AS\s+)?(?!{_jk})([A-Za-z_]\w*))?\s+"
                 r"USING\s*\(([^)]*)\)\s*", from_clause, re.I,
             )
             if um:
                 lt = um.group(2) or um.group(1)
-                rt = um.group(4) or um.group(3)
-                cols_u = [c.strip() for c in um.group(5).split(",") if c.strip()]
+                rt = um.group(5) or um.group(4)
+                cols_u = [c.strip() for c in um.group(6).split(",") if c.strip()]
                 on = " AND ".join(f"{lt}.{c} = {rt}.{c}" for c in cols_u)
                 head = f"{um.group(1)} {um.group(2)}" if um.group(2) else um.group(1)
-                tail_t = f"{um.group(3)} {um.group(4)}" if um.group(4) else um.group(3)
-                from_clause = f"{head} JOIN {tail_t} ON {on}"
+                tail_t = f"{um.group(4)} {um.group(5)}" if um.group(5) else um.group(4)
+                jtype = (um.group(3) or "").strip()
+                jtype = f"{jtype} " if jtype else ""
+                from_clause = f"{head} {jtype}JOIN {tail_t} ON {on}"
             self._register_adhoc_join_tables(from_clause)
             alias_map: dict[str, str] = {}
 
@@ -1400,6 +1439,7 @@ class SemanticSqlRewriter:
                         ))
                         owner.reindex()
                         graph._invalidate()
+                        self._eph_gen_bumps += 1
                         self._ephemeral_metrics.append((owner, mname))
                     out_items.append(
                         f"{dmodel}.{mname} AS {alias or f'{fn}_{dfield}'}"
@@ -2207,14 +2247,31 @@ class SemanticSqlRewriter:
             sql += "\nWHERE " + resolved_h
         if "ORDER BY" in clause_vals:
             # model-qualified refs (`model.dim`) name __main's output
-            # columns in the final select scope
+            # columns in the final select scope. Bare measure refs that
+            # were routed to invisible AT contexts live in `render`,
+            # not `classified` — map them to their rendered output
+            # alias too, or ORDER BY model.metric leaks the qualified
+            # ref into the outer scope and fails to resolve.
             ob = clause_vals["ORDER BY"]
-            for kind, full, alias in sorted(
-                classified, key=lambda kv: -len(kv[1])
-            ):
+            order_map: list[tuple[str, str]] = [
+                (full, _out_name(kind, full, alias))
+                for kind, full, alias in classified
+            ]
+            seen_at: set[str] = set()
+            for entry in render:
+                if entry[0] != "at":
+                    continue
+                _tag, idx, alias = entry
+                ref = at_calls[idx][0]
+                if ref in seen_at or not at_calls[idx][4]:  # not exposed
+                    continue
+                seen_at.add(ref)
+                order_map.append(
+                    (ref, alias or _out_name("metric", ref, None) + f"_at_{idx}")
+                )
+            for full, out in sorted(order_map, key=lambda kv: -len(kv[0])):
                 ob = re.sub(
-                    rf"(?<![\w.]){re.escape(full)}(?![\w.])",
-                    _out_name(kind, full, alias), ob,
+                    rf"(?<![\w.]){re.escape(full)}(?![\w.])", out, ob,
                 )
             sql += "\nORDER BY " + ob
         if "LIMIT" in clause_vals:
@@ -2358,6 +2415,7 @@ class SemanticSqlRewriter:
                 dimensions=[_D(name=c) for c in cols],
             ))
             self._ephemeral_models.append(t)
+            self._eph_gen_bumps += 1  # add_model invalidated once
 
     def _validate_explicit_joins(self, from_clause: str) -> str:
         """``model [LEFT|INNER] JOIN other ON a.x = b.y [...]`` — every ON
@@ -2561,6 +2619,7 @@ class SemanticSqlRewriter:
                 model.dimensions.append(_Dim(name=name, sql=sql_expr))
                 model.reindex()
                 self.layer.graph._invalidate()
+                self._eph_gen_bumps += 1
                 # per-query scope: rewrite() removes these after compile
                 # so a later SELECT * / export never sees the synthetic
                 # dimension (the compiled SQL inlines the expression and

@@ -1574,3 +1574,142 @@ FROM us_customers;
         ("Happy", 1, 30.0, 28.666667, 35.0),
         ("Whizz", 1, 40.0, 28.666667, 35.0),
     ]
+
+
+# -- round-10 ADVICE regressions -------------------------------------
+
+
+def test_rewrite_cache_survives_ephemeral_queries(spark, sf_dir):
+    """ADVICE r9 (medium): ephemeral expr-dim registration+cleanup must
+    not permanently bump graph.generation — the rewrite cache (keyed on
+    generation) has to HIT on the second compile of the same query."""
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.sql.rewriter import SemanticSqlRewriter
+
+    lyr = build_layer(spark, sf_dir)
+    rw = SemanticSqlRewriter(lyr)
+    gen0 = lyr.graph.generation
+    sql = "SELECT MONTH(orders.order_date) AS m, orders.revenue FROM orders"
+    out1 = rw.rewrite(sql)
+    assert lyr.graph.generation == gen0, (
+        "ephemeral expr-dim register/cleanup leaked a generation bump"
+    )
+    # the ephemeral dim itself must be gone from the model
+    assert not any(
+        d.name.startswith("expr_dim_")
+        for d in lyr.graph.get_model("orders").dimensions
+    )
+    # prove the second call is a cache hit: a re-derive would call
+    # _rewrite_node, which we break
+    broken = rw._rewrite_node
+    rw._rewrite_node = lambda *_a, **_k: (_ for _ in ()).throw(
+        AssertionError("cache miss: _rewrite_node re-invoked")
+    )
+    try:
+        assert rw.rewrite(sql) == out1
+    finally:
+        rw._rewrite_node = broken
+
+
+def test_rewrite_persistent_mutations_keep_their_bump(spark, sf_dir):
+    """__adhoc_count is registered once and persists — its generation
+    bump must survive the ephemeral-bump cancellation."""
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.sql.rewriter import SemanticSqlRewriter
+
+    lyr = build_layer(spark, sf_dir)
+    rw = SemanticSqlRewriter(lyr)
+    gen0 = lyr.graph.generation
+    rw.rewrite("SELECT orders.status, COUNT(*) FROM orders")
+    gen1 = lyr.graph.generation
+    assert gen1 == gen0 + 1  # one persistent __adhoc_count registration
+    rw.rewrite("SELECT orders.status, COUNT(*) FROM orders")
+    assert lyr.graph.generation == gen1  # already registered: no drift
+
+
+def test_rewrite_cache_is_bounded(spark, sf_dir):
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.sql.rewriter import SemanticSqlRewriter
+
+    lyr = build_layer(spark, sf_dir)
+    rw = SemanticSqlRewriter(lyr)
+    rw._CACHE_MAX = 4
+    for i in range(8):
+        rw.rewrite(f"SELECT orders.status, orders.revenue FROM orders LIMIT {i + 1}")
+    assert len(rw._cache) <= 4
+
+
+def test_using_join_with_left_prefix(spark):
+    """ADVICE r9: `a LEFT JOIN b USING (c)` must not bind LEFT as a's
+    alias (which emitted `ON LEFT.c = b.c`)."""
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    spark.sql(
+        "SELECT * FROM VALUES ('Happy','Alice'),('Whizz','Carol') "
+        "AS t(prodName, custName)"
+    ).createOrReplaceTempView("us2_order_customers")
+    spark.sql(
+        "SELECT * FROM VALUES ('Alice',30),('Carol',40) AS t(custName, custAge)"
+    ).createOrReplaceTempView("us2_customers")
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW us2_customers_v AS
+SELECT *, AVG(custAge) AS MEASURE avgAge
+FROM us2_customers;
+""")
+    for jt in ("LEFT JOIN", "INNER JOIN", "LEFT OUTER JOIN", "JOIN"):
+        rows = lyr.sql(
+            "SELECT o.prodName, AVG(c.custAge) AS age "
+            f"FROM us2_order_customers o {jt} us2_customers_v c USING (custName) "
+            "GROUP BY o.prodName ORDER BY o.prodName"
+        ).collect()
+        assert [(r[0], float(r[1])) for r in rows] == [
+            ("Happy", 30.0), ("Whizz", 40.0),
+        ], jt
+
+
+def test_curly_refs_in_string_literals_preserved():
+    """ADVICE r9: `{name}` measure-ref normalization must not rewrite
+    inside string literals (WHERE tag = '{code}')."""
+    from sidemantic_spark.sql.rewriter import _yardstick_normalize
+
+    out = _yardstick_normalize(
+        "SELECT {revenue} FROM t WHERE tag = '{code}' AND x = '{y} {z}'"
+    )
+    assert out == "SELECT revenue FROM t WHERE tag = '{code}' AND x = '{y} {z}'"
+
+
+def test_catalog_hides_adhoc_artifacts(spark, sf_dir):
+    """ADVICE r9: catalog export must never list __adhoc_* metrics or
+    expr_dim_* dimensions (including the persistent __adhoc_count)."""
+    from sidemantic_spark.models.tpch import build_layer
+
+    lyr = build_layer(spark, sf_dir)
+    # force the persistent __adhoc_count onto the orders model
+    lyr.sql("SELECT orders.status, COUNT(*) FROM orders").collect()
+    assert lyr.graph.get_model("orders").metric("__adhoc_count") is not None
+    meta = lyr.get_catalog_metadata()
+    names = [c["column_name"] for c in meta["columns"]]
+    assert not any(n.startswith("__adhoc_") for n in names)
+    assert not any(n.startswith("expr_dim_") for n in names)
+
+
+def test_order_by_bare_measure_in_at_query(paper_layer):
+    """ADVICE r9: ORDER BY naming a bare measure that was routed to an
+    invisible AT context must resolve to the output column."""
+    rows = paper_layer.sql(
+        "SELECT o.prodName, o.sumRevenue AS r "
+        "FROM tp_orders_v o WHERE o.custName <> 'Var Bob' "
+        "GROUP BY o.prodName ORDER BY o.sumRevenue DESC"
+    ).collect()
+    # bare ref ignores the WHERE: Happy 4+6+7=17, Whizz 3
+    assert [tuple(r) for r in rows] == [("Happy", 17), ("Whizz", 3)]
+
+
+def test_order_by_bare_measure_without_alias(paper_layer):
+    rows = paper_layer.sql(
+        "SELECT o.prodName, o.sumRevenue "
+        "FROM tp_orders_v o GROUP BY o.prodName ORDER BY o.sumRevenue ASC"
+    ).collect()
+    assert [tuple(r) for r in rows] == [("Whizz", 3), ("Happy", 17)]
