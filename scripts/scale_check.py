@@ -88,6 +88,167 @@ KEY_SHIFTS = {
 }
 COPY_AS_IS = ["region", "nation"]
 
+# second decade (VERDICT r9 ask #1): 100x replicas of documents +
+# embeddings only — the heavy dedup trio reads nothing else. Caesar
+# shifts give only 26 distinct letter bijections, so the 100-replica
+# decorrelator is the AFFINE cipher c -> a*c + b (mod 26) with a
+# coprime to 26: 12 slopes x 26 offsets = 312 distinct bijections, and
+# a bijection preserves every within-replica char-shingle Jaccard
+# relationship EXACTLY while cross-replica shingle sets are
+# (near-)disjoint. Embeddings: rotation by r%64 composed with full
+# negation for r>=64 — both orthogonal maps (within-replica cosine
+# invariant); the rotation-colliding pair (r, r+64) differs by sign,
+# so its cross-replica cosine is NEGATIVE (never a near-dup at
+# positive thresholds).
+SF10_REPLICAS = 100
+SF10_DIR = os.environ.get(
+    "SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_synth_sf10"
+)
+TRIO = ["dedup_minhash_lsh", "dedup_clusters", "sim_semantic_dedup"]
+_AFFINE_SLOPES = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
+def build_sf10(spark, rebuild: bool = False) -> str:
+    out_dir = SF10_DIR
+    marker = os.path.join(out_dir, "_SYNTH_COMPLETE")
+    if os.path.exists(marker) and not rebuild:
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    import string
+
+    from pyspark.sql import functions as F
+
+    rep = spark.range(SF10_REPLICAS).withColumnRenamed("id", "__rep")
+
+    # documents: affine-permuted alphabet per replica
+    lo, up, dg = (string.ascii_lowercase, string.ascii_uppercase,
+                  string.digits)
+    src = lo + up + dg
+    df = spark.read.parquet(f"{SF01}/documents.parquet")
+    out = df.crossJoin(F.broadcast(rep)).withColumn(
+        "doc_id", F.col("doc_id") + F.col("__rep") * F.lit(STRIDE)
+    )
+    text_col = F.col("text")
+    for r in range(1, SF10_REPLICAS):
+        a = _AFFINE_SLOPES[r // 26]
+        b = r % 26
+        perm = [(a * i + b) % 26 for i in range(26)]
+        dsh = (r * 3) % 10  # digits: plain shift (letters carry the
+        #                     distinctness; 3 is coprime to 10)
+        dst = (
+            "".join(lo[p] for p in perm)
+            + "".join(up[p] for p in perm)
+            + dg[dsh:] + dg[:dsh]
+        )
+        text_col = F.when(
+            F.col("__rep") == r, F.translate(F.col("text"), src, dst)
+        ).otherwise(text_col)
+    out = out.withColumn("text", text_col).drop("__rep")
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    print(f"# built documents x{SF10_REPLICAS}", file=sys.stderr)
+
+    # embeddings: rotate by r%64, negate for r>=64
+    df = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    dim = len(df.select("embedding").first()[0])
+    out = df.crossJoin(F.broadcast(rep)).withColumn(
+        "vec_id", F.col("vec_id") + F.col("__rep") * F.lit(STRIDE)
+    )
+    rot = F.col("__rep") % dim
+    rotated = F.when(rot == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.slice(F.col("embedding"), rot + 1, F.lit(dim) - rot),
+            F.slice(F.col("embedding"), 1, rot),
+        )
+    )
+    out = out.withColumn(
+        "embedding",
+        F.when(
+            F.col("__rep") >= dim,
+            F.transform(rotated, lambda x: -x),
+        ).otherwise(rotated),
+    ).drop("__rep")
+    out.repartition(16).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    print(f"# built embeddings x{SF10_REPLICAS}", file=sys.stderr)
+
+    # remaining tables copied small (sf0.1) — the trio never reads
+    # them; they exist only so register_tables resolves every view
+    for table in list(KEY_SHIFTS) + COPY_AS_IS:
+        if table in ("documents", "embeddings"):
+            continue
+        src_p = f"{SF01}/{table}.parquet"
+        dst_p = f"{out_dir}/{table}.parquet"
+        if os.path.isdir(src_p):
+            shutil.copytree(src_p, dst_p)
+        else:
+            shutil.copy(src_p, dst_p)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def profile_minhash(spark, sf_dir: str) -> dict:
+    """Per-stage wall times for minhash_lsh_pairs by running PREFIXES
+    of its own pipeline (same code paths, same gates): signature kernel
+    + banding; + bucket pair emission; + exact-Jaccard verify. Stage
+    deltas name the dominant stage at each tier."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.models.tpch import register_tables
+    from sidemantic_spark.operators import dedup as dd
+
+    register_tables(spark, sf_dir)
+    df = spark.table("documents")
+    rec: dict = {}
+
+    n_docs = dd._bounded_count(df, max(dd._SPREAD_CAP, 100_000))
+    rec["n_docs_probe"] = n_docs
+    rec["verify_path"] = "broadcast" if n_docs <= 100_000 else "bucket-local"
+    d = dd._spread(df, n_docs)
+    feat = d.select(
+        F.col("doc_id").alias("__id"), dd._norm(F.col("text")).alias("__norm")
+    ).select(
+        "__id", dd._sig_and_shingles_udf(64, 5)(F.col("__norm")).alias("__f")
+    )
+    with_sig = feat.select("__id", F.col("__f.sig").alias("__sig"))
+    banded = with_sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice(F.col("__sig"), b * 4 + 1, 4)).alias(
+                        "bhash"
+                    ),
+                ),
+            )
+        ).alias("bk"),
+    ).select("__id", "bk.band", "bk.bhash")
+
+    t0 = _t.perf_counter()
+    banded.count()
+    rec["sig_and_banding_sec"] = round(_t.perf_counter() - t0, 3)
+
+    cand = dd.pairs_from_bucket_keys(banded)
+    t0 = _t.perf_counter()
+    rec["candidate_pairs"] = cand.count()
+    rec["plus_bucket_pairs_sec"] = round(_t.perf_counter() - t0, 3)
+
+    t0 = _t.perf_counter()
+    rec["verified_pairs"] = dd.minhash_lsh_pairs(
+        df, jaccard_threshold=0.4
+    ).count()
+    rec["full_operator_sec"] = round(_t.perf_counter() - t0, 3)
+    return rec
+
 
 def build_sf1(spark, rebuild: bool = False, adversarial: bool = False) -> str:
     """Benign mode decorrelates replicas (Caesar-shifted text, rotated
@@ -193,17 +354,20 @@ def main() -> None:
     queries = entry.queries()
 
     sf1 = build_sf1(spark, rebuild)
+    # --trio-only: just the heavy dedup trio across all three tiers
+    # (fast iteration on the sf10 decade; skips the full matrix)
+    ops = TRIO if "--trio-only" in sys.argv else OPS
 
     # warmup: run every op once at sf0.01 so Janino codegen + JIT
     # tiering settle before any timed repeat (multi-second plan shapes
     # settle over ~3-5 executions; see bench.py warmup rationale)
     warm_dir = SF01.replace("sf0.1", "sf0.01")
-    for op in OPS:
+    for op in ops:
         queries[op](spark, warm_dir).count()
         queries[op](spark, warm_dir).count()
 
     results: dict[str, dict] = {}
-    for op in OPS:
+    for op in ops:
         fn = queries[op]
         rec: dict = {}
         for label, d in (("sf0.1", SF01), ("sf1", sf1)):
@@ -220,6 +384,44 @@ def main() -> None:
             rec["sf1"]["sec"] / max(rec["sf0.1"]["sec"], 1e-9), 2
         )
         results[op] = rec
+
+    # second decade (VERDICT r9 ask #1): the heavy dedup trio at sf10
+    # (100x rows). Per-decade wall ratio flat-or-falling = the
+    # operators hold their scaling curve across the broadcast->
+    # long-format verify gate (500k docs > broadcast_doc_cap: the
+    # corpus-scale paths run for real here, not just in plan tests)
+    sf10_results: dict[str, dict] = {}
+    minhash_profiles: dict[str, dict] = {}
+    if "--skip-sf10" not in sys.argv:
+        sf10 = build_sf10(spark, rebuild)
+        for op in TRIO:
+            fn = queries[op]
+            times, rows = [], 0
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                rows = fn(spark, sf10).count()
+                times.append(time.perf_counter() - t0)
+            sf1_sec = results.get(op, {}).get("sf1", {}).get("sec")
+            decade1 = results.get(op, {}).get("wall_ratio_per_10x_rows")
+            decade2 = (
+                round(min(times) / sf1_sec, 2) if sf1_sec else None
+            )
+            sf10_results[op] = {
+                "sec": round(min(times), 3),
+                "rows": rows,
+                "decade1_ratio_sf01_to_sf1": decade1,
+                "decade2_ratio_sf1_to_sf10": decade2,
+            }
+            print(
+                f"# {op} @sf10: {min(times):.2f}s ({rows} rows), "
+                f"decade ratios {decade1} -> {decade2}",
+                file=sys.stderr,
+            )
+        minhash_profiles = {
+            "sf1": profile_minhash(spark, sf1),
+            "sf10": profile_minhash(spark, sf10),
+        }
+        print(f"# minhash profile: {minhash_profiles}", file=sys.stderr)
 
     # adversarial duplicate-density pass (r8 ask #5): same row count as
     # benign sf1 but 10-deep exact-duplicate cliques; the bucket cap
@@ -248,6 +450,8 @@ def main() -> None:
         "metric": "sf01_to_sf1_scaling",
         "replicas": REPLICAS,
         "ops": results,
+        "sf10_trio": sf10_results,
+        "minhash_stage_profile": minhash_profiles,
         "adversarial": adv_results,
         "note": (
             "ratio < 10 = sublinear wall-clock per 10x rows (fixed "

@@ -646,13 +646,18 @@ def _validate_model(model: Model) -> list[str]:
             errors.append(f"{ctx}: default_time_dimension "
                           f"{model.default_time_dimension!r} is not a dimension")
         elif d.type != "time":
+            # message wording matches the reference's validation output
+            # (native-fixtures manifest error_contains tokens)
             errors.append(f"{ctx}: default_time_dimension "
-                          f"{model.default_time_dimension!r} must have type 'time'")
+                          f"{model.default_time_dimension!r} must reference "
+                          "a time dimension")
     for pa in model.pre_aggregations:
         pctx = f"{ctx} pre_aggregation {pa.name!r}"
         for mname in pa.measures:
             if model.metric(mname) is None:
-                errors.append(f"{pctx}: unknown measure {mname!r}")
+                errors.append(
+                    f"{pctx}: references unknown measure {mname!r}"
+                )
         for dname in pa.dimensions:
             if model.dimension(dname) is None:
                 errors.append(f"{pctx}: unknown dimension {dname!r}")

@@ -209,6 +209,15 @@ class Metric:
                 f"metric {self.name!r}: cannot specify both 'steps' and "
                 "'conversion_window' (the step chain has no window)"
             )
+        # a time_comparison with no base reference at all can never
+        # resolve (reference core/metric.py pydantic validation,
+        # tests/dates/test_time_comparison.py:128); the inline
+        # agg+sql form (sql names the source column/metric) stays legal
+        if self.type == "time_comparison" and not self.base_metric and not self.sql:
+            raise ValueError(
+                f"time_comparison metric requires 'base_metric' field "
+                f"(metric {self.name!r})"
+            )
         # ``expr`` is an accepted alias for ``sql`` on simple metrics
         # (reference core/metric.py:70-96, tests/test_expr_sql_alias.py);
         # derived metrics keep ``expr`` as the formula field

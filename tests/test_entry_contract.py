@@ -75,3 +75,18 @@ def test_query_contract(name, spark, duck):
         # correctness snapshot hash-mismatched 24 queries purely on
         # row order / timestamp zone; this guards the _canon fix
         assert_df_matches_oracle_strict(df, duck, oracle)
+
+
+def test_readme_contract_count_in_sync():
+    """One source of truth for the contract size: the README must state
+    the number that len(queries()) actually is (VERDICT r9 ask #7)."""
+    import re
+
+    n = len(_load_entry().queries())
+    with open("/root/repo/README.md") as fh:
+        readme = fh.read()
+    m = re.search(r"\((\d+) queries as of round", readme)
+    assert m, "README no longer states the contract count"
+    assert int(m.group(1)) == n, (
+        f"README says {m.group(1)} contract queries, len(queries()) == {n}"
+    )

@@ -157,3 +157,140 @@ def test_trailing_range_frame_executes_on_spark(spark, monthly):
     # Jan 1 -> only itself; Feb 1 is 31 days after Jan 1 so excludes it
     assert by_month["2023-01-01"] == pytest.approx(3700.0)
     assert by_month["2023-02-01"] == pytest.approx(2550.0)
+
+
+# -- ported from reference tests/dates/test_time_comparison.py (r10) --
+
+
+def test_model_level_mom_difference_exact_rows(spark):
+    """Reference tests/dates/test_time_comparison.py:13-68: a
+    time_comparison metric defined in model.metrics auto-registers at
+    graph level and produces the exact per-month differences."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.sql(
+        "SELECT CAST('2024-01-01' AS DATE) AS month, 100.0 AS revenue "
+        "UNION ALL SELECT CAST('2024-02-01' AS DATE), 150.0 "
+        "UNION ALL SELECT CAST('2024-03-01' AS DATE), 120.0 "
+        "UNION ALL SELECT CAST('2024-04-01' AS DATE), 180.0"
+    ).createOrReplaceTempView("tc_sales")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="tc_sales", table="tc_sales", primary_key="month",
+        dimensions=[Dimension(name="month", sql="month", type="time")],
+        metrics=[
+            Metric(name="revenue", agg="sum", sql="revenue"),
+            Metric(name="revenue_mom_change", type="time_comparison",
+                   base_metric="tc_sales.revenue", comparison_type="mom",
+                   calculation="difference"),
+        ],
+    ))
+    assert "revenue_mom_change" in layer.graph.metrics
+    rows = sorted(
+        layer.query(metrics=["revenue_mom_change"],
+                    dimensions=["tc_sales.month__month"]).collect(),
+        key=lambda r: str(r[0]),
+    )
+    got = [r["revenue_mom_change"] for r in rows]
+    assert got[0] is None
+    assert [float(v) for v in got[1:]] == [50.0, -30.0, 60.0]
+
+
+def test_model_level_conversion_metric_exact(spark):
+    """Reference tests/dates/test_time_comparison.py:70-126: model-level
+    conversion metric auto-registers and computes 1/3 (only user 1
+    converts inside the 7-day window)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.sql(
+        "SELECT 1 AS user_id, 'signup' AS event_type, CAST('2024-01-01' AS DATE) AS event_date "
+        "UNION ALL SELECT 1, 'purchase', CAST('2024-01-03' AS DATE) "
+        "UNION ALL SELECT 2, 'signup', CAST('2024-01-05' AS DATE) "
+        "UNION ALL SELECT 2, 'purchase', CAST('2024-01-20' AS DATE) "
+        "UNION ALL SELECT 3, 'signup', CAST('2024-01-10' AS DATE)"
+    ).createOrReplaceTempView("tc_events")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="tc_events", table="tc_events", primary_key="user_id",
+        dimensions=[
+            Dimension(name="user_id", sql="user_id"),
+            Dimension(name="event_type", sql="event_type"),
+            Dimension(name="event_date", sql="event_date", type="time"),
+        ],
+        metrics=[
+            Metric(name="user_count", agg="count_distinct", sql="user_id"),
+            Metric(name="signup_conversion", type="conversion",
+                   entity="user_id", base_event="signup",
+                   conversion_event="purchase", conversion_window="7 days"),
+        ],
+    ))
+    assert "signup_conversion" in layer.graph.metrics
+    rows = layer.query(metrics=["signup_conversion"]).collect()
+    assert abs(float(rows[0]["signup_conversion"]) - 1 / 3) < 0.01
+    assert rows[0]["signup_conversion_base"] == 3
+    assert rows[0]["signup_conversion_converted"] == 1
+
+
+def test_time_comparison_requires_base_reference():
+    """Reference tests/dates/test_time_comparison.py:128-138: a
+    time_comparison with neither base_metric nor sql raises at
+    construction."""
+    from sidemantic_spark.core.model import Metric
+
+    with pytest.raises(ValueError, match="requires 'base_metric'"):
+        Metric(name="revenue_mom", type="time_comparison",
+               comparison_type="mom")
+    # ...but the inline agg+sql form stays legal (no base_metric)
+    Metric(name="ok", type="time_comparison", agg="sum", sql="amount",
+           comparison_type="dod", calculation="prior")
+
+
+def test_mom_on_sparse_series_is_calendar_aware(spark, duck):
+    """On a series with a MISSING month, month-over-month compares
+    against the previous CALENDAR month (missing -> NULL), never the
+    previous available row — the reference pins exactly this in
+    tests/metrics/test_advanced.py:639 (its execution path is a
+    calendar RANGE frame, not the row LAG of the standalone
+    time-intelligence helper). Pinned against a DuckDB calendar
+    self-join oracle."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.sql(
+        "SELECT CAST('2024-01-01' AS DATE) AS month, 100.0 AS revenue "
+        "UNION ALL SELECT CAST('2024-02-01' AS DATE), 150.0 "
+        "UNION ALL SELECT CAST('2024-04-01' AS DATE), 180.0"
+    ).createOrReplaceTempView("tc_sparse")
+    layer = SparkSemanticLayer(spark)
+    layer.add_model(Model(
+        name="tc_sparse", table="tc_sparse", primary_key="month",
+        dimensions=[Dimension(name="month", sql="month", type="time")],
+        metrics=[
+            Metric(name="revenue", agg="sum", sql="revenue"),
+            Metric(name="mom_diff", type="time_comparison",
+                   base_metric="tc_sparse.revenue", comparison_type="mom",
+                   calculation="difference"),
+        ],
+    ))
+    rows = sorted(
+        layer.query(metrics=["mom_diff"],
+                    dimensions=["tc_sparse.month__month"]).collect(),
+        key=lambda r: str(r[0]),
+    )
+    got = [None if r["mom_diff"] is None else float(r["mom_diff"])
+           for r in rows]
+    want = [r[0] for r in duck.execute("""
+        WITH s(month, revenue) AS (VALUES
+            (DATE '2024-01-01', 100.0),
+            (DATE '2024-02-01', 150.0),
+            (DATE '2024-04-01', 180.0)),
+        g AS (SELECT date_trunc('month', month) AS m, SUM(revenue) AS rev
+              FROM s GROUP BY 1)
+        SELECT CAST(g.rev - p.rev AS DOUBLE)
+        FROM g LEFT JOIN g p ON p.m = g.m - INTERVAL 1 MONTH
+        ORDER BY g.m
+    """).fetchall()]
+    assert got == want  # April has no March: NULL, never April-February
+    assert got == [None, 50.0, None]

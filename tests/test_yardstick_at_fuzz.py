@@ -168,3 +168,168 @@ def test_at_all_chain_exhaustive(fuzz_layer):
                 if all(row[DIMS.index(d)] == r[d] for d in keep)
             )
             assert float(r["v"]) == want, (drop, dict(r.asDict()))
+
+
+# -- round-10: window-measure x grouping-context fuzz (VERDICT r9 #5) --
+
+WROWS = [
+    (2021, "US", 10.0), (2022, "US", 20.0), (2023, "US", 30.0),
+    (2021, "EU", 5.0), (2022, "EU", 15.0), (2023, "EU", 25.0),
+    (2022, "US", 7.0),  # year-peer inside US: RANGE frame includes peers
+]
+WDIMS = ["year", "region"]
+W_PREDS = [
+    ("year = 2022", lambda r: r[0] == 2022),
+    ("year > 2021", lambda r: r[0] > 2021),
+    ("region = 'US'", lambda r: r[1] == "US"),
+    ("region = 'US' OR year = 2022", lambda r: r[1] == "US" or r[0] == 2022),
+]
+W_SET_PINS = [
+    ("year", "2022", lambda r: r[0] == 2022),
+    ("region", "'EU'", lambda r: r[1] == "EU"),
+]
+
+
+def _win_val(row, ctx, measure):
+    """Window value of `row` evaluated over the filtered base `ctx` —
+    independent reimplementation of the view definitions below.
+    run_total: SUM OVER (PARTITION BY region ORDER BY year) with the
+    default RANGE frame (year-peers included); reg_total: SUM OVER
+    (PARTITION BY region)."""
+    if measure == "reg_total":
+        return sum(a for y, rg, a in ctx if rg == row[1])
+    return sum(a for y, rg, a in ctx if rg == row[1] and y <= row[0])
+
+
+@pytest.fixture(scope="module")
+def window_fuzz_layer(spark):
+    from sidemantic_spark.adapters.yardstick import YardstickAdapter
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+
+    values = ",".join(f"({y},'{rg}',{a})" for y, rg, a in WROWS)
+    spark.sql(
+        f"SELECT * FROM VALUES {values} AS t(year, region, amount)"
+    ).createOrReplaceTempView("wf_base")
+    lyr = SparkSemanticLayer(spark)
+    YardstickAdapter().parse_text(lyr, """
+CREATE VIEW wf_run_v AS
+SELECT year, region,
+       SUM(amount) OVER (PARTITION BY region ORDER BY year) AS MEASURE run_total
+FROM wf_base;
+CREATE VIEW wf_reg_v AS
+SELECT year, region,
+       SUM(amount) OVER (PARTITION BY region) AS MEASURE reg_total
+FROM wf_base;
+""")
+    return lyr
+
+
+def _window_expected(sel_dims, mods, visible_filter, measure):
+    """(per-output-row values, expect_error): the sub-context's rows =
+    (query WHERE if visible) + AT preds; window values evaluate over
+    THAT filtered base; the sub then groups by the surviving correlated
+    dims asserting ONE distinct value per group (raise_error fires for
+    ANY multi-valued sub group, matched by the join or not)."""
+    active = list(sel_dims)
+    preds = []
+    visible = not any(kind == "set" for kind, _p in mods)
+    if len(mods) == 1 and mods[0][0] == "where":
+        active = []
+    for kind, payload in mods:
+        if kind == "all_bare":
+            active, preds, visible = [], [], False
+        elif kind == "all":
+            active = [d for d in active if d not in payload]
+        elif kind == "where":
+            preds.append(payload[1])
+        else:
+            dim, _lit, fn = payload
+            active = [d for d in active if d != dim]
+            preds.append(fn)
+    ctx = [
+        r for r in WROWS
+        if (not visible or visible_filter is None or visible_filter(r))
+        and all(p(r) for p in preds)
+    ]
+    # sub groups over the surviving dims: >1 distinct window value in
+    # ANY group = data-dependent runtime error
+    groups: dict[tuple, set] = {}
+    for r in ctx:
+        key = tuple(r[WDIMS.index(d)] for d in active)
+        groups.setdefault(key, set()).add(_win_val(r, ctx, measure))
+    if any(len(v) > 1 for v in groups.values()):
+        return None, True
+
+    def value_for(out_row):
+        key = tuple(out_row[d] for d in active)
+        vals = groups.get(key)
+        return next(iter(vals)) if vals else None
+
+    return value_for, False
+
+
+def test_window_measure_at_fuzz(window_fuzz_layer):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rng = random.Random(20260817)
+    n_value_rows = 0
+    n_error_cases = 0
+    for case in range(50):
+        measure = rng.choice(["run_total", "reg_total"])
+        view = "wf_run_v" if measure == "run_total" else "wf_reg_v"
+        k = rng.randint(1, 2)
+        sel_dims = sorted(rng.sample(WDIMS, k))
+        mods = []
+        for _ in range(rng.randint(1, 2)):
+            kind = rng.choice(["all_bare", "all", "where", "set"])
+            if kind == "all_bare":
+                mods.append(("all_bare", None))
+            elif kind == "all":
+                targets = rng.sample(sel_dims, rng.randint(1, len(sel_dims)))
+                mods.append(("all", targets))
+            elif kind == "where":
+                mods.append(("where", rng.choice(W_PREDS)))
+            else:
+                mods.append(("set", rng.choice(W_SET_PINS)))
+        use_where = rng.random() < 0.4
+        visible = rng.choice(W_PREDS) if use_where else None
+
+        at_txt = " ".join(
+            "AT (ALL)" if kind == "all_bare"
+            else f"AT (ALL {' '.join(p)})" if kind == "all"
+            else f"AT (WHERE {p[0]})" if kind == "where"
+            else f"AT (SET {p[0]} = {p[1]})"
+            for kind, p in mods
+        )
+        sql = (
+            "SEMANTIC SELECT "
+            + ", ".join(sel_dims)
+            + f", AGGREGATE({measure}) {at_txt} AS v FROM {view}"
+            + (f" WHERE {visible[0]}" if visible else "")
+        )
+        value_for, expect_error = _window_expected(
+            sel_dims, mods, visible[1] if visible else None, measure
+        )
+        if expect_error:
+            with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                               match="multiple values"):
+                window_fuzz_layer.sql(sql).collect()
+            n_error_cases += 1
+            continue
+        try:
+            rows = window_fuzz_layer.sql(sql).collect()
+        except Exception as exc:  # pragma: no cover - fail loudly
+            raise AssertionError(f"case {case}: {sql!r} failed: {exc}")
+        assert rows, f"case {case}: {sql!r} returned no rows"
+        for r in rows:
+            out = {d: r[d] for d in sel_dims}
+            want = value_for(out)
+            got = None if r["v"] is None else float(r["v"])
+            assert got == want, (
+                f"case {case}: {sql!r} row {out}: got {got}, want {want}"
+            )
+            n_value_rows += 1
+    # both contract paths must actually be exercised
+    assert n_value_rows > 40, n_value_rows
+    assert n_error_cases > 5, n_error_cases
