@@ -1742,6 +1742,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dimensions=["orders.priority"],
             filters=["orders.revenue > 10000000"],
         ),
+        # round 10: HAVING on a metric NOT in the select list — the
+        # metric's components register as hidden raw columns so the
+        # aggregate evaluates in HAVING scope without widening the
+        # output schema (ref tests/metrics/test_filters.py:264)
+        "having_unselected_metric": _q(
+            metrics=["orders.order_count"],
+            dimensions=["orders.status"],
+            filters=["orders.revenue > 10000000"],
+        ),
         "order_limit": _q(
             metrics=["orders.revenue"],
             dimensions=["orders.priority"],
@@ -2288,6 +2297,12 @@ def oracle_sql() -> dict[str, str]:
         "having_filter": """
             SELECT o_orderpriority AS priority,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+            HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 10000000
+        """,
+        "having_unselected_metric": """
+            SELECT o_orderstatus AS status,
+                   COUNT(*) AS order_count
             FROM orders GROUP BY 1
             HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 10000000
         """,

@@ -21,11 +21,22 @@ import datetime
 import decimal
 from typing import Any
 
-# categorical palette (reference charts.py COLORS["categorical"])
-CATEGORICAL = [
-    "#2E5EAA", "#E8702A", "#4C9A2A", "#9B59B6",
-    "#1ABC9C", "#E74C3C", "#F39C12", "#34495E",
-]
+# semantic palette (reference charts.py:22-40 COLORS): named roles plus
+# the categorical series palette; the reference's chart tests pin the
+# dict shape (primary present, >=8 hex categorical entries)
+COLORS = {
+    "primary": "#2E5EAA",
+    "secondary": "#E8702A",
+    "success": "#4C9A2A",
+    "warning": "#F39C12",
+    "danger": "#C0392B",
+    "neutral": "#7F8C8D",
+    "categorical": [
+        "#2E5EAA", "#E8702A", "#4C9A2A", "#9B59B6",
+        "#1ABC9C", "#E74C3C", "#F39C12", "#34495E",
+    ],
+}
+CATEGORICAL = COLORS["categorical"]
 
 
 class ChartError(Exception):
@@ -48,7 +59,16 @@ def _encoding_type(values: list[Any]) -> str:
 
 
 def _format_label(column: str) -> str:
-    return column.replace("_", " ").title()
+    """Readable axis/tooltip label (reference charts.py _format_label):
+    ``order_count`` -> ``Order Count``; grain suffixes parenthesize
+    (``created_at__month`` -> ``Created At (Month)``); model prefixes
+    drop (``orders.revenue`` -> ``Revenue``)."""
+    if "__" in column:
+        base, granularity = column.rsplit("__", 1)
+        return f"{_format_label(base)} ({granularity.title()})"
+    if "." in column:
+        column = column.rsplit(".", 1)[1]
+    return " ".join(w.capitalize() for w in column.replace("_", " ").split())
 
 
 def _auto_detect(data: list[dict[str, Any]]) -> tuple[str, list[str]]:
@@ -428,6 +448,150 @@ class ChartBuilder:
             "filters": self.filters,
         }}
         return spec
+
+    # -- renderer-neutral outputs (reference viz.py to_plotly /
+    # to_observable_plot / to_d3 / to_renderer family) ------------------
+    def _xy(self, rows: list[dict[str, Any]]) -> tuple[str | None, list[str]]:
+        """(x column, y columns) resolved against the executed rows —
+        same derivation to_vegalite uses."""
+        ys = [m.split(".")[-1] for m in self.metrics]
+        x = (
+            self.dimensions[0].split(".")[-1].split("__")[0]
+            if self.dimensions else None
+        )
+        if x is not None and rows and x not in rows[0]:
+            x = next((c for c in rows[0] if c.startswith(x)), x)
+        ys = [c for c in ys if not rows or c in rows[0]] or ys
+        return x, ys
+
+    def _resolved_mark(self) -> str:
+        if self.mark != "auto":
+            return "point" if self.mark == "scatter" else self.mark
+        rows = self.data()
+        x, _ys = self._xy(rows)
+        if x is None:
+            return "bar"
+        xt = _encoding_type([r.get(x) for r in rows[:50]])
+        return "line" if xt == "temporal" else "bar"
+
+    def _metadata(self) -> dict[str, Any]:
+        return {
+            "metrics": self.metrics,
+            "dimensions": self.dimensions,
+            "filters": self.filters,
+            "sql": self.sql,
+        }
+
+    def to_plotly(self) -> dict[str, Any]:
+        """Plotly figure dict (traces + layout + config): one trace per
+        metric, mark mapped onto plotly's type/mode split."""
+        rows = self.data()
+        mark = self._resolved_mark()
+        x, ys = self._xy(rows)
+        ttype, mode = {
+            "bar": ("bar", None),
+            "line": ("scatter", "lines"),
+            "area": ("scatter", "lines"),
+            "point": ("scatter", "markers"),
+        }.get(mark, ("scatter", "markers"))
+        traces: list[dict[str, Any]] = []
+        for i, y in enumerate(ys):
+            color = CATEGORICAL[i % len(CATEGORICAL)]
+            trace: dict[str, Any] = {
+                "type": ttype,
+                "name": _format_label(y),
+                "x": [_jsonable(r.get(x)) for r in rows] if x else list(range(len(rows))),
+                "y": [_jsonable(r.get(y)) for r in rows],
+                "marker": {"color": color},
+                "line": {"color": color},
+            }
+            if mode:
+                trace["mode"] = mode
+            if mark == "area":
+                trace["fill"] = "tozeroy"
+            traces.append(trace)
+        layout: dict[str, Any] = {
+            "title": {"text": self.title or _format_label(ys[0])},
+            "xaxis": {"title": {"text": _format_label(x) if x else ""}},
+            "yaxis": {
+                "title": {"text": "Value" if len(ys) > 1 else _format_label(ys[0])}
+            },
+            "template": "plotly_white",
+        }
+        if "brush" in self.interactions:
+            layout["dragmode"] = "select"
+        return {
+            "data": traces,
+            "layout": layout,
+            "config": {"responsive": True, "displayModeBar": True},
+            "sidemantic_spark": self._metadata(),
+        }
+
+    def to_observable_plot(self) -> dict[str, Any]:
+        """Observable Plot spec: one mark per metric over shared rows."""
+        rows = self.data()
+        mark = self._resolved_mark()
+        x, ys = self._xy(rows)
+        obs_mark = {"bar": "barY", "line": "lineY", "area": "areaY",
+                    "point": "dot"}.get(mark, "dot")
+        return {
+            "renderer": "observable-plot",
+            "data": [{k: _jsonable(v) for k, v in r.items()} for r in rows],
+            "marks": [
+                {
+                    "type": obs_mark,
+                    "options": {
+                        "x": x,
+                        "y": y,
+                        "stroke" if obs_mark in ("lineY", "dot") else "fill":
+                            CATEGORICAL[i % len(CATEGORICAL)],
+                    },
+                }
+                for i, y in enumerate(ys)
+            ],
+            "options": {
+                "title": self.title or _format_label(ys[0]),
+                "grid": True,
+                "x": {"label": _format_label(x) if x else None},
+                "y": {"label": "Value" if len(ys) > 1 else _format_label(ys[0])},
+            },
+            "sidemantic_spark": self._metadata(),
+        }
+
+    def to_d3(self) -> dict[str, Any]:
+        """Minimal d3 contract: rows + mark + field mapping."""
+        rows = self.data()
+        x, ys = self._xy(rows)
+        return {
+            "renderer": "d3",
+            "data": [{k: _jsonable(v) for k, v in r.items()} for r in rows],
+            "mark": self._resolved_mark(),
+            "fields": {"x": x, "y": ys, "series": None},
+            "title": self.title or _format_label(ys[0]),
+            "sidemantic_spark": self._metadata(),
+        }
+
+    def to_renderer(self, renderer: str) -> dict[str, Any]:
+        """Dispatch by renderer name (reference viz.py to_renderer):
+        vega-lite | plotly | observable-plot | d3; aliases accepted."""
+        key = renderer.strip().lower().replace("_", "-")
+        aliases = {
+            "vegalite": "vega-lite", "vega": "vega-lite", "altair": "vega-lite",
+            "observable": "observable-plot", "plot": "observable-plot",
+        }
+        key = aliases.get(key, key)
+        if key == "vega-lite":
+            return self.to_vegalite()
+        if key == "plotly":
+            return self.to_plotly()
+        if key == "observable-plot":
+            return self.to_observable_plot()
+        if key == "d3":
+            return self.to_d3()
+        raise ChartError(
+            f"unknown renderer {renderer!r} "
+            "(vega-lite | plotly | observable-plot | d3)"
+        )
 
     def to_html(self) -> str:
         """Standalone HTML page embedding the chart via vega-embed."""

@@ -20,42 +20,104 @@ REF_RE = re.compile(
 
 
 def _split_quoted(sql: str) -> list[tuple[str, bool]]:
-    """Split into (segment, is_quoted) parts; quoted = single-quoted
-    SQL string literals (with '' escapes)."""
+    """Split into (segment, is_opaque) parts. Opaque = text a
+    classifier/rewriter must never read refs from: single-quoted string
+    literals (with '' escapes), double-quoted and backtick-quoted
+    identifiers (a quoted identifier literally named "model.metric" is
+    a COLUMN, not a metric reference), ``--`` line comments, and
+    ``/* */`` block comments (reference filter classification via
+    sqlglot never sees those tokens either —
+    tests/metrics/test_filters.py:359-410)."""
     parts: list[tuple[str, bool]] = []
-    buf = []
-    in_quote = False
-    i = 0
-    while i < len(sql):
+    buf: list[str] = []
+    i, n = 0, len(sql)
+
+    def flush() -> None:
+        if buf:
+            parts.append(("".join(buf), False))
+            buf.clear()
+
+    while i < n:
         ch = sql[i]
         if ch == "'":
-            if in_quote and i + 1 < len(sql) and sql[i + 1] == "'":
-                buf.append("''")
-                i += 2
-                continue
-            buf.append(ch)
-            parts.append(("".join(buf), in_quote))
-            buf = []
-            in_quote = not in_quote
-            i += 1
+            flush()
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            parts.append((sql[i:min(j + 1, n)], True))
+            i = j + 1
+            continue
+        if ch in ('"', "`"):
+            flush()
+            j = sql.find(ch, i + 1)
+            j = n - 1 if j == -1 else j
+            parts.append((sql[i:j + 1], True))
+            i = j + 1
+            continue
+        if ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            flush()
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            parts.append((sql[i:j], True))
+            i = j
+            continue
+        if ch == "/" and i + 1 < n and sql[i + 1] == "*":
+            flush()
+            j = sql.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            parts.append((sql[i:j], True))
+            i = j
             continue
         buf.append(ch)
         i += 1
-    if buf:
-        parts.append(("".join(buf), in_quote))
-    # merge the quote chars into quoted segments for faithful rejoin
+    flush()
     return parts
 
 
+_ALIAS_RE = re.compile(r"\bAS\s+[\"`]?([A-Za-z_][A-Za-z0-9_]*)[\"`]?", re.I)
+
+
+def _shadowed_models(sql: str, known_models: set[str]) -> set[str]:
+    """Model names re-bound as table aliases INSIDE the fragment
+    (``EXISTS (SELECT 1 FROM audit AS orders WHERE orders.revenue ...)``)
+    — refs to a shadowed name are subquery-scope columns, not semantic
+    references (reference alias-scope classification,
+    tests/metrics/test_filters.py:411-438). Only explicit ``AS alias``
+    forms shadow; the heuristic is conservative by construction."""
+    known_lower = {m.lower(): m for m in known_models}
+    # blank literals/comments but keep quoted-identifier TEXT visible
+    # (AS "ORDERS" must still shadow) — quote chars become spaces so
+    # the alias regex sees `AS  ORDERS `
+    scan: list[str] = []
+    for seg, opaque in _split_quoted(sql):
+        if not opaque or seg[:1] in ('"', "`"):
+            scan.append(seg.replace('"', " ").replace("`", " "))
+        else:
+            scan.append(" " * len(seg))
+    out: set[str] = set()
+    for m in _ALIAS_RE.finditer("".join(scan)):
+        hit = known_lower.get(m.group(1).lower())
+        if hit:
+            out.add(hit)
+    return out
+
+
 def find_refs(sql: str, known_models: set[str]) -> list[tuple[str, str, str | None]]:
-    """All ``model.field[__grain]`` references outside string literals,
-    restricted to known model names."""
+    """All ``model.field[__grain]`` references outside string literals /
+    quoted identifiers / comments, restricted to known model names that
+    the fragment does not re-bind as a table alias."""
+    effective = known_models - _shadowed_models(sql, known_models)
     out: list[tuple[str, str, str | None]] = []
     for seg, quoted in _split_quoted(sql):
         if quoted:
             continue
         for m in REF_RE.finditer(seg):
-            if m.group(1) in known_models:
+            if m.group(1) in effective:
                 out.append((m.group(1), m.group(2), m.group(3)))
     return out
 
@@ -66,10 +128,13 @@ def replace_refs(
     fn: Callable[[str, str, str | None], str],
 ) -> str:
     """Rewrite every model.field[__grain] reference outside string
-    literals via ``fn(model, field, grain) -> replacement sql``."""
+    literals / quoted identifiers / comments via
+    ``fn(model, field, grain) -> replacement sql``; alias-shadowed
+    model names are left verbatim (see ``_shadowed_models``)."""
+    effective = known_models - _shadowed_models(sql, known_models)
 
     def _sub(m: re.Match) -> str:
-        if m.group(1) not in known_models:
+        if m.group(1) not in effective:
             return m.group(0)
         return fn(m.group(1), m.group(2), m.group(3))
 

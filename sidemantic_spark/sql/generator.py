@@ -615,9 +615,14 @@ class SqlGenerator:
 
         # per-metric filters reference columns too
         component: dict[str, list[tuple[str, Metric]]] = {m: [] for m in scope_models}
-        for rm in metrics:
+
+        def register_components(rm: RMetric) -> None:
+            seen_outs = {co for co, _c in component[rm.model]}
             for comp_out, comp in self._expand_components(rm):
+                if comp_out in seen_outs:
+                    continue
                 component[rm.model].append((comp_out, comp))
+                seen_outs.add(comp_out)
                 if comp.sql_is_complete:
                     # opaque SQL references raw columns directly: project
                     # each into the model CTE
@@ -640,6 +645,21 @@ class SqlGenerator:
             # derived expressions may reference model.column directly
             # (graph expression metrics): project those columns too
             self._collect_derived_expr_columns(rm, extra_cols, known)
+
+        for rm in metrics:
+            register_components(rm)
+        # HAVING may reference metrics that are NOT in the select list
+        # (reference test_filters.py: `orders.revenue > 100` filters a
+        # COUNT query): register their components too so the aggregate
+        # expression has raw columns in the CTE without projecting the
+        # metric into the output
+        for h in having:
+            for m, fld, _g in find_refs(h, known):
+                if m not in component:
+                    continue
+                hm = self.graph.get_model(m).metric(fld)
+                if hm is not None:
+                    register_components(RMetric(m, hm, fld))
 
         return Resolved(
             spec=spec,

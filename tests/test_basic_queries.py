@@ -771,3 +771,103 @@ def test_or_group_parens_preserved_in_pushdown(layer, duck):
         GROUP BY 1
         """,
     )
+
+
+# -- round-10: filter-classification literal/comment/alias-scope parity
+# (reference tests/metrics/test_filters.py:359-496) ---------------------
+
+
+def test_filter_classification_ignores_metric_names_in_opaque_tokens(layer):
+    """A metric name inside a string literal, quoted identifier, or
+    comment is NOT a metric reference: the predicate stays row-stage
+    (WHERE/pushdown), never HAVING."""
+    for flt in (
+        "orders.status = 'orders.revenue'",
+        "orders.status = 'paid' -- orders.revenue",
+        "orders.status = 'paid' /* orders.revenue */",
+    ):
+        sql = layer.compile(metrics=["orders.order_count"],
+                            dimensions=["orders.status"], filters=[flt])
+        assert "HAVING" not in sql.upper(), (flt, sql)
+    # ...while a real metric ref IS aggregation-stage
+    sql = layer.compile(metrics=["orders.order_count"],
+                        dimensions=["orders.status"],
+                        filters=["orders.revenue > 100"])
+    assert "HAVING" in sql.upper()
+
+
+def test_filter_rewrite_preserves_opaque_tokens(layer, duck):
+    """Rewrite only touches semantic refs: the literal and the comment
+    survive verbatim, and the executed result matches the oracle."""
+    sql = layer.compile(
+        metrics=["orders.order_count"], dimensions=["orders.status"],
+        filters=["orders.status <> 'orders.revenue' /* orders.revenue */"],
+    )
+    assert "'orders.revenue'" in sql
+    assert "/* orders.revenue */" in sql
+    df = layer.query(
+        metrics=["orders.order_count"], dimensions=["orders.status"],
+        filters=["orders.status <> 'orders.revenue'"],
+    )
+    from tests.conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        df, duck,
+        "SELECT o_orderstatus AS status, COUNT(*) AS order_count "
+        "FROM orders WHERE o_orderstatus <> 'orders.revenue' GROUP BY 1",
+    )
+
+
+def test_filter_classification_respects_subquery_alias_scope(layer):
+    """`EXISTS (SELECT 1 FROM audit AS orders WHERE orders.revenue >
+    100)` re-binds `orders` — the inner ref is a subquery column, not
+    the metric, so the predicate is row-stage and stays verbatim."""
+    for alias in ("orders", "ORDERS", '"ORDERS"'):
+        flt = (f"EXISTS (SELECT 1 FROM audit AS {alias} "
+               "WHERE orders.revenue > 100)")
+        sql = layer.compile(metrics=["orders.order_count"],
+                            dimensions=["orders.status"], filters=[flt])
+        assert "HAVING" not in sql.upper(), (alias, sql)
+        assert "orders.revenue > 100" in sql, (alias, sql)
+
+
+def test_structured_filters_resolve_grained_and_computed_dims(spark, tmp_path):
+    """Grain-suffixed and computed-dimension filters resolve to raw-
+    column expressions in the WHERE (reference
+    test_structured_filters_resolve_grained_and_computed_dimensions)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.sql(
+        "SELECT 1 AS id, TIMESTAMP'2024-01-15 12:00:00' AS occurred_at, "
+        "5.0 AS unit_price, 2 AS quantity, 'A' AS category, 10.0 AS amount "
+        "UNION ALL SELECT 2, TIMESTAMP'2024-02-10 08:00:00', 12.0, 2, 'A', 24.0 "
+        "UNION ALL SELECT 3, TIMESTAMP'2024-02-12 08:00:00', 4.0, 2, 'B', 8.0"
+    ).createOrReplaceTempView("sf_events")
+    lyr = SparkSemanticLayer(spark)
+    lyr.add_model(Model(
+        name="sf_events", table="sf_events", primary_key="id",
+        dimensions=[
+            Dimension(name="created_at", type="time", sql="occurred_at",
+                      granularity="day"),
+            Dimension(name="gross", type="numeric",
+                      sql="unit_price * quantity"),
+            Dimension(name="category"),
+        ],
+        metrics=[Metric(name="revenue", agg="sum", sql="amount")],
+    ))
+    filters = [
+        "sf_events.created_at__month = DATE '2024-02-01'",
+        "sf_events.gross >= 20",
+    ]
+    sql = lyr.compile(metrics=["sf_events.revenue"],
+                      dimensions=["sf_events.category"], filters=filters)
+    where_sql = sql.split("WHERE", 1)[1]
+    assert "created_at__month" not in where_sql
+    assert "sf_events.gross" not in where_sql
+    assert "DATE_TRUNC" in where_sql.upper() and "occurred_at" in where_sql
+    assert "(unit_price * quantity) >= 20" in where_sql
+    rows = lyr.query(metrics=["sf_events.revenue"],
+                     dimensions=["sf_events.category"],
+                     filters=filters).collect()
+    assert [(r[0], float(r[1])) for r in rows] == [("A", 24.0)]

@@ -201,3 +201,66 @@ def test_chart_axis_format_from_metric_metadata(spark, sf_dir):
         [{"cat": "a", "m1": 1.0, "m2": 2.0}], x="cat", y=["m1", "m2"],
         y_format=",.0f")
     assert spec["encoding"]["y"]["axis"]["format"] == ",.0f"
+
+
+def test_chart_label_formatting_and_palette():
+    """Reference tests/test_charts.py:16-39: label formatting (grain
+    suffix parenthesized, model prefix dropped) and the semantic COLORS
+    palette shape."""
+    from sidemantic_spark.charts import COLORS, _format_label
+
+    assert _format_label("order_count") == "Order Count"
+    assert _format_label("total_revenue") == "Total Revenue"
+    assert _format_label("created_at__month") == "Created At (Month)"
+    assert _format_label("orders.revenue") == "Revenue"
+    assert "primary" in COLORS
+    assert "categorical" in COLORS
+    assert len(COLORS["categorical"]) >= 8
+    assert all(c.startswith("#") for c in COLORS["categorical"])
+
+
+def test_chart_builder_renderer_outputs(spark, sf_dir):
+    """Renderer-neutral outputs (reference viz.py to_plotly /
+    to_observable_plot / to_d3 / to_renderer): every renderer returns a
+    JSON-able spec over the SAME executed rows, and the dispatcher
+    accepts aliases / rejects unknowns."""
+    import json
+
+    import pytest as _pytest
+
+    from sidemantic_spark.charts import ChartError
+    from sidemantic_spark.models.tpch import build_layer
+
+    layer = build_layer(spark, sf_dir)
+    b = layer.chart("orders.revenue", by="orders.status").bar()
+
+    pl = b.to_plotly()
+    assert pl["data"][0]["type"] == "bar"
+    assert len(pl["data"][0]["x"]) == len(b.data())
+    assert pl["layout"]["template"] == "plotly_white"
+    assert pl["sidemantic_spark"]["metrics"] == ["orders.revenue"]
+
+    ob = b.to_observable_plot()
+    assert ob["renderer"] == "observable-plot"
+    assert ob["marks"][0]["type"] == "barY"
+    assert ob["marks"][0]["options"]["y"] == "revenue"
+
+    d3 = b.to_d3()
+    assert d3["renderer"] == "d3" and d3["fields"]["y"] == ["revenue"]
+
+    # dispatcher + aliases; vega-lite output unchanged
+    assert b.to_renderer("plotly")["data"][0]["type"] == "bar"
+    assert b.to_renderer("vegalite") == b.to_vegalite()
+    assert b.to_renderer("observable")["renderer"] == "observable-plot"
+    with _pytest.raises(ChartError, match="unknown renderer"):
+        b.to_renderer("matplotlib")
+
+    # every spec is JSON-serializable (Decimal/date normalized)
+    for spec in (pl, ob, d3):
+        json.dumps(spec)
+
+    # auto-mark: temporal x resolves to line
+    line = layer.chart(
+        "orders.revenue", by="orders.order_date__month"
+    )
+    assert line.to_plotly()["data"][0].get("mode") == "lines"

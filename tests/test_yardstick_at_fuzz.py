@@ -333,3 +333,93 @@ def test_window_measure_at_fuzz(window_fuzz_layer):
     # both contract paths must actually be exercised
     assert n_value_rows > 40, n_value_rows
     assert n_error_cases > 5, n_error_cases
+
+
+# -- round-10: AT + HAVING composition fuzz (VERDICT r9 #5, 2nd half) --
+
+
+def test_at_having_fuzz(fuzz_layer):
+    """HAVING over AGGREGATE(...) AT terms: each HAVING term resolves
+    to its matching at-context value (adding a hidden context when the
+    select doesn't already compute it); the filter then applies to the
+    joined pre-aggregated row. Oracle: expected_value for BOTH the
+    select term and the HAVING term, then a plain Python filter."""
+    rng = random.Random(20260818)
+    n_rows = 0
+    n_filtered_cases = 0
+    for case in range(40):
+        k_dims = rng.randint(1, 2)
+        sel_dims = sorted(rng.sample(DIMS, k_dims))
+
+        def rand_mods():
+            mods = []
+            for _ in range(rng.randint(1, 2)):
+                kind = rng.choice(["all_bare", "all", "where", "set"])
+                if kind == "all_bare":
+                    mods.append(("all_bare", None))
+                elif kind == "all":
+                    mods.append(
+                        ("all", rng.sample(sel_dims, rng.randint(1, len(sel_dims))))
+                    )
+                elif kind == "where":
+                    mods.append(("where", rng.choice(WHERE_PREDS)))
+                else:
+                    mods.append(("set", rng.choice(SET_PINS)))
+            return mods
+
+        def mods_txt(mods):
+            return " ".join(
+                "AT (ALL)" if kind == "all_bare"
+                else f"AT (ALL {' '.join(p)})" if kind == "all"
+                else f"AT (WHERE {p[0]})" if kind == "where"
+                else f"AT (SET {p[0]} = {p[1]})"
+                for kind, p in mods
+            )
+
+        sel_mods = rand_mods()
+        # HAVING term: 50% reuse the select term's modifiers (resolves
+        # to the SAME context), 50% an independent chain (hidden ctx)
+        hav_mods = sel_mods if rng.random() < 0.5 else rand_mods()
+        use_where = rng.random() < 0.4
+        visible = rng.choice(WHERE_PREDS) if use_where else None
+        cutoff = rng.choice([40, 80, 120, 200])
+
+        sql = (
+            "SEMANTIC SELECT "
+            + ", ".join(sel_dims)
+            + f", AGGREGATE(revenue) {mods_txt(sel_mods)} AS v FROM fz_products_v"
+            + (f" WHERE {visible[0]}" if visible else "")
+            + f" HAVING AGGREGATE(revenue) {mods_txt(hav_mods)} > {cutoff}"
+        )
+        try:
+            rows = fuzz_layer.sql(sql).collect()
+        except Exception as exc:  # pragma: no cover - fail loudly
+            raise AssertionError(f"case {case}: {sql!r} failed: {exc}")
+
+        vf = visible[1] if visible else None
+        # oracle: enumerate main-context output rows, compute both
+        # terms, filter by the HAVING term
+        main_rows = {}
+        for r in ROWS:
+            if vf is not None and not vf(r):
+                continue
+            key = tuple(r[DIMS.index(d)] for d in sel_dims)
+            main_rows[key] = {d: r[DIMS.index(d)] for d in sel_dims}
+        want = {}
+        for key, out in main_rows.items():
+            hv = expected_value(out, sel_dims, hav_mods, vf)
+            if hv is None or not hv > cutoff:
+                continue
+            want[key] = expected_value(out, sel_dims, sel_mods, vf)
+        got = {}
+        for r in rows:
+            key = tuple(r[d] for d in sel_dims)
+            got[key] = None if r["v"] is None else float(r["v"])
+        assert got == want, (
+            f"case {case}: {sql!r}\n got {got}\nwant {want}"
+        )
+        n_rows += len(rows)
+        if len(want) < len(main_rows):
+            n_filtered_cases += 1
+    assert n_rows > 40, n_rows
+    assert n_filtered_cases > 10, n_filtered_cases  # HAVING actually bit
