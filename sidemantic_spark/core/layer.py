@@ -42,6 +42,12 @@ class SparkSemanticLayer:
         self.result_cache_ttl_seconds: float | None = None
         self._cache_hits = 0
         self._cache_misses = 0
+        # singleflight: key -> in-flight record (leader computes,
+        # concurrent callers wait); guards the cache dict too
+        import threading as _threading
+
+        self._flight_lock = _threading.Lock()
+        self._inflight: dict[str, dict] = {}
         self.query_log: list[str] = []  # instrumentation headers, recommender input
 
     # -- registry ----------------------------------------------------
@@ -354,9 +360,49 @@ class SparkSemanticLayer:
         sql = self.compile(**kwargs)
         if use_cache:
             key = self._cache_key(sql, kwargs.get("user"))
-            hit = self._cache_get(key)
-            if hit is not None:
-                return hit
+            # SINGLEFLIGHT (reference core/result_cache.py
+            # get_or_compute, tests/core/test_result_cache.py:121-199):
+            # concurrent pgwire/HTTP callers of the same key wait for
+            # ONE leader's compute+persist instead of each re-running
+            # the plan; a leader failure propagates to that
+            # generation's waiters and does NOT poison the key.
+            import threading as _threading
+
+            while True:
+                with self._flight_lock:
+                    hit = self._cache_get(key)
+                    if hit is not None:
+                        return hit
+                    fl = self._inflight.get(key)
+                    if fl is None:
+                        fl = {"event": _threading.Event(),
+                              "result": None, "exc": None}
+                        self._inflight[key] = fl
+                        break  # this thread is the leader
+                fl["event"].wait()
+                if fl["exc"] is not None:
+                    raise fl["exc"]
+                if fl["result"] is not None:
+                    self._cache_hits += 1
+                    return fl["result"]
+                # leader vanished without result (shutdown): retry
+            try:
+                df = self._query_uncached(sql, kwargs)
+                df = df.persist()
+                with self._flight_lock:
+                    self._cache_put(key, df)
+                fl["result"] = df
+                return df
+            except BaseException as exc:
+                fl["exc"] = exc
+                raise
+            finally:
+                with self._flight_lock:
+                    self._inflight.pop(key, None)
+                fl["event"].set()
+        return self._query_uncached(sql, kwargs)
+
+    def _query_uncached(self, sql: str, kwargs: dict) -> DataFrame:
         try:
             df = self.spark.sql(sql)
         except Exception as exc:  # missing rollup/staged table -> raw fallback
@@ -371,11 +417,6 @@ class SparkSemanticLayer:
                     self.generator.use_preaggs = old
             else:
                 raise
-        if use_cache:
-            # content-keyed result cache (ref core/result_cache.py:22-50);
-            # Spark-side: persist the DataFrame, dedup by compiled plan
-            df = df.persist()
-            self._cache_put(key, df)
         return df
 
     def _cache_get(self, key: str):

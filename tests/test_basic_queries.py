@@ -871,3 +871,47 @@ def test_structured_filters_resolve_grained_and_computed_dims(spark, tmp_path):
                      dimensions=["sf_events.category"],
                      filters=filters).collect()
     assert [(r[0], float(r[1])) for r in rows] == [("A", 24.0)]
+
+
+def test_default_time_dimension_matrix(spark):
+    """Reference tests/metrics/test_default_time_dimension.py (all 6
+    cases): auto-include, default_grain, user override with another
+    time dim, same-dim grain override, no-default models, and
+    per-model defaults in the same graph."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    lyr = SparkSemanticLayer(spark)
+    lyr.add_model(Model(
+        name="dtd_orders", table="t1", primary_key="id",
+        default_time_dimension="order_date", default_grain="month",
+        dimensions=[
+            Dimension(name="order_date", type="time", granularity="day"),
+            Dimension(name="created_at", type="time", granularity="day"),
+        ],
+        metrics=[Metric(name="revenue", agg="sum", sql="amount")],
+    ))
+    lyr.add_model(Model(
+        name="dtd_events", table="t2", primary_key="id",
+        default_time_dimension="event_ts", default_grain="day",
+        dimensions=[Dimension(name="event_ts", type="time")],
+        metrics=[Metric(name="hits", agg="count")],
+    ))
+    lyr.add_model(Model(
+        name="dtd_plain", table="t3", primary_key="id",
+        dimensions=[Dimension(name="d", type="time")],
+        metrics=[Metric(name="n", agg="count")],
+    ))
+
+    sql = lyr.compile(metrics=["dtd_orders.revenue"])
+    assert "order_date__month" in sql and "GROUP BY" in sql
+    sql = lyr.compile(metrics=["dtd_orders.revenue"],
+                      dimensions=["dtd_orders.created_at__week"])
+    assert "created_at__week" in sql and "order_date__month" not in sql
+    sql = lyr.compile(metrics=["dtd_orders.revenue"],
+                      dimensions=["dtd_orders.order_date__week"])
+    assert "order_date__week" in sql and "order_date__month" not in sql
+    sql = lyr.compile(metrics=["dtd_events.hits"])
+    assert "event_ts__day" in sql
+    sql = lyr.compile(metrics=["dtd_plain.n"])
+    assert "GROUP BY" not in sql  # no default: plain global aggregate

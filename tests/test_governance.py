@@ -960,3 +960,97 @@ def test_secured_sql_nested_shapes_fail_closed(spark, sf_dir):
             "SELECT (SELECT 1 FROM sec2_orders LIMIT 1) AS leaked, "
             "total_amount FROM sec2_orders"
         ).collect()
+
+
+def test_result_cache_singleflight_runs_compute_once(layer):
+    """Reference tests/core/test_result_cache.py:121-153: concurrent
+    identical cached queries run the plan ONCE; waiters share the
+    leader's persisted frame."""
+    import threading
+
+    layer._result_cache.clear()
+    layer._cache_hits = layer._cache_misses = 0
+    hold, entered = threading.Event(), threading.Event()
+    calls = {"n": 0}
+    orig = layer._query_uncached
+
+    def slow(sql, kwargs):
+        calls["n"] += 1
+        entered.set()
+        assert hold.wait(timeout=10.0)
+        return orig(sql, kwargs)
+
+    layer._query_uncached = slow
+    results = {}
+
+    def worker(name):
+        results[name] = layer.query(
+            use_cache=True, metrics=["orders.revenue"],
+            dimensions=["orders.status"],
+        )
+
+    try:
+        t1 = threading.Thread(target=worker, args=("t1",)); t1.start()
+        assert entered.wait(timeout=10.0)
+        t2 = threading.Thread(target=worker, args=("t2",)); t2.start()
+        import time
+        time.sleep(0.2)  # let t2 register as a waiter
+        hold.set()
+        t1.join(timeout=15); t2.join(timeout=15)
+    finally:
+        layer._query_uncached = orig
+        hold.set()
+    assert calls["n"] == 1
+    assert results["t1"] is results["t2"]
+    assert not layer._inflight
+
+
+def test_result_cache_singleflight_failure_propagates_without_poison(layer):
+    """Reference tests/core/test_result_cache.py:156-199: a leader
+    failure reaches every waiter of that generation, and the next call
+    recomputes cleanly."""
+    import threading
+    import time
+
+    layer._result_cache.clear()
+    hold, entered = threading.Event(), threading.Event()
+    calls = {"n": 0}
+    orig = layer._query_uncached
+
+    class BoomError(RuntimeError):
+        pass
+
+    def boom(sql, kwargs):
+        calls["n"] += 1
+        entered.set()
+        assert hold.wait(timeout=10.0)
+        raise BoomError("compute failed")
+
+    layer._query_uncached = boom
+    errors = {}
+
+    def worker(name):
+        try:
+            layer.query(use_cache=True, metrics=["orders.revenue"],
+                        dimensions=["orders.status"])
+        except BaseException as exc:
+            errors[name] = exc
+
+    try:
+        t1 = threading.Thread(target=worker, args=("t1",)); t1.start()
+        assert entered.wait(timeout=10.0)
+        t2 = threading.Thread(target=worker, args=("t2",)); t2.start()
+        time.sleep(0.2)
+        hold.set()
+        t1.join(timeout=15); t2.join(timeout=15)
+    finally:
+        layer._query_uncached = orig
+        hold.set()
+    assert calls["n"] == 1
+    assert isinstance(errors.get("t1"), BoomError)
+    assert isinstance(errors.get("t2"), BoomError)
+    assert not layer._inflight
+    # no poisoned state: a fresh call recomputes and caches
+    df = layer.query(use_cache=True, metrics=["orders.revenue"],
+                     dimensions=["orders.status"])
+    assert df.count() > 0
