@@ -357,6 +357,9 @@ class Segment:
     name: str
     sql: str
     description: str | None = None
+    # public=False segments are rejected under enforce_visibility
+    # (reference core/segment.py, test_visibility_blocks_non_public_segment)
+    public: bool = True
 
 
 @dataclass

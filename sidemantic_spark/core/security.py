@@ -158,23 +158,64 @@ def render_template(template: str, user: dict | None, *, ctx: str) -> str:
 def enforce_field_visibility(graph, refs_by_kind: dict[str, list[str]]) -> None:
     """Reject references to ``public: false`` fields in any query clause
     (ref ``core/security.py`` ``enforce_field_visibility``): hidden
-    fields must not leak through filters or ordering either."""
+    fields must not leak through filters or ordering either.
+
+    Fail-closed scanning (reference
+    tests/core/test_security_advisor_regressions.py:153-187): quoted
+    spellings (``"model"."field"``) are DEQUOTED before matching — the
+    classifier's quote-opacity must never become a security bypass —
+    and BARE field names in filters/order_by are checked against the
+    hidden fields of every model the query touches (all models when the
+    query names none)."""
+    import re as _re
+
     from sidemantic_spark.sql.fragments import find_refs
 
     known = set(graph.models)
+
+    def _check(model_name: str, fld: str, kind: str) -> None:
+        model = graph.models.get(model_name)
+        if model is None:
+            return
+        d = model.dimension(fld)
+        if d is not None and not d.public:
+            raise SecurityError(
+                f"dimension {model_name}.{fld} is not public ({kind})"
+            )
+        m = model.metric(fld)
+        if m is not None and not m.public:
+            raise SecurityError(
+                f"metric {model_name}.{fld} is not public ({kind})"
+            )
+
+    # query scope: the models named by any qualified ref anywhere
+    scope: set[str] = set()
+    dequoted: dict[str, list[str]] = {}
     for kind, refs in refs_by_kind.items():
-        for ref in refs or []:
-            for model_name, fld, _g in find_refs(ref, known):
-                model = graph.models.get(model_name)
-                if model is None:
+        texts = [
+            (ref or "").replace('"', "").replace("`", "") for ref in refs or []
+        ]
+        dequoted[kind] = texts
+        for text in texts:
+            scope.update(m for m, _f, _g in find_refs(text, known))
+    bare_scope = scope or known
+
+    for kind, texts in dequoted.items():
+        for text in texts:
+            for model_name, fld, _g in find_refs(text, known):
+                _check(model_name, fld, kind)
+            if kind not in ("filters", "order_by"):
+                continue
+            # bare spellings bind to in-scope models' fields; string
+            # literals stay opaque (a literal 'margin call' is data,
+            # not a reference)
+            from sidemantic_spark.sql.fragments import _split_quoted
+
+            for seg, opaque in _split_quoted(text):
+                if opaque:
                     continue
-                d = model.dimension(fld)
-                if d is not None and not d.public:
-                    raise SecurityError(
-                        f"dimension {model_name}.{fld} is not public ({kind})"
-                    )
-                m = model.metric(fld)
-                if m is not None and not m.public:
-                    raise SecurityError(
-                        f"metric {model_name}.{fld} is not public ({kind})"
-                    )
+                for tok in set(
+                    _re.findall(r"(?<![\w.])([A-Za-z_]\w*)(?![\w.(])", seg)
+                ):
+                    for model_name in bare_scope:
+                        _check(model_name, tok, kind)

@@ -373,6 +373,12 @@ class SqlGenerator:
             seg = model.segment(seg_name)
             if seg is None:
                 raise QueryCompileError(f"unknown segment {seg_ref!r}")
+            if self.enforce_visibility and not getattr(seg, "public", True):
+                from sidemantic_spark.core.security import SecurityError
+
+                raise SecurityError(
+                    f"segment {seg_ref} is not public (segments)"
+                )
             filters.append(seg.sql.replace("{model}", model_name))
         if filters != list(spec.filters) or spec.segments:
             spec = QuerySpec(

@@ -1054,3 +1054,95 @@ def test_result_cache_singleflight_failure_propagates_without_poison(layer):
     df = layer.query(use_cache=True, metrics=["orders.revenue"],
                      dimensions=["orders.status"])
     assert df.count() > 0
+
+
+def test_visibility_blocks_bare_and_quoted_hidden_refs(spark):
+    """Reference tests/core/test_security_advisor_regressions.py:153-187
+    — hidden fields must not leak through BARE or QUOTED spellings in
+    filters/order_by (fail-closed: the classifier's quote-opacity is
+    not a security bypass); literals naming a hidden field are data."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.core.security import SecurityError
+
+    lyr = SparkSemanticLayer(spark)
+    lyr.enforce_visibility = True
+    lyr.add_model(Model(
+        name="vg_orders", table="t", primary_key="id",
+        dimensions=[Dimension(name="region"),
+                    Dimension(name="margin", type="numeric", public=False)],
+        metrics=[Metric(name="cnt", agg="count")],
+    ))
+    blocked = [
+        dict(metrics=["vg_orders.cnt"], filters=["vg_orders.margin > 100"]),
+        dict(metrics=["vg_orders.cnt"], filters=["margin > 100"]),
+        dict(metrics=["vg_orders.cnt"], filters=['"vg_orders"."margin" > 100']),
+        dict(metrics=["vg_orders.cnt"], dimensions=["vg_orders.region"],
+             order_by=["vg_orders.margin"]),
+        dict(metrics=["vg_orders.cnt"], dimensions=["vg_orders.region"],
+             order_by=["margin"]),
+    ]
+    for kw in blocked:
+        with pytest.raises(SecurityError, match="margin"):
+            lyr.compile(**kw)
+    # allowed: public fields, and literals that merely NAME the field
+    lyr.compile(metrics=["vg_orders.cnt"], dimensions=["vg_orders.region"])
+    lyr.compile(metrics=["vg_orders.cnt"], filters=["region = 'margin'"])
+
+
+def test_visibility_blocks_non_public_segment(spark):
+    """Reference test_security_advisor_regressions.py:229: a
+    public=False segment referenced in a query is rejected under
+    enforce_visibility; without enforcement it applies normally."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model, Segment
+    from sidemantic_spark.core.security import SecurityError
+
+    spark.sql(
+        "SELECT 1 AS id, 'internal' AS status UNION ALL SELECT 2, 'shipped'"
+    ).createOrReplaceTempView("vseg_orders")
+    lyr = SparkSemanticLayer(spark)
+    lyr.add_model(Model(
+        name="vseg_orders", table="vseg_orders", primary_key="id",
+        dimensions=[Dimension(name="status")],
+        metrics=[Metric(name="cnt", agg="count")],
+        segments=[Segment(name="internal", sql="{model}.status = 'internal'",
+                          public=False)],
+    ))
+    # enforcement off: the hidden segment still works
+    lyr.enforce_visibility = False
+    rows = lyr.query(metrics=["vseg_orders.cnt"],
+                     segments=["vseg_orders.internal"]).collect()
+    assert rows[0][0] == 1
+    lyr.enforce_visibility = True
+    with pytest.raises(SecurityError, match="internal"):
+        lyr.compile(metrics=["vseg_orders.cnt"],
+                    segments=["vseg_orders.internal"])
+
+
+def test_row_filter_boolean_control_flow_and_typed_literals():
+    """Reference test_security_advisor_regressions.py:18-43,213-227:
+    typed interpolation, quote-breakout neutralization, and {% if %}
+    truthiness on raw values."""
+    from sidemantic_spark.core.security import SecurityError, render_row_filter
+
+    def f(t, u):
+        return render_row_filter(t, u, ctx="test")
+
+    assert f("tenant_id = {{ user.tenant_id }}", {"tenant_id": "1 OR 1=1"}) \
+        == "tenant_id = '1 OR 1=1'"
+    assert f("email = '{{ user.email }}'", {"email": "x' OR '1'='1"}) \
+        == "email = 'x'' OR ''1''=''1'"
+    assert f("n = {{ user.n }}", {"n": 42}) == "n = 42"
+    assert f("fl = {{ user.fl }}", {"fl": 1.5}) == "fl = 1.5"
+    assert f("b = {{ user.b }}", {"b": True}) == "b = TRUE"
+    assert f("x = {{ user.x }}", {"x": None}) == "x = NULL"
+    with pytest.raises(SecurityError):
+        f("x = {{ user.x }}", {"x": object()})
+    t = ("{% if user.is_admin %}1=1{% else %}"
+         "tenant_id = {{ user.tenant_id }}{% endif %}")
+    assert f(t, {"is_admin": False, "tenant_id": 7}) == "tenant_id = 7"
+    assert f(t, {"is_admin": True, "tenant_id": 7}) == "1=1"
+    c = ("{% if user.role == 'admin' %}1=1{% else %}"
+         "region = {{ user.region }}{% endif %}")
+    assert f(c, {"role": "analyst", "region": "US"}) == "region = 'US'"
