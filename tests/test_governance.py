@@ -1146,3 +1146,47 @@ def test_row_filter_boolean_control_flow_and_typed_literals():
     c = ("{% if user.role == 'admin' %}1=1{% else %}"
          "region = {{ user.region }}{% endif %}")
     assert f(c, {"role": "analyst", "region": "US"}) == "region = 'US'"
+
+
+def test_row_filter_subquery_and_sql_first_access_gate(spark):
+    """Reference test_security_advisor_regressions.py:290-338: a
+    row-filter subquery keeps inner columns unqualified; the SQL-first
+    path evaluates the access gate against the caller's attributes
+    (deny-by-default, allow analyst, deny guest)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.core.security import SecurityError, SecurityPolicy
+
+    spark.sql(
+        "SELECT 1 AS id, 10 AS v UNION ALL SELECT 2,20 UNION ALL SELECT 3,30"
+    ).createOrReplaceTempView("rsq_t")
+    spark.sql("SELECT 1 AS id UNION ALL SELECT 3").createOrReplaceTempView(
+        "rsq_allowed"
+    )
+    lyr = SparkSemanticLayer(spark)
+    lyr.add_model(Model(
+        name="rsq_t", table="rsq_t", primary_key="id",
+        dimensions=[Dimension(name="id", type="numeric")],
+        metrics=[Metric(name="tot", agg="sum", sql="v")],
+        security=SecurityPolicy(
+            row_filters=["id IN (SELECT id FROM rsq_allowed)"]
+        ),
+    ))
+    assert lyr.query(metrics=["rsq_t.tot"], user={}).collect()[0][0] == 40
+
+    spark.sql("SELECT 1 AS id, 10 AS amount").createOrReplaceTempView(
+        "rsq_orders"
+    )
+    lyr2 = SparkSemanticLayer(spark)
+    lyr2.add_model(Model(
+        name="rsq_orders", table="rsq_orders", primary_key="id",
+        metrics=[Metric(name="total", agg="sum", sql="amount")],
+        security=SecurityPolicy(access="{{ user.role == 'analyst' }}"),
+    ))
+    with pytest.raises(SecurityError):
+        lyr2.sql("SELECT total FROM rsq_orders").collect()
+    assert lyr2.sql("SELECT total FROM rsq_orders",
+                    user={"role": "analyst"}).collect()[0][0] == 10
+    with pytest.raises(SecurityError):
+        lyr2.sql("SELECT total FROM rsq_orders",
+                 user={"role": "guest"}).collect()
