@@ -27,6 +27,14 @@ class ContractError(Exception):
     pass
 
 
+# tokens that appear in filter EXPRESSIONS but are not field refs
+_SQL_WORDS = {
+    "AND", "OR", "NOT", "IN", "IS", "NULL", "LIKE", "BETWEEN", "TRUE",
+    "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "EXISTS", "CAST",
+    "DATE", "TIMESTAMP", "INTERVAL",
+}
+
+
 def _qualify(value: str, model: str) -> str:
     base = value.split(" ", 1)[0]
     return value if "." in base else f"{model}.{value}"
@@ -192,6 +200,37 @@ class Explore:
                     raise ContractError(
                         f"explore {self.name!r}: default_{kind} not allowed: {bad}"
                     )
+        # defaults must satisfy their own allowlists too (reference
+        # core/consumption.py explore validators,
+        # tests/core/test_consumption_types.py:56-87)
+        if self.allowed_filter_fields is not None:
+            allow_f = {_qualify(v, self.model) for v in self.allowed_filter_fields}
+            for f in self.default_filters:
+                from sidemantic_spark.sql.fragments import _split_quoted
+
+                bare = "".join(
+                    seg for seg, opaque in _split_quoted(f) if not opaque
+                )
+                fields = {
+                    _qualify(t, self.model)
+                    for t in re.findall(r"[A-Za-z_][\w.]*", bare)
+                    if t.upper() not in _SQL_WORDS
+                }
+                bad_f = [t for t in fields if t not in allow_f]
+                if bad_f:
+                    raise ContractError(
+                        f"explore {self.name!r}: default_filters reference "
+                        f"fields outside allowed_filter_fields: {sorted(bad_f)}"
+                    )
+        if self.allowed_order_by is not None:
+            allow_o = {_qualify(v, self.model) for v in self.allowed_order_by}
+            for o in self.default_order_by:
+                base = re.sub(r"\s+(ASC|DESC)\s*$", "", o.strip(), flags=re.I)
+                if _qualify(base, self.model) not in allow_o:
+                    raise ContractError(
+                        f"explore {self.name!r}: default_order_by {o!r} not in "
+                        "allowed_order_by"
+                    )
 
     def _known_fields(self, graph) -> set[str] | None:
         if graph is None:
@@ -331,6 +370,14 @@ class SavedQuery:
     explore: str | None = None
     label: str | None = None
     description: str | None = None
+    # reference core/consumption.py SavedQuery.visibility default
+    visibility: str = "public"
+
+    def __post_init__(self) -> None:
+        if self.limit is not None and self.limit < 0:
+            raise ContractError(
+                f"saved query {self.name!r}: limit must be >= 0"
+            )
 
     def as_kwargs(self) -> dict:
         out: dict = {
@@ -345,3 +392,8 @@ class SavedQuery:
         if self.parameters:
             out["parameters"] = dict(self.parameters)
         return out
+
+
+# the reference exports View as an alias of Explore (Looker-style
+# naming; tests/core/test_consumption_types.py asserts View is Explore)
+View = Explore

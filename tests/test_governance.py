@@ -1190,3 +1190,49 @@ def test_row_filter_subquery_and_sql_first_access_gate(spark):
     with pytest.raises(SecurityError):
         lyr2.sql("SELECT total FROM rsq_orders",
                  user={"role": "guest"}).collect()
+
+
+def test_explore_allowlist_validation_matrix():
+    """Reference tests/core/test_consumption_types.py:56-104: every
+    default must satisfy its own allowlist at construction; View is an
+    alias of Explore; SavedQuery rejects negative limits and unknown
+    fields and defaults visibility to public."""
+    from sidemantic_spark.core.consumption import (
+        ContractError, Explore, SavedQuery, View,
+    )
+
+    assert View is Explore
+    valid = Explore(
+        name="revenue_overview", model="orders",
+        allowed_dimensions=["status"], allowed_metrics=["orders.revenue"],
+        allowed_filter_fields=["status"], allowed_order_by=["revenue"],
+        default_dimensions=["orders.status"], default_metrics=["revenue"],
+        default_filters=["status = 'paid'"],
+        default_order_by=["revenue DESC"],
+        default_limit=25, max_limit=100,
+    )
+    assert valid.default_metrics == ["revenue"]
+
+    bad = [
+        (dict(allowed_dimensions=["status"],
+              default_dimensions=["created_at"]), "default_dimensions"),
+        (dict(allowed_metrics=["revenue"],
+              default_metrics=["order_count"]), "default_metrics"),
+        (dict(allowed_filter_fields=["status"],
+              default_filters=["created_at > '2026-01-01'"]),
+         "default_filters"),
+        (dict(allowed_order_by=["revenue"],
+              default_order_by=["status ASC"]), "default_order_by"),
+        (dict(default_limit=101, max_limit=100), "default_limit"),
+    ]
+    for kw, msg in bad:
+        with pytest.raises(ContractError, match=msg):
+            Explore(name="invalid", model="orders", **kw)
+
+    q = SavedQuery(name="paid_revenue", explore="revenue_overview",
+                   metrics=["revenue"], filters=["status = 'paid'"], limit=10)
+    assert q.visibility == "public"
+    with pytest.raises(ContractError, match="limit"):
+        SavedQuery(name="negative_limit", limit=-1)
+    with pytest.raises(TypeError):  # dataclass analogue of extra_forbidden
+        SavedQuery(name="unknown_field", unknown=True)
