@@ -705,6 +705,10 @@ def test_minhash_bucket_local_verify_plan_and_adversarial_parity(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan  # no pair-grain or id-grain join
     assert "Window" in plan  # row_number bucket cap
+    # Spark 4 rewrites rank<=k into WindowGroupLimit with a PARTIAL
+    # pre-shuffle pass: mega-buckets are capped map-side, so their
+    # excess sets never ride the banding exchange at all
+    assert "WindowGroupLimit" in plan
     # exactly one wide shuffle before the dedup of verified survivors:
     # the banding exchange (AQE wraps others around the tiny tail)
     a = sorted(map(tuple, minhash_lsh_pairs(
