@@ -470,6 +470,18 @@ class SqlGenerator:
             model = self.graph.get_model(model_name)
             dim = model.dimension(dim_name)
             if dim is None:
+                # a grain-suffixed ref on a REAL dimension is a
+                # granularity error, not an unknown field (reference
+                # test_invalid_time_granularity names the problem)
+                if "__" in dim_name:
+                    base, suffix = dim_name.rsplit("__", 1)
+                    if model.dimension(base) is not None:
+                        raise QueryCompileError(
+                            f"unknown granularity {suffix!r} on "
+                            f"{model_name}.{base} (expected one of: "
+                            "second, minute, hour, day, week, month, "
+                            "quarter, year)"
+                        )
                 raise QueryCompileError(
                     f"unknown dimension {ref!r}"
                     + _did_you_mean(dim_name, [d.name for d in model.dimensions])

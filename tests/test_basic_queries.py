@@ -915,3 +915,20 @@ def test_default_time_dimension_matrix(spark):
     assert "event_ts__day" in sql
     sql = lyr.compile(metrics=["dtd_plain.n"])
     assert "GROUP BY" not in sql  # no default: plain global aggregate
+
+
+def test_invalid_time_granularity_names_the_problem(layer):
+    """Reference integration/test_end_to_end.py:1053: a bad grain suffix
+    on a real time dimension is a GRANULARITY error, not an unknown
+    field."""
+    import pytest as _pytest
+
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    with _pytest.raises(QueryCompileError, match="granularity"):
+        layer.compile(metrics=["orders.revenue"],
+                      dimensions=["orders.order_date__fortnight"])
+    # genuinely unknown fields still get the close-match suggestion
+    with _pytest.raises(QueryCompileError, match="Did you mean"):
+        layer.compile(metrics=["orders.revenue"],
+                      dimensions=["orders.statos"])
