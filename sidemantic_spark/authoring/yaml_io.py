@@ -388,7 +388,8 @@ def _build_model(md: dict, errors: list) -> Model | None:
             errors.append(f"{sctx}: segment needs name and sql")
             continue
         segs.append(Segment(name=sdata["name"], sql=sdata["sql"],
-                            description=sdata.get("description")))
+                            description=sdata.get("description"),
+                            public=bool(sdata.get("public", True))))
 
     preaggs: list[PreAggregation] = []
     for pdata in md.get("pre_aggregations") or []:
@@ -809,7 +810,11 @@ def export_yaml(graph) -> str:
         if model.segments:
             md["segments"] = [{k: v for k, v in
                                (("name", s.name), ("sql", s.sql),
-                                ("description", s.description)) if v is not None}
+                                ("description", s.description),
+                                ("public",
+                                 False if not getattr(s, "public", True)
+                                 else None))
+                               if v is not None}
                               for s in model.segments]
         if model.pre_aggregations:
             md["pre_aggregations"] = [_preagg_to_yaml(p) for p in model.pre_aggregations]

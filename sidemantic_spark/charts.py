@@ -423,15 +423,11 @@ class ChartBuilder:
 
     def to_vegalite(self) -> dict[str, Any]:
         rows = self.data()
-        ys = [m.split(".")[-1] for m in self.metrics]
-        x = self.dimensions[0].split(".")[-1].split("__")[0] if self.dimensions else None
-        if x is not None and rows and x not in rows[0]:
-            # grain-suffixed output columns keep the suffix
-            x = next((c for c in rows[0] if c.startswith(x)), x)
+        x, ys = self._xy(rows)
         spec = create_chart(
             rows,
             x=x,
-            y=[c for c in ys if not rows or c in rows[0]] or ys,
+            y=ys,
             chart_type=self.mark if self.mark != "scatter" else "point",
             title=self.title,
         )
@@ -451,17 +447,59 @@ class ChartBuilder:
 
     # -- renderer-neutral outputs (reference viz.py to_plotly /
     # to_observable_plot / to_d3 / to_renderer family) ------------------
+    def _out_names(self) -> tuple[list[str], list[str]]:
+        """(dimension outs, metric outs) replicating the generator's
+        output naming exactly — alias wins, else the ref tail, and a
+        collision prefixes the model (`orders.revenue` +
+        `returns.revenue` -> `revenue`, `returns_revenue`)."""
+        import re as _re
+
+        used: set[str] = set()
+
+        def split_alias(ref: str) -> tuple[str, str | None]:
+            parts = _re.split(r"\s+AS\s+", ref.strip(), flags=_re.I)
+            if len(parts) == 2:
+                return parts[0].strip(), parts[1].strip()
+            return ref.strip(), None
+
+        dim_outs: list[str] = []
+        met_outs: list[str] = []
+        for pool, refs in ((dim_outs, self.dimensions), (met_outs, self.metrics)):
+            for ref in refs:
+                base, alias = split_alias(ref)
+                model, _, tail = base.rpartition(".")
+                out = alias or tail
+                if out in used and model:
+                    out = f"{model}_{out}"
+                used.add(out)
+                pool.append(out)
+        return dim_outs, met_outs
+
     def _xy(self, rows: list[dict[str, Any]]) -> tuple[str | None, list[str]]:
-        """(x column, y columns) resolved against the executed rows —
-        same derivation to_vegalite uses."""
-        ys = [m.split(".")[-1] for m in self.metrics]
-        x = (
-            self.dimensions[0].split(".")[-1].split("__")[0]
-            if self.dimensions else None
-        )
-        if x is not None and rows and x not in rows[0]:
-            x = next((c for c in rows[0] if c.startswith(x)), x)
-        ys = [c for c in ys if not rows or c in rows[0]] or ys
+        """(x column, y columns) resolved against the executed rows via
+        the generator's output-naming rules; raises instead of silently
+        rendering all-null traces when nothing resolves."""
+        dim_outs, met_outs = self._out_names()
+        if not rows:
+            return (dim_outs[0] if dim_outs else None), met_outs
+        cols = rows[0]
+        ys = [o for o in met_outs if o in cols]
+        if not ys:
+            # structured metrics (conversion/retention) emit derived
+            # column families: fall back to tail-prefix matching
+            for o in met_outs:
+                ys.extend(c for c in cols if c == o or c.startswith(f"{o}_"))
+        if not ys:
+            raise ChartError(
+                f"none of the metric outputs {met_outs} appear in the "
+                f"result columns {list(cols)}"
+            )
+        x = None
+        if dim_outs:
+            x = dim_outs[0]
+            if x not in cols:
+                base = x.split("__", 1)[0]
+                x = next((c for c in cols if c.startswith(base)), x)
         return x, ys
 
     def _resolved_mark(self) -> str:

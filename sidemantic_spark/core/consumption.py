@@ -204,29 +204,52 @@ class Explore:
         # core/consumption.py explore validators,
         # tests/core/test_consumption_types.py:56-87)
         if self.allowed_filter_fields is not None:
-            allow_f = {_qualify(v, self.model) for v in self.allowed_filter_fields}
+            # same extraction semantics as the user-filter path below
+            # (_IDENT_RE skips function names, subquery bodies resolve in
+            # their own scope, grains strip before the allowlist match) —
+            # a graph isn't available at construction, so bare tokens
+            # that aren't SQL words count as field refs
+            allow_f = {
+                _qualify(_strip_grain(v), self.model)
+                for v in self.allowed_filter_fields
+            }
             for f in self.default_filters:
-                from sidemantic_spark.sql.fragments import _split_quoted
-
-                bare = "".join(
-                    seg for seg, opaque in _split_quoted(f) if not opaque
+                spans = _subquery_spans(f)
+                fields: set[str] = set()
+                offset = 0
+                for seg in _split_quoted(f):
+                    if seg.startswith("'"):
+                        offset += len(seg)
+                        continue
+                    for m in _DOTTED_RE.finditer(seg):
+                        fields.add(f"{m.group(1)}.{m.group(2)}")
+                    for m in _IDENT_RE.finditer(seg):
+                        if any(s <= offset + m.start() < e for s, e in spans):
+                            continue
+                        tok = m.group(0)
+                        if tok.upper() in _SQL_WORDS:
+                            continue
+                        fields.add(_qualify(tok, self.model))
+                    offset += len(seg)
+                bad_f = sorted(
+                    t for t in {
+                        _qualify(_strip_grain(x), self.model) for x in fields
+                    }
+                    if t not in allow_f
                 )
-                fields = {
-                    _qualify(t, self.model)
-                    for t in re.findall(r"[A-Za-z_][\w.]*", bare)
-                    if t.upper() not in _SQL_WORDS
-                }
-                bad_f = [t for t in fields if t not in allow_f]
                 if bad_f:
                     raise ContractError(
                         f"explore {self.name!r}: default_filters reference "
-                        f"fields outside allowed_filter_fields: {sorted(bad_f)}"
+                        f"fields outside allowed_filter_fields: {bad_f}"
                     )
         if self.allowed_order_by is not None:
-            allow_o = {_qualify(v, self.model) for v in self.allowed_order_by}
+            allow_o = {
+                _qualify(_strip_grain(v), self.model)
+                for v in self.allowed_order_by
+            }
             for o in self.default_order_by:
                 base = re.sub(r"\s+(ASC|DESC)\s*$", "", o.strip(), flags=re.I)
-                if _qualify(base, self.model) not in allow_o:
+                if _qualify(_strip_grain(base), self.model) not in allow_o:
                     raise ContractError(
                         f"explore {self.name!r}: default_order_by {o!r} not in "
                         "allowed_order_by"

@@ -383,7 +383,8 @@ class SparkSemanticLayer:
                 if fl["exc"] is not None:
                     raise fl["exc"]
                 if fl["result"] is not None:
-                    self._cache_hits += 1
+                    # no extra hit increment: this waiter already counted
+                    # a miss inside _cache_get (one query = one stat)
                     return fl["result"]
                 # leader vanished without result (shutdown): retry
             try:

@@ -188,7 +188,11 @@ def enforce_field_visibility(graph, refs_by_kind: dict[str, list[str]]) -> None:
                 f"metric {model_name}.{fld} is not public ({kind})"
             )
 
-    # query scope: the models named by any qualified ref anywhere
+    # query scope: the models named by any qualified ref anywhere.
+    # Security scans pass shadowing=False: a subquery alias re-binding
+    # a model name changes CLASSIFICATION scope, but a hidden field
+    # spelled through it must still be rejected (fail-closed — an
+    # embedded `AS model` must never blind the scan)
     scope: set[str] = set()
     dequoted: dict[str, list[str]] = {}
     for kind, refs in refs_by_kind.items():
@@ -197,18 +201,22 @@ def enforce_field_visibility(graph, refs_by_kind: dict[str, list[str]]) -> None:
         ]
         dequoted[kind] = texts
         for text in texts:
-            scope.update(m for m, _f, _g in find_refs(text, known))
+            scope.update(
+                m for m, _f, _g in find_refs(text, known, shadowing=False)
+            )
     bare_scope = scope or known
 
     for kind, texts in dequoted.items():
         for text in texts:
-            for model_name, fld, _g in find_refs(text, known):
+            for model_name, fld, _g in find_refs(text, known, shadowing=False):
                 _check(model_name, fld, kind)
             if kind not in ("filters", "order_by"):
                 continue
             # bare spellings bind to in-scope models' fields; string
             # literals stay opaque (a literal 'margin call' is data,
-            # not a reference)
+            # not a reference). Grain suffixes strip before matching:
+            # `created_at__month` must not sneak past a hidden
+            # `created_at` (round-10 review finding)
             from sidemantic_spark.sql.fragments import _split_quoted
 
             for seg, opaque in _split_quoted(text):
@@ -217,5 +225,6 @@ def enforce_field_visibility(graph, refs_by_kind: dict[str, list[str]]) -> None:
                 for tok in set(
                     _re.findall(r"(?<![\w.])([A-Za-z_]\w*)(?![\w.(])", seg)
                 ):
+                    base = tok.split("__", 1)[0]
                     for model_name in bare_scope:
-                        _check(model_name, tok, kind)
+                        _check(model_name, base, kind)

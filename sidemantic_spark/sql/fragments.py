@@ -82,43 +82,85 @@ def _split_quoted(sql: str) -> list[tuple[str, bool]]:
 _ALIAS_RE = re.compile(r"\bAS\s+[\"`]?([A-Za-z_][A-Za-z0-9_]*)[\"`]?", re.I)
 
 
-def _shadowed_models(sql: str, known_models: set[str]) -> set[str]:
-    """Model names re-bound as table aliases INSIDE the fragment
-    (``EXISTS (SELECT 1 FROM audit AS orders WHERE orders.revenue ...)``)
-    — refs to a shadowed name are subquery-scope columns, not semantic
-    references (reference alias-scope classification,
-    tests/metrics/test_filters.py:411-438). Only explicit ``AS alias``
-    forms shadow; the heuristic is conservative by construction."""
-    known_lower = {m.lower(): m for m in known_models}
-    # blank literals/comments but keep quoted-identifier TEXT visible
-    # (AS "ORDERS" must still shadow) — quote chars become spaces so
-    # the alias regex sees `AS  ORDERS `
+def _scan_text(sql: str) -> str:
+    """Same-length copy with literals/comments blanked and quote chars
+    of quoted identifiers spaced (``AS "ORDERS"`` scans as an alias)."""
     scan: list[str] = []
     for seg, opaque in _split_quoted(sql):
         if not opaque or seg[:1] in ('"', "`"):
             scan.append(seg.replace('"', " ").replace("`", " "))
         else:
             scan.append(" " * len(seg))
-    out: set[str] = set()
-    for m in _ALIAS_RE.finditer("".join(scan)):
-        hit = known_lower.get(m.group(1).lower())
-        if hit:
-            out.add(hit)
-    return out
+    return "".join(scan)
 
 
-def find_refs(sql: str, known_models: set[str]) -> list[tuple[str, str, str | None]]:
+def _shadow_spans(
+    sql: str, known_models: set[str]
+) -> list[tuple[int, int, set[str]]]:
+    """(start, end, models) for each ``( SELECT ... )`` subquery that
+    re-binds a known model name via an explicit ``AS alias``
+    (``EXISTS (SELECT 1 FROM audit AS orders WHERE orders.revenue ...)``)
+    — refs to the shadowed name INSIDE that span are subquery-scope
+    columns, not semantic references (reference alias-scope
+    classification, tests/metrics/test_filters.py:411-438). Shadowing is
+    scoped to the span: the same fragment's refs OUTSIDE the subquery
+    still classify/rewrite normally, so an embedded alias can never
+    blind the whole predicate (fail-open hazard for visibility
+    enforcement; round-10 review finding)."""
+    scan = _scan_text(sql)
+    known_lower = {m.lower(): m for m in known_models}
+    spans: list[tuple[int, int, set[str]]] = []
+    for m in re.finditer(r"\(\s*SELECT\b", scan, re.I):
+        start = m.start()
+        depth = 0
+        end = None
+        for j in range(start, len(scan)):
+            if scan[j] == "(":
+                depth += 1
+            elif scan[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    end = j + 1
+                    break
+        if end is None:
+            end = len(scan)
+        shadowed = {
+            known_lower[a.group(1).lower()]
+            for a in _ALIAS_RE.finditer(scan[start:end])
+            if a.group(1).lower() in known_lower
+        }
+        if shadowed:
+            spans.append((start, end, shadowed))
+    return spans
+
+
+def _is_shadowed(
+    spans: list[tuple[int, int, set[str]]], pos: int, model: str
+) -> bool:
+    return any(s <= pos < e and model in sh for s, e, sh in spans)
+
+
+def find_refs(
+    sql: str, known_models: set[str], shadowing: bool = True
+) -> list[tuple[str, str, str | None]]:
     """All ``model.field[__grain]`` references outside string literals /
-    quoted identifiers / comments, restricted to known model names that
-    the fragment does not re-bind as a table alias."""
-    effective = known_models - _shadowed_models(sql, known_models)
+    quoted identifiers / comments, restricted to known model names.
+    ``shadowing=True`` skips refs inside subquery spans that re-bind the
+    model name as an alias (classification semantics); pass False for
+    fail-closed scans (security) that must see every spelling."""
+    spans = _shadow_spans(sql, known_models) if shadowing else []
     out: list[tuple[str, str, str | None]] = []
+    offset = 0
     for seg, quoted in _split_quoted(sql):
         if quoted:
+            offset += len(seg)
             continue
         for m in REF_RE.finditer(seg):
-            if m.group(1) in effective:
+            if m.group(1) in known_models and not _is_shadowed(
+                spans, offset + m.start(), m.group(1)
+            ):
                 out.append((m.group(1), m.group(2), m.group(3)))
+        offset += len(seg)
     return out
 
 
@@ -129,18 +171,28 @@ def replace_refs(
 ) -> str:
     """Rewrite every model.field[__grain] reference outside string
     literals / quoted identifiers / comments via
-    ``fn(model, field, grain) -> replacement sql``; alias-shadowed
-    model names are left verbatim (see ``_shadowed_models``)."""
-    effective = known_models - _shadowed_models(sql, known_models)
-
-    def _sub(m: re.Match) -> str:
-        if m.group(1) not in effective:
-            return m.group(0)
-        return fn(m.group(1), m.group(2), m.group(3))
-
+    ``fn(model, field, grain) -> replacement sql``; refs inside
+    alias-shadowing subquery spans are left verbatim (see
+    ``_shadow_spans``) while refs outside those spans still rewrite."""
+    spans = _shadow_spans(sql, known_models)
     parts = []
+    offset = 0
     for seg, quoted in _split_quoted(sql):
-        parts.append(seg if quoted else REF_RE.sub(_sub, seg))
+        if quoted:
+            parts.append(seg)
+            offset += len(seg)
+            continue
+        seg_off = offset
+
+        def _sub(m: re.Match) -> str:
+            if m.group(1) not in known_models or _is_shadowed(
+                spans, seg_off + m.start(), m.group(1)
+            ):
+                return m.group(0)
+            return fn(m.group(1), m.group(2), m.group(3))
+
+        parts.append(REF_RE.sub(_sub, seg))
+        offset += len(seg)
     return "".join(parts)
 
 

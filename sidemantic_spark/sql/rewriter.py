@@ -421,6 +421,7 @@ class SemanticSqlRewriter:
         with self._compile_lock:
             self._user = user
             self._eph_gen_bumps = 0
+            gen0 = self.layer.graph.generation
             try:
                 hit = self._cache.get(key)
                 if hit is not None:
@@ -480,11 +481,30 @@ class SemanticSqlRewriter:
                     # state, so its generation bumps must not outlive the
                     # compile: otherwise every expr-dim/ad-hoc query
                     # permanently shifts the generation and the compile
-                    # caches (keyed on it) never hit again. Persistent
-                    # mutations made mid-rewrite (__adhoc_count, inferred
-                    # m2m bridge relationships) are NOT counted here, so
-                    # their bumps survive as they should.
-                    self.layer.graph.generation -= self._eph_gen_bumps
+                    # caches (keyed on it) never hit again. RESTORE (to
+                    # the snapshot) only when the whole delta is
+                    # ephemeral: generation value gen0 is then reused for
+                    # the IDENTICAL graph state. If a persistent mutation
+                    # interleaved (__adhoc_count, inferred m2m bridge),
+                    # leave the counter alone — decrementing would land a
+                    # DIFFERENT state on a previously-cached generation
+                    # value (ABA; round-10 review finding). The rare
+                    # persistent-mutation compile costs one cache
+                    # generation, which is correct.
+                    if (
+                        self.layer.graph.generation - gen0
+                        == self._eph_gen_bumps
+                    ):
+                        # generator-cache entries created DURING the
+                        # transient window are keyed at generations
+                        # whose state no longer exists — purge them, or
+                        # a later persistent bump reaching the same
+                        # counter value would serve them against a
+                        # different graph (ABA)
+                        gcache = self.layer.generator._cache
+                        for k in [k for k in gcache if k[0] > gen0]:
+                            gcache.pop(k, None)
+                        self.layer.graph.generation = gen0
                     self._eph_gen_bumps = 0
 
     def explain(self, sql: str) -> dict:

@@ -264,3 +264,36 @@ def test_chart_builder_renderer_outputs(spark, sf_dir):
         "orders.revenue", by="orders.order_date__month"
     )
     assert line.to_plotly()["data"][0].get("mode") == "lines"
+
+
+def test_chart_same_tail_metrics_render_distinct_traces(spark, sf_dir):
+    """Review finding: two metrics sharing a tail (orders.revenue +
+    l2.revenue) must resolve to the generator's deduped output names,
+    not collapse into duplicate traces."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.models.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    lyr = SparkSemanticLayer(spark)
+    lyr.add_model(Model(
+        name="c_orders", table="orders", primary_key="o_orderkey",
+        dimensions=[Dimension(name="status", sql="o_orderstatus")],
+        metrics=[Metric(name="revenue", agg="sum",
+                        sql="CAST(o_totalprice AS DECIMAL(18,2))")],
+    ))
+    lyr.add_model(Model(
+        name="c_line", table="lineitem", primary_key="l_orderkey",
+        dimensions=[Dimension(name="status", sql="l_linestatus")],
+        metrics=[Metric(name="revenue", agg="sum",
+                        sql="CAST(l_extendedprice AS DECIMAL(18,2))")],
+    ))
+    b = lyr.chart(["c_orders.revenue", "c_line.revenue"],
+                  by="c_orders.status").bar()
+    dim_outs, met_outs = b._out_names()
+    assert met_outs == ["revenue", "c_line_revenue"]
+    pl = b.to_plotly()
+    names = [t["name"] for t in pl["data"]]
+    assert len(set(names)) == 2
+    ys = [[v for v in t["y"]] for t in pl["data"]]
+    assert ys[0] != ys[1]  # genuinely different series

@@ -1236,3 +1236,96 @@ def test_explore_allowlist_validation_matrix():
         SavedQuery(name="negative_limit", limit=-1)
     with pytest.raises(TypeError):  # dataclass analogue of extra_forbidden
         SavedQuery(name="unknown_field", unknown=True)
+
+
+def test_visibility_hidden_refs_survive_alias_and_grain_spellings(spark):
+    """Review findings: an embedded `AS model` alias must not blind the
+    visibility scan, and grain-suffixed bare spellings of a hidden time
+    dimension are rejected too."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.core.security import SecurityError
+
+    lyr = SparkSemanticLayer(spark)
+    lyr.enforce_visibility = True
+    lyr.add_model(Model(
+        name="vh_orders", table="t", primary_key="id",
+        dimensions=[
+            Dimension(name="region"),
+            Dimension(name="margin", type="numeric", public=False),
+            Dimension(name="created_at", type="time", public=False),
+        ],
+        metrics=[Metric(name="cnt", agg="count")],
+    ))
+    with pytest.raises(SecurityError, match="margin"):
+        lyr.compile(metrics=["vh_orders.cnt"], filters=[
+            "vh_orders.margin > 0 AND "
+            "EXISTS (SELECT 1 FROM audit AS vh_orders)"
+        ])
+    with pytest.raises(SecurityError, match="created_at"):
+        lyr.compile(metrics=["vh_orders.cnt"],
+                    filters=["created_at__month >= DATE '2024-01-01'"])
+    with pytest.raises(SecurityError, match="created_at"):
+        lyr.compile(metrics=["vh_orders.cnt"],
+                    filters=["vh_orders.created_at__month >= DATE '2024-01-01'"])
+
+
+def test_yaml_segment_public_roundtrip(spark):
+    """Review finding: `public: false` on a YAML segment must survive
+    load (enforcement applies) and export."""
+    from sidemantic_spark.authoring import load_yaml
+    from sidemantic_spark.authoring.yaml_io import export_yaml
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.security import SecurityError
+
+    spark.sql("SELECT 1 AS id, 'internal' AS status").createOrReplaceTempView(
+        "ys_orders")
+    lyr = SparkSemanticLayer(spark)
+    load_yaml(lyr, """
+version: 1
+models:
+  - name: ys_orders
+    table: ys_orders
+    primary_key: id
+    dimensions:
+      - name: status
+    metrics:
+      - name: cnt
+        agg: count
+    segments:
+      - name: internal
+        sql: "{model}.status = 'internal'"
+        public: false
+""")
+    seg = lyr.graph.get_model("ys_orders").segment("internal")
+    assert seg is not None and seg.public is False
+    lyr.enforce_visibility = True
+    with pytest.raises(SecurityError, match="internal"):
+        lyr.compile(metrics=["ys_orders.cnt"], segments=["ys_orders.internal"])
+    assert "public: false" in export_yaml(lyr.graph)
+
+
+def test_explore_default_filter_validation_accepts_expressions():
+    """Review finding: function calls, subqueries over non-semantic
+    tables, and grain-suffixed spellings of allowed fields are all
+    legitimate default_filters."""
+    from sidemantic_spark.core.consumption import ContractError, Explore
+
+    Explore(name="ok1", model="orders",
+            allowed_filter_fields=["region"],
+            default_filters=["UPPER(region) = 'EU'"])
+    Explore(name="ok2", model="orders",
+            allowed_filter_fields=["region"],
+            default_filters=["region IN (SELECT r FROM allowed_regions)"])
+    Explore(name="ok3", model="orders",
+            allowed_filter_fields=["created_at"],
+            default_filters=["created_at__month >= DATE '2024-01-01'"])
+    with pytest.raises(ContractError, match="default_filters"):
+        Explore(name="bad", model="orders",
+                allowed_filter_fields=["region"],
+                default_filters=["created_at > '2026-01-01'"])
+    # grain variant of an allowed order field is the same field
+    from sidemantic_spark.core.consumption import Explore as E2
+
+    E2(name="ok4", model="orders", allowed_order_by=["created_at"],
+       default_order_by=["created_at__month DESC"])

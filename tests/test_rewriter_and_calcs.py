@@ -1713,3 +1713,47 @@ def test_order_by_bare_measure_without_alias(paper_layer):
         "FROM tp_orders_v o GROUP BY o.prodName ORDER BY o.sumRevenue ASC"
     ).collect()
     assert [tuple(r) for r in rows] == [("Whizz", 3), ("Happy", 17)]
+
+
+# -- round-10 self-review regressions ---------------------------------
+
+
+def test_alias_shadowing_is_span_scoped():
+    """An `AS model` alias inside a subquery must shadow refs only
+    WITHIN that subquery span — refs outside it still classify/rewrite
+    (review finding: whole-fragment shadowing was fail-open)."""
+    from sidemantic_spark.sql.fragments import find_refs, replace_refs
+
+    sql = ("orders.margin > 0 AND "
+           "EXISTS (SELECT 1 FROM audit AS orders WHERE orders.x = 1)")
+    refs = find_refs(sql, {"orders"})
+    assert ("orders", "margin", None) in refs
+    assert ("orders", "x", None) not in refs  # inner ref stays shadowed
+    out = replace_refs(sql, {"orders"}, lambda m, f, g: f"{m}_cte.{f}")
+    assert "orders_cte.margin" in out
+    assert "orders.x = 1" in out  # inner ref untouched
+    # security scans see EVERYTHING (shadowing=False)
+    refs_all = find_refs(sql, {"orders"}, shadowing=False)
+    assert ("orders", "margin", None) in refs_all
+    assert ("orders", "x", None) in refs_all
+
+
+def test_generation_restore_skips_persistent_mutations(spark, sf_dir):
+    """If a persistent mutation interleaves with ephemeral
+    registrations, the generation counter must NOT rewind (ABA guard);
+    ephemeral-only compiles still restore, purging transient generator
+    cache entries."""
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.sql.rewriter import SemanticSqlRewriter
+
+    lyr = build_layer(spark, sf_dir)
+    rw = SemanticSqlRewriter(lyr)
+    gen0 = lyr.graph.generation
+    rw.rewrite("SELECT MONTH(orders.order_date) AS m, orders.revenue FROM orders")
+    assert lyr.graph.generation == gen0
+    # no generator-cache entry may survive keyed beyond the live counter
+    assert not [k for k in lyr.generator._cache if k[0] > lyr.graph.generation]
+    # persistent mutation interleaved (COUNT(*) registers __adhoc_count)
+    # alongside an ephemeral expr-dim: no rewind below the new state
+    rw.rewrite("SELECT MONTH(orders.order_date) AS m2, COUNT(*) FROM orders")
+    assert lyr.graph.generation > gen0
