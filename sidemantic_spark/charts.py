@@ -448,10 +448,21 @@ class ChartBuilder:
     # -- renderer-neutral outputs (reference viz.py to_plotly /
     # to_observable_plot / to_d3 / to_renderer family) ------------------
     def _out_names(self) -> tuple[list[str], list[str]]:
-        """(dimension outs, metric outs) replicating the generator's
-        output naming exactly — alias wins, else the ref tail, and a
-        collision prefixes the model (`orders.revenue` +
-        `returns.revenue` -> `revenue`, `returns_revenue`)."""
+        """(dimension outs, metric outs): ask the GENERATOR's resolver
+        for the real output names (zero drift from compile); fall back
+        to a local replication of its naming rules only when resolution
+        itself fails (the chart query would fail too — the names then
+        serve the error path)."""
+        try:
+            from sidemantic_spark.sql.generator import QuerySpec
+
+            r = self.layer.generator._resolve(QuerySpec(
+                metrics=list(self.metrics),
+                dimensions=list(self.dimensions),
+            ))
+            return [rd.out for rd in r.dims], [rm.out for rm in r.metrics]
+        except Exception:
+            pass
         import re as _re
 
         used: set[str] = set()
@@ -477,23 +488,26 @@ class ChartBuilder:
 
     def _xy(self, rows: list[dict[str, Any]]) -> tuple[str | None, list[str]]:
         """(x column, y columns) resolved against the executed rows via
-        the generator's output-naming rules; raises instead of silently
-        rendering all-null traces when nothing resolves."""
+        the generator's output names; EVERY metric must resolve — a
+        structured metric (conversion/retention) resolves to its derived
+        column family, and an unresolvable metric raises instead of
+        silently dropping its traces."""
         dim_outs, met_outs = self._out_names()
         if not rows:
             return (dim_outs[0] if dim_outs else None), met_outs
         cols = rows[0]
-        ys = [o for o in met_outs if o in cols]
-        if not ys:
-            # structured metrics (conversion/retention) emit derived
-            # column families: fall back to tail-prefix matching
-            for o in met_outs:
-                ys.extend(c for c in cols if c == o or c.startswith(f"{o}_"))
-        if not ys:
-            raise ChartError(
-                f"none of the metric outputs {met_outs} appear in the "
-                f"result columns {list(cols)}"
-            )
+        ys: list[str] = []
+        for o in met_outs:
+            if o in cols:
+                ys.append(o)
+                continue
+            family = [c for c in cols if c.startswith(f"{o}_")]
+            if not family:
+                raise ChartError(
+                    f"metric output {o!r} not found in result columns "
+                    f"{list(cols)}"
+                )
+            ys.extend(family)
         x = None
         if dim_outs:
             x = dim_outs[0]

@@ -222,7 +222,13 @@ class Explore:
                         offset += len(seg)
                         continue
                     for m in _DOTTED_RE.finditer(seg):
-                        fields.add(f"{m.group(1)}.{m.group(2)}")
+                        # only the explore's own model qualifies at
+                        # construction time — a subquery-local alias
+                        # (`a.r`, correlated `audit.id`) is not a
+                        # semantic field (mirrors the user path's
+                        # known-model restriction)
+                        if m.group(1) == self.model:
+                            fields.add(f"{m.group(1)}.{m.group(2)}")
                     for m in _IDENT_RE.finditer(seg):
                         if any(s <= offset + m.start() < e for s, e in spans):
                             continue

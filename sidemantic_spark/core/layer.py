@@ -368,9 +368,14 @@ class SparkSemanticLayer:
             # generation's waiters and does NOT poison the key.
             import threading as _threading
 
+            counted = False
             while True:
                 with self._flight_lock:
-                    hit = self._cache_get(key)
+                    # one query = one stat: only the FIRST lookup of
+                    # this call counts (a leader-vanished retry probes
+                    # again without inflating hit/miss numbers)
+                    hit = self._cache_get(key, count=not counted)
+                    counted = True
                     if hit is not None:
                         return hit
                     fl = self._inflight.get(key)
@@ -420,12 +425,13 @@ class SparkSemanticLayer:
                 raise
         return df
 
-    def _cache_get(self, key: str):
+    def _cache_get(self, key: str, count: bool = True):
         import time as _time
 
         entry = self._result_cache.get(key)
         if entry is None:
-            self._cache_misses += 1
+            if count:
+                self._cache_misses += 1
             return None
         df, stamp = entry
         if (
@@ -439,12 +445,14 @@ class SparkSemanticLayer:
                 df.unpersist()
             except Exception:
                 pass
-            self._cache_misses += 1
+            if count:
+                self._cache_misses += 1
             return None
         # LRU touch: move to the end
         self._result_cache.pop(key)
         self._result_cache[key] = (df, stamp)
-        self._cache_hits += 1
+        if count:
+            self._cache_hits += 1
         return df
 
     def _cache_put(self, key: str, df) -> None:

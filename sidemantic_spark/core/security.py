@@ -225,6 +225,14 @@ def enforce_field_visibility(graph, refs_by_kind: dict[str, list[str]]) -> None:
                 for tok in set(
                     _re.findall(r"(?<![\w.])([A-Za-z_]\w*)(?![\w.(])", seg)
                 ):
-                    base = tok.split("__", 1)[0]
+                    base, _, suffix = tok.rpartition("__")
+                    # strip ONLY real grain suffixes (mirrors REF_RE):
+                    # a column literally named created_at__raw is its
+                    # own identifier, not a spelling of created_at
+                    if not base or suffix not in (
+                        "second", "minute", "hour", "day", "week",
+                        "month", "quarter", "year",
+                    ):
+                        base = tok
                     for model_name in bare_scope:
                         _check(model_name, base, kind)

@@ -109,7 +109,7 @@ def _shadow_spans(
     enforcement; round-10 review finding)."""
     scan = _scan_text(sql)
     known_lower = {m.lower(): m for m in known_models}
-    spans: list[tuple[int, int, set[str]]] = []
+    bounds: list[tuple[int, int]] = []
     for m in re.finditer(r"\(\s*SELECT\b", scan, re.I):
         start = m.start()
         depth = 0
@@ -122,16 +122,26 @@ def _shadow_spans(
                 if depth == 0:
                     end = j + 1
                     break
-        if end is None:
-            end = len(scan)
-        shadowed = {
-            known_lower[a.group(1).lower()]
-            for a in _ALIAS_RE.finditer(scan[start:end])
-            if a.group(1).lower() in known_lower
-        }
-        if shadowed:
-            spans.append((start, end, shadowed))
-    return spans
+        bounds.append((start, end if end is not None else len(scan)))
+    # attribute each alias to the INNERMOST span containing it: an alias
+    # declared in a nested subquery must not shadow the enclosing
+    # subquery's correlated refs (round-10 review #2). An alias OUTSIDE
+    # every span is a top-level derived-table alias
+    # (``(SELECT ...) AS orders``) whose scope is the whole fragment.
+    shadow: dict[tuple[int, int], set[str]] = {}
+    for a in _ALIAS_RE.finditer(scan):
+        hit = known_lower.get(a.group(1).lower())
+        if hit is None:
+            continue
+        owner = None
+        for s, e in bounds:
+            if s <= a.start() < e and (
+                owner is None or s > owner[0]  # innermost = latest start
+            ):
+                owner = (s, e)
+        key = owner if owner is not None else (0, len(scan))
+        shadow.setdefault(key, set()).add(hit)
+    return [(s, e, models) for (s, e), models in shadow.items()]
 
 
 def _is_shadowed(

@@ -1329,3 +1329,39 @@ def test_explore_default_filter_validation_accepts_expressions():
 
     E2(name="ok4", model="orders", allowed_order_by=["created_at"],
        default_order_by=["created_at__month DESC"])
+
+
+def test_explore_default_filter_subquery_alias_columns_pass():
+    """Round-10 review #1: dotted subquery-alias columns (a.r) in a
+    default filter are subquery-scope, not disallowed fields."""
+    from sidemantic_spark.core.consumption import ContractError, Explore
+
+    Explore(name="ok_alias", model="orders",
+            allowed_filter_fields=["region"],
+            default_filters=["region IN (SELECT a.r FROM allowed_regions a)"])
+    # but the explore's own model stays binding
+    with pytest.raises(ContractError, match="default_filters"):
+        Explore(name="bad_own", model="orders",
+                allowed_filter_fields=["region"],
+                default_filters=["orders.margin > 0"])
+
+
+def test_visibility_allows_nongrain_double_underscore_columns(spark):
+    """Round-10 review #6: only REAL grain suffixes strip in the bare
+    scan — a column literally named created_at__raw is its own name."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    lyr = SparkSemanticLayer(spark)
+    lyr.enforce_visibility = True
+    lyr.add_model(Model(
+        name="vr_orders", table="t", primary_key="id",
+        dimensions=[
+            Dimension(name="created_at", type="time", public=False),
+            Dimension(name="created_at__raw"),  # distinct public column
+        ],
+        metrics=[Metric(name="cnt", agg="count")],
+    ))
+    # non-grain __suffix is NOT a spelling of the hidden time dim
+    lyr.compile(metrics=["vr_orders.cnt"],
+                filters=["created_at__raw = 'x'"])

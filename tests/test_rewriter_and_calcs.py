@@ -1757,3 +1757,22 @@ def test_generation_restore_skips_persistent_mutations(spark, sf_dir):
     # alongside an ephemeral expr-dim: no rewind below the new state
     rw.rewrite("SELECT MONTH(orders.order_date) AS m2, COUNT(*) FROM orders")
     assert lyr.graph.generation > gen0
+
+
+def test_alias_shadowing_nested_and_toplevel_scopes():
+    """Round-10 review #2/#4: an alias declared in a NESTED subquery
+    must not shadow the enclosing subquery's correlated refs, and a
+    top-level derived-table alias (`(SELECT ...) AS model`) shadows the
+    whole fragment."""
+    from sidemantic_spark.sql.fragments import find_refs, replace_refs
+
+    nested = ("EXISTS (SELECT 1 FROM t WHERE orders.region = 1 AND "
+              "EXISTS (SELECT 1 FROM audit AS orders))")
+    assert ("orders", "region", None) in find_refs(nested, {"orders"})
+    out = replace_refs(nested, {"orders"}, lambda m, f, g: f"{m}_cte.{f}")
+    assert "orders_cte.region" in out
+
+    top = "(SELECT max(v) FROM t) AS orders WHERE orders.margin > 0"
+    assert find_refs(top, {"orders"}) == []
+    out2 = replace_refs(top, {"orders"}, lambda m, f, g: f"{m}_cte.{f}")
+    assert "orders.margin" in out2 and "orders_cte" not in out2
