@@ -32,6 +32,16 @@ _SQL_WORDS = {
     "AND", "OR", "NOT", "IN", "IS", "NULL", "LIKE", "BETWEEN", "TRUE",
     "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "EXISTS", "CAST",
     "DATE", "TIMESTAMP", "INTERVAL",
+    # niladic functions and interval-unit keywords: bare tokens that are
+    # SQL, not field refs (reference expression_field_references only
+    # collects exp.Column nodes, so "created_at >= CURRENT_DATE -
+    # INTERVAL '7' DAY" never flags CURRENT_DATE/DAY there either)
+    "CURRENT_DATE", "CURRENT_TIMESTAMP", "CURRENT_TIME", "LOCALTIME",
+    "LOCALTIMESTAMP", "CURRENT_USER", "SESSION_USER",
+    "MICROSECOND", "MICROSECONDS", "MILLISECOND", "MILLISECONDS",
+    "SECOND", "SECONDS", "MINUTE", "MINUTES", "HOUR", "HOURS",
+    "DAY", "DAYS", "WEEK", "WEEKS", "MONTH", "MONTHS",
+    "QUARTER", "QUARTERS", "YEAR", "YEARS",
 }
 
 

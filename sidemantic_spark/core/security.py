@@ -204,6 +204,36 @@ def enforce_field_visibility(graph, refs_by_kind: dict[str, list[str]]) -> None:
             scope.update(
                 m for m, _f, _g in find_refs(text, known, shadowing=False)
             )
+    # unqualified selected fields also bind the scope: a query selecting
+    # bare `revenue` touches every model owning a `revenue` (and, for a
+    # graph-level metric, the models its expression references) — so a
+    # bare filter token is checked against the models the query actually
+    # touches rather than the whole graph (graph-wide false positives:
+    # a hidden `region` on an unrelated model must not reject filters on
+    # model A). Falls back to ALL models only when nothing resolves.
+    _GRAINS = (
+        "second", "minute", "hour", "day", "week", "month", "quarter",
+        "year",
+    )
+    for kind in ("metrics", "dimensions"):
+        for text in dequoted.get(kind, []):
+            name = text.strip()
+            if not name or "." in name or not _re.fullmatch(r"\w+", name):
+                continue
+            base, _, suffix = name.rpartition("__")
+            if not base or suffix not in _GRAINS:
+                base = name
+            for mname, model in graph.models.items():
+                if model.metric(base) is not None or model.dimension(base) is not None:
+                    scope.add(mname)
+            gm = getattr(graph, "metrics", {}).get(base)
+            if gm is not None:
+                for attr in ("sql", "expr", "expression"):
+                    expr = getattr(gm, attr, None)
+                    if isinstance(expr, str):
+                        scope.update(
+                            m for m, _f, _g in find_refs(expr, known, shadowing=False)
+                        )
     bare_scope = scope or known
 
     for kind, texts in dequoted.items():

@@ -129,6 +129,7 @@ def _shadow_spans(
     # every span is a top-level derived-table alias
     # (``(SELECT ...) AS orders``) whose scope is the whole fragment.
     shadow: dict[tuple[int, int], set[str]] = {}
+    span_ends = {e for _s, e in bounds}
     for a in _ALIAS_RE.finditer(scan):
         hit = known_lower.get(a.group(1).lower())
         if hit is None:
@@ -139,8 +140,18 @@ def _shadow_spans(
                 owner is None or s > owner[0]  # innermost = latest start
             ):
                 owner = (s, e)
-        key = owner if owner is not None else (0, len(scan))
-        shadow.setdefault(key, set()).add(hit)
+        if owner is None:
+            # whole-fragment shadowing applies ONLY to a derived-table
+            # alias — `(SELECT ...) AS name` with the `AS` directly after
+            # a span's closing paren. Any other bare `AS name` (a
+            # select-list or CAST-adjacent alias that happens to equal a
+            # model name) names an output column, which must not suppress
+            # classification of genuine model refs in the fragment.
+            prev = scan[:a.start()].rstrip()
+            if not (prev.endswith(")") and len(prev) in span_ends):
+                continue
+            owner = (0, len(scan))
+        shadow.setdefault(owner, set()).add(hit)
     return [(s, e, models) for (s, e), models in shadow.items()]
 
 

@@ -486,6 +486,19 @@ class SqlGenerator:
                     f"unknown dimension {ref!r}"
                     + _did_you_mean(dim_name, [d.name for d in model.dimensions])
                 )
+            if grain and dim.type != "time":
+                # BEYOND the reference: its validation checks only the
+                # grain word and base-dim existence (ref
+                # core/validation.py:873-880), so `status__month`
+                # compiles there and dies at runtime with a raw
+                # CAST_INVALID_INPUT from DATE_TRUNC on a categorical
+                # column. Fail at compile time instead (same family as
+                # the unknown-granularity error above).
+                raise QueryCompileError(
+                    f"granularity suffix {grain!r} on non-time dimension "
+                    f"{model_name}.{dim_name} (type {dim.type!r}); grain "
+                    "suffixes apply to time dimensions only"
+                )
             grain = grain or (dim.granularity if dim.type == "time" else None)
             # window-function dimensions project their raw OVER sql in
             # the model CTE (ref core/dimension.py:47-50); time dims may
@@ -501,6 +514,22 @@ class SqlGenerator:
                 out = f"{model_name}_{out}"
             used_outs.add(out)
             dims.append(RDim(model_name, dim_name, grain, out, expr))
+
+        # grain suffixes in filters/order_by get the same compile-time
+        # non-time gate as selected dimensions (the truncation at the
+        # _date_trunc call sites below would otherwise die at runtime)
+        for clause in list(spec.filters) + list(spec.order_by):
+            for m_name, fld, g in find_refs(clause, known):
+                if not g:
+                    continue
+                mdl = self.graph.models.get(m_name)
+                d = mdl.dimension(fld) if mdl is not None else None
+                if d is not None and d.type != "time":
+                    raise QueryCompileError(
+                        f"granularity suffix {g!r} on non-time dimension "
+                        f"{m_name}.{fld} (type {d.type!r}); grain "
+                        "suffixes apply to time dimensions only"
+                    )
 
         metrics: list[RMetric] = []
         for ref in spec.metrics:

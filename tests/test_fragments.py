@@ -38,3 +38,26 @@ def test_find_refs_ignores_refs_inside_escaped_literal():
     assert ("orders", "status", None) in refs
     assert ("orders", "priority", None) in refs
     assert not any(f == "fake" for _m, f, _g in refs)
+
+
+def test_select_list_alias_equal_to_model_does_not_shadow_fragment():
+    # ADVICE r10: `CAST(x AS INT) AS orders` (or any top-level select-list
+    # alias equal to a model name) must NOT suppress classification of
+    # genuine orders.* refs in the same fragment — only a derived-table
+    # alias `(SELECT ...) AS orders` shadows whole-fragment.
+    refs = find_refs(
+        "CAST(orders.amount AS INT) AS orders", {"orders"},
+    )
+    assert ("orders", "amount", None) in refs
+    # a real derived-table alias still shadows the whole fragment
+    refs2 = find_refs(
+        "(SELECT max(x) FROM audit) AS orders WHERE orders.amount > 0",
+        {"orders"},
+    )
+    assert ("orders", "amount", None) not in refs2
+    # ...but shadowing=False (security scans) still sees everything
+    refs3 = find_refs(
+        "(SELECT max(x) FROM audit) AS orders WHERE orders.amount > 0",
+        {"orders"}, shadowing=False,
+    )
+    assert ("orders", "amount", None) in refs3

@@ -1365,3 +1365,64 @@ def test_visibility_allows_nongrain_double_underscore_columns(spark):
     # non-grain __suffix is NOT a spelling of the hidden time dim
     lyr.compile(metrics=["vr_orders.cnt"],
                 filters=["created_at__raw = 'x'"])
+
+
+def test_explore_default_filters_accept_niladic_sql_keywords():
+    """ADVICE r10 (medium): CURRENT_DATE / INTERVAL-unit keywords in
+    default_filters are SQL, not field refs — the reference's
+    sqlglot-based expression_field_references collects exp.Column only,
+    so `created_at >= CURRENT_DATE - INTERVAL '7' DAY` is legal under
+    allowed_filter_fields=['created_at']."""
+    from sidemantic_spark.core.consumption import ContractError, Explore
+
+    e = Explore(
+        name="recent", model="orders",
+        allowed_filter_fields=["created_at"],
+        default_filters=[
+            "orders.created_at >= CURRENT_DATE - INTERVAL '7' DAY",
+            "created_at < CURRENT_TIMESTAMP",
+        ],
+    )
+    assert e.default_filters
+    # a genuinely disallowed bare field still rejects
+    import pytest as _pytest
+    with _pytest.raises(ContractError, match="status"):
+        Explore(
+            name="bad", model="orders",
+            allowed_filter_fields=["created_at"],
+            default_filters=["status = 'paid' AND created_at >= CURRENT_DATE"],
+        )
+
+
+def test_bare_filter_token_scoped_to_touched_models(spark):
+    """ADVICE r10 (low): a bare token in a filter on model A must not be
+    rejected just because an UNRELATED model hides a field of the same
+    name — bare-token visibility checks scope to the models the query
+    touches (falling back to all models only when nothing resolves)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+    from sidemantic_spark.core.security import SecurityError
+
+    lyr = SparkSemanticLayer(spark)
+    lyr.enforce_visibility = True
+    lyr.add_model(Model(
+        name="bs_orders", table="t1", primary_key="id",
+        dimensions=[Dimension(name="region")],
+        metrics=[Metric(name="cnt", agg="count")],
+    ))
+    lyr.add_model(Model(
+        name="bs_audit", table="t2", primary_key="id",
+        dimensions=[Dimension(name="region", public=False)],
+        metrics=[Metric(name="acnt", agg="count")],
+    ))
+    # qualified-scope query on bs_orders: bare `region` binds to
+    # bs_orders.region (public) — bs_audit's hidden homonym is unrelated
+    sql = lyr.compile(metrics=["bs_orders.cnt"], filters=["region = 'emea'"])
+    assert "bs_orders" in sql
+    # the hidden field still rejects when the query touches ITS model
+    import pytest as _pytest
+    with _pytest.raises(SecurityError, match="region"):
+        lyr.compile(metrics=["bs_audit.acnt"], filters=["region = 'emea'"])
+    # unqualified selected metric resolves scope too
+    with _pytest.raises(SecurityError, match="region"):
+        lyr.compile(metrics=["acnt"], filters=["region = 'emea'"])
