@@ -70,6 +70,17 @@ OPS = [
 # The bucket cap (pairs_from_bucket_keys bucket_cap=256) must bound
 # the emitted pairs, so wall time should stay within ~the benign sf1
 # run even though duplicate density is 10x worse.
+#
+# CANONICAL PIN (VERDICT r10 ask #4): this exact configuration —
+# sf1 rows (10x sf0.1), 10-deep identical-replica cliques, compared
+# against the SAME round's benign sf1 wall time — is the one
+# adversarial number recorded round-over-round. Ceiling: the
+# adv_over_benign ratio must stay <= ADV_CEILING; the JSON carries
+# config + ceiling + within_ceiling so drift is detectable without
+# cross-referencing round notes (r9 measured 2.54x, r10 3.56x under
+# differing clique depths — this pin makes the series comparable).
+ADV_CONFIG = "sf1_identical_replicas_x10_depth10_cliques"
+ADV_CEILING = 4.0
 ADVERSARIAL_OPS = ["sim_semantic_dedup", "dedup_minhash_lsh"]
 SF1_ADV_DIR = os.environ.get(
     "SPARK_GRAFT_SF1_ADV_DIR", "/tmp/spark_graft_synth_sf1_adv"
@@ -437,13 +448,18 @@ def main() -> None:
                 rows = fn(spark, adv).count()
                 times.append(time.perf_counter() - t0)
             benign = results.get(op, {}).get("sf1", {}).get("sec")
+            ratio = round(min(times) / benign, 2) if benign else None
             adv_results[op] = {
                 "sec": round(min(times), 3),
                 "rows": rows,
                 "benign_sf1_sec": benign,
-                "adv_over_benign": round(min(times) / benign, 2) if benign else None,
+                "adv_over_benign": ratio,
+                "config": ADV_CONFIG,
+                "ceiling": ADV_CEILING,
+                "within_ceiling": (ratio is not None and ratio <= ADV_CEILING),
             }
-            print(f"# {op} @sf1-adversarial: {min(times):.2f}s ({rows} rows)",
+            print(f"# {op} @sf1-adversarial: {min(times):.2f}s ({rows} rows), "
+                  f"adv_over_benign={ratio} (ceiling {ADV_CEILING})",
                   file=sys.stderr)
 
     print(json.dumps({

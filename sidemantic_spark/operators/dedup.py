@@ -1133,13 +1133,30 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact word n-gram Jaccard similarity for pairs sharing at least
     one n-gram (inverted-index join — shuffle on n-gram hash).
 
-    For corpora where common n-grams explode the index, raise ``n`` or
-    pre-filter with :func:`minhash_lsh_pairs`; this operator is the
-    exact verifier of the dedup family.
+    ``prefix_filter=True`` (default) indexes only each document's
+    PREFIX grams — the first ``|g| - ceil(t*|g|) + 1`` grams under a
+    global total order (the kernel's arrays are sorted-distinct int64
+    hashes, so ascending hash IS a consistent global order at zero
+    cost). Classic prefix-filtering lemma (Bayardo et al., "Scaling Up
+    All Pairs Similarity Search", WWW'07; Xiao et al. PPJoin): if
+    J(A,B) >= t and prefix(A) ∩ prefix(B) = ∅, every common gram would
+    have to sit past both prefixes, bounding |A∩B| <= ceil(t*|A|)-1 <
+    t*|A∪B| — contradiction. Candidates therefore remain a SUPERSET of
+    all true pairs and the verified output is identical; only the
+    posting-list explosion shrinks, from |g| rows/doc to
+    (1-t)*|g|+1 rows/doc and candidate pairs by ~the square of that.
+    This was the dominant stage of the cluster pipeline at sf10
+    (500k docs): posting-list duplication is |grams| per doc, and the
+    bucket-local minhash trick cannot transplant here (r10 verdict).
+
+    For corpora where common n-grams still explode the index, raise
+    ``n`` or pre-filter with :func:`minhash_lsh_pairs`; this operator
+    is the exact verifier of the dedup family.
     """
     df = _spread(df, _bounded_count(df, _SPREAD_CAP))
     # gram hashes via the Arrow batch kernel (bit-identical to the
@@ -1150,13 +1167,27 @@ def ngram_jaccard_pairs(
     docs = normed.select(
         "__id", _word_gram_hashes_udf(n)(F.col("__norm")).alias("__grams")
     )
-    # inverted index as bucket keys: every gram is a bucket; candidate
-    # generation (grouping, capping, pair expansion, dedup, AQE-proof
-    # repartition) shared with the LSH family. Posting lists of
-    # stop-gram-like n-grams are capped the same way degenerate LSH
+    # inverted index as bucket keys: every indexed gram is a bucket;
+    # candidate generation (grouping, capping, pair expansion, dedup,
+    # AQE-proof repartition) shared with the LSH family. Posting lists
+    # of stop-gram-like n-grams are capped the same way degenerate LSH
     # buckets are (cap high enough that sf-scale corpora stay exact).
+    if prefix_filter and 0.0 < threshold <= 1.0:
+        size = F.size("__grams")
+        # the -1e-9 epsilon guards float-UP noise in t*|g| (a ceil one
+        # too high would shorten the prefix below the lemma's bound and
+        # silently drop true pairs; one too LONG merely indexes an
+        # extra gram and stays exact)
+        plen = (
+            size
+            - F.ceil(F.lit(float(threshold)) * size.cast("double") - F.lit(1e-9)).cast("int")
+            + 1
+        )
+        index_grams = F.slice(F.col("__grams"), F.lit(1), plen)
+    else:
+        index_grams = F.col("__grams")
     banded = docs.select(
-        "__id", F.lit(0).alias("band"), F.explode("__grams").alias("bhash")
+        "__id", F.lit(0).alias("band"), F.explode(index_grams).alias("bhash")
     )
     cand = pairs_from_bucket_keys(banded, bucket_cap=1024)
     # size-gated exact verify shared with minhash_lsh_pairs
