@@ -115,16 +115,34 @@ def _cube_filter_to_sql(
     return None
 
 
+_ROLE_NAME_RE = re.compile(r"^[A-Za-z0-9_\-. ]+$")
+
+
 def _access_policy_to_security(access_policy):
     """Cube ``access_policy`` -> (SecurityPolicy | None, unmapped set).
 
     Translates the mechanical subset — ``row_level.filters`` — into row
     filters (bare columns: they evaluate inside the model's own CTE).
-    Role/condition gating and member-level rules have no static SQL
-    equivalent; they are reported as unmapped so the import warns and
-    preserves them in meta. Filters inside one policy combine per
-    ``filters_type`` (default AND); OR groups are parenthesized because
-    separate row filters are later ANDed and ``A OR B AND C`` binds as
+
+    Role-scoped policies (r10 VERDICT ask #7): a policy with a plain
+    ``role:`` and only ``row_level`` rules translates to a Jinja-guarded
+    row filter implementing Cube's union-of-grants semantics — rows a
+    user may see are the OR of the ``row_level`` expressions of the
+    policies whose role matches ``user.role`` / ``user.roles`` (deny
+    when none match, like Cube's deny-by-default once policies exist).
+    The repo's row-filter renderer evaluates ``{% if %}`` control flow
+    against the live user context, so the grant resolves per query.
+    Condition gating (``conditions:``) and member-level rules still
+    have no static SQL equivalent; they stay unmapped (warned,
+    preserved in meta), and an untranslatable role-scoped policy's
+    filters fall back to applying UNCONDITIONALLY (fail-closed: too
+    narrow, never too wide).
+
+    Star policies (role ``"*"``/absent) keep their established
+    semantics: each policy's expression is its own mandatory row filter
+    (AND-ed). Filters inside one policy combine per ``filters_type``
+    (default AND); OR groups are parenthesized because separate row
+    filters are later ANDed and ``A OR B AND C`` binds as
     ``A OR (B AND C)``."""
     from sidemantic_spark.core.security import SecurityPolicy
 
@@ -132,23 +150,35 @@ def _access_policy_to_security(access_policy):
         return None, set()
     row_filters: list[str] = []
     unmapped: set[str] = set()
+    role_grants: list[tuple[str, str]] = []  # (role, SQL expr or "TRUE")
     for policy in access_policy:
         if not isinstance(policy, dict):
             continue
+        role = policy.get("role")
+        role_scoped = role not in (None, "*")
+        translatable_role = (
+            role_scoped
+            and isinstance(role, str)
+            and _ROLE_NAME_RE.match(role) is not None
+            and not policy.get("conditions")
+            and not policy.get("member_level")
+        )
         if policy.get("conditions"):
             unmapped.add("conditions")
-        if policy.get("role") not in (None, "*"):
+        if role_scoped and not translatable_role:
             unmapped.add("role")
         if policy.get("member_level"):
             unmapped.add("member_level")
         row_level = policy.get("row_level") or {}
         combine = str(row_level.get("filters_type") or "and").lower()
         fragments: list[str] = []
+        failed = False
         for filt in row_level.get("filters") or []:
             if not isinstance(filt, dict):
                 continue
             if "and" in filt or "or" in filt:
                 unmapped.add("nested_filters")
+                failed = True
                 continue
             sql = _cube_filter_to_sql(
                 filt.get("member", ""), filt.get("operator", ""),
@@ -156,10 +186,25 @@ def _access_policy_to_security(access_policy):
             )
             if sql is None:
                 unmapped.add(f"operator:{filt.get('operator')}")
+                failed = True
             else:
                 fragments.append(
                     f"({sql})" if " OR " in sql or " AND " in sql else sql
                 )
+        if translatable_role:
+            if row_level.get("allow_all") or (
+                not row_level.get("filters") and not failed
+            ):
+                role_grants.append((role, "TRUE"))
+            elif fragments and not failed:
+                joiner = " OR " if combine == "or" else " AND "
+                role_grants.append((role, "(" + joiner.join(fragments) + ")"))
+            else:
+                # partially/fully untranslatable role grant: no grant at
+                # all (that role's rows deny) — dropping an AND conjunct
+                # would WIDEN access; warned via unmapped
+                unmapped.add("role")
+            continue
         if not fragments:
             continue
         if len(fragments) == 1:
@@ -168,6 +213,20 @@ def _access_policy_to_security(access_policy):
             row_filters.append("(" + " OR ".join(fragments) + ")")
         else:
             row_filters.append(" AND ".join(fragments))
+    if role_grants:
+        branches = []
+        for role, expr in role_grants:
+            cond = (
+                f"user.get('role') == '{role}' "
+                f"or '{role}' in user.get('roles', [])"
+            )
+            branches.append(
+                "{% if " + cond + " %}" + expr + "{% else %}FALSE{% endif %}"
+            )
+        if len(branches) == 1:
+            row_filters.append("(" + branches[0] + ")")
+        else:
+            row_filters.append("(" + " OR ".join(branches) + ")")
     if not row_filters:
         return None, unmapped
     return SecurityPolicy(row_filters=row_filters), unmapped

@@ -578,7 +578,24 @@ class Model:
                 ) + ")"
         return None
 
+    def _refresh_if_stale(self) -> None:
+        # the reference lets callers mutate the field LISTS directly
+        # (its planner tests do `orders.metrics.append(...)` and query);
+        # the O(1) indices here go stale on that — a cheap length check
+        # on the miss path reindexes so direct appends keep working
+        # (renames/replacements still need an explicit reindex())
+        if (
+            len(self._dims) != len(self.dimensions)
+            or len(self._metrics) != len(self.metrics)
+            or len(self._segments) != len(self.segments)
+        ):
+            self.reindex()
+
     def dimension(self, name: str) -> Dimension | None:
+        dim = self._dims.get(name)
+        if dim is not None:
+            return dim
+        self._refresh_if_stale()
         dim = self._dims.get(name)
         if dim is not None:
             return dim
@@ -593,7 +610,11 @@ class Model:
         return None
 
     def metric(self, name: str) -> Metric | None:
-        return self._metrics.get(name)
+        hit = self._metrics.get(name)
+        if hit is None:
+            self._refresh_if_stale()
+            hit = self._metrics.get(name)
+        return hit
 
     # reference API-name parity (core/model.py:104,111): a user porting
     # code that calls get_dimension/get_metric keeps working
@@ -604,7 +625,11 @@ class Model:
         return self.metric(name)
 
     def segment(self, name: str) -> Segment | None:
-        return self._segments.get(name)
+        hit = self._segments.get(name)
+        if hit is None:
+            self._refresh_if_stale()
+            hit = self._segments.get(name)
+        return hit
 
     # -- dimension hierarchies (reference core/model.py:132-196) ------
 

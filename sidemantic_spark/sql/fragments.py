@@ -234,6 +234,11 @@ def split_conjuncts(sql: str) -> list[str]:
     token = []
     i = 0
     upper = sql.upper()
+    # a top-level BETWEEN's connector AND is part of the predicate, not
+    # a conjunction boundary ("x BETWEEN a AND b AND y = 1" splits only
+    # at the SECOND AND) — r11 planner-parity port exposed the naive
+    # split emitting "(x BETWEEN a)" into a CTE WHERE
+    between_pending = 0
     while i < len(sql):
         ch = sql[i]
         if ch == "'":
@@ -250,14 +255,27 @@ def split_conjuncts(sql: str) -> list[str]:
                 depth -= 1
             elif (
                 depth == 0
+                and upper.startswith("BETWEEN", i)
+                and (i == 0 or not sql[i - 1].isalnum() and sql[i - 1] != "_")
+                and (
+                    i + 7 >= len(sql)
+                    or not sql[i + 7].isalnum() and sql[i + 7] != "_"
+                )
+            ):
+                between_pending += 1
+            elif (
+                depth == 0
                 and upper.startswith("AND", i)
                 and (i == 0 or not sql[i - 1].isalnum() and sql[i - 1] != "_")
                 and (i + 3 >= len(sql) or not sql[i + 3].isalnum() and sql[i + 3] != "_")
             ):
-                parts.append("".join(token).strip())
-                token = []
-                i += 3
-                continue
+                if between_pending:
+                    between_pending -= 1
+                else:
+                    parts.append("".join(token).strip())
+                    token = []
+                    i += 3
+                    continue
         token.append(ch)
         i += 1
     last = "".join(token).strip()

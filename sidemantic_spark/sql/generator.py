@@ -499,6 +499,7 @@ class SqlGenerator:
                     f"{model_name}.{dim_name} (type {dim.type!r}); grain "
                     "suffixes apply to time dimensions only"
                 )
+            grain_explicit = grain is not None
             grain = grain or (dim.granularity if dim.type == "time" else None)
             # window-function dimensions project their raw OVER sql in
             # the model CTE (ref core/dimension.py:47-50); time dims may
@@ -509,7 +510,15 @@ class SqlGenerator:
                     _validate_timezone(spec.timezone)
                     expr = f"FROM_UTC_TIMESTAMP({expr}, '{spec.timezone}')"
                 expr = _date_trunc(grain, expr)
-            out = alias or (f"{dim_name}__{grain}" if grain else dim_name)
+            # output naming matches the reference: an EXPLICIT grain
+            # suffix names the column with the suffix; a bare time-dim
+            # ref still truncates at its configured granularity but
+            # keeps its bare name (ref planner fixture: selecting
+            # orders.order_date yields column `order_date` that outer
+            # wrappers filter by; r11 planner-parity port)
+            out = alias or (
+                f"{dim_name}__{grain}" if grain and grain_explicit else dim_name
+            )
             if out in used_outs:
                 out = f"{model_name}_{out}"
             used_outs.add(out)

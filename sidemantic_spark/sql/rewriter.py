@@ -855,17 +855,88 @@ class SemanticSqlRewriter:
                 cur = parts[0]
         between = cur.strip()
         # only an optional subquery alias may sit between ) and clauses
-        if between and not re.fullmatch(
-            r"(?:AS\s+)?[A-Za-z_][A-Za-z0-9_]*", between, re.I
-        ):
+        # (quoted forms included: PowerQuery emits `AS "_"`)
+        _ALIAS_FORM = (
+            r'(?:AS\s+)?(?:"([A-Za-z_][A-Za-z0-9_]*)"'
+            r"|`([A-Za-z_][A-Za-z0-9_]*)`"
+            r"|([A-Za-z_][A-Za-z0-9_]*))"
+        )
+        alias_m = re.fullmatch(_ALIAS_FORM, between, re.I) if between else None
+        if between and alias_m is None:
             return None
+        # wrapper QUALIFY `fn() OVER (...) <= k` folds like the
+        # expanded-rownum BI shape: synthesize the rn column and let
+        # _rule_rownum_topn choose fold-to-LIMIT vs window stage
+        # (Spark has no QUALIFY, so leaving it in the wrapper would
+        # fail at parse — ref qualify_row_number_topn :2841)
+        qualify_rn = None
         if "QUALIFY" in clause_vals:
-            return None
+            if "WHERE" in clause_vals:
+                return None
+            qv = clause_vals.pop("QUALIFY").strip()
+            qm = re.match(
+                r"(?:ROW_NUMBER|RANK|DENSE_RANK)\s*\(\s*\)\s*OVER\s*\(",
+                qv, re.I,
+            )
+            if qm is None:
+                return None
+            over_open = qm.end() - 1
+            end_rel = _find_balanced_paren(qv[over_open:])
+            if end_rel is None:
+                return None
+            rest = qv[over_open + end_rel + 1:].strip()
+            cm = re.fullmatch(r"(<=|<)\s*(\d+)", rest)
+            if cm is None:
+                return None
+            qualify_rn = (
+                qv[: over_open + end_rel + 1], cm.group(1), cm.group(2)
+            )
+        # alias-qualified outer refs (`sq.status`, `"_"."status"` — BI
+        # tools emit these) de-qualify to the bare output names the
+        # colmap knows — unless the alias shadows a model name, where
+        # `alias.field` may be a genuine semantic ref (r11
+        # planner-parity port: the reference accepts `sq.status = ...`
+        # / `ORDER BY sq.total_revenue`)
+        if alias_m is not None:
+            alias = next(g for g in alias_m.groups() if g)
+            known = {m.lower() for m in self.layer.graph.models}
+            if alias.lower() not in known:
+                dq_re = re.compile(
+                    r'(?<![\w.])["`]?%s["`]?\s*\.\s*'
+                    r'(?:"([A-Za-z_]\w*)"|`([A-Za-z_]\w*)`|([A-Za-z_]\w*))'
+                    % re.escape(alias),
+                    re.I,
+                )
+
+                def _dequalify(text: str) -> str:
+                    out = []
+                    for seg in re.split(r"('(?:[^']|'')*')", text):
+                        out.append(
+                            seg if seg.startswith("'")
+                            else dq_re.sub(
+                                lambda m: m.group(1) or m.group(2)
+                                or m.group(3),
+                                seg,
+                            )
+                        )
+                    return "".join(out)
+
+                outer_list = _dequalify(outer_list)
+                clause_vals = {
+                    k: _dequalify(v) for k, v in clause_vals.items()
+                }
         inner = self._parse_inner(inner_sql)
         if inner is None:
             inner = self._parse_inner_expanded(inner_sql)
         if inner is None:
             return None
+        if qualify_rn is not None:
+            if inner.rn is not None:
+                return None
+            inner.rn = ("__qualify_rn", qualify_rn[0])
+            clause_vals["WHERE"] = (
+                f"__qualify_rn {qualify_rn[1]} {qualify_rn[2]}"
+            )
 
         outer_items = [_split_item_alias(i) for i in _split_items(outer_list)]
 
@@ -1024,13 +1095,32 @@ class SemanticSqlRewriter:
                 offset=lo - 1 if lo > 1 else None,
             )
             self._applied_rules.append("rownum_topn_limit")
-            return self._generate(spec)
+            compiled = self._generate(spec)
+            star = len(outer_items) == 1 and outer_items[0][0] == "*"
+            if not star:
+                want = [alias or ref for ref, alias in outer_items]
+                produced = [
+                    a or o for o, k, _r, a in spec_entries if k == "dim"
+                ] + [
+                    a or o for o, k, _r, a in spec_entries if k == "metric"
+                ]
+                if want != produced:
+                    compiled = self._post_project(compiled, want)
+            return compiled
 
         # partitioned (or RANK/DENSE_RANK) top-N: window stage above the
         # compiled plan, filtered in a subquery (Spark has no QUALIFY)
         spec = QuerySpec(metrics=metrics, dimensions=dims, filters=filters)
         compiled = self._generate(spec)
-        outs = ", ".join(o for o, _k, _r, _a in inner.entries)
+        if len(outer_items) == 1 and outer_items[0][0] == "*":
+            outs = ", ".join(o for o, _k, _r, _a in inner.entries)
+        else:
+            # the OUTER projection (already validated = the full inner
+            # column set) drives name order — BI tools bind by position
+            outs = ", ".join(
+                f"{ref} AS {alias}" if alias else ref
+                for ref, alias in outer_items
+            )
 
         # window spec references must use the compiled plan's OUTPUT
         # column names, not the semantic model-qualified refs
@@ -1200,10 +1290,14 @@ class SemanticSqlRewriter:
             inner_dims = {o for o, k, _r, _a in inner.entries if k == "dim"}
             if {o for o, k, _r, _a in keep if k == "dim"} != inner_dims:
                 return None
+        # the outer-visible name is the outer alias when given, else the
+        # INNER output name — `SELECT orders.revenue AS total_revenue`
+        # wrapped and re-selected must stay `total_revenue`, not revert
+        # to the metric's default name (r11 planner-parity port)
         metrics = [
-            f"{r} AS {a}" if a else r for _o, k, r, a in keep if k == "metric"
+            f"{r} AS {a or o}" for o, k, r, a in keep if k == "metric"
         ]
-        dims = [f"{r} AS {a}" if a else r for _o, k, r, a in keep if k == "dim"]
+        dims = [f"{r} AS {a or o}" for o, k, r, a in keep if k == "dim"]
         filters = self._inner_filters(inner)
         pushed = False
         if "WHERE" in clause_vals:
@@ -1236,7 +1330,40 @@ class SemanticSqlRewriter:
             and not inner.distinct,
         )
         self._applied_rules.append("wrapper_pushdown")
-        return self._generate(spec)
+        compiled = self._generate(spec)
+        if not star:
+            # the generator lays out dims-then-metrics; an outer
+            # projection in a different order gets a zero-cost Project
+            # on top (Catalyst collapses it) so the column ORDER the BI
+            # tool asked for survives the flatten
+            want = [a or o for o, _k, _r, a in keep]
+            produced = [a or o for o, k, _r, a in keep if k == "dim"] + [
+                a or o for o, k, _r, a in keep if k == "metric"
+            ]
+            if want != produced:
+                compiled = self._post_project(compiled, want)
+        return compiled
+
+    def _post_project(self, compiled: str, want: list[str]) -> str:
+        """Wrap a compiled plan in ``SELECT <want> FROM (...)`` keeping
+        the instrumentation header and any top-level ORDER BY / LIMIT /
+        OFFSET OUTSIDE the subquery (ordering through a subquery is not
+        guaranteed)."""
+        head = ""
+        body = compiled
+        if body.startswith("--"):
+            head, body = body.split("\n", 1)
+        tail_parts: list[str] = []
+        cur = body
+        for kw in ("OFFSET", "LIMIT", "ORDER BY"):
+            parts = _top_level_split(cur, kw)
+            if len(parts) > 1:
+                tail_parts.insert(0, f"{kw} {parts[-1].strip()}")
+                cur = parts[0]
+        sql = f"SELECT {', '.join(want)} FROM (\n{cur.strip()}\n)"
+        if tail_parts:
+            sql += "\n" + "\n".join(tail_parts)
+        return (head + "\n" + sql) if head else sql
 
     def _rewrite_fromless(self, select_body: str) -> str | None:
         """``SELECT`` without a top-level FROM whose items are scalar

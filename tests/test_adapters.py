@@ -6079,3 +6079,106 @@ def test_yaml_inactive_relationship_roundtrip(spark):
     rels = {r.foreign_key: r for r in layer2.graph.models["sales"].relationships}
     assert rels["ship_date_key"].active is False
     assert rels["order_date_key"].active is True
+
+
+def test_cube_role_scoped_access_policy_translates_to_governed_rls(spark):
+    """r10 VERDICT ask #7: role-scoped Cube access policies (plain
+    role + row_level, no conditions/member_level) translate into a
+    Jinja-guarded row filter implementing Cube's union-of-grants:
+    admins see everything, a scoped role sees its rows, an unknown
+    role (or no user) sees nothing. No warning fires — the policy is
+    fully translated."""
+    import warnings as _warnings
+
+    import yaml as _yaml
+
+    from sidemantic_spark.adapters import ADAPTERS
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        ADAPTERS["cube"]().parse(layer, _yaml.safe_load("""
+cubes:
+  - name: rs_orders
+    sql_table: adapter_orders
+    access_policy:
+      - role: admin
+        row_level:
+          allow_all: true
+      - role: finance
+        row_level:
+          filters:
+            - member: "{CUBE}.status"
+              operator: equals
+              values: [paid]
+    dimensions:
+      - name: order_id
+        sql: order_id
+        type: number
+        primary_key: true
+      - name: status
+        sql: status
+        type: string
+    measures:
+      - name: order_count
+        type: count
+"""))
+    assert not [w for w in caught if "access_policy" in str(w.message)]
+    m = layer.graph.models["rs_orders"]
+    assert m.security is not None and len(m.security.row_filters) == 1
+
+    def count(user):
+        return layer.query(
+            metrics=["rs_orders.order_count"], user=user
+        ).collect()[0][0]
+
+    assert count({"role": "admin"}) == 3          # allow_all grant
+    assert count({"roles": ["finance"]}) == 2     # paid rows only
+    assert count({"role": "intern"}) in (0, None)  # no matching grant
+    assert count(None) in (0, None)                # no user context
+    con.close()
+
+
+def test_cube_role_policy_with_conditions_stays_failclosed_and_warned(spark):
+    """A role policy carrying `conditions:` is NOT translatable — its
+    filters apply unconditionally (fail-closed, never wider) and the
+    import warns with the unmapped constructs."""
+    import warnings as _warnings
+
+    import yaml as _yaml
+
+    from sidemantic_spark.adapters import ADAPTERS
+
+    con = _seed_orders(spark)
+    layer = SparkSemanticLayer(spark)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        ADAPTERS["cube"]().parse(layer, _yaml.safe_load("""
+cubes:
+  - name: rc_orders
+    sql_table: adapter_orders
+    access_policy:
+      - role: ops
+        conditions:
+          - if: "{ security_context.enabled }"
+        row_level:
+          filters:
+            - member: "{CUBE}.status"
+              operator: equals
+              values: [paid]
+    dimensions:
+      - name: order_id
+        sql: order_id
+        type: number
+        primary_key: true
+    measures:
+      - name: order_count
+        type: count
+"""))
+    msgs = [str(w.message) for w in caught if "access_policy" in str(w.message)
+            or "row filter" in str(w.message)]
+    assert msgs and any("conditions" in m for m in msgs)
+    n = layer.query(metrics=["rc_orders.order_count"]).collect()[0][0]
+    assert n == 2  # filter applies unconditionally (fail-closed)
+    con.close()

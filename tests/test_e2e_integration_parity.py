@@ -29,14 +29,14 @@ def e2e_db(spark):
     (test_end_to_end.py:33-110)."""
     global _E2E_VIEWS_READY
     if not _E2E_VIEWS_READY:
-        spark.sql("""CREATE OR REPLACE TEMP VIEW customers AS SELECT * FROM VALUES
+        spark.sql("""CREATE OR REPLACE TEMP VIEW e2e_customers AS SELECT * FROM VALUES
          (1,'Alice','alice@example.com','US','Gold',DATE'2023-01-15'),
          (2,'Bob','bob@example.com','EU','Silver',DATE'2023-02-20'),
          (3,'Charlie','charlie@example.com','US','Gold',DATE'2023-03-10'),
          (4,'Diana','diana@example.com','APAC','Bronze',DATE'2023-04-05'),
          (5,'Eve','eve@example.com','EU','Silver',DATE'2023-05-12')
          AS t(customer_id,name,email,region,tier,created_at)""")
-        spark.sql("""CREATE OR REPLACE TEMP VIEW orders AS SELECT * FROM VALUES
+        spark.sql("""CREATE OR REPLACE TEMP VIEW e2e_orders AS SELECT * FROM VALUES
          (1,1,CAST(100.00 AS DECIMAL(10,2)),CAST(10.00 AS DECIMAL(10,2)),'completed',DATE'2024-01-15',DATE'2024-01-17'),
          (2,1,CAST(200.00 AS DECIMAL(10,2)),CAST(0.00 AS DECIMAL(10,2)),'completed',DATE'2024-01-20',DATE'2024-01-22'),
          (3,2,CAST(150.00 AS DECIMAL(10,2)),CAST(15.00 AS DECIMAL(10,2)),'pending',DATE'2024-01-25',NULL),
@@ -71,7 +71,7 @@ def test_load_yaml_model_and_query(e2e_db):
     path = _write_tmp("""
 models:
   - name: orders
-    table: orders
+    table: e2e_orders
     primary_key: order_id
     dimensions:
       - name: status
@@ -109,7 +109,7 @@ def test_yaml_with_relationships(e2e_db):
     path = _write_tmp("""
 models:
   - name: orders
-    table: orders
+    table: e2e_orders
     primary_key: order_id
     relationships:
       - name: customers
@@ -121,7 +121,7 @@ models:
         sql: order_amount
 
   - name: customers
-    table: customers
+    table: e2e_customers
     primary_key: customer_id
     dimensions:
       - name: region
@@ -156,7 +156,7 @@ def test_load_bsl_model_and_query(e2e_db):
 
     path = _write_tmp("""
 orders:
-  table: orders
+  table: e2e_orders
   description: "Order transactions"
 
   dimensions:
@@ -196,7 +196,7 @@ def test_bsl_with_joins(e2e_db):
 
     path = _write_tmp("""
 orders:
-  table: orders
+  table: e2e_orders
   description: "Order transactions"
 
   dimensions:
@@ -218,7 +218,7 @@ orders:
       right_on: customer_id
 
 customers:
-  table: customers
+  table: e2e_customers
   description: "Customer data"
 
   dimensions:
@@ -250,7 +250,7 @@ def _preagg_model(extra_dims=(), preaggs=()):
     from sidemantic_spark.preagg.matcher import PreAggregation
 
     return Model(
-        name="orders", table="orders", primary_key="order_id",
+        name="orders", table="e2e_orders", primary_key="order_id",
         dimensions=[
             Dimension(name="status", type="categorical"),
             Dimension(name="region", type="categorical"),
@@ -301,7 +301,7 @@ def test_preagg_subset_dimensions_match():
     from sidemantic_spark.preagg.matcher import PreAggregation, match_preagg
 
     model = Model(
-        name="orders", table="orders", primary_key="order_id",
+        name="orders", table="e2e_orders", primary_key="order_id",
         dimensions=[
             Dimension(name="status", type="categorical"),
             Dimension(name="region", type="categorical"),
@@ -366,7 +366,7 @@ def test_preagg_routing_disabled(e2e_db):
 
     layer = SparkSemanticLayer(e2e_db)
     layer.add_model(Model(
-        name="orders", table="orders", primary_key="order_id",
+        name="orders", table="e2e_orders", primary_key="order_id",
         dimensions=[Dimension(name="status", type="categorical", sql="status")],
         metrics=[Metric(name="revenue", agg="sum", sql="order_amount")],
         pre_aggregations=[
@@ -394,7 +394,7 @@ def test_full_yaml_with_metrics(e2e_db):
     path = _write_tmp("""
 models:
   - name: orders
-    table: orders
+    table: e2e_orders
     primary_key: order_id
     dimensions:
       - name: status
@@ -427,7 +427,7 @@ def test_yaml_roundtrip(e2e_db):
     from sidemantic_spark.authoring.yaml_io import export_yaml, load_yaml
 
     orders_model = Model(
-        name="orders", table="orders", primary_key="order_id",
+        name="orders", table="e2e_orders", primary_key="order_id",
         dimensions=[
             Dimension(name="status", type="categorical"),
             Dimension(name="created_at", type="time", granularity="day"),
@@ -438,7 +438,7 @@ def test_yaml_roundtrip(e2e_db):
         ],
     )
     customers_model = Model(
-        name="customers", table="customers", primary_key="customer_id",
+        name="customers", table="e2e_customers", primary_key="customer_id",
         dimensions=[
             Dimension(name="region", type="categorical"),
             Dimension(name="tier", type="categorical"),
