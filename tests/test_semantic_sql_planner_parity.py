@@ -1006,3 +1006,71 @@ def test_root_unqualified_dimension_filter_is_qualified(planner_layer):
            "WHERE status = 'completed'")
     rows = lyr.spark.sql(lyr.rewrite(sql)).collect()
     assert len(rows) == 1 and float(rows[0]["revenue"]) == 250.0
+
+
+# ---------------------------------------------------------------------------
+# Conditional-aggregate pivot wrappers (ref :1597, :1647, :1668)
+# ---------------------------------------------------------------------------
+
+def test_conditional_aggregate_pivot_stays_correct(planner_layer):
+    """ref :1597 — BI pivot shape: SUM(CASE WHEN dim THEN metric END)
+    over a semantic island. The island compiles; the pivot evaluates
+    over its rows; rows must equal the unoptimized baseline."""
+    lyr = planner_layer
+    island = "SELECT orders.revenue, orders.status FROM orders"
+    sql = f"""
+        SELECT
+            SUM(CASE WHEN status = 'completed' THEN revenue ELSE 0 END) AS completed_revenue,
+            SUM(CASE WHEN status = 'pending' THEN revenue ELSE 0 END) AS pending_revenue
+        FROM ({island}) sq
+    """
+    baseline = sql.replace(island, "\n" + lyr.rewrite(island).rstrip() + "\n")
+    opt = lyr.spark.sql(lyr.rewrite(sql)).collect()
+    base = lyr.spark.sql(baseline).collect()
+    assert sorted(map(repr, opt)) == sorted(map(repr, base))
+    assert float(opt[0]["completed_revenue"]) == 250.0
+    assert float(opt[0]["pending_revenue"]) == 200.0
+
+
+def test_conditional_aggregate_pivot_count_distinct_stays_correct(
+    planner_layer,
+):
+    """ref :1647 — a count_distinct metric must NOT be re-aggregated
+    through the pivot fold (non-additive); the wrapper evaluates over
+    the island rows exactly as written."""
+    lyr = planner_layer
+    orders = lyr.graph.get_model("orders")
+    from sidemantic_spark.core.model import Metric as _M
+
+    orders.metrics.append(
+        _M(name="unique_customers", agg="count_distinct", sql="customer_id")
+    )
+    island = "SELECT orders.unique_customers, orders.status FROM orders"
+    sql = f"""
+        SELECT
+            SUM(CASE WHEN status = 'completed' THEN unique_customers ELSE 0 END) AS completed_customers
+        FROM ({island}) sq
+    """
+    baseline = sql.replace(island, "\n" + lyr.rewrite(island).rstrip() + "\n")
+    opt = lyr.spark.sql(lyr.rewrite(sql)).collect()
+    base = lyr.spark.sql(baseline).collect()
+    assert sorted(map(repr, opt)) == sorted(map(repr, base))
+
+
+def test_conditional_aggregate_pivot_with_outer_row_filter(planner_layer):
+    """ref :1668 — pivot + outer dimension filter."""
+    lyr = planner_layer
+    island = ("SELECT orders.revenue, orders.status, orders.order_date "
+              "FROM orders")
+    sql = f"""
+        SELECT
+            SUM(CASE WHEN status = 'completed' THEN revenue ELSE 0 END) AS completed_revenue
+        FROM ({island}) sq
+        WHERE order_date >= DATE '2024-01-02'
+    """
+    baseline = sql.replace(island, "\n" + lyr.rewrite(island).rstrip() + "\n")
+    opt = lyr.spark.sql(lyr.rewrite(sql)).collect()
+    base = lyr.spark.sql(baseline).collect()
+    assert sorted(map(repr, opt)) == sorted(map(repr, base))
+    # fixture: completed rows on/after 01-02 = order 2 only (150)
+    assert float(opt[0]["completed_revenue"]) == 150.0
