@@ -214,19 +214,27 @@ def _access_policy_to_security(access_policy):
         else:
             row_filters.append(" AND ".join(fragments))
     if role_grants:
+        # normalize user.roles ONCE: a raw string (comma-joined
+        # securityContext shape) splits into exact role names — a bare
+        # Jinja `in` on a string would substring-match ('user' in
+        # 'superuser') and WIDEN access (review finding: fail-open in a
+        # security filter)
+        prelude = (
+            "{% set __r = user.get('roles', []) %}"
+            "{% if __r is string %}"
+            "{% set __r = __r.replace(' ', '').split(',') %}"
+            "{% endif %}"
+        )
         branches = []
         for role, expr in role_grants:
-            cond = (
-                f"user.get('role') == '{role}' "
-                f"or '{role}' in user.get('roles', [])"
-            )
+            cond = f"user.get('role') == '{role}' or '{role}' in __r"
             branches.append(
                 "{% if " + cond + " %}" + expr + "{% else %}FALSE{% endif %}"
             )
         if len(branches) == 1:
-            row_filters.append("(" + branches[0] + ")")
+            row_filters.append(prelude + "(" + branches[0] + ")")
         else:
-            row_filters.append("(" + " OR ".join(branches) + ")")
+            row_filters.append(prelude + "(" + " OR ".join(branches) + ")")
     if not row_filters:
         return None, unmapped
     return SecurityPolicy(row_filters=row_filters), unmapped

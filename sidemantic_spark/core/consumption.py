@@ -32,17 +32,21 @@ _SQL_WORDS = {
     "AND", "OR", "NOT", "IN", "IS", "NULL", "LIKE", "BETWEEN", "TRUE",
     "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "EXISTS", "CAST",
     "DATE", "TIMESTAMP", "INTERVAL",
-    # niladic functions and interval-unit keywords: bare tokens that are
-    # SQL, not field refs (reference expression_field_references only
-    # collects exp.Column nodes, so "created_at >= CURRENT_DATE -
-    # INTERVAL '7' DAY" never flags CURRENT_DATE/DAY there either)
+    # niladic functions: bare tokens that are SQL, not field refs
+    # (reference expression_field_references only collects exp.Column
+    # nodes, so CURRENT_DATE never flags there either). Interval UNIT
+    # words (DAY/MONTH/...) are NOT listed here — a model can
+    # legitimately have a dimension named `year`/`month`, and skipping
+    # those bare tokens would fail-open the allowlist lint; they are
+    # instead blanked positionally by _INTERVAL_RE below, which only
+    # matches the unit in `INTERVAL '<n>' <unit>` position.
     "CURRENT_DATE", "CURRENT_TIMESTAMP", "CURRENT_TIME", "LOCALTIME",
     "LOCALTIMESTAMP", "CURRENT_USER", "SESSION_USER",
-    "MICROSECOND", "MICROSECONDS", "MILLISECOND", "MILLISECONDS",
-    "SECOND", "SECONDS", "MINUTE", "MINUTES", "HOUR", "HOURS",
-    "DAY", "DAYS", "WEEK", "WEEKS", "MONTH", "MONTHS",
-    "QUARTER", "QUARTERS", "YEAR", "YEARS",
 }
+
+_INTERVAL_RE = re.compile(
+    r"\bINTERVAL\s+('[^']*'|\d+)\s+[A-Za-z_]+\b", re.I
+)
 
 
 def _qualify(value: str, model: str) -> str:
@@ -224,6 +228,11 @@ class Explore:
                 for v in self.allowed_filter_fields
             }
             for f in self.default_filters:
+                # interval literals collapse to an opaque SQL token so
+                # their unit word (DAY/WEEK/...) is never scanned as a
+                # field ref, while a COLUMN named `day`/`year` outside
+                # interval position still lints against the allowlist
+                f = _INTERVAL_RE.sub(" NULL ", f)
                 spans = _subquery_spans(f)
                 fields: set[str] = set()
                 offset = 0

@@ -211,10 +211,8 @@ def enforce_field_visibility(graph, refs_by_kind: dict[str, list[str]]) -> None:
     # touches rather than the whole graph (graph-wide false positives:
     # a hidden `region` on an unrelated model must not reject filters on
     # model A). Falls back to ALL models only when nothing resolves.
-    _GRAINS = (
-        "second", "minute", "hour", "day", "week", "month", "quarter",
-        "year",
-    )
+    from sidemantic_spark.sql.fragments import GRAIN_WORDS as _GRAINS
+
     for kind in ("metrics", "dimensions"):
         for text in dequoted.get(kind, []):
             name = text.strip()
@@ -259,10 +257,7 @@ def enforce_field_visibility(graph, refs_by_kind: dict[str, list[str]]) -> None:
                     # strip ONLY real grain suffixes (mirrors REF_RE):
                     # a column literally named created_at__raw is its
                     # own identifier, not a spelling of created_at
-                    if not base or suffix not in (
-                        "second", "minute", "hour", "day", "week",
-                        "month", "quarter", "year",
-                    ):
+                    if not base or suffix not in _GRAINS:
                         base = tok
                     for model_name in bare_scope:
                         _check(model_name, base, kind)

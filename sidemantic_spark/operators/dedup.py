@@ -614,9 +614,13 @@ def pairs_from_bucket_keys(
     in-task pair expansion, vs. the textbook self-join's two shuffles +
     join. Buckets are capped: a bucket of B docs expands to B^2/2
     pairs, so one degenerate clique (boilerplate corpus, empty strings)
-    would dominate the stage; capped members still pair with the
-    bucket's id-sorted prefix, so cliques stay connected for a
-    downstream union-find even though not every pair is emitted.
+    would dominate the stage. The cap keeps the id-sorted FIRST
+    ``bucket_cap`` members and drops the rest from that bucket — a
+    beyond-cap member can still pair through its OTHER bucket keys
+    (bands / grams), so in the LSH setting cliques stay connected with
+    high probability, but exactness is conditional on caps not binding
+    (they do not at contract scale; adversarial clique builds measure
+    the bounded degradation).
 
     Shared by MinHash (Jaccard) and hyperplane (cosine) LSH.
     """
@@ -1184,12 +1188,22 @@ def ngram_jaccard_pairs(
             + 1
         )
         index_grams = F.slice(F.col("__grams"), F.lit(1), plen)
+        # prefix postings interact with the bucket cap: pre-filter, a
+        # pair meeting in a cap-saturated stop-gram bucket could still
+        # be found via a rarer shared gram; with only prefixes indexed
+        # those alternative routes shrink, so the cap is DOUBLED here —
+        # prefix postings are ~(1-t) of full volume, so worst-case
+        # capped-bucket pair work stays comparable while the cap binds
+        # strictly less often than the full-posting 1024 did (r11
+        # review finding)
+        cap = 2048
     else:
         index_grams = F.col("__grams")
+        cap = 1024
     banded = docs.select(
         "__id", F.lit(0).alias("band"), F.explode(index_grams).alias("bhash")
     )
-    cand = pairs_from_bucket_keys(banded, bucket_cap=1024)
+    cand = pairs_from_bucket_keys(banded, bucket_cap=cap)
     # size-gated exact verify shared with minhash_lsh_pairs
     return _exact_jaccard_verify(
         cand, docs, "__grams", threshold,

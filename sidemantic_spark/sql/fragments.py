@@ -14,6 +14,9 @@ import re
 from collections.abc import Callable
 
 _GRAINS = "second|minute|hour|day|week|month|quarter|year"
+# the one canonical grain-word set — security scans and REF_RE both
+# derive from it so a new grain cannot desynchronize them
+GRAIN_WORDS = frozenset(_GRAINS.split("|"))
 REF_RE = re.compile(
     rf"\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*?)(?:__({_GRAINS}))?\b"
 )
@@ -142,13 +145,21 @@ def _shadow_spans(
                 owner = (s, e)
         if owner is None:
             # whole-fragment shadowing applies ONLY to a derived-table
-            # alias — `(SELECT ...) AS name` with the `AS` directly after
-            # a span's closing paren. Any other bare `AS name` (a
-            # select-list or CAST-adjacent alias that happens to equal a
-            # model name) names an output column, which must not suppress
-            # classification of genuine model refs in the fragment.
+            # alias — `(SELECT ...) AS name` with the `AS` after a
+            # span's closing paren (extra wrapping parens are peeled:
+            # `((SELECT ...)) AS name` still shadows — review finding).
+            # Any other bare `AS name` (a select-list or CAST-adjacent
+            # alias that happens to equal a model name) names an output
+            # column, which must not suppress classification of genuine
+            # model refs in the fragment.
             prev = scan[:a.start()].rstrip()
-            if not (prev.endswith(")") and len(prev) in span_ends):
+            derived = False
+            while prev.endswith(")"):
+                if len(prev) in span_ends:
+                    derived = True
+                    break
+                prev = prev[:-1].rstrip()
+            if not derived:
                 continue
             owner = (0, len(scan))
         shadow.setdefault(owner, set()).add(hit)

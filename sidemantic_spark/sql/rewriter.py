@@ -864,33 +864,6 @@ class SemanticSqlRewriter:
         alias_m = re.fullmatch(_ALIAS_FORM, between, re.I) if between else None
         if between and alias_m is None:
             return None
-        # wrapper QUALIFY `fn() OVER (...) <= k` folds like the
-        # expanded-rownum BI shape: synthesize the rn column and let
-        # _rule_rownum_topn choose fold-to-LIMIT vs window stage
-        # (Spark has no QUALIFY, so leaving it in the wrapper would
-        # fail at parse — ref qualify_row_number_topn :2841)
-        qualify_rn = None
-        if "QUALIFY" in clause_vals:
-            if "WHERE" in clause_vals:
-                return None
-            qv = clause_vals.pop("QUALIFY").strip()
-            qm = re.match(
-                r"(?:ROW_NUMBER|RANK|DENSE_RANK)\s*\(\s*\)\s*OVER\s*\(",
-                qv, re.I,
-            )
-            if qm is None:
-                return None
-            over_open = qm.end() - 1
-            end_rel = _find_balanced_paren(qv[over_open:])
-            if end_rel is None:
-                return None
-            rest = qv[over_open + end_rel + 1:].strip()
-            cm = re.fullmatch(r"(<=|<)\s*(\d+)", rest)
-            if cm is None:
-                return None
-            qualify_rn = (
-                qv[: over_open + end_rel + 1], cm.group(1), cm.group(2)
-            )
         # alias-qualified outer refs (`sq.status`, `"_"."status"` — BI
         # tools emit these) de-qualify to the bare output names the
         # colmap knows — unless the alias shadows a model name, where
@@ -925,6 +898,36 @@ class SemanticSqlRewriter:
                 clause_vals = {
                     k: _dequalify(v) for k, v in clause_vals.items()
                 }
+        # wrapper QUALIFY `fn() OVER (...) <= k` folds like the
+        # expanded-rownum BI shape: synthesize the rn column and let
+        # _rule_rownum_topn choose fold-to-LIMIT vs window stage
+        # (Spark has no QUALIFY, so leaving it in the wrapper would
+        # fail at parse — ref qualify_row_number_topn :2841). Runs
+        # AFTER alias de-qualification so `OVER (ORDER BY sq.revenue)`
+        # has its alias stripped like every other clause (review
+        # finding).
+        qualify_rn = None
+        if "QUALIFY" in clause_vals:
+            if "WHERE" in clause_vals:
+                return None
+            qv = clause_vals.pop("QUALIFY").strip()
+            qm = re.match(
+                r"(?:ROW_NUMBER|RANK|DENSE_RANK)\s*\(\s*\)\s*OVER\s*\(",
+                qv, re.I,
+            )
+            if qm is None:
+                return None
+            over_open = qm.end() - 1
+            end_rel = _find_balanced_paren(qv[over_open:])
+            if end_rel is None:
+                return None
+            rest = qv[over_open + end_rel + 1:].strip()
+            cm = re.fullmatch(r"(<=|<)\s*(\d+)", rest)
+            if cm is None:
+                return None
+            qualify_rn = (
+                qv[: over_open + end_rel + 1], cm.group(1), cm.group(2)
+            )
         inner = self._parse_inner(inner_sql)
         if inner is None:
             inner = self._parse_inner_expanded(inner_sql)
@@ -1040,6 +1043,12 @@ class SemanticSqlRewriter:
             if want != outs:
                 return None
         wm = _ROWNUM_RE.match(rn_sql)
+        if wm is None:
+            # only the QUALIFY-synthesized path can land here (the
+            # expanded-rownum parse pre-validates with this regex): an
+            # OVER () without ORDER BY has no top-N meaning — reject
+            # cleanly instead of AttributeError (review finding)
+            return None
         fn, partition, order = wm.group(1).upper(), wm.group(2), wm.group(3)
         spec_entries = inner.entries
         metrics = [
@@ -1098,7 +1107,15 @@ class SemanticSqlRewriter:
             compiled = self._generate(spec)
             star = len(outer_items) == 1 and outer_items[0][0] == "*"
             if not star:
-                want = [alias or ref for ref, alias in outer_items]
+                # the compiled plan's columns are the INNER output
+                # names; an outer alias must be applied ON TOP of the
+                # inner name (`status AS st`), never used as if it were
+                # a plan column (review finding: SELECT st would be
+                # unresolvable)
+                want = [
+                    f"{ref} AS {alias}" if alias else ref
+                    for ref, alias in outer_items
+                ]
                 produced = [
                     a or o for o, k, _r, a in spec_entries if k == "dim"
                 ] + [

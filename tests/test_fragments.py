@@ -61,3 +61,18 @@ def test_select_list_alias_equal_to_model_does_not_shadow_fragment():
         {"orders"}, shadowing=False,
     )
     assert ("orders", "amount", None) in refs3
+
+
+def test_double_paren_derived_table_alias_still_shadows():
+    # Review #7: extra wrapping parens around the derived table must
+    # not defeat whole-fragment shadowing
+    refs = find_refs(
+        "((SELECT id FROM audit)) AS orders WHERE orders.revenue > 10",
+        {"orders"},
+    )
+    assert ("orders", "revenue", None) not in refs
+    # a function call alias is still NOT a derived table
+    refs2 = find_refs(
+        "CAST(f(x) AS INT) AS orders WHERE orders.revenue > 10", {"orders"}
+    )
+    assert ("orders", "revenue", None) in refs2

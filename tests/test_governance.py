@@ -1426,3 +1426,24 @@ def test_bare_filter_token_scoped_to_touched_models(spark):
     # unqualified selected metric resolves scope too
     with _pytest.raises(SecurityError, match="region"):
         lyr.compile(metrics=["acnt"], filters=["region = 'emea'"])
+
+
+def test_interval_unit_words_are_positional_not_global():
+    """Review #6: a COLUMN named `year`/`day` still lints against the
+    allowlist; only the unit word inside INTERVAL '<n>' <unit> is SQL."""
+    import pytest as _pytest
+
+    from sidemantic_spark.core.consumption import ContractError, Explore
+
+    # interval-positioned unit: fine
+    Explore(
+        name="ok", model="orders", allowed_filter_fields=["created_at"],
+        default_filters=["created_at >= CURRENT_DATE - INTERVAL '1' YEAR"],
+    )
+    # bare column named year: flagged when not allowed
+    with _pytest.raises(ContractError, match="year"):
+        Explore(
+            name="bad", model="orders",
+            allowed_filter_fields=["created_at"],
+            default_filters=["year >= 2020"],
+        )

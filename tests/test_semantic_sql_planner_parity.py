@@ -1074,3 +1074,53 @@ def test_conditional_aggregate_pivot_with_outer_row_filter(planner_layer):
     assert sorted(map(repr, opt)) == sorted(map(repr, base))
     # fixture: completed rows on/after 01-02 = order 2 only (150)
     assert float(opt[0]["completed_revenue"]) == 150.0
+
+
+# ---------------------------------------------------------------------------
+# r11 review-finding regressions
+# ---------------------------------------------------------------------------
+
+def test_rownum_fold_with_outer_alias(planner_layer):
+    """Review #1: outer alias over the fold path must emit
+    `inner AS alias`, not select the alias as if it were a column."""
+    lyr = planner_layer
+    inner_sem = "SELECT orders.revenue, orders.status FROM orders"
+    wrapped = f"""
+        SELECT status AS st, revenue
+        FROM (
+            SELECT status, revenue,
+                   ROW_NUMBER() OVER (ORDER BY revenue DESC) AS rn
+            FROM ({inner_sem}) semantic_result
+        ) ranked
+        WHERE rn <= 2
+        ORDER BY revenue DESC
+    """
+    rows = lyr.spark.sql(lyr.rewrite(wrapped)).collect()
+    assert [f for f in rows[0].asDict()] == ["st", "revenue"]
+    assert [r["st"] for r in rows] == ["completed", "pending"]
+
+
+def test_wrapper_qualify_with_alias_qualified_order(planner_layer):
+    """Review #2: `QUALIFY ... OVER (ORDER BY sq.revenue)` de-qualifies
+    like every other clause."""
+    lyr = planner_layer
+    wrapped = """
+        SELECT status, revenue
+        FROM (SELECT orders.revenue, orders.status FROM orders) AS sq
+        QUALIFY ROW_NUMBER() OVER (ORDER BY sq.revenue DESC) <= 1
+    """
+    rows = lyr.spark.sql(lyr.rewrite(wrapped)).collect()
+    assert len(rows) == 1 and float(rows[0]["revenue"]) == 250.0
+
+
+def test_wrapper_qualify_without_order_by_degrades_cleanly(planner_layer):
+    """Review #5: an OVER () without ORDER BY has no top-N meaning —
+    the rewrite must not crash with AttributeError."""
+    lyr = planner_layer
+    wrapped = """
+        SELECT status, revenue
+        FROM (SELECT orders.revenue, orders.status FROM orders) sq
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY status) <= 1
+    """
+    out = lyr.rewrite(wrapped)  # must not raise
+    assert isinstance(out, str)
