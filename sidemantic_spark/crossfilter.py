@@ -104,6 +104,174 @@ def _ignore_key(f: dict[str, Any]) -> str:
     return "metricRange"
 
 
+# -- freshness / source watermark (ref viz.py:410-438, :712-779,
+#    :2988-3131) ---------------------------------------------------------
+
+_WATERMARK_PREFERRED_NAMES = [
+    "_ingested_at", "ingested_at", "_loaded_at", "loaded_at",
+    "_updated_at", "updated_at", "synced_at", "refreshed_at",
+]
+_WATERMARK_ROLES = {
+    "freshness", "watermark", "source_watermark", "ingestion_time",
+    "updated_at",
+}
+
+
+class ResolvedFreshnessPolicy:
+    """Freshness policy resolved from session overrides or model
+    metadata (ref viz.py:410 ``ResolvedFreshnessPolicy``)."""
+
+    def __init__(self, *, source_watermark_sql=None, ttl_seconds=None,
+                 source="none", source_model=None, watermark=None,
+                 reason=None):
+        self.source_watermark_sql = source_watermark_sql
+        self.ttl_seconds = ttl_seconds
+        self.source = source
+        self.source_model = source_model
+        self.watermark = watermark
+        self.reason = reason
+
+    @property
+    def configured(self) -> bool:
+        return bool(self.source_watermark_sql or self.ttl_seconds is not None)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "protocol": "sidemantic-freshness-policy-v1",
+            "configured": self.configured,
+            "source": self.source,
+            "source_model": self.source_model,
+            "watermark": self.watermark,
+            "source_watermark_configured": bool(self.source_watermark_sql),
+            "source_watermark_sql": self.source_watermark_sql,
+            "ttl_seconds": self.ttl_seconds,
+            "reason": self.reason,
+        }
+
+
+def _metadata_role(dim) -> str | None:
+    for attr in ("meta", "metadata"):
+        md = getattr(dim, attr, None)
+        if isinstance(md, dict):
+            role = md.get("role") or md.get("semantic_role")
+            if role:
+                return str(role).lower()
+    return None
+
+
+def _infer_model_watermark(model) -> str | None:
+    """A time dimension tagged with a freshness-ish metadata role, else
+    one of the conventional ingestion-timestamp names (ref
+    viz.py:3054)."""
+    dims = list(getattr(model, "dimensions", []) or [])
+    for d in dims:
+        if getattr(d, "type", None) == "time" and _metadata_role(d) in _WATERMARK_ROLES:
+            return str(d.name)
+    by_name = {
+        str(d.name).lower(): d for d in dims
+        if getattr(d, "type", None) == "time"
+    }
+    for name in _WATERMARK_PREFERRED_NAMES:
+        if name in by_name:
+            return str(by_name[name].name)
+    return None
+
+
+def _model_watermark_sql(model, watermark: str) -> str | None:
+    field_name = watermark.split(".", 1)[1] if "." in watermark else watermark
+    dim = model.dimension(field_name)
+    expr = dim.expr if dim is not None else field_name
+    if model.sql:
+        src = f"({model.sql}) AS t"
+        expr = expr.replace("{model}", "t")
+    elif model.table:
+        src = str(model.table)
+        expr = expr.replace("{model}.", "").replace("{model}", "")
+    else:
+        return None
+    return f"SELECT MAX({expr}) FROM {src}"
+
+
+def _model_freshness_policy(layer, refs: list[str]) -> ResolvedFreshnessPolicy:
+    """Resolve the freshness policy for a set of semantic refs — single
+    source model only, ambiguous multi-model charts report why (ref
+    viz.py:2988)."""
+    models = sorted({
+        r.split(".", 1)[0] for r in refs if "." in r
+    })
+    if not models:
+        return ResolvedFreshnessPolicy(
+            reason="semantic fields do not identify a source model"
+        )
+    if len(models) != 1:
+        return ResolvedFreshnessPolicy(
+            source="ambiguous_models",
+            reason=(
+                "chart references multiple models without a combined "
+                "freshness policy: " + ", ".join(models)
+            ),
+        )
+    name = models[0]
+    try:
+        model = layer.graph.get_model(name)
+    except Exception as exc:
+        return ResolvedFreshnessPolicy(
+            source_model=name,
+            reason=f"model freshness could not be resolved: {exc}",
+        )
+    fr = getattr(model, "freshness", None)
+    if fr is not None:
+        if fr.sql:
+            return ResolvedFreshnessPolicy(
+                source_watermark_sql=fr.sql, ttl_seconds=fr.ttl_seconds,
+                source="model_freshness_sql", source_model=name,
+                reason="model freshness sql",
+            )
+        if fr.watermark:
+            wm = fr.watermark if "." in fr.watermark else f"{name}.{fr.watermark}"
+            sql = _model_watermark_sql(model, fr.watermark)
+            if sql:
+                return ResolvedFreshnessPolicy(
+                    source_watermark_sql=sql, ttl_seconds=fr.ttl_seconds,
+                    source="model_freshness", source_model=name,
+                    watermark=wm, reason="model freshness watermark",
+                )
+            return ResolvedFreshnessPolicy(
+                ttl_seconds=fr.ttl_seconds, source="model_freshness",
+                source_model=name, watermark=wm,
+                reason="model freshness watermark could not be compiled",
+            )
+        return ResolvedFreshnessPolicy(
+            ttl_seconds=fr.ttl_seconds, source="model_freshness",
+            source_model=name,
+            reason="model freshness ttl without source watermark",
+        )
+    inferred = _infer_model_watermark(model)
+    if inferred:
+        sql = _model_watermark_sql(model, inferred)
+        if sql:
+            return ResolvedFreshnessPolicy(
+                source_watermark_sql=sql,
+                source="model_inferred_watermark", source_model=name,
+                watermark=f"{name}.{inferred}",
+                reason=(
+                    "inferred model freshness watermark from time "
+                    "dimension metadata/name"
+                ),
+            )
+    return ResolvedFreshnessPolicy(
+        source_model=name, reason="model has no freshness policy"
+    )
+
+
+def _json_compatible(value):
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return value.isoformat()
+    if value is None or isinstance(value, (str, int, float, bool)):
+        return value
+    return str(value)
+
+
 class CrossfilterSession:
     """One semantic query + its interaction rollup.
 
@@ -123,6 +291,8 @@ class CrossfilterSession:
         table_limit: int = 75,
         interaction_preaggregations: bool = True,
         title: str | None = None,
+        source_watermark_sql: str | None = None,
+        freshness_ttl_seconds: int | None = None,
     ) -> None:
         if not metrics or not dimensions:
             raise CrossfilterError("crossfilter needs >=1 metric and >=1 dimension")
@@ -137,6 +307,21 @@ class CrossfilterSession:
         self._rollup: DataFrame | None = None
         self._rollup_lock = threading.Lock()
         self._reagg = self._metric_reagg_map()
+        # freshness: explicit session overrides win, else resolve from
+        # the (single) source model's policy / inferred watermark (ref
+        # viz.py:499-531 chart-level overrides)
+        if source_watermark_sql or freshness_ttl_seconds is not None:
+            self._freshness_policy = ResolvedFreshnessPolicy(
+                source_watermark_sql=source_watermark_sql,
+                ttl_seconds=freshness_ttl_seconds,
+                source="chart_override",
+                reason="session override",
+            )
+        else:
+            refs = [_split_field(f)[0] for f in self.metrics + self.dimensions]
+            self._freshness_policy = _model_freshness_policy(layer, refs)
+        self.source_watermark_sql = self._freshness_policy.source_watermark_sql
+        self.freshness_ttl_seconds = self._freshness_policy.ttl_seconds
 
     # -- field bookkeeping -------------------------------------------
 
@@ -184,14 +369,75 @@ class CrossfilterSession:
         if self._rollup is None:
             with self._rollup_lock:
                 if self._rollup is None:
+                    t0 = time.perf_counter()
                     df = self.layer.query(
                         metrics=self.metrics,
                         dimensions=self.dimensions,
                         filters=self.base_filters or None,
                     ).persist()
-                    df.count()  # materialize once, eagerly
+                    n = df.count()  # materialize once, eagerly
                     self._rollup = df
+                    self._rollup_diag = {
+                        "row_count": n,
+                        "build_ms": round(
+                            (time.perf_counter() - t0) * 1000, 2
+                        ),
+                        "built_at": datetime.datetime.now(
+                            datetime.timezone.utc
+                        ).isoformat(),
+                    }
         return self._rollup
+
+    # -- interaction-preagg control surface (ref viz.py:653-711) ------
+
+    def ensure_interaction_preaggregation(self) -> dict[str, Any]:
+        """Build the rollup now and return its diagnostics payload
+        (ref viz.py:653 ``ensure_interaction_preaggregation`` /
+        ``InteractionPreaggTable.to_dict``)."""
+        if not self.uses_rollup:
+            reason = (
+                "interaction preaggregations are not enabled for this "
+                "session"
+                if not self.interaction_preaggregations
+                else "metrics are not additive-decomposable"
+            )
+            self._last_preagg_diag = {
+                "enabled": False, "used": False, "reason": reason,
+            }
+            return self._last_preagg_diag
+        reused = self._rollup is not None
+        self.ensure_rollup()
+        diag = dict(getattr(self, "_rollup_diag", {}) or {})
+        self._last_preagg_diag = {
+            "enabled": True,
+            "used": True,
+            "reused": reused,
+            "model": sorted({
+                _split_field(f)[0].split(".", 1)[0]
+                for f in self.metrics + self.dimensions if "." in f
+            }),
+            "dimensions": self.dim_aliases(),
+            "metrics": self.metric_aliases(),
+            "source_watermark": self._freshness_policy.watermark,
+            **diag,
+        }
+        return self._last_preagg_diag
+
+    def set_interaction_preaggregations(self, enabled: bool) -> None:
+        """Toggle the rollup fast path at runtime (ref viz.py:666);
+        disabling releases the persisted rollup so the executor block
+        manager drops its storage."""
+        enabled = bool(enabled) and self._reagg is not None
+        if not enabled and self._rollup is not None:
+            with self._rollup_lock:
+                if self._rollup is not None:
+                    self._rollup.unpersist()
+                    self._rollup = None
+        self.interaction_preaggregations = enabled
+
+    @property
+    def interaction_preagg_diagnostics(self) -> dict[str, Any] | None:
+        return getattr(self, "_last_preagg_diag", None)
 
     def close(self) -> None:
         if self._rollup is not None:
@@ -414,6 +660,59 @@ class CrossfilterSession:
 
     # -- client spec / HTML ------------------------------------------
 
+    def freshness_policy(self) -> dict[str, Any]:
+        """The resolved freshness policy payload (ref viz.py:712)."""
+        return self._freshness_policy.to_dict()
+
+    def source_watermark_payload(
+        self, *, checked_at: str | None = None
+    ) -> dict[str, Any]:
+        """Run the source-watermark probe and wrap it in the
+        reference's payload protocol (ref viz.py:715-779). On Spark the
+        MAX(watermark) over a parquet source answers from footer
+        statistics — the probe never scans the 100 TB table."""
+        checked_at = checked_at or datetime.datetime.now(
+            datetime.timezone.utc
+        ).isoformat()
+        base = {
+            "protocol": "sidemantic-source-watermark-v1",
+            "checked_at": checked_at,
+            "source": self._freshness_policy.source,
+            "watermark": self._freshness_policy.watermark,
+        }
+        if not self.source_watermark_sql:
+            return {
+                **base, "configured": False, "status": "not_configured",
+                "sql": None, "value": None,
+                "reason": self._freshness_policy.reason,
+            }
+        try:
+            self.layer.register_sources()
+            rows = self.layer.spark.sql(self.source_watermark_sql).collect()
+            value = _json_compatible(rows[0][0]) if rows else None
+            if not rows:
+                return {
+                    **base, "configured": True, "status": "unavailable",
+                    "sql": self.source_watermark_sql, "value": None,
+                    "error": "query returned no rows",
+                }
+            if value is None:
+                return {
+                    **base, "configured": True, "status": "unavailable",
+                    "sql": self.source_watermark_sql, "value": None,
+                    "error": "query returned NULL",
+                }
+        except Exception as exc:
+            return {
+                **base, "configured": True, "status": "unavailable",
+                "sql": self.source_watermark_sql, "value": None,
+                "error": str(exc),
+            }
+        return {
+            **base, "configured": True, "status": "available",
+            "sql": self.source_watermark_sql, "value": value,
+        }
+
     def to_spec(self, *, query_endpoint: str | None = None) -> dict[str, Any]:
         from sidemantic_spark.charts import create_chart
 
@@ -428,6 +727,7 @@ class CrossfilterSession:
             },
             "interaction_preaggregations": self.uses_rollup,
             "table_limit": self.table_limit,
+            "freshness_policy": self.freshness_policy(),
             "data": initial,
         }
         if initial:

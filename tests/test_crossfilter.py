@@ -321,3 +321,147 @@ def test_dashboard_and_http_endpoints(layer, session):
         assert "cf-spec" in html
     finally:
         srv.stop()
+
+
+def test_freshness_policy_resolution_and_watermark_probe(layer):
+    """ref viz.py:410-438, :712-779, :2988-3131 — freshness policy
+    resolves from the single source model (configured watermark,
+    inferred conventional names, ambiguous multi-model reason), embeds
+    in to_spec, and the watermark probe runs MAX() with the payload
+    protocol."""
+    from sidemantic_spark.core.governance import Freshness
+
+    orders = layer.graph.get_model("orders")
+    old = orders.freshness
+    orders.freshness = Freshness(watermark="order_date", ttl_seconds=86400)
+    try:
+        s = CrossfilterSession(
+            layer, metrics=["orders.revenue"], dimensions=["orders.status"],
+        )
+        pol = s.freshness_policy()
+        assert pol["protocol"] == "sidemantic-freshness-policy-v1"
+        assert pol["configured"] is True
+        assert pol["source"] == "model_freshness"
+        assert pol["watermark"] == "orders.order_date"
+        assert pol["ttl_seconds"] == 86400
+        assert "MAX(" in pol["source_watermark_sql"]
+        spec = s.to_spec()
+        assert spec["freshness_policy"]["configured"] is True
+
+        wm = s.source_watermark_payload()
+        assert wm["protocol"] == "sidemantic-source-watermark-v1"
+        assert wm["status"] == "available" and wm["value"] is not None
+        s.close()
+    finally:
+        orders.freshness = old
+
+    # no policy, no conventional watermark dim -> not configured
+    s2 = CrossfilterSession(
+        layer, metrics=["orders.revenue"], dimensions=["orders.status"],
+    )
+    pol2 = s2.freshness_policy()
+    # orders has a time dim but not a conventional ingestion name; the
+    # session may infer nothing -> unconfigured with a reason
+    assert pol2["protocol"] == "sidemantic-freshness-policy-v1"
+    wm2 = s2.source_watermark_payload()
+    assert wm2["status"] in ("not_configured", "available")
+    s2.close()
+
+    # multi-model chart -> ambiguous reason
+    s3 = CrossfilterSession(
+        layer, metrics=["orders.revenue"],
+        dimensions=["customer.mktsegment"],
+    )
+    pol3 = s3.freshness_policy()
+    assert pol3["source"] == "ambiguous_models"
+    assert "multiple models" in pol3["reason"]
+    s3.close()
+
+    # session override wins
+    s4 = CrossfilterSession(
+        layer, metrics=["orders.revenue"], dimensions=["orders.status"],
+        source_watermark_sql="SELECT TIMESTAMP '2026-01-01 00:00:00'",
+        freshness_ttl_seconds=60,
+    )
+    pol4 = s4.freshness_policy()
+    assert pol4["source"] == "chart_override" and pol4["ttl_seconds"] == 60
+    wm4 = s4.source_watermark_payload()
+    assert wm4["status"] == "available" and "2026-01-01" in str(wm4["value"])
+    s4.close()
+
+
+def test_inferred_watermark_from_conventional_dimension(spark):
+    """A time dimension named `updated_at` (or tagged meta role) infers
+    the watermark without an explicit policy (ref viz.py:3054)."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW xf_events AS SELECT * FROM VALUES "
+        "(1, 'a', TIMESTAMP '2026-03-01 10:00:00'), "
+        "(2, 'b', TIMESTAMP '2026-03-02 11:00:00') "
+        "AS t(id, kind, updated_at)"
+    )
+    lyr = SparkSemanticLayer(spark)
+    lyr.add_model(Model(
+        name="xf_events", table="xf_events", primary_key="id",
+        dimensions=[
+            Dimension(name="kind"),
+            Dimension(name="updated_at", type="time"),
+        ],
+        metrics=[Metric(name="n", agg="count")],
+    ))
+    s = CrossfilterSession(
+        lyr, metrics=["xf_events.n"], dimensions=["xf_events.kind"],
+    )
+    pol = s.freshness_policy()
+    assert pol["source"] == "model_inferred_watermark"
+    assert pol["watermark"] == "xf_events.updated_at"
+    wm = s.source_watermark_payload()
+    assert wm["status"] == "available"
+    assert str(wm["value"]).startswith("2026-03-02")
+    s.close()
+
+
+def test_interaction_preagg_control_surface(layer):
+    """ref viz.py:653-711 — ensure/diagnostics/toggle: the diagnostics
+    payload carries build stats and the reused flag; disabling the
+    toggle releases the rollup and routes queries to the source."""
+    s = CrossfilterSession(
+        layer, metrics=["orders.revenue"], dimensions=["orders.status"],
+    )
+    d1 = s.ensure_interaction_preaggregation()
+    assert d1["enabled"] and d1["used"] and d1["reused"] is False
+    assert d1["row_count"] > 0 and d1["build_ms"] > 0 and d1["built_at"]
+    d2 = s.ensure_interaction_preaggregation()
+    assert d2["reused"] is True
+    assert s.interaction_preagg_diagnostics == d2
+
+    s.set_interaction_preaggregations(False)
+    assert not s.uses_rollup
+    out = s.query()
+    assert out["used_interaction_preagg"] is False
+    d3 = s.ensure_interaction_preaggregation()
+    assert d3["enabled"] is False and "not enabled" in d3["reason"]
+
+    s.set_interaction_preaggregations(True)
+    assert s.uses_rollup
+    out2 = s.query()
+    assert out2["used_interaction_preagg"] is True
+    s.close()
+
+
+def test_non_additive_session_preagg_reason(layer):
+    """count_distinct metrics cannot ride the rollup; the diagnostics
+    name the reason and the toggle cannot force it on."""
+    s = CrossfilterSession(
+        layer, metrics=["orders.customer_count"],
+        dimensions=["orders.status"],
+    )
+    assert not s.uses_rollup
+    d = s.ensure_interaction_preaggregation()
+    assert d["enabled"] is False
+    assert "additive" in d["reason"]
+    s.set_interaction_preaggregations(True)
+    assert not s.uses_rollup  # reagg-impossible stays off
+    s.close()
