@@ -136,6 +136,234 @@ def axis_format_for(metric) -> str | None:
     return None
 
 
+class CompiledField:
+    """One semantic field compiled to one renderer/runtime column
+    (ref viz.py:72 ``CompiledField``)."""
+
+    def __init__(self, *, id, semantic_ref, alias, kind, source_model,
+                 roles=(), metric_agg=None):
+        self.id = id
+        self.semantic_ref = semantic_ref
+        self.alias = alias
+        self.kind = kind
+        self.source_model = source_model
+        self.roles = tuple(roles)
+        self.metric_agg = metric_agg
+
+    def to_dict(self) -> dict[str, Any]:
+        out: dict[str, Any] = {
+            "id": self.id,
+            "semantic_ref": self.semantic_ref,
+            "alias": self.alias,
+            "label": _format_label(self.alias),
+            "kind": self.kind,
+            "source_model": self.source_model,
+            "roles": list(self.roles),
+        }
+        if self.kind == "metric":
+            out["metric_agg"] = self.metric_agg
+        return out
+
+
+def _compiled_field_ref(field: CompiledField) -> dict[str, Any]:
+    return {
+        "id": field.id,
+        "semantic_ref": field.semantic_ref,
+        "alias": field.alias,
+        "label": _format_label(field.alias),
+        "kind": field.kind,
+        "source_model": field.source_model,
+    }
+
+
+def _resolve_compiled_field(value, fields, *, expected_kind=None):
+    if isinstance(value, dict):
+        candidate = value.get("id") or value.get("semantic_ref") or value.get("alias")
+    else:
+        candidate = value
+    text = str(candidate or "")
+    for f in fields:
+        if text in {f.id, f.semantic_ref, f.alias}:
+            if expected_kind is not None and f.kind != expected_kind:
+                raise ChartError(
+                    f"Chart interaction field {text!r} must be a "
+                    f"{expected_kind}; {f.id!r} is a {f.kind}"
+                )
+            return f
+    expected = ", ".join(sorted({f.id for f in fields} | {f.alias for f in fields}))
+    raise ChartError(
+        f"Unknown chart interaction field {text!r}. Expected one of: {expected}"
+    )
+
+
+class CompiledChartPlan:
+    """Canonical field lineage + interaction plan for a chart runtime
+    (ref viz.py:99 ``CompiledChartPlan``): every semantic field with
+    its output alias, roles (x / y / series / breakdown), source model
+    and metric agg, plus a sha256 fingerprint over the canonical
+    payload so clients can cache compiled runtimes per plan."""
+
+    def __init__(self, fields, encodings, interactions, fingerprint):
+        self.fields = tuple(fields)
+        self.encodings = encodings
+        self.interactions = interactions
+        self.fingerprint = fingerprint
+
+    @classmethod
+    def build(cls, chart: "ChartBuilder") -> "CompiledChartPlan":
+        import hashlib
+        import json as _json
+
+        dim_outs, met_outs = chart._out_names()
+        aliases = [*dim_outs, *met_outs]
+        dupes = {a for a in aliases if aliases.count(a) > 1}
+        if dupes:
+            raise ChartError(
+                "Compiled chart plan received duplicate output "
+                f"alias(es): {', '.join(sorted(dupes))}. Chart SQL "
+                "aliases must be unique before plan compilation."
+            )
+        x_alias = dim_outs[0] if dim_outs else None
+        series_alias = dim_outs[1] if len(dim_outs) > 1 else None
+
+        def _model_of(ref: str) -> str | None:
+            base = ref.split(" ", 1)[0]
+            return base.split(".", 1)[0] if "." in base else None
+
+        def _agg_of(ref: str) -> str | None:
+            base = ref.split(" ", 1)[0]
+            if "." not in base:
+                return None
+            model_name, metric_name = base.split(".", 1)
+            try:
+                m = chart.layer.graph.get_model(model_name).metric(metric_name)
+                return getattr(m, "agg", None)
+            except Exception:
+                return None
+
+        fields: list[CompiledField] = []
+        for ref, alias in zip(chart.dimensions, dim_outs):
+            roles = ["dimension"]
+            if alias == x_alias:
+                roles.append("x")
+            if alias == series_alias:
+                roles.append("series")
+            if alias != x_alias:
+                roles.append("breakdown")
+            fields.append(CompiledField(
+                id=ref, semantic_ref=ref, alias=alias, kind="dimension",
+                source_model=_model_of(ref), roles=roles,
+            ))
+        for ref, alias in zip(chart.metrics, met_outs):
+            roles = ["metric", "y"]
+            fields.append(CompiledField(
+                id=ref, semantic_ref=ref, alias=alias, kind="metric",
+                source_model=_model_of(ref), roles=roles,
+                metric_agg=_agg_of(ref),
+            ))
+        by_alias = {f.alias: f for f in fields}
+        encodings = {
+            "x": _compiled_field_ref(by_alias[x_alias]) if x_alias else None,
+            "y": [_compiled_field_ref(by_alias[a]) for a in met_outs],
+            "series": (
+                _compiled_field_ref(by_alias[series_alias])
+                if series_alias else None
+            ),
+        }
+        interactions: dict[str, Any] = {}
+        if "brush" in chart.interactions:
+            brush = dict(chart.interactions["brush"])
+            raw = list(brush.get("fields") or [])
+            if raw:
+                planned = [_resolve_compiled_field(v, fields) for v in raw]
+            elif x_alias:
+                planned = [by_alias[x_alias]]
+            else:
+                planned = []
+            channel = str(brush.get("channel") or "x")
+            supported = channel == "x" and all(
+                f.kind == "dimension" for f in planned
+            )
+            interactions["brush"] = {
+                "channel": channel,
+                "fields": [_compiled_field_ref(f) for f in planned],
+                "filter_type": "range",
+                "request_type": "xRange",
+                "supported": supported,
+                "unsupported_reason": None if supported else (
+                    "live crossfilter brush currently supports "
+                    "x-channel dimension ranges"
+                ),
+                "ignored_by": ["trend"],
+            }
+        if "select" in chart.interactions:
+            sel = dict(chart.interactions["select"])
+            raw = list(sel.get("fields") or [])
+            if raw:
+                planned = [
+                    _resolve_compiled_field(v, fields, expected_kind="dimension")
+                    for v in raw
+                ]
+            else:
+                planned = [by_alias[a] for a in dim_outs[1:]]
+            interactions["select"] = {
+                "fields": [_compiled_field_ref(f) for f in planned],
+                "filter_type": "category",
+                "request_type": "category",
+                "supported": True,
+                "ignored_by": ["matching breakdown"],
+            }
+        payload = {
+            "protocol": "sidemantic-chart-plan-v1",
+            "fields": [f.to_dict() for f in fields],
+            "encodings": encodings,
+            "interactions": interactions,
+            "query": {
+                "metrics": chart.metrics,
+                "dimensions": chart.dimensions,
+                "filters": chart.filters,
+                "segments": chart.segments,
+                "order_by": chart.order_by,
+                "limit": chart.limit,
+            },
+        }
+        fp = hashlib.sha256(
+            _json.dumps(payload, sort_keys=True, default=str).encode()
+        ).hexdigest()
+        return cls(fields, encodings, interactions, fp)
+
+    def field_plan(self) -> dict[str, Any]:
+        return {
+            "protocol": "sidemantic-field-plan-v1",
+            "fingerprint": self.fingerprint,
+            "fields": [f.to_dict() for f in self.fields],
+            "aliases": {f.alias: f.id for f in self.fields},
+            "encodings": self.encodings,
+        }
+
+    def interaction_plan(self) -> dict[str, Any]:
+        return {
+            "protocol": "sidemantic-interaction-plan-v1",
+            "fingerprint": self.fingerprint,
+            **self.interactions,
+        }
+
+    def legacy_interactions(self) -> dict[str, Any]:
+        payload: dict[str, Any] = {}
+        brush = self.interactions.get("brush")
+        if brush:
+            payload["brush"] = {
+                "fields": [f["alias"] for f in brush.get("fields", [])],
+                "channel": brush.get("channel") or "x",
+            }
+        select = self.interactions.get("select")
+        if select:
+            payload["select"] = {
+                "fields": [f["alias"] for f in select.get("fields", [])]
+            }
+        return payload
+
+
 def create_chart(
     data: list[dict[str, Any]],
     x: str | None = None,
@@ -349,6 +577,21 @@ class ChartBuilder:
         self.dimensions += [f for f in add if f not in self.dimensions]
         self._rows = None
         return self
+
+    def categories(self, fields=None) -> "ChartBuilder":
+        """Register a category-select interaction (ref viz.py select
+        interaction): clicking a category filters coordinated views.
+        Defaults to the breakdown dimensions (every dim after the x
+        axis)."""
+        self.interactions["select"] = {
+            "fields": [fields] if isinstance(fields, str) else list(fields or []),
+        }
+        return self
+
+    def compiled_plan(self) -> CompiledChartPlan:
+        """Canonical field/interaction plan + fingerprint for chart
+        runtimes (ref viz.py:99 CompiledChartPlan.build)."""
+        return CompiledChartPlan.build(self)
 
     def where(self, filter_expr: str) -> "ChartBuilder":
         self.filters.append(filter_expr)

@@ -297,3 +297,62 @@ def test_chart_same_tail_metrics_render_distinct_traces(spark, sf_dir):
     assert len(set(names)) == 2
     ys = [[v for v in t["y"]] for t in pl["data"]]
     assert ys[0] != ys[1]  # genuinely different series
+
+
+def test_compiled_chart_plan_fields_encodings_fingerprint(layer):
+    """ref viz.py:99 CompiledChartPlan — field lineage (roles, source
+    model, metric agg), encodings, brush/select interaction plans,
+    legacy payload, and a stable fingerprint."""
+    c = (layer.chart("orders.revenue",
+                     by=["orders.order_date__month", "orders.status"])
+         .line().interactive().categories())
+    plan = c.compiled_plan()
+
+    fp1 = plan.field_plan()
+    assert fp1["protocol"] == "sidemantic-field-plan-v1"
+    by_alias = {f["alias"]: f for f in fp1["fields"]}
+    x = by_alias["order_date__month"]
+    assert x["kind"] == "dimension" and "x" in x["roles"]
+    s = by_alias["status"]
+    assert "series" in s["roles"] and "breakdown" in s["roles"]
+    m = by_alias["revenue"]
+    assert m["kind"] == "metric" and m["metric_agg"] == "sum"
+    assert m["source_model"] == "orders" and "y" in m["roles"]
+    assert fp1["aliases"]["revenue"] == "orders.revenue"
+    assert fp1["encodings"]["x"]["alias"] == "order_date__month"
+    assert [y["alias"] for y in fp1["encodings"]["y"]] == ["revenue"]
+    assert fp1["encodings"]["series"]["alias"] == "status"
+
+    ip = plan.interaction_plan()
+    assert ip["protocol"] == "sidemantic-interaction-plan-v1"
+    assert ip["brush"]["supported"] is True
+    assert ip["brush"]["fields"][0]["alias"] == "order_date__month"
+    assert ip["select"]["fields"][0]["alias"] == "status"
+    legacy = plan.legacy_interactions()
+    assert legacy["brush"]["fields"] == ["order_date__month"]
+    assert legacy["select"]["fields"] == ["status"]
+
+    # fingerprint: stable for the same definition, changes with fields
+    again = (layer.chart("orders.revenue",
+                         by=["orders.order_date__month", "orders.status"])
+             .line().interactive().categories()).compiled_plan()
+    assert again.fingerprint == plan.fingerprint
+    other = layer.chart("orders.revenue",
+                        by=["orders.status"]).compiled_plan()
+    assert other.fingerprint != plan.fingerprint
+
+    # a brush over a metric is compiled but flagged unsupported
+    c2 = (layer.chart("orders.revenue", by=["orders.status"])
+          .bar().brush(fields=["orders.revenue"]))
+    ip2 = c2.compiled_plan().interaction_plan()
+    assert ip2["brush"]["supported"] is False
+    assert "dimension ranges" in ip2["brush"]["unsupported_reason"]
+
+    # unknown interaction field names every valid candidate
+    import pytest as _pytest
+
+    from sidemantic_spark.charts import ChartError
+
+    with _pytest.raises(ChartError, match="Unknown chart interaction"):
+        (layer.chart("orders.revenue", by=["orders.status"])
+         .brush(fields=["orders.nope"]).compiled_plan())
