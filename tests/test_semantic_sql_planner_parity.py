@@ -1124,3 +1124,113 @@ def test_wrapper_qualify_without_order_by_degrades_cleanly(planner_layer):
     """
     out = lyr.rewrite(wrapped)  # must not raise
     assert isinstance(out, str)
+
+
+# ---------------------------------------------------------------------------
+# Wrapped-query preaggregation routing (ref :2053, :2077, :2118, :2153,
+# :2200)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def preagg_planner_layer(planner_layer, tmp_path):
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    lyr = planner_layer
+    orders = lyr.graph.get_model("orders")
+    orders.pre_aggregations = [
+        PreAggregation(
+            name="by_status", measures=["revenue"], dimensions=["status"]
+        )
+    ]
+    lyr.preaggs.base_path = str(tmp_path / "preaggs")
+    built = lyr.preaggs.materialize("orders")
+    assert built == ["orders_preagg_by_status"]
+    return lyr
+
+
+def test_wrapped_preaggregation_route_selection(preagg_planner_layer):
+    """ref :2053/:2077 — a plain wrapper over a preagg-eligible island
+    routes to the rollup, flattens the wrapper, and matches the raw
+    answer."""
+    lyr = preagg_planner_layer
+    wrapped = ("SELECT * FROM (SELECT orders.revenue, orders.status "
+               "FROM orders) sq ORDER BY status")
+    out = lyr.rewrite(wrapped)
+    assert "orders_preagg_by_status" in out
+    assert " AS sq" not in out
+    rows = [(r["status"], float(r["revenue"]))
+            for r in lyr.spark.sql(out).collect()]
+    assert rows == [("completed", 250.0), ("pending", 200.0)]
+
+
+def test_wrapped_metric_filter_uses_preaggregation_having(
+    preagg_planner_layer,
+):
+    """ref :2153 — wrapper metric filter lands as HAVING over the
+    ROUTED rollup scan."""
+    lyr = preagg_planner_layer
+    wrapped = """
+        SELECT *
+        FROM (SELECT orders.revenue, orders.status FROM orders) sq
+        WHERE revenue > 225
+    """
+    out = lyr.rewrite(wrapped)
+    assert "orders_preagg_by_status" in out
+    assert "HAVING" in out.upper()
+    rows = lyr.spark.sql(out).collect()
+    assert len(rows) == 1 and rows[0]["status"] == "completed"
+    assert float(rows[0]["revenue"]) == 250.0
+
+
+def test_root_having_metric_filter_uses_preaggregation(
+    preagg_planner_layer,
+):
+    """ref :2118 — root semantic HAVING routes through the rollup."""
+    lyr = preagg_planner_layer
+    sql = ("SELECT orders.revenue, orders.status FROM orders "
+           "HAVING orders.revenue > 225")
+    out = lyr.rewrite(sql)
+    assert "orders_preagg_by_status" in out
+    rows = lyr.spark.sql(out).collect()
+    assert len(rows) == 1 and float(rows[0]["revenue"]) == 250.0
+
+
+def test_wrapped_preaggregation_preserves_projection_alias_and_order(
+    preagg_planner_layer,
+):
+    """ref :2200 — outer alias + ORDER BY through the preagg route."""
+    lyr = preagg_planner_layer
+    wrapped = """
+        SELECT status, revenue AS total_revenue
+        FROM (SELECT orders.revenue, orders.status FROM orders) sq
+        ORDER BY total_revenue DESC
+    """
+    out = lyr.rewrite(wrapped)
+    assert "orders_preagg_by_status" in out
+    rows = lyr.spark.sql(out).collect()
+    assert [f for f in rows[0].asDict()] == ["status", "total_revenue"]
+    assert [(r["status"], float(r["total_revenue"])) for r in rows] == [
+        ("completed", 250.0), ("pending", 200.0),
+    ]
+
+
+def test_wrapped_fanout_preserves_aliases_and_executes(planner_layer):
+    """ref :2237/:2253 — metrics from BOTH sides of a 1:N join through
+    a wrapper: fan-out protection must hold (orders revenue not
+    inflated by the join), aliases survive, order pushes through."""
+    lyr = planner_layer
+    inner_sem = ("SELECT orders.revenue AS total_revenue, "
+                 "customers.customer_count AS n_customers FROM orders")
+    wrapped = f"""
+        SELECT *
+        FROM ({inner_sem}) sq
+        ORDER BY total_revenue DESC
+    """
+    baseline = ("SELECT * FROM " + _subquery(lyr.rewrite(inner_sem))
+                + " sq ORDER BY total_revenue DESC")
+    _assert_matches_baseline(lyr, wrapped, baseline, ordered=True)
+    rows = lyr.spark.sql(lyr.rewrite(wrapped)).collect()
+    # fixture: total revenue 450 over 2 customers — join fan-out must
+    # not double-count either side
+    assert float(rows[0]["total_revenue"]) == 450.0
+    assert rows[0]["n_customers"] == 2
