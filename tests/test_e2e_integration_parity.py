@@ -470,3 +470,333 @@ def test_yaml_roundtrip(e2e_db):
         ).collect()
     )
     assert rows1 == rows2 and rows1
+
+
+# ---------------------------------------------------------------------------
+# Model fixtures (ref :129-226) and the remaining scenario classes —
+# multi-model joins (:472), derived metrics with filters (:561), time
+# intelligence (:908), error scenarios (:1011), real-data numeric
+# verification (:1143), SQL rewriter integration (:1323). Every
+# expected value is the reference's own assertion.
+# ---------------------------------------------------------------------------
+
+_E2E_EXTRA_READY = False
+
+
+@pytest.fixture()
+def e2e_full_db(e2e_db):
+    global _E2E_EXTRA_READY
+    if not _E2E_EXTRA_READY:
+        e2e_db.sql("""CREATE OR REPLACE TEMP VIEW e2e_order_items AS SELECT * FROM VALUES
+         (1,1,101,2,CAST(50.00 AS DECIMAL(10,2))),(2,2,102,4,CAST(50.00 AS DECIMAL(10,2))),
+         (3,3,101,3,CAST(50.00 AS DECIMAL(10,2))),(4,4,103,2,CAST(150.00 AS DECIMAL(10,2))),
+         (5,5,101,1,CAST(75.00 AS DECIMAL(10,2))),(6,6,104,5,CAST(100.00 AS DECIMAL(10,2))),
+         (7,7,102,5,CAST(25.00 AS DECIMAL(10,2))),(8,8,105,7,CAST(25.00 AS DECIMAL(10,2))),
+         (9,9,103,1,CAST(250.00 AS DECIMAL(10,2))),(10,10,104,4,CAST(100.00 AS DECIMAL(10,2)))
+         AS t(item_id,order_id,product_id,quantity,unit_price)""")
+        e2e_db.sql("""CREATE OR REPLACE TEMP VIEW e2e_products AS SELECT * FROM VALUES
+         (101,'Widget A','Electronics',CAST(25.00 AS DECIMAL(10,2))),
+         (102,'Widget B','Electronics',CAST(20.00 AS DECIMAL(10,2))),
+         (103,'Gadget X','Appliances',CAST(100.00 AS DECIMAL(10,2))),
+         (104,'Gadget Y','Appliances',CAST(75.00 AS DECIMAL(10,2))),
+         (105,'Accessory Z','Accessories',CAST(15.00 AS DECIMAL(10,2)))
+         AS t(product_id,name,category,unit_cost)""")
+        _E2E_EXTRA_READY = True
+    return e2e_db
+
+
+def _orders_model():
+    from sidemantic_spark.core.model import Relationship, Segment
+
+    return Model(
+        name="orders", table="e2e_orders", primary_key="order_id",
+        relationships=[Relationship(
+            name="customers", type="many_to_one", foreign_key="customer_id"
+        )],
+        dimensions=[
+            Dimension(name="status", type="categorical"),
+            Dimension(name="created_at", type="time", granularity="day"),
+            Dimension(name="shipped_at", type="time", granularity="day"),
+            Dimension(name="order_amount", type="numeric"),
+        ],
+        metrics=[
+            Metric(name="order_count", agg="count"),
+            Metric(name="revenue", agg="sum", sql="order_amount"),
+            Metric(name="total_discount", agg="sum", sql="discount"),
+            Metric(name="avg_order_value", agg="avg", sql="order_amount"),
+            Metric(name="unique_customers", agg="count_distinct",
+                   sql="customer_id"),
+            Metric(name="completed_revenue", agg="sum", sql="order_amount",
+                   filters=["{model}.status = 'completed'"]),
+        ],
+        segments=[
+            Segment(name="high_value", sql="{model}.order_amount > 200"),
+            Segment(name="completed", sql="{model}.status = 'completed'"),
+        ],
+    )
+
+
+def _customers_model():
+    return Model(
+        name="customers", table="e2e_customers", primary_key="customer_id",
+        dimensions=[
+            Dimension(name="region", type="categorical"),
+            Dimension(name="tier", type="categorical"),
+            Dimension(name="name", type="categorical"),
+            Dimension(name="created_at", type="time", granularity="day"),
+        ],
+        metrics=[Metric(name="customer_count", agg="count_distinct",
+                        sql="customer_id")],
+    )
+
+
+def _order_items_model():
+    from sidemantic_spark.core.model import Relationship
+
+    return Model(
+        name="order_items", table="e2e_order_items", primary_key="item_id",
+        relationships=[
+            Relationship(name="orders", type="many_to_one",
+                         foreign_key="order_id"),
+            Relationship(name="products", type="many_to_one",
+                         foreign_key="product_id"),
+        ],
+        dimensions=[Dimension(name="quantity", type="numeric")],
+        metrics=[
+            Metric(name="item_count", agg="count"),
+            Metric(name="total_quantity", agg="sum", sql="quantity"),
+            Metric(name="item_revenue", agg="sum", sql="quantity * unit_price"),
+        ],
+    )
+
+
+def _layer_with(spark, *models):
+    lyr = SparkSemanticLayer(spark)
+    for m in models:
+        lyr.add_model(m)
+    return lyr
+
+
+def test_two_model_join_and_sql_generation(e2e_full_db):
+    """ref :475/:533 — join SQL uses the foreign key; rows carry all
+    requested columns."""
+    lyr = _layer_with(e2e_full_db, _orders_model(), _customers_model())
+    sql = lyr.compile(metrics=["orders.revenue"],
+                      dimensions=["customers.region", "orders.status"])
+    assert "JOIN" in sql.upper() and "customer_id" in sql
+    rows = lyr.query(metrics=["orders.revenue"],
+                     dimensions=["customers.region", "orders.status"]).collect()
+    assert rows and all(
+        set(r.asDict()) == {"region", "status", "revenue"} for r in rows
+    )
+
+
+def test_three_model_join_chain(e2e_full_db):
+    """ref :503 — orders->customers for region, orders->order_items for
+    quantity: US=16, EU=9, APAC=9."""
+    from sidemantic_spark.core.model import Relationship
+
+    orders = _orders_model()
+    orders.relationships.append(Relationship(
+        name="order_items", type="one_to_many", foreign_key="order_id"
+    ))
+    lyr = _layer_with(e2e_full_db, orders, _customers_model(),
+                      _order_items_model())
+    rows = lyr.query(metrics=["order_items.total_quantity"],
+                     dimensions=["customers.region"]).collect()
+    by_region = {r["region"]: int(r["total_quantity"]) for r in rows}
+    assert by_region == {"US": 16, "EU": 9, "APAC": 9}
+
+
+def test_derived_metric_basic_and_filtered_ratio(e2e_full_db):
+    """ref :564/:587 — 2275/10=227.5; completion_rate=1475/2275."""
+    lyr = _layer_with(e2e_full_db, _orders_model())
+    lyr.add_metric(Metric(name="revenue_per_order", type="ratio",
+                          numerator="orders.revenue",
+                          denominator="orders.order_count"))
+    assert float(lyr.query(metrics=["revenue_per_order"]).collect()[0][0]) == 227.5
+    assert float(lyr.query(metrics=["orders.completed_revenue"]).collect()[0][0]) == 1475.0
+    assert float(lyr.query(metrics=["orders.revenue"]).collect()[0][0]) == 2275.0
+    lyr.add_metric(Metric(name="completion_rate", type="ratio",
+                          numerator="orders.completed_revenue",
+                          denominator="orders.revenue"))
+    rate = float(lyr.query(metrics=["completion_rate"]).collect()[0][0])
+    assert abs(rate - 1475.0 / 2275.0) < 0.001
+
+
+def test_query_filter_combined_with_metric_filter(e2e_full_db):
+    """ref :630 — completed_revenue after 2024-02-01 = 1175."""
+    lyr = _layer_with(e2e_full_db, _orders_model())
+    sql = lyr.compile(metrics=["orders.completed_revenue"],
+                      filters=["orders.created_at >= '2024-02-01'"])
+    assert "completed" in sql and "2024-02-01" in sql
+    rows = lyr.query(metrics=["orders.completed_revenue"],
+                     filters=["orders.created_at >= '2024-02-01'"]).collect()
+    assert float(rows[0][0]) == 1175.0
+
+
+def test_multiple_filtered_metrics_independent(e2e_full_db):
+    """ref :668 — each metric's filter affects only itself."""
+    lyr = _layer_with(e2e_full_db, Model(
+        name="orders", table="e2e_orders", primary_key="order_id",
+        dimensions=[Dimension(name="status", type="categorical")],
+        metrics=[
+            Metric(name="revenue", agg="sum", sql="order_amount"),
+            Metric(name="completed_revenue", agg="sum", sql="order_amount",
+                   filters=["{model}.status = 'completed'"]),
+            Metric(name="pending_revenue", agg="sum", sql="order_amount",
+                   filters=["{model}.status = 'pending'"]),
+        ],
+    ))
+    row = lyr.query(metrics=[
+        "orders.revenue", "orders.completed_revenue",
+        "orders.pending_revenue",
+    ]).collect()[0]
+    assert float(row["revenue"]) == 2275.0
+    assert float(row["completed_revenue"]) == 1475.0
+    assert float(row["pending_revenue"]) == 725.0
+
+
+def test_time_dimension_granularity_monthly(e2e_full_db):
+    """ref :911 — monthly revenue 450/1175/650; filtered 300/925/250."""
+    lyr = _layer_with(e2e_full_db, _orders_model())
+
+    def monthly(**kw):
+        rows = lyr.query(metrics=["orders.revenue"],
+                         dimensions=["orders.created_at__month"], **kw).collect()
+        return {str(r["created_at__month"])[:7]: float(r["revenue"])
+                for r in rows}
+
+    m = monthly()
+    assert m == {"2024-01": 450.0, "2024-02": 1175.0, "2024-03": 650.0}
+    f = monthly(filters=["orders.status = 'completed'"])
+    assert f == {"2024-01": 300.0, "2024-02": 925.0, "2024-03": 250.0}
+
+
+def test_multiple_time_granularities(e2e_full_db):
+    """ref :979 — 10 day rows, 3 month rows, month totals sum to 10."""
+    lyr = _layer_with(e2e_full_db, _orders_model())
+    day = lyr.query(metrics=["orders.order_count"],
+                    dimensions=["orders.created_at__day"]).collect()
+    assert len(day) == 10
+    month = lyr.query(metrics=["orders.order_count"],
+                      dimensions=["orders.created_at__month"]).collect()
+    assert len(month) == 3
+    assert sum(r["order_count"] for r in month) == 10
+
+
+def test_error_scenarios(e2e_full_db):
+    """ref :1011-1143 — invalid model/metric/dimension/grain, missing
+    join path, self-referencing derived metric, missing dependency."""
+    from sidemantic_spark.core.graph import SemanticGraphError
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    lyr = _layer_with(e2e_full_db, _orders_model())
+    errs = (QueryCompileError, SemanticGraphError, Exception)
+    with pytest.raises(errs):
+        lyr.compile(metrics=["nonexistent_model.revenue"])
+    with pytest.raises(errs):
+        lyr.compile(metrics=["orders.nonexistent_metric"])
+    with pytest.raises(errs):
+        lyr.compile(metrics=["orders.revenue"],
+                    dimensions=["orders.nonexistent_dimension"])
+    with pytest.raises(QueryCompileError, match="granularity"):
+        lyr.compile(metrics=["orders.revenue"],
+                    dimensions=["orders.created_at__invalid"])
+    # missing join path
+    lyr2 = _layer_with(
+        e2e_full_db,
+        Model(name="orders", table="e2e_orders", primary_key="order_id",
+              metrics=[Metric(name="revenue", agg="sum", sql="order_amount")]),
+        Model(name="customers", table="e2e_customers",
+              primary_key="customer_id",
+              dimensions=[Dimension(name="region", type="categorical")]),
+    )
+    with pytest.raises(Exception, match="(?i)join"):
+        lyr2.compile(metrics=["orders.revenue"],
+                     dimensions=["customers.region"])
+    # self-referencing derived metric
+    with pytest.raises(Exception, match="(?i)itself|self"):
+        lyr.add_metric(Metric(name="self_ref", type="derived",
+                              sql="self_ref * 2"))
+        lyr.compile(metrics=["self_ref"])
+    # missing dependency surfaces at compile
+    lyr.add_metric(Metric(name="bad_metric", type="derived",
+                          sql="nonexistent_metric * 2"))
+    with pytest.raises(Exception):
+        lyr.compile(metrics=["bad_metric"])
+
+
+def test_aggregation_accuracy(e2e_full_db):
+    """ref :1146 — sum 2275, count 10, avg 227.5, distinct 5."""
+    lyr = _layer_with(e2e_full_db, _orders_model())
+    row = lyr.query(metrics=[
+        "orders.revenue", "orders.order_count", "orders.avg_order_value",
+        "orders.unique_customers",
+    ]).collect()[0]
+    assert float(row["revenue"]) == 2275.0
+    assert row["order_count"] == 10
+    assert float(row["avg_order_value"]) == 227.5
+    assert row["unique_customers"] == 5
+
+
+def test_grouping_and_filter_accuracy(e2e_full_db):
+    """ref :1180/:1207 — per-status values; amount filter 1450/4."""
+    lyr = _layer_with(e2e_full_db, _orders_model(), _customers_model())
+    by_status = {
+        r["status"]: r for r in lyr.query(
+            metrics=["orders.revenue", "orders.order_count"],
+            dimensions=["orders.status"],
+        ).collect()
+    }
+    assert float(by_status["completed"]["revenue"]) == 1475.0
+    assert by_status["completed"]["order_count"] == 6
+    assert float(by_status["pending"]["revenue"]) == 725.0
+    assert by_status["pending"]["order_count"] == 3
+    assert float(by_status["cancelled"]["revenue"]) == 75.0
+    assert by_status["cancelled"]["order_count"] == 1
+    row = lyr.query(metrics=["orders.revenue", "orders.order_count"],
+                    filters=["orders.order_amount > 200"]).collect()[0]
+    assert float(row["revenue"]) == 1450.0 and row["order_count"] == 4
+
+
+def test_segments_and_order_limit(e2e_full_db):
+    """ref :1224/:1240/:1256 — segment 1450; segment+filter 1050;
+    orderby/limit US then APAC."""
+    lyr = _layer_with(e2e_full_db, _orders_model(), _customers_model())
+    assert float(lyr.query(metrics=["orders.revenue"],
+                           segments=["orders.high_value"]).collect()[0][0]) == 1450.0
+    assert float(lyr.query(
+        metrics=["orders.revenue"], segments=["orders.completed"],
+        filters=["orders.order_amount > 200"],
+    ).collect()[0][0]) == 1050.0
+    rows = lyr.query(metrics=["orders.revenue"],
+                     dimensions=["customers.region"],
+                     order_by=["orders.revenue DESC"], limit=2).collect()
+    assert [r["region"] for r in rows] == ["US", "APAC"]
+
+
+def test_count_distinct_by_group(e2e_full_db):
+    """ref :1277 — completed 4, pending 3, cancelled 1."""
+    lyr = _layer_with(e2e_full_db, Model(
+        name="orders", table="e2e_orders", primary_key="order_id",
+        dimensions=[Dimension(name="status", type="categorical")],
+        metrics=[Metric(name="unique_customers", agg="count_distinct",
+                        sql="customer_id")],
+    ))
+    by_status = {
+        r["status"]: r["unique_customers"] for r in lyr.query(
+            metrics=["orders.unique_customers"],
+            dimensions=["orders.status"],
+        ).collect()
+    }
+    assert by_status == {"completed": 4, "pending": 3, "cancelled": 1}
+
+
+def test_simple_sql_rewrite(e2e_full_db):
+    """ref :1326 — layer.sql rewrites and executes semantic SQL."""
+    lyr = _layer_with(e2e_full_db, _orders_model())
+    rows = lyr.sql("SELECT orders.revenue, orders.status FROM orders").collect()
+    by_status = {r["status"]: float(r["revenue"]) for r in rows}
+    assert by_status == {"completed": 1475.0, "pending": 725.0,
+                         "cancelled": 75.0}
