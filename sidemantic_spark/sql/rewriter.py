@@ -365,6 +365,7 @@ class SemanticSqlRewriter:
         self._eph_gen_bumps = 0
         self._applied_rules: list[str] = []
         self._rejected_rules: list[str] = []
+        self._pushed_filters: list[str] = []
         # benchmark/debug escape hatch: False keeps wrapper queries on
         # the naive island-only rewrite (wrapper executed verbatim), the
         # baseline the reference's planner benchmark compares against
@@ -425,10 +426,12 @@ class SemanticSqlRewriter:
             try:
                 hit = self._cache.get(key)
                 if hit is not None:
-                    out, self._applied_rules, self._rejected_rules = hit
+                    (out, self._applied_rules, self._rejected_rules,
+                     self._pushed_filters) = hit
                     return out
                 self._applied_rules = []
                 self._rejected_rules = []
+                self._pushed_filters = []
                 out = self._rewrite_node(
                     _yardstick_normalize(
                         _normalize_cast_types(
@@ -441,7 +444,9 @@ class SemanticSqlRewriter:
                     # must not grow the compile cache without limit
                     self._cache.pop(next(iter(self._cache)))
                 self._cache[key] = (
-                    out, list(self._applied_rules), list(self._rejected_rules)
+                    out, list(self._applied_rules),
+                    list(self._rejected_rules),
+                    list(self._pushed_filters),
                 )
                 return out
             finally:
@@ -526,6 +531,14 @@ class SemanticSqlRewriter:
         m = re.search(r"models=(\S+)", first)
         if m:
             models = m.group(1)
+        # post-process: a compiled island whose instrumentation header
+        # sits INSIDE preserved outer SQL (wrapper/CTE kept) — the
+        # reference's semantic_plus_postprocess route; a header at
+        # position 0 with no nested header is the direct route
+        hdr = compiled.find("-- sidemantic_spark")
+        post_process = hdr > 0 or (
+            hdr == 0 and "-- sidemantic_spark" in compiled[1:]
+        )
         return {
             "input_sql": sql,
             "compiled_sql": compiled,
@@ -534,6 +547,16 @@ class SemanticSqlRewriter:
             "used_preagg": "used_preagg=" in first,
             "applied_rules": list(self._applied_rules),
             "rejected_rules": list(self._rejected_rules),
+            # reference RewriteExplanation parity (r11): which outer
+            # predicates were folded into the semantic spec, whether a
+            # wrapper survives as post-process, and the FROM source
+            "pushed_filters": list(self._pushed_filters),
+            "post_process": post_process,
+            "source_kind": (
+                "metrics"
+                if re.search(r"\bFROM\s+metrics\b", sql, re.I)
+                else "model"
+            ),
         }
 
     # -- internals ----------------------------------------------------
@@ -1318,7 +1341,9 @@ class SemanticSqlRewriter:
         filters = self._inner_filters(inner)
         pushed = False
         if "WHERE" in clause_vals:
-            filters.append(self._map_out_cols(clause_vals["WHERE"], inner))
+            mapped = self._map_out_cols(clause_vals["WHERE"], inner)
+            filters.append(mapped)
+            self._pushed_filters.append(mapped)
             pushed = True
         order_by = self._outer_order(clause_vals, inner)
         if order_by:

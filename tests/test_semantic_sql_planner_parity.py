@@ -1234,3 +1234,41 @@ def test_wrapped_fanout_preserves_aliases_and_executes(planner_layer):
     # not double-count either side
     assert float(rows[0]["total_revenue"]) == 450.0
     assert rows[0]["n_customers"] == 2
+
+
+def test_explain_ir_pushed_filters_post_process_source_kind(planner_layer):
+    """r11 explain-IR parity: pushed_filters records folded outer
+    predicates, post_process marks preserved wrappers, source_kind
+    distinguishes FROM metrics queries (ref RewriteExplanation)."""
+    lyr = planner_layer
+    ex = lyr.explain_sql(
+        "SELECT * FROM (SELECT orders.revenue, orders.status FROM orders) sq "
+        "WHERE status = 'completed'"
+    )
+    assert ex["pushed_filters"] == ["orders.status = 'completed'"]
+    assert ex["post_process"] is False
+    assert ex["source_kind"] == "model"
+
+    # the mixed OR folds here (WHERE on the wrapper == HAVING on the
+    # aggregate — both run post-aggregation; stronger than the
+    # reference, which keeps it as post-process)
+    ex2 = lyr.explain_sql(
+        "SELECT * FROM (SELECT orders.revenue, orders.status FROM orders) sq "
+        "WHERE status = 'completed' OR revenue > 225"
+    )
+    assert ex2["pushed_filters"] == [
+        "orders.status = 'completed' OR orders.revenue > 225"
+    ]
+    assert ex2["post_process"] is False
+
+    # a computed outer projection genuinely cannot flatten
+    ex2b = lyr.explain_sql(
+        "SELECT status || 'x' AS status_x FROM "
+        "(SELECT orders.status FROM orders) sq"
+    )
+    assert ex2b["post_process"] is True
+    assert ex2b["pushed_filters"] == []
+
+    ex3 = lyr.explain_sql("SELECT orders.revenue, customers.region FROM metrics")
+    assert ex3["source_kind"] == "metrics"
+    assert ex3["post_process"] is False
