@@ -264,6 +264,10 @@ def _model_freshness_policy(layer, refs: list[str]) -> ResolvedFreshnessPolicy:
     )
 
 
+def _tab_label(tab_id: str) -> str:
+    return tab_id.replace("_", " ").replace("-", " ").title()
+
+
 def _json_compatible(value):
     if isinstance(value, (datetime.datetime, datetime.date)):
         return value.isoformat()
@@ -736,6 +740,29 @@ class CrossfilterSession:
             spec["query_endpoint"] = query_endpoint
         return spec
 
+    def to_metadata_spec(
+        self, *, query_endpoint: str | None = None
+    ) -> dict[str, Any]:
+        """The spec WITHOUT data — no Spark query runs (ref viz.py:551
+        ``to_metadata_spec``): clients bootstrap the shell and fetch
+        data through the query endpoint on first focus."""
+        spec: dict[str, Any] = {
+            "protocol": PROTOCOL,
+            "title": self.title,
+            "fields": {
+                "x": self.dim_aliases()[0],
+                "dimensions": self.dim_aliases(),
+                "metrics": self.metric_aliases(),
+            },
+            "interaction_preaggregations": self.uses_rollup,
+            "table_limit": self.table_limit,
+            "freshness_policy": self.freshness_policy(),
+            "data": None,
+        }
+        if query_endpoint:
+            spec["query_endpoint"] = query_endpoint
+        return spec
+
     def to_tab(
         self,
         tab_id: str,
@@ -766,6 +793,57 @@ class CrossfilterDashboard:
         return {
             "protocol": PROTOCOL,
             "tabs": [s.to_tab(tab_id) for tab_id, s in self.sessions.items()],
+        }
+
+    def tab_spec(
+        self, tab_id: str, *, include_data: bool = True
+    ) -> dict[str, Any]:
+        """Fully materialized spec for ONE tab (ref viz.py:860): the
+        lazy-dashboard endpoint body."""
+        session = self.sessions.get(tab_id)
+        if session is None:
+            expected = ", ".join(self.sessions)
+            raise CrossfilterError(
+                f"Unknown crossfilter tab {tab_id!r}. Expected one of: "
+                f"{expected}"
+            )
+        spec = (
+            session.to_spec() if include_data
+            else session.to_metadata_spec()
+        )
+        return {"id": tab_id, "label": _tab_label(tab_id), "spec": spec}
+
+    def to_lazy_spec(
+        self,
+        *,
+        initial_tab: str | None = None,
+        spec_endpoint: str = "/crossfilter/spec",
+    ) -> dict[str, Any]:
+        """Tab metadata plus ONLY the initial tab's data (ref
+        viz.py:884 ``to_lazy_spec``): a hosted dashboard shell loads
+        without running every tab's initial Spark query — at 100 TB a
+        ten-tab dashboard boots on one query instead of ten."""
+        from urllib.parse import quote
+
+        initial = initial_tab or next(iter(self.sessions))
+        if initial not in self.sessions:
+            raise CrossfilterError(f"unknown crossfilter tab {initial!r}")
+        tabs: list[dict[str, Any]] = []
+        for tab_id, session in self.sessions.items():
+            payload: dict[str, Any] = {
+                "id": tab_id,
+                "label": _tab_label(tab_id),
+                "spec_endpoint": (
+                    f"{spec_endpoint}?tab={quote(tab_id, safe='')}"
+                ),
+            }
+            if tab_id == initial:
+                payload["spec"] = session.to_spec()
+            tabs.append(payload)
+        return {
+            "protocol": PROTOCOL,
+            "spec_endpoint": spec_endpoint,
+            "tabs": tabs,
         }
 
     def handle_request(self, payload: dict[str, Any]) -> dict[str, Any]:

@@ -465,3 +465,37 @@ def test_non_additive_session_preagg_reason(layer):
     s.set_interaction_preaggregations(True)
     assert not s.uses_rollup  # reagg-impossible stays off
     s.close()
+
+
+def test_lazy_dashboard_spec_and_metadata(layer):
+    """ref viz.py:551/:860/:884 — a lazy dashboard carries data only
+    for the initial tab; other tabs expose per-tab spec endpoints;
+    tab_spec(include_data=False) never runs the tab's query."""
+    s1 = CrossfilterSession(
+        layer, metrics=["orders.revenue"], dimensions=["orders.status"],
+    )
+    s2 = CrossfilterSession(
+        layer, metrics=["orders.order_count"],
+        dimensions=["orders.priority"],
+    )
+    dash = CrossfilterDashboard({"by_status": s1, "by_priority": s2})
+    lazy = dash.to_lazy_spec()
+    assert lazy["spec_endpoint"] == "/crossfilter/spec"
+    by_id = {t["id"]: t for t in lazy["tabs"]}
+    assert "spec" in by_id["by_status"]          # initial tab has data
+    assert "spec" not in by_id["by_priority"]    # others are lazy
+    assert by_id["by_priority"]["spec_endpoint"] == (
+        "/crossfilter/spec?tab=by_priority"
+    )
+    assert by_id["by_priority"]["label"] == "By Priority"
+
+    meta = dash.tab_spec("by_priority", include_data=False)
+    assert meta["spec"]["data"] is None
+    assert meta["spec"]["fields"]["metrics"] == ["order_count"]
+    full = dash.tab_spec("by_priority")
+    assert full["spec"]["data"]
+    with pytest.raises(CrossfilterError, match="Expected one of"):
+        dash.tab_spec("nope")
+    with pytest.raises(CrossfilterError):
+        dash.to_lazy_spec(initial_tab="nope")
+    dash.close()
