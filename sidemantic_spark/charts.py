@@ -281,7 +281,9 @@ class CompiledChartPlan:
             else:
                 planned = []
             channel = str(brush.get("channel") or "x")
-            supported = channel == "x" and all(
+            # an empty field list is NOT vacuously supported — a chart
+            # with no dimensions has nothing to brush over (r11 review)
+            supported = bool(planned) and channel == "x" and all(
                 f.kind == "dimension" for f in planned
             )
             interactions["brush"] = {

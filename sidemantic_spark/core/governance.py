@@ -60,3 +60,25 @@ class Deprecation:
         if self.message:
             out += f" — {self.message}"
         return out
+
+
+def freshness_marker_sql(model, watermark: str) -> str | None:
+    """The canonical ``SELECT MAX(<watermark expr>)`` marker query for a
+    model — the ONE builder shared by ``SparkSemanticLayer.
+    check_freshness`` and the crossfilter freshness surface (two copies
+    previously disagreed on {model} substitution and table-vs-sql
+    precedence). ``table`` takes precedence when both are set (matching
+    the layer's scan source choice); a SQL-bodied model aliases the
+    subquery as ``t`` and binds ``{model}`` to it."""
+    field_name = watermark.split(".", 1)[1] if "." in watermark else watermark
+    dim = model.dimension(field_name) if hasattr(model, "dimension") else None
+    expr = dim.expr if dim is not None else field_name
+    if getattr(model, "table", None):
+        src = str(model.table)
+        expr = expr.replace("{model}.", "").replace("{model}", "")
+    elif getattr(model, "sql", None):
+        src = f"({model.sql}) AS t"
+        expr = expr.replace("{model}", "t")
+    else:
+        return None
+    return f"SELECT MAX({expr}) FROM {src}"

@@ -526,10 +526,17 @@ class SparkSemanticLayer:
             if fr.sql:
                 marker_sql = fr.sql
             else:
-                dim = model.dimension(fr.watermark)
-                expr = dim.expr if dim else fr.watermark
-                source = model.table or (f"({model.sql})" if model.sql else name)
-                marker_sql = f"SELECT MAX({expr}) FROM {source}"
+                from sidemantic_spark.core.governance import (
+                    freshness_marker_sql,
+                )
+
+                marker_sql = freshness_marker_sql(model, fr.watermark)
+                if marker_sql is None:
+                    # no physical source: fall back to the model name as
+                    # a catalog reference (pre-existing behavior)
+                    dim = model.dimension(fr.watermark)
+                    expr = dim.expr if dim else fr.watermark
+                    marker_sql = f"SELECT MAX({expr}) FROM {name}"
             value = self.spark.sql(marker_sql).collect()[0][0]
             age = None
             if isinstance(value, datetime.datetime):

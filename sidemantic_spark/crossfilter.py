@@ -178,18 +178,12 @@ def _infer_model_watermark(model) -> str | None:
 
 
 def _model_watermark_sql(model, watermark: str) -> str | None:
-    field_name = watermark.split(".", 1)[1] if "." in watermark else watermark
-    dim = model.dimension(field_name)
-    expr = dim.expr if dim is not None else field_name
-    if model.sql:
-        src = f"({model.sql}) AS t"
-        expr = expr.replace("{model}", "t")
-    elif model.table:
-        src = str(model.table)
-        expr = expr.replace("{model}.", "").replace("{model}", "")
-    else:
-        return None
-    return f"SELECT MAX({expr}) FROM {src}"
+    # the ONE marker-query builder, shared with
+    # SparkSemanticLayer.check_freshness (r11 review #7: two freshness
+    # surfaces must not compute different markers for the same model)
+    from sidemantic_spark.core.governance import freshness_marker_sql
+
+    return freshness_marker_sql(model, watermark)
 
 
 def _model_freshness_policy(layer, refs: list[str]) -> ResolvedFreshnessPolicy:
@@ -311,19 +305,33 @@ class CrossfilterSession:
         self._rollup: DataFrame | None = None
         self._rollup_lock = threading.Lock()
         self._reagg = self._metric_reagg_map()
-        # freshness: explicit session overrides win, else resolve from
-        # the (single) source model's policy / inferred watermark (ref
-        # viz.py:499-531 chart-level overrides)
-        if source_watermark_sql or freshness_ttl_seconds is not None:
-            self._freshness_policy = ResolvedFreshnessPolicy(
+        # freshness: resolve the model policy FIRST, then layer explicit
+        # session overrides on top — a ttl-only override must not
+        # discard the model's watermark the TTL is measured against
+        # (ref viz.py:499-531 chart-level overrides; r11 review #4)
+        refs = [_split_field(f)[0] for f in self.metrics + self.dimensions]
+        policy = _model_freshness_policy(layer, refs)
+        if source_watermark_sql:
+            policy = ResolvedFreshnessPolicy(
                 source_watermark_sql=source_watermark_sql,
-                ttl_seconds=freshness_ttl_seconds,
+                ttl_seconds=(
+                    freshness_ttl_seconds
+                    if freshness_ttl_seconds is not None
+                    else policy.ttl_seconds
+                ),
                 source="chart_override",
                 reason="session override",
             )
-        else:
-            refs = [_split_field(f)[0] for f in self.metrics + self.dimensions]
-            self._freshness_policy = _model_freshness_policy(layer, refs)
+        elif freshness_ttl_seconds is not None:
+            policy = ResolvedFreshnessPolicy(
+                source_watermark_sql=policy.source_watermark_sql,
+                ttl_seconds=freshness_ttl_seconds,
+                source="chart_override",
+                source_model=policy.source_model,
+                watermark=policy.watermark,
+                reason="session ttl override over model watermark",
+            )
+        self._freshness_policy = policy
         self.source_watermark_sql = self._freshness_policy.source_watermark_sql
         self.freshness_ttl_seconds = self._freshness_policy.ttl_seconds
 
@@ -372,6 +380,12 @@ class CrossfilterSession:
             return None
         if self._rollup is None:
             with self._rollup_lock:
+                if not self.uses_rollup:
+                    # a concurrent set_interaction_preaggregations(False)
+                    # won the lock between our gate check and here —
+                    # building now would persist a rollup the disabled
+                    # session never releases
+                    return None
                 if self._rollup is None:
                     t0 = time.perf_counter()
                     df = self.layer.query(
@@ -430,14 +444,16 @@ class CrossfilterSession:
     def set_interaction_preaggregations(self, enabled: bool) -> None:
         """Toggle the rollup fast path at runtime (ref viz.py:666);
         disabling releases the persisted rollup so the executor block
-        manager drops its storage."""
+        manager drops its storage. The whole toggle runs under the
+        rollup lock: a concurrent first build must not assign a
+        persisted rollup AFTER the disable released it (r11 review #5
+        — that leak would live until close())."""
         enabled = bool(enabled) and self._reagg is not None
-        if not enabled and self._rollup is not None:
-            with self._rollup_lock:
-                if self._rollup is not None:
-                    self._rollup.unpersist()
-                    self._rollup = None
-        self.interaction_preaggregations = enabled
+        with self._rollup_lock:
+            self.interaction_preaggregations = enabled
+            if not enabled and self._rollup is not None:
+                self._rollup.unpersist()
+                self._rollup = None
 
     @property
     def interaction_preagg_diagnostics(self) -> dict[str, Any] | None:
@@ -717,10 +733,20 @@ class CrossfilterSession:
             "sql": self.source_watermark_sql, "value": value,
         }
 
-    def to_spec(self, *, query_endpoint: str | None = None) -> dict[str, Any]:
+    def to_spec(
+        self,
+        *,
+        query_endpoint: str | None = None,
+        include_data: bool = True,
+    ) -> dict[str, Any]:
+        """The session spec; ``include_data=False`` skips the initial
+        Spark query (one payload shape for both — r11 review #8)."""
         from sidemantic_spark.charts import create_chart
 
-        initial = self._cap(self._view(self.dim_aliases(), []))
+        initial = (
+            self._cap(self._view(self.dim_aliases(), []))
+            if include_data else None
+        )
         spec: dict[str, Any] = {
             "protocol": PROTOCOL,
             "title": self.title,
@@ -746,22 +772,9 @@ class CrossfilterSession:
         """The spec WITHOUT data — no Spark query runs (ref viz.py:551
         ``to_metadata_spec``): clients bootstrap the shell and fetch
         data through the query endpoint on first focus."""
-        spec: dict[str, Any] = {
-            "protocol": PROTOCOL,
-            "title": self.title,
-            "fields": {
-                "x": self.dim_aliases()[0],
-                "dimensions": self.dim_aliases(),
-                "metrics": self.metric_aliases(),
-            },
-            "interaction_preaggregations": self.uses_rollup,
-            "table_limit": self.table_limit,
-            "freshness_policy": self.freshness_policy(),
-            "data": None,
-        }
-        if query_endpoint:
-            spec["query_endpoint"] = query_endpoint
-        return spec
+        return self.to_spec(
+            query_endpoint=query_endpoint, include_data=False
+        )
 
     def to_tab(
         self,
@@ -772,7 +785,7 @@ class CrossfilterSession:
     ) -> dict[str, Any]:
         return {
             "id": tab_id,
-            "label": label or tab_id.replace("_", " ").replace("-", " ").title(),
+            "label": label or _tab_label(tab_id),
             "spec": self.to_spec(query_endpoint=query_endpoint),
             "query_endpoint": query_endpoint,
         }
@@ -796,10 +809,15 @@ class CrossfilterDashboard:
         }
 
     def tab_spec(
-        self, tab_id: str, *, include_data: bool = True
+        self,
+        tab_id: str,
+        *,
+        include_data: bool = True,
+        query_endpoint: str | None = "/crossfilter/query",
     ) -> dict[str, Any]:
         """Fully materialized spec for ONE tab (ref viz.py:860): the
-        lazy-dashboard endpoint body."""
+        lazy-dashboard endpoint body. Carries the query endpoint so a
+        metadata-only shell knows where to fetch data (r11 review #3)."""
         session = self.sessions.get(tab_id)
         if session is None:
             expected = ", ".join(self.sessions)
@@ -807,17 +825,20 @@ class CrossfilterDashboard:
                 f"Unknown crossfilter tab {tab_id!r}. Expected one of: "
                 f"{expected}"
             )
-        spec = (
-            session.to_spec() if include_data
-            else session.to_metadata_spec()
+        spec = session.to_spec(
+            query_endpoint=query_endpoint, include_data=include_data
         )
-        return {"id": tab_id, "label": _tab_label(tab_id), "spec": spec}
+        out = {"id": tab_id, "label": _tab_label(tab_id), "spec": spec}
+        if query_endpoint:
+            out["query_endpoint"] = query_endpoint
+        return out
 
     def to_lazy_spec(
         self,
         *,
         initial_tab: str | None = None,
         spec_endpoint: str = "/crossfilter/spec",
+        query_endpoint: str | None = "/crossfilter/query",
     ) -> dict[str, Any]:
         """Tab metadata plus ONLY the initial tab's data (ref
         viz.py:884 ``to_lazy_spec``): a hosted dashboard shell loads
@@ -837,8 +858,12 @@ class CrossfilterDashboard:
                     f"{spec_endpoint}?tab={quote(tab_id, safe='')}"
                 ),
             }
+            if query_endpoint:
+                payload["query_endpoint"] = query_endpoint
             if tab_id == initial:
-                payload["spec"] = session.to_spec()
+                payload["spec"] = session.to_spec(
+                    query_endpoint=query_endpoint
+                )
             tabs.append(payload)
         return {
             "protocol": PROTOCOL,

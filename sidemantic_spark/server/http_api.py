@@ -313,6 +313,32 @@ def _make_handler(server: SemanticHttpServer):
                             server.crossfilter.to_spec(), default=str
                         ).encode()
                     )
+                if self.path.startswith("/crossfilter/spec?"):
+                    # lazy per-tab endpoint (the URLs to_lazy_spec
+                    # advertises): ?tab=<id>[&data=0] — data=0 serves
+                    # the metadata-only shell
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    tab = (q.get("tab") or [None])[0]
+                    if not tab:
+                        return self._deny(400, "tab parameter required")
+                    include_data = (q.get("data") or ["1"])[0] != "0"
+                    try:
+                        payload = server.crossfilter.tab_spec(
+                            tab, include_data=include_data
+                        )
+                    except Exception as exc:
+                        return self._deny(404, str(exc))
+                    return self._ok(
+                        json.dumps(payload, default=str).encode()
+                    )
+                if self.path == "/crossfilter/lazy":
+                    return self._ok(
+                        json.dumps(
+                            server.crossfilter.to_lazy_spec(), default=str
+                        ).encode()
+                    )
             return self._deny(404, "not found")
 
         def do_DELETE(self):  # noqa: N802

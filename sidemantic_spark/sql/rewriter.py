@@ -1214,7 +1214,9 @@ class SemanticSqlRewriter:
             dims.append(f"{hit[1]} AS {alias}" if alias else hit[1])
         filters = self._inner_filters(inner)
         if "WHERE" in clause_vals:
-            filters.append(self._map_out_cols(clause_vals["WHERE"], inner))
+            mapped = self._map_out_cols(clause_vals["WHERE"], inner)
+            filters.append(mapped)
+            self._pushed_filters.append(mapped)
         spec = QuerySpec(
             metrics=[],
             dimensions=dims,
@@ -1290,9 +1292,13 @@ class SemanticSqlRewriter:
             return None
         filters = self._inner_filters(inner)
         if "WHERE" in clause_vals:
-            filters.append(self._map_out_cols(clause_vals["WHERE"], inner))
+            mapped = self._map_out_cols(clause_vals["WHERE"], inner)
+            filters.append(mapped)
+            self._pushed_filters.append(mapped)
         if "HAVING" in clause_vals:
-            filters.append(self._map_out_cols(clause_vals["HAVING"], inner))
+            mapped = self._map_out_cols(clause_vals["HAVING"], inner)
+            filters.append(mapped)
+            self._pushed_filters.append(mapped)
         spec = QuerySpec(
             metrics=metrics,
             dimensions=dims,

@@ -499,3 +499,73 @@ def test_lazy_dashboard_spec_and_metadata(layer):
     with pytest.raises(CrossfilterError):
         dash.to_lazy_spec(initial_tab="nope")
     dash.close()
+
+
+def test_ttl_only_override_keeps_model_watermark(layer):
+    """r11 review #4: a ttl-only session override must keep the model's
+    resolved watermark — the TTL is measured against it."""
+    from sidemantic_spark.core.governance import Freshness
+
+    orders = layer.graph.get_model("orders")
+    old = orders.freshness
+    orders.freshness = Freshness(watermark="order_date", ttl_seconds=86400)
+    try:
+        s = CrossfilterSession(
+            layer, metrics=["orders.revenue"], dimensions=["orders.status"],
+            freshness_ttl_seconds=60,
+        )
+        pol = s.freshness_policy()
+        assert pol["ttl_seconds"] == 60
+        assert pol["source"] == "chart_override"
+        assert pol["watermark"] == "orders.order_date"
+        assert pol["source_watermark_sql"]  # model watermark survives
+        assert s.source_watermark_payload()["status"] == "available"
+        s.close()
+    finally:
+        orders.freshness = old
+
+
+def test_lazy_tab_http_endpoints(layer):
+    """r11 review #1/#3: the URLs to_lazy_spec advertises are
+    servable — /crossfilter/lazy, /crossfilter/spec?tab=X and the
+    data=0 metadata shell, each carrying the query endpoint."""
+    from sidemantic_spark.server.http_api import SemanticHttpServer
+
+    s1 = CrossfilterSession(
+        layer, metrics=["orders.revenue"], dimensions=["orders.status"],
+    )
+    s2 = CrossfilterSession(
+        layer, metrics=["orders.order_count"],
+        dimensions=["orders.priority"],
+    )
+    dash = CrossfilterDashboard({"t1": s1, "t2": s2})
+    srv = SemanticHttpServer(layer, crossfilter=dash).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        lazy = json.loads(
+            urllib.request.urlopen(base + "/crossfilter/lazy").read()
+        )
+        by_id = {t["id"]: t for t in lazy["tabs"]}
+        assert "spec" in by_id["t1"] and "spec" not in by_id["t2"]
+        assert by_id["t2"]["query_endpoint"] == "/crossfilter/query"
+        # the advertised lazy endpoint resolves
+        tab = json.loads(urllib.request.urlopen(
+            base + by_id["t2"]["spec_endpoint"]
+        ).read())
+        assert tab["id"] == "t2" and tab["spec"]["data"]
+        assert tab["query_endpoint"] == "/crossfilter/query"
+        # metadata-only shell: no query runs, endpoint still present
+        meta = json.loads(urllib.request.urlopen(
+            base + "/crossfilter/spec?tab=t2&data=0"
+        ).read())
+        assert meta["spec"]["data"] is None
+        assert meta["spec"]["query_endpoint"] == "/crossfilter/query"
+        # unknown tab -> 404
+        try:
+            urllib.request.urlopen(base + "/crossfilter/spec?tab=nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
+        dash.close()

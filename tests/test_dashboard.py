@@ -356,3 +356,13 @@ def test_compiled_chart_plan_fields_encodings_fingerprint(layer):
     with _pytest.raises(ChartError, match="Unknown chart interaction"):
         (layer.chart("orders.revenue", by=["orders.status"])
          .brush(fields=["orders.nope"]).compiled_plan())
+
+
+def test_brush_without_dimensions_unsupported(layer):
+    """r11 review #6: a dimensionless chart's brush compiles to
+    supported=False (all([]) must not be vacuously supported)."""
+    plan = layer.chart("orders.revenue").interactive().compiled_plan()
+    brush = plan.interaction_plan()["brush"]
+    assert brush["supported"] is False
+    assert brush["fields"] == []
+    assert brush["unsupported_reason"]
