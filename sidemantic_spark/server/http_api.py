@@ -324,12 +324,23 @@ def _make_handler(server: SemanticHttpServer):
                     if not tab:
                         return self._deny(400, "tab parameter required")
                     include_data = (q.get("data") or ["1"])[0] != "0"
+                    from sidemantic_spark.crossfilter import (
+                        CrossfilterError,
+                    )
+
                     try:
                         payload = server.crossfilter.tab_spec(
                             tab, include_data=include_data
                         )
-                    except Exception as exc:
+                    except CrossfilterError as exc:
+                        # tab-name errors are user-facing (they list the
+                        # valid ids), never internal state
                         return self._deny(404, str(exc))
+                    except AttributeError:
+                        # a single session (no dashboard) has no tabs
+                        return self._deny(
+                            404, "per-tab specs need a dashboard"
+                        )
                     return self._ok(
                         json.dumps(payload, default=str).encode()
                     )

@@ -712,6 +712,21 @@ class SemanticSqlRewriter:
             seen_ctes.add(name)
         if self._is_semantic(outer, shadowed=seen_ctes):
             outer = self._rewrite_node(outer)
+        else:
+            # the outer may hold a derived-table ISLAND even when its
+            # FROM is not a bare model (`WITH passthrough AS (SELECT 1)
+            # SELECT * FROM (SELECT orders.revenue ...) sq`) — leaving
+            # it verbatim ships raw model refs to Spark (r11
+            # negative-matrix port). CTE names shadow models, so only a
+            # non-shadowed island routes through the node rewriter.
+            parts = _top_level_split(outer, "FROM")
+            tail = parts[1].lstrip() if len(parts) > 1 else ""
+            if tail.startswith("("):
+                end = _find_balanced_paren(tail)
+                if end is not None and self._is_semantic(
+                    tail[1:end].strip(), shadowed=seen_ctes
+                ):
+                    outer = self._rewrite_node(outer)
         return "WITH " + recursive + ",\n".join(rendered) + "\n" + outer
 
     def _rewrite_from_subquery(self, sql: str) -> str | None:
@@ -1015,13 +1030,27 @@ class SemanticSqlRewriter:
             filters.append(self._qualify_bare(inner.clause_vals["HAVING"], inner.base))
         return filters
 
-    def _outer_order(self, clause_vals: dict, inner: _InnerParse) -> list[str]:
+    def _outer_order(
+        self, clause_vals: dict, inner: _InnerParse
+    ) -> list[str] | None:
+        """Outer ORDER BY items mapped to semantic refs — or None when
+        an item is NOT a plain ``ref [ASC|DESC]`` (ordinals, computed
+        expressions, NULLS FIRST/LAST): folding those into the plan
+        either re-qualifies into unresolvable names or silently changes
+        NULL placement, so the rule must bail to post-process (r11
+        negative-matrix port found both)."""
         if "ORDER BY" not in clause_vals:
             return []
-        return [
-            self._map_out_cols(o, inner)
-            for o in _split_items(clause_vals["ORDER BY"])
-        ]
+        out = []
+        for o in _split_items(clause_vals["ORDER BY"]):
+            if not re.fullmatch(
+                r"\s*[A-Za-z_][A-Za-z0-9_]*(?:__[a-z]+)?"
+                r"(?:\s+(?:ASC|DESC))?\s*",
+                o, re.I,
+            ):
+                return None
+            out.append(self._map_out_cols(o, inner))
+        return out
 
     def _rule_rownum_topn(
         self, inner, outer_items, outer_distinct, clause_vals
@@ -1217,11 +1246,14 @@ class SemanticSqlRewriter:
             mapped = self._map_out_cols(clause_vals["WHERE"], inner)
             filters.append(mapped)
             self._pushed_filters.append(mapped)
+        order_by = self._outer_order(clause_vals, inner)
+        if order_by is None:
+            return None
         spec = QuerySpec(
             metrics=[],
             dimensions=dims,
             filters=filters,
-            order_by=self._outer_order(clause_vals, inner),
+            order_by=order_by,
             limit=int(clause_vals["LIMIT"]) if "LIMIT" in clause_vals else None,
             offset=int(clause_vals["OFFSET"]) if "OFFSET" in clause_vals else None,
         )
@@ -1299,11 +1331,14 @@ class SemanticSqlRewriter:
             mapped = self._map_out_cols(clause_vals["HAVING"], inner)
             filters.append(mapped)
             self._pushed_filters.append(mapped)
+        order_by = self._outer_order(clause_vals, inner)
+        if order_by is None:
+            return None
         spec = QuerySpec(
             metrics=metrics,
             dimensions=dims,
             filters=filters,
-            order_by=self._outer_order(clause_vals, inner),
+            order_by=order_by,
             limit=int(clause_vals["LIMIT"]) if "LIMIT" in clause_vals else None,
             offset=int(clause_vals["OFFSET"]) if "OFFSET" in clause_vals else None,
         )
@@ -1352,6 +1387,8 @@ class SemanticSqlRewriter:
             self._pushed_filters.append(mapped)
             pushed = True
         order_by = self._outer_order(clause_vals, inner)
+        if order_by is None:
+            return None
         if order_by:
             pushed = True
         elif "ORDER BY" in inner.clause_vals:

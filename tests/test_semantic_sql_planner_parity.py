@@ -1272,3 +1272,148 @@ def test_explain_ir_pushed_filters_post_process_source_kind(planner_layer):
     ex3 = lyr.explain_sql("SELECT orders.revenue, customers.region FROM metrics")
     assert ex3["source_kind"] == "metrics"
     assert ex3["post_process"] is False
+
+
+# ---------------------------------------------------------------------------
+# Window-metric wrappers, partitioned top-N, projection width, negative
+# matrix (ref :2526, :2611, :3103, :3123-3196)
+# ---------------------------------------------------------------------------
+
+def test_wrapped_window_metric_executes_against_baseline(planner_layer):
+    """ref :2526 — a cumulative metric through a wrapper with ORDER
+    pushdown matches the unoptimized baseline."""
+    lyr = planner_layer
+    lyr.add_metric(Metric(
+        name="running_total_revenue", type="cumulative",
+        sql="orders.revenue",
+    ))
+    inner_sem = ("SELECT running_total_revenue, orders.order_date "
+                 "FROM metrics")
+    wrapped = f"""
+        SELECT *
+        FROM ({inner_sem}) sq
+        ORDER BY order_date
+    """
+    baseline = ("SELECT * FROM " + _subquery(lyr.rewrite(inner_sem))
+                + " sq ORDER BY order_date")
+    _assert_matches_baseline(lyr, wrapped, baseline, ordered=True)
+    rows = lyr.spark.sql(lyr.rewrite(wrapped)).collect()
+    assert [float(r["running_total_revenue"]) for r in rows] == [
+        100.0, 250.0, 450.0,
+    ]
+
+
+def test_wrapper_window_metric_filter_stays_correct(planner_layer):
+    """ref :2611 — filtering on a window metric's OUTPUT cannot push
+    into the plan (it would change the running total); result must
+    equal the unoptimized wrapper."""
+    lyr = planner_layer
+    lyr.add_metric(Metric(
+        name="running_total_revenue", type="cumulative",
+        sql="orders.revenue",
+    ))
+    inner_sem = ("SELECT running_total_revenue, orders.order_date "
+                 "FROM metrics")
+    wrapped = f"""
+        SELECT *
+        FROM ({inner_sem}) sq
+        WHERE running_total_revenue > 100
+    """
+    baseline = ("SELECT * FROM " + _subquery(lyr.rewrite(inner_sem))
+                + " sq WHERE running_total_revenue > 100")
+    spark = lyr.spark
+    opt = sorted(map(repr, spark.sql(lyr.rewrite(wrapped)).collect()))
+    base = sorted(map(repr, spark.sql(baseline).collect()))
+    assert opt == base and len(opt) == 2  # days 2 and 3 (250, 450)
+
+
+def test_partitioned_rownum_topn_stays_correct(planner_layer):
+    """ref :3103 — PARTITION BY rn is per-group top-N, never foldable
+    to a global LIMIT; the window-stage rewrite must keep per-group
+    semantics."""
+    lyr = planner_layer
+    inner_sem = "SELECT orders.revenue, orders.status FROM orders"
+    wrapped = f"""
+        SELECT status, revenue
+        FROM (
+            SELECT status, revenue,
+                   ROW_NUMBER() OVER (PARTITION BY status ORDER BY revenue DESC) AS rn
+            FROM ({inner_sem}) semantic_result
+        ) ranked
+        WHERE rn <= 1
+    """
+    out = lyr.rewrite(wrapped)
+    assert "LIMIT 1" not in out  # per-group, not global
+    rows = sorted(
+        (r["status"], float(r["revenue"]))
+        for r in lyr.spark.sql(out).collect()
+    )
+    assert rows == [("completed", 250.0), ("pending", 200.0)]
+
+
+def test_projection_width_reduction(planner_layer):
+    """ref :3123/:3135/:3148 — the model CTE projects only needed
+    columns: no unused pk/fk; join keys appear only when a join needs
+    them; a count_distinct key projects as the metric's raw column."""
+    lyr = planner_layer
+    sql1 = lyr.rewrite("SELECT orders.revenue, orders.status FROM orders")
+    assert "id AS id" not in sql1 and "customer_id" not in sql1
+    assert "amount AS revenue_raw" in sql1
+
+    sql2 = lyr.rewrite("SELECT orders.revenue, customers.region FROM orders")
+    assert "customer_id" in sql2  # join key projected when joining
+
+    orders = lyr.graph.get_model("orders")
+    orders.metrics.append(Metric(name="unique_orders", agg="count_distinct"))
+    sql3 = lyr.rewrite("SELECT orders.unique_orders, orders.status "
+                       "FROM orders ORDER BY orders.status")
+    rows = lyr.spark.sql(sql3).collect()
+    assert [(r["status"], r["unique_orders"]) for r in rows] == [
+        ("completed", 2), ("pending", 1),
+    ]
+
+
+@pytest.mark.parametrize(
+    "shape",
+    ["computed_projection", "added_window", "distinct_over_metrics",
+     "dropped_dim", "inner_limit", "order_by_ordinal",
+     "order_by_computed", "nulls_first", "cte_passthrough"],
+)
+def test_wrapped_optimizer_negative_matrix(planner_layer, shape):
+    """ref :3185 — shapes that must NOT be flattened; whatever route
+    fires, results must equal the unoptimized island-in-wrapper."""
+    lyr = planner_layer
+    island = "SELECT orders.revenue, orders.status FROM orders"
+    sqls = {
+        "computed_projection":
+            f"SELECT revenue * 2 AS doubled FROM ({island}) sq",
+        "added_window":
+            f"SELECT revenue, ROW_NUMBER() OVER (ORDER BY revenue) AS rn "
+            f"FROM ({island}) sq",
+        "distinct_over_metrics":
+            f"SELECT DISTINCT status FROM ({island}) sq",
+        "dropped_dim":
+            f"SELECT revenue FROM ({island}) sq",
+        "inner_limit":
+            "SELECT * FROM (SELECT orders.revenue, orders.status "
+            "FROM orders LIMIT 1) sq WHERE status IS NOT NULL",
+        "order_by_ordinal":
+            f"SELECT * FROM ({island}) sq ORDER BY 1",
+        "order_by_computed":
+            f"SELECT * FROM ({island}) sq ORDER BY status || ''",
+        "nulls_first":
+            f"SELECT * FROM ({island}) sq ORDER BY status DESC NULLS FIRST",
+        "cte_passthrough":
+            "WITH passthrough AS (SELECT 1 AS marker) "
+            f"SELECT * FROM ({island}) sq",
+    }
+    sql = sqls[shape]
+    compiled_island = lyr.rewrite(island)
+    baseline = sql.replace(island, "\n" + compiled_island.rstrip() + "\n")
+    spark = lyr.spark
+    opt = spark.sql(lyr.rewrite(sql)).collect()
+    base = spark.sql(baseline).collect()
+    if "ORDER BY" in sql.upper():
+        assert list(map(repr, opt)) == list(map(repr, base))
+    else:
+        assert sorted(map(repr, opt)) == sorted(map(repr, base))
