@@ -902,6 +902,15 @@ class SemanticSqlRewriter:
         alias_m = re.fullmatch(_ALIAS_FORM, between, re.I) if between else None
         if between and alias_m is None:
             return None
+        # multi-group shapes (GROUPING SETS / ROLLUP / CUBE) must never
+        # fold: the reagg rules would flatten them into a single plain
+        # GROUP BY and silently DROP the subtotal rows (r11
+        # grouping-sets port caught exactly that)
+        if "GROUP BY" in clause_vals and re.search(
+            r"\b(GROUPING\s+SETS|ROLLUP|CUBE)\s*\(",
+            clause_vals["GROUP BY"], re.I,
+        ):
+            return None
         # alias-qualified outer refs (`sq.status`, `"_"."status"` — BI
         # tools emit these) de-qualify to the bare output names the
         # colmap knows — unless the alias shadows a model name, where

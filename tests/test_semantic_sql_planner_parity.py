@@ -1417,3 +1417,182 @@ def test_wrapped_optimizer_negative_matrix(planner_layer, shape):
         assert list(map(repr, opt)) == list(map(repr, base))
     else:
         assert sorted(map(repr, opt)) == sorted(map(repr, base))
+
+
+# ---------------------------------------------------------------------------
+# Join-key preaggregation routing (ref :2337-2526)
+# ---------------------------------------------------------------------------
+
+def _materialize(lyr, tmp_path, *preaggs):
+    from sidemantic_spark.preagg.matcher import PreAggregation  # noqa: F401
+
+    orders = lyr.graph.get_model("orders")
+    orders.pre_aggregations = list(preaggs)
+    lyr.preaggs.base_path = str(tmp_path / "preaggs")
+    return lyr.preaggs.materialize("orders")
+
+
+def test_join_key_preagg_rolls_orders_to_customer_region(
+    planner_layer, tmp_path
+):
+    """ref :2337 — a rollup keyed by customer_id serves a query that
+    joins out to customers.region: the fact side scans the rollup, the
+    dimension side joins on the stored key, results match raw."""
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    lyr = planner_layer
+    built = _materialize(lyr, tmp_path, PreAggregation(
+        name="by_customer", measures=["revenue"],
+        dimensions=["customer_id"],
+    ))
+    assert built == ["orders_preagg_by_customer"]
+    sql = lyr.compile(metrics=["orders.revenue"],
+                      dimensions=["customers.region"],
+                      order_by=["customers.region"])
+    assert "orders_preagg_by_customer" in sql
+    rows = [(r["region"], float(r["revenue"]))
+            for r in lyr.spark.sql(sql).collect()]
+    # fixture: customer 1 (US) orders 100+150=250; customer 2 (EU) 200
+    assert rows == [("EU", 200.0), ("US", 250.0)]
+
+
+def test_join_key_preagg_grain_column_rollup(planner_layer, tmp_path):
+    """ref :2377/:2413 — a day-grain keyed rollup serves month and
+    bare time-dim queries through the join route, re-truncating the
+    stored grain column."""
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    lyr = planner_layer
+    _materialize(lyr, tmp_path, PreAggregation(
+        name="by_customer_day", measures=["revenue"],
+        dimensions=["customer_id"], time_dimension="order_date",
+        granularity="day",
+    ))
+    sql = lyr.compile(
+        metrics=["orders.revenue"],
+        dimensions=["orders.order_date__month", "customers.region"],
+    )
+    assert "orders_preagg_by_customer_day" in sql
+    rows = sorted(
+        (str(r["order_date__month"])[:7], r["region"], float(r["revenue"]))
+        for r in lyr.spark.sql(sql).collect()
+    )
+    assert rows == [("2024-01", "EU", 200.0), ("2024-01", "US", 250.0)]
+
+
+def test_join_key_preagg_rejects_missing_key_and_one_to_many(
+    planner_layer, tmp_path
+):
+    """ref :2486/:2506 — a rollup without the join key cannot serve a
+    joined query (falls back to the raw scan, results still right);
+    a one_to_many remote dimension never routes through a key rollup."""
+    from sidemantic_spark.preagg.matcher import PreAggregation
+
+    lyr = planner_layer
+    _materialize(lyr, tmp_path, PreAggregation(
+        name="by_status", measures=["revenue"], dimensions=["status"],
+    ))
+    sql = lyr.compile(metrics=["orders.revenue"],
+                      dimensions=["customers.region"])
+    assert "orders_preagg_by_status" not in sql
+    rows = sorted(
+        (r["region"], float(r["revenue"]))
+        for r in lyr.spark.sql(sql).collect()
+    )
+    assert rows == [("EU", 200.0), ("US", 250.0)]
+
+    # one_to_many remote dim: customers metric grouped by orders.status
+    customers = lyr.graph.get_model("customers")
+    customers.pre_aggregations = [PreAggregation(
+        name="by_id", measures=["customer_count"], dimensions=["id"],
+    )]
+    sql2 = lyr.compile(metrics=["customers.customer_count"],
+                       dimensions=["orders.status"])
+    assert "customers_preagg_by_id" not in sql2
+    rows2 = sorted(
+        (r["status"], r["customer_count"])
+        for r in lyr.spark.sql(sql2).collect()
+    )
+    assert rows2 == [("completed", 1), ("pending", 1)]
+
+
+def test_additive_total_union_uses_branch_preaggregations(
+    preagg_planner_layer,
+):
+    """ref :1342 — a detail+total UNION ALL compiles each branch's
+    island (routing both through the rollup) and matches raw."""
+    lyr = preagg_planner_layer
+    sql = """
+        SELECT status, revenue
+        FROM (SELECT orders.revenue, orders.status FROM orders) detail
+        UNION ALL
+        SELECT NULL AS status, SUM(revenue) AS revenue
+        FROM (SELECT orders.revenue, orders.status FROM orders) detail_total
+    """
+    out = lyr.rewrite(sql)
+    assert out.count("orders_preagg_by_status") >= 1
+    rows = sorted(
+        ((r["status"], float(r["revenue"]))
+         for r in lyr.spark.sql(out).collect()),
+        key=lambda t: (t[0] is None, t[0] or "", t[1]),
+    )
+    assert rows == [
+        ("completed", 250.0), ("pending", 200.0), (None, 450.0),
+    ]
+
+
+def test_grouping_sets_subtotal_over_routed_island(preagg_planner_layer):
+    """ref :1398 — GROUPING SETS wrapper survives over the
+    rollup-routed island; subtotal row matches raw."""
+    lyr = preagg_planner_layer
+    sql = """
+        SELECT status, SUM(revenue) AS revenue
+        FROM (SELECT orders.revenue, orders.status FROM orders) sq
+        GROUP BY GROUPING SETS ((status), ())
+        ORDER BY status
+    """
+    out = lyr.rewrite(sql)
+    assert "GROUPING SETS" in out and "orders_preagg_by_status" in out
+    rows = [(r["status"], float(r["revenue"]))
+            for r in lyr.spark.sql(out).collect()]
+    assert rows == [(None, 450.0), ("completed", 250.0),
+                    ("pending", 200.0)]
+
+
+def test_non_additive_subtotal_wrappers_stay_correct(planner_layer):
+    """ref :1443 — ratio-of-sums and median re-aggregation wrappers
+    must not be folded as additive rollups; results equal the
+    unoptimized baseline."""
+    lyr = planner_layer
+    orders = lyr.graph.get_model("orders")
+    orders.metrics.append(
+        Metric(name="median_amount", agg="median", sql="amount")
+    )
+    cases = [
+        (
+            "SELECT orders.revenue, orders.order_count, orders.status, "
+            "orders.order_date FROM orders",
+            """
+            SELECT status, SUM(revenue) / SUM(order_count) AS revenue_per_order
+            FROM ({island}) sq
+            GROUP BY status
+            """,
+        ),
+        (
+            "SELECT orders.median_amount, orders.status, "
+            "orders.order_date FROM orders",
+            """
+            SELECT status, MEDIAN(median_amount) AS median_amount
+            FROM ({island}) sq
+            GROUP BY status
+            """,
+        ),
+    ]
+    for island, template in cases:
+        sql = template.format(island=island)
+        baseline = template.format(
+            island="\n" + lyr.rewrite(island).rstrip() + "\n"
+        )
+        opt = sorted(map(repr, lyr.spark.sql(lyr.rewrite(sql)).collect()))
+        base = sorted(map(repr, lyr.spark.sql(baseline).collect()))
+        assert opt == base
