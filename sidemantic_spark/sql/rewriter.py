@@ -642,6 +642,34 @@ class SemanticSqlRewriter:
             return False
         return m.group(1) in self.layer.graph.models
 
+    def _has_semantic_island(
+        self, text: str, shadowed: set[str] | None = None
+    ) -> bool:
+        """Does this statement contain a semantic query anywhere the
+        node rewriter would compile one — directly, in a set-op branch,
+        or inside a derived table? Shadow-aware: CTE names take
+        precedence over models (r11: WITH bodies/outers holding
+        wrapped islands used to ship raw model refs to Spark)."""
+        if self._is_semantic(text, shadowed=shadowed):
+            return True
+        for op in _SET_OPS:
+            parts = _top_level_split(text, op)
+            if len(parts) > 1:
+                return any(
+                    self._has_semantic_island(p.strip(), shadowed)
+                    for p in parts
+                )
+        parts = _top_level_split(text, "FROM")
+        if len(parts) > 1:
+            tail = parts[1].lstrip()
+            if tail.startswith("("):
+                end = _find_balanced_paren(tail)
+                if end is not None:
+                    return self._has_semantic_island(
+                        tail[1:end].strip(), shadowed
+                    )
+        return False
+
     def _rewrite_with(self, sql: str) -> str:
         body = re.sub(r"^\s*WITH\b", "", sql, count=1, flags=re.IGNORECASE)
         recursive = ""
@@ -706,27 +734,16 @@ class SemanticSqlRewriter:
             # a CTE body may reference earlier CTEs, which shadow
             # same-named models; later CTEs and the outer SELECT see
             # every CTE name
-            if self._is_semantic(cte_body, shadowed=seen_ctes):
+            if self._has_semantic_island(cte_body, shadowed=seen_ctes):
                 cte_body = self._rewrite_node(cte_body)
             rendered.append(f"{name} AS (\n{cte_body}\n)")
             seen_ctes.add(name)
-        if self._is_semantic(outer, shadowed=seen_ctes):
+        if self._has_semantic_island(outer, shadowed=seen_ctes):
+            # the outer may hold a derived-table or set-op ISLAND even
+            # when its FROM is not a bare model — leaving it verbatim
+            # ships raw model refs to Spark (r11 negative-matrix and
+            # hex-preview ports). CTE names shadow models.
             outer = self._rewrite_node(outer)
-        else:
-            # the outer may hold a derived-table ISLAND even when its
-            # FROM is not a bare model (`WITH passthrough AS (SELECT 1)
-            # SELECT * FROM (SELECT orders.revenue ...) sq`) — leaving
-            # it verbatim ships raw model refs to Spark (r11
-            # negative-matrix port). CTE names shadow models, so only a
-            # non-shadowed island routes through the node rewriter.
-            parts = _top_level_split(outer, "FROM")
-            tail = parts[1].lstrip() if len(parts) > 1 else ""
-            if tail.startswith("("):
-                end = _find_balanced_paren(tail)
-                if end is not None and self._is_semantic(
-                    tail[1:end].strip(), shadowed=seen_ctes
-                ):
-                    outer = self._rewrite_node(outer)
         return "WITH " + recursive + ",\n".join(rendered) + "\n" + outer
 
     def _rewrite_from_subquery(self, sql: str) -> str | None:

@@ -1596,3 +1596,34 @@ def test_non_additive_subtotal_wrappers_stay_correct(planner_layer):
         opt = sorted(map(repr, lyr.spark.sql(lyr.rewrite(sql)).collect()))
         base = sorted(map(repr, lyr.spark.sql(baseline).collect()))
         assert opt == base
+
+
+def test_hex_style_union_preview_cte_preserves_outer_limit(planner_layer):
+    """ref :3008 — a Hex-style preview: CTE whose body UNIONs two
+    island wrappers, outer LIMIT. Both islands compile, the limit and
+    CTE shape survive, rows equal the unoptimized baseline."""
+    lyr = planner_layer
+    i1 = ("SELECT orders.status FROM orders "
+          "WHERE orders.status = 'completed'")
+    i2 = ("SELECT orders.status FROM orders "
+          "WHERE orders.status = 'pending'")
+    sql = f"""
+        WITH query AS (
+            SELECT status
+            FROM ({i1}) completed
+            UNION ALL
+            SELECT status
+            FROM ({i2}) pending
+        )
+        SELECT * FROM query LIMIT 2
+    """
+    baseline = ("WITH query AS (SELECT status FROM "
+                + _subquery(lyr.rewrite(i1))
+                + " completed UNION ALL SELECT status FROM "
+                + _subquery(lyr.rewrite(i2))
+                + " pending) SELECT * FROM query LIMIT 2")
+    spark = lyr.spark
+    opt = spark.sql(lyr.rewrite(sql)).collect()
+    base = spark.sql(baseline).collect()
+    assert len(opt) == len(base) == 2
+    assert {r["status"] for r in opt} <= {"completed", "pending"}
