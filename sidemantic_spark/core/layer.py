@@ -306,7 +306,9 @@ class SparkSemanticLayer:
                 "dimensions": dimensions or [],
                 "filters": filters or [],
                 "order_by": order_by or [],
-            })
+            }, scope_models=self.generator.resolve_scope_models(
+                metrics, dimensions, filters, order_by,
+            ))
         if limit is None and not with_totals:
             # a configured default_limit must never page out the
             # grand-total row (reference

@@ -135,8 +135,30 @@ class SecurityPolicy:
             return
         if self.access is False:
             raise SecurityError(f"access to model {model_name!r} denied")
-        rendered = render_template(self.access, user, ctx=f"model {model_name!r} access")
-        if rendered.strip().lower() in ("", "false", "0", "none"):
+        # the gate is a Jinja BOOLEAN EXPRESSION over `user`, accepted
+        # both bare ("user.role == 'admin'") and wrapped
+        # ("{{ user.role == 'admin' }}") — evaluate it to a real Python
+        # truthiness, never a rendered string (reference
+        # core/security.py:243-283 evaluate_access; rendering the bare
+        # form verbatim would make ANY brace-less expression truthy —
+        # fail-open for every reference-authored policy)
+        from jinja2 import TemplateError, Undefined
+
+        expr = str(self.access).strip()
+        if expr.startswith("{{") and expr.endswith("}}"):
+            expr = expr[2:-2].strip()
+        try:
+            result = _jinja_env().compile_expression(
+                expr, undefined_to_none=False
+            )(user=user or {})
+            if isinstance(result, Undefined):
+                str(result)  # StrictUndefined: force the error (deny)
+        except TemplateError as exc:
+            raise SecurityError(
+                f"model {model_name!r} access expression "
+                f"{self.access!r} failed to evaluate: {exc}"
+            ) from exc
+        if not result:
             raise SecurityError(f"access to model {model_name!r} denied for this user")
 
     def rendered_row_filters(self, model_name: str, user: dict | None) -> list[str]:
@@ -155,10 +177,26 @@ def render_template(template: str, user: dict | None, *, ctx: str) -> str:
         raise SecurityError(f"{ctx}: template error: {exc}") from exc
 
 
-def enforce_field_visibility(graph, refs_by_kind: dict[str, list[str]]) -> None:
+def enforce_field_visibility(
+    graph,
+    refs_by_kind: dict[str, list[str]],
+    scope_models: list[str] | None = None,
+) -> None:
     """Reject references to ``public: false`` fields in any query clause
     (ref ``core/security.py`` ``enforce_field_visibility``): hidden
     fields must not leak through filters or ordering either.
+
+    ``scope_models``, when provided, is the caller's RESOLVED query
+    scope (the generator's join-order resolution) and bounds the models
+    bare filter/order tokens are checked against — a bare ``region`` on
+    model A must not be rejected because an unrelated model B hides a
+    ``region`` (r11 VERDICT ask #4). Narrowing stays fail-closed:
+    qualified refs are checked directly regardless of scope, and a bare
+    token only binds to a model's raw columns when its conjunct carries
+    a qualified ref to that model (zero-ref conjuncts evaluate in the
+    outer query over already-checked projected columns). When
+    ``scope_models`` is None (unresolvable query), the scan falls back
+    to the graph-wide check.
 
     Fail-closed scanning (reference
     tests/core/test_security_advisor_regressions.py:153-187): quoted
@@ -213,7 +251,8 @@ def enforce_field_visibility(graph, refs_by_kind: dict[str, list[str]]) -> None:
     # model A). Falls back to ALL models only when nothing resolves.
     from sidemantic_spark.sql.fragments import GRAIN_WORDS as _GRAINS
 
-    for kind in ("metrics", "dimensions"):
+    resolved = [m for m in scope_models or [] if m in known]
+    for kind in () if resolved else ("metrics", "dimensions"):
         for text in dequoted.get(kind, []):
             name = text.strip()
             if not name or "." in name or not _re.fullmatch(r"\w+", name):
@@ -232,7 +271,16 @@ def enforce_field_visibility(graph, refs_by_kind: dict[str, list[str]]) -> None:
                         scope.update(
                             m for m, _f, _g in find_refs(expr, known, shadowing=False)
                         )
-    bare_scope = scope or known
+    # the resolver's scope REPLACES the bare-selected-name expansion
+    # above (it resolves bare names through the generator's own lookup,
+    # picking the one owner the query will read instead of every model
+    # sharing the field name); qualified-ref models still union in so a
+    # conjunct pushed into an explicitly-named model's CTE keeps its
+    # bare tokens checked against that model
+    if resolved:
+        bare_scope = scope | set(resolved)
+    else:
+        bare_scope = scope or known
 
     for kind, texts in dequoted.items():
         for text in texts:

@@ -580,6 +580,21 @@ class SqlGenerator:
         for name in all_models:
             policy = getattr(self.graph.get_model(name), "security", None)
             if policy is not None:
+                # deny-by-default: a query touching a secured model with
+                # NO user context at all is refused before rendering —
+                # even when the policy's filters reference no user
+                # attributes (reference
+                # tests/core/test_security_enforcement.py:137-148:
+                # user_attributes=None denies; an EMPTY dict is
+                # "provided but empty" and proceeds to the per-filter
+                # StrictUndefined guard instead)
+                if spec.user is None:
+                    from sidemantic_spark.core.security import SecurityError
+
+                    raise SecurityError(
+                        f"model {name!r} has a security policy but no "
+                        "user_attributes were provided (deny-by-default)"
+                    )
                 policy.check_access(name, spec.user)
         base = all_models[0]
         try:
@@ -771,6 +786,65 @@ class SqlGenerator:
                 self._collect_derived_expr_columns(
                     RMetric(cm, c, c.name), extra_cols, known, depth + 1
                 )
+
+    def resolve_scope_models(
+        self,
+        metrics: list[str] | None = None,
+        dimensions: list[str] | None = None,
+        filters: list[str] | None = None,
+        order_by: list[str] | None = None,
+    ) -> list[str] | None:
+        """Best-effort set of models this query will actually touch,
+        used to scope BARE-token visibility checks (r11 VERDICT ask #4:
+        a filter-only query with zero qualified refs must not check bare
+        tokens against every model in the graph).
+
+        Returns ``None`` whenever any metric/dimension reference fails
+        to resolve — the caller then falls back to the fail-closed
+        graph-wide scan and ``generate()`` raises the real error.
+
+        Narrowing is safe because a bare token can only bind to a
+        model's RAW columns when its conjunct is pushed into that
+        model's CTE, which requires a qualified ref to that model in the
+        same text — and qualified refs are always checked directly,
+        independent of this scope (see ``_resolve``: zero-ref conjuncts
+        classify to the OUTER where, which sees only already-checked
+        projected columns)."""
+        known = set(self.graph.models)
+        scope: list[str] = []
+
+        def _add(name: str | None) -> None:
+            if name and name in known and name not in scope:
+                scope.append(name)
+
+        try:
+            for ref in list(metrics or []):
+                ref, _alias = _split_alias(ref)
+                model_name, metric = self._lookup_metric(ref)
+                _add(model_name)
+                # child refs of expression/derived metrics pull their
+                # models into the join exactly as generate() does
+                for attr in ("sql", "expr"):
+                    text = getattr(metric, attr, None)
+                    if isinstance(text, str):
+                        for m2, _f, _g in find_refs(text, known):
+                            _add(m2)
+            for ref in list(dimensions or []):
+                ref, _alias = _split_alias(ref)
+                model_name, _dim, _grain = self._parse_ref(ref)
+                if model_name not in known:
+                    return None
+                _add(model_name)
+        except Exception:
+            return None
+        # qualified refs in filters/order_by join their models too
+        for text in list(filters or []) + list(order_by or []):
+            for m2, _f, _g in find_refs(
+                (text or "").replace('"', "").replace("`", ""), known,
+                shadowing=False,
+            ):
+                _add(m2)
+        return scope or None
 
     def _parse_ref(self, ref: str) -> tuple[str, str, str | None]:
         m = fragments.REF_RE.fullmatch(ref.strip())

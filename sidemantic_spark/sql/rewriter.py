@@ -581,7 +581,9 @@ class SemanticSqlRewriter:
                 "dimensions": spec.dimensions,
                 "filters": spec.filters,
                 "order_by": spec.order_by,
-            })
+            }, scope_models=self.layer.generator.resolve_scope_models(
+                spec.metrics, spec.dimensions, spec.filters, spec.order_by,
+            ))
         return self.layer.generator.generate(spec)
 
 

@@ -386,9 +386,13 @@ def test_transport_security_fail_closed(spark, sf_dir):
     ))
     assert controls_are_active(layer)
 
-    # semantic SQL still works (policies applied by the compiler)
+    # semantic SQL still works (policies applied by the compiler);
+    # user={} is "provided but empty" — the attribute-free filter
+    # renders fine. user=None would hit the deny-by-default gate
+    # (reference tests/core/test_security_enforcement.py:137-148).
     assert layer.sql(
-        "SELECT sec_orders.status, sec_orders.revenue FROM sec_orders"
+        "SELECT sec_orders.status, sec_orders.revenue FROM sec_orders",
+        user={},
     ).count() == 1
 
     # raw source read refused — it would bypass the row filter
@@ -411,7 +415,8 @@ def test_transport_security_fail_closed(spark, sf_dir):
     ) == ["spark_catalog.default.sec_orders"]
     # CTEs over semantic models are fine
     assert layer.sql(
-        "WITH r AS (SELECT sec_orders.revenue FROM sec_orders) SELECT * FROM r"
+        "WITH r AS (SELECT sec_orders.revenue FROM sec_orders) SELECT * FROM r",
+        user={},
     ).count() == 1
 
     # no controls -> the security gate stays out of the way (the
