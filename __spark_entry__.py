@@ -1303,23 +1303,41 @@ def _events_stream(spark, sf_dir):
     """events.parquet as a streaming DataFrame, with the same
     conditional nanos->timestamp cast register_tables applies to the
     batch view (no-op when the file stores micros)."""
+    import os as _os
+
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
+    # Spark-written tables are DIRECTORIES of part files (the synthesized
+    # scale tiers in scripts/scale_check.py); read the arrow schema from
+    # any part file, and stream the directory itself
+    schema_path = path
+    if _os.path.isdir(path):
+        parts = sorted(
+            f for f in _os.listdir(path) if f.endswith(".parquet")
+        )
+        if parts:
+            schema_path = _os.path.join(path, parts[0])
     nanos_cols = [
         f.name
-        for f in pq.read_schema(path)
+        for f in pq.read_schema(schema_path)
         if str(f.type).startswith("timestamp[ns")
     ]
-    # the file stream source wants a directory: stream the sf dir with a
-    # glob filter for this one file
-    stream = (
-        spark.readStream.schema(spark.read.parquet(path).schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if _os.path.isdir(path):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(path).schema)
+            .parquet(path)
+        )
+    else:
+        # the file stream source wants a directory: stream the sf dir
+        # with a glob filter for this one file
+        stream = (
+            spark.readStream.schema(spark.read.parquet(path).schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     for c in nanos_cols:
         stream = stream.withColumn(
             # integer division: a double roundtrip has 256ns ulp at 2024

@@ -24,10 +24,20 @@ workload SHAPE scales instead of degenerating:
   stay fixed (25 nations at every scale, like TPC-H itself).
 
 Usage:
-    python scripts/scale_check.py [--rebuild] [--repeats N]
+    python scripts/scale_check.py [--rebuild] [--repeats N] [--heavy-repeats N]
 
 Prints one JSON line with per-operator sf0.1/sf1 wall times and the
 wall-time ratio per 10x rows; paste the table into SCALING.md.
+
+Statistics (r11 VERDICT ask #2): every tier reports the MEDIAN of
+``--repeats`` runs (default 5; the sf10/adversarial heavy tiers use
+``--heavy-repeats``, default 3, each run being 10-80 s) plus the full
+repeat list and ``rel_spread`` = (max-min)/median, so round-over-round
+ratio movements can be judged against the measured noise instead of
+guessed. Decade ratios carry ``ratio_spread_bound`` = the sum of the
+two tiers' rel_spreads (a first-order bound on the ratio's own noise).
+Rounds before r12 recorded min-of-2; medians read slightly higher and
+are far more stable.
 """
 
 from __future__ import annotations
@@ -35,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
@@ -62,6 +73,11 @@ OPS = [
     "events_sessionize",
     "sim_ann_quantized_topk",
     "pipeline_chunk_docs",
+    # r11 VERDICT optional ask #7: one streaming row — the tumbling
+    # windowed aggregation replayed availableNow to completion, so its
+    # wall time IS the stream's end-to-end throughput at each tier
+    # (state store + watermark machinery included)
+    "streaming_window_agg",
 ]
 
 # adversarial duplicate-density run (VERDICT r8 ask #5): replicas keep
@@ -330,11 +346,34 @@ def build_sf1(spark, rebuild: bool = False, adversarial: bool = False) -> str:
     return out_dir
 
 
+def _timed(fn, spark, d, n: int) -> dict:
+    """Median-of-n timing record with the full repeat list and relative
+    spread (r11 VERDICT ask #2: n=2 min-timing had ~70% spread and made
+    decade ratios move round-over-round with no code change)."""
+    times, rows = [], 0
+    for _ in range(n):
+        t0 = time.perf_counter()
+        rows = fn(spark, d).count()
+        times.append(time.perf_counter() - t0)
+    ts = sorted(times)
+    med = statistics.median(ts)
+    return {
+        "sec": round(med, 3),
+        "sec_min": round(ts[0], 3),
+        "rows": rows,
+        "repeats": [round(t, 3) for t in times],
+        "rel_spread": round((ts[-1] - ts[0]) / max(med, 1e-9), 3),
+    }
+
+
 def main() -> None:
     rebuild = "--rebuild" in sys.argv
-    repeats = 2
+    repeats = 5
     if "--repeats" in sys.argv:
         repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
+    heavy_repeats = 3
+    if "--heavy-repeats" in sys.argv:
+        heavy_repeats = int(sys.argv[sys.argv.index("--heavy-repeats") + 1])
 
     from pyspark.sql import SparkSession
 
@@ -382,17 +421,18 @@ def main() -> None:
         fn = queries[op]
         rec: dict = {}
         for label, d in (("sf0.1", SF01), ("sf1", sf1)):
-            times, rows = [], 0
-            for _ in range(repeats):
-                t0 = time.perf_counter()
-                rows = fn(spark, d).count()
-                times.append(time.perf_counter() - t0)
-            rec[label] = {"sec": round(min(times), 3), "rows": rows,
-                          "repeats": [round(t, 3) for t in times]}
-            print(f"# {op} @{label}: {min(times):.2f}s ({rows} rows)",
-                  file=sys.stderr)
+            rec[label] = _timed(fn, spark, d, repeats)
+            print(
+                f"# {op} @{label}: median {rec[label]['sec']:.2f}s "
+                f"spread {rec[label]['rel_spread']} "
+                f"({rec[label]['rows']} rows)",
+                file=sys.stderr,
+            )
         rec["wall_ratio_per_10x_rows"] = round(
             rec["sf1"]["sec"] / max(rec["sf0.1"]["sec"], 1e-9), 2
+        )
+        rec["ratio_spread_bound"] = round(
+            rec["sf0.1"]["rel_spread"] + rec["sf1"]["rel_spread"], 3
         )
         results[op] = rec
 
@@ -406,25 +446,25 @@ def main() -> None:
     if "--skip-sf10" not in sys.argv:
         sf10 = build_sf10(spark, rebuild)
         for op in TRIO:
-            fn = queries[op]
-            times, rows = [], 0
-            for _ in range(repeats):
-                t0 = time.perf_counter()
-                rows = fn(spark, sf10).count()
-                times.append(time.perf_counter() - t0)
+            rec10 = _timed(queries[op], spark, sf10, heavy_repeats)
             sf1_sec = results.get(op, {}).get("sf1", {}).get("sec")
             decade1 = results.get(op, {}).get("wall_ratio_per_10x_rows")
             decade2 = (
-                round(min(times) / sf1_sec, 2) if sf1_sec else None
+                round(rec10["sec"] / sf1_sec, 2) if sf1_sec else None
             )
-            sf10_results[op] = {
-                "sec": round(min(times), 3),
-                "rows": rows,
+            rec10.update({
                 "decade1_ratio_sf01_to_sf1": decade1,
                 "decade2_ratio_sf1_to_sf10": decade2,
-            }
+                "decade2_spread_bound": round(
+                    rec10["rel_spread"]
+                    + results.get(op, {}).get("sf1", {}).get("rel_spread", 0.0),
+                    3,
+                ),
+            })
+            sf10_results[op] = rec10
             print(
-                f"# {op} @sf10: {min(times):.2f}s ({rows} rows), "
+                f"# {op} @sf10: median {rec10['sec']:.2f}s spread "
+                f"{rec10['rel_spread']} ({rec10['rows']} rows), "
                 f"decade ratios {decade1} -> {decade2}",
                 file=sys.stderr,
             )
@@ -441,30 +481,32 @@ def main() -> None:
     if "--skip-adversarial" not in sys.argv:
         adv = build_sf1(spark, rebuild, adversarial=True)
         for op in ADVERSARIAL_OPS:
-            fn = queries[op]
-            times, rows = [], 0
-            for _ in range(repeats):
-                t0 = time.perf_counter()
-                rows = fn(spark, adv).count()
-                times.append(time.perf_counter() - t0)
+            reca = _timed(queries[op], spark, adv, heavy_repeats)
             benign = results.get(op, {}).get("sf1", {}).get("sec")
-            ratio = round(min(times) / benign, 2) if benign else None
-            adv_results[op] = {
-                "sec": round(min(times), 3),
-                "rows": rows,
+            ratio = round(reca["sec"] / benign, 2) if benign else None
+            reca.update({
                 "benign_sf1_sec": benign,
                 "adv_over_benign": ratio,
                 "config": ADV_CONFIG,
                 "ceiling": ADV_CEILING,
                 "within_ceiling": (ratio is not None and ratio <= ADV_CEILING),
-            }
-            print(f"# {op} @sf1-adversarial: {min(times):.2f}s ({rows} rows), "
-                  f"adv_over_benign={ratio} (ceiling {ADV_CEILING})",
+            })
+            adv_results[op] = reca
+            print(f"# {op} @sf1-adversarial: median {reca['sec']:.2f}s "
+                  f"({reca['rows']} rows), adv_over_benign={ratio} "
+                  f"(ceiling {ADV_CEILING})",
                   file=sys.stderr)
 
     print(json.dumps({
         "metric": "sf01_to_sf1_scaling",
         "replicas": REPLICAS,
+        "stats": {
+            "estimator": "median",
+            "repeats_light": repeats,
+            "repeats_heavy": heavy_repeats,
+            "rel_spread": "(max-min)/median over the repeats",
+            "pre_r12_note": "rounds before r12 recorded min-of-2",
+        },
         "ops": results,
         "sf10_trio": sf10_results,
         "minhash_stage_profile": minhash_profiles,

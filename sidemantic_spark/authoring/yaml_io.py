@@ -628,7 +628,12 @@ def _is_bare_event_name(v: str) -> bool:
     import re as _re
 
     # embedded single quotes stay on the bare-value path (an unbalanced
-    # quote is never valid filter SQL); escaped at the interpolation site
+    # quote is never valid filter SQL); escaped at the interpolation site.
+    # Niladic SQL literals are complete predicates, not event names —
+    # `activity_event: TRUE` (the reference's default spelled out) must
+    # roundtrip without demanding an event-type dimension.
+    if v.strip().upper() in ("TRUE", "FALSE", "NULL"):
+        return False
     return bool(_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_']*", v.strip()))
 
 

@@ -284,6 +284,7 @@ class SparkSemanticLayer:
         timezone: str | None = None,
         explore: str | None = None,
         saved_query: str | None = None,
+        post_process: str | None = None,
     ) -> str:
         if explore is not None or saved_query is not None:
             kwargs = self._resolve_contracts({
@@ -293,8 +294,14 @@ class SparkSemanticLayer:
                 "segments": segments, "parameters": parameters,
                 "table_calcs": table_calcs, "user": user, "timezone": timezone,
                 "explore": explore, "saved_query": saved_query,
+                "post_process": post_process,
             })
             return self.compile(**kwargs)
+        if post_process is not None and "{inner}" not in post_process:
+            raise ValueError(
+                "post_process SQL must contain the {inner} placeholder "
+                "for the compiled semantic query"
+            )
         self.graph.resolve_inheritance()
         self._warn_deprecations(metrics or [], dimensions or [])
         self.generator.enforce_visibility = self.enforce_visibility
@@ -343,6 +350,16 @@ class SparkSemanticLayer:
             from sidemantic_spark.sql.table_calcs import apply_table_calcs
 
             sql = apply_table_calcs(sql, table_calcs)
+        if post_process is not None:
+            # arbitrary SQL over the compiled result (reference
+            # semantic_layer.py post_process,
+            # tests/queries/test_sql_rewriter.py:1568-1735). The
+            # reference hoists the inner CTEs to the top level; Spark
+            # scopes WITH inside derived tables, so the compiled query
+            # substitutes WHOLE into {inner} — the caller's own CTEs
+            # (even one named like a generated CTE) cannot collide
+            # because the inner names stay scoped to the subquery.
+            sql = post_process.replace("{inner}", "\n" + sql + "\n")
         # bounded query log feeding the preagg recommender
         self.query_log.append(sql.split("\n", 1)[0])
         if len(self.query_log) > 10000:

@@ -86,6 +86,11 @@ class QuerySpec:
     parameters: dict = field(default_factory=dict)
     user: dict | None = None  # security namespace for access/row filters
     timezone: str | None = None  # localize time dims before truncation
+    # models the caller explicitly INNER-joined (semantic-SQL
+    # `JOIN model ON ...`): pulled into the join even when nothing of
+    # theirs is selected, and joined INNER so the reference's
+    # join-existence semantics hold (ref test_sql_rewriter.py:296)
+    inner_models: list[str] = field(default_factory=list)
 
 
 _AS_RE = re.compile(r"^(.*?)\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$")
@@ -574,6 +579,9 @@ class SqlGenerator:
                     for m, _f, _g in find_refs(flt, known):
                         if m not in model_names and m not in filter_models:
                             filter_models.append(m)
+        for m in spec.inner_models:
+            if m in known and m not in model_names and m not in filter_models:
+                filter_models.append(m)
         all_models = model_names + filter_models
         if not all_models:
             raise QueryCompileError("query references no models")
@@ -1328,6 +1336,8 @@ class SqlGenerator:
             join_type = "LEFT"
             if r.pushdown.get(hop.to_model):
                 join_type = "INNER"  # filtered model -> INNER (ref :2549)
+            if hop.to_model in r.spec.inner_models:
+                join_type = "INNER"  # explicit user JOIN (ref :296)
             if hop.rel_type == "cross":
                 parts.append(f"CROSS JOIN {hop.to_model}_cte")
                 continue
@@ -2909,6 +2919,14 @@ FROM __step_1
         ts = tdim.expr if tdim else tdim_name
         entity = self._entity_expr(model, m)
         grain = m.retention_granularity
+        if not isinstance(m.retention_periods, int) or m.retention_periods <= 0:
+            # ref sql/generator.py retention guard
+            # (tests/metrics/test_retention.py:400 periods=0 must raise,
+            # not silently degrade to a day-0-only table)
+            raise QueryCompileError(
+                f"Invalid periods value {m.retention_periods!r} for "
+                f"retention metric {m.name!r}: must be a positive integer"
+            )
         periods_label = f"{grain}s_since"
         base_f = self._normalize_event_filter(m.base_event, rm.model, m.name, "base_event")
         activity_f = self._normalize_event_filter(
@@ -2919,6 +2937,12 @@ FROM __step_1
                 self._event_filter_cols(
                     filt, rm.model, r, context=f"retention metric {m.name!r} {field}"
                 )
+        # metric-filter columns must project into the model CTE, so this
+        # runs BEFORE _model_cte snapshots the column set
+        for f in m.filters or []:
+            self._event_filter_cols(
+                f, rm.model, r, context=f"retention metric {m.name!r} filter"
+            )
         cte_name, cte_sql = self._model_cte(
             r, rm.model, extra_time=[("__ts", ts), ("__entity", entity)]
         )
@@ -2926,6 +2950,15 @@ FROM __step_1
         activity_where = (
             self._rewrite_event_filter(activity_f, rm.model) if activity_f else "TRUE"
         )
+        # metric-level filters scope BOTH the cohort and the activity
+        # event sets (ref tests/metrics/test_retention.py:640 — a
+        # `country = 'US'` filter must shrink the cohort_size too)
+        if m.filters:
+            mf = " AND ".join(
+                f"({self._rewrite_event_filter(f, rm.model)})" for f in m.filters
+            )
+            cohort_where = f"({cohort_where}) AND {mf}"
+            activity_where = f"({activity_where}) AND {mf}"
         period_expr = _period_diff(grain, "c.cohort_date", "a.__period")
 
         sql = f"""{self._instrumentation(r, 'retention')}
@@ -3057,10 +3090,20 @@ FROM __per_entity"""
         model = self.graph.get_model(rm.model)
         if not m.entity:
             raise QueryCompileError(f"cohort metric {m.name!r} needs entity")
-        if not (m.sql and m.agg):
+        if not m.agg:
             raise QueryCompileError(
                 f"cohort metric {m.name!r} with inner_metrics needs an "
-                "outer sql and agg"
+                "outer agg"
+            )
+        if not m.sql and m.agg != "count":
+            # count without sql counts the qualifying ENTITIES (the ref
+            # canonical multi-platform cohort,
+            # tests/metrics/test_cohort.py:36-62); every other outer agg
+            # needs an expression — SUM(*)/AVG(*) is invalid SQL (ref
+            # test_cohort_outer_agg_without_sql_raises)
+            raise QueryCompileError(
+                f"cohort metric {m.name!r}: outer agg {m.agg!r} "
+                "requires a 'sql' field"
             )
         inner_specs: list[tuple[str, str, str | None]] = []
         for im in m.inner_metrics:
@@ -3124,8 +3167,13 @@ FROM __per_entity"""
                 h = re.sub(rf"\b{re.escape(name_)}\b", f"({agg_sql})", h)
             having = "\n    HAVING " + h
 
-        outer_expr = m.sql.replace("cohort_sub.", "")
-        if m.agg == "avg":
+        if not m.sql:
+            outer_expr = "*"  # count of qualifying entities
+        else:
+            outer_expr = m.sql.replace("cohort_sub.", "")
+        if outer_expr == "*":
+            outer_agg = "COUNT(*)"
+        elif m.agg == "avg":
             # exact SUM / COUNT (see _cohort_sql's determinism note)
             outer_agg = (
                 f"CAST(SUM({outer_expr}) AS DOUBLE) / COUNT({outer_expr})"

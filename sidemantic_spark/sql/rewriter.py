@@ -21,7 +21,11 @@ import re
 from dataclasses import dataclass, field
 
 from sidemantic_spark.preagg.matcher import grain_derivable
-from sidemantic_spark.sql.generator import QueryCompileError, QuerySpec
+from sidemantic_spark.sql.generator import (
+    _SQL_KEYWORDS,
+    QueryCompileError,
+    QuerySpec,
+)
 
 _CLAUSES = ["WHERE", "GROUP BY", "HAVING", "QUALIFY", "ORDER BY", "LIMIT", "OFFSET"]
 _SET_OPS = ["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]
@@ -642,6 +646,11 @@ class SemanticSqlRewriter:
             return False
         if shadowed and m.group(1) in shadowed:
             return False
+        # `FROM metrics` is the virtual catalog table — semantic even
+        # though no model is named (ref test_from_metrics_in_cte: the
+        # island sat inside a CTE body and shipped to Spark raw)
+        if m.group(1).lower() == "metrics":
+            return True
         return m.group(1) in self.layer.graph.models
 
     def _has_semantic_island(
@@ -683,11 +692,15 @@ class SemanticSqlRewriter:
             body = body[m_rec.end():]
         # scan `name AS ( ... )` items sequentially: a top-level comma
         # continues the CTE list, anything else starts the outer SELECT
-        ctes: list[tuple[str, str]] = []
+        ctes: list[tuple[str, str, str]] = []
         pos = 0
         while True:
+            # optional column list: `name(col, ...) AS (` (reference
+            # test_semantic_root_with_recursive_cte_preserved declares
+            # `status_chain(status, depth)`)
             m = re.match(
-                r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", body[pos:], re.IGNORECASE
+                r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\([^()]*\))?\s+AS\s*\(",
+                body[pos:], re.IGNORECASE,
             )
             if not m:
                 raise QueryCompileError(
@@ -711,7 +724,9 @@ class SemanticSqlRewriter:
                             break
             if end is None:
                 raise QueryCompileError("unbalanced parens in WITH clause")
-            ctes.append((m.group(1), body[start + 1 : end].strip()))
+            ctes.append(
+                (m.group(1), m.group(2) or "", body[start + 1 : end].strip())
+            )
             after = end + 1
             nxt = re.match(r"\s*,", body[after:])
             if nxt:
@@ -732,13 +747,13 @@ class SemanticSqlRewriter:
             )
         rendered = []
         seen_ctes: set[str] = set()
-        for name, cte_body in ctes:
+        for name, collist, cte_body in ctes:
             # a CTE body may reference earlier CTEs, which shadow
             # same-named models; later CTEs and the outer SELECT see
             # every CTE name
             if self._has_semantic_island(cte_body, shadowed=seen_ctes):
                 cte_body = self._rewrite_node(cte_body)
-            rendered.append(f"{name} AS (\n{cte_body}\n)")
+            rendered.append(f"{name}{collist} AS (\n{cte_body}\n)")
             seen_ctes.add(name)
         if self._has_semantic_island(outer, shadowed=seen_ctes):
             # the outer may hold a derived-table or set-op ISLAND even
@@ -746,6 +761,36 @@ class SemanticSqlRewriter:
             # ships raw model refs to Spark (r11 negative-matrix and
             # hex-preview ports). CTE names shadow models.
             outer = self._rewrite_node(outer)
+        # a semantic ROOT compiles to its own WITH; splice the user CTEs
+        # into that generated CTE list instead of emitting WITH twice
+        # (ref test_semantic_root_with_user_cte_preserved). A user CTE
+        # whose name collides with a generated one would silently
+        # shadow the model CTE — refuse with the reference's error
+        # (ref test_root_semantic_cte_name_collision).
+        m_head = re.match(
+            r"^((?:\s*--[^\n]*\n)*)\s*WITH\s+(?!RECURSIVE\b)", outer,
+            re.IGNORECASE,
+        )
+        if m_head:
+            comment = m_head.group(1)
+            gen_body = outer[m_head.end():]
+            gen_names = {
+                gm.group(1)
+                for gm in re.finditer(
+                    r"(?:^|,)\s*([A-Za-z_]\w*)\s*(?:\([^()]*\))?\s+AS\s*\(",
+                    gen_body,
+                )
+            }
+            clash = sorted(seen_ctes & gen_names)
+            if clash:
+                raise QueryCompileError(
+                    f"CTE name {clash[0]!r} conflicts with an internally "
+                    "generated name; rename the CTE"
+                )
+            return (
+                comment + "WITH " + recursive + ",\n".join(rendered)
+                + ",\n" + gen_body
+            )
         return "WITH " + recursive + ",\n".join(rendered) + "\n" + outer
 
     def _rewrite_from_subquery(self, sql: str) -> str | None:
@@ -1520,6 +1565,7 @@ class SemanticSqlRewriter:
 
     def _rewrite_select(self, sql: str) -> str:
         self._extra_scope: list[str] = []  # joined-model lookup scope
+        inner_models: list[str] = []  # explicit INNER-join targets
         m = re.match(r"^\s*SELECT\s+(?:DISTINCT\s+)?(.*)$", sql, re.IGNORECASE | re.DOTALL)
         if not m:
             raise QueryCompileError(f"semantic SQL must start with SELECT: {sql[:80]!r}")
@@ -1609,6 +1655,10 @@ class SemanticSqlRewriter:
                     for k, v in clause_vals.items()
                 }
             base_model = self._validate_explicit_joins(from_clause)
+            inner_models = self._inner_join_models
+            self._inner_join_models = []  # consume here: expression/AT
+            # routes build their own specs, and leftovers must never
+            # leak into a later statement's join resolution
         elif (am := re.fullmatch(
             r"([A-Za-z_][A-Za-z0-9_]*)\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)",
             from_clause, re.I,
@@ -1683,6 +1733,46 @@ class SemanticSqlRewriter:
             )
             if am:
                 tgt = self._classify_ref(am.group(2), base_model)
+                if tgt is None:
+                    # ad hoc aggregate over a RAW (undeclared) column —
+                    # `SUM(orders.amount)` without a predefined metric
+                    # (ref test_sql_rewriter.py:661): register an
+                    # ephemeral metric on the BASE model. Targeting a
+                    # joined model fails early (ref :689) — its CTE
+                    # would not carry the raw column.
+                    inner = am.group(2)
+                    col_model, _, col = inner.rpartition(".")
+                    if (
+                        col_model and col_model != base_model
+                        and col_model in graph.models
+                    ):
+                        raise QueryCompileError(
+                            f"ad hoc aggregate {ref.strip()!r} must target "
+                            f"the base semantic model {base_model!r}"
+                        )
+                    if (
+                        (not col_model or col_model == base_model)
+                        and re.fullmatch(r"[A-Za-z_]\w*", col)
+                        and col.lower() not in _SQL_KEYWORDS
+                    ):
+                        fn = am.group(1).lower()
+                        mname = f"__adhoc_{fn}_{col}"
+                        if model.metric(mname) is None:
+                            from sidemantic_spark.core.model import (
+                                Metric as _Metric,
+                            )
+
+                            model.metrics.append(
+                                _Metric(name=mname, agg=fn, sql=col)
+                            )
+                            model.reindex()
+                            graph._invalidate()
+                            self._eph_gen_bumps += 1
+                            self._ephemeral_metrics.append((model, mname))
+                        out_items.append(
+                            f"{base_model}.{mname} AS {alias or f'{fn}_{col}'}"
+                        )
+                        continue
                 if tgt is not None and tgt[0] == "dim":
                     dmodel, dfield = tgt[1].split(".", 1)
                     dfield = dfield.split("__", 1)[0]
@@ -1800,7 +1890,14 @@ class SemanticSqlRewriter:
             order_by=order_by,
             limit=limit,
             offset=offset,
-            ungrouped=not metrics and _wants_ungrouped(sql),
+            inner_models=inner_models,
+            # dimension-only queries GROUP at the dimension grain, like
+            # the reference rewriter (ref tests/queries/
+            # test_sql_rewriter.py:412: `SELECT orders.status FROM
+            # orders` -> distinct statuses). Raw-row drill-to-detail
+            # stays available via the structured ungrouped=True API —
+            # the pre-r12 raw-row default here was a divergence.
+            ungrouped=False,
         )
         if "QUALIFY" in clause_vals:
             return self._apply_qualify(
@@ -2684,19 +2781,55 @@ class SemanticSqlRewriter:
         Returns the base model name; the generator rebuilds the joins
         from the graph, so validation is the only job here."""
         graph = self.layer.graph
-        parts = re.split(r"\b(?:LEFT\s+(?:OUTER\s+)?|INNER\s+|FULL\s+(?:OUTER\s+)?)?JOIN\b",
-                         from_clause, flags=re.I)
-        base_model = parts[0].strip()
+        joins = list(re.finditer(
+            r"\b(LEFT\s+(?:OUTER\s+)?|INNER\s+|FULL\s+(?:OUTER\s+)?)?JOIN\b",
+            from_clause, flags=re.I,
+        ))
+        base_model = (
+            from_clause[: joins[0].start()] if joins else from_clause
+        ).strip()
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", base_model):
             raise QueryCompileError(f"invalid join base: {base_model!r}")
         graph.get_model(base_model)
         seen = {base_model}
-        for seg in parts[1:]:
+        self._inner_join_models = []
+        for i, jm in enumerate(joins):
+            seg = from_clause[
+                jm.end(): joins[i + 1].start() if i + 1 < len(joins) else None
+            ]
+            jtype = (jm.group(1) or "INNER").split()[0].upper()
             m = re.match(r"^\s*([A-Za-z_]\w*)\s+ON\s+(.+)$", seg.strip(), re.I | re.S)
             if not m:
                 raise QueryCompileError(f"unparseable JOIN segment: {seg.strip()[:80]!r}")
+            if jtype == "INNER":
+                # a bare/INNER explicit JOIN keeps the reference's
+                # join-existence semantics even when nothing of the
+                # joined model is selected (ref test_sql_rewriter.py:296)
+                self._inner_join_models.append(m.group(1))
             target, cond = m.group(1), m.group(2).strip()
             graph.get_model(target)
+            # a fully parenthesized predicate is the same condition (ref
+            # test_sql_rewriter.py:281 `ON (a.x = b.y)`); strip balanced
+            # outer parens before splitting conjuncts
+            while (
+                cond.startswith("(") and cond.endswith(")")
+                and cond.count("(") == cond.count(")")
+            ):
+                inner = cond[1:-1].strip()
+                # only strip when the parens actually enclose the whole
+                # text (not `(a) AND (b)`) — re-balance check
+                depth, ok = 0, True
+                for ch in inner:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth < 0:
+                            ok = False
+                            break
+                if not ok:
+                    break
+                cond = inner
             pairs = []
             for conj in re.split(r"\bAND\b", cond, flags=re.I):
                 em = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", conj.strip())
@@ -2784,8 +2917,17 @@ class SemanticSqlRewriter:
                 fks = rel.fk_list()
                 if not fks:
                     continue
-                pks = rel.pk_list(graph.get_model(rel.name).pk_list())
-                # the fk lives on the declaring model, the pk on rel.name;
+                # key orientation mirrors core/graph.py:175-180: a
+                # many_to_one declaration carries the FK locally and
+                # joins the target's PK; one_to_many/one_to_one join the
+                # DECLARING model's key to the FK on the related model
+                # (ref test_sql_rewriter.py:342 composite one_to_many)
+                if rel.type in ("one_to_many", "one_to_one"):
+                    fk_side, pk_side = rel.name, owner
+                    pks = rel.pk_list(graph.get_model(owner).pk_list())
+                else:
+                    fk_side, pk_side = owner, rel.name
+                    pks = rel.pk_list(graph.get_model(rel.name).pk_list())
                 # user SQL may write either the physical column or a
                 # dimension whose expression is that column
                 def names_for(model_name: str, physical: str) -> set:
@@ -2803,7 +2945,7 @@ class SemanticSqlRewriter:
                         and gd[m2] in names_for(m2, c2)
                     )
 
-                want = [((owner, fk), (rel.name, pk)) for fk, pk in zip(fks, pks)]
+                want = [((fk_side, fk), (pk_side, pk)) for fk, pk in zip(fks, pks)]
                 got = [((a, b), (c, d)) for a, b, c, d in pairs]
                 if len(want) == len(got) and all(
                     any(pair_ok(w, g) for g in got) for w in want
@@ -2927,6 +3069,11 @@ class SemanticSqlRewriter:
                     return ("metric", f"{scope}.{ref}")
                 if model.dimension(base) is not None:
                     return ("dim", f"{scope}.{ref}")
+            # graph-level metrics resolve by their bare name when no
+            # in-scope model owns the field (ref test_sql_rewriter.py:701
+            # `SELECT total_orders FROM orders`)
+            if base in graph.metrics:
+                return ("metric", ref)
         return None
 
     def _qualify_bare(self, text: str, base_model: str) -> str:
@@ -2968,6 +3115,3 @@ def _split_item_alias(item: str) -> tuple[str, str | None]:
     return item.strip(), None
 
 
-def _wants_ungrouped(sql: str) -> bool:
-    # dims-only semantic SELECT without DISTINCT keeps raw rows
-    return not re.match(r"^\s*SELECT\s+DISTINCT\b", sql, re.IGNORECASE)

@@ -108,12 +108,16 @@ def test_semantic_sql_union(layer, duck):
     )
 
 
-def test_semantic_sql_ungrouped_dims(layer, duck):
+def test_semantic_sql_dims_only_groups_at_dim_grain(layer, duck):
+    """Dimension-only semantic SQL groups at the dimension grain, like
+    the reference rewriter (ref tests/queries/test_sql_rewriter.py:412).
+    Raw-row drill-to-detail is the structured ungrouped=True API."""
     df = layer.sql("SELECT status, priority FROM orders WHERE status = 'P'")
     assert_df_matches_oracle(
         df,
         duck,
-        "SELECT o_orderstatus AS status, o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'P'",
+        "SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS priority "
+        "FROM orders WHERE o_orderstatus = 'P'",
     )
 
 
