@@ -97,7 +97,12 @@ OPS = [
 # differing clique depths — this pin makes the series comparable).
 ADV_CONFIG = "sf1_identical_replicas_x10_depth10_cliques"
 ADV_CEILING = 4.0
-ADVERSARIAL_OPS = ["sim_semantic_dedup", "dedup_minhash_lsh"]
+# r12: dedup_ngram_jaccard joins the adversarial watch — identical
+# replicas share EVERY gram hash, so the prefix slices collide into the
+# same posting buckets and saturate the bucket cap: exactly the
+# documented exactness/perf edge of the prefix-filtered path
+# (operators/dedup.py pairs_from_bucket_keys cap note).
+ADVERSARIAL_OPS = ["sim_semantic_dedup", "dedup_minhash_lsh", "dedup_ngram_jaccard"]
 SF1_ADV_DIR = os.environ.get(
     "SPARK_GRAFT_SF1_ADV_DIR", "/tmp/spark_graft_synth_sf1_adv"
 )

@@ -614,6 +614,18 @@ def cmd_lsp(args) -> int:
     return 0
 
 
+def cmd_schema(args) -> int:
+    """Export the YAML authoring JSON Schema (reference schema.py
+    export_schema) for the yaml-language-server $schema directive."""
+    from sidemantic_spark.authoring.schema import export_schema
+
+    p = export_schema(args.out)
+    print(f"JSON Schema exported to: {p}")
+    print("Add this to the top of your YAML files:")
+    print(f"# yaml-language-server: $schema=./{p.name}")
+    return 0
+
+
 def cmd_mcp(args) -> int:
     import json as _json
 
@@ -951,6 +963,13 @@ def build_parser() -> "argparse.ArgumentParser":
 
     p = sub.add_parser("lsp", help="run the language server (stdio)")
     p.set_defaults(func=cmd_lsp)
+
+    p = sub.add_parser(
+        "schema",
+        help="export the YAML authoring JSON Schema for editor completion",
+    )
+    p.add_argument("--out", default="sidemantic-spark-schema.json")
+    p.set_defaults(func=cmd_schema)
 
     p = sub.add_parser("demo", help="write a runnable demo project")
     p.add_argument("--out", default=None)

@@ -441,6 +441,13 @@ class LspServer:
             return None
         if method == "shutdown":
             return self._result(msg_id, None)
+        if method == "sidemantic/schema":
+            # JSON Schema of the YAML authoring surface (ref schema.py
+            # generate_yaml_schema, served for editor completion — pair
+            # with the yaml-language-server $schema directive)
+            from sidemantic_spark.authoring.schema import generate_yaml_schema
+
+            return self._result(msg_id, generate_yaml_schema())
         if method in ("textDocument/didOpen", "textDocument/didChange"):
             td = params.get("textDocument") or {}
             uri = td.get("uri")

@@ -843,7 +843,9 @@ class SqlGenerator:
                 if model_name not in known:
                     return None
                 _add(model_name)
-        except Exception:
+        except QueryCompileError:
+            # unresolvable ref -> fall back to the fail-closed
+            # graph-wide scan; generate() raises the real error
             return None
         # qualified refs in filters/order_by join their models too
         for text in list(filters or []) + list(order_by or []):

@@ -5492,7 +5492,18 @@ cubes:
     assert m.security is not None
     assert m.security.row_filters == ["status = 'paid'"]
     assert m.meta["access_policy"]  # preserved for round-trip
-    n = layer.query(metrics=["ap_orders.order_count"]).collect()[0][0]
+    # r12 deny-by-default (ref test_security_enforcement.py:137-148):
+    # a secured model with NO user context at all refuses; an empty
+    # dict is "provided but empty" and the static filter applies
+    import pytest as _pytest
+
+    from sidemantic_spark.core.security import SecurityError
+
+    with _pytest.raises(SecurityError):
+        layer.query(metrics=["ap_orders.order_count"])
+    n = layer.query(
+        metrics=["ap_orders.order_count"], user={}
+    ).collect()[0][0]
     assert n == 2  # refunded row filtered out
     con.close()
 
@@ -6136,7 +6147,14 @@ cubes:
     assert count({"role": "admin"}) == 3          # allow_all grant
     assert count({"roles": ["finance"]}) == 2     # paid rows only
     assert count({"role": "intern"}) in (0, None)  # no matching grant
-    assert count(None) in (0, None)                # no user context
+    # no user context at all: r12 deny-by-default refuses outright
+    # (ref test_security_enforcement.py:137-148)
+    import pytest as _pytest
+
+    from sidemantic_spark.core.security import SecurityError
+
+    with _pytest.raises(SecurityError):
+        count(None)
     con.close()
 
 
@@ -6179,6 +6197,8 @@ cubes:
     msgs = [str(w.message) for w in caught if "access_policy" in str(w.message)
             or "row filter" in str(w.message)]
     assert msgs and any("conditions" in m for m in msgs)
-    n = layer.query(metrics=["rc_orders.order_count"]).collect()[0][0]
+    n = layer.query(
+        metrics=["rc_orders.order_count"], user={}
+    ).collect()[0][0]
     assert n == 2  # filter applies unconditionally (fail-closed)
     con.close()

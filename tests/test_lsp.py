@@ -247,3 +247,95 @@ def test_server_dispatch_new_methods():
                     "params": {"textDocument": {"uri": "u"},
                                "position": {"line": ref_line, "character": 0}}})
     assert r["result"]["signatures"]
+
+
+# ---------------------------------------------------------------------------
+# JSON Schema generation (r11 VERDICT optional ask #6; ref schema.py)
+# ---------------------------------------------------------------------------
+
+
+def test_yaml_schema_matches_loader_surface():
+    """The generated schema's property sets ARE the loader's key
+    allowlists — the editor can never suggest a key load_yaml rejects,
+    and a new loader key automatically appears in the schema."""
+    from sidemantic_spark.authoring import yaml_io
+    from sidemantic_spark.authoring.schema import generate_yaml_schema
+
+    schema = generate_yaml_schema()
+    defs = schema["$defs"]
+    for title, allowed in (
+        ("Model", yaml_io._MODEL_KEYS),
+        ("Dimension", yaml_io._DIM_KEYS),
+        ("Metric", yaml_io._METRIC_KEYS),
+        ("Relationship", yaml_io._REL_KEYS),
+        ("Segment", yaml_io._SEG_KEYS),
+        ("Parameter", yaml_io._PARAM_KEYS),
+        ("SecurityPolicy", yaml_io._SECURITY_KEYS),
+        ("Freshness", yaml_io._FRESHNESS_KEYS),
+        ("Deprecation", yaml_io._DEPRECATION_KEYS),
+        ("PreAggregation", yaml_io._PREAGG_KEYS),
+    ):
+        assert set(defs[title]["properties"]) == set(allowed), title
+    # enum surfaces track the engine's constants
+    from sidemantic_spark.core.model import SIMPLE_AGGS
+
+    aggs = defs["Metric"]["properties"]["agg"]["anyOf"][0]["enum"]
+    assert set(aggs) == set(SIMPLE_AGGS)
+    grains = defs["Dimension"]["properties"]["granularity"]["enum"]
+    assert set(grains) == yaml_io._GRAINS
+
+
+def test_yaml_schema_validates_real_document():
+    """A real model document validates; an unknown metric key fails
+    (additionalProperties: false mirrors the loader's _check_keys)."""
+    import jsonschema
+    import yaml as _yaml
+
+    from sidemantic_spark.authoring.schema import generate_yaml_schema
+
+    schema = generate_yaml_schema()
+    doc = _yaml.safe_load(DOC)
+    jsonschema.validate(doc, schema)
+
+    bad = _yaml.safe_load(DOC)
+    bad["models"][0]["metrics"][0]["not_a_real_key"] = 1
+    import pytest as _pytest
+
+    with _pytest.raises(jsonschema.ValidationError):
+        jsonschema.validate(bad, schema)
+    # a document with no models is rejected (required: [models])
+    with _pytest.raises(jsonschema.ValidationError):
+        jsonschema.validate({"metrics": []}, schema)
+
+
+def test_lsp_serves_schema_and_completions_agree():
+    """End-to-end: the sidemantic/schema request returns the schema, and
+    every property the LSP offers as a completion inside a metrics
+    block is a key the schema (and therefore the loader) accepts."""
+    from sidemantic_spark.server.lsp import METRIC_KEYS
+
+    srv = LspServer()
+    r = srv.handle({"jsonrpc": "2.0", "id": 9, "method": "sidemantic/schema",
+                    "params": {}})
+    schema = r["result"]
+    assert schema["$schema"].startswith("http://json-schema.org/")
+    metric_props = set(schema["$defs"]["Metric"]["properties"])
+    assert set(METRIC_KEYS) <= metric_props
+
+    # completion e2e: inside the metrics block the offered property
+    # names are all schema-valid keys
+    srv.handle({"jsonrpc": "2.0", "method": "textDocument/didOpen",
+                "params": {"textDocument": {"uri": "s", "text": DOC}}})
+    lines = DOC.splitlines()
+    metric_line = next(
+        i for i, ln in enumerate(lines) if "agg: sum" in ln
+    )
+    r = srv.handle({"jsonrpc": "2.0", "id": 10,
+                    "method": "textDocument/completion",
+                    "params": {"textDocument": {"uri": "s"},
+                               "position": {"line": metric_line,
+                                            "character": 8}}})
+    labels = {item["label"] for item in r["result"]["items"]}
+    prop_labels = labels & metric_props
+    assert "fill_nulls_with" in prop_labels or "agg" in prop_labels
+    assert prop_labels <= metric_props
