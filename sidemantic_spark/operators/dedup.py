@@ -550,6 +550,7 @@ def bucket_local_jaccard_pairs(
     banded_sets: DataFrame,
     threshold: float,
     bucket_cap: int = 256,
+    members_col: str | None = None,
 ) -> DataFrame:
     """Corpus-scale exact-Jaccard verify evaluated INSIDE each capped
     LSH bucket instead of at pair grain.
@@ -571,7 +572,14 @@ def bucket_local_jaccard_pairs(
     id-sorted capped prefix pairs all (i < j), and the JVM computes the
     same ROUND(c / u, 6) from the kernel's exact set sizes. Duplicate
     pairs from multi-band collisions dedup AFTER the (cheap) verify —
-    only survivors reach that shuffle."""
+    only survivors reach that shuffle.
+
+    With ``members_col`` (the exact-dup collapse path, see
+    :func:`minhash_lsh_pairs`) each banding row is a GROUP of
+    identical-content docs represented by its lowest id; the member-id
+    arrays ride the same banding shuffle, verified group pairs dedup at
+    GROUP grain, and the surviving pairs expand to member cross
+    products map-side — still zero joins anywhere in the plan."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band", "bhash").orderBy("__id")
@@ -579,28 +587,79 @@ def bucket_local_jaccard_pairs(
         banded_sets.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= bucket_cap)
     )
+    aggs = [
+        # collect_lists in one aggregate consume the same row
+        # stream: positional alignment between ids and sets holds
+        F.collect_list("__id").alias("__ids"),
+        F.collect_list("__sh").alias("__shs"),
+    ]
+    if members_col is not None:
+        aggs.append(F.collect_list(members_col).alias("__mems"))
     buckets = (
         ranked.groupBy("band", "bhash")
-        .agg(
-            # two collect_lists in one aggregate consume the same row
-            # stream: positional alignment between ids and sets holds
-            F.collect_list("__id").alias("__ids"),
-            F.collect_list("__sh").alias("__shs"),
-        )
+        .agg(*aggs)
         .where(F.size("__ids") > 1)
     )
     kern = _bucket_verify_kernel()
-    return (
-        buckets.select(F.explode(kern("__ids", "__shs")).alias("p"))
+    if members_col is None:
+        return (
+            buckets.select(F.explode(kern("__ids", "__shs")).alias("p"))
+            .select(
+                "p.id_a",
+                "p.id_b",
+                F.round(
+                    F.col("p.c").cast("double") / F.col("p.u").cast("double"), 6
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    verified = (
+        buckets.select(
+            F.explode(kern("__ids", "__shs")).alias("p"),
+            F.map_from_arrays("__ids", "__mems").alias("__m"),
+        )
         .select(
             "p.id_a",
             "p.id_b",
             F.round(
                 F.col("p.c").cast("double") / F.col("p.u").cast("double"), 6
             ).alias("jaccard"),
+            F.element_at("__m", F.col("p.id_a")).alias("__ma"),
+            F.element_at("__m", F.col("p.id_b")).alias("__mb"),
         )
         .where(F.col("jaccard") >= threshold)
+        # group-grain dedup: the expansion below is a pure map, so the
+        # dedup shuffle carries one row per GROUP pair, not per doc pair
         .dropDuplicates(["id_a", "id_b"])
+    )
+    return _expand_member_pairs(verified)
+
+
+def _expand_member_pairs(verified: DataFrame) -> DataFrame:
+    """Map-side expansion of verified GROUP pairs (jaccard, __ma, __mb
+    member-id arrays) to doc pairs: groups are disjoint id sets sharing
+    identical content, so every cross member pair has exactly the
+    group pair's jaccard, and least/greatest restores id_a < id_b."""
+    return (
+        verified.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("__ma"),
+                        lambda a: F.transform(
+                            F.col("__mb"),
+                            lambda b: F.struct(
+                                F.least(a, b).alias("id_a"),
+                                F.greatest(a, b).alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("q"),
+            "jaccard",
+        )
+        .select("q.id_a", "q.id_b", "jaccard")
     )
 
 
@@ -670,6 +729,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     broadcast_verify: bool | None = None,
     broadcast_doc_cap: int = 100_000,
+    collapse_exact_dups: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact shingle-set Jaccard.
@@ -686,11 +746,46 @@ def minhash_lsh_pairs(
     bytes ride a shuffle.  Above the cap, the long-format path (explode
     pair sides, ONE id-join, groupBy reassembly) keeps the plan
     corpus-scale-safe: no broadcast assumption, shingles computed once.
+
+    ``collapse_exact_dups`` (None = auto by a one-scan duplication-ratio
+    probe) pre-collapses identical normalized texts before any LSH
+    work: signatures/banding/verify run once per distinct CONTENT, and
+    verified group pairs expand back to member doc pairs map-side.
+    Exact duplicates share every shingle, so they land in identical
+    buckets and always verify at jaccard exactly 1.0 — collapsing them
+    is semantics-preserving while cutting kernel, banding-shuffle, and
+    verify cost by the duplication factor (web-crawl corpora at real
+    scale are commonly 30-60% exact dups; the adversarial 10-deep
+    clique build measured ~26 s -> ~4 s at 50k docs). On low-dup
+    corpora the auto gate skips the prepass, keeping the original
+    single-wide-shuffle plan; explicit True/False skips the probe scan
+    (callers at known corpus shapes should pass it).
     """
     rows_per_band = num_hashes // bands
     # ONE bounded probe feeds both gates (spread + verify strategy)
     n_docs = _bounded_count(df, max(_SPREAD_CAP, broadcast_doc_cap))
     df = _spread(df, n_docs)
+    if collapse_exact_dups is None:
+        # approx distinct of the normalized text in one map-side
+        # partially-aggregated scan; the ~2% HLL error is gating-only
+        r = df.agg(
+            F.count(text_col).alias("n"),
+            F.approx_count_distinct(_norm(F.col(text_col))).alias("u"),
+        ).first()
+        collapse_exact_dups = (
+            r["n"] > 0 and (r["n"] - r["u"]) / r["n"] >= 0.15
+        )
+    if collapse_exact_dups:
+        return _minhash_lsh_pairs_collapsed(
+            df, text_col, id_col, num_hashes, bands, k,
+            jaccard_threshold,
+            # auto verify gate on the DOC count (reps <= docs, so the
+            # broadcast stays safe; probing the rep count would cost an
+            # extra full grouping pass)
+            (broadcast_verify if broadcast_verify is not None
+             else n_docs <= broadcast_doc_cap),
+            broadcast_doc_cap,
+        )
     # normalize in its own projection (see _shingles note), then ONE
     # Arrow kernel computes shingle hashes AND the signature (the JVM
     # HOF shingle stage was the operator's dominant cost — see
@@ -759,6 +854,159 @@ def minhash_lsh_pairs(
     return _exact_jaccard_verify(
         cand, shingled, "__sh", jaccard_threshold, broadcast_verify
     )
+
+
+def _minhash_lsh_pairs_collapsed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    k: int,
+    jaccard_threshold: float,
+    broadcast_verify: bool | None,
+    broadcast_doc_cap: int,
+    group_cap: int = 256,
+) -> DataFrame:
+    """Exact-dup-collapsed MinHash (see :func:`minhash_lsh_pairs`).
+
+    One extra narrow shuffle keyed by the NORMALIZED TEXT groups
+    identical contents; all LSH work then runs at group (distinct
+    content) grain with the id-sorted member arrays riding the
+    dataflow. Output = within-group pairs (identical content -> exact
+    jaccard 1.0; the shingle set is never empty, short docs shingle to
+    the whole text) UNION cross-group pairs expanded from verified
+    representative pairs. Grouping keys on the text itself, not a
+    hash — no collision risk. Groups cap at ``group_cap`` id-sorted
+    members, mirroring the uncollapsed path's per-bucket cap (an
+    over-cap identical doc there sits beyond the id-sorted cap prefix
+    of EVERY one of its buckets); Spark's WindowGroupLimit rewrite caps
+    map-side, so even a corpus of one repeated text ships a bounded
+    row count per partition. Cross-group candidate caps now bind at
+    group grain — 256 distinct CONTENTS per bucket instead of 256
+    docs — so dup-heavy corpora lose strictly fewer true pairs to
+    capping than the uncollapsed path."""
+    from pyspark.sql.window import Window
+
+    rows_per_band = num_hashes // bands
+    normed = df.select(
+        F.col(id_col).alias("__id"), _norm(F.col(text_col)).alias("__norm")
+    )
+    w = Window.partitionBy("__norm").orderBy("__id")
+    groups = (
+        normed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= group_cap)
+        .groupBy("__norm")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__members"))
+    )
+    # within-group doc pairs: identical normalized content == jaccard
+    # exactly 1.0 (both verify paths compute ROUND(s/s, 6))
+    within = (
+        groups.where(F.size("__members") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("__members"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("__members"), i + 2, group_cap),
+                            lambda b: F.struct(
+                                a.alias("id_a"), b.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
+    )
+    feat = groups.select(
+        "__members",
+        _sig_and_shingles_udf(num_hashes, k)(F.col("__norm")).alias("__f"),
+    )
+    band_keys = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    F.slice(F.col("__f.sig"), b * rows_per_band + 1, rows_per_band)
+                ).alias("bhash"),
+            ),
+        )
+    ).alias("bk")
+    if not broadcast_verify:
+        # corpus-scale path: group-grain bucket-local verify, member
+        # arrays ride the banding shuffle, still zero joins in the plan
+        banded_sets = feat.select(
+            F.element_at("__members", 1).alias("__id"),
+            F.col("__members").alias("__mem"),
+            F.transform(F.col("__f.sh"), lambda x: x.cast("int")).alias("__sh"),
+            band_keys,
+        ).select("__id", "__mem", "__sh", "bk.band", "bk.bhash")
+        cross = bucket_local_jaccard_pairs(
+            banded_sets, jaccard_threshold, members_col="__mem"
+        )
+    else:
+        # small-corpus path: rep-grain candidates + broadcast verify,
+        # then two broadcast joins attach member arrays for expansion
+        # (the group frame is strictly smaller than the shingle frame
+        # that is already broadcast by the verify)
+        rep_feat = feat.select(
+            F.element_at("__members", 1).alias("__id"),
+            F.col("__f.sh").alias("__sh"),
+            F.col("__f.sig").alias("__sig"),
+        )
+        banded = rep_feat.select(
+            "__id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("__sig"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            )
+                        ).alias("bhash"),
+                    ),
+                )
+            ).alias("bk"),
+        ).select("__id", "bk.band", "bk.bhash")
+        verified = _exact_jaccard_verify(
+            pairs_from_bucket_keys(banded),
+            rep_feat.select("__id", "__sh"),
+            "__sh",
+            jaccard_threshold,
+            True,
+        )
+        members = groups.select(
+            F.element_at("__members", 1).alias("__rep"), "__members"
+        )
+        cross = _expand_member_pairs(
+            verified.join(
+                F.broadcast(
+                    members.select(
+                        F.col("__rep").alias("id_a"),
+                        F.col("__members").alias("__ma"),
+                    )
+                ),
+                "id_a",
+            ).join(
+                F.broadcast(
+                    members.select(
+                        F.col("__rep").alias("id_b"),
+                        F.col("__members").alias("__mb"),
+                    )
+                ),
+                "id_b",
+            )
+        )
+    if jaccard_threshold > 1.0:
+        return cross
+    return within.unionByName(cross)
 
 
 def _exact_jaccard_verify(

@@ -104,6 +104,55 @@ def test_minhash_verify_strategies_agree(docs):
     assert bc == lf and len(bc) > 0
 
 
+def test_minhash_exact_dup_collapse_matches_uncollapsed(spark):
+    """The exact-dup collapse prepass (r12: signatures/banding/verify
+    at distinct-content grain, member expansion after verify) must emit
+    EXACTLY the uncollapsed pipeline's (pair, jaccard) rows, on both
+    verify strategies, over a corpus mixing 3-deep identical cliques,
+    cross-clique near-dups, and unique docs."""
+    from pyspark.sql import functions as F
+
+    base = [
+        "the quick brown fox jumps over the lazy dog in the yard",
+        "the quick brown fox jumps over the lazy dog in the yarn",  # near-dup of 0
+        "completely different content about spark execution engines",
+        "a short doc",
+        "",  # shingles to the single empty-string shingle
+    ]
+    rows = []
+    did = 0
+    for rep in range(3):  # 3 identical copies of every text
+        for t in base:
+            rows.append((did, t))
+            did += 1
+    # interleave unique ids so member ids of a clique are NOT contiguous
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    outs = {}
+    for collapse in (True, False):
+        for bc in (True, False):
+            outs[(collapse, bc)] = sorted(
+                (r.id_a, r.id_b, r.jaccard)
+                for r in dedup.minhash_lsh_pairs(
+                    df, jaccard_threshold=0.3,
+                    broadcast_verify=bc, collapse_exact_dups=collapse,
+                ).collect()
+            )
+    ref = outs[(False, True)]
+    assert all(v == ref for v in outs.values())
+    # identical copies pair at exactly 1.0; cliques of 3 contribute
+    # C(3,2)=3 within pairs each
+    ones = [p for p in ref if p[2] == 1.0]
+    assert len(ones) >= 5 * 3
+    # the auto gate collapses this 67%-dup corpus and agrees too
+    auto = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            df, jaccard_threshold=0.3
+        ).collect()
+    )
+    assert auto == ref
+
+
 def test_simhash_near_dups(spark):
     # simhash needs enough tokens for stable bit votes; one changed
     # word out of 60 ~ hamming 3, unrelated text ~ hamming 32

@@ -701,7 +701,8 @@ def test_minhash_bucket_local_verify_plan_and_adversarial_parity(spark):
         ).alias("text"),
     )
     plan = minhash_lsh_pairs(
-        docs, jaccard_threshold=0.4, broadcast_verify=False
+        docs, jaccard_threshold=0.4, broadcast_verify=False,
+        collapse_exact_dups=False,
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan  # no pair-grain or id-grain join
     assert "Window" in plan  # row_number bucket cap
@@ -709,6 +710,17 @@ def test_minhash_bucket_local_verify_plan_and_adversarial_parity(spark):
     # pre-shuffle pass: mega-buckets are capped map-side, so their
     # excess sets never ride the banding exchange at all
     assert "WindowGroupLimit" in plan
+    # r12 exact-dup collapse: the group prepass adds a text-keyed
+    # window + aggregate but the bucket-local plan must STAY join-free
+    # (member arrays ride the banding shuffle; expansion is a map), and
+    # the group cap must also be a map-side WindowGroupLimit so a
+    # one-text corpus ships a bounded row count per partition
+    cplan = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.4, broadcast_verify=False,
+        collapse_exact_dups=True,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in cplan, cplan
+    assert cplan.count("WindowGroupLimit") >= 2, cplan
     # exactly one wide shuffle before the dedup of verified survivors:
     # the banding exchange (AQE wraps others around the tiny tail)
     a = sorted(map(tuple, minhash_lsh_pairs(
