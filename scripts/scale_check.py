@@ -97,11 +97,14 @@ OPS = [
 # differing clique depths — this pin makes the series comparable).
 ADV_CONFIG = "sf1_identical_replicas_x10_depth10_cliques"
 ADV_CEILING = 4.0
-# r12: dedup_ngram_jaccard joins the adversarial watch — identical
-# replicas share EVERY gram hash, so the prefix slices collide into the
-# same posting buckets and saturate the bucket cap: exactly the
-# documented exactness/perf edge of the prefix-filtered path
-# (operators/dedup.py pairs_from_bucket_keys cap note).
+# r12: dedup_ngram_jaccard joins the adversarial watch. Identical
+# replicas used to share EVERY gram hash and saturate the cap-bound
+# posting buckets (the documented exactness/perf edge of the
+# prefix-filtered path); the r12 exact-dup collapse prepass removes
+# that edge — exact dups occupy ONE posting each — so this row now
+# guards the collapse GATE: a regression (gate mis-fires, collapse
+# output diverges in cost) shows up as adv_over_benign drifting back
+# toward the pre-collapse ~4x.
 ADVERSARIAL_OPS = ["sim_semantic_dedup", "dedup_minhash_lsh", "dedup_ngram_jaccard"]
 SF1_ADV_DIR = os.environ.get(
     "SPARK_GRAFT_SF1_ADV_DIR", "/tmp/spark_graft_synth_sf1_adv"

@@ -676,6 +676,20 @@ class ChartBuilder:
             chart_type=self.mark if self.mark != "scatter" else "point",
             title=self.title,
         )
+        # a SECOND dimension becomes the color series (ref viz.py
+        # to_vegalite series_col); with multiple metrics the fold keeps
+        # its own channel as strokeDash so both groupings stay legible
+        series = self._series_column(rows)
+        if series:
+            if len(ys) > 1 and "transform" in spec:
+                spec["encoding"]["strokeDash"] = {
+                    "field": "series", "type": "nominal",
+                    "title": "Metric",
+                }
+            spec["encoding"]["color"] = {
+                "field": series, "type": "nominal",
+                "title": _format_label(series),
+            }
         brush = self.interactions.get("brush")
         if brush:
             encodings = {"x": ["x"], "y": ["y"], "xy": ["x", "y"]}[brush["channel"]]
@@ -683,12 +697,30 @@ class ChartBuilder:
                 "name": brush["name"],
                 "select": {"type": "interval", "encodings": encodings},
             }]
+            # dim everything outside the brushed interval (ref
+            # viz.py to_vegalite selection opacity condition)
+            spec["encoding"]["opacity"] = {
+                "condition": {"param": brush["name"], "value": 1},
+                "value": 0.25,
+            }
         spec["usermeta"] = {"sidemantic_spark": {
             "metrics": self.metrics,
             "dimensions": self.dimensions,
             "filters": self.filters,
         }}
         return spec
+
+    def _series_column(self, rows: list[dict[str, Any]]) -> str | None:
+        """Output name of the SECOND grouping dimension, when present
+        in the executed rows (ref viz.py ``_series_column``)."""
+        dim_outs, _ = self._out_names()
+        if len(dim_outs) < 2:
+            return None
+        out = dim_outs[1]
+        if rows and out not in rows[0]:
+            base = out.split("__", 1)[0]
+            out = next((c for c in rows[0] if c.startswith(base)), out)
+        return out
 
     # -- renderer-neutral outputs (reference viz.py to_plotly /
     # to_observable_plot / to_d3 / to_renderer family) ------------------
@@ -791,24 +823,47 @@ class ChartBuilder:
             "area": ("scatter", "lines"),
             "point": ("scatter", "markers"),
         }.get(mark, ("scatter", "markers"))
+        # one trace per (metric x series value): a second dimension
+        # splits the rows into named series (ref viz.py to_plotly
+        # _group_rows/_trace_name), with selected/unselected marker
+        # states for brush-style interactions
+        series = self._series_column(rows)
+        groups: list[tuple[Any, list[dict[str, Any]]]]
+        if series:
+            by_val: dict[Any, list[dict[str, Any]]] = {}
+            for r in rows:
+                by_val.setdefault(r.get(series), []).append(r)
+            groups = list(by_val.items())
+        else:
+            groups = [(None, rows)]
         traces: list[dict[str, Any]] = []
         for i, y in enumerate(ys):
-            color = CATEGORICAL[i % len(CATEGORICAL)]
-            trace: dict[str, Any] = {
-                "type": ttype,
-                "name": _format_label(y),
-                "x": [_jsonable(r.get(x)) for r in rows] if x else list(range(len(rows))),
-                "y": [_jsonable(r.get(y)) for r in rows],
-                "marker": {"color": color},
-                "line": {"color": color},
-            }
-            if mode:
-                trace["mode"] = mode
-            if mark == "area":
-                trace["fill"] = "tozeroy"
-            traces.append(trace)
+            for si, (sval, srows) in enumerate(groups):
+                color = CATEGORICAL[(si if series else i) % len(CATEGORICAL)]
+                if sval is None:
+                    name = _format_label(y)
+                elif len(ys) > 1:
+                    name = f"{sval} - {_format_label(y)}"
+                else:
+                    name = str(sval)
+                trace: dict[str, Any] = {
+                    "type": ttype,
+                    "name": name,
+                    "x": [_jsonable(r.get(x)) for r in srows]
+                    if x else list(range(len(srows))),
+                    "y": [_jsonable(r.get(y)) for r in srows],
+                    "marker": {"color": color},
+                    "line": {"color": color},
+                    "selected": {"marker": {"opacity": 1}},
+                    "unselected": {"marker": {"opacity": 0.22}},
+                }
+                if mode:
+                    trace["mode"] = mode
+                if mark == "area":
+                    trace["fill"] = "tozeroy"
+                traces.append(trace)
         layout: dict[str, Any] = {
-            "title": {"text": self.title or _format_label(ys[0])},
+            "title": {"text": self.title or self._default_title()},
             "xaxis": {"title": {"text": _format_label(x) if x else ""}},
             "yaxis": {
                 "title": {"text": "Value" if len(ys) > 1 else _format_label(ys[0])}
@@ -824,33 +879,51 @@ class ChartBuilder:
             "sidemantic_spark": self._metadata(),
         }
 
+    def _default_title(self) -> str:
+        """'m1 + m2 by dim' (ref viz.py ``_default_title``)."""
+        metric_label = " + ".join(_format_label(m) for m in self.metrics)
+        if self.dimensions:
+            return f"{metric_label} by {_format_label(self.dimensions[0])}"
+        return metric_label
+
     def to_observable_plot(self) -> dict[str, Any]:
-        """Observable Plot spec: one mark per metric over shared rows."""
+        """Observable Plot spec: one mark per metric over shared rows;
+        a second dimension becomes the z/stroke/fill series channel
+        (ref viz.py ``_observable_options``)."""
         rows = self.data()
         mark = self._resolved_mark()
         x, ys = self._xy(rows)
+        series = self._series_column(rows)
         obs_mark = {"bar": "barY", "line": "lineY", "area": "areaY",
                     "point": "dot"}.get(mark, "dot")
+
+        def opts(y: str, i: int) -> dict[str, Any]:
+            o: dict[str, Any] = {"x": x, "y": y, "tip": True}
+            if series:
+                o["z"] = series
+                o["stroke"] = series
+                if mark in ("bar", "area", "point", "scatter"):
+                    o["fill"] = series
+            else:
+                color = CATEGORICAL[i % len(CATEGORICAL)]
+                o["stroke"] = color
+                if mark in ("bar", "area", "point", "scatter"):
+                    o["fill"] = color
+            return o
+
         return {
             "renderer": "observable-plot",
             "data": [{k: _jsonable(v) for k, v in r.items()} for r in rows],
             "marks": [
-                {
-                    "type": obs_mark,
-                    "options": {
-                        "x": x,
-                        "y": y,
-                        "stroke" if obs_mark in ("lineY", "dot") else "fill":
-                            CATEGORICAL[i % len(CATEGORICAL)],
-                    },
-                }
+                {"type": obs_mark, "options": opts(y, i)}
                 for i, y in enumerate(ys)
             ],
             "options": {
-                "title": self.title or _format_label(ys[0]),
+                "title": self.title or self._default_title(),
                 "grid": True,
                 "x": {"label": _format_label(x) if x else None},
                 "y": {"label": "Value" if len(ys) > 1 else _format_label(ys[0])},
+                "color": {"legend": bool(series)},
             },
             "sidemantic_spark": self._metadata(),
         }
@@ -863,8 +936,8 @@ class ChartBuilder:
             "renderer": "d3",
             "data": [{k: _jsonable(v) for k, v in r.items()} for r in rows],
             "mark": self._resolved_mark(),
-            "fields": {"x": x, "y": ys, "series": None},
-            "title": self.title or _format_label(ys[0]),
+            "fields": {"x": x, "y": ys, "series": self._series_column(rows)},
+            "title": self.title or self._default_title(),
             "sidemantic_spark": self._metadata(),
         }
 

@@ -766,15 +766,7 @@ def minhash_lsh_pairs(
     n_docs = _bounded_count(df, max(_SPREAD_CAP, broadcast_doc_cap))
     df = _spread(df, n_docs)
     if collapse_exact_dups is None:
-        # approx distinct of the normalized text in one map-side
-        # partially-aggregated scan; the ~2% HLL error is gating-only
-        r = df.agg(
-            F.count(text_col).alias("n"),
-            F.approx_count_distinct(_norm(F.col(text_col))).alias("u"),
-        ).first()
-        collapse_exact_dups = (
-            r["n"] > 0 and (r["n"] - r["u"]) / r["n"] >= 0.15
-        )
+        collapse_exact_dups = _dup_ratio_collapse_gate(df, text_col)
     if collapse_exact_dups:
         return _minhash_lsh_pairs_collapsed(
             df, text_col, id_col, num_hashes, bands, k,
@@ -856,6 +848,63 @@ def minhash_lsh_pairs(
     )
 
 
+def _collapse_groups(normed: DataFrame, group_cap: int) -> DataFrame:
+    """Group identical normalized texts: (__norm, __members) with the
+    id-sorted member array capped at ``group_cap`` (the window's
+    rank<=k rewrites to a map-side WindowGroupLimit, so even a corpus
+    of one repeated text ships a bounded row count per partition).
+    Keys on the text itself, not a hash — no collision risk."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__norm").orderBy("__id")
+    return (
+        normed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= group_cap)
+        .groupBy("__norm")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__members"))
+    )
+
+
+def _within_group_pairs(groups: DataFrame, group_cap: int) -> DataFrame:
+    """All (id_a < id_b, 1.0) doc pairs inside each identical-content
+    group: identical content has identical (never-empty) feature sets,
+    so both verify families compute ROUND(s/s, 6) = exactly 1.0."""
+    return (
+        groups.where(F.size("__members") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("__members"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("__members"), i + 2, group_cap),
+                            lambda b: F.struct(
+                                a.alias("id_a"), b.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
+    )
+
+
+def _dup_ratio_collapse_gate(df: DataFrame, text_col: str) -> bool:
+    """Auto gate for the exact-dup collapse prepass: approx distinct of
+    the normalized text in one map-side partially-aggregated scan. HLL
+    runs over the 64-bit text hash, not the string (cheaper on long
+    docs); hash collisions and the ~2% HLL error are gating-only —
+    correctness never depends on this probe."""
+    r = df.agg(
+        F.count(text_col).alias("n"),
+        F.approx_count_distinct(
+            F.xxhash64(_norm(F.col(text_col)))
+        ).alias("u"),
+    ).first()
+    return bool(r["n"]) and (r["n"] - r["u"]) / r["n"] >= 0.15
+
+
 def _minhash_lsh_pairs_collapsed(
     df: DataFrame,
     text_col: str,
@@ -886,40 +935,12 @@ def _minhash_lsh_pairs_collapsed(
     group grain — 256 distinct CONTENTS per bucket instead of 256
     docs — so dup-heavy corpora lose strictly fewer true pairs to
     capping than the uncollapsed path."""
-    from pyspark.sql.window import Window
-
     rows_per_band = num_hashes // bands
     normed = df.select(
         F.col(id_col).alias("__id"), _norm(F.col(text_col)).alias("__norm")
     )
-    w = Window.partitionBy("__norm").orderBy("__id")
-    groups = (
-        normed.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= group_cap)
-        .groupBy("__norm")
-        .agg(F.array_sort(F.collect_list("__id")).alias("__members"))
-    )
-    # within-group doc pairs: identical normalized content == jaccard
-    # exactly 1.0 (both verify paths compute ROUND(s/s, 6))
-    within = (
-        groups.where(F.size("__members") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("__members"),
-                        lambda a, i: F.transform(
-                            F.slice(F.col("__members"), i + 2, group_cap),
-                            lambda b: F.struct(
-                                a.alias("id_a"), b.alias("id_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
-    )
+    groups = _collapse_groups(normed, group_cap)
+    within = _within_group_pairs(groups, group_cap)
     feat = groups.select(
         "__members",
         _sig_and_shingles_udf(num_hashes, k)(F.col("__norm")).alias("__f"),
@@ -1386,6 +1407,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     prefix_filter: bool = True,
+    collapse_exact_dups: bool | None = None,
 ) -> DataFrame:
     """Exact word n-gram Jaccard similarity for pairs sharing at least
     one n-gram (inverted-index join — shuffle on n-gram hash).
@@ -1409,6 +1431,16 @@ def ngram_jaccard_pairs(
     For corpora where common n-grams still explode the index, raise
     ``n`` or pre-filter with :func:`minhash_lsh_pairs`; this operator
     is the exact verifier of the dedup family.
+
+    ``collapse_exact_dups`` (None = auto, same one-scan probe as
+    :func:`minhash_lsh_pairs`) pre-collapses identical normalized
+    texts: gram kernels, posting lists, and verification run once per
+    distinct CONTENT, within-group pairs emit at exactly 1.0 (gram
+    sets are never empty — short docs gram to the whole text), and
+    verified group pairs expand over the member arrays. Beyond the
+    speedup, this REMOVES the documented exactness edge where 10-deep
+    exact-dup cliques saturate cap-bound posting buckets: exact dups
+    now occupy ONE posting each.
     """
     df = _spread(df, _bounded_count(df, _SPREAD_CAP))
     # gram hashes via the Arrow batch kernel (bit-identical to the
@@ -1416,6 +1448,19 @@ def ngram_jaccard_pairs(
     # per-gram string build it replaces was the operator's hottest
     # stage — see _word_gram_hashes_udf)
     normed = df.select(F.col(id_col).alias("__id"), _norm(F.col(text_col)).alias("__norm"))
+    if collapse_exact_dups is None:
+        collapse_exact_dups = _dup_ratio_collapse_gate(df, text_col)
+    members_map = None
+    if collapse_exact_dups:
+        group_cap = 2048 if (prefix_filter and 0.0 < threshold <= 1.0) else 1024
+        groups = _collapse_groups(normed, group_cap)
+        within = _within_group_pairs(groups, group_cap)
+        members_map = groups.select(
+            F.element_at("__members", 1).alias("__rep"), "__members"
+        )
+        normed = groups.select(
+            F.element_at("__members", 1).alias("__id"), "__norm"
+        )
     docs = normed.select(
         "__id", _word_gram_hashes_udf(n)(F.col("__norm")).alias("__grams")
     )
@@ -1453,8 +1498,26 @@ def ngram_jaccard_pairs(
     )
     cand = pairs_from_bucket_keys(banded, bucket_cap=cap)
     # size-gated exact verify shared with minhash_lsh_pairs
-    return _exact_jaccard_verify(
-        cand, docs, "__grams", threshold,
-        # LIMIT-bounded gate: early-exits instead of counting the corpus
-        broadcast_verify=df.select(F.lit(1)).limit(100_001).count() <= 100_000,
+    # (LIMIT-bounded gate: early-exits instead of counting the corpus)
+    small = df.select(F.lit(1)).limit(100_001).count() <= 100_000
+    verified = _exact_jaccard_verify(
+        cand, docs, "__grams", threshold, broadcast_verify=small
     )
+    if members_map is None:
+        return verified
+    # expand verified GROUP pairs over the member arrays; the group
+    # frame broadcasts when the corpus is small, else AQE picks the
+    # join strategy for the (tiny survivors) x (one-row-per-content)
+    # join
+    ma = members_map.select(
+        F.col("__rep").alias("id_a"), F.col("__members").alias("__ma")
+    )
+    mb = members_map.select(
+        F.col("__rep").alias("id_b"), F.col("__members").alias("__mb")
+    )
+    if small:
+        ma, mb = F.broadcast(ma), F.broadcast(mb)
+    cross = _expand_member_pairs(verified.join(ma, "id_a").join(mb, "id_b"))
+    if threshold > 1.0:
+        return cross
+    return within.unionByName(cross)

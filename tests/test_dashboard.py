@@ -266,6 +266,58 @@ def test_chart_builder_renderer_outputs(spark, sf_dir):
     assert line.to_plotly()["data"][0].get("mode") == "lines"
 
 
+def test_chart_second_dimension_becomes_series_channel(spark, sf_dir):
+    """r12 ref-parity (viz.py to_vegalite/_series_column/_group_rows/
+    _observable_options): a SECOND grouping dimension drives the color
+    series in every renderer — vega-lite color encoding (+ strokeDash
+    when metrics are also folded), one plotly trace per series value
+    with selection states, observable z/stroke channels + legend, d3
+    fields.series — and the brush adds the conditional-opacity dim."""
+    from sidemantic_spark.models.tpch import build_layer
+
+    layer = build_layer(spark, sf_dir)
+    b = layer.chart(
+        "orders.revenue",
+        by=["orders.order_date__month", "orders.status"],
+    ).line()
+
+    vl = b.to_vegalite()
+    assert vl["encoding"]["color"]["field"] == "status"
+    series_vals = {r.get("status") for r in b.data()}
+    pl = b.to_plotly()
+    assert len(pl["data"]) == len(series_vals)
+    assert {t["name"] for t in pl["data"]} == {str(v) for v in series_vals}
+    assert pl["data"][0]["unselected"]["marker"]["opacity"] < 1
+    # single metric + series: default title names metric and x dim
+    assert "Revenue" in pl["layout"]["title"]["text"]
+
+    ob = b.to_observable_plot()
+    assert ob["marks"][0]["options"]["z"] == "status"
+    assert ob["options"]["color"]["legend"] is True
+    assert b.to_d3()["fields"]["series"] == "status"
+
+    # two metrics + series: vega-lite folds metrics into strokeDash
+    # and keeps color for the series dimension
+    b2 = layer.chart(
+        ["orders.revenue", "orders.order_count"],
+        by=["orders.order_date__month", "orders.status"],
+    ).line()
+    vl2 = b2.to_vegalite()
+    assert vl2["encoding"]["color"]["field"] == "status"
+    assert vl2["encoding"]["strokeDash"]["field"] == "series"
+    pl2 = b2.to_plotly()
+    assert len(pl2["data"]) == 2 * len(series_vals)
+    assert any(" - " in t["name"] for t in pl2["data"])
+
+    # brush: params + conditional opacity (ref selection dimming)
+    vb = layer.chart(
+        "orders.revenue", by="orders.order_date__month"
+    ).line().brush().to_vegalite()
+    assert vb["params"][0]["select"]["type"] == "interval"
+    assert vb["encoding"]["opacity"]["condition"]["param"] == "brush"
+    assert vb["encoding"]["opacity"]["value"] == 0.25
+
+
 def test_chart_same_tail_metrics_render_distinct_traces(spark, sf_dir):
     """Review finding: two metrics sharing a tail (orders.revenue +
     l2.revenue) must resolve to the generator's deduped output names,

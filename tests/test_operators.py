@@ -153,6 +153,46 @@ def test_minhash_exact_dup_collapse_matches_uncollapsed(spark):
     assert auto == ref
 
 
+def test_ngram_exact_dup_collapse_matches_uncollapsed(spark):
+    """Same r12 collapse prepass for the n-gram inverted index: gram
+    kernels and posting lists run per distinct content, so 10-deep
+    exact-dup cliques can no longer saturate cap-bound posting buckets
+    (the documented exactness edge of the prefix-filtered path).
+    Output must match the uncollapsed path exactly, with and without
+    the prefix filter."""
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",  # near-dup
+        "one two three four five six seven eight nine ten",
+        "tiny",
+    ]
+    rows = [
+        (rep * 100 + j, t)
+        for rep in range(4)
+        for j, t in enumerate(base)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    outs = {}
+    for collapse in (True, False):
+        for pf in (True, False):
+            outs[(collapse, pf)] = sorted(
+                (r.id_a, r.id_b, r.jaccard)
+                for r in dedup.ngram_jaccard_pairs(
+                    df, n=3, threshold=0.5,
+                    prefix_filter=pf, collapse_exact_dups=collapse,
+                ).collect()
+            )
+    ref = outs[(False, True)]
+    assert all(v == ref for v in outs.values())
+    ones = [p for p in ref if p[2] == 1.0]
+    assert len(ones) >= 4 * 6  # C(4,2)=6 within pairs per 4-deep clique
+    auto = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    )
+    assert auto == ref
+
+
 def test_simhash_near_dups(spark):
     # simhash needs enough tokens for stable bit votes; one changed
     # word out of 60 ~ hamming 3, unrelated text ~ hamming 32
