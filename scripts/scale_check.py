@@ -481,6 +481,34 @@ def main() -> None:
             "sf10": profile_minhash(spark, sf10),
         }
         print(f"# minhash profile: {minhash_profiles}", file=sys.stderr)
+        # like-for-like decade (r12): the auto verify gate switches
+        # paths at 100k docs (sf1 broadcast, sf10 bucket-local), so the
+        # raw decade2 ratio conflates a PATH SWITCH with scaling. Force
+        # bucket-local at sf1 (same query params as the entry) for a
+        # same-path sf1->sf10 ratio.
+        from sidemantic_spark.models.tpch import register_tables
+        from sidemantic_spark.operators.dedup import minhash_lsh_pairs
+
+        register_tables(spark, sf1)
+        docs_sf1 = spark.table("documents")
+        bl = _timed(
+            lambda s, d: minhash_lsh_pairs(
+                docs_sf1, jaccard_threshold=0.4, broadcast_verify=False
+            ),
+            spark, sf1, heavy_repeats,
+        )
+        mh10 = sf10_results.get("dedup_minhash_lsh", {})
+        mh10["sf1_bucket_local_forced"] = bl
+        if mh10.get("sec"):
+            mh10["decade2_ratio_like_for_like"] = round(
+                mh10["sec"] / bl["sec"], 2
+            )
+        print(
+            f"# minhash sf1 bucket-local forced: median {bl['sec']:.2f}s "
+            f"spread {bl['rel_spread']} -> like-for-like decade2 "
+            f"{mh10.get('decade2_ratio_like_for_like')}",
+            file=sys.stderr,
+        )
 
     # adversarial duplicate-density pass (r8 ask #5): same row count as
     # benign sf1 but 10-deep exact-duplicate cliques; the bucket cap

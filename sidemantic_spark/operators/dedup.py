@@ -1488,7 +1488,10 @@ def ngram_jaccard_pairs(
         # prefix postings are ~(1-t) of full volume, so worst-case
         # capped-bucket pair work stays comparable while the cap binds
         # strictly less often than the full-posting 1024 did (r11
-        # review finding)
+        # review finding). The r12 exact-dup collapse removes the main
+        # natural saturator (deep identical-content cliques — each
+        # content now posts ONCE); what remains cap-exposed is 2048+
+        # DISTINCT near-identical contents sharing a prefix gram.
         cap = 2048
     else:
         index_grams = F.col("__grams")
