@@ -454,6 +454,14 @@ def main() -> None:
     if "--skip-sf10" not in sys.argv:
         sf10 = build_sf10(spark, rebuild)
         for op in TRIO:
+            # one UNTIMED warmup at the tier itself: the sf10-sized
+            # stages converge slowly within a session (JIT of the wide
+            # codegen stages, Python-worker spin-up, page cache — r12
+            # measured first runs 3-4x the settled repeats, e.g.
+            # 179.5s -> 69/71/42s on identical code+data), and the
+            # sf0.01 warmup above does not warm any of that. Without
+            # this the recorded median mixes cold- and steady-state.
+            queries[op](spark, sf10).count()
             rec10 = _timed(queries[op], spark, sf10, heavy_repeats)
             sf1_sec = results.get(op, {}).get("sf1", {}).get("sec")
             decade1 = results.get(op, {}).get("wall_ratio_per_10x_rows")

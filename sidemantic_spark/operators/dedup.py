@@ -344,9 +344,18 @@ def _word_gram_hashes_udf(n: int):
     return grams
 
 
-def _sig_and_shingles_udf(num_hashes: int = 64, k: int = 5):
+def _sig_and_shingles_udf(num_hashes: int = 64, k: int = 5, pack_sh: bool = False):
     """Arrow-vectorized shingle-hash + MinHash-signature kernel:
     normalized text -> struct(sh: array<bigint>, sig: array<bigint>).
+
+    ``pack_sh=True`` emits ``sh`` as a PACKED little-endian int32 blob
+    (binary) instead of an array column — the bucket-local verify ships
+    each set once per band through the banding shuffle, and Spark's
+    unsafe array format plus the JVM<->Arrow nested-array conversions
+    cost ~2x the raw bytes; an opaque 4-byte-per-hash blob halves the
+    exchange and skips per-element handling (hashes are mod 2^31-1 by
+    construction, so int32 is lossless). The verify kernel
+    ``np.frombuffer``s it back for free.
 
     Replaces the JVM higher-order-function shingle pipeline
     (transform/substr/xxhash64/array_distinct) for the bulk dedup path:
@@ -366,8 +375,9 @@ def _sig_and_shingles_udf(num_hashes: int = 64, k: int = 5):
     consts = _perm_constants(num_hashes)
     A = np.array([a for a, _ in consts], dtype=np.int64)
     B = np.array([b for _, b in consts], dtype=np.int64)
+    sh_type = "binary" if pack_sh else "array<bigint>"
 
-    @pandas_udf("struct<sh: array<bigint>, sig: array<bigint>>")
+    @pandas_udf(f"struct<sh: {sh_type}, sig: array<bigint>>")
     def kern(norm: pd.Series) -> pd.DataFrame:
         n = len(norm)
         if n == 0:
@@ -424,7 +434,11 @@ def _sig_and_shingles_udf(num_hashes: int = 64, k: int = 5):
             np.remainder(buf, _P, out=buf)
             sigs[i] = np.minimum.reduceat(buf, offs)
         cols = np.ascontiguousarray(sigs.T)
-        return pd.DataFrame({"sh": sh_list, "sig": list(cols)})
+        if pack_sh:
+            sh_out = [a.astype(np.int32).tobytes() for a in sh_list]
+        else:
+            sh_out = sh_list
+        return pd.DataFrame({"sh": sh_out, "sig": list(cols)})
 
     return kern
 
@@ -508,40 +522,96 @@ def source_overlap_matrix(
     )
 
 
-def _bucket_verify_kernel():
+def _bucket_verify_kernel(threshold: float = 0.0):
     """Arrow kernel: per capped LSH bucket, exact pairwise set
-    intersection/union sizes for every (i < j) member pair. Sets arrive
-    np.unique-sorted (``_sig_and_shingles_udf``), so the intersection is
-    one searchsorted pass (O(n log m)) instead of intersect1d's
-    concat+sort."""
+    intersection/union sizes for every (i < j) member pair, emitted as
+    COLUMNAR arrays and pre-filtered by ``threshold``.
+
+    r12 rewrite, driven by the sf10 profile: the per-pair Python loop
+    built ~19.3M result dicts per 500k-doc run (4 boxed ints each) —
+    the allocation/GC churn dominated the verify stage and drove its
+    2-4x run-to-run wobble. Now each bucket computes ALL pairwise
+    intersection counts in one shot: ``np.unique(concat,
+    return_inverse)`` builds a (members x distinct-hash) 0/1 matrix and
+    ``M @ M.T`` is the full intersection-count matrix (row sums = set
+    sizes, so unions are free). Python cost is per BUCKET (~1M at
+    sf10), not per pair (~19M), and the output is four numpy arrays —
+    zero per-pair Python objects. Oversized buckets (> 64 members,
+    where the k x V matmul would outgrow the pair loop) keep the
+    searchsorted pair path but write into arrays.
+
+    ``threshold`` drops non-survivors INSIDE the kernel with a
+    ``-1e-9``-slack comparison — a conservative SUPERSET of the exact
+    JVM filter (which still applies ``ROUND(c/u, 6) >= t`` downstream),
+    so only the ~0.1% surviving pairs ever cross Arrow or ride the
+    dedup shuffle. Sets arrive np.unique-sorted
+    (``_sig_and_shingles_udf``)."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<struct<id_a:bigint,id_b:bigint,c:int,u:int>>")
-    def kern(ids: pd.Series, shs: pd.Series) -> pd.Series:
-        out = []
+    @pandas_udf(
+        "struct<id_a:array<bigint>,id_b:array<bigint>,"
+        "c:array<int>,u:array<int>>"
+    )
+    def kern(ids: pd.Series, shs: pd.Series) -> pd.DataFrame:
+        out_a, out_b, out_c, out_u = [], [], [], []
         for idl, sets in zip(ids, shs):
-            arrs = [np.asarray(s) for s in sets]
-            res = []
-            k = len(arrs)
-            for i in range(k):
-                a = arrs[i]
-                ia = idl[i]
-                for j in range(i + 1, k):
-                    b = arrs[j]
-                    if a.size >= b.size:
-                        big, small = a, b
-                    else:
-                        big, small = b, a
-                    pos = np.searchsorted(big, small)
-                    ok = pos < big.size
-                    c = int(np.count_nonzero(big[pos[ok]] == small[ok]))
-                    u = int(a.size + b.size - c)
-                    lo, hi = (ia, idl[j]) if ia < idl[j] else (idl[j], ia)
-                    res.append(
-                        {"id_a": int(lo), "id_b": int(hi), "c": c, "u": u}
-                    )
-            out.append(res)
-        return pd.Series(out)
+            k = len(sets)
+            if k < 2:
+                out_a.append(np.empty(0, dtype=np.int64))
+                out_b.append(np.empty(0, dtype=np.int64))
+                out_c.append(np.empty(0, dtype=np.int32))
+                out_u.append(np.empty(0, dtype=np.int32))
+                continue
+            idarr = np.asarray(idl, dtype=np.int64)
+            arrs = [
+                np.frombuffer(s, dtype=np.int32)
+                if isinstance(s, (bytes, bytearray))
+                else np.asarray(s)
+                for s in sets
+            ]
+            sizes = np.fromiter((a.size for a in arrs), dtype=np.int64, count=k)
+            if k <= 64:
+                concat = np.concatenate(arrs)
+                uniq, inv = np.unique(concat, return_inverse=True)
+                m = np.zeros((k, uniq.size), dtype=np.int32)
+                m[np.repeat(np.arange(k), sizes), inv] = 1
+                cm = m @ m.T
+                iu, ju = np.triu_indices(k, 1)
+                c = cm[iu, ju]
+                u = (sizes[iu] + sizes[ju] - c).astype(np.int64)
+                ia, ib = idarr[iu], idarr[ju]
+            else:
+                n_pairs = k * (k - 1) // 2
+                c = np.empty(n_pairs, dtype=np.int64)
+                ia = np.empty(n_pairs, dtype=np.int64)
+                ib = np.empty(n_pairs, dtype=np.int64)
+                su = np.empty(n_pairs, dtype=np.int64)
+                pos_out = 0
+                for i in range(k):
+                    a = arrs[i]
+                    for j in range(i + 1, k):
+                        b = arrs[j]
+                        big, small = (a, b) if a.size >= b.size else (b, a)
+                        pos = np.searchsorted(big, small)
+                        ok = pos < big.size
+                        c[pos_out] = np.count_nonzero(
+                            big[pos[ok]] == small[ok]
+                        )
+                        su[pos_out] = a.size + b.size
+                        ia[pos_out] = idarr[i]
+                        ib[pos_out] = idarr[j]
+                        pos_out += 1
+                u = su - c
+            keep = c.astype(np.float64) >= (threshold - 1e-9) * u
+            lo = np.minimum(ia[keep], ib[keep])
+            hi = np.maximum(ia[keep], ib[keep])
+            out_a.append(lo)
+            out_b.append(hi)
+            out_c.append(c[keep].astype(np.int32))
+            out_u.append(u[keep].astype(np.int32))
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "c": out_c, "u": out_u}
+        )
 
     return kern
 
@@ -600,10 +670,23 @@ def bucket_local_jaccard_pairs(
         .agg(*aggs)
         .where(F.size("__ids") > 1)
     )
-    kern = _bucket_verify_kernel()
+    # the kernel pre-filters by threshold (conservative -1e-9 slack) and
+    # returns columnar arrays; arrays_zip + explode rebuilds pair rows
+    # JVM-side for the ~0.1% survivors, and the exact ROUND filter below
+    # remains authoritative at the boundary
+    kern = _bucket_verify_kernel(threshold)
+    pair_struct = F.explode(
+        F.arrays_zip(
+            F.col("__r.id_a").alias("id_a"),
+            F.col("__r.id_b").alias("id_b"),
+            F.col("__r.c").alias("c"),
+            F.col("__r.u").alias("u"),
+        )
+    ).alias("p")
     if members_col is None:
         return (
-            buckets.select(F.explode(kern("__ids", "__shs")).alias("p"))
+            buckets.select(kern("__ids", "__shs").alias("__r"))
+            .select(pair_struct)
             .select(
                 "p.id_a",
                 "p.id_b",
@@ -616,9 +699,10 @@ def bucket_local_jaccard_pairs(
         )
     verified = (
         buckets.select(
-            F.explode(kern("__ids", "__shs")).alias("p"),
+            kern("__ids", "__shs").alias("__r"),
             F.map_from_arrays("__ids", "__mems").alias("__m"),
         )
+        .select(pair_struct, "__m")
         .select(
             "p.id_a",
             "p.id_b",
@@ -813,15 +897,23 @@ def minhash_lsh_pairs(
     ).alias("bk")
     if not broadcast_verify:
         # corpus-scale path: verify INSIDE the capped buckets. The
-        # shingle sets (int-cast: hashes are mod 2^31-1 by
-        # construction, so int32 halves the bytes) ride the banding
-        # shuffle once per band and the whole operator is ONE kernel
-        # pass + ONE wide shuffle — the pair-grain verify measured
-        # ~30 GB of array shuffle at 500k docs (see
-        # bucket_local_jaccard_pairs)
-        banded_sets = feat.select(
+        # shingle sets (PACKED int32 blobs — see _sig_and_shingles_udf
+        # pack_sh) ride the banding shuffle once per band and the whole
+        # operator is ONE kernel pass + ONE wide shuffle — the
+        # pair-grain verify measured ~30 GB of array shuffle at 500k
+        # docs (see bucket_local_jaccard_pairs)
+        feat_p = df.select(
+            F.col(id_col).alias("__id"),
+            _norm(F.col(text_col)).alias("__norm"),
+        ).select(
             "__id",
-            F.transform(F.col("__f.sh"), lambda x: x.cast("int")).alias("__sh"),
+            _sig_and_shingles_udf(num_hashes, k, pack_sh=True)(
+                F.col("__norm")
+            ).alias("__f"),
+        )
+        banded_sets = feat_p.select(
+            "__id",
+            F.col("__f.sh").alias("__sh"),
             band_keys,
         ).select("__id", "__sh", "bk.band", "bk.bhash")
         return bucket_local_jaccard_pairs(banded_sets, jaccard_threshold)
@@ -958,11 +1050,19 @@ def _minhash_lsh_pairs_collapsed(
     ).alias("bk")
     if not broadcast_verify:
         # corpus-scale path: group-grain bucket-local verify, member
-        # arrays ride the banding shuffle, still zero joins in the plan
-        banded_sets = feat.select(
+        # arrays ride the banding shuffle, still zero joins in the
+        # plan; sets ship as packed int32 blobs (see
+        # _sig_and_shingles_udf pack_sh)
+        feat_p = groups.select(
+            "__members",
+            _sig_and_shingles_udf(num_hashes, k, pack_sh=True)(
+                F.col("__norm")
+            ).alias("__f"),
+        )
+        banded_sets = feat_p.select(
             F.element_at("__members", 1).alias("__id"),
             F.col("__members").alias("__mem"),
-            F.transform(F.col("__f.sh"), lambda x: x.cast("int")).alias("__sh"),
+            F.col("__f.sh").alias("__sh"),
             band_keys,
         ).select("__id", "__mem", "__sh", "bk.band", "bk.bhash")
         cross = bucket_local_jaccard_pairs(
