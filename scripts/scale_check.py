@@ -354,6 +354,25 @@ def build_sf1(spark, rebuild: bool = False, adversarial: bool = False) -> str:
     return out_dir
 
 
+def _session_gc(spark) -> None:
+    """Explicit cleaner GC at op boundaries (UNTIMED regions only).
+
+    Each heavy run leaves GBs of shuffle files that ContextCleaner
+    only deletes after a JVM GC, which a barely-pressured 24g heap
+    rarely triggers (default periodicGC is 30min). The stale files
+    evict input data from the OS page cache, and LATER ops measured
+    2-6x slower with tight repeat spreads (clusters sf10: 45.9s
+    mid-session vs 7.5s fresh-session, identical code+data). A
+    periodic GC interval is the WRONG fix — its multi-second full-GC
+    pauses land inside timed repeats and inflated the light rows
+    2-20x — so the GC runs here, between ops, where nothing is being
+    timed."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def _timed(fn, spark, d, n: int) -> dict:
     """Median-of-n timing record with the full repeat list and relative
     spread (r11 VERDICT ask #2: n=2 min-timing had ~70% spread and made
@@ -428,6 +447,7 @@ def main() -> None:
     for op in ops:
         fn = queries[op]
         rec: dict = {}
+        _session_gc(spark)
         for label, d in (("sf0.1", SF01), ("sf1", sf1)):
             rec[label] = _timed(fn, spark, d, repeats)
             print(
@@ -461,6 +481,7 @@ def main() -> None:
             # 179.5s -> 69/71/42s on identical code+data), and the
             # sf0.01 warmup above does not warm any of that. Without
             # this the recorded median mixes cold- and steady-state.
+            _session_gc(spark)
             queries[op](spark, sf10).count()
             rec10 = _timed(queries[op], spark, sf10, heavy_repeats)
             sf1_sec = results.get(op, {}).get("sf1", {}).get("sec")
@@ -499,6 +520,13 @@ def main() -> None:
 
         register_tables(spark, sf1)
         docs_sf1 = spark.table("documents")
+        # same untimed warmup as the sf10 tier (this row follows the
+        # sf10 profile in a churned session; unwarmed it measured
+        # 17.6s vs 3.2-4.2s settled, identical code+data)
+        _session_gc(spark)
+        minhash_lsh_pairs(
+            docs_sf1, jaccard_threshold=0.4, broadcast_verify=False
+        ).count()
         bl = _timed(
             lambda s, d: minhash_lsh_pairs(
                 docs_sf1, jaccard_threshold=0.4, broadcast_verify=False
@@ -525,6 +553,8 @@ def main() -> None:
     if "--skip-adversarial" not in sys.argv:
         adv = build_sf1(spark, rebuild, adversarial=True)
         for op in ADVERSARIAL_OPS:
+            _session_gc(spark)
+            queries[op](spark, adv).count()  # untimed warmup
             reca = _timed(queries[op], spark, adv, heavy_repeats)
             benign = results.get(op, {}).get("sf1", {}).get("sec")
             ratio = round(reca["sec"] / benign, 2) if benign else None

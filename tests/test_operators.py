@@ -104,6 +104,65 @@ def test_minhash_verify_strategies_agree(docs):
     assert bc == lf and len(bc) > 0
 
 
+def test_bucket_verify_kernel_matches_brute_force(spark):
+    """Direct unit test of the r12 vectorized bucket-verify kernel
+    (unique+matmul for k<=64 members, searchsorted pair loop above)
+    against a brute-force python reference — both input paths (int64
+    arrays and packed int32 blobs), both k regimes, and the in-kernel
+    threshold prefilter's -1e-9 slack keeping boundary pairs."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(7)
+
+    def brute(ids, sets, threshold):
+        out = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = set(sets[i]), set(sets[j])
+                c = len(a & b)
+                u = len(a | b)
+                if u and c / u >= threshold - 1e-9:
+                    lo, hi = sorted((ids[i], ids[j]))
+                    out.add((lo, hi, c, u))
+        return out
+
+    for k, pack in ((10, False), (80, True), (80, False), (3, True)):
+        ids = [rng.randrange(10**9) for _ in range(k)]
+        sets = [
+            sorted(rng.sample(range(500), rng.randrange(5, 60)))
+            for _ in range(k)
+        ]
+        threshold = 0.2
+        kern = dedup._bucket_verify_kernel(threshold)
+        if pack:
+            payload = [np.asarray(s, dtype=np.int32).tobytes() for s in sets]
+        else:
+            payload = [np.asarray(s, dtype=np.int64) for s in sets]
+        res = kern.func(pd.Series([ids]), pd.Series([payload]))
+        got = set(
+            zip(
+                res["id_a"][0].tolist(),
+                res["id_b"][0].tolist(),
+                res["c"][0].tolist(),
+                res["u"][0].tolist(),
+            )
+        )
+        assert got == brute(ids, sets, threshold), (k, pack)
+    # boundary semantics: c=2, u=6 -> jaccard exactly 1/3. At
+    # threshold == 1/3 the -1e-9 slack must KEEP the pair (the exact
+    # JVM ROUND filter downstream stays authoritative); at a higher
+    # threshold the prefilter drops it in-kernel.
+    pair = pd.Series([[np.asarray([1, 2, 3, 4], dtype=np.int64),
+                       np.asarray([3, 4, 5, 6], dtype=np.int64)]])
+    res = dedup._bucket_verify_kernel(2 / 6).func(pd.Series([[1, 2]]), pair)
+    assert res["c"][0].tolist() == [2] and res["u"][0].tolist() == [6]
+    res = dedup._bucket_verify_kernel(0.5).func(pd.Series([[1, 2]]), pair)
+    assert res["c"][0].tolist() == []
+
+
 def test_minhash_exact_dup_collapse_matches_uncollapsed(spark):
     """The exact-dup collapse prepass (r12: signatures/banding/verify
     at distinct-content grain, member expansion after verify) must emit
