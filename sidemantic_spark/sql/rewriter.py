@@ -610,11 +610,21 @@ class SemanticSqlRewriter:
         if re.match(r"^\s*WITH\b", sql, re.IGNORECASE):
             return self._rewrite_with(sql)
         # top-level set operations: rewrite each branch independently
-        # (ref sql/query_rewriter.py:4974-4983, :5330-5392)
+        # (ref sql/query_rewriter.py:4974-4983, :5330-5392). A branch
+        # with NO semantic island — a FROM-less literal arm
+        # (`SELECT 'SENTINEL', -1`), a plain-table arm — passes through
+        # verbatim: only island branches compile semantically (r12
+        # probe: the literal arm used to be forced through
+        # _rewrite_select and die on "needs a FROM clause")
         for op in _SET_OPS:
             parts = _top_level_split(sql, op)
             if len(parts) > 1:
-                branches = [self._rewrite_node(p.strip()) for p in parts]
+                branches = [
+                    self._rewrite_node(p.strip())
+                    if self._has_semantic_island(p)
+                    else p.strip()
+                    for p in parts
+                ]
                 joined = f"\n{op}\n".join(f"({b})" for b in branches)
                 return joined
         # wrapper-shaped queries over a semantic island: apply the
@@ -1755,6 +1765,32 @@ class SemanticSqlRewriter:
                         and re.fullmatch(r"[A-Za-z_]\w*", col)
                         and col.lower() not in _SQL_KEYWORDS
                     ):
+                        # validate the raw column against the TABLE
+                        # schema at COMPILE time (the engine's stance
+                        # everywhere else — event filters, grain
+                        # suffixes): a typo'd column must raise a clear
+                        # QueryCompileError, not a runtime
+                        # AnalysisException (r12 probe finding). Skip
+                        # when the table is not resolvable here
+                        # (SQL-defined models, unregistered catalogs).
+                        tbl = getattr(model, "table", None)
+                        if tbl:
+                            try:
+                                tcols = {
+                                    c.lower()
+                                    for c in self.layer.spark.table(
+                                        tbl
+                                    ).columns
+                                }
+                            except Exception:
+                                tcols = None
+                            if tcols is not None and col.lower() not in tcols:
+                                raise QueryCompileError(
+                                    f"ad hoc aggregate {ref.strip()!r}: "
+                                    f"column {col!r} is neither a declared "
+                                    f"field of model {base_model!r} nor a "
+                                    f"column of its table {tbl!r}"
+                                )
                         fn = am.group(1).lower()
                         mname = f"__adhoc_{fn}_{col}"
                         if model.metric(mname) is None:

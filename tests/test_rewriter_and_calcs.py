@@ -1780,3 +1780,66 @@ def test_alias_shadowing_nested_and_toplevel_scopes():
     assert find_refs(top, {"orders"}) == []
     out2 = replace_refs(top, {"orders"}, lambda m, f, g: f"{m}_cte.{f}")
     assert "orders.margin" in out2 and "orders_cte" not in out2
+
+
+def test_set_op_nonsemantic_branch_passes_through(spark, sf_dir):
+    """r12 probe finding: a set-op branch with NO semantic island — a
+    FROM-less literal arm — must pass through verbatim instead of being
+    forced through the semantic SELECT path (which demanded a FROM
+    clause and refused the whole statement)."""
+    from sidemantic_spark.models.tpch import build_layer
+
+    lyr = build_layer(spark, sf_dir)
+    rows = {
+        (r["status"], r["n"])
+        for r in lyr.sql(
+            """
+            SELECT orders.status AS status, orders.order_count AS n
+            FROM orders
+            UNION ALL
+            SELECT 'SENTINEL' AS status, CAST(-1 AS BIGINT) AS n
+            """
+        ).collect()
+    }
+    assert ("SENTINEL", -1) in rows and len(rows) >= 3
+    real = {s for s, _ in rows if s != "SENTINEL"}
+    oracle = {
+        r["o_orderstatus"]
+        for r in spark.sql(
+            "SELECT DISTINCT o_orderstatus FROM orders"
+        ).collect()
+    }
+    assert real == oracle
+
+
+def test_adhoc_raw_aggregate_validates_column_at_compile(spark, sf_dir):
+    """r12 probe finding: an ad-hoc aggregate over a column that exists
+    on NEITHER the model NOR its table must refuse at compile time with
+    a clear error (the engine's compile-time-validation stance), not
+    die at runtime with a Spark AnalysisException. A genuine raw table
+    column still works."""
+    import pytest as _pytest
+
+    from sidemantic_spark.models.tpch import build_layer
+    from sidemantic_spark.sql.generator import QueryCompileError
+
+    lyr = build_layer(spark, sf_dir)
+    with _pytest.raises(QueryCompileError, match="o_shippriority"):
+        lyr.sql(
+            "SELECT orders.status AS status, "
+            "MAX(orders.o_shippriority) AS m FROM orders"
+        )
+    got = {
+        (r["status"], r["m"])
+        for r in lyr.sql(
+            "SELECT orders.status AS status, "
+            "MAX(orders.o_orderkey) AS m FROM orders"
+        ).collect()
+    }
+    want = {
+        (r[0], r[1])
+        for r in spark.sql(
+            "SELECT o_orderstatus, MAX(o_orderkey) FROM orders GROUP BY 1"
+        ).collect()
+    }
+    assert got == want
