@@ -1915,7 +1915,23 @@ class SemanticSqlRewriter:
         limit = int(clause_vals["LIMIT"]) if "LIMIT" in clause_vals else None
         offset = int(clause_vals["OFFSET"]) if "OFFSET" in clause_vals else None
         if "HAVING" in clause_vals:
-            filters.append(self._qualify_bare(clause_vals["HAVING"], base_model))
+            having = clause_vals["HAVING"]
+            # HAVING may reference a select item's output ALIAS
+            # (`orders.revenue AS rev ... HAVING rev > x`) — the
+            # reference engine resolves it (DuckDB alias-in-HAVING);
+            # Spark does not, so substitute the underlying ref.
+            # Precedence mirrors SQL: a token that already resolves as
+            # a field of the query's models wins over a same-named
+            # alias (r12 probe finding)
+            for kind, full, alias in classified:
+                if not alias or alias == full.rsplit(".", 1)[-1]:
+                    continue
+                if self._classify_ref(alias, base_model) is not None:
+                    continue
+                having = re.sub(
+                    rf"(?<![\w.]){re.escape(alias)}(?![\w.(])", full, having
+                )
+            filters.append(self._qualify_bare(having, base_model))
         # GROUP BY is accepted and validated implicitly: grouping is
         # derived from the dimension set (reference behavior)
 

@@ -1843,3 +1843,42 @@ def test_adhoc_raw_aggregate_validates_column_at_compile(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_having_on_select_alias(spark, sf_dir):
+    """r12 probe finding: HAVING may reference a select item's output
+    alias (`orders.revenue AS rev ... HAVING rev > x`) — the reference
+    engine resolves aliases in HAVING; Spark does not, so the rewriter
+    substitutes the underlying ref. A same-named real field keeps
+    precedence over the alias."""
+    from sidemantic_spark.models.tpch import build_layer
+
+    lyr = build_layer(spark, sf_dir)
+    got = {
+        (r["priority"], str(r["rev"]))
+        for r in lyr.sql(
+            """
+            SELECT orders.priority AS priority, orders.revenue AS rev
+            FROM orders
+            HAVING rev > 200000
+            """
+        ).collect()
+    }
+    want = {
+        (r[0], str(r[1]))
+        for r in spark.sql(
+            "SELECT o_orderpriority, SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+            " AS rev FROM orders GROUP BY 1"
+            " HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 200000"
+        ).collect()
+    }
+    assert got == want and got
+    # alias shadowing a REAL field: the field wins (standard SQL)
+    rows = lyr.sql(
+        """
+        SELECT orders.status AS priority, orders.revenue AS rev
+        FROM orders
+        HAVING priority IS NOT NULL
+        """
+    ).collect()
+    assert {r["priority"] for r in rows} <= {"F", "O", "P"}
