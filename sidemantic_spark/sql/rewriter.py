@@ -212,8 +212,13 @@ def _strip_aggregate_wrappers(text: str) -> str:
 
 
 _AT_HEAD_RE = re.compile(
-    r"^(?:(AGGREGATE)\s*\(\s*([A-Za-z_][\w.]*)\s*\)|([A-Za-z_][\w.]*))"
-    r"\s*(AT\s*\(.*)$",
+    # the bare-ref form REQUIRES whitespace before AT: without it the
+    # ref atom backtracks into any identifier ending in "AT" —
+    # `CONCAT(...)` parsed as measure `CONC` + modifier `AT (...)`
+    # (r12 probe finding; the AGGREGATE form is boundary-safe via its
+    # closing paren)
+    r"^(?:(AGGREGATE)\s*\(\s*([A-Za-z_][\w.]*)\s*\)\s*|([A-Za-z_][\w.]*)\s+)"
+    r"(AT\s*\(.*)$",
     re.I | re.S,
 )
 

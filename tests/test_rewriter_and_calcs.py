@@ -1882,3 +1882,41 @@ def test_having_on_select_alias(spark, sf_dir):
         """
     ).collect()
     assert {r["priority"] for r in rows} <= {"F", "O", "P"}
+
+
+def test_identifier_ending_in_at_is_not_an_at_modifier(spark, sf_dir):
+    """r12 probe finding: the Yardstick AT-modifier head regex used to
+    backtrack any identifier ending in "AT" — `CONCAT(...)` parsed as
+    measure `CONC` + modifier `AT (...)` and the whole select refused.
+    Scalar functions named *AT must classify as ordinary expressions,
+    and real AT modifiers (whitespace-separated) keep working."""
+    from sidemantic_spark.models.tpch import build_layer
+
+    lyr = build_layer(spark, sf_dir)
+    got = {
+        (r["tag"], r["n"])
+        for r in lyr.sql(
+            """
+            SELECT CONCAT(orders.status, '-', orders.priority) AS tag,
+                   orders.order_count AS n
+            FROM orders
+            """
+        ).collect()
+    }
+    want = {
+        (r[0], r[1])
+        for r in spark.sql(
+            "SELECT CONCAT(o_orderstatus, '-', o_orderpriority), COUNT(*)"
+            " FROM orders GROUP BY 1"
+        ).collect()
+    }
+    assert got == want and len(got) >= 10
+    # the real AT form still parses
+    rows = lyr.sql(
+        """
+        SELECT orders.status AS status,
+               AGGREGATE(orders.revenue) AT (ALL orders.status) AS total
+        FROM orders GROUP BY orders.status
+        """
+    ).collect()
+    assert len({str(r["total"]) for r in rows}) == 1
