@@ -1780,6 +1780,8 @@ class SemanticSqlRewriter:
                         # (SQL-defined models, unregistered catalogs).
                         tbl = getattr(model, "table", None)
                         if tbl:
+                            from pyspark.errors import PySparkException
+
                             try:
                                 tcols = {
                                     c.lower()
@@ -1787,7 +1789,10 @@ class SemanticSqlRewriter:
                                         tbl
                                     ).columns
                                 }
-                            except Exception:
+                            except PySparkException:
+                                # table not resolvable at compile time
+                                # (unregistered catalog): fall back to
+                                # the runtime error path
                                 tcols = None
                             if tcols is not None and col.lower() not in tcols:
                                 raise QueryCompileError(
