@@ -823,13 +823,17 @@ def minhash_lsh_pairs(
     (band_idx, band_hash) is uniform under hashing, so the heavy
     self-join only materializes true bucket collisions.
 
-    ``broadcast_verify`` picks the verify strategy (None = auto by a
-    cheap doc count against ``broadcast_doc_cap``): when the shingle
-    frame fits a broadcast (~100k docs x ~200 shingles x 8B = ~160 MB),
-    two broadcast joins make the whole verify map-only — zero array
-    bytes ride a shuffle.  Above the cap, the long-format path (explode
-    pair sides, ONE id-join, groupBy reassembly) keeps the plan
-    corpus-scale-safe: no broadcast assumption, shingles computed once.
+    ``broadcast_verify`` picks the verify strategy. None (auto, the
+    default) resolves to the bucket-local verify
+    (:func:`bucket_local_jaccard_pairs`): one kernel pass, a join-free
+    plan, and measured faster than the broadcast verify at every scale
+    tried (r12: sf0.1 best 1.89 s vs 2.24-2.71 s on 32 cores, 2.2 vs
+    3.7 s on 8; sf1 3.38 vs 7.18 s) — it is also the only
+    100 TB-safe shape. ``True`` opts into the small-corpus broadcast
+    verify (the shingle frame must fit a broadcast: ~100k docs x ~200
+    shingles x 8B = ~160 MB; the feature frame is locally checkpointed
+    so the kernel still runs once); ``False`` forces bucket-local
+    explicitly.
 
     ``collapse_exact_dups`` (None = auto by a one-scan duplication-ratio
     probe) pre-collapses identical normalized texts before any LSH
@@ -846,20 +850,30 @@ def minhash_lsh_pairs(
     (callers at known corpus shapes should pass it).
     """
     rows_per_band = num_hashes // bands
-    # ONE bounded probe feeds both gates (spread + verify strategy)
-    n_docs = _bounded_count(df, max(_SPREAD_CAP, broadcast_doc_cap))
-    df = _spread(df, n_docs)
     if collapse_exact_dups is None:
-        collapse_exact_dups = _dup_ratio_collapse_gate(df, text_col)
+        # ONE full-scan probe feeds both gates: the collapse gate needs
+        # a full map-side-combined aggregate anyway, so the exact row
+        # count rides along and the separate bounded-count job is gone
+        # (r12 measurement: the two-probe sequence was ~0.7 s of the
+        # ~2.7 s sf0.1 operator)
+        n_docs, n_distinct = _probe_stats(df, text_col)
+        collapse_exact_dups = (
+            n_docs > 0 and (n_docs - n_distinct) / n_docs >= 0.15
+        )
+    else:
+        # explicit collapse decision: the spread gate only needs the
+        # cheap bounded count (CollectLimit short-circuits at the cap)
+        n_docs = _bounded_count(df, _SPREAD_CAP)
+    df = _spread(df, n_docs)
     if collapse_exact_dups:
         return _minhash_lsh_pairs_collapsed(
             df, text_col, id_col, num_hashes, bands, k,
             jaccard_threshold,
-            # auto verify gate on the DOC count (reps <= docs, so the
-            # broadcast stays safe; probing the rep count would cost an
-            # extra full grouping pass)
-            (broadcast_verify if broadcast_verify is not None
-             else n_docs <= broadcast_doc_cap),
+            # auto verify -> bucket-local: one kernel pass, join-free,
+            # and measured faster than the broadcast verify at every
+            # scale tried (r12: sf0.1 best 1.89 s vs 2.24-2.71 s at 32
+            # cores, 2.2 vs 3.7 s at 8; sf1 3.38 vs 7.18 s)
+            (broadcast_verify if broadcast_verify is not None else False),
             broadcast_doc_cap,
         )
     # normalize in its own projection (see _shingles note), then ONE
@@ -873,17 +887,13 @@ def minhash_lsh_pairs(
         "__id",
         _sig_and_shingles_udf(num_hashes, k)(F.col("__norm")).alias("__f"),
     )
-    # no persist anywhere: the feature subtree is re-evaluated by each
-    # verify side (exprIds defeat exchange reuse), but one kernel pass
-    # is far cheaper than a columnar cache build of nested arrays
-    # (~7s at sf0.1) — and at corpus scale caching would blow the
-    # storage budget. Keeping the whole operator one lazy DAG also
-    # lets Catalyst/AQE plan it end-to-end in a single job.
-    shingled = feat.select("__id", F.col("__f.sh").alias("__sh"))
-    with_sig = feat.select("__id", F.col("__f.sig").alias("__sig"))
     if broadcast_verify is None:
-        # auto by the shared bounded probe (see _bounded_count)
-        broadcast_verify = n_docs <= broadcast_doc_cap
+        # auto -> bucket-local: ONE kernel pass, join-free, and measured
+        # faster than the broadcast verify at every scale tried (r12:
+        # sf0.1 best 1.89 s vs 2.24-2.71 s at 32 cores, 2.2 vs 3.7 s at
+        # 8 cores; sf1 3.38 vs 7.18 s in SCALE_CHECK_r12) — the
+        # broadcast path stays available for explicit callers
+        broadcast_verify = False
     band_keys = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -917,8 +927,18 @@ def minhash_lsh_pairs(
             band_keys,
         ).select("__id", "__sh", "bk.band", "bk.bhash")
         return bucket_local_jaccard_pairs(banded_sets, jaccard_threshold)
-    # small-corpus path: band keys carry ONLY (id, band, bhash) and the
-    # verify is two map-only broadcast joins
+    # small-corpus path (explicit opt-in): band keys carry ONLY
+    # (id, band, bhash) and the verify is two map-only broadcast joins.
+    # The feature frame materializes once with a lazy localCheckpoint:
+    # ReuseExchange cannot deduplicate the two broadcast builds
+    # (PythonUDF canonicalization defeats it — the r11 plan ran the
+    # Arrow kernel THREE times: banding + both verify sides), and the
+    # caller opting into broadcast_verify already asserts the corpus
+    # features fit executor memory, so the checkpoint is bounded by the
+    # same budget as the broadcasts it feeds.
+    feat = feat.localCheckpoint(eager=False)
+    shingled = feat.select("__id", F.col("__f.sh").alias("__sh"))
+    with_sig = feat.select("__id", F.col("__f.sig").alias("__sig"))
     banded = with_sig.select(
         "__id",
         F.explode(
@@ -988,13 +1008,24 @@ def _dup_ratio_collapse_gate(df: DataFrame, text_col: str) -> bool:
     runs over the 64-bit text hash, not the string (cheaper on long
     docs); hash collisions and the ~2% HLL error are gating-only —
     correctness never depends on this probe."""
+    n, u = _probe_stats(df, text_col)
+    return n > 0 and (n - u) / n >= 0.15
+
+
+def _probe_stats(df: DataFrame, text_col: str) -> tuple[int, int]:
+    """ONE full-scan probe job feeding every auto gate: exact row count
+    plus approx-distinct of the normalized text (map-side combined, one
+    tiny result row). The collapse gate needs the full scan anyway, so
+    the exact count comes for free and callers drop their separate
+    bounded-count probe job (r12: the two-probe sequence cost ~0.7 s of
+    a ~2.7 s operator at sf0.1 — guide §1.2, fewer driver jobs)."""
     r = df.agg(
-        F.count(text_col).alias("n"),
+        F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(
             F.xxhash64(_norm(F.col(text_col)))
         ).alias("u"),
     ).first()
-    return bool(r["n"]) and (r["n"] - r["u"]) / r["n"] >= 0.15
+    return int(r["n"]), int(r["u"])
 
 
 def _minhash_lsh_pairs_collapsed(
@@ -1069,15 +1100,19 @@ def _minhash_lsh_pairs_collapsed(
             banded_sets, jaccard_threshold, members_col="__mem"
         )
     else:
-        # small-corpus path: rep-grain candidates + broadcast verify,
-        # then two broadcast joins attach member arrays for expansion
-        # (the group frame is strictly smaller than the shingle frame
-        # that is already broadcast by the verify)
+        # small-corpus path (explicit opt-in): rep-grain candidates +
+        # broadcast verify, then two broadcast joins attach member
+        # arrays for expansion (the group frame is strictly smaller
+        # than the shingle frame that is already broadcast by the
+        # verify). Lazy localCheckpoint = single kernel pass across the
+        # banding and both broadcast verify builds (see
+        # minhash_lsh_pairs — ReuseExchange cannot dedup PythonUDF
+        # subtrees), bounded by the caller's broadcast opt-in.
         rep_feat = feat.select(
             F.element_at("__members", 1).alias("__id"),
             F.col("__f.sh").alias("__sh"),
             F.col("__f.sig").alias("__sig"),
-        )
+        ).localCheckpoint(eager=False)
         banded = rep_feat.select(
             "__id",
             F.explode(
@@ -1542,14 +1577,25 @@ def ngram_jaccard_pairs(
     exact-dup cliques saturate cap-bound posting buckets: exact dups
     now occupy ONE posting each.
     """
-    df = _spread(df, _bounded_count(df, _SPREAD_CAP))
+    if collapse_exact_dups is None:
+        # ONE full-scan probe feeds all three gates (spread, collapse,
+        # verify-strategy): the collapse gate is a full
+        # map-side-combined aggregate anyway, so the exact row count
+        # rides along and the two separate bounded-count jobs this
+        # operator used to run are gone (guide §1.2)
+        n_docs, n_distinct = _probe_stats(df, text_col)
+        collapse_exact_dups = (
+            n_docs > 0 and (n_docs - n_distinct) / n_docs >= 0.15
+        )
+    else:
+        n_docs = _bounded_count(df, max(_SPREAD_CAP, 100_000))
+    df = _spread(df, n_docs)
+    small = n_docs <= 100_000
     # gram hashes via the Arrow batch kernel (bit-identical to the
     # engine's xxhash64 over space-joined grams; the interpreted-HOF
     # per-gram string build it replaces was the operator's hottest
     # stage — see _word_gram_hashes_udf)
     normed = df.select(F.col(id_col).alias("__id"), _norm(F.col(text_col)).alias("__norm"))
-    if collapse_exact_dups is None:
-        collapse_exact_dups = _dup_ratio_collapse_gate(df, text_col)
     members_map = None
     if collapse_exact_dups:
         group_cap = 2048 if (prefix_filter and 0.0 < threshold <= 1.0) else 1024
@@ -1564,6 +1610,15 @@ def ngram_jaccard_pairs(
     docs = normed.select(
         "__id", _word_gram_hashes_udf(n)(F.col("__norm")).alias("__grams")
     )
+    if small:
+        # single gram-kernel pass: the inverted index and BOTH broadcast
+        # verify sides read the checkpointed frame (the r11 plan ran the
+        # Arrow kernel three times — ReuseExchange cannot deduplicate
+        # PythonUDF subtrees). Bounded by the same <=100k-doc gate that
+        # authorizes the broadcast verify; above it the long-format
+        # verify keeps the two-pass lazy DAG (a corpus-scale checkpoint
+        # would blow the storage budget).
+        docs = docs.localCheckpoint(eager=False)
     # inverted index as bucket keys: every indexed gram is a bucket;
     # candidate generation (grouping, capping, pair expansion, dedup,
     # AQE-proof repartition) shared with the LSH family. Posting lists
@@ -1600,9 +1655,8 @@ def ngram_jaccard_pairs(
         "__id", F.lit(0).alias("band"), F.explode(index_grams).alias("bhash")
     )
     cand = pairs_from_bucket_keys(banded, bucket_cap=cap)
-    # size-gated exact verify shared with minhash_lsh_pairs
-    # (LIMIT-bounded gate: early-exits instead of counting the corpus)
-    small = df.select(F.lit(1)).limit(100_001).count() <= 100_000
+    # size-gated exact verify shared with minhash_lsh_pairs; `small`
+    # comes from the shared probe above (no extra count job)
     verified = _exact_jaccard_verify(
         cand, docs, "__grams", threshold, broadcast_verify=small
     )

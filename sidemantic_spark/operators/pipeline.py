@@ -366,7 +366,13 @@ def decontaminate(
     )
     return (
         train_grams.join(eval_grams, "__gram")
+        # plain count, not countDistinct: the gram kernel emits
+        # np.unique'd hashes per document and the eval side is DISTINCT,
+        # so (__id, __gram) rows are already unique after the join —
+        # countDistinct planned an extra (id, gram)-keyed exchange plus
+        # two hash-aggregate levels for a dedup that can never fire
+        # (r12: 4 exchanges -> 3 in the bench plan)
         .groupBy("__id")
-        .agg(F.countDistinct("__gram").alias("shared_grams"))
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
         .select(F.col("__id").alias(id_col), "shared_grams")
     )
