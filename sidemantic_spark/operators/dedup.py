@@ -1274,9 +1274,20 @@ def connected_components(
             edge_iter = zip(
                 probe.column(0).to_pylist(), probe.column(1).to_pylist()
             )
-            return sess.createDataFrame(
-                _union_find(edge_iter), f"doc_id {id_type}, cluster_id {id_type}"
+            labels = _union_find(edge_iter)
+            out = sess.createDataFrame(
+                labels, f"doc_id {id_type}, cluster_id {id_type}"
             )
+            # createDataFrame carries no size statistics, so a consumer
+            # joining against it (semantic_dedup's keep-flag join) gets
+            # a SortMergeJoin — two exchanges + sorts — for a frame
+            # whose exact row count is sitting right here on the
+            # driver. Hint broadcast when provably small (1M (long,
+            # long) rows ~ 16 MB); the distributed path below stays
+            # hint-free because its size is unknown.
+            if len(labels) <= 1_000_000:
+                out = F.broadcast(out)
+            return out
     # iteration shuffle width: localCheckpoint materializes the
     # NON-adaptive plan, so AQE never coalesces the per-round
     # join/groupBy exchanges — under a default 200-partition session

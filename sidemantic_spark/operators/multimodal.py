@@ -180,7 +180,13 @@ def decode_features(
                 }
             )
 
-    return df.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+    # mapInPandas is opaque to Catalyst's column pruning: without this
+    # projection every MEDIA_SCHEMA column (type/codec strings, the
+    # width/height/duration metadata) crosses the Arrow boundary into
+    # Python even though the kernel only reads (media_id, payload).
+    return df.select("media_id", "payload").mapInPandas(
+        decode_batches, schema=FEATURE_SCHEMA
+    )
 
 
 def resize_images(

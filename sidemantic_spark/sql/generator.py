@@ -1992,8 +1992,14 @@ class SqlGenerator:
         )
 
         proj = [f"{pk_concat} AS __pkc"]
+        # hash the pk in its native type: the CAST AS STRING this used
+        # to do materialized a string per joined row just to feed
+        # xxhash64 (which hashes any atomic type directly); the key
+        # cancels in SUM(DISTINCT __symkey + v) - SUM(DISTINCT
+        # __symkey), so the hash input representation never reaches the
+        # result (composite pks are already CONCAT_WS strings)
         proj.append(
-            "CAST(pmod(xxhash64(CAST(" + pk_concat + " AS STRING)), "
+            f"CAST(pmod(xxhash64({pk_concat}), "
             f"{self._SYM_HASH_MOD}) AS DECIMAL(38,6)) * {self._SYM_SHIFT} AS __symkey"
         )
         for rd in r.dims:
