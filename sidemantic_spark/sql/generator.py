@@ -1967,7 +1967,11 @@ class SqlGenerator:
         by 1e12 inside BIGINT (overflow risk, SURVEY.md §7 phase 2);
         here the key is bounded with pmod and lifted to DECIMAL(38,6)
         so ANSI mode cannot overflow. AVG uses the NULL-aware distinct
-        pk denominator; COUNT becomes COUNT(DISTINCT pk);
+        pk denominator; unfiltered COUNT becomes COUNT(DISTINCT
+        __symkey) so it shares one distinct-argument group (one Expand
+        projection) with the sums — the null-propagating key keeps
+        outer-join misses out of the count, and a key collision is the
+        same already-accepted event that corrupts the symmetric sums;
         min/max/count_distinct are fan-out-safe as-is."""
         if r.spec.ungrouped:
             raise QueryCompileError("ungrouped queries cannot be fan-out corrected")
@@ -1997,10 +2001,20 @@ class SqlGenerator:
         # xxhash64 (which hashes any atomic type directly); the key
         # cancels in SUM(DISTINCT __symkey + v) - SUM(DISTINCT
         # __symkey), so the hash input representation never reaches the
-        # result (composite pks are already CONCAT_WS strings)
+        # result (composite pks are already CONCAT_WS strings).
+        # NULL-PROPAGATING: an outer-join miss row (NULL pk) yields a
+        # NULL key instead of xxhash64's non-null empty-input hash, so
+        # COUNT(DISTINCT __symkey) below skips misses exactly like
+        # COUNT(DISTINCT __pkc) did, and the sum pair drops the miss
+        # sentinel from BOTH sums instead of cancelling it (same
+        # difference; the all-miss group is restored to the reference's
+        # 0 by the COALESCE on the sum form). Composite pks are
+        # CONCAT_WS strings, never NULL, so the CASE never fires there.
         proj.append(
+            f"CASE WHEN {pk_concat} IS NOT NULL THEN "
             f"CAST(pmod(xxhash64({pk_concat}), "
-            f"{self._SYM_HASH_MOD}) AS DECIMAL(38,6)) * {self._SYM_SHIFT} AS __symkey"
+            f"{self._SYM_HASH_MOD}) AS DECIMAL(38,6)) * {self._SYM_SHIFT} "
+            "END AS __symkey"
         )
         for rd in r.dims:
             proj.append(f"{rd.model}_cte.{rd.out} AS {rd.out}")
@@ -2044,7 +2058,15 @@ class SqlGenerator:
                         return f"COUNT(DISTINCT CASE WHEN {cond} THEN __pkc END)"
                 if metric.agg == "sum":
                     v = f"COALESCE(CAST({value} AS DECIMAL(38,6)), 0)"
-                    sql = f"SUM(DISTINCT __symkey + {v}) - SUM(DISTINCT __symkey)"
+                    # COALESCE restores the reference's 0 for a group
+                    # holding ONLY outer-join misses: with the
+                    # null-propagating __symkey both DISTINCT sums skip
+                    # miss rows (the reference's non-null miss sentinel
+                    # cancelled to 0 instead); every other group has a
+                    # non-null key, so the diff is non-null and the
+                    # COALESCE is a no-op
+                    sql = (f"COALESCE(SUM(DISTINCT __symkey + {v}) - "
+                           "SUM(DISTINCT __symkey), 0)")
                 elif metric.agg == "avg":
                     num = sym_agg(Metric(name=metric.name, agg="sum", sql=metric.sql,
                                          filters=metric.filters), depth + 1)
@@ -2052,7 +2074,19 @@ class SqlGenerator:
                     sql = f"CAST(({num}) AS DOUBLE) / NULLIF({den}, 0)"
                 elif metric.agg == "count":
                     if value is None:
-                        sql = "COUNT(DISTINCT __pkc)"
+                        # count distinct KEYS, not pks: SUM(DISTINCT
+                        # __symkey ...) and COUNT(DISTINCT __symkey)
+                        # share one distinct-argument set, so Spark's
+                        # RewriteDistinctAggregates plans 2 Expand
+                        # projections instead of 3 — a third of the
+                        # pre-shuffle row replication (measured sf0.1:
+                        # 2.49 s -> 1.72 s noop). A key collision
+                        # miscounting an entity is the SAME event that
+                        # already corrupts the symmetric sums (two pks
+                        # sharing a key merge in SUM(DISTINCT) too), so
+                        # this adds no new failure class; misses stay
+                        # excluded because __symkey null-propagates.
+                        sql = "COUNT(DISTINCT __symkey)"
                     else:
                         sql = f"COUNT(DISTINCT CASE WHEN {value} IS NOT NULL THEN __pkc END)"
                 elif metric.agg in ("min", "max", "count_distinct",

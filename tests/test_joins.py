@@ -288,6 +288,62 @@ def test_symmetric_aggregates_match_dedup_plan(layer, duck):
         assert abs(got[2] - exp[2]) < 1e-3
 
 
+def test_symmetric_aggregates_outer_join_misses(spark):
+    """Symmetric plan vs LEFT-join misses, pinning the r12 shared
+    distinct-group rewrite (COUNT(DISTINCT __symkey) riding the sums'
+    Expand projection, null-propagating key, COALESCE'd sum diff):
+    miss rows (fk with no matching pk) must stay OUT of the count, a
+    group holding ONLY misses must yield sum 0 / count 0 (reference
+    sentinel-cancellation semantics), and a mixed group must ignore its
+    miss rows."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
+
+    spark.createDataFrame(
+        [(1, "A", 10), (2, "A", 10), (3, "A", 11), (6, "A", 98),
+         (4, "B", 99), (5, "C", 77)],
+        "id long, flag string, order_id long",
+    ).createOrReplaceTempView("symm_items")
+    spark.createDataFrame(
+        [(10, 100), (11, 50)], "id long, amount long"
+    ).createOrReplaceTempView("symm_orders")
+    lay = SparkSemanticLayer(spark)
+    lay.add_model(Model(
+        name="sy_items", table="symm_items", primary_key="id",
+        dimensions=[Dimension(name="flag")],
+        relationships=[Relationship(
+            name="sy_ords", type="many_to_one", foreign_key="order_id")],
+    ))
+    lay.add_model(Model(
+        name="sy_ords", table="symm_orders", primary_key="id",
+        metrics=[
+            Metric(name="total", agg="sum", sql="amount"),
+            Metric(name="cnt", agg="count"),
+        ],
+    ))
+    lay.generator.fanout_strategy = "symmetric"
+    try:
+        sql = lay.compile(
+            metrics=["sy_ords.total", "sy_ords.cnt"],
+            dimensions=["sy_items.flag"],
+        )
+        assert "plan=grouped-symmetric" in sql
+        assert "COUNT(DISTINCT __symkey)" in sql
+        assert "COALESCE(SUM(DISTINCT __symkey" in sql
+        rows = {
+            r["flag"]: (int(r["total"]), r["cnt"])
+            for r in lay.query(
+                metrics=["sy_ords.total", "sy_ords.cnt"],
+                dimensions=["sy_items.flag"],
+            ).collect()
+        }
+    finally:
+        lay.generator.fanout_strategy = "auto"
+    # A: orders 10 (duplicated by items 1+2) and 11, one miss (98)
+    # B, C: only misses — the all-miss group is 0/0, not NULL
+    assert rows == {"A": (150, 2), "B": (0, 0), "C": (0, 0)}
+
+
 def test_m2m_through_junction(layer, duck):
     """many_to_many through a junction model: orders <-> part via
     lineitem (reference core/semantic_graph.py:364-410). Fan-out is
