@@ -771,3 +771,35 @@ def test_ngram_prefix_filter_plan_pin(spark):
     )
     assert gram_explodes(plan_on)
     assert not any("slice(__grams" in l for l in gram_explodes(plan_off))
+
+
+def test_bm25_inline_single_tokenize_checkpoint_pin(spark):
+    """r12: the inline BM25/TF-IDF paths checkpoint the tokenized frame
+    on small corpora so the corpus-stats aggregate and the scoring
+    probe share ONE tokenize pass (expression IDs defeat subtree reuse
+    otherwise). Pin that the small-corpus plan reads the checkpoint
+    (ExistingRDD) with zero duplicate tokenizer subtrees, and that the
+    materialized-stats path stays checkpoint-free (it reads the
+    tokenized frame once; a checkpoint would only add cost)."""
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators.search import bm25_topk, build_term_stats
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma doc "), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    plan = bm25_topk(docs, "alpha beta", k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan
+    # the tokenizer (split on the shared regex) must not appear at all:
+    # it ran once, inside the checkpoint job
+    assert "split(lower(" not in plan, plan
+    stats = build_term_stats(docs).localCheckpoint()
+    splan = bm25_topk(docs, "alpha beta", k=5, stats=stats) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # one tokenize subtree (the scoring scan) and no token checkpoint:
+    # the probe side itself must NOT be an ExistingRDD scan of tokens
+    assert splan.count("split(lower(") == 1, splan
