@@ -1331,10 +1331,16 @@ class SqlGenerator:
             sql += "\n    WHERE " + "\n      AND ".join(f"({w})" for w in where)
         return f"{model_name}_cte", sql
 
-    def _join_clause(self, r: Resolved) -> str:
-        """FROM base_cte [JOIN ...] (ref sql/generator.py:2922-2969)."""
+    def _join_clause(self, r: Resolved, skip_model: str | None = None) -> str:
+        """FROM base_cte [JOIN ...] (ref sql/generator.py:2922-2969).
+
+        ``skip_model`` omits that model's hop — used by the dedup plan's
+        pre-collapse, which joins the fact AFTER the DISTINCT instead.
+        """
         parts = [f"{r.base}_cte"]
         for hop in r.hops:
+            if hop.to_model == skip_model:
+                continue
             join_type = "LEFT"
             if r.pushdown.get(hop.to_model):
                 join_type = "INNER"  # filtered model -> INNER (ref :2549)
@@ -1858,9 +1864,6 @@ class SqlGenerator:
         # wide decimal columns out of the row-count-sized dedup exchange;
         # the reference dedups the full joined row instead
         # (ref sql/generator.py:3056-3390 fan-out hierarchy).
-        proj = [f"{fact}_cte.{c} AS {c}" for c in pk_cols]
-        for rd in r.dims:
-            proj.append(f"{rd.model}_cte.{rd.out} AS {rd.out}")
         wide = []  # re-attached from the fact CTE after the DISTINCT
         wide_seen: set[str] = set()
         for comp_out, comp in r.component_metrics.get(fact, []):
@@ -1897,21 +1900,92 @@ class SqlGenerator:
                                 "under fan-out dedup"
                             )
 
+        # Pre-collapse (guide §2.3 "aggregate before you shuffle" /
+        # §2.4): when the fact is LEFT-joined purely for its pk and
+        # measures — joined on its FULL pk, contributing no dims, no
+        # outer-filter columns, and nothing joins through it — the
+        # DISTINCT can run on the base side's (fk, dims) BEFORE the fact
+        # join.  The pk join is then 1:1-or-0, so distinct (fk, dims)
+        # maps bijectively onto matched distinct (pk, dims); the only
+        # divergence is that unmatched keys stay one row EACH instead of
+        # collapsing to a single NULL-pk row per dim group — invisible
+        # to the NULL-ignoring aggregates this plan emits (count uses
+        # CASE WHEN pk IS NOT NULL; every other agg reads fact-side
+        # columns that are NULL on a miss).  Gated off for complete-SQL
+        # measures (COUNT(*) over __dedup would see the multiplicity)
+        # and metric filters (an IS NULL condition could match miss
+        # rows), and for INNER fact joins (the filtered fact prunes the
+        # dedup input pre-DISTINCT, which is the better shape).  Wins:
+        # the fact joins ONCE (pk+measures attach together after the
+        # DISTINCT, on collapsed rows) instead of twice around it.
+        fact_hops = [h for h in r.hops if h.to_model == fact]
+        has_complete = any(
+            comp.sql_is_complete
+            for rm in r.metrics
+            for _o, comp in self._expand_components(rm)
+        )
+        known_models = set(self.graph.models)
+        outer_refs_fact = any(
+            m == fact
+            for f in r.outer_filters
+            for m, _fld, _g in find_refs(f, known_models)
+        )
+        pre_collapse = (
+            fact != r.base
+            and len(fact_hops) == 1
+            and fact_hops[0].custom_sql is None
+            and fact_hops[0].rel_type != "cross"
+            and list(fact_hops[0].pk_side) == fact_model.pk_list()
+            and not any(h.from_model == fact for h in r.hops)
+            and all(rd.model != fact for rd in r.dims)
+            and not outer_refs_fact
+            and not r.pushdown.get(fact)
+            and fact not in r.spec.inner_models
+            and not filter_cols
+            and not has_complete
+        )
+
+        if pre_collapse:
+            hop = fact_hops[0]
+            proj = [
+                f"{hop.from_model}_cte.{a} AS __jk{i}"
+                for i, a in enumerate(hop.fk_side)
+            ]
+        else:
+            proj = [f"{fact}_cte.{c} AS {c}" for c in pk_cols]
+        for rd in r.dims:
+            proj.append(f"{rd.model}_cte.{rd.out} AS {rd.out}")
+
         joined = "SELECT\n        " + ",\n        ".join(dict.fromkeys(proj))
-        joined += "\n    FROM " + self._join_clause(r)
+        joined += "\n    FROM " + self._join_clause(
+            r, skip_model=fact if pre_collapse else None
+        )
         where = [self._rewrite_outer_filter(f) for f in r.outer_filters]
         if where:
             joined += "\n    WHERE " + "\n      AND ".join(f"({w})" for w in where)
 
-        dedup = "SELECT DISTINCT * FROM __joined"
-        if wide:
-            on = " AND ".join(f"__p.{c} = __f.{c}" for c in pk_cols)
+        if pre_collapse:
+            on = " AND ".join(
+                f"__p.__jk{i} = __f.{c}" for i, c in enumerate(pk_cols)
+            )
+            sel = [f"__f.{c} AS {c}" for c in pk_cols]
+            sel += [f"__p.{rd.out} AS {rd.out}" for rd in r.dims]
+            sel += wide
             dedup = (
-                "SELECT __p.*,\n        "
-                + ",\n        ".join(wide)
+                "SELECT " + ",\n        ".join(dict.fromkeys(sel))
                 + "\n    FROM (SELECT DISTINCT * FROM __joined) __p"
                 + f"\n    LEFT JOIN {fact}_cte __f ON {on}"
             )
+        else:
+            dedup = "SELECT DISTINCT * FROM __joined"
+            if wide:
+                on = " AND ".join(f"__p.{c} = __f.{c}" for c in pk_cols)
+                dedup = (
+                    "SELECT __p.*,\n        "
+                    + ",\n        ".join(wide)
+                    + "\n    FROM (SELECT DISTINCT * FROM __joined) __p"
+                    + f"\n    LEFT JOIN {fact}_cte __f ON {on}"
+                )
 
         # count-without-sql counts fact rows; outer-join misses leave the
         # fact pk NULL and must count as zero

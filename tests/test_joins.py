@@ -344,6 +344,78 @@ def test_symmetric_aggregates_outer_join_misses(spark):
     assert rows == {"A": (150, 2), "B": (0, 0), "C": (0, 0)}
 
 
+def test_dedup_pre_collapse_outer_join_misses(spark):
+    """r12: the dedup plan pre-collapses DISTINCT (fk, dims) BEFORE the
+    fact join when the fact is LEFT-joined on its full pk purely for
+    measures. Pin the shape (no fact join inside __joined, __jk keys,
+    single post-dedup fact join) and the miss semantics the old shape
+    had: miss rows stay out of the count, contribute NULL to sums (an
+    all-miss group is NULL/0), and a mixed group ignores its misses —
+    even though misses no longer collapse to one NULL-pk row."""
+    from sidemantic_spark.core.layer import SparkSemanticLayer
+    from sidemantic_spark.core.model import Dimension, Metric, Model, Relationship
+
+    spark.createDataFrame(
+        [(1, "A", 10), (2, "A", 10), (3, "A", 11), (6, "A", 98),
+         (4, "B", 99), (5, "B", 98), (7, "C", 77)],
+        "id long, flag string, order_id long",
+    ).createOrReplaceTempView("dpc_items")
+    spark.createDataFrame(
+        [(10, 100), (11, 50)], "id long, amount long"
+    ).createOrReplaceTempView("dpc_orders")
+    lay = SparkSemanticLayer(spark)
+    lay.add_model(Model(
+        name="dp_items", table="dpc_items", primary_key="id",
+        dimensions=[Dimension(name="flag")],
+        relationships=[Relationship(
+            name="dp_ords", type="many_to_one", foreign_key="order_id")],
+    ))
+    lay.add_model(Model(
+        name="dp_ords", table="dpc_orders", primary_key="id",
+        dimensions=[Dimension(name="amount")],
+        metrics=[
+            Metric(name="total", agg="sum", sql="amount"),
+            Metric(name="cnt", agg="count"),
+        ],
+    ))
+    sql = lay.compile(
+        metrics=["dp_ords.total", "dp_ords.cnt"],
+        dimensions=["dp_items.flag"],
+    )
+    assert "plan=grouped-dedup" in sql
+    # pre-collapse shape: __joined scans the base alone (fk + dims, no
+    # fact join), the fact attaches ONCE after the DISTINCT
+    assert "__jk0" in sql
+    assert sql.count("JOIN dp_ords_cte") == 1
+    assert "LEFT JOIN dp_ords_cte __f ON __p.__jk0 = __f.__pk0" in sql
+    rows = {
+        r["flag"]: (None if r["total"] is None else int(r["total"]), r["cnt"])
+        for r in lay.query(
+            metrics=["dp_ords.total", "dp_ords.cnt"],
+            dimensions=["dp_items.flag"],
+        ).collect()
+    }
+    # A: orders 10 (duplicated by items 1+2) and 11, one miss (98)
+    # B: two misses with DIFFERENT fks (99, 98) — must still count 0
+    # C: one miss — all-miss group keeps the old shape's NULL sum
+    assert rows == {"A": (150, 2), "B": (None, 0), "C": (None, 0)}
+
+    # gates: a dim on the fact keeps the classic post-join dedup shape
+    sql2 = lay.compile(
+        metrics=["dp_ords.total"],
+        dimensions=["dp_items.flag", "dp_ords.amount"],
+    )
+    assert "plan=grouped-dedup" in sql2 and "__jk0" not in sql2
+    # gates: a pushed-down filter on the fact (INNER join prunes the
+    # dedup input pre-DISTINCT) keeps the classic shape too
+    sql3 = lay.compile(
+        metrics=["dp_ords.total"],
+        dimensions=["dp_items.flag"],
+        filters=["dp_ords.amount > 60"],
+    )
+    assert "__jk0" not in sql3
+
+
 def test_m2m_through_junction(layer, duck):
     """many_to_many through a junction model: orders <-> part via
     lineitem (reference core/semantic_graph.py:364-410). Fan-out is
