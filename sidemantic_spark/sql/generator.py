@@ -157,6 +157,11 @@ class SqlGenerator:
         # the semi-additive rewrite and aggregate naively over every
         # snapshot — over-counts by construction, caller opts in
         self.allow_non_additive_unsafe = False
+        # multi-fact combine for all-conformed dims: UNION ALL + one
+        # re-aggregation (default) vs the null-safe FULL OUTER chain —
+        # equivalent results, fewer exchanges; the flag keeps the join
+        # shape reachable (A/B measurement, fallback)
+        self.multifact_union_combine = True
 
     # ------------------------------------------------------------------
     # public entry
@@ -207,6 +212,7 @@ class SqlGenerator:
             self.preagg_strict,
             self.fanout_strategy,
             self.allow_non_additive_unsafe,
+            self.multifact_union_combine,
             # the auto-include visibility check runs inside _generate, so
             # a cache hit from an enforcement-off compile must not serve
             # an enforcement-on call
@@ -2382,6 +2388,72 @@ class SqlGenerator:
 
         dim_outs = [rd.out for rd in r.dims]
         with_totals = r.spec.with_totals and bool(dim_outs)
+        keys = dim_outs + (["_is_total"] if with_totals else [])
+        if self.multifact_union_combine and all(
+            o in shared_outs for o in dim_outs
+        ):
+            # Every dim is conformed onto every fact, so each fact
+            # subquery emits at most ONE row per (dims, _is_total) key.
+            # The null-safe FULL OUTER chain is then equivalent to a
+            # UNION ALL + one re-aggregation: a key present in any fact
+            # appears once (GROUP BY treats NULLs as equal exactly like
+            # <=>), and MAX picks each metric's single non-NULL branch
+            # value (or NULL when its fact lacks the key — the outer
+            # join's miss row). Physically this replaces one exchange +
+            # sort per fact plus the SortMergeJoin with a single
+            # hash-aggregate exchange over already-grouped-size rows.
+            branches = []
+            for (name, _), fm in zip(fact_sqls, metric_models):
+                cols = list(keys)
+                for rm in r.metrics:
+                    cols.append(
+                        rm.out if rm.model == fm else f"NULL AS {rm.out}"
+                    )
+                branches.append(f"SELECT {', '.join(cols)} FROM {name}")
+            select = keys + [f"MAX({rm.out}) AS {rm.out}" for rm in r.metrics]
+            sql = "SELECT\n    " + ",\n    ".join(select)
+            sql += "\nFROM (\n" + "\nUNION ALL\n".join(branches) + "\n)"
+            if keys:
+                sql += "\nGROUP BY " + ", ".join(keys)
+        else:
+            sql = self._multifact_outer_join_sql(
+                r, fact_sqls, metric_models, fact_covers, dim_outs,
+                shared_outs, with_totals,
+            )
+        if r.having:
+            havings = []
+            for h in r.having:
+                havings.append(
+                    replace_refs(
+                        h,
+                        known,
+                        lambda m, fld, g: next(
+                            (rm.out for rm in r.metrics if rm.model == m and rm.metric.name == fld),
+                            f"{m}.{fld}",
+                        ),
+                    )
+                )
+            sql = f"SELECT * FROM (\n{sql}\n)\nWHERE " + " AND ".join(f"({h})" for h in havings)
+        sql += self._order_limit(r)
+        ctes = [(n, s) for n, s in fact_sqls]
+        header = self._instrumentation(r, "multifact")
+        with_clause = ",\n".join(f"{n} AS (\n{s}\n)" for n, s in ctes)
+        return f"{header}\nWITH {with_clause}\n{sql}"
+
+    def _multifact_outer_join_sql(
+        self,
+        r: Resolved,
+        fact_sqls: list[tuple[str, str]],
+        metric_models: list[str],
+        fact_covers: dict[str, set[str]],
+        dim_outs: list[str],
+        shared_outs: set[str],
+        with_totals: bool,
+    ) -> str:
+        """Null-safe FULL OUTER chain across the fact subqueries — the
+        shape for fact-PRIVATE dims, where the other facts' rows must
+        REPLICATE across the private dim's values (a union +
+        re-aggregate would instead park them in one NULL group)."""
         join_outs = [o for o in dim_outs if o in shared_outs] + (
             ["_is_total"] if with_totals else []
         )
@@ -2423,25 +2495,7 @@ class SqlGenerator:
                 sql += f"\nFULL OUTER JOIN {name} ON {' AND '.join(conds)}"
             else:
                 sql += f"\nCROSS JOIN {name}"
-        if r.having:
-            havings = []
-            for h in r.having:
-                havings.append(
-                    replace_refs(
-                        h,
-                        known,
-                        lambda m, fld, g: next(
-                            (rm.out for rm in r.metrics if rm.model == m and rm.metric.name == fld),
-                            f"{m}.{fld}",
-                        ),
-                    )
-                )
-            sql = f"SELECT * FROM (\n{sql}\n)\nWHERE " + " AND ".join(f"({h})" for h in havings)
-        sql += self._order_limit(r)
-        ctes = [(n, s) for n, s in fact_sqls]
-        header = self._instrumentation(r, "multifact")
-        with_clause = ",\n".join(f"{n} AS (\n{s}\n)" for n, s in ctes)
-        return f"{header}\nWITH {with_clause}\n{sql}"
+        return sql
 
     def _reachable_from(self, model_name: str) -> set[str]:
         adj = self.graph.adjacency()

@@ -719,8 +719,12 @@ def test_conformed_dimension_multifact(spark):
     ))
     sql = layer.compile(metrics=["cfd_o.revenue", "cfd_li.total_qty"],
                         dimensions=["cfd_o.customer_id"])
-    assert "FULL OUTER JOIN" in sql.upper()
-    assert "<=>" in sql  # null-safe, not COALESCE-equality
+    # all dims conformed -> the combine is UNION ALL + one
+    # re-aggregation (GROUP BY is null-safe exactly like the former
+    # <=> FULL OUTER join, one hash exchange instead of two + sorts);
+    # the NULL-dimension result row below pins the null-safety
+    assert "UNION ALL" in sql.upper()
+    assert "GROUP BY" in sql.upper()
     rows = sorted(
         [tuple(r) for r in layer.query(
             metrics=["cfd_o.revenue", "cfd_li.total_qty"],
