@@ -3129,6 +3129,15 @@ FROM __step_1
             )
             cohort_where = f"({cohort_where}) AND {mf}"
             activity_where = f"({activity_where}) AND {mf}"
+        # NOTE (r12 optimization study, rejected): a single-scan shape —
+        # one pass over the CTE with the cohort attached by a MIN window
+        # over the entity partition, both dedups riding that
+        # partitioning — was built, proven row-identical, and measured
+        # head-to-head (scripts history / OPTIMIZATION_r12.md): dead
+        # even at 32 AND 8 cores (the window sort costs what the second
+        # scan saves), and at scale it trades one scan for shuffling
+        # every event row un-deduped (the two-scan shape's aggregates
+        # partially dedup map-side). Kept the two-scan join shape.
         period_expr = _period_diff(grain, "c.cohort_date", "a.__period")
 
         sql = f"""{self._instrumentation(r, 'retention')}
