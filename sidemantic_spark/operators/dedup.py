@@ -489,13 +489,19 @@ def source_overlap_matrix(
     (prefix/boilerplate dedup: near-identical pages differing in a
     footer still collide); None fingerprints the whole document.
 
-    Plan shape: reduce to DISTINCT (fingerprint, source) first (one
-    combiner-friendly shuffle at corpus cardinality), then self-join on
-    the fingerprint. Per-fingerprint group size is bounded by the
-    number of SOURCES (tens, not rows), so the join output per key is
-    at most |sources|^2 — no quadratic blowup regardless of how many
-    documents share a fingerprint. At 100 TB only (16-byte fp, source)
-    pairs ride the shuffles; the documents never move.
+    Plan shape: ONE pass — collect the per-fingerprint source SET (the
+    map-side-combined aggregate dedups (fp, source) exactly like the
+    former DISTINCT), then expand ordered pairs from the sorted set
+    inline. The set is bounded by the number of SOURCES (tens, not
+    rows), so per-fp pair expansion is at most |sources|^2 — no
+    quadratic blowup regardless of how many documents share a
+    fingerprint — and the only shuffles are the fp aggregation and the
+    tiny pair-count aggregation. The earlier self-join shape computed
+    the fingerprint scan + DISTINCT subtree TWICE (one per join side —
+    expression ids defeat exchange reuse) and shuffled the joined pair
+    rows besides; NULL fingerprints are filtered explicitly where the
+    equi-join used to drop them. At 100 TB only (16-byte fp, source)
+    rows ride the shuffle; the documents never move.
     """
     from sidemantic_spark.operators.text import fingerprint
 
@@ -508,15 +514,30 @@ def source_overlap_matrix(
         )
     else:
         fp = fingerprint(F.col(text_col))
-    fps = df.select(
-        fp.alias("__fp"),
-        F.col(group_col).alias("__src"),
-    ).distinct()
-    a = fps.select(F.col("__fp"), F.col("__src").alias("source_a"))
-    b = fps.select(F.col("__fp"), F.col("__src").alias("source_b"))
+    sets = (
+        df.select(fp.alias("__fp"), F.col(group_col).alias("__src"))
+        .where(F.col("__fp").isNotNull())
+        .groupBy("__fp")
+        .agg(F.sort_array(F.collect_set("__src")).alias("__srcs"))
+    )
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("__srcs"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("__srcs"), i + F.lit(2), F.size(F.col("__srcs"))
+                    ),
+                    lambda y: F.struct(
+                        x.alias("source_a"), y.alias("source_b")
+                    ),
+                ),
+            )
+        )
+    )
     return (
-        a.join(b, "__fp")
-        .where(F.col("source_a") < F.col("source_b"))
+        sets.select(pairs.alias("__p"))
+        .select("__p.source_a", "__p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared_fingerprints"))
     )
