@@ -446,20 +446,31 @@ def _sig_and_shingles_udf(num_hashes: int = 64, k: int = 5, pack_sh: bool = Fals
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id row per identical (normalized) content.
 
-    One shuffle on the md5 fingerprint; survivors computed with a
-    min-over-window which Catalyst executes as partial + final
-    aggregate (no row explosion).
+    ONE pass: rows shuffle once on the md5 fingerprint and the survivor
+    test is a min-id window over that partition. The former shape — a
+    groupBy(min id) branch left-semi-joined back — read the input twice
+    and, at corpus scale, the keep-set (~one id per distinct content)
+    is far too big to broadcast, so the join degraded to a second
+    full-row shuffle by id plus sorts; the window spends one full-row
+    exchange either way and drops the extra scan and join entirely
+    (guide §2.4).
     """
+    from pyspark.sql import Window
+
     from sidemantic_spark.operators.text import fingerprint
 
     fp = fingerprint(F.col(text_col)).alias("__fp")
     keyed = df.select("*", fp)
-    keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
-    # shuffle join by default: `keep` has one id per distinct content,
-    # which is corpus-sized on a low-duplication corpus, so a static
-    # broadcast hint would be a scale hazard; AQE converts to broadcast
-    # at runtime when the aggregated side turns out tiny
-    return df.join(keep, id_col, "left_semi")
+    # NULL-id rows drop either way: MIN ignores NULLs, NULL == min is
+    # NULL, and the former join-on-id never matched a NULL id
+    return (
+        keyed.withColumn(
+            "__keep",
+            F.min(id_col).over(Window.partitionBy("__fp")) == F.col(id_col),
+        )
+        .where("__keep")
+        .drop("__fp", "__keep")
+    )
 
 
 def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
