@@ -1540,6 +1540,12 @@ def simhash_near_dups(
         .select("__id", token_hashes.alias("__th"))
         .select("__id", _simhash_sig_udf()(F.col("__th")).alias("__sig"))
     )
+    # the sig frame feeds BOTH the banding explode and the verify join;
+    # a PythonUDF subtree defeats exchange reuse (expression ids), so
+    # without this the Arrow kernel runs twice. Lazy localCheckpoint =
+    # one kernel pass (same fix as minhash/ngram); 16 bytes/row, so the
+    # checkpoint stays cheap at corpus scale.
+    sig = sig.localCheckpoint(eager=False)
     banded = sig.select(
         "__id",
         F.explode(
