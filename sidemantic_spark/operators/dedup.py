@@ -799,8 +799,23 @@ def pairs_from_bucket_keys(
 
     Shared by MinHash (Jaccard) and hyperplane (cosine) LSH.
     """
-    buckets = banded.groupBy("band", "bhash").agg(
-        F.slice(F.array_sort(F.collect_list("__id")), 1, bucket_cap).alias("__ids")
+    from pyspark.sql import Window
+
+    # cap BEFORE collecting: rank<=k rewrites to a map-side
+    # WindowGroupLimit (same shape as the bucket-local verify), so a
+    # degenerate bucket ships at most bucket_cap rows per map partition
+    # and the collect_list buffer is bounded — the former
+    # collect-everything-then-slice accumulated the WHOLE bucket in one
+    # aggregation buffer first. row_number ordered by __id keeps the
+    # same id-sorted first-cap member set; the aggregation reuses the
+    # window's (band, bhash) partitioning, so the exchange count is
+    # unchanged.
+    w = Window.partitionBy("band", "bhash").orderBy("__id")
+    capped = banded.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= bucket_cap
+    )
+    buckets = capped.groupBy("band", "bhash").agg(
+        F.array_sort(F.collect_list("__id")).alias("__ids")
     )
     return (
         buckets.where(F.size("__ids") > 1)

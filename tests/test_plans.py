@@ -396,6 +396,20 @@ def test_source_overlap_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_bucket_pair_cap_is_map_side_window_group_limit(spark, sf_dir):
+    """pairs_from_bucket_keys caps buckets BEFORE collecting: the
+    rank<=cap filter must compile to the Partial+Final WindowGroupLimit
+    pair (bounded aggregation state; a degenerate bucket ships at most
+    bucket_cap rows per map partition), not a collect-everything-then-
+    slice whose buffer grows with the hottest bucket."""
+    from sidemantic_spark.models.tpch import register_tables
+    from sidemantic_spark.operators.dedup import simhash_near_dups
+
+    register_tables(spark, sf_dir)
+    plan = _plan(simhash_near_dups(spark.table("documents")))
+    assert plan.count("WindowGroupLimit") >= 2  # Partial (map-side) + Final
+
+
 def test_ungrouped_preagg_route_plan_is_scan_filter_limit(spark, sf_dir, tmp_path):
     """Drill-to-detail from a PK-carrying rollup compiles to a rollup
     scan + filter + TakeOrdered — no aggregation, no join, and the only
