@@ -475,6 +475,17 @@ def embedding_near_dup_pairs(
     Candidate generation shares :func:`pairs_from_bucket_keys` with
     MinHash — one shuffle on (band, bucket), capped in-bucket pair
     expansion, verify at full parallelism.
+
+    NOTE (r12 study, do not re-spend): a minhash-style BUCKET-LOCAL
+    verify (vectors riding the banding shuffle, in-bucket JVM-cosine
+    pair expansion, 2-3 exchanges fewer) was built, proven
+    row-identical, and measured >2.5x SLOWER (best 5.6 s vs 2.0 s
+    interleaved noop at sf0.1) — the interpreted nested-transform pair
+    expansion re-materializes both full 64-double arrays per candidate
+    pair, which dwarfs the join it removes; an Arrow-kernel expansion
+    would change the cosine summation order vs the JVM fold the SQL
+    oracle replicates (ROUND(x,6) knife-edge risk). See
+    scripts/proto_emb_bucketlocal.py and OPTIMIZATION_r12.md §17.
     """
     from sidemantic_spark.operators.dedup import pairs_from_bucket_keys
 
