@@ -245,7 +245,10 @@ def profile_minhash(spark, sf_dir: str) -> dict:
 
     n_docs = dd._bounded_count(df, max(dd._SPREAD_CAP, 100_000))
     rec["n_docs_probe"] = n_docs
-    rec["verify_path"] = "broadcast" if n_docs <= 100_000 else "bucket-local"
+    # auto resolves to bucket-local at EVERY size since ea1d538 (the
+    # broadcast verify is explicit-opt-in only); the label is kept for
+    # record continuity
+    rec["verify_path"] = "bucket-local"
     d = dd._spread(df, n_docs)
     feat = d.select(
         F.col("doc_id").alias("__id"), dd._norm(F.col("text")).alias("__norm")
@@ -510,11 +513,12 @@ def main() -> None:
             "sf10": profile_minhash(spark, sf10),
         }
         print(f"# minhash profile: {minhash_profiles}", file=sys.stderr)
-        # like-for-like decade (r12): the auto verify gate switches
-        # paths at 100k docs (sf1 broadcast, sf10 bucket-local), so the
-        # raw decade2 ratio conflates a PATH SWITCH with scaling. Force
-        # bucket-local at sf1 (same query params as the entry) for a
-        # same-path sf1->sf10 ratio.
+        # like-for-like decade: originally this forced bucket-local at
+        # sf1 because the auto gate used to switch paths at 100k docs.
+        # Since ea1d538 auto IS bucket-local at every size, so this row
+        # now re-samples the same code path — kept as a second sf1
+        # sample for record continuity (the spread between it and the
+        # main sf1 row is a useful box-noise read).
         from sidemantic_spark.models.tpch import register_tables
         from sidemantic_spark.operators.dedup import minhash_lsh_pairs
 
