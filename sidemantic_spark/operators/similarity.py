@@ -159,6 +159,16 @@ def _hyperplane_band_buckets_udf(planes: list[list[float]], bands: int, bits_per
     oracles. Replaces ``bands * bits_per_band`` interpreted
     ``aggregate(zip_with(...))`` trees per row (the near-dup family's
     hottest stage; measured ~4x faster end-to-end).
+
+    Returned ``asNondeterministic()`` (it IS deterministic — this is
+    the guide §4.4 optimizer fence): the consumer explodes the result,
+    and the optimizer pushes the generate's implicit
+    ``size(...) > 0 AND isnotnull(...)`` filter BELOW the projection,
+    planning a second ArrowEvalPython of the same kernel — every
+    embedding row paid the hyperplane matmul twice (r12 plan diff:
+    2 ArrowEvalPython -> 1). Nothing legitimate is lost: the kernel
+    sits directly on the scan, so there are no other filters to push
+    past it.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -182,7 +192,7 @@ def _hyperplane_band_buckets_udf(planes: list[list[float]], bands: int, bits_per
             out[:, j] = bits[:, j * bits_per_band:(j + 1) * bits_per_band] @ weights
         return pd.Series(list(out))
 
-    return buckets
+    return buckets.asNondeterministic()
 
 
 def _det_planes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
@@ -461,6 +471,8 @@ def embedding_near_dup_pairs(
     bits_per_band: int = 4,
     min_cosine: float = 0.95,
     dim: int = 64,
+    broadcast_verify: bool | None = None,
+    broadcast_vec_cap: int = 100_000,
 ) -> DataFrame:
     """Corpus-wide near-duplicate pairs by cosine: banded
     random-hyperplane LSH candidates, exact-cosine verified.
@@ -476,6 +488,19 @@ def embedding_near_dup_pairs(
     MinHash — one shuffle on (band, bucket), capped in-bucket pair
     expansion, verify at full parallelism.
 
+    ``broadcast_verify`` picks the verify strategy (same pattern as the
+    minhash/ngram family): None (auto) resolves by a bounded-count
+    probe — at most ``broadcast_vec_cap`` vectors (100k x 64 doubles
+    ~ 51 MB per side, the dedup family's broadcast budget) attaches
+    both vectors with two MAP-ONLY broadcast joins (r12: interleaved
+    noop best 0.99 vs 1.17 s, the verify's explode + id-join +
+    pair-groupBy exchanges drop out of the plan); above the cap the
+    long-format verify stays — one vector scan, no broadcast
+    assumption, the only 100 TB-safe shape. Both paths compute the
+    identical JVM `cosine` fold on the identical double arrays, so
+    results are bit-identical (equivalence pinned in tests and proven
+    row-identical in scripts/proto_emb_broadcast.py).
+
     NOTE (r12 study, do not re-spend): a minhash-style BUCKET-LOCAL
     verify (vectors riding the banding shuffle, in-bucket JVM-cosine
     pair expansion, 2-3 exchanges fewer) was built, proven
@@ -487,7 +512,10 @@ def embedding_near_dup_pairs(
     oracle replicates (ROUND(x,6) knife-edge risk). See
     scripts/proto_emb_bucketlocal.py and OPTIMIZATION_r12.md §17.
     """
-    from sidemantic_spark.operators.dedup import pairs_from_bucket_keys
+    from sidemantic_spark.operators.dedup import (
+        _bounded_count,
+        pairs_from_bucket_keys,
+    )
 
     planes = _det_planes(dim, bands * bits_per_band)
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -505,20 +533,41 @@ def embedding_near_dup_pairs(
     )
     cand = pairs_from_bucket_keys(banded)
 
-    # long-format verify (one scan of the embedding column, no
-    # broadcast assumption — see minhash_lsh_pairs)
     vecs = df.select(F.col(id_col).alias("__id"), emb.alias("__emb"))
-    long = cand.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
-    )
-    both = (
-        long.join(vecs, "__id")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.max(F.when(F.col("__id") == F.col("id_a"), F.col("__emb"))).alias("va"),
-            F.max(F.when(F.col("__id") == F.col("id_b"), F.col("__emb"))).alias("vb"),
+    if broadcast_verify is None:
+        # CollectLimit-bounded probe: O(cap) rows even on a 100 TB input
+        broadcast_verify = (
+            _bounded_count(df, broadcast_vec_cap) <= broadcast_vec_cap
         )
-    )
+    if broadcast_verify:
+        # small-corpus path: both vector sides broadcast, the verify is
+        # two MAP-ONLY joins — the long-format explode + id-join +
+        # pair-groupBy exchanges drop out of the plan entirely
+        both = cand.join(
+            F.broadcast(
+                vecs.select(F.col("__id").alias("id_a"), F.col("__emb").alias("va"))
+            ),
+            "id_a",
+        ).join(
+            F.broadcast(
+                vecs.select(F.col("__id").alias("id_b"), F.col("__emb").alias("vb"))
+            ),
+            "id_b",
+        )
+    else:
+        # long-format verify (one scan of the embedding column, no
+        # broadcast assumption — see minhash_lsh_pairs)
+        long = cand.select(
+            "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
+        )
+        both = (
+            long.join(vecs, "__id")
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.max(F.when(F.col("__id") == F.col("id_a"), F.col("__emb"))).alias("va"),
+                F.max(F.when(F.col("__id") == F.col("id_b"), F.col("__emb"))).alias("vb"),
+            )
+        )
     return (
         both.select(
             "id_a",

@@ -746,6 +746,57 @@ def test_minhash_bucket_local_verify_plan_and_adversarial_parity(spark):
     assert a == b and len(a) == 320 * 319 // 2
 
 
+def test_embedding_verify_broadcast_gate_plan_and_parity(spark):
+    """r12: embedding_near_dup_pairs' auto verify broadcasts both
+    vector sides when the corpus fits the dedup family's broadcast
+    budget (two MAP-ONLY joins — the long-format explode + id-join +
+    pair-groupBy exchanges leave the plan); above the cap (or forced)
+    the long-format verify stays. Both paths run the identical JVM
+    cosine fold on the identical arrays, so rows are bit-identical."""
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.operators.similarity import embedding_near_dup_pairs
+
+    vecs = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            # 3 base directions + a tiny id-dependent wobble: plenty of
+            # near-dup pairs at 0.9 without being one giant clique
+            lambda i: (
+                F.cos((F.col("id") % 3).cast("double"))
+                + i.cast("double") / F.lit(64.0)
+                + (F.col("id") % 7).cast("double") / F.lit(300.0)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    kw = dict(min_cosine=0.9, bands=4, bits_per_band=4, dim=64)
+    bplan = (
+        embedding_near_dup_pairs(vecs, broadcast_verify=True, **kw)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # verify = two broadcast joins; no sort-merge/shuffled-hash join
+    # and no pair-grain groupBy re-assembly anywhere in the plan
+    assert bplan.count("BroadcastHashJoin") == 2, bplan
+    assert "SortMergeJoin" not in bplan and "ShuffledHashJoin" not in bplan
+    lplan = (
+        embedding_near_dup_pairs(vecs, broadcast_verify=False, **kw)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the long path re-assembles pairs with a groupBy — its signature
+    # is the explode of the two pair sides feeding an id-keyed join
+    # (join strategy itself is AQE's pick at this size)
+    assert "Generate explode" in lplan, lplan
+    a = sorted(map(tuple, embedding_near_dup_pairs(
+        vecs, broadcast_verify=True, **kw).collect()))
+    b = sorted(map(tuple, embedding_near_dup_pairs(
+        vecs, broadcast_verify=False, **kw).collect()))
+    assert a == b and len(a) > 0
+    # auto (None) resolves to broadcast under the cap: same rows again
+    c = sorted(map(tuple, embedding_near_dup_pairs(vecs, **kw).collect()))
+    assert c == a
+
+
 def test_ngram_prefix_filter_plan_pin(spark):
     """Round-11 scale fix (VERDICT r10 ask #1): the ngram inverted
     index must explode only the PREFIX slice of each doc's sorted gram
