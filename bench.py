@@ -221,13 +221,100 @@ def main() -> None:
         "tiny_scan_sec": round(_cal(lambda: spark.table("region").count()), 4),
     }
 
+    # Per-tier calibration probes (r12 VERDICT ask #2, additions only):
+    # the start/end sentinels cannot see a contention burst that begins
+    # and ends MID-run (r12: an entire extras tier sat in a stall phase
+    # while both sentinels read clean). Re-measure the same calibration
+    # pair at each tier boundary so a degraded phase is bracketed to the
+    # tier it polluted instead of silently passing the whole record.
+    calibration_probes: dict[str, dict[str, float]] = {"run_start": calibration}
+
+    def _cal_probe(label: str) -> None:
+        calibration_probes[label] = {
+            "noop_sql_sec": round(
+                _cal(lambda: spark.sql("SELECT 1").collect()), 4
+            ),
+            "tiny_scan_sec": round(
+                _cal(lambda: spark.table("region").count()), 4
+            ),
+        }
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         best = time_query(name)
         per_query[name] = round(best, 4)
         total += best
-    extra_queries = {name: round(time_query(name), 4) for name in EXTRA}
+    _cal_probe("post_headline")
+    extra_queries: dict[str, float] = {}
+    for name in EXTRA:
+        extra_queries[name] = round(time_query(name), 4)
+        if name == "sim_semantic_dedup":
+            # end of the heavy dedup block (ngram/clusters/semantic) —
+            # the tier the r12 contention phase polluted
+            _cal_probe("post_heavy_extras")
+    _cal_probe("post_extras")
+
+    # a tier is contention-suspect when EITHER calibration probe
+    # bracketing it reads >1.75x the run's cleanest noop floor (r12
+    # evidence: clean floors 0.028-0.037 s, degraded phases 0.05-0.34 s)
+    _noop_floor = min(p["noop_sql_sec"] for p in calibration_probes.values())
+    _bracket = {
+        "headline": ("run_start", "post_headline"),
+        "extras_heavy": ("post_headline", "post_heavy_extras"),
+        "extras_rest": ("post_heavy_extras", "post_extras"),
+    }
+    tier_contaminated = {
+        tier: bool(
+            max(
+                calibration_probes[a]["noop_sql_sec"],
+                calibration_probes[b]["noop_sql_sec"],
+            )
+            > 1.75 * max(_noop_floor, 1e-9)
+        )
+        for tier, (a, b) in _bracket.items()
+    }
+
+    # Scaling probe (r12 VERDICT ask #4, additions only): at sf0.1 every
+    # query is scheduler/fixed-overhead-bound, so 8c/32c wall ratios read
+    # ~1 and the driver's scaling detector flags `suspect_cpus_ignored`
+    # even though local[$SPARK_GRAFT_CPUS] is honored. Re-time the
+    # heaviest queries ONCE at the synthesized sf1 (10x rows — where
+    # parallel speedup is actually visible) and publish the numbers so a
+    # 32c-vs-8c record pair shows ratios >> 1. The probe NEVER builds
+    # data (scripts/scale_check.py does, ~1 min): if the synth dir is
+    # absent the block records why and skips. Disable with
+    # SPARK_GRAFT_SCALING_PROBE=0.
+    scaling_probe: dict = {}
+    _sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_synth_sf1"
+    )
+    if os.environ.get("SPARK_GRAFT_SCALING_PROBE", "1") == "0":
+        scaling_probe = {"skipped": "SPARK_GRAFT_SCALING_PROBE=0"}
+    elif not os.path.exists(os.path.join(_sf1_dir, "_SYNTH_COMPLETE")):
+        scaling_probe = {
+            "skipped": "no synthesized sf1 data "
+            "(run scripts/scale_check.py to build it)"
+        }
+    else:
+        try:
+            for name in ("dedup_minhash_lsh", "sim_semantic_dedup"):
+                fn = queries[name]
+                fn(spark, _sf1_dir).count()  # untimed tier warmup
+                ts = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, _sf1_dir).count()
+                    ts.append(time.perf_counter() - t0)
+                scaling_probe[name] = round(min(ts), 4)
+                print(
+                    f"# scaling_probe {name}@sf1: {min(ts):.3f}s",
+                    file=sys.stderr,
+                )
+            scaling_probe["sf"] = 1.0
+            scaling_probe["cpus"] = int(cpus)
+        except Exception as exc:  # never fail the bench over the probe
+            scaling_probe = {"skipped": f"probe failed: {exc}"}
 
     sentinel_post = time_query("basic_agg", log_as="basic_agg_sentinel_post")
     # second sentinel at a MULTI-SECOND stride: basic_agg (0.1s) cannot
@@ -412,6 +499,10 @@ def main() -> None:
         "queries": per_query,
         "extra_queries": extra_queries,
         "noise_bounds": noise_bounds,
+        "calibration_by_tier": calibration_probes,
+        "tier_contaminated": tier_contaminated,
+        "scaling_probe": scaling_probe,
+        "master": f"local[{cpus}]",
         "metric": "headline_query_wall_time",
         "value": round(total, 4),
         "unit": "sec",
