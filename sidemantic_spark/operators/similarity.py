@@ -533,7 +533,16 @@ def embedding_near_dup_pairs(
     )
     cand = pairs_from_bucket_keys(banded)
 
-    vecs = df.select(F.col(id_col).alias("__id"), emb.alias("__emb"))
+    # per-VECTOR norm, computed once on the vector side and carried to
+    # the verify: cosine(va, vb) re-ran BOTH interpreted 64-element
+    # norm folds per candidate pair (HOF lambdas get no codegen and no
+    # CSE), so a vector in k candidate pairs paid its norm fold k
+    # times. dot/(na*nb) evaluates the exact same expressions on the
+    # same arrays in the same fold order, so the rounded cosine is
+    # bit-identical — only the per-pair work drops from 3 folds to 1.
+    vecs = df.select(
+        F.col(id_col).alias("__id"), emb.alias("__emb")
+    ).withColumn("__nrm", _norm(F.col("__emb")))
     if broadcast_verify is None:
         # CollectLimit-bounded probe: O(cap) rows even on a 100 TB input
         broadcast_verify = (
@@ -545,12 +554,20 @@ def embedding_near_dup_pairs(
         # pair-groupBy exchanges drop out of the plan entirely
         both = cand.join(
             F.broadcast(
-                vecs.select(F.col("__id").alias("id_a"), F.col("__emb").alias("va"))
+                vecs.select(
+                    F.col("__id").alias("id_a"),
+                    F.col("__emb").alias("va"),
+                    F.col("__nrm").alias("__na"),
+                )
             ),
             "id_a",
         ).join(
             F.broadcast(
-                vecs.select(F.col("__id").alias("id_b"), F.col("__emb").alias("vb"))
+                vecs.select(
+                    F.col("__id").alias("id_b"),
+                    F.col("__emb").alias("vb"),
+                    F.col("__nrm").alias("__nb"),
+                )
             ),
             "id_b",
         )
@@ -566,13 +583,19 @@ def embedding_near_dup_pairs(
             .agg(
                 F.max(F.when(F.col("__id") == F.col("id_a"), F.col("__emb"))).alias("va"),
                 F.max(F.when(F.col("__id") == F.col("id_b"), F.col("__emb"))).alias("vb"),
+                F.max(F.when(F.col("__id") == F.col("id_a"), F.col("__nrm"))).alias("__na"),
+                F.max(F.when(F.col("__id") == F.col("id_b"), F.col("__nrm"))).alias("__nb"),
             )
         )
     return (
         both.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= min_cosine)
     )

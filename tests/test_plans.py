@@ -795,6 +795,17 @@ def test_embedding_verify_broadcast_gate_plan_and_parity(spark):
     # auto (None) resolves to broadcast under the cap: same rows again
     c = sorted(map(tuple, embedding_near_dup_pairs(vecs, **kw).collect()))
     assert c == a
+    # r13 norm hoist: the per-PAIR verify projection computes exactly
+    # one interpreted fold (the dot product) — each vector's norm fold
+    # is hoisted to the per-vector side (a vector in k candidate pairs
+    # used to pay its 64-element norm fold k times). dot/(na*nb)
+    # evaluates the same expressions in the same order, so rows above
+    # already proved bit-identity on both paths.
+    pair_projects = [
+        l for l in bplan.splitlines() if "cosine_sim" in l and "round" in l
+    ]
+    assert pair_projects, bplan
+    assert all(l.count("aggregate(") == 1 for l in pair_projects), pair_projects
 
 
 def test_ngram_prefix_filter_plan_pin(spark):
