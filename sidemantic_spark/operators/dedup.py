@@ -34,6 +34,15 @@ from pyspark.sql import functions as F
 # long overflow is an error, not a wrap).
 _P = (1 << 31) - 1
 
+# ngram small-corpus gate (<=: single checkpointed gram pass +
+# broadcast verify). Module-level so tests can exercise the
+# corpus-scale path on small inputs by patching it.
+_NGRAM_SMALL_CAP = 100_000
+# corpus-scale verify prune: broadcast-semi-join the candidate id set
+# into the verify side's gram pass when it fits this many ids
+# (2M longs ~ 16 MB raw, well inside the 64 MB broadcast budget)
+_NGRAM_PRUNE_ID_CAP = 2_000_000
+
 
 _SPREAD_CAP = 100_000
 
@@ -1245,9 +1254,15 @@ def _exact_jaccard_verify(
       overhead while pruning <1% on template-heavy corpora.
     """
     def jac_of(a, b):
-        return (
-            F.size(F.array_intersect(a, b)).cast("double")
-            / F.size(F.array_union(a, b)).cast("double")
+        # |A ∪ B| = |A| + |B| - |A ∩ B|: both callers' sets are
+        # np.unique'd per doc (no internal duplicates), so the identity
+        # is exact in integers and ROUND(c/u, 6) is bit-identical to
+        # the array_union form — while the per-pair work drops from two
+        # hash-set builds (intersect + union, each allocating a result
+        # array) to one intersect plus integer size arithmetic.
+        inter = F.size(F.array_intersect(a, b))
+        return inter.cast("double") / (
+            (F.size(a) + F.size(b) - inter).cast("double")
         )
 
     if broadcast_verify:
@@ -1659,9 +1674,9 @@ def ngram_jaccard_pairs(
             n_docs > 0 and (n_docs - n_distinct) / n_docs >= 0.15
         )
     else:
-        n_docs = _bounded_count(df, max(_SPREAD_CAP, 100_000))
+        n_docs = _bounded_count(df, max(_SPREAD_CAP, _NGRAM_SMALL_CAP))
     df = _spread(df, n_docs)
-    small = n_docs <= 100_000
+    small = n_docs <= _NGRAM_SMALL_CAP
     # gram hashes via the Arrow batch kernel (bit-identical to the
     # engine's xxhash64 over space-joined grams; the interpreted-HOF
     # per-gram string build it replaces was the operator's hottest
@@ -1726,11 +1741,47 @@ def ngram_jaccard_pairs(
         "__id", F.lit(0).alias("band"), F.explode(index_grams).alias("bhash")
     )
     cand = pairs_from_bucket_keys(banded, bucket_cap=cap)
-    # size-gated exact verify shared with minhash_lsh_pairs; `small`
-    # comes from the shared probe above (no extra count job)
-    verified = _exact_jaccard_verify(
-        cand, docs, "__grams", threshold, broadcast_verify=small
-    )
+    if small:
+        # size-gated exact verify shared with minhash_lsh_pairs;
+        # `small` comes from the shared probe above (no extra count
+        # job): the checkpointed gram frame above feeds the index and
+        # both broadcast verify sides — one kernel pass total
+        verified = _exact_jaccard_verify(
+            cand, docs, "__grams", threshold, broadcast_verify=True
+        )
+    else:
+        # corpus-scale path (r13): the verify's feature side used to
+        # re-run the gram kernel over the ENTIRE corpus — PythonUDF
+        # canonicalization defeats subtree reuse, so the plan carried
+        # two full-corpus ArrowEvalPython passes (measured: the kernel
+        # pass IS the operator at sf10 — ~7 s of its ~14 s steady
+        # state, twice). Checkpoint the CANDIDATE PAIRS instead — tiny
+        # (id, id) rows, already bounded by the bucket caps and
+        # already carried by the dedup shuffle, so unlike a
+        # corpus-scale gram-array checkpoint this stays within the
+        # storage budget at any corpus size — and, when the candidate
+        # id set is provably broadcastable, semi-join it into the
+        # verify side BEFORE the gram kernel (guide §3.2's
+        # broadcast-semi-join stand-in for a Bloom filter): the second
+        # kernel pass then grams only docs that actually appear in a
+        # candidate pair. Pruning cannot change results — the verify
+        # join is inner on __id, so non-candidate docs never
+        # contribute. Above the id cap the prune is skipped (an
+        # unconditional broadcast would be the scale hazard) and the
+        # checkpoint alone keeps the candidate pipeline single-pass.
+        cand = cand.localCheckpoint(eager=False)
+        cand_ids = cand.select(
+            F.explode(F.array("id_a", "id_b")).alias("__id")
+        ).distinct()
+        feats_src = normed
+        if _bounded_count(cand_ids, _NGRAM_PRUNE_ID_CAP) <= _NGRAM_PRUNE_ID_CAP:
+            feats_src = normed.join(F.broadcast(cand_ids), "__id", "left_semi")
+        feats = feats_src.select(
+            "__id", _word_gram_hashes_udf(n)(F.col("__norm")).alias("__grams")
+        )
+        verified = _exact_jaccard_verify(
+            cand, feats, "__grams", threshold, broadcast_verify=False
+        )
     if members_map is None:
         return verified
     # expand verified GROUP pairs over the member arrays; the group

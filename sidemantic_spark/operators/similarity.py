@@ -490,16 +490,23 @@ def embedding_near_dup_pairs(
 
     ``broadcast_verify`` picks the verify strategy (same pattern as the
     minhash/ngram family): None (auto) resolves by a bounded-count
-    probe — at most ``broadcast_vec_cap`` vectors (100k x 64 doubles
-    ~ 51 MB per side, the dedup family's broadcast budget) attaches
-    both vectors with two MAP-ONLY broadcast joins (r12: interleaved
-    noop best 0.99 vs 1.17 s, the verify's explode + id-join +
-    pair-groupBy exchanges drop out of the plan); above the cap the
-    long-format verify stays — one vector scan, no broadcast
-    assumption, the only 100 TB-safe shape. Both paths compute the
-    identical JVM `cosine` fold on the identical double arrays, so
-    results are bit-identical (equivalence pinned in tests and proven
-    row-identical in scripts/proto_emb_broadcast.py).
+    probe — an EAGER Spark job at plan-construction time (CollectLimit,
+    O(cap) rows even on a 100 TB input; pass an explicit True/False to
+    skip it). Under the cap, both vector sides attach with two MAP-ONLY
+    broadcast joins (r12: interleaved noop best 0.99 vs 1.17 s, the
+    verify's explode + id-join + pair-groupBy exchanges drop out of the
+    plan); above the cap the long-format verify stays — one vector
+    scan, no broadcast assumption, the only 100 TB-safe shape.
+    ``broadcast_vec_cap`` states the cap at the default dim=64 (100k x
+    64 doubles ~ 51 MB per side, the dedup family's broadcast budget);
+    the auto gate scales it by 64/dim so the same BYTE budget holds at
+    any dimensionality (dim=1024 would otherwise force ~820 MB
+    broadcasts per side). Both paths compute the identical JVM cosine
+    fold on the identical double arrays, so results are bit-identical
+    (equivalence pinned in tests and proven row-identical in
+    scripts/proto_emb_broadcast.py) — PROVIDED ``id_col`` is unique:
+    with duplicate ids the broadcast path emits one row per duplicate
+    match while the long path's pair-groupBy collapses them.
 
     NOTE (r12 study, do not re-spend): a minhash-style BUCKET-LOCAL
     verify (vectors riding the banding shuffle, in-bucket JVM-cosine
@@ -544,10 +551,15 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("__id"), emb.alias("__emb")
     ).withColumn("__nrm", _norm(F.col("__emb")))
     if broadcast_verify is None:
+        # dim-scaled row cap: broadcast_vec_cap rows is the budget at
+        # the default dim=64 (~51 MB of packed doubles per side); wider
+        # vectors shrink the ROW cap so the BYTE budget stays fixed
+        # (ADVICE r12: dim=1024 under a flat 100k-row cap would force
+        # ~820 MB broadcasts per side). At dim<=64 the cap is unchanged,
+        # so bench/contract behavior is identical.
+        cap = min(broadcast_vec_cap, (broadcast_vec_cap * 64) // max(dim, 1))
         # CollectLimit-bounded probe: O(cap) rows even on a 100 TB input
-        broadcast_verify = (
-            _bounded_count(df, broadcast_vec_cap) <= broadcast_vec_cap
-        )
+        broadcast_verify = _bounded_count(df, cap) <= cap
     if broadcast_verify:
         # small-corpus path: both vector sides broadcast, the verify is
         # two MAP-ONLY joins — the long-format explode + id-join +
@@ -610,6 +622,8 @@ def semantic_dedup(
     bits_per_band: int = 4,
     dim: int = 64,
     max_iter: int = 20,
+    broadcast_verify: bool | None = None,
+    broadcast_vec_cap: int = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): build
     the cosine near-duplicate pair graph over the embedding column,
@@ -642,6 +656,11 @@ def semantic_dedup(
         bits_per_band=bits_per_band,
         min_cosine=min_cosine,
         dim=dim,
+        # forwarded (ADVICE r12): callers can skip the eager auto-gate
+        # probe job or tune the broadcast budget; None keeps the auto
+        # probe
+        broadcast_verify=broadcast_verify,
+        broadcast_vec_cap=broadcast_vec_cap,
     )
     comps = connected_components(pairs, max_iter=max_iter).withColumnRenamed(
         "doc_id", "__node"

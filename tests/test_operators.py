@@ -281,6 +281,34 @@ def test_ngram_jaccard_pairs(spark):
     assert (1, 3) not in found
 
 
+def test_ngram_corpus_path_matches_small_path(docs, monkeypatch):
+    """r13: above the small-corpus gate the verify side no longer
+    re-runs the gram kernel over the whole corpus — the candidate
+    pairs checkpoint and a broadcast-semi-join prunes the verify's
+    gram pass to docs that appear in a candidate. Forcing the gate
+    down must leave verified pairs BIT-IDENTICAL (the verify join is
+    inner on __id, so pruning non-candidates cannot change rows), and
+    the corpus-path plan must carry exactly ONE full-corpus gram
+    kernel (the pruned verify pass reads the broadcast-filtered
+    scan)."""
+    frame = docs.limit(300).select("doc_id", "text")
+    small = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(
+            frame, n=5, threshold=0.6
+        ).collect())
+    )
+    monkeypatch.setattr(dedup, "_NGRAM_SMALL_CAP", 10)
+    big_df = dedup.ngram_jaccard_pairs(frame, n=5, threshold=0.6)
+    plan = big_df._jdf.queryExecution().executedPlan().toString()
+    big = sorted(map(tuple, big_df.collect()))
+    assert big == small and big
+    # one kernel node on the index side; the verify side's kernel sits
+    # above the semi-pruned scan (2 total, but the checkpointed
+    # candidate subtree shows as a scan, not a third kernel)
+    assert plan.count("ArrowEvalPython") <= 2, plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan ExistingRDD" in plan, plan
+
+
 def test_ngram_prefix_filter_bit_identical_to_full_posting(docs):
     """r10 judge ask #1: prefix filtering (hash-order prefix of length
     |g| - ceil(t*|g|) + 1) must produce BIT-IDENTICAL verified pairs to
