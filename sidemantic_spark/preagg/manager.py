@@ -66,6 +66,20 @@ class PreAggManager:
             if preagg_name is not None and pa.name != preagg_name:
                 continue
             df = self.layer.spark.sql(self.rollup_sql(model, pa))
+            # pk-grain fast path (r13): when the rollup's dimensions
+            # cover the model's declared primary key, every GROUP BY
+            # group is exactly one base row, so the aggregation is an
+            # identity transform — materialize as a pure PROJECTION
+            # (scan -> project -> write) instead of paying the full
+            # groupBy exchange + two hash aggregates. At 100 TB a
+            # pk-carrying rollup build drops its one corpus-wide
+            # shuffle. Values and schema are identical by construction
+            # (casts are taken from the analyzed aggregate plan's own
+            # schema); correctness rests on the pk declaration, which
+            # the whole layer already trusts (fan-out handling).
+            fast = pk_grain_select_sql(model, pa, df.schema)
+            if fast is not None:
+                df = self.layer.spark.sql(fast)
             path = self.path_for(model, pa)
             writer = df.write.mode("overwrite")
             if pa.partition_granularity and pa.time_dimension:
@@ -213,6 +227,120 @@ def _local_metric_filter(f: str, model: Model) -> str:
                 "into a rollup"
             )
     return out
+
+
+def pk_grain_select_sql(model: Model, pa: PreAggregation, schema,
+                        extra_where: str | None = None,
+                        source_override: str | None = None) -> str | None:
+    """Single-row-equivalent projection for a PK-grain rollup, or None
+    when the fast path does not apply.
+
+    Applies when every primary-key column appears verbatim among the
+    rollup's dimension expressions: the GROUP BY then has exactly one
+    row per group, so each partial-aggregate column reduces to a scalar
+    of the row — SUM(e) -> e, COUNT(e) -> IF(e IS NULL, 0, 1),
+    COUNT(*) -> 1, MIN/MAX(e) -> e, COUNT(DISTINCT e) -> the COUNT
+    form. ``schema`` must be the analyzed schema of the GROUP BY form
+    (``rollup_select_sql``): every output is cast to that exact type,
+    so the materialized table is byte-compatible with the aggregate
+    (SUM's engine type promotion included). approx_count_distinct
+    measures keep the GROUP BY form (an HLL sketch of one element has
+    no scalar constructor). NULL semantics match: SUM/MIN/MAX over the
+    single row are the value itself (NULL included), COUNT is 0 for
+    NULL. Column list and order mirror ``rollup_select_sql`` — the
+    name-by-name zip against ``schema`` below asserts that pairing."""
+    if pa.type == "original_sql":
+        return None
+    pk = model.primary_key
+    pk_cols = [pk] if isinstance(pk, str) else list(pk or [])
+    if not pk_cols:
+        return None
+    dim_exprs = set()
+    for dname in pa.dimensions:
+        dim = model.dimension(dname)
+        if dim is not None and dim.window:
+            return None
+        dim_exprs.add((dim.expr if dim else None) or dname)
+    if not all(c in dim_exprs for c in pk_cols):
+        return None
+    cols: list[tuple[str, str]] = []  # (output name, single-row expr)
+    for dname in pa.dimensions:
+        dim = model.dimension(dname)
+        expr = (dim.expr if dim else None) or dname
+        cols.append((dname, expr))
+    if pa.time_dimension:
+        tdim = model.dimension(pa.time_dimension)
+        if tdim is not None and tdim.window:
+            return None
+        texpr = tdim.expr if tdim else pa.time_dimension
+        cols.append((
+            f"{pa.time_dimension}__{pa.granularity}",
+            f"DATE_TRUNC('{pa.granularity}', {texpr})",
+        ))
+        if pa.partition_granularity:
+            cols.append((
+                "__part",
+                f"CAST(DATE_TRUNC('{pa.partition_granularity}', {texpr}) AS DATE)",
+            ))
+    for mname in pa.measures:
+        metric = model.metric(mname)
+        if metric is None or not metric.is_simple:
+            return None
+        if metric.agg == "approx_count_distinct":
+            return None  # sketch column needs the aggregate form
+        expr = model.metric_value_sql(metric) or "1"
+        if metric.filters:
+            cond = " AND ".join(
+                f"({_local_metric_filter(f, model)})" for f in metric.filters
+            )
+            expr = f"CASE WHEN {cond} THEN {expr} ELSE NULL END"
+            count_star = f"(CASE WHEN {cond} THEN 1 ELSE 0 END)"
+        else:
+            count_star = "1"
+        nn_count = f"(CASE WHEN ({expr}) IS NULL THEN 0 ELSE 1 END)"
+        if metric.agg in ("sum", "avg"):
+            cols.append((f"{mname}__sum", expr))
+            cols.append((f"{mname}__count", nn_count))
+        elif metric.agg == "count":
+            cols.append((f"{mname}__count", nn_count if metric.sql else count_star))
+        elif metric.agg == "min":
+            cols.append((f"{mname}__min", expr))
+        elif metric.agg == "max":
+            cols.append((f"{mname}__max", expr))
+        elif metric.agg == "count_distinct":
+            cols.append((f"{mname}__cd", nn_count))
+        else:
+            return None
+    cols.append(("__row_count", "1"))
+    if [n for n, _ in cols] != [f.name for f in schema.fields]:
+        # pairing drifted from rollup_select_sql — refuse the fast path
+        # rather than risk a mis-typed column
+        return None
+    sel = ",\n    ".join(
+        f"CAST(({e}) AS {f.dataType.simpleString()}) AS {n}"
+        for (n, e), f in zip(cols, schema.fields)
+    )
+    source = source_override or model.table or (
+        f"({model.sql})" if model.sql else None
+    )
+    if source is None and model.source_uri:
+        source = model.name
+    if source is None:
+        return None
+    sql = f"SELECT\n    {sel}\nFROM {source}"
+    where = list(model.row_filters)
+    if extra_where:
+        where.append(extra_where)
+    if pa.time_dimension and (pa.build_range_start or pa.build_range_end):
+        tdim = model.dimension(pa.time_dimension)
+        texpr = tdim.expr if tdim else pa.time_dimension
+        if pa.build_range_start:
+            where.append(f"{texpr} >= ({pa.build_range_start})")
+        if pa.build_range_end:
+            where.append(f"{texpr} < ({pa.build_range_end})")
+    if where:
+        sql += "\nWHERE " + " AND ".join(f"({w})" for w in where)
+    return sql
 
 
 def rollup_select_sql(model: Model, pa: PreAggregation, extra_where: str | None = None,

@@ -1454,3 +1454,68 @@ def test_preagg_same_dim_two_grains(spark, sf_dir):
     finally:
         layer.generator.use_preaggs = True
     assert routed == raw
+
+
+def test_pk_grain_rollup_projects_instead_of_aggregating(spark, sf_dir):
+    """r13: a rollup whose dimensions cover the model's primary key is
+    row-grain — materialize must produce byte-identical contents (values
+    AND schema, SUM's type promotion included) from a pure projection,
+    and the projection plan must carry no Exchange/HashAggregate."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sidemantic_spark.core.model import Dimension
+    from sidemantic_spark.preagg.manager import pk_grain_select_sql, rollup_select_sql
+
+    path = "/tmp/sidemantic_spark_test_preaggs_pk"
+    shutil.rmtree(path, ignore_errors=True)
+    layer = build_layer(spark, sf_dir)
+    orders = layer.graph.get_model("orders")
+    orders.dimensions.append(Dimension(name="okey", sql="o_orderkey"))
+    orders.reindex()
+    layer.graph._invalidate()
+    pa = PreAggregation(
+        name="pk_detail",
+        measures=["revenue", "order_count", "avg_order_value", "customer_count"],
+        dimensions=["okey", "status"],
+    )
+    orders.pre_aggregations = [pa]
+    layer.preaggs.base_path = path
+
+    agg_df = spark.sql(rollup_select_sql(orders, pa))
+    fast_sql = pk_grain_select_sql(orders, pa, agg_df.schema)
+    assert fast_sql is not None
+    fast_df = spark.sql(fast_sql)
+    # identical schema (names, types, order) and identical rows
+    assert [
+        (f.name, f.dataType.simpleString()) for f in fast_df.schema.fields
+    ] == [(f.name, f.dataType.simpleString()) for f in agg_df.schema.fields]
+    assert fast_df.exceptAll(agg_df).count() == 0
+    assert agg_df.exceptAll(fast_df).count() == 0
+    # projection plan: no shuffle, no aggregation
+    plan = fast_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "HashAggregate" not in plan, plan
+    # materialize() itself takes the fast path and routing still works
+    layer.preaggs.materialize("orders")
+    rolled = spark.read.parquet(f"{path}/orders_preagg_pk_detail")
+    assert rolled.count() == spark.table("orders").count()
+    kw = dict(
+        metrics=["orders.revenue", "orders.order_count"],
+        dimensions=["orders.okey", "orders.status"],
+        ungrouped=True,
+    )
+    routed = layer.compile(**kw)
+    assert "plan=preagg-ungrouped" in routed
+    # approx_count_distinct keeps the aggregate form (no scalar sketch)
+    pa2 = PreAggregation(
+        name="pk_hll",
+        measures=["approx_customers"],
+        dimensions=["okey"],
+    )
+    agg2 = spark.sql(rollup_select_sql(orders, pa2))
+    assert pk_grain_select_sql(orders, pa2, agg2.schema) is None
+    # non-pk dims keep the aggregate form
+    pa3 = PreAggregation(name="no_pk", measures=["revenue"], dimensions=["status"])
+    agg3 = spark.sql(rollup_select_sql(orders, pa3))
+    assert pk_grain_select_sql(orders, pa3, agg3.schema) is None
