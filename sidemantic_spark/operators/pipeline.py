@@ -357,6 +357,16 @@ def decontaminate(
     doc. The documents themselves never shuffle, only (id, hash) pairs.
     Filtering the clean set is then a cheap ``left_anti`` join against
     this frame.
+
+    NOTE (r13 study, do not re-spend): spreading the train side to
+    cluster parallelism before the gram kernel (the dedup family's
+    ``_spread``, and a zero-job ``getNumPartitions`` variant) was
+    measured interleaved at bench shape and REJECTED — the single-task
+    kernel stage this fixes costs ~0.25 s, but the probe job / raw-text
+    shuffle it adds costs the same or more (probe-gated: median 0.961
+    vs 1.037 s against it; partition-gated: 0.982 vs 0.958, a wash).
+    This kernel is ~25x lighter per doc than minhash's, where the same
+    spread measurably wins.
     """
     train_grams = _word_gram_hashes(train, text_col, id_col, n)
     eval_grams = (
